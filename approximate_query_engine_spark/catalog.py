@@ -1,0 +1,219 @@
+"""Metadata catalog: table stats, sample registry, sketches, strata info,
+and the query-performance learning history.
+
+The reference keeps four ``aqe_*`` SQLite tables plus
+``ml_query_performance_history`` (reference storage.py:37-85,
+ml_optimizer.py:305-321). Here the catalog is a driver-side store persisted
+as JSON (metadata is tiny — O(tables+samples+sketches)) plus the sample
+*data* as Parquet. Crucially the sample fraction lives in the catalog, not
+in a name codec — SURVEY.md §2.5 flags the reference's triplicated
+fraction↔name parser (sampler.py:99-117, planner.py:114-140,
+ml_optimizer.py:181-190) as fragile; a catalog lookup replaces all three.
+
+At 100 TB scale this catalog maps 1:1 onto a small Delta/Parquet metadata
+table; row counts come from here (or Parquet footers), never from a live
+``COUNT(*)`` at planning time (which the reference does,
+ml_optimizer.py:88-93 — a full scan per plan).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import tempfile
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+
+def _now() -> float:
+    return time.time()
+
+
+@dataclass
+class TableStats:
+    table_name: str
+    row_count: int
+    updated_at: float = field(default_factory=_now)
+
+
+@dataclass
+class StratumInfo:
+    strata_value: str
+    pop_size: int
+    sample_size: int
+    fraction: float  # achieved fraction (post-hoc corrected, sampler parity)
+    weight: float
+    variance: float | None = None
+
+
+@dataclass
+class SampleInfo:
+    table_name: str
+    sample_table: str  # registered view name
+    sample_fraction: float  # achieved overall fraction
+    target_fraction: float  # requested fraction
+    path: str  # parquet location
+    strata_column: str | None = None
+    allocation_type: str | None = None  # proportional | neyman | None
+    row_count: int = 0
+    seed: int = 42
+    strata: list[StratumInfo] = field(default_factory=list)
+    created_at: float = field(default_factory=_now)
+
+
+@dataclass
+class SketchInfo:
+    table_name: str
+    column_name: str | None
+    sketch_type: str  # 'hll' | 'cms'
+    sketch_data: bytes
+    parameters: dict[str, Any] = field(default_factory=dict)
+    created_at: float = field(default_factory=_now)
+
+    @property
+    def key(self) -> tuple[str, str | None, str]:
+        return (self.table_name, self.column_name, self.sketch_type)
+
+
+@dataclass
+class HistoryRecord:
+    """One dual-executed query outcome (schema honors reference
+    ml_optimizer.py:305-321; the reference never INSERTs — SURVEY.md
+    vestigial flag #2 — this rebuild closes the loop)."""
+
+    query_pattern: str
+    table_size: int
+    strategy: str
+    actual_speedup: float
+    actual_error: float | None
+    predicted_speedup: float
+    predicted_error: float
+    execution_time_ms: float
+    error_tolerance: float
+    query_features: dict[str, Any] = field(default_factory=dict)
+    timestamp: float = field(default_factory=_now)
+
+
+class Catalog:
+    """Driver-side metadata store with JSON persistence."""
+
+    def __init__(self, workdir: str | None = None):
+        self.workdir = workdir or os.path.join(
+            tempfile.gettempdir(), "aqe_spark_workdir"
+        )
+        os.makedirs(self.workdir, exist_ok=True)
+        self.table_stats: dict[str, TableStats] = {}
+        self.samples: dict[str, SampleInfo] = {}  # by sample_table name
+        self.sketches: dict[tuple, SketchInfo] = {}
+        self.history: list[HistoryRecord] = []
+        self._load()
+
+    # ---- persistence ----
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.workdir, "catalog.json")
+
+    def save(self) -> None:
+        doc = {
+            "table_stats": {k: asdict(v) for k, v in self.table_stats.items()},
+            "samples": {k: asdict(v) for k, v in self.samples.items()},
+            "sketches": [
+                {
+                    **asdict(s),
+                    "sketch_data": base64.b64encode(s.sketch_data).decode(),
+                }
+                for s in self.sketches.values()
+            ],
+            "history": [asdict(h) for h in self.history],
+        }
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._meta_path)
+
+    def _load(self) -> None:
+        if not os.path.exists(self._meta_path):
+            return
+        try:
+            with open(self._meta_path) as f:
+                doc = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return
+        for k, v in doc.get("table_stats", {}).items():
+            self.table_stats[k] = TableStats(**v)
+        for k, v in doc.get("samples", {}).items():
+            strata = [StratumInfo(**s) for s in v.pop("strata", [])]
+            self.samples[k] = SampleInfo(**v, strata=strata)
+        for v in doc.get("sketches", []):
+            v["sketch_data"] = base64.b64decode(v["sketch_data"])
+            info = SketchInfo(**v)
+            self.sketches[info.key] = info
+        for v in doc.get("history", []):
+            self.history.append(HistoryRecord(**v))
+
+    # ---- table stats (reference storage.py:88-109) ----
+    def upsert_table_stats(self, table: str, row_count: int) -> None:
+        self.table_stats[table] = TableStats(table, int(row_count))
+
+    def get_row_count(self, table: str) -> int | None:
+        st = self.table_stats.get(table)
+        return st.row_count if st else None
+
+    # ---- samples (reference storage.py:46-55, sampler.py:120-143) ----
+    def register_sample(self, info: SampleInfo) -> None:
+        self.samples[info.sample_table] = info
+
+    def samples_for_table(self, table: str) -> list[SampleInfo]:
+        return [s for s in self.samples.values() if s.table_name == table]
+
+    def uniform_samples_for_table(self, table: str) -> list[SampleInfo]:
+        return [s for s in self.samples_for_table(table) if s.strata_column is None]
+
+    def stratified_samples_for_table(
+        self, table: str, strata_column: str | None = None
+    ) -> list[SampleInfo]:
+        out = [s for s in self.samples_for_table(table) if s.strata_column]
+        if strata_column is not None:
+            out = [s for s in out if s.strata_column == strata_column]
+        return out
+
+    def get_sample(self, sample_table: str) -> SampleInfo | None:
+        return self.samples.get(sample_table)
+
+    # ---- sketches (reference storage.py:112-162) ----
+    def upsert_sketch(self, info: SketchInfo) -> None:
+        self.sketches[info.key] = info
+
+    def get_sketch(
+        self, table: str, column: str | None, sketch_type: str
+    ) -> SketchInfo | None:
+        return self.sketches.get((table, column, sketch_type))
+
+    def list_sketches(self, table: str | None = None) -> list[SketchInfo]:
+        out = list(self.sketches.values())
+        if table:
+            out = [s for s in out if s.table_name == table]
+        return out
+
+    # ---- learning history (reference ml_optimizer.py:305-374) ----
+    def append_history(self, rec: HistoryRecord) -> None:
+        self.history.append(rec)
+
+    def similar_history(
+        self,
+        table_size: int,
+        error_tolerance: float,
+        limit: int = 20,
+    ) -> list[HistoryRecord]:
+        """Similarity window per reference ml_optimizer.py:339-357:
+        table_size within ±50%, tolerance within ±50%, most recent first."""
+        hits = [
+            h
+            for h in self.history
+            if table_size * 0.5 <= h.table_size <= table_size * 1.5
+            and error_tolerance * 0.5 <= h.error_tolerance <= error_tolerance * 1.5
+        ]
+        hits.sort(key=lambda h: h.timestamp, reverse=True)
+        return hits[:limit]

@@ -1,0 +1,202 @@
+"""AQEngine: the query lifecycle facade.
+
+Mirrors the reference's ``POST /query`` lifecycle (reference app.py:62-163,
+SURVEY.md §3.1) with one structural fix: there is exactly ONE rewrite point
+(planner/rewriter) and ONE scaling point (inside the generated SQL), so the
+reference's double-scaling hazard cannot occur.
+
+    query(sql, max_rel_error, prefer_exact, use_ml_optimization, explain)
+      → {status, plan, result, meta, ml_optimization}
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from approximate_query_engine_spark import executor as ex
+from approximate_query_engine_spark.catalog import Catalog
+from approximate_query_engine_spark.optimizer import MLOptimizer
+from approximate_query_engine_spark.planner import Planner
+from approximate_query_engine_spark.sampler import Sampler
+from approximate_query_engine_spark.session import register_testdata
+from approximate_query_engine_spark.sketches import SketchManager
+
+
+class AQEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str | None = None,
+        data_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.catalog = Catalog(workdir)
+        self.sampler = Sampler(spark, self.catalog)
+        self.planner = Planner(spark, self.catalog)
+        self.optimizer = MLOptimizer(self.catalog, self.planner)
+        self.sketches = SketchManager(spark, self.catalog)
+        if data_dir:
+            self.register_data(data_dir)
+        self.sampler.load_registered_samples()
+
+    # ------------------------------------------------------------------
+    def register_data(self, sf_dir: str) -> None:
+        """Register testdata parquet tables as views and record row-count
+        stats from Parquet metadata (a metadata-only count — Spark reads
+        footers, not data; contrast the reference's live COUNT(*) per plan,
+        ml_optimizer.py:88-93)."""
+        dfs = register_testdata(self.spark, sf_dir)
+        for name, df in dfs.items():
+            if self.catalog.get_row_count(name) is None:
+                self.catalog.upsert_table_stats(name, df.count())
+        self.catalog.save()
+
+    def register_view(self, name: str, df) -> None:
+        df.createOrReplaceTempView(name)
+        self.catalog.upsert_table_stats(name, df.count())
+
+    def tables(self) -> list[str]:
+        """User-visible tables (reference GET /tables, app.py:45-59)."""
+        return sorted(t.name for t in self.spark.catalog.listTables())
+
+    # ------------------------------------------------------------------
+    def query(
+        self,
+        sql: str,
+        max_rel_error: float = 0.05,
+        prefer_exact: bool = False,
+        use_ml_optimization: bool = False,
+        explain: bool = False,
+        dual_execute: bool | None = None,
+    ) -> dict[str, Any]:
+        """The reference's POST /query contract (app.py:62-163)."""
+        try:
+            return self._query(
+                sql, max_rel_error, prefer_exact, use_ml_optimization,
+                explain, dual_execute,
+            )
+        except Exception as e:  # reference app.py:158-163 error envelope
+            return {"status": "error", "error": f"{type(e).__name__}: {e}"}
+
+    def _query(
+        self,
+        sql: str,
+        max_rel_error: float,
+        prefer_exact: bool,
+        use_ml_optimization: bool,
+        explain: bool,
+        dual_execute: bool | None,
+    ) -> dict[str, Any]:
+        ml_optimization: dict[str, Any] | None = None
+        if use_ml_optimization and not prefer_exact:
+            ml_optimization = self.optimizer.optimize_query(sql, max_rel_error)
+            plan = self.planner.plan(
+                sql,
+                max_rel_error,
+                prefer_exact=False,
+                forced_strategy=ml_optimization["strategy"],
+            )
+        else:
+            plan = self.planner.plan(sql, max_rel_error, prefer_exact=prefer_exact)
+
+        if explain:
+            return {
+                "status": "ok",
+                "plan": plan,
+                "ml_optimization": ml_optimization,
+            }
+
+        rows, meta = ex.execute_plan(self.spark, plan)
+
+        # Dual exact execution for measured speedup (reference app.py:119-138;
+        # default mirrors the reference: on when the ML path was used).
+        do_dual = use_ml_optimization if dual_execute is None else dual_execute
+        if do_dual and plan["type"] != "exact":
+            exact_rows, exact_ms = ex.dual_execute_exact(self.spark, sql)
+            speedup = exact_ms / meta["execution_time_ms"] if meta["execution_time_ms"] else 1.0
+            meta["actual_speedup"] = speedup
+            meta["exact_time_ms"] = exact_ms
+            actual_error = ex.measured_relative_error(rows, exact_rows)
+            if ml_optimization is not None:
+                ml_optimization["actual_speedup"] = speedup
+                ml_optimization["execution_time_ms"] = meta["execution_time_ms"]
+                ml_optimization["exact_time_ms"] = exact_ms
+                self.optimizer.record_outcome(
+                    sql,
+                    ml_optimization.get("features", {}),
+                    plan["type"],
+                    speedup,
+                    actual_error,
+                    ml_optimization["estimated_speedup"],
+                    ml_optimization["estimated_error"],
+                    meta["execution_time_ms"],
+                    max_rel_error,
+                )
+
+        return {
+            "status": "ok",
+            "plan": plan,
+            "result": rows,
+            "meta": meta,
+            "ml_optimization": ml_optimization,
+        }
+
+    # ------------------------------------------------------------------
+    # sample/sketch construction surfaces (reference app.py:166-306)
+    def create_sample(self, table: str, fraction: float, seed: int = 42) -> dict:
+        info = self.sampler.create_uniform_sample(table, fraction, seed)
+        return {"sample_table": info.sample_table, "rows": info.row_count}
+
+    def create_stratified_sample(
+        self,
+        table: str,
+        strata_column: str,
+        fraction: float,
+        variance_column: str | None = None,
+        seed: int = 42,
+    ) -> dict:
+        info = self.sampler.create_stratified_sample(
+            table, strata_column, fraction, variance_column, seed
+        )
+        return {
+            "sample_table": info.sample_table,
+            "allocation_type": info.allocation_type,
+            "strata": [
+                {
+                    "value": s.strata_value,
+                    "population_size": s.pop_size,
+                    "sample_size": s.sample_size,
+                    "fraction": s.fraction,
+                    "weight": s.weight,
+                }
+                for s in info.strata
+            ],
+        }
+
+    def create_sketch(
+        self,
+        table: str,
+        column: str | None,
+        sketch_type: str,
+        parameters: dict | None = None,
+    ) -> dict:
+        info = self.sketches.create(table, column, sketch_type, parameters or {})
+        return {"sketch_type": info.sketch_type, "size_bytes": len(info.sketch_data)}
+
+    def list_sketches(self, table: str | None = None) -> list[dict]:
+        return [
+            {
+                "table_name": s.table_name,
+                "column_name": s.column_name,
+                "sketch_type": s.sketch_type,
+                "size_bytes": len(s.sketch_data),
+                "parameters": s.parameters,
+                "created_at": s.created_at,
+            }
+            for s in self.catalog.list_sketches(table)
+        ]
+
+    def ml_stats(self) -> dict:
+        return self.optimizer.learning_stats()

@@ -1,0 +1,270 @@
+"""'ML' optimizer: rule decision tree + history-weighted re-ranking.
+
+Stage A of the reference lifecycle (reference ml_optimizer.py). The decision
+tree keeps the reference's thresholds verbatim (ml_optimizer.py:153-179);
+the history re-ranking keeps its scoring (0.6·speedup − 0.4·error, window
+±50% on table size and tolerance, last 20 — ml_optimizer.py:115-151,
+339-357). Unlike the reference — whose history table is never written
+(SURVEY.md vestigial flag #2) — the engine appends every dual-executed
+query, so the learning branch actually sees data.
+
+Strategy semantics are made honest where the reference faked them:
+- 'sketch' on COUNT(DISTINCT) really uses HLL++ (not a 30% row sample);
+- 'stratified' really routes to a stratified sample when the catalog has
+  one on a GROUP BY column, else degrades to uniform sampling;
+- estimates (speedup = 1/f, error clamps) follow ml_optimizer.py:242-274.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from approximate_query_engine_spark.catalog import Catalog, HistoryRecord
+from approximate_query_engine_spark.planner import Planner, inline_fraction_for
+from approximate_query_engine_spark.sqlparser import ParsedQuery, try_parse
+
+
+def _clamp(x: float, lo: float, hi: float) -> float:
+    return max(lo, min(hi, x))
+
+
+@dataclass
+class Features:
+    """Query features (reference ml_optimizer.py:65-113)."""
+
+    has_count: bool
+    has_sum: bool
+    has_avg: bool
+    has_distinct: bool
+    has_group_by: bool
+    group_by_cardinality: int
+    where_complexity: int
+    query_length: int
+    table_size: int
+
+    def as_dict(self) -> dict[str, Any]:
+        return dict(self.__dict__)
+
+
+def extract_features(parsed: ParsedQuery, sql: str, table_size: int) -> Features:
+    return Features(
+        has_count=parsed.has_count,
+        has_sum=parsed.has_sum,
+        has_avg=parsed.has_avg,
+        has_distinct=parsed.has_distinct,
+        has_group_by=parsed.has_group_by,
+        group_by_cardinality=len(parsed.group_by),
+        where_complexity=parsed.where_complexity,
+        query_length=len(sql),
+        table_size=table_size,
+    )
+
+
+def choose_base_strategy(f: Features, tol: float) -> tuple[str, float]:
+    """Reference decision tree, thresholds verbatim (ml_optimizer.py:153-179)."""
+    if f.table_size <= 1000:
+        return "exact", 0.95
+    if f.has_distinct and f.has_count and tol > 0.001:
+        return "sketch", 0.90
+    if f.has_group_by and tol > 0.001:
+        if f.table_size > 10000 and f.group_by_cardinality > 1:
+            return "stratified", 0.85
+        return "sketch", 0.80
+    if f.table_size > 5000 and tol > 0.001 and (f.has_count or f.has_sum or f.has_avg):
+        return "sample", 0.85
+    if f.table_size > 1000 and tol > 0.001 and (f.has_count or f.has_sum):
+        return "sample", 0.75
+    return "exact", 0.60
+
+
+class MLOptimizer:
+    def __init__(self, catalog: Catalog, planner: Planner):
+        self.catalog = catalog
+        self.planner = planner
+
+    # ------------------------------------------------------------------
+    def optimize_query(self, sql: str, max_rel_error: float = 0.05) -> dict[str, Any]:
+        """Return the reference-shaped optimization dict
+        (ml_optimizer.py:41-50): {strategy, modified_sql, original_sql,
+        confidence, estimated_speedup, estimated_error, reasoning,
+        transformations}."""
+        parsed = try_parse(sql)
+        if parsed is None:
+            return self._exact_optimization(
+                sql, 0.95, "Query outside the approximable grammar "
+                "(joins/subqueries/windows run exactly on Spark SQL)."
+            )
+        n = self.planner.table_row_count(parsed.table) or 0
+        feats = extract_features(parsed, sql, n)
+        strategy, confidence = choose_base_strategy(feats, max_rel_error)
+        strategy, confidence, learned = self._apply_learning(
+            feats, max_rel_error, strategy, confidence
+        )
+
+        # Honesty downgrades (documented divergence from the reference's
+        # fake strategies, SURVEY.md §4.1):
+        if strategy == "sketch" and not (feats.has_distinct and feats.has_count):
+            strategy = "sample"  # ref 'sketch' here meant a 30% row sample
+        if strategy == "stratified":
+            has_strat = any(
+                self.catalog.stratified_samples_for_table(parsed.table, g.strip())
+                for g in parsed.group_by
+            )
+            if not has_strat:
+                strategy = "sample"
+
+        plan = self.planner.plan(
+            sql, max_rel_error, forced_strategy=strategy
+        )
+        est_speedup, est_error = self._estimates(plan, feats, max_rel_error)
+        reasoning = self._reasoning(strategy, feats, learned)
+        return {
+            "strategy": plan["type"],
+            "modified_sql": plan["sql"],
+            "original_sql": sql,
+            "confidence": confidence,
+            "estimated_speedup": est_speedup,
+            "estimated_error": est_error,
+            "reasoning": reasoning,
+            "transformations": plan.get("reason", ""),
+            "features": feats.as_dict(),
+        }
+
+    # ------------------------------------------------------------------
+    def _apply_learning(
+        self, feats: Features, tol: float, strategy: str, confidence: float
+    ) -> tuple[str, float, bool]:
+        """History re-ranking (reference ml_optimizer.py:121-149): among
+        strategies seen in similar runs pick max 0.6·speedup − 0.4·error
+        subject to avg_error ≤ 1.2·tol."""
+        hist = self.catalog.similar_history(feats.table_size, tol, limit=20)
+        if not hist:
+            return strategy, confidence, False
+        by_strategy: dict[str, list[HistoryRecord]] = {}
+        for h in hist:
+            by_strategy.setdefault(h.strategy, []).append(h)
+        best, best_score, best_n = None, float("-inf"), 0
+        for strat, rows in by_strategy.items():
+            avg_speedup = sum(r.actual_speedup for r in rows) / len(rows)
+            errs = [r.actual_error for r in rows if r.actual_error is not None]
+            avg_error = sum(errs) / len(errs) if errs else 0.0
+            if avg_error > 1.2 * tol:
+                continue
+            score = 0.6 * avg_speedup - 0.4 * avg_error
+            if score > best_score:
+                best, best_score, best_n = strat, score, len(rows)
+        if best is None:
+            return strategy, confidence, False
+        conf = min(0.6 + 0.3 * (best_n / 10.0), 0.95)
+        return best, conf, True
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _estimates(plan: dict, feats: Features, tol: float) -> tuple[float, float]:
+        """Speedup/error estimates per strategy (reference
+        ml_optimizer.py:242-274 clamps)."""
+        ptype = plan["type"]
+        if ptype == "exact":
+            return 1.0, 0.0
+        if ptype == "sketch":
+            return 3.3, _clamp(plan.get("estimated_error", 0.02), 0.02, 0.30)
+        f = plan.get("sample_fraction") or inline_fraction_for(
+            max(feats.table_size, 1), tol
+        )
+        n_eff = max(feats.table_size * f, 1.0)
+        err = _clamp(1.0 / (n_eff**0.5), 0.01, 0.5)
+        return (1.0 / f if f > 0 else 1.0), err
+
+    @staticmethod
+    def _reasoning(strategy: str, f: Features, learned: bool) -> str:
+        """Human-readable reasoning (reference ml_optimizer.py:276-299)."""
+        bits = []
+        if learned:
+            bits.append("historical performance of similar queries favored this strategy")
+        if strategy == "exact":
+            bits.append(
+                "table small or query not approximable; exact Spark SQL is cheap"
+                if f.table_size <= 1000
+                else "no approximate strategy met the error tolerance"
+            )
+        elif strategy == "sketch":
+            bits.append(
+                "COUNT(DISTINCT) detected: HLL++ sketch gives a mergeable, "
+                "single-pass cardinality estimate with bounded relative error"
+            )
+        elif strategy == "stratified":
+            bits.append(
+                "GROUP BY over a stratified sample preserves per-group accuracy "
+                "via per-stratum Horvitz-Thompson weights"
+            )
+        else:
+            bits.append(
+                f"table has {f.table_size} rows; sampling trades a bounded "
+                "relative error for a proportional scan reduction"
+            )
+        return "; ".join(bits)
+
+    def _exact_optimization(self, sql: str, conf: float, reason: str) -> dict[str, Any]:
+        return {
+            "strategy": "exact",
+            "modified_sql": sql,
+            "original_sql": sql,
+            "confidence": conf,
+            "estimated_speedup": 1.0,
+            "estimated_error": 0.0,
+            "reasoning": reason,
+            "transformations": "",
+            "features": {},
+        }
+
+    # ------------------------------------------------------------------
+    def record_outcome(
+        self,
+        sql: str,
+        features: dict[str, Any],
+        strategy: str,
+        actual_speedup: float,
+        actual_error: float | None,
+        predicted_speedup: float,
+        predicted_error: float,
+        execution_time_ms: float,
+        error_tolerance: float,
+    ) -> None:
+        """Close the learning loop (the reference defines the history schema
+        at ml_optimizer.py:305-321 but never inserts; SURVEY.md flag #2)."""
+        self.catalog.append_history(
+            HistoryRecord(
+                query_pattern=sql[:200],
+                table_size=int(features.get("table_size", 0)),
+                strategy=strategy,
+                actual_speedup=actual_speedup,
+                actual_error=actual_error,
+                predicted_speedup=predicted_speedup,
+                predicted_error=predicted_error,
+                execution_time_ms=execution_time_ms,
+                error_tolerance=error_tolerance,
+                query_features=features,
+            )
+        )
+        self.catalog.save()
+
+    def learning_stats(self, days: int = 30) -> dict[str, Any]:
+        """Per-strategy count / avg speedup / avg error (reference
+        ml_optimizer.py:406-438, served by GET /ml/stats)."""
+        import time
+
+        cutoff = time.time() - days * 86400
+        rows = [h for h in self.catalog.history if h.timestamp >= cutoff]
+        by_strategy: dict[str, list[HistoryRecord]] = {}
+        for h in rows:
+            by_strategy.setdefault(h.strategy, []).append(h)
+        stats = {}
+        for strat, rs in sorted(by_strategy.items()):
+            errs = [r.actual_error for r in rs if r.actual_error is not None]
+            stats[strat] = {
+                "query_count": len(rs),
+                "avg_speedup": sum(r.actual_speedup for r in rs) / len(rs),
+                "avg_error": (sum(errs) / len(errs)) if errs else None,
+            }
+        return {"total_queries": len(rows), "strategies": stats, "window_days": days}

@@ -1,0 +1,279 @@
+"""Cost-based plan selection (the reference's Stage B planner).
+
+Cost model constants and formulas follow reference planner.py:13-19,
+187-272 verbatim:
+
+    scan_cost_per_row   = 1.0
+    hash_cost_per_group = 2.0
+    sketch_query_cost   = 10.0
+    sample_setup_cost   = 5.0
+
+    cost(exact)  = N·scan + min(N, 10000)·hash           [hash iff GROUP BY]
+    cost(sample) = N·f·scan + setup        err = 1/sqrt(f·N)
+    cost(sketch) = sketch_query_cost       err = rsd
+
+Candidates whose estimated error exceeds ``max_rel_error`` are filtered,
+then argmin cost. Row counts come from the catalog — never a live
+``COUNT(*)`` at planning time (the reference scans the table per plan,
+ml_optimizer.py:88-93; at 100 TB that is a full scan before every query).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from approximate_query_engine_spark import rewriter
+from approximate_query_engine_spark.catalog import Catalog, SampleInfo
+from approximate_query_engine_spark.sqlparser import ParsedQuery, try_parse
+
+SCAN_COST_PER_ROW = 1.0
+HASH_COST_PER_GROUP = 2.0
+SKETCH_QUERY_COST = 10.0
+SAMPLE_SETUP_COST = 5.0
+
+#: rsd clamp for approx_count_distinct (Spark requires rsd < 1; tighter rsd
+#: costs more HLL registers).
+MIN_RSD, MAX_RSD = 0.005, 0.4
+
+
+@dataclass
+class Candidate:
+    strategy: str  # exact | sample | stratified | sketch
+    cost: float
+    error: float
+    sample: SampleInfo | None = None
+    inline_fraction: float | None = None
+    reason: str = ""
+
+
+def exact_cost(n: int, has_group_by: bool) -> float:
+    cost = n * SCAN_COST_PER_ROW
+    if has_group_by:
+        cost += min(n, 10000) * HASH_COST_PER_GROUP
+    return cost
+
+
+def sample_cost(n: int, fraction: float) -> float:
+    return n * fraction * SCAN_COST_PER_ROW + SAMPLE_SETUP_COST
+
+
+def sampling_error(n: int, fraction: float) -> float:
+    eff = max(n * fraction, 1.0)
+    return 1.0 / (eff**0.5)
+
+
+class Planner:
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    # ------------------------------------------------------------------
+    def table_row_count(self, table: str, allow_scan: bool = True) -> int | None:
+        """Catalog stats first; on miss, optionally count ONCE and cache
+        (reference planner.py:142-185 falls back to a live COUNT)."""
+        n = self.catalog.get_row_count(table)
+        if n is not None:
+            return n
+        if not allow_scan:
+            return None
+        try:
+            n = self.spark.table(table).count()
+        except Exception:
+            return None
+        self.catalog.upsert_table_stats(table, n)
+        return n
+
+    # ------------------------------------------------------------------
+    def plan(
+        self,
+        sql: str,
+        max_rel_error: float = 0.05,
+        prefer_exact: bool = False,
+        forced_strategy: str | None = None,
+        seed: int = 42,
+    ) -> dict[str, Any]:
+        """Produce a reference-shaped plan dict with the rewritten SQL.
+
+        Short-circuits mirror reference planner.py:21-78: unparseable/
+        unsupported → exact; direct sample-table query → scaled sample plan;
+        prefer_exact → exact; no stats → exact.
+        """
+        parsed = try_parse(sql)
+        if parsed is None:
+            return self._exact(sql, None, "query outside approximable grammar "
+                               "(joins/subqueries/set-ops execute exactly)")
+
+        # Direct query against a registered sample table (reference
+        # planner.py:39-50): scale by the catalog fraction.
+        direct = self.catalog.get_sample(parsed.table)
+        if direct is not None:
+            if parsed.is_aggregate_query and not parsed.has_distinct:
+                if direct.strata_column:
+                    rw = rewriter.rewrite_stratified(parsed, direct)
+                else:
+                    rw = rewriter.rewrite_uniform_sample(parsed, direct)
+                return rewriter.plan_dict(
+                    rw, sql, direct.table_name,
+                    sample_cost(direct.row_count, 1.0),
+                    sampling_error(direct.row_count, 1.0),
+                    f"direct query on sample table {parsed.table}; "
+                    "results scaled by catalog fraction",
+                )
+            return self._exact(sql, parsed.table, "direct sample-table scan")
+
+        if prefer_exact:
+            return self._exact(sql, parsed.table, "prefer_exact requested")
+
+        if not parsed.is_aggregate_query:
+            return self._exact(sql, parsed.table, "non-aggregate query: exact")
+
+        n = self.table_row_count(parsed.table)
+        if n is None:
+            return self._exact(sql, parsed.table, "no table statistics: exact")
+
+        cands = self.candidates(parsed, n, max_rel_error, forced_strategy)
+        best = min(cands, key=lambda c: c.cost)
+        return self.realize(parsed, sql, best, n, max_rel_error, seed)
+
+    # ------------------------------------------------------------------
+    def candidates(
+        self,
+        parsed: ParsedQuery,
+        n: int,
+        max_rel_error: float,
+        forced_strategy: str | None = None,
+    ) -> list[Candidate]:
+        out = [
+            Candidate(
+                "exact",
+                exact_cost(n, parsed.has_group_by),
+                0.0,
+                reason="full scan, zero error",
+            )
+        ]
+        # COUNT(DISTINCT) → sketch; only the sketch candidate competes with
+        # exact because sampling a DISTINCT is biased (SURVEY.md §2.6).
+        if parsed.has_distinct and parsed.has_count:
+            rsd = min(max(max_rel_error / rewriter.Z_95, MIN_RSD), MAX_RSD)
+            out.append(
+                Candidate(
+                    "sketch",
+                    SKETCH_QUERY_COST,
+                    rsd,
+                    reason=f"approx_count_distinct HLL++ (rsd={rsd:.4f})",
+                )
+            )
+            return self._filter(out, max_rel_error, forced_strategy)
+
+        if parsed.has_min_max and not (parsed.has_count or parsed.has_sum or parsed.has_avg):
+            # MIN/MAX-only: not approximable (reference README contract).
+            return self._filter(out, max_rel_error, forced_strategy)
+
+        # Stratified sample keyed on a GROUP BY column (makes the
+        # reference's vestigial stratified strategy real).
+        if parsed.has_group_by:
+            for gcol in parsed.group_by:
+                for s in self.catalog.stratified_samples_for_table(
+                    parsed.table, gcol.strip()
+                ):
+                    out.append(
+                        Candidate(
+                            "stratified",
+                            sample_cost(n, s.sample_fraction),
+                            sampling_error(n, s.sample_fraction),
+                            sample=s,
+                            reason=f"stratified sample on {s.strata_column} "
+                            f"({s.allocation_type})",
+                        )
+                    )
+
+        # Pre-built uniform samples.
+        for s in self.catalog.uniform_samples_for_table(parsed.table):
+            out.append(
+                Candidate(
+                    "sample",
+                    sample_cost(n, s.sample_fraction),
+                    sampling_error(n, s.sample_fraction),
+                    sample=s,
+                    reason=f"pre-built uniform sample (f={s.sample_fraction:.4f})",
+                )
+            )
+
+        # Inline scan-time sample at the ladder fraction
+        # (reference ml_optimizer.py:204-212).
+        f = inline_fraction_for(n, max_rel_error)
+        out.append(
+            Candidate(
+                "sample",
+                sample_cost(n, f),
+                sampling_error(n, f),
+                inline_fraction=f,
+                reason=f"inline TABLESAMPLE (f={f:.4f})",
+            )
+        )
+        return self._filter(out, max_rel_error, forced_strategy)
+
+    @staticmethod
+    def _filter(
+        cands: list[Candidate], max_rel_error: float, forced: str | None
+    ) -> list[Candidate]:
+        ok = [c for c in cands if c.error <= max_rel_error]
+        if not ok:
+            ok = [c for c in cands if c.strategy == "exact"]
+        if forced:
+            forced_ok = [c for c in ok if c.strategy == forced]
+            if forced_ok:
+                return forced_ok
+        return ok
+
+    # ------------------------------------------------------------------
+    def realize(
+        self,
+        parsed: ParsedQuery,
+        sql: str,
+        cand: Candidate,
+        n: int,
+        max_rel_error: float,
+        seed: int = 42,
+    ) -> dict[str, Any]:
+        if cand.strategy == "exact":
+            return self._exact(sql, parsed.table, cand.reason or "exact chosen by cost",
+                               cost=cand.cost)
+        if cand.strategy == "sketch":
+            rw = rewriter.rewrite_sketch(parsed, cand.error)
+        elif cand.strategy == "stratified":
+            rw = rewriter.rewrite_stratified(parsed, cand.sample)
+        elif cand.sample is not None:
+            rw = rewriter.rewrite_uniform_sample(parsed, cand.sample)
+        else:
+            rw = rewriter.rewrite_inline_sample(parsed, cand.inline_fraction, seed)
+        return rewriter.plan_dict(rw, sql, parsed.table, cand.cost, cand.error, cand.reason)
+
+    def _exact(
+        self, sql: str, table: str | None, reason: str, cost: float | None = None
+    ) -> dict[str, Any]:
+        rw = rewriter.rewrite_exact(None, sql)
+        if cost is None:
+            n = self.catalog.get_row_count(table) if table else None
+            cost = exact_cost(n, False) if n else 0.0
+        return rewriter.plan_dict(rw, sql, table, cost, 0.0, reason)
+
+
+def inline_fraction_for(n: int, max_rel_error: float) -> float:
+    """Sample-fraction ladder (reference ml_optimizer.py:204-212): by table
+    size 0.01 / 0.02 / 0.05, halved when tolerance is loose (>0.1); then
+    raised if needed so the expected error 1/sqrt(f·N) meets the tolerance."""
+    if n > 100_000:
+        f = 0.01
+    elif n > 50_000:
+        f = 0.02
+    else:
+        f = 0.05
+    if max_rel_error > 0.1:
+        f = f / 2.0
+    # tolerance feasibility: need f >= 1/(tol² · N)
+    needed = min(1.0 / (max_rel_error**2 * max(n, 1)), 0.5)
+    return max(f, min(needed, 0.5))

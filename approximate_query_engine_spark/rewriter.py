@@ -1,0 +1,304 @@
+"""The single rewrite point: parsed query + strategy → executable Spark SQL
+with expression-level scaling and companion confidence-interval columns.
+
+This fixes the reference's two documented semantic hazards (SURVEY.md §2.7):
+
+- **double scaling** — the reference rewrites SQL in the ML layer, then the
+  planner re-detects the sample table by name and the executor scales
+  results, then app.py scales again (reference ml_optimizer.py:227-232,
+  planner.py:40-50, executor.py:52-57, app.py:141-143 → ×(1/f)² results).
+  Here scaling happens exactly once, inside the generated aggregate
+  expressions; nothing downstream ever mutates result cells.
+- **keyword-heuristic scaling** — the reference multiplies result columns
+  whose *name* contains COUNT/SUM/TOTAL/REVENUE/ORDERS
+  (reference executor.py:65-84). Here scaling keys on the aggregate
+  function: COUNT and SUM scale by the inverse inclusion probability;
+  AVG is a ratio estimator (unscaled); MIN/MAX are never scaled.
+
+Estimators (Horvitz–Thompson under Bernoulli sampling with per-row
+inclusion probability f_i; uniform sampling is the constant-f special case):
+
+- COUNT  →  Σ_{i∈s} 1/f_i            SE = sqrt(Σ (1-f_i)/f_i²)
+- SUM(x) →  Σ_{i∈s} x_i/f_i          SE = sqrt(Σ x_i²(1-f_i)/f_i²)
+- AVG(x) →  Σ x_i/f_i / Σ 1/f_i      SE ≈ stddev_samp(x)/√n  (ratio approx)
+
+CIs are normal-approximation at 95% (z=1.96), emitted PER GROUP as
+``{col}_ci_low/_ci_high/_rel_error`` companion columns — the reference
+computes a statistically wrong across-groups CI attached to the first row
+only (reference executor.py:87-114; SURVEY.md flags this); per-group CIs
+are the declared capability done right.
+
+All expressions are plain Spark SQL — JVM-evaluated, whole-stage-codegen'd,
+partially aggregated map-side. No Python runs per row, so the rewrite adds
+no scale penalty at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from approximate_query_engine_spark.catalog import SampleInfo
+from approximate_query_engine_spark.sqlparser import Aggregate, ParsedQuery
+
+Z_95 = 1.96
+
+
+@dataclass
+class RewriteResult:
+    sql: str
+    plan_type: str  # exact | sample | stratified | sketch
+    sample_table: str | None = None
+    sample_fraction: float | None = None
+    transformations: list[str] = field(default_factory=list)
+    ci_columns: list[str] = field(default_factory=list)
+
+
+def _bt(name: str) -> str:
+    """Backtick-quote an output alias for Spark SQL."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_str(val: str) -> str:
+    return "'" + val.replace("'", "''") + "'"
+
+
+def _weight_case_expr(col: str, strata: list, overall_fraction: float) -> str:
+    """Per-row inclusion-probability expression for a stratified sample:
+    CASE on the stratum value → achieved per-stratum fraction. Strata
+    counts are small (they were enumerable at allocation time), so an
+    inline CASE stays in codegen and needs no join."""
+    whens = []
+    for s in strata:
+        if s.fraction and s.fraction > 0:
+            whens.append(
+                f"WHEN CAST({col} AS STRING) = {_sql_str(s.strata_value)} "
+                f"THEN CAST({s.fraction!r} AS DOUBLE)"
+            )
+    else_f = f"CAST({overall_fraction!r} AS DOUBLE)"
+    return "(CASE " + " ".join(whens) + f" ELSE {else_f} END)"
+
+
+class _AggScaler:
+    """Builds scaled select expressions + CI companions for one query."""
+
+    def __init__(self, f_expr: str):
+        # f_expr: SQL expression for the row's inclusion probability
+        self.f = f_expr
+
+    def scaled(self, agg: Aggregate) -> str:
+        f = self.f
+        if agg.func == "COUNT":
+            if agg.distinct:
+                raise ValueError("COUNT(DISTINCT) goes through the sketch path")
+            base = "1.0" if agg.is_star else f"CASE WHEN ({agg.arg}) IS NOT NULL THEN 1.0 END"
+            return f"CAST(ROUND(SUM({base} / {f})) AS BIGINT)"
+        if agg.func == "SUM":
+            return f"SUM(CAST(({agg.arg}) AS DOUBLE) / {f})"
+        if agg.func == "AVG":
+            # ratio estimator: weighted sum / weighted count
+            return (
+                f"SUM(CAST(({agg.arg}) AS DOUBLE) / {f}) / "
+                f"SUM(CASE WHEN ({agg.arg}) IS NOT NULL THEN 1.0 END / {f})"
+            )
+        # MIN/MAX: not scalable; computed on the sample as-is (documented
+        # bias — the reference contract marks them "Not Optimized").
+        return agg.raw
+
+    def se_expr(self, agg: Aggregate) -> str | None:
+        f = self.f
+        if agg.func == "COUNT":
+            return f"SQRT(SUM((1.0 - {f}) / ({f} * {f})))"
+        if agg.func == "SUM":
+            x = f"CAST(({agg.arg}) AS DOUBLE)"
+            return f"SQRT(SUM({x} * {x} * (1.0 - {f}) / ({f} * {f})))"
+        if agg.func == "AVG":
+            x = f"CAST(({agg.arg}) AS DOUBLE)"
+            return f"STDDEV_SAMP({x}) / SQRT(COUNT({x}))"
+        return None
+
+
+def rewrite_exact(parsed: ParsedQuery | None, sql: str) -> RewriteResult:
+    return RewriteResult(sql=sql, plan_type="exact")
+
+
+def rewrite_sketch(parsed: ParsedQuery, rsd: float) -> RewriteResult:
+    """COUNT(DISTINCT col) → approx_count_distinct(col, rsd): Spark's native
+    HLL++ — partially aggregable, no exact-distinct shuffle. This makes the
+    reference's *declared* sketch capability real (its 'sketch' strategy
+    actually ran a 30% row sample — reference ml_optimizer.py:248-268,
+    SURVEY.md vestigial flag #1)."""
+    select, ci_cols, transforms = [], [], []
+    for it in parsed.select_items:
+        name = it.output_name
+        if it.agg and it.agg.func == "COUNT" and it.agg.distinct:
+            expr = f"approx_count_distinct({it.agg.arg}, {rsd!r})"
+            select.append(f"{expr} AS {_bt(name)}")
+            lo = f"CAST(ROUND({expr} * (1 - {Z_95} * {rsd!r})) AS BIGINT)"
+            hi = f"CAST(ROUND({expr} * (1 + {Z_95} * {rsd!r})) AS BIGINT)"
+            select.append(f"{lo} AS {_bt(name + '_ci_low')}")
+            select.append(f"{hi} AS {_bt(name + '_ci_high')}")
+            select.append(
+                f"CAST({Z_95 * rsd!r} AS DOUBLE) AS {_bt(name + '_rel_error')}"
+            )
+            ci_cols += [f"{name}_ci_low", f"{name}_ci_high", f"{name}_rel_error"]
+            transforms.append(
+                f"Rewrote {it.agg.raw} to approx_count_distinct(rsd={rsd:.4f}) [HLL++]"
+            )
+        elif it.alias:
+            select.append(f"{it.raw} AS {_bt(it.alias)}")
+        else:
+            select.append(f"{it.raw} AS {_bt(name)}")
+    out_sql = parsed.render(select_override=select)
+    return RewriteResult(
+        sql=out_sql,
+        plan_type="sketch",
+        transformations=transforms,
+        ci_columns=ci_cols,
+    )
+
+
+def _rewrite_on_weights(
+    parsed: ParsedQuery,
+    table_expr: str,
+    f_expr: str,
+    plan_type: str,
+    sample_table: str | None,
+    fraction: float,
+    transforms: list[str],
+) -> RewriteResult:
+    scaler = _AggScaler(f_expr)
+    select, ci_cols = [], []
+    for it in parsed.select_items:
+        name = it.output_name
+        if it.agg and not (it.agg.func == "COUNT" and it.agg.distinct):
+            scaled = scaler.scaled(it.agg)
+            select.append(f"{scaled} AS {_bt(name)}")
+            se = scaler.se_expr(it.agg)
+            if se is not None:
+                est = scaled
+                select.append(f"({est}) - {Z_95} * ({se}) AS {_bt(name + '_ci_low')}")
+                select.append(f"({est}) + {Z_95} * ({se}) AS {_bt(name + '_ci_high')}")
+                select.append(
+                    f"{Z_95} * ({se}) / NULLIF(ABS(CAST(({est}) AS DOUBLE)), 0.0)"
+                    f" AS {_bt(name + '_rel_error')}"
+                )
+                ci_cols += [f"{name}_ci_low", f"{name}_ci_high", f"{name}_rel_error"]
+        elif it.alias:
+            select.append(f"{it.raw} AS {_bt(it.alias)}")
+        else:
+            select.append(f"{it.raw} AS {_bt(name)}")
+
+    # Scale agg references inside HAVING the same way (the rewritten query
+    # groups over sample rows; an unscaled HAVING COUNT(*) > K would compare
+    # sample-level counts against full-table thresholds).
+    having = parsed.having
+    if having:
+        for it in parsed.select_items:
+            if it.agg and not it.agg.distinct:
+                having = having.replace(it.agg.raw, f"({_AggScaler(f_expr).scaled(it.agg)})")
+    rendered = ParsedQuery(
+        select_items=parsed.select_items,
+        table=table_expr,
+        where=parsed.where,
+        group_by=parsed.group_by,
+        having=having,
+        order_by=parsed.order_by,
+        limit=parsed.limit,
+    ).render(select_override=select)
+    return RewriteResult(
+        sql=rendered,
+        plan_type=plan_type,
+        sample_table=sample_table,
+        sample_fraction=fraction,
+        transformations=transforms,
+        ci_columns=ci_cols,
+    )
+
+
+def rewrite_uniform_sample(parsed: ParsedQuery, sample: SampleInfo) -> RewriteResult:
+    """Table → pre-built uniform sample substitution (the defining rewrite,
+    reference planner.py:242 / ml_optimizer.py:227-231), with scaling by the
+    catalog's ACHIEVED fraction."""
+    f = sample.sample_fraction
+    f_expr = f"CAST({f!r} AS DOUBLE)"
+    transforms = [
+        f"Rewrote to pre-built sample table {sample.sample_table} "
+        f"(achieved fraction {f:.6f})",
+        f"Scaled COUNT/SUM aggregates by 1/{f:.6f} inside the plan",
+    ]
+    return _rewrite_on_weights(
+        parsed, sample.sample_table, f_expr, "sample", sample.sample_table, f, transforms
+    )
+
+
+def rewrite_inline_sample(
+    parsed: ParsedQuery, fraction: float, seed: int = 42
+) -> RewriteResult:
+    """No pre-built sample: inject scan-time Bernoulli sampling via
+    TABLESAMPLE. The reference's analog is the inline ``ROWID % k`` rewrite
+    (reference ml_optimizer.py:234-240), chosen there to avoid ORDER BY
+    RANDOM(); Spark's TABLESAMPLE is already scan-time Bernoulli with a
+    REPEATABLE seed, so the motivation vanishes (SURVEY.md §2.5)."""
+    pct = fraction * 100.0
+    table_expr = f"{parsed.table} TABLESAMPLE ({pct!r} PERCENT) REPEATABLE ({seed})"
+    f_expr = f"CAST({fraction!r} AS DOUBLE)"
+    transforms = [
+        f"Applied inline scan-time sampling: TABLESAMPLE ({pct:.4f} PERCENT) "
+        f"REPEATABLE ({seed})",
+        f"Scaled COUNT/SUM aggregates by 1/{fraction:.6f} inside the plan",
+    ]
+    return _rewrite_on_weights(
+        parsed, table_expr, f_expr, "sample", None, fraction, transforms
+    )
+
+
+def rewrite_stratified(parsed: ParsedQuery, sample: SampleInfo) -> RewriteResult:
+    """Table → stratified sample with per-row Horvitz–Thompson weights from
+    the achieved per-stratum fractions. Works for ANY grouping (not just the
+    strata column) because weighting is per-row. The reference's stratified
+    strategy performed no rewrite at all (reference ml_optimizer.py:270-274,
+    SURVEY.md vestigial flag #3); this makes it real."""
+    f_expr = _weight_case_expr(
+        sample.strata_column, sample.strata, sample.sample_fraction
+    )
+    transforms = [
+        f"Rewrote to stratified sample {sample.sample_table} "
+        f"(strata column {sample.strata_column}, {sample.allocation_type} "
+        f"allocation, overall fraction {sample.sample_fraction:.6f})",
+        "Applied per-stratum Horvitz-Thompson weights 1/f_h inside aggregates",
+    ]
+    return _rewrite_on_weights(
+        parsed,
+        sample.sample_table,
+        f_expr,
+        "stratified",
+        sample.sample_table,
+        sample.sample_fraction,
+        transforms,
+    )
+
+
+def plan_dict(
+    rw: RewriteResult,
+    original_sql: str,
+    table: str | None,
+    estimated_cost: float,
+    estimated_error: float,
+    reason: str,
+) -> dict[str, Any]:
+    """Reference-shaped plan dict (reference planner.py:247-257)."""
+    out = {
+        "type": rw.plan_type,
+        "sql": rw.sql,
+        "original_sql": original_sql,
+        "table": table,
+        "estimated_cost": estimated_cost,
+        "estimated_error": estimated_error,
+        "reason": reason,
+    }
+    if rw.sample_table is not None:
+        out["sample_table"] = rw.sample_table
+    if rw.sample_fraction is not None:
+        out["sample_fraction"] = rw.sample_fraction
+    return out

@@ -1,0 +1,252 @@
+"""Sample construction: uniform Bernoulli and stratified (proportional /
+Neyman) samples, materialized as Parquet and registered in the catalog.
+
+Parity targets (reference, capability only — mechanism is Spark-native):
+- uniform:    ``CREATE TABLE t__sample_f AS SELECT * WHERE random()<f``
+              (reference sampler.py:9-47)  →  ``df.sample(fraction, seed)``
+- stratified: per-stratum Bernoulli UNION ALL (reference sampler.py:50-96,
+              228-246)                      →  ``df.sampleBy(col, fractions, seed)``
+- strata analysis via correlated subquery (reference sampler.py:146-191)
+              →  one ``groupBy(col).agg(count, avg, var_samp)`` pass
+- Neyman allocation n_h ∝ N_h·σ_h capped at 1 (reference sampler.py:194-217)
+- proportional allocation f_h = f     (reference sampler.py:220-225)
+- post-hoc achieved-fraction correction (reference sampler.py:249-266) —
+  kept: Bernoulli hits the target only in expectation, and unbiased
+  estimators need the *achieved* fraction.
+
+Scale notes: ``df.sample`` is evaluated during the Parquet scan (no
+pre-shuffle); ``sampleBy`` is a scan-time per-key Bernoulli filter — both
+are single-pass, shuffle-free, and embarrassingly parallel at 100 TB. The
+strata-analysis pass is one map-side-combined aggregation. Samples are
+written back as Parquet so later approximate queries scan f·N rows.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from approximate_query_engine_spark.catalog import Catalog, SampleInfo, StratumInfo
+
+
+def _fraction_tag(fraction: float) -> str:
+    """Human-readable fraction tag for view names, e.g. 0.01 -> '0_01'.
+
+    Cosmetic only — the engine resolves samples via the catalog, never by
+    parsing names (SURVEY.md §2.5 flags the reference's name codec,
+    sampler.py:99-117, as fragile and triplicated).
+    """
+    s = f"{fraction:.6f}".rstrip("0")
+    return re.sub(r"[.]", "_", s.rstrip("_") or "0")
+
+
+class Sampler:
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+        self.samples_dir = os.path.join(catalog.workdir, "samples")
+        os.makedirs(self.samples_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    def create_uniform_sample(
+        self, table: str, fraction: float, seed: int = 42
+    ) -> SampleInfo:
+        """Bernoulli-sample ``table`` at ``fraction``; materialize + register.
+
+        Reference surface: ``create_uniform_sample(conn, table, fraction)``
+        (sampler.py:9-47) / ``POST /samples/create`` (app.py:166-189).
+        """
+        if not (0.0 < fraction < 1.0):
+            raise ValueError("sample_fraction must be in (0, 1)")
+        df = self.spark.table(table)
+        sample_table = f"{table}__sample_{_fraction_tag(fraction)}"
+        path = os.path.join(self.samples_dir, sample_table)
+        sampled = df.sample(withReplacement=False, fraction=fraction, seed=seed)
+        sampled.write.mode("overwrite").parquet(path)
+
+        out = self.spark.read.parquet(path)
+        out.createOrReplaceTempView(sample_table)
+        rows = out.count()
+
+        base_rows = self.catalog.get_row_count(table)
+        if base_rows is None:
+            base_rows = df.count()
+            self.catalog.upsert_table_stats(table, base_rows)
+        achieved = rows / base_rows if base_rows else fraction
+
+        info = SampleInfo(
+            table_name=table,
+            sample_table=sample_table,
+            sample_fraction=achieved,
+            target_fraction=fraction,
+            path=path,
+            row_count=rows,
+            seed=seed,
+        )
+        self.catalog.register_sample(info)
+        self.catalog.save()
+        return info
+
+    # ------------------------------------------------------------------
+    def analyze_strata(
+        self, table: str, strata_col: str, variance_col: str | None = None
+    ) -> list[dict]:
+        """Per-stratum count/mean/variance in ONE aggregation pass.
+
+        Replaces the reference's correlated-subquery SQL
+        (sampler.py:146-191) with ``groupBy(col).agg(count, avg, var_samp)``
+        — map-side partial aggregation, a single shuffle on the strata key.
+        """
+        df = self.spark.table(table)
+        aggs = [F.count(F.lit(1)).alias("pop_size")]
+        if variance_col:
+            aggs += [
+                F.avg(variance_col).alias("mean"),
+                F.var_samp(variance_col).alias("variance"),
+            ]
+        rows = df.groupBy(F.col(strata_col).alias("strata_value")).agg(*aggs).collect()
+        out = []
+        for r in rows:
+            d = r.asDict()
+            d.setdefault("mean", None)
+            d.setdefault("variance", None)
+            out.append(d)
+        out.sort(key=lambda d: str(d["strata_value"]))
+        return out
+
+    @staticmethod
+    def proportional_allocation(strata: list[dict], total_fraction: float) -> dict:
+        """f_h = total_fraction for every stratum (reference sampler.py:220-225)."""
+        return {str(s["strata_value"]): total_fraction for s in strata}
+
+    @staticmethod
+    def neyman_allocation(strata: list[dict], total_fraction: float) -> dict:
+        """n_h ∝ N_h·σ_h with f_h capped at 1.0; falls back to proportional
+        when every stratum has zero/undefined variance (reference
+        sampler.py:194-217 semantics)."""
+        weights = []
+        for s in strata:
+            var = s.get("variance")
+            sigma = (var or 0.0) ** 0.5
+            weights.append(s["pop_size"] * sigma)
+        total_weight = sum(weights)
+        total_n = sum(s["pop_size"] for s in strata)
+        target_n = total_fraction * total_n
+        if total_weight <= 0:
+            return Sampler.proportional_allocation(strata, total_fraction)
+        out = {}
+        for s, w in zip(strata, weights):
+            n_h = target_n * (w / total_weight)
+            f_h = min(n_h / s["pop_size"], 1.0) if s["pop_size"] else 0.0
+            out[str(s["strata_value"])] = f_h
+        return out
+
+    # ------------------------------------------------------------------
+    def create_stratified_sample(
+        self,
+        table: str,
+        strata_col: str,
+        total_fraction: float,
+        variance_col: str | None = None,
+        seed: int = 42,
+    ) -> SampleInfo:
+        """Stratified Bernoulli sample via ``df.sampleBy`` — the exact Spark
+        analog of the reference's per-stratum UNION ALL construction
+        (reference sampler.py:50-96). ``variance_col`` set → Neyman
+        allocation, else proportional.
+        """
+        if not (0.0 < total_fraction < 1.0):
+            raise ValueError("sample_fraction must be in (0, 1)")
+        strata = self.analyze_strata(table, strata_col, variance_col)
+        if not strata:
+            raise ValueError(f"table {table} is empty; cannot stratify")
+        if variance_col:
+            fractions = self.neyman_allocation(strata, total_fraction)
+            allocation = "neyman"
+        else:
+            fractions = self.proportional_allocation(strata, total_fraction)
+            allocation = "proportional"
+
+        df = self.spark.table(table)
+        # sampleBy keys must match the column's runtime values; build the
+        # fractions dict on the raw (non-stringified) values.
+        raw_fractions = {}
+        for s in strata:
+            raw_fractions[s["strata_value"]] = fractions[str(s["strata_value"])]
+        sampled = df.sampleBy(strata_col, fractions=raw_fractions, seed=seed)
+
+        sample_table = f"{table}__strat_sample_{strata_col}_{_fraction_tag(total_fraction)}"
+        path = os.path.join(self.samples_dir, sample_table)
+        sampled.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        out.createOrReplaceTempView(sample_table)
+
+        # Post-hoc achieved-fraction correction (reference sampler.py:249-266):
+        # recompute per-stratum achieved sizes in one pass and record the
+        # ACHIEVED fractions — estimator unbiasedness depends on them.
+        achieved_rows = {
+            r["strata_value"]: r["n"]
+            for r in out.groupBy(F.col(strata_col).alias("strata_value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total_pop = sum(s["pop_size"] for s in strata)
+        strata_infos = []
+        total_sampled = 0
+        for s in strata:
+            n_h = int(achieved_rows.get(s["strata_value"], 0))
+            total_sampled += n_h
+            pop = int(s["pop_size"])
+            strata_infos.append(
+                StratumInfo(
+                    strata_value=str(s["strata_value"]),
+                    pop_size=pop,
+                    sample_size=n_h,
+                    fraction=(n_h / pop) if pop else 0.0,
+                    weight=(pop / total_pop) if total_pop else 0.0,
+                    variance=s.get("variance"),
+                )
+            )
+
+        self.catalog.upsert_table_stats(table, total_pop)
+        info = SampleInfo(
+            table_name=table,
+            sample_table=sample_table,
+            sample_fraction=(total_sampled / total_pop) if total_pop else 0.0,
+            target_fraction=total_fraction,
+            path=path,
+            strata_column=strata_col,
+            allocation_type=allocation,
+            row_count=total_sampled,
+            seed=seed,
+            strata=strata_infos,
+        )
+        self.catalog.register_sample(info)
+        self.catalog.save()
+        return info
+
+    # ------------------------------------------------------------------
+    def load_registered_samples(self) -> None:
+        """Re-register all cataloged sample Parquets as temp views (used
+        when a new SparkSession attaches to an existing workdir)."""
+        for info in list(self.catalog.samples.values()):
+            if os.path.exists(info.path):
+                self.spark.read.parquet(info.path).createOrReplaceTempView(
+                    info.sample_table
+                )
+
+
+def systematic_sample(df: DataFrame, k: int, key_cols: list[str]) -> DataFrame:
+    """Deterministic 1-in-k sample keyed on ``key_cols`` — the Spark analog
+    of the reference's ``ROWID % k = 0`` inline rewrite
+    (reference ml_optimizer.py:234-240). Spark has no ROWID; a stable
+    arithmetic hash of the key columns gives the same statistics with
+    per-row determinism (reproducible across engines, unlike df.sample).
+    """
+    expr = F.lit(0).cast("bigint")
+    for c in key_cols:
+        expr = expr * F.lit(31) + F.abs(F.xxhash64(F.col(c)) % F.lit(1000003))
+    return df.filter((expr % F.lit(k)) == 0)

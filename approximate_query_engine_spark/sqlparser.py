@@ -1,0 +1,354 @@
+"""Restricted SQL parser for the approximable query surface.
+
+The reference extracts query features and rewrites SQL with regexes
+(reference planner.py:80-140, ml_optimizer.py:65-113) — including a
+malformed character class (planner.py:99) that SURVEY.md flags. This module
+replaces that with a small, honest clause parser for the supported grammar:
+
+    SELECT item [, item ...]
+    FROM <single table>
+    [WHERE <predicate>]
+    [GROUP BY col [, col ...]]
+    [HAVING <predicate>]
+    [ORDER BY expr [ASC|DESC] [, ...]]
+    [LIMIT n]
+
+Anything outside the grammar (joins, subqueries, CTEs, set ops, multiple
+tables) raises :class:`UnsupportedQueryError`; callers must fall back to
+exact Spark SQL pass-through and never approximate such queries — matching
+the reference's effective single-table behavior (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+
+# Clause keywords that delimit the top-level structure. Order matters.
+_CLAUSES = ("SELECT", "FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT")
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+class ParseError(ValueError):
+    """The SQL string is malformed for the restricted grammar."""
+
+
+class UnsupportedQueryError(ParseError):
+    """Valid SQL, but outside the approximable grammar (joins, subqueries,
+    set ops, CTEs...). Callers must execute exactly, never approximate."""
+
+
+@dataclass
+class Aggregate:
+    """One aggregate call in the select list."""
+
+    func: str  # COUNT / SUM / AVG / MIN / MAX (uppercased)
+    arg: str  # raw argument text ('*' for COUNT(*))
+    distinct: bool
+    raw: str  # the full original expression text (without alias)
+
+    @property
+    def is_star(self) -> bool:
+        return self.arg.strip() == "*"
+
+
+@dataclass
+class SelectItem:
+    raw: str  # expression text (without alias)
+    alias: str | None
+    agg: Aggregate | None  # set when the item is a single top-level aggregate
+
+    @property
+    def output_name(self) -> str:
+        """The result-column name this item produces."""
+        return self.alias if self.alias else self.raw
+
+
+@dataclass
+class OrderItem:
+    expr: str
+    desc: bool = False
+
+    def render(self) -> str:
+        return f"{self.expr} DESC" if self.desc else self.expr
+
+
+@dataclass
+class ParsedQuery:
+    select_items: list[SelectItem]
+    table: str
+    where: str | None = None
+    group_by: list[str] = field(default_factory=list)
+    having: str | None = None
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: int | None = None
+
+    # ---- feature accessors (reference ml_optimizer.py:94-113 parity) ----
+    @property
+    def aggregates(self) -> list[Aggregate]:
+        return [it.agg for it in self.select_items if it.agg is not None]
+
+    def _has(self, func: str) -> bool:
+        return any(a.func == func for a in self.aggregates)
+
+    @property
+    def has_count(self) -> bool:
+        return self._has("COUNT")
+
+    @property
+    def has_sum(self) -> bool:
+        return self._has("SUM")
+
+    @property
+    def has_avg(self) -> bool:
+        return self._has("AVG")
+
+    @property
+    def has_min_max(self) -> bool:
+        return self._has("MIN") or self._has("MAX")
+
+    @property
+    def has_distinct(self) -> bool:
+        return any(a.distinct for a in self.aggregates)
+
+    @property
+    def has_group_by(self) -> bool:
+        return bool(self.group_by)
+
+    @property
+    def where_complexity(self) -> int:
+        """Count of AND/OR in WHERE (reference ml_optimizer.py:108-111)."""
+        if not self.where:
+            return 0
+        return len(re.findall(r"\b(?:AND|OR)\b", self.where, re.IGNORECASE))
+
+    @property
+    def is_aggregate_query(self) -> bool:
+        return bool(self.aggregates)
+
+    @property
+    def has_order_limit(self) -> bool:
+        return bool(self.order_by) and self.limit is not None
+
+    # ---- rendering ----
+    def render(
+        self,
+        table_override: str | None = None,
+        select_override: list[str] | None = None,
+        extra_where: str | None = None,
+    ) -> str:
+        """Reconstruct SQL, optionally substituting the table (the
+        table→sample rewrite, reference planner.py:242 / ml_optimizer.py:227),
+        the select list (expression-level agg scaling) and an injected
+        sampling predicate (reference ml_optimizer.py:236-239)."""
+        if select_override is not None:
+            sel = ", ".join(select_override)
+        else:
+            parts = []
+            for it in self.select_items:
+                parts.append(f"{it.raw} AS {it.alias}" if it.alias else it.raw)
+            sel = ", ".join(parts)
+        sql = f"SELECT {sel} FROM {table_override or self.table}"
+        where = self.where
+        if extra_where:
+            where = f"({where}) AND ({extra_where})" if where else extra_where
+        if where:
+            sql += f" WHERE {where}"
+        if self.group_by:
+            sql += " GROUP BY " + ", ".join(self.group_by)
+        if self.having:
+            sql += f" HAVING {self.having}"
+        if self.order_by:
+            sql += " ORDER BY " + ", ".join(o.render() for o in self.order_by)
+        if self.limit is not None:
+            sql += f" LIMIT {self.limit}"
+        return sql
+
+
+# ---------------------------------------------------------------------------
+# tokenized clause splitting
+
+
+def _strip_comments(sql: str) -> str:
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.DOTALL)
+    return sql
+
+
+def _scan_top_level(sql: str):
+    """Yield (pos, upper_char) for characters at paren-depth 0, outside
+    string literals."""
+    depth = 0
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    break
+                else:
+                    j += 1
+            i = j + 1
+            continue
+        if c == '"':
+            j = sql.find('"', i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                raise ParseError("unbalanced parentheses")
+        if depth == 0:
+            yield i, c
+        i += 1
+
+
+def _find_clause_spans(sql: str) -> list[tuple[str, int, int]]:
+    """Locate top-level clause keywords; return (clause, body_start, body_end)."""
+    upper = sql.upper()
+    top_positions = [i for i, _ in _scan_top_level(sql)]
+    top = set(top_positions)
+    hits: list[tuple[int, str, int]] = []  # (kw_start, clause, body_start)
+    for clause in _CLAUSES:
+        pattern = re.compile(r"\b" + clause.replace(" ", r"\s+") + r"\b")
+        for m in pattern.finditer(upper):
+            if m.start() in top:
+                hits.append((m.start(), clause, m.end()))
+    hits.sort()
+    spans = []
+    for idx, (kw_start, clause, body_start) in enumerate(hits):
+        body_end = hits[idx + 1][0] if idx + 1 < len(hits) else len(sql)
+        spans.append((clause, body_start, body_end))
+        if idx == 0 and clause != "SELECT":
+            raise ParseError("query must start with SELECT")
+    return spans
+
+
+def _split_top_commas(text: str) -> list[str]:
+    parts, last = [], 0
+    for i, c in _scan_top_level(text):
+        if c == ",":
+            parts.append(text[last:i])
+            last = i + 1
+    parts.append(text[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+_AGG_RE = re.compile(
+    r"^(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?(.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ALIAS_RE = re.compile(
+    r"^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\")\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_select_item(text: str) -> SelectItem:
+    alias = None
+    m = _ALIAS_RE.match(text)
+    if m:
+        expr, alias = m.group(1).strip(), m.group(2).strip('"')
+    else:
+        expr = text.strip()
+    agg = None
+    am = _AGG_RE.match(expr)
+    if am:
+        inner = am.group(3).strip()
+        # only a *top-level* single agg call qualifies: the closing paren
+        # matched by the regex must balance (e.g. reject SUM(a)+SUM(b)).
+        if inner.count("(") == inner.count(")"):
+            agg = Aggregate(
+                func=am.group(1).upper(),
+                arg=inner,
+                distinct=bool(am.group(2)),
+                raw=expr,
+            )
+    return SelectItem(raw=expr, alias=alias, agg=agg)
+
+
+_UNSUPPORTED_RE = re.compile(
+    r"\b(JOIN|UNION|INTERSECT|EXCEPT|WITH|OVER|WINDOW)\b", re.IGNORECASE
+)
+
+
+def parse(sql: str) -> ParsedQuery:
+    """Parse ``sql`` into a :class:`ParsedQuery` or raise.
+
+    Raises :class:`UnsupportedQueryError` for out-of-grammar constructs —
+    the caller's contract is to execute such queries exactly.
+    """
+    sql = _strip_comments(sql).strip().rstrip(";").strip()
+    if not sql:
+        raise ParseError("empty query")
+    # Top-level scan also validates paren balance.
+    top_chars = "".join(c for _, c in _scan_top_level(sql))
+    if _UNSUPPORTED_RE.search(top_chars):
+        raise UnsupportedQueryError("joins/set-ops/CTEs/windows are exact-only")
+
+    spans = _find_clause_spans(sql)
+    clauses = {}
+    for clause, s, e in spans:
+        if clause in clauses:
+            raise UnsupportedQueryError(f"duplicate {clause} clause")
+        clauses[clause] = sql[s:e].strip()
+    if "SELECT" not in clauses or "FROM" not in clauses:
+        raise UnsupportedQueryError("only SELECT ... FROM ... is supported")
+
+    from_body = clauses["FROM"]
+    if "," in from_body or "(" in from_body:
+        raise UnsupportedQueryError("multi-table / subquery FROM is exact-only")
+    from_tokens = from_body.split()
+    if len(from_tokens) != 1 or not _IDENT_RE.match(from_tokens[0]):
+        raise UnsupportedQueryError(f"unsupported FROM clause: {from_body!r}")
+    table = from_tokens[0]
+
+    select_items = [_parse_select_item(t) for t in _split_top_commas(clauses["SELECT"])]
+    if not select_items:
+        raise ParseError("empty select list")
+
+    group_by = _split_top_commas(clauses["GROUP BY"]) if "GROUP BY" in clauses else []
+
+    order_by = []
+    for t in _split_top_commas(clauses.get("ORDER BY", "")):
+        mo = re.match(r"^(.*?)\s+(ASC|DESC)\s*$", t, re.IGNORECASE | re.DOTALL)
+        if mo:
+            order_by.append(
+                OrderItem(mo.group(1).strip(), mo.group(2).upper() == "DESC")
+            )
+        else:
+            order_by.append(OrderItem(t))
+
+    limit = None
+    if "LIMIT" in clauses:
+        body = clauses["LIMIT"].strip()
+        if not body.isdigit():
+            raise UnsupportedQueryError(f"unsupported LIMIT: {body!r}")
+        limit = int(body)
+
+    return ParsedQuery(
+        select_items=select_items,
+        table=table,
+        where=clauses.get("WHERE"),
+        group_by=group_by,
+        having=clauses.get("HAVING"),
+        order_by=order_by,
+        limit=limit,
+    )
+
+
+def try_parse(sql: str) -> ParsedQuery | None:
+    """Best-effort parse; None when exact pass-through is required."""
+    try:
+        return parse(sql)
+    except ParseError:
+        return None
