@@ -244,10 +244,15 @@ class SketchManager:
         seed = int(params.get("seed", 42))
         df = self.spark.table(table)
         if column:
-            cms = df.select(F.col(column).cast("string").alias("k")).stat.countMinSketch(
-                "k", eps=eps, confidence=1.0 - delta, seed=seed
-            )
-            data = bytes(cms.toByteArray())
+            row = df.agg(
+                F.count_min_sketch(
+                    F.col(column).cast("string"),
+                    F.lit(eps),
+                    F.lit(1.0 - delta),
+                    F.lit(seed),
+                ).alias("sk")
+            ).collect()[0]
+            data = bytes(row["sk"]) if row["sk"] is not None else b""
             fmt = "spark-cms"
         else:
             total = df.count()
@@ -273,6 +278,24 @@ class SketchManager:
             F.hll_sketch_estimate(F.lit(info.sketch_data)).alias("est")
         ).collect()[0]
         return int(row["est"])
+
+    def estimate_frequency_from_sketch(
+        self, table: str, column: str, key: str
+    ) -> int | None:
+        """Point-frequency estimate from the persisted Count-Min binary
+        (reference CountMinSketch.estimate, sketches.py:182-189 — which the
+        reference never calls on the query path)."""
+        info = self.catalog.get_sketch(table, column, "cms")
+        if info is None or not info.sketch_data:
+            return None
+        if info.parameters.get("format") == "acms":
+            return CountMinSketch.deserialize(info.sketch_data).estimate(key)
+        jvm = self.spark.sparkContext._jvm
+        jbytes = bytearray(info.sketch_data)
+        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(jbytes)
+        )
+        return int(cms.estimateCount(key))
 
     def merge_hll(self, table: str, column: str, other: bytes) -> int | None:
         """Union a foreign DataSketches HLL binary with the persisted one and

@@ -253,6 +253,18 @@ _ALIAS_RE = re.compile(
 )
 
 
+def _parens_balanced(text: str) -> bool:
+    depth = 0
+    for c in text:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
 def _parse_select_item(text: str) -> SelectItem:
     alias = None
     m = _ALIAS_RE.match(text)
@@ -264,9 +276,10 @@ def _parse_select_item(text: str) -> SelectItem:
     am = _AGG_RE.match(expr)
     if am:
         inner = am.group(3).strip()
-        # only a *top-level* single agg call qualifies: the closing paren
-        # matched by the regex must balance (e.g. reject SUM(a)+SUM(b)).
-        if inner.count("(") == inner.count(")"):
+        # only a *top-level* single agg call qualifies: the argument's parens
+        # must balance without closing the outer one (reject SUM(a)+SUM(b),
+        # whose regex 'argument' would be "a) + SUM(b").
+        if _parens_balanced(inner):
             agg = Aggregate(
                 func=am.group(1).upper(),
                 arg=inner,

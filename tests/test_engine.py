@@ -1,0 +1,171 @@
+"""Engine lifecycle tests: response contracts (reference app.py:62-163),
+scaling correctness, no-double-scaling regression, error bounds vs exact."""
+
+import pytest
+
+
+def q(engine, sql, **kw):
+    r = engine.query(sql, **kw)
+    assert r["status"] == "ok", r.get("error")
+    return r
+
+
+def test_exact_matches_duckdb(engine, duck):
+    sql = "SELECT COUNT(*) AS cnt FROM lineitem"
+    r = q(engine, sql, prefer_exact=True)
+    assert r["plan"]["type"] == "exact"
+    exact = duck.execute(sql).fetchone()[0]
+    assert r["result"][0]["cnt"] == exact
+
+
+def test_response_shape(engine):
+    r = q(
+        engine,
+        "SELECT COUNT(*) AS cnt FROM lineitem",
+        max_rel_error=0.2,
+        use_ml_optimization=True,
+    )
+    assert set(r.keys()) == {"status", "plan", "result", "meta", "ml_optimization"}
+    for key in ("type", "sql", "original_sql", "estimated_cost", "estimated_error", "reason"):
+        assert key in r["plan"]
+    for key in ("plan_type", "reason", "rows", "sql_executed", "execution_time_ms"):
+        assert key in r["meta"]
+    ml = r["ml_optimization"]
+    for key in (
+        "strategy",
+        "modified_sql",
+        "original_sql",
+        "confidence",
+        "estimated_speedup",
+        "estimated_error",
+        "reasoning",
+        "transformations",
+    ):
+        assert key in ml
+
+
+def test_sample_scaling_single_point_no_double_scale(engine, duck):
+    """ML path + pre-built sample: scaled exactly once (the reference
+    scales twice on this path — SURVEY.md §2.7 hazard)."""
+    engine.create_sample("lineitem", 0.3, seed=5)
+    r = q(
+        engine,
+        "SELECT COUNT(*) AS cnt FROM lineitem",
+        max_rel_error=0.1,
+        use_ml_optimization=True,
+    )
+    true = duck.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    est = r["result"][0]["cnt"]
+    # double-scaled would be ~1/f times too big (3.3x); single-scaled is
+    # within sampling noise.
+    assert abs(est - true) / true < 0.25
+    assert r["meta"]["plan_type"] in ("sample", "stratified")
+
+
+def test_avg_not_scaled(engine, duck):
+    r = q(
+        engine,
+        "SELECT AVG(l_quantity) AS aq FROM lineitem",
+        max_rel_error=0.1,
+        use_ml_optimization=True,
+    )
+    true = duck.execute("SELECT AVG(l_quantity) FROM lineitem").fetchone()[0]
+    assert r["result"][0]["aq"] == pytest.approx(true, rel=0.15)
+
+
+def test_group_by_scaled_per_group(engine, duck):
+    r = q(
+        engine,
+        "SELECT l_returnflag, SUM(l_extendedprice) AS rev FROM lineitem GROUP BY l_returnflag",
+        max_rel_error=0.2,
+        use_ml_optimization=True,
+    )
+    truth = dict(
+        duck.execute(
+            "SELECT l_returnflag, SUM(l_extendedprice) FROM lineitem GROUP BY l_returnflag"
+        ).fetchall()
+    )
+    assert len(r["result"]) == len(truth)
+    for row in r["result"]:
+        true = truth[row["l_returnflag"]]
+        assert abs(row["rev"] - true) / true < 0.5  # loose: tiny sample
+        # CI columns present and ordered
+        assert row["rev_ci_low"] <= row["rev"] <= row["rev_ci_high"]
+
+
+def test_sketch_distinct_accuracy(engine, duck):
+    r = q(
+        engine,
+        "SELECT COUNT(DISTINCT l_partkey) AS np FROM lineitem",
+        max_rel_error=0.05,
+        use_ml_optimization=True,
+    )
+    assert r["plan"]["type"] == "sketch"
+    true = duck.execute("SELECT COUNT(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
+    assert abs(r["result"][0]["np"] - true) / true < 0.05
+
+
+def test_min_max_exact_only(engine, duck):
+    r = q(engine, "SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi FROM lineitem",
+          use_ml_optimization=True)
+    assert r["plan"]["type"] == "exact"
+    lo, hi = duck.execute("SELECT MIN(l_quantity), MAX(l_quantity) FROM lineitem").fetchone()
+    assert (r["result"][0]["lo"], r["result"][0]["hi"]) == (lo, hi)
+
+
+def test_order_by_limit_exact(engine, duck):
+    sql = "SELECT l_orderkey, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC LIMIT 5"
+    r = q(engine, sql, use_ml_optimization=True)
+    assert r["plan"]["type"] == "exact"
+    truth = duck.execute(sql).fetchall()
+    got = [(row["l_orderkey"], row["l_extendedprice"]) for row in r["result"]]
+    assert got == truth
+
+
+def test_direct_sample_table_query_scaled(engine, duck):
+    engine.create_sample("orders", 0.5, seed=9)
+    r = q(engine, "SELECT COUNT(*) AS cnt FROM orders__sample_0_5")
+    true = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    # scaled by catalog fraction -> close to the BASE table count
+    assert abs(r["result"][0]["cnt"] - true) / true < 0.2
+
+
+def test_having_scaled(engine, duck):
+    # HAVING threshold applies to the SCALED count, not the raw sample count
+    sql = (
+        "SELECT l_returnflag, COUNT(*) AS c FROM lineitem "
+        "GROUP BY l_returnflag HAVING COUNT(*) > 1500"
+    )
+    r = q(engine, sql, max_rel_error=0.2, use_ml_optimization=True)
+    truth = duck.execute(sql).fetchall()
+    # all three flags have ~2000 rows; a raw sample count (~50-100) would
+    # return zero groups if unscaled
+    assert len(r["result"]) == len(truth)
+
+
+def test_error_envelope(engine):
+    r = engine.query("SELECT COUNT(*) FROM missing_table")
+    assert r["status"] == "error"
+    assert "error" in r
+
+
+def test_explain_mode(engine):
+    r = engine.query(
+        "SELECT COUNT(*) FROM lineitem", explain=True, use_ml_optimization=True
+    )
+    assert r["status"] == "ok"
+    assert "result" not in r
+    assert r["plan"]["type"] in ("exact", "sample", "stratified", "sketch")
+
+
+def test_dual_execution_records_speedup_and_history(engine):
+    before = len(engine.catalog.history)
+    r = q(
+        engine,
+        "SELECT SUM(l_tax) AS t FROM lineitem",
+        max_rel_error=0.2,
+        use_ml_optimization=True,
+    )
+    if r["plan"]["type"] != "exact":
+        assert "actual_speedup" in r["meta"]
+        assert len(engine.catalog.history) == before + 1

@@ -1,0 +1,151 @@
+"""Planner cost model + optimizer decision-tree truth table
+(reference planner.py:13-19, 187-272; ml_optimizer.py:153-179)."""
+
+import pytest
+
+from approximate_query_engine_spark.optimizer import Features, choose_base_strategy
+from approximate_query_engine_spark.planner import (
+    exact_cost,
+    inline_fraction_for,
+    sample_cost,
+    sampling_error,
+)
+
+
+def F(**kw):
+    base = dict(
+        has_count=False,
+        has_sum=False,
+        has_avg=False,
+        has_distinct=False,
+        has_group_by=False,
+        group_by_cardinality=0,
+        where_complexity=0,
+        query_length=50,
+        table_size=200_000,
+    )
+    base.update(kw)
+    return Features(**base)
+
+
+# ---- decision tree truth table (thresholds verbatim) ----
+def test_tiny_table_exact():
+    assert choose_base_strategy(F(table_size=1000, has_count=True), 0.05) == (
+        "exact",
+        0.95,
+    )
+
+
+def test_distinct_count_sketch():
+    s, c = choose_base_strategy(F(has_distinct=True, has_count=True), 0.05)
+    assert (s, c) == ("sketch", 0.90)
+
+
+def test_group_by_multicol_large_stratified():
+    s, c = choose_base_strategy(
+        F(has_group_by=True, group_by_cardinality=2, table_size=20_000), 0.05
+    )
+    assert (s, c) == ("stratified", 0.85)
+
+
+def test_group_by_single_col():
+    s, c = choose_base_strategy(
+        F(has_group_by=True, group_by_cardinality=1, table_size=20_000), 0.05
+    )
+    assert (s, c) == ("sketch", 0.80)
+
+
+def test_large_agg_sample():
+    s, c = choose_base_strategy(F(has_sum=True, table_size=6_000), 0.05)
+    assert (s, c) == ("sample", 0.85)
+
+
+def test_medium_count_sample():
+    s, c = choose_base_strategy(F(has_count=True, table_size=3_000), 0.05)
+    assert (s, c) == ("sample", 0.75)
+
+
+def test_tight_tolerance_exact():
+    s, _ = choose_base_strategy(F(has_count=True, table_size=200_000), 0.0005)
+    assert s == "exact"
+
+
+def test_avg_only_medium_table_exact():
+    # rule 5 requires count|sum; AVG alone on a 3k table -> exact
+    s, c = choose_base_strategy(F(has_avg=True, table_size=3_000), 0.05)
+    assert (s, c) == ("exact", 0.60)
+
+
+# ---- cost model ----
+def test_exact_cost_group_by_cap():
+    assert exact_cost(200_000, False) == 200_000.0
+    assert exact_cost(200_000, True) == 200_000.0 + 10_000 * 2.0
+
+
+def test_sample_cost_and_error():
+    assert sample_cost(200_000, 0.01) == 2000.0 + 5.0
+    assert sampling_error(200_000, 0.01) == pytest.approx(1 / (2000**0.5))
+
+
+def test_fraction_ladder():
+    assert inline_fraction_for(200_000, 0.05) == 0.01
+    assert inline_fraction_for(60_000, 0.05) == 0.02
+    assert inline_fraction_for(10_000, 0.05) == 0.05
+    # loose tolerance halves the fraction
+    assert inline_fraction_for(200_000, 0.2) == 0.005
+    # infeasible tolerance raises the fraction, capped at 0.5 (the planner's
+    # error filter then rejects the sample candidate in favor of exact)
+    assert inline_fraction_for(10_000, 0.01) == 0.5
+
+
+# ---- planner end-to-end plan shapes ----
+def test_plan_exact_for_joins(engine):
+    plan = engine.planner.plan("SELECT o_orderkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey")
+    assert plan["type"] == "exact"
+
+
+def test_plan_prefers_cheapest_strategy(engine):
+    plan = engine.planner.plan(
+        "SELECT COUNT(*) FROM lineitem", max_rel_error=0.2
+    )
+    # sf0.001 lineitem = 6000 rows; sample beats exact on cost
+    assert plan["type"] == "sample"
+    assert plan["estimated_error"] <= 0.2
+    assert "sql" in plan and "original_sql" in plan
+
+
+def test_plan_sketch_for_distinct(engine):
+    plan = engine.planner.plan(
+        "SELECT COUNT(DISTINCT l_orderkey) AS c FROM lineitem", max_rel_error=0.05
+    )
+    assert plan["type"] == "sketch"
+    assert "approx_count_distinct" in plan["sql"]
+
+
+def test_plan_exact_when_tolerance_tight(engine):
+    plan = engine.planner.plan(
+        "SELECT COUNT(*) FROM lineitem", max_rel_error=0.0001
+    )
+    assert plan["type"] == "exact"
+
+
+def test_learning_reranking(engine):
+    # seed history so 'sample' dominates for this table size / tolerance
+    for _ in range(5):
+        engine.optimizer.record_outcome(
+            "SELECT COUNT(*) FROM lineitem",
+            {"table_size": 6000},
+            "sample",
+            actual_speedup=5.0,
+            actual_error=0.01,
+            predicted_speedup=4.0,
+            predicted_error=0.02,
+            execution_time_ms=10.0,
+            error_tolerance=0.1,
+        )
+    opt = engine.optimizer.optimize_query("SELECT SUM(l_quantity) FROM lineitem", 0.1)
+    assert opt["strategy"] in ("sample", "exact")
+    assert 0.6 <= opt["confidence"] <= 0.95
+    stats = engine.optimizer.learning_stats()
+    assert stats["total_queries"] >= 5
+    assert "sample" in stats["strategies"]

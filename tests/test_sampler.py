@@ -1,0 +1,84 @@
+"""Sampler tests: allocation math (reference sampler.py:194-225 semantics),
+achieved-fraction bookkeeping, and sampleBy-based stratification."""
+
+import pytest
+
+from approximate_query_engine_spark.sampler import Sampler, _fraction_tag
+
+
+def test_fraction_tag():
+    assert _fraction_tag(0.01) == "0_01"
+    assert _fraction_tag(0.1) == "0_1"
+    assert _fraction_tag(0.25) == "0_25"
+
+
+def test_proportional_allocation():
+    strata = [
+        {"strata_value": "A", "pop_size": 100, "variance": 4.0},
+        {"strata_value": "B", "pop_size": 300, "variance": 1.0},
+    ]
+    f = Sampler.proportional_allocation(strata, 0.1)
+    assert f == {"A": 0.1, "B": 0.1}
+
+
+def test_neyman_allocation_weights_by_sigma():
+    strata = [
+        {"strata_value": "A", "pop_size": 100, "variance": 100.0},  # sigma 10
+        {"strata_value": "B", "pop_size": 100, "variance": 1.0},  # sigma 1
+    ]
+    f = Sampler.neyman_allocation(strata, 0.1)
+    # target n = 20; weights 1000 vs 100 -> n_A ≈ 18.2, n_B ≈ 1.8
+    assert f["A"] > f["B"]
+    assert f["A"] == pytest.approx(20 * (1000 / 1100) / 100)
+    assert f["B"] == pytest.approx(20 * (100 / 1100) / 100)
+
+
+def test_neyman_caps_fraction_at_one():
+    strata = [
+        {"strata_value": "A", "pop_size": 2, "variance": 10000.0},
+        {"strata_value": "B", "pop_size": 1000, "variance": 0.0001},
+    ]
+    f = Sampler.neyman_allocation(strata, 0.5)
+    assert f["A"] == 1.0
+
+
+def test_neyman_zero_variance_falls_back_to_proportional():
+    strata = [
+        {"strata_value": "A", "pop_size": 100, "variance": 0.0},
+        {"strata_value": "B", "pop_size": 100, "variance": None},
+    ]
+    f = Sampler.neyman_allocation(strata, 0.2)
+    assert f == {"A": 0.2, "B": 0.2}
+
+
+def test_uniform_sample_registered(engine):
+    info = engine.sampler.create_uniform_sample("orders", 0.2, seed=11)
+    assert info.sample_table == "orders__sample_0_2"
+    # achieved fraction recorded, near target
+    assert 0.1 < info.sample_fraction < 0.3
+    assert engine.catalog.get_sample("orders__sample_0_2") is not None
+    # the view is queryable
+    n = engine.spark.table("orders__sample_0_2").count()
+    assert n == info.row_count
+
+
+def test_stratified_sample_achieved_fractions(engine):
+    info = engine.sampler.create_stratified_sample(
+        "orders", "o_orderstatus", 0.25, variance_col="o_totalprice", seed=3
+    )
+    assert info.allocation_type == "neyman"
+    assert info.strata, "strata info must be recorded"
+    for s in info.strata:
+        # achieved fraction consistent with sizes
+        if s.pop_size:
+            assert s.fraction == pytest.approx(s.sample_size / s.pop_size)
+    total = sum(s.pop_size for s in info.strata)
+    assert total == engine.catalog.get_row_count("orders")
+
+
+def test_strata_analysis_single_pass(engine):
+    strata = engine.sampler.analyze_strata("orders", "o_orderstatus", "o_totalprice")
+    assert {s["strata_value"] for s in strata} <= {"F", "O", "P"}
+    for s in strata:
+        assert s["pop_size"] > 0
+        assert s["variance"] is None or s["variance"] >= 0
