@@ -1,0 +1,136 @@
+"""HTTP API: the reference's Flask surface, route-for-route.
+
+Contracts (reference app.py:33-324):
+    GET  /health                → {"status": "ok"}
+    GET  /tables                → {"tables": [...]}
+    POST /query                 → {status, plan, result, meta, ml_optimization}
+         body {sql, max_rel_error=0.05, prefer_exact=false,
+               use_ml_optimization=false, explain=false}
+    POST /samples/create        → {sample_table, rows}
+         body {table, sample_fraction}
+    POST /samples/stratified    → {sample_table, strata[], allocation_type}
+         body {table, strata_column, sample_fraction, [variance_column]}
+    POST /sketches/create       → {sketch_type, size_bytes}
+         body {table, column, sketch_type, parameters{epsilon,delta,...}}
+    GET  /sketches[?table=]     → {"sketches": [...]}
+    GET  /ml/stats              → learning-loop report
+
+Run: ``python -m approximate_query_engine_spark.api`` (env:
+AQE_PORT, AQE_DATA_DIR, AQE_WORKDIR). Flask is gated behind an
+import-try so the engine library works without it.
+"""
+
+from __future__ import annotations
+
+import os
+
+try:
+    from flask import Flask, jsonify, request
+
+    HAS_FLASK = True
+except ImportError:  # pragma: no cover - flask is present in CI image
+    HAS_FLASK = False
+
+from approximate_query_engine_spark.engine import AQEngine
+
+
+def create_app(engine: AQEngine):
+    if not HAS_FLASK:
+        raise RuntimeError("flask is not installed; the HTTP API is unavailable")
+    app = Flask("approximate_query_engine_spark")
+
+    @app.get("/health")
+    def health():
+        return jsonify({"status": "ok"})
+
+    @app.get("/tables")
+    def tables():
+        return jsonify({"tables": engine.tables()})
+
+    @app.post("/query")
+    def query():
+        body = request.get_json(force=True, silent=True) or {}
+        sql = body.get("sql")
+        if not sql:
+            return jsonify({"status": "error", "error": "missing 'sql'"}), 400
+        out = engine.query(
+            sql,
+            max_rel_error=float(body.get("max_rel_error", 0.05)),
+            prefer_exact=bool(body.get("prefer_exact", False)),
+            use_ml_optimization=bool(body.get("use_ml_optimization", False)),
+            explain=bool(body.get("explain", False)),
+        )
+        status = 200 if out.get("status") == "ok" else 500
+        return jsonify(out), status
+
+    @app.post("/samples/create")
+    def samples_create():
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            out = engine.create_sample(
+                body["table"], float(body.get("sample_fraction", 0.01))
+            )
+            return jsonify(out)
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
+    @app.post("/samples/stratified")
+    def samples_stratified():
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            out = engine.create_stratified_sample(
+                body["table"],
+                body["strata_column"],
+                float(body.get("sample_fraction", 0.05)),
+                variance_column=body.get("variance_column"),
+            )
+            return jsonify(out)
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
+    @app.post("/sketches/create")
+    def sketches_create():
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            out = engine.create_sketch(
+                body["table"],
+                body.get("column"),
+                body.get("sketch_type", "hll"),
+                body.get("parameters") or {},
+            )
+            return jsonify(out)
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
+    @app.get("/sketches")
+    def sketches_list():
+        return jsonify({"sketches": engine.list_sketches(request.args.get("table"))})
+
+    @app.get("/ml/stats")
+    def ml_stats():
+        return jsonify(engine.ml_stats())
+
+    return app
+
+
+def main():  # pragma: no cover - manual entry point
+    from approximate_query_engine_spark.session import DEFAULT_SF_DIR, get_spark
+
+    spark = get_spark("aqe-api")
+    engine = AQEngine(
+        spark,
+        workdir=os.environ.get("AQE_WORKDIR"),
+        data_dir=os.environ.get("AQE_DATA_DIR", DEFAULT_SF_DIR),
+    )
+    app = create_app(engine)
+    app.run(host="0.0.0.0", port=int(os.environ.get("AQE_PORT", "8080")))
+
+
+if __name__ == "__main__":
+    main()

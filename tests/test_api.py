@@ -1,0 +1,108 @@
+"""HTTP-contract golden tests via the Flask test client
+(reference README.md:119-167 response shapes)."""
+
+import pytest
+
+flask = pytest.importorskip("flask")
+
+from approximate_query_engine_spark.api import create_app
+
+
+@pytest.fixture(scope="module")
+def client(engine):
+    app = create_app(engine)
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+def test_health(client):
+    assert client.get("/health").get_json() == {"status": "ok"}
+
+
+def test_tables(client):
+    tables = client.get("/tables").get_json()["tables"]
+    assert "lineitem" in tables and "orders" in tables
+
+
+def test_query_exact(client):
+    r = client.post("/query", json={"sql": "SELECT COUNT(*) AS c FROM nation"})
+    body = r.get_json()
+    assert r.status_code == 200 and body["status"] == "ok"
+    assert body["result"][0]["c"] == 25
+    assert body["plan"]["type"] == "exact"
+
+
+def test_query_ml_contract(client):
+    r = client.post(
+        "/query",
+        json={
+            "sql": "SELECT COUNT(*) AS c FROM lineitem",
+            "use_ml_optimization": True,
+            "max_rel_error": 0.2,
+        },
+    )
+    body = r.get_json()
+    assert body["status"] == "ok"
+    ml = body["ml_optimization"]
+    assert set(ml) >= {
+        "strategy",
+        "modified_sql",
+        "original_sql",
+        "confidence",
+        "estimated_speedup",
+        "estimated_error",
+        "reasoning",
+        "transformations",
+    }
+
+
+def test_query_missing_sql_400(client):
+    assert client.post("/query", json={}).status_code == 400
+
+
+def test_query_bad_sql_500_envelope(client):
+    r = client.post("/query", json={"sql": "SELECT FROM nothing"})
+    assert r.status_code == 500
+    assert r.get_json()["status"] == "error"
+
+
+def test_samples_create_and_stratified(client):
+    r = client.post(
+        "/samples/create", json={"table": "customer", "sample_fraction": 0.5}
+    )
+    body = r.get_json()
+    assert r.status_code == 200 and body["sample_table"].startswith("customer__sample")
+    r = client.post(
+        "/samples/stratified",
+        json={
+            "table": "customer",
+            "strata_column": "c_mktsegment",
+            "sample_fraction": 0.4,
+            "variance_column": "c_acctbal",
+        },
+    )
+    body = r.get_json()
+    assert body["allocation_type"] == "neyman"
+    assert body["strata"]
+
+
+def test_samples_create_invalid_fraction_400(client):
+    r = client.post(
+        "/samples/create", json={"table": "customer", "sample_fraction": 2.0}
+    )
+    assert r.status_code == 400
+
+
+def test_sketches_roundtrip(client):
+    r = client.post(
+        "/sketches/create",
+        json={"table": "customer", "column": "c_custkey", "sketch_type": "hll"},
+    )
+    assert r.get_json()["size_bytes"] > 0
+    listed = client.get("/sketches?table=customer").get_json()["sketches"]
+    assert any(s["sketch_type"] == "hll" for s in listed)
+
+
+def test_ml_stats(client):
+    body = client.get("/ml/stats").get_json()
+    assert {"total_queries", "strategies", "window_days"} <= set(body)
