@@ -1,0 +1,390 @@
+"""Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Design for 100 TB:
+- **Exact dedup** is one hash-shuffle on the dedup key (group-by with
+  map-side partial aggregation). Never a window over the full table.
+- **MinHash** signatures are computed scan-side with built-in higher-order
+  functions (``transform``/``array_min`` over shingles) — no Python, no
+  shuffle. LSH banding turns all-pairs O(n²) into a shuffle keyed on
+  (band_id, band_hash) where only same-bucket docs ever meet; candidate
+  verification (exact Jaccard on shingle sets) touches candidate pairs
+  only. This is the standard shingle→minhash→band→bucket-join pipeline
+  (Broder 1997; Leskovec-Rajaraman-Ullman ch.3).
+- **SimHash** (Charikar 2002): 64-bit signature via per-bit majority vote
+  of token hashes; near-dup detection bands the signature into 4×16-bit
+  chunks — Hamming distance ≤3 guarantees at least one identical chunk
+  (pigeonhole), so the join is again bucketed, never all-pairs.
+- **Embedding near-dup**: random-hyperplane signatures (sign bits of dot
+  products with fixed seeded vectors) bucket the vectors; cosine is
+  verified within buckets only.
+
+Each returns DataFrames (lazy plans), so they compose with the rest of the
+engine and Catalyst prunes/pushes as usual.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from approximate_query_engine_spark.functions.text import normalize_text_expr
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_duplicate_groups(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """One row per duplicate group: key, n_copies, keep_id (min id)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row (min ``id_col``) per distinct key. Implemented
+    as an aggregation + semi-join (two shuffles on small keys) rather than a
+    global window, which would sort entire partitions."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=key_cols + [id_col], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+
+
+def word_shingles_expr(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = F.split(normalize_text_expr(text_col), r"\s+")
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def minhash_signature_expr(shingles_col: str | Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed j, min over shingles of
+    xxhash64(shingle, j). One array column, computed scan-side."""
+    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    )
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    return df.withColumn("shingles", word_shingles_expr(text_col, n)).withColumn(
+        "minhash", minhash_signature_expr("shingles", num_hashes)
+    )
+
+
+def jaccard_expr(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_jaccard_estimate_expr(a: str | Column, b: str | Column) -> Column:
+    """Estimated Jaccard = fraction of agreeing minhash components."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    agree = F.size(F.filter(F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+                            lambda v: v == 1))
+    return agree / F.size(a)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    minhash_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs that share ≥1 LSH band bucket.
+
+    Explodes each signature into ``bands`` (band_id, band_hash) keys and
+    self-joins on them — the only shuffle is on the band key, and only
+    same-bucket rows meet. Pairs are deduplicated with a_id < b_id.
+    """
+    banded = sig_df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col(minhash_col), b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Verified near-duplicate pairs: LSH candidates filtered by exact
+    shingle-set Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(df, text_col, n, num_hashes).select(
+        id_col, "shingles", "minhash"
+    )
+    cand = lsh_candidate_pairs(sig, id_col, "minhash", bands, rows_per_band)
+    sh = sig.select(F.col(id_col).alias("_sid"), F.col("shingles").alias("_sh"))
+    return (
+        cand.join(sh, cand.id_a == sh._sid)
+        .withColumnRenamed("_sh", "sh_a")
+        .drop("_sid")
+        .join(sh, cand.id_b == sh._sid)
+        .withColumnRenamed("_sh", "sh_b")
+        .drop("_sid")
+        .withColumn("jaccard", jaccard_expr("sh_a", "sh_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Greedy near-dup removal: drop any doc that has a verified near-dup
+    with a smaller id (the smaller id survives as canonical)."""
+    pairs = minhash_near_duplicates(df, id_col, text_col, threshold, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash64_expr(text_col: str = "text") -> Column:
+    """64-bit SimHash: per-bit majority vote over token xxhash64 values
+    (+1 when the bit is set, −1 otherwise); sign → bit. Built-in functions
+    only — the per-bit tally is a transform over sequence(0,63)."""
+    toks = F.filter(
+        F.split(normalize_text_expr(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # per-bit majority votes; shift amounts must be Python ints, so the 64
+    # bit expressions are built in a driver-side loop (still one JVM plan).
+    def _vote(k: int):
+        # nested helper (not a default arg): pyspark infers lambda arity
+        # from the parameter list, so the lambda must stay 2-ary
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("bigint")
+    for k in range(64):
+        vote = _vote(k)
+        # bit k placed via literal power (two's-complement top bit for k=63)
+        power = (1 << k) if k < 63 else -(1 << 63)
+        sig = sig + F.when(vote > 0, F.lit(power).cast("bigint")).otherwise(0)
+    return sig
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", simhash64_expr(text_col))
+
+
+def hamming64_expr(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4×16-bit
+    chunks; Hamming ≤ 3 ⇒ some chunk matches exactly (pigeonhole), so the
+    join is bucketed on (chunk_id, chunk_value). Returns
+    (id_a, id_b, hamming)."""
+    sig = with_simhash(df, text_col).select(id_col, "simhash")
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ]
+    )
+    chunked = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash").alias("_sh"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            hamming64_expr(F.col("l._sh"), F.col("r._sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked all-pairs within a grouping key)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs, blocked by ``block_col`` (e.g. a
+    source/partition key) to avoid the full cross product. With no block
+    column this is all-pairs — only for small inputs; at scale use
+    :func:`minhash_near_duplicates`."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        word_shingles_expr(text_col, n).alias("_sh"),
+    )
+    l, r = sh.alias("l"), sh.alias("r")
+    cond = F.col("l._id") < F.col("r._id")
+    if block_col:
+        cond = cond & (F.col("l._blk") == F.col("r._blk"))
+    return (
+        l.join(r, cond)
+        .withColumn("jaccard", jaccard_expr(F.col("l._sh"), F.col("r._sh")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity of two array<numeric> columns via zip_with +
+    aggregate (JVM-side, no UDF)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    norm_b = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return F.when((norm_a > 0) & (norm_b > 0), dot / (norm_a * norm_b)).otherwise(0.0)
+
+
+def hyperplane_signature_expr(
+    vec_col: str, dim: int, nbits: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH signature (sign bits of dot products with
+    ``nbits`` fixed seeded Gaussian vectors). Cosine-similar vectors agree
+    on most bits. The hyperplanes are deterministic driver-side literals."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nbits, dim))
+    sig = F.lit(0).cast("bigint")
+    v = F.col(vec_col)
+    for i in range(nbits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return sig
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    nbits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs: bucket by hyperplane signature, verify
+    cosine ≥ threshold within buckets. Returns (id_a, id_b, cosine)."""
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        hyperplane_signature_expr(vec_col, dim, nbits, seed).alias("_sig"),
+    )
+    l, r = sig.alias("l"), sig.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._sig") == F.col("r._sig")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .withColumn("cosine", cosine_expr(F.col("l._v"), F.col("r._v")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns: brute-force cosine top-k as
+the exact baseline, LSH-bucketed and IVF (coarse-quantizer) variants as the
+scale paths.
+
+Scale analysis (the reason three variants exist):
+- **Brute force** is one scan + a top-k (``ORDER BY ... LIMIT k`` compiles
+  to TakeOrderedAndProject — per-partition heaps + driver merge, no global
+  sort). Exact, O(n·d) per query; right answer for one-off queries.
+- **Hyperplane LSH** prunes to same-bucket (± near-bucket) candidates:
+  the scan still reads n signature ints but computes cosine only for
+  candidates — at 100 TB the signature column is orders of magnitude
+  smaller than the vectors and can be partition-pruned if written
+  bucket-partitioned.
+- **IVF** (inverted-file): k-means-ish centroids learned on a sample;
+  vectors assigned to nearest centroid once (materialized, partitioned by
+  centroid id); queries probe the ``nprobe`` nearest centroids only —
+  the classic FAISS IVF-flat layout expressed relationally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from approximate_query_engine_spark.functions.dedup import (
+    cosine_expr,
+    hyperplane_signature_expr,
+)
+
+
+def _query_vec_lit(query_vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def topk_cosine_brute_force(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: full scan, TakeOrderedAndProject top-k.
+    Ties broken by id for determinism."""
+    qv = _query_vec_lit(query_vec)
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_expr(F.col(vec_col), qv).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def topk_cosine_lsh(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 12,
+    seed: int = 42,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors whose hyperplane signature is
+    within ``max_hamming`` bits of the query's, then exact cosine on the
+    candidates. Recall/latency tuned by nbits and max_hamming."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nbits, dim))
+    q = np.asarray(list(query_vec), dtype=float)
+    q_sig = 0
+    for i in range(nbits):
+        if float(planes[i] @ q) > 0:
+            q_sig |= 1 << i
+    sig = hyperplane_signature_expr(vec_col, dim, nbits, seed)
+    qv = _query_vec_lit(query_vec)
+    return (
+        df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+        .filter(F.bit_count(F.col("_sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming)
+        .select(F.col(id_col), cosine_expr(F.col(vec_col), qv).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+
+
+class IVFIndex:
+    """Inverted-file index: centroids from sampled k-means (numpy,
+    driver-side on a bounded sample), assignments as a DataFrame that can be
+    persisted partitioned by centroid id."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = centroids  # (nlist, dim), L2-normalized
+
+    @classmethod
+    def train(
+        cls,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        nlist: int = 16,
+        sample_rows: int = 10_000,
+        iters: int = 10,
+        seed: int = 42,
+    ) -> "IVFIndex":
+        """Lloyd's k-means on a driver-side sample (bounded by
+        ``sample_rows`` regardless of table size), cosine metric via
+        normalized vectors."""
+        n = df.count()
+        frac = min(1.0, sample_rows / max(n, 1))
+        sample = np.array(
+            [r[0] for r in df.select(vec_col).sample(frac, seed=seed).collect()],
+            dtype=float,
+        )
+        if len(sample) == 0:
+            raise ValueError("empty vector table")
+        sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        rng = np.random.default_rng(seed)
+        k = min(nlist, len(sample))
+        cents = sample[rng.choice(len(sample), size=k, replace=False)]
+        for _ in range(iters):
+            sims = sample @ cents.T
+            assign = sims.argmax(axis=1)
+            for c in range(k):
+                members = sample[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    cents[c] = v / max(np.linalg.norm(v), 1e-12)
+        return cls(cents)
+
+    def _centroid_array_lit(self):
+        return F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for c in self.centroids
+            ]
+        )
+
+    def assign(
+        self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """Add ``centroid_id`` = argmax cosine over centroids. At scale,
+        write this out ``partitionBy('centroid_id')`` so probes prune."""
+        cents = self._centroid_array_lit()
+        sims = F.transform(cents, lambda c: cosine_expr(F.col(vec_col), c))
+        best = F.array_position(sims, F.array_max(sims)) - 1
+        return df.select(
+            F.col(id_col), F.col(vec_col), best.cast("int").alias("centroid_id")
+        )
+
+    def probe_centroids(self, query_vec, nprobe: int = 4) -> list[int]:
+        q = np.asarray(list(query_vec), dtype=float)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        sims = self.centroids @ q
+        return [int(i) for i in np.argsort(-sims)[:nprobe]]
+
+    def topk(
+        self,
+        assigned: DataFrame,
+        query_vec,
+        k: int = 10,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Search only the ``nprobe`` nearest inverted lists (partition
+        pruning when ``assigned`` is partitioned by centroid_id)."""
+        probes = self.probe_centroids(query_vec, nprobe)
+        qv = _query_vec_lit(query_vec)
+        return (
+            assigned.filter(F.col("centroid_id").isin(probes))
+            .select(F.col(id_col), cosine_expr(F.col(vec_col), qv).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k)
+        )

@@ -1,0 +1,207 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Everything here is built-in-function composition (split / filter /
+transform / aggregate / regexp_replace) — no Python UDFs — so each operator
+is a narrow projection that Catalyst prunes to the text column and executes
+inside whole-stage codegen. At 100 TB these are embarrassingly parallel
+scans with zero shuffle.
+
+Determinism matters: these feed the correctness gate, so every formula is
+expressible identically in ANSI SQL (see ``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Punctuation class counted by the quality score. Kept to an explicit,
+#: engine-portable set (Spark and DuckDB agree on this char class).
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}-]"
+
+#: Small per-language stopword marker sets for the n-gram/stopword
+#: language-ID heuristic. Public knowledge (most-frequent function words).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que"],
+    "es": ["el", "los", "las", "y", "es", "una", "que"],
+}
+
+#: English stopwords for the quality score's stopword ratio.
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "for", "on", "with", "as", "at", "by", "it", "this", "that",
+]
+
+
+def tokens_expr(text_col: str | Column) -> Column:
+    """Whitespace tokens, empty strings dropped."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count_expr(text_col: str | Column) -> Column:
+    return F.size(tokens_expr(text_col))
+
+
+def bpe_ish_token_count_expr(text_col: str | Column) -> Column:
+    """A BPE-ish upper-bound token estimate: word-piece style splitting on
+    non-alphanumerics plus a per-4-chars subword term (long words cost
+    ~len/4 tokens, the common BPE rule of thumb)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(c, r"[^A-Za-z0-9]+"), lambda t: t != F.lit(""))
+    return F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.greatest(F.lit(1), F.ceil(F.length(w) / F.lit(4.0))).cast("bigint"),
+    )
+
+
+def with_token_counts(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    return df.withColumn(f"{prefix}n_tokens", token_count_expr(text_col)).withColumn(
+        f"{prefix}n_tokens_bpe", bpe_ish_token_count_expr(text_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+
+
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    """Component metrics for document-quality filtering (the standard
+    length / punctuation / stopword-ratio heuristics used by web-scale
+    corpus cleaning pipelines)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks)
+    punct_count = n_chars - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda t: F.array_contains(
+                F.array(*[F.lit(s) for s in STOPWORDS_EN]), F.lower(t)
+            ),
+        )
+    )
+    avg_token_len = F.when(n_tokens > 0, (
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+        / n_tokens
+    )).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.when(n_chars > 0, punct_count / n_chars).otherwise(0.0),
+        "stopword_ratio": F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(0.0),
+        "avg_token_len": avg_token_len,
+    }
+
+
+def quality_score_expr(text_col: str = "text") -> Column:
+    """Composite [0,1] quality score:
+    0.3·length-score + 0.3·token-length-score + 0.2·(1 − 5·punct_ratio)⁺ +
+    0.2·stopword-presence-score.  Deterministic, portable arithmetic."""
+    q = quality_columns(text_col)
+    len_score = F.least(q["n_chars"] / F.lit(500.0), F.lit(1.0))
+    tok_len = q["avg_token_len"]
+    tok_score = F.when((tok_len >= 3) & (tok_len <= 10), 1.0).otherwise(
+        F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(tok_len - F.lit(6.5)) / F.lit(10.0))
+    )
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - q["punct_ratio"] * 5.0)
+    stop_score = F.least(q["stopword_ratio"] * 4.0, F.lit(1.0))
+    return (
+        len_score * 0.3 + tok_score * 0.3 + punct_score * 0.2 + stop_score * 0.2
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = df
+    for name, col in quality_columns(text_col).items():
+        out = out.withColumn(f"q_{name}", col)
+    return out.withColumn("quality_score", quality_score_expr(text_col))
+
+
+# ---------------------------------------------------------------------------
+# language ID
+
+
+def lang_score_expr(text_col: str, lang: str) -> Column:
+    """Fraction of tokens that are marker stopwords of ``lang``."""
+    toks = tokens_expr(text_col)
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, F.lower(t))))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0)
+
+
+def cjk_ratio_expr(text_col: str) -> Column:
+    """Fraction of CJK characters (for zh/ja/ko detection)."""
+    c = F.col(text_col)
+    cjk = F.length(c) - F.length(F.regexp_replace(c, r"[一-鿿]", ""))
+    return F.when(F.length(c) > 0, cjk / F.length(c)).otherwise(0.0)
+
+
+def lang_id_expr(text_col: str = "text") -> Column:
+    """Deterministic language guess: CJK ratio dominates, else the argmax
+    marker-stopword score (ties broken by a fixed language order), else
+    'und' (undetermined) when no marker fires."""
+    scores = {lang: lang_score_expr(text_col, lang) for lang in LANG_MARKERS}
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in sorted(LANG_MARKERS):  # fixed order = deterministic ties
+        s = scores[lang]
+        is_better = s > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return F.when(cjk_ratio_expr(text_col) > 0.3, F.lit("zh")).otherwise(best)
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", lang_id_expr(text_col))
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+
+
+def normalize_text_expr(text_col: str = "text") -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    strip punctuation."""
+    c = F.col(text_col)
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), PUNCT_CLASS, ""), r"\s+", " ")
+    )
+
+
+def fingerprint64_expr(text_col: str = "text") -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized text.
+    Identical-after-normalization docs collide by construction."""
+    return F.xxhash64(normalize_text_expr(text_col))
+
+
+def rolling_fingerprints_expr(
+    text_col: str = "text", k: int = 8, keep: int = 16
+) -> Column:
+    """Winnowing-style rolling fingerprint set: hash every k-char window of
+    the normalized text, keep the ``keep`` smallest hashes (a deterministic
+    document sketch for containment/overlap detection; Schleimer et al.'s
+    winnowing idea, min-sampled)."""
+    norm = normalize_text_expr(text_col)
+    n_windows = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    windows = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.xxhash64(F.substr(norm, i, F.lit(k))),
+    )
+    return F.slice(F.array_sort(windows), 1, keep)
+
+
+def with_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, keep: int = 16
+) -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint64_expr(text_col)).withColumn(
+        "rolling_fp", rolling_fingerprints_expr(text_col, k, keep)
+    )

@@ -1,0 +1,249 @@
+"""Pipeline-operator tests: text analysis, dedup family, similarity search,
+multimodal plumbing. Runs on sf0.001 documents/embeddings plus constructed
+fixtures with known duplicates."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximate_query_engine_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(engine):
+    return engine.spark.table("documents")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Docs with planted exact and near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup of 1
+        (4, "completely different text about spark query engines and samples"),
+        (5, "completely different text about spark query engines and samples!"),  # near dup of 4
+        (6, "unrelated short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---- text ----
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  one ",)], "text string")
+    out = [r[0] for r in df.select(text.token_count_expr("text")).collect()]
+    assert out == [3, 0, 1]
+
+
+def test_bpe_ish_count_exceeds_for_long_words(spark):
+    df = spark.createDataFrame([("short but supercalifragilistic",)], "text string")
+    n, b = df.select(
+        text.token_count_expr("text"), text.bpe_ish_token_count_expr("text")
+    ).collect()[0]
+    assert b > n  # long word costs ~len/4 subword tokens
+
+
+def test_quality_score_ranges(docs):
+    rows = text.with_quality(docs).select("quality_score").collect()
+    assert all(0.0 <= r[0] <= 1.0 for r in rows)
+
+
+def test_quality_prefers_clean_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the data pipeline processed a batch of records in the cluster today"),
+            (2, "!!! ??? ... ;;; ::: ,,, (((" ),
+        ],
+        "id long, text string",
+    )
+    scores = {r["id"]: r["quality_score"] for r in text.with_quality(df).collect()}
+    assert scores[1] > scores[2]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and the dog is outside"),
+            (2, "der Hund ist nicht in der Stadt und das ist gut"),
+            (3, "le chat est dans la maison et les chiens sont là"),
+            (4, "el perro es grande y los gatos son pequeños"),
+            (5, "数据库查询引擎处理大规模数据"),
+            (6, "zzz qqq xxx"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang_pred"] for r in text.with_lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
+
+
+def test_fingerprint_normalization_collides(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "different")],
+        "id long, text string",
+    )
+    fp = {r["id"]: r["fingerprint"] for r in text.with_fingerprints(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_rolling_fingerprints_overlap_for_containment(spark):
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    df = spark.createDataFrame(
+        [(1, a), (2, a + " extra tail content here"), (3, "zzz " * 30)],
+        "id long, text string",
+    )
+    rows = {r["id"]: set(r["rolling_fp"]) for r in text.with_fingerprints(df).collect()}
+    overlap_near = len(rows[1] & rows[2]) / len(rows[1] | rows[2])
+    overlap_far = len(rows[1] & rows[3]) / len(rows[1] | rows[3])
+    assert overlap_near > overlap_far
+
+
+# ---- dedup ----
+def test_exact_dedup(dup_docs):
+    kept = dedup.dedup_exact(dup_docs, ["text"], "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5, 6]  # doc 2 dropped (exact dup of 1)
+    groups = dedup.exact_duplicate_groups(dup_docs, ["text"], "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["n_copies"] == 2
+
+
+def test_minhash_jaccard_estimate_close_to_exact(dup_docs):
+    sig = dedup.with_minhash(dup_docs, num_hashes=128)
+    a = sig.filter("doc_id = 1").select("shingles", "minhash").collect()[0]
+    b = sig.filter("doc_id = 3").select("shingles", "minhash").collect()[0]
+    inter = len(set(a["shingles"]) & set(b["shingles"]))
+    union = len(set(a["shingles"]) | set(b["shingles"]))
+    exact_j = inter / union
+    est_j = sum(x == y for x, y in zip(a["minhash"], b["minhash"])) / 128
+    assert abs(est_j - exact_j) < 0.2
+
+
+def test_minhash_near_duplicates_finds_planted(dup_docs):
+    pairs = dedup.minhash_near_duplicates(
+        dup_docs, threshold=0.6, num_hashes=64, bands=16
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # exact dup always found
+    assert (1, 3) in found or (4, 5) in found  # near dups
+    assert all(r["jaccard"] >= 0.6 for r in pairs)
+
+
+def test_dedup_minhash_keeps_canonical(dup_docs):
+    kept = dedup.dedup_minhash(dup_docs, threshold=0.6, num_hashes=64, bands=16)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 1 in ids and 2 not in ids  # smaller id survives
+    assert 6 in ids
+
+
+def test_simhash_near_duplicates(dup_docs):
+    pairs = dedup.simhash_near_duplicates(dup_docs, max_hamming=10).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    hams = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert hams[(1, 2)] == 0  # identical text -> identical simhash
+
+
+def test_ngram_jaccard_pairs(dup_docs):
+    pairs = dedup.ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert found[(1, 2)] == 1.0
+    assert (1, 3) in found
+
+
+def test_embedding_near_duplicates(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    v1 = rng.standard_normal(16)
+    v2 = v1 + rng.standard_normal(16) * 0.01  # near dup
+    v3 = rng.standard_normal(16)
+    df = spark.createDataFrame(
+        [(1, v1.tolist()), (2, v2.tolist()), (3, v3.tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = dedup.embedding_near_duplicates(
+        df, dim=16, threshold=0.99, nbits=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert found == {(1, 2)}
+
+
+# ---- similarity ----
+def test_brute_force_topk_self_is_top(engine):
+    emb = engine.spark.table("embeddings")
+    qv = emb.filter("vec_id = 7").select("embedding").collect()[0][0]
+    top = similarity.topk_cosine_brute_force(emb, qv, k=5).collect()
+    assert top[0]["vec_id"] == 7
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall_vs_brute_force(engine):
+    emb = engine.spark.table("embeddings")
+    qv = emb.filter("vec_id = 3").select("embedding").collect()[0][0]
+    exact = [r["vec_id"] for r in similarity.topk_cosine_brute_force(emb, qv, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.topk_cosine_lsh(
+            emb, qv, k=10, dim=64, nbits=10, max_hamming=3
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert approx[0] == 3  # self always survives LSH (identical signature)
+    assert recall >= 0.3  # loose: tiny index, few buckets
+
+
+def test_ivf_topk(engine):
+    emb = engine.spark.table("embeddings")
+    idx = similarity.IVFIndex.train(emb, nlist=8, sample_rows=500, seed=1)
+    assigned = idx.assign(emb)
+    n_assigned = assigned.count()
+    assert n_assigned == emb.count()
+    qv = emb.filter("vec_id = 11").select("embedding").collect()[0][0]
+    top = idx.topk(assigned, qv, k=5, nprobe=3).collect()
+    assert top and top[0]["vec_id"] == 11
+
+
+# ---- multimodal ----
+def test_media_decode_fake_roundtrip(spark):
+    df = multimodal.make_fake_media_df(spark, 30)
+    out = multimodal.decode_media(df, fake=True)
+    rows = out.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["decoded_width"] == r["width"]
+        assert r["decoded_height"] == r["height"]
+        assert not math.isnan(r["payload_mean"])
+
+
+def test_media_decode_stub_raises_without_fake(spark):
+    df = multimodal.make_fake_media_df(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|decoding"):
+        multimodal.decode_media(df, fake=False).collect()
+
+
+def test_feature_extract_shape(spark):
+    df = multimodal.make_fake_media_df(spark, 10)
+    feats = multimodal.extract_features(df, dim=8, fake=True).collect()
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic per media_id
+    feats2 = multimodal.extract_features(df, dim=8, fake=True).collect()
+    assert feats[0]["feature"] == feats2[0]["feature"]
+
+
+def test_frame_sample_plan(spark):
+    df = multimodal.make_fake_media_df(spark, 9)
+    frames = multimodal.frame_sample_plan(df, every_ms=1000)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"media_id", "frame_ts_ms"}
+    one = pdf[pdf.media_id == 5]
+    dur = df.filter("media_id = 5").collect()[0]["duration_ms"]
+    assert len(one) == dur // 1000 + 1
+
+
+def test_media_stats_prunes_binary(spark):
+    df = multimodal.make_fake_media_df(spark, 12)
+    stats = {r["kind"]: r["n"] for r in multimodal.media_stats(df).collect()}
+    assert stats == {"image": 4, "audio": 4, "video": 4}
