@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H-Q1-shaped) at sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 plus the pipeline extensions; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one.
+
+Float-stability convention shared by both sides: SUM/AVG over double
+columns go through ``CAST(x AS DECIMAL(18,2))`` (exact, order-independent
+addition) and only the final value is cast to DOUBLE — so Spark's
+partial-aggregation order cannot desync the value hash from DuckDB's.
 """
 
 from __future__ import annotations
@@ -13,26 +17,400 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from approximate_query_engine_spark.session import register_testdata
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (valid in BOTH Spark SQL and DuckDB)
+
+DEC = "CAST({col} AS DECIMAL(18,2))"
+
+
+def _dsum(col: str, alias: str, scale: str = "") -> str:
+    return f"CAST(SUM({DEC.format(col=col)}){scale} AS DOUBLE) AS {alias}"
+
+
+#: deterministic 1-in-20 systematic sample predicate (portable arithmetic —
+#: the Spark analog of the reference's ROWID % k, ml_optimizer.py:234-240,
+#: expressed so DuckDB computes the identical subset)
+SYS_SAMPLE_20 = "(l_orderkey * 31 + l_linenumber) % 20 = 0"
+
+# Punctuation regex class per engine: Spark SQL string literals process
+# backslash escapes (so the SQL text needs \\[ to deliver \[ to the regex);
+# DuckDB strings are raw. '' is the escaped single quote in both.
+_PUNCT_SPARK = "[.,!?;:''\"()\\\\[\\\\]{}-]"
+_PUNCT_DUCK = "[.,!?;:''\"()\\[\\]{}-]"
+_STOPWORDS = (
+    "'the','a','an','and','or','of','to','in','is','are',"
+    "'was','for','on','with','as','at','by','it','this','that'"
+)
+_LANG_MARKERS = {
+    "de": "'der','die','das','und','ist','nicht','ein'",
+    "en": "'the','a','of','and','to','in','is'",
+    "es": "'el','los','las','y','es','una','que'",
+    "fr": "'le','la','les','et','est','une','que'",
+}
+
+# Queries whose SQL text is identical for Spark and DuckDB.
+_SHARED_SQL: dict[str, str] = {
+    "q01_count": "SELECT COUNT(*) AS cnt FROM lineitem",
+    "q02_count_sum": (
+        "SELECT COUNT(*) AS cnt, "
+        + _dsum("l_extendedprice", "sum_price")
+        + " FROM lineitem"
+    ),
+    "q03_avg": (
+        "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+        " / COUNT(l_quantity) AS avg_qty FROM lineitem"
+    ),
+    "q04_group_count": (
+        "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"
+    ),
+    "q05_group_sum": (
+        "SELECT l_returnflag, l_linestatus, "
+        + _dsum("l_quantity", "sum_qty")
+        + " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "q06_where_group_avg": (
+        "SELECT l_returnflag, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+        " AS avg_price FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag"
+    ),
+    "q07_having": (
+        "SELECT l_linestatus, COUNT(*) AS cnt FROM lineitem "
+        "GROUP BY l_linestatus HAVING COUNT(*) > 100"
+    ),
+    "q08_min_max": (
+        "SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price, "
+        "CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price, "
+        "MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship FROM lineitem"
+    ),
+    "q09_topk": (
+        "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price "
+        "FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber "
+        "LIMIT 10"
+    ),
+    "q10_distinct_exact": (
+        "SELECT COUNT(DISTINCT l_orderkey) AS n_orders, "
+        "COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem"
+    ),
+    "q11_tpch_q1": (
+        "SELECT l_returnflag, l_linestatus, "
+        + _dsum("l_quantity", "sum_qty")
+        + ", "
+        + _dsum("l_extendedprice", "sum_base_price")
+        + ", "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "q12_join_dims": (
+        "SELECT r_name, COUNT(*) AS n_nations FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    ),
+    "q13_join_fact": (
+        "SELECT o_orderpriority, "
+        + _dsum("l_extendedprice", "revenue")
+        + ", COUNT(*) AS n FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+    ),
+    "q14_join3_agg": (
+        "SELECT n_name, COUNT(*) AS n_orders, "
+        + _dsum("o_totalprice", "total_spend")
+        + " FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "q15_window_top_order": (
+        "SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS top_price "
+        "FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders) t WHERE rn = 1"
+    ),
+    "q16_setop": (
+        "SELECT COUNT(*) AS n_keys FROM "
+        "(SELECT c_custkey AS k FROM customer UNION SELECT s_suppkey FROM supplier) t"
+    ),
+    "q19_case_agg": (
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        "SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+    "q21_sys_sample_count": (
+        f"SELECT COUNT(*) * 20 AS cnt_est FROM lineitem WHERE {SYS_SAMPLE_20}"
+    ),
+    "q22_sys_sample_group_sum": (
+        "SELECT l_returnflag, "
+        + _dsum("l_extendedprice", "sum_price_est", scale=" * 20")
+        + f" FROM lineitem WHERE {SYS_SAMPLE_20} GROUP BY l_returnflag"
+    ),
+    "q23_sample_ci": (
+        "SELECT CAST(COUNT(*) * 20 AS BIGINT) AS cnt_est, "
+        "CAST(COUNT(*) * 20 AS DOUBLE) - 1.96 * SQRT(COUNT(*) * 0.95) * 20 AS ci_low, "
+        "CAST(COUNT(*) * 20 AS DOUBLE) + 1.96 * SQRT(COUNT(*) * 0.95) * 20 AS ci_high "
+        f"FROM lineitem WHERE {SYS_SAMPLE_20}"
+    ),
+    "q26_dedup_exact_docs": (
+        "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+    ),
+}
+
+
+def _doc_stats_sql(engine: str) -> str:
+    """Per-source integer stats over documents (engine: 'spark'|'duckdb').
+    Integer sums only — no float-order sensitivity at all."""
+    if engine == "spark":
+        tokens = "size(filter(split(text, '\\\\s+'), x -> x != ''))"
+        stops = (
+            "size(filter(split(lower(text), '\\\\s+'), "
+            f"x -> array_contains(array({_STOPWORDS}), x)))"
+        )
+        punct = f"length(text) - length(regexp_replace(text, '{_PUNCT_SPARK}', ''))"
+    else:
+        tokens = "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+        stops = (
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            f"x -> list_contains([{_STOPWORDS}], x)))"
+        )
+        punct = f"length(text) - length(regexp_replace(text, '{_PUNCT_DUCK}', '', 'g'))"
+    return (
+        "SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(length(text)) AS BIGINT) AS sum_chars, "
+        f"CAST(SUM({tokens}) AS BIGINT) AS sum_tokens, "
+        f"CAST(SUM({punct}) AS BIGINT) AS sum_punct, "
+        f"CAST(SUM({stops}) AS BIGINT) AS sum_stop "
+        "FROM documents GROUP BY source"
+    )
+
+
+def _lang_dist_sql(engine: str) -> str:
+    """lang-ID heuristic distribution; the CASE ladder reproduces
+    functions.text.lang_id_expr exactly (argmax hits, ties by de<en<es<fr,
+    CJK-share override, 'und' when no marker fires)."""
+    if engine == "spark":
+        def hits(markers):
+            return (
+                "size(filter(split(lower(text), '\\\\s+'), "
+                f"x -> array_contains(array({markers}), x)))"
+            )
+        cjk = "length(text) - length(regexp_replace(text, '[一-鿿]', ''))"
+    else:
+        def hits(markers):
+            return (
+                "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+                f"x -> list_contains([{markers}], x)))"
+            )
+        cjk = "length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))"
+    h = {lang: hits(m) for lang, m in _LANG_MARKERS.items()}
+    return (
+        "SELECT lang_pred, COUNT(*) AS n FROM ("
+        "SELECT CASE "
+        f"WHEN ({cjk}) * 10 > length(text) * 3 THEN 'zh' "
+        f"WHEN GREATEST({h['de']}, {h['en']}, {h['es']}, {h['fr']}) = 0 THEN 'und' "
+        f"WHEN {h['de']} >= {h['en']} AND {h['de']} >= {h['es']} AND {h['de']} >= {h['fr']} THEN 'de' "
+        f"WHEN {h['en']} >= {h['es']} AND {h['en']} >= {h['fr']} THEN 'en' "
+        f"WHEN {h['es']} >= {h['fr']} THEN 'es' "
+        "ELSE 'fr' END AS lang_pred FROM documents) t "
+        "GROUP BY lang_pred"
+    )
+
+
+def _fingerprint_sql(engine: str) -> str:
+    """Count of distinct md5 fingerprints of normalized text (portable
+    analog of functions.text.fingerprint64_expr, which uses xxhash64)."""
+    if engine == "spark":
+        norm = (
+            "trim(regexp_replace(regexp_replace(lower(text), "
+            f"'{_PUNCT_SPARK}', ''), '\\\\s+', ' '))"
+        )
+    else:
+        norm = (
+            "trim(regexp_replace(regexp_replace(lower(text), "
+            f"'{_PUNCT_DUCK}', '', 'g'), '\\s+', ' ', 'g'))"
+        )
+    return f"SELECT COUNT(DISTINCT md5({norm})) AS n_unique FROM documents"
+
+
+def _events_hour_sql(engine: str) -> str:
+    epoch = "unix_timestamp(ts)" if engine == "spark" else "FLOOR(epoch(ts))"
+    return (
+        f"SELECT CAST(FLOOR({epoch} / 3600.0) AS BIGINT) AS hour_bucket, "
+        "event_type, COUNT(*) AS n, "
+        + _dsum("value", "total_value")
+        + " FROM events GROUP BY 1, 2"
+    )
+
+
+def _events_json_sql(engine: str) -> str:
+    if engine == "spark":
+        k = "CAST(get_json_object(props, '$.k') AS BIGINT)"
+    else:
+        k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    return (
+        f"SELECT event_type, COUNT(*) AS n, CAST(SUM({k}) AS BIGINT) AS sum_k "
+        "FROM events GROUP BY event_type"
+    )
+
+
+def _sessionize_sql(engine: str) -> str:
+    gap = (
+        "INTERVAL '30' MINUTE" if engine == "spark" else "INTERVAL '30 minutes'"
+    )
+    return (
+        "SELECT CAST(SUM(new_s) AS BIGINT) AS n_sessions, "
+        "COUNT(DISTINCT user_id) AS n_users FROM ("
+        "SELECT user_id, CASE WHEN prev_ts IS NULL OR ts - prev_ts > "
+        + gap
+        + " THEN 1 ELSE 0 END AS new_s FROM ("
+        "SELECT user_id, ts, LAG(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) a) b"
+    )
+
+
+_PER_ENGINE_SQL: dict[str, Callable[[str], str]] = {
+    "q17_events_hour": _events_hour_sql,
+    "q18_events_json": _events_json_sql,
+    "q20_sessionize": _sessionize_sql,
+    "q24_doc_stats": _doc_stats_sql,
+    "q25_lang_dist": _lang_dist_sql,
+    "q27_fingerprint": _fingerprint_sql,
+}
+
+_ANN_ORACLE = (
+    "SELECT vec_id FROM embeddings "
+    "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, "
+    "vec_id LIMIT 10"
+)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side callables
+
+
+def _prep(spark: SparkSession, sf_dir: str) -> None:
+    register_testdata(spark, sf_dir)
+
+
+def _sql_query(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_query_engine_spark.functions.similarity import (
+        topk_cosine_brute_force,
+    )
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    return topk_cosine_brute_force(emb, qv, k=10).select("vec_id")
+
+
+def _q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return spark.sql(
+        "SELECT approx_count_distinct(l_orderkey) AS n_orders_approx FROM lineitem"
+    )
+
+
+def _q_engine_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQP inline-sample rewrite end-to-end: parse → TABLESAMPLE rewrite with
+    scaled aggregates + CI companions → execute."""
+    from approximate_query_engine_spark.rewriter import rewrite_inline_sample
+    from approximate_query_engine_spark.sqlparser import parse
+
+    _prep(spark, sf_dir)
+    parsed = parse(
+        "SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_extendedprice) AS revenue "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    rw = rewrite_inline_sample(parsed, fraction=0.05, seed=42)
+    return spark.sql(rw.sql)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_query_engine_spark.functions.dedup import minhash_near_duplicates
+
+    _prep(spark, sf_dir)
+    return minhash_near_duplicates(
+        spark.table("documents"), threshold=0.5, num_hashes=64, bands=16
+    ).select("id_a", "id_b")
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_query_engine_spark.functions.dedup import simhash_near_duplicates
+
+    _prep(spark, sf_dir)
+    return simhash_near_duplicates(spark.table("documents"), max_hamming=3)
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_query_engine_spark.functions.similarity import topk_cosine_lsh
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    return topk_cosine_lsh(emb, qv, k=10, dim=64, nbits=10, max_hamming=3).select(
+        "vec_id"
+    )
+
+
+def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_query_engine_spark.streaming import run_streaming_window_agg
+
+    _prep(spark, sf_dir)
+    return run_streaming_window_agg(spark, sf_dir)
+
+
+def _q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return spark.sql(
+        "SELECT kll_sketch_get_quantile_double("
+        "kll_sketch_agg_double(l_quantity), array(0.25D, 0.5D, 0.75D)) AS quantiles "
+        "FROM lineitem"
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    register_testdata(spark, SF_SMOKE)
+    return spark.sql(_SHARED_SQL["q11_tpch_q1"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, sql in _SHARED_SQL.items():
+        out[name] = _sql_query(sql)
+    for name, build in _PER_ENGINE_SQL.items():
+        out[name] = _sql_query(build("spark"))
+    out["q28_ann_topk"] = _q_ann_topk
+    # rows-only checks (non-SQL-expressible / engine-specific randomness):
+    out["q30_approx_count_distinct"] = _q_approx_count_distinct
+    out["q31_engine_sample_ci"] = _q_engine_sample
+    out["q32_minhash_pairs"] = _q_minhash_pairs
+    out["q33_simhash_pairs"] = _q_simhash_pairs
+    out["q34_lsh_topk"] = _q_lsh_topk
+    out["q35_stream_window"] = _q_stream_window
+    out["q36_kll_quantiles"] = _q_kll_quantiles
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(_SHARED_SQL)
+    for name, build in _PER_ENGINE_SQL.items():
+        out[name] = build("duckdb")
+    out["q28_ann_topk"] = _ANN_ORACLE
+    return out

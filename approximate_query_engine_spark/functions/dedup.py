@@ -166,18 +166,26 @@ def minhash_near_duplicates(
     """Verified near-duplicate pairs: LSH candidates filtered by exact
     shingle-set Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
     rows_per_band = num_hashes // bands
-    sig = with_minhash(df, text_col, n, num_hashes).select(
+    # repartition first: signature computation is the expensive scan-side
+    # work and must parallelize even when the source is one small file
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = with_minhash(df.repartition(par, id_col), text_col, n, num_hashes).select(
         id_col, "shingles", "minhash"
     )
+    # the signature sub-plan feeds four consumers (both band-join sides and
+    # both verify joins); materialize it once instead of recomputing — at
+    # warehouse scale this is "write the signature table", here its
+    # in-memory analog
+    sig = sig.localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(sig, id_col, "minhash", bands, rows_per_band)
-    sh = sig.select(F.col(id_col).alias("_sid"), F.col("shingles").alias("_sh"))
+    # join by COLUMN NAME, never by column objects across a self-join's
+    # shared lineage — object equality resolves both sides to the same
+    # attribute and silently degenerates to a cartesian product
+    sh_a = sig.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sig.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        cand.join(sh, cand.id_a == sh._sid)
-        .withColumnRenamed("_sh", "sh_a")
-        .drop("_sid")
-        .join(sh, cand.id_b == sh._sid)
-        .withColumnRenamed("_sh", "sh_b")
-        .drop("_sid")
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn("jaccard", jaccard_expr("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -251,7 +259,10 @@ def simhash_near_duplicates(
     chunks; Hamming ≤ 3 ⇒ some chunk matches exactly (pigeonhole), so the
     join is bucketed on (chunk_id, chunk_value). Returns
     (id_a, id_b, hamming)."""
-    sig = with_simhash(df, text_col).select(id_col, "simhash")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = with_simhash(df.repartition(par, id_col), text_col).select(
+        id_col, "simhash"
+    ).localCheckpoint(eager=False)  # feeds both sides of the chunk self-join
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
@@ -373,7 +384,8 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding near-dup pairs: bucket by hyperplane signature, verify
     cosine ≥ threshold within buckets. Returns (id_a, id_b, cosine)."""
-    sig = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = df.repartition(par, id_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         hyperplane_signature_expr(vec_col, dim, nbits, seed).alias("_sig"),

@@ -130,11 +130,20 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 # language ID
 
 
+def lang_hits_expr(text_col: str, lang: str) -> Column:
+    """Count of tokens that are marker stopwords of ``lang``. Integer on
+    purpose: argmax over counts equals argmax over ratios (shared
+    denominator) and integer comparisons are engine-portable for the
+    correctness oracle."""
+    toks = tokens_expr(text_col)
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, F.lower(t))))
+
+
 def lang_score_expr(text_col: str, lang: str) -> Column:
     """Fraction of tokens that are marker stopwords of ``lang``."""
     toks = tokens_expr(text_col)
-    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, F.lower(t))))
+    hits = lang_hits_expr(text_col, lang)
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0)
 
 
@@ -146,18 +155,20 @@ def cjk_ratio_expr(text_col: str) -> Column:
 
 
 def lang_id_expr(text_col: str = "text") -> Column:
-    """Deterministic language guess: CJK ratio dominates, else the argmax
-    marker-stopword score (ties broken by a fixed language order), else
-    'und' (undetermined) when no marker fires."""
-    scores = {lang: lang_score_expr(text_col, lang) for lang in LANG_MARKERS}
+    """Deterministic language guess: CJK-character share dominates, else the
+    argmax marker-stopword hit count (ties broken by fixed alphabetical
+    language order), else 'und' (undetermined) when no marker fires.
+    Integer arithmetic throughout so a SQL oracle reproduces it bit-exactly."""
+    c = F.col(text_col)
+    cjk_count = F.length(c) - F.length(F.regexp_replace(c, r"[一-鿿]", ""))
     best = F.lit("und")
-    best_score = F.lit(0.0)
+    best_hits = F.lit(0)
     for lang in sorted(LANG_MARKERS):  # fixed order = deterministic ties
-        s = scores[lang]
-        is_better = s > best_score
+        h = lang_hits_expr(text_col, lang)
+        is_better = h > best_hits
         best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return F.when(cjk_ratio_expr(text_col) > 0.3, F.lit("zh")).otherwise(best)
+        best_hits = F.when(is_better, h).otherwise(best_hits)
+    return F.when(cjk_count * 10 > F.length(c) * 3, F.lit("zh")).otherwise(best)
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,138 @@
+"""Structured Streaming operators over the events table.
+
+The reference lists streaming as an unimplemented stretch goal
+(reference README.md:315-317; SURVEY.md §2.9 confirms no code). These are
+the Spark-native realizations, exercised in tests by replaying the events
+Parquet through ``readStream`` + a memory sink with
+``processAllAvailable()`` (synchronous completion — the documented local
+smoke pattern). In production the same plans run unchanged over Kafka with
+checkpointing; watermarks bound state for late data.
+
+Operators:
+- windowed aggregation with watermark + approx_count_distinct (streaming
+  HLL++ — partial sketches merge in state store);
+- streaming dedup (dropDuplicatesWithinWatermark on event_id);
+- custom stateful op: per-user running counts via
+  ``applyInPandasWithState`` (the escape hatch for operators Spark lacks).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source requires a directory: stream the sf_dir with a
+    # glob filter selecting just the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # events.ts arrives as nanos-as-long (see session.py); convert once here.
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream
+
+
+def _run_to_completion(df: DataFrame, mode: str) -> DataFrame:
+    """Start a memory-sink query, drain all available input, return the
+    result as a batch DataFrame."""
+    name = "aqe_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def run_streaming_window_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation: per (window, event_type)
+    row count, value sum, and approximate distinct users (HLL++ merged in
+    the state store). Output: window_start, event_type, n, total_value,
+    approx_users."""
+    events = _events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+            "approx_users",
+        )
+    )
+    return _run_to_completion(agg, "append")
+
+
+def run_streaming_dedup(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming analog of :func:`functions.dedup.dedup_exact`; state is
+    bounded by the watermark."""
+    events = _events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+    return _run_to_completion(deduped, "complete")
+
+
+def run_stateful_user_counts(
+    spark: SparkSession, sf_dir: str, min_events: int = 50
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    event counters kept in explicit state, emitting users whose lifetime
+    count crosses ``min_events``. Demonstrates the arbitrary-stateful
+    escape hatch (GroupState, timeout-free)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = _events_stream(spark, sf_dir).select("user_id", "event_id")
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        if total >= min_events:
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    out = events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_completion(out, "update")

@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query classes mirror BASELINE.md (the reference's published table:
+COUNT/SUM/GROUP BY/COUNT DISTINCT, exact vs approximate) so the comparable
+metric is the same speedup-ratio shape, plus the pipeline extensions
+(dedup, ANN) the rebuild adds. ``speedups`` in the JSON are
+approx-vs-exact wall ratios within this engine — the BASELINE-comparable
+number (absolute SQLite-vs-Spark latencies are not comparable; BASELINE.md
+§"How the rebuild will compare").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from pyspark.sql import functions as F
+
+from approximate_query_engine_spark.rewriter import rewrite_inline_sample
+from approximate_query_engine_spark.session import get_spark, register_testdata
+from approximate_query_engine_spark.sqlparser import parse
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def _time(fn, reps: int = 3) -> float:
+    """Min of ``reps`` runs: timings at this scale are dominated by
+    scheduler jitter, and min-of-N isolates the plan's actual cost."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _run_sql(spark, sql):
+    return lambda: spark.sql(sql).collect()
+
+
+def _approx_sql(sql: str, fraction: float) -> str:
+    """Engine rewrite: inline scan-time sample with scaled aggs + CIs."""
+    return rewrite_inline_sample(parse(sql), fraction, seed=42).sql
+
+
+def main() -> None:
+    import tempfile
+
+    from approximate_query_engine_spark.engine import AQEngine
+
+    spark = get_spark("aqe-bench")
+    register_testdata(spark, SF_DIR)
+
+    # Warm the JVM + page cache once so timings measure the plans, not
+    # startup (the reference's timings are warm too: repeated HTTP queries).
+    spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+
+    n = spark.table("lineitem").count()
+    f = 0.01 if n > 100_000 else 0.05
+
+    # Engine with a pre-built 1% uniform sample — the BASELINE config
+    # ("Sample 1%", README.md:221-223): approximate queries scan f·N rows
+    # of a materialized Parquet sample, the actual source of AQP speedup.
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_bench_"))
+    eng.catalog.upsert_table_stats("lineitem", n)
+    eng.create_sample("lineitem", f, seed=42)
+
+    exact_sqls = {
+        "count": "SELECT COUNT(*) AS cnt FROM lineitem",
+        "count_where": (
+            "SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity > 25"
+        ),
+        "sum": "SELECT SUM(l_extendedprice) AS total FROM lineitem",
+        "groupby": (
+            "SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sq "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "where_sum": (
+            "SELECT SUM(l_extendedprice) AS total FROM lineitem "
+            "WHERE l_quantity > 25"
+        ),
+        # compute-heavy aggregates: per-row expression work dominates the
+        # fixed per-query overhead, so the f·N-row sample shows its real
+        # advantage even at bench scale
+        "heavy_agg": (
+            "SELECT l_returnflag, COUNT(*) AS cnt, "
+            "SUM(l_extendedprice * (1 - l_discount)) AS disc_price, "
+            "SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS charge, "
+            "SUM(l_quantity * l_extendedprice) AS qty_price, "
+            "AVG(l_extendedprice) AS avg_price, "
+            "AVG(l_quantity) AS avg_qty, "
+            "SUM(l_tax * l_tax) AS tax_sq "
+            "FROM lineitem WHERE l_quantity > 5 GROUP BY l_returnflag"
+        ),
+    }
+
+    def _run_engine(sql):
+        def go():
+            r = eng.query(sql, max_rel_error=0.05, dual_execute=False)
+            assert r["status"] == "ok", r.get("error")
+            assert r["plan"]["type"] != "exact", r["plan"]["reason"]
+
+        return go
+
+    timings: dict[str, float] = {}
+    # exact vs approx per class (the BASELINE comparison axis); approx runs
+    # the full engine path: parse → plan (picks the pre-built sample) →
+    # rewritten scaled aggregates + CIs → collect
+    for name, sql in exact_sqls.items():
+        timings[f"{name}_exact"] = _time(_run_sql(spark, sql))
+        timings[f"{name}_approx"] = _time(_run_engine(sql))
+        timings[f"{name}_tablesample"] = _time(_run_sql(spark, _approx_sql(sql, f)))
+
+    # ---- 50x-replicated tier -------------------------------------------
+    # At sf0.1 (~20 MB) Spark's fixed per-query floor (~0.1-0.2 s of task
+    # scheduling + codegen + collect) dominates BOTH sides, so approx/exact
+    # ratios sit near 1 no matter the plan. Replicating lineitem 50x (~30M
+    # rows) makes per-row work dominate and shows the scan-reduction the
+    # engine is built for — the regime that matters at 100 TB. Setup
+    # (untimed): materialize once per machine and reuse across runs.
+    big_dir = "/tmp/aqe_bench_big50"
+    big_path = os.path.join(big_dir, "lineitem_big")
+    if not os.path.exists(big_path):
+        (
+            spark.table("lineitem")
+            .crossJoin(spark.range(50).select(F.col("id").alias("rep")))
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(big_path)
+        )
+    big = spark.read.parquet(big_path)
+    big.createOrReplaceTempView("lineitem_big")
+    eng.catalog.upsert_table_stats("lineitem_big", big.count())
+    eng.create_sample("lineitem_big", 0.01, seed=42)
+
+    big_sqls = {
+        "big_sum": "SELECT SUM(l_extendedprice) AS total FROM lineitem_big",
+        "big_groupby": (
+            "SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sq "
+            "FROM lineitem_big GROUP BY l_returnflag"
+        ),
+        "big_heavy": exact_sqls["heavy_agg"].replace("lineitem", "lineitem_big"),
+    }
+    for name, sql in big_sqls.items():
+        timings[f"{name}_exact"] = _time(_run_sql(spark, sql))
+        timings[f"{name}_approx"] = _time(_run_engine(sql))
+    timings["big_distinct_exact"] = _time(
+        _run_sql(spark, "SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem_big")
+    )
+    timings["big_distinct_sketch"] = _time(
+        _run_sql(
+            spark,
+            "SELECT approx_count_distinct(l_orderkey) AS n FROM lineitem_big",
+        )
+    )
+
+    timings["distinct_exact"] = _time(
+        _run_sql(spark, "SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem")
+    )
+    timings["distinct_sketch"] = _time(
+        _run_sql(
+            spark, "SELECT approx_count_distinct(l_orderkey) AS n FROM lineitem"
+        )
+    )
+
+    # wider relational coverage
+    timings["tpch_q1"] = _time(
+        _run_sql(
+            spark,
+            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+            "SUM(l_extendedprice * (1 - l_discount)) AS revenue, COUNT(*) AS n "
+            "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus",
+        )
+    )
+    timings["join_fact"] = _time(
+        _run_sql(
+            spark,
+            "SELECT o_orderpriority, SUM(l_extendedprice) AS rev, COUNT(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority",
+        )
+    )
+
+    # pipeline extensions
+    def _minhash():
+        from approximate_query_engine_spark.functions.dedup import (
+            minhash_near_duplicates,
+        )
+
+        minhash_near_duplicates(
+            spark.table("documents"), threshold=0.5, num_hashes=64, bands=16
+        ).count()
+
+    timings["minhash_dedup"] = _time(_minhash)
+
+    def _ann():
+        from approximate_query_engine_spark.functions.similarity import (
+            topk_cosine_brute_force,
+        )
+
+        emb = spark.table("embeddings")
+        qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+        topk_cosine_brute_force(emb, qv, k=10).collect()
+
+    timings["ann_topk"] = _time(_ann)
+
+    speedups = {
+        name: timings[f"{name}_exact"] / timings[f"{name}_approx"]
+        for name in list(exact_sqls) + list(big_sqls)
+        if timings[f"{name}_approx"] > 0
+    }
+    # the reported wall excludes the _tablesample diagnostics from speedups;
+    # they show the scan-time-sampling alternative for comparison
+    speedups["distinct"] = timings["distinct_exact"] / max(
+        timings["distinct_sketch"], 1e-9
+    )
+    speedups["big_distinct"] = timings["big_distinct_exact"] / max(
+        timings["big_distinct_sketch"], 1e-9
+    )
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": {k: round(v, 4) for k, v in timings.items()},
+                "sf": _sf_from_dir(SF_DIR),
+                "sample_fraction": f,
+                "speedups": {k: round(v, 3) for k, v in speedups.items()},
+                "lineitem_rows": n,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
