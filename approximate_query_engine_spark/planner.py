@@ -211,7 +211,7 @@ class Planner:
                 sample_cost(n, f),
                 sampling_error(n, f),
                 inline_fraction=f,
-                reason=f"inline TABLESAMPLE (f={f:.4f})",
+                reason=f"inline seeded Bernoulli sampling predicate (f={f:.4f})",
             )
         )
         return self._filter(out, max_rel_error, forced_strategy)

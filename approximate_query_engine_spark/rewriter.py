@@ -166,6 +166,7 @@ def _rewrite_on_weights(
     sample_table: str | None,
     fraction: float,
     transforms: list[str],
+    extra_where: str | None = None,
 ) -> RewriteResult:
     scaler = _AggScaler(f_expr)
     select, ci_cols = [], []
@@ -205,7 +206,7 @@ def _rewrite_on_weights(
         having=having,
         order_by=parsed.order_by,
         limit=parsed.limit,
-    ).render(select_override=select)
+    ).render(select_override=select, extra_where=extra_where)
     return RewriteResult(
         sql=rendered,
         plan_type=plan_type,
@@ -235,21 +236,26 @@ def rewrite_uniform_sample(parsed: ParsedQuery, sample: SampleInfo) -> RewriteRe
 def rewrite_inline_sample(
     parsed: ParsedQuery, fraction: float, seed: int = 42
 ) -> RewriteResult:
-    """No pre-built sample: inject scan-time Bernoulli sampling via
-    TABLESAMPLE. The reference's analog is the inline ``ROWID % k`` rewrite
-    (reference ml_optimizer.py:234-240), chosen there to avoid ORDER BY
-    RANDOM(); Spark's TABLESAMPLE is already scan-time Bernoulli with a
-    REPEATABLE seed, so the motivation vanishes (SURVEY.md §2.5)."""
-    pct = fraction * 100.0
-    table_expr = f"{parsed.table} TABLESAMPLE ({pct!r} PERCENT) REPEATABLE ({seed})"
+    """No pre-built sample: inject a seeded Bernoulli sampling predicate
+    ``rand(seed) < f`` — the direct analog of the reference's inline
+    ``ROWID % k`` predicate rewrite (reference ml_optimizer.py:234-240).
+
+    Chosen over ``TABLESAMPLE (p PERCENT)`` deliberately: a Sample operator
+    sits between Filter and Scan and blocks predicate pushdown, while a
+    rand() conjunct lets Catalyst split the conjunction and push the
+    deterministic user predicates into the Parquet scan (verified via
+    .explain: DataFilters carry the user WHERE). Bernoulli sampling
+    commutes with filtering, so the estimator's inclusion probability is
+    unchanged."""
+    extra = f"rand({seed}) < CAST({fraction!r} AS DOUBLE)"
     f_expr = f"CAST({fraction!r} AS DOUBLE)"
     transforms = [
-        f"Applied inline scan-time sampling: TABLESAMPLE ({pct:.4f} PERCENT) "
-        f"REPEATABLE ({seed})",
+        f"Injected inline Bernoulli sampling predicate rand({seed}) < {fraction!r}",
         f"Scaled COUNT/SUM aggregates by 1/{fraction:.6f} inside the plan",
     ]
     return _rewrite_on_weights(
-        parsed, table_expr, f_expr, "sample", None, fraction, transforms
+        parsed, parsed.table, f_expr, "sample", None, fraction, transforms,
+        extra_where=extra,
     )
 
 
