@@ -271,7 +271,20 @@ def _sessionize_sql(engine: str) -> str:
     )
 
 
+def _percentile_sql(engine: str) -> str:
+    """Exact continuous percentiles: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition, verified
+    bit-exact on this data."""
+    fn = "percentile" if engine == "spark" else "quantile_cont"
+    return (
+        f"SELECT {fn}(l_quantity, 0.5) AS median_qty, "
+        f"{fn}(l_quantity, 0.95) AS p95_qty, "
+        f"{fn}(l_extendedprice, 0.9) AS p90_price FROM lineitem"
+    )
+
+
 _PER_ENGINE_SQL: dict[str, Callable[[str], str]] = {
+    "q29_percentiles": _percentile_sql,
     "q17_events_hour": _events_hour_sql,
     "q18_events_json": _events_json_sql,
     "q20_sessionize": _sessionize_sql,

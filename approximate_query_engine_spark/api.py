@@ -112,6 +112,22 @@ def create_app(engine: AQEngine):
     def sketches_list():
         return jsonify({"sketches": engine.list_sketches(request.args.get("table"))})
 
+    @app.post("/tables/register")
+    def tables_register():
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            out = engine.register_file(
+                body["table"],
+                body["path"],
+                fmt=body.get("format", "csv"),
+                options=body.get("options"),
+            )
+            return jsonify(out)
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
     @app.get("/ml/stats")
     def ml_stats():
         return jsonify(engine.ml_stats())

@@ -57,6 +57,40 @@ class AQEngine:
         df.createOrReplaceTempView(name)
         self.catalog.upsert_table_stats(name, df.count())
 
+    def register_file(
+        self,
+        name: str,
+        path: str,
+        fmt: str = "csv",
+        options: dict | None = None,
+    ) -> dict:
+        """Register an external file as a queryable table (realizes the
+        reference's legacy CSV-upload capability, whose backend is absent
+        from the snapshot — templates/index.html:589-649, SURVEY.md §2.1).
+        Formats: csv (header+inferSchema by default), json, parquet, orc."""
+        opts = dict(options or {})
+        reader = self.spark.read
+        if fmt == "csv":
+            opts.setdefault("header", "true")
+            opts.setdefault("inferSchema", "true")
+            df = reader.options(**opts).csv(path)
+        elif fmt == "json":
+            df = reader.options(**opts).json(path)
+        elif fmt == "parquet":
+            df = reader.options(**opts).parquet(path)
+        elif fmt == "orc":
+            df = reader.options(**opts).orc(path)
+        else:
+            raise ValueError(f"unsupported format {fmt!r} (csv|json|parquet|orc)")
+        self.register_view(name, df)
+        self.catalog.save()
+        return {
+            "table": name,
+            "rows": self.catalog.get_row_count(name),
+            "columns": df.columns,
+            "format": fmt,
+        }
+
     def tables(self) -> list[str]:
         """User-visible tables (reference GET /tables, app.py:45-59)."""
         return sorted(t.name for t in self.spark.catalog.listTables())

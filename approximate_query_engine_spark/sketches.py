@@ -205,8 +205,10 @@ class SketchManager:
             info = self._create_hll(table, column, parameters)
         elif sketch_type == "cms":
             info = self._create_cms(table, column, parameters)
+        elif sketch_type == "theta":
+            info = self._create_theta(table, column, parameters)
         else:
-            raise ValueError(f"unknown sketch_type {sketch_type!r} (hll|cms)")
+            raise ValueError(f"unknown sketch_type {sketch_type!r} (hll|cms|theta)")
         self.catalog.upsert_sketch(info)
         self.catalog.save()
         return info
@@ -268,15 +270,46 @@ class SketchManager:
             parameters={"epsilon": eps, "delta": delta, "seed": seed, "format": fmt},
         )
 
+    def _create_theta(self, table: str, column: str, params: dict) -> SketchInfo:
+        """Theta sketch: like HLL a mergeable distinct-count summary, but
+        supporting set INTERSECTION/DIFFERENCE estimates too — the right
+        sketch for audience-overlap-style workloads."""
+        if not column:
+            raise ValueError("theta sketch requires a column")
+        lg_k = int(params.get("lg_k", 12))
+        row = (
+            self.spark.table(table)
+            .where(F.col(column).isNotNull())
+            .agg(
+                F.expr(
+                    f"theta_sketch_agg(CAST({column} AS STRING), {lg_k})"
+                ).alias("sk")
+            )
+            .collect()[0]
+        )
+        return SketchInfo(
+            table_name=table,
+            column_name=column,
+            sketch_type="theta",
+            sketch_data=bytes(row["sk"]) if row["sk"] is not None else b"",
+            parameters={"lg_k": lg_k, "format": "datasketches-theta"},
+        )
+
     # ---- read path (the reference persists sketches but never reads them —
     # SURVEY.md vestigial flag #1; these make the read path real) ----
-    def estimate_distinct_from_sketch(self, table: str, column: str) -> int | None:
-        info = self.catalog.get_sketch(table, column, "hll")
+    def estimate_distinct_from_sketch(
+        self, table: str, column: str, sketch_type: str = "hll"
+    ) -> int | None:
+        info = self.catalog.get_sketch(table, column, sketch_type)
         if info is None or not info.sketch_data:
             return None
-        row = self.spark.range(1).select(
-            F.hll_sketch_estimate(F.lit(info.sketch_data)).alias("est")
-        ).collect()[0]
+        fn = (
+            "hll_sketch_estimate"
+            if sketch_type == "hll"
+            else "theta_sketch_estimate"
+        )
+        df = self.spark.createDataFrame([(info.sketch_data,)], "sk binary")
+        row = df.select(F.expr(f"{fn}(sk)").alias("est")).collect()[0]
         return int(row["est"])
 
     def estimate_frequency_from_sketch(

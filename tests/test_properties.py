@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis): parser round-trips and estimator
+invariants — the SURVEY §5 'bonus' tier."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from approximate_query_engine_spark.planner import sampling_error
+from approximate_query_engine_spark.sampler import Sampler
+from approximate_query_engine_spark.sqlparser import parse
+
+ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+agg_fn = st.sampled_from(["COUNT", "SUM", "AVG", "MIN", "MAX"])
+
+
+@st.composite
+def agg_query(draw):
+    table = draw(ident)
+    n_aggs = draw(st.integers(1, 3))
+    items = []
+    for i in range(n_aggs):
+        fn = draw(agg_fn)
+        arg = "*" if fn == "COUNT" and draw(st.booleans()) else draw(ident)
+        alias = draw(st.one_of(st.none(), ident))
+        items.append(f"{fn}({arg})" + (f" AS {alias}" if alias else ""))
+    group_cols = draw(st.lists(ident, min_size=0, max_size=2, unique=True))
+    sql = "SELECT "
+    if group_cols:
+        sql += ", ".join(group_cols) + ", "
+    sql += ", ".join(items) + f" FROM {table}"
+    if draw(st.booleans()):
+        sql += f" WHERE {draw(ident)} > {draw(st.integers(0, 100))}"
+    if group_cols:
+        sql += " GROUP BY " + ", ".join(group_cols)
+    if draw(st.booleans()):
+        sql += f" LIMIT {draw(st.integers(1, 50))}"
+    return sql
+
+
+@given(agg_query())
+@settings(max_examples=200, deadline=None)
+def test_parser_roundtrip_stable(sql):
+    """parse → render → parse is a fixed point (same structure both times)."""
+    p1 = parse(sql)
+    rendered = p1.render()
+    p2 = parse(rendered)
+    assert p2.render() == rendered
+    assert p2.table == p1.table
+    assert len(p2.select_items) == len(p1.select_items)
+    assert [a.func for a in p2.aggregates] == [a.func for a in p1.aggregates]
+    assert p2.group_by == p1.group_by
+    assert p2.limit == p1.limit
+
+
+@given(st.integers(1, 10**9), st.floats(1e-6, 1.0, exclude_max=False))
+@settings(max_examples=200, deadline=None)
+def test_sampling_error_monotone(n, f):
+    """Error shrinks (weakly) as the sample grows; always positive."""
+    e = sampling_error(n, f)
+    assert e > 0
+    assert sampling_error(n, min(1.0, f * 2)) <= e + 1e-12
+    assert sampling_error(n * 2, f) <= e + 1e-12
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 10**6),  # pop_size
+            st.one_of(st.none(), st.floats(0, 1e6, allow_nan=False)),  # variance
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.floats(0.001, 0.999),
+)
+@settings(max_examples=200, deadline=None)
+def test_neyman_allocation_invariants(raw, total_fraction):
+    strata = [
+        {"strata_value": f"s{i}", "pop_size": p, "variance": v}
+        for i, (p, v) in enumerate(raw)
+    ]
+    alloc = Sampler.neyman_allocation(strata, total_fraction)
+    assert set(alloc) == {f"s{i}" for i in range(len(raw))}
+    for f in alloc.values():
+        assert 0.0 <= f <= 1.0  # capped
+    # zero-variance everywhere → proportional fallback
+    flat = [
+        {"strata_value": s["strata_value"], "pop_size": s["pop_size"], "variance": 0.0}
+        for s in strata
+    ]
+    assert Sampler.neyman_allocation(flat, total_fraction) == {
+        s["strata_value"]: total_fraction for s in strata
+    }
+    # uncapped case preserves the target sample size
+    uncapped = all(f < 1.0 for f in alloc.values())
+    if uncapped:
+        target = total_fraction * sum(s["pop_size"] for s in strata)
+        achieved = sum(
+            alloc[s["strata_value"]] * s["pop_size"] for s in strata
+        )
+        assert abs(achieved - target) / target < 1e-6

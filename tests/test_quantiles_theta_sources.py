@@ -1,0 +1,92 @@
+"""Quantile operators, theta sketches, and external-file registration."""
+
+import json
+import os
+
+import pytest
+
+from approximate_query_engine_spark.functions.quantiles import (
+    KLLQuantiles,
+    approx_percentiles,
+    exact_percentiles,
+)
+
+PROBS = [0.25, 0.5, 0.75, 0.95]
+
+
+def test_exact_percentiles_match_duckdb(engine, duck):
+    got = exact_percentiles(engine.spark.table("lineitem"), "l_quantity", PROBS)
+    want = duck.execute(
+        f"SELECT quantile_cont(l_quantity, {PROBS}) FROM lineitem"
+    ).fetchone()[0]
+    assert got == list(want)  # both use linear interpolation — bit-exact
+
+
+def test_approx_percentiles_close_to_exact(engine):
+    df = engine.spark.table("lineitem")
+    exact = exact_percentiles(df, "l_extendedprice", PROBS)
+    approx = approx_percentiles(df, "l_extendedprice", PROBS, accuracy=10000)
+    for e, a in zip(exact, approx):
+        assert abs(a - e) / max(abs(e), 1) < 0.05
+
+
+def test_kll_sketch_quantiles_and_rank(engine):
+    kll = KLLQuantiles(engine.spark, engine.catalog)
+    kll.build("lineitem", "l_quantity", k=200)
+    qs = kll.quantiles("lineitem", "l_quantity", PROBS)
+    exact = exact_percentiles(engine.spark.table("lineitem"), "l_quantity", PROBS)
+    assert qs is not None
+    for e, a in zip(exact, qs):
+        assert abs(a - e) <= max(3.0, 0.1 * abs(e))  # KLL rank error ~1.6% at k=200
+    r = kll.rank("lineitem", "l_quantity", exact[1])
+    assert r is not None and 0.4 <= r <= 0.6  # median value ranks near 0.5
+
+
+def test_kll_merge(engine):
+    kll = KLLQuantiles(engine.spark, engine.catalog)
+    # build per-half sketches and merge: estimates match a whole-table sketch
+    spark = engine.spark
+    spark.sql("SELECT * FROM lineitem WHERE l_orderkey % 2 = 0").createOrReplaceTempView("li_even")
+    spark.sql("SELECT * FROM lineitem WHERE l_orderkey % 2 = 1").createOrReplaceTempView("li_odd")
+    engine.catalog.upsert_table_stats("li_even", 1)
+    engine.catalog.upsert_table_stats("li_odd", 1)
+    a = kll.build("li_even", "l_quantity").sketch_data
+    b = kll.build("li_odd", "l_quantity").sketch_data
+    merged = kll.merge_and_estimate([a, b], [0.5])
+    exact = exact_percentiles(spark.table("lineitem"), "l_quantity", [0.5])
+    assert abs(merged[0] - exact[0]) <= max(3.0, 0.1 * abs(exact[0]))
+
+
+def test_theta_sketch_distinct(engine):
+    out = engine.create_sketch("lineitem", "l_partkey", "theta", {"lg_k": 12})
+    assert out["size_bytes"] > 0
+    est = engine.sketches.estimate_distinct_from_sketch(
+        "lineitem", "l_partkey", sketch_type="theta"
+    )
+    true = engine.spark.sql(
+        "SELECT COUNT(DISTINCT l_partkey) AS c FROM lineitem"
+    ).collect()[0]["c"]
+    assert est is not None and abs(est - true) / true < 0.05
+
+
+def test_register_csv(engine, tmp_path):
+    p = tmp_path / "ext.csv"
+    p.write_text("id,name,score\n1,a,0.5\n2,b,0.75\n3,c,1.0\n")
+    out = engine.register_file("ext_csv", str(p), fmt="csv")
+    assert out["rows"] == 3 and out["columns"] == ["id", "name", "score"]
+    got = engine.query("SELECT COUNT(*) AS c FROM ext_csv", prefer_exact=True)
+    assert got["result"][0]["c"] == 3
+
+
+def test_register_json(engine, tmp_path):
+    p = tmp_path / "ext.json"
+    p.write_text("\n".join(json.dumps({"k": i, "v": i * 1.5}) for i in range(5)))
+    out = engine.register_file("ext_json", str(p), fmt="json")
+    assert out["rows"] == 5
+    r = engine.query("SELECT SUM(v) AS s FROM ext_json", prefer_exact=True)
+    assert r["result"][0]["s"] == pytest.approx(sum(i * 1.5 for i in range(5)))
+
+
+def test_register_bad_format(engine):
+    with pytest.raises(ValueError):
+        engine.register_file("x", "/nonexistent", fmt="avro")
