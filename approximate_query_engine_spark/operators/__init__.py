@@ -1,0 +1,11 @@
+"""Relational operators Spark lacks natively, composed Spark-first:
+as-of joins, bucketed co-located joins, and skew-salted joins."""
+
+from approximate_query_engine_spark.operators.asof import asof_join
+from approximate_query_engine_spark.operators.bucketing import (
+    bucketize,
+    cocolocated_join,
+)
+from approximate_query_engine_spark.operators.salting import salted_join
+
+__all__ = ["asof_join", "bucketize", "cocolocated_join", "salted_join"]

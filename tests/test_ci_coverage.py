@@ -1,0 +1,100 @@
+"""Statistical validation of the estimators (SURVEY §5 'approx-mode
+statistical tests'): across many seeded samples, the reported 95% CI must
+contain the true value at roughly the nominal rate, and stratified (Neyman)
+sampling should beat uniform sampling on error for group aggregates.
+
+Marked slow: ~40 Spark jobs. Run with ``-m slow`` or the full suite.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximate_query_engine_spark.rewriter import rewrite_inline_sample
+from approximate_query_engine_spark.sqlparser import parse
+
+pytestmark = pytest.mark.slow
+
+N_SEEDS = 40
+
+
+@pytest.fixture(scope="module")
+def truth(spark, engine):
+    row = spark.sql(
+        "SELECT COUNT(*) AS cnt, SUM(l_extendedprice) AS total FROM lineitem"
+    ).collect()[0]
+    return row["cnt"], row["total"]
+
+
+def test_ci_coverage_count_sum(spark, engine, truth):
+    """True COUNT and SUM fall inside the reported 95% CI in ≥85% of seeded
+    reruns (nominal 95%, slack for small-sample normal approximation)."""
+    true_cnt, true_sum = truth
+    parsed = parse("SELECT COUNT(*) AS cnt, SUM(l_extendedprice) AS total FROM lineitem")
+    hits_cnt = hits_sum = 0
+    for seed in range(N_SEEDS):
+        rw = rewrite_inline_sample(parsed, fraction=0.1, seed=seed)
+        row = spark.sql(rw.sql).collect()[0]
+        if row["cnt_ci_low"] <= true_cnt <= row["cnt_ci_high"]:
+            hits_cnt += 1
+        if row["total_ci_low"] <= true_sum <= row["total_ci_high"]:
+            hits_sum += 1
+    assert hits_cnt >= 0.85 * N_SEEDS, f"count CI coverage {hits_cnt}/{N_SEEDS}"
+    assert hits_sum >= 0.85 * N_SEEDS, f"sum CI coverage {hits_sum}/{N_SEEDS}"
+
+
+def test_estimates_unbiased_on_average(spark, engine, truth):
+    """Mean of the scaled estimates over seeds is within 2% of the truth
+    (Horvitz–Thompson unbiasedness)."""
+    true_cnt, true_sum = truth
+    parsed = parse("SELECT COUNT(*) AS cnt, SUM(l_extendedprice) AS total FROM lineitem")
+    cnts, sums = [], []
+    for seed in range(N_SEEDS):
+        rw = rewrite_inline_sample(parsed, fraction=0.1, seed=seed)
+        row = spark.sql(rw.sql).collect()[0]
+        cnts.append(row["cnt"])
+        sums.append(row["total"])
+    assert abs(sum(cnts) / len(cnts) - true_cnt) / true_cnt < 0.02
+    assert abs(sum(sums) / len(sums) - true_sum) / true_sum < 0.02
+
+
+def test_stratified_beats_uniform_for_group_sums(spark, engine):
+    """At equal overall fraction, per-stratum (Neyman) sampling yields a
+    lower mean relative error on per-group SUMs than uniform sampling —
+    the reason the stratified strategy exists. Compared over seeds."""
+    from approximate_query_engine_spark.rewriter import (
+        rewrite_stratified,
+        rewrite_uniform_sample,
+    )
+
+    truth = {
+        r["l_returnflag"]: r["s"]
+        for r in spark.sql(
+            "SELECT l_returnflag, SUM(l_extendedprice) AS s FROM lineitem "
+            "GROUP BY l_returnflag"
+        ).collect()
+    }
+    parsed = parse(
+        "SELECT l_returnflag, SUM(l_extendedprice) AS s FROM lineitem "
+        "GROUP BY l_returnflag"
+    )
+
+    def mean_rel_err(sample_info, rewrite_fn):
+        rw = rewrite_fn(parsed, sample_info)
+        rows = spark.sql(rw.sql).collect()
+        errs = [
+            abs(r["s"] - truth[r["l_returnflag"]]) / truth[r["l_returnflag"]]
+            for r in rows
+        ]
+        return sum(errs) / len(errs)
+
+    uni_errs, strat_errs = [], []
+    for seed in range(8):
+        uni = engine.sampler.create_uniform_sample("lineitem", 0.1, seed=seed)
+        strat = engine.sampler.create_stratified_sample(
+            "lineitem", "l_returnflag", 0.1, variance_col="l_extendedprice",
+            seed=seed,
+        )
+        uni_errs.append(mean_rel_err(uni, rewrite_uniform_sample))
+        strat_errs.append(mean_rel_err(strat, rewrite_stratified))
+    # stratified wins on average (not necessarily every seed)
+    assert sum(strat_errs) / len(strat_errs) <= sum(uni_errs) / len(uni_errs) * 1.05

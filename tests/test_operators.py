@@ -1,0 +1,104 @@
+"""Relational-extension operators: as-of join, bucketed co-located join,
+skew-salted join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximate_query_engine_spark.operators import (
+    asof_join,
+    bucketize,
+    cocolocated_join,
+    salted_join,
+)
+from approximate_query_engine_spark.operators.bucketing import exchange_count
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", 1, 10.0),
+            ("A", 5, 11.0),
+            ("A", 9, 12.0),
+            ("B", 2, 20.0),
+            ("B", 8, 21.0),
+        ],
+        "sym string, t long, quote double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", 1, 100),   # exact match -> quote at t=1
+            ("A", 4, 200),   # -> t=1
+            ("A", 6, 300),   # -> t=5
+            ("A", 12, 400),  # -> t=9
+            ("B", 1, 500),   # no prior quote -> null
+            ("B", 9, 600),   # -> t=8
+            ("C", 3, 700),   # no quotes for C -> null
+        ],
+        "sym string, t long, size long",
+    )
+    return quotes, trades
+
+
+EXPECTED = {
+    ("A", 1): 10.0,
+    ("A", 4): 10.0,
+    ("A", 6): 11.0,
+    ("A", 12): 12.0,
+    ("B", 1): None,
+    ("B", 9): 21.0,
+    ("C", 3): None,
+}
+
+
+def test_asof_join_union_strategy(quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on="t", by="sym", right_prefix="q_")
+    got = {(r["sym"], r["t"]): r["q_quote"] for r in out.collect()}
+    assert got == EXPECTED
+    assert out.count() == trades.count()  # every left row kept exactly once
+
+
+def test_asof_join_pandas_strategy(quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on="t", by="sym", right_prefix="q_", strategy="pandas")
+    got = {(r["sym"], r["t"]): r["q_quote"] for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_asof_join_tolerance_requires_pandas(quotes_trades):
+    quotes, trades = quotes_trades
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on="t", by="sym", tolerance=3)
+
+
+def test_bucketed_join_eliminates_exchange(spark, engine):
+    li = spark.table("lineitem").select("l_orderkey", "l_extendedprice")
+    od = spark.table("orders").select("o_orderkey", "o_orderpriority").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    bucketize(li, "b_lineitem", "l_orderkey", num_buckets=4)
+    bucketize(od, "b_orders", "l_orderkey", num_buckets=4)
+    joined = cocolocated_join(spark, "b_lineitem", "b_orders", on="l_orderkey")
+    n_exchanges = exchange_count(joined)
+    assert n_exchanges == 0, f"bucketed join still shuffles ({n_exchanges} exchanges)"
+    # and it computes the same thing as the plain join
+    plain = li.join(od, "l_orderkey").count()
+    assert joined.count() == plain
+
+
+def test_salted_join_matches_plain(spark):
+    skewed = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(5)],
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k long, name string")
+    salted = salted_join(skewed, dim, on="k", salt=4)
+    plain = skewed.join(dim, "k")
+    assert salted.count() == plain.count() == 505
+    got = {(r["k"], r["payload"]): r["name"] for r in salted.collect()}
+    assert got[(1, 0)] == "hot" and got[(2, 4)] == "cold"
+    # left_anti sanity through outer join equivalence
+    left = salted_join(skewed, dim.filter("k = 2"), on="k", how="left")
+    rows = left.filter("k = 1").select("name").distinct().collect()
+    assert [r["name"] for r in rows] == [None]
