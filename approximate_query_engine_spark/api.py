@@ -39,6 +39,12 @@ def create_app(engine: AQEngine):
         raise RuntimeError("flask is not installed; the HTTP API is unavailable")
     app = Flask("approximate_query_engine_spark")
 
+    @app.get("/")
+    def index():
+        from flask import render_template
+
+        return render_template("index.html")
+
     @app.get("/health")
     def health():
         return jsonify({"status": "ok"})

@@ -192,12 +192,22 @@ def _rewrite_on_weights(
 
     # Scale agg references inside HAVING the same way (the rewritten query
     # groups over sample rows; an unscaled HAVING COUNT(*) > K would compare
-    # sample-level counts against full-table thresholds).
+    # sample-level counts against full-table thresholds). Both the raw agg
+    # text and its alias are substituted — Spark SQL allows HAVING to
+    # reference a select alias, which would otherwise bind to the SCALED
+    # output column silently combined with unscaled literals.
+    import re as _re
+
     having = parsed.having
     if having:
         for it in parsed.select_items:
             if it.agg and not it.agg.distinct:
-                having = having.replace(it.agg.raw, f"({_AggScaler(f_expr).scaled(it.agg)})")
+                scaled_txt = f"({_AggScaler(f_expr).scaled(it.agg)})"
+                having = having.replace(it.agg.raw, scaled_txt)
+                if it.alias:
+                    having = _re.sub(
+                        rf"\b{_re.escape(it.alias)}\b", scaled_txt, having
+                    )
     rendered = ParsedQuery(
         select_items=parsed.select_items,
         table=table_expr,

@@ -143,6 +143,19 @@ def test_having_scaled(engine, duck):
     assert len(r["result"]) == len(truth)
 
 
+def test_having_alias_scaled(engine, duck):
+    sql = (
+        "SELECT l_returnflag, COUNT(*) AS c FROM lineitem "
+        "GROUP BY l_returnflag HAVING c > 1500"
+    )
+    r = q(engine, sql, max_rel_error=0.2, use_ml_optimization=True)
+    truth = duck.execute(
+        "SELECT l_returnflag, COUNT(*) AS c FROM lineitem "
+        "GROUP BY l_returnflag HAVING COUNT(*) > 1500"
+    ).fetchall()
+    assert len(r["result"]) == len(truth)
+
+
 def test_error_envelope(engine):
     r = engine.query("SELECT COUNT(*) FROM missing_table")
     assert r["status"] == "error"
