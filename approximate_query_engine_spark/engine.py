@@ -136,9 +136,22 @@ class AQEngine:
             plan = self.planner.plan(sql, max_rel_error, prefer_exact=prefer_exact)
 
         if explain:
+            # include Spark's physical plan so `explain` shows what would
+            # actually execute (pushdowns, join strategies, codegen spans)
+            try:
+                jvm = self.spark.sparkContext._jvm
+                mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+                spark_plan = (
+                    self.spark.sql(plan["sql"])._jdf.queryExecution().explainString(mode)
+                )
+            except Exception:
+                spark_plan = None
             return {
                 "status": "ok",
                 "plan": plan,
+                "spark_plan": spark_plan,
                 "ml_optimization": ml_optimization,
             }
 
