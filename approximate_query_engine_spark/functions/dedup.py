@@ -197,11 +197,22 @@ def dedup_minhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    transitive: bool = False,
     **kw,
 ) -> DataFrame:
-    """Greedy near-dup removal: drop any doc that has a verified near-dup
-    with a smaller id (the smaller id survives as canonical)."""
+    """Near-dup removal over verified MinHash pairs.
+
+    Default is the greedy rule (drop any doc with a smaller-id near-dup);
+    ``transitive=True`` closes duplicate sets via connected components
+    (a~b, b~c ⇒ one survivor for {a,b,c} even if a,c never collided) —
+    the standard semantics for corpus dedup at scale."""
     pairs = minhash_near_duplicates(df, id_col, text_col, threshold, **kw)
+    if transitive:
+        from approximate_query_engine_spark.functions.graph import (
+            dedup_by_components,
+        )
+
+        return dedup_by_components(df, pairs, id_col)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
