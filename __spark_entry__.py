@@ -157,6 +157,52 @@ _SHARED_SQL: dict[str, str] = {
     "q26_dedup_exact_docs": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
     ),
+    "q38_part_stats": (
+        "SELECT p_brand, COUNT(*) AS n, "
+        + _dsum("p_retailprice", "sum_price")
+        + ", MIN(p_size) AS min_size, MAX(p_size) AS max_size "
+        "FROM part GROUP BY p_brand"
+    ),
+    "q39_customer_segments": (
+        "SELECT c_mktsegment, COUNT(*) AS n, "
+        + _dsum("c_acctbal", "sum_bal")
+        + " FROM customer GROUP BY c_mktsegment HAVING COUNT(*) > 10"
+    ),
+    "q40_region_revenue": (
+        "SELECT r_name, COUNT(*) AS n_items, "
+        + _dsum("l_extendedprice", "revenue")
+        + " FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name"
+    ),
+    "q41_rollup": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        + _dsum("l_quantity", "sum_qty")
+        + " FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    "q42_anti_join": (
+        "SELECT COUNT(*) AS n_no_orders FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "q43_semi_join": (
+        "SELECT COUNT(*) AS n_with_big_order FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_totalprice > 200000)"
+    ),
+    "q44_string_funcs": (
+        "SELECT UPPER(SUBSTRING(p_type, 1, 5)) AS type_prefix, COUNT(*) AS n, "
+        "SUM(LENGTH(p_name)) AS total_name_len "
+        "FROM part GROUP BY UPPER(SUBSTRING(p_type, 1, 5))"
+    ),
+    "q45_date_funcs": (
+        "SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, "
+        "EXTRACT(MONTH FROM o_orderdate) AS mth, COUNT(*) AS n, "
+        + _dsum("o_totalprice", "total")
+        + " FROM orders GROUP BY 1, 2"
+    ),
 }
 
 

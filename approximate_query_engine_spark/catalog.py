@@ -56,7 +56,8 @@ class SampleInfo:
     target_fraction: float  # requested fraction
     path: str  # parquet location
     strata_column: str | None = None
-    allocation_type: str | None = None  # proportional | neyman | None
+    allocation_type: str | None = None  # proportional | neyman
+    variance_column: str | None = None  # Neyman variance driver, for refresh | None
     row_count: int = 0
     seed: int = 42
     strata: list[StratumInfo] = field(default_factory=list)

@@ -220,6 +220,7 @@ class Sampler:
             path=path,
             strata_column=strata_col,
             allocation_type=allocation,
+            variance_column=variance_col,
             row_count=total_sampled,
             seed=seed,
             strata=strata_infos,
@@ -227,6 +228,27 @@ class Sampler:
         self.catalog.register_sample(info)
         self.catalog.save()
         return info
+
+    # ------------------------------------------------------------------
+    def refresh_sample(self, sample_table: str) -> SampleInfo:
+        """Re-materialize a registered sample from the current base table
+        (after new data lands, samples go stale; the reference has no
+        refresh path — its samples silently drift). Keeps the original
+        target fraction / strata column / seed."""
+        info = self.catalog.get_sample(sample_table)
+        if info is None:
+            raise ValueError(f"unknown sample table {sample_table!r}")
+        if info.strata_column:
+            return self.create_stratified_sample(
+                info.table_name,
+                info.strata_column,
+                info.target_fraction,
+                variance_col=info.variance_column,
+                seed=info.seed,
+            )
+        return self.create_uniform_sample(
+            info.table_name, info.target_fraction, seed=info.seed
+        )
 
     # ------------------------------------------------------------------
     def load_registered_samples(self) -> None:

@@ -1,0 +1,97 @@
+"""Time-series rollup: rollup answers match direct aggregation over raw
+events at the bucket grain AND at coarser grains; incremental refresh
+repairs late buckets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximate_query_engine_spark.operators.rollup import (
+    RollupSpec,
+    materialize_rollup,
+    query_rollup,
+    refresh_rollup_buckets,
+)
+
+
+@pytest.fixture(scope="module")
+def spec(spark, engine, tmp_path_factory):
+    spec = RollupSpec(
+        source_table="events",
+        time_col="ts",
+        bucket="1 hour",
+        dims=["event_type"],
+        measures=["value"],
+    )
+    path = str(tmp_path_factory.mktemp("rollup") / spec.rollup_name)
+    materialize_rollup(spark, spec, path=path)
+    return spec, path
+
+
+def _direct(spark, grain):
+    return {
+        (r["b"], r["event_type"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in (
+            spark.table("events")
+            .groupBy(F.window("ts", grain)["start"].alias("b"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("s"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        )
+    }
+
+
+def test_rollup_matches_direct_at_bucket_grain(spark, spec):
+    spec, _ = spec
+    got = {
+        (r["bucket_start"], r["event_type"]): (
+            r["n_rows"], r["value_sum"], r["value_min"], r["value_max"]
+        )
+        for r in query_rollup(spark, spec, "value").collect()
+    }
+    want = _direct(spark, "1 hour")
+    assert set(got) == set(want)
+    for k, (n, s, mn, mx) in want.items():
+        gn, gs, gmn, gmx = got[k]
+        assert gn == n and gmn == mn and gmx == mx
+        assert gs == pytest.approx(s)
+
+
+def test_rollup_reaggregates_to_coarser_grain(spark, spec):
+    spec, _ = spec
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_rows"], r["value_sum"], r["value_avg"])
+        for r in query_rollup(spark, spec, "value", grain="1 day").collect()
+    }
+    want = _direct(spark, "1 day")
+    assert set(got) == set(want)
+    for k, (n, s, *_rest) in want.items():
+        gn, gs, gavg = got[k]
+        assert gn == n
+        assert gs == pytest.approx(s)
+        assert gavg == pytest.approx(s / n)  # avg from state, not avg-of-avgs
+
+
+def test_incremental_refresh_repairs_late_buckets(spark, spec):
+    spec, path = spec
+    # pick a cutoff mid-range and refresh from there; results unchanged
+    cutoff = spark.table(spec.rollup_name).agg(
+        F.expr("percentile(CAST(bucket_start AS DOUBLE), 0.5)")
+    ).collect()[0][0]
+    import datetime
+
+    since = datetime.datetime.utcfromtimestamp(cutoff)
+    before = _rollup_snapshot(spark, spec)
+    refresh_rollup_buckets(spark, spec, path, since_bucket=since)
+    after = _rollup_snapshot(spark, spec)
+    assert before == after  # no late data -> refresh is a no-op semantically
+
+
+def _rollup_snapshot(spark, spec):
+    return sorted(
+        (str(r["bucket_start"]), r["event_type"], r["n_rows"], round(r["value_sum"], 6))
+        for r in spark.table(spec.rollup_name).collect()
+    )

@@ -76,6 +76,22 @@ def test_stratified_sample_achieved_fractions(engine):
     assert total == engine.catalog.get_row_count("orders")
 
 
+def test_refresh_sample_keeps_settings(engine):
+    info = engine.sampler.create_stratified_sample(
+        "orders", "o_orderstatus", 0.3, variance_col="o_totalprice", seed=5
+    )
+    refreshed = engine.sampler.refresh_sample(info.sample_table)
+    assert refreshed.sample_table == info.sample_table
+    assert refreshed.strata_column == "o_orderstatus"
+    assert refreshed.allocation_type == "neyman"
+    assert refreshed.variance_column == "o_totalprice"
+    assert refreshed.seed == 5
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        engine.sampler.refresh_sample("nope__sample")
+
+
 def test_strata_analysis_single_pass(engine):
     strata = engine.sampler.analyze_strata("orders", "o_orderstatus", "o_totalprice")
     assert {s["strata_value"] for s in strata} <= {"F", "O", "P"}
