@@ -68,20 +68,9 @@ class AQEngine:
         reference's legacy CSV-upload capability, whose backend is absent
         from the snapshot — templates/index.html:589-649, SURVEY.md §2.1).
         Formats: csv (header+inferSchema by default), json, parquet, orc."""
-        opts = dict(options or {})
-        reader = self.spark.read
-        if fmt == "csv":
-            opts.setdefault("header", "true")
-            opts.setdefault("inferSchema", "true")
-            df = reader.options(**opts).csv(path)
-        elif fmt == "json":
-            df = reader.options(**opts).json(path)
-        elif fmt == "parquet":
-            df = reader.options(**opts).parquet(path)
-        elif fmt == "orc":
-            df = reader.options(**opts).orc(path)
-        else:
-            raise ValueError(f"unsupported format {fmt!r} (csv|json|parquet|orc)")
+        from approximate_query_engine_spark.sources import read_source
+
+        df = read_source(self.spark, path, fmt, options)
         self.register_view(name, df)
         self.catalog.save()
         return {
@@ -126,7 +115,7 @@ class AQEngine:
         ml_optimization: dict[str, Any] | None = None
         if use_ml_optimization and not prefer_exact:
             ml_optimization = self.optimizer.optimize_query(sql, max_rel_error)
-            plan = self.planner.plan(
+            plan = ml_optimization.pop("_plan", None) or self.planner.plan(
                 sql,
                 max_rel_error,
                 prefer_exact=False,

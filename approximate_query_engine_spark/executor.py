@@ -73,13 +73,26 @@ def measured_relative_error(
     if not approx_rows or not exact_rows or len(approx_rows) != len(exact_rows):
         return None
     exact_cols = set(exact_rows[0].keys())
+
+    def _is_numeric_col(c: str) -> bool:
+        # scan ALL rows: a NULL in the first row must not demote a numeric
+        # column into the sort key (which would desync row pairing)
+        saw_number = False
+        for r in approx_rows:
+            v = r.get(c)
+            if v is None:
+                continue
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                return False
+            saw_number = True
+        return saw_number
+
     num_cols = [
         c
-        for c, v in approx_rows[0].items()
-        if isinstance(v, (int, float))
-        and not isinstance(v, bool)
-        and c in exact_cols
+        for c in approx_rows[0]
+        if c in exact_cols
         and not c.endswith(("_ci_low", "_ci_high", "_rel_error"))
+        and _is_numeric_col(c)
     ]
     if not num_cols:
         return None

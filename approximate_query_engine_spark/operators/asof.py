@@ -44,12 +44,17 @@ def asof_join(
 def _asof_union(
     left: DataFrame, right: DataFrame, on: str, by: list[str], right_prefix: str
 ) -> DataFrame:
+    from pyspark.sql import types as T
+
     lcols = left.columns
     rcols = [c for c in right.columns if c != on and c not in by]
-    # common schema: left cols + prefixed right cols + side tag
+    # the right side travels as ONE struct so the window's last() picks a
+    # single as-of ROW atomically — per-column fills would mix columns from
+    # different right rows whenever a right value is NULL
+    r_struct_type = T.StructType([right.schema[c] for c in rcols])
     l_tagged = left.select(
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(right_prefix + c) for c in rcols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
         F.lit(1).alias("__is_left"),
     )
     r_tagged = right.select(
@@ -57,7 +62,7 @@ def _asof_union(
             F.col(c) if c == on or c in by else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in lcols
         ],
-        *[F.col(c).alias(right_prefix + c) for c in rcols],
+        F.struct(*[F.col(c).alias(c) for c in rcols]).alias("__r"),
         F.lit(0).alias("__is_left"),
     )
     unioned = l_tagged.unionByName(r_tagged)
@@ -70,13 +75,16 @@ def _asof_union(
     )
     filled = unioned.select(
         *[F.col(c) for c in lcols],
-        *[
-            F.last(F.col(right_prefix + c), ignorenulls=True).over(w).alias(right_prefix + c)
-            for c in rcols
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
         F.col("__is_left"),
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(
+            *[F.col(c) for c in lcols],
+            *[F.col("__r")[c].alias(right_prefix + c) for c in rcols],
+        )
+    )
 
 
 def _asof_pandas(

@@ -25,10 +25,17 @@ def salted_join(
     seed: int = 42,
 ) -> DataFrame:
     """Join ``skewed`` (hot-keyed side) with ``other`` on ``on`` using
-    ``salt``-way key splitting. Result equals the plain join; the shuffle
-    for any single key is spread over ``salt`` partitions."""
+    ``salt``-way key splitting. For inner/left joins the result equals the
+    plain join; other join types are rejected — replicating ``other``
+    salt-times would duplicate its unmatched rows under right/full outer
+    and break semi/anti semantics."""
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} "
+            "(right/full/semi/anti would duplicate or miscount the replicated side)"
+        )
     s = skewed.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
     o = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -120,6 +120,9 @@ class MLOptimizer:
         est_speedup, est_error = self._estimates(plan, feats, max_rel_error)
         reasoning = self._reasoning(strategy, feats, learned)
         return {
+            # the realized plan rides along so the engine doesn't plan twice
+            # (popped off before the dict reaches the response)
+            "_plan": plan,
             "strategy": plan["type"],
             "modified_sql": plan["sql"],
             "original_sql": sql,

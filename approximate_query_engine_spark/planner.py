@@ -154,18 +154,21 @@ class Planner:
                 reason="full scan, zero error",
             )
         ]
-        # COUNT(DISTINCT) → sketch; only the sketch candidate competes with
-        # exact because sampling a DISTINCT is biased (SURVEY.md §2.6).
-        if parsed.has_distinct and parsed.has_count:
-            rsd = min(max(max_rel_error / rewriter.Z_95, MIN_RSD), MAX_RSD)
-            out.append(
-                Candidate(
-                    "sketch",
-                    SKETCH_QUERY_COST,
-                    rsd,
-                    reason=f"approx_count_distinct HLL++ (rsd={rsd:.4f})",
+        # DISTINCT aggregates are never sampled (biased — SURVEY.md §2.6).
+        # COUNT(DISTINCT) → the sketch candidate (full scan, HLL++, no
+        # sampling; any other aggregates in the query run exact within it);
+        # SUM/AVG(DISTINCT) without a COUNT(DISTINCT) → exact only.
+        if parsed.has_distinct:
+            if any(a.distinct and a.func == "COUNT" for a in parsed.aggregates):
+                rsd = min(max(max_rel_error / rewriter.Z_95, MIN_RSD), MAX_RSD)
+                out.append(
+                    Candidate(
+                        "sketch",
+                        SKETCH_QUERY_COST,
+                        rsd,
+                        reason=f"approx_count_distinct HLL++ (rsd={rsd:.4f})",
+                    )
                 )
-            )
             return self._filter(out, max_rel_error, forced_strategy)
 
         if parsed.has_min_max and not (parsed.has_count or parsed.has_sum or parsed.has_avg):
@@ -242,14 +245,17 @@ class Planner:
         if cand.strategy == "exact":
             return self._exact(sql, parsed.table, cand.reason or "exact chosen by cost",
                                cost=cand.cost)
-        if cand.strategy == "sketch":
-            rw = rewriter.rewrite_sketch(parsed, cand.error)
-        elif cand.strategy == "stratified":
-            rw = rewriter.rewrite_stratified(parsed, cand.sample)
-        elif cand.sample is not None:
-            rw = rewriter.rewrite_uniform_sample(parsed, cand.sample)
-        else:
-            rw = rewriter.rewrite_inline_sample(parsed, cand.inline_fraction, seed)
+        try:
+            if cand.strategy == "sketch":
+                rw = rewriter.rewrite_sketch(parsed, cand.error)
+            elif cand.strategy == "stratified":
+                rw = rewriter.rewrite_stratified(parsed, cand.sample)
+            elif cand.sample is not None:
+                rw = rewriter.rewrite_uniform_sample(parsed, cand.sample)
+            else:
+                rw = rewriter.rewrite_inline_sample(parsed, cand.inline_fraction, seed)
+        except rewriter.UnsupportedRewriteError as e:
+            return self._exact(sql, parsed.table, f"not approximable: {e}")
         return rewriter.plan_dict(rw, sql, parsed.table, cand.cost, cand.error, cand.reason)
 
     def _exact(

@@ -44,6 +44,10 @@ from approximate_query_engine_spark.sqlparser import Aggregate, ParsedQuery
 Z_95 = 1.96
 
 
+class UnsupportedRewriteError(ValueError):
+    """The query cannot be safely approximated; caller must run exact."""
+
+
 @dataclass
 class RewriteResult:
     sql: str
@@ -63,19 +67,31 @@ def _sql_str(val: str) -> str:
     return "'" + val.replace("'", "''") + "'"
 
 
+#: catalog marker for a NULL-valued stratum (see sampler.stringify_stratum)
+NULL_STRATUM = "__NULL__"
+
+
 def _weight_case_expr(col: str, strata: list, overall_fraction: float) -> str:
     """Per-row inclusion-probability expression for a stratified sample:
     CASE on the stratum value → achieved per-stratum fraction. Strata
     counts are small (they were enumerable at allocation time), so an
-    inline CASE stays in codegen and needs no join."""
+    inline CASE stays in codegen and needs no join.
+
+    Stratum values were recorded with ``sampler.stringify_stratum``, which
+    matches Spark's CAST(x AS STRING) rendering (booleans lowercase, NULL as
+    a marker) — a plain Python str() would silently mismatch and hand every
+    row the ELSE fraction."""
     whens = []
     for s in strata:
         if s.fraction and s.fraction > 0:
-            whens.append(
-                f"WHEN CAST({col} AS STRING) = {_sql_str(s.strata_value)} "
-                f"THEN CAST({s.fraction!r} AS DOUBLE)"
-            )
+            if s.strata_value == NULL_STRATUM:
+                cond = f"{col} IS NULL"
+            else:
+                cond = f"CAST({col} AS STRING) = {_sql_str(s.strata_value)}"
+            whens.append(f"WHEN {cond} THEN CAST({s.fraction!r} AS DOUBLE)")
     else_f = f"CAST({overall_fraction!r} AS DOUBLE)"
+    if not whens:  # every stratum empty/zero: constant overall fraction
+        return f"({else_f})"
     return "(CASE " + " ".join(whens) + f" ELSE {else_f} END)"
 
 
@@ -88,9 +104,14 @@ class _AggScaler:
 
     def scaled(self, agg: Aggregate) -> str:
         f = self.f
+        if agg.distinct:
+            # No DISTINCT aggregate is scalable on a sample: COUNT(DISTINCT)
+            # routes to the sketch path, SUM/AVG(DISTINCT) have no unbiased
+            # sample estimator — callers must fall back to exact.
+            raise UnsupportedRewriteError(
+                f"{agg.func}(DISTINCT ...) is not approximable by sampling"
+            )
         if agg.func == "COUNT":
-            if agg.distinct:
-                raise ValueError("COUNT(DISTINCT) goes through the sketch path")
             base = "1.0" if agg.is_star else f"CASE WHEN ({agg.arg}) IS NOT NULL THEN 1.0 END"
             return f"CAST(ROUND(SUM({base} / {f})) AS BIGINT)"
         if agg.func == "SUM":
@@ -116,6 +137,49 @@ class _AggScaler:
             x = f"CAST(({agg.arg}) AS DOUBLE)"
             return f"STDDEV_SAMP({x}) / SQRT(COUNT({x}))"
         return None
+
+
+import re as _re
+
+_AGG_CALL_RE = _re.compile(r"\b(COUNT|SUM|AVG|MIN|MAX)\s*\(", _re.IGNORECASE)
+
+
+def _scale_aggs_in_expr(text: str, scaler: "_AggScaler") -> str:
+    """Replace every aggregate call in ``text`` with its scaled form
+    (MIN/MAX pass through; DISTINCT aggs raise UnsupportedRewriteError).
+    Balanced-paren scan, case-insensitive."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _AGG_CALL_RE.search(text, i)
+        if not m:
+            out.append(text[i:])
+            break
+        out.append(text[i : m.start()])
+        depth, j = 0, m.end() - 1  # j at '('
+        while j < len(text):
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            out.append(text[m.start() :])
+            break
+        call = text[m.start() : j + 1]
+        inner = text[m.end() : j].strip()
+        dm = _re.match(r"^DISTINCT\s+(.*)$", inner, _re.IGNORECASE | _re.DOTALL)
+        agg = Aggregate(
+            func=m.group(1).upper(),
+            arg=dm.group(1) if dm else inner,
+            distinct=bool(dm),
+            raw=call,
+        )
+        out.append(call if agg.func in ("MIN", "MAX") else f"({scaler.scaled(agg)})")
+        i = j + 1
+    return "".join(out)
 
 
 def rewrite_exact(parsed: ParsedQuery | None, sql: str) -> RewriteResult:
@@ -190,24 +254,15 @@ def _rewrite_on_weights(
         else:
             select.append(f"{it.raw} AS {_bt(name)}")
 
-    # Scale agg references inside HAVING the same way (the rewritten query
-    # groups over sample rows; an unscaled HAVING COUNT(*) > K would compare
-    # sample-level counts against full-table thresholds). Both the raw agg
-    # text and its alias are substituted — Spark SQL allows HAVING to
-    # reference a select alias, which would otherwise bind to the SCALED
-    # output column silently combined with unscaled literals.
-    import re as _re
-
+    # Scale aggregate CALLS inside HAVING (the rewritten query groups over
+    # sample rows; an unscaled HAVING COUNT(*) > K would compare
+    # sample-level counts against full-table thresholds). A balanced-paren
+    # scanner handles case/whitespace variants and HAVING-only aggregates;
+    # alias references need no rewriting — Spark resolves them against the
+    # already-scaled output column.
     having = parsed.having
     if having:
-        for it in parsed.select_items:
-            if it.agg and not it.agg.distinct:
-                scaled_txt = f"({_AggScaler(f_expr).scaled(it.agg)})"
-                having = having.replace(it.agg.raw, scaled_txt)
-                if it.alias:
-                    having = _re.sub(
-                        rf"\b{_re.escape(it.alias)}\b", scaled_txt, having
-                    )
+        having = _scale_aggs_in_expr(having, scaler)
     rendered = ParsedQuery(
         select_items=parsed.select_items,
         table=table_expr,

@@ -32,6 +32,19 @@ from pyspark.sql import functions as F
 from approximate_query_engine_spark.catalog import Catalog, SampleInfo, StratumInfo
 
 
+def stringify_stratum(value) -> str:
+    """Render a stratum value the way Spark's CAST(x AS STRING) does, so
+    the rewriter's weight CASE matches at query time: booleans lowercase,
+    NULL as a dedicated marker (compared with IS NULL, not equality)."""
+    from approximate_query_engine_spark.rewriter import NULL_STRATUM
+
+    if value is None:
+        return NULL_STRATUM
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
 def _fraction_tag(fraction: float) -> str:
     """Human-readable fraction tag for view names, e.g. 0.01 -> '0_01'.
 
@@ -120,7 +133,7 @@ class Sampler:
     @staticmethod
     def proportional_allocation(strata: list[dict], total_fraction: float) -> dict:
         """f_h = total_fraction for every stratum (reference sampler.py:220-225)."""
-        return {str(s["strata_value"]): total_fraction for s in strata}
+        return {stringify_stratum(s["strata_value"]): total_fraction for s in strata}
 
     @staticmethod
     def neyman_allocation(strata: list[dict], total_fraction: float) -> dict:
@@ -141,7 +154,7 @@ class Sampler:
         for s, w in zip(strata, weights):
             n_h = target_n * (w / total_weight)
             f_h = min(n_h / s["pop_size"], 1.0) if s["pop_size"] else 0.0
-            out[str(s["strata_value"])] = f_h
+            out[stringify_stratum(s["strata_value"])] = f_h
         return out
 
     # ------------------------------------------------------------------
@@ -175,7 +188,11 @@ class Sampler:
         # fractions dict on the raw (non-stringified) values.
         raw_fractions = {}
         for s in strata:
-            raw_fractions[s["strata_value"]] = fractions[str(s["strata_value"])]
+            if s["strata_value"] is None:
+                # sampleBy equality never matches NULL keys; null-stratum
+                # rows are excluded from the sample (weights handle absence)
+                continue
+            raw_fractions[s["strata_value"]] = fractions[stringify_stratum(s["strata_value"])]
         sampled = df.sampleBy(strata_col, fractions=raw_fractions, seed=seed)
 
         sample_table = f"{table}__strat_sample_{strata_col}_{_fraction_tag(total_fraction)}"
@@ -202,7 +219,7 @@ class Sampler:
             pop = int(s["pop_size"])
             strata_infos.append(
                 StratumInfo(
-                    strata_value=str(s["strata_value"]),
+                    strata_value=stringify_stratum(s["strata_value"]),
                     pop_size=pop,
                     sample_size=n_h,
                     fraction=(n_h / pop) if pop else 0.0,

@@ -83,17 +83,22 @@ def register_testdata(
     return out
 
 
+def nanos_to_micros_ts(colname: str):
+    """Exact ns→µs timestamp conversion: integer `div` (float division
+    loses ULPs at epoch-nanosecond magnitudes and can land on the adjacent
+    microsecond, flipping window membership vs the DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_micros(F.expr(f"{colname} div 1000"))
+
+
 def _normalize_nanos_timestamps(df: DataFrame) -> DataFrame:
     """Convert nanos-as-long timestamp columns (see nanosAsLong config) to
     TimestampType at microsecond precision. Detection keys on the parquet
     logical-type metadata Spark attaches to such columns."""
-    from pyspark.sql import functions as F
-
     for f in df.schema.fields:
         if f.dataType.simpleString() == "bigint" and (
             f.metadata.get("__is_nanos_timestamp__") or f.name in ("ts",)
         ):
-            df = df.withColumn(
-                f.name, F.timestamp_micros((F.col(f.name) / 1000).cast("long"))
-            )
+            df = df.withColumn(f.name, nanos_to_micros_ts(f.name))
     return df

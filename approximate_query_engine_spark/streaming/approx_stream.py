@@ -38,9 +38,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # events.ts arrives as nanos-as-long (see session.py); convert once here.
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        from approximate_query_engine_spark.session import nanos_to_micros_ts
+
+        stream = stream.withColumn("ts", nanos_to_micros_ts("ts"))
     return stream
 
 
