@@ -170,7 +170,18 @@ class Catalog:
         return [s for s in self.samples.values() if s.table_name == table]
 
     def uniform_samples_for_table(self, table: str) -> list[SampleInfo]:
-        return [s for s in self.samples_for_table(table) if s.strata_column is None]
+        return [
+            s
+            for s in self.samples_for_table(table)
+            if s.strata_column is None and s.allocation_type != "weighted"
+        ]
+
+    def weighted_samples_for_table(self, table: str) -> list[SampleInfo]:
+        return [
+            s
+            for s in self.samples_for_table(table)
+            if s.allocation_type == "weighted"
+        ]
 
     def stratified_samples_for_table(
         self, table: str, strata_column: str | None = None

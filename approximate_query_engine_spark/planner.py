@@ -111,7 +111,9 @@ class Planner:
         direct = self.catalog.get_sample(parsed.table)
         if direct is not None:
             if parsed.is_aggregate_query and not parsed.has_distinct:
-                if direct.strata_column:
+                if direct.allocation_type == "weighted":
+                    rw = rewriter.rewrite_weighted_sample(parsed, direct)
+                elif direct.strata_column:
                     rw = rewriter.rewrite_stratified(parsed, direct)
                 else:
                     rw = rewriter.rewrite_uniform_sample(parsed, direct)
@@ -193,6 +195,32 @@ class Planner:
                         )
                     )
 
+        # Measure-biased (PPS) samples: near-optimal for SUM/AVG of the
+        # biasing measure; listed before uniform so ties prefer them when a
+        # summed expression references the measure column.
+        for s in self.catalog.weighted_samples_for_table(parsed.table):
+            references_measure = any(
+                a.func in ("SUM", "AVG") and s.variance_column in a.arg
+                for a in parsed.aggregates
+            )
+            if references_measure:
+                # cost: actual rows scanned (PPS keeps far fewer rows than
+                # the design fraction suggests — heavy rows are certain,
+                # the tail is cheap). error: based on the DESIGN fraction —
+                # for the biasing measure, PPS variance is far below what
+                # the achieved head-count implies (mass is captured), so
+                # 1/sqrt(f_target·N) is already conservative.
+                out.append(
+                    Candidate(
+                        "weighted",
+                        sample_cost(n, s.sample_fraction),
+                        sampling_error(n, s.target_fraction) * 0.5,
+                        sample=s,
+                        reason=f"measure-biased sample on {s.variance_column} "
+                        f"(rows={s.row_count}, design f={s.target_fraction:.4f})",
+                    )
+                )
+
         # Pre-built uniform samples.
         for s in self.catalog.uniform_samples_for_table(parsed.table):
             out.append(
@@ -248,6 +276,8 @@ class Planner:
         try:
             if cand.strategy == "sketch":
                 rw = rewriter.rewrite_sketch(parsed, cand.error)
+            elif cand.strategy == "weighted":
+                rw = rewriter.rewrite_weighted_sample(parsed, cand.sample)
             elif cand.strategy == "stratified":
                 rw = rewriter.rewrite_stratified(parsed, cand.sample)
             elif cand.sample is not None:

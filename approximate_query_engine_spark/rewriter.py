@@ -324,6 +324,28 @@ def rewrite_inline_sample(
     )
 
 
+def rewrite_weighted_sample(parsed: ParsedQuery, sample: SampleInfo) -> RewriteResult:
+    """Table → measure-biased sample: the per-row inclusion probability is
+    the sample's stored ``__p`` column, so the generic Horvitz–Thompson
+    scaling/SE expressions apply verbatim with f_expr = __p. For
+    SUM(measure) the estimator variance is near zero (big rows are certain
+    inclusions), which is the point of PPS sampling."""
+    transforms = [
+        f"Rewrote to measure-biased sample {sample.sample_table} "
+        f"(PPS on {sample.variance_column}, fraction {sample.sample_fraction:.6f})",
+        "Applied per-row Horvitz-Thompson weights 1/__p inside aggregates",
+    ]
+    return _rewrite_on_weights(
+        parsed,
+        sample.sample_table,
+        "__p",
+        "sample",
+        sample.sample_table,
+        sample.sample_fraction,
+        transforms,
+    )
+
+
 def rewrite_stratified(parsed: ParsedQuery, sample: SampleInfo) -> RewriteResult:
     """Table → stratified sample with per-row Horvitz–Thompson weights from
     the achieved per-stratum fractions. Works for ANY grouping (not just the

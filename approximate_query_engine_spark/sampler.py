@@ -247,6 +247,71 @@ class Sampler:
         return info
 
     # ------------------------------------------------------------------
+    def create_weighted_sample(
+        self,
+        table: str,
+        measure_col: str,
+        fraction: float,
+        seed: int = 42,
+        min_prob: float = 1e-6,
+    ) -> SampleInfo:
+        """Measure-biased (probability-proportional-to-size) Bernoulli
+        sample: row i is kept with p_i = min(1, target_n · x_i / Σx), and
+        its inclusion probability is STORED as a ``__p`` column, so the
+        rewriter's Horvitz–Thompson machinery scales by the per-row
+        probability directly. For SUM(measure) on skewed data this is the
+        variance-optimal Bernoulli design (big rows are always in); the
+        classic importance-sampling AQP technique the reference lacks.
+
+        Two passes, both scan-time: (1) Σx from one aggregate, (2) the
+        probability filter. Negative/NULL measures get the floor
+        probability (they carry no SUM mass but stay estimable for COUNT).
+        """
+        if not (0.0 < fraction < 1.0):
+            raise ValueError("sample_fraction must be in (0, 1)")
+        df = self.spark.table(table)
+        totals = df.agg(
+            F.sum(F.when(F.col(measure_col) > 0, F.col(measure_col)).otherwise(0.0)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        total_x, n = float(totals["s"] or 0.0), int(totals["n"])
+        target_n = fraction * n
+        if total_x <= 0:
+            return self.create_uniform_sample(table, fraction, seed)
+        p = F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(min_prob),
+                F.lit(target_n) * F.col(measure_col) / F.lit(total_x),
+            ),
+        )
+        sampled = (
+            df.withColumn("__p", p)
+            .filter(F.rand(seed) < F.col("__p"))
+        )
+        sample_table = f"{table}__wsample_{measure_col}_{_fraction_tag(fraction)}"
+        path = os.path.join(self.samples_dir, sample_table)
+        sampled.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        out.createOrReplaceTempView(sample_table)
+        rows = out.count()
+        self.catalog.upsert_table_stats(table, n)
+        info = SampleInfo(
+            table_name=table,
+            sample_table=sample_table,
+            sample_fraction=rows / n if n else fraction,
+            target_fraction=fraction,
+            path=path,
+            row_count=rows,
+            seed=seed,
+            allocation_type="weighted",
+            variance_column=measure_col,
+        )
+        self.catalog.register_sample(info)
+        self.catalog.save()
+        return info
+
+    # ------------------------------------------------------------------
     def refresh_sample(self, sample_table: str) -> SampleInfo:
         """Re-materialize a registered sample from the current base table
         (after new data lands, samples go stale; the reference has no
@@ -255,6 +320,13 @@ class Sampler:
         info = self.catalog.get_sample(sample_table)
         if info is None:
             raise ValueError(f"unknown sample table {sample_table!r}")
+        if info.allocation_type == "weighted":
+            return self.create_weighted_sample(
+                info.table_name,
+                info.variance_column,
+                info.target_fraction,
+                seed=info.seed,
+            )
         if info.strata_column:
             return self.create_stratified_sample(
                 info.table_name,
