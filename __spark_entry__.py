@@ -339,6 +339,50 @@ _PER_ENGINE_SQL: dict[str, Callable[[str], str]] = {
     "q27_fingerprint": _fingerprint_sql,
 }
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom as-of join operator (union-window composition) checked
+    against DuckDB's native ASOF JOIN — verified bit-identical."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.operators import asof_join
+
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    signups = ev.filter("event_type = 'signup'").select(
+        "user_id", "ts", F.col("value").alias("sv")
+    )
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    return asof_join(clicks, signups, on="ts", by="user_id", right_prefix="last_").select(
+        "event_id", F.col("last_sv")
+    )
+
+
+_ASOF_ORACLE = (
+    "SELECT c.event_id, s.sv AS last_sv FROM "
+    "(SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c "
+    "ASOF LEFT JOIN "
+    "(SELECT user_id, ts, value AS sv FROM events WHERE event_type = 'signup') s "
+    "ON c.user_id = s.user_id AND c.ts >= s.ts"
+)
+
+
+def _q_pps_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure-biased (PPS) sampling estimate of SUM(l_extendedprice):
+    rows-only (seeded rand; no cross-engine reproduction)."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.catalog.upsert_table_stats("lineitem", spark.table("lineitem").count())
+    eng.sampler.create_weighted_sample("lineitem", "l_extendedprice", 0.02, seed=42)
+    plan = eng.planner.plan(
+        "SELECT SUM(l_extendedprice) AS total FROM lineitem", max_rel_error=0.05
+    )
+    return spark.sql(plan["sql"])
+
+
 _ANN_ORACLE = (
     "SELECT vec_id FROM embeddings "
     "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
@@ -456,7 +500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, build in _PER_ENGINE_SQL.items():
         out[name] = _sql_query(build("spark"))
     out["q28_ann_topk"] = _q_ann_topk
+    out["q46_asof_join"] = _q_asof_join
     # rows-only checks (non-SQL-expressible / engine-specific randomness):
+    out["q47_pps_sum"] = _q_pps_sum
     out["q30_approx_count_distinct"] = _q_approx_count_distinct
     out["q31_engine_sample_ci"] = _q_engine_sample
     out["q32_minhash_pairs"] = _q_minhash_pairs
@@ -472,4 +518,5 @@ def oracle_sql() -> dict[str, str]:
     for name, build in _PER_ENGINE_SQL.items():
         out[name] = build("duckdb")
     out["q28_ann_topk"] = _ANN_ORACLE
+    out["q46_asof_join"] = _ASOF_ORACLE
     return out
