@@ -375,7 +375,7 @@ def _q_pps_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark, sf_dir)
     eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
-    eng.catalog.upsert_table_stats("lineitem", spark.table("lineitem").count())
+    # create_weighted_sample records the table stats in its own pass
     eng.sampler.create_weighted_sample("lineitem", "l_extendedprice", 0.02, seed=42)
     plan = eng.planner.plan(
         "SELECT SUM(l_extendedprice) AS total FROM lineitem", max_rel_error=0.05

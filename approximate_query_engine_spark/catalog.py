@@ -46,6 +46,9 @@ class StratumInfo:
     fraction: float  # achieved fraction (post-hoc corrected, sampler parity)
     weight: float
     variance: float | None = None
+    #: explicit flag (not a sentinel value) — a genuine string stratum could
+    #: collide with any marker text
+    is_null: bool = False
 
 
 @dataclass

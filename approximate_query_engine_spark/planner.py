@@ -111,12 +111,17 @@ class Planner:
         direct = self.catalog.get_sample(parsed.table)
         if direct is not None:
             if parsed.is_aggregate_query and not parsed.has_distinct:
-                if direct.allocation_type == "weighted":
-                    rw = rewriter.rewrite_weighted_sample(parsed, direct)
-                elif direct.strata_column:
-                    rw = rewriter.rewrite_stratified(parsed, direct)
-                else:
-                    rw = rewriter.rewrite_uniform_sample(parsed, direct)
+                try:
+                    if direct.allocation_type == "weighted":
+                        rw = rewriter.rewrite_weighted_sample(parsed, direct)
+                    elif direct.strata_column:
+                        rw = rewriter.rewrite_stratified(parsed, direct)
+                    else:
+                        rw = rewriter.rewrite_uniform_sample(parsed, direct)
+                except rewriter.UnsupportedRewriteError as e:
+                    return self._exact(
+                        sql, parsed.table, f"direct sample-table scan ({e})"
+                    )
                 return rewriter.plan_dict(
                     rw, sql, direct.table_name,
                     sample_cost(direct.row_count, 1.0),
@@ -199,9 +204,16 @@ class Planner:
         # biasing measure; listed before uniform so ties prefer them when a
         # summed expression references the measure column.
         for s in self.catalog.weighted_samples_for_table(parsed.table):
-            references_measure = any(
-                a.func in ("SUM", "AVG") and s.variance_column in a.arg
-                for a in parsed.aggregates
+            # PPS is only safe when EVERY scalable aggregate targets the
+            # biasing measure (word-boundary match, not substring): COUNT or
+            # sums of other columns have huge variance under these weights,
+            # which would silently violate the error contract.
+            import re as _re
+
+            pat = _re.compile(rf"\b{_re.escape(s.variance_column)}\b")
+            scalable = [a for a in parsed.aggregates if a.func in ("COUNT", "SUM", "AVG")]
+            references_measure = bool(scalable) and all(
+                a.func in ("SUM", "AVG") and pat.search(a.arg) for a in scalable
             )
             if references_measure:
                 # cost: actual rows scanned (PPS keeps far fewer rows than

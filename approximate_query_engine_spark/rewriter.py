@@ -39,7 +39,11 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from approximate_query_engine_spark.catalog import SampleInfo
-from approximate_query_engine_spark.sqlparser import Aggregate, ParsedQuery
+from approximate_query_engine_spark.sqlparser import (
+    Aggregate,
+    OrderItem,
+    ParsedQuery,
+)
 
 Z_95 = 1.96
 
@@ -84,7 +88,7 @@ def _weight_case_expr(col: str, strata: list, overall_fraction: float) -> str:
     whens = []
     for s in strata:
         if s.fraction and s.fraction > 0:
-            if s.strata_value == NULL_STRATUM:
+            if getattr(s, "is_null", False):
                 cond = f"{col} IS NULL"
             else:
                 cond = f"CAST({col} AS STRING) = {_sql_str(s.strata_value)}"
@@ -144,26 +148,57 @@ import re as _re
 _AGG_CALL_RE = _re.compile(r"\b(COUNT|SUM|AVG|MIN|MAX)\s*\(", _re.IGNORECASE)
 
 
+def _literal_mask(text: str) -> list[bool]:
+    """mask[i] is True when text[i] sits inside a quoted SQL literal
+    (single-quoted with '' escapes, or double-quoted identifier)."""
+    mask = [False] * len(text)
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            quote = c
+            mask[i] = True
+            j = i + 1
+            while j < n:
+                mask[j] = True
+                if text[j] == quote:
+                    if quote == "'" and j + 1 < n and text[j + 1] == "'":
+                        mask[j + 1] = True
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+        else:
+            i += 1
+    return mask
+
+
 def _scale_aggs_in_expr(text: str, scaler: "_AggScaler") -> str:
     """Replace every aggregate call in ``text`` with its scaled form
     (MIN/MAX pass through; DISTINCT aggs raise UnsupportedRewriteError).
-    Balanced-paren scan, case-insensitive."""
+    Balanced-paren scan, case-insensitive, quote-aware: matches and parens
+    inside string literals are ignored."""
+    mask = _literal_mask(text)
     out: list[str] = []
     i = 0
     while True:
         m = _AGG_CALL_RE.search(text, i)
+        while m and mask[m.start()]:
+            m = _AGG_CALL_RE.search(text, m.end())
         if not m:
             out.append(text[i:])
             break
         out.append(text[i : m.start()])
         depth, j = 0, m.end() - 1  # j at '('
         while j < len(text):
-            if text[j] == "(":
-                depth += 1
-            elif text[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
+            if not mask[j]:
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
             j += 1
         if depth != 0:
             out.append(text[m.start() :])
@@ -263,13 +298,35 @@ def _rewrite_on_weights(
     having = parsed.having
     if having:
         having = _scale_aggs_in_expr(having, scaler)
+    # ORDER BY has the same hazard as HAVING: a raw aggregate there would
+    # rank groups by unscaled sample-level values while the projected
+    # columns carry weighted estimates — wrong top-k under per-row weights.
+    # An aggregate matching a select item sorts by that item's output alias
+    # (already scaled; also sidesteps a Spark analyzer corner with
+    # aggregate expressions under same-name aliases); other aggregates are
+    # scaled in place. Ordinals and alias references pass through untouched.
+    def _norm(t: str) -> str:
+        return _re.sub(r"\s+", "", t).upper()
+
+    by_raw = {
+        _norm(it.agg.raw): it.output_name
+        for it in parsed.select_items
+        if it.agg is not None
+    }
+    def _order_expr(expr: str) -> str:
+        alias = by_raw.get(_norm(expr))
+        if alias is not None:
+            return _bt(alias)
+        return _scale_aggs_in_expr(expr, scaler)
+
+    order_by = [OrderItem(_order_expr(o.expr), o.desc) for o in parsed.order_by]
     rendered = ParsedQuery(
         select_items=parsed.select_items,
         table=table_expr,
         where=parsed.where,
         group_by=parsed.group_by,
         having=having,
-        order_by=parsed.order_by,
+        order_by=order_by,
         limit=parsed.limit,
     ).render(select_override=select, extra_where=extra_where)
     return RewriteResult(

@@ -185,15 +185,23 @@ class Sampler:
 
         df = self.spark.table(table)
         # sampleBy keys must match the column's runtime values; build the
-        # fractions dict on the raw (non-stringified) values.
+        # fractions dict on the raw (non-stringified) values. NULL keys are
+        # invisible to sampleBy's equality, so the NULL stratum is sampled
+        # by an explicit union — dropping it would bias every whole-table
+        # estimate low by the NULL share (no HT weight can repair p=0).
         raw_fractions = {}
+        null_fraction = None
         for s in strata:
             if s["strata_value"] is None:
-                # sampleBy equality never matches NULL keys; null-stratum
-                # rows are excluded from the sample (weights handle absence)
+                null_fraction = fractions[stringify_stratum(None)]
                 continue
             raw_fractions[s["strata_value"]] = fractions[stringify_stratum(s["strata_value"])]
         sampled = df.sampleBy(strata_col, fractions=raw_fractions, seed=seed)
+        if null_fraction:
+            null_rows = df.filter(F.col(strata_col).isNull()).sample(
+                withReplacement=False, fraction=null_fraction, seed=seed + 1
+            )
+            sampled = sampled.unionByName(null_rows)
 
         sample_table = f"{table}__strat_sample_{strata_col}_{_fraction_tag(total_fraction)}"
         path = os.path.join(self.samples_dir, sample_table)
@@ -219,6 +227,7 @@ class Sampler:
             pop = int(s["pop_size"])
             strata_infos.append(
                 StratumInfo(
+                    is_null=s["strata_value"] is None,
                     strata_value=stringify_stratum(s["strata_value"]),
                     pop_size=pop,
                     sample_size=n_h,
@@ -276,7 +285,14 @@ class Sampler:
         ).collect()[0]
         total_x, n = float(totals["s"] or 0.0), int(totals["n"])
         target_n = fraction * n
+        sample_table = f"{table}__wsample_{measure_col}_{_fraction_tag(fraction)}"
         if total_x <= 0:
+            # degenerate measure: fall back to uniform — and retire any
+            # stale weighted entry under this name so the planner stops
+            # routing to drifted sample data
+            if self.catalog.get_sample(sample_table) is not None:
+                self.catalog.samples.pop(sample_table, None)
+                self.catalog.save()
             return self.create_uniform_sample(table, fraction, seed)
         p = F.least(
             F.lit(1.0),
@@ -289,7 +305,6 @@ class Sampler:
             df.withColumn("__p", p)
             .filter(F.rand(seed) < F.col("__p"))
         )
-        sample_table = f"{table}__wsample_{measure_col}_{_fraction_tag(fraction)}"
         path = os.path.join(self.samples_dir, sample_table)
         sampled.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
