@@ -236,3 +236,15 @@ class AQEngine:
 
     def ml_stats(self) -> dict:
         return self.optimizer.learning_stats()
+
+    def progressive_query(
+        self,
+        sql: str,
+        target_rel_error: float = 0.05,
+        seed: int = 42,
+    ) -> dict:
+        """Online aggregation: refine over a growing sample until the CI
+        meets the target (see progressive.py)."""
+        from approximate_query_engine_spark.progressive import progressive_query
+
+        return progressive_query(self.spark, sql, target_rel_error, seed=seed)

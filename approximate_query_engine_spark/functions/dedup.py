@@ -217,6 +217,106 @@ def dedup_minhash(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """The persistable dedup state: (id, shingles, minhash) per doc. At
+    warehouse scale this is written as a Parquet/Delta table once per
+    corpus and new batches join against it (see
+    :func:`incremental_minhash_dedup`)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return with_minhash(df.repartition(par, id_col), text_col, n, num_hashes).select(
+        id_col, "shingles", "minhash"
+    )
+
+
+def _banded(sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int):
+    return sig_df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_sig: DataFrame,
+    existing_sig: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an existing signature table without
+    re-processing the corpus: candidates are (new × existing) band-bucket
+    collisions plus (new × new) self-collisions; a new doc is dropped when
+    a verified near-dup exists in the corpus or among smaller-id new docs.
+
+    → (kept_new_signatures, updated_signature_table). Work scales with the
+    new batch + its collisions, never with corpus size — the property that
+    makes continuous corpus ingestion feasible.
+    """
+    rows_per_band = num_hashes // bands
+    nb = _banded(new_sig, id_col, bands, rows_per_band).localCheckpoint(eager=False)
+    eb = _banded(existing_sig, id_col, bands, rows_per_band)
+
+    cross = (
+        nb.alias("l")
+        .join(
+            eb.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    self_pairs = (
+        nb.alias("l")
+        .join(
+            nb.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._id") > F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    cand = cross.unionByName(self_pairs).distinct()
+
+    sh_new = new_sig.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_all = (
+        existing_sig.select(id_col, "shingles")
+        .unionByName(new_sig.select(id_col, "shingles"))
+        .select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    )
+    losers = (
+        cand.join(sh_new, "id_a")
+        .join(sh_all, "id_b")
+        .withColumn("jaccard", jaccard_expr("sh_a", "sh_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    kept_new = new_sig.join(losers, id_col, "left_anti")
+    updated = existing_sig.unionByName(kept_new)
+    return kept_new, updated
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

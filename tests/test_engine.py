@@ -105,6 +105,27 @@ def test_sketch_distinct_accuracy(engine, duck):
     assert abs(r["result"][0]["np"] - true) / true < 0.05
 
 
+def test_grouped_count_distinct_sketch(engine, duck):
+    r = q(
+        engine,
+        "SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n FROM lineitem "
+        "GROUP BY l_returnflag",
+        max_rel_error=0.05,
+        use_ml_optimization=True,
+    )
+    assert r["plan"]["type"] == "sketch"
+    truth = dict(
+        duck.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_orderkey) FROM lineitem "
+            "GROUP BY l_returnflag"
+        ).fetchall()
+    )
+    assert len(r["result"]) == len(truth)
+    for row in r["result"]:
+        true = truth[row["l_returnflag"]]
+        assert abs(row["n"] - true) / true < 0.1
+
+
 def test_min_max_exact_only(engine, duck):
     r = q(engine, "SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi FROM lineitem",
           use_ml_optimization=True)

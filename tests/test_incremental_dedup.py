@@ -1,0 +1,64 @@
+"""Incremental dedup: new batches against a persisted signature table."""
+
+from approximate_query_engine_spark.functions.dedup import (
+    incremental_minhash_dedup,
+    signature_table,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+
+def test_incremental_batches(spark):
+    batch1 = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, "completely different content about spark engines and samples"),
+        ],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (10, BASE),  # exact dup of corpus doc 1 -> dropped
+            (11, BASE.replace("today", "tomorrow")),  # near dup of 1 -> dropped
+            (12, "brand new content that matches nothing else at all"),  # kept
+            (13, "brand new content that matches nothing else at all"),  # dup of 12 -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    sig1 = signature_table(batch1)
+    kept, updated = incremental_minhash_dedup(
+        signature_table(batch2), sig1, threshold=0.6
+    )
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    assert kept_ids == [12]
+    updated_ids = sorted(r["doc_id"] for r in updated.collect())
+    assert updated_ids == [1, 2, 12]
+
+
+def test_incremental_empty_corpus(spark):
+    empty = signature_table(
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    batch = spark.createDataFrame(
+        [(1, BASE), (2, BASE)], "doc_id long, text string"
+    )
+    kept, updated = incremental_minhash_dedup(
+        signature_table(batch), empty, threshold=0.6
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1]
+    assert sorted(r["doc_id"] for r in updated.collect()) == [1]
+
+
+def test_incremental_matches_batch_dedup(spark, engine):
+    """Splitting the sf0.001 documents into two batches and deduping
+    incrementally keeps the same count as one-shot transitive-free dedup."""
+    docs = engine.spark.table("documents")
+    b1 = docs.filter("doc_id < 250")
+    b2 = docs.filter("doc_id >= 250")
+    s1 = signature_table(b1)
+    kept1, corpus = incremental_minhash_dedup(signature_table(b1), signature_table(b1.limit(0)), threshold=0.5)
+    kept2, corpus2 = incremental_minhash_dedup(signature_table(b2), corpus, threshold=0.5)
+    total = corpus2.count()
+    assert 0 < total <= 500
+    # every kept id unique
+    assert corpus2.select("doc_id").distinct().count() == total

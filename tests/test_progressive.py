@@ -1,0 +1,69 @@
+"""Progressive (online) aggregation: early stopping, escalation, accuracy."""
+
+import pytest
+
+from approximate_query_engine_spark.progressive import progressive_query
+
+
+def test_loose_target_stops_early(spark, engine, duck):
+    r = progressive_query(
+        spark, "SELECT COUNT(*) AS c FROM lineitem", target_rel_error=0.2
+    )
+    assert r["meta"]["stopped_early"]
+    assert r["meta"]["fraction"] < 0.25
+    true = duck.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    assert r["result"][0]["c"] == pytest.approx(true, rel=0.5)
+
+
+def test_tighter_target_uses_larger_fraction(spark, engine):
+    loose = progressive_query(
+        spark, "SELECT SUM(l_extendedprice) AS s FROM lineitem", target_rel_error=0.3
+    )
+    tight = progressive_query(
+        spark, "SELECT SUM(l_extendedprice) AS s FROM lineitem", target_rel_error=0.02
+    )
+    assert tight["meta"]["fraction"] >= loose["meta"]["fraction"]
+    assert len(tight["meta"]["steps"]) >= len(loose["meta"]["steps"])
+
+
+def test_impossible_target_escalates_to_exact(spark, engine, duck):
+    r = progressive_query(
+        spark, "SELECT COUNT(*) AS c FROM lineitem", target_rel_error=1e-9
+    )
+    assert not r["meta"]["stopped_early"]
+    assert r["meta"]["plan_type"] == "exact"
+    true = duck.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    assert r["result"][0]["c"] == true
+
+
+def test_non_approximable_goes_exact(spark, engine):
+    r = progressive_query(
+        spark,
+        "SELECT o_orderkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey LIMIT 5",
+        target_rel_error=0.1,
+    )
+    assert r["meta"]["plan_type"] == "exact"
+    assert len(r["result"]) == 5
+
+
+def test_group_by_progressive_meets_target(spark, engine, duck):
+    target = 0.15
+    r = progressive_query(
+        spark,
+        "SELECT l_returnflag, SUM(l_quantity) AS sq FROM lineitem GROUP BY l_returnflag",
+        target_rel_error=target,
+    )
+    truth = dict(
+        duck.execute(
+            "SELECT l_returnflag, SUM(l_quantity) FROM lineitem GROUP BY l_returnflag"
+        ).fetchall()
+    )
+    # reported bound met -> actual error should be in the same ballpark
+    for row in r["result"]:
+        true = truth[row["l_returnflag"]]
+        assert abs(row["sq"] - true) / true < 3 * target
+
+
+def test_engine_facade(engine):
+    r = engine.progressive_query("SELECT AVG(l_tax) AS t FROM lineitem", 0.2)
+    assert r["status"] == "ok" and r["result"]
