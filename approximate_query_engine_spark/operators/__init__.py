@@ -6,6 +6,15 @@ from approximate_query_engine_spark.operators.bucketing import (
     bucketize,
     cocolocated_join,
 )
+from approximate_query_engine_spark.operators.join_estimate import (
+    estimate_join_size,
+)
 from approximate_query_engine_spark.operators.salting import salted_join
 
-__all__ = ["asof_join", "bucketize", "cocolocated_join", "salted_join"]
+__all__ = [
+    "asof_join",
+    "bucketize",
+    "cocolocated_join",
+    "salted_join",
+    "estimate_join_size",
+]

@@ -87,6 +87,27 @@ def test_bucketed_join_eliminates_exchange(spark, engine):
     assert joined.count() == plain
 
 
+def test_estimate_join_size(spark, engine):
+    from approximate_query_engine_spark.operators import estimate_join_size
+
+    li, od = spark.table("lineitem"), spark.table("orders")
+    true = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    est = estimate_join_size(
+        li.withColumnRenamed("l_orderkey", "k"),
+        od.withColumnRenamed("o_orderkey", "k"),
+        on="k",
+        fraction_left=0.3,
+        fraction_right=0.3,
+        seed=7,
+    )
+    assert est["ci_low"] <= true <= est["ci_high"]
+    assert abs(est["estimate"] - true) / true < 0.5
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        estimate_join_size(li, od, on="k", fraction_left=0.0)
+
+
 def test_salted_join_matches_plain(spark):
     skewed = spark.createDataFrame(
         [(1, i) for i in range(500)] + [(2, i) for i in range(5)],
