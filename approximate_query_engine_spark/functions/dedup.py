@@ -121,25 +121,7 @@ def lsh_candidate_pairs(
     self-joins on them — the only shuffle is on the band key, and only
     same-bucket rows meet. Pairs are deduplicated with a_id < b_id.
     """
-    banded = sig_df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col(minhash_col), b * rows_per_band + 1, rows_per_band
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    banded = _banded(sig_df, id_col, bands, rows_per_band, minhash_col)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -166,17 +148,13 @@ def minhash_near_duplicates(
     """Verified near-duplicate pairs: LSH candidates filtered by exact
     shingle-set Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
     rows_per_band = num_hashes // bands
-    # repartition first: signature computation is the expensive scan-side
-    # work and must parallelize even when the source is one small file
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sig = with_minhash(df.repartition(par, id_col), text_col, n, num_hashes).select(
-        id_col, "shingles", "minhash"
-    )
     # the signature sub-plan feeds four consumers (both band-join sides and
     # both verify joins); materialize it once instead of recomputing — at
     # warehouse scale this is "write the signature table", here its
     # in-memory analog
-    sig = sig.localCheckpoint(eager=False)
+    sig = signature_table(df, id_col, text_col, n, num_hashes).localCheckpoint(
+        eager=False
+    )
     cand = lsh_candidate_pairs(sig, id_col, "minhash", bands, rows_per_band)
     # join by COLUMN NAME, never by column objects across a self-join's
     # shared lineage — object equality resolves both sides to the same
@@ -234,7 +212,16 @@ def signature_table(
     )
 
 
-def _banded(sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int):
+def _banded(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    minhash_col: str = "minhash",
+):
+    """(id, band_id, band_hash) explosion of a signature table — THE band
+    scheme; every candidate-generation path must go through this one
+    definition so batch and incremental dedup bucket identically."""
     return sig_df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
@@ -244,7 +231,7 @@ def _banded(sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int):
                     F.concat_ws(
                         ",",
                         F.transform(
-                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                            F.slice(F.col(minhash_col), b * rows_per_band + 1, rows_per_band),
                             lambda v: v.cast("string"),
                         ),
                     )
@@ -254,6 +241,18 @@ def _banded(sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int):
     )
 
 
+def band_signature_table(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The persistable BANDED corpus index (id, band_id, band_hash). Write
+    this alongside the signature table (partitioned/bucketed by band_hash)
+    so incremental batches join against it without re-banding the corpus."""
+    return _banded(sig_df, id_col, bands, num_hashes // bands)
+
+
 def incremental_minhash_dedup(
     new_sig: DataFrame,
     existing_sig: DataFrame,
@@ -261,19 +260,33 @@ def incremental_minhash_dedup(
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int = 16,
+    existing_banded: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Dedup a NEW batch against an existing signature table without
-    re-processing the corpus: candidates are (new × existing) band-bucket
-    collisions plus (new × new) self-collisions; a new doc is dropped when
-    a verified near-dup exists in the corpus or among smaller-id new docs.
+    """Dedup a NEW batch against an existing signature table: candidates
+    are (new × existing) band-bucket collisions plus (new × new)
+    self-collisions; a new doc is dropped when a verified near-dup exists
+    in the corpus or among smaller-id new docs.
 
-    → (kept_new_signatures, updated_signature_table). Work scales with the
-    new batch + its collisions, never with corpus size — the property that
-    makes continuous corpus ingestion feasible.
+    → (kept_new_signatures, updated_signature_table).
+
+    Scaling: pass ``existing_banded`` — the persisted
+    :func:`band_signature_table` output, stored bucketed by band_hash — so
+    the corpus is never re-banded per batch; the tiny new-batch band-key
+    set is broadcast into a semi-join that prunes the corpus index before
+    anything shuffles. Without it, this call bands the corpus itself
+    (acceptable for small corpora and tests, O(corpus) per batch).
     """
     rows_per_band = num_hashes // bands
     nb = _banded(new_sig, id_col, bands, rows_per_band).localCheckpoint(eager=False)
-    eb = _banded(existing_sig, id_col, bands, rows_per_band)
+    if existing_banded is None:
+        existing_banded = _banded(existing_sig, id_col, bands, rows_per_band)
+    # prune the corpus index to buckets the new batch actually touches;
+    # the new batch's key set is small -> broadcast semi-join, so only
+    # matching buckets ever shuffle
+    new_keys = nb.select("band_id", "band_hash").distinct()
+    eb = existing_banded.join(
+        F.broadcast(new_keys), ["band_id", "band_hash"], "left_semi"
+    )
 
     cross = (
         nb.alias("l")

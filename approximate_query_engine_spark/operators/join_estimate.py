@@ -53,8 +53,21 @@ def estimate_join_size(
     sampled_pairs = float(row["n"] or 0.0)
     sum_sq = float(row["n2"] or 0.0)
     est = sampled_pairs * scale
-    # plug-in HT variance: Var ≈ Σ pairs_k² · (1 - f_a·f_b) / (f_a·f_b)²
     fab = fraction_left * fraction_right
+    if sampled_pairs == 0:
+        # zero collisions is NOT certainty of an empty join — the plug-in
+        # variance degenerates to 0. Rule of three: with 95% confidence the
+        # expected sampled-pair count is below ~3, so the join is below
+        # 3·scale. low_support flags the estimate as unusable for planning.
+        return {
+            "estimate": 0.0,
+            "ci_low": 0.0,
+            "ci_high": 3.0 * scale,
+            "sampled_pairs": 0,
+            "scale": scale,
+            "low_support": True,
+        }
+    # plug-in HT variance: Var ≈ Σ pairs_k² · (1 - f_a·f_b) / (f_a·f_b)²
     se = (sum_sq * (1 - fab)) ** 0.5 / fab
     return {
         "estimate": est,
@@ -62,4 +75,5 @@ def estimate_join_size(
         "ci_high": est + Z_95 * se,
         "sampled_pairs": int(sampled_pairs),
         "scale": scale,
+        "low_support": sampled_pairs < 10,
     }

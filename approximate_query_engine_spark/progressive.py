@@ -35,6 +35,22 @@ from approximate_query_engine_spark.sqlparser import try_parse
 DEFAULT_LADDER = (0.001, 0.004, 0.016, 0.064, 0.25)
 
 
+def _min_group_support(spark: SparkSession, parsed, fraction: float, seed: int) -> int:
+    """Smallest per-group sampled-row count under the SAME seeded sampling
+    predicate (deterministic rand(seed) → identical subset). One cheap
+    extra aggregation per stopping check."""
+    from approximate_query_engine_spark.sqlparser import ParsedQuery, SelectItem
+
+    support_q = ParsedQuery(
+        select_items=[SelectItem(raw="COUNT(*)", alias="__n", agg=None)],
+        table=parsed.table,
+        where=parsed.where,
+        group_by=parsed.group_by,
+    ).render(extra_where=f"rand({seed}) < CAST({fraction!r} AS DOUBLE)")
+    counts = [r["__n"] for r in spark.sql(support_q).collect()]
+    return min(counts) if counts else 0
+
+
 def _worst_rel_error(rows: list[dict[str, Any]]) -> float | None:
     """Max reported rel_error across all groups/aggregates (None when no
     CI columns exist or every value is NULL)."""
@@ -65,24 +81,46 @@ def progressive_query(
     parsed = try_parse(sql)
     steps: list[dict[str, Any]] = []
     if parsed is not None and parsed.is_aggregate_query and not parsed.has_distinct:
+        prev_n_groups = None
         for fraction in ladder:
             t0 = time.perf_counter()
             try:
                 rw = rewrite_inline_sample(parsed, fraction, seed=seed)
             except UnsupportedRewriteError:
                 break
+            if not rw.ci_columns:
+                # no CI companions exist (e.g. MIN/MAX-only): no step can
+                # ever satisfy the stopping rule — go straight to exact
+                break
             rows = ex.collect_rows(spark.sql(rw.sql))
             elapsed = (time.perf_counter() - t0) * 1000.0
             worst = _worst_rel_error(rows)
+            support = _min_group_support(spark, parsed, fraction, seed)
             steps.append(
                 {
                     "fraction": fraction,
                     "worst_rel_error": worst,
                     "rows": len(rows),
+                    "min_support": support,
                     "ms": elapsed,
                 }
             )
-            if worst is not None and worst <= target_rel_error and rows:
+            # Stop only when (a) every reported CI meets the target,
+            # (b) each group rests on >= min_rows sampled rows, and
+            # (c) the group count is stable vs the previous step — new
+            # groups still appearing means rare groups are likely missing.
+            # NOTE (inherent to sampling): a group with ~zero expected
+            # sampled rows can still be absent; (b)+(c) make that unlikely,
+            # not impossible.
+            stable = prev_n_groups is None or prev_n_groups == len(rows)
+            prev_n_groups = len(rows)
+            if (
+                rows
+                and worst is not None
+                and worst <= target_rel_error
+                and support >= min_rows
+                and stable
+            ):
                 return {
                     "status": "ok",
                     "result": rows,

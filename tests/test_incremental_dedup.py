@@ -51,14 +51,30 @@ def test_incremental_empty_corpus(spark):
 
 def test_incremental_matches_batch_dedup(spark, engine):
     """Splitting the sf0.001 documents into two batches and deduping
-    incrementally keeps the same count as one-shot transitive-free dedup."""
+    incrementally keeps the same doc count as one-shot greedy dedup
+    (both use the same band scheme and smaller-id-wins rule)."""
+    from approximate_query_engine_spark.functions.dedup import dedup_minhash
+
     docs = engine.spark.table("documents")
     b1 = docs.filter("doc_id < 250")
     b2 = docs.filter("doc_id >= 250")
-    s1 = signature_table(b1)
-    kept1, corpus = incremental_minhash_dedup(signature_table(b1), signature_table(b1.limit(0)), threshold=0.5)
-    kept2, corpus2 = incremental_minhash_dedup(signature_table(b2), corpus, threshold=0.5)
-    total = corpus2.count()
-    assert 0 < total <= 500
-    # every kept id unique
-    assert corpus2.select("doc_id").distinct().count() == total
+    empty = signature_table(b1.limit(0))
+    _, corpus = incremental_minhash_dedup(signature_table(b1), empty, threshold=0.5)
+    _, corpus2 = incremental_minhash_dedup(signature_table(b2), corpus, threshold=0.5)
+    incremental_total = corpus2.count()
+    oneshot_total = dedup_minhash(docs, threshold=0.5, num_hashes=64, bands=16).count()
+    assert incremental_total == oneshot_total
+    assert corpus2.select("doc_id").distinct().count() == incremental_total
+
+
+def test_incremental_with_prebanded_corpus(spark):
+    from approximate_query_engine_spark.functions.dedup import band_signature_table
+
+    b1 = spark.createDataFrame([(1, BASE), (2, "other text entirely")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(10, BASE), (11, "fresh new content here")], "doc_id long, text string")
+    corpus = signature_table(b1)
+    banded = band_signature_table(corpus)
+    kept, _ = incremental_minhash_dedup(
+        signature_table(b2), corpus, threshold=0.6, existing_banded=banded
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11]

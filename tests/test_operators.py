@@ -106,6 +106,12 @@ def test_estimate_join_size(spark, engine):
 
     with _pt.raises(ValueError):
         estimate_join_size(li, od, on="k", fraction_left=0.0)
+    # zero sampled collisions: never a certain [0, 0] CI
+    a = spark.range(0, 1000).withColumnRenamed("id", "k")
+    b = spark.range(100000, 101000).withColumnRenamed("id", "k")  # disjoint
+    z = estimate_join_size(a, b, on="k", fraction_left=0.05, fraction_right=0.05)
+    assert z["sampled_pairs"] == 0 and z["low_support"]
+    assert z["ci_high"] > 0.0
 
 
 def test_salted_join_matches_plain(spark):
