@@ -44,6 +44,7 @@ def _min_group_support(spark: SparkSession, parsed, fraction: float, seed: int) 
     support_q = ParsedQuery(
         select_items=[SelectItem(raw="COUNT(*)", alias="__n", agg=None)],
         table=parsed.table,
+        table_alias=parsed.table_alias,
         where=parsed.where,
         group_by=parsed.group_by,
     ).render(extra_where=f"rand({seed}) < CAST({fraction!r} AS DOUBLE)")

@@ -323,6 +323,7 @@ def _rewrite_on_weights(
     rendered = ParsedQuery(
         select_items=parsed.select_items,
         table=table_expr,
+        table_alias=parsed.table_alias,
         where=parsed.where,
         group_by=parsed.group_by,
         having=having,

@@ -80,6 +80,7 @@ class OrderItem:
 class ParsedQuery:
     select_items: list[SelectItem]
     table: str
+    table_alias: str | None = None
     where: str | None = None
     group_by: list[str] = field(default_factory=list)
     having: str | None = None
@@ -151,7 +152,12 @@ class ParsedQuery:
             for it in self.select_items:
                 parts.append(f"{it.raw} AS {it.alias}" if it.alias else it.raw)
             sel = ", ".join(parts)
-        sql = f"SELECT {sel} FROM {table_override or self.table}"
+        # the alias survives table substitution so alias-qualified column
+        # references keep resolving against the (sample) table
+        from_body = table_override or self.table
+        if self.table_alias:
+            from_body += f" {self.table_alias}"
+        sql = f"SELECT {sel} FROM {from_body}"
         where = self.where
         if extra_where:
             where = f"({where}) AND ({extra_where})" if where else extra_where
@@ -321,9 +327,24 @@ def parse(sql: str) -> ParsedQuery:
     if "," in from_body or "(" in from_body:
         raise UnsupportedQueryError("multi-table / subquery FROM is exact-only")
     from_tokens = from_body.split()
-    if len(from_tokens) != 1 or not _IDENT_RE.match(from_tokens[0]):
+    table_alias = None
+    if len(from_tokens) == 1 and _IDENT_RE.match(from_tokens[0]):
+        table = from_tokens[0]
+    elif (
+        len(from_tokens) == 2
+        and _IDENT_RE.match(from_tokens[0])
+        and _IDENT_RE.match(from_tokens[1])
+    ):
+        table, table_alias = from_tokens
+    elif (
+        len(from_tokens) == 3
+        and _IDENT_RE.match(from_tokens[0])
+        and from_tokens[1].upper() == "AS"
+        and _IDENT_RE.match(from_tokens[2])
+    ):
+        table, table_alias = from_tokens[0], from_tokens[2]
+    else:
         raise UnsupportedQueryError(f"unsupported FROM clause: {from_body!r}")
-    table = from_tokens[0]
 
     select_items = [_parse_select_item(t) for t in _split_top_commas(clauses["SELECT"])]
     if not select_items:
@@ -351,6 +372,7 @@ def parse(sql: str) -> ParsedQuery:
     return ParsedQuery(
         select_items=select_items,
         table=table,
+        table_alias=table_alias,
         where=clauses.get("WHERE"),
         group_by=group_by,
         having=clauses.get("HAVING"),

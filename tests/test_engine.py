@@ -177,6 +177,25 @@ def test_having_alias_scaled(engine, duck):
     assert len(r["result"]) == len(truth)
 
 
+def test_from_alias_approximable(engine, duck):
+    r = q(
+        engine,
+        "SELECT l.l_returnflag AS flag, COUNT(*) AS c FROM lineitem l "
+        "GROUP BY l.l_returnflag",
+        max_rel_error=0.2,
+        use_ml_optimization=True,
+    )
+    truth = dict(
+        duck.execute(
+            "SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag"
+        ).fetchall()
+    )
+    assert len(r["result"]) == len(truth)
+    for row in r["result"]:
+        true = truth[row["flag"]]
+        assert abs(row["c"] - true) / true < 0.5
+
+
 def test_error_envelope(engine):
     r = engine.query("SELECT COUNT(*) FROM missing_table")
     assert r["status"] == "error"

@@ -92,6 +92,25 @@ def test_render_roundtrip_and_overrides():
     assert "WHERE x < 3" in out
 
 
+def test_from_alias():
+    for sql in (
+        "SELECT COUNT(*) FROM lineitem l",
+        "SELECT COUNT(*) FROM lineitem AS l",
+    ):
+        q = parse(sql)
+        assert q.table == "lineitem" and q.table_alias == "l"
+    q = parse("SELECT l.country, COUNT(l.id) AS c FROM purchases AS l GROUP BY l.country")
+    assert q.table == "purchases"
+    # alias survives table substitution so qualified refs keep resolving
+    out = q.render(table_override="purchases__sample_0_01")
+    assert "FROM purchases__sample_0_01 l" in out
+
+
+def test_from_alias_rejects_garbage():
+    with pytest.raises(ParseError):
+        parse("SELECT 1 FROM t a b")
+
+
 def test_comments_and_semicolon():
     q = parse("SELECT COUNT(*) FROM t; -- trailing\n")
     assert q.table == "t"
