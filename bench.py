@@ -106,13 +106,27 @@ def main() -> None:
         ),
     }
 
+    last_result: dict = {}
+
     def _run_engine(sql):
         def go():
             r = eng.query(sql, max_rel_error=0.05, dual_execute=False)
             assert r["status"] == "ok", r.get("error")
             assert r["plan"]["type"] != "exact", r["plan"]["reason"]
+            last_result[sql] = r["result"]
 
         return go
+
+    def _rel_error(sql) -> float | None:
+        """Mean |approx-exact|/|exact| over numeric cells, group-matched
+        (mirrors BASELINE.md's per-class error column)."""
+        approx = last_result.get(sql)
+        if not approx:
+            return None
+        exact = [r.asDict() for r in spark.sql(sql).collect()]
+        from approximate_query_engine_spark.executor import measured_relative_error
+
+        return measured_relative_error(approx, exact)
 
     timings: dict[str, float] = {}
     # exact vs approx per class (the BASELINE comparison axis); approx runs
@@ -231,6 +245,12 @@ def main() -> None:
         timings["big_distinct_sketch"], 1e-9
     )
 
+    errors = {}
+    for name, sql in {**exact_sqls, **big_sqls}.items():
+        e = _rel_error(sql)
+        if e is not None:
+            errors[name] = round(e, 4)
+
     total = sum(timings.values())
     print(
         json.dumps(
@@ -242,6 +262,7 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "sample_fraction": f,
                 "speedups": {k: round(v, 3) for k, v in speedups.items()},
+                "rel_errors": errors,
                 "lineitem_rows": n,
             }
         )
