@@ -58,9 +58,12 @@ class SampleInfo:
     sample_fraction: float  # achieved overall fraction
     target_fraction: float  # requested fraction
     path: str  # parquet location
-    strata_column: str | None = None
-    allocation_type: str | None = None  # proportional | neyman
-    variance_column: str | None = None  # Neyman variance driver, for refresh | None
+    strata_column: str | None = None  # SQL expression the weights key on
+    allocation_type: str | None = None  # proportional | neyman | weighted
+    variance_column: str | None = None  # Neyman variance driver, for refresh
+    #: source columns of the strata definition (multi-column stratification
+    #: stores the composite expression in strata_column and the parts here)
+    strata_source_cols: list[str] = field(default_factory=list)
     row_count: int = 0
     seed: int = 42
     strata: list[StratumInfo] = field(default_factory=list)

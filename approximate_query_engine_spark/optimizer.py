@@ -107,9 +107,10 @@ class MLOptimizer:
         if strategy == "sketch" and not (feats.has_distinct and feats.has_count):
             strategy = "sample"  # ref 'sketch' here meant a 30% row sample
         if strategy == "stratified":
+            group_cols = {g.strip() for g in parsed.group_by}
             has_strat = any(
-                self.catalog.stratified_samples_for_table(parsed.table, g.strip())
-                for g in parsed.group_by
+                set(s.strata_source_cols or [s.strata_column]) <= group_cols
+                for s in self.catalog.stratified_samples_for_table(parsed.table)
             )
             if not has_strat:
                 strategy = "sample"

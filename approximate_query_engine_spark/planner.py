@@ -182,13 +182,14 @@ class Planner:
             # MIN/MAX-only: not approximable (reference README contract).
             return self._filter(out, max_rel_error, forced_strategy)
 
-        # Stratified sample keyed on a GROUP BY column (makes the
-        # reference's vestigial stratified strategy real).
+        # Stratified sample whose strata definition is covered by the GROUP
+        # BY columns (makes the reference's vestigial stratified strategy
+        # real; multi-column strata match when every source column appears).
         if parsed.has_group_by:
-            for gcol in parsed.group_by:
-                for s in self.catalog.stratified_samples_for_table(
-                    parsed.table, gcol.strip()
-                ):
+            group_cols = {g.strip() for g in parsed.group_by}
+            for s in self.catalog.stratified_samples_for_table(parsed.table):
+                source = set(s.strata_source_cols or [s.strata_column])
+                if source <= group_cols:
                     out.append(
                         Candidate(
                             "stratified",

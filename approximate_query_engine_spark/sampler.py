@@ -104,11 +104,23 @@ class Sampler:
         return info
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def stratum_expr(cols: list[str]) -> str:
+        """Composite stratum SQL expression for multi-column stratification:
+        columns cast to string (NULL → chr(0) sentinel) joined on the unit
+        separator chr(31) — an injective encoding for text without control
+        characters."""
+        parts = ", ".join(
+            f"coalesce(CAST({c} AS STRING), chr(0))" for c in cols
+        )
+        return f"concat_ws(chr(31), {parts})"
+
     def analyze_strata(
         self, table: str, strata_col: str, variance_col: str | None = None
     ) -> list[dict]:
         """Per-stratum count/mean/variance in ONE aggregation pass.
 
+        ``strata_col`` may be any SQL expression (see :meth:`stratum_expr`).
         Replaces the reference's correlated-subquery SQL
         (sampler.py:146-191) with ``groupBy(col).agg(count, avg, var_samp)``
         — map-side partial aggregation, a single shuffle on the strata key.
@@ -120,7 +132,7 @@ class Sampler:
                 F.avg(variance_col).alias("mean"),
                 F.var_samp(variance_col).alias("variance"),
             ]
-        rows = df.groupBy(F.col(strata_col).alias("strata_value")).agg(*aggs).collect()
+        rows = df.groupBy(F.expr(strata_col).alias("strata_value")).agg(*aggs).collect()
         out = []
         for r in rows:
             d = r.asDict()
@@ -161,7 +173,7 @@ class Sampler:
     def create_stratified_sample(
         self,
         table: str,
-        strata_col: str,
+        strata_col: str | list[str],
         total_fraction: float,
         variance_col: str | None = None,
         seed: int = 42,
@@ -169,10 +181,14 @@ class Sampler:
         """Stratified Bernoulli sample via ``df.sampleBy`` — the exact Spark
         analog of the reference's per-stratum UNION ALL construction
         (reference sampler.py:50-96). ``variance_col`` set → Neyman
-        allocation, else proportional.
+        allocation, else proportional. A list of columns stratifies on the
+        composite key (see :meth:`stratum_expr`).
         """
         if not (0.0 < total_fraction < 1.0):
             raise ValueError("sample_fraction must be in (0, 1)")
+        source_cols = [strata_col] if isinstance(strata_col, str) else list(strata_col)
+        composite = len(source_cols) > 1
+        strata_col = source_cols[0] if not composite else self.stratum_expr(source_cols)
         strata = self.analyze_strata(table, strata_col, variance_col)
         if not strata:
             raise ValueError(f"table {table} is empty; cannot stratify")
@@ -196,14 +212,24 @@ class Sampler:
                 null_fraction = fractions[stringify_stratum(None)]
                 continue
             raw_fractions[s["strata_value"]] = fractions[stringify_stratum(s["strata_value"])]
-        sampled = df.sampleBy(strata_col, fractions=raw_fractions, seed=seed)
-        if null_fraction:
-            null_rows = df.filter(F.col(strata_col).isNull()).sample(
-                withReplacement=False, fraction=null_fraction, seed=seed + 1
-            )
-            sampled = sampled.unionByName(null_rows)
+        if composite:
+            # sampleBy needs a real column: materialize the composite key,
+            # sample on it, drop it (the expression is never NULL by
+            # construction, so no null-union path is needed)
+            keyed = df.withColumn("__stratum", F.expr(strata_col))
+            sampled = keyed.sampleBy(
+                "__stratum", fractions=raw_fractions, seed=seed
+            ).drop("__stratum")
+        else:
+            sampled = df.sampleBy(strata_col, fractions=raw_fractions, seed=seed)
+            if null_fraction:
+                null_rows = df.filter(F.col(strata_col).isNull()).sample(
+                    withReplacement=False, fraction=null_fraction, seed=seed + 1
+                )
+                sampled = sampled.unionByName(null_rows)
 
-        sample_table = f"{table}__strat_sample_{strata_col}_{_fraction_tag(total_fraction)}"
+        name_tag = "_".join(source_cols)
+        sample_table = f"{table}__strat_sample_{name_tag}_{_fraction_tag(total_fraction)}"
         path = os.path.join(self.samples_dir, sample_table)
         sampled.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
@@ -214,7 +240,7 @@ class Sampler:
         # ACHIEVED fractions — estimator unbiasedness depends on them.
         achieved_rows = {
             r["strata_value"]: r["n"]
-            for r in out.groupBy(F.col(strata_col).alias("strata_value"))
+            for r in out.groupBy(F.expr(strata_col).alias("strata_value"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
@@ -247,6 +273,7 @@ class Sampler:
             strata_column=strata_col,
             allocation_type=allocation,
             variance_column=variance_col,
+            strata_source_cols=source_cols,
             row_count=total_sampled,
             seed=seed,
             strata=strata_infos,
@@ -345,7 +372,7 @@ class Sampler:
         if info.strata_column:
             return self.create_stratified_sample(
                 info.table_name,
-                info.strata_column,
+                info.strata_source_cols or info.strata_column,
                 info.target_fraction,
                 variance_col=info.variance_column,
                 seed=info.seed,

@@ -92,6 +92,40 @@ def test_refresh_sample_keeps_settings(engine):
         engine.sampler.refresh_sample("nope__sample")
 
 
+def test_multi_column_stratified_sample(engine, spark):
+    info = engine.sampler.create_stratified_sample(
+        "lineitem", ["l_returnflag", "l_linestatus"], 0.2, seed=6
+    )
+    assert info.strata_source_cols == ["l_returnflag", "l_linestatus"]
+    assert "concat_ws" in info.strata_column
+    # one stratum per observed (flag, status) combination
+    combos = spark.sql(
+        "SELECT COUNT(DISTINCT l_returnflag, l_linestatus) c FROM lineitem"
+    ).collect()[0]["c"]
+    assert len(info.strata) == combos
+    # HT-weighted count over the composite strata recovers the table size
+    from approximate_query_engine_spark.rewriter import rewrite_stratified
+    from approximate_query_engine_spark.sqlparser import parse
+
+    rw = rewrite_stratified(parse("SELECT COUNT(*) AS c FROM lineitem"), info)
+    est = spark.sql(rw.sql).collect()[0]["c"]
+    true = spark.table("lineitem").count()
+    assert abs(est - true) / true < 0.1
+    # planner matches when BOTH columns are grouped, not when one is
+    plan = engine.planner.plan(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS c FROM lineitem "
+        "GROUP BY l_returnflag, l_linestatus",
+        max_rel_error=0.1,
+    )
+    cands = engine.planner.candidates(
+        parse("SELECT l_returnflag, COUNT(*) AS c FROM lineitem GROUP BY l_returnflag"),
+        6000, 0.1,
+    )
+    strat_cands = [c for c in cands if c.strategy == "stratified"
+                   and (c.sample.strata_source_cols or []) == ["l_returnflag", "l_linestatus"]]
+    assert strat_cands == []  # single-col grouping can't use the 2-col strata
+
+
 def test_strata_analysis_single_pass(engine):
     strata = engine.sampler.analyze_strata("orders", "o_orderstatus", "o_totalprice")
     assert {s["strata_value"] for s in strata} <= {"F", "O", "P"}
