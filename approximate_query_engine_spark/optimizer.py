@@ -107,7 +107,11 @@ class MLOptimizer:
         if strategy == "sketch" and not (feats.has_distinct and feats.has_count):
             strategy = "sample"  # ref 'sketch' here meant a 30% row sample
         if strategy == "stratified":
-            group_cols = {g.strip() for g in parsed.group_by}
+            from approximate_query_engine_spark.planner import _unqualify
+
+            group_cols = {
+                _unqualify(g.strip(), parsed.table_alias) for g in parsed.group_by
+            }
             has_strat = any(
                 set(s.strata_source_cols or [s.strata_column]) <= group_cols
                 for s in self.catalog.stratified_samples_for_table(parsed.table)

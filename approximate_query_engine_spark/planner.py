@@ -186,7 +186,9 @@ class Planner:
         # BY columns (makes the reference's vestigial stratified strategy
         # real; multi-column strata match when every source column appears).
         if parsed.has_group_by:
-            group_cols = {g.strip() for g in parsed.group_by}
+            group_cols = {
+                _unqualify(g.strip(), parsed.table_alias) for g in parsed.group_by
+            }
             for s in self.catalog.stratified_samples_for_table(parsed.table):
                 source = set(s.strata_source_cols or [s.strata_column])
                 if source <= group_cols:
@@ -309,6 +311,14 @@ class Planner:
             n = self.catalog.get_row_count(table) if table else None
             cost = exact_cost(n, False) if n else 0.0
         return rewriter.plan_dict(rw, sql, table, cost, 0.0, reason)
+
+
+def _unqualify(col: str, alias: str | None) -> str:
+    """Strip a table-alias qualifier so 'l.l_returnflag' matches a strata
+    definition recorded as 'l_returnflag'."""
+    if alias and col.startswith(alias + "."):
+        return col[len(alias) + 1 :]
+    return col
 
 
 def inline_fraction_for(n: int, max_rel_error: float) -> float:

@@ -32,6 +32,14 @@ from pyspark.sql import functions as F
 from approximate_query_engine_spark.catalog import Catalog, SampleInfo, StratumInfo
 
 
+def _strata_key(df: DataFrame, strata_col: str):
+    """Column for a strata definition: an actual column NAME goes through
+    F.col (a name like 'a-b' must stay a name, not parse as the arithmetic
+    a minus x); anything not in the schema is a composite expression and
+    goes through F.expr."""
+    return F.col(strata_col) if strata_col in df.columns else F.expr(strata_col)
+
+
 def stringify_stratum(value) -> str:
     """Render a stratum value the way Spark's CAST(x AS STRING) does, so
     the rewriter's weight CASE matches at query time: booleans lowercase,
@@ -43,6 +51,11 @@ def stringify_stratum(value) -> str:
     if isinstance(value, bool):
         return "true" if value else "false"
     return str(value)
+
+
+def _name_tag(text: str) -> str:
+    """Sanitize arbitrary column names for use inside view names."""
+    return re.sub(r"[^A-Za-z0-9_]", "_", text)
 
 
 def _fraction_tag(fraction: float) -> str:
@@ -132,7 +145,7 @@ class Sampler:
                 F.avg(variance_col).alias("mean"),
                 F.var_samp(variance_col).alias("variance"),
             ]
-        rows = df.groupBy(F.expr(strata_col).alias("strata_value")).agg(*aggs).collect()
+        rows = df.groupBy(_strata_key(df, strata_col).alias("strata_value")).agg(*aggs).collect()
         out = []
         for r in rows:
             d = r.asDict()
@@ -228,7 +241,13 @@ class Sampler:
                 )
                 sampled = sampled.unionByName(null_rows)
 
-        name_tag = "_".join(source_cols)
+        # composite names carry a column-count prefix so ['a','b'] can
+        # never collide with a single column literally named 'a_b'
+        name_tag = _name_tag(
+            source_cols[0]
+            if not composite
+            else f"mc{len(source_cols)}_" + "_".join(source_cols)
+        )
         sample_table = f"{table}__strat_sample_{name_tag}_{_fraction_tag(total_fraction)}"
         path = os.path.join(self.samples_dir, sample_table)
         sampled.write.mode("overwrite").parquet(path)
@@ -240,7 +259,7 @@ class Sampler:
         # ACHIEVED fractions — estimator unbiasedness depends on them.
         achieved_rows = {
             r["strata_value"]: r["n"]
-            for r in out.groupBy(F.expr(strata_col).alias("strata_value"))
+            for r in out.groupBy(_strata_key(out, strata_col).alias("strata_value"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
@@ -312,7 +331,7 @@ class Sampler:
         ).collect()[0]
         total_x, n = float(totals["s"] or 0.0), int(totals["n"])
         target_n = fraction * n
-        sample_table = f"{table}__wsample_{measure_col}_{_fraction_tag(fraction)}"
+        sample_table = f"{table}__wsample_{_name_tag(measure_col)}_{_fraction_tag(fraction)}"
         if total_x <= 0:
             # degenerate measure: fall back to uniform — and retire any
             # stale weighted entry under this name so the planner stops

@@ -334,6 +334,7 @@ def parse(sql: str) -> ParsedQuery:
         len(from_tokens) == 2
         and _IDENT_RE.match(from_tokens[0])
         and _IDENT_RE.match(from_tokens[1])
+        and from_tokens[1].upper() != "AS"  # dangling 'FROM t AS' is malformed
     ):
         table, table_alias = from_tokens
     elif (

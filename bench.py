@@ -46,8 +46,13 @@ def _time(fn, reps: int = 3) -> float:
     return best
 
 
-def _run_sql(spark, sql):
-    return lambda: spark.sql(sql).collect()
+def _run_sql(spark, sql, sink: dict | None = None):
+    def go():
+        rows = spark.sql(sql).collect()
+        if sink is not None:
+            sink[sql] = [r.asDict() for r in rows]
+
+    return go
 
 
 def _approx_sql(sql: str, fraction: float) -> str:
@@ -117,13 +122,15 @@ def main() -> None:
 
         return go
 
+    exact_rows: dict = {}
+
     def _rel_error(sql) -> float | None:
         """Mean |approx-exact|/|exact| over numeric cells, group-matched
-        (mirrors BASELINE.md's per-class error column)."""
-        approx = last_result.get(sql)
-        if not approx:
+        (mirrors BASELINE.md's per-class error column); exact rows are
+        reused from the timing phase, not re-executed."""
+        approx, exact = last_result.get(sql), exact_rows.get(sql)
+        if not approx or exact is None:
             return None
-        exact = [r.asDict() for r in spark.sql(sql).collect()]
         from approximate_query_engine_spark.executor import measured_relative_error
 
         return measured_relative_error(approx, exact)
@@ -133,7 +140,7 @@ def main() -> None:
     # the full engine path: parse → plan (picks the pre-built sample) →
     # rewritten scaled aggregates + CIs → collect
     for name, sql in exact_sqls.items():
-        timings[f"{name}_exact"] = _time(_run_sql(spark, sql))
+        timings[f"{name}_exact"] = _time(_run_sql(spark, sql, exact_rows))
         timings[f"{name}_approx"] = _time(_run_engine(sql))
         timings[f"{name}_tablesample"] = _time(_run_sql(spark, _approx_sql(sql, f)))
 
@@ -168,7 +175,7 @@ def main() -> None:
         "big_heavy": exact_sqls["heavy_agg"].replace("lineitem", "lineitem_big"),
     }
     for name, sql in big_sqls.items():
-        timings[f"{name}_exact"] = _time(_run_sql(spark, sql))
+        timings[f"{name}_exact"] = _time(_run_sql(spark, sql, exact_rows))
         timings[f"{name}_approx"] = _time(_run_engine(sql))
     timings["big_distinct_exact"] = _time(
         _run_sql(spark, "SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem_big")

@@ -112,10 +112,17 @@ def test_multi_column_stratified_sample(engine, spark):
     true = spark.table("lineitem").count()
     assert abs(est - true) / true < 0.1
     # planner matches when BOTH columns are grouped, not when one is
-    plan = engine.planner.plan(
-        "SELECT l_returnflag, l_linestatus, COUNT(*) AS c FROM lineitem "
-        "GROUP BY l_returnflag, l_linestatus",
-        max_rel_error=0.1,
+    both = engine.planner.candidates(
+        parse(
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS c FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        6000, 0.1,
+    )
+    assert any(
+        c.strategy == "stratified"
+        and (c.sample.strata_source_cols or []) == ["l_returnflag", "l_linestatus"]
+        for c in both
     )
     cands = engine.planner.candidates(
         parse("SELECT l_returnflag, COUNT(*) AS c FROM lineitem GROUP BY l_returnflag"),
@@ -124,6 +131,28 @@ def test_multi_column_stratified_sample(engine, spark):
     strat_cands = [c for c in cands if c.strategy == "stratified"
                    and (c.sample.strata_source_cols or []) == ["l_returnflag", "l_linestatus"]]
     assert strat_cands == []  # single-col grouping can't use the 2-col strata
+    # alias-qualified grouping still matches (unqualified comparison)
+    aliased = engine.planner.candidates(
+        parse(
+            "SELECT l.l_returnflag, l.l_linestatus, COUNT(*) AS c FROM lineitem l "
+            "GROUP BY l.l_returnflag, l.l_linestatus"
+        ),
+        6000, 0.1,
+    )
+    assert any(c.strategy == "stratified" for c in aliased)
+
+
+def test_non_identifier_column_name_strata(engine, spark):
+    """A column named like an expression ('seg-x') must stratify as a NAME,
+    not parse as arithmetic, and produce a valid sanitized view name."""
+    df = spark.createDataFrame(
+        [(i, str(i % 3), 1.0) for i in range(3000)], ["id", "seg", "v"]
+    ).withColumnRenamed("seg", "seg-x")
+    engine.register_view("weirdcol", df)
+    info = engine.sampler.create_stratified_sample("weirdcol", "seg-x", 0.3, seed=2)
+    assert len(info.strata) == 3
+    assert info.sample_table == "weirdcol__strat_sample_seg_x_0_3"
+    assert engine.spark.table(info.sample_table).count() == info.row_count
 
 
 def test_strata_analysis_single_pass(engine):

@@ -109,6 +109,8 @@ def test_from_alias():
 def test_from_alias_rejects_garbage():
     with pytest.raises(ParseError):
         parse("SELECT 1 FROM t a b")
+    with pytest.raises(ParseError):
+        parse("SELECT COUNT(*) FROM lineitem AS")  # dangling AS is not an alias
 
 
 def test_comments_and_semicolon():
