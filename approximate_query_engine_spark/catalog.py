@@ -22,6 +22,7 @@ import base64
 import json
 import os
 import tempfile
+import threading
 import time
 from dataclasses import asdict, dataclass, field
 from typing import Any
@@ -115,6 +116,9 @@ class Catalog:
         self.samples: dict[str, SampleInfo] = {}  # by sample_table name
         self.sketches: dict[tuple, SketchInfo] = {}
         self.history: list[HistoryRecord] = []
+        # the engine serves concurrent queries over one shared session;
+        # saves must not race on the tmp file
+        self._save_lock = threading.Lock()
         self._load()
 
     # ---- persistence ----
@@ -135,10 +139,14 @@ class Catalog:
             ],
             "history": [asdict(h) for h in self.history],
         }
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-        os.replace(tmp, self._meta_path)
+        # lock + per-thread tmp name: concurrent queries append history and
+        # save; a shared tmp path would let one thread's os.replace steal
+        # the other's file out from under it
+        with self._save_lock:
+            tmp = f"{self._meta_path}.tmp{threading.get_ident()}"
+            with open(tmp, "w") as f:
+                json.dump(doc, f)
+            os.replace(tmp, self._meta_path)
 
     def _load(self) -> None:
         if not os.path.exists(self._meta_path):
