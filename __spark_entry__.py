@@ -483,6 +483,102 @@ def _q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_strata_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass strata analysis (sampler.analyze_strata — reference
+    sampler.py:146-191's correlated subqueries replaced by a single
+    groupBy). Variance rounded to 6dp: var_samp merge order differs between
+    engines at the ULP level on doubles."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    strata = eng.sampler.analyze_strata("lineitem", "l_returnflag", "l_quantity")
+    rows = [
+        (
+            str(s["strata_value"]),
+            int(s["pop_size"]),
+            float(s["mean"]),
+            round(float(s["variance"]), 6),
+        )
+        for s in strata
+    ]
+    return spark.createDataFrame(
+        rows, "strata_value string, pop_size long, mean_qty double, var_qty double"
+    )
+
+
+_STRATA_ORACLE = (
+    "SELECT CAST(l_returnflag AS VARCHAR) AS strata_value, "
+    "COUNT(*) AS pop_size, "
+    "AVG(CAST(l_quantity AS DOUBLE)) AS mean_qty, "  # integer-valued: exact
+    "ROUND(VAR_SAMP(CAST(l_quantity AS DOUBLE)), 6) AS var_qty "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY strata_value"
+)
+
+
+def _q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation f_h = target_n·(N_h·σ_h/Σ N·σ)/N_h (sampler.
+    neyman_allocation, reference sampler.py:194-217), 6dp-rounded."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    strata = eng.sampler.analyze_strata("lineitem", "l_returnflag", "l_quantity")
+    alloc = eng.sampler.neyman_allocation(strata, 0.05)
+    rows = [(k, round(v, 6)) for k, v in sorted(alloc.items())]
+    return spark.createDataFrame(rows, "strata_value string, f_h double")
+
+
+_NEYMAN_ORACLE = (
+    "WITH s AS (SELECT CAST(l_returnflag AS VARCHAR) AS strata_value, "
+    "COUNT(*) AS pop_size, VAR_SAMP(CAST(l_quantity AS DOUBLE)) AS variance "
+    "FROM lineitem GROUP BY l_returnflag) "
+    "SELECT strata_value, "
+    "ROUND(LEAST(0.05 * SUM(pop_size) OVER () * (pop_size * SQRT(variance)) "
+    "/ SUM(pop_size * SQRT(variance)) OVER () / pop_size, 1.0), 6) AS f_h "
+    "FROM s ORDER BY strata_value"
+)
+
+
+def _q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates from the PERSISTED sketch binary (the read
+    path the reference never exercised — SURVEY.md vestigial flag #1).
+    eps=0.001 → width 2000 cells; 3 distinct keys can't collide in every
+    depth row, so estimates equal exact counts and are DuckDB-oracled."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.create_sketch(
+        "lineitem", "l_returnflag", "cms", {"epsilon": 0.001, "delta": 0.01}
+    )
+    rows = [
+        (
+            k,
+            int(
+                eng.sketches.estimate_frequency_from_sketch(
+                    "lineitem", "l_returnflag", k
+                )
+            ),
+        )
+        for k in ("A", "N", "R")
+    ]
+    return spark.createDataFrame(rows, "key string, freq long")
+
+
+_CMS_ORACLE = (
+    "SELECT CAST(l_returnflag AS VARCHAR) AS key, COUNT(*) AS freq "
+    "FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R') "
+    "GROUP BY l_returnflag ORDER BY key"
+)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -510,6 +606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q34_lsh_topk"] = _q_lsh_topk
     out["q35_stream_window"] = _q_stream_window
     out["q36_kll_quantiles"] = _q_kll_quantiles
+    out["q48_strata_analysis"] = _q_strata_analysis
+    out["q49_neyman_alloc"] = _q_neyman_alloc
+    out["q50_cms_freq"] = _q_cms_freq
     return out
 
 
@@ -519,4 +618,7 @@ def oracle_sql() -> dict[str, str]:
         out[name] = build("duckdb")
     out["q28_ann_topk"] = _ANN_ORACLE
     out["q46_asof_join"] = _ASOF_ORACLE
+    out["q48_strata_analysis"] = _STRATA_ORACLE
+    out["q49_neyman_alloc"] = _NEYMAN_ORACLE
+    out["q50_cms_freq"] = _CMS_ORACLE
     return out

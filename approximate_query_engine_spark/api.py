@@ -22,8 +22,6 @@ import-try so the engine library works without it.
 
 from __future__ import annotations
 
-import os
-
 try:
     from flask import Flask, jsonify, request
 
@@ -31,13 +29,25 @@ try:
 except ImportError:  # pragma: no cover - flask is present in CI image
     HAS_FLASK = False
 
+from approximate_query_engine_spark.config import Config
 from approximate_query_engine_spark.engine import AQEngine
 
 
-def create_app(engine: AQEngine):
+def create_app(engine: AQEngine, config: Config | None = None):
     if not HAS_FLASK:
         raise RuntimeError("flask is not installed; the HTTP API is unavailable")
+    config = config or Config.from_env()
     app = Flask("approximate_query_engine_spark")
+    app.config["SECRET_KEY"] = config.secret_key
+
+    @app.after_request
+    def _cors(resp):  # reference config.py CORS_ORIGINS parity
+        origin = config.allowed_origin(request.headers.get("Origin"))
+        if origin:
+            resp.headers["Access-Control-Allow-Origin"] = origin
+            resp.headers["Access-Control-Allow-Headers"] = "Content-Type"
+            resp.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
+        return resp
 
     @app.get("/")
     def index():
@@ -144,14 +154,15 @@ def create_app(engine: AQEngine):
 def main():  # pragma: no cover - manual entry point
     from approximate_query_engine_spark.session import DEFAULT_SF_DIR, get_spark
 
+    cfg = Config.from_env()
     spark = get_spark("aqe-api")
     engine = AQEngine(
         spark,
-        workdir=os.environ.get("AQE_WORKDIR"),
-        data_dir=os.environ.get("AQE_DATA_DIR", DEFAULT_SF_DIR),
+        workdir=cfg.workdir,
+        data_dir=cfg.data_dir or DEFAULT_SF_DIR,
     )
-    app = create_app(engine)
-    app.run(host="0.0.0.0", port=int(os.environ.get("AQE_PORT", "8080")))
+    app = create_app(engine, cfg)
+    app.run(host=cfg.host, port=cfg.port, debug=cfg.debug)
 
 
 if __name__ == "__main__":

@@ -116,6 +116,9 @@ class Catalog:
         self.samples: dict[str, SampleInfo] = {}  # by sample_table name
         self.sketches: dict[tuple, SketchInfo] = {}
         self.history: list[HistoryRecord] = []
+        #: learned per-column distinct counts (table, column) → ndv; fed by
+        #: sketch builds, read by the planner's COUNT(DISTINCT) cost model
+        self.column_ndv: dict[tuple[str, str], int] = {}
         # the engine serves concurrent queries over one shared session;
         # saves must not race on the tmp file
         self._save_lock = threading.Lock()
@@ -127,22 +130,34 @@ class Catalog:
         return os.path.join(self.workdir, "catalog.json")
 
     def save(self) -> None:
-        doc = {
-            "table_stats": {k: asdict(v) for k, v in self.table_stats.items()},
-            "samples": {k: asdict(v) for k, v in self.samples.items()},
-            "sketches": [
-                {
-                    **asdict(s),
-                    "sketch_data": base64.b64encode(s.sketch_data).decode(),
-                }
-                for s in self.sketches.values()
-            ],
-            "history": [asdict(h) for h in self.history],
-        }
-        # lock + per-thread tmp name: concurrent queries append history and
-        # save; a shared tmp path would let one thread's os.replace steal
-        # the other's file out from under it
+        # lock around BOTH snapshotting and writing: a concurrent mutator
+        # (upsert_table_stats/register_sample/append_history) changing a dict
+        # mid-iteration would raise RuntimeError. Mutators don't take the
+        # lock (single dict/list ops are GIL-atomic), so snapshot each
+        # container with a C-level dict()/list() copy before iterating.
+        # Per-thread tmp name so one thread's os.replace can't steal
+        # another's file out from under it.
         with self._save_lock:
+            table_stats = dict(self.table_stats)
+            samples = dict(self.samples)
+            sketches = list(self.sketches.values())
+            history = list(self.history)
+            column_ndv = dict(self.column_ndv)
+            doc = {
+                "table_stats": {k: asdict(v) for k, v in table_stats.items()},
+                "samples": {k: asdict(v) for k, v in samples.items()},
+                "sketches": [
+                    {
+                        **asdict(s),
+                        "sketch_data": base64.b64encode(s.sketch_data).decode(),
+                    }
+                    for s in sketches
+                ],
+                "history": [asdict(h) for h in history],
+                "column_ndv": {
+                    f"{t}\x1f{c}": v for (t, c), v in column_ndv.items()
+                },
+            }
             tmp = f"{self._meta_path}.tmp{threading.get_ident()}"
             with open(tmp, "w") as f:
                 json.dump(doc, f)
@@ -167,6 +182,9 @@ class Catalog:
             self.sketches[info.key] = info
         for v in doc.get("history", []):
             self.history.append(HistoryRecord(**v))
+        for k, v in doc.get("column_ndv", {}).items():
+            table, _, column = k.partition("\x1f")
+            self.column_ndv[(table, column)] = int(v)
 
     # ---- table stats (reference storage.py:88-109) ----
     def upsert_table_stats(self, table: str, row_count: int) -> None:
@@ -175,6 +193,12 @@ class Catalog:
     def get_row_count(self, table: str) -> int | None:
         st = self.table_stats.get(table)
         return st.row_count if st else None
+
+    def upsert_column_ndv(self, table: str, column: str, ndv: int) -> None:
+        self.column_ndv[(table, column)] = int(ndv)
+
+    def get_column_ndv(self, table: str, column: str) -> int | None:
+        return self.column_ndv.get((table, column))
 
     # ---- samples (reference storage.py:46-55, sampler.py:120-143) ----
     def register_sample(self, info: SampleInfo) -> None:

@@ -4,12 +4,15 @@ Media are opaque ``binary`` columns plus typed metadata, processed by
 Arrow-batched Pandas UDFs via ``mapInPandas`` — the Spark-idiomatic shape
 for per-blob Python work (one Arrow batch per task, never per-row serde).
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode kernels are STUBS: ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, in which case a clearly-marked
-deterministic fake parses our own header layout. The Spark-side plumbing —
-schemas, batch iteration, partition sizing, UDF signatures — is real and
-tested; swapping in a real codec changes only the kernel body.
+Decoding is REAL for the two formats that need no external codec: 24-bpp
+BMP and PCM16 WAV are header-described raw arrays, parsed here with
+struct+numpy (``decode_bmp``/``decode_wav``). Entropy-coded formats
+(PNG/JPEG/MP3/H.264) would need PIL/librosa/ffmpeg — NOT in this container —
+so those stay stubbed: the kernel raises ``NotImplementedError`` unless
+``fake=True``, in which case a clearly-marked deterministic fake parses our
+own header layout. The Spark-side plumbing — schemas, batch iteration,
+partition sizing, UDF signatures — is identical across real/fake kernels;
+swapping in a full codec changes only the kernel body.
 
 Scale notes: blobs should live in Parquet binary columns (or object-store
 pointers for >~1 MB blobs) with metadata columns alongside so Catalyst can
@@ -64,21 +67,154 @@ def make_fake_media_df(spark, n: int = 100) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def make_real_media_df(spark, n: int = 20) -> DataFrame:
+    """Media table of REAL blobs (alternating BMP images and PCM16 WAVs) —
+    exercises the non-fake decode path end to end."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
+            rows.append((i, "image", encode_bmp(w, h, seed=i), "bmp", w, h, None))
+        else:
+            n_samp, rate = 1600 + 160 * (i % 5), 16_000
+            rows.append(
+                (
+                    i,
+                    "audio",
+                    encode_wav_pcm16(n_samp, rate, seed=i),
+                    "wav",
+                    None,
+                    None,
+                    int(n_samp * 1000 / rate),
+                )
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
-# decode kernels (STUBS — see module docstring)
+# real codecs: BMP + WAV need no external libraries — the container has no
+# PIL/librosa/ffmpeg, but these two formats are header-described raw arrays,
+# so the pure-python/numpy parsers below do REAL decoding. Formats that need
+# entropy coding (PNG/JPEG/MP3/...) stay stubbed behind NotImplementedError.
+
+
+def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal 24-bpp uncompressed (BI_RGB) bottom-up BMP with seeded
+    pixels. Layout: BITMAPFILEHEADER (14B) + BITMAPINFOHEADER (40B) + rows
+    padded to 4-byte multiples."""
+    rng = np.random.default_rng(seed)
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    pixel_bytes = (row_bytes + pad) * height
+    pixels = bytearray()
+    for _ in range(height):
+        pixels += rng.integers(0, 256, size=row_bytes, dtype=np.uint8).tobytes()
+        pixels += b"\x00" * pad
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + bytes(pixels)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, float]:
+    """→ (width, height, pixel_mean) for 24-bpp uncompressed BMP. Handles
+    bottom-up and top-down (negative height) rows and 4-byte row padding."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    header_size, width, height = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bpp BI_RGB supported (bpp={bpp})")
+    n_rows = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * n_rows, offset=offset
+    ).reshape(n_rows, stride)[:, :row_bytes]
+    return (width, n_rows, float(rows.mean()) if rows.size else float("nan"))
+
+
+def encode_wav_pcm16(
+    n_samples: int, sample_rate: int = 16_000, channels: int = 1, seed: int = 0
+) -> bytes:
+    """Minimal PCM16 RIFF/WAVE blob with seeded samples."""
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(
+        -(2**15), 2**15, size=n_samples * channels, dtype=np.int16
+    ).tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(samples))
+        + samples
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, float]:
+    """→ (channels, sample_rate, duration_ms, mean_abs_amplitude) for PCM16
+    RIFF/WAVE. Walks the chunk list (fmt /data may be separated by other
+    chunks, e.g. LIST)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, channels, sample_rate, bits, frames = 12, None, None, None, None
+    amp = float("nan")
+    while pos + 8 <= len(data):
+        cid, clen = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_code, channels, sample_rate, _, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV supported")
+        elif cid == b"data" and channels:
+            pcm = np.frombuffer(body, dtype="<i2")
+            frames = pcm.size // channels
+            amp = float(np.abs(pcm.astype(np.float64)).mean()) if pcm.size else amp
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if channels is None or frames is None:
+        raise ValueError("WAV missing fmt /data chunk")
+    return (channels, sample_rate, int(frames * 1000 / sample_rate), amp)
+
+
+# ---------------------------------------------------------------------------
+# decode kernel: real for BMP/WAV, fake-decoder for FAKEMEDIA blobs, stub
+# (NotImplementedError) for codec-dependent formats
 
 
 def _decode_blob(content: bytes, fake: bool) -> tuple[int, int, int, float]:
-    """→ (kind_code, width, height, payload_mean). Raises unless fake."""
+    """→ (kind_code, width, height, payload_mean).
+
+    kind codes: 1=image, 2=audio, 3=video. For audio the (width, height)
+    slots carry (sample_rate, duration_ms) — the schema keeps one shape per
+    batch. Real decoding for BMP ('BM') and PCM16 WAV ('RIFF..WAVE');
+    FAKEMEDIA blobs only under ``fake=True``; everything else raises."""
     if content is None:
         return (0, 0, 0, float("nan"))
+    if content[:2] == b"BM":
+        w, h, mean = decode_bmp(content)
+        return (1, w, h, mean)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        _channels, rate, dur_ms, amp = decode_wav(content)
+        return (2, rate, dur_ms, amp)
     if content[: len(_MAGIC)] == _MAGIC and fake:
         kind, w, h = struct.unpack_from("<BII", content, len(_MAGIC))
         payload = np.frombuffer(content[len(_MAGIC) + 9 :], dtype=np.uint8)
         return (kind, w, h, float(payload.mean()) if payload.size else float("nan"))
     raise NotImplementedError(
-        "real media decoding requires PIL/librosa/ffmpeg, not present in this "
-        "environment; pass fake=True for the deterministic test decoder"
+        "this format needs an external codec (PIL/librosa/ffmpeg), not present "
+        "in this environment; BMP and PCM16 WAV decode natively, or pass "
+        "fake=True for the deterministic test decoder"
     )
 
 

@@ -34,6 +34,14 @@ HASH_COST_PER_GROUP = 2.0
 SKETCH_QUERY_COST = 10.0
 SAMPLE_SETUP_COST = 5.0
 
+#: Per-row premium of HLL register updates over a plain hash-agg probe.
+#: approx_count_distinct still scans every row; on low-cardinality columns
+#: the exact hash-agg (map-side dedup, tiny shuffle) beats it — round-1
+#: bench measured sketch/exact ≈ 0.92 at ndv≈0.005·N. Only applies when the
+#: catalog knows the column's ndv; without stats the planner keeps the
+#: reference-verbatim flat sketch cost.
+SKETCH_CPU_FACTOR = 1.2
+
 #: rsd clamp for approx_count_distinct (Spark requires rsd < 1; tighter rsd
 #: costs more HLL registers).
 MIN_RSD, MAX_RSD = 0.005, 0.4
@@ -60,8 +68,20 @@ def sample_cost(n: int, fraction: float) -> float:
     return n * fraction * SCAN_COST_PER_ROW + SAMPLE_SETUP_COST
 
 
-def sampling_error(n: int, fraction: float) -> float:
-    eff = max(n * fraction, 1.0)
+#: Assumed fraction of rows surviving an arbitrary WHERE when the planner
+#: has no better signal. Deliberately pessimistic: a filtered query's
+#: effective sample is f·N·selectivity, and round-1 bench showed 1/sqrt(f·N)
+#: alone under-sizes the sample (where_sum rel_error 0.0503 > 0.05 contract).
+WHERE_SELECTIVITY_DEFAULT = 0.3
+
+#: Safety factor on the needed-fraction formula for filtered queries: the
+#: 1/sqrt(n_eff) model ignores the value-CV of the summed column, so target
+#: half the tolerance when a WHERE cuts effective n.
+ERROR_SAFETY = 2.0
+
+
+def sampling_error(n: int, fraction: float, selectivity: float = 1.0) -> float:
+    eff = max(n * fraction * selectivity, 1.0)
     return 1.0 / (eff**0.5)
 
 
@@ -166,21 +186,49 @@ class Planner:
         # sampling; any other aggregates in the query run exact within it);
         # SUM/AVG(DISTINCT) without a COUNT(DISTINCT) → exact only.
         if parsed.has_distinct:
-            if any(a.distinct and a.func == "COUNT" for a in parsed.aggregates):
+            cd = [a for a in parsed.aggregates if a.distinct and a.func == "COUNT"]
+            if cd:
                 rsd = min(max(max_rel_error / rewriter.Z_95, MIN_RSD), MAX_RSD)
-                out.append(
-                    Candidate(
-                        "sketch",
-                        SKETCH_QUERY_COST,
-                        rsd,
-                        reason=f"approx_count_distinct HLL++ (rsd={rsd:.4f})",
+                ndv = self._distinct_ndv(parsed, cd)
+                if ndv is None:
+                    # No cardinality stats: reference-verbatim flat sketch
+                    # cost (reference planner.py:13-19).
+                    sketch_cost = SKETCH_QUERY_COST
+                    sketch_reason = f"approx_count_distinct HLL++ (rsd={rsd:.4f})"
+                else:
+                    # Catalog knows the column's ndv (learned from a sketch
+                    # build): price both sides realistically. Both scan N
+                    # rows; HLL pays a per-row register-update premium,
+                    # exact pays an ndv-proportional dedup/shuffle. Low-ndv
+                    # columns are genuinely faster exact (round-1 bench:
+                    # big_distinct sketch 0.92x on ndv≈0.005·N).
+                    sketch_cost = (
+                        n * SCAN_COST_PER_ROW * SKETCH_CPU_FACTOR
+                        + SKETCH_QUERY_COST
                     )
+                    out[0].cost += ndv * HASH_COST_PER_GROUP
+                    out[0].reason = (
+                        f"COUNT(DISTINCT) with catalog ndv={ndv}: exact "
+                        "hash-agg dedups map-side; priced vs HLL per-row "
+                        "register updates"
+                    )
+                    sketch_reason = (
+                        f"approx_count_distinct HLL++ (rsd={rsd:.4f}, "
+                        f"catalog ndv={ndv})"
+                    )
+                out.append(
+                    Candidate("sketch", sketch_cost, rsd, reason=sketch_reason)
                 )
             return self._filter(out, max_rel_error, forced_strategy)
 
         if parsed.has_min_max and not (parsed.has_count or parsed.has_sum or parsed.has_avg):
             # MIN/MAX-only: not approximable (reference README contract).
             return self._filter(out, max_rel_error, forced_strategy)
+
+        # A WHERE clause shrinks the effective sample to f·N·selectivity;
+        # plan against the discounted n so filtered queries get honest error
+        # estimates and a padded fraction (round-1 where_sum overshoot).
+        sel = WHERE_SELECTIVITY_DEFAULT if parsed.where else 1.0
 
         # Stratified sample whose strata definition is covered by the GROUP
         # BY columns (makes the reference's vestigial stratified strategy
@@ -196,7 +244,7 @@ class Planner:
                         Candidate(
                             "stratified",
                             sample_cost(n, s.sample_fraction),
-                            sampling_error(n, s.sample_fraction),
+                            sampling_error(n, s.sample_fraction, sel),
                             sample=s,
                             reason=f"stratified sample on {s.strata_column} "
                             f"({s.allocation_type})",
@@ -242,7 +290,7 @@ class Planner:
                 Candidate(
                     "sample",
                     sample_cost(n, s.sample_fraction),
-                    sampling_error(n, s.sample_fraction),
+                    sampling_error(n, s.sample_fraction, sel),
                     sample=s,
                     reason=f"pre-built uniform sample (f={s.sample_fraction:.4f})",
                 )
@@ -250,17 +298,28 @@ class Planner:
 
         # Inline scan-time sample at the ladder fraction
         # (reference ml_optimizer.py:204-212).
-        f = inline_fraction_for(n, max_rel_error)
+        f = inline_fraction_for(n, max_rel_error, selectivity=sel)
         out.append(
             Candidate(
                 "sample",
                 sample_cost(n, f),
-                sampling_error(n, f),
+                sampling_error(n, f, sel),
                 inline_fraction=f,
                 reason=f"inline seeded Bernoulli sampling predicate (f={f:.4f})",
             )
         )
         return self._filter(out, max_rel_error, forced_strategy)
+
+    def _distinct_ndv(self, parsed: ParsedQuery, cd: list) -> int | None:
+        """Catalog ndv for the COUNT(DISTINCT col) column, if the query has
+        exactly one and the catalog learned the cardinality (sketch build).
+        Multi-arg / expression arguments get no estimate — flat-cost path."""
+        if len(cd) != 1:
+            return None
+        col = _unqualify(cd[0].arg.strip(), parsed.table_alias)
+        if not col.replace("_", "").isalnum():
+            return None  # expression, not a plain column
+        return self.catalog.get_column_ndv(parsed.table, col)
 
     @staticmethod
     def _filter(
@@ -321,10 +380,17 @@ def _unqualify(col: str, alias: str | None) -> str:
     return col
 
 
-def inline_fraction_for(n: int, max_rel_error: float) -> float:
+def inline_fraction_for(
+    n: int, max_rel_error: float, selectivity: float = 1.0
+) -> float:
     """Sample-fraction ladder (reference ml_optimizer.py:204-212): by table
     size 0.01 / 0.02 / 0.05, halved when tolerance is loose (>0.1); then
-    raised if needed so the expected error 1/sqrt(f·N) meets the tolerance."""
+    raised if needed so the expected error 1/sqrt(f·N) meets the tolerance.
+
+    ``selectivity < 1`` (query has a WHERE): the ladder fraction doubles and
+    the feasibility formula targets tolerance/:data:`ERROR_SAFETY` on the
+    discounted effective n — round 1 showed the plain model lands right on
+    the contract edge (where_sum 0.0503 vs 0.05)."""
     if n > 100_000:
         f = 0.01
     elif n > 50_000:
@@ -333,6 +399,12 @@ def inline_fraction_for(n: int, max_rel_error: float) -> float:
         f = 0.05
     if max_rel_error > 0.1:
         f = f / 2.0
-    # tolerance feasibility: need f >= 1/(tol² · N)
-    needed = min(1.0 / (max_rel_error**2 * max(n, 1)), 0.5)
+    if selectivity < 1.0:
+        f = min(f * 2.0, 0.5)
+        needed = ERROR_SAFETY**2 / (
+            max_rel_error**2 * max(n * selectivity, 1.0)
+        )
+    else:
+        # tolerance feasibility: need f >= 1/(tol² · N)
+        needed = 1.0 / (max_rel_error**2 * max(n, 1))
     return max(f, min(needed, 0.5))

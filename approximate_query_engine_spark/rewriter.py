@@ -117,7 +117,9 @@ class _AggScaler:
             )
         if agg.func == "COUNT":
             base = "1.0" if agg.is_star else f"CASE WHEN ({agg.arg}) IS NOT NULL THEN 1.0 END"
-            return f"CAST(ROUND(SUM({base} / {f})) AS BIGINT)"
+            # COALESCE: a sample keeping zero rows makes SUM NULL, but exact
+            # COUNT of an empty input is 0, not NULL.
+            return f"CAST(ROUND(COALESCE(SUM({base} / {f}), 0.0)) AS BIGINT)"
         if agg.func == "SUM":
             return f"SUM(CAST(({agg.arg}) AS DOUBLE) / {f})"
         if agg.func == "AVG":
@@ -410,8 +412,17 @@ def rewrite_stratified(parsed: ParsedQuery, sample: SampleInfo) -> RewriteResult
     strata column) because weighting is per-row. The reference's stratified
     strategy performed no rewrite at all (reference ml_optimizer.py:270-274,
     SURVEY.md vestigial flag #3); this makes it real."""
+    # A plain single-column stratification interpolates the NAME into SQL;
+    # a non-identifier name (e.g. "a-b", accepted by the sampler via F.col)
+    # would misparse as arithmetic — backtick it. Composite/multi-column
+    # stratifications store a genuine SQL expression in strata_column and
+    # must interpolate raw.
+    strata_expr = sample.strata_column
+    source = sample.strata_source_cols or [sample.strata_column]
+    if len(source) == 1 and source[0] == sample.strata_column:
+        strata_expr = _bt(sample.strata_column)
     f_expr = _weight_case_expr(
-        sample.strata_column, sample.strata, sample.sample_fraction
+        strata_expr, sample.strata, sample.sample_fraction
     )
     transforms = [
         f"Rewrote to stratified sample {sample.sample_table} "

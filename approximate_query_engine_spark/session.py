@@ -39,9 +39,15 @@ def get_spark(app_name: str = "approximate-query-engine-spark") -> SparkSession:
     ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # local[N] puts driver + all executor threads in ONE JVM; the 1g default
+    # heap OOMs on wide hash aggregations (e.g. a 30M-key exact distinct
+    # across 32 concurrent tasks). Builder-time only — ignored if a JVM is
+    # already up.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.driver.memory", mem)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -62,6 +68,34 @@ def get_spark(app_name: str = "approximate-query-engine-spark") -> SparkSession:
     return spark
 
 
+#: Runtime-settable SQL confs the engine's query plans assume. Applied to
+#: ANY session handed to the engine (driver harness, notebook, spark-submit)
+#: so correctness never depends on who built the SparkSession. All four are
+#: plain SQL confs, settable after session start.
+_RUNTIME_CONFS = {
+    # testdata events.ts is parquet TIMESTAMP(NANOS): read as long nanos
+    # (Spark has no nanos timestamp), converted at registration.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # UTC so date/hour extraction matches the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Permissive evaluation matches the reference's SQLite contract.
+    "spark.sql.ansi.enabled": "false",
+    # Arrow batches for the mapInPandas/applyInPandas paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable confs to an externally-built
+    session. Best-effort per conf: a host that locks a conf down shouldn't
+    stop the others from landing."""
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf locked by host
+            pass
+
+
 def register_testdata(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables=TESTDATA_TABLES
 ) -> dict[str, DataFrame]:
@@ -70,15 +104,26 @@ def register_testdata(
     The Spark analog of the reference's implicit "every table in the SQLite
     file is queryable" model (reference app.py:45-59). Scans stay lazy —
     Catalyst prunes columns and pushes filters into the Parquet reader.
+
+    Works on ANY SparkSession, not just one from :func:`get_spark`: the
+    required runtime confs are (re)applied here, and a single unreadable
+    table skips rather than zeroing registration of the other tables.
     """
+    ensure_engine_confs(spark)
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
-        df = _normalize_nanos_timestamps(df)
-        df.createOrReplaceTempView(name)
+        try:
+            df = spark.read.parquet(path)
+            df = _normalize_nanos_timestamps(df, _nanos_timestamp_cols(path))
+            df.createOrReplaceTempView(name)
+        except Exception as exc:  # pragma: no cover - defensive per-table
+            import warnings
+
+            warnings.warn(f"skipping testdata table {name!r}: {exc}")
+            continue
         out[name] = df
     return out
 
@@ -92,13 +137,34 @@ def nanos_to_micros_ts(colname: str):
     return F.timestamp_micros(F.expr(f"{colname} div 1000"))
 
 
-def _normalize_nanos_timestamps(df: DataFrame) -> DataFrame:
+def _nanos_timestamp_cols(path: str) -> frozenset[str]:
+    """Column names whose parquet logical type is TIMESTAMP(NANOS), read
+    from the file footer via pyarrow. Footer truth, not a name allowlist:
+    any ns-precision column is detected regardless of what it's called."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return frozenset(
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        )
+    except Exception:  # pragma: no cover - footer unreadable / dir dataset
+        return frozenset()
+
+
+def _normalize_nanos_timestamps(
+    df: DataFrame, ns_cols: frozenset[str] = frozenset()
+) -> DataFrame:
     """Convert nanos-as-long timestamp columns (see nanosAsLong config) to
-    TimestampType at microsecond precision. Detection keys on the parquet
-    logical-type metadata Spark attaches to such columns."""
+    TimestampType at microsecond precision. ``ns_cols`` comes from the
+    parquet footer (:func:`_nanos_timestamp_cols`); the metadata flag is a
+    secondary signal for DataFrames built without a file path."""
     for f in df.schema.fields:
         if f.dataType.simpleString() == "bigint" and (
-            f.metadata.get("__is_nanos_timestamp__") or f.name in ("ts",)
+            f.name in ns_cols or f.metadata.get("__is_nanos_timestamp__")
         ):
             df = df.withColumn(f.name, nanos_to_micros_ts(f.name))
     return df

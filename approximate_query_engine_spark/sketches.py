@@ -210,6 +210,16 @@ class SketchManager:
         else:
             raise ValueError(f"unknown sketch_type {sketch_type!r} (hll|cms|theta)")
         self.catalog.upsert_sketch(info)
+        # Building a distinct-count sketch teaches the planner the column's
+        # cardinality: the COUNT(DISTINCT) cost model uses catalog ndv to
+        # decide sketch-vs-exact (low-ndv columns are faster exact).
+        if sketch_type in ("hll", "theta") and info.sketch_data and column:
+            try:
+                ndv = self.estimate_distinct_from_sketch(table, column, sketch_type)
+                if ndv is not None:
+                    self.catalog.upsert_column_ndv(table, column, ndv)
+            except Exception:  # pragma: no cover - estimate is advisory
+                pass
         self.catalog.save()
         return info
 

@@ -98,6 +98,57 @@ def test_fraction_ladder():
     assert inline_fraction_for(10_000, 0.01) == 0.5
 
 
+def test_fraction_padded_for_filtered_queries():
+    # WHERE present (selectivity < 1): ladder doubles and feasibility
+    # targets tol/2 on the discounted n (round-1 where_sum 0.0503 fix)
+    assert inline_fraction_for(600_000, 0.05, selectivity=0.3) == 0.02
+    assert inline_fraction_for(600_000, 0.05) == 0.01
+    # tiny effective n: the safety-factored needed fraction dominates
+    f = inline_fraction_for(20_000, 0.05, selectivity=0.3)
+    assert f == pytest.approx(4.0 / (0.05**2 * 6000))
+    # selectivity discounts the error estimate
+    assert sampling_error(200_000, 0.01, 0.3) == pytest.approx(1 / (600**0.5))
+
+
+def test_distinct_cost_model_uses_catalog_ndv(engine):
+    engine.catalog.upsert_table_stats("lineitem", 30_000_000)
+    sql = "SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem"
+    # no ndv stats: reference-verbatim flat sketch cost → sketch wins
+    engine.catalog.column_ndv.pop(("lineitem", "l_orderkey"), None)
+    assert engine.planner.plan(sql)["type"] == "sketch"
+    # low cardinality (ndv ≪ 0.1·N): exact hash-agg priced cheaper
+    engine.catalog.upsert_column_ndv("lineitem", "l_orderkey", 150_000)
+    plan = engine.planner.plan(sql)
+    assert plan["type"] == "exact"
+    assert "ndv=150000" in plan["reason"]
+    # high cardinality (every row distinct): sketch avoids the 30M shuffle
+    engine.catalog.upsert_column_ndv("lineitem", "l_orderkey", 30_000_000)
+    plan = engine.planner.plan(sql)
+    assert plan["type"] == "sketch"
+    # restore true stats for other tests
+    engine.catalog.column_ndv.pop(("lineitem", "l_orderkey"), None)
+    engine.catalog.upsert_table_stats(
+        "lineitem", engine.spark.table("lineitem").count()
+    )
+
+
+def test_sketch_build_teaches_catalog_ndv(engine):
+    engine.create_sketch("region", "r_name", "hll")
+    ndv = engine.catalog.get_column_ndv("region", "r_name")
+    assert ndv == 5  # 5 TPC-H regions
+
+
+def test_plan_where_query_uses_padded_fraction(engine):
+    plan = engine.planner.plan(
+        "SELECT SUM(l_extendedprice) AS s FROM lineitem WHERE l_quantity < 25"
+    )
+    nofilter = engine.planner.plan(
+        "SELECT SUM(l_extendedprice) AS s FROM lineitem"
+    )
+    if plan["type"] == "sample" and nofilter["type"] == "sample":
+        assert plan["sample_fraction"] >= 2 * nofilter["sample_fraction"] - 1e-12
+
+
 # ---- planner end-to-end plan shapes ----
 def test_plan_exact_for_joins(engine):
     plan = engine.planner.plan("SELECT o_orderkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey")
