@@ -148,6 +148,21 @@ def create_app(engine: AQEngine, config: Config | None = None):
     def ml_stats():
         return jsonify(engine.ml_stats())
 
+    @app.post("/maintenance/run")
+    def maintenance_run():
+        """Freshness policies over cataloged samples/sketches (no reference
+        analog — its artifacts silently drift; SURVEY.md §2.5/§2.6)."""
+        body = request.get_json(force=True, silent=True) or {}
+        return jsonify(
+            engine.maintain(
+                max_drift=float(body.get("max_drift", 0.10)),
+                max_age_sec=(
+                    float(body["max_age_sec"]) if "max_age_sec" in body else None
+                ),
+                dry_run=bool(body.get("dry_run", False)),
+            )
+        )
+
     return app
 
 

@@ -30,8 +30,11 @@ class AQEngine:
         spark: SparkSession,
         workdir: str | None = None,
         data_dir: str | None = None,
+        broadcast_threshold: int | str | None = None,
     ):
         self.spark = spark
+        if broadcast_threshold is not None:
+            self.set_broadcast_threshold(broadcast_threshold)
         self.catalog = Catalog(workdir)
         self.sampler = Sampler(spark, self.catalog)
         self.planner = Planner(spark, self.catalog)
@@ -42,6 +45,18 @@ class AQEngine:
         self.sampler.load_registered_samples()
 
     # ------------------------------------------------------------------
+    def set_broadcast_threshold(self, threshold: int | str) -> None:
+        """Tune when Catalyst broadcasts the small side of a join
+        (``spark.sql.autoBroadcastJoinThreshold``; runtime-settable). The
+        engine's multi-table queries run exact pass-through, so this is THE
+        knob governing dim-table join strategy: raise it when dims fit in
+        executor memory (shuffle-free joins at 100 TB fact scale), set -1
+        to force shuffle joins for skew debugging. Accepts bytes (int) or a
+        size string like '64MB'."""
+        self.spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(threshold)
+        )
+
     def register_data(self, sf_dir: str) -> None:
         """Register testdata parquet tables as views and record row-count
         stats from Parquet metadata (a metadata-only count — Spark reads
@@ -236,6 +251,21 @@ class AQEngine:
 
     def ml_stats(self) -> dict:
         return self.optimizer.learning_stats()
+
+    def maintain(
+        self,
+        max_drift: float = 0.10,
+        max_age_sec: float | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """Apply the sample/sketch freshness policies (maintenance.py):
+        rebuild artifacts whose base table drifted past ``max_drift`` (or
+        aged past ``max_age_sec``)."""
+        from approximate_query_engine_spark.maintenance import run_maintenance
+
+        return run_maintenance(
+            self, max_drift=max_drift, max_age_sec=max_age_sec, dry_run=dry_run
+        )
 
     def progressive_query(
         self,

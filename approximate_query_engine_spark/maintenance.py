@@ -1,0 +1,162 @@
+"""Sample/sketch auto-maintenance policies.
+
+The reference has no freshness story at all: samples and sketches are built
+once and silently drift as the base table changes (reference sampler.py /
+storage.py persist artifacts with no refresh path — SURVEY.md §2.5/§2.6).
+At 100 TB, stale samples are the difference between a 2% and a 40% error,
+so the rebuild makes maintenance a first-class policy:
+
+- **Drift policy**: an artifact remembers the base-table row count it was
+  built against (for samples, ``row_count / sample_fraction``; for
+  sketches, the row count recorded in catalog stats at build time). When
+  the CURRENT catalog row count deviates by more than ``max_drift``, the
+  artifact is rebuilt. Row counts come from the catalog — refreshing stats
+  is one cheap ``COUNT(*)`` per table (or free from Parquet footers /
+  Delta logs on a real deployment), never per-query work.
+- **Age policy** (optional): artifacts older than ``max_age_sec`` rebuild
+  regardless of drift — for append-heavy tables where row count alone
+  understates content churn.
+
+``run_maintenance`` is driver-side orchestration over tiny metadata; the
+rebuilds it triggers are ordinary Spark jobs (sampleBy / sketch_agg), so
+the policy scales with the number of ARTIFACTS, not the data.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class MaintenanceReport:
+    checked: int = 0
+    refreshed: list[dict[str, Any]] = field(default_factory=list)
+    fresh: list[str] = field(default_factory=list)
+    errors: list[dict[str, str]] = field(default_factory=list)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "checked": self.checked,
+            "refreshed": self.refreshed,
+            "fresh": self.fresh,
+            "errors": self.errors,
+        }
+
+
+def _sample_base_population(info) -> float | None:
+    """Base-table row count the sample was built against, reconstructed
+    from the achieved fraction (rows / f). None when degenerate."""
+    if info.sample_fraction and info.row_count:
+        return info.row_count / info.sample_fraction
+    return None
+
+
+def run_maintenance(
+    engine,
+    max_drift: float = 0.10,
+    max_age_sec: float | None = None,
+    refresh_stats: bool = True,
+    dry_run: bool = False,
+) -> dict[str, Any]:
+    """Apply the drift/age policies to every cataloged sample and sketch.
+
+    ``refresh_stats``: re-count each distinct base table once up front so
+    drift is measured against reality, not stale stats. ``dry_run`` reports
+    what WOULD refresh without running any rebuild.
+    """
+    catalog = engine.catalog
+    report = MaintenanceReport()
+    now = time.time()
+
+    # one stats refresh per distinct base table (never per artifact)
+    base_tables = {s.table_name for s in catalog.samples.values()} | {
+        s.table_name for s in catalog.sketches.values()
+    }
+    if refresh_stats:
+        for t in sorted(base_tables):
+            try:
+                catalog.upsert_table_stats(t, engine.spark.table(t).count())
+            except Exception as exc:
+                report.errors.append({"table": t, "error": str(exc)[:200]})
+
+    def _drift(built_against: float | None, current: int | None) -> float | None:
+        if not built_against or current is None:
+            return None
+        return abs(current - built_against) / built_against
+
+    # ---- samples ----
+    for name, info in list(catalog.samples.items()):
+        report.checked += 1
+        current = catalog.get_row_count(info.table_name)
+        drift = _drift(_sample_base_population(info), current)
+        age = now - info.created_at
+        stale_reasons = []
+        if drift is not None and drift > max_drift:
+            stale_reasons.append(f"drift {drift:.1%} > {max_drift:.0%}")
+        if max_age_sec is not None and age > max_age_sec:
+            stale_reasons.append(f"age {age:.0f}s > {max_age_sec:.0f}s")
+        if not stale_reasons:
+            report.fresh.append(name)
+            continue
+        action = {
+            "kind": "sample",
+            "name": name,
+            "table": info.table_name,
+            "reason": "; ".join(stale_reasons),
+            "dry_run": dry_run,
+        }
+        if not dry_run:
+            try:
+                new = engine.sampler.refresh_sample(name)
+                action["new_rows"] = new.row_count
+            except Exception as exc:
+                report.errors.append({"sample": name, "error": str(exc)[:200]})
+                continue
+        report.refreshed.append(action)
+
+    # ---- sketches ----
+    for key, info in list(catalog.sketches.items()):
+        report.checked += 1
+        built_against = (info.parameters or {}).get("built_row_count")
+        current = catalog.get_row_count(info.table_name)
+        drift = _drift(built_against, current)
+        age = now - info.created_at
+        stale_reasons = []
+        if drift is not None and drift > max_drift:
+            stale_reasons.append(f"drift {drift:.1%} > {max_drift:.0%}")
+        if drift is None:
+            # pre-policy sketch with no recorded build size: age is the
+            # only usable signal
+            pass
+        if max_age_sec is not None and age > max_age_sec:
+            stale_reasons.append(f"age {age:.0f}s > {max_age_sec:.0f}s")
+        if not stale_reasons:
+            report.fresh.append(f"{info.table_name}.{info.column_name}:{info.sketch_type}")
+            continue
+        action = {
+            "kind": "sketch",
+            "table": info.table_name,
+            "column": info.column_name,
+            "sketch_type": info.sketch_type,
+            "reason": "; ".join(stale_reasons),
+            "dry_run": dry_run,
+        }
+        if not dry_run:
+            try:
+                engine.sketches.create(
+                    info.table_name,
+                    info.column_name,
+                    info.sketch_type,
+                    info.parameters,
+                )
+            except Exception as exc:
+                report.errors.append(
+                    {"sketch": f"{key}", "error": str(exc)[:200]}
+                )
+                continue
+        report.refreshed.append(action)
+
+    catalog.save()
+    return report.to_dict()

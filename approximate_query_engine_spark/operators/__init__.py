@@ -8,6 +8,7 @@ from approximate_query_engine_spark.operators.bucketing import (
 )
 from approximate_query_engine_spark.operators.join_estimate import (
     estimate_join_size,
+    estimate_join_size_cms,
 )
 from approximate_query_engine_spark.operators.salting import salted_join
 
@@ -17,4 +18,5 @@ __all__ = [
     "cocolocated_join",
     "salted_join",
     "estimate_join_size",
+    "estimate_join_size_cms",
 ]

@@ -77,3 +77,70 @@ def estimate_join_size(
         "scale": scale,
         "low_support": sampled_pairs < 10,
     }
+
+
+def estimate_join_size_cms(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    depth: int = 5,
+    width: int = 1 << 16,
+    seed: int = 42,
+) -> dict:
+    """Count-Min inner-product join-size estimate (Cormode–Muthukrishnan
+    2005 §4.2): |A ⋈ B| = Σ_k a_k·b_k ≈ min_d Σ_j CM_A[d][j]·CM_B[d][j].
+
+    Expressed relationally instead of via sketch binaries: a CMS counter
+    row IS a hash-bucket histogram, so each side is ONE aggregation
+    ``groupBy(d, xxhash64(key, seed_d) % width)`` (depth via ``explode`` of
+    the seed array — a single pass, no per-depth rescans), the inner
+    product is a join on (d, bucket) over ≤ depth·width rows per side, and
+    the min over depths is a tiny final aggregate. No driver-side counter
+    arrays at any point, so width can scale with key cardinality.
+
+    Guarantees (one-sided): each depth's estimate ≥ the true size, and
+    exceeds it by more than (e/width)·N_A·N_B with probability ≤ e^-depth.
+    Practical accuracy needs width ≳ key cardinality — below that the
+    expected overestimate is ~N_A·N_B/width (collision mass). The sample
+    path (:func:`estimate_join_size`) has two-sided CIs; this path is one
+    pass per table, mergeable, and exact-zero-safe.
+    """
+    seeds = list(range(seed, seed + depth))
+
+    def histogram(df: DataFrame, tag: str) -> DataFrame:
+        rows = df.select(F.col(on).alias("__k")).where(F.col("__k").isNotNull())
+        exploded = rows.select(
+            F.explode(F.array(*[F.lit(s) for s in seeds])).alias("__d"),
+            F.col("__k"),
+        )
+        return (
+            exploded.groupBy(
+                "__d",
+                (
+                    F.pmod(F.xxhash64(F.col("__k"), F.col("__d")), F.lit(width))
+                ).alias("__bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias(f"c_{tag}"))
+        )
+    ha = histogram(left, "a")
+    hb = histogram(right, "b")
+    per_depth = (
+        ha.join(hb, ["__d", "__bucket"])
+        .groupBy("__d")
+        .agg(F.sum(F.col("c_a") * F.col("c_b")).alias("ip"))
+    )
+    # a depth with NO colliding buckets yields no row after the inner join;
+    # its inner product is 0, so fewer than `depth` rows means estimate 0
+    row = per_depth.agg(
+        F.min("ip").alias("est"), F.count(F.lit(1)).alias("nd")
+    ).collect()[0]
+    estimate = int(row["est"] or 0) if int(row["nd"] or 0) == depth else 0
+    return {
+        "estimate": estimate,
+        "depth": depth,
+        "width": width,
+        "overestimate_only": True,
+        "error_bound_note": (
+            f"≤ true + (e/{width})·N_A·N_B with prob ≥ 1 - e^-{depth}"
+        ),
+    }

@@ -140,8 +140,25 @@ class _AggScaler:
             x = f"CAST(({agg.arg}) AS DOUBLE)"
             return f"SQRT(SUM({x} * {x} * (1.0 - {f}) / ({f} * {f})))"
         if agg.func == "AVG":
+            # Taylor-linearized variance of the ratio estimator
+            # Ŷ = Σ(y/f)/Σ(1/f) under Poisson/Bernoulli designs
+            # (Särndal-Swensson-Wretman §5.5): Var ≈ Σ w²·(y−Ŷ)² / N̂²
+            # with w² = (1−f)/f². Expanded to plain single-pass aggregates
+            # A−2ŶB+Ŷ²C so no second pass is needed. Because f is the
+            # PER-ROW inclusion probability, this is design-correct for
+            # stratified and PPS samples too (per-stratum f_h flows
+            # through), unlike the SRS-only s/√n it replaces.
             x = f"CAST(({agg.arg}) AS DOUBLE)"
-            return f"STDDEV_SAMP({x}) / SQRT(COUNT({x}))"
+            w2 = f"((1.0 - {f}) / ({f} * {f}))"
+            a = f"SUM({w2} * {x} * {x})"
+            b = f"SUM({w2} * {x})"
+            c = f"SUM({w2} * (CASE WHEN ({agg.arg}) IS NOT NULL THEN 1.0 END))"
+            nhat = f"SUM(CASE WHEN ({agg.arg}) IS NOT NULL THEN 1.0 END / {f})"
+            yhat = self.scaled(agg)
+            return (
+                f"SQRT(GREATEST(({a}) - 2.0 * ({yhat}) * ({b}) "
+                f"+ ({yhat}) * ({yhat}) * ({c}), 0.0)) / NULLIF({nhat}, 0.0)"
+            )
         return None
 
 

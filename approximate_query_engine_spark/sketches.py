@@ -209,6 +209,17 @@ class SketchManager:
             info = self._create_theta(table, column, parameters)
         else:
             raise ValueError(f"unknown sketch_type {sketch_type!r} (hll|cms|theta)")
+        # Stamp the base-table size the sketch was built against: the
+        # maintenance drift policy compares it with current stats to decide
+        # when a rebuild is due (maintenance.run_maintenance).
+        try:
+            n = self.catalog.get_row_count(table)
+            if n is None:
+                n = self.spark.table(table).count()
+                self.catalog.upsert_table_stats(table, n)
+            info.parameters["built_row_count"] = int(n)
+        except Exception:  # pragma: no cover - stamp is advisory
+            pass
         self.catalog.upsert_sketch(info)
         # Building a distinct-count sketch teaches the planner the column's
         # cardinality: the COUNT(DISTINCT) cost model uses catalog ndv to

@@ -57,6 +57,39 @@ def test_estimates_unbiased_on_average(spark, engine, truth):
     assert abs(sum(sums) / len(sums) - true_sum) / true_sum < 0.02
 
 
+def test_ci_coverage_avg_linearized(spark, engine):
+    """AVG CIs from the Taylor-linearized ratio-estimator variance: true
+    AVG inside the 95% CI in ≥85% of seeded reruns — for uniform inline
+    samples AND for a stratified sample with wildly different per-stratum
+    fractions (the case the old SRS-only s/√n formula ignored)."""
+    from approximate_query_engine_spark.rewriter import rewrite_stratified
+
+    true_avg = spark.sql(
+        "SELECT AVG(l_extendedprice) AS a FROM lineitem"
+    ).collect()[0]["a"]
+    parsed = parse("SELECT AVG(l_extendedprice) AS a FROM lineitem")
+
+    hits = 0
+    for seed in range(N_SEEDS):
+        rw = rewrite_inline_sample(parsed, fraction=0.1, seed=seed)
+        row = spark.sql(rw.sql).collect()[0]
+        if row["a_ci_low"] <= true_avg <= row["a_ci_high"]:
+            hits += 1
+    assert hits >= 0.85 * N_SEEDS, f"uniform AVG CI coverage {hits}/{N_SEEDS}"
+
+    hits = 0
+    n_strat_seeds = 12
+    for seed in range(n_strat_seeds):
+        strat = engine.sampler.create_stratified_sample(
+            "lineitem", "l_returnflag", 0.1, variance_col="l_extendedprice",
+            seed=seed,
+        )
+        row = spark.sql(rewrite_stratified(parsed, strat).sql).collect()[0]
+        if row["a_ci_low"] <= true_avg <= row["a_ci_high"]:
+            hits += 1
+    assert hits >= 0.75 * n_strat_seeds, f"stratified AVG CI coverage {hits}/{n_strat_seeds}"
+
+
 def test_stratified_beats_uniform_for_group_sums(spark, engine):
     """At equal overall fraction, per-stratum (Neyman) sampling yields a
     lower mean relative error on per-group SUMs than uniform sampling —

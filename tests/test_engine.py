@@ -222,3 +222,22 @@ def test_dual_execution_records_speedup_and_history(engine):
     if r["plan"]["type"] != "exact":
         assert "actual_speedup" in r["meta"]
         assert len(engine.catalog.history) == before + 1
+
+
+def test_broadcast_threshold_knob(spark, engine):
+    """set_broadcast_threshold drives Catalyst's join strategy: large
+    threshold → BroadcastHashJoin on a dim join; -1 → no broadcast."""
+    sql = (
+        "SELECT n_name, COUNT(*) AS c FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        engine.set_broadcast_threshold("64MB")
+        plan_b = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_b
+        engine.set_broadcast_threshold(-1)
+        plan_s = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

@@ -1,0 +1,96 @@
+"""Sample/sketch auto-maintenance policies (maintenance.py).
+
+The reference never refreshes artifacts (they silently drift as the base
+table changes); these tests pin the rebuild-on-drift / rebuild-on-age
+behavior of the policy layer."""
+
+import tempfile
+
+import pytest
+
+from approximate_query_engine_spark import AQEngine
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def meng(spark):
+    """Fresh engine + workdir per test: maintenance mutates the catalog."""
+    return AQEngine(
+        spark, workdir=tempfile.mkdtemp(prefix="aqe_maint_"), data_dir=SF_SMOKE
+    )
+
+
+def test_fresh_artifacts_not_refreshed(meng):
+    meng.create_sample("region", 0.5, seed=1)
+    meng.create_sketch("region", "r_name", "hll")
+    rep = meng.maintain(max_drift=0.10)
+    assert rep["refreshed"] == [] and rep["errors"] == []
+    assert rep["checked"] == 2 and len(rep["fresh"]) == 2
+
+
+def test_drifted_sample_refreshes(meng, spark):
+    meng.create_sample("lineitem", 0.2, seed=1)
+    # simulate table growth: register a doubled view under the same name
+    big = spark.table("lineitem").unionAll(spark.table("lineitem"))
+    big.createOrReplaceTempView("lineitem")
+    try:
+        rep = meng.maintain(max_drift=0.10)
+        kinds = [(a["kind"], a["table"]) for a in rep["refreshed"]]
+        assert ("sample", "lineitem") in kinds
+        assert any("drift" in a["reason"] for a in rep["refreshed"])
+        # the refreshed sample was rebuilt against the doubled table
+        new_info = next(iter(meng.catalog.samples.values()))
+        assert new_info.row_count / new_info.sample_fraction == pytest.approx(
+            12000, rel=0.05
+        )
+    finally:
+        meng.register_data(SF_SMOKE)  # restore original view
+
+
+def test_drifted_sketch_refreshes(meng, spark):
+    meng.create_sketch("orders", "o_orderkey", "hll")
+    info = meng.catalog.get_sketch("orders", "o_orderkey", "hll")
+    assert info.parameters["built_row_count"] > 0
+    big = spark.table("orders").unionAll(spark.table("orders"))
+    big.createOrReplaceTempView("orders")
+    try:
+        rep = meng.maintain(max_drift=0.10)
+        assert any(a["kind"] == "sketch" for a in rep["refreshed"])
+        # rebuilt against the doubled table
+        info2 = meng.catalog.get_sketch("orders", "o_orderkey", "hll")
+        assert info2.parameters["built_row_count"] == 2 * info.parameters["built_row_count"]
+    finally:
+        meng.register_data(SF_SMOKE)
+
+
+def test_dry_run_reports_without_rebuilding(meng, spark):
+    meng.create_sample("nation", 0.5, seed=1)
+    before = next(iter(meng.catalog.samples.values())).created_at
+    big = spark.table("nation").unionAll(spark.table("nation"))
+    big.createOrReplaceTempView("nation")
+    try:
+        rep = meng.maintain(max_drift=0.10, dry_run=True)
+        assert rep["refreshed"] and all(a["dry_run"] for a in rep["refreshed"])
+        after = next(iter(meng.catalog.samples.values())).created_at
+        assert after == before  # nothing rebuilt
+    finally:
+        meng.register_data(SF_SMOKE)
+
+
+def test_age_policy(meng):
+    meng.create_sample("region", 0.5, seed=1)
+    rep = meng.maintain(max_drift=0.5, max_age_sec=0.0)
+    assert any("age" in a["reason"] for a in rep["refreshed"])
+
+
+def test_api_maintenance_route(meng):
+    flask = pytest.importorskip("flask")
+    from approximate_query_engine_spark.api import create_app
+
+    meng.create_sample("region", 0.5, seed=1)
+    c = create_app(meng).test_client()
+    r = c.post("/maintenance/run", json={"max_drift": 0.1, "dry_run": True})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["checked"] == 1 and body["refreshed"] == []

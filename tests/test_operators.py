@@ -72,6 +72,32 @@ def test_asof_join_tolerance_requires_pandas(quotes_trades):
         asof_join(trades, quotes, on="t", by="sym", tolerance=3)
 
 
+def test_asof_join_pandas_tolerance(quotes_trades):
+    """pandas merge_asof tolerance semantics: a match further back than
+    `tolerance` becomes NULL instead of filling forward."""
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on="t", by="sym", right_prefix="q_",
+        strategy="pandas", tolerance=3,
+    )
+    got = {(r["sym"], r["t"]): r["q_quote"] for r in out.collect()}
+    expected = dict(EXPECTED)
+    expected[("A", 12)] = 12.0   # t=12 vs quote t=9: gap 3 ≤ tolerance
+    expected[("A", 6)] = 11.0    # gap 1
+    expected[("A", 4)] = 10.0    # gap 3 ≤ tolerance: kept
+    got_t1 = got[("A", 1)]
+    assert got_t1 == 10.0        # exact match always survives
+    assert got == expected
+    # tighter tolerance drops the gap-3 matches
+    out2 = asof_join(
+        trades, quotes, on="t", by="sym", right_prefix="q_",
+        strategy="pandas", tolerance=2,
+    )
+    got2 = {(r["sym"], r["t"]): r["q_quote"] for r in out2.collect()}
+    assert got2[("A", 4)] is None and got2[("A", 12)] is None
+    assert got2[("A", 6)] == 11.0
+
+
 def test_bucketed_join_eliminates_exchange(spark, engine):
     li = spark.table("lineitem").select("l_orderkey", "l_extendedprice")
     od = spark.table("orders").select("o_orderkey", "o_orderpriority").withColumnRenamed(
@@ -112,6 +138,28 @@ def test_estimate_join_size(spark, engine):
     z = estimate_join_size(a, b, on="k", fraction_left=0.05, fraction_right=0.05)
     assert z["sampled_pairs"] == 0 and z["low_support"]
     assert z["ci_high"] > 0.0
+
+
+def test_estimate_join_size_cms(spark):
+    from approximate_query_engine_spark.operators import estimate_join_size_cms
+
+    li, od = spark.table("lineitem"), spark.table("orders")
+    true = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    est = estimate_join_size_cms(
+        li.withColumnRenamed("l_orderkey", "k"),
+        od.withColumnRenamed("o_orderkey", "k"),
+        on="k",
+        width=1 << 16,
+    )
+    # one-sided guarantee: never under; collision mass bounds the over side
+    assert est["estimate"] >= true
+    n_a, n_b = li.count(), od.count()
+    assert est["estimate"] <= true + 3.0 * n_a * n_b / est["width"]
+    # exact when width >> cardinality and keys are disjoint: estimate 0
+    a = spark.range(0, 500).withColumnRenamed("id", "k")
+    b = spark.range(10**6, 10**6 + 500).withColumnRenamed("id", "k")
+    z = estimate_join_size_cms(a, b, on="k", width=1 << 20)
+    assert z["estimate"] == 0
 
 
 def test_salted_join_matches_plain(spark):
