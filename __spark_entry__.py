@@ -579,6 +579,169 @@ _CMS_ORACLE = (
 )
 
 
+def _q_rollup_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup: materialize hourly buckets of events,
+    then answer a DAILY query from the rollup only (operators/rollup.py).
+    value is pre-cast to DECIMAL(18,2) so sums are order-independent and
+    DuckDB-bit-exact (see memory: oracle float parity)."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.operators.rollup import (
+        RollupSpec,
+        materialize_rollup,
+        query_rollup,
+    )
+
+    _prep(spark, sf_dir)
+    spark.table("events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    ).createOrReplaceTempView("events_dec")
+    spec = RollupSpec(
+        source_table="events_dec",
+        time_col="ts",
+        bucket="1 hour",
+        dims=["event_type"],
+        measures=["value"],
+    )
+    materialize_rollup(spark, spec)
+    daily = query_rollup(spark, spec, measure="value", grain="1 day")
+    return daily.select(
+        F.col("bucket_start").cast("date").alias("day"),
+        "event_type",
+        F.col("n_rows").alias("n"),
+        F.col("value_sum").cast("double").alias("sum_value"),
+        F.col("value_min").cast("double").alias("min_value"),
+        F.col("value_max").cast("double").alias("max_value"),
+    )
+
+
+_ROLLUP_ORACLE = (
+    "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
+    "COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, "
+    "CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value, "
+    "CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value "
+    "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+def _q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (hash-min + pointer jumping, functions/graph.py)
+    on a closed-form graph: edges (i, i+1) for i%10<3 form chains
+    {10k..10k+3}, so component(n) = n - n%10 — independently verifiable
+    in plain SQL, which is the oracle."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.graph import connected_components
+
+    _prep(spark, sf_dir)
+    edges = (
+        spark.range(1000)
+        .filter(F.col("id") % 10 < 3)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    return connected_components(edges).select("node", "component")
+
+
+_GRAPH_ORACLE = (
+    "SELECT i AS node, i - (i % 10) AS component FROM range(0, 1000) t(i) "
+    "WHERE i % 10 <= 3 ORDER BY node"
+)
+
+
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join == plain join for inner joins
+    (operators/salting.py); aggregated with decimal-exact sums so the
+    plain-join DuckDB oracle hash-matches."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.operators import salted_join
+
+    _prep(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    od = spark.table("orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    joined = salted_join(li, od, on="k", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("double").alias("revenue"),
+    )
+
+
+_SALTED_ORACLE = (
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def _q_hll_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct estimate with the ±1.04/√m error band from the
+    persisted sketch (sketches.py read path). Rows-only: the estimate is
+    sketch-dependent, not SQL-reproducible."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.create_sketch("orders", "o_custkey", "hll", {"lg_config_k": 12})
+    est = eng.sketches.estimate_distinct_from_sketch("orders", "o_custkey")
+    rse = 1.04 / (2**12) ** 0.5
+    return spark.createDataFrame(
+        [(int(est), float(est * (1 - 1.96 * rse)), float(est * (1 + 1.96 * rse)))],
+        "estimate long, ci_low double, ci_high double",
+    )
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (non-fake) BMP/WAV decode through the mapInPandas kernel,
+    aggregated per kind. Rows-only: DuckDB has no codec to reproduce it."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.multimodal import (
+        decode_media,
+        make_real_media_df,
+    )
+
+    _prep(spark, sf_dir)
+    decoded = decode_media(make_real_media_df(spark, 12), fake=False)
+    return (
+        decoded.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("decoded_width").alias("sum_w"),
+            F.sum("decoded_height").alias("sum_h"),
+        )
+        .orderBy("kind")
+    )
+
+
+def _q_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online aggregation: geometric sample ladder until the CI meets the
+    target (progressive.py). Rows-only (seeded rand path)."""
+    from approximate_query_engine_spark.progressive import progressive_query
+
+    _prep(spark, sf_dir)
+    r = progressive_query(
+        spark,
+        "SELECT COUNT(*) AS cnt FROM lineitem",
+        target_rel_error=0.05,
+        seed=42,
+    )
+    est = float(r["result"][0]["cnt"])
+    meta = r["meta"]
+    return spark.createDataFrame(
+        [(est, len(meta.get("steps", [])), float(meta.get("fraction") or 1.0))],
+        "estimate double, steps int, final_fraction double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -609,6 +772,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q48_strata_analysis"] = _q_strata_analysis
     out["q49_neyman_alloc"] = _q_neyman_alloc
     out["q50_cms_freq"] = _q_cms_freq
+    out["q51_rollup_operator"] = _q_rollup_operator
+    out["q52_graph_components"] = _q_graph_components
+    out["q53_salted_join"] = _q_salted_join
+    # rows-only:
+    out["q54_hll_ci"] = _q_hll_ci
+    out["q55_multimodal_decode"] = _q_multimodal_decode
+    out["q56_progressive"] = _q_progressive
     return out
 
 
@@ -621,4 +791,7 @@ def oracle_sql() -> dict[str, str]:
     out["q48_strata_analysis"] = _STRATA_ORACLE
     out["q49_neyman_alloc"] = _NEYMAN_ORACLE
     out["q50_cms_freq"] = _CMS_ORACLE
+    out["q51_rollup_operator"] = _ROLLUP_ORACLE
+    out["q52_graph_components"] = _GRAPH_ORACLE
+    out["q53_salted_join"] = _SALTED_ORACLE
     return out

@@ -249,6 +249,20 @@ class AQEngine:
             for s in self.catalog.list_sketches(table)
         ]
 
+    def sketch_set_estimate(
+        self,
+        table_a: str,
+        column_a: str,
+        table_b: str,
+        column_b: str,
+        op: str = "intersection",
+    ) -> int | None:
+        """Distinct-count of a set expression over two segments from their
+        persisted theta sketches (union | intersection | difference)."""
+        return self.sketches.theta_set_estimate(
+            table_a, column_a, table_b, column_b, op=op
+        )
+
     def ml_stats(self) -> dict:
         return self.optimizer.learning_stats()
 

@@ -351,6 +351,39 @@ class SketchManager:
         )
         return int(cms.estimateCount(key))
 
+    def theta_set_estimate(
+        self,
+        table_a: str,
+        column_a: str,
+        table_b: str,
+        column_b: str,
+        op: str = "intersection",
+    ) -> int | None:
+        """Distinct-count estimate of a SET EXPRESSION over two segments
+        from their PERSISTED theta sketches — |A ∪ B|, |A ∩ B|, |A \\ B|
+        without touching either table (the audience-overlap primitive;
+        HLL can only union, theta supports full set algebra — Dasgupta et
+        al., DataSketches theta framework). Both sketches must exist in
+        the catalog (``create(..., 'theta')``)."""
+        fn = {
+            "union": "theta_union",
+            "intersection": "theta_intersection",
+            "difference": "theta_difference",
+        }.get(op)
+        if fn is None:
+            raise ValueError(f"op must be union|intersection|difference, got {op!r}")
+        a = self.catalog.get_sketch(table_a, column_a, "theta")
+        b = self.catalog.get_sketch(table_b, column_b, "theta")
+        if a is None or b is None or not a.sketch_data or not b.sketch_data:
+            return None
+        df = self.spark.createDataFrame(
+            [(a.sketch_data, b.sketch_data)], "ska binary, skb binary"
+        )
+        row = df.select(
+            F.expr(f"theta_sketch_estimate({fn}(ska, skb))").alias("est")
+        ).collect()[0]
+        return int(row["est"])
+
     def merge_hll(self, table: str, column: str, other: bytes) -> int | None:
         """Union a foreign DataSketches HLL binary with the persisted one and
         return the merged estimate (mergeability is the point of sketches)."""

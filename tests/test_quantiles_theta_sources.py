@@ -69,6 +69,46 @@ def test_theta_sketch_distinct(engine):
     assert est is not None and abs(est - true) / true < 0.05
 
 
+def test_theta_set_algebra(engine, spark):
+    """|A ∪ B| / |A ∩ B| / |A \\ B| from persisted theta sketches of two
+    overlapping customer segments, each within 5% of exact."""
+    spark.sql(
+        "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+    ).createOrReplaceTempView("seg_a")
+    spark.sql(
+        "SELECT o_custkey FROM orders WHERE o_orderpriority IN "
+        "('1-URGENT', '2-HIGH')"
+    ).createOrReplaceTempView("seg_b")
+    engine.create_sketch("seg_a", "o_custkey", "theta", {"lg_k": 12})
+    engine.create_sketch("seg_b", "o_custkey", "theta", {"lg_k": 12})
+
+    exact = {
+        "union": spark.sql(
+            "SELECT COUNT(DISTINCT o_custkey) AS c FROM "
+            "(SELECT o_custkey FROM seg_a UNION ALL SELECT o_custkey FROM seg_b)"
+        ).collect()[0]["c"],
+        "intersection": spark.sql(
+            "SELECT COUNT(DISTINCT o_custkey) AS c FROM seg_a "
+            "WHERE o_custkey IN (SELECT o_custkey FROM seg_b)"
+        ).collect()[0]["c"],
+        "difference": spark.sql(
+            "SELECT COUNT(DISTINCT o_custkey) AS c FROM seg_a "
+            "WHERE o_custkey NOT IN (SELECT o_custkey FROM seg_b)"
+        ).collect()[0]["c"],
+    }
+    for op, true in exact.items():
+        est = engine.sketches.theta_set_estimate(
+            "seg_a", "o_custkey", "seg_b", "o_custkey", op=op
+        )
+        assert est is not None
+        assert abs(est - true) <= max(2, 0.05 * true), (op, est, true)
+    with pytest.raises(ValueError):
+        engine.sketches.theta_set_estimate("seg_a", "o_custkey", "seg_b", "o_custkey", op="xor")
+    assert (
+        engine.sketches.theta_set_estimate("nope", "x", "seg_b", "o_custkey") is None
+    )
+
+
 def test_register_csv(engine, tmp_path):
     p = tmp_path / "ext.csv"
     p.write_text("id,name,score\n1,a,0.5\n2,b,0.75\n3,c,1.0\n")
