@@ -42,6 +42,9 @@ def create_app(engine: AQEngine, config: Config | None = None):
 
     @app.after_request
     def _cors(resp):  # reference config.py CORS_ORIGINS parity
+        # the ACAO header value depends on the request's Origin, so shared
+        # caches must key on it or one origin's header leaks to another
+        resp.headers.add("Vary", "Origin")
         origin = config.allowed_origin(request.headers.get("Origin"))
         if origin:
             resp.headers["Access-Control-Allow-Origin"] = origin

@@ -20,7 +20,10 @@ from approximate_query_engine_spark.catalog import Catalog
 from approximate_query_engine_spark.optimizer import MLOptimizer
 from approximate_query_engine_spark.planner import Planner
 from approximate_query_engine_spark.sampler import Sampler
-from approximate_query_engine_spark.session import register_testdata
+from approximate_query_engine_spark.session import (
+    ensure_engine_confs,
+    register_testdata,
+)
 from approximate_query_engine_spark.sketches import SketchManager
 
 
@@ -33,6 +36,11 @@ class AQEngine:
         broadcast_threshold: int | str | None = None,
     ):
         self.spark = spark
+        # the engine's rewritten SQL assumes these runtime confs (permissive
+        # ANSI-off eval, UTC, Arrow batches) regardless of who built the
+        # session — a host-owned session without them would evaluate
+        # rewritten queries differently than every tested path
+        ensure_engine_confs(spark)
         if broadcast_threshold is not None:
             self.set_broadcast_threshold(broadcast_threshold)
         self.catalog = Catalog(workdir)
@@ -270,6 +278,7 @@ class AQEngine:
         self,
         max_drift: float = 0.10,
         max_age_sec: float | None = None,
+        refresh_stats: bool = True,
         dry_run: bool = False,
     ) -> dict:
         """Apply the sample/sketch freshness policies (maintenance.py):
@@ -278,7 +287,11 @@ class AQEngine:
         from approximate_query_engine_spark.maintenance import run_maintenance
 
         return run_maintenance(
-            self, max_drift=max_drift, max_age_sec=max_age_sec, dry_run=dry_run
+            self,
+            max_drift=max_drift,
+            max_age_sec=max_age_sec,
+            refresh_stats=refresh_stats,
+            dry_run=dry_run,
         )
 
     def progressive_query(

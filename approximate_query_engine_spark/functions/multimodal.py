@@ -166,8 +166,10 @@ def decode_wav(data: bytes) -> tuple[int, int, int, float]:
     chunks, e.g. LIST)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    pos, channels, sample_rate, bits, frames = 12, None, None, None, None
-    amp = float("nan")
+    pos, channels, sample_rate, bits = 12, None, None, None
+    pcm_body = None
+    # collect chunks first, interpret after: the spec does not order fmt
+    # before data, so sample interpretation must wait for the full walk
     while pos + 8 <= len(data):
         cid, clen = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + clen]
@@ -177,13 +179,16 @@ def decode_wav(data: bytes) -> tuple[int, int, int, float]:
             )
             if fmt_code != 1 or bits != 16:
                 raise NotImplementedError("only PCM16 WAV supported")
-        elif cid == b"data" and channels:
-            pcm = np.frombuffer(body, dtype="<i2")
-            frames = pcm.size // channels
-            amp = float(np.abs(pcm.astype(np.float64)).mean()) if pcm.size else amp
+        elif cid == b"data" and pcm_body is None:
+            pcm_body = body
         pos += 8 + clen + (clen % 2)  # chunks are word-aligned
-    if channels is None or frames is None:
+    if channels is None or pcm_body is None:
         raise ValueError("WAV missing fmt /data chunk")
+    pcm = np.frombuffer(pcm_body, dtype="<i2")
+    frames = pcm.size // channels
+    amp = (
+        float(np.abs(pcm.astype(np.float64)).mean()) if pcm.size else float("nan")
+    )
     return (channels, sample_rate, int(frames * 1000 / sample_rate), amp)
 
 

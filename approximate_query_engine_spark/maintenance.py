@@ -34,6 +34,8 @@ class MaintenanceReport:
     checked: int = 0
     refreshed: list[dict[str, Any]] = field(default_factory=list)
     fresh: list[str] = field(default_factory=list)
+    #: drift unmeasurable AND base table empty/uncounted — nothing to do yet
+    unknown: list[str] = field(default_factory=list)
     errors: list[dict[str, str]] = field(default_factory=list)
 
     def to_dict(self) -> dict[str, Any]:
@@ -41,6 +43,7 @@ class MaintenanceReport:
             "checked": self.checked,
             "refreshed": self.refreshed,
             "fresh": self.fresh,
+            "unknown": self.unknown,
             "errors": self.errors,
         }
 
@@ -95,10 +98,22 @@ def run_maintenance(
         stale_reasons = []
         if drift is not None and drift > max_drift:
             stale_reasons.append(f"drift {drift:.1%} > {max_drift:.0%}")
+        elif drift is None and current:
+            # unmeasurable baseline (built against an empty table, or a
+            # pre-policy artifact) while the base table has rows NOW:
+            # "fresh" would let a 0-row sample serve queries forever.
+            # Rebuilding records row_count/fraction, so the NEXT run has a
+            # real drift baseline — this fires at most once per artifact.
+            stale_reasons.append(
+                f"no build-time baseline; base table now has {current} rows"
+            )
         if max_age_sec is not None and age > max_age_sec:
             stale_reasons.append(f"age {age:.0f}s > {max_age_sec:.0f}s")
         if not stale_reasons:
-            report.fresh.append(name)
+            if drift is None:
+                report.unknown.append(name)
+            else:
+                report.fresh.append(name)
             continue
         action = {
             "kind": "sample",
@@ -126,14 +141,21 @@ def run_maintenance(
         stale_reasons = []
         if drift is not None and drift > max_drift:
             stale_reasons.append(f"drift {drift:.1%} > {max_drift:.0%}")
-        if drift is None:
-            # pre-policy sketch with no recorded build size: age is the
-            # only usable signal
-            pass
+        elif drift is None and current:
+            # pre-policy sketch with no recorded build size: rebuild once —
+            # SketchManager.create stamps built_row_count, making drift
+            # measurable from the next run on
+            stale_reasons.append(
+                f"no build-time baseline; base table now has {current} rows"
+            )
         if max_age_sec is not None and age > max_age_sec:
             stale_reasons.append(f"age {age:.0f}s > {max_age_sec:.0f}s")
         if not stale_reasons:
-            report.fresh.append(f"{info.table_name}.{info.column_name}:{info.sketch_type}")
+            label = f"{info.table_name}.{info.column_name}:{info.sketch_type}"
+            if drift is None:
+                report.unknown.append(label)
+            else:
+                report.fresh.append(label)
             continue
         action = {
             "kind": "sketch",

@@ -22,6 +22,23 @@ from pyspark.sql import functions as F
 
 Z_95 = 1.96
 
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _common_key_type(ta: str, tb: str) -> str | None:
+    """Cast target that makes both sides hash identically, mirroring the
+    type Spark itself would coerce the join keys to: integral pairs widen
+    to bigint, mixed numeric pairs to double (same precision loss a real
+    bigint⋈double join takes), anything else to its string rendering."""
+    if ta == tb:
+        return None
+    numeric = lambda t: t in _INTEGRAL or t in ("float", "double") or t.startswith("decimal")
+    if ta in _INTEGRAL and tb in _INTEGRAL:
+        return "bigint"
+    if numeric(ta) and numeric(tb):
+        return "double"
+    return "string"
+
 
 def estimate_join_size(
     left: DataFrame,
@@ -106,9 +123,17 @@ def estimate_join_size_cms(
     pass per table, mergeable, and exact-zero-safe.
     """
     seeds = list(range(seed, seed + depth))
+    cast_to = _common_key_type(dict(left.dtypes)[on], dict(right.dtypes)[on])
 
     def histogram(df: DataFrame, tag: str) -> DataFrame:
-        rows = df.select(F.col(on).alias("__k")).where(F.col("__k").isNotNull())
+        key = F.col(on)
+        # xxhash64 hashes by PHYSICAL type: int32(7) != int64(7). A real
+        # join coerces both sides to a common type first; mirror that, or
+        # matched keys land in different buckets and the one-sided
+        # "overestimate only" guarantee silently inverts.
+        if cast_to is not None:
+            key = key.cast(cast_to)
+        rows = df.select(key.alias("__k")).where(F.col("__k").isNotNull())
         exploded = rows.select(
             F.explode(F.array(*[F.lit(s) for s in seeds])).alias("__d"),
             F.col("__k"),

@@ -131,11 +131,14 @@ def test_cors_headers(engine):
     c = app.test_client()
     r = c.get("/health", headers={"Origin": "http://ok.example"})
     assert r.headers.get("Access-Control-Allow-Origin") == "http://ok.example"
+    # ACAO varies by request Origin → caches must key on it
+    assert "Origin" in r.headers.get("Vary", "")
     r2 = c.get("/health", headers={"Origin": "http://other.example"})
     assert "Access-Control-Allow-Origin" not in r2.headers
+    assert "Origin" in r2.headers.get("Vary", "")
 
 
-def test_health_on_configured_port(engine):
+def test_health_on_configured_port(engine, monkeypatch):
     """/health reachable under an env-configured port (VERDICT item 9):
     run the real server on AQE_PORT in a thread and hit it over HTTP."""
     import threading
@@ -145,21 +148,16 @@ def test_health_on_configured_port(engine):
 
     from approximate_query_engine_spark.config import Config
 
-    import os
-
-    os.environ["AQE_PORT"] = "8199"
+    monkeypatch.setenv("AQE_PORT", "8199")
+    cfg = Config.from_env()
+    app = create_app(engine, cfg)
+    srv = make_server("127.0.0.1", cfg.port, app)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
     try:
-        cfg = Config.from_env()
-        app = create_app(engine, cfg)
-        srv = make_server("127.0.0.1", cfg.port, app)
-        t = threading.Thread(target=srv.serve_forever, daemon=True)
-        t.start()
-        try:
-            with urllib.request.urlopen(
-                f"http://127.0.0.1:{cfg.port}/health", timeout=10
-            ) as resp:
-                assert b'"ok"' in resp.read()
-        finally:
-            srv.shutdown()
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{cfg.port}/health", timeout=10
+        ) as resp:
+            assert b'"ok"' in resp.read()
     finally:
-        del os.environ["AQE_PORT"]
+        srv.shutdown()

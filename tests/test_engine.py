@@ -241,3 +241,20 @@ def test_broadcast_threshold_knob(spark, engine):
         assert "BroadcastHashJoin" not in plan_s
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_engine_applies_runtime_confs_on_init(spark):
+    """AQEngine(spark) without data_dir must still apply the engine's
+    runtime confs — rewritten SQL assumes ANSI-off/UTC on ANY host session
+    (regression: only register_testdata applied them)."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_confs_"))
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -284,3 +284,24 @@ def test_media_decode_real_blobs_no_fake(spark):
             assert r["decoded_kind"] == 2
             assert r["decoded_width"] == 16_000  # sample_rate slot
         assert not math.isnan(r["payload_mean"])
+
+
+def test_wav_data_chunk_before_fmt():
+    """RIFF does not order chunks: a [data, fmt ] layout must decode, not
+    raise 'missing fmt /data chunk' (regression: the walk interpreted data
+    inline and skipped it when fmt hadn't been seen yet)."""
+    import struct
+
+    blob = multimodal.encode_wav_pcm16(1600, 16_000, channels=1, seed=5)
+    # re-order: split the encoder's [fmt, data] chunks and swap them
+    fmt_off = blob.index(b"fmt ")
+    fmt_len = struct.unpack_from("<I", blob, fmt_off + 4)[0]
+    fmt_chunk = blob[fmt_off : fmt_off + 8 + fmt_len]
+    data_off = blob.index(b"data")
+    data_len = struct.unpack_from("<I", blob, data_off + 4)[0]
+    data_chunk = blob[data_off : data_off + 8 + data_len]
+    swapped = blob[:12] + data_chunk + fmt_chunk
+    channels, rate, dur_ms, amp = multimodal.decode_wav(swapped)
+    assert (channels, rate, dur_ms) == (1, 16_000, 100)
+    ref = multimodal.decode_wav(blob)
+    assert amp == ref[3]

@@ -94,3 +94,39 @@ def test_api_maintenance_route(meng):
     assert r.status_code == 200
     body = r.get_json()
     assert body["checked"] == 1 and body["refreshed"] == []
+
+
+def test_unknown_baseline_sample_rebuilds_once(meng):
+    """A sample with no usable build-time baseline (e.g. built against a
+    then-empty table) must NOT report fresh while the base table has rows:
+    rebuild once, which records a real baseline (regression: drift=None
+    was treated as fresh forever)."""
+    meng.create_sample("lineitem", 0.2, seed=1)
+    name = next(iter(meng.catalog.samples))
+    meng.catalog.samples[name].row_count = 0  # simulate degenerate build
+    rep = meng.maintain(max_drift=0.10)
+    mine = [a for a in rep["refreshed"] if a.get("name") == name]
+    assert mine and "no build-time baseline" in mine[0]["reason"]
+    # the rebuild recorded row_count/fraction → next run measures drift
+    assert meng.catalog.samples[name].row_count > 0
+    rep2 = meng.maintain(max_drift=0.10)
+    assert rep2["refreshed"] == [] and name in rep2["fresh"]
+
+
+def test_unmeasurable_artifact_reported_unknown(meng):
+    """No baseline AND no current row count → 'unknown' bucket, not
+    'fresh' (nothing to rebuild against, but freshness is not known)."""
+    meng.create_sketch("orders", "o_orderkey", "hll")
+    info = meng.catalog.get_sketch("orders", "o_orderkey", "hll")
+    info.parameters.pop("built_row_count", None)  # pre-policy artifact
+    meng.catalog.table_stats.pop("orders", None)
+    rep = meng.maintain(max_drift=0.10, refresh_stats=False, dry_run=True)
+    label = "orders.o_orderkey:hll"
+    assert label in rep["unknown"]
+    assert label not in rep["fresh"]
+    # once stats exist again, the unknown-baseline artifact rebuilds
+    rep2 = meng.maintain(max_drift=0.10, dry_run=True)
+    assert any(
+        a["kind"] == "sketch" and "no build-time baseline" in a["reason"]
+        for a in rep2["refreshed"]
+    )

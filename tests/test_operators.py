@@ -177,3 +177,19 @@ def test_salted_join_matches_plain(spark):
     left = salted_join(skewed, dim.filter("k = 2"), on="k", how="left")
     rows = left.filter("k = 1").select("name").distinct().collect()
     assert [r["name"] for r in rows] == [None]
+
+
+def test_estimate_join_size_cms_mixed_key_types(spark):
+    """int⋈bigint keys must hash into the same buckets (regression:
+    xxhash64 hashes by physical type, so unnormalized mixed-width keys
+    missed every match and broke the overestimate-only guarantee)."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.operators import estimate_join_size_cms
+
+    a = spark.range(0, 2000).select(F.col("id").cast("int").alias("k"))
+    b = spark.range(0, 2000).select(F.col("id").alias("k"))  # bigint
+    true = a.join(b, "k").count()
+    est = estimate_join_size_cms(a, b, on="k", width=1 << 20)
+    assert est["estimate"] >= true  # was 0 before the fix
+    assert est["estimate"] <= true + 3.0 * 2000 * 2000 / est["width"]
