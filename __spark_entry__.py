@@ -742,6 +742,132 @@ def _q_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessionize.py) over events,
+    aggregated to per-user integers: one shuffle, one Window operator."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.operators import session_stats
+
+    _prep(spark, sf_dir)
+    ss = session_stats(
+        spark.table("events"), "user_id", "ts", gap_minutes=360,
+        tiebreak_col="event_id",
+    )
+    return ss.groupBy("user_id").agg(
+        F.max("session_idx").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("duration_sec").alias("total_session_sec"),
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 21600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+), stats AS (
+  SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
+         ((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000)::BIGINT
+           AS duration_sec
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, MAX(session_idx)::BIGINT AS n_sessions,
+       MAX(n_events) AS max_session_events,
+       SUM(duration_sec)::BIGINT AS total_session_sec
+FROM stats GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document frequency (functions/text.py term_doc_frequency):
+    per-doc distinct terms dedup'd scan-side, one shuffle on term."""
+    from approximate_query_engine_spark.functions.text import term_doc_frequency
+
+    _prep(spark, sf_dir)
+    return term_doc_frequency(spark.table("documents"), min_df=5)
+
+
+_DOC_FREQ_ORACLE = """
+SELECT term, COUNT(*)::BIGINT AS df FROM (
+  SELECT DISTINCT doc_id, t AS term FROM documents,
+    UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+) GROUP BY term HAVING COUNT(*) >= 5 ORDER BY term
+"""
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF (functions/text.py tf_idf) for the first 100 docs;
+    the raw DOUBLE score hash-matches DuckDB (same ln, same fold order)."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.text import tf_idf
+
+    _prep(spark, sf_dir)
+    out = tf_idf(spark.table("documents"))
+    return out.where(F.col("doc_id") < 100)
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t AS term FROM documents,
+    UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1
+), n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0) AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+WHERE tf.doc_id < 100 ORDER BY tf.doc_id, tf.term
+"""
+
+
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (functions/similarity.py knn_join, brute baseline):
+    ids + rank only — both engines order by the same IEEE cosine, so the
+    integer output hash-matches while staying float-robust."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.similarity import knn_join
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    out = knn_join(
+        emb.where(F.col("vec_id") < 50), emb, k=3, exclude_self=True
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+_KNN_ORACLE = """
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS cosine
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -779,6 +905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q54_hll_ci"] = _q_hll_ci
     out["q55_multimodal_decode"] = _q_multimodal_decode
     out["q56_progressive"] = _q_progressive
+    out["q57_sessionize"] = _q_sessionize
+    out["q58_doc_frequency"] = _q_doc_frequency
+    out["q59_tfidf"] = _q_tfidf
+    out["q60_knn_join"] = _q_knn_join
     return out
 
 
@@ -794,4 +924,8 @@ def oracle_sql() -> dict[str, str]:
     out["q51_rollup_operator"] = _ROLLUP_ORACLE
     out["q52_graph_components"] = _GRAPH_ORACLE
     out["q53_salted_join"] = _SALTED_ORACLE
+    out["q57_sessionize"] = _SESSIONIZE_ORACLE
+    out["q58_doc_frequency"] = _DOC_FREQ_ORACLE
+    out["q59_tfidf"] = _TFIDF_ORACLE
+    out["q60_knn_join"] = _KNN_ORACLE
     return out

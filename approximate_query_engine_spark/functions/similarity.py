@@ -177,3 +177,97 @@ class IVFIndex:
             .orderBy(F.desc("cosine"), F.col(id_col))
             .limit(k)
         )
+
+
+# ---------------------------------------------------------------------------
+# batch k-NN join
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "brute",
+    index: "IVFIndex | None" = None,
+    nlist: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """For EVERY row of ``left``, the top-k cosine neighbors in ``right``
+    → (query_id, neighbor_id, cosine, rank). The batch form of top-k
+    search — the operator behind embedding-based corpus dedup and
+    retrieval-set construction.
+
+    - ``method='brute'``: exact. Broadcast ``right`` against the streamed
+      ``left`` scan (an explicit Cartesian — O(|L|·|R|·d), the honest
+      baseline). Right side must fit the broadcast budget; at 100 TB use
+      the IVF path.
+    - ``method='ivf'``: assign ``right`` rows to coarse centroids once
+      (persist partitioned by centroid_id at scale), probe each query's
+      ``nprobe`` nearest centroids only — candidate set shrinks by
+      ~nlist/nprobe. The join is keyed on centroid_id, so it shuffles
+      candidates, never all pairs; the final per-query top-k is a window
+      over candidates only.
+
+    Ties broken by neighbor id; ``exclude_self`` drops query==neighbor
+    (for self-join dedup shapes where left IS right).
+    """
+    from pyspark.sql import Window
+
+    lhs = left.select(F.col(left_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    if method == "brute":
+        rhs = right.select(
+            F.col(right_id).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+        )
+        cand = lhs.crossJoin(F.broadcast(rhs))
+    elif method == "ivf":
+        idx = index or IVFIndex.train(
+            right, vec_col=vec_col, nlist=nlist, seed=seed
+        )
+        assigned = idx.assign(right, id_col=right_id, vec_col=vec_col).select(
+            F.col(right_id).alias("neighbor_id"),
+            F.col(vec_col).alias("__nv"),
+            "centroid_id",
+        )
+        cents = idx._centroid_array_lit()
+        sims = F.transform(cents, lambda c: cosine_expr(F.col("__qv"), c))
+        nlist_actual = len(idx.centroids)
+        ranked = F.array_sort(
+            F.arrays_zip(
+                sims.alias("sim"),
+                F.sequence(F.lit(0), F.lit(nlist_actual - 1)).alias("cid"),
+            ),
+            # descending by sim; comparator returns -1/0/1
+            lambda a, b: F.when(a["sim"] > b["sim"], F.lit(-1))
+            .when(a["sim"] < b["sim"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        probes = F.transform(
+            F.slice(ranked, 1, min(nprobe, nlist_actual)), lambda s: s["cid"]
+        )
+        probed = (
+            lhs.withColumn("__probe", F.explode(probes))
+            .withColumn("centroid_id", F.col("__probe").cast("int"))
+            .drop("__probe")
+        )
+        cand = probed.join(assigned, "centroid_id")
+    else:
+        raise ValueError(f"unknown knn_join method: {method}")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("__qv"), F.col("__nv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

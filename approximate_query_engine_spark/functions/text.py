@@ -216,3 +216,64 @@ def with_fingerprints(
     return df.withColumn("fingerprint", fingerprint64_expr(text_col)).withColumn(
         "rolling_fp", rolling_fingerprints_expr(text_col, k, keep)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: document frequency / TF-IDF
+
+
+def terms_expr(text_col: str | Column) -> Column:
+    """Normalized term array: lowercase, split on non-alphanumeric runs,
+    empties dropped. Restricting terms to [a-z0-9]+ keeps the tokenization
+    engine-portable (the DuckDB oracle reproduces it with
+    regexp_split_to_array), since non-ASCII case mapping differs by
+    engine but non-ASCII characters are all delimiters here."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+
+
+def term_doc_frequency(
+    df: DataFrame,
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """→ (term, df): number of documents containing each term.
+
+    ``array_distinct`` BEFORE the explode is the scale lever: per-document
+    dedup happens scan-side inside codegen, so the shuffle carries one row
+    per (doc, distinct term), not per token occurrence — on web-scale text
+    that is a 2-5× shuffle reduction for free. The groupBy(term) is the
+    single shuffle; partial (map-side) counting halves it again.
+    """
+    per_doc_terms = df.select(
+        F.explode(F.array_distinct(terms_expr(text_col))).alias("term")
+    )
+    out = per_doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        out = out.where(F.col("df") >= min_df)
+    return out
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """→ (id, term, tf, df, tfidf) with tfidf = tf · ln((1+N)/(1+df)) + smoothing
+    (the scikit-learn-style smoothed IDF: never divides by zero, unseen-term
+    safe). Two shuffles: term counts per (doc, term), then a broadcast-able
+    join against the document-frequency table (|terms| ≪ corpus size)."""
+    n_docs = df.count()
+    tf = (
+        df.select(F.col(id_col), F.explode(terms_expr(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = term_doc_frequency(df, text_col, min_df=min_df)
+    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + F.lit(1.0)
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("tfidf", F.col("tf") * idf)
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )

@@ -1,7 +1,12 @@
 """Relational operators Spark lacks natively, composed Spark-first:
-as-of joins, bucketed co-located joins, and skew-salted joins."""
+as-of joins, bucketed co-located joins, skew-salted joins, join-size
+estimation, and gap-based sessionization."""
 
 from approximate_query_engine_spark.operators.asof import asof_join
+from approximate_query_engine_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+)
 from approximate_query_engine_spark.operators.bucketing import (
     bucketize,
     cocolocated_join,
@@ -19,4 +24,6 @@ __all__ = [
     "salted_join",
     "estimate_join_size",
     "estimate_join_size_cms",
+    "sessionize",
+    "session_stats",
 ]

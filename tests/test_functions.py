@@ -305,3 +305,34 @@ def test_wav_data_chunk_before_fmt():
     assert (channels, rate, dur_ms) == (1, 16_000, 100)
     ref = multimodal.decode_wav(blob)
     assert amp == ref[3]
+
+
+def test_term_doc_frequency(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat, the cat!"), (2, "THE dog"), (3, "a cat")],
+        ["doc_id", "text"],
+    )
+    from approximate_query_engine_spark.functions.text import term_doc_frequency
+
+    df = {r["term"]: r["df"] for r in term_doc_frequency(docs).collect()}
+    # df counts DOCUMENTS, not occurrences; case-folded; punctuation splits
+    assert df["the"] == 2 and df["cat"] == 2 and df["dog"] == 1 and df["a"] == 1
+    df2 = {
+        r["term"]: r["df"]
+        for r in term_doc_frequency(docs, min_df=2).collect()
+    }
+    assert set(df2) == {"the", "cat"}
+
+
+def test_tf_idf_ranking(spark):
+    """Rarer terms score higher at equal tf; tf scales linearly."""
+    docs = spark.createDataFrame(
+        [(1, "common rare"), (2, "common"), (3, "common common")],
+        ["doc_id", "text"],
+    )
+    from approximate_query_engine_spark.functions.text import tf_idf
+
+    rows = {(r["doc_id"], r["term"]): r for r in tf_idf(docs).collect()}
+    assert rows[(1, "rare")]["tfidf"] > rows[(1, "common")]["tfidf"]
+    assert rows[(3, "common")]["tf"] == 2
+    assert rows[(3, "common")]["tfidf"] == 2 * rows[(2, "common")]["tfidf"]

@@ -193,3 +193,94 @@ def test_estimate_join_size_cms_mixed_key_types(spark):
     est = estimate_join_size_cms(a, b, on="k", width=1 << 20)
     assert est["estimate"] >= true  # was 0 before the fix
     assert est["estimate"] <= true + 3.0 * 2000 * 2000 / est["width"]
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+
+
+def test_sessionize_boundaries(spark):
+    """Hand-computed case: gaps >30min split; ties ordered by tiebreak."""
+    import datetime as dt
+
+    from approximate_query_engine_spark.operators import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(minutes=10)),   # same session
+        (1, 3, t0 + dt.timedelta(minutes=41)),   # 31min gap -> new
+        (1, 4, t0 + dt.timedelta(minutes=71)),   # exactly 30min -> SAME
+        (2, 5, t0),                               # other user independent
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    out = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(
+            df, "user_id", "ts", gap_minutes=30, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_session_stats(spark):
+    import datetime as dt
+
+    from approximate_query_engine_spark.operators import session_stats
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(minutes=10)),
+        (1, 3, t0 + dt.timedelta(hours=2)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    stats = {
+        r["session_idx"]: r
+        for r in session_stats(
+            df, "user_id", "ts", gap_minutes=30, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert stats[1]["n_events"] == 2 and stats[1]["duration_sec"] == 600
+    assert stats[2]["n_events"] == 1 and stats[2]["duration_sec"] == 0
+
+
+def test_sessionize_single_shuffle(spark, engine):
+    """Both window functions share one (partition, order) spec → exactly
+    ONE Exchange in the plan. At 100 TB a second shuffle here would double
+    the operator's cost for nothing."""
+    from approximate_query_engine_spark.operators import sessionize
+
+    df = spark.table("events")
+    plan = (
+        sessionize(df, "user_id", "ts", 30, tiebreak_col="event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_knn_join_brute_vs_ivf_recall(spark, engine):
+    from approximate_query_engine_spark.functions.similarity import knn_join
+
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id < 20")
+    brute = knn_join(queries, emb, k=3, exclude_self=True)
+    rows = brute.collect()
+    assert len(rows) == 60
+    # every query's neighbors ranked 1..3 by descending cosine
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        assert rs[0]["cosine"] >= rs[1]["cosine"] >= rs[2]["cosine"]
+        assert all(r["neighbor_id"] != q for r in rs)
+    ivf = knn_join(
+        queries, emb, k=3, method="ivf", nprobe=8, exclude_self=True
+    ).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(bset & iset) / len(bset) >= 0.7  # nprobe=8 of nlist=16
