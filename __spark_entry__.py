@@ -868,6 +868,45 @@ ORDER BY query_id, rank
 """
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ordered-funnel counts (operators/funnel.py): signup →
+    view → purchase, whole journey within 6 h of signup. Earliest-
+    completion greedy matching; strictly-after step ordering."""
+    from approximate_query_engine_spark.operators import funnel
+
+    _prep(spark, sf_dir)
+    return funnel(
+        spark.table("events"),
+        ["signup", "view", "purchase"],
+        max_window_sec=21_600,
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t, MIN(s1.t0) AS t0
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t
+    AND epoch_us(e.ts) - epoch_us(s1.t0) <= 21600000000
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+    AND epoch_us(e.ts) - epoch_us(s2.t0) <= 21600000000
+  GROUP BY 1
+)
+SELECT 1 AS step_idx, 'signup' AS step,
+       (SELECT COUNT(*) FROM s1)::BIGINT AS n_entities
+UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)::BIGINT
+UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)::BIGINT
+ORDER BY step_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -909,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q58_doc_frequency"] = _q_doc_frequency
     out["q59_tfidf"] = _q_tfidf
     out["q60_knn_join"] = _q_knn_join
+    out["q61_funnel"] = _q_funnel
     return out
 
 
@@ -928,4 +968,5 @@ def oracle_sql() -> dict[str, str]:
     out["q58_doc_frequency"] = _DOC_FREQ_ORACLE
     out["q59_tfidf"] = _TFIDF_ORACLE
     out["q60_knn_join"] = _KNN_ORACLE
+    out["q61_funnel"] = _FUNNEL_ORACLE
     return out

@@ -3,6 +3,7 @@ as-of joins, bucketed co-located joins, skew-salted joins, join-size
 estimation, and gap-based sessionization."""
 
 from approximate_query_engine_spark.operators.asof import asof_join
+from approximate_query_engine_spark.operators.funnel import funnel, funnel_users
 from approximate_query_engine_spark.operators.sessionize import (
     session_stats,
     sessionize,
@@ -26,4 +27,6 @@ __all__ = [
     "estimate_join_size_cms",
     "sessionize",
     "session_stats",
+    "funnel",
+    "funnel_users",
 ]

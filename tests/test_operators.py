@@ -284,3 +284,46 @@ def test_knn_join_brute_vs_ivf_recall(spark, engine):
     bset = {(r["query_id"], r["neighbor_id"]) for r in rows}
     iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     assert len(bset & iset) / len(bset) >= 0.7  # nprobe=8 of nlist=16
+
+
+def test_funnel_semantics(spark):
+    """Hand-computed: strict ordering, same-ts does not chain, out-of-order
+    prefixes don't count."""
+    import datetime as dt
+
+    from approximate_query_engine_spark.operators import funnel, funnel_users
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "A", t0), (1, "B", t0 + dt.timedelta(days=1)),
+        (1, "C", t0 + dt.timedelta(days=2)),
+        (2, "A", t0), (2, "C", t0 + dt.timedelta(days=1)),       # skips B
+        (3, "B", t0), (3, "A", t0 + dt.timedelta(days=1)),       # B precedes A
+        (3, "C", t0 + dt.timedelta(days=2)),
+        (4, "A", t0), (4, "B", t0),                               # same ts
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {r["step_idx"]: r["n_entities"] for r in funnel(df, ["A", "B", "C"]).collect()}
+    assert out == {1: 4, 2: 1, 3: 1}
+    completed = funnel_users(df, ["A", "B", "C"]).collect()
+    assert [r["user_id"] for r in completed] == [1]
+    assert completed[0]["completed_ts"] == t0 + dt.timedelta(days=2)
+
+
+def test_funnel_window(spark):
+    """max_window_sec bounds the WHOLE journey from step 1."""
+    import datetime as dt
+
+    from approximate_query_engine_spark.operators import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "A", t0), (1, "B", t0 + dt.timedelta(hours=1)),      # inside 2h
+        (2, "A", t0), (2, "B", t0 + dt.timedelta(hours=3)),      # outside
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {
+        r["step_idx"]: r["n_entities"]
+        for r in funnel(df, ["A", "B"], max_window_sec=7200).collect()
+    }
+    assert out == {1: 2, 2: 1}
