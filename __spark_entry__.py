@@ -907,6 +907,50 @@ ORDER BY step_idx
 """
 
 
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (native session_window + watermark,
+    streaming/approx_stream.py) drained to completion — equals the batch
+    sessionization, so it is DuckDB-oracle-able: per-user session count
+    and total events (integers only; float sums excluded because
+    streaming state-store merge order differs from batch)."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.streaming.approx_stream import (
+        run_streaming_sessions,
+    )
+
+    _prep(spark, sf_dir)
+    out = run_streaming_sessions(spark, sf_dir, gap="360 minutes")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+_STREAM_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 21600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+), stats AS (
+  SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_sessions,
+       SUM(n_events)::BIGINT AS total_events
+FROM stats GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -949,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q59_tfidf"] = _q_tfidf
     out["q60_knn_join"] = _q_knn_join
     out["q61_funnel"] = _q_funnel
+    out["q62_stream_sessions"] = _q_stream_sessions
     return out
 
 
@@ -969,4 +1014,5 @@ def oracle_sql() -> dict[str, str]:
     out["q59_tfidf"] = _TFIDF_ORACLE
     out["q60_knn_join"] = _KNN_ORACLE
     out["q61_funnel"] = _FUNNEL_ORACLE
+    out["q62_stream_sessions"] = _STREAM_SESSIONS_ORACLE
     return out

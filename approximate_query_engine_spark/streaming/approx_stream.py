@@ -136,3 +136,41 @@ def run_stateful_user_counts(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_completion(out, "update")
+
+
+def run_streaming_sessions(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "360 minutes",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming sessionization with Spark's native ``session_window``:
+    per-(user, session) event count, value sum, and duration. The
+    watermark bounds state — a session closes once the watermark passes
+    its end (last event + gap), so state size is O(open sessions), the
+    correct incremental analog of ``operators.sessionize`` (batch
+    equivalence pinned in tests/test_streaming.py).
+
+    Complete output mode (session windows support append/complete only;
+    update is rejected because sessions merge): every session, open or
+    finalized, is in the sink after each batch, so draining a bounded
+    input yields exactly the batch result. A production deployment on an
+    unbounded stream would use append mode — it emits only watermark-
+    finalized sessions and evicts their state."""
+    events = _events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_completion(agg, "complete")

@@ -327,3 +327,44 @@ def test_funnel_window(spark):
         for r in funnel(df, ["A", "B"], max_window_sec=7200).collect()
     }
     assert out == {1: 2, 2: 1}
+
+
+def test_sessionize_matches_native_session_window(spark, engine):
+    """The composed sessionize agrees with Spark's built-in session_window
+    on per-user session counts (boundary semantics differ only when a gap
+    EXACTLY equals the threshold — measure-zero on ns timestamps)."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.operators import sessionize
+
+    ev = spark.table("events")
+    mine = (
+        sessionize(ev, "user_id", "ts", 360, tiebreak_col="event_id")
+        .groupBy("user_id")
+        .agg(F.max("session_idx").alias("n"))
+    )
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "360 minutes"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = {r["user_id"]: r["n"] for r in mine.collect()}
+    n = {r["user_id"]: r["n"] for r in native.collect()}
+    assert m == n
+
+
+def test_knn_join_plans(spark, engine):
+    """Brute = broadcast nested-loop (the explicit baseline); IVF must be
+    a hash join on centroid_id — a cartesian in the IVF path would defeat
+    the candidate pruning entirely."""
+    from approximate_query_engine_spark.functions.similarity import knn_join
+
+    emb = spark.table("embeddings")
+    brute = knn_join(emb.limit(10), emb, k=3)
+    bplan = brute._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in bplan
+    ivf = knn_join(emb.limit(10), emb, k=3, method="ivf")
+    iplan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in iplan
+    assert "BroadcastHashJoin" in iplan or "SortMergeJoin" in iplan

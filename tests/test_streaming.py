@@ -73,3 +73,33 @@ def test_stateful_user_counts(spark, engine):
     assert set(rows) == set(batch)
     for uid, n in batch.items():
         assert rows[uid] == n
+
+
+def test_streaming_sessions_match_batch(spark, engine):
+    """Streaming session_window == batch session_window when the stream is
+    fully drained (availableNow): same sessions, counts, and value sums."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.streaming.approx_stream import (
+        run_streaming_sessions,
+    )
+
+    out = run_streaming_sessions(spark, "/root/testdata/sf0.001")
+    batch = (
+        spark.table("events")
+        .groupBy("user_id", F.session_window("ts", "360 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    s = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in out.collect()
+    )
+    b = sorted(tuple(r) for r in batch.collect())
+    assert s == b and len(s) > 0
