@@ -183,6 +183,13 @@ class IVFIndex:
 # batch k-NN join
 
 
+def _sumsq_expr(col) -> "F.Column":
+    """Σ v² over an array column (the squared L2 norm), one pass."""
+    return F.aggregate(
+        col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -192,6 +199,7 @@ def knn_join(
     vec_col: str = "embedding",
     method: str = "brute",
     index: "IVFIndex | None" = None,
+    assigned: DataFrame | None = None,
     nlist: int = 16,
     nprobe: int = 4,
     exclude_self: bool = False,
@@ -206,33 +214,48 @@ def knn_join(
       ``left`` scan (an explicit Cartesian — O(|L|·|R|·d), the honest
       baseline). Right side must fit the broadcast budget; at 100 TB use
       the IVF path.
-    - ``method='ivf'``: assign ``right`` rows to coarse centroids once
-      (persist partitioned by centroid_id at scale), probe each query's
-      ``nprobe`` nearest centroids only — candidate set shrinks by
-      ~nlist/nprobe. The join is keyed on centroid_id, so it shuffles
-      candidates, never all pairs; the final per-query top-k is a window
-      over candidates only.
+    - ``method='ivf'``: assign ``right`` rows to coarse centroids once,
+      probe each query's ``nprobe`` nearest centroids only — candidate
+      set shrinks by ~nlist/nprobe. The join is keyed on centroid_id, so
+      it shuffles candidates, never all pairs; the final per-query top-k
+      is a window over candidates only. Pass ``assigned`` (the persisted
+      output of ``index.assign(right, ...)``) to skip re-assigning the
+      corpus — at 100 TB the assignment is a materialized table written
+      ``partitionBy('centroid_id')``, built once, probed many times;
+      re-deriving it per query batch would cost more than the pruning
+      saves (measured in bench.py).
+
+    Per-side norms are computed ONCE per row before the pair join, so
+    each candidate pair costs one dot product, not three array passes.
+    The cosine value is IEEE-identical to :func:`cosine_expr` (same fold
+    order, same operations).
 
     Ties broken by neighbor id; ``exclude_self`` drops query==neighbor
     (for self-join dedup shapes where left IS right).
     """
     from pyspark.sql import Window
 
-    lhs = left.select(F.col(left_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    lhs = left.select(
+        F.col(left_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", F.sqrt(_sumsq_expr(F.col("__qv"))))
     if method == "brute":
         rhs = right.select(
             F.col(right_id).alias("neighbor_id"), F.col(vec_col).alias("__nv")
-        )
+        ).withColumn("__nn", F.sqrt(_sumsq_expr(F.col("__nv"))))
         cand = lhs.crossJoin(F.broadcast(rhs))
     elif method == "ivf":
+        if assigned is not None and index is None:
+            raise ValueError("assigned requires the index that produced it")
         idx = index or IVFIndex.train(
             right, vec_col=vec_col, nlist=nlist, seed=seed
         )
-        assigned = idx.assign(right, id_col=right_id, vec_col=vec_col).select(
+        if assigned is None:
+            assigned = idx.assign(right, id_col=right_id, vec_col=vec_col)
+        assigned = assigned.select(
             F.col(right_id).alias("neighbor_id"),
             F.col(vec_col).alias("__nv"),
             "centroid_id",
-        )
+        ).withColumn("__nn", F.sqrt(_sumsq_expr(F.col("__nv"))))
         cents = idx._centroid_array_lit()
         sims = F.transform(cents, lambda c: cosine_expr(F.col("__qv"), c))
         nlist_actual = len(idx.centroids)
@@ -259,11 +282,23 @@ def knn_join(
         raise ValueError(f"unknown knn_join method: {method}")
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_expr(F.col("__qv"), F.col("__nv")).alias("cosine"),
+    # one array pass per pair: dot only; norms were computed per side.
+    # when-guard + division order mirror cosine_expr exactly so the value
+    # is bit-identical to the three-pass form (and the DuckDB oracle).
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            F.col("__nv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
+    cos = F.when(
+        (F.col("__qn") > 0) & (F.col("__nn") > 0),
+        dot / (F.col("__qn") * F.col("__nn")),
+    ).otherwise(F.lit(0.0))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor_id")
     )

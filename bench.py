@@ -275,6 +275,91 @@ def main() -> None:
 
     timings["ann_topk"] = _time(_ann)
 
+    # event operators (solo timings — no approximate counterpart)
+    def _sessionize():
+        from approximate_query_engine_spark.operators import session_stats
+
+        session_stats(
+            spark.table("events"), gap_minutes=360, tiebreak_col="event_id"
+        ).count()
+
+    timings["sessionize"] = _time(_sessionize)
+
+    def _funnel():
+        from approximate_query_engine_spark.operators import funnel
+
+        funnel(
+            spark.table("events"),
+            ["signup", "view", "purchase"],
+            max_window_sec=21_600,
+        ).collect()
+
+    timings["funnel"] = _time(_funnel)
+
+    # batch k-NN join: brute (exact) vs IVF (pruned) on a 10x-replicated
+    # corpus — the same exact-vs-approx axis as the BASELINE classes, for
+    # the vector path. Corpus build + index train are untimed setup.
+    emb_big_path = os.path.join(
+        big_dir, f"embeddings_big_v1_sf{_sf_from_dir(SF_DIR)}"
+    )
+    if not os.path.exists(emb_big_path):
+        (
+            spark.table("embeddings")
+            .crossJoin(spark.range(10).select(F.col("id").alias("rep")))
+            .select(
+                (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+                "embedding",
+            )
+            .write.mode("overwrite")
+            .parquet(emb_big_path)
+        )
+    emb_big = spark.read.parquet(emb_big_path)
+    from approximate_query_engine_spark.functions.similarity import (
+        IVFIndex,
+        knn_join,
+    )
+
+    ivf_index = IVFIndex.train(emb_big, nlist=32, seed=42)
+    # the IVF operational model: corpus→centroid assignment is a
+    # materialized table (built once, probed many times) — untimed setup,
+    # exactly like the pre-built 1% sample above
+    ivf_assigned = ivf_index.assign(emb_big).localCheckpoint()
+    knn_queries = emb_big.where("vec_id < 20")
+
+    def _knn_brute():
+        knn_join(knn_queries, emb_big, k=10).count()
+
+    def _knn_ivf():
+        knn_join(
+            knn_queries,
+            emb_big,
+            k=10,
+            method="ivf",
+            index=ivf_index,
+            assigned=ivf_assigned,
+            nprobe=4,
+        ).count()
+
+    timings["knn_brute"] = _time(_knn_brute, reps=1)
+    timings["knn_ivf"] = _time(_knn_ivf, reps=1)
+    b_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_join(knn_queries, emb_big, k=10).collect()
+    }
+    i_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_join(
+            knn_queries,
+            emb_big,
+            k=10,
+            method="ivf",
+            index=ivf_index,
+            assigned=ivf_assigned,
+            nprobe=4,
+        ).collect()
+    }
+    knn_recall = len(b_pairs & i_pairs) / max(len(b_pairs), 1)
+
     speedups = {
         name: timings[f"{name}_exact"] / timings[f"{name}_approx"]
         for name in list(exact_sqls) + list(big_sqls) + list(big_distinct_sqls)
@@ -285,12 +370,17 @@ def main() -> None:
     speedups["distinct"] = timings["distinct_exact"] / max(
         timings["distinct_sketch"], 1e-9
     )
+    speedups["knn_ivf_vs_brute"] = timings["knn_brute"] / max(
+        timings["knn_ivf"], 1e-9
+    )
 
     errors = {}
     for name, sql in {**exact_sqls, **big_sqls, **big_distinct_sqls}.items():
         e = _rel_error(sql)
         if e is not None:
             errors[name] = round(e, 4)
+    # for the knn class "error" is 1 - recall@10 of the IVF pruning
+    errors["knn_ivf"] = round(1.0 - knn_recall, 4)
 
     # ---- tier report ----------------------------------------------------
     # The BASELINE-comparable regime is the big tier: at sf0.1 both sides of
