@@ -33,6 +33,39 @@ def _query_vec_lit(query_vec) -> "F.Column":
     return F.array(*[F.lit(float(x)) for x in query_vec])
 
 
+def _py_fold_norm(query_vec) -> float:
+    """L2 norm via the SAME sequential left-fold Spark's ``aggregate``
+    performs over the literal array — bit-identical IEEE result, computed
+    once on the driver instead of once per scanned row."""
+    acc = 0.0
+    for v in query_vec:
+        acc += float(v) * float(v)
+    return acc**0.5
+
+
+def _cosine_to_query_expr(vec_col, query_vec) -> "F.Column":
+    """cosine(row_vec, fixed query): one dot pass + one row-norm pass per
+    row; the query norm is a driver-side constant. Value bit-identical to
+    ``cosine_expr(row_vec, lit(query))`` (same fold order, same guard,
+    same operand order in the product)."""
+    qv = _query_vec_lit(query_vec)
+    qn = _py_fold_norm(query_vec)
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dot = F.aggregate(
+        F.zip_with(v, qv, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, t: acc + t.cast("double") * t.cast("double")
+        )
+    )
+    if qn <= 0:
+        return F.lit(0.0)
+    return F.when(nv > 0, dot / (nv * F.lit(qn))).otherwise(0.0)
+
+
 def topk_cosine_brute_force(
     df: DataFrame,
     query_vec,
@@ -42,11 +75,10 @@ def topk_cosine_brute_force(
 ) -> DataFrame:
     """Exact top-k by cosine: full scan, TakeOrderedAndProject top-k.
     Ties broken by id for determinism."""
-    qv = _query_vec_lit(query_vec)
     return (
         df.select(
             F.col(id_col),
-            cosine_expr(F.col(vec_col), qv).alias("cosine"),
+            _cosine_to_query_expr(vec_col, query_vec).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
@@ -75,11 +107,13 @@ def topk_cosine_lsh(
         if float(planes[i] @ q) > 0:
             q_sig |= 1 << i
     sig = hyperplane_signature_expr(vec_col, dim, nbits, seed)
-    qv = _query_vec_lit(query_vec)
     return (
         df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
         .filter(F.bit_count(F.col("_sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming)
-        .select(F.col(id_col), cosine_expr(F.col(vec_col), qv).alias("cosine"))
+        .select(
+            F.col(id_col),
+            _cosine_to_query_expr(vec_col, query_vec).alias("cosine"),
+        )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
@@ -144,9 +178,24 @@ class IVFIndex:
         self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
     ) -> DataFrame:
         """Add ``centroid_id`` = argmax cosine over centroids. At scale,
-        write this out ``partitionBy('centroid_id')`` so probes prune."""
+        write this out ``partitionBy('centroid_id')`` so probes prune.
+
+        Centroids are L2-normalized at training time, so argmax cosine ==
+        argmax dot product — one array pass per (row, centroid) instead of
+        three, and the row's own norm (a positive scale on every centroid
+        equally) cancels out of the argmax entirely."""
         cents = self._centroid_array_lit()
-        sims = F.transform(cents, lambda c: cosine_expr(F.col(vec_col), c))
+        v = F.col(vec_col)
+        sims = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    v, c, lambda x, y: x.cast("double") * y.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        )
         best = F.array_position(sims, F.array_max(sims)) - 1
         return df.select(
             F.col(id_col), F.col(vec_col), best.cast("int").alias("centroid_id")
@@ -257,7 +306,21 @@ def knn_join(
             "centroid_id",
         ).withColumn("__nn", F.sqrt(_sumsq_expr(F.col("__nv"))))
         cents = idx._centroid_array_lit()
-        sims = F.transform(cents, lambda c: cosine_expr(F.col("__qv"), c))
+        # probe ranking by dot product: centroids are unit-norm and the
+        # query's own norm scales every centroid equally, so the order is
+        # the cosine order at a third of the array passes
+        sims = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("__qv"),
+                    c,
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        )
         nlist_actual = len(idx.centroids)
         ranked = F.array_sort(
             F.arrays_zip(
