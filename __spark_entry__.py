@@ -951,6 +951,41 @@ FROM stats GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_approx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided sampled join aggregation (operators/approx_join.py):
+    deterministic 1-in-20 fact sample ⋈ exact dims, HT-scaled COUNT/SUM
+    through decimal accumulation so the oracle hash-matches. The join-
+    level AQP extension — a 100× fact-scan/shuffle cut at 100 TB."""
+    from approximate_query_engine_spark.operators import (
+        scaled_join_agg,
+        weighted_sample,
+    )
+
+    _prep(spark, sf_dir)
+    li, od = spark.table("lineitem"), spark.table("orders")
+    fs = weighted_sample(
+        li, every_k=20, key_expr="l_orderkey * 31 + l_linenumber"
+    )
+    joined = fs.join(od, fs.l_orderkey == od.o_orderkey)
+    return scaled_join_agg(
+        joined,
+        ["o_orderpriority"],
+        {"n_est": "COUNT(*)", "rev_est": "SUM(l_extendedprice)"},
+        decimal_exact=True,
+    )
+
+
+_APPROX_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       CAST(ROUND(COALESCE(SUM(20.0), 0.0)) AS BIGINT) AS n_est,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(20.0 AS DECIMAL(18,2))) AS DOUBLE) AS rev_est
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE (l_orderkey * 31 + l_linenumber) % 20 = 0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -994,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q60_knn_join"] = _q_knn_join
     out["q61_funnel"] = _q_funnel
     out["q62_stream_sessions"] = _q_stream_sessions
+    out["q63_approx_join"] = _q_approx_join
     return out
 
 
@@ -1015,4 +1051,5 @@ def oracle_sql() -> dict[str, str]:
     out["q60_knn_join"] = _KNN_ORACLE
     out["q61_funnel"] = _FUNNEL_ORACLE
     out["q62_stream_sessions"] = _STREAM_SESSIONS_ORACLE
+    out["q63_approx_join"] = _APPROX_JOIN_ORACLE
     return out

@@ -2,6 +2,10 @@
 as-of joins, bucketed co-located joins, skew-salted joins, join-size
 estimation, and gap-based sessionization."""
 
+from approximate_query_engine_spark.operators.approx_join import (
+    scaled_join_agg,
+    weighted_sample,
+)
 from approximate_query_engine_spark.operators.asof import asof_join
 from approximate_query_engine_spark.operators.funnel import funnel, funnel_users
 from approximate_query_engine_spark.operators.sessionize import (
@@ -29,4 +33,6 @@ __all__ = [
     "session_stats",
     "funnel",
     "funnel_users",
+    "weighted_sample",
+    "scaled_join_agg",
 ]

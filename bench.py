@@ -342,6 +342,41 @@ def main() -> None:
 
     timings["knn_brute"] = _time(_knn_brute, reps=1)
     timings["knn_ivf"] = _time(_knn_ivf, reps=1)
+
+    # join-level AQP: 1% fact sample through the fact-dim join (the
+    # single-table classes above never sample a join input; this is the
+    # opt-in operator that does, operators/approx_join.py)
+    from approximate_query_engine_spark.executor import measured_relative_error
+    from approximate_query_engine_spark.operators import (
+        scaled_join_agg,
+        weighted_sample,
+    )
+
+    big_join_sql = (
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "SUM(l_extendedprice) AS rev "
+        "FROM lineitem_big JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority"
+    )
+    timings["big_join_exact"] = _time(_run_sql(spark, big_join_sql, exact_rows))
+    big_join_rows: list = []
+
+    def _big_join_approx():
+        fs = weighted_sample(spark.table("lineitem_big"), fraction=0.01, seed=42)
+        joined = fs.join(
+            spark.table("orders"), fs.l_orderkey == spark.table("orders").o_orderkey
+        )
+        big_join_rows[:] = [
+            r.asDict()
+            for r in scaled_join_agg(
+                joined,
+                ["o_orderpriority"],
+                {"n": "COUNT(*)", "rev": "SUM(l_extendedprice)"},
+                with_ci=False,
+            ).collect()
+        ]
+
+    timings["big_join_approx"] = _time(_big_join_approx)
     b_pairs = {
         (r["query_id"], r["neighbor_id"])
         for r in knn_join(knn_queries, emb_big, k=10).collect()
@@ -373,6 +408,9 @@ def main() -> None:
     speedups["knn_ivf_vs_brute"] = timings["knn_brute"] / max(
         timings["knn_ivf"], 1e-9
     )
+    speedups["big_join"] = timings["big_join_exact"] / max(
+        timings["big_join_approx"], 1e-9
+    )
 
     errors = {}
     for name, sql in {**exact_sqls, **big_sqls, **big_distinct_sqls}.items():
@@ -381,6 +419,9 @@ def main() -> None:
             errors[name] = round(e, 4)
     # for the knn class "error" is 1 - recall@10 of the IVF pruning
     errors["knn_ivf"] = round(1.0 - knn_recall, 4)
+    e = measured_relative_error(big_join_rows, exact_rows.get(big_join_sql))
+    if e is not None:
+        errors["big_join"] = round(e, 4)
 
     # ---- tier report ----------------------------------------------------
     # The BASELINE-comparable regime is the big tier: at sf0.1 both sides of
@@ -391,7 +432,7 @@ def main() -> None:
     # numbers.
     FLOOR_SEC = 0.3
     std_classes = list(exact_sqls) + ["distinct"]
-    big_classes = list(big_sqls) + list(big_distinct_sqls)
+    big_classes = list(big_sqls) + list(big_distinct_sqls) + ["big_join"]
     tiers = {
         "standard": {
             "classes": {c: round(speedups[c], 3) for c in std_classes if c in speedups},

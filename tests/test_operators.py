@@ -368,3 +368,81 @@ def test_knn_join_plans(spark, engine):
     iplan = ivf._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in iplan
     assert "BroadcastHashJoin" in iplan or "SortMergeJoin" in iplan
+
+
+# ---------------------------------------------------------------------------
+# sampled join aggregation (one-sided join AQP)
+
+
+def test_weighted_sample_designs(spark, engine):
+    from approximate_query_engine_spark.operators import weighted_sample
+
+    li = spark.table("lineitem")
+    n = li.count()
+    sys = weighted_sample(li, every_k=20, key_expr="l_orderkey * 31 + l_linenumber")
+    rows = sys.select("__weight").distinct().collect()
+    assert [r["__weight"] for r in rows] == [20.0]
+    assert abs(sys.count() * 20 - n) / n < 0.2
+    bern = weighted_sample(li, fraction=0.1, seed=3)
+    assert abs(bern.count() * 10 - n) / n < 0.2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        weighted_sample(li)  # neither design
+    with _pytest.raises(ValueError):
+        weighted_sample(li, fraction=0.1, every_k=10, key_expr="l_orderkey")
+
+
+def test_scaled_join_agg_unbiased_and_ci(spark, engine, duck):
+    """Fact-side sampling through an FK join: estimates land near exact
+    and the 95% CI covers the truth for this seed."""
+    from approximate_query_engine_spark.operators import (
+        scaled_join_agg,
+        weighted_sample,
+    )
+
+    li, od = spark.table("lineitem"), spark.table("orders")
+    fs = weighted_sample(li, fraction=0.2, seed=11)
+    joined = fs.join(od, fs.l_orderkey == od.o_orderkey)
+    out = scaled_join_agg(
+        joined, [], {"n": "COUNT(*)", "rev": "SUM(l_extendedprice)"}
+    ).collect()[0]
+    true_n, true_rev = duck.execute(
+        "SELECT COUNT(*), SUM(l_extendedprice) FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey"
+    ).fetchone()
+    assert abs(out["n"] - true_n) / true_n < 0.15
+    assert out["n_ci_low"] <= true_n <= out["n_ci_high"]
+    assert out["rev_ci_low"] <= true_rev <= out["rev_ci_high"]
+
+
+def test_scaled_join_agg_decimal_exact_grouped(spark, engine, duck):
+    """The deterministic design + decimal accumulation reproduces the
+    DuckDB rendering bit-exactly (the q63 contract shape)."""
+    from approximate_query_engine_spark.operators import (
+        scaled_join_agg,
+        weighted_sample,
+    )
+
+    li, od = spark.table("lineitem"), spark.table("orders")
+    fs = weighted_sample(li, every_k=20, key_expr="l_orderkey * 31 + l_linenumber")
+    joined = fs.join(od, fs.l_orderkey == od.o_orderkey)
+    out = scaled_join_agg(
+        joined,
+        ["o_orderpriority"],
+        {"n_est": "COUNT(*)", "rev_est": "SUM(l_extendedprice)"},
+        decimal_exact=True,
+    )
+    s = sorted(tuple(r) for r in out.collect())
+    d = sorted(
+        tuple(r)
+        for r in duck.execute(
+            "SELECT o_orderpriority, "
+            "CAST(ROUND(COALESCE(SUM(20.0), 0.0)) AS BIGINT) AS n_est, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(20.0 AS DECIMAL(18,2))) AS DOUBLE) AS rev_est "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE (l_orderkey * 31 + l_linenumber) % 20 = 0 "
+            "GROUP BY o_orderpriority"
+        ).fetchall()
+    )
+    assert s == d
