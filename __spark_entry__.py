@@ -765,7 +765,7 @@ _SESSIONIZE_ORACLE = """
 WITH flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 21600000000
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 21600000000
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -870,8 +870,9 @@ ORDER BY query_id, rank
 
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed ordered-funnel counts (operators/funnel.py): signup →
-    view → purchase, whole journey within 6 h of signup. Earliest-
-    completion greedy matching; strictly-after step ordering."""
+    view → purchase, whole chain within 6 h of ITS OWN signup (each step
+    event links to the latest chained predecessor, which carries the
+    maximal feasible chain start); strictly-after step ordering."""
     from approximate_query_engine_spark.operators import funnel
 
     _prep(spark, sf_dir)
@@ -884,25 +885,40 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUNNEL_ORACLE = """
 WITH s1 AS (
-  SELECT user_id, MIN(ts) AS t, MIN(ts) AS t0 FROM events
-  WHERE event_type = 'signup' GROUP BY 1
+  SELECT user_id, ts AS t, ts AS t0 FROM events WHERE event_type = 'signup'
 ), s2 AS (
-  SELECT e.user_id, MIN(e.ts) AS t, MIN(s1.t0) AS t0
-  FROM events e JOIN s1 USING (user_id)
-  WHERE e.event_type = 'view' AND e.ts > s1.t
-    AND epoch_us(e.ts) - epoch_us(s1.t0) <= 21600000000
-  GROUP BY 1
+  SELECT user_id, ts AS t, carry AS t0 FROM (
+    SELECT user_id, ts, is_prev,
+           LAST_VALUE(t0 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, is_prev, t0
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carry
+    FROM (
+      SELECT user_id, t AS ts, 1 AS is_prev, t0 FROM s1
+      UNION ALL
+      SELECT user_id, ts, 0 AS is_prev, NULL AS t0 FROM events
+      WHERE event_type = 'view'
+    )
+  ) WHERE is_prev = 0 AND carry IS NOT NULL
+    AND epoch_us(ts) - epoch_us(carry) <= 21600000000
 ), s3 AS (
-  SELECT e.user_id, MIN(e.ts) AS t
-  FROM events e JOIN s2 USING (user_id)
-  WHERE e.event_type = 'purchase' AND e.ts > s2.t
-    AND epoch_us(e.ts) - epoch_us(s2.t0) <= 21600000000
-  GROUP BY 1
+  SELECT user_id, ts AS t, carry AS t0 FROM (
+    SELECT user_id, ts, is_prev,
+           LAST_VALUE(t0 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, is_prev, t0
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carry
+    FROM (
+      SELECT user_id, t AS ts, 1 AS is_prev, t0 FROM s2
+      UNION ALL
+      SELECT user_id, ts, 0 AS is_prev, NULL AS t0 FROM events
+      WHERE event_type = 'purchase'
+    )
+  ) WHERE is_prev = 0 AND carry IS NOT NULL
+    AND epoch_us(ts) - epoch_us(carry) <= 21600000000
 )
 SELECT 1 AS step_idx, 'signup' AS step,
-       (SELECT COUNT(*) FROM s1)::BIGINT AS n_entities
-UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)::BIGINT
-UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)::BIGINT
+       (SELECT COUNT(DISTINCT user_id) FROM s1)::BIGINT AS n_entities
+UNION ALL SELECT 2, 'view', (SELECT COUNT(DISTINCT user_id) FROM s2)::BIGINT
+UNION ALL SELECT 3, 'purchase', (SELECT COUNT(DISTINCT user_id) FROM s3)::BIGINT
 ORDER BY step_idx
 """
 
@@ -931,7 +947,7 @@ _STREAM_SESSIONS_ORACLE = """
 WITH flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 21600000000
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 21600000000
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

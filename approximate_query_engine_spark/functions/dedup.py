@@ -457,22 +457,37 @@ def ngram_jaccard_pairs(
 # embedding-cosine near-dup
 
 
+def dot_expr(a: str | Column, b: str | Column) -> Column:
+    """Σ aᵢ·bᵢ of two array<numeric> columns via zip_with + aggregate
+    (JVM-side, no UDF). This is THE canonical fold — a sequential left
+    fold over doubles — and every cosine/similarity expression in the
+    engine must build on it so values stay bit-identical across paths
+    (and with the DuckDB oracle, which folds in the same order)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sumsq_expr(a: str | Column) -> Column:
+    """Σ aᵢ² (squared L2 norm), same canonical fold as :func:`dot_expr`."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+
+
 def cosine_expr(a: str | Column, b: str | Column) -> Column:
     """Cosine similarity of two array<numeric> columns via zip_with +
     aggregate (JVM-side, no UDF)."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm_a = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
-    norm_b = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
+    dot = dot_expr(a, b)
+    norm_a = F.sqrt(sumsq_expr(a))
+    norm_b = F.sqrt(sumsq_expr(b))
     return F.when((norm_a > 0) & (norm_b > 0), dot / (norm_a * norm_b)).otherwise(0.0)
 
 

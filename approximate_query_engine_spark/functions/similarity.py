@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 
 from approximate_query_engine_spark.functions.dedup import (
     cosine_expr,
+    dot_expr,
     hyperplane_signature_expr,
+    sumsq_expr,
 )
 
 
@@ -46,24 +48,15 @@ def _py_fold_norm(query_vec) -> float:
 def _cosine_to_query_expr(vec_col, query_vec) -> "F.Column":
     """cosine(row_vec, fixed query): one dot pass + one row-norm pass per
     row; the query norm is a driver-side constant. Value bit-identical to
-    ``cosine_expr(row_vec, lit(query))`` (same fold order, same guard,
-    same operand order in the product)."""
+    ``cosine_expr(row_vec, lit(query))`` (same canonical fold via
+    dot_expr/sumsq_expr, same guard, same operand order)."""
     qv = _query_vec_lit(query_vec)
     qn = _py_fold_norm(query_vec)
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    dot = F.aggregate(
-        F.zip_with(v, qv, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    nv = F.sqrt(
-        F.aggregate(
-            v, F.lit(0.0), lambda acc, t: acc + t.cast("double") * t.cast("double")
-        )
-    )
     if qn <= 0:
         return F.lit(0.0)
-    return F.when(nv > 0, dot / (nv * F.lit(qn))).otherwise(0.0)
+    nv = F.sqrt(sumsq_expr(v))
+    return F.when(nv > 0, dot_expr(v, qv) / (nv * F.lit(qn))).otherwise(0.0)
 
 
 def topk_cosine_brute_force(
@@ -186,16 +179,7 @@ class IVFIndex:
         equally) cancels out of the argmax entirely."""
         cents = self._centroid_array_lit()
         v = F.col(vec_col)
-        sims = F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(
-                    v, c, lambda x, y: x.cast("double") * y.cast("double")
-                ),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ),
-        )
+        sims = F.transform(cents, lambda c: dot_expr(v, c))
         best = F.array_position(sims, F.array_max(sims)) - 1
         return df.select(
             F.col(id_col), F.col(vec_col), best.cast("int").alias("centroid_id")
@@ -230,13 +214,6 @@ class IVFIndex:
 
 # ---------------------------------------------------------------------------
 # batch k-NN join
-
-
-def _sumsq_expr(col) -> "F.Column":
-    """Σ v² over an array column (the squared L2 norm), one pass."""
-    return F.aggregate(
-        col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-    )
 
 
 def knn_join(
@@ -286,11 +263,11 @@ def knn_join(
 
     lhs = left.select(
         F.col(left_id).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn("__qn", F.sqrt(_sumsq_expr(F.col("__qv"))))
+    ).withColumn("__qn", F.sqrt(sumsq_expr(F.col("__qv"))))
     if method == "brute":
         rhs = right.select(
             F.col(right_id).alias("neighbor_id"), F.col(vec_col).alias("__nv")
-        ).withColumn("__nn", F.sqrt(_sumsq_expr(F.col("__nv"))))
+        ).withColumn("__nn", F.sqrt(sumsq_expr(F.col("__nv"))))
         cand = lhs.crossJoin(F.broadcast(rhs))
     elif method == "ivf":
         if assigned is not None and index is None:
@@ -304,23 +281,12 @@ def knn_join(
             F.col(right_id).alias("neighbor_id"),
             F.col(vec_col).alias("__nv"),
             "centroid_id",
-        ).withColumn("__nn", F.sqrt(_sumsq_expr(F.col("__nv"))))
+        ).withColumn("__nn", F.sqrt(sumsq_expr(F.col("__nv"))))
         cents = idx._centroid_array_lit()
         # probe ranking by dot product: centroids are unit-norm and the
         # query's own norm scales every centroid equally, so the order is
         # the cosine order at a third of the array passes
-        sims = F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(
-                    F.col("__qv"),
-                    c,
-                    lambda x, y: x.cast("double") * y.cast("double"),
-                ),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ),
-        )
+        sims = F.transform(cents, lambda c: dot_expr(F.col("__qv"), c))
         nlist_actual = len(idx.centroids)
         ranked = F.array_sort(
             F.arrays_zip(
@@ -348,18 +314,10 @@ def knn_join(
     # one array pass per pair: dot only; norms were computed per side.
     # when-guard + division order mirror cosine_expr exactly so the value
     # is bit-identical to the three-pass form (and the DuckDB oracle).
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("__qv"),
-            F.col("__nv"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     cos = F.when(
         (F.col("__qn") > 0) & (F.col("__nn") > 0),
-        dot / (F.col("__qn") * F.col("__nn")),
+        dot_expr(F.col("__qv"), F.col("__nv"))
+        / (F.col("__qn") * F.col("__nn")),
     ).otherwise(F.lit(0.0))
     scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(

@@ -62,6 +62,8 @@ def weighted_sample(
     else:
         if not key_expr:
             raise ValueError("every_k requires key_expr (integer-valued SQL)")
+        if int(every_k) < 1:
+            raise ValueError("every_k must be >= 1")
         kept = df.where(F.expr(f"(({key_expr}) % {int(every_k)}) = 0"))
         weight = float(every_k)
     return kept.withColumn(weight_col, F.lit(weight))
@@ -121,7 +123,10 @@ def scaled_join_agg(
     sql = f"SELECT {', '.join(select)} FROM {view}"
     if group_by:
         sql += " GROUP BY " + ", ".join(_bt(c) for c in group_by)
-    return joined.sparkSession.sql(sql)
+    spark = joined.sparkSession
+    out = spark.sql(sql)  # analysis is eager: the plan is resolved here
+    spark.catalog.dropTempView(view)  # don't leak a view per call
+    return out
 
 
 def _decimal_scaled(agg, weight_col: str) -> str:

@@ -4,25 +4,92 @@ step 2 strictly after it, then step 3 after that, ...
 No reference counterpart (the reference has no event model); part of the
 event-pipeline extension surface alongside sessionization.
 
-Implementation is k−1 self-narrowing rounds (k = number of steps, small
-and fixed): round i keeps, per entity, the EARLIEST occurrence of step i
-that is strictly after the entity's step-(i−1) time. Earliest-completion
-semantics make the count maximal (greedy earliest matching is optimal for
-"did the ordered sequence occur?").
+Matching semantics: an entity reaches step i if ANY chain of events
+s₁ < s₂ < ... < sᵢ (strict time order) exists, and — when
+``max_window_sec`` is given — the whole chain fits in a window starting
+at its OWN step-1 event (not merely the entity's earliest step-1). The
+implementation links each step-i event to the LATEST chained step-(i−1)
+event strictly before it. Chain starts are monotone in event time (the
+latest-signup-before function is non-decreasing), so the latest
+predecessor always carries the maximal feasible chain start — greedy
+latest-predecessor matching is optimal under a journey window.
 
-Scale notes (100 TB): every round is a filter on one step's events (tiny
-vs the table; predicate pushes into the scan) + a groupBy(entity) + a join
-on entity — all shuffles on the SAME key, so with the default partitioning
-Catalyst reuses one exchange layout; candidate entities only shrink round
-over round. No per-entity arrays are collected, so a hot entity costs
-nothing beyond its own event count. ``max_window_sec`` optionally bounds
-the whole journey (step k within w seconds of step 1).
+Each round is the as-of-join union-window composition (operators/asof.py
+pattern): union tagged predecessor and current-step events, one window
+per entity ordered by time, ``last(chain_start, ignorenulls)`` over the
+strictly-preceding frame. One shuffle per step, all on the entity key;
+no per-entity arrays. Rounds are ``localCheckpoint``-ed so counting
+round i never re-executes rounds 1..i−1 (k rounds cost O(k) scans, not
+O(k²)).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _chained_steps(
+    events: DataFrame,
+    steps: list[str],
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    max_window_sec: float | None,
+):
+    """Yield (step, chained) per step, where ``chained`` has one row per
+    event completing a prefix chain: (entity, __ts, __t0 = chain start).
+    Each round is lazily localCheckpoint-ed: materialized once on first
+    action, reused by later rounds and by counting."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ts_type = events.schema[ts_col].dataType
+    first = (
+        events.where(F.col(type_col) == steps[0])
+        .select(F.col(entity_col), F.col(ts_col).alias("__ts"))
+        .withColumn("__t0", F.col("__ts"))
+    ).localCheckpoint(eager=False)
+    yield steps[0], first
+    chained = first
+    win_us = (
+        int(max_window_sec * 1_000_000) if max_window_sec is not None else None
+    )
+    for step in steps[1:]:
+        prev_tagged = chained.select(
+            F.col(entity_col),
+            "__ts",
+            F.lit(1).alias("__is_prev"),
+            "__t0",
+        )
+        cur_tagged = (
+            events.where(F.col(type_col) == step)
+            .select(F.col(entity_col), F.col(ts_col).alias("__ts"))
+            .withColumn("__is_prev", F.lit(0))
+            .withColumn("__t0", F.lit(None).cast(ts_type))
+        )
+        u = prev_tagged.unionByName(cur_tagged)
+        # order: time asc; at equal time current-step rows sort BEFORE
+        # predecessors (strict-after: a same-ts predecessor must not be in
+        # the frame); among equal-ts predecessors, the largest chain start
+        # sorts last and wins the carry
+        w = (
+            Window.partitionBy(entity_col)
+            .orderBy("__ts", "__is_prev", "__t0")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        nxt = (
+            u.withColumn("__carry", F.last("__t0", ignorenulls=True).over(w))
+            .where((F.col("__is_prev") == 0) & F.col("__carry").isNotNull())
+        )
+        if win_us is not None:
+            nxt = nxt.where(
+                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__carry"))
+                <= win_us
+            )
+        chained = nxt.select(
+            F.col(entity_col), "__ts", F.col("__carry").alias("__t0")
+        ).localCheckpoint(eager=False)
+        yield step, chained
 
 
 def funnel(
@@ -33,40 +100,21 @@ def funnel(
     ts_col: str = "ts",
     max_window_sec: float | None = None,
 ) -> DataFrame:
-    """→ (step_idx, step, n_entities): entities whose events contain the
-    ``steps`` sequence in strict time order up to each prefix length.
-
-    n_entities is monotonically non-increasing in step_idx by
-    construction. Strictly-after semantics: two steps sharing one exact
-    timestamp do NOT chain (portable — no tiebreak ambiguity).
-    """
-    if not steps:
-        raise ValueError("funnel needs at least one step")
-    reached = (
-        events.where(F.col(type_col) == steps[0])
-        .groupBy(entity_col)
-        .agg(F.min(ts_col).alias("__t"))
-    )
-    if max_window_sec is not None:
-        reached = reached.withColumn("__t0", F.col("__t"))
-    counts = [(1, steps[0], reached.count())]
-    for i, step in enumerate(steps[1:], start=2):
-        nxt = events.where(F.col(type_col) == step).select(
-            F.col(entity_col), F.col(ts_col).alias("__ts")
-        )
-        joined = nxt.join(reached, entity_col).where(F.col("__ts") > F.col("__t"))
-        if max_window_sec is not None:
-            joined = joined.where(
-                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__t0"))
-                <= int(max_window_sec * 1_000_000)
-            )
-        carry = [F.min("__ts").alias("__t")] + (
-            [F.first("__t0").alias("__t0")] if max_window_sec is not None else []
-        )
-        reached = joined.groupBy(entity_col).agg(*carry)
-        counts.append((i, step, reached.count()))
-    spark = events.sparkSession
-    return spark.createDataFrame(
+    """→ (step_idx, step, n_entities): entities with an ordered event
+    chain reaching each prefix of ``steps`` (see module docstring for the
+    window semantics). n_entities is monotonically non-increasing.
+    Strictly-after ordering: two steps sharing one exact timestamp do NOT
+    chain (portable — no tiebreak ambiguity)."""
+    counts = []
+    for i, (step, chained) in enumerate(
+        _chained_steps(
+            events, steps, entity_col, type_col, ts_col, max_window_sec
+        ),
+        start=1,
+    ):
+        n = chained.select(entity_col).distinct().count()
+        counts.append((i, step, n))
+    return events.sparkSession.createDataFrame(
         counts, "step_idx int, step string, n_entities bigint"
     )
 
@@ -77,25 +125,16 @@ def funnel_users(
     entity_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_window_sec: float | None = None,
 ) -> DataFrame:
     """→ (entity, completed_ts): entities that completed the FULL funnel,
-    with the timestamp of their final (earliest-completion) step. The
+    with the timestamp of their earliest completing final step. The
     row-level companion to :func:`funnel` for downstream joins."""
-    if not steps:
-        raise ValueError("funnel needs at least one step")
-    reached = (
-        events.where(F.col(type_col) == steps[0])
-        .groupBy(entity_col)
-        .agg(F.min(ts_col).alias("__t"))
+    last_chained = None
+    for _, chained in _chained_steps(
+        events, steps, entity_col, type_col, ts_col, max_window_sec
+    ):
+        last_chained = chained
+    return last_chained.groupBy(entity_col).agg(
+        F.min("__ts").alias("completed_ts")
     )
-    for step in steps[1:]:
-        nxt = events.where(F.col(type_col) == step).select(
-            F.col(entity_col), F.col(ts_col).alias("__ts")
-        )
-        reached = (
-            nxt.join(reached, entity_col)
-            .where(F.col("__ts") > F.col("__t"))
-            .groupBy(entity_col)
-            .agg(F.min("__ts").alias("__t"))
-        )
-    return reached.select(entity_col, F.col("__t").alias("completed_ts"))

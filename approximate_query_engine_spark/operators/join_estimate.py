@@ -29,14 +29,20 @@ def _common_key_type(ta: str, tb: str) -> str | None:
     """Cast target that makes both sides hash identically, mirroring the
     type Spark itself would coerce the join keys to: integral pairs widen
     to bigint, mixed numeric pairs to double (same precision loss a real
-    bigint⋈double join takes), anything else to its string rendering."""
+    bigint⋈double join takes), date/timestamp pairs to timestamp (a real
+    join promotes date to midnight), anything else to its string
+    rendering — which is only safe because by then neither side is a
+    temporal/numeric type with a non-canonical string form."""
     if ta == tb:
         return None
     numeric = lambda t: t in _INTEGRAL or t in ("float", "double") or t.startswith("decimal")
+    temporal = lambda t: t in ("date", "timestamp", "timestamp_ntz")
     if ta in _INTEGRAL and tb in _INTEGRAL:
         return "bigint"
     if numeric(ta) and numeric(tb):
         return "double"
+    if temporal(ta) and temporal(tb):
+        return "timestamp"
     return "string"
 
 

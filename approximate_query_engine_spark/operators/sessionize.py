@@ -36,7 +36,11 @@ def sessionize(
     session_col: str = "session_idx",
 ) -> DataFrame:
     """Append ``session_col``: 1-based session index per entity, where a
-    gap > ``gap_minutes`` between consecutive events starts a new session.
+    gap >= ``gap_minutes`` between consecutive events starts a new
+    session — the same end-exclusive boundary rule as Spark's native
+    ``session_window`` (an event landing exactly at last_ts + gap falls
+    outside the [last_ts, last_ts + gap) window), so the batch and
+    streaming paths agree on every input, boundary cases included.
 
     ``tiebreak_col`` makes ordering total when timestamps collide (e.g. an
     event id); without it, equal-ts rows order arbitrarily within the tie
@@ -51,7 +55,7 @@ def sessionize(
     gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
     threshold_us = int(round(gap_minutes * 60.0 * 1_000_000))
     is_new = F.when(
-        prev_ts.isNull() | (gap_us > F.lit(threshold_us)), F.lit(1)
+        prev_ts.isNull() | (gap_us >= F.lit(threshold_us)), F.lit(1)
     ).otherwise(F.lit(0))
     running = Window.partitionBy(entity_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

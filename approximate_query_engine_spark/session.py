@@ -114,7 +114,10 @@ def register_testdata(
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
-            continue
+            # Spark-written tables are directories named after the table
+            path = os.path.join(sf_dir, name)
+            if not os.path.exists(path):
+                continue
         try:
             df = spark.read.parquet(path)
             df = _normalize_nanos_timestamps(df, _nanos_timestamp_cols(path))
@@ -139,19 +142,34 @@ def nanos_to_micros_ts(colname: str):
 
 def _nanos_timestamp_cols(path: str) -> frozenset[str]:
     """Column names whose parquet logical type is TIMESTAMP(NANOS), read
-    from the file footer via pyarrow. Footer truth, not a name allowlist:
-    any ns-precision column is detected regardless of what it's called."""
+    from the footer via pyarrow. Footer truth, not a name allowlist: any
+    ns-precision column is detected regardless of what it's called.
+    ``pq.read_schema`` handles a single file; a directory dataset (the
+    normal shape for Spark-written tables) falls through to
+    ``pyarrow.dataset``, which unifies the fragment schemas."""
     try:
         import pyarrow as pa
-        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow absent
+        return frozenset()
 
-        schema = pq.read_schema(path)
+    def _ns_cols(schema) -> frozenset[str]:
         return frozenset(
             f.name
             for f in schema
             if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
         )
-    except Exception:  # pragma: no cover - footer unreadable / dir dataset
+
+    try:
+        import pyarrow.parquet as pq
+
+        return _ns_cols(pq.read_schema(path))
+    except Exception:
+        pass
+    try:  # directory dataset (possibly partitioned)
+        import pyarrow.dataset as pads
+
+        return _ns_cols(pads.dataset(path, format="parquet").schema)
+    except Exception:  # pragma: no cover - unreadable path
         return frozenset()
 
 

@@ -120,3 +120,25 @@ print("VANILLA_OK")
         env={"PATH": "/usr/bin:/bin", "HOME": "/root", "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")},
     )
     assert "VANILLA_OK" in proc.stdout, proc.stderr[-4000:]
+
+
+def test_nanos_detection_on_directory_dataset(spark, tmp_path):
+    """ns-timestamp detection must work for DIRECTORY parquet datasets
+    (the normal Spark-written shape), not just single files (regression:
+    pq.read_schema fails on directories and the fallback returned empty,
+    silently leaving ns columns as bigint)."""
+    import shutil
+
+    from approximate_query_engine_spark.session import (
+        _nanos_timestamp_cols,
+        register_testdata,
+    )
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-0.parquet")
+    cols = _nanos_timestamp_cols(str(d))
+    assert "ts" in cols
+    # end-to-end: a directory-shaped table registers with a real timestamp
+    dfs = register_testdata(spark, str(tmp_path), tables=("events_dir",))
+    assert dict(dfs["events_dir"].dtypes)["ts"] == "timestamp"

@@ -210,7 +210,8 @@ def test_sessionize_boundaries(spark):
         (1, 1, t0),
         (1, 2, t0 + dt.timedelta(minutes=10)),   # same session
         (1, 3, t0 + dt.timedelta(minutes=41)),   # 31min gap -> new
-        (1, 4, t0 + dt.timedelta(minutes=71)),   # exactly 30min -> SAME
+        (1, 4, t0 + dt.timedelta(minutes=71)),   # exactly 30min -> NEW
+        #   (end-exclusive boundary, same as Spark's session_window)
         (2, 5, t0),                               # other user independent
     ]
     df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
@@ -220,7 +221,7 @@ def test_sessionize_boundaries(spark):
             df, "user_id", "ts", gap_minutes=30, tiebreak_col="event_id"
         ).collect()
     }
-    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 3, 5: 1}
 
 
 def test_session_stats(spark):
@@ -446,3 +447,27 @@ def test_scaled_join_agg_decimal_exact_grouped(spark, engine, duck):
         ).fetchall()
     )
     assert s == d
+
+
+def test_funnel_window_uses_best_chain_start(spark):
+    """A conversion via a LATER step-1 occurrence must count (regression:
+    the window was anchored at the entity's earliest step-1 event only,
+    undercounting entities whose funnel fits a window starting later)."""
+    import datetime as dt
+
+    from approximate_query_engine_spark.operators import funnel, funnel_users
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "A", t0),                                    # stale first A
+        (1, "A", t0 + dt.timedelta(seconds=100)),        # fresh A
+        (1, "B", t0 + dt.timedelta(seconds=110)),        # 10s after fresh A
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {
+        r["step_idx"]: r["n_entities"]
+        for r in funnel(df, ["A", "B"], max_window_sec=50).collect()
+    }
+    assert out == {1: 1, 2: 1}  # was {1: 1, 2: 0} with first-A anchoring
+    fu = funnel_users(df, ["A", "B"], max_window_sec=50).collect()
+    assert fu[0]["completed_ts"] == t0 + dt.timedelta(seconds=110)
