@@ -203,6 +203,14 @@ _SHARED_SQL: dict[str, str] = {
         + _dsum("o_totalprice", "total")
         + " FROM orders GROUP BY 1, 2"
     ),
+    # explicit GROUPING SETS with a non-prefix set (ROLLUP is q41); same
+    # syntax and NULL-marker semantics in Spark SQL and DuckDB
+    "q65_grouping_sets": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        + _dsum("l_quantity", "sum_qty")
+        + " FROM lineitem GROUP BY GROUPING SETS "
+        "((l_returnflag, l_linestatus), (l_linestatus), ())"
+    ),
 }
 
 
@@ -1002,6 +1010,32 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/retention.py): entities first
+    seen in week C that were active again in week C+k. All shuffles on
+    the entity key; integer offsets via exact date arithmetic."""
+    from approximate_query_engine_spark.operators import cohort_retention
+
+    _prep(spark, sf_dir)
+    return cohort_retention(spark.table("events"), period="week")
+
+
+_RETENTION_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_start
+  FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS p
+  FROM events
+)
+SELECT cohort_start,
+       CAST(date_diff('day', cohort_start, p) / 7 AS INT) AS period_offset,
+       COUNT(*)::BIGINT AS n_entities
+FROM active JOIN cohorts USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1046,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q61_funnel"] = _q_funnel
     out["q62_stream_sessions"] = _q_stream_sessions
     out["q63_approx_join"] = _q_approx_join
+    out["q64_retention"] = _q_retention
     return out
 
 
@@ -1068,4 +1103,5 @@ def oracle_sql() -> dict[str, str]:
     out["q61_funnel"] = _FUNNEL_ORACLE
     out["q62_stream_sessions"] = _STREAM_SESSIONS_ORACLE
     out["q63_approx_join"] = _APPROX_JOIN_ORACLE
+    out["q64_retention"] = _RETENTION_ORACLE
     return out

@@ -8,6 +8,7 @@ from approximate_query_engine_spark.operators.approx_join import (
 )
 from approximate_query_engine_spark.operators.asof import asof_join
 from approximate_query_engine_spark.operators.funnel import funnel, funnel_users
+from approximate_query_engine_spark.operators.retention import cohort_retention
 from approximate_query_engine_spark.operators.sessionize import (
     session_stats,
     sessionize,
@@ -35,4 +36,5 @@ __all__ = [
     "funnel_users",
     "weighted_sample",
     "scaled_join_agg",
+    "cohort_retention",
 ]

@@ -471,3 +471,33 @@ def test_funnel_window_uses_best_chain_start(spark):
     assert out == {1: 1, 2: 1}  # was {1: 1, 2: 0} with first-A anchoring
     fu = funnel_users(df, ["A", "B"], max_window_sec=50).collect()
     assert fu[0]["completed_ts"] == t0 + dt.timedelta(seconds=110)
+
+
+def test_cohort_retention_toy(spark):
+    """Hand-computed cohorts: two users in week-1 cohort (one retained in
+    week 2), one user in week-2 cohort."""
+    import datetime as dt
+
+    from approximate_query_engine_spark.operators import cohort_retention
+
+    mon1 = dt.datetime(2024, 1, 1)   # a Monday
+    mon2 = dt.datetime(2024, 1, 8)
+    rows = [
+        (1, mon1), (1, mon2),        # cohort w1, active w1+w2
+        (2, mon1 + dt.timedelta(days=3)),  # cohort w1, only w1
+        (3, mon2 + dt.timedelta(days=1)),  # cohort w2
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["cohort_start"], r["period_offset"]): r["n_entities"]
+        for r in cohort_retention(df, period="week").collect()
+    }
+    assert out == {
+        (dt.date(2024, 1, 1), 0): 2,
+        (dt.date(2024, 1, 1), 1): 1,
+        (dt.date(2024, 1, 8), 0): 1,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cohort_retention(df, period="month")
