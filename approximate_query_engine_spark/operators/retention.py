@@ -5,13 +5,14 @@ No reference counterpart (no event model there); completes the event-
 operator trio (sessionize, funnel, retention) of the pipeline extension
 surface.
 
-Composition: one groupBy(entity) for first-event cohorts, one distinct
-over (entity, period) for activity, one join back on the entity key, one
-final count — every shuffle is on the entity key except the final small
-aggregate, and nothing is ever collected per entity. Periods are
-date_trunc buckets, so offsets are exact integer arithmetic (no float
-date math), reproducible in any engine with the same week convention
-(Spark and DuckDB both truncate weeks to Monday).
+Composition: the cohort (period of the entity's first event) comes from
+a ``MIN(ts) OVER (PARTITION BY entity)`` window rather than a
+groupBy+join-back — one shuffle on the entity key instead of two plus a
+join. Then one distinct over (entity, period, cohort) and one small
+final count: three shuffles total, nothing ever collected per entity.
+Periods are date_trunc buckets, so offsets are exact integer arithmetic
+(no float date math), reproducible in any engine with the same week
+convention (Spark and DuckDB both truncate weeks to Monday).
 """
 
 from __future__ import annotations
@@ -39,22 +40,24 @@ def cohort_retention(
     if period not in _PERIOD_DAYS:
         raise ValueError(f"period must be one of {sorted(_PERIOD_DAYS)}")
     days = _PERIOD_DAYS[period]
-    cohorts = events.groupBy(entity_col).agg(
-        F.date_trunc(period, F.min(ts_col)).cast("date").alias("cohort_start")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(entity_col)
+    per_event = events.select(
+        F.col(entity_col),
+        F.date_trunc(period, F.col(ts_col)).cast("date").alias("__p"),
+        F.date_trunc(period, F.min(ts_col).over(w))
+        .cast("date")
+        .alias("cohort_start"),
     )
-    active = (
-        events.select(
-            F.col(entity_col),
-            F.date_trunc(period, F.col(ts_col)).cast("date").alias("__p"),
-        )
-        .distinct()
-    )
-    joined = active.join(cohorts, entity_col)
+    # cohort_start is functionally dependent on the entity, so the
+    # distinct key is effectively (entity, period)
+    distinct_active = per_event.distinct()
     offset = (
         F.datediff(F.col("__p"), F.col("cohort_start")) / F.lit(days)
     ).cast("int")
     return (
-        joined.select(
+        distinct_active.select(
             "cohort_start", offset.alias("period_offset"), F.col(entity_col)
         )
         .groupBy("cohort_start", "period_offset")

@@ -501,3 +501,18 @@ def test_cohort_retention_toy(spark):
 
     with _pytest.raises(ValueError):
         cohort_retention(df, period="month")
+
+
+def test_cohort_retention_plan(spark, engine):
+    """Window-based cohorts keep the plan join-free with at most three
+    exchanges (entity window, distinct, final agg — AQE may reuse)."""
+    from approximate_query_engine_spark.operators import cohort_retention
+
+    plan = (
+        cohort_retention(spark.table("events"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3, plan
