@@ -1036,6 +1036,161 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (functions/text.py): per-source
+    integer sums of most-frequent-token / most-frequent-bigram counts and
+    the integer-arithmetic reject flag. Pure scan-side projection + one
+    partial-aggregated groupBy — the 100 TB shape."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.text import (
+        repetition_columns,
+        repetition_reject_expr,
+    )
+
+    _prep(spark, sf_dir)
+    r = repetition_columns("text")
+    per_doc = spark.table("documents").select(
+        F.col("source"),
+        r["top_token_count"].alias("tt"),
+        r["top_bigram_count"].alias("tb"),
+        r["n_distinct_tokens"].alias("nd"),
+        repetition_reject_expr("text").cast("int").alias("rej"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tt").cast("bigint").alias("sum_top_token"),
+        F.sum("tb").cast("bigint").alias("sum_top_bigram"),
+        F.sum("nd").cast("bigint").alias("sum_distinct"),
+        F.sum("rej").cast("bigint").alias("n_reject"),
+    )
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT source,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT source, toks, len(toks) AS n,
+    CASE WHEN len(toks) >= 2
+      THEN list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])
+      ELSE []::VARCHAR[] END AS grams
+  FROM t
+), c AS (
+  SELECT source, n,
+    COALESCE(list_max(list_transform(list_distinct(toks),
+      u -> len(list_filter(toks, h -> h = u)))), 0) AS top_tok,
+    COALESCE(list_max(list_transform(list_distinct(grams),
+      u -> len(list_filter(grams, h -> h = u)))), 0) AS top_big,
+    len(list_distinct(toks)) AS n_dist
+  FROM g
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(top_tok) AS BIGINT) AS sum_top_token,
+  CAST(SUM(top_big) AS BIGINT) AS sum_top_bigram,
+  CAST(SUM(n_dist) AS BIGINT) AS sum_distinct,
+  CAST(SUM(CASE WHEN (top_tok >= 2 AND top_tok * 1000 > 300 * n)
+                  OR (top_big >= 2 AND top_big * 2000 > 180 * n)
+                  OR n_dist * 1000 < 200 * n
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_reject
+FROM c GROUP BY source
+"""
+
+
+#: Corpus-preparation thresholds shared by the Spark query and its oracle.
+_CORPUS_ARGS = dict(min_tokens=20, max_tokens=90, min_quality=0.68)
+_CORPUS_LANGS = ["en", "de"]
+
+
+def _q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus filter chain (functions/pipeline.py): token-length,
+    language, quality and exact-dup filters attributed in priority order;
+    report = (reason, n_docs) summing to the corpus size. Everything but
+    the dedup window is scan-side codegen — zero extra shuffles."""
+    from approximate_query_engine_spark.functions.pipeline import (
+        corpus_report,
+        prepare_corpus,
+    )
+
+    _prep(spark, sf_dir)
+    annotated = prepare_corpus(
+        spark.table("documents"),
+        languages=_CORPUS_LANGS,
+        dedup="exact",
+        **_CORPUS_ARGS,
+    )
+    return corpus_report(annotated)
+
+
+def _corpus_oracle() -> str:
+    """DuckDB replica of prepare_corpus+corpus_report: identical token /
+    lang / quality arithmetic (every float literal cast to DOUBLE so DuckDB
+    doesn't fall into decimal math), identical priority CASE."""
+    hits = {
+        lang: f"len(list_filter(toks, x -> list_contains([{m}], lower(x))))"
+        for lang, m in _LANG_MARKERS.items()
+    }
+    avg_tok = (
+        "(CASE WHEN n_tokens > 0 THEN sum_tok_len / n_tokens "
+        "ELSE CAST(0.0 AS DOUBLE) END)"
+    )
+    langs_in = ", ".join(f"'{l}'" for l in _CORPUS_LANGS)
+    a = _CORPUS_ARGS
+    return f"""
+WITH m AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '{_PUNCT_DUCK}', '', 'g'))
+      AS punct_count,
+    doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup
+  FROM documents
+), t AS (
+  SELECT doc_id, n_chars, punct_count, is_dup, toks,
+    len(toks) AS n_tokens,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+      AS sum_tok_len,
+    len(list_filter(toks, x -> list_contains([{_STOPWORDS}], lower(x))))
+      AS stop_hits,
+    {hits['de']} AS h_de, {hits['en']} AS h_en,
+    {hits['es']} AS h_es, {hits['fr']} AS h_fr,
+    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk
+  FROM m
+), s AS (
+  SELECT doc_id, n_tokens, is_dup,
+    CASE WHEN cjk * 10 > n_chars * 3 THEN 'zh'
+         WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         WHEN h_es >= h_fr THEN 'es'
+         ELSE 'fr' END AS lang_pred,
+    LEAST(n_chars / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.3
+    + (CASE WHEN {avg_tok} >= 3 AND {avg_tok} <= 10 THEN CAST(1.0 AS DOUBLE)
+            ELSE GREATEST(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+                 - ABS({avg_tok} - CAST(6.5 AS DOUBLE)) / CAST(10.0 AS DOUBLE))
+       END) * 0.3
+    + GREATEST(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+        - (CASE WHEN n_chars > 0 THEN punct_count / n_chars
+           ELSE CAST(0.0 AS DOUBLE) END) * 5.0) * 0.2
+    + LEAST((CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens
+             ELSE CAST(0.0 AS DOUBLE) END) * 4.0, CAST(1.0 AS DOUBLE)) * 0.2
+      AS quality_score
+  FROM t
+)
+SELECT COALESCE(CASE
+    WHEN n_tokens < {a['min_tokens']} THEN 'too_short'
+    WHEN n_tokens > {a['max_tokens']} THEN 'too_long'
+    WHEN lang_pred NOT IN ({langs_in}) THEN 'lang'
+    WHEN quality_score < CAST({a['min_quality']} AS DOUBLE) THEN 'low_quality'
+    WHEN is_dup THEN 'duplicate'
+    END, 'kept') AS reason,
+  COUNT(*) AS n_docs
+FROM s GROUP BY reason
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1081,6 +1236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q62_stream_sessions"] = _q_stream_sessions
     out["q63_approx_join"] = _q_approx_join
     out["q64_retention"] = _q_retention
+    out["q66_corpus_prepare"] = _q_corpus_prepare
+    out["q67_repetition"] = _q_repetition
     return out
 
 
@@ -1104,4 +1261,6 @@ def oracle_sql() -> dict[str, str]:
     out["q62_stream_sessions"] = _STREAM_SESSIONS_ORACLE
     out["q63_approx_join"] = _APPROX_JOIN_ORACLE
     out["q64_retention"] = _RETENTION_ORACLE
+    out["q66_corpus_prepare"] = _corpus_oracle()
+    out["q67_repetition"] = _REPETITION_ORACLE
     return out

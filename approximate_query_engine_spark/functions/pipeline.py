@@ -1,0 +1,105 @@
+"""Corpus preparation: the quality/language/length/dedup filter chain a
+training-data pipeline runs before anything else, composed from the
+engine's own text and dedup operators.
+
+Each document gets a ``reject_reason`` (NULL = kept), attributed in a
+fixed priority order so every document has exactly ONE reason and the
+report's counts sum to the corpus size:
+
+    too_short → too_long → lang → low_quality → duplicate
+
+Duplicates are decided over the WHOLE corpus (keep = MIN(id) per exact
+text), independent of the other filters — so a rejected duplicate's
+"reason" is whichever higher-priority filter also failed it, and the
+duplicate bucket contains only otherwise-acceptable copies. That makes
+the report stable under filter-threshold changes.
+
+Scale shape: everything except dedup is a scan-side expression (token
+counts, lang-ID CASE ladder, quality score — whole-stage codegen, no
+shuffle). Exact dedup is one shuffle on the text column via a window
+MIN; at 100 TB swap the raw text key for ``fingerprint64_expr`` (same
+window, 8-byte keys) or the MinHash path for near-dups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from approximate_query_engine_spark.functions.text import (
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    languages: list[str] | None = None,
+    min_quality: float | None = None,
+    dedup: str | None = "exact",
+) -> DataFrame:
+    """Annotate ``docs`` with filter metrics and ``reject_reason``
+    (NULL = kept). Filters whose argument is None are skipped entirely
+    (their metric column is still computed only when needed)."""
+    if dedup not in (None, "exact"):
+        raise ValueError("dedup must be None or 'exact'")
+    out = docs.withColumn("token_count", token_count_expr(text_col))
+    if languages is not None:
+        out = out.withColumn("lang_pred", lang_id_expr(text_col))
+    if min_quality is not None:
+        out = out.withColumn("quality_score", quality_score_expr(text_col))
+    if dedup == "exact":
+        w = Window.partitionBy(text_col)
+        out = out.withColumn(
+            "is_duplicate", F.col(id_col) != F.min(id_col).over(w)
+        )
+    reason = F.lit(None).cast("string")
+    checks: list[tuple[str, "F.Column"]] = []
+    if min_tokens is not None:
+        checks.append(("too_short", F.col("token_count") < min_tokens))
+    if max_tokens is not None:
+        checks.append(("too_long", F.col("token_count") > max_tokens))
+    if languages is not None:
+        checks.append(
+            ("lang", ~F.col("lang_pred").isin([str(l) for l in languages]))
+        )
+    if min_quality is not None:
+        checks.append(("low_quality", F.col("quality_score") < min_quality))
+    if dedup == "exact":
+        checks.append(("duplicate", F.col("is_duplicate")))
+    # first failing check wins: build the CASE from the last reason up
+    for name, cond in reversed(checks):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return out.withColumn("reject_reason", reason)
+
+
+def corpus_report(annotated: DataFrame) -> DataFrame:
+    """→ (reason, n_docs) with NULL reason rendered as 'kept'; counts sum
+    to the corpus size."""
+    return (
+        annotated.groupBy(
+            F.coalesce(F.col("reject_reason"), F.lit("kept")).alias("reason")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def clean_corpus(annotated: DataFrame) -> DataFrame:
+    """Kept documents only, metric columns dropped."""
+    extra = [
+        c
+        for c in (
+            "token_count",
+            "lang_pred",
+            "quality_score",
+            "is_duplicate",
+            "reject_reason",
+        )
+        if c in annotated.columns
+    ]
+    return annotated.where(F.col("reject_reason").isNull()).drop(*extra)

@@ -176,6 +176,78 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality rules, Rae et al. 2021)
+
+
+def bigrams_expr(text_col: str | Column) -> Column:
+    """Adjacent token 2-grams as 'a b' strings; empty array below 2 tokens
+    (the n>=2 guard matters: Spark's ``sequence(1, 0)`` counts DOWN)."""
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+
+    return F.when(n >= 2, F.transform(F.sequence(F.lit(1), n - 1), gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_count_expr(arr: Column) -> Column:
+    """Occurrence count of the most frequent element of ``arr`` (0 when
+    empty). Distinct-first keeps the inner scan O(n·d) not O(n²); both
+    passes run scan-side inside codegen — zero shuffle, so at 100 TB this
+    costs one projection. Docs are token-bounded, so n is small by
+    construction wherever this is applied."""
+    counts = F.transform(
+        F.array_distinct(arr),
+        lambda g: F.size(F.filter(arr, lambda h: h == g)),
+    )
+    return F.coalesce(F.array_max(counts), F.lit(0))
+
+
+def repetition_columns(text_col: str = "text") -> dict[str, Column]:
+    """Gopher-rule inputs: most-frequent-token count, most-frequent-bigram
+    count, distinct-token count (all integers — threshold checks stay in
+    exact integer arithmetic, portable to any SQL oracle)."""
+    toks = tokens_expr(text_col)
+    return {
+        "n_tokens": F.size(toks),
+        "top_token_count": top_count_expr(toks),
+        "top_bigram_count": top_count_expr(bigrams_expr(text_col)),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)),
+    }
+
+
+def repetition_reject_expr(
+    text_col: str = "text",
+    max_top_token_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.18,
+    min_distinct_ratio: float = 0.20,
+) -> Column:
+    """True when a document fails any repetition rule. Fractions are
+    compared in cross-multiplied integer form (count·1000 > frac·1000·n)
+    so the decision is bit-portable across engines. The two top-element
+    rules require the element to actually repeat (count >= 2): a unique
+    token/bigram in a short document is coverage, not repetition."""
+    r = repetition_columns(text_col)
+    n = r["n_tokens"]
+    tt, tb = r["top_token_count"], r["top_bigram_count"]
+    return (
+        ((tt >= 2) & (tt * 1000 > int(max_top_token_frac * 1000) * n))
+        | ((tb >= 2) & (tb * 2000 > int(max_top_bigram_frac * 1000) * n))
+        | (r["n_distinct_tokens"] * 1000 < int(min_distinct_ratio * 1000) * n)
+    )
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = df
+    for name, col in repetition_columns(text_col).items():
+        out = out.withColumn(f"r_{name}", col)
+    return out.withColumn("repetition_reject", repetition_reject_expr(text_col))
+
+
+# ---------------------------------------------------------------------------
 # fingerprinting
 
 

@@ -336,3 +336,47 @@ def test_tf_idf_ranking(spark):
     assert rows[(1, "rare")]["tfidf"] > rows[(1, "common")]["tfidf"]
     assert rows[(3, "common")]["tf"] == 2
     assert rows[(3, "common")]["tfidf"] == 2 * rows[(2, "common")]["tfidf"]
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+
+
+def test_repetition_counts_hand_computed(spark):
+    from approximate_query_engine_spark.functions.text import with_repetition
+
+    df = spark.createDataFrame(
+        [
+            # "a b a b a": top token 'a' x3, top bigram 'a b' x2 (of 4), 2 distinct
+            (1, "a b a b a"),
+            (2, "one two three four five"),  # no repetition at all
+            (3, "x"),  # single token: no bigrams
+            (4, ""),  # empty text: zero tokens
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in with_repetition(df).collect()}
+    assert rows[1]["r_top_token_count"] == 3
+    assert rows[1]["r_top_bigram_count"] == 2
+    assert rows[1]["r_n_distinct_tokens"] == 2
+    # top_token 3/5 > 0.30 -> reject
+    assert rows[1]["repetition_reject"] is True
+    assert rows[2]["r_top_token_count"] == 1
+    assert rows[2]["r_top_bigram_count"] == 1
+    assert rows[2]["repetition_reject"] is False
+    assert rows[3]["r_top_bigram_count"] == 0
+    assert rows[4]["r_n_tokens"] == 0
+    assert rows[4]["r_top_token_count"] == 0
+
+
+def test_repetition_boundary_is_strict(spark):
+    from approximate_query_engine_spark.functions.text import (
+        repetition_reject_expr,
+    )
+    from pyspark.sql import functions as F
+
+    # top token exactly at 0.30 (3 of 10) must NOT reject (strict >)
+    df = spark.createDataFrame(
+        [("a b c d e f g h a a",)], ["text"]
+    ).select(repetition_reject_expr("text").alias("rej"))
+    assert df.collect()[0]["rej"] is False

@@ -1,0 +1,88 @@
+"""Corpus-preparation chain (functions/pipeline.py): reason priority,
+whole-corpus dedup semantics, report accounting, clean_corpus output."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximate_query_engine_spark.functions.pipeline import (
+    clean_corpus,
+    corpus_report,
+    prepare_corpus,
+)
+
+GOOD = (
+    "the data pipeline processed a batch of records in the cluster today "
+    "and the results are stored in the table for this run as it was planned"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, GOOD),  # kept
+        (2, "short text"),  # too_short (2 tokens)
+        (3, GOOD),  # duplicate of 1 (otherwise acceptable)
+        (4, "der die das und ist nicht ein der die das und ist nicht "
+            "ein der die das und ist nicht ein und der die"),  # lang=de
+        (5, "x " * 400),  # too_long
+        (6, "short text"),  # dup of 2 AND too_short -> too_short wins
+        (7, "the of zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg"),
+        # 7: lang-ID says en (two markers) but junk tokens -> low quality
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def annotated(docs):
+    return prepare_corpus(
+        docs,
+        min_tokens=5,
+        max_tokens=100,
+        languages=["en"],
+        min_quality=0.5,
+        dedup="exact",
+    ).cache()
+
+
+def _reasons(annotated):
+    return {r["doc_id"]: r["reject_reason"] for r in annotated.collect()}
+
+
+def test_reason_priority_and_attribution(annotated):
+    r = _reasons(annotated)
+    assert r[1] is None
+    assert r[2] == "too_short"
+    assert r[3] == "duplicate"  # passes every other filter
+    assert r[4] == "lang"
+    assert r[5] == "too_long"
+    # higher-priority reason wins even though 6 is also a duplicate
+    assert r[6] == "too_short"
+    assert r[7] == "low_quality"
+
+
+def test_report_sums_to_corpus(annotated, docs):
+    rep = {r["reason"]: r["n_docs"] for r in corpus_report(annotated).collect()}
+    assert sum(rep.values()) == docs.count()
+    assert rep["kept"] == 1
+    assert rep["duplicate"] == 1
+    assert rep["too_short"] == 2
+
+
+def test_clean_corpus_drops_metrics(annotated):
+    clean = clean_corpus(annotated)
+    assert clean.columns == ["doc_id", "text"]
+    assert [r["doc_id"] for r in clean.collect()] == [1]
+
+
+def test_none_filters_skipped(docs):
+    out = prepare_corpus(docs, min_tokens=1, dedup=None)
+    assert "lang_pred" not in out.columns
+    assert "quality_score" not in out.columns
+    assert "is_duplicate" not in out.columns
+    # only the token filter runs; nothing here has <1 token
+    assert out.where(F.col("reject_reason").isNotNull()).count() == 0
+
+
+def test_bad_dedup_mode_rejected(docs):
+    with pytest.raises(ValueError):
+        prepare_corpus(docs, dedup="minhash")
