@@ -1124,10 +1124,13 @@ def _q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(annotated)
 
 
-def _corpus_oracle() -> str:
-    """DuckDB replica of prepare_corpus+corpus_report: identical token /
-    lang / quality arithmetic (every float literal cast to DOUBLE so DuckDB
-    doesn't fall into decimal math), identical priority CASE."""
+def _doc_quality_ctes() -> str:
+    """Shared DuckDB CTE prefix computing per-document token / lang /
+    quality / dup metrics — the oracle-side replica of
+    functions.text.quality_score_expr + lang_id_expr (every float literal
+    cast to DOUBLE so DuckDB doesn't fall into decimal math). Ends with
+    CTE ``s``(doc_id, source, n_tokens, is_dup, lang_pred,
+    quality_score)."""
     hits = {
         lang: f"len(list_filter(toks, x -> list_contains([{m}], lower(x))))"
         for lang, m in _LANG_MARKERS.items()
@@ -1136,11 +1139,9 @@ def _corpus_oracle() -> str:
         "(CASE WHEN n_tokens > 0 THEN sum_tok_len / n_tokens "
         "ELSE CAST(0.0 AS DOUBLE) END)"
     )
-    langs_in = ", ".join(f"'{l}'" for l in _CORPUS_LANGS)
-    a = _CORPUS_ARGS
     return f"""
 WITH m AS (
-  SELECT doc_id, text,
+  SELECT doc_id, source, text,
     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
     length(text) AS n_chars,
     length(text) - length(regexp_replace(text, '{_PUNCT_DUCK}', '', 'g'))
@@ -1148,7 +1149,7 @@ WITH m AS (
     doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup
   FROM documents
 ), t AS (
-  SELECT doc_id, n_chars, punct_count, is_dup, toks,
+  SELECT doc_id, source, n_chars, punct_count, is_dup, toks,
     len(toks) AS n_tokens,
     CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
       AS sum_tok_len,
@@ -1159,7 +1160,7 @@ WITH m AS (
     length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk
   FROM m
 ), s AS (
-  SELECT doc_id, n_tokens, is_dup,
+  SELECT doc_id, source, n_tokens, is_dup,
     CASE WHEN cjk * 10 > n_chars * 3 THEN 'zh'
          WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
          WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
@@ -1179,6 +1180,15 @@ WITH m AS (
       AS quality_score
   FROM t
 )
+"""
+
+
+def _corpus_oracle() -> str:
+    """DuckDB replica of prepare_corpus+corpus_report: shared per-doc
+    metric CTEs + the identical priority CASE."""
+    langs_in = ", ".join(f"'{l}'" for l in _CORPUS_LANGS)
+    a = _CORPUS_ARGS
+    return _doc_quality_ctes() + f"""
 SELECT COALESCE(CASE
     WHEN n_tokens < {a['min_tokens']} THEN 'too_short'
     WHEN n_tokens > {a['max_tokens']} THEN 'too_long'
@@ -1188,6 +1198,64 @@ SELECT COALESCE(CASE
     END, 'kept') AS reason,
   COUNT(*) AS n_docs
 FROM s GROUP BY reason
+"""
+
+
+def _q_bottomk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced sampling (functions/sampling.py): 5 docs per
+    language by smallest md5(doc_id, seed). One window shuffle on the
+    group key; md5 so DuckDB picks the bit-identical rows."""
+    from approximate_query_engine_spark.functions.sampling import (
+        bottom_k_per_group,
+    )
+
+    _prep(spark, sf_dir)
+    return bottom_k_per_group(
+        spark.table("documents"),
+        k=5,
+        group_cols=["lang"],
+        key_cols=["doc_id"],
+        seed=7,
+        method="md5",
+    ).select("lang", "doc_id")
+
+
+_BOTTOMK_ORACLE = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id, ROW_NUMBER() OVER (
+    PARTITION BY lang
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || chr(31) || '7')
+  ) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+def _q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup (functions/dedup.dedup_keep_best): the
+    highest-quality document per source group, ties to the smallest
+    doc_id. Aggregation + semi-join, no global window."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.dedup import dedup_keep_best
+    from approximate_query_engine_spark.functions.text import quality_score_expr
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").withColumn(
+        "q", quality_score_expr("text")
+    )
+    return dedup_keep_best(docs, ["source"], "q", "doc_id").select(
+        "source", "doc_id"
+    )
+
+
+def _keep_best_oracle() -> str:
+    return _doc_quality_ctes() + """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY quality_score DESC, doc_id
+  ) AS rn FROM s
+) WHERE rn = 1
 """
 
 
@@ -1238,6 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q64_retention"] = _q_retention
     out["q66_corpus_prepare"] = _q_corpus_prepare
     out["q67_repetition"] = _q_repetition
+    out["q68_bottomk_sample"] = _q_bottomk_per_group
+    out["q69_dedup_keep_best"] = _q_keep_best
     return out
 
 
@@ -1263,4 +1333,6 @@ def oracle_sql() -> dict[str, str]:
     out["q64_retention"] = _RETENTION_ORACLE
     out["q66_corpus_prepare"] = _corpus_oracle()
     out["q67_repetition"] = _REPETITION_ORACLE
+    out["q68_bottomk_sample"] = _BOTTOMK_ORACLE
+    out["q69_dedup_keep_best"] = _keep_best_oracle()
     return out

@@ -57,6 +57,28 @@ def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     return df.join(keep, on=key_cols + [id_col], how="left_semi")
 
 
+def dedup_keep_best(
+    df: DataFrame, key_cols: list[str], score_col: Column | str, id_col: str
+) -> DataFrame:
+    """Keep the highest-``score_col`` row per distinct key (ties -> min
+    ``id_col``, so the result is deterministic) — what a training pipeline
+    wants from dedup: of N copies, keep the best one, not the first one.
+
+    Same scale shape as :func:`dedup_exact` (aggregation + semi-join, two
+    bounded shuffles, no global window). The argmax is a max over
+    ``struct(score, -id)`` — lexicographic struct comparison gives
+    score-then-min-id without a per-group sort. ``id_col`` must be numeric
+    for the negation trick.
+    """
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    keep = (
+        df.groupBy(*key_cols)
+        .agg(F.max(F.struct(score.alias("s"), (-F.col(id_col)).alias("nid"))).alias("m"))
+        .select(*key_cols, (-F.col("m.nid")).alias(id_col))
+    )
+    return df.join(keep, on=key_cols + [id_col], how="left_semi")
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash
 
