@@ -1259,6 +1259,124 @@ SELECT source, doc_id FROM (
 """
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/contamination.py): word
+    3-gram overlap of training docs against a deterministic held-out
+    "benchmark" slice (doc_id % 101 = 0). Bench vocabulary is broadcast;
+    the only shuffle is the per-doc hit count."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.contamination import (
+        ngram_contamination,
+    )
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.where(F.col("doc_id") % 101 == 0)
+    train = docs.where(F.col("doc_id") % 101 != 0)
+    return ngram_contamination(train, bench, n=3)
+
+
+_CONTAMINATION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+      AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+    THEN list_transform(generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE []::VARCHAR[] END)) AS gram
+  FROM toks
+), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0)
+SELECT g.doc_id, COUNT(*) AS n_shared_grams
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % 101 <> 0
+GROUP BY g.doc_id
+"""
+
+
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-token budget per language: whitespace tokens, BPE-ish
+    token estimate (functions/text.bpe_ish_token_count_expr), and the
+    implied number of 512-token context windows. One scan, one
+    partially-aggregated groupBy."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.text import (
+        bpe_ish_token_count_expr,
+        token_count_expr,
+    )
+
+    _prep(spark, sf_dir)
+    per_doc = spark.table("documents").select(
+        "lang",
+        token_count_expr("text").alias("nt"),
+        bpe_ish_token_count_expr("text").alias("nb"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("nt").cast("bigint").alias("sum_ws_tokens"),
+        F.sum("nb").cast("bigint").alias("sum_bpe_tokens"),
+        F.sum(F.ceil(F.col("nb") / F.lit(512.0))).cast("bigint").alias("sum_windows"),
+    )
+
+
+_TOKEN_BUDGET_ORACLE = """
+WITH t AS (
+  SELECT lang,
+    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+      AS nt,
+    COALESCE(CAST(list_sum(list_transform(
+      list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> ''),
+      w -> CAST(GREATEST(1, CEIL(length(w) / 4.0)) AS BIGINT))) AS BIGINT), 0)
+      AS nb
+  FROM documents
+)
+SELECT lang,
+  CAST(SUM(nt) AS BIGINT) AS sum_ws_tokens,
+  CAST(SUM(nb) AS BIGINT) AS sum_bpe_tokens,
+  CAST(SUM(CAST(CEIL(nb / 512.0) AS BIGINT)) AS BIGINT) AS sum_windows
+FROM t GROUP BY lang
+"""
+
+
+#: Mixture weights for q71: keep all English, half German, a quarter of
+#: everything else — a typical domain-rebalancing move.
+_MIXTURE_WEIGHTS = {"en": 1.0, "de": 0.5}
+_MIXTURE_DEFAULT = 0.25
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling (functions/sampling.mixture_sample):
+    per-language keep probabilities decided by each row's md5 hash —
+    deterministic, scan-side only. Returns per-language kept counts."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.sampling import mixture_sample
+
+    _prep(spark, sf_dir)
+    kept = mixture_sample(
+        spark.table("documents"),
+        weights=_MIXTURE_WEIGHTS,
+        group_col="lang",
+        key_cols=["doc_id"],
+        seed=11,
+        default_weight=_MIXTURE_DEFAULT,
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_MIXTURE_ORACLE = """
+SELECT lang, COUNT(*) AS n_kept FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '11'), 1, 8) <
+  CASE WHEN lang = 'en' THEN 'g'
+       WHEN lang = 'de' THEN '80000000'
+       ELSE '40000000' END
+GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1308,6 +1426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q67_repetition"] = _q_repetition
     out["q68_bottomk_sample"] = _q_bottomk_per_group
     out["q69_dedup_keep_best"] = _q_keep_best
+    out["q70_contamination"] = _q_contamination
+    out["q71_mixture_sample"] = _q_mixture_sample
+    out["q72_token_budget"] = _q_token_budget
     return out
 
 
@@ -1335,4 +1456,7 @@ def oracle_sql() -> dict[str, str]:
     out["q67_repetition"] = _REPETITION_ORACLE
     out["q68_bottomk_sample"] = _BOTTOMK_ORACLE
     out["q69_dedup_keep_best"] = _keep_best_oracle()
+    out["q70_contamination"] = _CONTAMINATION_ORACLE
+    out["q71_mixture_sample"] = _MIXTURE_ORACLE
+    out["q72_token_budget"] = _TOKEN_BUDGET_ORACLE
     return out

@@ -8,10 +8,25 @@ Pandas UDF is genuinely required (multimodal decode), so they scale to
 """
 
 from approximate_query_engine_spark.functions import (
+    contamination,
     dedup,
+    graph,
     multimodal,
+    pipeline,
+    quantiles,
+    sampling,
     similarity,
     text,
 )
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = [
+    "text",
+    "dedup",
+    "similarity",
+    "multimodal",
+    "pipeline",
+    "sampling",
+    "contamination",
+    "quantiles",
+    "graph",
+]

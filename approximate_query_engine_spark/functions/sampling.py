@@ -59,6 +59,47 @@ def bottom_k_sample(
     return df.orderBy(hash_order_expr(key_cols, seed, method).asc()).limit(k)
 
 
+def _hex_threshold(weight: float) -> str:
+    """8-hex-digit acceptance threshold for ``weight`` ∈ [0, 1]: a row is
+    kept when its 8-char md5 prefix sorts below this string. Comparing
+    lowercase hex STRINGS (not parsed integers) keeps the predicate
+    bit-identical in any engine with md5 — no hex-to-int support needed.
+    weight=1.0 returns 'g' (> every hex char) so everything is kept; the
+    widths must match the prefix exactly or lexicographic order stops
+    encoding numeric order."""
+    if not 0.0 <= weight <= 1.0:
+        raise ValueError(f"weight must be in [0, 1], got {weight}")
+    t = int(weight * 16**8)
+    return "g" if t >= 16**8 else format(t, "08x")
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str,
+    key_cols: list[str],
+    seed: int = 42,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Domain-mixture downsampling: keep each row of group g with
+    probability ``weights[g]`` (``default_weight`` for unlisted groups),
+    decided by the row's md5 key hash — the deterministic form of the
+    per-source reweighting a training pipeline applies to hit target
+    mixture proportions.
+
+    Pure scan-side filter (no shuffle, no state): the CASE over group
+    thresholds folds into the scan, so at 100 TB this costs nothing
+    beyond the read. Reproducible: same (keys, seed, weights) → same
+    subset, on any engine (the oracle reproduces it with
+    ``substr(md5(...), 1, 9) < threshold``)."""
+    parts = [F.col(c).cast("string") for c in key_cols]
+    h = F.substring(F.md5(F.concat_ws(_SEP, *parts, F.lit(str(seed)))), 1, 8)
+    thr: Column = F.lit(_hex_threshold(default_weight))
+    for g, w in sorted(weights.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(_hex_threshold(w))).otherwise(thr)
+    return df.where(h < thr)
+
+
 def bottom_k_per_group(
     df: DataFrame,
     k: int,

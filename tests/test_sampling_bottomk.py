@@ -92,3 +92,44 @@ def test_keep_best_accepts_column_expression(spark):
     )
     kept = dedup_keep_best(df, ["key"], F.length("text"), "id").collect()
     assert [r["id"] for r in kept] == [2]
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling
+
+
+def test_mixture_sample_rates(spark):
+    from approximate_query_engine_spark.functions.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)], ["id", "grp"]
+    )
+    kept = mixture_sample(
+        df, {"a": 1.0, "b": 0.25}, "grp", ["id"], seed=5
+    )
+    per = {r["grp"]: r["n"] for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert per["a"] == 1000  # weight 1.0 keeps everything
+    assert 150 < per["b"] < 350  # ~250 expected
+
+
+def test_mixture_sample_deterministic_and_default_weight(spark):
+    from approximate_query_engine_spark.functions.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 4)) for i in range(400)], ["id", "grp"]
+    )
+    a = sorted(r["id"] for r in mixture_sample(df, {"g0": 0.5}, "grp", ["id"], seed=1, default_weight=0.0).collect())
+    b = sorted(r["id"] for r in mixture_sample(df, {"g0": 0.5}, "grp", ["id"], seed=1, default_weight=0.0).collect())
+    assert a == b
+    assert all(i % 4 == 0 for i in a)  # default 0.0 drops other groups
+    assert 20 < len(a) < 80  # ~50 of 100
+
+
+def test_mixture_weight_validation(spark):
+    from approximate_query_engine_spark.functions.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], ["id", "grp"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_sample(df, {"a": 1.5}, "grp", ["id"])
