@@ -176,13 +176,28 @@ def _nanos_timestamp_cols(path: str) -> frozenset[str]:
 def _normalize_nanos_timestamps(
     df: DataFrame, ns_cols: frozenset[str] = frozenset()
 ) -> DataFrame:
-    """Convert nanos-as-long timestamp columns (see nanosAsLong config) to
-    TimestampType at microsecond precision. ``ns_cols`` comes from the
-    parquet footer (:func:`_nanos_timestamp_cols`); the metadata flag is a
-    secondary signal for DataFrames built without a file path."""
+    """Normalize event-time columns to plain TimestampType.
+
+    Two parquet layouts occur in the testdata across rounds:
+
+    - TIMESTAMP(NANOS): read as long nanos (see nanosAsLong config),
+      converted here to µs TimestampType. ``ns_cols`` comes from the
+      parquet footer (:func:`_nanos_timestamp_cols`); the metadata flag is
+      a secondary signal for DataFrames built without a file path.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+      TIMESTAMP_NTZ, which breaks every event-time operator that needs
+      TIMESTAMP (``withWatermark``, ``unix_micros`` sessionization, window
+      rollups). The session timezone is pinned to UTC (get_spark /
+      ensure_engine_confs), so casting NTZ→TIMESTAMP is value-preserving
+      and matches the DuckDB oracle's naive-timestamp semantics.
+    """
+    from pyspark.sql import functions as F
+
     for f in df.schema.fields:
         if f.dataType.simpleString() == "bigint" and (
             f.name in ns_cols or f.metadata.get("__is_nanos_timestamp__")
         ):
             df = df.withColumn(f.name, nanos_to_micros_ts(f.name))
+        elif f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df

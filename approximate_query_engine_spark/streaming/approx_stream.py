@@ -36,11 +36,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # events.ts arrives as nanos-as-long (see session.py); convert once here.
-    if dict(stream.dtypes).get("ts") == "bigint":
+    # events.ts needs normalizing to plain TIMESTAMP for withWatermark
+    # (see session.py): nanos-as-long → µs timestamp, TIMESTAMP_NTZ (µs
+    # parquet without tz, the round-2 testdata layout) → timestamp (session
+    # tz is UTC, value-preserving).
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         from approximate_query_engine_spark.session import nanos_to_micros_ts
 
         stream = stream.withColumn("ts", nanos_to_micros_ts("ts"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

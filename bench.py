@@ -136,13 +136,25 @@ def main() -> None:
         return measured_relative_error(approx, exact)
 
     timings: dict[str, float] = {}
+    # Per-item fault isolation (round-2 lesson: one AnalysisException in a
+    # new bench item zeroed the ENTIRE round's perf signal — BENCH_r02.json
+    # rc=1, no numbers). Every timed item records either a timing or an
+    # entry in bench_errors; the JSON always prints.
+    bench_errors: dict[str, str] = {}
+
+    def _safe(key: str, fn, reps: int = 3) -> None:
+        try:
+            timings[key] = _time(fn, reps=reps)
+        except Exception as exc:  # noqa: BLE001 - isolation is the point
+            bench_errors[key] = f"{type(exc).__name__}: {exc}"[:300]
+
     # exact vs approx per class (the BASELINE comparison axis); approx runs
     # the full engine path: parse → plan (picks the pre-built sample) →
     # rewritten scaled aggregates + CIs → collect
     for name, sql in exact_sqls.items():
-        timings[f"{name}_exact"] = _time(_run_sql(spark, sql, exact_rows))
-        timings[f"{name}_approx"] = _time(_run_engine(sql))
-        timings[f"{name}_tablesample"] = _time(_run_sql(spark, _approx_sql(sql, f)))
+        _safe(f"{name}_exact", _run_sql(spark, sql, exact_rows))
+        _safe(f"{name}_approx", _run_engine(sql))
+        _safe(f"{name}_tablesample", _run_sql(spark, _approx_sql(sql, f)))
 
     # ---- 50x-replicated tier -------------------------------------------
     # At sf0.1 (~20 MB) Spark's fixed per-query floor (~0.1-0.2 s of task
@@ -159,31 +171,42 @@ def main() -> None:
     big_path = os.path.join(
         big_dir, f"lineitem_big_v2_sf{_sf_from_dir(SF_DIR)}"
     )
-    if not os.path.exists(big_path):
-        (
-            spark.table("lineitem")
-            .crossJoin(spark.range(50).select(F.col("id").alias("rep")))
-            .drop("rep")
-            .withColumn("l_uniq", F.monotonically_increasing_id())
-            .write.mode("overwrite")
-            .parquet(big_path)
-        )
-    big = spark.read.parquet(big_path)
-    big.createOrReplaceTempView("lineitem_big")
-    eng.catalog.upsert_table_stats("lineitem_big", big.count())
-    eng.create_sample("lineitem_big", 0.01, seed=42)
+    big_ok = True
+    try:
+        if not os.path.exists(big_path):
+            (
+                spark.table("lineitem")
+                .crossJoin(spark.range(50).select(F.col("id").alias("rep")))
+                .drop("rep")
+                .withColumn("l_uniq", F.monotonically_increasing_id())
+                .write.mode("overwrite")
+                .parquet(big_path)
+            )
+        big = spark.read.parquet(big_path)
+        big.createOrReplaceTempView("lineitem_big")
+        eng.catalog.upsert_table_stats("lineitem_big", big.count())
+        eng.create_sample("lineitem_big", 0.01, seed=42)
+    except Exception as exc:  # noqa: BLE001 - setup failure isolation
+        big_ok = False
+        bench_errors["big50_setup"] = f"{type(exc).__name__}: {exc}"[:300]
 
-    big_sqls = {
-        "big_sum": "SELECT SUM(l_extendedprice) AS total FROM lineitem_big",
-        "big_groupby": (
-            "SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sq "
-            "FROM lineitem_big GROUP BY l_returnflag"
-        ),
-        "big_heavy": exact_sqls["heavy_agg"].replace("lineitem", "lineitem_big"),
-    }
+    big_sqls = (
+        {
+            "big_sum": "SELECT SUM(l_extendedprice) AS total FROM lineitem_big",
+            "big_groupby": (
+                "SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sq "
+                "FROM lineitem_big GROUP BY l_returnflag"
+            ),
+            "big_heavy": exact_sqls["heavy_agg"].replace(
+                "lineitem", "lineitem_big"
+            ),
+        }
+        if big_ok
+        else {}
+    )
     for name, sql in big_sqls.items():
-        timings[f"{name}_exact"] = _time(_run_sql(spark, sql, exact_rows))
-        timings[f"{name}_approx"] = _time(_run_engine(sql))
+        _safe(f"{name}_exact", _run_sql(spark, sql, exact_rows))
+        _safe(f"{name}_approx", _run_engine(sql))
 
     # ---- COUNT(DISTINCT): two cardinality regimes, planner-decided -----
     # Low-ndv (l_orderkey: ~150k distinct in 30M rows): exact hash-agg
@@ -194,8 +217,12 @@ def main() -> None:
     # column's ndv, which is what lets the planner price the two regimes
     # differently (planner.SKETCH_CPU_FACTOR model).
     plan_reasons: dict[str, str] = {}
-    eng.create_sketch("lineitem_big", "l_orderkey", "hll")
-    eng.create_sketch("lineitem_big", "l_uniq", "hll")
+    if big_ok:
+        try:
+            eng.create_sketch("lineitem_big", "l_orderkey", "hll")
+            eng.create_sketch("lineitem_big", "l_uniq", "hll")
+        except Exception as exc:  # noqa: BLE001
+            bench_errors["big_sketch_setup"] = f"{type(exc).__name__}: {exc}"[:300]
 
     def _run_engine_distinct(tag, sql):
         def go():
@@ -208,48 +235,61 @@ def main() -> None:
 
         return go
 
-    big_distinct_sqls = {
-        "big_distinct": "SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem_big",
-        "big_distinct_hi": "SELECT COUNT(DISTINCT l_uniq) AS n FROM lineitem_big",
-    }
+    big_distinct_sqls = (
+        {
+            "big_distinct": (
+                "SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem_big"
+            ),
+            "big_distinct_hi": (
+                "SELECT COUNT(DISTINCT l_uniq) AS n FROM lineitem_big"
+            ),
+        }
+        if big_ok
+        else {}
+    )
     for name, sql in big_distinct_sqls.items():
-        timings[f"{name}_exact"] = _time(_run_sql(spark, sql, exact_rows))
-        timings[f"{name}_approx"] = _time(_run_engine_distinct(name, sql))
+        _safe(f"{name}_exact", _run_sql(spark, sql, exact_rows))
+        _safe(f"{name}_approx", _run_engine_distinct(name, sql))
     # raw sketch timing kept as a diagnostic (what the sketch costs when
     # forced, regardless of what the planner picks)
-    timings["big_distinct_sketch_raw"] = _time(
+    _safe(
+        "big_distinct_sketch_raw",
         _run_sql(
             spark,
             "SELECT approx_count_distinct(l_orderkey) AS n FROM lineitem_big",
-        )
+        ),
     )
 
-    timings["distinct_exact"] = _time(
-        _run_sql(spark, "SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem")
+    _safe(
+        "distinct_exact",
+        _run_sql(spark, "SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem"),
     )
-    timings["distinct_sketch"] = _time(
+    _safe(
+        "distinct_sketch",
         _run_sql(
             spark, "SELECT approx_count_distinct(l_orderkey) AS n FROM lineitem"
-        )
+        ),
     )
 
     # wider relational coverage
-    timings["tpch_q1"] = _time(
+    _safe(
+        "tpch_q1",
         _run_sql(
             spark,
             "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
             "SUM(l_extendedprice * (1 - l_discount)) AS revenue, COUNT(*) AS n "
             "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus",
-        )
+        ),
     )
-    timings["join_fact"] = _time(
+    _safe(
+        "join_fact",
         _run_sql(
             spark,
             "SELECT o_orderpriority, SUM(l_extendedprice) AS rev, COUNT(*) AS n "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority",
-        )
+        ),
     )
 
     # pipeline extensions
@@ -262,7 +302,7 @@ def main() -> None:
             spark.table("documents"), threshold=0.5, num_hashes=64, bands=16
         ).count()
 
-    timings["minhash_dedup"] = _time(_minhash)
+    _safe("minhash_dedup", _minhash)
 
     def _ann():
         from approximate_query_engine_spark.functions.similarity import (
@@ -273,7 +313,7 @@ def main() -> None:
         qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
         topk_cosine_brute_force(emb, qv, k=10).collect()
 
-    timings["ann_topk"] = _time(_ann)
+    _safe("ann_topk", _ann)
 
     # event operators (solo timings — no approximate counterpart)
     def _sessionize():
@@ -283,7 +323,7 @@ def main() -> None:
             spark.table("events"), gap_minutes=360, tiebreak_col="event_id"
         ).count()
 
-    timings["sessionize"] = _time(_sessionize)
+    _safe("sessionize", _sessionize)
 
     def _funnel():
         from approximate_query_engine_spark.operators import funnel
@@ -294,7 +334,7 @@ def main() -> None:
             max_window_sec=21_600,
         ).collect()
 
-    timings["funnel"] = _time(_funnel)
+    _safe("funnel", _funnel)
 
     # batch k-NN join: brute (exact) vs IVF (pruned) on a 10x-replicated
     # corpus — the same exact-vs-approx axis as the BASELINE classes, for
@@ -302,46 +342,52 @@ def main() -> None:
     emb_big_path = os.path.join(
         big_dir, f"embeddings_big_v1_sf{_sf_from_dir(SF_DIR)}"
     )
-    if not os.path.exists(emb_big_path):
-        (
-            spark.table("embeddings")
-            .crossJoin(spark.range(10).select(F.col("id").alias("rep")))
-            .select(
-                (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
-                "embedding",
-            )
-            .write.mode("overwrite")
-            .parquet(emb_big_path)
-        )
-    emb_big = spark.read.parquet(emb_big_path)
     from approximate_query_engine_spark.functions.similarity import (
         IVFIndex,
         knn_join,
     )
 
-    ivf_index = IVFIndex.train(emb_big, nlist=32, seed=42)
-    # the IVF operational model: corpus→centroid assignment is a
-    # materialized table (built once, probed many times) — untimed setup,
-    # exactly like the pre-built 1% sample above
-    ivf_assigned = ivf_index.assign(emb_big).localCheckpoint()
-    knn_queries = emb_big.where("vec_id < 20")
+    knn_recall = None
+    knn_ok = False
+    try:
+        if not os.path.exists(emb_big_path):
+            (
+                spark.table("embeddings")
+                .crossJoin(spark.range(10).select(F.col("id").alias("rep")))
+                .select(
+                    (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+                    "embedding",
+                )
+                .write.mode("overwrite")
+                .parquet(emb_big_path)
+            )
+        emb_big = spark.read.parquet(emb_big_path)
+        ivf_index = IVFIndex.train(emb_big, nlist=32, seed=42)
+        # the IVF operational model: corpus→centroid assignment is a
+        # materialized table (built once, probed many times) — untimed setup,
+        # exactly like the pre-built 1% sample above
+        ivf_assigned = ivf_index.assign(emb_big).localCheckpoint()
+        knn_queries = emb_big.where("vec_id < 20")
 
-    def _knn_brute():
-        knn_join(knn_queries, emb_big, k=10).count()
+        def _knn_brute():
+            knn_join(knn_queries, emb_big, k=10).count()
 
-    def _knn_ivf():
-        knn_join(
-            knn_queries,
-            emb_big,
-            k=10,
-            method="ivf",
-            index=ivf_index,
-            assigned=ivf_assigned,
-            nprobe=4,
-        ).count()
+        def _knn_ivf():
+            knn_join(
+                knn_queries,
+                emb_big,
+                k=10,
+                method="ivf",
+                index=ivf_index,
+                assigned=ivf_assigned,
+                nprobe=4,
+            ).count()
 
-    timings["knn_brute"] = _time(_knn_brute, reps=1)
-    timings["knn_ivf"] = _time(_knn_ivf, reps=1)
+        _safe("knn_brute", _knn_brute, reps=1)
+        _safe("knn_ivf", _knn_ivf, reps=1)
+        knn_ok = True
+    except Exception as exc:  # noqa: BLE001 - setup failure isolation
+        bench_errors["knn_setup"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # join-level AQP: 1% fact sample through the fact-dim join (the
     # single-table classes above never sample a join input; this is the
@@ -358,7 +404,7 @@ def main() -> None:
         "FROM lineitem_big JOIN orders ON l_orderkey = o_orderkey "
         "GROUP BY o_orderpriority"
     )
-    timings["big_join_exact"] = _time(_run_sql(spark, big_join_sql, exact_rows))
+    _safe("big_join_exact", _run_sql(spark, big_join_sql, exact_rows))
     big_join_rows: list = []
 
     def _big_join_approx():
@@ -376,41 +422,50 @@ def main() -> None:
             ).collect()
         ]
 
-    timings["big_join_approx"] = _time(_big_join_approx)
-    b_pairs = {
-        (r["query_id"], r["neighbor_id"])
-        for r in knn_join(knn_queries, emb_big, k=10).collect()
-    }
-    i_pairs = {
-        (r["query_id"], r["neighbor_id"])
-        for r in knn_join(
-            knn_queries,
-            emb_big,
-            k=10,
-            method="ivf",
-            index=ivf_index,
-            assigned=ivf_assigned,
-            nprobe=4,
-        ).collect()
-    }
-    knn_recall = len(b_pairs & i_pairs) / max(len(b_pairs), 1)
+    _safe("big_join_approx", _big_join_approx)
+    try:
+        if not knn_ok:
+            raise RuntimeError("knn setup failed; skipping recall")
+        b_pairs = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_join(knn_queries, emb_big, k=10).collect()
+        }
+        i_pairs = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_join(
+                knn_queries,
+                emb_big,
+                k=10,
+                method="ivf",
+                index=ivf_index,
+                assigned=ivf_assigned,
+                nprobe=4,
+            ).collect()
+        }
+        knn_recall = len(b_pairs & i_pairs) / max(len(b_pairs), 1)
+    except Exception as exc:  # noqa: BLE001
+        bench_errors["knn_recall"] = f"{type(exc).__name__}: {exc}"[:300]
 
     speedups = {
         name: timings[f"{name}_exact"] / timings[f"{name}_approx"]
         for name in list(exact_sqls) + list(big_sqls) + list(big_distinct_sqls)
-        if timings[f"{name}_approx"] > 0
+        if timings.get(f"{name}_approx", 0) > 0
+        and f"{name}_exact" in timings
     }
     # the reported wall excludes the _tablesample diagnostics from speedups;
     # they show the scan-time-sampling alternative for comparison
-    speedups["distinct"] = timings["distinct_exact"] / max(
-        timings["distinct_sketch"], 1e-9
-    )
-    speedups["knn_ivf_vs_brute"] = timings["knn_brute"] / max(
-        timings["knn_ivf"], 1e-9
-    )
-    speedups["big_join"] = timings["big_join_exact"] / max(
-        timings["big_join_approx"], 1e-9
-    )
+    if "distinct_exact" in timings and "distinct_sketch" in timings:
+        speedups["distinct"] = timings["distinct_exact"] / max(
+            timings["distinct_sketch"], 1e-9
+        )
+    if "knn_brute" in timings and "knn_ivf" in timings:
+        speedups["knn_ivf_vs_brute"] = timings["knn_brute"] / max(
+            timings["knn_ivf"], 1e-9
+        )
+    if "big_join_exact" in timings and "big_join_approx" in timings:
+        speedups["big_join"] = timings["big_join_exact"] / max(
+            timings["big_join_approx"], 1e-9
+        )
 
     errors = {}
     for name, sql in {**exact_sqls, **big_sqls, **big_distinct_sqls}.items():
@@ -418,10 +473,12 @@ def main() -> None:
         if e is not None:
             errors[name] = round(e, 4)
     # for the knn class "error" is 1 - recall@10 of the IVF pruning
-    errors["knn_ivf"] = round(1.0 - knn_recall, 4)
-    e = measured_relative_error(big_join_rows, exact_rows.get(big_join_sql))
-    if e is not None:
-        errors["big_join"] = round(e, 4)
+    if knn_recall is not None:
+        errors["knn_ivf"] = round(1.0 - knn_recall, 4)
+    if big_join_rows:
+        e = measured_relative_error(big_join_rows, exact_rows.get(big_join_sql))
+        if e is not None:
+            errors["big_join"] = round(e, 4)
 
     # ---- tier report ----------------------------------------------------
     # The BASELINE-comparable regime is the big tier: at sf0.1 both sides of
@@ -473,6 +530,7 @@ def main() -> None:
                 "tiers": tiers,
                 "plan_reasons": plan_reasons,
                 "rel_errors": errors,
+                "errors": bench_errors,
                 "lineitem_rows": n,
             }
         )

@@ -127,18 +127,58 @@ def test_nanos_detection_on_directory_dataset(spark, tmp_path):
     (the normal Spark-written shape), not just single files (regression:
     pq.read_schema fails on directories and the fallback returned empty,
     silently leaving ns columns as bigint)."""
-    import shutil
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from approximate_query_engine_spark.session import (
         _nanos_timestamp_cols,
         register_testdata,
     )
 
+    ns = np.array(
+        [1_700_000_000_000_000_001, 1_700_000_001_500_000_000], dtype="int64"
+    )
+    table = pa.table({"ts": ns.view("datetime64[ns]"), "v": [1, 2]})
     d = tmp_path / "events_dir"
     d.mkdir()
-    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-0.parquet")
+    pq.write_table(table, str(d / "part-0.parquet"))
     cols = _nanos_timestamp_cols(str(d))
     assert "ts" in cols
     # end-to-end: a directory-shaped table registers with a real timestamp
     dfs = register_testdata(spark, str(tmp_path), tables=("events_dir",))
     assert dict(dfs["events_dir"].dtypes)["ts"] == "timestamp"
+
+
+def test_ntz_micros_normalized_to_timestamp(spark, tmp_path):
+    """TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet — what the testdata
+    ships as of round 2 — reads as TIMESTAMP_NTZ in Spark; register_testdata
+    must cast it to plain TIMESTAMP so event-time operators (withWatermark,
+    unix_micros sessionization) work. Session tz is UTC, so values are
+    preserved exactly."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [
+        datetime.datetime(2024, 1, 1, 12, 0, 0, 123456),
+        datetime.datetime(2024, 1, 2, 0, 30, 0, 1),
+    ]
+    table = pa.table(
+        {"ts": pa.array(vals, type=pa.timestamp("us")), "v": [1, 2]}
+    )
+    pq.write_table(table, str(tmp_path / "ntz_events.parquet"))
+
+    dfs = register_testdata(spark, str(tmp_path), tables=("ntz_events",))
+    assert dict(dfs["ntz_events"].dtypes)["ts"] == "timestamp"
+    rows = dfs["ntz_events"].orderBy("v").collect()
+    assert rows[0]["ts"] == vals[0] and rows[1]["ts"] == vals[1]
+
+
+def test_real_testdata_events_ts_is_timestamp(spark):
+    """Whatever physical layout the shipped testdata uses (ns, µs-NTZ, or
+    tz-adjusted), the registered events.ts must come out as plain TIMESTAMP —
+    every event-time operator depends on it."""
+    dfs = register_testdata(spark, SF_SMOKE, tables=("events",))
+    assert dict(dfs["events"].dtypes)["ts"] == "timestamp"
