@@ -486,19 +486,123 @@ def _q_engine_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs in md5 hash mode — the portable variant
+    whose band buckets and verified pair set the DuckDB oracle reproduces
+    exactly (shingle → 64 md5 minhashes → 16-band md5 bucketing → exact
+    Jaccard ≥ 0.5)."""
     from approximate_query_engine_spark.functions.dedup import minhash_near_duplicates
 
     _prep(spark, sf_dir)
     return minhash_near_duplicates(
-        spark.table("documents"), threshold=0.5, num_hashes=64, bands=16
+        spark.table("documents"),
+        threshold=0.5,
+        num_hashes=64,
+        bands=16,
+        hash_mode="md5",
     ).select("id_a", "id_b")
 
 
+def _norm_duck(col: str = "text") -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}), "
+        f"'{_PUNCT_DUCK}', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+#: DuckDB reproduction of _q_minhash_pairs (md5 mode): same shingling,
+#: same per-seed md5 minhashes (lexicographic min), same md5 band hashes,
+#: same exact-Jaccard verification.
+_MINHASH_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_norm_duck()} AS norm FROM documents
+), tok AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM docs
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM tok
+), sig AS (
+  SELECT doc_id, shingles,
+         list_transform(range(1, 65),
+           j -> list_min(list_transform(shingles,
+                  s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS mh
+  FROM sh
+), banded AS (
+  SELECT doc_id, b.band_id,
+         md5(array_to_string(mh[(b.band_id*4+1):(b.band_id*4+4)], ',')) AS band_hash
+  FROM sig, (SELECT unnest(range(0, 16)) AS band_id) b
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+   AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b
+FROM cand c
+JOIN sig a ON c.id_a = a.doc_id
+JOIN sig b ON c.id_b = b.doc_id
+WHERE CAST(len(list_distinct(list_intersect(a.shingles, b.shingles))) AS DOUBLE)
+      / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+"""
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from approximate_query_engine_spark.functions.dedup import simhash_near_duplicates
+    """SimHash near-dup pairs via the portable (md5-chunk) variant — the
+    4×16-bit pigeonhole banding of simhash_near_duplicates with a hash the
+    DuckDB oracle reproduces bit-for-bit."""
+    from approximate_query_engine_spark.functions.dedup import (
+        simhash_near_duplicates_portable,
+    )
 
     _prep(spark, sf_dir)
-    return simhash_near_duplicates(spark.table("documents"), max_hamming=3)
+    return simhash_near_duplicates_portable(spark.table("documents"), max_hamming=3)
+
+
+_HEX = "strpos('0123456789abcdef', substring(md5(tok), chunk_id*4+{off}, 1)) - 1"
+#: DuckDB reproduction of _q_simhash_pairs: md5-derived 16-bit token
+#: chunks, per-bit majority votes, pigeonhole chunk join, Hamming ≤ 3.
+_SIMHASH_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_norm_duck()} AS norm FROM documents
+), tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok
+  FROM docs
+), tc AS (
+  SELECT doc_id, c.chunk_id,
+         ({_HEX.format(off=1)}) * 4096
+       + ({_HEX.format(off=2)}) * 256
+       + ({_HEX.format(off=3)}) * 16
+       + ({_HEX.format(off=4)}) AS tok_chunk
+  FROM tok, (SELECT unnest(range(0, 4)) AS chunk_id) c
+), votes AS (
+  SELECT doc_id, chunk_id, b.bit_id,
+         SUM(((tok_chunk >> bit_id) & 1) * 2 - 1) AS v
+  FROM tc, (SELECT unnest(range(0, 16)) AS bit_id) b
+  GROUP BY 1, 2, 3
+), chunkvals AS (
+  SELECT doc_id, chunk_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1 << bit_id) ELSE 0 END) AS INT) AS chunk_val
+  FROM votes GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id, list(chunk_val ORDER BY chunk_id) AS chunks
+  FROM chunkvals GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, c.chunk_id, chunks[c.chunk_id + 1] AS chunk_val, chunks
+  FROM sig, (SELECT unnest(range(0, 4)) AS chunk_id) c
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         CAST(bit_count(xor(l.chunks[1], r.chunks[1]))
+            + bit_count(xor(l.chunks[2], r.chunks[2]))
+            + bit_count(xor(l.chunks[3], r.chunks[3]))
+            + bit_count(xor(l.chunks[4], r.chunks[4])) AS BIGINT) AS hamming
+  FROM banded l JOIN banded r
+    ON l.chunk_id = r.chunk_id AND l.chunk_val = r.chunk_val
+   AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,6 +1647,8 @@ def oracle_sql() -> dict[str, str]:
     for name, build in _PER_ENGINE_SQL.items():
         out[name] = build("duckdb")
     out["q28_ann_topk"] = _ANN_ORACLE
+    out["q32_minhash_pairs"] = _MINHASH_ORACLE
+    out["q33_simhash_pairs"] = _SIMHASH_ORACLE
     out["q46_asof_join"] = _ASOF_ORACLE
     out["q48_strata_analysis"] = _STRATA_ORACLE
     out["q49_neyman_alloc"] = _NEYMAN_ORACLE

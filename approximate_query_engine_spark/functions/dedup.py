@@ -95,10 +95,31 @@ def word_shingles_expr(text_col: str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature_expr(shingles_col: str | Column, num_hashes: int = 64) -> Column:
+def minhash_signature_expr(
+    shingles_col: str | Column, num_hashes: int = 64, hash_mode: str = "xxhash64"
+) -> Column:
     """MinHash signature: for seed j, min over shingles of
-    xxhash64(shingle, j). One array column, computed scan-side."""
+    hash(shingle, j). One array column, computed scan-side.
+
+    ``hash_mode``:
+    - ``"xxhash64"`` (default, scale path): JVM xxhash64, signature is
+      array<bigint>.
+    - ``"md5"`` (portable path): md5 of ``"<j>:<shingle>"`` — an hex string,
+      min is lexicographic, signature is array<string>. Exists so the same
+      pair set can be reproduced in any engine with an md5 function (the
+      DuckDB oracle for the driver's correctness gate); same collision
+      structure, ~2x the bytes per signature.
+    """
     sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    if hash_mode == "md5":
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(num_hashes)),
+            lambda j: F.array_min(
+                F.transform(
+                    sh, lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s))
+                )
+            ),
+        )
     return F.transform(
         F.sequence(F.lit(1), F.lit(num_hashes)),
         lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
@@ -106,10 +127,14 @@ def minhash_signature_expr(shingles_col: str | Column, num_hashes: int = 64) -> 
 
 
 def with_minhash(
-    df: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     return df.withColumn("shingles", word_shingles_expr(text_col, n)).withColumn(
-        "minhash", minhash_signature_expr("shingles", num_hashes)
+        "minhash", minhash_signature_expr("shingles", num_hashes, hash_mode)
     )
 
 
@@ -136,6 +161,7 @@ def lsh_candidate_pairs(
     minhash_col: str = "minhash",
     bands: int = 16,
     rows_per_band: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs that share ≥1 LSH band bucket.
 
@@ -143,7 +169,7 @@ def lsh_candidate_pairs(
     self-joins on them — the only shuffle is on the band key, and only
     same-bucket rows meet. Pairs are deduplicated with a_id < b_id.
     """
-    banded = _banded(sig_df, id_col, bands, rows_per_band, minhash_col)
+    banded = _banded(sig_df, id_col, bands, rows_per_band, minhash_col, hash_mode)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -166,6 +192,7 @@ def minhash_near_duplicates(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by exact
     shingle-set Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
@@ -174,10 +201,12 @@ def minhash_near_duplicates(
     # both verify joins); materialize it once instead of recomputing — at
     # warehouse scale this is "write the signature table", here its
     # in-memory analog
-    sig = signature_table(df, id_col, text_col, n, num_hashes).localCheckpoint(
-        eager=False
+    sig = signature_table(
+        df, id_col, text_col, n, num_hashes, hash_mode
+    ).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(
+        sig, id_col, "minhash", bands, rows_per_band, hash_mode
     )
-    cand = lsh_candidate_pairs(sig, id_col, "minhash", bands, rows_per_band)
     # join by COLUMN NAME, never by column objects across a self-join's
     # shared lineage — object equality resolves both sides to the same
     # attribute and silently degenerates to a cartesian product
@@ -223,15 +252,16 @@ def signature_table(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """The persistable dedup state: (id, shingles, minhash) per doc. At
     warehouse scale this is written as a Parquet/Delta table once per
     corpus and new batches join against it (see
     :func:`incremental_minhash_dedup`)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    return with_minhash(df.repartition(par, id_col), text_col, n, num_hashes).select(
-        id_col, "shingles", "minhash"
-    )
+    return with_minhash(
+        df.repartition(par, id_col), text_col, n, num_hashes, hash_mode
+    ).select(id_col, "shingles", "minhash")
 
 
 def _banded(
@@ -240,25 +270,28 @@ def _banded(
     bands: int,
     rows_per_band: int,
     minhash_col: str = "minhash",
+    hash_mode: str = "xxhash64",
 ):
     """(id, band_id, band_hash) explosion of a signature table — THE band
     scheme; every candidate-generation path must go through this one
-    definition so batch and incremental dedup bucket identically."""
+    definition so batch and incremental dedup bucket identically.
+    In ``md5`` mode the band hash is md5 of the comma-joined band slice
+    (portable to any engine with md5); default stays JVM xxhash64."""
+
+    def _band_hash(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col(minhash_col), b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        return F.md5(joined) if hash_mode == "md5" else F.xxhash64(joined)
+
     return sig_df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col(minhash_col), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _band_hash)
         ).alias("band_id", "band_hash"),
     )
 
@@ -432,6 +465,107 @@ def simhash_near_duplicates(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
             hamming64_expr(F.col("l._sh"), F.col("r._sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_chunks_portable(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc SimHash as four 16-bit chunks (``_id``, ``chunks``
+    array<int>), md5-based — the engine-portable variant of
+    :func:`simhash64_expr` for cross-engine verification.
+
+    The per-token hash is the first 16 hex chars of md5(token) read as four
+    16-bit chunks; per-bit majority votes as in Charikar 2002. Expressed as
+    explode→groupBy (two key-bounded shuffles, no all-pairs) because every
+    step — md5, substring, hex-digit parse, shifts — exists verbatim in
+    other SQL engines, so a DuckDB oracle can reproduce the exact pair set.
+    Docs with zero tokens after normalization carry no signature (the
+    explode drops them) — mirrored by the oracle's unnest.
+    """
+    toks = F.filter(
+        F.split(normalize_text_expr(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    tok = df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("tok"))
+    chunked = tok.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(F.md5(F.col("tok")), c * 4 + 1, 4), 16, 10
+                    ).cast("int")
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "tok_chunk"),
+    )
+    bits = chunked.select(
+        "_id",
+        "chunk_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("tok_chunk"), b).bitwiseAND(F.lit(1)) * 2 - 1
+                    for b in range(16)
+                ]
+            )
+        ).alias("bit_id", "vote"),
+    )
+    votes = bits.groupBy("_id", "chunk_id", "bit_id").agg(F.sum("vote").alias("v"))
+    chunk_vals = votes.groupBy("_id", "chunk_id").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN v > 0 THEN shiftleft(1, bit_id) ELSE 0 END) AS INT)"
+        ).alias("chunk_val")
+    )
+    return (
+        chunk_vals.groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_id", "chunk_val"))
+            ).alias("sc")
+        )
+        .select("_id", F.transform("sc", lambda s: s.chunk_val).alias("chunks"))
+    )
+
+
+def simhash_near_duplicates_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from the portable chunked SimHash — same pigeonhole
+    banding as :func:`simhash_near_duplicates` (Hamming ≤ 3 over 64 bits ⇒
+    some 16-bit chunk matches exactly), reproducible bit-for-bit in any
+    engine with md5. Returns (id_a, id_b, hamming)."""
+    sig = simhash_chunks_portable(df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    chunked = sig.select(
+        "_id", "chunks", F.posexplode("chunks").alias("chunk_id", "chunk_val")
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    hamming = sum(
+        F.bit_count(
+            F.col("l.chunks")[c].bitwiseXOR(F.col("r.chunks")[c])
+        )
+        for c in range(4)
+    ).cast("bigint")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            hamming.alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
