@@ -617,10 +617,32 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming window agg, drained and hash-verified: the
+    deterministic outputs (per-window counts + decimal-accumulated sums)
+    of a fully-drained availableNow run equal a batch GROUP BY restricted
+    to watermark-closed windows — which is what the oracle computes. The
+    HLL approx_users column stays in the operator but out of the hash."""
     from approximate_query_engine_spark.streaming import run_streaming_window_agg
 
     _prep(spark, sf_dir)
-    return run_streaming_window_agg(spark, sf_dir)
+    return run_streaming_window_agg(spark, sf_dir, portable_sums=True).select(
+        "window_start", "event_type", "n", "total_value"
+    )
+
+
+#: Batch reproduction of the drained streaming window agg: tumbling 1h
+#: windows (epoch-aligned == date_trunc hour in UTC), append mode emits
+#: exactly the windows whose end <= max(ts) - 2h watermark, i.e.
+#: window_start <= max(ts) - 3h.
+_STREAM_WINDOW_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE date_trunc('hour', ts) <=
+      (SELECT max(ts) FROM events) - INTERVAL 3 HOUR
+GROUP BY 1, 2
+"""
 
 
 def _q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1662,6 +1684,7 @@ def oracle_sql() -> dict[str, str]:
     out["q60_knn_join"] = _KNN_ORACLE
     out["q61_funnel"] = _FUNNEL_ORACLE
     out["q62_stream_sessions"] = _STREAM_SESSIONS_ORACLE
+    out["q35_stream_window"] = _STREAM_WINDOW_ORACLE
     out["q63_approx_join"] = _APPROX_JOIN_ORACLE
     out["q64_retention"] = _RETENTION_ORACLE
     out["q66_corpus_prepare"] = _corpus_oracle()

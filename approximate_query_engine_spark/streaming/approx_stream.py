@@ -73,18 +73,31 @@ def run_streaming_window_agg(
     sf_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    portable_sums: bool = False,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation: per (window, event_type)
     row count, value sum, and approximate distinct users (HLL++ merged in
     the state store). Output: window_start, event_type, n, total_value,
-    approx_users."""
+    approx_users.
+
+    ``portable_sums=True`` accumulates ``total_value`` in DECIMAL(18,2)
+    (exact, order-independent addition) and emits DOUBLE only at the end —
+    so the sum is bit-identical to any other engine's, letting the driver
+    hash-verify the streaming output against a batch SQL oracle. Default
+    stays native double sums (cheapest state).
+    """
     events = _events_stream(spark, sf_dir)
+    value_sum = (
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+        if portable_sums
+        else F.sum("value")
+    )
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("total_value"),
+            value_sum.alias("total_value"),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(

