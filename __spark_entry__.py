@@ -852,22 +852,75 @@ _SALTED_ORACLE = (
 
 
 def _q_hll_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct estimate with the ±1.04/√m error band from the
-    persisted sketch (sketches.py read path). Rows-only: the estimate is
-    sketch-dependent, not SQL-reproducible."""
-    import tempfile
-
-    from approximate_query_engine_spark import AQEngine
+    """Driver-side mergeable HyperLogLog (sketches.HyperLogLog, sha256
+    register hashing) built the distributed way — per-partition partial
+    sketches via mapInPandas, merged on the driver — with its 95% CI.
+    Deterministic pure function of the value set, so the DuckDB oracle
+    reproduces the register math (bucket index, leading-zero rho, harmonic
+    estimate, linear-counting branch) value-for-value."""
+    from approximate_query_engine_spark.sketches import build_hll_distributed
 
     _prep(spark, sf_dir)
-    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
-    eng.create_sketch("orders", "o_custkey", "hll", {"lg_config_k": 12})
-    est = eng.sketches.estimate_distinct_from_sketch("orders", "o_custkey")
-    rse = 1.04 / (2**12) ** 0.5
+    h = build_hll_distributed(spark.table("orders"), "o_custkey", b=12)
+    est = h.count()
+    lo, hi = h.confidence_interval(0.95)
     return spark.createDataFrame(
-        [(int(est), float(est * (1 - 1.96 * rse)), float(est * (1 + 1.96 * rse)))],
-        "estimate long, ci_low double, ci_high double",
+        [(int(est), int(lo), int(hi))],
+        "estimate long, ci_low long, ci_high long",
     )
+
+
+def _hll_oracle() -> str:
+    """DuckDB reproduction of _q_hll_ci: sha256-based HLL with b=12.
+
+    hash64 = little-endian int of the first 8 bytes of
+    sha256(4 zero bytes || utf8(value)); bucket = hash64 % 4096;
+    rho = leading-zero count of the remaining 52 bits + 1 (via bin()
+    length); estimate = alpha·m²/Σ2^-reg with the linear-counting
+    small-range branch; CI = est ∓ 1.96·(1.04/√m)·est, truncated like
+    Python int()."""
+    byte = (
+        "((strpos('0123456789abcdef', substring(d, {o1}, 1)) - 1) * 16 "
+        "+ strpos('0123456789abcdef', substring(d, {o2}, 1)) - 1)"
+    )
+    h64 = " + ".join(
+        f"CAST({byte.format(o1=2 * i + 1, o2=2 * i + 2)} AS HUGEINT) * {256 ** i}"
+        for i in range(8)
+    )
+    alpha_m2 = "((0.7213 / (1 + 1.079 / 4096)) * 4096) * 4096"
+    se = "(1.96 * (1.04 / sqrt(4096.0)))"
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders
+  WHERE o_custkey IS NOT NULL
+), hashed AS (
+  SELECT sha256(chr(0) || chr(0) || chr(0) || chr(0) || v) AS d FROM vals
+), h64 AS (
+  SELECT {h64} AS h FROM hashed
+), reg AS (
+  SELECT CAST(h % 4096 AS INT) AS idx, CAST(h // 4096 AS BIGINT) AS rest
+  FROM h64
+), regs AS (
+  SELECT idx, MAX(CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END) AS r
+  FROM reg GROUP BY idx
+), allr AS (
+  SELECT COALESCE(regs.r, 0) AS r
+  FROM generate_series(0, 4095) g(i) LEFT JOIN regs ON regs.idx = g.i
+), s AS (
+  SELECT SUM(power(2.0, -r)) AS ssum,
+         SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM allr
+), est AS (
+  SELECT CASE WHEN {alpha_m2} / ssum <= 2.5 * 4096 AND zeros > 0
+         THEN CAST(round(4096 * ln(4096.0 / zeros)) AS BIGINT)
+         ELSE CAST(round({alpha_m2} / ssum) AS BIGINT) END AS e
+  FROM s
+)
+SELECT e AS estimate,
+       greatest(0, CAST(trunc(e - {se} * e) AS BIGINT)) AS ci_low,
+       CAST(trunc(e + {se} * e) AS BIGINT) AS ci_high
+FROM est
+"""
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1685,6 +1738,7 @@ def oracle_sql() -> dict[str, str]:
     out["q61_funnel"] = _FUNNEL_ORACLE
     out["q62_stream_sessions"] = _STREAM_SESSIONS_ORACLE
     out["q35_stream_window"] = _STREAM_WINDOW_ORACLE
+    out["q54_hll_ci"] = _hll_oracle()
     out["q63_approx_join"] = _APPROX_JOIN_ORACLE
     out["q64_retention"] = _RETENTION_ORACLE
     out["q66_corpus_prepare"] = _corpus_oracle()

@@ -185,6 +185,41 @@ class CountMinSketch:
         return obj
 
 
+def build_hll_distributed(df, column: str, b: int = 12) -> HyperLogLog:
+    """Build the driver-side :class:`HyperLogLog` over a DataFrame column
+    the mergeable way: each Arrow batch partition produces a serialized
+    partial sketch (``mapInPandas``), and the driver merges the
+    O(#partitions) KB-sized partials — never the values. This is the
+    pattern that scales: state shipped to the driver is sketch bytes, not
+    data (same shape as Spark's own partial-aggregate merge).
+
+    The sha256-based register updates make the result a pure function of
+    the value set — reproducible in any engine (the driver contract's q54
+    verifies it against a DuckDB SQL reproduction of the register math).
+    Nulls are excluded; values hash as their canonical CAST-to-string form.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _partial(batches):
+        h = HyperLogLog(b)
+        for pdf in batches:
+            for v in pdf["v"]:
+                h.add_string(v)
+        yield pd.DataFrame({"sk": [h.serialize()]})
+
+    parts = (
+        df.where(F.col(column).isNotNull())
+        .select(F.col(column).cast("string").alias("v"))
+        .mapInPandas(_partial, "sk binary")
+        .collect()
+    )
+    merged = HyperLogLog(b)
+    for row in parts:
+        merged.merge(HyperLogLog.deserialize(bytes(row["sk"])))
+    return merged
+
+
 class SketchManager:
     """Builds and persists sketches (reference POST /sketches/create,
     app.py:222-291) as single Spark aggregations."""

@@ -95,7 +95,6 @@ def test_check_window_ordering():
     assert window == entry_mod._CHECK_WINDOW_ORDER
     rows_only_in_window = [n for n in window if n not in oracled]
     assert sorted(rows_only_in_window) == [
-        "q54_hll_ci",
         "q55_multimodal_decode",
         "q56_progressive",
     ]
