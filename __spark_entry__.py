@@ -925,7 +925,11 @@ FROM est
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL (non-fake) BMP/WAV decode through the mapInPandas kernel,
-    aggregated per kind. Rows-only: DuckDB has no codec to reproduce it."""
+    aggregated per kind. The oracle computes the GROUND TRUTH the encoder
+    wrote (closed-form dims per media_id), so a decode regression — wrong
+    BMP header offsets, wrong WAV rate math, Arrow batch misalignment —
+    breaks the hash match. DuckDB verifies decode-recovers-encode, not
+    that it can decode BMP itself."""
     from pyspark.sql import functions as F
 
     from approximate_query_engine_spark.functions.multimodal import (
@@ -944,6 +948,24 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+#: Ground truth of make_real_media_df(n=12) + decode semantics: even ids
+#: are (w,h) BMPs; odd ids are PCM16 WAVs whose decoded (width, height)
+#: slots carry (sample_rate, duration_ms) = (16000, 100 + 10*(i%5)) since
+#: n_samples = 1600 + 160*(i%5) at 16 kHz.
+_MULTIMODAL_ORACLE = """
+WITH t AS (
+  SELECT i,
+    CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+    CASE WHEN i % 2 = 0 THEN 16 + (i % 4) * 8 ELSE 16000 END AS w,
+    CASE WHEN i % 2 = 0 THEN 12 + (i % 3) * 8 ELSE 100 + 10 * (i % 5) END AS h
+  FROM generate_series(0, 11) g(i)
+)
+SELECT kind, COUNT(*) AS n,
+       CAST(SUM(w) AS BIGINT) AS sum_w, CAST(SUM(h) AS BIGINT) AS sum_h
+FROM t GROUP BY kind
+"""
 
 
 def _q_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1739,6 +1761,7 @@ def oracle_sql() -> dict[str, str]:
     out["q62_stream_sessions"] = _STREAM_SESSIONS_ORACLE
     out["q35_stream_window"] = _STREAM_WINDOW_ORACLE
     out["q54_hll_ci"] = _hll_oracle()
+    out["q55_multimodal_decode"] = _MULTIMODAL_ORACLE
     out["q63_approx_join"] = _APPROX_JOIN_ORACLE
     out["q64_retention"] = _RETENTION_ORACLE
     out["q66_corpus_prepare"] = _corpus_oracle()

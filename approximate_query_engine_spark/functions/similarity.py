@@ -306,7 +306,14 @@ def knn_join(
             .withColumn("centroid_id", F.col("__probe").cast("int"))
             .drop("__probe")
         )
-        cand = probed.join(assigned, "centroid_id")
+        # broadcast the PROBE side (|queries|·nprobe rows), stream the
+        # corpus: the corpus side is the big one (vectors × nlist lists)
+        # and must never shuffle for a batch lookup — without the explicit
+        # hint Catalyst sees an over-threshold corpus and sort-merge-joins,
+        # shuffling every corpus vector (measured 2.27s vs 0.9s at sf0.1).
+        # At 100 TB the corpus is partitionBy('centroid_id') Parquet and
+        # this broadcast join prunes to the probed partitions.
+        cand = assigned.join(F.broadcast(probed), "centroid_id")
     else:
         raise ValueError(f"unknown knn_join method: {method}")
     if exclude_self:
