@@ -111,19 +111,30 @@ def minhash_signature_expr(
       structure, ~2x the bytes per signature.
     """
     sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
-    if hash_mode == "md5":
+
+    # Bind the shingle array ONCE as a lambda variable (1-element
+    # transform): when the optimizer inlines the shingle-building
+    # expression into this projection, a bare reference inside the per-seed
+    # lambda would re-tokenize and re-shingle the document once per seed
+    # (64x) — codegen subexpression elimination does not reach across
+    # lambda boundaries. Measured 64x CPU on the signature projection.
+    def _sig(bound: Column) -> Column:
+        if hash_mode == "md5":
+            return F.transform(
+                F.sequence(F.lit(1), F.lit(num_hashes)),
+                lambda j: F.array_min(
+                    F.transform(
+                        bound,
+                        lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
+                    )
+                ),
+            )
         return F.transform(
             F.sequence(F.lit(1), F.lit(num_hashes)),
-            lambda j: F.array_min(
-                F.transform(
-                    sh, lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s))
-                )
-            ),
+            lambda j: F.array_min(F.transform(bound, lambda s: F.xxhash64(s, j))),
         )
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
-    )
+
+    return F.transform(F.array(sh), _sig)[0]
 
 
 def with_minhash(
