@@ -21,25 +21,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from approximate_query_engine_spark.functions.text import terms_expr
+from approximate_query_engine_spark.functions.text import bind_expr, terms_expr
 
 
 def word_ngrams_expr(text_col: str | Column, n: int = 8) -> Column:
     """DISTINCT space-joined word n-grams of the normalized token stream;
     empty array when the document has fewer than ``n`` tokens (the guard
-    matters: Spark's ``sequence`` counts DOWN when start > stop)."""
-    toks = terms_expr(text_col)
-    sz = F.size(toks)
+    matters: Spark's ``sequence`` counts DOWN when start > stop). The token
+    array is bound once per row (see text.bind_expr) so the tokenizer does
+    not re-run per gram position."""
 
-    def gram(i: Column) -> Column:
-        return F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        )
+    def _grams(toks: Column) -> Column:
+        sz = F.size(toks)
 
-    grams = F.when(
-        sz >= n, F.transform(F.sequence(F.lit(1), sz - (n - 1)), gram)
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+        def gram(i: Column) -> Column:
+            return F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            )
+
+        grams = F.when(
+            sz >= n, F.transform(F.sequence(F.lit(1), sz - (n - 1)), gram)
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(grams)
+
+    return bind_expr(terms_expr(text_col), _grams)
 
 
 def benchmark_ngrams(

@@ -29,7 +29,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from approximate_query_engine_spark.functions.text import normalize_text_expr
+from approximate_query_engine_spark.functions.text import bind_expr, normalize_text_expr
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -84,15 +84,20 @@ def dedup_keep_best(
 
 
 def word_shingles_expr(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
-    toks = F.split(normalize_text_expr(text_col), r"\s+")
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    """Distinct word n-gram shingles of the normalized text. The token
+    array is bound once per row (see text.bind_expr) so the tokenizer does
+    not re-run per shingle position."""
+
+    def _sh(toks: Column) -> Column:
+        n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
         )
-    )
+
+    return bind_expr(F.split(normalize_text_expr(text_col), r"\s+"), _sh)
 
 
 def minhash_signature_expr(
@@ -403,30 +408,37 @@ def incremental_minhash_dedup(
 def simhash64_expr(text_col: str = "text") -> Column:
     """64-bit SimHash: per-bit majority vote over token xxhash64 values
     (+1 when the bit is set, −1 otherwise); sign → bit. Built-in functions
-    only — the per-bit tally is a transform over sequence(0,63)."""
+    only — the per-bit tally is a transform over sequence(0,63). The token
+    hash array is bound once per row (see text.bind_expr): the 64 per-bit
+    aggregates would otherwise each re-tokenize and re-hash the document."""
     toks = F.filter(
         F.split(normalize_text_expr(text_col), r"\s+"), lambda t: t != F.lit("")
     )
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # per-bit majority votes; shift amounts must be Python ints, so the 64
-    # bit expressions are built in a driver-side loop (still one JVM plan).
-    def _vote(k: int):
-        # nested helper (not a default arg): pyspark infers lambda arity
-        # from the parameter list, so the lambda must stay 2-ary
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
 
-    sig = F.lit(0).cast("bigint")
-    for k in range(64):
-        vote = _vote(k)
-        # bit k placed via literal power (two's-complement top bit for k=63)
-        power = (1 << k) if k < 63 else -(1 << 63)
-        sig = sig + F.when(vote > 0, F.lit(power).cast("bigint")).otherwise(0)
-    return sig
+    def _sig(hashes: Column) -> Column:
+        # per-bit majority votes; shift amounts must be Python ints, so the
+        # 64 bit expressions are built in a driver-side loop (one JVM plan).
+        def _vote(k: int):
+            # nested helper (not a default arg): pyspark infers lambda arity
+            # from the parameter list, so the lambda must stay 2-ary
+            return F.aggregate(
+                hashes,
+                F.lit(0).cast("bigint"),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+
+        sig = F.lit(0).cast("bigint")
+        for k in range(64):
+            vote = _vote(k)
+            # bit k via literal power (two's-complement top bit for k=63)
+            power = (1 << k) if k < 63 else -(1 << 63)
+            sig = sig + F.when(vote > 0, F.lit(power).cast("bigint")).otherwise(0)
+        return sig
+
+    return bind_expr(F.transform(toks, lambda t: F.xxhash64(t)), _sig)
 
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:

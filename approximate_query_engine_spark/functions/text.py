@@ -13,8 +13,23 @@ expressible identically in ANSI SQL (see ``__spark_entry__.oracle_sql``).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def bind_expr(col: Column, fn: Callable[[Column], Column]) -> Column:
+    """Evaluate ``col`` once per row and pass its VALUE into ``fn`` as a
+    higher-order-function lambda variable (via a one-element transform).
+
+    This is the codegen-safe way to reuse an expensive expression inside
+    HOF lambdas: Spark's subexpression elimination does not reach across
+    lambda boundaries, so a bare reference inside ``transform``/``filter``
+    /``aggregate`` re-evaluates the producer once per element — turning
+    linear projections quadratic (tokenize-per-shingle, normalize-per-
+    window, hash-per-seed were all measured 30-100x slower without this)."""
+    return F.transform(F.array(col), fn)[0]
 
 #: Punctuation class counted by the quality score. Kept to an explicit,
 #: engine-portable set (Spark and DuckDB agree on this char class).
@@ -304,13 +319,17 @@ def rolling_fingerprints_expr(
     the normalized text, keep the ``keep`` smallest hashes (a deterministic
     document sketch for containment/overlap detection; Schleimer et al.'s
     winnowing idea, min-sampled)."""
-    norm = normalize_text_expr(text_col)
-    n_windows = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    windows = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.xxhash64(F.substr(norm, i, F.lit(k))),
-    )
-    return F.slice(F.array_sort(windows), 1, keep)
+    def _fp(norm: Column) -> Column:
+        n_windows = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+        windows = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.xxhash64(F.substr(norm, i, F.lit(k))),
+        )
+        return F.slice(F.array_sort(windows), 1, keep)
+
+    # bind: normalization (two regex passes) must run once per row, not
+    # once per window position (see bind_expr)
+    return bind_expr(normalize_text_expr(text_col), _fp)
 
 
 def with_fingerprints(
