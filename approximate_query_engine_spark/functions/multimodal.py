@@ -117,9 +117,9 @@ def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
     return file_header + info_header + bytes(pixels)
 
 
-def decode_bmp(data: bytes) -> tuple[int, int, float]:
-    """→ (width, height, pixel_mean) for 24-bpp uncompressed BMP. Handles
-    bottom-up and top-down (negative height) rows and 4-byte row padding."""
+def _bmp_pixel_rows(data: bytes) -> tuple[int, int, "np.ndarray"]:
+    """→ (width, n_rows, pixel rows as (n_rows, width*3) uint8) for 24-bpp
+    uncompressed BMP, padding stripped. Shared by decode and resize."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (offset,) = struct.unpack_from("<I", data, 10)
@@ -133,7 +133,46 @@ def decode_bmp(data: bytes) -> tuple[int, int, float]:
     rows = np.frombuffer(
         data, dtype=np.uint8, count=stride * n_rows, offset=offset
     ).reshape(n_rows, stride)[:, :row_bytes]
+    return (width, n_rows, rows)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, float]:
+    """→ (width, height, pixel_mean) for 24-bpp uncompressed BMP. Handles
+    bottom-up and top-down (negative height) rows and 4-byte row padding."""
+    width, n_rows, rows = _bmp_pixel_rows(data)
     return (width, n_rows, float(rows.mean()) if rows.size else float("nan"))
+
+
+def encode_bmp_pixels(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 → minimal 24-bpp BI_RGB bottom-up BMP bytes (the
+    same layout ``encode_bmp`` writes)."""
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    pixel_bytes = (row_bytes + pad) * h
+    body = bytearray()
+    flat = pixels.reshape(h, row_bytes)
+    for r in range(h):
+        body += flat[r].tobytes()
+        body += b"\x00" * pad
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + bytes(body)
+
+
+def resize_bmp(data: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL nearest-neighbor resize of a 24-bpp BMP — pure numpy index
+    sampling, no codec needed. Row order (bottom-up vs top-down) is
+    preserved as stored since nearest-neighbor sampling is orientation-
+    agnostic."""
+    width, n_rows, rows = _bmp_pixel_rows(data)
+    px = rows.reshape(n_rows, width, 3)
+    yi = (np.arange(target_h) * n_rows) // target_h
+    xi = (np.arange(target_w) * width) // target_w
+    out = px[yi][:, xi]
+    return encode_bmp_pixels(np.ascontiguousarray(out))
 
 
 def encode_wav_pcm16(
@@ -243,6 +282,62 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             yield out
 
     return df.mapInPandas(kernel, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, content binary, width int, height int"
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, fake: bool = False
+) -> DataFrame:
+    """Resize every image blob to (target_w, target_h) via ``mapInPandas``
+    (Arrow batches, one kernel call per batch — the same production shape
+    as :func:`decode_media`). REAL nearest-neighbor resampling for BMP;
+    non-image rows pass through with content untouched; entropy-coded
+    image formats raise ``NotImplementedError`` (no codecs in this
+    environment) unless ``fake=True``, in which case FAKEMEDIA blobs get
+    their header dims rewritten (payload kept) as the clearly-marked fake.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, widths, heights = [], [], []
+            for kind, c in zip(pdf["kind"], pdf["content"]):
+                if kind != "image" or c is None:
+                    contents.append(c)
+                    widths.append(None)
+                    heights.append(None)
+                elif bytes(c[:2]) == b"BM":
+                    contents.append(resize_bmp(bytes(c), target_w, target_h))
+                    widths.append(target_w)
+                    heights.append(target_h)
+                elif bytes(c[: len(_MAGIC)]) == _MAGIC and fake:
+                    kind_b, _w, _h = struct.unpack_from("<BII", bytes(c), len(_MAGIC))
+                    head = bytes(c[: len(_MAGIC)]) + struct.pack(
+                        "<BII", kind_b, target_w, target_h
+                    )
+                    contents.append(head + bytes(c[len(_MAGIC) + 9 :]))
+                    widths.append(target_w)
+                    heights.append(target_h)
+                else:
+                    raise NotImplementedError(
+                        "resizing this format needs an external codec "
+                        "(PIL/ffmpeg), not present in this environment; "
+                        "BMP resizes natively, or pass fake=True"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": contents,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
 
 
 FEATURES_SCHEMA = "media_id long, feature array<float>"

@@ -380,3 +380,61 @@ def test_repetition_boundary_is_strict(spark):
         [("a b c d e f g h a a",)], ["text"]
     ).select(repetition_reject_expr("text").alias("rej"))
     assert df.collect()[0]["rej"] is False
+
+
+# ---- resize (REAL nearest-neighbor for BMP) ----
+def test_resize_bmp_local_matches_numpy_reference():
+    import numpy as np
+
+    blob = multimodal.encode_bmp(17, 9, seed=3)  # odd width → row padding
+    out = multimodal.resize_bmp(blob, 8, 4)
+    w, h, _ = multimodal.decode_bmp(out)
+    assert (w, h) == (8, 4)
+    # exact nearest-neighbor reference on the raw pixel rows
+    _, _, rows = multimodal._bmp_pixel_rows(blob)
+    px = rows.reshape(9, 17, 3)
+    yi = (np.arange(4) * 9) // 4
+    xi = (np.arange(8) * 17) // 8
+    want = px[yi][:, xi]
+    _, _, got_rows = multimodal._bmp_pixel_rows(out)
+    assert np.array_equal(got_rows.reshape(4, 8, 3), want)
+
+
+def test_resize_images_dataframe(spark):
+    df = multimodal.make_real_media_df(spark, 12)
+    out = multimodal.resize_images(df, 8, 6).collect()
+    assert len(out) == 12
+    for r in out:
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (8, 6)
+            w, h, _ = multimodal.decode_bmp(bytes(r["content"]))
+            assert (w, h) == (8, 6)
+        else:
+            assert r["width"] is None and r["height"] is None
+            # non-image blobs pass through byte-identical
+            assert bytes(r["content"])[:4] == b"RIFF"
+
+
+def test_resize_upscale_and_identity():
+    blob = multimodal.encode_bmp(8, 8, seed=1)
+    up = multimodal.resize_bmp(blob, 16, 16)
+    w, h, _ = multimodal.decode_bmp(up)
+    assert (w, h) == (16, 16)
+    same = multimodal.resize_bmp(blob, 8, 8)
+    assert multimodal.decode_bmp(same) == multimodal.decode_bmp(blob)
+
+
+def test_resize_fake_rewrites_header(spark):
+    df = multimodal.make_fake_media_df(spark, 6)
+    out = multimodal.resize_images(df, 4, 4, fake=True).collect()
+    for r in out:
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (4, 4)
+
+
+def test_resize_stub_raises_on_fake_blob_without_flag(spark):
+    df = multimodal.make_fake_media_df(spark, 3)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|resizing"):
+        multimodal.resize_images(df, 4, 4, fake=False).collect()
