@@ -201,14 +201,23 @@ def encode_wav_pcm16(
 
 def decode_wav(data: bytes) -> tuple[int, int, int, float]:
     """→ (channels, sample_rate, duration_ms, mean_abs_amplitude) for PCM16
-    RIFF/WAVE. Walks the chunk list (fmt /data may be separated by other
-    chunks, e.g. LIST)."""
+    RIFF/WAVE. Chunk walking (fmt /data may be separated by other chunks,
+    e.g. LIST) lives in :func:`_wav_pcm`, shared with resampling."""
+    channels, sample_rate, pcm = _wav_pcm(data)
+    frames = pcm.size // channels
+    amp = (
+        float(np.abs(pcm.astype(np.float64)).mean()) if pcm.size else float("nan")
+    )
+    return (channels, sample_rate, int(frames * 1000 / sample_rate), amp)
+
+
+def _wav_pcm(data: bytes) -> tuple[int, int, "np.ndarray"]:
+    """→ (channels, sample_rate, interleaved int16 samples) for PCM16
+    RIFF/WAVE. Shared by decode and resample."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos, channels, sample_rate, bits = 12, None, None, None
     pcm_body = None
-    # collect chunks first, interpret after: the spec does not order fmt
-    # before data, so sample interpretation must wait for the full walk
     while pos + 8 <= len(data):
         cid, clen = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + clen]
@@ -220,15 +229,92 @@ def decode_wav(data: bytes) -> tuple[int, int, int, float]:
                 raise NotImplementedError("only PCM16 WAV supported")
         elif cid == b"data" and pcm_body is None:
             pcm_body = body
-        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+        pos += 8 + clen + (clen % 2)
     if channels is None or pcm_body is None:
         raise ValueError("WAV missing fmt /data chunk")
-    pcm = np.frombuffer(pcm_body, dtype="<i2")
-    frames = pcm.size // channels
-    amp = (
-        float(np.abs(pcm.astype(np.float64)).mean()) if pcm.size else float("nan")
+    return (channels, sample_rate, np.frombuffer(pcm_body, dtype="<i2"))
+
+
+def encode_wav_pcm16_samples(
+    samples: "np.ndarray", sample_rate: int, channels: int = 1
+) -> bytes:
+    """Interleaved int16 samples → minimal PCM16 RIFF/WAVE bytes (the same
+    layout ``encode_wav_pcm16`` writes)."""
+    raw = samples.astype("<i2").tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16
     )
-    return (channels, sample_rate, int(frames * 1000 / sample_rate), amp)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(raw))
+        + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def resample_wav(data: bytes, target_rate: int) -> bytes:
+    """REAL nearest-index resample of a PCM16 WAV to ``target_rate`` —
+    pure numpy index sampling per channel, no codec needed. Duration is
+    preserved (frame count scales by target/source rate)."""
+    channels, rate, pcm = _wav_pcm(data)
+    frames = pcm.size // channels
+    out_frames = max(1, (frames * target_rate) // rate) if frames else 0
+    if frames == 0:
+        return encode_wav_pcm16_samples(pcm, target_rate, channels)
+    fi = (np.arange(out_frames) * frames) // out_frames
+    deinter = pcm.reshape(frames, channels)
+    return encode_wav_pcm16_samples(
+        np.ascontiguousarray(deinter[fi]).reshape(-1), target_rate, channels
+    )
+
+
+def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
+    """Resample every audio blob to ``target_rate`` via ``mapInPandas``
+    (same production shape as :func:`decode_media`/:func:`resize_images`).
+    REAL for PCM16 WAV; non-audio rows pass through untouched; compressed
+    audio raises ``NotImplementedError`` (no codecs in this environment).
+    Output: media_id, kind, content, sample_rate, duration_ms."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, rates, durs = [], [], []
+            for kind, c in zip(pdf["kind"], pdf["content"]):
+                if kind != "audio" or c is None:
+                    contents.append(c)
+                    rates.append(None)
+                    durs.append(None)
+                elif bytes(c[:4]) == b"RIFF":
+                    out = resample_wav(bytes(c), target_rate)
+                    contents.append(out)
+                    rates.append(target_rate)
+                    _ch, _r, dur, _a = decode_wav(out)
+                    durs.append(dur)
+                else:
+                    raise NotImplementedError(
+                        "resampling this format needs an external codec "
+                        "(librosa/ffmpeg), not present in this environment; "
+                        "PCM16 WAV resamples natively"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": contents,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema="media_id long, kind string, content binary, "
+        "sample_rate int, duration_ms long",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -304,6 +304,25 @@ def main() -> None:
 
     _safe("minhash_dedup", _minhash)
 
+    def _simhash():
+        from approximate_query_engine_spark.functions.dedup import (
+            simhash_near_duplicates,
+        )
+
+        simhash_near_duplicates(spark.table("documents"), max_hamming=3).count()
+
+    _safe("simhash_dedup", _simhash)
+
+    def _corpus_prepare():
+        from approximate_query_engine_spark.functions.pipeline import prepare_corpus
+
+        prepare_corpus(
+            spark.table("documents"), min_tokens=5, max_tokens=100_000,
+            languages=["en", "de"], min_quality=0.2,
+        ).where("reject_reason IS NULL").count()
+
+    _safe("corpus_prepare", _corpus_prepare)
+
     def _ann():
         from approximate_query_engine_spark.functions.similarity import (
             topk_cosine_brute_force,

@@ -438,3 +438,44 @@ def test_resize_stub_raises_on_fake_blob_without_flag(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|resizing"):
         multimodal.resize_images(df, 4, 4, fake=False).collect()
+
+
+# ---- resample (REAL nearest-index for PCM16 WAV) ----
+def test_resample_wav_local_matches_numpy_reference():
+    import numpy as np
+
+    blob = multimodal.encode_wav_pcm16(1600, 16_000, seed=5)
+    out = multimodal.resample_wav(blob, 8_000)
+    ch, rate, dur, _ = multimodal.decode_wav(out)
+    assert (ch, rate, dur) == (1, 8_000, 100)  # duration preserved
+    _, _, pcm_in = multimodal._wav_pcm(blob)
+    _, _, pcm_out = multimodal._wav_pcm(out)
+    fi = (np.arange(800) * 1600) // 800
+    assert np.array_equal(pcm_out, pcm_in[fi])
+
+
+def test_resample_wav_upsample_and_stereo():
+    import numpy as np
+
+    blob = multimodal.encode_wav_pcm16(400, 8_000, channels=2, seed=7)
+    out = multimodal.resample_wav(blob, 16_000)
+    ch, rate, dur, _ = multimodal.decode_wav(out)
+    assert (ch, rate) == (2, 16_000)
+    assert dur == 50  # 400 frames @ 8k = 50ms, preserved
+    _, _, pcm = multimodal._wav_pcm(out)
+    assert pcm.size == 800 * 2
+
+
+def test_resample_audio_dataframe(spark):
+    df = multimodal.make_real_media_df(spark, 12)
+    out = multimodal.resample_audio(df, 8_000).collect()
+    assert len(out) == 12
+    for r in out:
+        if r["kind"] == "audio":
+            assert r["sample_rate"] == 8_000
+            ch, rate, dur, _ = multimodal.decode_wav(bytes(r["content"]))
+            assert rate == 8_000
+            assert r["duration_ms"] == dur
+        else:
+            assert r["sample_rate"] is None
+            assert bytes(r["content"])[:2] == b"BM"  # image passes through
