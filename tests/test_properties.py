@@ -98,3 +98,35 @@ def test_neyman_allocation_invariants(raw, total_fraction):
             alloc[s["strata_value"]] * s["pop_size"] for s in strata
         )
         assert abs(achieved - target) / target < 1e-6
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e", "ab c", ""]), max_size=40)
+)
+@settings(max_examples=30, deadline=None)
+def test_top_count_matches_counter(arr):
+    """top_count_expr (sorted run-length form) == collections.Counter max
+    count, for arbitrary small string arrays including duplicates, empty
+    strings, and the empty array."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.text import top_count_expr
+
+    spark = _session()
+    df = spark.createDataFrame([(arr,)], "arr array<string>")
+    got = df.select(top_count_expr(F.col("arr")).alias("t")).collect()[0]["t"]
+    want = max(collections.Counter(arr).values()) if arr else 0
+    assert got == want

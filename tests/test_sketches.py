@@ -102,3 +102,40 @@ def test_spark_cms_build_persists_and_estimates(engine):
         est = engine.sketches.estimate_frequency_from_sketch("orders", "o_orderstatus", k)
         assert est is not None and est >= v  # CMS never undercounts
         assert est <= v * 1.1 + 0.01 * 1500  # eps * total slack
+
+
+def test_distributed_hll_build_equals_sequential(spark):
+    """mapInPandas partial sketches merged on the driver must equal a
+    single sequential build over the same value set — the mergeability
+    property the distributed path rests on (and the driver contract's q54
+    depends on for determinism across partitionings)."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.sketches import build_hll_distributed
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 1200).cast("string").alias("v")
+    )
+    # distributed, multiple partitions
+    h_dist = build_hll_distributed(df.repartition(8), "v", b=10)
+    # sequential reference over the same values
+    h_seq = HyperLogLog(10)
+    for i in range(5000):
+        h_seq.add_string(str(i % 1200))
+    assert (h_dist.registers == h_seq.registers).all()
+    assert h_dist.count() == h_seq.count()
+
+
+def test_distributed_hll_skips_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.sketches import build_hll_distributed
+
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("string")).alias("v")
+    )
+    h = build_hll_distributed(df, "v", b=10)
+    h_ref = HyperLogLog(10)
+    for i in range(0, 100, 2):
+        h_ref.add_string(str(i))
+    assert (h.registers == h_ref.registers).all()
