@@ -451,6 +451,27 @@ def hamming64_expr(a: str | Column, b: str | Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_chunk_table(
+    sig_df: DataFrame, id_col: str = "doc_id", simhash_col: str = "simhash"
+) -> DataFrame:
+    """(_id, _sh, chunk_id, chunk_val) explosion of a (id, simhash) table —
+    THE SimHash band scheme (4×16-bit pigeonhole chunks); every candidate
+    path goes through this one definition so batch and incremental dedup
+    bucket identically. Persist this bucketed by (chunk_id, chunk_val) at
+    warehouse scale so incremental batches join without re-chunking."""
+    chunks = F.array(
+        *[
+            F.shiftright(F.col(simhash_col), c * 16).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ]
+    )
+    return sig_df.select(
+        F.col(id_col).alias("_id"),
+        F.col(simhash_col).alias("_sh"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -465,17 +486,7 @@ def simhash_near_duplicates(
     sig = with_simhash(df.repartition(par, id_col), text_col).select(
         id_col, "simhash"
     ).localCheckpoint(eager=False)  # feeds both sides of the chunk self-join
-    chunks = F.array(
-        *[
-            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
-            for c in range(4)
-        ]
-    )
-    chunked = sig.select(
-        F.col(id_col).alias("_id"),
-        F.col("simhash").alias("_sh"),
-        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
-    )
+    chunked = simhash_chunk_table(sig, id_col)
     l, r = chunked.alias("l"), chunked.alias("r")
     return (
         l.join(
@@ -492,6 +503,62 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_simhash_dedup(
+    new_sig: DataFrame,
+    existing_sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    existing_chunked: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch of (id, simhash) rows against an existing
+    signature table — the SimHash analog of
+    :func:`incremental_minhash_dedup`. A new doc is dropped when a
+    Hamming-≤-``max_hamming`` neighbor exists in the corpus or among
+    smaller-id new docs.
+
+    → (kept_new_signatures, updated_signature_table).
+
+    Scaling: pass ``existing_chunked`` — the persisted
+    :func:`simhash_chunk_table` output, stored bucketed by
+    (chunk_id, chunk_val) — so the corpus is never re-chunked per batch;
+    the new batch's tiny chunk-key set broadcasts into a semi-join that
+    prunes the corpus index before anything shuffles.
+    """
+    nb = simhash_chunk_table(new_sig, id_col).localCheckpoint(eager=False)
+    if existing_chunked is None:
+        existing_chunked = simhash_chunk_table(existing_sig, id_col)
+    new_keys = nb.select("chunk_id", "chunk_val").distinct()
+    eb = existing_chunked.join(
+        F.broadcast(new_keys), ["chunk_id", "chunk_val"], "left_semi"
+    )
+
+    def _pairs(left, right, strict_order: bool):
+        cond = (F.col("l.chunk_id") == F.col("r.chunk_id")) & (
+            F.col("l.chunk_val") == F.col("r.chunk_val")
+        )
+        if strict_order:
+            cond = cond & (F.col("l._id") > F.col("r._id"))
+        return (
+            left.alias("l")
+            .join(right.alias("r"), cond)
+            .select(
+                F.col("l._id").alias("id_a"),
+                hamming64_expr(F.col("l._sh"), F.col("r._sh")).alias("hamming"),
+            )
+        )
+
+    losers = (
+        _pairs(nb, eb, strict_order=False)
+        .unionByName(_pairs(nb, nb, strict_order=True))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    kept_new = new_sig.join(losers, id_col, "left_anti")
+    updated = existing_sig.unionByName(kept_new)
+    return kept_new, updated
 
 
 def simhash_chunks_portable(

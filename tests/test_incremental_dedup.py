@@ -78,3 +78,80 @@ def test_incremental_with_prebanded_corpus(spark):
         signature_table(b2), corpus, threshold=0.6, existing_banded=banded
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == [11]
+
+
+# ---- SimHash incremental ----
+def _simhash_sig(spark, rows):
+    from approximate_query_engine_spark.functions.dedup import with_simhash
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return with_simhash(df).select("doc_id", "simhash")
+
+
+def test_incremental_simhash_batches(spark):
+    from approximate_query_engine_spark.functions.dedup import (
+        incremental_simhash_dedup,
+    )
+
+    sig1 = _simhash_sig(
+        spark,
+        [
+            (1, BASE),
+            (2, "completely different content about spark engines and samples"),
+        ],
+    )
+    sig2 = _simhash_sig(
+        spark,
+        [
+            (10, BASE),  # exact dup of corpus doc 1 (hamming 0) -> dropped
+            (12, "brand new content that matches nothing else at all"),  # kept
+            (13, "brand new content that matches nothing else at all"),  # dup of 12
+        ],
+    )
+    kept, updated = incremental_simhash_dedup(sig2, sig1, max_hamming=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [12]
+    assert sorted(r["doc_id"] for r in updated.collect()) == [1, 2, 12]
+
+
+def test_incremental_simhash_with_persisted_chunk_table(spark):
+    """Passing the persisted chunk table must give the same result as
+    re-chunking the corpus (the scale path and the convenience path agree)."""
+    from approximate_query_engine_spark.functions.dedup import (
+        incremental_simhash_dedup,
+        simhash_chunk_table,
+    )
+
+    sig1 = _simhash_sig(spark, [(1, BASE), (2, "other words entirely here")])
+    sig2 = _simhash_sig(spark, [(10, BASE), (11, "fresh unseen sentence")])
+    chunked = simhash_chunk_table(sig1)
+    kept_a, _ = incremental_simhash_dedup(sig2, sig1, max_hamming=3)
+    kept_b, _ = incremental_simhash_dedup(
+        sig2, sig1, max_hamming=3, existing_chunked=chunked
+    )
+    assert sorted(r["doc_id"] for r in kept_a.collect()) == sorted(
+        r["doc_id"] for r in kept_b.collect()
+    )
+
+
+def test_incremental_simhash_matches_batch(spark, engine):
+    """Two-batch incremental simhash dedup keeps the same survivor count
+    as one-shot pair-based greedy dedup with the same chunk scheme."""
+    from approximate_query_engine_spark.functions.dedup import (
+        incremental_simhash_dedup,
+        simhash_near_duplicates,
+        with_simhash,
+    )
+
+    docs = engine.spark.table("documents")
+    sig = with_simhash(docs).select("doc_id", "simhash").localCheckpoint()
+    b1 = sig.filter("doc_id < 250")
+    b2 = sig.filter("doc_id >= 250")
+    empty = b1.limit(0)
+    kept1, updated = incremental_simhash_dedup(b1, empty, max_hamming=3)
+    kept2, final = incremental_simhash_dedup(b2, updated, max_hamming=3)
+    inc_total = final.count()
+
+    pairs = simhash_near_duplicates(docs, max_hamming=3)
+    losers = pairs.select("id_b").distinct().count()
+    batch_total = docs.count() - losers
+    assert inc_total == batch_total
