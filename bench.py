@@ -355,6 +355,27 @@ def main() -> None:
 
     _safe("funnel", _funnel)
 
+    def _retention():
+        from approximate_query_engine_spark.operators import cohort_retention
+
+        cohort_retention(spark.table("events"), period="week").collect()
+
+    _safe("retention", _retention)
+
+    def _asof():
+        from approximate_query_engine_spark.operators import asof_join
+
+        ev = spark.table("events")
+        signups = ev.filter("event_type = 'signup'").select(
+            "user_id", "ts", F.col("value").alias("sv")
+        )
+        clicks = ev.filter("event_type = 'click'").select(
+            "user_id", "ts", "event_id"
+        )
+        asof_join(clicks, signups, on="ts", by="user_id").count()
+
+    _safe("asof_join", _asof)
+
     # batch k-NN join: brute (exact) vs IVF (pruned) on a 10x-replicated
     # corpus — the same exact-vs-approx axis as the BASELINE classes, for
     # the vector path. Corpus build + index train are untimed setup.
