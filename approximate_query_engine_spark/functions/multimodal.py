@@ -4,13 +4,16 @@ Media are opaque ``binary`` columns plus typed metadata, processed by
 Arrow-batched Pandas UDFs via ``mapInPandas`` — the Spark-idiomatic shape
 for per-blob Python work (one Arrow batch per task, never per-row serde).
 
-Decoding is REAL for the two formats that need no external codec: 24-bpp
-BMP and PCM16 WAV are header-described raw arrays, parsed here with
-struct+numpy (``decode_bmp``/``decode_wav``). Entropy-coded formats
-(PNG/JPEG/MP3/H.264) would need PIL/librosa/ffmpeg — NOT in this container —
-so those stay stubbed: the kernel raises ``NotImplementedError`` unless
-``fake=True``, in which case a clearly-marked deterministic fake parses our
-own header layout. The Spark-side plumbing — schemas, batch iteration,
+Decoding is REAL for the formats that need no external codec library:
+24-bpp BMP and PCM16 WAV are header-described raw arrays parsed with
+struct+numpy (``decode_bmp``/``decode_wav``), and PNG's entropy layer is
+plain DEFLATE, which stdlib ``zlib`` inflates — ``decode_png`` walks the
+chunks, inflates IDAT, and reverses the five scanline filters (8-bit
+gray/RGB/RGBA, non-interlaced). Formats whose codecs are genuinely absent
+(JPEG/MP3/H.264 need PIL/librosa/ffmpeg — NOT in this container) stay
+stubbed: the kernel raises ``NotImplementedError`` unless ``fake=True``,
+in which case a clearly-marked deterministic fake parses our own header
+layout. The Spark-side plumbing — schemas, batch iteration,
 partition sizing, UDF signatures — is identical across real/fake kernels;
 swapping in a full codec changes only the kernel body.
 
@@ -117,9 +120,11 @@ def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
     return file_header + info_header + bytes(pixels)
 
 
-def _bmp_pixel_rows(data: bytes) -> tuple[int, int, "np.ndarray"]:
-    """→ (width, n_rows, pixel rows as (n_rows, width*3) uint8) for 24-bpp
-    uncompressed BMP, padding stripped. Shared by decode and resize."""
+def _bmp_pixel_rows(data: bytes) -> tuple[int, int, "np.ndarray", bool]:
+    """→ (width, n_rows, pixel rows as (n_rows, width*3) uint8, top_down)
+    for 24-bpp uncompressed BMP, padding stripped, rows in STORED order
+    (bottom-up files store the bottom row first; top-down files — negative
+    header height — store the top row first). Shared by decode and resize."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (offset,) = struct.unpack_from("<I", data, 10)
@@ -133,13 +138,13 @@ def _bmp_pixel_rows(data: bytes) -> tuple[int, int, "np.ndarray"]:
     rows = np.frombuffer(
         data, dtype=np.uint8, count=stride * n_rows, offset=offset
     ).reshape(n_rows, stride)[:, :row_bytes]
-    return (width, n_rows, rows)
+    return (width, n_rows, rows, height < 0)
 
 
 def decode_bmp(data: bytes) -> tuple[int, int, float]:
     """→ (width, height, pixel_mean) for 24-bpp uncompressed BMP. Handles
     bottom-up and top-down (negative height) rows and 4-byte row padding."""
-    width, n_rows, rows = _bmp_pixel_rows(data)
+    width, n_rows, rows, _top_down = _bmp_pixel_rows(data)
     return (width, n_rows, float(rows.mean()) if rows.size else float("nan"))
 
 
@@ -164,14 +169,17 @@ def encode_bmp_pixels(pixels: "np.ndarray") -> bytes:
 
 def resize_bmp(data: bytes, target_w: int, target_h: int) -> bytes:
     """REAL nearest-neighbor resize of a 24-bpp BMP — pure numpy index
-    sampling, no codec needed. Row order (bottom-up vs top-down) is
-    preserved as stored since nearest-neighbor sampling is orientation-
-    agnostic."""
-    width, n_rows, rows = _bmp_pixel_rows(data)
+    sampling, no codec needed. The output is always encoded bottom-up
+    (positive height), so a top-down input (negative header height, rows
+    stored top-first) has its resized rows reversed before encoding — the
+    rendered image is orientation-identical either way."""
+    width, n_rows, rows, top_down = _bmp_pixel_rows(data)
     px = rows.reshape(n_rows, width, 3)
     yi = (np.arange(target_h) * n_rows) // target_h
     xi = (np.arange(target_w) * width) // target_w
     out = px[yi][:, xi]
+    if top_down:
+        out = out[::-1]
     return encode_bmp_pixels(np.ascontiguousarray(out))
 
 
@@ -232,7 +240,11 @@ def _wav_pcm(data: bytes) -> tuple[int, int, "np.ndarray"]:
         pos += 8 + clen + (clen % 2)
     if channels is None or pcm_body is None:
         raise ValueError("WAV missing fmt /data chunk")
-    return (channels, sample_rate, np.frombuffer(pcm_body, dtype="<i2"))
+    # A malformed data chunk may end mid-sample or mid-frame (real encoders
+    # pad, but the decode contract is clear errors, not opaque numpy
+    # ValueErrors): truncate to whole interleaved frames.
+    usable = (len(pcm_body) // (2 * channels)) * (2 * channels)
+    return (channels, sample_rate, np.frombuffer(pcm_body[:usable], dtype="<i2"))
 
 
 def encode_wav_pcm16_samples(
@@ -271,6 +283,185 @@ def resample_wav(data: bytes, target_rate: int) -> bytes:
     return encode_wav_pcm16_samples(
         np.ascontiguousarray(deinter[fi]).reshape(-1), target_rate, channels
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG: its entropy layer is plain DEFLATE and stdlib zlib IS available, so
+# PNG decoding is REAL here — chunk walk (IHDR/IDAT/IEND), zlib inflate,
+# scanline unfiltering per the five standard filters (PNG spec §9: None,
+# Sub, Up, Average, Paeth). Supported: 8-bit depth, gray/gray+alpha/RGB/
+# RGBA color types, non-interlaced. Palette and interlaced PNGs raise
+# NotImplementedError; JPEG/MP3/H.264 (non-DEFLATE codecs) stay stubbed.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples per pixel
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_pixels(pixels: "np.ndarray", filter_type: int = 0) -> bytes:
+    """(h, w, channels) uint8 → PNG bytes (8-bit, non-interlaced).
+    ``filter_type`` applies one standard scanline filter to every row —
+    0 is the simplest valid encoding; 1-4 exist so tests can exercise
+    every unfilter path of :func:`decode_png` against a known image."""
+    import zlib
+
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    px = pixels.astype(np.int32)
+    stride = w * ch
+    flat = px.reshape(h, stride)
+    out = bytearray()
+    prior = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        line = flat[r]
+        left = np.zeros(stride, dtype=np.int32)
+        left[ch:] = line[:-ch]
+        up_left = np.zeros(stride, dtype=np.int32)
+        up_left[ch:] = prior[:-ch]
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:
+            filt = line - left
+        elif filter_type == 2:
+            filt = line - prior
+        elif filter_type == 3:
+            filt = line - ((left + prior) >> 1)
+        elif filter_type == 4:
+            pa = np.abs(prior - up_left)
+            pb = np.abs(left - up_left)
+            pc = np.abs(left + prior - 2 * up_left)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
+            )
+            filt = line - pred
+        else:
+            raise ValueError(f"bad PNG filter type {filter_type}")
+        out.append(filter_type)
+        out += (filt & 0xFF).astype(np.uint8).tobytes()
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png(width: int, height: int, seed: int = 0, channels: int = 3) -> bytes:
+    """Seeded-pixel PNG blob (filter 0), the PNG analog of encode_bmp."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+    return encode_png_pixels(px)
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> "np.ndarray":
+    """Reverse the per-scanline filters → (h, stride) uint8 reconstructed
+    bytes. Filters 0/2 vectorize; 1/3/4 are inherently sequential within a
+    row (each byte depends on the reconstructed byte bpp to its left), so
+    they loop — acceptable: this runs per-blob inside an Arrow-batched
+    mapInPandas kernel, not per Spark row."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for r in range(h):
+        ftype = raw[pos]
+        pos += 1
+        recon = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int32
+        )
+        pos += stride
+        if ftype == 0:
+            pass
+        elif ftype == 2:
+            recon = (recon + prior) & 0xFF
+        elif ftype == 1:
+            for i in range(bpp, stride):
+                recon[i] = (recon[i] + recon[i - bpp]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                left = recon[i - bpp] if i >= bpp else 0
+                recon[i] = (recon[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                b = int(prior[i])
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[i] = (recon[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[r] = recon.astype(np.uint8)
+        prior = recon
+    return out
+
+
+def _png_pixels(data: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """→ (width, height, channels, (h, w, ch) uint8 pixels). Shared by
+    decode and resize."""
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    width = height = color = None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise NotImplementedError("only 8-bit PNG supported")
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG color type {color} (palette) not supported"
+                )
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    px = _png_unfilter(raw, height, stride, ch)
+    return (width, height, ch, px.reshape(height, width, ch))
+
+
+def decode_png(data: bytes) -> tuple[int, int, float]:
+    """→ (width, height, pixel_mean) — REAL decode via stdlib zlib."""
+    width, height, _ch, px = _png_pixels(data)
+    return (width, height, float(px.mean()) if px.size else float("nan"))
+
+
+def resize_png(data: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL nearest-neighbor PNG resize: decode → index-sample → re-encode
+    (filter 0). Channel count is preserved."""
+    width, height, _ch, px = _png_pixels(data)
+    yi = (np.arange(target_h) * height) // target_h
+    xi = (np.arange(target_w) * width) // target_w
+    return encode_png_pixels(np.ascontiguousarray(px[yi][:, xi]))
 
 
 def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
@@ -334,6 +525,9 @@ def _decode_blob(content: bytes, fake: bool) -> tuple[int, int, int, float]:
     if content[:2] == b"BM":
         w, h, mean = decode_bmp(content)
         return (1, w, h, mean)
+    if content[:8] == _PNG_MAGIC:
+        w, h, mean = decode_png(content)
+        return (1, w, h, mean)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         _channels, rate, dur_ms, amp = decode_wav(content)
         return (2, rate, dur_ms, amp)
@@ -343,7 +537,7 @@ def _decode_blob(content: bytes, fake: bool) -> tuple[int, int, int, float]:
         return (kind, w, h, float(payload.mean()) if payload.size else float("nan"))
     raise NotImplementedError(
         "this format needs an external codec (PIL/librosa/ffmpeg), not present "
-        "in this environment; BMP and PCM16 WAV decode natively, or pass "
+        "in this environment; BMP, PNG, and PCM16 WAV decode natively, or pass "
         "fake=True for the deterministic test decoder"
     )
 
@@ -380,9 +574,9 @@ def resize_images(
 ) -> DataFrame:
     """Resize every image blob to (target_w, target_h) via ``mapInPandas``
     (Arrow batches, one kernel call per batch — the same production shape
-    as :func:`decode_media`). REAL nearest-neighbor resampling for BMP;
-    non-image rows pass through with content untouched; entropy-coded
-    image formats raise ``NotImplementedError`` (no codecs in this
+    as :func:`decode_media`). REAL nearest-neighbor resampling for BMP and
+    PNG; non-image rows pass through with content untouched; other image
+    formats raise ``NotImplementedError`` (their codecs are not in this
     environment) unless ``fake=True``, in which case FAKEMEDIA blobs get
     their header dims rewritten (payload kept) as the clearly-marked fake.
     """
@@ -399,6 +593,10 @@ def resize_images(
                     contents.append(resize_bmp(bytes(c), target_w, target_h))
                     widths.append(target_w)
                     heights.append(target_h)
+                elif bytes(c[:8]) == _PNG_MAGIC:
+                    contents.append(resize_png(bytes(c), target_w, target_h))
+                    widths.append(target_w)
+                    heights.append(target_h)
                 elif bytes(c[: len(_MAGIC)]) == _MAGIC and fake:
                     kind_b, _w, _h = struct.unpack_from("<BII", bytes(c), len(_MAGIC))
                     head = bytes(c[: len(_MAGIC)]) + struct.pack(
@@ -411,7 +609,7 @@ def resize_images(
                     raise NotImplementedError(
                         "resizing this format needs an external codec "
                         "(PIL/ffmpeg), not present in this environment; "
-                        "BMP resizes natively, or pass fake=True"
+                        "BMP and PNG resize natively, or pass fake=True"
                     )
             yield pd.DataFrame(
                 {

@@ -241,6 +241,7 @@ def knn_join(
     nprobe: int = 4,
     exclude_self: bool = False,
     seed: int = 42,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """For EVERY row of ``left``, the top-k cosine neighbors in ``right``
     → (query_id, neighbor_id, cosine, rank). The batch form of top-k
@@ -268,7 +269,10 @@ def knn_join(
     order, same operations).
 
     Ties broken by neighbor id; ``exclude_self`` drops query==neighbor
-    (for self-join dedup shapes where left IS right).
+    (for self-join dedup shapes where left IS right). For those self-join
+    shapes — where the "query batch" is the whole corpus — pass
+    ``broadcast_probes=False`` so the probe side is NOT force-broadcast
+    (see the inline note at the join).
     """
     from pyspark.sql import Window
 
@@ -317,7 +321,14 @@ def knn_join(
         # shuffling every corpus vector (measured 2.27s vs 0.9s at sf0.1).
         # At 100 TB the corpus is partitionBy('centroid_id') Parquet and
         # this broadcast join prunes to the probed partitions.
-        cand = assigned.join(F.broadcast(probed), "centroid_id")
+        # ``broadcast_probes=False`` drops the hint and lets Catalyst/AQE
+        # choose: for huge query batches (corpus-vs-corpus self-join dedup,
+        # the exclude_self shape) |queries|·nprobe rows each carrying a full
+        # vector can exceed the broadcast budget/driver memory, and a
+        # shuffle join keyed on centroid_id is the right plan there.
+        cand = assigned.join(
+            F.broadcast(probed) if broadcast_probes else probed, "centroid_id"
+        )
     else:
         raise ValueError(f"unknown knn_join method: {method}")
     if exclude_self:

@@ -391,12 +391,12 @@ def test_resize_bmp_local_matches_numpy_reference():
     w, h, _ = multimodal.decode_bmp(out)
     assert (w, h) == (8, 4)
     # exact nearest-neighbor reference on the raw pixel rows
-    _, _, rows = multimodal._bmp_pixel_rows(blob)
+    _, _, rows, _ = multimodal._bmp_pixel_rows(blob)
     px = rows.reshape(9, 17, 3)
     yi = (np.arange(4) * 9) // 4
     xi = (np.arange(8) * 17) // 8
     want = px[yi][:, xi]
-    _, _, got_rows = multimodal._bmp_pixel_rows(out)
+    _, _, got_rows, _ = multimodal._bmp_pixel_rows(out)
     assert np.array_equal(got_rows.reshape(4, 8, 3), want)
 
 
@@ -479,3 +479,169 @@ def test_resample_audio_dataframe(spark):
         else:
             assert r["sample_rate"] is None
             assert bytes(r["content"])[:2] == b"BM"  # image passes through
+
+
+# ---- top-down BMP (negative header height) ----
+def _make_top_down_bmp(pixels):
+    """Encode (h, w, 3) pixels as a TOP-DOWN BMP: rows stored top-first,
+    header height negative — the other legal BMP orientation."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    flat = pixels.reshape(h, row_bytes)
+    for r in range(h):  # stored order == top-down
+        body += flat[r].tobytes()
+        body += b"\x00" * pad
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + bytes(body), np.asarray(pixels)
+
+
+def test_resize_bmp_top_down_orientation_preserved():
+    """A top-down BMP must resize to the same rendered ORIENTATION as the
+    equivalent bottom-up BMP (regression: the resized top-down image came
+    out vertically flipped because the output is always encoded bottom-up).
+    Rows are color-coded by logical position so a flip is unambiguous."""
+    import numpy as np
+
+    # logical row r (top-down) has constant value 40*r
+    px = np.repeat(
+        (np.arange(6, dtype=np.uint8) * 40)[:, None, None], 10 * 3, axis=1
+    ).reshape(6, 10, 3)
+    td_blob, _ = _make_top_down_bmp(px)
+    bu_blob = multimodal.encode_bmp_pixels(px[::-1])  # same image, bottom-up
+    assert multimodal.decode_bmp(td_blob) == multimodal.decode_bmp(bu_blob)
+    out_td = multimodal.resize_bmp(td_blob, 5, 3)
+    # rendered logical rows (top-down) of the bottom-up-encoded output
+    _, _, rows, top_down = multimodal._bmp_pixel_rows(out_td)
+    assert not top_down  # output is always bottom-up
+    got_logical = rows.reshape(3, 5, 3)[::-1]
+    # stored==logical order for a top-down input, so NN picks logical rows
+    # 0,2,4 → values 0,80,160 — top row darkest. Pre-fix this came out
+    # [160,80,0] (flipped).
+    assert [int(r[0][0]) for r in got_logical] == [0, 80, 160]
+    # bottom-up input keeps its orientation too (logical rows 1,3,5)
+    out_bu = multimodal.resize_bmp(bu_blob, 5, 3)
+    _, _, rows_bu, _ = multimodal._bmp_pixel_rows(out_bu)
+    got_bu = rows_bu.reshape(3, 5, 3)[::-1]
+    assert [int(r[0][0]) for r in got_bu] == [40, 120, 200]
+
+
+def test_wav_truncated_data_chunk():
+    """A data chunk that is not a whole number of frames decodes by
+    truncating to whole frames instead of raising an opaque numpy error."""
+    blob = multimodal.encode_wav_pcm16(100, 8_000, channels=2, seed=1)
+    # append 3 stray bytes inside the data chunk (mid-sample + mid-frame)
+    import struct
+
+    data_pos = blob.rindex(b"data")
+    (dlen,) = struct.unpack_from("<I", blob, data_pos + 4)
+    bad = (
+        blob[: data_pos + 4]
+        + struct.pack("<I", dlen + 3)
+        + blob[data_pos + 8 :]
+        + b"\x01\x02\x03"
+    )
+    ch, rate, dur, amp = multimodal.decode_wav(bad)
+    assert (ch, rate, dur) == (2, 8_000, 12)  # 100 whole frames kept
+    out = multimodal.resample_wav(bad, 4_000)  # must not raise
+    ch2, rate2, _, _ = multimodal.decode_wav(out)
+    assert (ch2, rate2) == (2, 4_000)
+
+
+# ---- PNG (REAL decode via stdlib zlib inflate + scanline unfiltering) ----
+def test_png_roundtrip_all_filters():
+    """decode_png recovers the exact pixels for every scanline filter type
+    (None/Sub/Up/Average/Paeth) and every supported channel count."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(7, 11, ch), dtype=np.uint8)
+        for ftype in range(5):
+            blob = multimodal.encode_png_pixels(px, filter_type=ftype)
+            w, h, ch2, got = multimodal._png_pixels(blob)
+            assert (w, h, ch2) == (11, 7, ch), (ftype, ch)
+            assert np.array_equal(got, px), (ftype, ch)
+            gw, gh, mean = multimodal.decode_png(blob)
+            assert (gw, gh) == (11, 7)
+            assert abs(mean - float(px.mean())) < 1e-9
+
+
+def test_png_resize_matches_numpy_reference():
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    px = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    blob = multimodal.encode_png_pixels(px, filter_type=4)
+    out = multimodal.resize_png(blob, 6, 4)
+    w, h, _, got = multimodal._png_pixels(out)
+    assert (w, h) == (6, 4)
+    yi = (np.arange(4) * 9) // 4
+    xi = (np.arange(6) * 13) // 6
+    assert np.array_equal(got, px[yi][:, xi])
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+
+    import pytest as _pytest
+
+    blob = multimodal.encode_png(5, 5, seed=2)
+    # corrupt IHDR to 16-bit depth → NotImplementedError, not garbage
+    ihdr_pos = blob.index(b"IHDR")
+    bad_depth = bytearray(blob)
+    bad_depth[ihdr_pos + 12] = 16
+    with _pytest.raises(NotImplementedError, match="8-bit"):
+        multimodal.decode_png(bytes(bad_depth))
+    bad_palette = bytearray(blob)
+    bad_palette[ihdr_pos + 13] = 3  # palette color type
+    with _pytest.raises(NotImplementedError, match="palette"):
+        multimodal.decode_png(bytes(bad_palette))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"nope" * 4)
+    truncated = multimodal.encode_png_pixels(
+        __import__("numpy").zeros((4, 4, 3), dtype="uint8")
+    )
+    import zlib
+
+    # IDAT inflates to the wrong length → clear ValueError
+    idat_pos = truncated.index(b"IDAT")
+    (ilen,) = struct.unpack_from(">I", truncated, idat_pos - 4)
+    short = zlib.compress(b"\x00" * 5)
+    doctored = (
+        truncated[: idat_pos - 4]
+        + struct.pack(">I", len(short))
+        + b"IDAT"
+        + short
+        + struct.pack(">I", zlib.crc32(b"IDAT" + short) & 0xFFFFFFFF)
+        + truncated[idat_pos + 4 + ilen + 4 :]
+    )
+    with _pytest.raises(ValueError, match="length mismatch"):
+        multimodal.decode_png(doctored)
+
+
+def test_png_through_dataframe_kernels(spark):
+    """PNG blobs flow through the same mapInPandas decode/resize kernels as
+    BMP — no fake flag needed (the decode is real)."""
+    rows = [
+        (100, "image", multimodal.encode_png(12, 8, seed=1), "png", 12, 8, None),
+        (101, "image", multimodal.encode_bmp(12, 8, seed=2), "bmp", 12, 8, None),
+        (102, "audio", multimodal.encode_wav_pcm16(800, 8_000, seed=3), "wav",
+         None, None, 100),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    decoded = {r["media_id"]: r for r in multimodal.decode_media(df).collect()}
+    assert decoded[100]["decoded_kind"] == 1
+    assert (decoded[100]["decoded_width"], decoded[100]["decoded_height"]) == (12, 8)
+    resized = {r["media_id"]: r for r in multimodal.resize_images(df, 6, 4).collect()}
+    assert bytes(resized[100]["content"])[:8] == multimodal._PNG_MAGIC
+    w, h, _ = multimodal.decode_png(bytes(resized[100]["content"]))
+    assert (w, h) == (6, 4)

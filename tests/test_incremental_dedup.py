@@ -134,8 +134,15 @@ def test_incremental_simhash_with_persisted_chunk_table(spark):
 
 
 def test_incremental_simhash_matches_batch(spark, engine):
-    """Two-batch incremental simhash dedup keeps the same survivor count
-    as one-shot pair-based greedy dedup with the same chunk scheme."""
+    """Two-batch incremental simhash dedup matches an exact driver-side
+    replay of its documented semantics over the one-shot pair set: a new
+    doc is dropped iff it has a KEPT corpus neighbor or ANY smaller-id
+    neighbor within its own batch. (A plain distinct-id_b loser count is
+    NOT a valid reference on corpora with transitive chains — a doc whose
+    only smaller neighbor was itself dropped is kept incrementally but
+    would be counted as a loser — so the reference peels greedily.)"""
+    from collections import defaultdict
+
     from approximate_query_engine_spark.functions.dedup import (
         incremental_simhash_dedup,
         simhash_near_duplicates,
@@ -144,14 +151,26 @@ def test_incremental_simhash_matches_batch(spark, engine):
 
     docs = engine.spark.table("documents")
     sig = with_simhash(docs).select("doc_id", "simhash").localCheckpoint()
-    b1 = sig.filter("doc_id < 250")
-    b2 = sig.filter("doc_id >= 250")
+    split = 250
+    b1 = sig.filter(f"doc_id < {split}")
+    b2 = sig.filter(f"doc_id >= {split}")
     empty = b1.limit(0)
     kept1, updated = incremental_simhash_dedup(b1, empty, max_hamming=3)
     kept2, final = incremental_simhash_dedup(b2, updated, max_hamming=3)
-    inc_total = final.count()
+    inc_ids = {r["doc_id"] for r in final.select("doc_id").collect()}
 
     pairs = simhash_near_duplicates(docs, max_hamming=3)
-    losers = pairs.select("id_b").distinct().count()
-    batch_total = docs.count() - losers
-    assert inc_total == batch_total
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for r in pairs.collect():
+        nbrs[r["id_a"]].add(r["id_b"])
+        nbrs[r["id_b"]].add(r["id_a"])
+    all_ids = sorted(r["doc_id"] for r in sig.select("doc_id").collect())
+    kept: set[int] = set()
+    for i in all_ids:  # ascending id = batch order then within-batch order
+        same_batch = (lambda j: j < split) if i < split else (lambda j: j >= split)
+        dropped = any(
+            (j < i) if same_batch(j) else (j in kept) for j in nbrs[i]
+        )
+        if not dropped:
+            kept.add(i)
+    assert inc_ids == kept
