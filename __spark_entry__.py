@@ -969,8 +969,12 @@ FROM t GROUP BY kind
 
 
 def _q_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Online aggregation: geometric sample ladder until the CI meets the
-    target (progressive.py). Rows-only (seeded rand path)."""
+    """Online aggregation (progressive.py) in deterministic systematic
+    mode: the refinement ladder samples ``key % k`` subsets (the q21/q76
+    predicate family) instead of seeded rand(), so every step's estimate,
+    the CI-driven stopping decision, and the final answer are pure
+    functions of the data — _PROGRESSIVE_ORACLE replays the whole ladder
+    (including the stopping rule) in DuckDB SQL."""
     from approximate_query_engine_spark.progressive import progressive_query
 
     _prep(spark, sf_dir)
@@ -978,7 +982,8 @@ def _q_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "SELECT COUNT(*) AS cnt FROM lineitem",
         target_rel_error=0.05,
-        seed=42,
+        mode="systematic",
+        key_expr="l_orderkey * 31 + l_linenumber",
     )
     est = float(r["result"][0]["cnt"])
     meta = r["meta"]
@@ -986,6 +991,42 @@ def _q_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(est, len(meta.get("steps", [])), float(meta.get("fraction") or 1.0))],
         "estimate double, steps int, final_fraction double",
     )
+
+
+def _progressive_oracle() -> str:
+    """DuckDB replay of _q_progressive: per ladder rung k compute the
+    systematic subset size n_k, the scaled estimate ROUND(n_k/f), and the
+    engine's stopping rule (min support >= 30 AND 1.96·SE/est <= 0.05,
+    with SE = sqrt(n·(1-f)/f²) — the rewriter's COUNT standard error);
+    the answer is the first rung that stops, else the exact count."""
+    ks = (1000, 250, 64, 16, 4)
+    n_cols = ", ".join(
+        f"SUM(CASE WHEN (l_orderkey * 31 + l_linenumber) % {k} = 0 "
+        f"THEN 1 ELSE 0 END) AS n{i}"
+        for i, k in enumerate(ks, 1)
+    )
+    oks = ", ".join(
+        f"(n{i} >= 30 AND 1.96 * SQRT(n{i} * ((1.0 - {1.0 / k!r}) / "
+        f"({1.0 / k!r} * {1.0 / k!r}))) / ROUND(n{i} / {1.0 / k!r}) <= 0.05)"
+        f" AS ok{i}"
+        for i, k in enumerate(ks, 1)
+    )
+    est = " ".join(
+        f"WHEN ok{i} THEN ROUND(n{i} / {1.0 / k!r})"
+        for i, k in enumerate(ks, 1)
+    )
+    steps = " ".join(f"WHEN ok{i} THEN {i}" for i in range(1, len(ks) + 1))
+    frac = " ".join(
+        f"WHEN ok{i} THEN {1.0 / k!r}" for i, k in enumerate(ks, 1)
+    )
+    return f"""
+WITH c AS (SELECT {n_cols}, COUNT(*) AS n_all FROM lineitem),
+d AS (SELECT *, {oks} FROM c)
+SELECT CASE {est} ELSE CAST(n_all AS DOUBLE) END AS estimate,
+       CAST(CASE {steps} ELSE {len(ks) + 1} END AS INTEGER) AS steps,
+       CASE {frac} ELSE 1.0 END AS final_fraction
+FROM d
+"""
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1615,6 +1656,123 @@ GROUP BY lang
 """
 
 
+#: q77 per-stratum design fractions: exact powers of two, so the
+#: Horvitz-Thompson weights (1/f_h), the COUNT estimator terms (1/f = 16/
+#: 32/8), and the COUNT-SE terms ((1-f)/f² = 240/992/56) are all EXACT in
+#: floating point — per-group COUNT estimates and CIs become bit-identical
+#: across engines. Thresholds are f·2³² as 8 hex digits (the q71 md5 coin).
+_STRAT_DESIGN = {
+    "A": (0.0625, "10000000"),
+    "N": (0.03125, "08000000"),
+    "R": (0.125, "20000000"),
+}
+_STRAT_KEY_SPARK = (
+    "substring(md5(concat(CAST(l_orderkey AS STRING), ':', "
+    "CAST(l_linenumber AS STRING))), 1, 8)"
+)
+_STRAT_KEY_DUCK = (
+    "substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || "
+    "CAST(l_linenumber AS VARCHAR)), 1, 8)"
+)
+
+
+def _q_stratified_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END stratified rewrite — the reference's vestigial stratified
+    strategy made real (reference ml_optimizer.py:270-274 returned SQL
+    unchanged; SURVEY §2.5/§4.1 vestigial flag #3): build a per-stratum
+    Bernoulli sample of lineitem keyed on l_returnflag, then run the
+    engine's actual ``rewriter.rewrite_stratified`` so the aggregates carry
+    per-stratum Horvitz-Thompson weights 1/f_h and per-group CI companions.
+    The membership coin is the deterministic md5 threshold (q71's trick)
+    and the fractions are exact powers of two, so DuckDB reproduces the
+    subset AND the weighted COUNT estimates/CIs bit-for-bit; float-summed
+    outputs (SUM estimate and its rel_error) are rounded to kill
+    sum-order ULP noise, the one engine-dependent bit."""
+    from approximate_query_engine_spark.catalog import SampleInfo, StratumInfo
+    from approximate_query_engine_spark.rewriter import rewrite_stratified
+    from approximate_query_engine_spark.sqlparser import parse
+
+    _prep(spark, sf_dir)
+    thr = " ".join(
+        f"WHEN l_returnflag = '{v}' THEN '{h}'"
+        for v, (_f, h) in sorted(_STRAT_DESIGN.items())
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW lineitem_strat_md5 AS "
+        f"SELECT * FROM lineitem WHERE {_STRAT_KEY_SPARK} < CASE {thr} END"
+    )
+    info = SampleInfo(
+        table_name="lineitem",
+        sample_table="lineitem_strat_md5",
+        sample_fraction=0.0625,
+        target_fraction=0.0625,
+        path="",
+        strata_column="l_returnflag",
+        allocation_type="proportional",
+        strata_source_cols=["l_returnflag"],
+        strata=[
+            StratumInfo(
+                strata_value=v, pop_size=0, sample_size=0,
+                fraction=f, weight=1.0 / f,
+            )
+            for v, (f, _h) in sorted(_STRAT_DESIGN.items())
+        ],
+    )
+    rw = rewrite_stratified(
+        parse(
+            "SELECT l_returnflag, COUNT(*) AS cnt_est, "
+            "SUM(l_extendedprice) AS sum_est "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        info,
+    )
+    assert rw.plan_type == "stratified"
+    return spark.sql(rw.sql).selectExpr(
+        "l_returnflag",
+        "cnt_est",
+        "cnt_est_ci_low",
+        "cnt_est_ci_high",
+        "cnt_est_rel_error",
+        "CAST(ROUND(sum_est / 1000) AS BIGINT) AS sum_est_k",
+        "CAST(ROUND(sum_est_rel_error * 1e6) AS BIGINT) AS sum_rel_ppm",
+    )
+
+
+def _stratified_rewrite_oracle() -> str:
+    """DuckDB replay of the stratified rewrite: same md5 subset, same HT
+    weights, and expression shapes mirroring rewriter._AggScaler term for
+    term (exact-arithmetic COUNT path hashes raw; SUM path rounded)."""
+    thr = " ".join(
+        f"WHEN l_returnflag = '{v}' THEN '{h}'"
+        for v, (_f, h) in sorted(_STRAT_DESIGN.items())
+    )
+    fs = " ".join(
+        f"WHEN l_returnflag = '{v}' THEN CAST({f!r} AS DOUBLE)"
+        for v, (f, _h) in sorted(_STRAT_DESIGN.items())
+    )
+    cnt = "CAST(ROUND(SUM(1.0 / f)) AS BIGINT)"
+    cnt_se = "SQRT(SUM((1.0 - f) / (f * f)))"
+    x = "CAST(l_extendedprice AS DOUBLE)"
+    sum_se = f"SQRT(SUM({x} * {x} * (1.0 - f) / (f * f)))"
+    return f"""
+WITH samp AS (
+  SELECT l_returnflag, l_extendedprice,
+         CASE {fs} END AS f
+  FROM lineitem
+  WHERE {_STRAT_KEY_DUCK} < CASE {thr} END
+)
+SELECT l_returnflag,
+  {cnt} AS cnt_est,
+  {cnt} - 1.96 * {cnt_se} AS cnt_est_ci_low,
+  {cnt} + 1.96 * {cnt_se} AS cnt_est_ci_high,
+  1.96 * {cnt_se} / ABS(CAST({cnt} AS DOUBLE)) AS cnt_est_rel_error,
+  CAST(ROUND(SUM({x} / f) / 1000) AS BIGINT) AS sum_est_k,
+  CAST(ROUND(1.96 * {sum_se} / ABS(SUM({x} / f)) * 1e6) AS BIGINT)
+    AS sum_rel_ppm
+FROM samp GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1627,11 +1785,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver hash-checks only the first 50 entries of ``queries()``.  This
 #: list IS the check window: one entry per distinct SURVEY §2 / pipeline
-#: component, oracled entries first-class, the four rows-only entries
-#: (stream/HLL-CI/multimodal/progressive — not SQL-expressible) last.
+#: component, and since round 4 EVERY entry is oracled (progressive went
+#: deterministic, so its ladder replays in SQL; q77 exercises the
+#: stratified rewrite end to end; plain q01 COUNT rotated out — its
+#: component is covered by q11's count_order and q74/q76's scaled counts).
 #: Everything NOT in this list still registers, after the window.
 _CHECK_WINDOW_ORDER = [
-    "q01_count",
     "q06_where_group_avg",
     "q09_topk",
     "q11_tpch_q1",
@@ -1681,6 +1840,7 @@ _CHECK_WINDOW_ORDER = [
     "q54_hll_ci",
     "q55_multimodal_decode",
     "q56_progressive",
+    "q77_stratified_rewrite",
 ]
 
 
@@ -1736,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q70_contamination"] = _q_contamination
     out["q71_mixture_sample"] = _q_mixture_sample
     out["q72_token_budget"] = _q_token_budget
+    out["q77_stratified_rewrite"] = _q_stratified_rewrite
     return _reorder_check_window(out)
 
 
@@ -1771,4 +1932,6 @@ def oracle_sql() -> dict[str, str]:
     out["q70_contamination"] = _CONTAMINATION_ORACLE
     out["q71_mixture_sample"] = _MIXTURE_ORACLE
     out["q72_token_budget"] = _TOKEN_BUDGET_ORACLE
+    out["q56_progressive"] = _progressive_oracle()
+    out["q77_stratified_rewrite"] = _stratified_rewrite_oracle()
     return out

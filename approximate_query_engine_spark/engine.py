@@ -299,9 +299,13 @@ class AQEngine:
         sql: str,
         target_rel_error: float = 0.05,
         seed: int = 42,
+        **kwargs,
     ) -> dict:
         """Online aggregation: refine over a growing sample until the CI
-        meets the target (see progressive.py)."""
+        meets the target (see progressive.py). Pass ``mode='systematic'``
+        + ``key_expr=...`` for the deterministic, engine-replayable form."""
         from approximate_query_engine_spark.progressive import progressive_query
 
-        return progressive_query(self.spark, sql, target_rel_error, seed=seed)
+        return progressive_query(
+            self.spark, sql, target_rel_error, seed=seed, **kwargs
+        )

@@ -28,17 +28,21 @@ from approximate_query_engine_spark import executor as ex
 from approximate_query_engine_spark.rewriter import (
     UnsupportedRewriteError,
     rewrite_inline_sample,
+    rewrite_systematic_sample,
 )
 from approximate_query_engine_spark.sqlparser import try_parse
 
-#: geometric fraction ladder for refinement steps
+#: geometric fraction ladder for refinement steps (bernoulli mode)
 DEFAULT_LADDER = (0.001, 0.004, 0.016, 0.064, 0.25)
 
+#: geometric 1-in-k ladder for systematic mode (fractions 1/k)
+DEFAULT_K_LADDER = (1000, 250, 64, 16, 4)
 
-def _min_group_support(spark: SparkSession, parsed, fraction: float, seed: int) -> int:
-    """Smallest per-group sampled-row count under the SAME seeded sampling
-    predicate (deterministic rand(seed) → identical subset). One cheap
-    extra aggregation per stopping check."""
+
+def _min_group_support(spark: SparkSession, parsed, predicate: str) -> int:
+    """Smallest per-group sampled-row count under the SAME sampling
+    predicate (deterministic → identical subset). One cheap extra
+    aggregation per stopping check."""
     from approximate_query_engine_spark.sqlparser import ParsedQuery, SelectItem
 
     support_q = ParsedQuery(
@@ -47,7 +51,7 @@ def _min_group_support(spark: SparkSession, parsed, fraction: float, seed: int) 
         table_alias=parsed.table_alias,
         where=parsed.where,
         group_by=parsed.group_by,
-    ).render(extra_where=f"rand({seed}) < CAST({fraction!r} AS DOUBLE)")
+    ).render(extra_where=predicate)
     counts = [r["__n"] for r in spark.sql(support_q).collect()]
     return min(counts) if counts else 0
 
@@ -70,6 +74,9 @@ def progressive_query(
     ladder=DEFAULT_LADDER,
     seed: int = 42,
     min_rows: int = 30,
+    mode: str = "bernoulli",
+    key_expr: str | None = None,
+    k_ladder=DEFAULT_K_LADDER,
 ) -> dict[str, Any]:
     """→ {status, result, meta:{fraction, steps:[...], stopped_early}}.
 
@@ -78,15 +85,34 @@ def progressive_query(
     target (and every group has at least ``min_rows`` supporting rows in
     expectation). Falls back to exact when the ladder is exhausted or the
     query is outside the approximable grammar.
+
+    ``mode='bernoulli'`` (default) refines over seeded ``rand()`` samples.
+    ``mode='systematic'`` requires ``key_expr`` and refines over
+    deterministic ``key % k`` subsets (``k_ladder``) — every step, the
+    stopping decision, and the final estimate are then pure functions of
+    the data, reproducible by any SQL engine (the oracle-checkable form;
+    see rewrite_systematic_sample).
     """
+    if mode == "systematic" and not key_expr:
+        raise ValueError("systematic mode requires key_expr")
     parsed = try_parse(sql)
     steps: list[dict[str, Any]] = []
     if parsed is not None and parsed.is_aggregate_query and not parsed.has_distinct:
         prev_n_groups = None
-        for fraction in ladder:
+        plan = (
+            [(1.0 / k, k) for k in k_ladder]
+            if mode == "systematic"
+            else [(f, None) for f in ladder]
+        )
+        for fraction, k in plan:
             t0 = time.perf_counter()
             try:
-                rw = rewrite_inline_sample(parsed, fraction, seed=seed)
+                if k is not None:
+                    rw = rewrite_systematic_sample(parsed, k, key_expr)
+                    predicate = f"(({key_expr}) % {k}) = 0"
+                else:
+                    rw = rewrite_inline_sample(parsed, fraction, seed=seed)
+                    predicate = f"rand({seed}) < CAST({fraction!r} AS DOUBLE)"
             except UnsupportedRewriteError:
                 break
             if not rw.ci_columns:
@@ -96,7 +122,7 @@ def progressive_query(
             rows = ex.collect_rows(spark.sql(rw.sql))
             elapsed = (time.perf_counter() - t0) * 1000.0
             worst = _worst_rel_error(rows)
-            support = _min_group_support(spark, parsed, fraction, seed)
+            support = _min_group_support(spark, parsed, predicate)
             steps.append(
                 {
                     "fraction": fraction,

@@ -401,6 +401,37 @@ def rewrite_inline_sample(
     )
 
 
+def rewrite_systematic_sample(
+    parsed: ParsedQuery, k: int, key_expr: str
+) -> RewriteResult:
+    """Deterministic 1-in-``k`` systematic sample: inject the predicate
+    ``(key_expr) % k = 0`` and scale by k — the closest Spark analog of the
+    reference's inline ``ROWID % k`` rewrite (reference
+    ml_optimizer.py:234-240), with the row id replaced by a caller-chosen
+    key expression (e.g. a hash or a composite key).
+
+    Unlike ``rewrite_inline_sample`` (seeded ``rand()``, statistically
+    cleaner for production), the sampled subset here is a pure function of
+    the data, so ANY engine reproduces it bit-for-bit — which is what makes
+    progressive/online aggregation oracle-checkable. The estimator treats
+    the subset as Bernoulli(1/k); that is sound when the key is
+    equidistributed mod k (hash-like or arithmetic over dense ids), the
+    same assumption the reference's ROWID % k makes."""
+    if k < 1:
+        raise UnsupportedRewriteError(f"systematic sample k={k} must be >= 1")
+    fraction = 1.0 / k
+    extra = f"(({key_expr}) % {k}) = 0"
+    f_expr = f"CAST({fraction!r} AS DOUBLE)"
+    transforms = [
+        f"Injected deterministic systematic sampling predicate ({key_expr}) % {k} = 0",
+        f"Scaled COUNT/SUM aggregates by {k} inside the plan",
+    ]
+    return _rewrite_on_weights(
+        parsed, parsed.table, f_expr, "sample", None, fraction, transforms,
+        extra_where=extra,
+    )
+
+
 def rewrite_weighted_sample(parsed: ParsedQuery, sample: SampleInfo) -> RewriteResult:
     """Table → measure-biased sample: the per-row inclusion probability is
     the sample's stored ``__p`` column, so the generic Horvitz–Thompson

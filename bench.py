@@ -36,14 +36,18 @@ def _sf_from_dir(d: str) -> float:
 
 
 def _time(fn, reps: int = 3) -> float:
-    """Min of ``reps`` runs: timings at this scale are dominated by
-    scheduler jitter, and min-of-N isolates the plan's actual cost."""
-    best = float("inf")
+    """MEDIAN of ``reps`` runs. r01→r03 showed min-of-N still wobbling
+    (big_sum 3.40x→2.99x with no plan change on that path): the min tracks
+    the single luckiest scheduling, while the median is the stable central
+    estimate a real regression actually moves."""
+    import statistics
+
+    runs = []
     for _ in range(reps):
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        runs.append(time.perf_counter() - t0)
+    return statistics.median(runs)
 
 
 def _run_sql(spark, sql, sink: dict | None = None):
@@ -164,14 +168,17 @@ def main() -> None:
     # engine is built for — the regime that matters at 100 TB. Setup
     # (untimed): materialize once per machine and reuse across runs.
     big_dir = "/tmp/aqe_bench_big50"
-    # v2: adds l_uniq (globally unique id) for the high-cardinality
-    # COUNT(DISTINCT) class — low- and high-ndv regimes behave oppositely.
-    # Keyed by sf so a run at a different SPARK_GRAFT_SF_DIR can't reuse a
-    # mismatched replica.
+    # v3: l_uniq (globally unique id) for the high-cardinality
+    # COUNT(DISTINCT) class, l_mid (~4M ndv) for the crossover regime
+    # between exact-wins (l_orderkey, ~150k ndv) and sketch-wins (l_uniq)
+    # — the planner's NDV costing gets probed on all three. Keyed by sf so
+    # a run at a different SPARK_GRAFT_SF_DIR can't reuse a mismatched
+    # replica.
     big_path = os.path.join(
-        big_dir, f"lineitem_big_v2_sf{_sf_from_dir(SF_DIR)}"
+        big_dir, f"lineitem_big_v3_sf{_sf_from_dir(SF_DIR)}"
     )
     big_ok = True
+    big_rows = 0
     try:
         if not os.path.exists(big_path):
             (
@@ -179,12 +186,14 @@ def main() -> None:
                 .crossJoin(spark.range(50).select(F.col("id").alias("rep")))
                 .drop("rep")
                 .withColumn("l_uniq", F.monotonically_increasing_id())
+                .withColumn("l_mid", F.col("l_uniq") % 4_000_000)
                 .write.mode("overwrite")
                 .parquet(big_path)
             )
         big = spark.read.parquet(big_path)
         big.createOrReplaceTempView("lineitem_big")
-        eng.catalog.upsert_table_stats("lineitem_big", big.count())
+        big_rows = big.count()
+        eng.catalog.upsert_table_stats("lineitem_big", big_rows)
         eng.create_sample("lineitem_big", 0.01, seed=42)
     except Exception as exc:  # noqa: BLE001 - setup failure isolation
         big_ok = False
@@ -221,6 +230,7 @@ def main() -> None:
         try:
             eng.create_sketch("lineitem_big", "l_orderkey", "hll")
             eng.create_sketch("lineitem_big", "l_uniq", "hll")
+            eng.create_sketch("lineitem_big", "l_mid", "hll")
         except Exception as exc:  # noqa: BLE001
             bench_errors["big_sketch_setup"] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -243,6 +253,9 @@ def main() -> None:
             "big_distinct_hi": (
                 "SELECT COUNT(DISTINCT l_uniq) AS n FROM lineitem_big"
             ),
+            "big_distinct_mid": (
+                "SELECT COUNT(DISTINCT l_mid) AS n FROM lineitem_big"
+            ),
         }
         if big_ok
         else {}
@@ -259,6 +272,40 @@ def main() -> None:
             "SELECT approx_count_distinct(l_orderkey) AS n FROM lineitem_big",
         ),
     )
+    _safe(
+        "mid_distinct_sketch_raw",
+        _run_sql(
+            spark,
+            "SELECT approx_count_distinct(l_mid) AS n FROM lineitem_big",
+        ),
+    )
+
+    # ---- NDV crossover validation (round-3 verdict item 3) -------------
+    # The cost model prices exact COUNT(DISTINCT) as N + ndv·hash and the
+    # sketch as N·SKETCH_CPU_FACTOR; with N=30M the crossover sits at
+    # ndv≈3M. l_mid (~4M ndv) lands just past it — assert the planner's
+    # pick actually beats the alternative it rejected, timing both RAW
+    # plans (engine overhead excluded from the comparison).
+    distinct_crossover: dict = {}
+    if big_ok:
+        ptype = plan_reasons.get("big_distinct_mid", "")
+        exact_t = timings.get("big_distinct_mid_exact")
+        sketch_t = timings.get("mid_distinct_sketch_raw")
+        chose_sketch = ptype.startswith("sketch")
+        chosen_t, rejected_t = (
+            (sketch_t, exact_t) if chose_sketch else (exact_t, sketch_t)
+        )
+        distinct_crossover = {
+            "ndv_catalog": eng.catalog.get_column_ndv("lineitem_big", "l_mid"),
+            "rows": big_rows,
+            "chosen": "sketch" if chose_sketch else "exact",
+            "plan_reason": ptype,
+            "chosen_sec": round(chosen_t, 4) if chosen_t else None,
+            "rejected_sec": round(rejected_t, 4) if rejected_t else None,
+            "chosen_beats_rejected": bool(
+                chosen_t and rejected_t and chosen_t <= rejected_t
+            ),
+        }
 
     _safe(
         "distinct_exact",
@@ -423,8 +470,8 @@ def main() -> None:
                 nprobe=4,
             ).count()
 
-        _safe("knn_brute", _knn_brute, reps=1)
-        _safe("knn_ivf", _knn_ivf, reps=1)
+        _safe("knn_brute", _knn_brute)  # reps=3 medians (r03: reps=1 noise)
+        _safe("knn_ivf", _knn_ivf)
         knn_ok = True
     except Exception as exc:  # noqa: BLE001 - setup failure isolation
         bench_errors["knn_setup"] = f"{type(exc).__name__}: {exc}"[:300]
@@ -463,6 +510,71 @@ def main() -> None:
         ]
 
     _safe("big_join_approx", _big_join_approx)
+
+    # ---- learning loop with hard evidence (round-3 verdict item 5) -----
+    # Fresh catalog (separate workdir) so the history is exactly what this
+    # segment writes. Phase A seeds it with dual-executed queries: three
+    # sample-strategy aggregates (real measured speedups) on the big
+    # table. Phase B plans the low-ndv COUNT(DISTINCT): the decision tree
+    # says 'sketch' (rule 2), but the history re-ranking — seeing only
+    # well-scoring 'sample' history — overrides it; 'sample' can't realize
+    # a DISTINCT, so the cost model lands on exact, which IS the right
+    # plan at ndv≈150k (r03: forced sketch was 1.17x). The flip record
+    # below is the hard evidence: base-tree strategy vs history-adjusted
+    # strategy, with the reasoning string citing the history.
+    ml_block: dict = {}
+    if big_ok:
+        try:
+            import tempfile as _tf
+
+            eng2 = AQEngine(spark, workdir=_tf.mkdtemp(prefix="aqe_bench_ml_"))
+            eng2.catalog.upsert_table_stats("lineitem_big", big_rows)
+            eng2.create_sketch("lineitem_big", "l_orderkey", "hll")
+            for s in (
+                "SELECT COUNT(*) AS cnt FROM lineitem_big",
+                "SELECT SUM(l_extendedprice) AS total FROM lineitem_big",
+                "SELECT AVG(l_quantity) AS aq FROM lineitem_big",
+            ):
+                r = eng2.query(s, max_rel_error=0.05, use_ml_optimization=True)
+                assert r["status"] == "ok", r.get("error")
+            dsql = "SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem_big"
+            r_d = eng2.query(dsql, max_rel_error=0.05, use_ml_optimization=True)
+            assert r_d["status"] == "ok", r_d.get("error")
+            from approximate_query_engine_spark.optimizer import (
+                choose_base_strategy,
+                extract_features,
+            )
+            from approximate_query_engine_spark.sqlparser import parse as _parse
+
+            base_strategy, _c = choose_base_strategy(
+                extract_features(_parse(dsql), dsql, big_rows), 0.05
+            )
+            opt = r_d["ml_optimization"]
+            ml_block = {
+                "stats": eng2.ml_stats(),
+                "flip": {
+                    "query": dsql,
+                    "base_tree_strategy": base_strategy,
+                    "history_adjusted_strategy": opt["strategy"],
+                    "flipped": opt["strategy"] != base_strategy,
+                    "reasoning": opt["reasoning"],
+                },
+            }
+        except Exception as exc:  # noqa: BLE001
+            bench_errors["ml_learning"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    # ---- streaming drain at bench scale (round-3 verdict item 6) -------
+    # q35/q62 verify streaming correctness at sf0.01; this times the full
+    # availableNow drain (watermarked window agg + state store) at the
+    # bench SF so state-store cost shows up in the perf record.
+    def _stream_window():
+        from approximate_query_engine_spark.streaming import (
+            run_streaming_window_agg,
+        )
+
+        run_streaming_window_agg(spark, SF_DIR).count()
+
+    _safe("stream_window", _stream_window, reps=1)  # stateful: setup-heavy
     try:
         if not knn_ok:
             raise RuntimeError("knn setup failed; skipping recall")
@@ -569,6 +681,8 @@ def main() -> None:
                 "baseline_comparable_speedups": tiers["big50"]["classes"],
                 "tiers": tiers,
                 "plan_reasons": plan_reasons,
+                "distinct_crossover": distinct_crossover,
+                "ml_stats": ml_block,
                 "rel_errors": errors,
                 "errors": bench_errors,
                 "lineitem_rows": n,

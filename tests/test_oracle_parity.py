@@ -85,19 +85,20 @@ def test_entry_smoke(spark):
 def test_check_window_ordering():
     """The driver hash-checks only the FIRST 50 queries() entries. Pin the
     invariants that make that window maximally informative: (a) the window
-    is exactly _CHECK_WINDOW_ORDER, (b) every in-window entry except the
-    four non-SQL-expressible rows-only ones has an oracle, (c) every
-    oracled entry exiled beyond the window is a redundant duplicate whose
-    component has an in-window representative (documented pairs)."""
+    is exactly _CHECK_WINDOW_ORDER, (b) EVERY in-window entry has an
+    oracle (50/50 since round 4 — progressive went deterministic), (c)
+    every oracled entry exiled beyond the window is a redundant duplicate
+    whose component has an in-window representative (documented pairs)."""
     names = list(entry_mod.queries())
     oracled = set(entry_mod.oracle_sql())
     window = names[:50]
     assert window == entry_mod._CHECK_WINDOW_ORDER
     rows_only_in_window = [n for n in window if n not in oracled]
-    assert rows_only_in_window == ["q56_progressive"]
+    assert rows_only_in_window == []
     # exiled oracled entries must each have an in-window component stand-in
     covered_by = {
-        "q02_count_sum": "q01_count",
+        "q01_count": "q11_tpch_q1",
+        "q02_count_sum": "q11_tpch_q1",
         "q03_avg": "q06_where_group_avg",
         "q04_group_count": "q74_group_sum_having",
         "q05_group_sum": "q74_group_sum_having",

@@ -67,3 +67,58 @@ def test_group_by_progressive_meets_target(spark, engine, duck):
 def test_engine_facade(engine):
     r = engine.progressive_query("SELECT AVG(l_tax) AS t FROM lineitem", 0.2)
     assert r["status"] == "ok" and r["result"]
+
+
+# ---- deterministic systematic mode (the oracle-checkable form) ----
+def test_systematic_mode_is_deterministic_and_replayable(spark, engine, duck):
+    """Two runs return identical results (no rand()), and every stopping
+    quantity is replayable from the data: the final step's estimate equals
+    k * |{rows: key % k = 0}| computed independently by DuckDB."""
+    kwargs = dict(
+        target_rel_error=0.1,
+        mode="systematic",
+        key_expr="l_orderkey * 31 + l_linenumber",
+    )
+    r1 = progressive_query(spark, "SELECT COUNT(*) AS c FROM lineitem", **kwargs)
+    r2 = progressive_query(spark, "SELECT COUNT(*) AS c FROM lineitem", **kwargs)
+    assert r1["result"] == r2["result"]
+
+    def _no_ms(steps):
+        return [{k: v for k, v in s.items() if k != "ms"} for s in steps]
+
+    assert _no_ms(r1["meta"]["steps"]) == _no_ms(r2["meta"]["steps"])
+    assert r1["meta"]["stopped_early"]
+    k = round(1.0 / r1["meta"]["fraction"])
+    n_k = duck.execute(
+        f"SELECT COUNT(*) FROM lineitem WHERE (l_orderkey * 31 + l_linenumber) % {k} = 0"
+    ).fetchone()[0]
+    assert r1["result"][0]["c"] == round(n_k / r1["meta"]["fraction"])
+    # support bookkeeping matches the replayed subset size
+    assert r1["meta"]["steps"][-1]["min_support"] == n_k
+
+
+def test_systematic_mode_requires_key(spark):
+    with pytest.raises(ValueError, match="key_expr"):
+        progressive_query(
+            spark, "SELECT COUNT(*) AS c FROM lineitem", mode="systematic"
+        )
+
+
+def test_systematic_group_by_meets_target(spark, engine, duck):
+    target = 0.2
+    r = progressive_query(
+        spark,
+        "SELECT l_returnflag, SUM(l_quantity) AS sq FROM lineitem "
+        "GROUP BY l_returnflag",
+        target_rel_error=target,
+        mode="systematic",
+        key_expr="l_orderkey * 31 + l_linenumber",
+    )
+    truth = dict(
+        duck.execute(
+            "SELECT l_returnflag, SUM(l_quantity) FROM lineitem GROUP BY l_returnflag"
+        ).fetchall()
+    )
+    for row in r["result"]:
+        true = truth[row["l_returnflag"]]
+        assert abs(row["sq"] - true) / true < 3 * target
