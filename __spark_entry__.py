@@ -924,47 +924,86 @@ FROM est
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL (non-fake) BMP/WAV decode through the mapInPandas kernel,
-    aggregated per kind. The oracle computes the GROUND TRUTH the encoder
-    wrote (closed-form dims per media_id), so a decode regression — wrong
-    BMP header offsets, wrong WAV rate math, Arrow batch misalignment —
-    breaks the hash match. DuckDB verifies decode-recovers-encode, not
-    that it can decode BMP itself."""
+    """REAL (non-fake) BMP/PNG/WAV decode through the mapInPandas kernel,
+    aggregated per source format. The oracle computes the GROUND TRUTH the
+    encoders wrote (closed-form dims per media_id), so a decode regression
+    — wrong BMP header offsets, wrong WAV rate math, a broken zlib
+    inflate/unfilter, Arrow batch misalignment — breaks the hash match.
+    PNG rows carry CONSTANT-value pixels, so even their decoded payload
+    MEAN is oracle-computable (the mean of identical uint8s is the exact
+    value): the hash covers the full decode → pixels → statistic path, not
+    just the header walk."""
+    import numpy as np
     from pyspark.sql import functions as F
 
     from approximate_query_engine_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
         decode_media,
+        encode_png_pixels,
         make_real_media_df,
     )
 
     _prep(spark, sf_dir)
-    decoded = decode_media(make_real_media_df(spark, 12), fake=False)
+    png_rows = [
+        (
+            100 + j,
+            "image",
+            encode_png_pixels(
+                np.full((10 + 2 * j, 20 + 4 * j, 3), (37 * j) % 256, dtype=np.uint8),
+                filter_type=j % 5,
+            ),
+            "png",
+            20 + 4 * j,
+            10 + 2 * j,
+            None,
+        )
+        for j in range(4)
+    ]
+    df = make_real_media_df(spark, 12).unionByName(
+        spark.createDataFrame(png_rows, MEDIA_SCHEMA)
+    )
+    decoded = decode_media(df, fake=False)
     return (
-        decoded.groupBy("kind")
+        decoded.withColumn(
+            "src",
+            F.when(F.col("media_id") >= 100, F.lit("png")).otherwise(F.col("kind")),
+        )
+        .groupBy("src")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("decoded_width").alias("sum_w"),
             F.sum("decoded_height").alias("sum_h"),
+            F.coalesce(
+                F.sum(F.when(F.col("media_id") >= 100, F.col("payload_mean"))),
+                F.lit(-1.0),
+            ).alias("png_mean_sum"),
         )
-        .orderBy("kind")
+        .orderBy("src")
     )
 
 
-#: Ground truth of make_real_media_df(n=12) + decode semantics: even ids
-#: are (w,h) BMPs; odd ids are PCM16 WAVs whose decoded (width, height)
-#: slots carry (sample_rate, duration_ms) = (16000, 100 + 10*(i%5)) since
-#: n_samples = 1600 + 160*(i%5) at 16 kHz.
+#: Ground truth of _q_multimodal_decode's inputs + decode semantics: even
+#: ids < 100 are (w,h) BMPs; odd ids < 100 are PCM16 WAVs whose decoded
+#: (width, height) slots carry (sample_rate, duration_ms) =
+#: (16000, 100 + 10*(i%5)) since n_samples = 1600 + 160*(i%5) at 16 kHz;
+#: ids 100+j are PNGs of dims (20+4j, 10+2j) filled with the constant
+#: pixel value (37j)%256 (one scanline filter type each), whose decoded
+#: mean is that value exactly.
 _MULTIMODAL_ORACLE = """
 WITH t AS (
-  SELECT i,
-    CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+  SELECT CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS src,
     CASE WHEN i % 2 = 0 THEN 16 + (i % 4) * 8 ELSE 16000 END AS w,
-    CASE WHEN i % 2 = 0 THEN 12 + (i % 3) * 8 ELSE 100 + 10 * (i % 5) END AS h
+    CASE WHEN i % 2 = 0 THEN 12 + (i % 3) * 8 ELSE 100 + 10 * (i % 5) END AS h,
+    CAST(NULL AS DOUBLE) AS m
   FROM generate_series(0, 11) g(i)
+  UNION ALL
+  SELECT 'png', 20 + 4 * j, 10 + 2 * j, CAST((37 * j) % 256 AS DOUBLE)
+  FROM generate_series(0, 3) g(j)
 )
-SELECT kind, COUNT(*) AS n,
-       CAST(SUM(w) AS BIGINT) AS sum_w, CAST(SUM(h) AS BIGINT) AS sum_h
-FROM t GROUP BY kind
+SELECT src, COUNT(*) AS n,
+       CAST(SUM(w) AS BIGINT) AS sum_w, CAST(SUM(h) AS BIGINT) AS sum_h,
+       COALESCE(SUM(m), -1.0) AS png_mean_sum
+FROM t GROUP BY src
 """
 
 
@@ -1773,6 +1812,52 @@ FROM samp GROUP BY l_returnflag
 """
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining (functions/packing.py): shard
+    documents, order by id, and chunk the running token total into
+    fixed-``seq_len`` packs — a pure window cumsum, so shard-parallel at
+    scale and exactly replayable by the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+    from approximate_query_engine_spark.functions.text import token_count_expr
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        token_count_expr("text").alias("n_tokens"),
+        (F.col("doc_id") % 4).alias("dom"),
+    )
+    packed = pack_sequences(docs, seq_len=512, shard_col="dom")
+    return pack_stats(packed, 512).orderBy("shard", "pack_id")
+
+
+_PACKING_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 4 AS shard,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS cum_before
+  FROM toks
+)
+SELECT shard, CAST(FLOOR(cum_before / 512) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       -- FLOOR: Spark's double->bigint CAST truncates, DuckDB's rounds
+       CAST(FLOOR(SUM(n_tokens) * 1000 / 512) AS BIGINT) AS fill_permille
+FROM packed
+GROUP BY CAST(FLOOR(cum_before / 512) AS BIGINT), shard
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1897,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q71_mixture_sample"] = _q_mixture_sample
     out["q72_token_budget"] = _q_token_budget
     out["q77_stratified_rewrite"] = _q_stratified_rewrite
+    out["q78_pack_sequences"] = _q_pack_sequences
     return _reorder_check_window(out)
 
 
@@ -1934,4 +2020,5 @@ def oracle_sql() -> dict[str, str]:
     out["q72_token_budget"] = _TOKEN_BUDGET_ORACLE
     out["q56_progressive"] = _progressive_oracle()
     out["q77_stratified_rewrite"] = _stratified_rewrite_oracle()
+    out["q78_pack_sequences"] = _PACKING_ORACLE
     return out

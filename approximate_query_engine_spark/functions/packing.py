@@ -1,0 +1,81 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences ("packs") — the standard LLM-pretraining step that concatenates
+documents up to a context length so no sequence slot is wasted.
+
+The packing rule here is the deterministic streaming one: order documents
+by id within a shard, keep a running token total, and start a new pack
+each time the running total crosses a multiple of ``seq_len`` (a document
+that straddles a boundary belongs to the pack where it starts; the
+consumer truncates or pads — identical to the "concat then chunk"
+convention). This rule is a pure window cumsum, so it is:
+
+- **shard-parallel**: each shard packs independently under one window
+  (`PARTITION BY shard ORDER BY id`) — one bounded shuffle keyed on the
+  shard, no global ordering. At 100 TB choose enough shards that one
+  shard's documents fit an executor's window spill budget; pack ids are
+  (shard, local_pack), globally unique without coordination.
+- **engine-replayable**: any SQL engine reproduces the exact assignment
+  (ordered cumsum is deterministic), so DuckDB can oracle-check it.
+
+A true bin-packing (first-fit-decreasing) wastes less tail space but is
+sequential and order-sensitive; the streaming rule is what production
+pretraining pipelines actually use, because documents are chunked anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """→ input columns + (shard, pack_id, pack_offset).
+
+    ``pack_id`` is the pack index within the shard; ``pack_offset`` is the
+    document's token offset from the start of its pack. Sharding: pass
+    ``shard_col`` (e.g. a domain/date column) to pack within existing
+    groups, or ``n_shards`` to hash-shard by id; default is a single
+    shard (fine locally, not at warehouse scale — see module docstring).
+    """
+    if shard_col is not None:
+        shard = F.col(shard_col)
+    elif n_shards is not None:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    else:
+        shard = F.lit(0)
+    out = df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(token_col).over(w) - F.col(token_col)
+    return out.withColumn(
+        "pack_id", (cum_before / F.lit(seq_len)).cast("bigint")
+    ).withColumn(
+        "pack_offset", F.pmod(cum_before, F.lit(seq_len)).cast("bigint")
+    )
+
+
+def pack_stats(
+    packed: DataFrame, seq_len: int, token_col: str = "n_tokens"
+) -> DataFrame:
+    """Per-(shard, pack) fill accounting: n_docs, token total, and fill
+    permille vs ``seq_len`` (integer arithmetic — engine-portable). The
+    final pack of each shard is naturally under-filled; every other pack
+    holds >= seq_len tokens of starts-here documents' budget by
+    construction of the boundary rule."""
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).cast("bigint").alias("pack_tokens"),
+        (F.sum(token_col) * 1000 / F.lit(seq_len))
+        .cast("bigint")
+        .alias("fill_permille"),
+    )

@@ -124,6 +124,15 @@ class MLOptimizer:
         )
         est_speedup, est_error = self._estimates(plan, feats, max_rel_error)
         reasoning = self._reasoning(strategy, feats, learned)
+        if plan["type"] != strategy:
+            # the chosen strategy wasn't realizable for this query shape
+            # (e.g. history favored 'sample' but DISTINCT aggregates can't
+            # be sampled): say what the planner actually landed on so the
+            # reasoning matches the plan the user sees.
+            reasoning += (
+                f"; '{strategy}' not realizable here — cost model landed on "
+                f"'{plan['type']}'"
+            )
         return {
             # the realized plan rides along so the engine doesn't plan twice
             # (popped off before the dict reaches the response)

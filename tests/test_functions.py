@@ -645,3 +645,67 @@ def test_png_through_dataframe_kernels(spark):
     assert bytes(resized[100]["content"])[:8] == multimodal._PNG_MAGIC
     w, h, _ = multimodal.decode_png(bytes(resized[100]["content"]))
     assert (w, h) == (6, 4)
+
+
+# ---- sequence packing ----
+def test_pack_sequences_boundary_rule(spark):
+    """Hand-computed: docs of 300/300/300 tokens at seq_len=512 → cum_before
+    0/300/600 → packs 0/0/1, offsets 0/300/88."""
+    from approximate_query_engine_spark.functions.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 300)], "doc_id long, n_tokens int"
+    )
+    rows = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(df, 512).collect()
+    }
+    assert rows == {1: (0, 0, 0), 2: (0, 0, 300), 3: (0, 1, 88)}
+
+
+def test_pack_sequences_sharding_is_independent(spark):
+    """Packing a shard alone gives the same assignment as packing it among
+    other shards (per-shard windows do not interact)."""
+    from approximate_query_engine_spark.functions.packing import pack_sequences
+
+    rows = [(i, 100 + 37 * (i % 7), i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int, dom int")
+    both = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(df, 256, shard_col="dom").collect()
+    }
+    solo = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(
+            df.filter("dom = 1"), 256, shard_col="dom"
+        ).collect()
+    }
+    assert solo == {k: v for k, v in both.items() if k % 3 == 1}
+
+
+def test_pack_stats_fill(spark):
+    from approximate_query_engine_spark.functions.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 128) for i in range(8)], "doc_id long, n_tokens int"
+    )
+    stats = pack_stats(pack_sequences(df, 512), 512).collect()
+    # 8 x 128 = 1024 tokens = exactly 2 full packs of 4 docs
+    assert sorted((r["pack_id"], r["n_docs"], r["pack_tokens"], r["fill_permille"]) for r in stats) == [
+        (0, 4, 512, 1000),
+        (1, 4, 512, 1000),
+    ]
+
+
+def test_pack_sequences_hash_sharding(spark):
+    from approximate_query_engine_spark.functions.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n_tokens int"
+    )
+    out = pack_sequences(df, 64, n_shards=4)
+    shards = {r["shard"] for r in out.select("shard").distinct().collect()}
+    assert shards <= {0, 1, 2, 3} and len(shards) > 1

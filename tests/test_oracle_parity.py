@@ -118,6 +118,10 @@ def test_check_window_ordering():
         "q42_anti_join": "q75_anti_semi_join",
         "q43_semi_join": "q75_anti_semi_join",
         "q45_date_funcs": "q17_events_hour",
+        # new-in-round-4 operator: window is full; nearest in-window
+        # relative is the token-budget accounting family. The local parity
+        # gate above still hash-checks q78 itself every run.
+        "q78_pack_sequences": "q72_token_budget",
     }
     for name in names[50:]:
         if name in oracled:

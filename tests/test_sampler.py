@@ -161,3 +161,43 @@ def test_strata_analysis_single_pass(engine):
     for s in strata:
         assert s["pop_size"] > 0
         assert s["variance"] is None or s["variance"] >= 0
+
+
+# ---- systematic (deterministic key % k) rewrite ----
+def test_systematic_rewrite_estimates_and_determinism(spark, engine, duck):
+    """rewrite_systematic_sample scales by exactly k over the key%k subset
+    and is engine-reproducible: DuckDB computes the identical estimate."""
+    from approximate_query_engine_spark.rewriter import rewrite_systematic_sample
+    from approximate_query_engine_spark.sqlparser import parse
+
+    rw = rewrite_systematic_sample(
+        parse("SELECT COUNT(*) AS c FROM lineitem"),
+        16,
+        "l_orderkey * 31 + l_linenumber",
+    )
+    assert rw.plan_type == "sample" and rw.sample_fraction == 1.0 / 16
+    got = spark.sql(rw.sql).collect()[0]["c"]
+    want = duck.execute(
+        "SELECT COUNT(*) * 16 FROM lineitem "
+        "WHERE (l_orderkey * 31 + l_linenumber) % 16 = 0"
+    ).fetchone()[0]
+    assert got == want
+    # CI companions present and sane
+    row = spark.sql(rw.sql).collect()[0].asDict()
+    assert row["c_ci_low"] <= got <= row["c_ci_high"]
+    assert 0 < row["c_rel_error"] < 1
+
+
+def test_systematic_rewrite_rejects_bad_k():
+    import pytest as _pytest
+
+    from approximate_query_engine_spark.rewriter import (
+        UnsupportedRewriteError,
+        rewrite_systematic_sample,
+    )
+    from approximate_query_engine_spark.sqlparser import parse
+
+    with _pytest.raises(UnsupportedRewriteError):
+        rewrite_systematic_sample(
+            parse("SELECT COUNT(*) AS c FROM lineitem"), 0, "l_orderkey"
+        )
