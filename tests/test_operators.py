@@ -285,6 +285,15 @@ def test_knn_join_brute_vs_ivf_recall(spark, engine):
     bset = {(r["query_id"], r["neighbor_id"]) for r in rows}
     iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     assert len(bset & iset) / len(bset) >= 0.7  # nprobe=8 of nlist=16
+    # broadcast_probes=False (the corpus-vs-corpus self-join escape hatch)
+    # changes only the join strategy, never the result set
+    ivf_nb = knn_join(
+        queries, emb, k=3, method="ivf", nprobe=8, exclude_self=True,
+        broadcast_probes=False,
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ivf_nb} == {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in ivf
+    }
 
 
 def test_funnel_semantics(spark):
