@@ -1832,7 +1832,9 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 4).alias("dom"),
     )
     packed = pack_sequences(docs, seq_len=512, shard_col="dom")
-    return pack_stats(packed, 512).orderBy("shard", "pack_id")
+    # no orderBy: the driver's compare is order-insensitive, and a sort
+    # here would add a second (range-partitioning) shuffle for nothing
+    return pack_stats(packed, 512)
 
 
 _PACKING_ORACLE = """

@@ -709,3 +709,21 @@ def test_pack_sequences_hash_sharding(spark):
     out = pack_sequences(df, 64, n_shards=4)
     shards = {r["shard"] for r in out.select("shard").distinct().collect()}
     assert shards <= {0, 1, 2, 3} and len(shards) > 1
+
+
+def test_pack_sequences_single_shuffle_plan(spark):
+    """Pack assignment + pack stats must cost exactly ONE shuffle (the
+    shard-keyed window; the groupBy reuses the same hash partitioning).
+    A second Exchange would double the data movement at 100 TB."""
+    from approximate_query_engine_spark.functions.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 100, i % 3) for i in range(100)],
+        "doc_id long, n_tokens int, dom int",
+    )
+    out = pack_stats(pack_sequences(df, 512, shard_col="dom"), 512)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
