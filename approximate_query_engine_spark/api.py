@@ -82,6 +82,33 @@ def create_app(engine: AQEngine, config: Config | None = None):
         status = 200 if out.get("status") == "ok" else 500
         return jsonify(out), status
 
+    @app.post("/query/progressive")
+    def query_progressive():
+        """Beyond-reference: online aggregation (progressive.py) —
+        refine until the reported CI meets target_rel_error. Optional
+        mode='systematic' + key_expr for the deterministic ladder."""
+        body = request.get_json(force=True, silent=True) or {}
+        sql = body.get("sql")
+        if not sql:
+            return jsonify({"status": "error", "error": "missing 'sql'"}), 400
+        kwargs = {}
+        if body.get("mode"):
+            kwargs["mode"] = body["mode"]
+        if body.get("key_expr"):
+            kwargs["key_expr"] = body["key_expr"]
+        try:
+            out = engine.progressive_query(
+                sql,
+                float(body.get("target_rel_error", 0.05)),
+                seed=int(body.get("seed", 42)),
+                **kwargs,
+            )
+            return jsonify(out)
+        except ValueError as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
     @app.post("/samples/create")
     def samples_create():
         body = request.get_json(force=True, silent=True) or {}

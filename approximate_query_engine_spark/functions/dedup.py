@@ -785,3 +785,62 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental EXACT dedup against a persisted fingerprint table
+
+
+def fingerprint_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The persistable exact-dedup state: (id, fingerprint) per doc, where
+    fingerprint is xxhash64 of the normalized text
+    (:func:`functions.text.fingerprint64_expr`). At warehouse scale write
+    this once per corpus, bucketed by fingerprint, and dedup new batches
+    against it with :func:`incremental_exact_dedup`."""
+    from approximate_query_engine_spark.functions.text import fingerprint64_expr
+
+    return df.select(
+        F.col(id_col), fingerprint64_expr(text_col).alias("fingerprint")
+    )
+
+
+def incremental_exact_dedup(
+    new_fps: DataFrame,
+    existing_fps: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dup removal of a NEW batch against a persisted fingerprint
+    table: a new doc is dropped when its fingerprint already exists in the
+    corpus or on a smaller-id doc within the batch.
+
+    → (kept_new_fingerprints, updated_fingerprint_table).
+
+    Scaling (the exact analog of :func:`incremental_minhash_dedup`): the
+    batch's distinct fingerprint set is small, so it broadcast-semi-joins
+    into the corpus table — only corpus rows whose fingerprint the batch
+    actually mentions are ever read past the scan (with the corpus stored
+    bucketed by fingerprint, this is a partition-pruned probe). Spark's
+    runtime bloom-filter join pruning
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default)
+    additionally pushes a bloom of the broadcast side into the corpus
+    scan, so work per batch is O(batch), not O(corpus)."""
+    batch_keys = new_fps.select("fingerprint").distinct()
+    corpus_hits = existing_fps.select("fingerprint").join(
+        F.broadcast(batch_keys), "fingerprint", "left_semi"
+    )
+    in_corpus = new_fps.join(corpus_hits, "fingerprint", "left_semi").select(
+        F.col(id_col)
+    )
+    # within the batch: smaller id wins per fingerprint group
+    first = new_fps.groupBy("fingerprint").agg(F.min(id_col).alias("__keep"))
+    batch_dups = (
+        new_fps.join(first, "fingerprint")
+        .filter(F.col(id_col) != F.col("__keep"))
+        .select(F.col(id_col))
+    )
+    losers = in_corpus.unionByName(batch_dups).distinct()
+    kept_new = new_fps.join(losers, id_col, "left_anti")
+    updated = existing_fps.unionByName(kept_new)
+    return kept_new, updated

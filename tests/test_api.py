@@ -161,3 +161,27 @@ def test_health_on_configured_port(engine, monkeypatch):
             assert b'"ok"' in resp.read()
     finally:
         srv.shutdown()
+
+
+def test_query_progressive_route(client):
+    r = client.post(
+        "/query/progressive",
+        json={
+            "sql": "SELECT COUNT(*) AS c FROM lineitem",
+            "target_rel_error": 0.2,
+            "mode": "systematic",
+            "key_expr": "l_orderkey * 31 + l_linenumber",
+        },
+    )
+    body = r.get_json()
+    assert r.status_code == 200 and body["status"] == "ok"
+    assert body["result"][0]["c"] > 0
+    assert body["meta"]["steps"]
+    # missing sql / bad mode -> 400 with error envelope
+    assert client.post("/query/progressive", json={}).status_code == 400
+    bad = client.post(
+        "/query/progressive",
+        json={"sql": "SELECT COUNT(*) AS c FROM lineitem", "mode": "systematic"},
+    )
+    assert bad.status_code == 400
+    assert "key_expr" in bad.get_json()["error"]

@@ -174,3 +174,61 @@ def test_incremental_simhash_matches_batch(spark, engine):
         if not dropped:
             kept.add(i)
     assert inc_ids == kept
+
+
+# ---- exact incremental (fingerprint table) ----
+def test_incremental_exact_dedup(spark):
+    from approximate_query_engine_spark.functions.dedup import (
+        fingerprint_table,
+        incremental_exact_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, BASE), (2, "other content entirely")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, BASE),  # exact dup of corpus doc 1 -> dropped
+            (11, BASE.upper()),  # normalization collision with 1 -> dropped
+            (12, "fresh new text"),  # kept
+            (13, "fresh new text"),  # batch dup of 12 -> dropped
+            (14, "another fresh one"),  # kept
+        ],
+        "doc_id long, text string",
+    )
+    corpus = fingerprint_table(b1)
+    kept, updated = incremental_exact_dedup(fingerprint_table(b2), corpus)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [12, 14]
+    assert sorted(r["doc_id"] for r in updated.collect()) == [1, 2, 12, 14]
+    # a third batch against the updated table sees the batch-2 survivors
+    b3 = spark.createDataFrame(
+        [(20, "fresh new text"), (21, "genuinely novel")],
+        "doc_id long, text string",
+    )
+    kept3, updated3 = incremental_exact_dedup(fingerprint_table(b3), updated)
+    assert sorted(r["doc_id"] for r in kept3.collect()) == [21]
+    assert updated3.count() == 5
+
+
+def test_incremental_exact_matches_oneshot(spark, engine):
+    """Two-batch incremental exact dedup keeps exactly the docs one-shot
+    min-id-per-fingerprint dedup keeps."""
+    from approximate_query_engine_spark.functions.dedup import (
+        fingerprint_table,
+        incremental_exact_dedup,
+    )
+
+    docs = engine.spark.table("documents")
+    fps = fingerprint_table(docs).localCheckpoint()
+    b1 = fps.filter("doc_id < 250")
+    b2 = fps.filter("doc_id >= 250")
+    _, upd = incremental_exact_dedup(b1, b1.limit(0))
+    _, final = incremental_exact_dedup(b2, upd)
+    inc_ids = sorted(r["doc_id"] for r in final.collect())
+    oneshot = sorted(
+        r["k"]
+        for r in fps.groupBy("fingerprint")
+        .agg(__import__("pyspark").sql.functions.min("doc_id").alias("k"))
+        .collect()
+    )
+    assert inc_ids == oneshot
