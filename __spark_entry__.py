@@ -950,14 +950,14 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "image",
             encode_png_pixels(
                 np.full((10 + 2 * j, 20 + 4 * j, 3), (37 * j) % 256, dtype=np.uint8),
-                filter_type=j % 5,
+                filter_type=j,  # j=0..4 covers ALL five scanline filters
             ),
             "png",
             20 + 4 * j,
             10 + 2 * j,
             None,
         )
-        for j in range(4)
+        for j in range(5)
     ]
     df = make_real_media_df(spark, 12).unionByName(
         spark.createDataFrame(png_rows, MEDIA_SCHEMA)
@@ -986,8 +986,9 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ids < 100 are (w,h) BMPs; odd ids < 100 are PCM16 WAVs whose decoded
 #: (width, height) slots carry (sample_rate, duration_ms) =
 #: (16000, 100 + 10*(i%5)) since n_samples = 1600 + 160*(i%5) at 16 kHz;
-#: ids 100+j are PNGs of dims (20+4j, 10+2j) filled with the constant
-#: pixel value (37j)%256 (one scanline filter type each), whose decoded
+#: ids 100+j (j=0..4) are PNGs of dims (20+4j, 10+2j) filled with the
+#: constant pixel value (37j)%256, encoded with scanline filter type j —
+#: all five unfilter paths sit under the driver hash — and whose decoded
 #: mean is that value exactly.
 _MULTIMODAL_ORACLE = """
 WITH t AS (
@@ -998,7 +999,7 @@ WITH t AS (
   FROM generate_series(0, 11) g(i)
   UNION ALL
   SELECT 'png', 20 + 4 * j, 10 + 2 * j, CAST((37 * j) % 256 AS DOUBLE)
-  FROM generate_series(0, 3) g(j)
+  FROM generate_series(0, 4) g(j)
 )
 SELECT src, COUNT(*) AS n,
        CAST(SUM(w) AS BIGINT) AS sum_w, CAST(SUM(h) AS BIGINT) AS sum_h,

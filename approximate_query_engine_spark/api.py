@@ -104,7 +104,9 @@ def create_app(engine: AQEngine, config: Config | None = None):
                 **kwargs,
             )
             return jsonify(out)
-        except ValueError as e:
+        except (ValueError, TypeError) as e:
+            # bad input types (null/list where a number belongs, unknown
+            # mode, missing key_expr) are client errors, not 500s
             return jsonify({"status": "error", "error": str(e)}), 400
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500

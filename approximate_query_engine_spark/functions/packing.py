@@ -56,11 +56,19 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum_before = F.sum(token_col).over(w) - F.col(token_col)
-    return out.withColumn(
-        "pack_id", (cum_before / F.lit(seq_len)).cast("bigint")
-    ).withColumn(
-        "pack_offset", F.pmod(cum_before, F.lit(seq_len)).cast("bigint")
+    # integer `div`, not float division + cast: a double round-trip loses
+    # exactness once a shard's running total nears 2^53, silently
+    # misassigning packs at warehouse scale
+    return (
+        out.withColumn(
+            "__cum_before",
+            (F.sum(token_col).over(w) - F.col(token_col)).cast("bigint"),
+        )
+        .withColumn("pack_id", F.expr(f"__cum_before div {int(seq_len)}"))
+        .withColumn(
+            "pack_offset", F.pmod("__cum_before", F.lit(seq_len)).cast("bigint")
+        )
+        .drop("__cum_before")
     )
 
 

@@ -93,6 +93,8 @@ def progressive_query(
     the data, reproducible by any SQL engine (the oracle-checkable form;
     see rewrite_systematic_sample).
     """
+    if mode not in ("bernoulli", "systematic"):
+        raise ValueError(f"unknown progressive mode {mode!r}")
     if mode == "systematic" and not key_expr:
         raise ValueError("systematic mode requires key_expr")
     parsed = try_parse(sql)

@@ -293,8 +293,8 @@ def main() -> None:
     # pick actually beats the alternative it rejected, timing both RAW
     # plans (engine overhead excluded from the comparison).
     distinct_crossover: dict = {}
-    if big_ok:
-        ptype = plan_reasons.get("big_distinct_mid", "")
+    if big_ok and "big_distinct_mid" in plan_reasons:
+        ptype = plan_reasons["big_distinct_mid"]
         exact_t = timings.get("big_distinct_mid_exact")
         sketch_t = timings.get("mid_distinct_sketch_raw")
         chose_sketch = ptype.startswith("sketch")
@@ -306,12 +306,20 @@ def main() -> None:
             "rows": big_rows,
             "chosen": "sketch" if chose_sketch else "exact",
             "plan_reason": ptype,
-            "chosen_sec": round(chosen_t, 4) if chosen_t else None,
-            "rejected_sec": round(rejected_t, 4) if rejected_t else None,
-            "chosen_beats_rejected": bool(
-                chosen_t and rejected_t and chosen_t <= rejected_t
+            "chosen_sec": round(chosen_t, 4) if chosen_t is not None else None,
+            "rejected_sec": (
+                round(rejected_t, 4) if rejected_t is not None else None
+            ),
+            "chosen_beats_rejected": (
+                chosen_t <= rejected_t
+                if chosen_t is not None and rejected_t is not None
+                else None
             ),
         }
+    elif big_ok:
+        bench_errors.setdefault(
+            "distinct_crossover", "big_distinct_mid never planned"
+        )
 
     _safe(
         "distinct_exact",

@@ -130,3 +130,59 @@ def test_top_count_matches_counter(arr):
     got = df.select(top_count_expr(F.col("arr")).alias("t")).collect()[0]["t"]
     want = max(collections.Counter(arr).values()) if arr else 0
     assert got == want
+
+
+# ---- sequence packing invariants (pure-python replay of the window rule) --
+@given(
+    st.lists(st.integers(1, 3000), min_size=1, max_size=200),
+    st.integers(64, 2048),
+)
+@settings(max_examples=200, deadline=None)
+def test_packing_rule_invariants(tokens, seq_len):
+    """The streaming boundary rule, replayed in python: offsets stay in
+    [0, seq_len), pack ids are non-decreasing, every non-final pack's
+    starts-here token total reaches past its boundary, and totals are
+    conserved."""
+    cum = 0
+    prev_pack = 0
+    per_pack: dict[int, int] = {}
+    first_offset: dict[int, int] = {}
+    for t in tokens:
+        pack = cum // seq_len
+        offset = cum % seq_len
+        assert 0 <= offset < seq_len
+        assert pack >= prev_pack
+        # decomposition invariant: pack/offset reconstruct the cumsum
+        assert pack * seq_len + offset == cum
+        prev_pack = pack
+        per_pack[pack] = per_pack.get(pack, 0) + t
+        first_offset.setdefault(pack, offset)
+        cum += t
+    assert sum(per_pack.values()) == sum(tokens)
+    last = max(per_pack)
+    for p, tot in per_pack.items():
+        if p != last:
+            # docs starting in pack p carry the running total past the
+            # next boundary (else the next doc would still start in p)
+            assert first_offset[p] + tot >= seq_len
+
+
+def test_packing_spark_matches_python_replay(spark):
+    """The Spark window implementation equals the python replay on a
+    randomized (but fixed-seed) corpus."""
+    import random
+
+    from approximate_query_engine_spark.functions.packing import pack_sequences
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 900)) for i in range(300)]
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(
+            spark.createDataFrame(rows, "doc_id long, n_tokens int"), 512
+        ).collect()
+    }
+    cum = 0
+    for i, t in rows:
+        assert got[i] == (cum // 512, cum % 512), i
+        cum += t
