@@ -35,7 +35,13 @@ def _sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _time(fn, reps: int = 3) -> float:
+#: per-item max-min across reps, keyed like ``timings`` — published in the
+#: JSON so measurement noise is diagnosable instead of masquerading as a
+#: plan regression (the r01→r03 big_sum "drop" was exactly this)
+_SPREADS: dict[str, float] = {}
+
+
+def _time(fn, reps: int = 3, key: str | None = None) -> float:
     """MEDIAN of ``reps`` runs. r01→r03 showed min-of-N still wobbling
     (big_sum 3.40x→2.99x with no plan change on that path): the min tracks
     the single luckiest scheduling, while the median is the stable central
@@ -47,6 +53,8 @@ def _time(fn, reps: int = 3) -> float:
         t0 = time.perf_counter()
         fn()
         runs.append(time.perf_counter() - t0)
+    if key is not None and len(runs) > 1:
+        _SPREADS[key] = round(max(runs) - min(runs), 4)
     return statistics.median(runs)
 
 
@@ -151,7 +159,7 @@ def main() -> None:
 
     def _safe(key: str, fn, reps: int = 3) -> None:
         try:
-            timings[key] = _time(fn, reps=reps)
+            timings[key] = _time(fn, reps=reps, key=key)
         except Exception as exc:  # noqa: BLE001 - isolation is the point
             bench_errors[key] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -726,6 +734,7 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": {k: round(v, 4) for k, v in timings.items()},
+                "timing_spread": dict(sorted(_SPREADS.items())),
                 "sf": _sf_from_dir(SF_DIR),
                 "sample_fraction": f,
                 "speedups": {k: round(v, 3) for k, v in speedups.items()},
