@@ -727,28 +727,60 @@ def main() -> None:
     }
 
     total = sum(timings.values())
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": {k: round(v, 4) for k, v in timings.items()},
-                "timing_spread": dict(sorted(_SPREADS.items())),
-                "sf": _sf_from_dir(SF_DIR),
-                "sample_fraction": f,
-                "speedups": {k: round(v, 3) for k, v in speedups.items()},
-                "baseline_comparable_speedups": tiers["big50"]["classes"],
-                "tiers": tiers,
-                "plan_reasons": plan_reasons,
-                "distinct_crossover": distinct_crossover,
-                "ml_stats": ml_block,
-                "rel_errors": errors,
-                "errors": bench_errors,
-                "lineitem_rows": n,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "timing_spread": dict(sorted(_SPREADS.items())),
+        "sf": _sf_from_dir(SF_DIR),
+        "sample_fraction": f,
+        "speedups": {k: round(v, 3) for k, v in speedups.items()},
+        "baseline_comparable_speedups": tiers["big50"]["classes"],
+        "tiers": tiers,
+        "plan_reasons": plan_reasons,
+        "distinct_crossover": distinct_crossover,
+        "ml_stats": ml_block,
+        "rel_errors": errors,
+        "errors": bench_errors,
+        "lineitem_rows": n,
+    }
+    # The per-round driver records only a ~2000-char TAIL of stdout and
+    # json-parses the last line; r02/r03's full payload outgrew that tail
+    # ("parsed": null). So: full payload goes to a sidecar file next to
+    # this script, and the FINAL stdout line is a compact summary trimmed
+    # to fit the tail (queries + headline metric are never dropped).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"full payload written to {detail_path}")
+    except OSError as exc:  # read-only cwd: fall back to stdout-only
+        print(f"bench_detail.json not written ({exc}); full payload inline:")
+        print(json.dumps(payload))
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": payload["sf"],
+        "sample_fraction": f,
+        "speedups": tiers["big50"]["classes"],
+        "rel_errors": {
+            k: v for k, v in errors.items() if k in tiers["big50"]["classes"]
+        },
+        "errors": bench_errors,
+        "detail": "bench_detail.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    for drop in ("rel_errors", "errors", "speedups"):
+        if len(line) <= 1800:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
