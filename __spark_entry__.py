@@ -1861,6 +1861,121 @@ GROUP BY CAST(FLOOR(cum_before / 512) AS BIGINT), shard
 """
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (functions/dedup.py
+    ngram_jaccard_pairs) — the labeled exact-verification baseline of the
+    dedup family (reference has no dedup at all; this is the pipeline
+    extension's ground truth for q32/q33's sketch paths). All-pairs is
+    deliberate at this scale: at 100 TB the same shingle/jaccard
+    expressions run inside minhash_near_duplicates' LSH-candidate
+    verification instead. Jaccard = |∩|/|∪| of small ints, so the DOUBLE
+    column is bit-identical across engines."""
+    from approximate_query_engine_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    _prep(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        spark.table("documents"), n=3, threshold=0.3
+    )
+
+
+#: mirrors word_shingles_expr (functions/dedup.py): lowercase → strip
+#: punctuation class → collapse whitespace → split on the single spaces
+#: the collapse produced → distinct 3-gram shingles (slice clamps at the
+#: tail exactly like Spark's F.slice).
+_NGRAM_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[.,!?;:''\"()\\[\\]{}-]', '', 'g'), '\\s+', ' ', 'g'))"
+)
+_NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split({_NGRAM_NORM}, ' ')) - 2, 1)),
+      i -> array_to_string((string_split({_NGRAM_NORM}, ' '))[i:i+2], ' ')
+    )) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.sh, b.sh))
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+"""
+
+
+_EMB_NBITS, _EMB_DIM, _EMB_SEED, _EMB_THRESHOLD = 8, 64, 42, 0.3
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (functions/dedup.py
+    embedding_near_duplicates): random-hyperplane LSH signatures bucket
+    the vectors (one equi-join shuffle keyed on the 8-bit signature — no
+    all-pairs), then exact cosine verifies within buckets. The
+    hyperplanes are seeded driver-side literals, so the oracle reproduces
+    the buckets AND (same left-fold order, probe-verified bit-exact) the
+    cosine doubles."""
+    from approximate_query_engine_spark.functions.dedup import (
+        embedding_near_duplicates,
+    )
+
+    _prep(spark, sf_dir)
+    return embedding_near_duplicates(
+        spark.table("embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=_EMB_DIM,
+        threshold=_EMB_THRESHOLD,
+        nbits=_EMB_NBITS,
+        seed=_EMB_SEED,
+    )
+
+
+def _embedding_neardup_oracle() -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(_EMB_SEED)
+    planes = rng.standard_normal((_EMB_NBITS, _EMB_DIM))
+
+    def plane_lit(p):
+        return "[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    # sign-bit signature: same seeded Gaussian hyperplanes as the Spark
+    # side (repr() round-trips doubles exactly), same sequential fold
+    # (list_reduce's first-element seed equals Spark's 0.0+x1 seed).
+    bits = " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(generate_series(1,{_EMB_DIM}),"
+        f" j -> CAST(embedding[j] AS DOUBLE) * ({plane_lit(planes[i])})[j]),"
+        f" (acc,x) -> acc+x) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_EMB_NBITS)
+    )
+
+    def dot(x, y):
+        return (
+            f"list_reduce(list_transform(generate_series(1,{_EMB_DIM}), "
+            f"j -> CAST({x}[j] AS DOUBLE) * CAST({y}[j] AS DOUBLE)), "
+            "(acc,v) -> acc+v)"
+        )
+
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {bits} AS s FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN sqrt({dot('a.embedding', 'a.embedding')}) > 0
+               AND sqrt({dot('b.embedding', 'b.embedding')}) > 0
+              THEN {dot('a.embedding', 'b.embedding')}
+                   / (sqrt({dot('a.embedding', 'a.embedding')})
+                      * sqrt({dot('b.embedding', 'b.embedding')}))
+              ELSE 0.0 END AS cosine
+  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {_EMB_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1986,6 +2101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q72_token_budget"] = _q_token_budget
     out["q77_stratified_rewrite"] = _q_stratified_rewrite
     out["q78_pack_sequences"] = _q_pack_sequences
+    out["q79_ngram_jaccard"] = _q_ngram_jaccard
+    out["q80_embedding_neardup"] = _q_embedding_neardup
     return _reorder_check_window(out)
 
 
@@ -2024,4 +2141,6 @@ def oracle_sql() -> dict[str, str]:
     out["q56_progressive"] = _progressive_oracle()
     out["q77_stratified_rewrite"] = _stratified_rewrite_oracle()
     out["q78_pack_sequences"] = _PACKING_ORACLE
+    out["q79_ngram_jaccard"] = _NGRAM_JACCARD_ORACLE
+    out["q80_embedding_neardup"] = _embedding_neardup_oracle()
     return out

@@ -118,10 +118,12 @@ def test_check_window_ordering():
         "q42_anti_join": "q75_anti_semi_join",
         "q43_semi_join": "q75_anti_semi_join",
         "q45_date_funcs": "q17_events_hour",
-        # new-in-round-4 operator: window is full; nearest in-window
-        # relative is the token-budget accounting family. The local parity
-        # gate above still hash-checks q78 itself every run.
+        # new-in-round-4 operators: window is full; each maps to its
+        # nearest in-window family member. The local parity gate above
+        # still hash-checks these entries themselves every run.
         "q78_pack_sequences": "q72_token_budget",
+        "q79_ngram_jaccard": "q32_minhash_pairs",
+        "q80_embedding_neardup": "q60_knn_join",
     }
     for name in names[50:]:
         if name in oracled:
