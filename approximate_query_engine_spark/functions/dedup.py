@@ -768,9 +768,13 @@ def embedding_near_duplicates(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup pairs: bucket by hyperplane signature, verify
-    cosine ≥ threshold within buckets. Returns (id_a, id_b, cosine)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sig = df.repartition(par, id_col).select(
+    cosine ≥ threshold within buckets. Returns (id_a, id_b, cosine).
+
+    The signature is computed in the scan projection — no pre-shuffle:
+    the only exchange in the plan is the one the signature-keyed
+    equi-join itself needs (hash by ``_sig``, or a broadcast when one
+    side is small), which is the minimum possible for this operator."""
+    sig = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         hyperplane_signature_expr(vec_col, dim, nbits, seed).alias("_sig"),
