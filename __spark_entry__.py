@@ -1933,31 +1933,43 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_dot(x: str, y: str, dim: int) -> str:
+    """Sequential left-fold dot product in DuckDB SQL — bit-identical to
+    the engine's canonical ``dot_expr`` fold (list_reduce's first-element
+    seed equals Spark's 0.0+x1 seed; probe-verified on the testdata)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1,{dim}), "
+        f"j -> CAST({x}[j] AS DOUBLE) * CAST({y}[j] AS DOUBLE)), "
+        "(acc,v) -> acc+v)"
+    )
+
+
+def _duck_hyperplane_bits(col: str, planes) -> str:
+    """Sign-bit hyperplane signature in DuckDB SQL: same seeded Gaussian
+    hyperplanes as the Spark side (repr() round-trips doubles exactly),
+    same sequential fold as ``hyperplane_signature_expr``."""
+    nbits, dim = planes.shape
+
+    def plane_lit(p):
+        return "[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    return " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(generate_series(1,{dim}),"
+        f" j -> CAST({col}[j] AS DOUBLE) * ({plane_lit(planes[i])})[j]),"
+        f" (acc,x) -> acc+x) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(nbits)
+    )
+
+
 def _embedding_neardup_oracle() -> str:
     import numpy as np
 
     rng = np.random.default_rng(_EMB_SEED)
     planes = rng.standard_normal((_EMB_NBITS, _EMB_DIM))
-
-    def plane_lit(p):
-        return "[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
-
-    # sign-bit signature: same seeded Gaussian hyperplanes as the Spark
-    # side (repr() round-trips doubles exactly), same sequential fold
-    # (list_reduce's first-element seed equals Spark's 0.0+x1 seed).
-    bits = " + ".join(
-        f"(CASE WHEN list_reduce(list_transform(generate_series(1,{_EMB_DIM}),"
-        f" j -> CAST(embedding[j] AS DOUBLE) * ({plane_lit(planes[i])})[j]),"
-        f" (acc,x) -> acc+x) > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(_EMB_NBITS)
-    )
+    bits = _duck_hyperplane_bits("embedding", planes)
 
     def dot(x, y):
-        return (
-            f"list_reduce(list_transform(generate_series(1,{_EMB_DIM}), "
-            f"j -> CAST({x}[j] AS DOUBLE) * CAST({y}[j] AS DOUBLE)), "
-            "(acc,v) -> acc+v)"
-        )
+        return _duck_dot(x, y, _EMB_DIM)
 
     return f"""
 WITH sig AS (
@@ -1973,6 +1985,30 @@ WITH sig AS (
   FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {_EMB_THRESHOLD}
+"""
+
+
+def _lsh_topk_oracle() -> str:
+    """q34 (topk_cosine_lsh, nbits=10, max_hamming=3, k=10, query=vec 0):
+    signature + Hamming prune + exact-cosine order, all replayed in SQL.
+    The query-side signature and norm use the same sequential fold the
+    Spark driver now uses, so candidate sets and ordering agree."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((10, 64))
+    bits_row = _duck_hyperplane_bits("embedding", planes)
+    bits_q = _duck_hyperplane_bits("qe", planes)
+    dot = lambda x, y: _duck_dot(x, y, 64)  # noqa: E731
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT qe, {bits_q} AS q_sig, sqrt({dot('qe', 'qe')}) AS qn FROM q),
+sig AS (SELECT vec_id, embedding, {bits_row} AS s FROM embeddings)
+SELECT vec_id FROM sig, qs
+WHERE bit_count(xor(s, q_sig)) <= 3
+ORDER BY {dot('embedding', 'qe')}
+        / (sqrt({dot('embedding', 'embedding')}) * qn) DESC, vec_id
+LIMIT 10
 """
 
 
@@ -2143,4 +2179,5 @@ def oracle_sql() -> dict[str, str]:
     out["q78_pack_sequences"] = _PACKING_ORACLE
     out["q79_ngram_jaccard"] = _NGRAM_JACCARD_ORACLE
     out["q80_embedding_neardup"] = _embedding_neardup_oracle()
+    out["q34_lsh_topk"] = _lsh_topk_oracle()
     return out

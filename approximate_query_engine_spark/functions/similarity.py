@@ -94,10 +94,17 @@ def topk_cosine_lsh(
     candidates. Recall/latency tuned by nbits and max_hamming."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((nbits, dim))
-    q = np.asarray(list(query_vec), dtype=float)
+    # the query signature uses the SAME sequential left-fold as
+    # hyperplane_signature_expr (not a BLAS dot, whose pairwise summation
+    # can flip a near-zero sign) so driver- and executor-computed
+    # signatures — and any SQL oracle replaying the fold — agree bit-wise
+    q = [float(x) for x in query_vec]
     q_sig = 0
     for i in range(nbits):
-        if float(planes[i] @ q) > 0:
+        acc = 0.0
+        for j in range(dim):
+            acc += q[j] * float(planes[i][j])
+        if acc > 0:
             q_sig |= 1 << i
     sig = hyperplane_signature_expr(vec_col, dim, nbits, seed)
     return (

@@ -124,6 +124,9 @@ def test_check_window_ordering():
         "q78_pack_sequences": "q72_token_budget",
         "q79_ngram_jaccard": "q32_minhash_pairs",
         "q80_embedding_neardup": "q60_knn_join",
+        # upgraded from rows-only to oracled in round 4 (portable
+        # hyperplane-fold oracle); its component family is in-window
+        "q34_lsh_topk": "q28_ann_topk",
     }
     for name in names[50:]:
         if name in oracled:
