@@ -46,6 +46,13 @@ SKETCH_CPU_FACTOR = 1.2
 #: costs more HLL registers).
 MIN_RSD, MAX_RSD = 0.005, 0.4
 
+#: approx_percentile summary size for the quantile sketch path: rank
+#: error is guaranteed <= 1/accuracy, state is O(accuracy) per group.
+QUANTILE_SKETCH_ACCURACY = 10_000
+#: extra per-row cost of exact PERCENTILE's value buffering + final sort
+#: (relative to SCAN_COST_PER_ROW = 1.0)
+QUANTILE_EXACT_BUFFER_COST = 0.5
+
 
 @dataclass
 class Candidate:
@@ -221,8 +228,14 @@ class Planner:
                 )
             return self._filter(out, max_rel_error, forced_strategy)
 
-        if parsed.has_min_max and not (parsed.has_count or parsed.has_sum or parsed.has_avg):
+        if parsed.has_min_max and not (
+            parsed.has_count or parsed.has_sum or parsed.has_avg
+            or parsed.has_quantile
+        ):
             # MIN/MAX-only: not approximable (reference README contract).
+            # Quantiles ARE approximable: the p-th quantile of a uniform
+            # sample estimates the population quantile unscaled, with an
+            # order-statistic CI (rewriter._AggScaler.quantile_ci).
             return self._filter(out, max_rel_error, forced_strategy)
 
         # A WHERE clause shrinks the effective sample to f·N·selectivity;
@@ -233,7 +246,39 @@ class Planner:
         # Stratified sample whose strata definition is covered by the GROUP
         # BY columns (makes the reference's vestigial stratified strategy
         # real; multi-column strata match when every source column appears).
-        if parsed.has_group_by:
+        # Quantile sketch path: approx_percentile keeps O(accuracy) state
+        # per group vs exact PERCENTILE's per-group value buffer — the
+        # scale answer when no sample gets there. Rank error 1/accuracy
+        # maps to a tiny estimated error, so it stays feasible whenever
+        # sampling error would blow the tolerance.
+        if parsed.has_quantile:
+            # Exact PERCENTILE buffers every value per group and sorts at
+            # the end — price that in so the cost ordering reflects the
+            # real state sizes (sample f·N < sketch O(accuracy) < exact
+            # O(values)).
+            out[0].cost += n * QUANTILE_EXACT_BUFFER_COST
+            out[0].reason = (
+                "exact PERCENTILE: per-group value buffer + sort priced in"
+            )
+            out.append(
+                Candidate(
+                    "sketch",
+                    n * SCAN_COST_PER_ROW * SKETCH_CPU_FACTOR
+                    + SKETCH_QUERY_COST,
+                    1.0 / QUANTILE_SKETCH_ACCURACY,
+                    reason=(
+                        "approx_percentile quantile summary "
+                        f"(accuracy={QUANTILE_SKETCH_ACCURACY}, rank error "
+                        f"<= {1.0 / QUANTILE_SKETCH_ACCURACY:.0e})"
+                    ),
+                )
+            )
+
+        # Quantile queries need a UNIFORM design (sampling-invariance does
+        # not survive per-row weights); skipping the weighted candidates
+        # here — rather than letting realize() bail to exact — keeps the
+        # uniform/inline candidates in play for them.
+        if parsed.has_group_by and not parsed.has_quantile:
             group_cols = {
                 _unqualify(g.strip(), parsed.table_alias) for g in parsed.group_by
             }
@@ -254,7 +299,10 @@ class Planner:
         # Measure-biased (PPS) samples: near-optimal for SUM/AVG of the
         # biasing measure; listed before uniform so ties prefer them when a
         # summed expression references the measure column.
-        for s in self.catalog.weighted_samples_for_table(parsed.table):
+        for s in (
+            [] if parsed.has_quantile
+            else self.catalog.weighted_samples_for_table(parsed.table)
+        ):
             # PPS is only safe when EVERY scalable aggregate targets the
             # biasing measure (word-boundary match, not substring): COUNT or
             # sums of other columns have huge variance under these weights,
@@ -349,15 +397,22 @@ class Planner:
                                cost=cand.cost)
         try:
             if cand.strategy == "sketch":
-                rw = rewriter.rewrite_sketch(parsed, cand.error)
+                if parsed.has_quantile and not parsed.has_distinct:
+                    rw = rewriter.rewrite_quantile_sketch(
+                        parsed, QUANTILE_SKETCH_ACCURACY
+                    )
+                else:
+                    rw = rewriter.rewrite_sketch(parsed, cand.error)
             elif cand.strategy == "weighted":
                 rw = rewriter.rewrite_weighted_sample(parsed, cand.sample)
             elif cand.strategy == "stratified":
                 rw = rewriter.rewrite_stratified(parsed, cand.sample)
             elif cand.sample is not None:
-                rw = rewriter.rewrite_uniform_sample(parsed, cand.sample)
+                rw = rewriter.rewrite_uniform_sample(parsed, cand.sample, n_rows=n)
             else:
-                rw = rewriter.rewrite_inline_sample(parsed, cand.inline_fraction, seed)
+                rw = rewriter.rewrite_inline_sample(
+                    parsed, cand.inline_fraction, seed, n_rows=n
+                )
         except rewriter.UnsupportedRewriteError as e:
             return self._exact(sql, parsed.table, f"not approximable: {e}")
         return rewriter.plan_dict(rw, sql, parsed.table, cand.cost, cand.error, cand.reason)

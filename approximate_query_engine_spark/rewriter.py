@@ -102,12 +102,35 @@ def _weight_case_expr(col: str, strata: list, overall_fraction: float) -> str:
 class _AggScaler:
     """Builds scaled select expressions + CI companions for one query."""
 
-    def __init__(self, f_expr: str):
-        # f_expr: SQL expression for the row's inclusion probability
+    def __init__(
+        self,
+        f_expr: str,
+        uniform: bool = True,
+        n_sample_est: float | None = None,
+    ):
+        # f_expr: SQL expression for the row's inclusion probability.
+        # uniform: True when f is one constant for every row (uniform /
+        # inline / systematic designs) — required for quantile rewrites.
+        # n_sample_est: planning-time estimate of the sample row count,
+        # used only to size quantile order-statistic CIs.
         self.f = f_expr
+        self.uniform = uniform
+        self.n_sample_est = n_sample_est
 
     def scaled(self, agg: Aggregate) -> str:
         f = self.f
+        if agg.is_quantile:
+            # Quantiles are invariant under uniform subsampling: the p-th
+            # sample quantile estimates the p-th population quantile with
+            # NO weight scaling. Under per-row weights (stratified / PPS)
+            # that invariance breaks — a weighted quantile would be needed
+            # — so those designs decline and fall back to exact.
+            if not self.uniform:
+                raise UnsupportedRewriteError(
+                    f"{agg.func} requires a uniform sample (per-row "
+                    "weights would need a weighted quantile)"
+                )
+            return agg.raw
         if agg.distinct:
             # No DISTINCT aggregate is scalable on a sample: COUNT(DISTINCT)
             # routes to the sketch path, SUM/AVG(DISTINCT) have no unbiased
@@ -131,6 +154,29 @@ class _AggScaler:
         # MIN/MAX: not scalable; computed on the sample as-is (documented
         # bias — the reference contract marks them "Not Optimized").
         return agg.raw
+
+    def quantile_ci(self, agg: Aggregate) -> tuple[str, str] | None:
+        """Order-statistic CI for a quantile estimate: the rank of the
+        p-th sample quantile is Binomial(n, p), so the 95% band in rank
+        space is n·p ± z·√(n·p(1−p)); mapped back through the sample
+        quantile function that is the pair (Q(p−δ), Q(p+δ)) with
+        δ = z·√(p(1−p)/n). n is the planning-time sample-size estimate
+        (consistent with the engine's planning-time 1/√(f·N) error
+        philosophy — quantile levels must be literals in the query)."""
+        import math as _math
+
+        n = self.n_sample_est
+        if n is None or n <= 1:
+            return None
+        col, p = agg.quantile_args()
+        if p <= 0.0 or p >= 1.0:
+            return None  # extremes degenerate to MIN/MAX: no CI
+        half = Z_95 * _math.sqrt(p * (1.0 - p) / n)
+        p_lo, p_hi = max(0.0, p - half), min(1.0, p + half)
+        return (
+            f"PERCENTILE({col}, {p_lo!r})",
+            f"PERCENTILE({col}, {p_hi!r})",
+        )
 
     def se_expr(self, agg: Aggregate) -> str | None:
         f = self.f
@@ -164,7 +210,9 @@ class _AggScaler:
 
 import re as _re
 
-_AGG_CALL_RE = _re.compile(r"\b(COUNT|SUM|AVG|MIN|MAX)\s*\(", _re.IGNORECASE)
+_AGG_CALL_RE = _re.compile(
+    r"\b(COUNT|SUM|AVG|MIN|MAX|MEDIAN|PERCENTILE)\s*\(", _re.IGNORECASE
+)
 
 
 def _literal_mask(text: str) -> list[bool]:
@@ -231,7 +279,14 @@ def _scale_aggs_in_expr(text: str, scaler: "_AggScaler") -> str:
             distinct=bool(dm),
             raw=call,
         )
-        out.append(call if agg.func in ("MIN", "MAX") else f"({scaler.scaled(agg)})")
+        # MIN/MAX and quantiles pass through: both are computed on the
+        # sample as-is (quantiles are sampling-invariant; MIN/MAX carry the
+        # documented sample bias)
+        out.append(
+            call
+            if agg.func in ("MIN", "MAX", "MEDIAN", "PERCENTILE")
+            else f"({scaler.scaled(agg)})"
+        )
         i = j + 1
     return "".join(out)
 
@@ -276,6 +331,55 @@ def rewrite_sketch(parsed: ParsedQuery, rsd: float) -> RewriteResult:
     )
 
 
+def rewrite_quantile_sketch(
+    parsed: ParsedQuery, accuracy: int = 10_000
+) -> RewriteResult:
+    """MEDIAN/PERCENTILE → ``approx_percentile(col, p, accuracy)``:
+    Spark's native quantile summary (Greenwald–Khanna style) — one pass,
+    partially aggregable, mergeable, no per-group sort state. The scale
+    path for quantiles when no sample table exists: exact PERCENTILE
+    buffers every distinct value per group, approx_percentile keeps
+    O(accuracy) state with rank error ≤ 1/accuracy. CI companions come
+    from the SAME summary evaluated at p ± 1/accuracy (the guaranteed
+    rank band), clamped to [0, 1]."""
+    eps = 1.0 / accuracy
+    select, ci_cols, transforms = [], [], []
+    for it in parsed.select_items:
+        name = it.output_name
+        if it.agg and it.agg.is_quantile:
+            col, p = it.agg.quantile_args()
+            expr = f"approx_percentile({col}, {p!r}, {accuracy})"
+            select.append(f"{expr} AS {_bt(name)}")
+            p_lo, p_hi = max(0.0, p - eps), min(1.0, p + eps)
+            lo = f"approx_percentile({col}, {p_lo!r}, {accuracy})"
+            hi = f"approx_percentile({col}, {p_hi!r}, {accuracy})"
+            select.append(f"{lo} AS {_bt(name + '_ci_low')}")
+            select.append(f"{hi} AS {_bt(name + '_ci_high')}")
+            select.append(
+                f"(({hi}) - ({lo})) / 2.0 / "
+                f"NULLIF(ABS(CAST(({expr}) AS DOUBLE)), 0.0)"
+                f" AS {_bt(name + '_rel_error')}"
+            )
+            ci_cols += [
+                f"{name}_ci_low", f"{name}_ci_high", f"{name}_rel_error",
+            ]
+            transforms.append(
+                f"Rewrote {it.agg.raw} to approx_percentile"
+                f"(accuracy={accuracy}, rank error <= {eps:.2e})"
+            )
+        elif it.alias:
+            select.append(f"{it.raw} AS {_bt(it.alias)}")
+        else:
+            select.append(f"{it.raw} AS {_bt(name)}")
+    out_sql = parsed.render(select_override=select)
+    return RewriteResult(
+        sql=out_sql,
+        plan_type="sketch",
+        transformations=transforms,
+        ci_columns=ci_cols,
+    )
+
+
 def _rewrite_on_weights(
     parsed: ParsedQuery,
     table_expr: str,
@@ -285,12 +389,42 @@ def _rewrite_on_weights(
     fraction: float,
     transforms: list[str],
     extra_where: str | None = None,
+    uniform: bool = True,
+    n_rows: float | None = None,
 ) -> RewriteResult:
-    scaler = _AggScaler(f_expr)
+    n_sample_est = n_rows * fraction if n_rows else None
+    scaler = _AggScaler(f_expr, uniform=uniform, n_sample_est=n_sample_est)
     select, ci_cols = [], []
     for it in parsed.select_items:
         name = it.output_name
-        if it.agg and not (it.agg.func == "COUNT" and it.agg.distinct):
+        if it.agg and it.agg.is_quantile:
+            scaled = scaler.scaled(it.agg)  # raises for non-uniform designs
+            select.append(f"{scaled} AS {_bt(name)}")
+            # The rank-band CI needs the group's sample size and the
+            # PERCENTILE level must be a literal, so the CI is emitted
+            # only for ungrouped queries (where n is the planning-time
+            # sample size). A grouped quantile still returns its
+            # per-group estimate — with no CI rather than one computed
+            # against the wrong n.
+            ci = scaler.quantile_ci(it.agg) if not parsed.group_by else None
+            if ci is not None:
+                lo, hi = ci
+                select.append(f"{lo} AS {_bt(name + '_ci_low')}")
+                select.append(f"{hi} AS {_bt(name + '_ci_high')}")
+                select.append(
+                    f"(({hi}) - ({lo})) / 2.0 / "
+                    f"NULLIF(ABS(CAST(({scaled}) AS DOUBLE)), 0.0)"
+                    f" AS {_bt(name + '_rel_error')}"
+                )
+                ci_cols += [
+                    f"{name}_ci_low", f"{name}_ci_high", f"{name}_rel_error",
+                ]
+                transforms.append(
+                    f"Computed {it.agg.raw} on the sample (quantiles are "
+                    "sampling-invariant); order-statistic 95% CI from the "
+                    f"binomial rank band at n≈{n_sample_est:.0f}"
+                )
+        elif it.agg and not (it.agg.func == "COUNT" and it.agg.distinct):
             scaled = scaler.scaled(it.agg)
             select.append(f"{scaled} AS {_bt(name)}")
             se = scaler.se_expr(it.agg)
@@ -359,7 +493,9 @@ def _rewrite_on_weights(
     )
 
 
-def rewrite_uniform_sample(parsed: ParsedQuery, sample: SampleInfo) -> RewriteResult:
+def rewrite_uniform_sample(
+    parsed: ParsedQuery, sample: SampleInfo, n_rows: float | None = None
+) -> RewriteResult:
     """Table → pre-built uniform sample substitution (the defining rewrite,
     reference planner.py:242 / ml_optimizer.py:227-231), with scaling by the
     catalog's ACHIEVED fraction."""
@@ -371,12 +507,14 @@ def rewrite_uniform_sample(parsed: ParsedQuery, sample: SampleInfo) -> RewriteRe
         f"Scaled COUNT/SUM aggregates by 1/{f:.6f} inside the plan",
     ]
     return _rewrite_on_weights(
-        parsed, sample.sample_table, f_expr, "sample", sample.sample_table, f, transforms
+        parsed, sample.sample_table, f_expr, "sample", sample.sample_table, f,
+        transforms, n_rows=n_rows,
     )
 
 
 def rewrite_inline_sample(
-    parsed: ParsedQuery, fraction: float, seed: int = 42
+    parsed: ParsedQuery, fraction: float, seed: int = 42,
+    n_rows: float | None = None,
 ) -> RewriteResult:
     """No pre-built sample: inject a seeded Bernoulli sampling predicate
     ``rand(seed) < f`` — the direct analog of the reference's inline
@@ -397,12 +535,13 @@ def rewrite_inline_sample(
     ]
     return _rewrite_on_weights(
         parsed, parsed.table, f_expr, "sample", None, fraction, transforms,
-        extra_where=extra,
+        extra_where=extra, n_rows=n_rows,
     )
 
 
 def rewrite_systematic_sample(
-    parsed: ParsedQuery, k: int, key_expr: str
+    parsed: ParsedQuery, k: int, key_expr: str,
+    n_rows: float | None = None,
 ) -> RewriteResult:
     """Deterministic 1-in-``k`` systematic sample: inject the predicate
     ``(key_expr) % k = 0`` and scale by k — the closest Spark analog of the
@@ -428,7 +567,7 @@ def rewrite_systematic_sample(
     ]
     return _rewrite_on_weights(
         parsed, parsed.table, f_expr, "sample", None, fraction, transforms,
-        extra_where=extra,
+        extra_where=extra, n_rows=n_rows,
     )
 
 
@@ -451,6 +590,7 @@ def rewrite_weighted_sample(parsed: ParsedQuery, sample: SampleInfo) -> RewriteR
         sample.sample_table,
         sample.sample_fraction,
         transforms,
+        uniform=False,
     )
 
 
@@ -486,6 +626,7 @@ def rewrite_stratified(parsed: ParsedQuery, sample: SampleInfo) -> RewriteResult
         sample.sample_table,
         sample.sample_fraction,
         transforms,
+        uniform=False,
     )
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN", "PERCENTILE")
 
 # Clause keywords that delimit the top-level structure. Order matters.
 _CLAUSES = ("SELECT", "FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT")
@@ -53,6 +53,33 @@ class Aggregate:
     @property
     def is_star(self) -> bool:
         return self.arg.strip() == "*"
+
+    @property
+    def is_quantile(self) -> bool:
+        return self.func in ("MEDIAN", "PERCENTILE")
+
+    def quantile_args(self) -> tuple[str, float]:
+        """(value expression, percentile level p) for MEDIAN/PERCENTILE.
+        MEDIAN(x) is p=0.5; PERCENTILE(x, p) takes a literal p in [0, 1]
+        (a non-literal p is outside the approximable grammar)."""
+        if self.func == "MEDIAN":
+            return self.arg.strip(), 0.5
+        parts = _split_top_commas(self.arg)
+        if len(parts) != 2:
+            raise UnsupportedQueryError(
+                f"PERCENTILE expects (expr, p): {self.raw}"
+            )
+        try:
+            p = float(parts[1])
+        except ValueError:
+            raise UnsupportedQueryError(
+                f"PERCENTILE level must be a numeric literal: {self.raw}"
+            ) from None
+        if not 0.0 <= p <= 1.0:
+            raise UnsupportedQueryError(
+                f"PERCENTILE level must be in [0, 1]: {self.raw}"
+            )
+        return parts[0].strip(), p
 
 
 @dataclass
@@ -114,6 +141,10 @@ class ParsedQuery:
     @property
     def has_distinct(self) -> bool:
         return any(a.distinct for a in self.aggregates)
+
+    @property
+    def has_quantile(self) -> bool:
+        return self._has("MEDIAN") or self._has("PERCENTILE")
 
     @property
     def has_group_by(self) -> bool:
@@ -249,7 +280,7 @@ def _split_top_commas(text: str) -> list[str]:
 
 
 _AGG_RE = re.compile(
-    r"^(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?(.+)\)\s*$",
+    r"^(COUNT|SUM|AVG|MIN|MAX|MEDIAN|PERCENTILE)\s*\(\s*(DISTINCT\s+)?(.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 

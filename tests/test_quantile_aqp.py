@@ -1,0 +1,130 @@
+"""Quantile AQP (beyond-reference §2.4 extension): MEDIAN / PERCENTILE
+are sampling-invariant under uniform designs — the sample quantile
+estimates the population quantile unscaled, with an order-statistic
+(binomial rank band) 95% CI. Weighted designs (stratified / PPS) decline
+honestly and fall back to exact."""
+
+import pytest
+
+from approximate_query_engine_spark.rewriter import (
+    UnsupportedRewriteError,
+    rewrite_inline_sample,
+    rewrite_systematic_sample,
+)
+from approximate_query_engine_spark.sqlparser import (
+    UnsupportedQueryError,
+    parse,
+)
+
+
+def test_parser_recognizes_quantiles():
+    p = parse(
+        "SELECT MEDIAN(l_quantity) AS med, "
+        "PERCENTILE(l_extendedprice, 0.9) AS p90 FROM lineitem"
+    )
+    assert p.has_quantile
+    med, p90 = p.aggregates
+    assert med.is_quantile and med.quantile_args() == ("l_quantity", 0.5)
+    assert p90.quantile_args() == ("l_extendedprice", 0.9)
+
+
+def test_parser_rejects_bad_percentile_args():
+    p = parse("SELECT PERCENTILE(l_quantity, l_tax) AS x FROM lineitem")
+    with pytest.raises(UnsupportedQueryError):
+        p.aggregates[0].quantile_args()
+    p = parse("SELECT PERCENTILE(l_quantity, 1.5) AS x FROM lineitem")
+    with pytest.raises(UnsupportedQueryError):
+        p.aggregates[0].quantile_args()
+
+
+def test_systematic_k1_is_identity(spark, engine):
+    sql = (
+        "SELECT MEDIAN(l_quantity) AS med, "
+        "PERCENTILE(l_quantity, 0.25) AS q1 FROM lineitem"
+    )
+    exact = spark.sql(sql).collect()[0]
+    rw = rewrite_systematic_sample(parse(sql), k=1, key_expr="l_orderkey")
+    est = spark.sql(rw.sql).collect()[0]
+    assert est["med"] == exact["med"]
+    assert est["q1"] == exact["q1"]
+
+
+def test_uniform_sample_ci_covers_exact_median(spark, engine):
+    sql = "SELECT MEDIAN(l_quantity) AS med FROM lineitem"
+    exact = float(spark.sql(sql).collect()[0]["med"])
+    n = spark.table("lineitem").count()
+    rw = rewrite_inline_sample(parse(sql), fraction=0.2, seed=7, n_rows=n)
+    assert rw.ci_columns == ["med_ci_low", "med_ci_high", "med_rel_error"]
+    row = spark.sql(rw.sql).collect()[0]
+    assert row["med_ci_low"] <= exact <= row["med_ci_high"]
+    # l_quantity is 1..50 so the median band must be sane, not degenerate
+    assert row["med_ci_high"] - row["med_ci_low"] < 10
+
+
+def test_grouped_quantile_estimates_without_ci(spark, engine):
+    sql = (
+        "SELECT l_returnflag, MEDIAN(l_quantity) AS med FROM lineitem "
+        "GROUP BY l_returnflag"
+    )
+    n = spark.table("lineitem").count()
+    rw = rewrite_inline_sample(parse(sql), fraction=0.5, seed=7, n_rows=n)
+    assert rw.ci_columns == []  # per-group n is unknown at planning time
+    rows = spark.sql(rw.sql).collect()
+    assert {r["l_returnflag"] for r in rows} == {"A", "N", "R"}
+    for r in rows:
+        assert 1 <= float(r["med"]) <= 50
+
+
+def test_weighted_designs_decline_quantiles():
+    from approximate_query_engine_spark.catalog import SampleInfo, StratumInfo
+    from approximate_query_engine_spark.rewriter import rewrite_stratified
+
+    p = parse("SELECT MEDIAN(l_quantity) AS med FROM lineitem")
+    si = SampleInfo(
+        table_name="lineitem", sample_table="s", sample_fraction=0.1,
+        target_fraction=0.1, path="", strata_column="l_returnflag",
+        allocation_type="proportional",
+        strata=[StratumInfo(strata_value="A", pop_size=0, sample_size=0,
+                            fraction=0.1, weight=10.0)],
+    )
+    with pytest.raises(UnsupportedRewriteError):
+        rewrite_stratified(p, si)
+
+
+def test_planner_samples_quantile_queries(engine):
+    """A quantile-only query must get a sample plan (not the MIN/MAX
+    exact-only gate), and the engine must execute it end to end."""
+    out = engine.query(
+        "SELECT MEDIAN(l_quantity) AS med FROM lineitem",
+        max_rel_error=0.2,
+    )
+    assert out["status"] == "ok"
+    assert out["plan"]["type"] == "sample"
+    row = out["result"][0]
+    assert row["med_ci_low"] <= row["med"] <= row["med_ci_high"]
+
+
+def test_planner_exact_when_preferred(engine):
+    out = engine.query(
+        "SELECT PERCENTILE(l_quantity, 0.75) AS q3 FROM lineitem",
+        prefer_exact=True,
+    )
+    assert out["status"] == "ok"
+    assert out["plan"]["type"] == "exact"
+    assert float(out["result"][0]["q3"]) == pytest.approx(38.0, abs=13.0)
+
+
+def test_quantile_sketch_strategy(engine):
+    """With a tight error budget the sampling error is infeasible but the
+    approx_percentile rank band is not: the planner must pick the sketch
+    path, and its CI columns must bracket the estimate."""
+    out = engine.query(
+        "SELECT MEDIAN(l_quantity) AS med FROM lineitem",
+        max_rel_error=0.001,
+    )
+    assert out["status"] == "ok"
+    assert out["plan"]["type"] == "sketch"
+    row = out["result"][0]
+    assert row["med_ci_low"] <= row["med"] <= row["med_ci_high"]
+    # accuracy=10k on 6k rows: the summary is effectively exact
+    assert float(row["med"]) == pytest.approx(25.0, abs=3.0)
