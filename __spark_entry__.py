@@ -1988,6 +1988,77 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {_EMB_THRESHOLD}
 """
 
 
+#: q81: quantile AQP over the deterministic 1-in-4 systematic sample
+#: (q21/q76's portable predicate family). The engine's actual
+#: rewrite_systematic_sample runs end to end — quantile estimates ride
+#: unscaled (sampling invariance) and the CI levels p ± z·√(p(1−p)/n)
+#: come from rewriter.quantile_ci_levels. Spark PERCENTILE and DuckDB
+#: quantile_cont share the type-7 convention and were probe-verified
+#: bit-identical on this data (including fractional-cent interpolation),
+#: so every output column hash-matches raw.
+_QUANTILE_SQL = (
+    "SELECT MEDIAN(CAST(l_quantity AS DOUBLE)) AS med, "
+    "PERCENTILE(CAST(l_quantity AS DOUBLE), 0.25) AS q1, "
+    "PERCENTILE(CAST(l_extendedprice AS DOUBLE), 0.9) AS p90 "
+    "FROM lineitem"
+)
+_QUANTILE_KEY = "l_orderkey * 31 + l_linenumber"
+_QUANTILE_K = 4
+
+
+def _q_quantile_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_query_engine_spark.rewriter import (
+        rewrite_systematic_sample,
+    )
+    from approximate_query_engine_spark.sqlparser import parse
+
+    _prep(spark, sf_dir)
+    n = spark.table("lineitem").count()
+    rw = rewrite_systematic_sample(
+        parse(_QUANTILE_SQL), k=_QUANTILE_K, key_expr=_QUANTILE_KEY, n_rows=n
+    )
+    return spark.sql(rw.sql)
+
+
+def _quantile_oracle() -> str:
+    """DuckDB replay of q81: same systematic predicate, quantile_cont at
+    the SAME CI level literals (quantile_ci_levels, n from the sf0.01
+    parquet footer — the driver's correctness SF), same rel_error
+    expression structure."""
+    import pyarrow.parquet as _pq
+
+    from approximate_query_engine_spark.rewriter import quantile_ci_levels
+
+    n = _pq.read_metadata(
+        "/root/testdata/sf0.01/lineitem.parquet"
+    ).num_rows
+    n_est = n * (1.0 / _QUANTILE_K)
+
+    def q(col, p):
+        return f"quantile_cont(CAST({col} AS DOUBLE), {p!r})"
+
+    cols = []
+    for name, col, p in (
+        ("med", "l_quantity", 0.5),
+        ("q1", "l_quantity", 0.25),
+        ("p90", "l_extendedprice", 0.9),
+    ):
+        est = q(col, p)
+        p_lo, p_hi = quantile_ci_levels(p, n_est)
+        lo, hi = q(col, p_lo), q(col, p_hi)
+        cols.append(f"{est} AS {name}")
+        cols.append(f"{lo} AS {name}_ci_low")
+        cols.append(f"{hi} AS {name}_ci_high")
+        cols.append(
+            f"(({hi}) - ({lo})) / 2.0 / "
+            f"NULLIF(ABS(CAST(({est}) AS DOUBLE)), 0.0) AS {name}_rel_error"
+        )
+    return (
+        "SELECT " + ", ".join(cols) + " FROM lineitem "
+        f"WHERE (({_QUANTILE_KEY}) % {_QUANTILE_K}) = 0"
+    )
+
+
 def _lsh_topk_oracle() -> str:
     """q34 (topk_cosine_lsh, nbits=10, max_hamming=3, k=10, query=vec 0):
     signature + Hamming prune + exact-cosine order, all replayed in SQL.
@@ -2139,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q78_pack_sequences"] = _q_pack_sequences
     out["q79_ngram_jaccard"] = _q_ngram_jaccard
     out["q80_embedding_neardup"] = _q_embedding_neardup
+    out["q81_quantile_aqp"] = _q_quantile_systematic
     return _reorder_check_window(out)
 
 
@@ -2180,4 +2252,5 @@ def oracle_sql() -> dict[str, str]:
     out["q79_ngram_jaccard"] = _NGRAM_JACCARD_ORACLE
     out["q80_embedding_neardup"] = _embedding_neardup_oracle()
     out["q34_lsh_topk"] = _lsh_topk_oracle()
+    out["q81_quantile_aqp"] = _quantile_oracle()
     return out

@@ -99,6 +99,19 @@ def _weight_case_expr(col: str, strata: list, overall_fraction: float) -> str:
     return "(CASE " + " ".join(whens) + f" ELSE {else_f} END)"
 
 
+def quantile_ci_levels(p: float, n_est: float) -> tuple[float, float] | None:
+    """The binomial rank band in quantile-level space: (p−δ, p+δ) with
+    δ = z·√(p(1−p)/n), clamped to [0, 1]. Exposed at module level so a
+    value-parity oracle can reproduce the exact literals the rewrite
+    emits (same IEEE ops, same order)."""
+    import math as _math
+
+    if p <= 0.0 or p >= 1.0:
+        return None  # extremes degenerate to MIN/MAX: no CI
+    half = Z_95 * _math.sqrt(p * (1.0 - p) / n_est)
+    return max(0.0, p - half), min(1.0, p + half)
+
+
 class _AggScaler:
     """Builds scaled select expressions + CI companions for one query."""
 
@@ -163,16 +176,14 @@ class _AggScaler:
         δ = z·√(p(1−p)/n). n is the planning-time sample-size estimate
         (consistent with the engine's planning-time 1/√(f·N) error
         philosophy — quantile levels must be literals in the query)."""
-        import math as _math
-
         n = self.n_sample_est
         if n is None or n <= 1:
             return None
         col, p = agg.quantile_args()
-        if p <= 0.0 or p >= 1.0:
-            return None  # extremes degenerate to MIN/MAX: no CI
-        half = Z_95 * _math.sqrt(p * (1.0 - p) / n)
-        p_lo, p_hi = max(0.0, p - half), min(1.0, p + half)
+        levels = quantile_ci_levels(p, n)
+        if levels is None:
+            return None
+        p_lo, p_hi = levels
         return (
             f"PERCENTILE({col}, {p_lo!r})",
             f"PERCENTILE({col}, {p_hi!r})",

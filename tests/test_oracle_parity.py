@@ -127,6 +127,9 @@ def test_check_window_ordering():
         # upgraded from rows-only to oracled in round 4 (portable
         # hyperplane-fold oracle); its component family is in-window
         "q34_lsh_topk": "q28_ann_topk",
+        # quantile AQP rides the systematic-sample family (q76 in-window);
+        # q29 covers exact percentiles
+        "q81_quantile_aqp": "q76_sample_group_ci",
     }
     for name in names[50:]:
         if name in oracled:
