@@ -229,6 +229,13 @@ def main() -> None:
             "big_heavy": exact_sqls["heavy_agg"].replace(
                 "lineitem", "lineitem_big"
             ),
+            # quantile AQP (round-4 extension): exact PERCENTILE buffers
+            # all 30M values; the approx side rides the 1% sample table
+            # (quantiles are sampling-invariant — no scaling, rank-band CI)
+            "big_quantile": (
+                "SELECT PERCENTILE(l_extendedprice, 0.5) AS med_price "
+                "FROM lineitem_big"
+            ),
         }
         if big_ok
         else {}
