@@ -943,6 +943,10 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_real_media_df,
     )
 
+    from approximate_query_engine_spark.functions.jpeg import (
+        encode_jpeg_pixels,
+    )
+
     _prep(spark, sf_dir)
     png_rows = [
         (
@@ -959,14 +963,40 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(5)
     ]
+    # constant-fill baseline JPEGs, alternating grayscale/RGB: an even
+    # offset from 128 survives the /16 DC quantizer exactly (and the
+    # gray-valued RGB rows put Cb/Cr at exactly 128), so the decoded
+    # mean equals the fill value bit-for-bit — the full entropy-decode +
+    # IDCT + color-convert pipeline sits under the driver hash.
+    jpg_rows = [
+        (
+            200 + j,
+            "image",
+            encode_jpeg_pixels(
+                np.full(
+                    (12 + 2 * j, 24 + 4 * j) if j % 2 == 0
+                    else (12 + 2 * j, 24 + 4 * j, 3),
+                    60 + 22 * j,
+                    dtype=np.uint8,
+                )
+            ),
+            "jpg",
+            24 + 4 * j,
+            12 + 2 * j,
+            None,
+        )
+        for j in range(4)
+    ]
     df = make_real_media_df(spark, 12).unionByName(
-        spark.createDataFrame(png_rows, MEDIA_SCHEMA)
+        spark.createDataFrame(png_rows + jpg_rows, MEDIA_SCHEMA)
     )
     decoded = decode_media(df, fake=False)
     return (
         decoded.withColumn(
             "src",
-            F.when(F.col("media_id") >= 100, F.lit("png")).otherwise(F.col("kind")),
+            F.when(F.col("media_id") >= 200, F.lit("jpg"))
+            .when(F.col("media_id") >= 100, F.lit("png"))
+            .otherwise(F.col("kind")),
         )
         .groupBy("src")
         .agg(
@@ -976,7 +1006,7 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 F.sum(F.when(F.col("media_id") >= 100, F.col("payload_mean"))),
                 F.lit(-1.0),
-            ).alias("png_mean_sum"),
+            ).alias("const_mean_sum"),
         )
         .orderBy("src")
     )
@@ -989,7 +1019,10 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ids 100+j (j=0..4) are PNGs of dims (20+4j, 10+2j) filled with the
 #: constant pixel value (37j)%256, encoded with scanline filter type j —
 #: all five unfilter paths sit under the driver hash — and whose decoded
-#: mean is that value exactly.
+#: mean is that value exactly; ids 200+j (j=0..3) are constant-fill
+#: baseline JPEGs of dims (24+4j, 12+2j), fill 60+22j (even offset from
+#: 128 → exact through the DC quantizer; gray-valued RGB → Cb=Cr=128),
+#: alternating grayscale/RGB, decoded mean exactly the fill value.
 _MULTIMODAL_ORACLE = """
 WITH t AS (
   SELECT CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS src,
@@ -1000,10 +1033,13 @@ WITH t AS (
   UNION ALL
   SELECT 'png', 20 + 4 * j, 10 + 2 * j, CAST((37 * j) % 256 AS DOUBLE)
   FROM generate_series(0, 4) g(j)
+  UNION ALL
+  SELECT 'jpg', 24 + 4 * j, 12 + 2 * j, CAST(60 + 22 * j AS DOUBLE)
+  FROM generate_series(0, 3) g(j)
 )
 SELECT src, COUNT(*) AS n,
        CAST(SUM(w) AS BIGINT) AS sum_w, CAST(SUM(h) AS BIGINT) AS sum_h,
-       COALESCE(SUM(m), -1.0) AS png_mean_sum
+       COALESCE(SUM(m), -1.0) AS const_mean_sum
 FROM t GROUP BY src
 """
 

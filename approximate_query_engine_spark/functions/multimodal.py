@@ -4,14 +4,17 @@ Media are opaque ``binary`` columns plus typed metadata, processed by
 Arrow-batched Pandas UDFs via ``mapInPandas`` — the Spark-idiomatic shape
 for per-blob Python work (one Arrow batch per task, never per-row serde).
 
-Decoding is REAL for the formats that need no external codec library:
+Decoding is REAL for every format implementable from spec + stdlib:
 24-bpp BMP and PCM16 WAV are header-described raw arrays parsed with
-struct+numpy (``decode_bmp``/``decode_wav``), and PNG's entropy layer is
+struct+numpy (``decode_bmp``/``decode_wav``); PNG's entropy layer is
 plain DEFLATE, which stdlib ``zlib`` inflates — ``decode_png`` walks the
 chunks, inflates IDAT, and reverses the five scanline filters (8-bit
-gray/RGB/RGBA, non-interlaced). Formats whose codecs are genuinely absent
-(JPEG/MP3/H.264 need PIL/librosa/ffmpeg — NOT in this container) stay
-stubbed: the kernel raises ``NotImplementedError`` unless ``fake=True``,
+gray/RGB/RGBA, non-interlaced); and baseline JPEG is fully decoded in
+pure numpy (``functions/jpeg.py``: marker walk, DQT/DHT from the file,
+canonical Huffman entropy decode, dequantize, IDCT, YCbCr→RGB — 4:4:4
+and grayscale, no progressive/arithmetic/restart). Formats whose codecs
+are genuinely absent (MP3/H.264 need librosa/ffmpeg — NOT in this
+container) stay stubbed: the kernel raises ``NotImplementedError`` unless ``fake=True``,
 in which case a clearly-marked deterministic fake parses our own header
 layout. The Spark-side plumbing — schemas, batch iteration,
 partition sizing, UDF signatures — is identical across real/fake kernels;
@@ -97,8 +100,9 @@ def make_real_media_df(spark, n: int = 20) -> DataFrame:
 # ---------------------------------------------------------------------------
 # real codecs: BMP + WAV need no external libraries — the container has no
 # PIL/librosa/ffmpeg, but these two formats are header-described raw arrays,
-# so the pure-python/numpy parsers below do REAL decoding. Formats that need
-# entropy coding (PNG/JPEG/MP3/...) stay stubbed behind NotImplementedError.
+# so the pure-python/numpy parsers below do REAL decoding. PNG decodes via
+# stdlib zlib (below); baseline JPEG via functions/jpeg.py (pure numpy).
+# Only codec-dependent formats (MP3/H.264) stay stubbed.
 
 
 def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
@@ -291,7 +295,8 @@ def resample_wav(data: bytes, target_rate: int) -> bytes:
 # scanline unfiltering per the five standard filters (PNG spec §9: None,
 # Sub, Up, Average, Paeth). Supported: 8-bit depth, gray/gray+alpha/RGB/
 # RGBA color types, non-interlaced. Palette and interlaced PNGs raise
-# NotImplementedError; JPEG/MP3/H.264 (non-DEFLATE codecs) stay stubbed.
+# NotImplementedError; baseline JPEG decodes via functions/jpeg.py;
+# MP3/H.264 stay stubbed.
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples per pixel
@@ -528,6 +533,11 @@ def _decode_blob(content: bytes, fake: bool) -> tuple[int, int, int, float]:
     if content[:8] == _PNG_MAGIC:
         w, h, mean = decode_png(content)
         return (1, w, h, mean)
+    if content[:3] == b"\xff\xd8\xff":
+        from approximate_query_engine_spark.functions.jpeg import decode_jpeg
+
+        w, h, mean = decode_jpeg(content)
+        return (1, w, h, mean)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         _channels, rate, dur_ms, amp = decode_wav(content)
         return (2, rate, dur_ms, amp)
@@ -537,8 +547,8 @@ def _decode_blob(content: bytes, fake: bool) -> tuple[int, int, int, float]:
         return (kind, w, h, float(payload.mean()) if payload.size else float("nan"))
     raise NotImplementedError(
         "this format needs an external codec (PIL/librosa/ffmpeg), not present "
-        "in this environment; BMP, PNG, and PCM16 WAV decode natively, or pass "
-        "fake=True for the deterministic test decoder"
+        "in this environment; BMP, PNG, baseline JPEG, and PCM16 WAV decode "
+        "natively, or pass fake=True for the deterministic test decoder"
     )
 
 
@@ -574,8 +584,9 @@ def resize_images(
 ) -> DataFrame:
     """Resize every image blob to (target_w, target_h) via ``mapInPandas``
     (Arrow batches, one kernel call per batch — the same production shape
-    as :func:`decode_media`). REAL nearest-neighbor resampling for BMP and
-    PNG; non-image rows pass through with content untouched; other image
+    as :func:`decode_media`). REAL nearest-neighbor resampling for BMP,
+    PNG, and baseline JPEG (JPEG re-encodes lossily, as any JPEG round
+    trip does); non-image rows pass through with content untouched; other image
     formats raise ``NotImplementedError`` (their codecs are not in this
     environment) unless ``fake=True``, in which case FAKEMEDIA blobs get
     their header dims rewritten (payload kept) as the clearly-marked fake.
@@ -597,6 +608,14 @@ def resize_images(
                     contents.append(resize_png(bytes(c), target_w, target_h))
                     widths.append(target_w)
                     heights.append(target_h)
+                elif bytes(c[:3]) == b"\xff\xd8\xff":
+                    from approximate_query_engine_spark.functions.jpeg import (
+                        resize_jpeg,
+                    )
+
+                    contents.append(resize_jpeg(bytes(c), target_w, target_h))
+                    widths.append(target_w)
+                    heights.append(target_h)
                 elif bytes(c[: len(_MAGIC)]) == _MAGIC and fake:
                     kind_b, _w, _h = struct.unpack_from("<BII", bytes(c), len(_MAGIC))
                     head = bytes(c[: len(_MAGIC)]) + struct.pack(
@@ -609,7 +628,8 @@ def resize_images(
                     raise NotImplementedError(
                         "resizing this format needs an external codec "
                         "(PIL/ffmpeg), not present in this environment; "
-                        "BMP and PNG resize natively, or pass fake=True"
+                        "BMP, PNG, and baseline JPEG resize natively, "
+                        "or pass fake=True"
                     )
             yield pd.DataFrame(
                 {
