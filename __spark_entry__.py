@@ -946,6 +946,9 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_query_engine_spark.functions.jpeg import (
         encode_jpeg_pixels,
     )
+    from approximate_query_engine_spark.functions.video import (
+        encode_mjpeg_avi,
+    )
 
     _prep(spark, sf_dir)
     png_rows = [
@@ -987,14 +990,36 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(4)
     ]
+    # constant-fill MJPEG-AVI clips (functions/video.py): the RIFF walk,
+    # per-frame JPEG decode, and first-frame mean all sit under the hash;
+    # fills keep the even-offset quantizer-exact property.
+    avi_rows = [
+        (
+            300 + j,
+            "video",
+            encode_mjpeg_avi(
+                [
+                    np.full((12 + 4 * j, 16 + 8 * j), 70 + 26 * j, dtype=np.uint8)
+                    for _ in range(3 + j)
+                ],
+                fps=3 + j,
+            ),
+            "avi",
+            16 + 8 * j,
+            12 + 4 * j,
+            1000,
+        )
+        for j in range(2)
+    ]
     df = make_real_media_df(spark, 12).unionByName(
-        spark.createDataFrame(png_rows + jpg_rows, MEDIA_SCHEMA)
+        spark.createDataFrame(png_rows + jpg_rows + avi_rows, MEDIA_SCHEMA)
     )
     decoded = decode_media(df, fake=False)
     return (
         decoded.withColumn(
             "src",
-            F.when(F.col("media_id") >= 200, F.lit("jpg"))
+            F.when(F.col("media_id") >= 300, F.lit("avi"))
+            .when(F.col("media_id") >= 200, F.lit("jpg"))
             .when(F.col("media_id") >= 100, F.lit("png"))
             .otherwise(F.col("kind")),
         )
@@ -1022,7 +1047,9 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: mean is that value exactly; ids 200+j (j=0..3) are constant-fill
 #: baseline JPEGs of dims (24+4j, 12+2j), fill 60+22j (even offset from
 #: 128 → exact through the DC quantizer; gray-valued RGB → Cb=Cr=128),
-#: alternating grayscale/RGB, decoded mean exactly the fill value.
+#: alternating grayscale/RGB, decoded mean exactly the fill value; ids
+#: 300+j (j=0..1) are constant-fill MJPEG-AVI clips of frame dims
+#: (16+8j, 12+4j), fill 70+26j, whose first-frame decode mean is exact.
 _MULTIMODAL_ORACLE = """
 WITH t AS (
   SELECT CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS src,
@@ -1036,6 +1063,9 @@ WITH t AS (
   UNION ALL
   SELECT 'jpg', 24 + 4 * j, 12 + 2 * j, CAST(60 + 22 * j AS DOUBLE)
   FROM generate_series(0, 3) g(j)
+  UNION ALL
+  SELECT 'avi', 16 + 8 * j, 12 + 4 * j, CAST(70 + 26 * j AS DOUBLE)
+  FROM generate_series(0, 1) g(j)
 )
 SELECT src, COUNT(*) AS n,
        CAST(SUM(w) AS BIGINT) AS sum_w, CAST(SUM(h) AS BIGINT) AS sum_h,

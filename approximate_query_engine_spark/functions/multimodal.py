@@ -541,6 +541,11 @@ def _decode_blob(content: bytes, fake: bool) -> tuple[int, int, int, float]:
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         _channels, rate, dur_ms, amp = decode_wav(content)
         return (2, rate, dur_ms, amp)
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        from approximate_query_engine_spark.functions.video import decode_avi
+
+        w, h, _n_frames, _dur_ms, mean = decode_avi(content)
+        return (3, w, h, mean)
     if content[: len(_MAGIC)] == _MAGIC and fake:
         kind, w, h = struct.unpack_from("<BII", content, len(_MAGIC))
         payload = np.frombuffer(content[len(_MAGIC) + 9 :], dtype=np.uint8)
@@ -666,9 +671,10 @@ def extract_features(df: DataFrame, dim: int = 8, fake: bool = False) -> DataFra
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling *plan*: one output row per sampled timestamp
-    (the decode of each frame stays stubbed). Pure built-ins: explode a
-    generated timestamp sequence — no Python until the decode kernel."""
+    """Video frame-sampling *plan*: one output row per sampled timestamp,
+    metadata-only (no blob read — check ReadSchema). Pure built-ins:
+    explode a generated timestamp sequence. For the decoding variant over
+    MJPEG-AVI blobs see :func:`sample_video_frames`."""
     return (
         df.filter(F.col("kind") == "video")
         .select(
@@ -678,6 +684,48 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, frame_index int, frame_ts_ms long, frame_mean double"
+)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling over MJPEG-AVI blobs via ``mapInPandas``: one
+    output row per sampled frame with its decoded pixel mean. Only the
+    sampled frames are JPEG-decoded — the RIFF walk skips the rest — so
+    cost scales with frames *kept*, not clip length. Non-video rows are
+    filtered out plan-side before the kernel sees them."""
+    from approximate_query_engine_spark.functions.video import (
+        sample_avi_frames,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, means = [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c is None:
+                    continue
+                for idx, ts_ms, _npx, mean in sample_avi_frames(
+                    bytes(c), every_ms
+                ):
+                    ids.append(mid)
+                    idxs.append(idx)
+                    tss.append(ts_ms)
+                    means.append(mean)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.filter(F.col("kind") == "video").select(
+        "media_id", "content"
+    ).mapInPandas(kernel, schema=FRAME_SAMPLE_SCHEMA)
 
 
 def media_stats(df: DataFrame, include_bytes: bool = False) -> DataFrame:

@@ -1,0 +1,91 @@
+"""MJPEG-AVI video (functions/video.py): RIFF container + per-frame
+baseline JPEG — the video modality with no external codec. Covers the
+codec round trip, selective-decode frame sampling, refusal of non-MJPEG
+streams, and the mapInPandas kernel integration."""
+
+import numpy as np
+import pytest
+
+from approximate_query_engine_spark.functions import multimodal
+from approximate_query_engine_spark.functions.video import (
+    decode_avi,
+    encode_mjpeg_avi,
+    make_gradient_frames,
+    sample_avi_frames,
+)
+
+
+def test_roundtrip_metadata():
+    frames = make_gradient_frames(32, 24, 12, seed=1)
+    avi = encode_mjpeg_avi(frames, fps=10)
+    w, h, n, dur_ms, mean = decode_avi(avi)
+    assert (w, h, n, dur_ms) == (32, 24, 12, 1200)
+    assert 0 <= mean <= 255
+
+
+def test_constant_fill_first_frame_exact():
+    frames = [np.full((16, 20), 60 + 2 * t, dtype=np.uint8) for t in range(5)]
+    avi = encode_mjpeg_avi(frames, fps=5)
+    w, h, n, dur_ms, mean = decode_avi(avi)
+    assert (w, h, n, dur_ms) == (20, 16, 5, 1000)
+    assert mean == 60.0  # even offset from 128: quantizer-exact
+
+
+def test_sampling_decodes_only_sampled_frames():
+    frames = [np.full((8, 8), 100 + 2 * t, dtype=np.uint8) for t in range(10)]
+    avi = encode_mjpeg_avi(frames, fps=10)  # 100 ms/frame
+    out = sample_avi_frames(avi, every_ms=300)
+    assert [(i, ts) for i, ts, _, _ in out] == [(0, 0), (3, 300), (6, 600), (9, 900)]
+    assert [m for _, _, _, m in out] == [100.0, 106.0, 112.0, 118.0]
+
+
+def test_rgb_frames():
+    frames = make_gradient_frames(24, 16, 4, seed=2, channels=3)
+    avi = encode_mjpeg_avi(frames, fps=4)
+    w, h, n, dur_ms, _ = decode_avi(avi)
+    assert (w, h, n, dur_ms) == (24, 16, 4, 1000)
+
+
+def test_non_mjpeg_stream_refused():
+    frames = [np.full((8, 8), 128, dtype=np.uint8)]
+    avi = bytearray(encode_mjpeg_avi(frames, fps=1))
+    idx = bytes(avi).find(b"MJPG")  # first occurrence: strh handler
+    avi[idx : idx + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_avi(bytes(avi))
+
+
+def test_malformed_avi_raises():
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    frames = [np.full((8, 8), 128, dtype=np.uint8)]
+    whole = encode_mjpeg_avi(frames, fps=1)
+    with pytest.raises(ValueError):
+        decode_avi(whole[:40])  # header cut before avih/frames
+
+
+def test_decode_media_kernel_handles_avi(spark):
+    frames = [np.full((12, 20), 90, dtype=np.uint8) for _ in range(3)]
+    rows = [
+        (0, "video", encode_mjpeg_avi(frames, fps=3), "avi", 20, 12, 1000),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.decode_media(df).collect()[0]
+    assert got["decoded_kind"] == 3
+    assert (got["decoded_width"], got["decoded_height"]) == (20, 12)
+    assert got["payload_mean"] == 90.0
+
+
+def test_sample_video_frames_kernel(spark):
+    frames = [np.full((8, 8), 100 + 2 * t, dtype=np.uint8) for t in range(6)]
+    rows = [
+        (7, "video", encode_mjpeg_avi(frames, fps=10), "avi", 8, 8, 600),
+        (8, "image", multimodal.encode_bmp(8, 8, seed=1), "bmp", 8, 8, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.sample_video_frames(df, every_ms=200).collect()
+    assert {r["media_id"] for r in got} == {7}  # image row filtered out
+    by_idx = {r["frame_index"]: r for r in got}
+    assert sorted(by_idx) == [0, 2, 4]
+    assert by_idx[2]["frame_ts_ms"] == 200
+    assert by_idx[4]["frame_mean"] == 108.0
