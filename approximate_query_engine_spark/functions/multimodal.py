@@ -652,19 +652,92 @@ def resize_images(
 FEATURES_SCHEMA = "media_id long, feature array<float>"
 
 
+def _decode_gray(content: bytes) -> "np.ndarray":
+    """Any decodable image/video blob → (h, w) float grayscale in [0, 255]
+    (video: first frame). Shared by the real feature extractor."""
+    if content[:2] == b"BM":
+        _w, _h, px, top_down = _bmp_pixel_rows(content)
+        rows = px.reshape(px.shape[0], -1, 3).astype(np.float64)
+        gray = rows.mean(axis=2)
+        # stored order is bottom-up unless the header says top-down;
+        # features must see the LOGICAL orientation so the same picture
+        # yields the same vector regardless of container
+        return gray if top_down else gray[::-1]
+    if content[:8] == _PNG_MAGIC:
+        _w, _h, _ch, px = _png_pixels(content)
+        return px.astype(np.float64).mean(axis=2)
+    if content[:3] == b"\xff\xd8\xff":
+        from approximate_query_engine_spark.functions.jpeg import _jpeg_pixels
+
+        _w, _h, _ch, px = _jpeg_pixels(content)
+        return px.astype(np.float64).mean(axis=2)
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        from approximate_query_engine_spark.functions.video import _parse_avi
+        from approximate_query_engine_spark.functions.jpeg import _jpeg_pixels
+
+        info = _parse_avi(content)
+        s, e = info.offsets[0]
+        _w, _h, _ch, px = _jpeg_pixels(content[s:e])
+        return px.astype(np.float64).mean(axis=2)
+    raise NotImplementedError("no native decoder for this format")
+
+
+def _pooled_feature(content: bytes, dim: int) -> list[float]:
+    """REAL model-free perceptual descriptor, per modality:
+
+    - image/video: average-pool the grayscale image onto a fixed
+      ``2 × dim/2`` grid and scale to [0, 1] — the classic aHash-family
+      thumbnail feature; near-duplicate images land near each other in
+      cosine space, which is exactly what the ANN / embedding-dedup
+      operators consume downstream.
+    - audio: RMS energy over ``dim`` equal-width windows, scaled by the
+      int16 range — a loudness envelope.
+    """
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        _channels, _rate, pcm = _wav_pcm(content)
+        x = pcm.astype(np.float64)
+        if x.size == 0:
+            return [0.0] * dim
+        bounds = (np.arange(dim + 1) * x.size) // dim
+        return [
+            float(np.sqrt(np.mean(x[bounds[i]:bounds[i + 1]] ** 2)) / 32768.0)
+            if bounds[i + 1] > bounds[i] else 0.0
+            for i in range(dim)
+        ]
+    gray = _decode_gray(content)
+    rows = max(1, 2 if dim % 2 == 0 and dim >= 2 else 1)
+    cols = dim // rows
+    h, w = gray.shape
+    yb = (np.arange(rows + 1) * h) // rows
+    xb = (np.arange(cols + 1) * w) // cols
+    out = []
+    for r in range(rows):
+        for c in range(cols):
+            cell = gray[yb[r]:max(yb[r + 1], yb[r] + 1),
+                        xb[c]:max(xb[c + 1], xb[c] + 1)]
+            out.append(float(cell.mean()) / 255.0)
+    return out
+
+
 def extract_features(df: DataFrame, dim: int = 8, fake: bool = False) -> DataFrame:
-    """Feature-extraction plumbing: blob → fixed-dim float vector.
-    Fake kernel: seeded moments of the payload; a real model swaps in
-    here (batched inference inside the same mapInPandas shape)."""
+    """Feature extraction: blob → fixed-dim float vector, REAL for every
+    natively-decodable format (see :func:`_pooled_feature` — pooled
+    grayscale intensities for image/video, windowed RMS for audio; a
+    learned model swaps into the same batched mapInPandas shape).
+    ``fake=True`` keeps the original seeded-noise kernel for plumbing
+    tests of undecodable blobs."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                if not fake:
-                    raise NotImplementedError("feature extraction is stubbed; fake=True")
-                rng = np.random.default_rng(int(mid))
-                feats.append(rng.standard_normal(dim).astype(np.float32).tolist())
+                if fake:
+                    rng = np.random.default_rng(int(mid))
+                    feats.append(
+                        rng.standard_normal(dim).astype(np.float32).tolist()
+                    )
+                else:
+                    feats.append(_pooled_feature(bytes(c), dim))
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return df.mapInPandas(kernel, schema=FEATURES_SCHEMA)

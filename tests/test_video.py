@@ -89,3 +89,55 @@ def test_sample_video_frames_kernel(spark):
     assert sorted(by_idx) == [0, 2, 4]
     assert by_idx[2]["frame_ts_ms"] == 200
     assert by_idx[4]["frame_mean"] == 108.0
+
+
+def test_extract_features_real_images(spark):
+    """REAL pooled-intensity features: the same picture in different
+    containers (BMP vs PNG vs JPEG) must land at nearly the same vector,
+    and a different picture must not."""
+    from approximate_query_engine_spark.functions.multimodal import (
+        _pooled_feature,
+        encode_bmp_pixels,
+        encode_png_pixels,
+    )
+    from approximate_query_engine_spark.functions.jpeg import (
+        encode_jpeg_pixels,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.clip(80 + 60 * np.sin(xx / 9.0) + 40 * np.cos(yy / 7.0), 0, 255)
+    px = np.stack([img, img, img], axis=-1).astype(np.uint8)
+    other = 255 - px
+
+    # encode_bmp_pixels takes rows in STORED (bottom-up) order, BGR
+    f_bmp = np.array(_pooled_feature(encode_bmp_pixels(px[::-1, :, ::-1]), 8))
+    f_png = np.array(_pooled_feature(encode_png_pixels(px), 8))
+    f_jpg = np.array(_pooled_feature(encode_jpeg_pixels(px), 8))
+    f_other = np.array(_pooled_feature(encode_png_pixels(other), 8))
+    assert np.abs(f_bmp - f_png).max() < 0.01
+    assert np.abs(f_jpg - f_png).max() < 0.03  # lossy but close
+    assert np.abs(f_other - f_png).max() > 0.2  # different image differs
+
+
+def test_extract_features_kernel_all_modalities(spark):
+    from approximate_query_engine_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav_pcm16,
+        extract_features,
+    )
+
+    frames = [np.full((12, 16), 90, dtype=np.uint8) for _ in range(2)]
+    rows = [
+        (0, "image", multimodal.encode_bmp(16, 12, seed=1), "bmp", 16, 12, None),
+        (1, "audio", encode_wav_pcm16(1600, 16000, seed=2), "wav", None, None, 100),
+        (2, "video", encode_mjpeg_avi(frames, fps=2), "avi", 16, 12, 1000),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["feature"] for r in extract_features(df, dim=8).collect()}
+    assert set(got) == {0, 1, 2}
+    for v in got.values():
+        assert len(v) == 8
+    # constant-fill video: every pooled cell is 90/255 (float32 schema)
+    assert all(abs(x - 90.0 / 255.0) < 1e-6 for x in got[2])
+    # audio RMS envelope is bounded
+    assert all(0.0 <= x <= 1.0 for x in got[1])
