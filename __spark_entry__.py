@@ -2125,6 +2125,118 @@ def _quantile_oracle() -> str:
     )
 
 
+#: q82: end-to-end multimodal dedup — media blobs → REAL decode (BMP /
+#: PNG / baseline JPEG round-robin) → pooled-intensity features
+#: (extract_features, fake=False) → hyperplane-LSH embedding near-dup.
+#: Each image is a 2×4 grid of constant 8×8 cells at values {200|196, 2}
+#: (even offsets from 128 → the JPEG DC quantizer is exact; cells align
+#: with both the JPEG block grid and the pooling grid), so the TRUE
+#: feature vector is known in closed form: feature[c] = float32(v_c/255).
+#: Six base patterns each have an intensity-perturbed near-dup
+#: (cos ≈ 0.99999998) while distinct patterns stay ≤ 0.7552 — threshold
+#: 0.9 splits them with a wide margin. The oracle recomputes features
+#: from the formula and replays the LSH + cosine folds, so ANY decode
+#: defect in ANY of the three codecs shifts a feature and breaks the
+#: driver hash.
+_MEDIA_DEDUP_CELLS = [
+    (0, 4, 5, 7), (0, 1, 2, 4), (1, 2, 5, 7),
+    (1, 2, 3, 5), (1, 4, 6, 7), (1, 5, 6, 7),
+]
+_MEDIA_DEDUP_NBITS, _MEDIA_DEDUP_SEED, _MEDIA_DEDUP_THRESHOLD = 6, 11, 0.9
+
+
+def _media_dedup_grid(mid: int) -> list[int]:
+    high = 200 if mid % 2 == 0 else 196
+    cells = _MEDIA_DEDUP_CELLS[mid // 2]
+    return [high if c in cells else 2 for c in range(8)]
+
+
+def _q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.dedup import (
+        embedding_near_duplicates,
+    )
+    from approximate_query_engine_spark.functions.jpeg import (
+        encode_jpeg_pixels,
+    )
+    from approximate_query_engine_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp_pixels,
+        encode_png_pixels,
+        extract_features,
+    )
+
+    _prep(spark, sf_dir)
+    rows = []
+    for mid in range(12):
+        vals = _media_dedup_grid(mid)
+        img = np.zeros((16, 32), dtype=np.uint8)
+        for c, v in enumerate(vals):
+            r, col = c // 4, c % 4
+            img[r * 8 : r * 8 + 8, col * 8 : col * 8 + 8] = v
+        fmt = mid % 3
+        if fmt == 0:  # BMP: stored bottom-up, BGR (gray → identical)
+            rgb = np.repeat(img[:, :, None], 3, axis=2)
+            blob, ext = encode_bmp_pixels(rgb[::-1]), "bmp"
+        elif fmt == 1:
+            rgb = np.repeat(img[:, :, None], 3, axis=2)
+            blob, ext = encode_png_pixels(rgb), "png"
+        else:
+            blob, ext = encode_jpeg_pixels(img), "jpg"
+        rows.append((mid, "image", blob, ext, 32, 16, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    emb = extract_features(df, dim=8).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    return embedding_near_duplicates(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=8,
+        threshold=_MEDIA_DEDUP_THRESHOLD,
+        nbits=_MEDIA_DEDUP_NBITS,
+        seed=_MEDIA_DEDUP_SEED,
+    )
+
+
+def _media_dedup_oracle() -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(_MEDIA_DEDUP_SEED)
+    planes = rng.standard_normal((_MEDIA_DEDUP_NBITS, 8))
+    values = []
+    for mid in range(12):
+        vec = ", ".join(
+            repr(float(np.float32(v / 255.0))) for v in _media_dedup_grid(mid)
+        )
+        values.append(f"({mid}, [{vec}]::DOUBLE[])")
+    bits = _duck_hyperplane_bits("embedding", planes)
+
+    def dot(x, y):
+        return _duck_dot(x, y, 8)
+
+    return f"""
+WITH emb AS (
+  SELECT * FROM (VALUES {", ".join(values)}) t(vec_id, embedding)
+), sig AS (
+  SELECT vec_id, embedding, {bits} AS s FROM emb
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN sqrt({dot('a.embedding', 'a.embedding')}) > 0
+               AND sqrt({dot('b.embedding', 'b.embedding')}) > 0
+              THEN {dot('a.embedding', 'b.embedding')}
+                   / (sqrt({dot('a.embedding', 'a.embedding')})
+                      * sqrt({dot('b.embedding', 'b.embedding')}))
+              ELSE 0.0 END AS cosine
+  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs
+WHERE cosine >= {_MEDIA_DEDUP_THRESHOLD}
+"""
+
+
 def _lsh_topk_oracle() -> str:
     """q34 (topk_cosine_lsh, nbits=10, max_hamming=3, k=10, query=vec 0):
     signature + Hamming prune + exact-cosine order, all replayed in SQL.
@@ -2277,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q79_ngram_jaccard"] = _q_ngram_jaccard
     out["q80_embedding_neardup"] = _q_embedding_neardup
     out["q81_quantile_aqp"] = _q_quantile_systematic
+    out["q82_media_dedup"] = _q_media_dedup
     return _reorder_check_window(out)
 
 
@@ -2319,4 +2432,5 @@ def oracle_sql() -> dict[str, str]:
     out["q80_embedding_neardup"] = _embedding_neardup_oracle()
     out["q34_lsh_topk"] = _lsh_topk_oracle()
     out["q81_quantile_aqp"] = _quantile_oracle()
+    out["q82_media_dedup"] = _media_dedup_oracle()
     return out

@@ -130,6 +130,9 @@ def test_check_window_ordering():
         # quantile AQP rides the systematic-sample family (q76 in-window);
         # q29 covers exact percentiles
         "q81_quantile_aqp": "q76_sample_group_ci",
+        # media decode itself is in-window via q55; q82 chains it into
+        # the feature/LSH dedup pipeline
+        "q82_media_dedup": "q55_multimodal_decode",
     }
     for name in names[50:]:
         if name in oracled:
