@@ -690,17 +690,20 @@ def _pooled_feature(content: bytes, dim: int) -> list[float]:
       thumbnail feature; near-duplicate images land near each other in
       cosine space, which is exactly what the ANN / embedding-dedup
       operators consume downstream.
-    - audio: RMS energy over ``dim`` equal-width windows, scaled by the
-      int16 range — a loudness envelope.
+    - audio: REAL spectral descriptor — mean magnitude of the rfft over
+      ``dim`` equal-width frequency bands (numpy FFT, no DSP library),
+      normalized by the int16 range. Pitch-shifted content separates in
+      this space where a plain loudness envelope cannot.
     """
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         _channels, _rate, pcm = _wav_pcm(content)
         x = pcm.astype(np.float64)
         if x.size == 0:
             return [0.0] * dim
-        bounds = (np.arange(dim + 1) * x.size) // dim
+        mag = np.abs(np.fft.rfft(x / 32768.0)) / max(x.size, 1)
+        bounds = (np.arange(dim + 1) * mag.size) // dim
         return [
-            float(np.sqrt(np.mean(x[bounds[i]:bounds[i + 1]] ** 2)) / 32768.0)
+            float(mag[bounds[i]:bounds[i + 1]].mean())
             if bounds[i + 1] > bounds[i] else 0.0
             for i in range(dim)
         ]

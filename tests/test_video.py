@@ -141,3 +141,31 @@ def test_extract_features_kernel_all_modalities(spark):
     assert all(abs(x - 90.0 / 255.0) < 1e-6 for x in got[2])
     # audio RMS envelope is bounded
     assert all(0.0 <= x <= 1.0 for x in got[1])
+
+
+def test_audio_spectral_features_separate_pitches():
+    """A 440 Hz tone and a 3500 Hz tone at the same loudness must land in
+    different FFT bands — the property an RMS envelope cannot see."""
+    import numpy as np
+
+    from approximate_query_engine_spark.functions.multimodal import (
+        _pooled_feature,
+        encode_wav_pcm16_samples,
+    )
+
+    rate, n = 16000, 8000
+    t = np.arange(n) / rate
+    low = encode_wav_pcm16_samples(
+        (10000 * np.sin(2 * np.pi * 440 * t)).astype("<i2"), rate
+    )
+    high = encode_wav_pcm16_samples(
+        (10000 * np.sin(2 * np.pi * 3500 * t)).astype("<i2"), rate
+    )
+    f_low = np.array(_pooled_feature(low, 8))
+    f_high = np.array(_pooled_feature(high, 8))
+    # band width = nyquist/8 = 1 kHz: 440 Hz → band 0, 3500 Hz → band 3
+    assert int(f_low.argmax()) == 0
+    assert int(f_high.argmax()) == 3
+    # same loudness, different shape: vectors far apart in cosine
+    cos = float(f_low @ f_high / (np.linalg.norm(f_low) * np.linalg.norm(f_high)))
+    assert cos < 0.5
