@@ -946,6 +946,9 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_query_engine_spark.functions.jpeg import (
         encode_jpeg_pixels,
     )
+    from approximate_query_engine_spark.functions.gif import (
+        encode_gif_pixels as encode_gif_pixels_gif,
+    )
     from approximate_query_engine_spark.functions.video import (
         encode_mjpeg_avi,
     )
@@ -1011,14 +1014,32 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(2)
     ]
+    # constant-fill GIFs (functions/gif.py, real LZW): lossless, so ODD
+    # fill values are exact too — no quantizer constraint to design
+    # around, which is itself the property under test.
+    gif_rows = [
+        (
+            400 + j,
+            "image",
+            encode_gif_pixels_gif(
+                np.full((10 + 3 * j, 18 + 6 * j), 45 + 36 * j, dtype=np.uint8)
+            ),
+            "gif",
+            18 + 6 * j,
+            10 + 3 * j,
+            None,
+        )
+        for j in range(3)
+    ]
     df = make_real_media_df(spark, 12).unionByName(
-        spark.createDataFrame(png_rows + jpg_rows + avi_rows, MEDIA_SCHEMA)
+        spark.createDataFrame(png_rows + jpg_rows + avi_rows + gif_rows, MEDIA_SCHEMA)
     )
     decoded = decode_media(df, fake=False)
     return (
         decoded.withColumn(
             "src",
-            F.when(F.col("media_id") >= 300, F.lit("avi"))
+            F.when(F.col("media_id") >= 400, F.lit("gif"))
+            .when(F.col("media_id") >= 300, F.lit("avi"))
             .when(F.col("media_id") >= 200, F.lit("jpg"))
             .when(F.col("media_id") >= 100, F.lit("png"))
             .otherwise(F.col("kind")),
@@ -1049,7 +1070,9 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 128 → exact through the DC quantizer; gray-valued RGB → Cb=Cr=128),
 #: alternating grayscale/RGB, decoded mean exactly the fill value; ids
 #: 300+j (j=0..1) are constant-fill MJPEG-AVI clips of frame dims
-#: (16+8j, 12+4j), fill 70+26j, whose first-frame decode mean is exact.
+#: (16+8j, 12+4j), fill 70+26j, whose first-frame decode mean is exact;
+#: ids 400+j (j=0..2) are constant-fill GIFs of dims (18+6j, 10+3j),
+#: fill 45+36j — odd values allowed, GIF is lossless.
 _MULTIMODAL_ORACLE = """
 WITH t AS (
   SELECT CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS src,
@@ -1066,6 +1089,9 @@ WITH t AS (
   UNION ALL
   SELECT 'avi', 16 + 8 * j, 12 + 4 * j, CAST(70 + 26 * j AS DOUBLE)
   FROM generate_series(0, 1) g(j)
+  UNION ALL
+  SELECT 'gif', 18 + 6 * j, 10 + 3 * j, CAST(45 + 36 * j AS DOUBLE)
+  FROM generate_series(0, 2) g(j)
 )
 SELECT src, COUNT(*) AS n,
        CAST(SUM(w) AS BIGINT) AS sum_w, CAST(SUM(h) AS BIGINT) AS sum_h,

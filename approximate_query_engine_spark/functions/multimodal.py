@@ -538,6 +538,11 @@ def _decode_blob(content: bytes, fake: bool) -> tuple[int, int, int, float]:
 
         w, h, mean = decode_jpeg(content)
         return (1, w, h, mean)
+    if content[:4] == b"GIF8":
+        from approximate_query_engine_spark.functions.gif import decode_gif
+
+        w, h, mean = decode_gif(content)
+        return (1, w, h, mean)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         _channels, rate, dur_ms, amp = decode_wav(content)
         return (2, rate, dur_ms, amp)
@@ -621,6 +626,14 @@ def resize_images(
                     contents.append(resize_jpeg(bytes(c), target_w, target_h))
                     widths.append(target_w)
                     heights.append(target_h)
+                elif bytes(c[:4]) == b"GIF8":
+                    from approximate_query_engine_spark.functions.gif import (
+                        resize_gif,
+                    )
+
+                    contents.append(resize_gif(bytes(c), target_w, target_h))
+                    widths.append(target_w)
+                    heights.append(target_h)
                 elif bytes(c[: len(_MAGIC)]) == _MAGIC and fake:
                     kind_b, _w, _h = struct.unpack_from("<BII", bytes(c), len(_MAGIC))
                     head = bytes(c[: len(_MAGIC)]) + struct.pack(
@@ -670,6 +683,11 @@ def _decode_gray(content: bytes) -> "np.ndarray":
         from approximate_query_engine_spark.functions.jpeg import _jpeg_pixels
 
         _w, _h, _ch, px = _jpeg_pixels(content)
+        return px.astype(np.float64).mean(axis=2)
+    if content[:4] == b"GIF8":
+        from approximate_query_engine_spark.functions.gif import _gif_pixels
+
+        _w, _h, px = _gif_pixels(content)
         return px.astype(np.float64).mean(axis=2)
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         from approximate_query_engine_spark.functions.video import _parse_avi
