@@ -2152,7 +2152,7 @@ def _quantile_oracle() -> str:
 
 
 #: q82: end-to-end multimodal dedup — media blobs → REAL decode (BMP /
-#: PNG / baseline JPEG round-robin) → pooled-intensity features
+#: PNG / baseline JPEG / GIF round-robin) → pooled-intensity features
 #: (extract_features, fake=False) → hyperplane-LSH embedding near-dup.
 #: Each image is a 2×4 grid of constant 8×8 cells at values {200|196, 2}
 #: (even offsets from 128 → the JPEG DC quantizer is exact; cells align
@@ -2162,7 +2162,7 @@ def _quantile_oracle() -> str:
 #: (cos ≈ 0.99999998) while distinct patterns stay ≤ 0.7552 — threshold
 #: 0.9 splits them with a wide margin. The oracle recomputes features
 #: from the formula and replays the LSH + cosine folds, so ANY decode
-#: defect in ANY of the three codecs shifts a feature and breaks the
+#: defect in ANY of the four codecs shifts a feature and breaks the
 #: driver hash.
 _MEDIA_DEDUP_CELLS = [
     (0, 4, 5, 7), (0, 1, 2, 4), (1, 2, 5, 7),
@@ -2202,15 +2202,21 @@ def _q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c, v in enumerate(vals):
             r, col = c // 4, c % 4
             img[r * 8 : r * 8 + 8, col * 8 : col * 8 + 8] = v
-        fmt = mid % 3
+        fmt = mid % 4
         if fmt == 0:  # BMP: stored bottom-up, BGR (gray → identical)
             rgb = np.repeat(img[:, :, None], 3, axis=2)
             blob, ext = encode_bmp_pixels(rgb[::-1]), "bmp"
         elif fmt == 1:
             rgb = np.repeat(img[:, :, None], 3, axis=2)
             blob, ext = encode_png_pixels(rgb), "png"
-        else:
+        elif fmt == 2:
             blob, ext = encode_jpeg_pixels(img), "jpg"
+        else:
+            from approximate_query_engine_spark.functions.gif import (
+                encode_gif_pixels,
+            )
+
+            blob, ext = encode_gif_pixels(img), "gif"
         rows.append((mid, "image", blob, ext, 32, 16, None))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     emb = extract_features(df, dim=8).select(
