@@ -606,7 +606,15 @@ def resize_images(
         for pdf in batches:
             contents, widths, heights = [], [], []
             for kind, c in zip(pdf["kind"], pdf["content"]):
-                if kind != "image" or c is None:
+                if c is not None and kind == "video" and bytes(c[8:12]) == b"AVI ":
+                    from approximate_query_engine_spark.functions.video import (
+                        resize_avi,
+                    )
+
+                    contents.append(resize_avi(bytes(c), target_w, target_h))
+                    widths.append(target_w)
+                    heights.append(target_h)
+                elif kind != "image" or c is None:
                     contents.append(c)
                     widths.append(None)
                     heights.append(None)

@@ -187,6 +187,22 @@ def decode_avi(data: bytes) -> tuple[int, int, int, int, float]:
             float(px.mean()) if px.size else float("nan"))
 
 
+def resize_avi(data: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL nearest-neighbor video resize: every frame decoded,
+    index-sampled, and re-encoded (lossy per frame, like any MJPEG
+    round trip). Frame count and timing are preserved."""
+    info = _parse_avi(data)
+    fps = max(1, round(1_000_000 / info.us_per_frame)) if info.us_per_frame else 1
+    frames = []
+    for s, e in info.offsets:
+        _w, h, ch, px = _jpeg_pixels(data[s:e])
+        yi = (np.arange(target_h) * px.shape[0]) // target_h
+        xi = (np.arange(target_w) * px.shape[1]) // target_w
+        out = np.ascontiguousarray(px[yi][:, xi])
+        frames.append(out[:, :, 0] if ch == 1 else out)
+    return encode_mjpeg_avi(frames, fps=fps)
+
+
 def sample_avi_frames(
     data: bytes, every_ms: int
 ) -> "list[tuple[int, int, int, float]]":

@@ -128,3 +128,16 @@ def test_quantile_sketch_strategy(engine):
     assert row["med_ci_low"] <= row["med"] <= row["med_ci_high"]
     # accuracy=10k on 6k rows: the summary is effectively exact
     assert float(row["med"]) == pytest.approx(25.0, abs=3.0)
+
+
+def test_ml_path_handles_quantiles(engine):
+    """use_ml_optimization must not crash on a quantile query: the
+    reference-verbatim decision tree has no quantile branch (returns
+    'exact' conservatively) and the planner realizes whatever it says."""
+    out = engine.query(
+        "SELECT MEDIAN(l_quantity) AS med FROM lineitem",
+        max_rel_error=0.2,
+        use_ml_optimization=True,
+    )
+    assert out["status"] == "ok"
+    assert float(out["result"][0]["med"]) == pytest.approx(25.0, abs=5.0)

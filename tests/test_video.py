@@ -169,3 +169,24 @@ def test_audio_spectral_features_separate_pitches():
     # same loudness, different shape: vectors far apart in cosine
     cos = float(f_low @ f_high / (np.linalg.norm(f_low) * np.linalg.norm(f_high)))
     assert cos < 0.5
+
+
+def test_resize_avi_all_frames():
+    from approximate_query_engine_spark.functions.video import resize_avi
+
+    frames = [np.full((16, 24), 60 + 2 * t, dtype=np.uint8) for t in range(4)]
+    small = resize_avi(encode_mjpeg_avi(frames, fps=4), 6, 4)
+    w, h, n, dur_ms, mean = decode_avi(small)
+    assert (w, h, n, dur_ms) == (6, 4, 4, 1000)
+    assert mean == 60.0  # constant frames stay quantizer-exact
+    samples = sample_avi_frames(small, every_ms=250)
+    assert [m for _, _, _, m in samples] == [60.0, 62.0, 64.0, 66.0]
+
+
+def test_resize_images_kernel_resizes_video(spark):
+    frames = [np.full((16, 24), 90, dtype=np.uint8) for _ in range(2)]
+    rows = [(0, "video", encode_mjpeg_avi(frames, fps=2), "avi", 24, 16, 1000)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(df, 8, 6).collect()[0]
+    w, h, n, _dur, mean = decode_avi(bytes(out["content"]))
+    assert (w, h, n, mean) == (8, 6, 2, 90.0)
