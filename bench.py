@@ -784,7 +784,9 @@ def main() -> None:
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        # 2 decimals here (4 in the detail file): the summary must stay
+        # inside the driver's log tail with margin
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": payload["sf"],
         "sample_fraction": f,
         "speedups": payload["baseline_comparable_speedups"],
