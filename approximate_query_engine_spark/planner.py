@@ -27,7 +27,11 @@ from pyspark.sql import SparkSession
 
 from approximate_query_engine_spark import rewriter
 from approximate_query_engine_spark.catalog import Catalog, SampleInfo
-from approximate_query_engine_spark.sqlparser import ParsedQuery, try_parse
+from approximate_query_engine_spark.sqlparser import (
+    ParsedQuery,
+    try_parse,
+    try_parse_join,
+)
 
 SCAN_COST_PER_ROW = 1.0
 HASH_COST_PER_GROUP = 2.0
@@ -130,6 +134,13 @@ class Planner:
         """
         parsed = try_parse(sql)
         if parsed is None:
+            jq = try_parse_join(sql)
+            if (
+                jq is not None
+                and not prefer_exact
+                and forced_strategy in (None, "sample")
+            ):
+                return self._plan_join(jq, sql, max_rel_error, seed)
             return self._exact(sql, None, "query outside approximable grammar "
                                "(joins/subqueries/set-ops execute exactly)")
 
@@ -416,6 +427,69 @@ class Planner:
         except rewriter.UnsupportedRewriteError as e:
             return self._exact(sql, parsed.table, f"not approximable: {e}")
         return rewriter.plan_dict(rw, sql, parsed.table, cand.cost, cand.error, cand.reason)
+
+    def _plan_join(
+        self, jq, sql: str, max_rel_error: float, seed: int
+    ) -> dict[str, Any]:
+        """Join-level AQP (beyond-reference): for an inner star join with
+        scalable aggregates, sample the FACT side — the largest table by
+        catalog stats — inside the join and apply the standard HT
+        scaling. One-sided sampling keeps per-output-row inclusion
+        probabilities exact for ANY aggregated column (each output row
+        descends from exactly one fact row), so dims stay exact and
+        still broadcast. Declines (→ exact) when: no aggregates, any
+        DISTINCT aggregate, no stats for every table, or the fact is too
+        small for sampling to pay."""
+        if not jq.is_aggregate_query or jq.has_distinct:
+            return self._exact(
+                sql, jq.tables[0][0],
+                "join with non-scalable select list: exact",
+            )
+        sizes = {}
+        for name, _alias in jq.tables:
+            n = self.table_row_count(name, allow_scan=False)
+            if n is None:
+                return self._exact(
+                    sql, jq.tables[0][0],
+                    f"no table statistics for {name}: exact join",
+                )
+            sizes[name] = n
+        fact = max(sizes, key=sizes.get)
+        n_fact = sizes[fact]
+        sel = WHERE_SELECTIVITY_DEFAULT if jq.where else 1.0
+        f = inline_fraction_for(n_fact, max_rel_error, selectivity=sel)
+        err = sampling_error(n_fact, f, sel)
+        cands = [
+            Candidate(
+                "exact",
+                exact_cost(n_fact, jq.has_group_by)
+                + sum(v for k, v in sizes.items() if k != fact),
+                0.0,
+                reason="exact join, zero error",
+            ),
+            Candidate(
+                "sample",
+                sample_cost(n_fact, f)
+                + sum(v for k, v in sizes.items() if k != fact),
+                err,
+                inline_fraction=f,
+                reason=(
+                    f"fact-side sample inside the join (fact={fact}, "
+                    f"n={n_fact}, f={f:.4f}; dims exact)"
+                ),
+            ),
+        ]
+        best = min(self._filter(cands, max_rel_error, None), key=lambda c: c.cost)
+        if best.strategy == "exact":
+            return self._exact(sql, fact, best.reason, cost=best.cost)
+        try:
+            rw = rewriter.rewrite_join_fact_sample(
+                jq, fact, fraction=best.inline_fraction, seed=seed,
+                n_rows=n_fact,
+            )
+        except rewriter.UnsupportedRewriteError as e:
+            return self._exact(sql, fact, f"not approximable: {e}")
+        return rewriter.plan_dict(rw, sql, fact, best.cost, best.error, best.reason)
 
     def _exact(
         self, sql: str, table: str | None, reason: str, cost: float | None = None

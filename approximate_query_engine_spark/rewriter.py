@@ -391,20 +391,13 @@ def rewrite_quantile_sketch(
     )
 
 
-def _rewrite_on_weights(
-    parsed: ParsedQuery,
-    table_expr: str,
-    f_expr: str,
-    plan_type: str,
-    sample_table: str | None,
-    fraction: float,
-    transforms: list[str],
-    extra_where: str | None = None,
-    uniform: bool = True,
-    n_rows: float | None = None,
-) -> RewriteResult:
-    n_sample_est = n_rows * fraction if n_rows else None
-    scaler = _AggScaler(f_expr, uniform=uniform, n_sample_est=n_sample_est)
+def _scaled_select(
+    parsed: ParsedQuery, scaler: _AggScaler, transforms: list[str]
+) -> tuple[list[str], list[str]]:
+    """The scaled select list + CI companion column names — shared by the
+    single-table weighted rewrites and the join-level fact-sample
+    rewrite (the HT expressions are identical in both shapes)."""
+    n_sample_est = scaler.n_sample_est
     select, ci_cols = [], []
     for it in parsed.select_items:
         name = it.output_name
@@ -452,23 +445,24 @@ def _rewrite_on_weights(
             select.append(f"{it.raw} AS {_bt(it.alias)}")
         else:
             select.append(f"{it.raw} AS {_bt(name)}")
+    return select, ci_cols
 
-    # Scale aggregate CALLS inside HAVING (the rewritten query groups over
-    # sample rows; an unscaled HAVING COUNT(*) > K would compare
-    # sample-level counts against full-table thresholds). A balanced-paren
-    # scanner handles case/whitespace variants and HAVING-only aggregates;
-    # alias references need no rewriting — Spark resolves them against the
-    # already-scaled output column.
+
+def _scaled_having_order(
+    parsed: ParsedQuery, scaler: _AggScaler
+) -> tuple[str | None, list[OrderItem]]:
+    """Scale aggregate CALLS inside HAVING (the rewritten query groups
+    over sample rows; an unscaled HAVING COUNT(*) > K would compare
+    sample-level counts against full-table thresholds) and ORDER BY
+    (a raw aggregate there would rank groups by unscaled sample-level
+    values — wrong top-k under per-row weights). An ORDER BY aggregate
+    matching a select item sorts by that item's output alias (already
+    scaled); other aggregates are scaled in place; ordinals and alias
+    references pass through untouched."""
     having = parsed.having
     if having:
         having = _scale_aggs_in_expr(having, scaler)
-    # ORDER BY has the same hazard as HAVING: a raw aggregate there would
-    # rank groups by unscaled sample-level values while the projected
-    # columns carry weighted estimates — wrong top-k under per-row weights.
-    # An aggregate matching a select item sorts by that item's output alias
-    # (already scaled; also sidesteps a Spark analyzer corner with
-    # aggregate expressions under same-name aliases); other aggregates are
-    # scaled in place. Ordinals and alias references pass through untouched.
+
     def _norm(t: str) -> str:
         return _re.sub(r"\s+", "", t).upper()
 
@@ -477,6 +471,7 @@ def _rewrite_on_weights(
         for it in parsed.select_items
         if it.agg is not None
     }
+
     def _order_expr(expr: str) -> str:
         alias = by_raw.get(_norm(expr))
         if alias is not None:
@@ -484,6 +479,25 @@ def _rewrite_on_weights(
         return _scale_aggs_in_expr(expr, scaler)
 
     order_by = [OrderItem(_order_expr(o.expr), o.desc) for o in parsed.order_by]
+    return having, order_by
+
+
+def _rewrite_on_weights(
+    parsed: ParsedQuery,
+    table_expr: str,
+    f_expr: str,
+    plan_type: str,
+    sample_table: str | None,
+    fraction: float,
+    transforms: list[str],
+    extra_where: str | None = None,
+    uniform: bool = True,
+    n_rows: float | None = None,
+) -> RewriteResult:
+    n_sample_est = n_rows * fraction if n_rows else None
+    scaler = _AggScaler(f_expr, uniform=uniform, n_sample_est=n_sample_est)
+    select, ci_cols = _scaled_select(parsed, scaler, transforms)
+    having, order_by = _scaled_having_order(parsed, scaler)
     rendered = ParsedQuery(
         select_items=parsed.select_items,
         table=table_expr,
@@ -579,6 +593,86 @@ def rewrite_systematic_sample(
     return _rewrite_on_weights(
         parsed, parsed.table, f_expr, "sample", None, fraction, transforms,
         extra_where=extra, n_rows=n_rows,
+    )
+
+
+def rewrite_join_fact_sample(
+    jq,
+    fact_table: str,
+    fraction: float | None = None,
+    seed: int = 42,
+    n_rows: float | None = None,
+    k: int | None = None,
+    key_expr: str | None = None,
+) -> RewriteResult:
+    """Join-level AQP through the SQL surface (beyond-reference; the
+    programmatic analog is operators/approx_join.py): replace the FACT
+    side of an inner star join with a sampled subquery and scale the
+    aggregates by 1/f. Sampling one side only keeps per-output-row
+    inclusion probabilities exact — every join-output row descends from
+    exactly one fact row — so the SAME Horvitz–Thompson expressions as
+    the single-table rewrite apply to aggregates over ANY column, dim or
+    fact. Dims stay exact and still broadcast.
+
+    Pass ``fraction`` for the seeded Bernoulli predicate, or ``k`` +
+    ``key_expr`` for the deterministic 1-in-k systematic variant (the
+    engine-reproducible form used by the oracle contract). The sampling
+    predicate — including ``key_expr`` — evaluates INSIDE the fact
+    subquery, so it must reference unqualified fact column names. At 100 TB
+    this is the rewrite that cuts the fact scan AND the join shuffle by
+    1/f; the sampling predicate sits inside the fact subquery, so it
+    filters BEFORE the join, never after."""
+    if k is not None:
+        if k < 1:
+            raise UnsupportedRewriteError(f"systematic sample k={k} must be >= 1")
+        if not key_expr:
+            raise UnsupportedRewriteError("systematic join sample needs key_expr")
+        fraction = 1.0 / k
+        pred = f"(({key_expr}) % {k}) = 0"
+        transforms = [
+            f"Sampled fact table {fact_table} with deterministic "
+            f"({key_expr}) % {k} = 0 inside the join",
+            f"Scaled aggregates by {k} with Horvitz-Thompson weights",
+        ]
+    else:
+        if fraction is None:
+            raise UnsupportedRewriteError("join sample needs fraction or k")
+        pred = f"rand({seed}) < CAST({fraction!r} AS DOUBLE)"
+        transforms = [
+            f"Sampled fact table {fact_table} with rand({seed}) < "
+            f"{fraction!r} inside the join (pre-join, scan-side)",
+            f"Scaled aggregates by 1/{fraction:.6f} with "
+            "Horvitz-Thompson weights",
+        ]
+    for agg in jq.aggregates:
+        if agg.distinct:
+            raise UnsupportedRewriteError(
+                f"{agg.func}(DISTINCT ...) is not approximable by sampling"
+            )
+    f_expr = f"CAST({fraction!r} AS DOUBLE)"
+    n_sample_est = n_rows * fraction if n_rows else None
+    scaler = _AggScaler(f_expr, uniform=True, n_sample_est=n_sample_est)
+    select, ci_cols = _scaled_select(jq, scaler, transforms)
+    having, order_by = _scaled_having_order(jq, scaler)
+    from_override = jq.from_with_sampled(fact_table, pred)
+    rendered = type(jq)(
+        select_items=jq.select_items,
+        table=jq.table,
+        table_alias=jq.table_alias,
+        where=jq.where,
+        group_by=jq.group_by,
+        having=having,
+        order_by=order_by,
+        limit=jq.limit,
+        tables=jq.tables,
+        from_body=jq.from_body,
+    ).render(select_override=select, from_override=from_override)
+    return RewriteResult(
+        sql=rendered,
+        plan_type="sample",
+        sample_fraction=fraction,
+        transformations=transforms,
+        ci_columns=ci_cols,
     )
 
 

@@ -419,3 +419,195 @@ def try_parse(sql: str) -> ParsedQuery | None:
         return parse(sql)
     except ParseError:
         return None
+
+
+# ---------------------------------------------------------------------------
+# star joins (beyond-reference: join-level AQP through the SQL surface)
+
+
+@dataclass
+class JoinedQuery(ParsedQuery):
+    """A restricted inner-join query: ``FROM t0 [a0] JOIN t1 [a1] ON c1
+    [JOIN t2 [a2] ON c2]*``. Inherits the select/where/group/having
+    machinery from :class:`ParsedQuery`; ``table`` is unused (the FROM
+    body is the join expression). Sampling ONE designated table (the
+    fact) gives every join-output row the same inclusion probability —
+    each output row descends from exactly one fact row — so the generic
+    Horvitz–Thompson scaling applies to aggregates over ANY column."""
+
+    #: [(table_name, alias_or_None)] in FROM order; tables[0] is t0
+    tables: list = field(default_factory=list)
+    #: the original FROM body text
+    from_body: str = ""
+
+    def alias_of(self, table: str) -> str:
+        for name, alias in self.tables:
+            if name == table:
+                return alias or name
+        raise KeyError(table)
+
+    def from_with_sampled(self, table: str, predicate: str) -> str:
+        """The FROM body with ``table``'s reference replaced by a sampled
+        subquery keeping its alias (so qualified references resolve)."""
+        for name, alias in self.tables:
+            if name != table:
+                continue
+            if alias:
+                pat = re.compile(
+                    rf"\b{re.escape(name)}(\s+AS)?\s+{re.escape(alias)}\b",
+                    re.IGNORECASE,
+                )
+            else:
+                pat = re.compile(rf"\b{re.escape(name)}\b")
+            sub = f"(SELECT * FROM {name} WHERE {predicate}) {alias or name}"
+            out, n_subs = pat.subn(sub, self.from_body, count=1)
+            if n_subs != 1:
+                raise ParseError(f"could not locate {table} in FROM body")
+            return out
+        raise KeyError(table)
+
+    def render(
+        self,
+        table_override: str | None = None,
+        select_override: list[str] | None = None,
+        extra_where: str | None = None,
+        from_override: str | None = None,
+    ) -> str:
+        if select_override is not None:
+            sel = ", ".join(select_override)
+        else:
+            sel = ", ".join(
+                f"{it.raw} AS {it.alias}" if it.alias else it.raw
+                for it in self.select_items
+            )
+        sql = f"SELECT {sel} FROM {from_override or self.from_body}"
+        where = self.where
+        if extra_where:
+            where = f"({where}) AND ({extra_where})" if where else extra_where
+        if where:
+            sql += f" WHERE {where}"
+        if self.group_by:
+            sql += " GROUP BY " + ", ".join(self.group_by)
+        if self.having:
+            sql += f" HAVING {self.having}"
+        if self.order_by:
+            sql += " ORDER BY " + ", ".join(o.render() for o in self.order_by)
+        if self.limit is not None:
+            sql += f" LIMIT {self.limit}"
+        return sql
+
+
+_JOIN_VARIANT_RE = re.compile(
+    r"\b(LEFT|RIGHT|FULL|CROSS|SEMI|ANTI|OUTER|NATURAL|LATERAL)\b",
+    re.IGNORECASE,
+)
+_OTHER_UNSUPPORTED_RE = re.compile(
+    r"\b(UNION|INTERSECT|EXCEPT|WITH|OVER|WINDOW)\b", re.IGNORECASE
+)
+
+
+def _parse_table_ref(text: str) -> tuple[str, str | None]:
+    toks = text.split()
+    if len(toks) == 1 and _IDENT_RE.match(toks[0]):
+        return toks[0], None
+    if (
+        len(toks) == 2
+        and _IDENT_RE.match(toks[0])
+        and _IDENT_RE.match(toks[1])
+        and toks[1].upper() != "AS"
+    ):
+        return toks[0], toks[1]
+    if (
+        len(toks) == 3
+        and _IDENT_RE.match(toks[0])
+        and toks[1].upper() == "AS"
+        and _IDENT_RE.match(toks[2])
+    ):
+        return toks[0], toks[2]
+    raise UnsupportedQueryError(f"unsupported table reference: {text!r}")
+
+
+def parse_join(sql: str) -> JoinedQuery:
+    """Parse a restricted INNER star-join query. Raises
+    :class:`UnsupportedQueryError` outside the grammar (outer/cross
+    variants, set ops, subqueries) — callers execute those exactly."""
+    sql = _strip_comments(sql).strip().rstrip(";").strip()
+    if not sql:
+        raise ParseError("empty query")
+    top_chars = "".join(c for _, c in _scan_top_level(sql))
+    if _OTHER_UNSUPPORTED_RE.search(top_chars):
+        raise UnsupportedQueryError("set-ops/CTEs/windows are exact-only")
+    if _JOIN_VARIANT_RE.search(top_chars):
+        raise UnsupportedQueryError(
+            "only plain INNER JOIN is approximable; other variants are "
+            "exact-only"
+        )
+    if not re.search(r"\bJOIN\b", top_chars, re.IGNORECASE):
+        raise UnsupportedQueryError("not a join query")
+
+    spans = _find_clause_spans(sql)
+    clauses = {}
+    for clause, s, e in spans:
+        if clause in clauses:
+            raise UnsupportedQueryError(f"duplicate {clause} clause")
+        clauses[clause] = sql[s:e].strip()
+    if "SELECT" not in clauses or "FROM" not in clauses:
+        raise UnsupportedQueryError("only SELECT ... FROM ... is supported")
+
+    from_body = clauses["FROM"]
+    if "(" in from_body or "," in from_body:
+        raise UnsupportedQueryError("subquery/comma FROM is exact-only")
+    segments = re.split(r"\bJOIN\b", from_body, flags=re.IGNORECASE)
+    if re.search(r"\bINNER\s*$", segments[0], re.IGNORECASE):
+        segments[0] = re.sub(r"\bINNER\s*$", "", segments[0], flags=re.IGNORECASE)
+    tables = [_parse_table_ref(segments[0].strip())]
+    for seg in segments[1:]:
+        seg = re.sub(r"\bINNER\s*$", "", seg, flags=re.IGNORECASE)
+        m = re.search(r"\bON\b", seg, re.IGNORECASE)
+        if not m:
+            raise UnsupportedQueryError("JOIN without ON is exact-only")
+        tables.append(_parse_table_ref(seg[: m.start()].strip()))
+
+    select_items = [
+        _parse_select_item(t) for t in _split_top_commas(clauses["SELECT"])
+    ]
+    if not select_items:
+        raise ParseError("empty select list")
+    group_by = (
+        _split_top_commas(clauses["GROUP BY"]) if "GROUP BY" in clauses else []
+    )
+    order_by = []
+    for t in _split_top_commas(clauses.get("ORDER BY", "")):
+        mo = re.match(r"^(.*?)\s+(ASC|DESC)\s*$", t, re.IGNORECASE | re.DOTALL)
+        if mo:
+            order_by.append(
+                OrderItem(mo.group(1).strip(), mo.group(2).upper() == "DESC")
+            )
+        else:
+            order_by.append(OrderItem(t))
+    limit = None
+    if "LIMIT" in clauses:
+        body = clauses["LIMIT"].strip()
+        if not body.isdigit():
+            raise UnsupportedQueryError(f"unsupported LIMIT: {body!r}")
+        limit = int(body)
+    return JoinedQuery(
+        select_items=select_items,
+        table=tables[0][0],
+        table_alias=tables[0][1],
+        where=clauses.get("WHERE"),
+        group_by=group_by,
+        having=clauses.get("HAVING"),
+        order_by=order_by,
+        limit=limit,
+        tables=tables,
+        from_body=from_body,
+    )
+
+
+def try_parse_join(sql: str) -> JoinedQuery | None:
+    """Best-effort star-join parse; None → exact pass-through."""
+    try:
+        return parse_join(sql)
+    except ParseError:
+        return None

@@ -1,0 +1,136 @@
+"""Join-level AQP through the SQL surface (beyond-reference): the
+planner samples the FACT side of an inner star join and applies the
+standard Horvitz–Thompson scaling. One-sided sampling keeps inclusion
+probabilities exact per join-output row, so aggregates over ANY column
+(fact or dim) scale correctly; all join variants other than plain INNER
+stay exact-only."""
+
+import math
+
+import pytest
+
+from approximate_query_engine_spark.rewriter import (
+    UnsupportedRewriteError,
+    rewrite_join_fact_sample,
+)
+from approximate_query_engine_spark.sqlparser import (
+    UnsupportedQueryError,
+    parse_join,
+    try_parse_join,
+)
+
+JOIN_SQL = (
+    "SELECT o.o_orderstatus, COUNT(*) AS n_items, "
+    "SUM(l.l_extendedprice) AS rev "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o.o_orderstatus"
+)
+
+
+def test_parse_join_shapes():
+    jq = parse_join(JOIN_SQL)
+    assert jq.tables == [("lineitem", "l"), ("orders", "o")]
+    assert jq.has_group_by and jq.has_count and jq.has_sum
+    jq3 = parse_join(
+        "SELECT c.c_mktsegment, COUNT(*) AS n FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    )
+    assert [t for t, _ in jq3.tables] == ["lineitem", "orders", "customer"]
+
+
+def test_join_variants_are_exact_only():
+    for bad in (
+        "SELECT COUNT(*) AS n FROM a LEFT JOIN b ON a.x = b.x",
+        "SELECT COUNT(*) AS n FROM a CROSS JOIN b",
+        "SELECT COUNT(*) AS n FROM a JOIN b",  # no ON
+        "SELECT COUNT(*) AS n FROM (SELECT * FROM a) s JOIN b ON s.x = b.x",
+    ):
+        assert try_parse_join(bad) is None or pytest.raises(
+            UnsupportedQueryError
+        )
+        with pytest.raises(UnsupportedQueryError):
+            parse_join(bad)
+
+
+def test_full_fraction_join_rewrite_is_identity(spark, engine):
+    exact = {
+        r["o.o_orderstatus"] if "o.o_orderstatus" in r.asDict() else r[0]: (
+            r["n_items"], float(r["rev"])
+        )
+        for r in spark.sql(JOIN_SQL).collect()
+    }
+    jq = parse_join(JOIN_SQL)
+    rw = rewrite_join_fact_sample(jq, "lineitem", fraction=1.0, seed=3)
+    got = {r[0]: (r["n_items"], float(r["rev"])) for r in spark.sql(rw.sql).collect()}
+    assert set(got) == set(exact)
+    for k, (n, rev) in exact.items():
+        assert got[k][0] == n
+        assert math.isclose(got[k][1], rev, rel_tol=1e-9)
+
+
+def test_sampled_join_estimates_with_ci(spark, engine):
+    exact = {r[0]: r["n_items"] for r in spark.sql(JOIN_SQL).collect()}
+    jq = parse_join(JOIN_SQL)
+    rw = rewrite_join_fact_sample(jq, "lineitem", fraction=0.2, seed=11)
+    assert "n_items_ci_low" in rw.sql and "rev_ci_low" in rw.sql
+    rows = spark.sql(rw.sql).collect()
+    for r in rows:
+        true_n = exact[r[0]]
+        assert r["n_items_ci_low"] <= true_n <= r["n_items_ci_high"], r
+        assert abs(r["n_items"] - true_n) / true_n < 0.25
+
+
+def test_dim_column_aggregates_scale_correctly(spark, engine):
+    """SUM over a DIM column is also HT-valid under fact-side sampling
+    (each output row has inclusion probability f regardless of which
+    side the summed column lives on)."""
+    sql = (
+        "SELECT SUM(o.o_totalprice) AS tot FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    )
+    exact = float(spark.sql(sql).collect()[0]["tot"])
+    jq = parse_join(sql)
+    rw = rewrite_join_fact_sample(jq, "lineitem", fraction=0.25, seed=5)
+    row = spark.sql(rw.sql).collect()[0]
+    assert abs(float(row["tot"]) - exact) / exact < 0.1
+    assert row["tot_ci_low"] <= exact <= row["tot_ci_high"]
+
+
+def test_systematic_join_rewrite_deterministic(spark, engine):
+    jq = parse_join(JOIN_SQL)
+    # key_expr evaluates INSIDE the fact subquery: unqualified columns
+    rw = rewrite_join_fact_sample(
+        jq, "lineitem", k=4, key_expr="l_orderkey * 31 + l_linenumber"
+    )
+    a = sorted(tuple(r) for r in spark.sql(rw.sql).collect())
+    b = sorted(tuple(r) for r in spark.sql(rw.sql).collect())
+    assert a == b  # pure function of the data
+
+
+def test_planner_plans_fact_sample_for_joins(engine):
+    """With stats for both tables the planner must choose the fact-side
+    sample and execute end to end; DISTINCT joins and missing stats fall
+    back to exact."""
+    engine.planner.table_row_count("lineitem")
+    engine.planner.table_row_count("orders")
+    out = engine.query(JOIN_SQL, max_rel_error=0.1)
+    assert out["status"] == "ok"
+    assert out["plan"]["type"] == "sample"
+    assert "fact=lineitem" in out["plan"]["reason"]
+    assert len(out["result"]) >= 2
+
+    out2 = engine.query(
+        "SELECT COUNT(DISTINCT l.l_orderkey) AS n FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey",
+        max_rel_error=0.1,
+    )
+    assert out2["status"] == "ok"
+    assert out2["plan"]["type"] == "exact"
+
+
+def test_planner_prefer_exact_join(engine):
+    out = engine.query(JOIN_SQL, prefer_exact=True)
+    assert out["status"] == "ok"
+    assert out["plan"]["type"] == "exact"
