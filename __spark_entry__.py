@@ -2269,6 +2269,68 @@ WHERE cosine >= {_MEDIA_DEDUP_THRESHOLD}
 """
 
 
+#: q83: join-level AQP through the SQL surface (rewriter.
+#: rewrite_join_fact_sample, planner._plan_join) — the engine's actual
+#: join rewrite runs end to end with the deterministic 1-in-4 systematic
+#: predicate on the fact side. f = 0.25 makes every estimator term exact
+#: in floating point (weights 4, SE terms (1-f)/f² = 12), l_quantity is
+#: integer-valued, and per-group sums stay far below 2^53 — so the
+#: scaled COUNT and SUM estimates AND their CI companions are
+#: order-independent exact doubles that hash bit-for-bit.
+_JOIN_AQP_SQL = (
+    "SELECT o.o_orderstatus AS status, COUNT(*) AS n_items, "
+    "SUM(l.l_quantity) AS total_qty "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o.o_orderstatus"
+)
+
+
+def _q_join_aqp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximate_query_engine_spark.rewriter import (
+        rewrite_join_fact_sample,
+    )
+    from approximate_query_engine_spark.sqlparser import parse_join
+
+    _prep(spark, sf_dir)
+    rw = rewrite_join_fact_sample(
+        parse_join(_JOIN_AQP_SQL),
+        "lineitem",
+        k=_QUANTILE_K,
+        key_expr=_QUANTILE_KEY,
+    )
+    return spark.sql(rw.sql)
+
+
+_JOIN_AQP_ORACLE = f"""
+WITH f AS (
+  SELECT * FROM lineitem WHERE (({_QUANTILE_KEY}) % {_QUANTILE_K}) = 0
+), agg AS (
+  SELECT o.o_orderstatus AS status,
+         COUNT(*) AS n_raw,
+         SUM(CAST(l.l_quantity AS DOUBLE)) AS q_raw,
+         SUM(CAST(l.l_quantity AS DOUBLE) * CAST(l.l_quantity AS DOUBLE))
+           AS q2_raw
+  FROM f l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderstatus
+)
+SELECT status,
+  CAST(ROUND(n_raw * 4.0) AS BIGINT) AS n_items,
+  CAST(ROUND(n_raw * 4.0) AS BIGINT) - 1.96 * SQRT(n_raw * 12.0)
+    AS n_items_ci_low,
+  CAST(ROUND(n_raw * 4.0) AS BIGINT) + 1.96 * SQRT(n_raw * 12.0)
+    AS n_items_ci_high,
+  1.96 * SQRT(n_raw * 12.0)
+    / NULLIF(ABS(CAST(CAST(ROUND(n_raw * 4.0) AS BIGINT) AS DOUBLE)), 0.0)
+    AS n_items_rel_error,
+  q_raw * 4.0 AS total_qty,
+  q_raw * 4.0 - 1.96 * SQRT(q2_raw * 12.0) AS total_qty_ci_low,
+  q_raw * 4.0 + 1.96 * SQRT(q2_raw * 12.0) AS total_qty_ci_high,
+  1.96 * SQRT(q2_raw * 12.0)
+    / NULLIF(ABS(CAST(q_raw * 4.0 AS DOUBLE)), 0.0) AS total_qty_rel_error
+FROM agg
+"""
+
+
 def _lsh_topk_oracle() -> str:
     """q34 (topk_cosine_lsh, nbits=10, max_hamming=3, k=10, query=vec 0):
     signature + Hamming prune + exact-cosine order, all replayed in SQL.
@@ -2422,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q80_embedding_neardup"] = _q_embedding_neardup
     out["q81_quantile_aqp"] = _q_quantile_systematic
     out["q82_media_dedup"] = _q_media_dedup
+    out["q83_join_aqp"] = _q_join_aqp
     return _reorder_check_window(out)
 
 
@@ -2465,4 +2528,5 @@ def oracle_sql() -> dict[str, str]:
     out["q34_lsh_topk"] = _lsh_topk_oracle()
     out["q81_quantile_aqp"] = _quantile_oracle()
     out["q82_media_dedup"] = _media_dedup_oracle()
+    out["q83_join_aqp"] = _JOIN_AQP_ORACLE
     return out

@@ -133,6 +133,9 @@ def test_check_window_ordering():
         # media decode itself is in-window via q55; q82 chains it into
         # the feature/LSH dedup pipeline
         "q82_media_dedup": "q55_multimodal_decode",
+        # join-level AQP family is in-window via q63 (operator form);
+        # q83 exercises the SQL-surface rewrite
+        "q83_join_aqp": "q63_approx_join",
     }
     for name in names[50:]:
         if name in oracled:
