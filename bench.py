@@ -562,6 +562,31 @@ def main() -> None:
 
     _safe("big_join_approx", _big_join_approx)
 
+    # SQL-surface join AQP (round-4 extension): the same fact-sample plan
+    # chosen and rewritten by the PLANNER from plain join SQL — the
+    # planner needs stats for both sides to pick the fact.
+    join_sql_aqp = (
+        "SELECT o.o_orderpriority, COUNT(*) AS n, "
+        "SUM(l.l_extendedprice) AS rev "
+        "FROM lineitem_big l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderpriority"
+    )
+    plan_join_reason: str | None = None
+
+    def _big_join_sql_approx():
+        nonlocal plan_join_reason
+        eng.catalog.upsert_table_stats(
+            "orders", spark.table("orders").count()
+        )
+        r = eng.query(join_sql_aqp, max_rel_error=0.05, dual_execute=False)
+        assert r["status"] == "ok", r.get("error")
+        assert r["plan"]["type"] == "sample", r["plan"]["reason"]
+        plan_join_reason = r["plan"]["reason"]
+        last_result[join_sql_aqp] = r["result"]
+
+    _safe("big_join_sql_exact", _run_sql(spark, join_sql_aqp, exact_rows))
+    _safe("big_join_sql_approx", _big_join_sql_approx)
+
     # ---- learning loop with hard evidence (round-3 verdict item 5) -----
     # Fresh catalog (separate workdir) so the history is exactly what this
     # segment writes. Phase A seeds it with dual-executed queries: three
@@ -679,6 +704,12 @@ def main() -> None:
         speedups["big_join"] = timings["big_join_exact"] / max(
             timings["big_join_approx"], 1e-9
         )
+    if "big_join_sql_exact" in timings and "big_join_sql_approx" in timings:
+        speedups["big_join_sql"] = timings["big_join_sql_exact"] / max(
+            timings["big_join_sql_approx"], 1e-9
+        )
+        if plan_join_reason:
+            plan_reasons["big_join_sql"] = f"sample: {plan_join_reason}"
 
     errors = {}
     for name, sql in {**exact_sqls, **big_sqls, **big_distinct_sqls}.items():
@@ -692,6 +723,12 @@ def main() -> None:
         e = measured_relative_error(big_join_rows, exact_rows.get(big_join_sql))
         if e is not None:
             errors["big_join"] = round(e, 4)
+    if last_result.get(join_sql_aqp):
+        e = measured_relative_error(
+            last_result[join_sql_aqp], exact_rows.get(join_sql_aqp)
+        )
+        if e is not None:
+            errors["big_join_sql"] = round(e, 4)
 
     # ---- tier report ----------------------------------------------------
     # The BASELINE-comparable regime is the big tier: at sf0.1 both sides of
@@ -702,7 +739,9 @@ def main() -> None:
     # numbers.
     FLOOR_SEC = 0.3
     std_classes = list(exact_sqls) + ["distinct"]
-    big_classes = list(big_sqls) + list(big_distinct_sqls) + ["big_join"]
+    big_classes = list(big_sqls) + list(big_distinct_sqls) + [
+        "big_join", "big_join_sql",
+    ]
     tiers = {
         "standard": {
             "classes": {c: round(speedups[c], 3) for c in std_classes if c in speedups},
