@@ -401,6 +401,10 @@ def _jpeg_pixels_inner(data: bytes) -> tuple[int, int, int, "np.ndarray"]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+        # fill bytes — skip them so padded real-world files parse
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -734,7 +734,7 @@ def _pooled_feature(content: bytes, dim: int) -> list[float]:
             for i in range(dim)
         ]
     gray = _decode_gray(content)
-    rows = max(1, 2 if dim % 2 == 0 and dim >= 2 else 1)
+    rows = 2 if dim % 2 == 0 and dim >= 2 else 1
     cols = dim // rows
     h, w = gray.shape
     yb = (np.arange(rows + 1) * h) // rows
@@ -751,16 +751,19 @@ def _pooled_feature(content: bytes, dim: int) -> list[float]:
 def extract_features(df: DataFrame, dim: int = 8, fake: bool = False) -> DataFrame:
     """Feature extraction: blob → fixed-dim float vector, REAL for every
     natively-decodable format (see :func:`_pooled_feature` — pooled
-    grayscale intensities for image/video, windowed RMS for audio; a
-    learned model swaps into the same batched mapInPandas shape).
+    grayscale intensities for image/video, FFT band energies for audio;
+    a learned model swaps into the same batched mapInPandas shape).
     ``fake=True`` keeps the original seeded-noise kernel for plumbing
-    tests of undecodable blobs."""
+    tests of undecodable blobs. NULL content yields a NULL feature (the
+    same tolerance every sibling kernel extends)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                if fake:
+                if c is None:
+                    feats.append(None)
+                elif fake:
                     rng = np.random.default_rng(int(mid))
                     feats.append(
                         rng.standard_normal(dim).astype(np.float32).tolist()

@@ -29,6 +29,7 @@ from approximate_query_engine_spark import rewriter
 from approximate_query_engine_spark.catalog import Catalog, SampleInfo
 from approximate_query_engine_spark.sqlparser import (
     ParsedQuery,
+    UnsupportedQueryError,
     try_parse,
     try_parse_join,
 )
@@ -156,7 +157,7 @@ class Planner:
                         rw = rewriter.rewrite_stratified(parsed, direct)
                     else:
                         rw = rewriter.rewrite_uniform_sample(parsed, direct)
-                except rewriter.UnsupportedRewriteError as e:
+                except (rewriter.UnsupportedRewriteError, UnsupportedQueryError) as e:
                     return self._exact(
                         sql, parsed.table, f"direct sample-table scan ({e})"
                     )
@@ -419,12 +420,19 @@ class Planner:
             elif cand.strategy == "stratified":
                 rw = rewriter.rewrite_stratified(parsed, cand.sample)
             elif cand.sample is not None:
-                rw = rewriter.rewrite_uniform_sample(parsed, cand.sample, n_rows=n)
-            else:
-                rw = rewriter.rewrite_inline_sample(
-                    parsed, cand.inline_fraction, seed, n_rows=n
+                # n_rows sizes the quantile rank-band CIs: discount by the
+                # WHERE selectivity so filtered queries get the same
+                # (conservatively wider) band the error model assumes
+                n_eff = n * (WHERE_SELECTIVITY_DEFAULT if parsed.where else 1.0)
+                rw = rewriter.rewrite_uniform_sample(
+                    parsed, cand.sample, n_rows=n_eff
                 )
-        except rewriter.UnsupportedRewriteError as e:
+            else:
+                n_eff = n * (WHERE_SELECTIVITY_DEFAULT if parsed.where else 1.0)
+                rw = rewriter.rewrite_inline_sample(
+                    parsed, cand.inline_fraction, seed, n_rows=n_eff
+                )
+        except (rewriter.UnsupportedRewriteError, UnsupportedQueryError) as e:
             return self._exact(sql, parsed.table, f"not approximable: {e}")
         return rewriter.plan_dict(rw, sql, parsed.table, cand.cost, cand.error, cand.reason)
 
@@ -440,7 +448,14 @@ class Planner:
         still broadcast. Declines (→ exact) when: no aggregates, any
         DISTINCT aggregate, no stats for every table, or the fact is too
         small for sampling to pay."""
-        if not jq.is_aggregate_query or jq.has_distinct:
+        scalable = any(
+            a.func in ("COUNT", "SUM", "AVG", "MEDIAN", "PERCENTILE")
+            for a in jq.aggregates
+        )
+        if not scalable or jq.has_distinct:
+            # mirrors the single-table gate: MIN/MAX-only queries are not
+            # approximable (a sample MIN is biased with no CI), DISTINCT
+            # aggregates never sample
             return self._exact(
                 sql, jq.tables[0][0],
                 "join with non-scalable select list: exact",
@@ -487,7 +502,7 @@ class Planner:
                 jq, fact, fraction=best.inline_fraction, seed=seed,
                 n_rows=n_fact,
             )
-        except rewriter.UnsupportedRewriteError as e:
+        except (rewriter.UnsupportedRewriteError, UnsupportedQueryError) as e:
             return self._exact(sql, fact, f"not approximable: {e}")
         return rewriter.plan_dict(rw, sql, fact, best.cost, best.error, best.reason)
 

@@ -221,6 +221,20 @@ class _AggScaler:
 
 import re as _re
 
+#: an alias-qualified column reference like ``o.o_orderstatus``: emitted
+#: WITHOUT a synthetic alias so its output name stays the bare column
+#: (what the exact query produces) instead of a dotted identifier
+_QUALIFIED_COL_RE = _re.compile(
+    r"^[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*$"
+)
+
+
+def _passthrough_item(raw: str, name: str) -> str:
+    if _QUALIFIED_COL_RE.match(raw.strip()):
+        return raw
+    return f"{raw} AS {_bt(name)}"
+
+
 _AGG_CALL_RE = _re.compile(
     r"\b(COUNT|SUM|AVG|MIN|MAX|MEDIAN|PERCENTILE)\s*\(", _re.IGNORECASE
 )
@@ -292,7 +306,15 @@ def _scale_aggs_in_expr(text: str, scaler: "_AggScaler") -> str:
         )
         # MIN/MAX and quantiles pass through: both are computed on the
         # sample as-is (quantiles are sampling-invariant; MIN/MAX carry the
-        # documented sample bias)
+        # documented sample bias). Quantiles still demand a UNIFORM design
+        # even here — a HAVING/ORDER-only MEDIAN under per-row weights
+        # would be silently biased, so it declines like the select-list
+        # path does.
+        if agg.func in ("MEDIAN", "PERCENTILE") and not scaler.uniform:
+            raise UnsupportedRewriteError(
+                f"{agg.func} requires a uniform sample (per-row weights "
+                "would need a weighted quantile)"
+            )
         out.append(
             call
             if agg.func in ("MIN", "MAX", "MEDIAN", "PERCENTILE")
@@ -332,7 +354,7 @@ def rewrite_sketch(parsed: ParsedQuery, rsd: float) -> RewriteResult:
         elif it.alias:
             select.append(f"{it.raw} AS {_bt(it.alias)}")
         else:
-            select.append(f"{it.raw} AS {_bt(name)}")
+            select.append(_passthrough_item(it.raw, name))
     out_sql = parsed.render(select_override=select)
     return RewriteResult(
         sql=out_sql,
@@ -381,7 +403,7 @@ def rewrite_quantile_sketch(
         elif it.alias:
             select.append(f"{it.raw} AS {_bt(it.alias)}")
         else:
-            select.append(f"{it.raw} AS {_bt(name)}")
+            select.append(_passthrough_item(it.raw, name))
     out_sql = parsed.render(select_override=select)
     return RewriteResult(
         sql=out_sql,
@@ -444,7 +466,7 @@ def _scaled_select(
         elif it.alias:
             select.append(f"{it.raw} AS {_bt(it.alias)}")
         else:
-            select.append(f"{it.raw} AS {_bt(name)}")
+            select.append(_passthrough_item(it.raw, name))
     return select, ci_cols
 
 

@@ -134,3 +134,29 @@ def test_planner_prefer_exact_join(engine):
     out = engine.query(JOIN_SQL, prefer_exact=True)
     assert out["status"] == "ok"
     assert out["plan"]["type"] == "exact"
+
+
+def test_minmax_only_join_stays_exact(engine):
+    """Mirrors the single-table gate: a sample MIN is biased with no CI."""
+    out = engine.query(
+        "SELECT MIN(l.l_extendedprice) AS m FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey",
+        max_rel_error=0.1,
+    )
+    assert out["status"] == "ok"
+    assert out["plan"]["type"] == "exact"
+
+
+def test_unaliased_qualified_group_col_keeps_bare_name(spark, engine):
+    """The rewrite must not rename o.o_orderstatus to a dotted alias —
+    the output schema has to match the exact query's (o_orderstatus)."""
+    sql = (
+        "SELECT o.o_orderstatus, COUNT(*) AS n FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderstatus"
+    )
+    jq = parse_join(sql)
+    rw = rewrite_join_fact_sample(jq, "lineitem", fraction=1.0, seed=1)
+    cols = spark.sql(rw.sql).columns
+    assert "o_orderstatus" in cols
+    assert not any("." in c for c in cols)

@@ -139,3 +139,13 @@ def test_resize_images_kernel_handles_jpeg(spark):
     assert (out["width"], out["height"]) == (8, 6)
     w, h, _ = decode_jpeg(bytes(out["content"]))
     assert (w, h) == (8, 6)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes; padded real-world files must still parse."""
+    data = encode_jpeg(16, 12, seed=4)
+    # inject fill bytes before the SOF0 marker
+    idx = data.find(b"\xff\xc0")
+    padded = data[:idx] + b"\xff\xff\xff" + data[idx:]
+    assert decode_jpeg(padded) == decode_jpeg(data)

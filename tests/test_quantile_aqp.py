@@ -141,3 +141,39 @@ def test_ml_path_handles_quantiles(engine):
     )
     assert out["status"] == "ok"
     assert float(out["result"][0]["med"]) == pytest.approx(25.0, abs=5.0)
+
+
+def test_exotic_percentile_forms_fall_back_to_exact(engine):
+    """3-arg PERCENTILE (frequency) and array-of-levels forms are valid
+    Spark SQL outside the approximable grammar: the planner must fall
+    back to exact pass-through, never surface a parse error."""
+    out = engine.query(
+        "SELECT PERCENTILE(l_quantity, 0.5, 1) AS med FROM lineitem",
+        max_rel_error=0.2,
+    )
+    assert out["status"] == "ok"
+    assert out["plan"]["type"] == "exact"
+    assert "not approximable" in out["plan"]["reason"]
+    assert float(out["result"][0]["med"]) == pytest.approx(25.0, abs=3.0)
+
+
+def test_having_quantile_declines_weighted_designs():
+    """A HAVING-only MEDIAN under per-row weights must decline like the
+    select-list path (it would otherwise evaluate raw over the biased
+    sample)."""
+    from approximate_query_engine_spark.catalog import SampleInfo
+    from approximate_query_engine_spark.rewriter import (
+        rewrite_weighted_sample,
+    )
+
+    p = parse(
+        "SELECT SUM(l_extendedprice) AS s FROM lineitem "
+        "GROUP BY l_returnflag HAVING MEDIAN(l_quantity) > 5"
+    )
+    si = SampleInfo(
+        table_name="lineitem", sample_table="s", sample_fraction=0.1,
+        target_fraction=0.1, path="", variance_column="l_extendedprice",
+        allocation_type="weighted",
+    )
+    with pytest.raises(UnsupportedRewriteError):
+        rewrite_weighted_sample(p, si)

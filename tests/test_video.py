@@ -190,3 +190,18 @@ def test_resize_images_kernel_resizes_video(spark):
     out = multimodal.resize_images(df, 8, 6).collect()[0]
     w, h, n, _dur, mean = decode_avi(bytes(out["content"]))
     assert (w, h, n, mean) == (8, 6, 2, 90.0)
+
+
+def test_extract_features_null_content(spark):
+    from approximate_query_engine_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    rows = [
+        (0, "image", multimodal.encode_bmp(8, 8, seed=1), "bmp", 8, 8, None),
+        (1, "image", None, "bmp", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["feature"] for r in extract_features(df, dim=8).collect()}
+    assert got[1] is None and len(got[0]) == 8
