@@ -286,11 +286,10 @@ class Planner:
                 )
             )
 
-        # Quantile queries need a UNIFORM design (sampling-invariance does
-        # not survive per-row weights); skipping the weighted candidates
-        # here — rather than letting realize() bail to exact — keeps the
-        # uniform/inline candidates in play for them.
-        if parsed.has_group_by and not parsed.has_quantile:
+        # Quantiles are eligible under ALL designs since round 4: uniform
+        # rides sampling invariance; stratified/PPS use the weighted-
+        # frequency PERCENTILE form (rewriter._AggScaler.scaled).
+        if parsed.has_group_by:
             group_cols = {
                 _unqualify(g.strip(), parsed.table_alias) for g in parsed.group_by
             }
@@ -311,10 +310,7 @@ class Planner:
         # Measure-biased (PPS) samples: near-optimal for SUM/AVG of the
         # biasing measure; listed before uniform so ties prefer them when a
         # summed expression references the measure column.
-        for s in (
-            [] if parsed.has_quantile
-            else self.catalog.weighted_samples_for_table(parsed.table)
-        ):
+        for s in self.catalog.weighted_samples_for_table(parsed.table):
             # PPS is only safe when EVERY scalable aggregate targets the
             # biasing measure (word-boundary match, not substring): COUNT or
             # sums of other columns have huge variance under these weights,

@@ -136,13 +136,16 @@ class _AggScaler:
             # Quantiles are invariant under uniform subsampling: the p-th
             # sample quantile estimates the p-th population quantile with
             # NO weight scaling. Under per-row weights (stratified / PPS)
-            # that invariance breaks — a weighted quantile would be needed
-            # — so those designs decline and fall back to exact.
+            # the invariance breaks, but Spark's 3-arg PERCENTILE takes a
+            # per-row integral FREQUENCY: the Horvitz–Thompson weight 1/f
+            # scaled by 1e6 and rounded reproduces the weighted quantile
+            # (frequency-relative error < 1e-6 — far below any sampling
+            # noise). That is the textbook weighted sample quantile, a
+            # consistent estimator under stratified and PPS designs.
             if not self.uniform:
-                raise UnsupportedRewriteError(
-                    f"{agg.func} requires a uniform sample (per-row "
-                    "weights would need a weighted quantile)"
-                )
+                col, p = agg.quantile_args()
+                freq = f"CAST(ROUND(1000000.0 / {f}) AS BIGINT)"
+                return f"PERCENTILE({col}, {p!r}, {freq})"
             return agg.raw
         if agg.distinct:
             # No DISTINCT aggregate is scalable on a sample: COUNT(DISTINCT)
@@ -175,7 +178,12 @@ class _AggScaler:
         quantile function that is the pair (Q(p−δ), Q(p+δ)) with
         δ = z·√(p(1−p)/n). n is the planning-time sample-size estimate
         (consistent with the engine's planning-time 1/√(f·N) error
-        philosophy — quantile levels must be literals in the query)."""
+        philosophy — quantile levels must be literals in the query).
+        Uniform designs only: the binomial rank band assumes equal
+        inclusion probabilities, so weighted quantiles return their
+        estimate without a CI."""
+        if not self.uniform:
+            return None
         n = self.n_sample_est
         if n is None or n <= 1:
             return None
@@ -304,20 +312,14 @@ def _scale_aggs_in_expr(text: str, scaler: "_AggScaler") -> str:
             distinct=bool(dm),
             raw=call,
         )
-        # MIN/MAX and quantiles pass through: both are computed on the
-        # sample as-is (quantiles are sampling-invariant; MIN/MAX carry the
-        # documented sample bias). Quantiles still demand a UNIFORM design
-        # even here — a HAVING/ORDER-only MEDIAN under per-row weights
-        # would be silently biased, so it declines like the select-list
-        # path does.
-        if agg.func in ("MEDIAN", "PERCENTILE") and not scaler.uniform:
-            raise UnsupportedRewriteError(
-                f"{agg.func} requires a uniform sample (per-row weights "
-                "would need a weighted quantile)"
-            )
+        # MIN/MAX pass through (computed on the sample as-is, documented
+        # bias). Quantiles pass through under uniform designs (sampling
+        # invariance) and take the weighted-frequency form under per-row
+        # weights — scaled() produces the right expression either way.
         out.append(
             call
-            if agg.func in ("MIN", "MAX", "MEDIAN", "PERCENTILE")
+            if agg.func in ("MIN", "MAX")
+            or (agg.func in ("MEDIAN", "PERCENTILE") and scaler.uniform)
             else f"({scaler.scaled(agg)})"
         )
         i = j + 1

@@ -1,8 +1,9 @@
 """Quantile AQP (beyond-reference §2.4 extension): MEDIAN / PERCENTILE
 are sampling-invariant under uniform designs — the sample quantile
 estimates the population quantile unscaled, with an order-statistic
-(binomial rank band) 95% CI. Weighted designs (stratified / PPS) decline
-honestly and fall back to exact."""
+(binomial rank band) 95% CI. Weighted designs (stratified / PPS) use the
+weighted-frequency PERCENTILE form (no CI — the rank band assumes equal
+inclusion probabilities)."""
 
 import pytest
 
@@ -75,20 +76,42 @@ def test_grouped_quantile_estimates_without_ci(spark, engine):
         assert 1 <= float(r["med"]) <= 50
 
 
-def test_weighted_designs_decline_quantiles():
+def test_weighted_designs_use_frequency_percentile(spark, engine):
+    """Stratified/PPS quantiles rewrite to Spark's 3-arg PERCENTILE with
+    the HT weight as an integral frequency — the weighted sample
+    quantile. Verified numerically: a deliberately UNEQUAL-fraction
+    stratified subset of lineitem (md5-threshold, deterministic) yields
+    a weighted median close to the exact median, while the UNWEIGHTED
+    median of the same biased subset is far off."""
     from approximate_query_engine_spark.catalog import SampleInfo, StratumInfo
     from approximate_query_engine_spark.rewriter import rewrite_stratified
 
     p = parse("SELECT MEDIAN(l_quantity) AS med FROM lineitem")
     si = SampleInfo(
-        table_name="lineitem", sample_table="s", sample_fraction=0.1,
-        target_fraction=0.1, path="", strata_column="l_returnflag",
+        table_name="lineitem", sample_table="li_strat_q", sample_fraction=0.25,
+        target_fraction=0.25, path="", strata_column="l_linestatus",
         allocation_type="proportional",
-        strata=[StratumInfo(strata_value="A", pop_size=0, sample_size=0,
-                            fraction=0.1, weight=10.0)],
+        strata=[
+            StratumInfo(strata_value="F", pop_size=0, sample_size=0,
+                        fraction=0.5, weight=2.0),
+            StratumInfo(strata_value="O", pop_size=0, sample_size=0,
+                        fraction=0.05, weight=20.0),
+        ],
     )
-    with pytest.raises(UnsupportedRewriteError):
-        rewrite_stratified(p, si)
+    rw = rewrite_stratified(p, si)
+    assert "PERCENTILE(l_quantity, 0.5, CAST(ROUND(1000000.0 /" in rw.sql
+    # deterministic unequal-fraction subset: F kept at 50%, O at 5%
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW li_strat_q AS SELECT * FROM lineitem "
+        "WHERE substring(md5(concat(CAST(l_orderkey AS STRING), ':', "
+        "CAST(l_linenumber AS STRING))), 1, 8) < "
+        "CASE WHEN l_linestatus = 'F' THEN '80000000' ELSE '0ccccccd' END"
+    )
+    exact = float(
+        spark.sql("SELECT MEDIAN(l_quantity) AS m FROM lineitem").collect()[0]["m"]
+    )
+    weighted = float(spark.sql(rw.sql).collect()[0]["med"])
+    assert abs(weighted - exact) <= 2.0  # l_quantity spans 1..50
 
 
 def test_planner_samples_quantile_queries(engine):
@@ -157,10 +180,10 @@ def test_exotic_percentile_forms_fall_back_to_exact(engine):
     assert float(out["result"][0]["med"]) == pytest.approx(25.0, abs=3.0)
 
 
-def test_having_quantile_declines_weighted_designs():
-    """A HAVING-only MEDIAN under per-row weights must decline like the
-    select-list path (it would otherwise evaluate raw over the biased
-    sample)."""
+def test_having_quantile_weighted_form_in_weighted_designs():
+    """A HAVING-only MEDIAN under per-row weights must take the
+    weighted-frequency form like the select-list path (a raw MEDIAN over
+    the biased sample would silently skew the group filter)."""
     from approximate_query_engine_spark.catalog import SampleInfo
     from approximate_query_engine_spark.rewriter import (
         rewrite_weighted_sample,
@@ -175,5 +198,5 @@ def test_having_quantile_declines_weighted_designs():
         target_fraction=0.1, path="", variance_column="l_extendedprice",
         allocation_type="weighted",
     )
-    with pytest.raises(UnsupportedRewriteError):
-        rewrite_weighted_sample(p, si)
+    rw = rewrite_weighted_sample(p, si)
+    assert "HAVING (PERCENTILE(l_quantity, 0.5, CAST(ROUND(1000000.0 / __p) AS BIGINT))) > 5" in rw.sql
