@@ -91,9 +91,38 @@ class MLOptimizer:
         transformations}."""
         parsed = try_parse(sql)
         if parsed is None:
+            # Inner star joins are approximable since round 4: delegate to
+            # the planner's join path and report its decision in the
+            # reference-shaped envelope (the realized plan rides along so
+            # the engine doesn't plan twice).
+            from approximate_query_engine_spark.sqlparser import (
+                try_parse_join,
+            )
+
+            jq = try_parse_join(sql)
+            if jq is not None:
+                plan = self.planner.plan(sql, max_rel_error)
+                return {
+                    "_plan": plan,
+                    "strategy": plan["type"],
+                    "modified_sql": plan["sql"],
+                    "original_sql": sql,
+                    "confidence": 0.9,
+                    "estimated_speedup": (
+                        1.0 / plan["sample_fraction"]
+                        if plan.get("sample_fraction")
+                        else 1.0
+                    ),
+                    "estimated_error": plan.get("estimated_error", 0.0),
+                    "reasoning": (
+                        "inner star join: the fact side samples inside the "
+                        f"join while dims stay exact — {plan['reason']}"
+                    ),
+                    "transformations": plan.get("reason", ""),
+                }
             return self._exact_optimization(
                 sql, 0.95, "Query outside the approximable grammar "
-                "(joins/subqueries/windows run exactly on Spark SQL)."
+                "(subqueries/windows/set-ops run exactly on Spark SQL)."
             )
         n = self.planner.table_row_count(parsed.table) or 0
         feats = extract_features(parsed, sql, n)

@@ -160,3 +160,18 @@ def test_unaliased_qualified_group_col_keeps_bare_name(spark, engine):
     cols = spark.sql(rw.sql).columns
     assert "o_orderstatus" in cols
     assert not any("." in c for c in cols)
+
+
+def test_ml_path_reports_join_plan(engine):
+    """use_ml_optimization on a join query must surface the planner's
+    fact-sample decision in the reference-shaped envelope instead of a
+    blanket 'outside the grammar' exact answer."""
+    engine.planner.table_row_count("lineitem")
+    engine.planner.table_row_count("orders")
+    out = engine.query(JOIN_SQL, max_rel_error=0.1, use_ml_optimization=True)
+    assert out["status"] == "ok"
+    assert out["plan"]["type"] == "sample"
+    ml = out["ml_optimization"]
+    assert ml["strategy"] == "sample"
+    assert "star join" in ml["reasoning"]
+    assert ml["estimated_speedup"] > 1.0
