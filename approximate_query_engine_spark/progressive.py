@@ -28,9 +28,10 @@ from approximate_query_engine_spark import executor as ex
 from approximate_query_engine_spark.rewriter import (
     UnsupportedRewriteError,
     rewrite_inline_sample,
+    rewrite_join_fact_sample,
     rewrite_systematic_sample,
 )
-from approximate_query_engine_spark.sqlparser import try_parse
+from approximate_query_engine_spark.sqlparser import try_parse, try_parse_join
 
 #: geometric fraction ladder for refinement steps (bernoulli mode)
 DEFAULT_LADDER = (0.001, 0.004, 0.016, 0.064, 0.25)
@@ -77,6 +78,7 @@ def progressive_query(
     mode: str = "bernoulli",
     key_expr: str | None = None,
     k_ladder=DEFAULT_K_LADDER,
+    fact_table: str | None = None,
 ) -> dict[str, Any]:
     """→ {status, result, meta:{fraction, steps:[...], stopped_early}}.
 
@@ -92,14 +94,27 @@ def progressive_query(
     stopping decision, and the final estimate are then pure functions of
     the data, reproducible by any SQL engine (the oracle-checkable form;
     see rewrite_systematic_sample).
+
+    Inner star joins refine too (round 4): the ladder samples the FACT
+    side inside the join (``fact_table``, default the first table in
+    FROM; the sampling predicate and any ``key_expr`` evaluate inside
+    the fact subquery, so use unqualified fact column names). The
+    support check then counts sampled FACT rows globally — per-group
+    support would need the join itself, which is what the ladder is
+    avoiding.
     """
     if mode not in ("bernoulli", "systematic"):
         raise ValueError(f"unknown progressive mode {mode!r}")
     if mode == "systematic" and not key_expr:
         raise ValueError("systematic mode requires key_expr")
     parsed = try_parse(sql)
+    jq = try_parse_join(sql) if parsed is None else None
+    q = parsed if parsed is not None else jq
+    fact = None
+    if jq is not None:
+        fact = fact_table or jq.tables[0][0]
     steps: list[dict[str, Any]] = []
-    if parsed is not None and parsed.is_aggregate_query and not parsed.has_distinct:
+    if q is not None and q.is_aggregate_query and not q.has_distinct:
         prev_n_groups = None
         plan = (
             [(1.0 / k, k) for k in k_ladder]
@@ -109,7 +124,20 @@ def progressive_query(
         for fraction, k in plan:
             t0 = time.perf_counter()
             try:
-                if k is not None:
+                if jq is not None:
+                    if k is not None:
+                        rw = rewrite_join_fact_sample(
+                            jq, fact, k=k, key_expr=key_expr
+                        )
+                        predicate = f"(({key_expr}) % {k}) = 0"
+                    else:
+                        rw = rewrite_join_fact_sample(
+                            jq, fact, fraction=fraction, seed=seed
+                        )
+                        predicate = (
+                            f"rand({seed}) < CAST({fraction!r} AS DOUBLE)"
+                        )
+                elif k is not None:
                     rw = rewrite_systematic_sample(parsed, k, key_expr)
                     predicate = f"(({key_expr}) % {k}) = 0"
                 else:
@@ -124,7 +152,12 @@ def progressive_query(
             rows = ex.collect_rows(spark.sql(rw.sql))
             elapsed = (time.perf_counter() - t0) * 1000.0
             worst = _worst_rel_error(rows)
-            support = _min_group_support(spark, parsed, predicate)
+            if jq is not None:
+                support = spark.sql(
+                    f"SELECT COUNT(*) AS __n FROM {fact} WHERE {predicate}"
+                ).collect()[0]["__n"]
+            else:
+                support = _min_group_support(spark, parsed, predicate)
             steps.append(
                 {
                     "fraction": fraction,

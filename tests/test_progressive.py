@@ -122,3 +122,32 @@ def test_systematic_group_by_meets_target(spark, engine, duck):
     for row in r["result"]:
         true = truth[row["l_returnflag"]]
         assert abs(row["sq"] - true) / true < 3 * target
+
+
+def test_progressive_over_join(spark, engine):
+    """Online aggregation refines inner star joins too: the ladder
+    samples the fact side inside the join; deterministic systematic mode
+    stops early with the target met."""
+    out = engine.progressive_query(
+        "SELECT o.o_orderstatus, COUNT(*) AS n FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderstatus",
+        target_rel_error=0.2,
+        mode="systematic",
+        key_expr="l_orderkey * 31 + l_linenumber",
+    )
+    assert out["status"] == "ok"
+    assert out["meta"]["plan_type"] == "progressive_sample"
+    assert out["meta"]["stopped_early"]
+    assert out["meta"]["fraction"] < 1.0
+    exact = {
+        r[0]: r["n"]
+        for r in engine.spark.sql(
+            "SELECT o.o_orderstatus, COUNT(*) AS n FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderstatus"
+        ).collect()
+    }
+    for r in out["result"]:
+        key = r.get("o_orderstatus") or list(r.values())[0]
+        assert abs(r["n"] - exact[key]) / exact[key] < 0.3
