@@ -102,3 +102,63 @@ def test_full_fraction_rewrite_is_identity(spark, sql):
         exact,
         _rows_by_key(spark.sql(inline_sql), group_cols, aliases),
     )
+
+
+DIM_COLS = ["o.o_orderstatus", "o.o_orderpriority"]
+FACT_NUM = ["l.l_quantity", "l.l_extendedprice", "l.l_discount"]
+
+
+@st.composite
+def join_agg_query(draw):
+    n_aggs = draw(st.integers(1, 3))
+    items = []
+    for i in range(n_aggs):
+        fn = draw(st.sampled_from(["COUNT", "SUM", "AVG", "MIN", "MAX"]))
+        arg = "*" if fn == "COUNT" else draw(
+            st.sampled_from(FACT_NUM + ["o.o_totalprice"])
+        )
+        items.append(f"{fn}({arg}) AS a{i}")
+    group_cols = draw(
+        st.lists(st.sampled_from(DIM_COLS), min_size=0, max_size=2, unique=True)
+    )
+    sql = "SELECT "
+    if group_cols:
+        sql += ", ".join(group_cols) + ", "
+    sql += ", ".join(items) + (
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    )
+    if draw(st.booleans()):
+        sql += f" WHERE l.l_quantity > {draw(st.integers(0, 40))}"
+    if group_cols:
+        sql += " GROUP BY " + ", ".join(group_cols)
+        if draw(st.booleans()):
+            sql += " HAVING COUNT(*) > 1"
+    return sql, [g.split(".")[1] for g in group_cols]
+
+
+@pytest.mark.usefixtures("engine")
+@given(data=join_agg_query())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_full_fraction_join_rewrite_is_identity_fuzz(spark, data):
+    """rewrite_join_fact_sample at k=1 (keep every fact row, scale 1)
+    must reproduce the exact join results across the whole grammar —
+    including dim-column aggregates and HAVING."""
+    from approximate_query_engine_spark.rewriter import (
+        rewrite_join_fact_sample,
+    )
+    from approximate_query_engine_spark.sqlparser import parse_join
+
+    sql, group_cols = data
+    jq = parse_join(sql)
+    aliases = [f"a{i}" for i in range(len(jq.aggregates))]
+    exact = _rows_by_key(spark.sql(sql), group_cols, aliases)
+    rw = rewrite_join_fact_sample(
+        jq, "lineitem", k=1, key_expr="l_orderkey"
+    )
+    _assert_close(
+        "join k=1", exact, _rows_by_key(spark.sql(rw.sql), group_cols, aliases)
+    )
