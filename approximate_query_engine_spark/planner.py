@@ -80,6 +80,20 @@ def sample_cost(n: int, fraction: float) -> float:
     return n * fraction * SCAN_COST_PER_ROW + SAMPLE_SETUP_COST
 
 
+#: Per-base-row cost of evaluating the inline ``rand(seed) < f`` predicate:
+#: an inline sample still READS every base row (only downstream work
+#: shrinks), while a pre-built sample's scan is f·N. Pricing both as f·N
+#: made the planner indifferent between them at equal f and it could pick
+#: the full-scan inline plan over an existing sample table (r04 bench:
+#: big_quantile 1.7× instead of ~5×). Kept well below SCAN_COST_PER_ROW so
+#: inline still beats exact whenever per-row aggregate work dominates.
+INLINE_PREDICATE_COST_PER_ROW = 0.05
+
+
+def inline_sample_cost(n: int, fraction: float) -> float:
+    return n * INLINE_PREDICATE_COST_PER_ROW + sample_cost(n, fraction)
+
+
 #: Assumed fraction of rows surviving an arbitrary WHERE when the planner
 #: has no better signal. Deliberately pessimistic: a filtered query's
 #: effective sample is f·N·selectivity, and round-1 bench showed 1/sqrt(f·N)
@@ -247,7 +261,7 @@ class Planner:
             # MIN/MAX-only: not approximable (reference README contract).
             # Quantiles ARE approximable: the p-th quantile of a uniform
             # sample estimates the population quantile unscaled, with an
-            # order-statistic CI (rewriter._AggScaler.quantile_ci).
+            # order-statistic CI (rewriter._AggScaler.quantile_with_ci).
             return self._filter(out, max_rel_error, forced_strategy)
 
         # A WHERE clause shrinks the effective sample to f·N·selectivity;
@@ -358,7 +372,7 @@ class Planner:
         out.append(
             Candidate(
                 "sample",
-                sample_cost(n, f),
+                inline_sample_cost(n, f),
                 sampling_error(n, f, sel),
                 inline_fraction=f,
                 reason=f"inline seeded Bernoulli sampling predicate (f={f:.4f})",

@@ -200,3 +200,49 @@ def test_having_quantile_weighted_form_in_weighted_designs():
     )
     rw = rewrite_weighted_sample(p, si)
     assert "HAVING (PERCENTILE(l_quantity, 0.5, CAST(ROUND(1000000.0 / __p) AS BIGINT))) > 5" in rw.sql
+
+
+def test_quantile_ci_shares_one_percentile_buffer(engine, spark):
+    """The estimate and both rank-band CI bounds must ride ONE
+    array-percentile aggregate (Spark canonicalizes identical calls to a
+    single value-count buffer). Three scalar PERCENTILE calls cost 2.3×
+    more at the 30M-row big tier (measured 1.35 s vs 0.58 s on its 300k-row
+    sample) for bit-identical output."""
+    out = engine.query(
+        "SELECT MEDIAN(l_quantity) AS med FROM lineitem",
+        max_rel_error=0.2,
+        explain=True,
+    )
+    sql = out["plan"]["sql"]
+    assert "array(" in sql
+    plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+    # one buffer = the same aggregate in partial + final stages; three
+    # buffers would show six occurrences
+    assert plan.lower().count("percentile(") == 2
+
+
+def test_prebuilt_sample_preferred_over_inline_full_scan(spark):
+    """With a pre-built sample at the same fraction, the planner must scan
+    it (f·N rows) instead of re-sampling inline — the inline rand()
+    predicate still reads every base row. Pricing both as f·N left the
+    choice to tie-breaking and the r04 bench caught the full-scan inline
+    plan winning on a quantile query (1.7× instead of ~5×)."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_prefer_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.create_sample("orders", 0.05, seed=11)
+    for sql in (
+        "SELECT MEDIAN(o_totalprice) AS med FROM orders",
+        "SELECT SUM(o_totalprice) AS s FROM orders",
+    ):
+        out = eng.query(sql, max_rel_error=0.2)
+        assert out["status"] == "ok"
+        assert out["plan"]["type"] == "sample"
+        assert out["plan"].get("sample_table"), out["plan"]["reason"]
+        assert "rand(" not in out["plan"]["sql"]
