@@ -750,6 +750,37 @@ _CMS_ORACLE = (
 )
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters read back from the PERSISTED top-k sketch
+    (sketches.SketchManager._create_topk → approx_top_k, whose state is
+    O(max_items_tracked) per partial, never O(ndv)). event_type's ndv=5
+    fits the tracked budget, so the stored counts are exact and DuckDB's
+    exact GROUP BY reproduces them; rows sorted (cnt DESC, item) —
+    tie-free at the k=3 boundary on this data at sf0.001 and sf0.01."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.create_sketch(
+        "events", "event_type", "topk", {"k": 3, "max_items_tracked": 10_000}
+    )
+    items = eng.sketches.topk_from_sketch("events", "event_type")
+    rows = sorted(
+        ((d["item"], int(d["count"])) for d in items),
+        key=lambda r: (-r[1], r[0]),
+    )
+    return spark.createDataFrame(rows, "item string, cnt long")
+
+
+_HEAVY_HITTERS_ORACLE = (
+    "SELECT CAST(event_type AS VARCHAR) AS item, COUNT(*) AS cnt "
+    "FROM events WHERE event_type IS NOT NULL "
+    "GROUP BY event_type ORDER BY cnt DESC, item LIMIT 3"
+)
+
+
 def _q_rollup_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate rollup: materialize hourly buckets of events,
     then answer a DAILY query from the rollup only (operators/rollup.py).
@@ -2485,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q81_quantile_aqp"] = _q_quantile_systematic
     out["q82_media_dedup"] = _q_media_dedup
     out["q83_join_aqp"] = _q_join_aqp
+    out["q84_heavy_hitters"] = _q_heavy_hitters
     return _reorder_check_window(out)
 
 
@@ -2529,4 +2561,5 @@ def oracle_sql() -> dict[str, str]:
     out["q81_quantile_aqp"] = _quantile_oracle()
     out["q82_media_dedup"] = _media_dedup_oracle()
     out["q83_join_aqp"] = _JOIN_AQP_ORACLE
+    out["q84_heavy_hitters"] = _HEAVY_HITTERS_ORACLE
     return out

@@ -242,8 +242,12 @@ class SketchManager:
             info = self._create_cms(table, column, parameters)
         elif sketch_type == "theta":
             info = self._create_theta(table, column, parameters)
+        elif sketch_type == "topk":
+            info = self._create_topk(table, column, parameters)
         else:
-            raise ValueError(f"unknown sketch_type {sketch_type!r} (hll|cms|theta)")
+            raise ValueError(
+                f"unknown sketch_type {sketch_type!r} (hll|cms|theta|topk)"
+            )
         # Stamp the base-table size the sketch was built against: the
         # maintenance drift policy compares it with current stats to decide
         # when a rebuild is due (maintenance.run_maintenance).
@@ -351,8 +355,59 @@ class SketchManager:
             parameters={"lg_k": lg_k, "format": "datasketches-theta"},
         )
 
+    def _create_topk(self, table: str, column: str, params: dict) -> SketchInfo:
+        """Heavy hitters: Spark's ``approx_top_k`` keeps a bounded map of
+        ``max_items_tracked`` candidate items per partial and merges them
+        map-side — frequent-items state is O(tracked), never O(ndv), so
+        the build is one combine-then-reduce aggregation at any scale.
+        Exact whenever the column's true ndv fits the tracked budget
+        (the usual case for categorical heavy-hitter columns); persisted
+        as JSON ``[{item, count}, ...]`` sorted by descending count so
+        reads never rescan the table."""
+        if not column:
+            raise ValueError("topk sketch requires a column")
+        k = int(params.get("k", 10))
+        tracked = int(params.get("max_items_tracked", max(10_000, 10 * k)))
+        row = (
+            self.spark.table(table)
+            .where(F.col(column).isNotNull())
+            .agg(
+                F.expr(
+                    f"approx_top_k(`{column}`, {k}, {tracked})"
+                ).alias("tk")
+            )
+            .collect()[0]
+        )
+        items = [
+            {"item": str(r["item"]), "count": int(r["count"])}
+            for r in (row["tk"] or [])
+        ]
+        return SketchInfo(
+            table_name=table,
+            column_name=column,
+            sketch_type="topk",
+            sketch_data=json.dumps(items).encode("utf-8"),
+            parameters={
+                "k": k,
+                "max_items_tracked": tracked,
+                "format": "json-topk",
+            },
+        )
+
     # ---- read path (the reference persists sketches but never reads them —
     # SURVEY.md vestigial flag #1; these make the read path real) ----
+    def topk_from_sketch(
+        self, table: str, column: str, k: int | None = None
+    ) -> list[dict[str, Any]] | None:
+        """Heavy-hitter items from the persisted top-k sketch — no table
+        scan. ``k`` trims the stored list (it cannot deepen it: rebuild
+        with a larger k for that)."""
+        info = self.catalog.get_sketch(table, column, "topk")
+        if info is None or not info.sketch_data:
+            return None
+        items = json.loads(info.sketch_data.decode("utf-8"))
+        return items[:k] if k is not None else items
+
     def estimate_distinct_from_sketch(
         self, table: str, column: str, sketch_type: str = "hll"
     ) -> int | None:

@@ -136,6 +136,9 @@ def test_check_window_ordering():
         # join-level AQP family is in-window via q63 (operator form);
         # q83 exercises the SQL-surface rewrite
         "q83_join_aqp": "q63_approx_join",
+        # heavy hitters ride the persisted-sketch read-path family
+        # (q50's CMS point estimates are the in-window representative)
+        "q84_heavy_hitters": "q50_cms_freq",
     }
     for name in names[50:]:
         if name in oracled:

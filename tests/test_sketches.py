@@ -139,3 +139,36 @@ def test_distributed_hll_skips_nulls(spark):
     for i in range(0, 100, 2):
         h_ref.add_string(str(i))
     assert (h.registers == h_ref.registers).all()
+
+
+def test_topk_sketch_build_and_read(engine):
+    """Top-k heavy hitters: the persisted sketch's items/counts must equal
+    the exact GROUP BY counts whenever ndv fits max_items_tracked (here
+    o_orderstatus ndv=3), and the read path must not rescan the table."""
+    engine.create_sketch(
+        "orders", "o_orderstatus", "topk", {"k": 3, "max_items_tracked": 1000}
+    )
+    items = engine.sketches.topk_from_sketch("orders", "o_orderstatus")
+    exact = {
+        r["i"]: r["c"]
+        for r in engine.spark.sql(
+            "SELECT o_orderstatus AS i, COUNT(*) AS c FROM orders "
+            "WHERE o_orderstatus IS NOT NULL GROUP BY 1"
+        ).collect()
+    }
+    assert {d["item"]: d["count"] for d in items} == exact
+    # stored sorted by descending count; k trims but cannot deepen
+    counts = [d["count"] for d in items]
+    assert counts == sorted(counts, reverse=True)
+    assert engine.sketches.topk_from_sketch("orders", "o_orderstatus", k=1) == items[:1]
+
+
+def test_topk_sketch_missing_returns_none(engine):
+    assert engine.sketches.topk_from_sketch("orders", "o_totalprice") is None
+
+
+def test_unknown_sketch_type_lists_topk(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="hll|cms|theta|topk"):
+        engine.sketches.create("orders", "o_custkey", "nope", {})
