@@ -8,9 +8,17 @@ Cost model constants and formulas follow reference planner.py:13-19,
     sketch_query_cost   = 10.0
     sample_setup_cost   = 5.0
 
-    cost(exact)  = N·scan + min(N, 10000)·hash           [hash iff GROUP BY]
-    cost(sample) = N·f·scan + setup        err = 1/sqrt(f·N)
+    cost(exact)  = N·(scan + w) + min(N, 10000)·hash     [hash iff GROUP BY]
+    cost(sample) = N·f·(scan + w) + setup  err = 1/sqrt(f·N)   [pre-built]
+    cost(inline) = N·(scan + rand) + N·f·w + setup       [same err]
     cost(sketch) = sketch_query_cost       err = rsd
+
+where ``w`` is the per-row aggregate-evaluation work
+(:func:`per_row_agg_work`) — the round-4 extension of the reference's
+scan-only model. It separates scan-bound queries (bare COUNT/SUM of a
+plain column, where the bench measured the inline rand() filter SLOWER
+than just finishing the exact scan) from compute-bound ones (grouping,
+expression math, quantiles — where sampling pays off hugely).
 
 Candidates whose estimated error exceeds ``max_rel_error`` are filtered,
 then argmin cost. Row counts come from the catalog — never a live
@@ -54,9 +62,31 @@ MIN_RSD, MAX_RSD = 0.005, 0.4
 #: approx_percentile summary size for the quantile sketch path: rank
 #: error is guaranteed <= 1/accuracy, state is O(accuracy) per group.
 QUANTILE_SKETCH_ACCURACY = 10_000
+#: Per-row premium of approx_percentile's Greenwald–Khanna summary updates
+#: over a plain scan — pricier than HLL's register update (1.2): the
+#: big-tier bench measured the full-scan approx_percentile (~1.25 s /
+#: 30M rows) SLOWER than the inline-sample PERCENTILE path (~0.80 s), so
+#: the sketch must not undercut feasible sampling candidates on cost.
+QUANTILE_SKETCH_CPU_FACTOR = 2.0
 #: extra per-row cost of exact PERCENTILE's value buffering + final sort
-#: (relative to SCAN_COST_PER_ROW = 1.0)
-QUANTILE_EXACT_BUFFER_COST = 0.5
+#: (relative to SCAN_COST_PER_ROW = 1.0). Calibrated: the big-tier bench
+#: (30M rows, medians) puts the bare scan at ~0.22 s and exact PERCENTILE
+#: at ~2.83 s — a ~12x per-row premium; 10.0 keeps a conservative margin.
+QUANTILE_EXACT_BUFFER_COST = 10.0
+
+#: Per-row aggregate-evaluation work, relative to SCAN_COST_PER_ROW = 1.0.
+#: Calibrated against big-tier bench medians (30M rows): bare scan 0.22 s;
+#: 3-group COUNT+SUM hash agg 1.10 s (w≈4); 8-expression heavy agg 1.44 s
+#: (w≈5.5). The weights deliberately under-shoot those ratios — what
+#: matters is the ORDERING around INLINE_PREDICATE_COST_PER_ROW: bare
+#: COUNT/SUM of a plain column lands below it (measured: the inline rand()
+#: filter is SLOWER than finishing the exact scan — count_approx 1.49x,
+#: sum_approx 1.18x the exact wall), while grouping, expression math, or
+#: several aggregates land above it.
+AGG_WORK_COUNT = 0.1
+AGG_WORK_SIMPLE = 0.3
+AGG_WORK_EXPR_OP = 0.3
+GROUP_HASH_WORK_PER_ROW = 0.5
 
 
 @dataclass
@@ -76,8 +106,10 @@ def exact_cost(n: int, has_group_by: bool) -> float:
     return cost
 
 
-def sample_cost(n: int, fraction: float) -> float:
-    return n * fraction * SCAN_COST_PER_ROW + SAMPLE_SETUP_COST
+def sample_cost(n: int, fraction: float, work: float = 0.0) -> float:
+    """Pre-built sample: scans only f·N rows, and the per-row aggregate
+    work ``work`` applies only to those rows."""
+    return n * fraction * (SCAN_COST_PER_ROW + work) + SAMPLE_SETUP_COST
 
 
 #: Per-base-row cost of evaluating the inline ``rand(seed) < f`` predicate:
@@ -85,13 +117,44 @@ def sample_cost(n: int, fraction: float) -> float:
 #: shrinks), while a pre-built sample's scan is f·N. Pricing both as f·N
 #: made the planner indifferent between them at equal f and it could pick
 #: the full-scan inline plan over an existing sample table (r04 bench:
-#: big_quantile 1.7× instead of ~5×). Kept well below SCAN_COST_PER_ROW so
-#: inline still beats exact whenever per-row aggregate work dominates.
-INLINE_PREDICATE_COST_PER_ROW = 0.05
+#: big_quantile 1.7× instead of ~5×). Calibrated from the big-tier bench:
+#: inline big_groupby 0.326 s ≈ 0.22·(1 + rand) + f·n·w → rand ≈ 0.4.
+INLINE_PREDICATE_COST_PER_ROW = 0.4
 
 
-def inline_sample_cost(n: int, fraction: float) -> float:
-    return n * INLINE_PREDICATE_COST_PER_ROW + sample_cost(n, fraction)
+def inline_sample_cost(n: int, fraction: float, work: float = 0.0) -> float:
+    """Inline sample: full base-table read + rand() per row, aggregate
+    work only on the f·N surviving rows. Beats exact iff
+    ``work > rand/(1 - f)`` — scan-bound queries stay exact."""
+    return (
+        n * (SCAN_COST_PER_ROW + INLINE_PREDICATE_COST_PER_ROW)
+        + n * fraction * work
+        + SAMPLE_SETUP_COST
+    )
+
+
+def per_row_agg_work(parsed: ParsedQuery) -> float:
+    """Per-row aggregate-evaluation work w (relative to scan cost 1.0):
+    a weight per aggregate, a premium per arithmetic operator / CASE in
+    its argument, a hash-probe term under GROUP BY, and the measured
+    value-buffer premium for exact quantiles. See the calibration note on
+    the AGG_WORK_* constants."""
+    import re as _re
+
+    w = 0.0
+    for a in parsed.aggregates:
+        if a.is_quantile:
+            w += QUANTILE_EXACT_BUFFER_COST
+        elif a.func == "COUNT":
+            w += AGG_WORK_COUNT
+        else:
+            w += AGG_WORK_SIMPLE
+            w += AGG_WORK_EXPR_OP * len(
+                _re.findall(r"[+\-*/]|\bCASE\b|\bWHEN\b", a.arg or "", _re.I)
+            )
+    if parsed.group_by:
+        w += GROUP_HASH_WORK_PER_ROW
+    return w
 
 
 #: Assumed fraction of rows surviving an arbitrary WHERE when the planner
@@ -269,6 +332,20 @@ class Planner:
         # estimates and a padded fraction (round-1 where_sum overshoot).
         sel = WHERE_SELECTIVITY_DEFAULT if parsed.where else 1.0
 
+        # Per-row aggregate work: the compute the exact plan spends on ALL
+        # N rows and a sample plan spends only on f·N. Scan-bound queries
+        # (w below the inline rand() premium) honestly stay exact when no
+        # pre-built sample exists — the measured inline filter is slower
+        # than just finishing the scan there.
+        w = per_row_agg_work(parsed)
+        out[0].cost += n * w
+        if w <= INLINE_PREDICATE_COST_PER_ROW:
+            out[0].reason = (
+                "scan-bound aggregate (per-row work below the inline "
+                "sampling premium): finishing the exact scan is faster "
+                "than filtering it"
+            )
+
         # Stratified sample whose strata definition is covered by the GROUP
         # BY columns (makes the reference's vestigial stratified strategy
         # real; multi-column strata match when every source column appears).
@@ -279,17 +356,17 @@ class Planner:
         # sampling error would blow the tolerance.
         if parsed.has_quantile:
             # Exact PERCENTILE buffers every value per group and sorts at
-            # the end — price that in so the cost ordering reflects the
-            # real state sizes (sample f·N < sketch O(accuracy) < exact
-            # O(values)).
-            out[0].cost += n * QUANTILE_EXACT_BUFFER_COST
+            # the end — per_row_agg_work already priced that in (the
+            # QUANTILE_EXACT_BUFFER_COST term) so the cost ordering
+            # reflects the real state sizes (sample f·N < sketch
+            # O(accuracy) < exact O(values)).
             out[0].reason = (
                 "exact PERCENTILE: per-group value buffer + sort priced in"
             )
             out.append(
                 Candidate(
                     "sketch",
-                    n * SCAN_COST_PER_ROW * SKETCH_CPU_FACTOR
+                    n * SCAN_COST_PER_ROW * QUANTILE_SKETCH_CPU_FACTOR
                     + SKETCH_QUERY_COST,
                     1.0 / QUANTILE_SKETCH_ACCURACY,
                     reason=(
@@ -313,7 +390,7 @@ class Planner:
                     out.append(
                         Candidate(
                             "stratified",
-                            sample_cost(n, s.sample_fraction),
+                            sample_cost(n, s.sample_fraction, work=w),
                             sampling_error(n, s.sample_fraction, sel),
                             sample=s,
                             reason=f"stratified sample on {s.strata_column} "
@@ -346,7 +423,7 @@ class Planner:
                 out.append(
                     Candidate(
                         "weighted",
-                        sample_cost(n, s.sample_fraction),
+                        sample_cost(n, s.sample_fraction, work=w),
                         sampling_error(n, s.target_fraction) * 0.5,
                         sample=s,
                         reason=f"measure-biased sample on {s.variance_column} "
@@ -359,7 +436,7 @@ class Planner:
             out.append(
                 Candidate(
                     "sample",
-                    sample_cost(n, s.sample_fraction),
+                    sample_cost(n, s.sample_fraction, work=w),
                     sampling_error(n, s.sample_fraction, sel),
                     sample=s,
                     reason=f"pre-built uniform sample (f={s.sample_fraction:.4f})",
@@ -372,7 +449,7 @@ class Planner:
         out.append(
             Candidate(
                 "sample",
-                inline_sample_cost(n, f),
+                inline_sample_cost(n, f, work=w),
                 sampling_error(n, f, sel),
                 inline_fraction=f,
                 reason=f"inline seeded Bernoulli sampling predicate (f={f:.4f})",

@@ -155,14 +155,41 @@ def test_plan_exact_for_joins(engine):
     assert plan["type"] == "exact"
 
 
-def test_plan_prefers_cheapest_strategy(engine):
-    plan = engine.planner.plan(
+def test_plan_prefers_cheapest_strategy(spark):
+    """The per-row-work cost model (round 4): a bare COUNT(*) is
+    scan-bound — the measured inline rand() filter is SLOWER than just
+    finishing the exact scan, so with no pre-built sample the planner
+    honestly answers exact. A compute-bound query (grouping + expression
+    math) flips to the inline sample; a pre-built sample wins for both."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_cheapest_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.planner.table_row_count("lineitem")  # seed catalog stats
+    scan_bound = eng.planner.plan(
         "SELECT COUNT(*) FROM lineitem", max_rel_error=0.2
     )
-    # sf0.001 lineitem = 6000 rows; sample beats exact on cost
-    assert plan["type"] == "sample"
-    assert plan["estimated_error"] <= 0.2
-    assert "sql" in plan and "original_sql" in plan
+    assert scan_bound["type"] == "exact"
+    assert "scan-bound" in scan_bound["reason"]
+    compute_bound = eng.planner.plan(
+        "SELECT l_returnflag, SUM(l_extendedprice * (1 - l_discount)) AS s "
+        "FROM lineitem GROUP BY l_returnflag",
+        max_rel_error=0.2,
+    )
+    assert compute_bound["type"] == "sample"
+    assert compute_bound["estimated_error"] <= 0.2
+    assert "sql" in compute_bound and "original_sql" in compute_bound
+    eng.create_sample("lineitem", 0.1, seed=3)
+    with_sample = eng.planner.plan(
+        "SELECT COUNT(*) FROM lineitem", max_rel_error=0.2
+    )
+    assert with_sample["type"] == "sample"
+    assert with_sample.get("sample_table")
 
 
 def test_plan_sketch_for_distinct(engine):
@@ -200,3 +227,50 @@ def test_learning_reranking(engine):
     stats = engine.optimizer.learning_stats()
     assert stats["total_queries"] >= 5
     assert "sample" in stats["strategies"]
+
+
+def test_per_row_work_classification_drives_plans(spark):
+    """Decision consistency for the per-row-work cost model: with no
+    pre-built sample, every query whose work lands at or below the inline
+    premium must plan exact (with the scan-bound reason), and every one
+    above it must plan non-exact — across the approximable grammar."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.planner import (
+        INLINE_PREDICATE_COST_PER_ROW,
+        per_row_agg_work,
+    )
+    from approximate_query_engine_spark.sqlparser import parse
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_wgrid_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.planner.table_row_count("lineitem")
+    grid = [
+        "SELECT COUNT(*) AS c FROM lineitem",
+        "SELECT COUNT(l_orderkey) AS c FROM lineitem",
+        "SELECT SUM(l_quantity) AS s FROM lineitem",
+        "SELECT AVG(l_tax) AS a FROM lineitem",
+        "SELECT COUNT(*) AS c FROM lineitem WHERE l_quantity > 10",
+        "SELECT SUM(l_quantity) AS s FROM lineitem WHERE l_quantity > 10",
+        "SELECT l_returnflag, COUNT(*) AS c FROM lineitem GROUP BY l_returnflag",
+        "SELECT SUM(l_extendedprice * (1 - l_discount)) AS s FROM lineitem",
+        "SELECT COUNT(*) AS c, SUM(l_quantity) AS s, AVG(l_tax) AS a FROM lineitem",
+        "SELECT MEDIAN(l_quantity) AS m FROM lineitem",
+        "SELECT l_linestatus, SUM(l_quantity * l_extendedprice) AS s "
+        "FROM lineitem GROUP BY l_linestatus",
+    ]
+    for sql in grid:
+        w = per_row_agg_work(parse(sql))
+        plan = eng.planner.plan(sql, max_rel_error=0.2)
+        if w <= INLINE_PREDICATE_COST_PER_ROW:
+            assert plan["type"] == "exact", (sql, w, plan["reason"])
+            assert "scan-bound" in plan["reason"], (sql, plan["reason"])
+        else:
+            assert plan["type"] != "exact", (sql, w, plan["reason"])
+        # every plan must execute end to end
+        out = eng.query(sql, max_rel_error=0.2)
+        assert out["status"] == "ok", (sql, out.get("error"))
