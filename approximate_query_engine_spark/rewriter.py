@@ -647,6 +647,7 @@ def rewrite_join_fact_sample(
     n_rows: float | None = None,
     k: int | None = None,
     key_expr: str | None = None,
+    sample_table: str | None = None,
 ) -> RewriteResult:
     """Join-level AQP through the SQL surface (beyond-reference; the
     programmatic analog is operators/approx_join.py): replace the FACT
@@ -657,15 +658,31 @@ def rewrite_join_fact_sample(
     the single-table rewrite apply to aggregates over ANY column, dim or
     fact. Dims stay exact and still broadcast.
 
-    Pass ``fraction`` for the seeded Bernoulli predicate, or ``k`` +
+    Pass ``fraction`` for the seeded Bernoulli predicate, ``k`` +
     ``key_expr`` for the deterministic 1-in-k systematic variant (the
-    engine-reproducible form used by the oracle contract). The sampling
-    predicate — including ``key_expr`` — evaluates INSIDE the fact
-    subquery, so it must reference unqualified fact column names. At 100 TB
-    this is the rewrite that cuts the fact scan AND the join shuffle by
-    1/f; the sampling predicate sits inside the fact subquery, so it
-    filters BEFORE the join, never after."""
-    if k is not None:
+    engine-reproducible form used by the oracle contract), or
+    ``sample_table`` + ``fraction`` (the ACHIEVED fraction) to substitute
+    a pre-built uniform sample of the fact — the scale form: the inline
+    predicate still reads every fact row, the pre-built sample reads only
+    f·N. The sampling predicate — including ``key_expr`` — evaluates
+    INSIDE the fact subquery, so it must reference unqualified fact
+    column names. At 100 TB this is the rewrite that cuts the fact scan
+    AND the join shuffle by 1/f; the sampling predicate sits inside the
+    fact subquery, so it filters BEFORE the join, never after."""
+    if sample_table is not None:
+        if fraction is None:
+            raise UnsupportedRewriteError(
+                "join sample via sample_table needs its achieved fraction"
+            )
+        pred = None
+        transforms = [
+            f"Replaced fact table {fact_table} with pre-built uniform "
+            f"sample {sample_table} (achieved f={fraction:.6f}) inside "
+            "the join",
+            f"Scaled aggregates by 1/{fraction:.6f} with "
+            "Horvitz-Thompson weights",
+        ]
+    elif k is not None:
         if k < 1:
             raise UnsupportedRewriteError(f"systematic sample k={k} must be >= 1")
         if not key_expr:
@@ -697,7 +714,11 @@ def rewrite_join_fact_sample(
     scaler = _AggScaler(f_expr, uniform=True, n_sample_est=n_sample_est)
     select, ci_cols = _scaled_select(jq, scaler, transforms)
     having, order_by = _scaled_having_order(jq, scaler)
-    from_override = jq.from_with_sampled(fact_table, pred)
+    from_override = (
+        jq.from_with_replacement(fact_table, sample_table)
+        if sample_table is not None
+        else jq.from_with_sampled(fact_table, pred)
+    )
     rendered = type(jq)(
         select_items=jq.select_items,
         table=jq.table,
@@ -713,6 +734,7 @@ def rewrite_join_fact_sample(
     return RewriteResult(
         sql=rendered,
         plan_type="sample",
+        sample_table=sample_table,
         sample_fraction=fraction,
         transformations=transforms,
         ci_columns=ci_cols,

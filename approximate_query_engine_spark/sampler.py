@@ -309,6 +309,7 @@ class Sampler:
         fraction: float,
         seed: int = 42,
         min_prob: float = 1e-6,
+        key_expr: str | None = None,
     ) -> SampleInfo:
         """Measure-biased (probability-proportional-to-size) Bernoulli
         sample: row i is kept with p_i = min(1, target_n · x_i / Σx), and
@@ -318,6 +319,15 @@ class Sampler:
         variance-optimal Bernoulli design (big rows are always in); the
         classic importance-sampling AQP technique the reference lacks.
 
+        ``key_expr`` (a SQL string expression identifying the row, e.g.
+        ``CONCAT(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS
+        STRING))``) switches the inclusion draw from ``rand(seed)`` to the
+        deterministic md5-hash uniform u = int(md5(key:seed)[:8]) / 2³²:
+        same design, engine-reproducible (q71/q77's portable predicate
+        family — any SQL engine with md5 reproduces the subset exactly).
+        Σx is summed as DECIMAL(18,2) in both modes so the probability
+        inputs are order-independent across engines and reruns.
+
         Two passes, both scan-time: (1) Σx from one aggregate, (2) the
         probability filter. Negative/NULL measures get the floor
         probability (they carry no SUM mass but stay estimable for COUNT).
@@ -326,7 +336,12 @@ class Sampler:
             raise ValueError("sample_fraction must be in (0, 1)")
         df = self.spark.table(table)
         totals = df.agg(
-            F.sum(F.when(F.col(measure_col) > 0, F.col(measure_col)).otherwise(0.0)).alias("s"),
+            F.expr(
+                "CAST(SUM(CASE WHEN {c} > 0 THEN CAST({c} AS DECIMAL(18,2)) "
+                "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)".format(
+                    c=measure_col
+                )
+            ).alias("s"),
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         total_x, n = float(totals["s"] or 0.0), int(totals["n"])
@@ -347,10 +362,14 @@ class Sampler:
                 F.lit(target_n) * F.col(measure_col) / F.lit(total_x),
             ),
         )
-        sampled = (
-            df.withColumn("__p", p)
-            .filter(F.rand(seed) < F.col("__p"))
-        )
+        if key_expr is not None:
+            u = F.expr(
+                "CAST(CONV(SUBSTRING(md5(CONCAT({k}, ':', '{s}')), 1, 8), "
+                "16, 10) AS DOUBLE) / 4294967296.0".format(k=key_expr, s=seed)
+            )
+        else:
+            u = F.rand(seed)
+        sampled = df.withColumn("__p", p).filter(u < F.col("__p"))
         path = os.path.join(self.samples_dir, sample_table)
         sampled.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)

@@ -449,6 +449,15 @@ class JoinedQuery(ParsedQuery):
     def from_with_sampled(self, table: str, predicate: str) -> str:
         """The FROM body with ``table``'s reference replaced by a sampled
         subquery keeping its alias (so qualified references resolve)."""
+        return self.from_with_replacement(
+            table, f"(SELECT * FROM {table} WHERE {predicate})"
+        )
+
+    def from_with_replacement(self, table: str, replacement: str) -> str:
+        """The FROM body with ``table``'s reference replaced by
+        ``replacement`` (a subquery or another table, e.g. a pre-built
+        sample), keeping the original alias so qualified references
+        resolve unchanged."""
         for name, alias in self.tables:
             if name != table:
                 continue
@@ -459,7 +468,7 @@ class JoinedQuery(ParsedQuery):
                 )
             else:
                 pat = re.compile(rf"\b{re.escape(name)}\b")
-            sub = f"(SELECT * FROM {name} WHERE {predicate}) {alias or name}"
+            sub = f"{replacement} {alias or name}"
             out, n_subs = pat.subn(sub, self.from_body, count=1)
             if n_subs != 1:
                 raise ParseError(f"could not locate {table} in FROM body")

@@ -175,3 +175,46 @@ def test_ml_path_reports_join_plan(engine):
     assert ml["strategy"] == "sample"
     assert "star join" in ml["reasoning"]
     assert ml["estimated_speedup"] > 1.0
+
+
+def test_join_planner_prefers_prebuilt_fact_sample(spark):
+    """With a pre-built uniform sample of the fact table, the join planner
+    must substitute it for the fact side (scans f·N rows) instead of
+    re-sampling inline (reads every fact row), and the scaled result must
+    stay within the error contract."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_joinpre_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.planner.table_row_count("lineitem")
+    eng.planner.table_row_count("orders")
+    sql = (
+        "SELECT o.o_orderpriority, COUNT(*) AS n, "
+        "SUM(l.l_extendedprice) AS rev "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderpriority"
+    )
+    inline = eng.planner.plan(sql, max_rel_error=0.2)
+    assert inline["type"] == "sample" and "rand(" in inline["sql"]
+    eng.create_sample("lineitem", 0.25, seed=13)
+    pre = eng.planner.plan(sql, max_rel_error=0.2)
+    assert pre["type"] == "sample"
+    assert pre.get("sample_table") == "lineitem__sample_0_25"
+    assert "rand(" not in pre["sql"]
+    assert "pre-built fact sample" in pre["reason"]
+    # executes and lands near exact (f=0.25 at sf0.001: loose bound)
+    approx = {
+        r["o_orderpriority"]: r["rev"]
+        for r in spark.sql(pre["sql"]).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["rev"]
+        for r in spark.sql(sql.replace(", COUNT(*) AS n", "")).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / abs(v) < 0.35

@@ -139,6 +139,9 @@ def test_check_window_ordering():
         # heavy hitters ride the persisted-sketch read-path family
         # (q50's CMS point estimates are the in-window representative)
         "q84_heavy_hitters": "q50_cms_freq",
+        # deterministic PPS (upgraded from rows-only in round 4) rides the
+        # sampling-estimator family; q76's uniform-sample CIs stand in
+        "q47_pps_sum": "q76_sample_group_ci",
     }
     for name in names[50:]:
         if name in oracled:

@@ -70,3 +70,37 @@ def test_weighted_refresh(engine, skewed):
     info = engine.sampler.create_weighted_sample("skewed_sales", "rev", 0.02, seed=3)
     ref = engine.sampler.refresh_sample(info.sample_table)
     assert ref.allocation_type == "weighted" and ref.variance_column == "rev"
+
+
+def test_deterministic_pps_reproducible_and_accurate(spark):
+    """key_expr mode: two independent builds keep the IDENTICAL subset
+    (md5-hash inclusion draw, no rand), and the HT estimate of
+    SUM(measure) lands near-exact (PPS on the measure: each kept row
+    contributes the same scaled mass, so error = kept-count noise)."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    key = "CONCAT(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))"
+    counts, ests = [], []
+    for _ in range(2):
+        eng = AQEngine(
+            spark,
+            workdir=tempfile.mkdtemp(prefix="aqe_detpps_"),
+            data_dir="/root/testdata/sf0.001",
+        )
+        info = eng.sampler.create_weighted_sample(
+            "lineitem", "l_extendedprice", 0.05, seed=7, key_expr=key
+        )
+        counts.append(info.row_count)
+        ests.append(
+            spark.sql(
+                f"SELECT SUM(l_extendedprice / __p) AS t FROM {info.sample_table}"
+            ).collect()[0]["t"]
+        )
+    assert counts[0] == counts[1]
+    assert ests[0] == ests[1]
+    exact = spark.sql(
+        "SELECT SUM(l_extendedprice) AS t FROM lineitem"
+    ).collect()[0]["t"]
+    assert abs(ests[0] - exact) / exact < 0.15
