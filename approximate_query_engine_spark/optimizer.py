@@ -12,7 +12,10 @@ Strategy semantics are made honest where the reference faked them:
 - 'sketch' on COUNT(DISTINCT) really uses HLL++ (not a 30% row sample);
 - 'stratified' really routes to a stratified sample when the catalog has
   one on a GROUP BY column, else degrades to uniform sampling;
-- estimates (speedup = 1/f, error clamps) follow ml_optimizer.py:242-274.
+- error estimates keep the reference clamps (ml_optimizer.py:242-274);
+  speedup estimates use the cost model's exact/chosen ratio with the
+  per-query fixed floor (the reference's flat 1/f promised 100x at
+  f=0.01 — the measured big tier delivers ~5-7x and small tables ~1x).
 """
 
 from __future__ import annotations
@@ -21,7 +24,12 @@ from dataclasses import dataclass
 from typing import Any
 
 from approximate_query_engine_spark.catalog import Catalog, HistoryRecord
-from approximate_query_engine_spark.planner import Planner, inline_fraction_for
+from approximate_query_engine_spark.planner import (
+    QUERY_FIXED_COST,
+    SKETCH_QUERY_COST,
+    Planner,
+    inline_fraction_for,
+)
 from approximate_query_engine_spark.sqlparser import ParsedQuery, try_parse
 
 
@@ -108,10 +116,20 @@ class MLOptimizer:
                     "modified_sql": plan["sql"],
                     "original_sql": sql,
                     "confidence": 0.9,
+                    # cost-model ratio, same honesty rule as _estimates
                     "estimated_speedup": (
-                        1.0 / plan["sample_fraction"]
-                        if plan.get("sample_fraction")
-                        else 1.0
+                        _clamp(
+                            (plan["cost_exact"] + QUERY_FIXED_COST)
+                            / (plan["estimated_cost"] + QUERY_FIXED_COST),
+                            1.0,
+                            100.0,
+                        )
+                        if plan.get("cost_exact") and plan.get("estimated_cost")
+                        else (
+                            1.0 / plan["sample_fraction"]
+                            if plan.get("sample_fraction")
+                            else 1.0
+                        )
                     ),
                     "estimated_error": plan.get("estimated_error", 0.0),
                     "reasoning": (
@@ -208,18 +226,42 @@ class MLOptimizer:
     # ------------------------------------------------------------------
     @staticmethod
     def _estimates(plan: dict, feats: Features, tol: float) -> tuple[float, float]:
-        """Speedup/error estimates per strategy (reference
-        ml_optimizer.py:242-274 clamps)."""
+        """Speedup/error estimates per strategy. Error keeps the reference
+        clamps (ml_optimizer.py:242-274); speedup uses the cost model's
+        own exact/chosen ratio when the plan carries both costs — the
+        reference's 1/f promise (100x at f=0.01) never survives contact
+        with the measured big tier (~5-7x: scan reduction, not wall-clock
+        division). Capped at 100x; falls back to the reference formulas
+        when the ratio is unavailable or the sketch cost is the flat
+        no-stats constant (a flat 10-unit cost against an N-row scan is
+        not a wall-clock model)."""
         ptype = plan["type"]
         if ptype == "exact":
             return 1.0, 0.0
+        cost_exact = plan.get("cost_exact")
+        cost_chosen = plan.get("estimated_cost")
+        ratio = None
+        if cost_exact and cost_chosen and cost_chosen > 0:
+            if not (ptype == "sketch" and cost_chosen <= SKETCH_QUERY_COST):
+                # fixed per-query floor on BOTH sides: wall-clock ratios,
+                # not scan-unit ratios (a 1% sample of a small table is
+                # ~1x in reality, not 100x)
+                ratio = _clamp(
+                    (cost_exact + QUERY_FIXED_COST)
+                    / (cost_chosen + QUERY_FIXED_COST),
+                    1.0,
+                    100.0,
+                )
         if ptype == "sketch":
-            return 3.3, _clamp(plan.get("estimated_error", 0.02), 0.02, 0.30)
+            err = _clamp(plan.get("estimated_error", 0.02), 0.02, 0.30)
+            return (ratio if ratio is not None else 3.3), err
         f = plan.get("sample_fraction") or inline_fraction_for(
             max(feats.table_size, 1), tol
         )
         n_eff = max(feats.table_size * f, 1.0)
         err = _clamp(1.0 / (n_eff**0.5), 0.01, 0.5)
+        if ratio is not None:
+            return ratio, err
         return (1.0 / f if f > 0 else 1.0), err
 
     @staticmethod

@@ -88,6 +88,16 @@ AGG_WORK_SIMPLE = 0.3
 AGG_WORK_EXPR_OP = 0.3
 GROUP_HASH_WORK_PER_ROW = 0.5
 
+#: Per-query fixed cost (task scheduling + codegen + collect) in the same
+#: row-units as SCAN_COST_PER_ROW, for WALL-CLOCK speedup estimates only —
+#: it is identical across candidates, so it never changes an argmin plan
+#: choice. Calibration: the big-tier bench scans 30M rows in ~0.22 s
+#: (≈7.3 ns/row-unit) and the measured per-query floor is ~0.15 s → ~20M
+#: units. With it, a 1% sample of a 60k-row table estimates ~1.0x (the
+#: bench-measured floor-bound truth) while the 30M-row tier estimates ~4-6x
+#: (the measured plan-cost regime) — instead of the reference's flat 1/f.
+QUERY_FIXED_COST = 20_000_000.0
+
 #: Per-fact-row work of an inner join + aggregation beyond the bare scan
 #: (hash/shuffle probe per surviving row). Calibrated: big-tier bench
 #: (30M rows) measured the exact star join + agg at ~2.1 s vs the ~0.22 s
@@ -267,9 +277,24 @@ class Planner:
         if n is None:
             return self._exact(sql, parsed.table, "no table statistics: exact")
 
-        cands = self.candidates(parsed, n, max_rel_error, forced_strategy)
+        # Filter unforced first so the exact candidate's cost is always
+        # known (under a forced strategy _filter would drop it), then
+        # apply the forced-strategy narrowing with identical semantics.
+        cands = self.candidates(parsed, n, max_rel_error, None)
+        exact_cost_val = next(
+            (c.cost for c in cands if c.strategy == "exact"), None
+        )
+        if forced_strategy:
+            forced_ok = [c for c in cands if c.strategy == forced_strategy]
+            cands = forced_ok or cands
         best = min(cands, key=lambda c: c.cost)
-        return self.realize(parsed, sql, best, n, max_rel_error, seed)
+        plan = self.realize(parsed, sql, best, n, max_rel_error, seed)
+        # The exact candidate's cost rides along so downstream speedup
+        # estimates can use the model's own ratio instead of the
+        # reference's optimistic 1/f (a 1% sample is ~5-7x at the
+        # measured big tier, not 100x — scan reduction isn't wall-clock).
+        plan["cost_exact"] = exact_cost_val
+        return plan
 
     # ------------------------------------------------------------------
     def candidates(
@@ -630,7 +655,9 @@ class Planner:
                 )
         except (rewriter.UnsupportedRewriteError, UnsupportedQueryError) as e:
             return self._exact(sql, fact, f"not approximable: {e}")
-        return rewriter.plan_dict(rw, sql, fact, best.cost, best.error, best.reason)
+        out = rewriter.plan_dict(rw, sql, fact, best.cost, best.error, best.reason)
+        out["cost_exact"] = cands[0].cost  # exact-join candidate
+        return out
 
     def _exact(
         self, sql: str, table: str | None, reason: str, cost: float | None = None
@@ -639,7 +666,9 @@ class Planner:
         if cost is None:
             n = self.catalog.get_row_count(table) if table else None
             cost = exact_cost(n, False) if n else 0.0
-        return rewriter.plan_dict(rw, sql, table, cost, 0.0, reason)
+        out = rewriter.plan_dict(rw, sql, table, cost, 0.0, reason)
+        out["cost_exact"] = cost  # ratio 1: exact IS the baseline
+        return out
 
 
 def _unqualify(col: str, alias: str | None) -> str:

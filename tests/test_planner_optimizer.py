@@ -274,3 +274,33 @@ def test_per_row_work_classification_drives_plans(spark):
         # every plan must execute end to end
         out = eng.query(sql, max_rel_error=0.2)
         assert out["status"] == "ok", (sql, out.get("error"))
+
+
+def test_speedup_estimates_are_wall_clock_honest(spark):
+    """estimated_speedup must come from the cost model's exact/chosen
+    ratio WITH the per-query fixed floor — not the reference's flat 1/f:
+    a 1% sample of a small table estimates ~1x (the measured floor-bound
+    truth), the same plan at catalog-claimed 30M rows estimates the
+    measured plan-cost regime (roughly 3-10x), never 100x."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_est_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.planner.table_row_count("lineitem")
+    eng.create_sample("lineitem", 0.05, seed=5)
+    sql = (
+        "SELECT l_returnflag, SUM(l_extendedprice * (1 - l_discount)) AS s "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    small = eng.optimizer.optimize_query(sql, 0.1)
+    assert small["strategy"] == "sample"
+    assert 1.0 <= small["estimated_speedup"] < 1.5
+    eng.catalog.upsert_table_stats("lineitem", 30_000_000)
+    big = eng.optimizer.optimize_query(sql, 0.1)
+    assert big["strategy"] in ("sample", "stratified")
+    assert 2.0 < big["estimated_speedup"] < 20.0
