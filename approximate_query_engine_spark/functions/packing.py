@@ -87,3 +87,40 @@ def pack_stats(
         .cast("bigint")
         .alias("fill_permille"),
     )
+
+
+def write_training_shards(
+    packed: DataFrame,
+    out_dir: str,
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Materialize packed sequences as training shards and return the
+    manifest (one row per shard: packs, docs, tokens, files).
+
+    The sink shape that matters at warehouse scale: ONE shuffle keyed on
+    the shard (`repartition("shard")` — co-locates each shard in a single
+    task), documents laid down in pack order
+    (`sortWithinPartitions`), and `partitionBy("shard")` so every shard
+    is its own directory a trainer can stream independently. The manifest
+    is computed from the data as WRITTEN (read back from ``out_dir``),
+    not from the plan — it audits what actually landed, catching partial
+    writes.
+    """
+    spark = packed.sparkSession
+    (
+        packed.repartition("shard")
+        .sortWithinPartitions("shard", "pack_id", "pack_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    written = spark.read.parquet(out_dir)
+    return (
+        written.groupBy("shard")
+        .agg(
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col)).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )

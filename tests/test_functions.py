@@ -727,3 +727,43 @@ def test_pack_sequences_single_shuffle_plan(spark):
     out = pack_stats(pack_sequences(df, 512, shard_col="dom"), 512)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_write_training_shards_manifest_audits_written_data(spark, tmp_path):
+    """The shard writer must land one directory per shard with documents
+    in pack order, and the manifest (computed from the written files, not
+    the plan) must reconcile exactly with the input."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.packing import (
+        pack_sequences,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 10).alias("n_tokens"),
+    )
+    packed = pack_sequences(df, 512, n_shards=4)
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(packed, out)
+    rows = {r["shard"]: r for r in manifest.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(r["n_docs"] for r in rows.values()) == 500
+    exact_tokens = df.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(r["n_tokens"] for r in rows.values()) == exact_tokens
+    # one directory per shard; read-back round-trips every document
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("shard=")
+    ) == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    # within a shard file, documents are laid down in pack order
+    one = (
+        back.where("shard = 1")
+        .select("pack_id", "pack_offset")
+        .collect()
+    )
+    assert one == sorted(one, key=lambda r: (r["pack_id"], r["pack_offset"]))
