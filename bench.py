@@ -617,6 +617,7 @@ def main() -> None:
             # execution records the sampling plan's REAL speedup (cheap
             # single-agg seeds sit at the scheduler floor and would record
             # speedup<1 — true but uninformative history)
+            calibration: list[dict] = []
             for s in (
                 exact_sqls["heavy_agg"].replace("lineitem", "lineitem_big"),
                 "SELECT l_returnflag, SUM(l_quantity * l_extendedprice) AS v "
@@ -626,6 +627,20 @@ def main() -> None:
             ):
                 r = eng2.query(s, max_rel_error=0.05, use_ml_optimization=True)
                 assert r["status"] == "ok", r.get("error")
+                # predicted-vs-measured speedup for each dual-executed
+                # query: the honesty check on the cost-model estimates
+                # (the reference promised a flat 1/f = 100x here)
+                calibration.append(
+                    {
+                        "strategy": r["ml_optimization"]["strategy"],
+                        "estimated_speedup": round(
+                            r["ml_optimization"]["estimated_speedup"], 2
+                        ),
+                        "actual_speedup": round(
+                            r["ml_optimization"].get("actual_speedup", 0.0), 2
+                        ),
+                    }
+                )
             dsql = "SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem_big"
             r_d = eng2.query(dsql, max_rel_error=0.05, use_ml_optimization=True)
             assert r_d["status"] == "ok", r_d.get("error")
@@ -641,6 +656,7 @@ def main() -> None:
             opt = r_d["ml_optimization"]
             ml_block = {
                 "stats": eng2.ml_stats(),
+                "estimate_calibration": calibration,
                 "flip": {
                     "query": dsql,
                     "base_tree_strategy": base_strategy,
