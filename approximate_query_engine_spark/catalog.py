@@ -65,6 +65,10 @@ class SampleInfo:
     #: source columns of the strata definition (multi-column stratification
     #: stores the composite expression in strata_column and the parts here)
     strata_source_cols: list[str] = field(default_factory=list)
+    #: deterministic-PPS row-identity expression (md5-hash inclusion draw);
+    #: persisted so refresh_sample rebuilds the engine-reproducible subset
+    #: instead of silently degrading to rand(seed)
+    pps_key_expr: str | None = None
     row_count: int = 0
     seed: int = 42
     strata: list[StratumInfo] = field(default_factory=list)

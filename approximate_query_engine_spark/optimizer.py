@@ -37,6 +37,28 @@ def _clamp(x: float, lo: float, hi: float) -> float:
     return max(lo, min(hi, x))
 
 
+def _wall_clock_ratio(plan: dict) -> float | None:
+    """Cost-model speedup estimate: (exact + floor) / (chosen + floor),
+    the ONE implementation both the single-table and join envelopes use.
+    None when either cost is missing or the sketch cost is the flat
+    no-stats constant (a 10-unit constant against an N-row scan is not a
+    wall-clock model). Sub-1 ratios are reported, clamped at 0.1 — a
+    forced strategy can be a predicted slowdown, and rounding it up to
+    1.0 would hide the prediction from the learning history and the
+    bench's estimate_calibration block."""
+    cost_exact = plan.get("cost_exact")
+    cost_chosen = plan.get("estimated_cost")
+    if not cost_exact or not cost_chosen or cost_chosen <= 0:
+        return None
+    if plan.get("type") == "sketch" and cost_chosen <= SKETCH_QUERY_COST:
+        return None
+    return _clamp(
+        (cost_exact + QUERY_FIXED_COST) / (cost_chosen + QUERY_FIXED_COST),
+        0.1,
+        100.0,
+    )
+
+
 @dataclass
 class Features:
     """Query features (reference ml_optimizer.py:65-113)."""
@@ -118,14 +140,8 @@ class MLOptimizer:
                     "confidence": 0.9,
                     # cost-model ratio, same honesty rule as _estimates
                     "estimated_speedup": (
-                        _clamp(
-                            (plan["cost_exact"] + QUERY_FIXED_COST)
-                            / (plan["estimated_cost"] + QUERY_FIXED_COST),
-                            1.0,
-                            100.0,
-                        )
-                        if plan.get("cost_exact") and plan.get("estimated_cost")
-                        else (
+                        _wall_clock_ratio(plan)
+                        or (
                             1.0 / plan["sample_fraction"]
                             if plan.get("sample_fraction")
                             else 1.0
@@ -238,20 +254,7 @@ class MLOptimizer:
         ptype = plan["type"]
         if ptype == "exact":
             return 1.0, 0.0
-        cost_exact = plan.get("cost_exact")
-        cost_chosen = plan.get("estimated_cost")
-        ratio = None
-        if cost_exact and cost_chosen and cost_chosen > 0:
-            if not (ptype == "sketch" and cost_chosen <= SKETCH_QUERY_COST):
-                # fixed per-query floor on BOTH sides: wall-clock ratios,
-                # not scan-unit ratios (a 1% sample of a small table is
-                # ~1x in reality, not 100x)
-                ratio = _clamp(
-                    (cost_exact + QUERY_FIXED_COST)
-                    / (cost_chosen + QUERY_FIXED_COST),
-                    1.0,
-                    100.0,
-                )
+        ratio = _wall_clock_ratio(plan)
         if ptype == "sketch":
             err = _clamp(plan.get("estimated_error", 0.02), 0.02, 0.30)
             return (ratio if ratio is not None else 3.3), err

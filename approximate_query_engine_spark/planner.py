@@ -161,17 +161,23 @@ def per_row_agg_work(parsed: ParsedQuery) -> float:
     the AGG_WORK_* constants."""
     import re as _re
 
+    def _ops(arg: str | None) -> int:
+        return len(
+            _re.findall(r"[+\-*/]|\bCASE\b|\bWHEN\b", arg or "", _re.I)
+        )
+
     w = 0.0
     for a in parsed.aggregates:
         if a.is_quantile:
             w += QUANTILE_EXACT_BUFFER_COST
         elif a.func == "COUNT":
+            # COUNT(expr) evaluates its argument per row just like SUM's —
+            # only the bare COUNT(*)/COUNT(col) probe is cheap
             w += AGG_WORK_COUNT
+            if not a.is_star:
+                w += AGG_WORK_EXPR_OP * _ops(a.arg)
         else:
-            w += AGG_WORK_SIMPLE
-            w += AGG_WORK_EXPR_OP * len(
-                _re.findall(r"[+\-*/]|\bCASE\b|\bWHEN\b", a.arg or "", _re.I)
-            )
+            w += AGG_WORK_SIMPLE + AGG_WORK_EXPR_OP * _ops(a.arg)
     if parsed.group_by:
         w += GROUP_HASH_WORK_PER_ROW
     return w

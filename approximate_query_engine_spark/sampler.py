@@ -386,6 +386,7 @@ class Sampler:
             seed=seed,
             allocation_type="weighted",
             variance_column=measure_col,
+            pps_key_expr=key_expr,
         )
         self.catalog.register_sample(info)
         self.catalog.save()
@@ -406,6 +407,7 @@ class Sampler:
                 info.variance_column,
                 info.target_fraction,
                 seed=info.seed,
+                key_expr=info.pps_key_expr,
             )
         if info.strata_column:
             return self.create_stratified_sample(

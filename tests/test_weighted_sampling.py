@@ -104,3 +104,27 @@ def test_deterministic_pps_reproducible_and_accurate(spark):
         "SELECT SUM(l_extendedprice) AS t FROM lineitem"
     ).collect()[0]["t"]
     assert abs(ests[0] - exact) / exact < 0.15
+
+
+def test_refresh_preserves_deterministic_pps_key(spark):
+    """refresh_sample on a deterministic (md5-keyed) PPS sample must
+    rebuild with the SAME key expression — degrading to rand(seed) would
+    silently break the engine-reproducible subset contract."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    key = "CONCAT(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))"
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_ppsrefresh_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    info = eng.sampler.create_weighted_sample(
+        "lineitem", "l_extendedprice", 0.05, seed=7, key_expr=key
+    )
+    assert info.pps_key_expr == key
+    refreshed = eng.sampler.refresh_sample(info.sample_table)
+    assert refreshed.pps_key_expr == key
+    # same base data + same deterministic draw => identical subset
+    assert refreshed.row_count == info.row_count
