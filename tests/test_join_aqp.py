@@ -218,3 +218,37 @@ def test_join_planner_prefers_prebuilt_fact_sample(spark):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) / abs(v) < 0.35
+
+
+def test_substituted_fact_sample_join_prunes_and_broadcasts(spark):
+    """The pre-built-sample join substitution must keep the scale shape:
+    both scans pruned to the referenced columns and the dim side
+    broadcast (no shuffle of the sampled fact against a sorted dim)."""
+    import re
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_jshape_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.planner.table_row_count("lineitem")
+    eng.planner.table_row_count("orders")
+    eng.create_sample("lineitem", 0.25, seed=13)
+    p = eng.query(
+        "SELECT o.o_orderpriority, SUM(l.l_extendedprice) AS rev "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderpriority",
+        max_rel_error=0.2,
+        explain=True,
+    )
+    assert p["plan"].get("sample_table")
+    plan = spark.sql(p["plan"]["sql"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    schemas = sorted(re.findall(r"ReadSchema: (\S+)", plan))
+    assert schemas == [
+        "struct<l_orderkey:bigint,l_extendedprice:double>",
+        "struct<o_orderkey:bigint,o_orderpriority:string>",
+    ], schemas

@@ -246,3 +246,29 @@ def test_prebuilt_sample_preferred_over_inline_full_scan(spark):
         assert out["plan"]["type"] == "sample"
         assert out["plan"].get("sample_table"), out["plan"]["reason"]
         assert "rand(" not in out["plan"]["sql"]
+
+
+def test_sample_table_scan_prunes_to_needed_column(spark):
+    """The quantile rewrite over a pre-built sample must reach the parquet
+    scan with ONLY the aggregated column (ReadSchema pruning) — reading
+    all 17 lineitem columns for a one-column percentile is the kind of
+    plan that silently dies at 100 TB."""
+    import re
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_prune_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.create_sample("lineitem", 0.25, seed=13)
+    p = eng.query(
+        "SELECT MEDIAN(l_extendedprice) AS med FROM lineitem",
+        max_rel_error=0.2,
+        explain=True,
+    )
+    plan = spark.sql(p["plan"]["sql"])._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas == ["struct<l_extendedprice:double>"], schemas
