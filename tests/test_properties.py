@@ -186,3 +186,36 @@ def test_packing_spark_matches_python_replay(spark):
     for i, t in rows:
         assert got[i] == (cum // 512, cum % 512), i
         cum += t
+
+
+@given(agg_query())
+@settings(max_examples=200, deadline=None)
+def test_per_row_work_nonnegative_and_monotone(sql):
+    """per_row_agg_work is >= 0 for every parseable aggregate query, and
+    appending one more aggregate to the select list never DECREASES the
+    work estimate (each aggregate adds work; none subtracts)."""
+    from approximate_query_engine_spark.planner import per_row_agg_work
+
+    p = parse(sql)
+    w = per_row_agg_work(p)
+    assert w >= 0.0
+    extended = sql.replace(" FROM ", ", SUM(zz) AS __extra FROM ", 1)
+    w2 = per_row_agg_work(parse(extended))
+    assert w2 >= w
+
+
+@given(agg_query(), st.floats(0.01, 0.5))
+@settings(max_examples=100, deadline=None)
+def test_inline_never_cheaper_than_prebuilt_at_same_fraction(sql, f):
+    """Cost-model ordering invariant across the whole grammar: at any
+    fraction and any per-row work, a pre-built sample (scan f·N) must
+    cost no more than the inline predicate (scan N + filter)."""
+    from approximate_query_engine_spark.planner import (
+        inline_sample_cost,
+        per_row_agg_work,
+        sample_cost,
+    )
+
+    w = per_row_agg_work(parse(sql))
+    n = 1_000_000
+    assert sample_cost(n, f, work=w) <= inline_sample_cost(n, f, work=w)
