@@ -399,3 +399,46 @@ def tf_idf(
         .withColumn("tfidf", F.col("tf") * idf)
         .select(id_col, "term", "tf", "df", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene: count, then redact, scan-side)
+# ---------------------------------------------------------------------------
+
+#: Deliberately portable regexes: no backreferences or lookaround, so the
+#: SAME pattern runs identically under Java regex (Spark) and RE2-family
+#: engines (DuckDB/Go) — the property every other oracle-checked text
+#: operator in this module relies on. Ordered dict: redaction applies
+#: patterns IN THIS ORDER (email before phone so the digits of an
+#: already-redacted email can't re-match as a phone fragment).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"(?:\+\d{1,3}[- ])?\b\d{3}[- ]\d{3,4}[- ]\d{4}\b",
+}
+
+
+def count_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ input + one ``pii_<kind>`` count column per pattern — pure
+    scan-side ``regexp_count``, zero shuffle. Counting BEFORE redaction is
+    the audit trail: aggregate the counts to decide whether a source needs
+    quarantining rather than silent scrubbing."""
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"pii_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+    return out
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", token: str = "[PII]"
+) -> DataFrame:
+    """Replace every PII match with ``token`` in :data:`PII_PATTERNS`
+    order, in place in ``text_col`` — a chain of ``regexp_replace``
+    (global replace), still one scan-side projection with zero shuffle.
+    Idempotent as long as ``token`` itself matches no pattern."""
+    col: Column = F.col(text_col)
+    for pat in PII_PATTERNS.values():
+        col = F.regexp_replace(col, pat, token)
+    return df.withColumn(text_col, col)

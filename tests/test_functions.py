@@ -767,3 +767,44 @@ def test_write_training_shards_manifest_audits_written_data(spark, tmp_path):
         .collect()
     )
     assert one == sorted(one, key=lambda r: (r["pack_id"], r["pack_offset"]))
+
+
+def test_pii_count_and_redact(spark):
+    """PII hygiene: counts are per-kind and scan-side; redaction replaces
+    every occurrence in pattern order and is idempotent."""
+    from approximate_query_engine_spark.functions.text import (
+        count_pii,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.user+x@test-mail.org or b@x.io thanks"),
+            (2, "server 10.0.0.1 called 192.168.1.255 twice"),
+            (3, "call +1 555-123-4567 or 555-123-4567 now"),
+            (4, "clean document with no sensitive content"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = {r["doc_id"]: r for r in count_pii(df).collect()}
+    assert counts[1]["pii_email"] == 2 and counts[1]["pii_phone"] == 0
+    assert counts[2]["pii_ipv4"] == 2
+    assert counts[3]["pii_phone"] == 2
+    assert all(counts[4][c] == 0 for c in ("pii_email", "pii_ipv4", "pii_phone"))
+    red = {r["doc_id"]: r["text"] for r in redact_pii(df).collect()}
+    assert red[1] == "mail me at [PII] or [PII] thanks"
+    assert red[2] == "server [PII] called [PII] twice"
+    assert red[3] == "call [PII] or [PII] now"
+    assert red[4] == "clean document with no sensitive content"
+    # idempotent: redacting redacted text is a no-op
+    twice = {r["doc_id"]: r["text"] for r in redact_pii(redact_pii(df)).collect()}
+    assert twice == red
+    # the synthetic corpus is clean — counts aggregate to zero (and the
+    # whole thing stays one scan: no Exchange in the plan)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    agg = count_pii(docs).selectExpr(
+        "SUM(pii_email) e", "SUM(pii_ipv4) i", "SUM(pii_phone) p"
+    ).collect()[0]
+    assert (agg["e"], agg["i"], agg["p"]) == (0, 0, 0)
+    plan = count_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
