@@ -160,6 +160,22 @@ def create_app(engine: AQEngine, config: Config | None = None):
     def sketches_list():
         return jsonify({"sketches": engine.list_sketches(request.args.get("table"))})
 
+    @app.post("/tables/analyze")
+    def tables_analyze():
+        """Beyond-reference: one-pass min/max + row-count stats collection
+        feeding the planner's predicate-selectivity estimates."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            ranges = engine.analyze_table(body["table"], body.get("columns"))
+            return jsonify(
+                {"table": body["table"],
+                 "columns": {c: list(v) for c, v in ranges.items()}}
+            )
+        except KeyError as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
     @app.post("/tables/register")
     def tables_register():
         body = request.get_json(force=True, silent=True) or {}

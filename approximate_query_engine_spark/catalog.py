@@ -123,6 +123,9 @@ class Catalog:
         #: learned per-column distinct counts (table, column) → ndv; fed by
         #: sketch builds, read by the planner's COUNT(DISTINCT) cost model
         self.column_ndv: dict[tuple[str, str], int] = {}
+        #: (table, column) -> (min, max) numeric range, learned by
+        #: engine.analyze_table — drives predicate-selectivity estimates
+        self.column_minmax: dict[tuple[str, str], tuple[float, float]] = {}
         # the engine serves concurrent queries over one shared session;
         # saves must not race on the tmp file
         self._save_lock = threading.Lock()
@@ -147,6 +150,7 @@ class Catalog:
             sketches = list(self.sketches.values())
             history = list(self.history)
             column_ndv = dict(self.column_ndv)
+            column_minmax = dict(self.column_minmax)
             doc = {
                 "table_stats": {k: asdict(v) for k, v in table_stats.items()},
                 "samples": {k: asdict(v) for k, v in samples.items()},
@@ -160,6 +164,9 @@ class Catalog:
                 "history": [asdict(h) for h in history],
                 "column_ndv": {
                     f"{t}\x1f{c}": v for (t, c), v in column_ndv.items()
+                },
+                "column_minmax": {
+                    f"{t}\x1f{c}": list(v) for (t, c), v in column_minmax.items()
                 },
             }
             tmp = f"{self._meta_path}.tmp{threading.get_ident()}"
@@ -189,6 +196,9 @@ class Catalog:
         for k, v in doc.get("column_ndv", {}).items():
             table, _, column = k.partition("\x1f")
             self.column_ndv[(table, column)] = int(v)
+        for k, v in doc.get("column_minmax", {}).items():
+            table, _, column = k.partition("\x1f")
+            self.column_minmax[(table, column)] = (float(v[0]), float(v[1]))
 
     # ---- table stats (reference storage.py:88-109) ----
     def upsert_table_stats(self, table: str, row_count: int) -> None:
@@ -200,6 +210,16 @@ class Catalog:
 
     def upsert_column_ndv(self, table: str, column: str, ndv: int) -> None:
         self.column_ndv[(table, column)] = int(ndv)
+
+    def upsert_column_minmax(
+        self, table: str, column: str, lo: float, hi: float
+    ) -> None:
+        self.column_minmax[(table, column)] = (float(lo), float(hi))
+
+    def get_column_minmax(
+        self, table: str, column: str
+    ) -> tuple[float, float] | None:
+        return self.column_minmax.get((table, column))
 
     def get_column_ndv(self, table: str, column: str) -> int | None:
         return self.column_ndv.get((table, column))

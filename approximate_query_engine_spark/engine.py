@@ -234,6 +234,40 @@ class AQEngine:
             ],
         }
 
+    def analyze_table(
+        self, table: str, columns: list[str] | None = None
+    ) -> dict[str, tuple[float, float]]:
+        """ONE aggregation pass learning min/max for the numeric columns
+        (plus a row-count refresh in the same pass) into the catalog — the
+        stats behind the planner's predicate-selectivity estimates
+        (planner.estimate_selectivity). Columns outside the numeric set
+        are ignored; never called implicitly (an O(N) pass is the user's
+        call, the reference's implicit live COUNT per plan is the
+        anti-pattern this engine avoids)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        df = self.spark.table(table)
+        numeric = {
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, T.NumericType)
+        }
+        cols = [c for c in (columns or sorted(numeric)) if c in numeric]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+        row = df.agg(*aggs).collect()[0]
+        self.catalog.upsert_table_stats(table, int(row["__n"]))
+        out: dict[str, tuple[float, float]] = {}
+        for c in cols:
+            lo, hi = row[f"__min_{c}"], row[f"__max_{c}"]
+            if lo is not None and hi is not None:
+                self.catalog.upsert_column_minmax(table, c, float(lo), float(hi))
+                out[c] = (float(lo), float(hi))
+        self.catalog.save()
+        return out
+
     def create_sketch(
         self,
         table: str,

@@ -200,6 +200,48 @@ def sampling_error(n: int, fraction: float, selectivity: float = 1.0) -> float:
     return 1.0 / (eff**0.5)
 
 
+def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
+    """Stats-driven selectivity for the WHERE clause. A conjunctive AND
+    chain of simple predicates (``col <op> numeric-literal``) multiplies
+    per-part estimates under the independence assumption: range operators
+    use the catalog's column min/max (learned by ``engine.analyze_table``)
+    as a uniform-distribution interpolation, equality uses 1/ndv (learned
+    from sketch builds). Parts the grammar or the catalog can't place fall
+    back to :data:`WHERE_SELECTIVITY_DEFAULT` — so without stats this
+    degrades to exactly the old flat guess. Any OR → default (no
+    independence story). Clamped to [0.01, 1.0]: the clamp floors the
+    effective-n error model rather than letting one selective predicate
+    demand a 100% 'sample'."""
+    import re as _re
+
+    where = parsed.where
+    if not where:
+        return 1.0
+    if _re.search(r"\bOR\b", where, _re.I):
+        return WHERE_SELECTIVITY_DEFAULT
+    sel = 1.0
+    for part in _re.split(r"\bAND\b", where, flags=_re.I):
+        m = _re.fullmatch(
+            r"\s*([A-Za-z_][\w.]*)\s*(<=|>=|<|>|=)\s*(-?\d+(?:\.\d+)?)\s*",
+            part,
+        )
+        est = WHERE_SELECTIVITY_DEFAULT
+        if m:
+            col = _unqualify(m.group(1), parsed.table_alias)
+            op, lit = m.group(2), float(m.group(3))
+            if op == "=":
+                ndv = catalog.get_column_ndv(parsed.table, col)
+                if ndv:
+                    est = 1.0 / ndv
+            else:
+                mm = catalog.get_column_minmax(parsed.table, col)
+                if mm is not None and mm[1] > mm[0]:
+                    frac = min(max((lit - mm[0]) / (mm[1] - mm[0]), 0.0), 1.0)
+                    est = frac if op in ("<", "<=") else 1.0 - frac
+        sel *= est
+    return min(max(sel, 0.01), 1.0)
+
+
 class Planner:
     def __init__(self, spark: SparkSession, catalog: Catalog):
         self.spark = spark
@@ -371,7 +413,9 @@ class Planner:
         # A WHERE clause shrinks the effective sample to f·N·selectivity;
         # plan against the discounted n so filtered queries get honest error
         # estimates and a padded fraction (round-1 where_sum overshoot).
-        sel = WHERE_SELECTIVITY_DEFAULT if parsed.where else 1.0
+        # Stats-driven when the catalog knows the predicate columns'
+        # ranges/ndv; the flat pessimistic default otherwise.
+        sel = estimate_selectivity(parsed, self.catalog)
 
         # Per-row aggregate work: the compute the exact plan spends on ALL
         # N rows and a sample plan spends only on f·N. Scan-bound queries

@@ -185,3 +185,19 @@ def test_query_progressive_route(client):
     )
     assert bad.status_code == 400
     assert "key_expr" in bad.get_json()["error"]
+
+
+def test_tables_analyze_route(client):
+    """POST /tables/analyze returns the learned numeric ranges and feeds
+    the catalog behind the planner's selectivity estimates."""
+    r = client.post(
+        "/tables/analyze",
+        json={"table": "lineitem", "columns": ["l_quantity"]},
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["table"] == "lineitem"
+    lo, hi = body["columns"]["l_quantity"]
+    assert 1.0 <= lo < hi <= 50.0
+    r2 = client.post("/tables/analyze", json={})
+    assert r2.status_code == 400

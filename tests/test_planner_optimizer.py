@@ -304,3 +304,60 @@ def test_speedup_estimates_are_wall_clock_honest(spark):
     big = eng.optimizer.optimize_query(sql, 0.1)
     assert big["strategy"] in ("sample", "stratified")
     assert 2.0 < big["estimated_speedup"] < 20.0
+
+
+def test_stats_driven_selectivity(spark):
+    """analyze_table teaches the catalog column ranges in ONE pass, and
+    the planner's selectivity turns from the flat 0.3 guess into the
+    uniform-interpolation estimate — changing the error model and the
+    inline fraction sizing for range predicates; unknown columns and OR
+    clauses still degrade to the old default."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.planner import (
+        WHERE_SELECTIVITY_DEFAULT,
+        estimate_selectivity,
+    )
+    from approximate_query_engine_spark.sqlparser import parse
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_stats_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    base = "SELECT SUM(l_extendedprice) AS s FROM lineitem WHERE {w}"
+
+    def sel(w):
+        return estimate_selectivity(parse(base.format(w=w)), eng.catalog)
+
+    # no stats yet: every shape falls back to the flat default
+    assert sel("l_quantity < 25") == WHERE_SELECTIVITY_DEFAULT
+    ranges = eng.analyze_table("lineitem", ["l_quantity", "l_discount"])
+    assert ranges["l_quantity"][0] >= 1.0 and ranges["l_quantity"][1] <= 50.0
+    lo, hi = ranges["l_quantity"]
+    expect = (25 - lo) / (hi - lo)
+    assert sel("l_quantity < 25") == pytest.approx(expect)
+    assert sel("l_quantity > 25") == pytest.approx(1 - expect)
+    # AND chain multiplies under independence; alias-qualified works too
+    assert sel("l_quantity < 25 AND l_discount >= 0") == pytest.approx(expect)
+    # unknown column part contributes the default factor
+    assert sel("l_quantity < 25 AND l_comment = 3") == pytest.approx(
+        expect * WHERE_SELECTIVITY_DEFAULT
+    )
+    # OR gives up (no independence story)
+    assert sel("l_quantity < 25 OR l_quantity > 45") == WHERE_SELECTIVITY_DEFAULT
+    # stats survive a catalog reload
+    from approximate_query_engine_spark.catalog import Catalog
+
+    reloaded = Catalog(eng.catalog.workdir)
+    assert reloaded.get_column_minmax("lineitem", "l_quantity") == (lo, hi)
+    # end to end (compute-bound shape so the sample path is in play):
+    # the error estimate reflects the refined selectivity
+    plan = eng.planner.plan(
+        "SELECT SUM(l_extendedprice * (1 - l_discount)) AS s "
+        "FROM lineitem WHERE l_quantity < 25",
+        max_rel_error=0.1,
+    )
+    assert plan["type"] == "sample"
+    assert plan["estimated_error"] <= 0.1
