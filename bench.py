@@ -98,6 +98,9 @@ def main() -> None:
     # of a materialized Parquet sample, the actual source of AQP speedup.
     eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_bench_"))
     eng.catalog.upsert_table_stats("lineitem", n)
+    # one-pass stats (untimed setup): the where-classes below get
+    # stats-driven predicate selectivity instead of the flat 0.3 guess
+    eng.analyze_table("lineitem", ["l_quantity", "l_extendedprice"])
     eng.create_sample("lineitem", f, seed=42)
     # engine warmup (untimed): the first engine query pays one-off sample
     # parquet-reader init; the reference's timings are warm HTTP repeats
