@@ -219,6 +219,18 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
         return 1.0
     if _re.search(r"\bOR\b", where, _re.I):
         return WHERE_SELECTIVITY_DEFAULT
+    def _resolve(raw_col: str) -> tuple[str, str]:
+        """(table, column) a predicate column belongs to: the alias map
+        for join queries (every table carries an alias there), the single
+        table otherwise."""
+        tables = getattr(parsed, "tables", None) or []
+        if "." in raw_col and tables:
+            qual, _, col = raw_col.partition(".")
+            for name, alias in tables:
+                if qual == (alias or name):
+                    return name, col
+        return parsed.table, _unqualify(raw_col, parsed.table_alias)
+
     sel = 1.0
     for part in _re.split(r"\bAND\b", where, flags=_re.I):
         m = _re.fullmatch(
@@ -227,14 +239,14 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
         )
         est = WHERE_SELECTIVITY_DEFAULT
         if m:
-            col = _unqualify(m.group(1), parsed.table_alias)
+            table, col = _resolve(m.group(1))
             op, lit = m.group(2), float(m.group(3))
             if op == "=":
-                ndv = catalog.get_column_ndv(parsed.table, col)
+                ndv = catalog.get_column_ndv(table, col)
                 if ndv:
                     est = 1.0 / ndv
             else:
-                mm = catalog.get_column_minmax(parsed.table, col)
+                mm = catalog.get_column_minmax(table, col)
                 if mm is not None and mm[1] > mm[0]:
                     frac = min(max((lit - mm[0]) / (mm[1] - mm[0]), 0.0), 1.0)
                     est = frac if op in ("<", "<=") else 1.0 - frac
@@ -644,7 +656,9 @@ class Planner:
         fact = max(sizes, key=sizes.get)
         n_fact = sizes[fact]
         dims_cost = sum(v for k, v in sizes.items() if k != fact)
-        sel = WHERE_SELECTIVITY_DEFAULT if jq.where else 1.0
+        # stats-driven where available (alias-resolved per table), the
+        # flat pessimistic default otherwise — same rule as single-table
+        sel = estimate_selectivity(jq, self.catalog)
         f = inline_fraction_for(n_fact, max_rel_error, selectivity=sel)
         err = sampling_error(n_fact, f, sel)
         cands = [

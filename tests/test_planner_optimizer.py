@@ -361,3 +361,39 @@ def test_stats_driven_selectivity(spark):
     )
     assert plan["type"] == "sample"
     assert plan["estimated_error"] <= 0.1
+
+
+def test_selectivity_resolves_join_aliases(spark):
+    """In a join query the predicate's alias decides WHICH table's stats
+    apply — l.l_quantity must read lineitem's range even though the parse
+    carries several tables."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.planner import (
+        WHERE_SELECTIVITY_DEFAULT,
+        estimate_selectivity,
+    )
+    from approximate_query_engine_spark.sqlparser import parse_join
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_jsel_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    ranges = eng.analyze_table("lineitem", ["l_quantity"])
+    lo, hi = ranges["l_quantity"]
+    jq = parse_join(
+        "SELECT o.o_orderpriority, COUNT(*) AS n FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE l.l_quantity < 25 GROUP BY o.o_orderpriority"
+    )
+    got = estimate_selectivity(jq, eng.catalog)
+    assert got == pytest.approx((25 - lo) / (hi - lo))
+    # un-analyzed table through a different alias: default
+    jq2 = parse_join(
+        "SELECT o.o_orderpriority, COUNT(*) AS n FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_totalprice < 1000 GROUP BY o.o_orderpriority"
+    )
+    assert estimate_selectivity(jq2, eng.catalog) == WHERE_SELECTIVITY_DEFAULT
