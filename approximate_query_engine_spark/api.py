@@ -171,7 +171,7 @@ def create_app(engine: AQEngine, config: Config | None = None):
                 {"table": body["table"],
                  "columns": {c: list(v) for c, v in ranges.items()}}
             )
-        except KeyError as e:
+        except (KeyError, ValueError) as e:
             return jsonify({"status": "error", "error": str(e)}), 400
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500

@@ -247,12 +247,24 @@ class AQEngine:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        if isinstance(columns, str):  # a bare name is a 1-element request
+            columns = [columns]
         df = self.spark.table(table)
         numeric = {
             f.name for f in df.schema.fields
             if isinstance(f.dataType, T.NumericType)
         }
-        cols = [c for c in (columns or sorted(numeric)) if c in numeric]
+        if columns is not None:
+            # explicit requests fail LOUDLY: silently skipping a typo'd or
+            # non-numeric column would leave the selectivity feature inert
+            # with no signal (the planner just keeps its flat guess)
+            bad = [c for c in columns if c not in numeric]
+            if bad:
+                raise ValueError(
+                    f"analyze_table({table!r}): not numeric columns of the "
+                    f"table: {bad} (numeric: {sorted(numeric)})"
+                )
+        cols = list(columns) if columns is not None else sorted(numeric)
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in cols:
             aggs.append(F.min(c).alias(f"__min_{c}"))

@@ -201,35 +201,43 @@ def sampling_error(n: int, fraction: float, selectivity: float = 1.0) -> float:
 
 
 def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
-    """Stats-driven selectivity for the WHERE clause. A conjunctive AND
-    chain of simple predicates (``col <op> numeric-literal``) multiplies
-    per-part estimates under the independence assumption: range operators
-    use the catalog's column min/max (learned by ``engine.analyze_table``)
-    as a uniform-distribution interpolation, equality uses 1/ndv (learned
-    from sketch builds). Parts the grammar or the catalog can't place fall
-    back to :data:`WHERE_SELECTIVITY_DEFAULT` — so without stats this
-    degrades to exactly the old flat guess. Any OR → default (no
-    independence story). Clamped to [0.01, 1.0]: the clamp floors the
-    effective-n error model rather than letting one selective predicate
-    demand a 100% 'sample'."""
+    """Stats-driven selectivity for the WHERE clause — ALL-OR-NOTHING: the
+    product of per-part estimates is used only when EVERY AND-part is a
+    simple predicate (``col <op> numeric-literal``) whose column resolves
+    unambiguously AND has catalog stats (min/max from
+    ``engine.analyze_table`` for range operators, sketch-learned ndv for
+    equality). Any OR, any BETWEEN/parenthesized/string/unknown part, or
+    any ambiguous unqualified column in a join makes the whole clause fall
+    back to :data:`WHERE_SELECTIVITY_DEFAULT` — exactly the pre-stats
+    flat guess, never a compounded 0.3^k that would punish clauses the
+    grammar merely failed to read (a naive split mangles BETWEEN's AND).
+    Clamped to [0.01, 1.0]: the clamp floors the effective-n error model
+    rather than letting one selective predicate demand a 100% 'sample'."""
     import re as _re
 
     where = parsed.where
     if not where:
         return 1.0
-    if _re.search(r"\bOR\b", where, _re.I):
+    if _re.search(r"\bOR\b|\bBETWEEN\b", where, _re.I):
         return WHERE_SELECTIVITY_DEFAULT
-    def _resolve(raw_col: str) -> tuple[str, str]:
-        """(table, column) a predicate column belongs to: the alias map
-        for join queries (every table carries an alias there), the single
-        table otherwise."""
+
+    def _resolve(raw_col: str) -> tuple[str, str] | None:
+        """(table, column) a predicate column belongs to, or None when it
+        can't be placed: unknown alias, or an unqualified column in a
+        multi-table query (both tables could own that name — guessing
+        would bind the WRONG table's stats)."""
         tables = getattr(parsed, "tables", None) or []
-        if "." in raw_col and tables:
+        if "." in raw_col:
             qual, _, col = raw_col.partition(".")
             for name, alias in tables:
                 if qual == (alias or name):
                     return name, col
-        return parsed.table, _unqualify(raw_col, parsed.table_alias)
+            if parsed.table_alias and qual == parsed.table_alias:
+                return parsed.table, col
+            return None
+        if len(tables) > 1:
+            return None
+        return parsed.table, raw_col
 
     sel = 1.0
     for part in _re.split(r"\bAND\b", where, flags=_re.I):
@@ -237,20 +245,24 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
             r"\s*([A-Za-z_][\w.]*)\s*(<=|>=|<|>|=)\s*(-?\d+(?:\.\d+)?)\s*",
             part,
         )
-        est = WHERE_SELECTIVITY_DEFAULT
-        if m:
-            table, col = _resolve(m.group(1))
-            op, lit = m.group(2), float(m.group(3))
-            if op == "=":
-                ndv = catalog.get_column_ndv(table, col)
-                if ndv:
-                    est = 1.0 / ndv
-            else:
-                mm = catalog.get_column_minmax(table, col)
-                if mm is not None and mm[1] > mm[0]:
-                    frac = min(max((lit - mm[0]) / (mm[1] - mm[0]), 0.0), 1.0)
-                    est = frac if op in ("<", "<=") else 1.0 - frac
-        sel *= est
+        if not m:
+            return WHERE_SELECTIVITY_DEFAULT
+        resolved = _resolve(m.group(1))
+        if resolved is None:
+            return WHERE_SELECTIVITY_DEFAULT
+        table, col = resolved
+        op, lit = m.group(2), float(m.group(3))
+        if op == "=":
+            ndv = catalog.get_column_ndv(table, col)
+            if not ndv:
+                return WHERE_SELECTIVITY_DEFAULT
+            sel *= 1.0 / ndv
+        else:
+            mm = catalog.get_column_minmax(table, col)
+            if mm is None or mm[1] <= mm[0]:
+                return WHERE_SELECTIVITY_DEFAULT
+            frac = min(max((lit - mm[0]) / (mm[1] - mm[0]), 0.0), 1.0)
+            sel *= frac if op in ("<", "<=") else 1.0 - frac
     return min(max(sel, 0.01), 1.0)
 
 
@@ -605,14 +617,15 @@ class Planner:
                 rw = rewriter.rewrite_stratified(parsed, cand.sample)
             elif cand.sample is not None:
                 # n_rows sizes the quantile rank-band CIs: discount by the
-                # WHERE selectivity so filtered queries get the same
-                # (conservatively wider) band the error model assumes
-                n_eff = n * (WHERE_SELECTIVITY_DEFAULT if parsed.where else 1.0)
+                # SAME selectivity the error model used (stats-driven when
+                # analyzed, flat default otherwise) so the realized band
+                # matches the model the plan was admitted under
+                n_eff = n * estimate_selectivity(parsed, self.catalog)
                 rw = rewriter.rewrite_uniform_sample(
                     parsed, cand.sample, n_rows=n_eff
                 )
             else:
-                n_eff = n * (WHERE_SELECTIVITY_DEFAULT if parsed.where else 1.0)
+                n_eff = n * estimate_selectivity(parsed, self.catalog)
                 rw = rewriter.rewrite_inline_sample(
                     parsed, cand.inline_fraction, seed, n_rows=n_eff
                 )

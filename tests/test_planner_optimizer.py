@@ -339,14 +339,18 @@ def test_stats_driven_selectivity(spark):
     expect = (25 - lo) / (hi - lo)
     assert sel("l_quantity < 25") == pytest.approx(expect)
     assert sel("l_quantity > 25") == pytest.approx(1 - expect)
-    # AND chain multiplies under independence; alias-qualified works too
+    # AND chain multiplies under independence
     assert sel("l_quantity < 25 AND l_discount >= 0") == pytest.approx(expect)
-    # unknown column part contributes the default factor
-    assert sel("l_quantity < 25 AND l_comment = 3") == pytest.approx(
-        expect * WHERE_SELECTIVITY_DEFAULT
-    )
-    # OR gives up (no independence story)
+    # ALL-OR-NOTHING: one un-stats'd part makes the whole clause fall
+    # back to the flat default (never a compounded 0.3^k)
+    assert sel("l_quantity < 25 AND l_tax = 3") == WHERE_SELECTIVITY_DEFAULT
+    # OR and BETWEEN give up whole-clause (the AND splitter would mangle
+    # BETWEEN's AND into nonsense fragments)
     assert sel("l_quantity < 25 OR l_quantity > 45") == WHERE_SELECTIVITY_DEFAULT
+    assert sel("l_quantity BETWEEN 10 AND 25") == WHERE_SELECTIVITY_DEFAULT
+    # explicit analyze of a bogus / non-numeric column fails loudly
+    with pytest.raises(ValueError, match="not numeric"):
+        eng.analyze_table("lineitem", ["l_quanity"])
     # stats survive a catalog reload
     from approximate_query_engine_spark.catalog import Catalog
 
