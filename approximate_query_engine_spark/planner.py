@@ -731,7 +731,14 @@ class Planner:
                     n_rows=n_fact,
                 )
         except (rewriter.UnsupportedRewriteError, UnsupportedQueryError) as e:
-            return self._exact(sql, fact, f"not approximable: {e}")
+            # cands[0] is the exact-join candidate: pass its cost so the
+            # reported cost_exact carries the JOIN_WORK_PER_FACT_ROW +
+            # dims terms, consistent with the approximable branches
+            # (a bare single-table exact_cost would skew speedup
+            # calibration for declined joins).
+            return self._exact(
+                sql, fact, f"not approximable: {e}", cost=cands[0].cost
+            )
         out = rewriter.plan_dict(rw, sql, fact, best.cost, best.error, best.reason)
         out["cost_exact"] = cands[0].cost  # exact-join candidate
         return out

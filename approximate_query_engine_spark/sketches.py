@@ -378,10 +378,16 @@ class SketchManager:
             )
             .collect()[0]
         )
-        items = [
-            {"item": str(r["item"]), "count": int(r["count"])}
-            for r in (row["tk"] or [])
-        ]
+        # approx_top_k's return ordering is not a documented contract;
+        # sort explicitly so the persisted order (and topk_from_sketch's
+        # k-trim) is guaranteed descending-count with a stable tiebreak.
+        items = sorted(
+            (
+                {"item": str(r["item"]), "count": int(r["count"])}
+                for r in (row["tk"] or [])
+            ),
+            key=lambda d: (-d["count"], d["item"]),
+        )
         return SketchInfo(
             table_name=table,
             column_name=column,

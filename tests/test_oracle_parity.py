@@ -117,31 +117,22 @@ def test_check_window_ordering():
         "q41_rollup": "q65_grouping_sets",
         "q42_anti_join": "q75_anti_semi_join",
         "q43_semi_join": "q75_anti_semi_join",
-        "q45_date_funcs": "q17_events_hour",
-        # new-in-round-4 operators: window is full; each maps to its
-        # nearest in-window family member. The local parity gate above
-        # still hash-checks these entries themselves every run.
-        "q78_pack_sequences": "q72_token_budget",
-        "q79_ngram_jaccard": "q32_minhash_pairs",
-        "q80_embedding_neardup": "q60_knn_join",
+        "q45_date_funcs": "q44_string_funcs",
         # upgraded from rows-only to oracled in round 4 (portable
         # hyperplane-fold oracle); its component family is in-window
         "q34_lsh_topk": "q28_ann_topk",
-        # quantile AQP rides the systematic-sample family (q76 in-window);
-        # q29 covers exact percentiles
-        "q81_quantile_aqp": "q76_sample_group_ci",
-        # media decode itself is in-window via q55; q82 chains it into
-        # the feature/LSH dedup pipeline
-        "q82_media_dedup": "q55_multimodal_decode",
-        # join-level AQP family is in-window via q63 (operator form);
-        # q83 exercises the SQL-surface rewrite
-        "q83_join_aqp": "q63_approx_join",
-        # heavy hitters ride the persisted-sketch read-path family
-        # (q50's CMS point estimates are the in-window representative)
-        "q84_heavy_hitters": "q50_cms_freq",
-        # deterministic PPS (upgraded from rows-only in round 4) rides the
-        # sampling-estimator family; q76's uniform-sample CIs stand in
-        "q47_pps_sum": "q76_sample_group_ci",
+        # round-5 rotation (VERDICT r04 instruction 1): the round-4
+        # flagship surfaces q47/q78-q84 moved INTO the window; these
+        # redundant exact-SQL slots moved out, each with an in-window
+        # family representative.
+        "q09_topk": "q15_window_top_order",
+        "q16_setop": "q11_tpch_q1",  # plain pass-through SQL family
+        "q17_events_hour": "q18_events_json",
+        "q19_case_agg": "q11_tpch_q1",  # exact scalar-agg pass-through
+        "q26_dedup_exact_docs": "q69_dedup_keep_best",
+        "q29_percentiles": "q81_quantile_aqp",
+        "q58_doc_frequency": "q59_tfidf",
+        "q63_approx_join": "q83_join_aqp",
     }
     for name in names[50:]:
         if name in oracled:
