@@ -124,8 +124,17 @@ class Catalog:
         #: sketch builds, read by the planner's COUNT(DISTINCT) cost model
         self.column_ndv: dict[tuple[str, str], int] = {}
         #: (table, column) -> (min, max) numeric range, learned by
-        #: engine.analyze_table — drives predicate-selectivity estimates
+        #: engine.analyze_table — drives predicate-selectivity estimates.
+        #: Date/timestamp columns are stored in EPOCH DAYS (double), so
+        #: DATE-literal predicates share the numeric selectivity math.
         self.column_minmax: dict[tuple[str, str], tuple[float, float]] = {}
+        #: (table, column) -> [(x, y), ...] one-pass ``histogram_numeric``
+        #: bins (bin center, bin count) sorted by x, learned in the same
+        #: analyze pass — fixes selectivity on skewed columns where the
+        #: min/max uniform interpolation is off by orders of magnitude
+        self.column_histogram: dict[
+            tuple[str, str], list[tuple[float, float]]
+        ] = {}
         # the engine serves concurrent queries over one shared session;
         # saves must not race on the tmp file
         self._save_lock = threading.Lock()
@@ -151,6 +160,7 @@ class Catalog:
             history = list(self.history)
             column_ndv = dict(self.column_ndv)
             column_minmax = dict(self.column_minmax)
+            column_histogram = dict(self.column_histogram)
             doc = {
                 "table_stats": {k: asdict(v) for k, v in table_stats.items()},
                 "samples": {k: asdict(v) for k, v in samples.items()},
@@ -167,6 +177,10 @@ class Catalog:
                 },
                 "column_minmax": {
                     f"{t}\x1f{c}": list(v) for (t, c), v in column_minmax.items()
+                },
+                "column_histogram": {
+                    f"{t}\x1f{c}": [list(b) for b in v]
+                    for (t, c), v in column_histogram.items()
                 },
             }
             tmp = f"{self._meta_path}.tmp{threading.get_ident()}"
@@ -199,6 +213,11 @@ class Catalog:
         for k, v in doc.get("column_minmax", {}).items():
             table, _, column = k.partition("\x1f")
             self.column_minmax[(table, column)] = (float(v[0]), float(v[1]))
+        for k, v in doc.get("column_histogram", {}).items():
+            table, _, column = k.partition("\x1f")
+            self.column_histogram[(table, column)] = [
+                (float(b[0]), float(b[1])) for b in v
+            ]
 
     # ---- table stats (reference storage.py:88-109) ----
     def upsert_table_stats(self, table: str, row_count: int) -> None:
@@ -223,6 +242,18 @@ class Catalog:
 
     def get_column_ndv(self, table: str, column: str) -> int | None:
         return self.column_ndv.get((table, column))
+
+    def upsert_column_histogram(
+        self, table: str, column: str, bins: list[tuple[float, float]]
+    ) -> None:
+        self.column_histogram[(table, column)] = [
+            (float(x), float(y)) for x, y in bins
+        ]
+
+    def get_column_histogram(
+        self, table: str, column: str
+    ) -> list[tuple[float, float]] | None:
+        return self.column_histogram.get((table, column))
 
     # ---- samples (reference storage.py:46-55, sampler.py:120-143) ----
     def register_sample(self, info: SampleInfo) -> None:

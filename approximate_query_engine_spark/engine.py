@@ -235,48 +235,123 @@ class AQEngine:
         }
 
     def analyze_table(
-        self, table: str, columns: list[str] | None = None
+        self,
+        table: str,
+        columns: list[str] | None = None,
+        histogram_bins: int = 32,
     ) -> dict[str, tuple[float, float]]:
-        """ONE aggregation pass learning min/max for the numeric columns
-        (plus a row-count refresh in the same pass) into the catalog — the
-        stats behind the planner's predicate-selectivity estimates
-        (planner.estimate_selectivity). Columns outside the numeric set
-        are ignored; never called implicitly (an O(N) pass is the user's
-        call, the reference's implicit live COUNT per plan is the
-        anti-pattern this engine avoids)."""
+        """ONE aggregation pass learning per-column stats (plus a
+        row-count refresh in the same pass) into the catalog — the stats
+        behind the planner's predicate-selectivity estimates
+        (planner.estimate_selectivity):
+
+        - numeric columns: min/max + a one-pass EQUI-DEPTH histogram
+          (``histogram_bins`` quantile boundaries from
+          ``percentile_approx``, stored as an empirical CDF), so range
+          selectivity is mass-weighted rather than uniform-interpolated —
+          within 2× of truth on skewed (e.g. Zipf) columns where the
+          uniform estimate is off by orders of magnitude.  Equi-depth,
+          not ``histogram_numeric``: the latter's adaptive clustering
+          merges a Zipf head into one mega-bin whose within-bin uniform
+          assumption is exactly as wrong as global uniform;
+        - date/timestamp columns: the same, in EPOCH DAYS (double), so
+          ``col <= DATE '…'`` predicates — the most common real WHERE
+          shape — share the numeric selectivity math;
+        - string columns: ``approx_count_distinct`` ndv, feeding 1/ndv
+          equality selectivity (returned dict carries ranges only; the
+          ndv lands in the catalog).
+
+        Never called implicitly (an O(N) pass is the user's call; the
+        reference's implicit live COUNT per plan is the anti-pattern this
+        engine avoids). All stats fold into ONE map-side-combined
+        aggregation: at 100 TB this is a single full scan, the same cost
+        as any ANALYZE, and the histogram state is O(bins) per column."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         if isinstance(columns, str):  # a bare name is a 1-element request
             columns = [columns]
         df = self.spark.table(table)
-        numeric = {
-            f.name for f in df.schema.fields
-            if isinstance(f.dataType, T.NumericType)
-        }
+        kind: dict[str, str] = {}
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.NumericType):
+                kind[f.name] = "numeric"
+            elif isinstance(f.dataType, T.DateType):
+                kind[f.name] = "date"
+            elif isinstance(f.dataType, T.TimestampType):
+                kind[f.name] = "timestamp"
+            elif isinstance(f.dataType, T.StringType):
+                kind[f.name] = "string"
         if columns is not None:
             # explicit requests fail LOUDLY: silently skipping a typo'd or
-            # non-numeric column would leave the selectivity feature inert
-            # with no signal (the planner just keeps its flat guess)
-            bad = [c for c in columns if c not in numeric]
+            # unanalyzable column would leave the selectivity feature inert
+            # with no signal (the planner just keeps its flat guess).
+            # Dedupe first — duplicate requests would otherwise produce
+            # ambiguous duplicate aliases in the aggregation row.
+            columns = list(dict.fromkeys(columns))
+            bad = [c for c in columns if c not in kind]
             if bad:
                 raise ValueError(
-                    f"analyze_table({table!r}): not numeric columns of the "
-                    f"table: {bad} (numeric: {sorted(numeric)})"
+                    f"analyze_table({table!r}): not analyzable "
+                    f"(numeric/date/timestamp/string) columns of the "
+                    f"table: {bad} (analyzable: {sorted(kind)})"
                 )
-        cols = list(columns) if columns is not None else sorted(numeric)
+        cols = (
+            list(columns)
+            if columns is not None
+            else sorted(c for c, k in kind.items() if k != "string")
+        )
         aggs = [F.count(F.lit(1)).alias("__n")]
-        for c in cols:
-            aggs.append(F.min(c).alias(f"__min_{c}"))
-            aggs.append(F.max(c).alias(f"__max_{c}"))
+        ranged: list[str] = []
+        for i, c in enumerate(cols):
+            col = F.col(f"`{c}`")
+            if kind[c] == "string":
+                aggs.append(F.approx_count_distinct(col).alias(f"__ndv_{i}"))
+                continue
+            if kind[c] == "date":
+                x = F.datediff(col, F.to_date(F.lit("1970-01-01")))
+                x = x.cast("double")
+            elif kind[c] == "timestamp":
+                x = col.cast("double") / F.lit(86400.0)  # epoch seconds
+            else:
+                x = col.cast("double")
+            ranged.append(c)
+            aggs.append(F.min(x).alias(f"__min_{i}"))
+            aggs.append(F.max(x).alias(f"__max_{i}"))
+            # interior quantile boundaries; the GK sketch behind
+            # percentile_approx is mergeable, so this partial-aggregates
+            # map-side like any other agg
+            pcts = [j / histogram_bins for j in range(1, histogram_bins)]
+            aggs.append(
+                F.percentile_approx(x, pcts, 10_000).alias(f"__hist_{i}")
+            )
         row = df.agg(*aggs).collect()[0]
         self.catalog.upsert_table_stats(table, int(row["__n"]))
         out: dict[str, tuple[float, float]] = {}
-        for c in cols:
-            lo, hi = row[f"__min_{c}"], row[f"__max_{c}"]
-            if lo is not None and hi is not None:
-                self.catalog.upsert_column_minmax(table, c, float(lo), float(hi))
-                out[c] = (float(lo), float(hi))
+        for i, c in enumerate(cols):
+            if kind[c] == "string":
+                ndv = row[f"__ndv_{i}"]
+                if ndv:
+                    self.catalog.upsert_column_ndv(table, c, int(ndv))
+                continue
+            lo, hi = row[f"__min_{i}"], row[f"__max_{i}"]
+            if lo is None or hi is None:
+                continue
+            self.catalog.upsert_column_minmax(table, c, float(lo), float(hi))
+            out[c] = (float(lo), float(hi))
+            qs = row[f"__hist_{i}"]
+            if qs:
+                # empirical CDF: (min, 0) .. interior quantiles .. (max, 1);
+                # repeated x values encode point masses (heavy hitters)
+                cdf = (
+                    [(float(lo), 0.0)]
+                    + [
+                        (float(q), j / histogram_bins)
+                        for j, q in enumerate(qs, start=1)
+                    ]
+                    + [(float(hi), 1.0)]
+                )
+                self.catalog.upsert_column_histogram(table, c, cdf)
         self.catalog.save()
         return out
 

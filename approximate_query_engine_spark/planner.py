@@ -200,19 +200,62 @@ def sampling_error(n: int, fraction: float, selectivity: float = 1.0) -> float:
     return 1.0 / (eff**0.5)
 
 
+def histogram_fraction_leq(
+    cdf: list[tuple[float, float]], v: float, inclusive: bool = True
+) -> float | None:
+    """Fraction of column mass ≤ v (or < v when ``inclusive=False``) from
+    the equi-depth histogram ``analyze_table`` stores as an empirical CDF
+    [(x, F(x)), …] — min, interior quantile boundaries, max. Repeated x
+    values are point masses (heavy hitters): the inclusive form takes the
+    LAST pair with x ≤ v (counting the whole point mass at v, the ``<=``
+    semantics), the strict form the last pair with x < v (excluding it —
+    what ``col >= v`` must complement, or a mass at v double-counts).
+    Linear interpolation inside the straddling bin. Equi-depth is what
+    makes range selectivity survive skew — each bin holds equal mass by
+    construction, so a Zipf head can't hide inside a wide bin the way it
+    does under equi-width or clustered (``histogram_numeric``) binning."""
+    if not cdf or len(cdf) < 2:
+        return None
+    import bisect
+
+    xs = [x for x, _ in cdf]
+    if inclusive:
+        if v < xs[0]:
+            return 0.0
+        if v >= xs[-1]:
+            return 1.0
+        i = bisect.bisect_right(xs, v) - 1
+    else:
+        if v <= xs[0]:
+            return 0.0
+        if v > xs[-1]:
+            return 1.0
+        i = bisect.bisect_left(xs, v) - 1
+    x0, f0 = cdf[i]
+    x1, f1 = cdf[i + 1]
+    if x1 <= x0:
+        return f0
+    return min(max(f0 + (f1 - f0) * (v - x0) / (x1 - x0), 0.0), 1.0)
+
+
 def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
     """Stats-driven selectivity for the WHERE clause — ALL-OR-NOTHING: the
     product of per-part estimates is used only when EVERY AND-part is a
-    simple predicate (``col <op> numeric-literal``) whose column resolves
-    unambiguously AND has catalog stats (min/max from
-    ``engine.analyze_table`` for range operators, sketch-learned ndv for
-    equality). Any OR, any BETWEEN/parenthesized/string/unknown part, or
-    any ambiguous unqualified column in a join makes the whole clause fall
-    back to :data:`WHERE_SELECTIVITY_DEFAULT` — exactly the pre-stats
-    flat guess, never a compounded 0.3^k that would punish clauses the
-    grammar merely failed to read (a naive split mangles BETWEEN's AND).
-    Clamped to [0.01, 1.0]: the clamp floors the effective-n error model
-    rather than letting one selective predicate demand a 100% 'sample'."""
+    simple predicate ``col <op> literal`` — numeric, ``DATE 'y-m-d'``
+    (compared in epoch days against date stats ``analyze_table`` stores in
+    the same unit), or a quoted string (equality only, 1/ndv) — whose
+    column resolves unambiguously AND has catalog stats (histogram-backed
+    min/max from ``engine.analyze_table`` for range operators, ndv for
+    equality). Range fractions prefer the stored ``histogram_numeric``
+    bins (mass-weighted, skew-proof) and fall back to uniform min/max
+    interpolation when no histogram was collected. Any OR, any
+    BETWEEN/parenthesized/unknown part, or any ambiguous unqualified
+    column in a join makes the whole clause fall back to
+    :data:`WHERE_SELECTIVITY_DEFAULT` — exactly the pre-stats flat guess,
+    never a compounded 0.3^k that would punish clauses the grammar merely
+    failed to read (a naive split mangles BETWEEN's AND). Clamped to
+    [0.01, 1.0]: the clamp floors the effective-n error model rather than
+    letting one selective predicate demand a 100% 'sample'."""
     import re as _re
 
     where = parsed.where
@@ -242,8 +285,12 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
     sel = 1.0
     for part in _re.split(r"\bAND\b", where, flags=_re.I):
         m = _re.fullmatch(
-            r"\s*([A-Za-z_][\w.]*)\s*(<=|>=|<|>|=)\s*(-?\d+(?:\.\d+)?)\s*",
+            r"\s*([A-Za-z_][\w.]*)\s*(<=|>=|<|>|=)\s*"
+            r"(?:(-?\d+(?:\.\d+)?)"  # numeric literal
+            r"|DATE\s*'(\d{4}-\d{2}-\d{2})'"  # DATE literal
+            r"|'([^']*)')\s*",  # quoted string literal
             part,
+            _re.I,
         )
         if not m:
             return WHERE_SELECTIVITY_DEFAULT
@@ -251,7 +298,28 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
         if resolved is None:
             return WHERE_SELECTIVITY_DEFAULT
         table, col = resolved
-        op, lit = m.group(2), float(m.group(3))
+        op = m.group(2)
+        num_lit, date_lit, str_lit = m.group(3), m.group(4), m.group(5)
+        if str_lit is not None:
+            # strings: equality only (1/ndv); range comparison on strings
+            # has no stats model here — whole-clause fallback
+            if op != "=":
+                return WHERE_SELECTIVITY_DEFAULT
+            ndv = catalog.get_column_ndv(table, col)
+            if not ndv:
+                return WHERE_SELECTIVITY_DEFAULT
+            sel *= 1.0 / ndv
+            continue
+        if date_lit is not None:
+            # analyze_table stores date/timestamp stats in epoch days, so
+            # a DATE literal drops into the same numeric range math
+            import datetime as _dt
+
+            lit = float(
+                (_dt.date.fromisoformat(date_lit) - _dt.date(1970, 1, 1)).days
+            )
+        else:
+            lit = float(num_lit)
         if op == "=":
             ndv = catalog.get_column_ndv(table, col)
             if not ndv:
@@ -261,7 +329,17 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
             mm = catalog.get_column_minmax(table, col)
             if mm is None or mm[1] <= mm[0]:
                 return WHERE_SELECTIVITY_DEFAULT
-            frac = min(max((lit - mm[0]) / (mm[1] - mm[0]), 0.0), 1.0)
+            # boundary masses matter on discrete columns: `<` / `>=` use
+            # the strict CDF so a point mass AT the literal lands on the
+            # correct side of the cut
+            inclusive = op in ("<=", ">")
+            frac = histogram_fraction_leq(
+                catalog.get_column_histogram(table, col) or [],
+                lit,
+                inclusive=inclusive,
+            )
+            if frac is None:  # no histogram: uniform interpolation
+                frac = min(max((lit - mm[0]) / (mm[1] - mm[0]), 0.0), 1.0)
             sel *= frac if op in ("<", "<=") else 1.0 - frac
     return min(max(sel, 0.01), 1.0)
 

@@ -336,11 +336,24 @@ def test_stats_driven_selectivity(spark):
     ranges = eng.analyze_table("lineitem", ["l_quantity", "l_discount"])
     assert ranges["l_quantity"][0] >= 1.0 and ranges["l_quantity"][1] <= 50.0
     lo, hi = ranges["l_quantity"]
-    expect = (25 - lo) / (hi - lo)
-    assert sel("l_quantity < 25") == pytest.approx(expect)
-    assert sel("l_quantity > 25") == pytest.approx(1 - expect)
-    # AND chain multiplies under independence
-    assert sel("l_quantity < 25 AND l_discount >= 0") == pytest.approx(expect)
+    # range selectivity is now histogram-backed: it must equal the stored
+    # histogram's mass fraction, and on this uniform column that fraction
+    # must agree with the uniform interpolation to ~15%
+    from approximate_query_engine_spark.planner import histogram_fraction_leq
+
+    hist = eng.catalog.get_column_histogram("lineitem", "l_quantity")
+    assert hist, "analyze_table must store an equi-depth histogram CDF"
+    # `<` uses the strict CDF, `>` complements the inclusive one: the
+    # point mass AT 25 (integer-valued column) belongs to neither side
+    expect_lt = histogram_fraction_leq(hist, 25.0, inclusive=False)
+    expect_leq = histogram_fraction_leq(hist, 25.0, inclusive=True)
+    uniform = (25 - lo) / (hi - lo)
+    assert expect_lt == pytest.approx(uniform, rel=0.15)
+    assert sel("l_quantity < 25") == pytest.approx(expect_lt)
+    assert sel("l_quantity > 25") == pytest.approx(1 - expect_leq)
+    # AND chain multiplies under independence (l_discount >= 0 is the
+    # whole domain: zero mass STRICTLY below 0, so its factor is 1)
+    assert sel("l_quantity < 25 AND l_discount >= 0") == pytest.approx(expect_lt)
     # ALL-OR-NOTHING: one un-stats'd part makes the whole clause fall
     # back to the flat default (never a compounded 0.3^k)
     assert sel("l_quantity < 25 AND l_tax = 3") == WHERE_SELECTIVITY_DEFAULT
@@ -348,14 +361,18 @@ def test_stats_driven_selectivity(spark):
     # BETWEEN's AND into nonsense fragments)
     assert sel("l_quantity < 25 OR l_quantity > 45") == WHERE_SELECTIVITY_DEFAULT
     assert sel("l_quantity BETWEEN 10 AND 25") == WHERE_SELECTIVITY_DEFAULT
-    # explicit analyze of a bogus / non-numeric column fails loudly
-    with pytest.raises(ValueError, match="not numeric"):
+    # explicit analyze of a bogus column fails loudly
+    with pytest.raises(ValueError, match="not analyzable"):
         eng.analyze_table("lineitem", ["l_quanity"])
+    # duplicate requests are deduped, not ambiguous
+    again = eng.analyze_table("lineitem", ["l_quantity", "l_quantity"])
+    assert again["l_quantity"] == (lo, hi)
     # stats survive a catalog reload
     from approximate_query_engine_spark.catalog import Catalog
 
     reloaded = Catalog(eng.catalog.workdir)
     assert reloaded.get_column_minmax("lineitem", "l_quantity") == (lo, hi)
+    assert reloaded.get_column_histogram("lineitem", "l_quantity") == hist
     # end to end (compute-bound shape so the sample path is in play):
     # the error estimate reflects the refined selectivity
     plan = eng.planner.plan(
@@ -365,6 +382,135 @@ def test_stats_driven_selectivity(spark):
     )
     assert plan["type"] == "sample"
     assert plan["estimated_error"] <= 0.1
+
+
+def test_date_predicate_selectivity(spark):
+    """The most common real WHERE shape — ``l_shipdate <= DATE '…'`` —
+    gets stats-driven selectivity once analyze_table has stored the
+    date/timestamp column's range in epoch days (VERDICT r04 gap 2: this
+    used to plan at the flat 0.3 default)."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.planner import (
+        WHERE_SELECTIVITY_DEFAULT,
+        estimate_selectivity,
+    )
+    from approximate_query_engine_spark.sqlparser import parse
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_datesel_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    q = (
+        "SELECT SUM(l_extendedprice) AS s FROM lineitem "
+        "WHERE l_shipdate <= DATE '{d}'"
+    )
+
+    def sel(d):
+        return estimate_selectivity(parse(q.format(d=d)), eng.catalog)
+
+    assert sel("1995-06-17") == WHERE_SELECTIVITY_DEFAULT  # no stats yet
+    eng.analyze_table("lineitem", ["l_shipdate"])
+    n = spark.table("lineitem").count()
+    for d in ("1993-06-17", "1995-06-17", "1997-01-01"):
+        true_sel = (
+            spark.sql(
+                f"SELECT COUNT(*) AS c FROM lineitem "
+                f"WHERE l_shipdate <= DATE '{d}'"
+            ).collect()[0]["c"]
+            / n
+        )
+        est = sel(d)
+        assert est != WHERE_SELECTIVITY_DEFAULT
+        # histogram-backed estimate lands within 2x (floor guard: the
+        # [0.01, 1] clamp makes tiny fractions incomparable by ratio)
+        if true_sel > 0.02:
+            assert est / true_sel < 2.0 and true_sel / est < 2.0, (d, est, true_sel)
+    # the estimate is monotone in the cutoff date
+    assert sel("1993-06-17") < sel("1995-06-17") < sel("1997-01-01")
+    # a genuine DateType column follows the same path (datediff branch)
+    spark.table("lineitem").selectExpr(
+        "CAST(l_shipdate AS DATE) AS d", "l_extendedprice"
+    ).createOrReplaceTempView("li_dated")
+    eng.analyze_table("li_dated", ["d"])
+    parsed = parse(
+        "SELECT SUM(l_extendedprice) AS s FROM li_dated "
+        "WHERE d <= DATE '1995-06-17'"
+    )
+    est_date = estimate_selectivity(parsed, eng.catalog)
+    assert est_date == pytest.approx(sel("1995-06-17"), rel=0.05)
+
+
+def test_string_equality_selectivity(spark):
+    """analyze_table learns ndv for string columns; ``col = 'lit'`` then
+    plans at 1/ndv instead of the flat default."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.planner import (
+        WHERE_SELECTIVITY_DEFAULT,
+        estimate_selectivity,
+    )
+    from approximate_query_engine_spark.sqlparser import parse
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_strsel_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    parsed = parse(
+        "SELECT COUNT(*) AS c FROM orders WHERE o_orderstatus = 'F'"
+    )
+    assert estimate_selectivity(parsed, eng.catalog) == WHERE_SELECTIVITY_DEFAULT
+    eng.analyze_table("orders", ["o_orderstatus"])
+    ndv = eng.catalog.get_column_ndv("orders", "o_orderstatus")
+    assert ndv and 1 <= ndv <= 5  # tiny domain: approx_count_distinct is exact
+    assert estimate_selectivity(parsed, eng.catalog) == pytest.approx(1.0 / ndv)
+    # string RANGE comparison has no stats model: whole-clause default
+    parsed_rng = parse(
+        "SELECT COUNT(*) AS c FROM orders WHERE o_orderstatus > 'A'"
+    )
+    assert (
+        estimate_selectivity(parsed_rng, eng.catalog)
+        == WHERE_SELECTIVITY_DEFAULT
+    )
+
+
+def test_histogram_selectivity_on_zipf(spark):
+    """VERDICT r04 instruction 4's done-condition: on a Zipf column where
+    uniform min/max interpolation is off by >5x, the histogram-backed
+    estimate lands within 2x of the true selectivity."""
+    import tempfile
+
+    import numpy as np
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.planner import estimate_selectivity
+    from approximate_query_engine_spark.sqlparser import parse
+
+    rng = np.random.default_rng(7)
+    vals = np.minimum(rng.zipf(1.5, 20_000), 5000).astype(float)
+    spark.createDataFrame(
+        [(float(v),) for v in vals], "v double"
+    ).createOrReplaceTempView("zipf_t")
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_zipf_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.analyze_table("zipf_t", ["v"])
+    lo, hi = eng.catalog.get_column_minmax("zipf_t", "v")
+    cutoff = 3.0
+    true_sel = float((vals <= cutoff).mean())
+    uniform = (cutoff - lo) / (hi - lo)
+    assert true_sel / uniform > 5.0, "premise: uniform must be badly off"
+    est = estimate_selectivity(
+        parse(f"SELECT COUNT(*) AS c FROM zipf_t WHERE v <= {cutoff}"),
+        eng.catalog,
+    )
+    assert est / true_sel < 2.0 and true_sel / est < 2.0, (est, true_sel)
 
 
 def test_selectivity_resolves_join_aliases(spark):
@@ -385,15 +531,19 @@ def test_selectivity_resolves_join_aliases(spark):
         workdir=tempfile.mkdtemp(prefix="aqe_jsel_"),
         data_dir="/root/testdata/sf0.001",
     )
-    ranges = eng.analyze_table("lineitem", ["l_quantity"])
-    lo, hi = ranges["l_quantity"]
+    from approximate_query_engine_spark.planner import histogram_fraction_leq
+
+    eng.analyze_table("lineitem", ["l_quantity"])
+    hist = eng.catalog.get_column_histogram("lineitem", "l_quantity")
     jq = parse_join(
         "SELECT o.o_orderpriority, COUNT(*) AS n FROM lineitem l "
         "JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "WHERE l.l_quantity < 25 GROUP BY o.o_orderpriority"
     )
     got = estimate_selectivity(jq, eng.catalog)
-    assert got == pytest.approx((25 - lo) / (hi - lo))
+    assert got == pytest.approx(
+        histogram_fraction_leq(hist, 25.0, inclusive=False)
+    )
     # un-analyzed table through a different alias: default
     jq2 = parse_join(
         "SELECT o.o_orderpriority, COUNT(*) AS n FROM lineitem l "
