@@ -567,6 +567,12 @@ class Planner:
         # Quantiles are eligible under ALL designs since round 4: uniform
         # rides sampling invariance; stratified/PPS use the weighted-
         # frequency PERCENTILE form (rewriter._AggScaler.scaled).
+        #: smallest group size among strata matching the GROUP BY, if any
+        #: stratified sample's metadata reveals the group cardinalities —
+        #: a grouped query's error contract is PER GROUP, so when the
+        #: catalog knows the group sizes, every sampling candidate gets
+        #: priced on its worst group instead of the global row count
+        min_group_n: int | None = None
         if parsed.has_group_by:
             group_cols = {
                 _unqualify(g.strip(), parsed.table_alias) for g in parsed.group_by
@@ -574,14 +580,33 @@ class Planner:
             for s in self.catalog.stratified_samples_for_table(parsed.table):
                 source = set(s.strata_source_cols or [s.strata_column])
                 if source <= group_cols:
+                    if s.strata:
+                        pops = [st.pop_size for st in s.strata if st.pop_size]
+                        if pops:
+                            mg = min(pops)
+                            min_group_n = (
+                                mg if min_group_n is None else min(min_group_n, mg)
+                            )
+                        # the per-group guarantee of a stratified design is
+                        # its WORST stratum's achieved sample size — this
+                        # is where Neyman allocation's extra rows in small/
+                        # high-variance strata become a priced advantage
+                        # over uniform at the same overall fraction
+                        err = max(
+                            sampling_error(st.sample_size, 1.0, sel)
+                            for st in s.strata
+                        )
+                    else:
+                        err = sampling_error(n, s.sample_fraction, sel)
                     out.append(
                         Candidate(
                             "stratified",
                             sample_cost(n, s.sample_fraction, work=w),
-                            sampling_error(n, s.sample_fraction, sel),
+                            err,
                             sample=s,
                             reason=f"stratified sample on {s.strata_column} "
-                            f"({s.allocation_type})",
+                            f"({s.allocation_type}; worst-stratum error "
+                            f"{err:.4f})",
                         )
                     )
 
@@ -618,13 +643,19 @@ class Planner:
                     )
                 )
 
-        # Pre-built uniform samples.
+        # Pre-built uniform samples. When the GROUP BY's group sizes are
+        # known (min_group_n from a matching stratified sample's metadata),
+        # a uniform design's per-group error is driven by its smallest
+        # group — f·min_group_n rows land there, not f·N. Pricing it
+        # honestly is what lets a Neyman-allocated stratified sample beat
+        # uniform at the same overall fraction on merit, not tie-break.
+        err_n = min_group_n if min_group_n is not None else n
         for s in self.catalog.uniform_samples_for_table(parsed.table):
             out.append(
                 Candidate(
                     "sample",
                     sample_cost(n, s.sample_fraction, work=w),
-                    sampling_error(n, s.sample_fraction, sel),
+                    sampling_error(err_n, s.sample_fraction, sel),
                     sample=s,
                     reason=f"pre-built uniform sample (f={s.sample_fraction:.4f})",
                 )
@@ -632,12 +663,12 @@ class Planner:
 
         # Inline scan-time sample at the ladder fraction
         # (reference ml_optimizer.py:204-212).
-        f = inline_fraction_for(n, max_rel_error, selectivity=sel)
+        f = inline_fraction_for(err_n, max_rel_error, selectivity=sel)
         out.append(
             Candidate(
                 "sample",
                 inline_sample_cost(n, f, work=w),
-                sampling_error(n, f, sel),
+                sampling_error(err_n, f, sel),
                 inline_fraction=f,
                 reason=f"inline seeded Bernoulli sampling predicate (f={f:.4f})",
             )
