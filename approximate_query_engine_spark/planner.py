@@ -246,11 +246,13 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
     the same unit), or a quoted string (equality only, 1/ndv) — whose
     column resolves unambiguously AND has catalog stats (histogram-backed
     min/max from ``engine.analyze_table`` for range operators, ndv for
-    equality). Range fractions prefer the stored ``histogram_numeric``
-    bins (mass-weighted, skew-proof) and fall back to uniform min/max
-    interpolation when no histogram was collected. Any OR, any
-    BETWEEN/parenthesized/unknown part, or any ambiguous unqualified
-    column in a join makes the whole clause fall back to
+    equality). Range fractions prefer the stored equi-depth histogram CDF
+    (mass-weighted, skew-proof) and fall back to uniform min/max
+    interpolation when no histogram was collected. ``col BETWEEN lit AND
+    lit`` desugars to the two inclusive range parts before the AND split
+    (so the common ``BETWEEN DATE '…' AND DATE '…'`` shape is estimable).
+    Any OR, NOT BETWEEN, parenthesized/unknown part, or any ambiguous
+    unqualified column in a join makes the whole clause fall back to
     :data:`WHERE_SELECTIVITY_DEFAULT` — exactly the pre-stats flat guess,
     never a compounded 0.3^k that would punish clauses the grammar merely
     failed to read (a naive split mangles BETWEEN's AND). Clamped to
@@ -261,6 +263,17 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
     where = parsed.where
     if not where:
         return 1.0
+    if _re.search(r"\bNOT\s+BETWEEN\b", where, _re.I):
+        return WHERE_SELECTIVITY_DEFAULT
+    # desugar BETWEEN before the AND split; literal forms mirror the
+    # per-part grammar below
+    _lit = r"(?:-?\d+(?:\.\d+)?|DATE\s*'\d{4}-\d{2}-\d{2}'|'[^']*')"
+    where = _re.sub(
+        rf"\b([A-Za-z_][\w.]*)\s+BETWEEN\s+({_lit})\s+AND\s+({_lit})",
+        r"\1 >= \2 AND \1 <= \3",
+        where,
+        flags=_re.I,
+    )
     if _re.search(r"\bOR\b|\bBETWEEN\b", where, _re.I):
         return WHERE_SELECTIVITY_DEFAULT
 
@@ -283,6 +296,26 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
         return parsed.table, raw_col
 
     sel = 1.0
+    #: (table, col) → [excluded_below, included_upto]: range parts on the
+    #: SAME column combine as an INTERVAL (F(hi) − F(lo)), not an
+    #: independence product — `a BETWEEN 10 AND 25` desugars to two parts
+    #: whose product would overcount by (1−F(10))·F(25) vs the true
+    #: F(25)−F(10)
+    ranges: dict[tuple[str, str], list[float]] = {}
+
+    def _frac_leq(table: str, col: str, v: float, inclusive: bool) -> float | None:
+        mm = catalog.get_column_minmax(table, col)
+        if mm is None or mm[1] <= mm[0]:
+            return None
+        frac = histogram_fraction_leq(
+            catalog.get_column_histogram(table, col) or [],
+            v,
+            inclusive=inclusive,
+        )
+        if frac is None:  # no histogram: uniform interpolation
+            frac = min(max((v - mm[0]) / (mm[1] - mm[0]), 0.0), 1.0)
+        return frac
+
     for part in _re.split(r"\bAND\b", where, flags=_re.I):
         m = _re.fullmatch(
             r"\s*([A-Za-z_][\w.]*)\s*(<=|>=|<|>|=)\s*"
@@ -326,21 +359,22 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
                 return WHERE_SELECTIVITY_DEFAULT
             sel *= 1.0 / ndv
         else:
-            mm = catalog.get_column_minmax(table, col)
-            if mm is None or mm[1] <= mm[0]:
-                return WHERE_SELECTIVITY_DEFAULT
             # boundary masses matter on discrete columns: `<` / `>=` use
             # the strict CDF so a point mass AT the literal lands on the
             # correct side of the cut
-            inclusive = op in ("<=", ">")
-            frac = histogram_fraction_leq(
-                catalog.get_column_histogram(table, col) or [],
-                lit,
-                inclusive=inclusive,
-            )
-            if frac is None:  # no histogram: uniform interpolation
-                frac = min(max((lit - mm[0]) / (mm[1] - mm[0]), 0.0), 1.0)
-            sel *= frac if op in ("<", "<=") else 1.0 - frac
+            bounds = ranges.setdefault((table, col), [0.0, 1.0])
+            if op in ("<", "<="):
+                frac = _frac_leq(table, col, lit, inclusive=(op == "<="))
+                if frac is None:
+                    return WHERE_SELECTIVITY_DEFAULT
+                bounds[1] = min(bounds[1], frac)
+            else:  # > / >= exclude the mass at-or-below the cut
+                frac = _frac_leq(table, col, lit, inclusive=(op == ">"))
+                if frac is None:
+                    return WHERE_SELECTIVITY_DEFAULT
+                bounds[0] = max(bounds[0], frac)
+    for excluded_below, included_upto in ranges.values():
+        sel *= max(included_upto - excluded_below, 0.0)
     return min(max(sel, 0.01), 1.0)
 
 

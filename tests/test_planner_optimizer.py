@@ -444,10 +444,20 @@ def test_stats_driven_selectivity(spark):
     # ALL-OR-NOTHING: one un-stats'd part makes the whole clause fall
     # back to the flat default (never a compounded 0.3^k)
     assert sel("l_quantity < 25 AND l_tax = 3") == WHERE_SELECTIVITY_DEFAULT
-    # OR and BETWEEN give up whole-clause (the AND splitter would mangle
-    # BETWEEN's AND into nonsense fragments)
+    # OR and NOT BETWEEN give up whole-clause
     assert sel("l_quantity < 25 OR l_quantity > 45") == WHERE_SELECTIVITY_DEFAULT
-    assert sel("l_quantity BETWEEN 10 AND 25") == WHERE_SELECTIVITY_DEFAULT
+    assert (
+        sel("l_quantity NOT BETWEEN 10 AND 25") == WHERE_SELECTIVITY_DEFAULT
+    )
+    # BETWEEN desugars to an INTERVAL on one column — F(25) - F(10-), not
+    # the independence product of the two desugared parts
+    interval = histogram_fraction_leq(
+        hist, 25.0, inclusive=True
+    ) - histogram_fraction_leq(hist, 10.0, inclusive=False)
+    assert sel("l_quantity BETWEEN 10 AND 25") == pytest.approx(interval)
+    assert sel("l_quantity >= 10 AND l_quantity <= 25") == pytest.approx(
+        interval
+    )
     # explicit analyze of a bogus column fails loudly
     with pytest.raises(ValueError, match="not analyzable"):
         eng.analyze_table("lineitem", ["l_quanity"])
@@ -517,6 +527,21 @@ def test_date_predicate_selectivity(spark):
             assert est / true_sel < 2.0 and true_sel / est < 2.0, (d, est, true_sel)
     # the estimate is monotone in the cutoff date
     assert sel("1993-06-17") < sel("1995-06-17") < sel("1997-01-01")
+    # BETWEEN two DATE literals (the other common temporal shape) is an
+    # interval estimate, also within 2x of truth
+    bt = (
+        "SELECT SUM(l_extendedprice) AS s FROM lineitem WHERE l_shipdate "
+        "BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'"
+    )
+    est_bt = estimate_selectivity(parse(bt), eng.catalog)
+    true_bt = (
+        spark.sql(
+            "SELECT COUNT(*) AS c FROM lineitem WHERE l_shipdate "
+            "BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'"
+        ).collect()[0]["c"]
+        / n
+    )
+    assert est_bt / true_bt < 2.0 and true_bt / est_bt < 2.0, (est_bt, true_bt)
     # a genuine DateType column follows the same path (datediff branch)
     spark.table("lineitem").selectExpr(
         "CAST(l_shipdate AS DATE) AS d", "l_extendedprice"
