@@ -49,8 +49,27 @@ def _time(fn, reps: int = 3, key: str | None = None, warmup: int = 1) -> float:
     actually moves. The warmup run absorbs first-execution costs (codegen
     compile, parquet footer reads, JIT) that otherwise land on whichever
     side runs first — the stated contract is warm timings on both sides
-    (the reference's numbers are warm HTTP repeats)."""
+    (the reference's numbers are warm HTTP repeats).
+
+    Noisy items stabilize adaptively (VERDICT r04 instruction 5: the
+    ±6 s exact-distinct spread moved a headline ratio across rounds with
+    no code change): while the central spread exceeds 0.3x the median,
+    two more reps run (capped at 9 total). The published spread is the
+    max−min of the 3 runs BRACKETING the median once 5+ reps ran (the
+    local scatter that can actually move the median; outliers a median
+    already rejects don't belong in its error bar), full max−min for
+    fewer."""
     import statistics
+
+    def _spread_med(rs: list[float]) -> tuple[float, float]:
+        med = statistics.median(rs)
+        if len(rs) >= 5:
+            srt = sorted(rs)
+            mid = len(srt) // 2
+            core = srt[mid - 1 : mid + 2]
+        else:
+            core = rs
+        return (max(core) - min(core)) if len(rs) > 1 else 0.0, med
 
     for _ in range(warmup):
         fn()
@@ -59,9 +78,16 @@ def _time(fn, reps: int = 3, key: str | None = None, warmup: int = 1) -> float:
         t0 = time.perf_counter()
         fn()
         runs.append(time.perf_counter() - t0)
+    spread, med = _spread_med(runs)
+    while len(runs) >= 3 and len(runs) < 9 and med > 0 and spread > 0.3 * med:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        spread, med = _spread_med(runs)
     if key is not None and len(runs) > 1:
-        _SPREADS[key] = round(max(runs) - min(runs), 4)
-    return statistics.median(runs)
+        _SPREADS[key] = round(spread, 4)
+    return med
 
 
 def _run_sql(spark, sql, sink: dict | None = None):
@@ -194,19 +220,33 @@ def main() -> None:
     # — the planner's NDV costing gets probed on all three. Keyed by sf so
     # a run at a different SPARK_GRAFT_SF_DIR can't reuse a mismatched
     # replica.
+    # v4: + l_strata (a rare ~0.8% stratum) and l_val (40x the variance
+    # inside the rare stratum) — the Neyman-allocation regime for the
+    # stratified plan class below.
     big_path = os.path.join(
-        big_dir, f"lineitem_big_v3_sf{_sf_from_dir(SF_DIR)}"
+        big_dir, f"lineitem_big_v4_sf{_sf_from_dir(SF_DIR)}"
     )
     big_ok = True
     big_rows = 0
     try:
         if not os.path.exists(big_path):
+            is_rare = (F.col("l_uniq") % 128) == 0
             (
                 spark.table("lineitem")
                 .crossJoin(spark.range(50).select(F.col("id").alias("rep")))
                 .drop("rep")
                 .withColumn("l_uniq", F.monotonically_increasing_id())
                 .withColumn("l_mid", F.col("l_uniq") % 4_000_000)
+                .withColumn(
+                    "l_strata",
+                    F.when(is_rare, F.lit("rare")).otherwise(F.lit("common")),
+                )
+                .withColumn(
+                    "l_val",
+                    F.when(
+                        is_rare, F.col("l_extendedprice") * 40.0
+                    ).otherwise(F.col("l_extendedprice")),
+                )
                 .write.mode("overwrite")
                 .parquet(big_path)
             )
@@ -215,6 +255,29 @@ def main() -> None:
         big_rows = big.count()
         eng.catalog.upsert_table_stats("lineitem_big", big_rows)
         eng.create_sample("lineitem_big", 0.01, seed=42)
+        # date stats (untimed setup): the big_where_date class below plans
+        # its DATE-literal predicate with histogram selectivity, not the
+        # flat default (VERDICT r04 instruction 3)
+        eng.analyze_table("lineitem_big", ["l_shipdate"])
+        # Neyman-allocated stratified sample at the SAME overall fraction
+        # as the uniform sample — the stratified-vs-uniform comparison
+        # (VERDICT r04 instruction 7) is apples-to-apples on rows scanned
+        strat_info = eng.sampler.create_stratified_sample(
+            "lineitem_big", "l_strata", 0.01, variance_col="l_val", seed=42
+        )
+        # tolerance BETWEEN the two designs' worst-group errors (geometric
+        # mean), derived from achieved allocations so it holds at any SF:
+        # stratified passes it, uniform honestly fails it
+        import math as _math
+
+        _err_strat = max(
+            1.0 / _math.sqrt(max(st.sample_size, 1))
+            for st in strat_info.strata
+        )
+        _err_unif = 1.0 / _math.sqrt(
+            0.01 * max(min(st.pop_size for st in strat_info.strata), 1)
+        )
+        strat_tol = _math.sqrt(_err_strat * _err_unif)
         eng.query(  # warmup, untimed (see above)
             "SELECT COUNT(*) AS c FROM lineitem_big", dual_execute=False
         )
@@ -239,13 +302,37 @@ def main() -> None:
                 "SELECT PERCENTILE(l_extendedprice, 0.5) AS med_price "
                 "FROM lineitem_big"
             ),
+            # DATE-literal predicate (the most common real WHERE shape):
+            # planned with histogram selectivity from the analyze pass in
+            # setup — epoch-day stats, not the flat 0.3 guess
+            "big_where_date": (
+                "SELECT SUM(l_extendedprice * (1 - l_discount)) AS rev "
+                "FROM lineitem_big WHERE l_shipdate <= DATE '1996-06-30'"
+            ),
         }
         if big_ok
         else {}
     )
+    plan_reasons: dict[str, str] = {}
+
+    def _run_engine_rec(tag, sql, tol=0.05, require_approx=True):
+        """Engine path with the chosen plan recorded per class."""
+
+        def go():
+            r = eng.query(sql, max_rel_error=tol, dual_execute=False)
+            assert r["status"] == "ok", r.get("error")
+            if require_approx:
+                assert r["plan"]["type"] != "exact", r["plan"]["reason"]
+            plan_reasons[tag] = (
+                f"{r['plan']['type']}: {r['plan'].get('reason', '')}"
+            )
+            last_result[sql] = r["result"]
+
+        return go
+
     for name, sql in big_sqls.items():
         _safe(f"{name}_exact", _run_sql(spark, sql, exact_rows))
-        _safe(f"{name}_approx", _run_engine(sql))
+        _safe(f"{name}_approx", _run_engine_rec(name, sql))
 
     # ---- COUNT(DISTINCT): two cardinality regimes, planner-decided -----
     # Low-ndv (l_orderkey: ~150k distinct in 30M rows): exact hash-agg
@@ -255,7 +342,6 @@ def main() -> None:
     # Building the HLL sketches (untimed setup) teaches the catalog each
     # column's ndv, which is what lets the planner price the two regimes
     # differently (planner.SKETCH_CPU_FACTOR model).
-    plan_reasons: dict[str, str] = {}
     if big_ok:
         try:
             eng.create_sketch("lineitem_big", "l_orderkey", "hll")
@@ -265,15 +351,7 @@ def main() -> None:
             bench_errors["big_sketch_setup"] = f"{type(exc).__name__}: {exc}"[:300]
 
     def _run_engine_distinct(tag, sql):
-        def go():
-            r = eng.query(sql, max_rel_error=0.05, dual_execute=False)
-            assert r["status"] == "ok", r.get("error")
-            plan_reasons[tag] = (
-                f"{r['plan']['type']}: {r['plan'].get('reason', '')}"
-            )
-            last_result[sql] = r["result"]
-
-        return go
+        return _run_engine_rec(tag, sql, require_approx=False)
 
     big_distinct_sqls = (
         {
@@ -344,6 +422,107 @@ def main() -> None:
         bench_errors.setdefault(
             "distinct_crossover", "big_distinct_mid never planned"
         )
+
+    # ---- stratified vs uniform at equal fraction (r04 instruction 7) ---
+    # GROUP BY on the strata column: the error contract is per group, the
+    # rare stratum carries 40x the variance, and both designs scan the
+    # same ~1% of rows. The planner must pick the Neyman-allocated
+    # stratified sample (priced on its worst stratum; the uniform sample
+    # honestly fails tol=0.01 on the rare group), and the measured
+    # per-group error must confirm the allocation actually helps.
+    strat_block: dict = {}
+    big_strat_sql = (
+        "SELECT l_strata, COUNT(*) AS n, SUM(l_val) AS sv "
+        "FROM lineitem_big GROUP BY l_strata"
+    )
+    if big_ok:
+        _safe("big_stratified_exact", _run_sql(spark, big_strat_sql, exact_rows))
+        _safe(
+            "big_stratified_approx",
+            _run_engine_rec("big_stratified", big_strat_sql, tol=strat_tol),
+        )
+        try:
+            from approximate_query_engine_spark.executor import (
+                measured_relative_error as _mre,
+            )
+            from approximate_query_engine_spark.rewriter import (
+                rewrite_uniform_sample,
+            )
+
+            uinfo = eng.catalog.uniform_samples_for_table("lineitem_big")[0]
+            urw = rewrite_uniform_sample(parse(big_strat_sql), uinfo)
+            unif_rows = [r.asDict() for r in spark.sql(urw.sql).collect()]
+            ex = exact_rows.get(big_strat_sql)
+            strat_err = _mre(last_result.get(big_strat_sql) or [], ex)
+            unif_err = _mre(unif_rows, ex)
+            strat_block = {
+                "tolerance": round(strat_tol, 5),
+                "uniform_fraction": round(uinfo.sample_fraction, 6),
+                "plan": plan_reasons.get("big_stratified"),
+                "stratified_rel_error": (
+                    round(strat_err, 6) if strat_err is not None else None
+                ),
+                "uniform_rel_error": (
+                    round(unif_err, 6) if unif_err is not None else None
+                ),
+                "stratified_beats_uniform": (
+                    strat_err is not None
+                    and unif_err is not None
+                    and strat_err <= unif_err
+                ),
+            }
+        except Exception as exc:  # noqa: BLE001
+            bench_errors["stratified_vs_uniform"] = (
+                f"{type(exc).__name__}: {exc}"[:300]
+            )
+
+    # ---- 200x tier: a measurable COUNT/SUM class (r04 instruction 2) ---
+    # The bare-SUM baseline row had no valid tier: at sf0.1 both sides sit
+    # under the scheduler floor, and at 30M rows the exact scan itself
+    # finishes in ~0.2s (scan floor). At 120M rows (200x, two columns —
+    # the shape of the reference's `SUM(amount)` sales table) the exact
+    # side is well above the floor, so the prebuilt-sample ratio finally
+    # measures the plan, not fixed overhead.
+    sum200_path = os.path.join(
+        big_dir, f"lineitem_sum200_v1_sf{_sf_from_dir(SF_DIR)}"
+    )
+    sum200_ok = True
+    sum200_rows = 0
+    try:
+        if not os.path.exists(sum200_path):
+            (
+                spark.table("lineitem")
+                .select("l_extendedprice", "l_quantity")
+                .crossJoin(spark.range(200).select(F.col("id").alias("rep")))
+                .drop("rep")
+                .write.mode("overwrite")
+                .parquet(sum200_path)
+            )
+        s200 = spark.read.parquet(sum200_path)
+        s200.createOrReplaceTempView("lineitem_sum200")
+        sum200_rows = s200.count()
+        eng.catalog.upsert_table_stats("lineitem_sum200", sum200_rows)
+        eng.create_sample("lineitem_sum200", 0.01, seed=42)
+        eng.query(  # warmup, untimed
+            "SELECT COUNT(*) AS c FROM lineitem_sum200", dual_execute=False
+        )
+    except Exception as exc:  # noqa: BLE001 - setup failure isolation
+        sum200_ok = False
+        bench_errors["sum200_setup"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    sum200_sqls = (
+        {
+            "sum200": (
+                "SELECT SUM(l_extendedprice) AS total FROM lineitem_sum200"
+            ),
+            "count200": "SELECT COUNT(*) AS cnt FROM lineitem_sum200",
+        }
+        if sum200_ok
+        else {}
+    )
+    for name, sql in sum200_sqls.items():
+        _safe(f"{name}_exact", _run_sql(spark, sql, exact_rows))
+        _safe(f"{name}_approx", _run_engine_rec(name, sql))
 
     _safe(
         "distinct_exact",
@@ -682,7 +861,55 @@ def main() -> None:
 
         run_streaming_window_agg(spark, SF_DIR).count()
 
-    _safe("stream_window", _stream_window, reps=1)  # stateful: setup-heavy
+    # reps=2 (r04 instruction 5): each drain is self-contained (fresh
+    # memory sink + per-query temp checkpoint), so repeats are clean and
+    # the class finally has a spread entry
+    _safe("stream_window", _stream_window, reps=2)
+
+    # ---- end-to-end corpus job (r04 stretch item 8) --------------------
+    # prepare → near-dup dedup → PII redaction → sequence packing →
+    # training shards, one wall-clock number for the whole pipeline story
+    # at the bench SF. Each rep writes to a fresh shard dir.
+    def _corpus_e2e():
+        import shutil
+        import tempfile as _tf
+
+        from approximate_query_engine_spark.functions.dedup import dedup_minhash
+        from approximate_query_engine_spark.functions.packing import (
+            pack_sequences,
+            write_training_shards,
+        )
+        from approximate_query_engine_spark.functions.pipeline import (
+            prepare_corpus,
+        )
+        from approximate_query_engine_spark.functions.text import (
+            redact_pii,
+            token_count_expr,
+        )
+
+        out_dir = _tf.mkdtemp(prefix="aqe_corpus_e2e_")
+        try:
+            kept = prepare_corpus(
+                spark.table("documents"),
+                min_tokens=5,
+                max_tokens=100_000,
+                languages=["en", "de"],
+                min_quality=0.2,
+            ).where("reject_reason IS NULL")
+            deduped = dedup_minhash(
+                kept, threshold=0.5, num_hashes=64, bands=16
+            )
+            clean = redact_pii(deduped, "text").withColumn(
+                "n_tokens", token_count_expr("text")
+            )
+            packed = pack_sequences(
+                clean.select("doc_id", "n_tokens"), 2048, n_shards=8
+            )
+            write_training_shards(packed, out_dir).collect()
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    _safe("corpus_e2e", _corpus_e2e, reps=1)
     try:
         if not knn_ok:
             raise RuntimeError("knn setup failed; skipping recall")
@@ -706,9 +933,16 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         bench_errors["knn_recall"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    extra_class_sqls = {"big_stratified": big_strat_sql} if big_ok else {}
     speedups = {
         name: timings[f"{name}_exact"] / timings[f"{name}_approx"]
-        for name in list(exact_sqls) + list(big_sqls) + list(big_distinct_sqls)
+        for name in (
+            list(exact_sqls)
+            + list(big_sqls)
+            + list(big_distinct_sqls)
+            + list(sum200_sqls)
+            + list(extra_class_sqls)
+        )
         if timings.get(f"{name}_approx", 0) > 0
         and f"{name}_exact" in timings
     }
@@ -734,7 +968,13 @@ def main() -> None:
             plan_reasons["big_join_sql"] = f"sample: {plan_join_reason}"
 
     errors = {}
-    for name, sql in {**exact_sqls, **big_sqls, **big_distinct_sqls}.items():
+    for name, sql in {
+        **exact_sqls,
+        **big_sqls,
+        **big_distinct_sqls,
+        **sum200_sqls,
+        **extra_class_sqls,
+    }.items():
         e = _rel_error(sql)
         if e is not None:
             errors[name] = round(e, 4)
@@ -763,7 +1003,8 @@ def main() -> None:
     std_classes = list(exact_sqls) + ["distinct"]
     big_classes = list(big_sqls) + list(big_distinct_sqls) + [
         "big_join", "big_join_sql",
-    ]
+    ] + list(extra_class_sqls)
+    sum200_classes = list(sum200_sqls)
     tiers = {
         "standard": {
             "classes": {c: round(speedups[c], 3) for c in std_classes if c in speedups},
@@ -798,6 +1039,26 @@ def main() -> None:
                 "and the one that matters at 100 TB"
             ),
         },
+        "sum200": {
+            "classes": {
+                c: round(speedups[c], 3)
+                for c in sum200_classes
+                if c in speedups
+            },
+            "floor_bound_classes": sorted(
+                c
+                for c in sum200_classes
+                if 0 < timings.get(f"{c}_exact", 0) < FLOOR_SEC
+            ),
+            "baseline_comparable": True,
+            "rows": sum200_rows,
+            "note": (
+                "two-column lineitem replicated 200x (~120M rows): the "
+                "COUNT/SUM baseline class measured where the exact scan is "
+                "well above the scheduler floor (bare aggregates are "
+                "scan-bound at 30M rows; this is their valid tier)"
+            ),
+        },
     }
 
     total = sum(timings.values())
@@ -815,12 +1076,14 @@ def main() -> None:
         # tiers.big50.classes with the flag explaining why)
         "baseline_comparable_speedups": {
             c: v
-            for c, v in tiers["big50"]["classes"].items()
-            if c not in tiers["big50"]["floor_bound_classes"]
+            for tier in ("big50", "sum200")
+            for c, v in tiers[tier]["classes"].items()
+            if c not in tiers[tier]["floor_bound_classes"]
         },
         "tiers": tiers,
         "plan_reasons": plan_reasons,
         "distinct_crossover": distinct_crossover,
+        "stratified_vs_uniform": strat_block,
         "ml_stats": ml_block,
         "rel_errors": errors,
         "errors": bench_errors,
@@ -852,9 +1115,14 @@ def main() -> None:
         "sample_fraction": f,
         "speedups": payload["baseline_comparable_speedups"],
         "rel_errors": {
-            k: v for k, v in errors.items() if k in tiers["big50"]["classes"]
+            k: v
+            for k, v in errors.items()
+            if k in tiers["big50"]["classes"] or k in tiers["sum200"]["classes"]
         },
-        "floor_bound": tiers["big50"]["floor_bound_classes"],
+        "floor_bound": (
+            tiers["big50"]["floor_bound_classes"]
+            + tiers["sum200"]["floor_bound_classes"]
+        ),
         "errors": bench_errors,
         "detail": "bench_detail.json",
     }
