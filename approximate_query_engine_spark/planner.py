@@ -225,12 +225,22 @@ def histogram_fraction_leq(
         if v >= xs[-1]:
             return 1.0
         i = bisect.bisect_right(xs, v) - 1
+        if xs[i] == v:
+            # exact knot: its stored F already includes the point mass —
+            # return it directly (re-deriving it by interpolation can be
+            # off by an ulp, breaking strict ≤ inclusive)
+            return cdf[i][1]
     else:
         if v <= xs[0]:
             return 0.0
         if v > xs[-1]:
             return 1.0
-        i = bisect.bisect_left(xs, v) - 1
+        j = bisect.bisect_left(xs, v)
+        if j < len(xs) and xs[j] == v:
+            # exact knot, strict: the FIRST pair at v carries the mass
+            # below v before its point mass
+            return cdf[j][1] if j == 0 else min(cdf[j][1], 1.0)
+        i = j - 1
     x0, f0 = cdf[i]
     x1, f1 = cdf[i + 1]
     if x1 <= x0:
@@ -251,8 +261,13 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
     interpolation when no histogram was collected. ``col BETWEEN lit AND
     lit`` desugars to the two inclusive range parts before the AND split
     (so the common ``BETWEEN DATE '…' AND DATE '…'`` shape is estimable).
-    Any OR, NOT BETWEEN, parenthesized/unknown part, or any ambiguous
-    unqualified column in a join makes the whole clause fall back to
+    Unparenthesized OR combines disjuncts by inclusion–exclusion under
+    independence (SQL precedence — AND binds tighter — makes a paren-free
+    clause a disjunction of conjunctions, so the top-level OR split is
+    exact on structure; same-column disjuncts underestimate slightly,
+    which sizes fractions conservatively). NOT BETWEEN, any
+    parenthesized/unknown part, or any ambiguous unqualified column in a
+    join makes the whole clause fall back to
     :data:`WHERE_SELECTIVITY_DEFAULT` — exactly the pre-stats flat guess,
     never a compounded 0.3^k that would punish clauses the grammar merely
     failed to read (a naive split mangles BETWEEN's AND). Clamped to
@@ -265,7 +280,11 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
         return 1.0
     if _re.search(r"\bNOT\s+BETWEEN\b", where, _re.I):
         return WHERE_SELECTIVITY_DEFAULT
-    # desugar BETWEEN before the AND split; literal forms mirror the
+    if "(" in where or ")" in where:
+        # parentheses change boolean precedence in ways the flat split
+        # cannot see — whole-clause fallback
+        return WHERE_SELECTIVITY_DEFAULT
+    # desugar BETWEEN before any boolean split; literal forms mirror the
     # per-part grammar below
     _lit = r"(?:-?\d+(?:\.\d+)?|DATE\s*'\d{4}-\d{2}-\d{2}'|'[^']*')"
     where = _re.sub(
@@ -274,7 +293,7 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
         where,
         flags=_re.I,
     )
-    if _re.search(r"\bOR\b|\bBETWEEN\b", where, _re.I):
+    if _re.search(r"\bBETWEEN\b", where, _re.I):
         return WHERE_SELECTIVITY_DEFAULT
 
     def _resolve(raw_col: str) -> tuple[str, str] | None:
@@ -295,14 +314,6 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
             return None
         return parsed.table, raw_col
 
-    sel = 1.0
-    #: (table, col) → [excluded_below, included_upto]: range parts on the
-    #: SAME column combine as an INTERVAL (F(hi) − F(lo)), not an
-    #: independence product — `a BETWEEN 10 AND 25` desugars to two parts
-    #: whose product would overcount by (1−F(10))·F(25) vs the true
-    #: F(25)−F(10)
-    ranges: dict[tuple[str, str], list[float]] = {}
-
     def _frac_leq(table: str, col: str, v: float, inclusive: bool) -> float | None:
         mm = catalog.get_column_minmax(table, col)
         if mm is None or mm[1] <= mm[0]:
@@ -316,65 +327,93 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
             frac = min(max((v - mm[0]) / (mm[1] - mm[0]), 0.0), 1.0)
         return frac
 
-    for part in _re.split(r"\bAND\b", where, flags=_re.I):
-        m = _re.fullmatch(
-            r"\s*([A-Za-z_][\w.]*)\s*(<=|>=|<|>|=)\s*"
-            r"(?:(-?\d+(?:\.\d+)?)"  # numeric literal
-            r"|DATE\s*'(\d{4}-\d{2}-\d{2})'"  # DATE literal
-            r"|'([^']*)')\s*",  # quoted string literal
-            part,
-            _re.I,
-        )
-        if not m:
-            return WHERE_SELECTIVITY_DEFAULT
-        resolved = _resolve(m.group(1))
-        if resolved is None:
-            return WHERE_SELECTIVITY_DEFAULT
-        table, col = resolved
-        op = m.group(2)
-        num_lit, date_lit, str_lit = m.group(3), m.group(4), m.group(5)
-        if str_lit is not None:
-            # strings: equality only (1/ndv); range comparison on strings
-            # has no stats model here — whole-clause fallback
-            if op != "=":
-                return WHERE_SELECTIVITY_DEFAULT
-            ndv = catalog.get_column_ndv(table, col)
-            if not ndv:
-                return WHERE_SELECTIVITY_DEFAULT
-            sel *= 1.0 / ndv
-            continue
-        if date_lit is not None:
-            # analyze_table stores date/timestamp stats in epoch days, so
-            # a DATE literal drops into the same numeric range math
-            import datetime as _dt
-
-            lit = float(
-                (_dt.date.fromisoformat(date_lit) - _dt.date(1970, 1, 1)).days
+    def _conjunction_sel(clause: str) -> float | None:
+        """Selectivity of one AND-chain of simple parts, or None when any
+        part is outside the grammar / missing stats (ALL-OR-NOTHING)."""
+        sel = 1.0
+        #: (table, col) → [excluded_below, included_upto]: range parts on
+        #: the SAME column combine as an INTERVAL (F(hi) − F(lo)), not an
+        #: independence product — `a BETWEEN 10 AND 25` desugars to two
+        #: parts whose product would overcount by (1−F(10))·F(25) vs the
+        #: true F(25)−F(10)
+        ranges: dict[tuple[str, str], list[float]] = {}
+        for part in _re.split(r"\bAND\b", clause, flags=_re.I):
+            m = _re.fullmatch(
+                r"\s*([A-Za-z_][\w.]*)\s*(<=|>=|<|>|=)\s*"
+                r"(?:(-?\d+(?:\.\d+)?)"  # numeric literal
+                r"|DATE\s*'(\d{4}-\d{2}-\d{2})'"  # DATE literal
+                r"|'([^']*)')\s*",  # quoted string literal
+                part,
+                _re.I,
             )
-        else:
-            lit = float(num_lit)
-        if op == "=":
-            ndv = catalog.get_column_ndv(table, col)
-            if not ndv:
-                return WHERE_SELECTIVITY_DEFAULT
-            sel *= 1.0 / ndv
-        else:
-            # boundary masses matter on discrete columns: `<` / `>=` use
-            # the strict CDF so a point mass AT the literal lands on the
-            # correct side of the cut
-            bounds = ranges.setdefault((table, col), [0.0, 1.0])
-            if op in ("<", "<="):
-                frac = _frac_leq(table, col, lit, inclusive=(op == "<="))
-                if frac is None:
-                    return WHERE_SELECTIVITY_DEFAULT
-                bounds[1] = min(bounds[1], frac)
-            else:  # > / >= exclude the mass at-or-below the cut
-                frac = _frac_leq(table, col, lit, inclusive=(op == ">"))
-                if frac is None:
-                    return WHERE_SELECTIVITY_DEFAULT
-                bounds[0] = max(bounds[0], frac)
-    for excluded_below, included_upto in ranges.values():
-        sel *= max(included_upto - excluded_below, 0.0)
+            if not m:
+                return None
+            resolved = _resolve(m.group(1))
+            if resolved is None:
+                return None
+            table, col = resolved
+            op = m.group(2)
+            num_lit, date_lit, str_lit = m.group(3), m.group(4), m.group(5)
+            if str_lit is not None:
+                # strings: equality only (1/ndv); range comparison on
+                # strings has no stats model here
+                if op != "=":
+                    return None
+                ndv = catalog.get_column_ndv(table, col)
+                if not ndv:
+                    return None
+                sel *= 1.0 / ndv
+                continue
+            if date_lit is not None:
+                # analyze_table stores date/timestamp stats in epoch days,
+                # so a DATE literal drops into the same numeric range math
+                import datetime as _dt
+
+                lit = float(
+                    (_dt.date.fromisoformat(date_lit) - _dt.date(1970, 1, 1)).days
+                )
+            else:
+                lit = float(num_lit)
+            if op == "=":
+                ndv = catalog.get_column_ndv(table, col)
+                if not ndv:
+                    return None
+                sel *= 1.0 / ndv
+            else:
+                # boundary masses matter on discrete columns: `<` / `>=`
+                # use the strict CDF so a point mass AT the literal lands
+                # on the correct side of the cut
+                bounds = ranges.setdefault((table, col), [0.0, 1.0])
+                if op in ("<", "<="):
+                    frac = _frac_leq(table, col, lit, inclusive=(op == "<="))
+                    if frac is None:
+                        return None
+                    bounds[1] = min(bounds[1], frac)
+                else:  # > / >= exclude the mass at-or-below the cut
+                    frac = _frac_leq(table, col, lit, inclusive=(op == ">"))
+                    if frac is None:
+                        return None
+                    bounds[0] = max(bounds[0], frac)
+        for excluded_below, included_upto in ranges.values():
+            sel *= max(included_upto - excluded_below, 0.0)
+        return sel
+
+    # paren-free SQL is a disjunction of conjunctions (AND binds tighter):
+    # split on OR, estimate each conjunction, combine by
+    # inclusion–exclusion under independence
+    disjunct_sels = []
+    for clause in _re.split(r"\bOR\b", where, flags=_re.I):
+        s = _conjunction_sel(clause)
+        if s is None:
+            return WHERE_SELECTIVITY_DEFAULT
+        disjunct_sels.append(s)
+    if len(disjunct_sels) == 1:
+        sel = disjunct_sels[0]
+    else:
+        miss = 1.0
+        for s in disjunct_sels:
+            miss *= 1.0 - s
+        sel = 1.0 - miss
     return min(max(sel, 0.01), 1.0)
 
 

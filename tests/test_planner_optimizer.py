@@ -444,10 +444,22 @@ def test_stats_driven_selectivity(spark):
     # ALL-OR-NOTHING: one un-stats'd part makes the whole clause fall
     # back to the flat default (never a compounded 0.3^k)
     assert sel("l_quantity < 25 AND l_tax = 3") == WHERE_SELECTIVITY_DEFAULT
-    # OR and NOT BETWEEN give up whole-clause
-    assert sel("l_quantity < 25 OR l_quantity > 45") == WHERE_SELECTIVITY_DEFAULT
+    # OR combines disjuncts by inclusion-exclusion under independence
+    s_hi = 1 - histogram_fraction_leq(hist, 45.0, inclusive=True)
+    assert sel("l_quantity < 25 OR l_quantity > 45") == pytest.approx(
+        1 - (1 - expect_lt) * (1 - s_hi)
+    )
+    # NOT BETWEEN and parenthesized clauses give up whole-clause
     assert (
         sel("l_quantity NOT BETWEEN 10 AND 25") == WHERE_SELECTIVITY_DEFAULT
+    )
+    assert (
+        sel("(l_quantity < 25 OR l_quantity > 45) AND l_discount >= 0")
+        == WHERE_SELECTIVITY_DEFAULT
+    )
+    # one disjunct outside the grammar drops the whole clause
+    assert (
+        sel("l_quantity < 25 OR l_tax = 3") == WHERE_SELECTIVITY_DEFAULT
     )
     # BETWEEN desugars to an INTERVAL on one column — F(25) - F(10-), not
     # the independence product of the two desugared parts
@@ -555,7 +567,48 @@ def test_date_predicate_selectivity(spark):
     assert est_date == pytest.approx(sel("1995-06-17"), rel=0.05)
 
 
-def test_string_equality_selectivity(spark):
+def test_date_filter_pushes_into_sample_scan(spark):
+    """Plan-shape tripwire for the date-predicate AQP path: the rewritten
+    sample query must keep the user's DATE filter AT THE SCAN of the
+    sample parquet (PushedFilters), not in a post-scan Filter — at 100 TB
+    with date-partitioned data this is the difference between reading a
+    partition and reading the lake."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_datepush_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.analyze_table("lineitem", ["l_shipdate"])
+    eng.create_sample("lineitem", 0.1, seed=7)
+    plan = eng.planner.plan(
+        # compute-bound aggregate so the sample path is the chosen plan
+        # (a bare one-column SUM is scan-bound and correctly stays exact)
+        "SELECT SUM(l_extendedprice * (1 - l_discount)) AS s FROM lineitem "
+        "WHERE l_shipdate <= DATE '1995-06-17'",
+        max_rel_error=0.1,
+    )
+    assert plan["type"] == "sample", plan["reason"]
+    phys = (
+        spark.sql(plan["sql"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"FileScan parquet[^\n]*", phys)
+    assert m, phys
+    scan_line = m.group(0)
+    assert "isnotnull(l_shipdate" in scan_line and "l_shipdate" in scan_line, (
+        scan_line
+    )
+    assert re.search(r"DataFilters: \[[^\]]*l_shipdate[^\]]*<=", scan_line), (
+        scan_line
+    )
     """analyze_table learns ndv for string columns; ``col = 'lit'`` then
     plans at 1/ndv instead of the flat default."""
     import tempfile

@@ -61,6 +61,68 @@ def test_sampling_error_monotone(n, f):
     assert sampling_error(n * 2, f) <= e + 1e-12
 
 
+@st.composite
+def cdf_and_probes(draw):
+    """An empirical CDF like analyze_table stores (nondecreasing x, F from
+    0 to 1; repeated x encodes point masses) plus probe values."""
+    import math
+
+    xs = sorted(
+        draw(
+            st.lists(
+                st.floats(-1e6, 1e6, allow_nan=False, width=32),
+                min_size=2,
+                max_size=20,
+            )
+        )
+    )
+    fs = sorted(
+        draw(
+            st.lists(
+                st.floats(0.0, 1.0, allow_nan=False),
+                min_size=len(xs) - 2,
+                max_size=len(xs) - 2,
+            )
+        )
+    ) if len(xs) > 2 else []
+    cdf = list(zip(xs, [0.0] + fs + [1.0]))
+    probes = draw(
+        st.lists(
+            st.floats(-2e6, 2e6, allow_nan=False, width=32),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    assert not any(math.isnan(x) for x in xs)
+    return cdf, probes
+
+
+@given(cdf_and_probes())
+@settings(max_examples=300, deadline=None)
+def test_histogram_fraction_invariants(data):
+    """The CDF interpolator behind range selectivity: bounded to [0,1],
+    monotone in the probe, strict ≤ inclusive at the same probe (the point
+    mass at v belongs to `<=` but not `<`), and exact at the domain ends."""
+    from approximate_query_engine_spark.planner import histogram_fraction_leq
+
+    cdf, probes = data
+    lo, hi = cdf[0][0], cdf[-1][0]
+    prev = None
+    for v in sorted(probes):
+        inc = histogram_fraction_leq(cdf, v, inclusive=True)
+        strict = histogram_fraction_leq(cdf, v, inclusive=False)
+        assert 0.0 <= strict <= inc <= 1.0
+        if prev is not None:
+            assert inc >= prev - 1e-12  # monotone in v
+        prev = inc
+        if v < lo:
+            assert inc == 0.0
+        if v > hi:
+            assert strict == 1.0
+    assert histogram_fraction_leq(cdf, hi, inclusive=True) == 1.0
+    assert histogram_fraction_leq(cdf, lo, inclusive=False) == 0.0
+
+
 @given(
     st.lists(
         st.tuples(
