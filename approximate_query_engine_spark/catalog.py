@@ -135,6 +135,11 @@ class Catalog:
         self.column_histogram: dict[
             tuple[str, str], list[tuple[float, float]]
         ] = {}
+        #: table → {"row_count": n at analyze time, "columns": [...]} —
+        #: the baseline the maintenance drift policy measures column-stats
+        #: staleness against (stale min/max + histograms misprice every
+        #: selectivity estimate silently)
+        self.analyze_meta: dict[str, dict] = {}
         # the engine serves concurrent queries over one shared session;
         # saves must not race on the tmp file
         self._save_lock = threading.Lock()
@@ -182,6 +187,7 @@ class Catalog:
                     f"{t}\x1f{c}": [list(b) for b in v]
                     for (t, c), v in column_histogram.items()
                 },
+                "analyze_meta": dict(self.analyze_meta),
             }
             tmp = f"{self._meta_path}.tmp{threading.get_ident()}"
             with open(tmp, "w") as f:
@@ -218,6 +224,7 @@ class Catalog:
             self.column_histogram[(table, column)] = [
                 (float(b[0]), float(b[1])) for b in v
             ]
+        self.analyze_meta.update(doc.get("analyze_meta", {}))
 
     # ---- table stats (reference storage.py:88-109) ----
     def upsert_table_stats(self, table: str, row_count: int) -> None:

@@ -327,6 +327,12 @@ class AQEngine:
             )
         row = df.agg(*aggs).collect()[0]
         self.catalog.upsert_table_stats(table, int(row["__n"]))
+        # baseline for the maintenance drift policy: which columns were
+        # analyzed, against how many rows
+        self.catalog.analyze_meta[table] = {
+            "row_count": int(row["__n"]),
+            "columns": list(cols),
+        }
         out: dict[str, tuple[float, float]] = {}
         for i, c in enumerate(cols):
             if kind[c] == "string":

@@ -74,9 +74,11 @@ def run_maintenance(
     now = time.time()
 
     # one stats refresh per distinct base table (never per artifact)
-    base_tables = {s.table_name for s in catalog.samples.values()} | {
-        s.table_name for s in catalog.sketches.values()
-    }
+    base_tables = (
+        {s.table_name for s in catalog.samples.values()}
+        | {s.table_name for s in catalog.sketches.values()}
+        | set(catalog.analyze_meta)
+    )
     if refresh_stats:
         for t in sorted(base_tables):
             try:
@@ -177,6 +179,36 @@ def run_maintenance(
                 report.errors.append(
                     {"sketch": f"{key}", "error": str(exc)[:200]}
                 )
+                continue
+        report.refreshed.append(action)
+
+    # ---- analyze stats (column min/max, histograms, string ndv) --------
+    # Stale column stats don't return wrong ANSWERS (selectivity only
+    # prices plans), but they silently misprice every estimate — the same
+    # drift policy applies: re-run the one-pass analyze when the base
+    # table's row count moved more than max_drift since the analyze.
+    for table, meta in sorted(list(catalog.analyze_meta.items())):
+        report.checked += 1
+        current = catalog.get_row_count(table)
+        drift = _drift(meta.get("row_count"), current)
+        if drift is None:
+            report.unknown.append(f"{table}:stats")
+            continue
+        if drift <= max_drift:
+            report.fresh.append(f"{table}:stats")
+            continue
+        action = {
+            "kind": "analyze_stats",
+            "table": table,
+            "columns": meta.get("columns", []),
+            "reason": f"drift {drift:.1%} > {max_drift:.0%}",
+            "dry_run": dry_run,
+        }
+        if not dry_run:
+            try:
+                engine.analyze_table(table, meta.get("columns") or None)
+            except Exception as exc:
+                report.errors.append({"stats": table, "error": str(exc)[:200]})
                 continue
         report.refreshed.append(action)
 

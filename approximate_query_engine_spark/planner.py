@@ -375,6 +375,20 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
             else:
                 lit = float(num_lit)
             if op == "=":
+                # point mass first: the CDF's jump at v IS the equality
+                # selectivity for a heavy hitter (1/ndv would underprice
+                # a Zipf head by orders of magnitude); zero jump means v
+                # sits between knots — fall back to 1/ndv
+                f_inc = _frac_leq(table, col, lit, inclusive=True)
+                f_strict = _frac_leq(table, col, lit, inclusive=False)
+                pm = (
+                    (f_inc - f_strict)
+                    if f_inc is not None and f_strict is not None
+                    else 0.0
+                )
+                if pm > 0.0:
+                    sel *= pm
+                    continue
                 ndv = catalog.get_column_ndv(table, col)
                 if not ndv:
                     return None

@@ -113,6 +113,41 @@ def test_unknown_baseline_sample_rebuilds_once(meng):
     assert rep2["refreshed"] == [] and name in rep2["fresh"]
 
 
+def test_drifted_column_stats_reanalyze(meng, spark):
+    """analyze_table stats (min/max, histograms, ndv) go stale exactly
+    like samples: when the base table's row count drifts past max_drift,
+    maintenance re-runs the SAME one-pass analyze over the SAME columns.
+    Stale stats never return wrong ANSWERS (selectivity only prices
+    plans) but silently misprice every estimate — so the policy treats
+    them as a first-class artifact."""
+    meng.analyze_table("lineitem", ["l_quantity"])
+    baseline = meng.catalog.analyze_meta["lineitem"]["row_count"]
+    assert baseline > 0
+    # fresh: no drift → reported fresh, nothing refreshed
+    rep0 = meng.maintain(max_drift=0.10)
+    assert "lineitem:stats" in rep0["fresh"] and rep0["refreshed"] == []
+    big = spark.table("lineitem").unionAll(spark.table("lineitem"))
+    big.createOrReplaceTempView("lineitem")
+    try:
+        # dry run names the action without re-analyzing
+        rep1 = meng.maintain(max_drift=0.10, dry_run=True)
+        acts = [a for a in rep1["refreshed"] if a["kind"] == "analyze_stats"]
+        assert acts and acts[0]["table"] == "lineitem"
+        assert acts[0]["columns"] == ["l_quantity"]
+        assert meng.catalog.analyze_meta["lineitem"]["row_count"] == baseline
+        # real run re-analyzes against the doubled table
+        rep2 = meng.maintain(max_drift=0.10)
+        assert any(a["kind"] == "analyze_stats" for a in rep2["refreshed"])
+        assert (
+            meng.catalog.analyze_meta["lineitem"]["row_count"] == 2 * baseline
+        )
+        # and the refreshed baseline is fresh again
+        rep3 = meng.maintain(max_drift=0.10)
+        assert "lineitem:stats" in rep3["fresh"]
+    finally:
+        meng.register_data(SF_SMOKE)
+
+
 def test_unmeasurable_artifact_reported_unknown(meng):
     """No baseline AND no current row count → 'unknown' bucket, not
     'fresh' (nothing to rebuild against, but freshness is not known)."""

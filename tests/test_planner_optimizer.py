@@ -676,6 +676,14 @@ def test_histogram_selectivity_on_zipf(spark):
         eng.catalog,
     )
     assert est / true_sel < 2.0 and true_sel / est < 2.0, (est, true_sel)
+    # EQUALITY on the heaviest hitter: the CDF's point mass at v=1 (the
+    # Zipf head, ~60% of rows) prices it honestly — 1/ndv would be off by
+    # orders of magnitude
+    true_eq = float((vals == 1.0).mean())
+    est_eq = estimate_selectivity(
+        parse("SELECT COUNT(*) AS c FROM zipf_t WHERE v = 1"), eng.catalog
+    )
+    assert est_eq / true_eq < 2.0 and true_eq / est_eq < 2.0, (est_eq, true_eq)
 
 
 def test_selectivity_resolves_join_aliases(spark):
