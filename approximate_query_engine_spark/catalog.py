@@ -135,6 +135,12 @@ class Catalog:
         self.column_histogram: dict[
             tuple[str, str], list[tuple[float, float]]
         ] = {}
+        #: (table, column) -> fraction of NULL rows, learned in the same
+        #: analyze pass. min/max/histogram/ndv all describe NON-NULL
+        #: values (Spark aggregates skip nulls), so every comparison
+        #: predicate's selectivity carries a (1 − null_frac) factor and
+        #: IS [NOT] NULL is priced directly.
+        self.column_null_frac: dict[tuple[str, str], float] = {}
         #: table → {"row_count": n at analyze time, "columns": [...]} —
         #: the baseline the maintenance drift policy measures column-stats
         #: staleness against (stale min/max + histograms misprice every
@@ -166,6 +172,7 @@ class Catalog:
             column_ndv = dict(self.column_ndv)
             column_minmax = dict(self.column_minmax)
             column_histogram = dict(self.column_histogram)
+            column_null_frac = dict(self.column_null_frac)
             doc = {
                 "table_stats": {k: asdict(v) for k, v in table_stats.items()},
                 "samples": {k: asdict(v) for k, v in samples.items()},
@@ -186,6 +193,9 @@ class Catalog:
                 "column_histogram": {
                     f"{t}\x1f{c}": [list(b) for b in v]
                     for (t, c), v in column_histogram.items()
+                },
+                "column_null_frac": {
+                    f"{t}\x1f{c}": v for (t, c), v in column_null_frac.items()
                 },
                 "analyze_meta": dict(self.analyze_meta),
             }
@@ -224,6 +234,9 @@ class Catalog:
             self.column_histogram[(table, column)] = [
                 (float(b[0]), float(b[1])) for b in v
             ]
+        for k, v in doc.get("column_null_frac", {}).items():
+            table, _, column = k.partition("\x1f")
+            self.column_null_frac[(table, column)] = float(v)
         self.analyze_meta.update(doc.get("analyze_meta", {}))
 
     # ---- table stats (reference storage.py:88-109) ----
@@ -261,6 +274,14 @@ class Catalog:
         self, table: str, column: str
     ) -> list[tuple[float, float]] | None:
         return self.column_histogram.get((table, column))
+
+    def upsert_column_null_frac(
+        self, table: str, column: str, frac: float
+    ) -> None:
+        self.column_null_frac[(table, column)] = float(frac)
+
+    def get_column_null_frac(self, table: str, column: str) -> float | None:
+        return self.column_null_frac.get((table, column))
 
     # ---- samples (reference storage.py:46-55, sampler.py:120-143) ----
     def register_sample(self, info: SampleInfo) -> None:

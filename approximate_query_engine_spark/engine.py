@@ -305,6 +305,10 @@ class AQEngine:
         ranged: list[str] = []
         for i, c in enumerate(cols):
             col = F.col(f"`{c}`")
+            # every aggregate below skips nulls, so the null mass is a
+            # separate stat: comparison predicates never match NULL rows
+            # and IS [NOT] NULL prices from it directly
+            aggs.append(F.avg(col.isNull().cast("double")).alias(f"__nullf_{i}"))
             if kind[c] == "string":
                 aggs.append(F.approx_count_distinct(col).alias(f"__ndv_{i}"))
                 continue
@@ -335,6 +339,9 @@ class AQEngine:
         }
         out: dict[str, tuple[float, float]] = {}
         for i, c in enumerate(cols):
+            nf = row[f"__nullf_{i}"]
+            if nf is not None:
+                self.catalog.upsert_column_null_frac(table, c, float(nf))
             if kind[c] == "string":
                 ndv = row[f"__ndv_{i}"]
                 if ndv:

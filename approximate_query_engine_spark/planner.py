@@ -253,10 +253,17 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
     product of per-part estimates is used only when EVERY AND-part is a
     simple predicate ``col <op> literal`` — numeric, ``DATE 'y-m-d'``
     (compared in epoch days against date stats ``analyze_table`` stores in
-    the same unit), or a quoted string (equality only, 1/ndv) — whose
-    column resolves unambiguously AND has catalog stats (histogram-backed
-    min/max from ``engine.analyze_table`` for range operators, ndv for
-    equality). Range fractions prefer the stored equi-depth histogram CDF
+    the same unit), or a quoted string (equality/inequality only, 1/ndv) —
+    whose column resolves unambiguously AND has catalog stats
+    (histogram-backed min/max from ``engine.analyze_table`` for range
+    operators, ndv for equality). ``=`` prices by the histogram CDF's
+    point mass at the literal when one exists (honest on Zipf heads),
+    falling back to 1/ndv; ``<>``/``!=`` take the complement; a literal
+    ``col IN (…)`` list sums the per-value equality masses (deduped,
+    capped at 1); ``IS [NOT] NULL`` prices directly from the analyzed
+    null fraction. Every comparison part carries a (1 − null_fraction)
+    factor — the stats describe non-null values and comparisons never
+    match NULLs. Range fractions prefer the stored equi-depth histogram CDF
     (mass-weighted, skew-proof) and fall back to uniform min/max
     interpolation when no histogram was collected. ``col BETWEEN lit AND
     lit`` desugars to the two inclusive range parts before the AND split
@@ -278,7 +285,20 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
     where = parsed.where
     if not where:
         return 1.0
-    if _re.search(r"\bNOT\s+BETWEEN\b", where, _re.I):
+    if _re.search(r"\bNOT\s+(?:BETWEEN|IN)\b", where, _re.I):
+        return WHERE_SELECTIVITY_DEFAULT
+    # desugar literal IN-lists to a paren-free marker BEFORE the paren
+    # fallback (an IN-list's parens don't change boolean precedence);
+    # the part grammar below prices the marker as a sum of point masses
+    _lit = r"(?:-?\d+(?:\.\d+)?|DATE\s*'\d{4}-\d{2}-\d{2}'|'[^']*')"
+    where = _re.sub(
+        rf"\b([A-Za-z_][\w.]*)\s+IN\s*\(\s*({_lit}(?:\s*,\s*{_lit})*)\s*\)",
+        r"\1 @IN@ \2",
+        where,
+        flags=_re.I,
+    )
+    if _re.search(r"\bIN\s*\(", where, _re.I):
+        # IN over a subquery / non-literal list
         return WHERE_SELECTIVITY_DEFAULT
     if "(" in where or ")" in where:
         # parentheses change boolean precedence in ways the flat split
@@ -286,7 +306,6 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
         return WHERE_SELECTIVITY_DEFAULT
     # desugar BETWEEN before any boolean split; literal forms mirror the
     # per-part grammar below
-    _lit = r"(?:-?\d+(?:\.\d+)?|DATE\s*'\d{4}-\d{2}-\d{2}'|'[^']*')"
     where = _re.sub(
         rf"\b([A-Za-z_][\w.]*)\s+BETWEEN\s+({_lit})\s+AND\s+({_lit})",
         r"\1 >= \2 AND \1 <= \3",
@@ -327,6 +346,59 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
             frac = min(max((v - mm[0]) / (mm[1] - mm[0]), 0.0), 1.0)
         return frac
 
+    def _nullfree(table: str, col: str) -> float:
+        """1 − null_fraction: min/max/histogram/ndv describe NON-NULL
+        values, and comparison predicates never match NULL rows. Unknown
+        null stat → 1.0 (pre-null-stats catalogs keep their estimates;
+        analyze_table always records it now)."""
+        nf = catalog.get_column_null_frac(table, col)
+        return 1.0 - nf if nf is not None else 1.0
+
+    def _eq_sel_nonnull(
+        table: str,
+        col: str,
+        num_lit: str | None,
+        date_lit: str | None,
+        str_lit: str | None,
+    ) -> float | None:
+        """Equality selectivity among NON-NULL rows, or None (no stats).
+
+        Numeric/date literals price by the equi-depth CDF's point mass at
+        the literal first — the jump at v IS the heavy-hitter mass (1/ndv
+        would underprice a Zipf head by orders of magnitude); a zero jump
+        means v sits between knots — fall back to 1/ndv."""
+        if str_lit is not None:
+            ndv = catalog.get_column_ndv(table, col)
+            if not ndv:
+                return None
+            return 1.0 / ndv
+        if date_lit is not None:
+            # analyze_table stores date/timestamp stats in epoch days,
+            # so a DATE literal drops into the same numeric range math
+            import datetime as _dt
+
+            lit = float(
+                (_dt.date.fromisoformat(date_lit) - _dt.date(1970, 1, 1)).days
+            )
+        else:
+            lit = float(num_lit)
+        f_inc = _frac_leq(table, col, lit, inclusive=True)
+        f_strict = _frac_leq(table, col, lit, inclusive=False)
+        if f_inc is not None and f_strict is not None and f_inc > f_strict:
+            return f_inc - f_strict
+        ndv = catalog.get_column_ndv(table, col)
+        if not ndv:
+            return None
+        return 1.0 / ndv
+
+    #: one literal of the IN-list marker / comparison grammar, with the
+    #: three alternatives CAPTURED (numeric, DATE, quoted string)
+    _lit_groups = (
+        r"(?:(-?\d+(?:\.\d+)?)"  # numeric literal
+        r"|DATE\s*'(\d{4}-\d{2}-\d{2})'"  # DATE literal
+        r"|'([^']*)')"  # quoted string literal
+    )
+
     def _conjunction_sel(clause: str) -> float | None:
         """Selectivity of one AND-chain of simple parts, or None when any
         part is outside the grammar / missing stats (ALL-OR-NOTHING)."""
@@ -339,10 +411,46 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
         ranges: dict[tuple[str, str], list[float]] = {}
         for part in _re.split(r"\bAND\b", clause, flags=_re.I):
             m = _re.fullmatch(
-                r"\s*([A-Za-z_][\w.]*)\s*(<=|>=|<|>|=)\s*"
-                r"(?:(-?\d+(?:\.\d+)?)"  # numeric literal
-                r"|DATE\s*'(\d{4}-\d{2}-\d{2})'"  # DATE literal
-                r"|'([^']*)')\s*",  # quoted string literal
+                r"\s*([A-Za-z_][\w.]*)\s+IS\s+(NOT\s+)?NULL\s*", part, _re.I
+            )
+            if m:
+                resolved = _resolve(m.group(1))
+                if resolved is None:
+                    return None
+                nf = catalog.get_column_null_frac(*resolved)
+                if nf is None:  # IS NULL has no estimate without the stat
+                    return None
+                sel *= (1.0 - nf) if m.group(2) else nf
+                continue
+            m = _re.fullmatch(
+                rf"\s*([A-Za-z_][\w.]*)\s+@IN@\s+({_lit}(?:\s*,\s*{_lit})*)\s*",
+                part,
+                _re.I,
+            )
+            if m:
+                resolved = _resolve(m.group(1))
+                if resolved is None:
+                    return None
+                table, col = resolved
+                total = 0.0
+                # findall tokenizes literals as units (a comma inside a
+                # quoted string is not a separator); dedupe — repeated
+                # values must not double their mass
+                for item in dict.fromkeys(
+                    t.strip() for t in _re.findall(_lit, m.group(2))
+                ):
+                    im = _re.fullmatch(_lit_groups, item, _re.I)
+                    e = _eq_sel_nonnull(
+                        table, col, im.group(1), im.group(2), im.group(3)
+                    )
+                    if e is None:
+                        return None
+                    total += e
+                sel *= min(total, 1.0) * _nullfree(table, col)
+                continue
+            m = _re.fullmatch(
+                rf"\s*([A-Za-z_][\w.]*)\s*(<=|>=|<>|!=|<|>|=)\s*"
+                rf"{_lit_groups}\s*",
                 part,
                 _re.I,
             )
@@ -354,19 +462,19 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
             table, col = resolved
             op = m.group(2)
             num_lit, date_lit, str_lit = m.group(3), m.group(4), m.group(5)
-            if str_lit is not None:
-                # strings: equality only (1/ndv); range comparison on
-                # strings has no stats model here
-                if op != "=":
+            if op in ("=", "<>", "!="):
+                e = _eq_sel_nonnull(table, col, num_lit, date_lit, str_lit)
+                if e is None:
                     return None
-                ndv = catalog.get_column_ndv(table, col)
-                if not ndv:
-                    return None
-                sel *= 1.0 / ndv
+                if op == "=":
+                    sel *= e * _nullfree(table, col)
+                else:  # != excludes the point mass AND the nulls
+                    sel *= max(1.0 - e, 0.0) * _nullfree(table, col)
                 continue
+            if str_lit is not None:
+                # range comparison on strings has no stats model here
+                return None
             if date_lit is not None:
-                # analyze_table stores date/timestamp stats in epoch days,
-                # so a DATE literal drops into the same numeric range math
                 import datetime as _dt
 
                 lit = float(
@@ -374,42 +482,24 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
                 )
             else:
                 lit = float(num_lit)
-            if op == "=":
-                # point mass first: the CDF's jump at v IS the equality
-                # selectivity for a heavy hitter (1/ndv would underprice
-                # a Zipf head by orders of magnitude); zero jump means v
-                # sits between knots — fall back to 1/ndv
-                f_inc = _frac_leq(table, col, lit, inclusive=True)
-                f_strict = _frac_leq(table, col, lit, inclusive=False)
-                pm = (
-                    (f_inc - f_strict)
-                    if f_inc is not None and f_strict is not None
-                    else 0.0
-                )
-                if pm > 0.0:
-                    sel *= pm
-                    continue
-                ndv = catalog.get_column_ndv(table, col)
-                if not ndv:
+            # boundary masses matter on discrete columns: `<` / `>=`
+            # use the strict CDF so a point mass AT the literal lands
+            # on the correct side of the cut
+            bounds = ranges.setdefault((table, col), [0.0, 1.0])
+            if op in ("<", "<="):
+                frac = _frac_leq(table, col, lit, inclusive=(op == "<="))
+                if frac is None:
                     return None
-                sel *= 1.0 / ndv
-            else:
-                # boundary masses matter on discrete columns: `<` / `>=`
-                # use the strict CDF so a point mass AT the literal lands
-                # on the correct side of the cut
-                bounds = ranges.setdefault((table, col), [0.0, 1.0])
-                if op in ("<", "<="):
-                    frac = _frac_leq(table, col, lit, inclusive=(op == "<="))
-                    if frac is None:
-                        return None
-                    bounds[1] = min(bounds[1], frac)
-                else:  # > / >= exclude the mass at-or-below the cut
-                    frac = _frac_leq(table, col, lit, inclusive=(op == ">"))
-                    if frac is None:
-                        return None
-                    bounds[0] = max(bounds[0], frac)
-        for excluded_below, included_upto in ranges.values():
-            sel *= max(included_upto - excluded_below, 0.0)
+                bounds[1] = min(bounds[1], frac)
+            else:  # > / >= exclude the mass at-or-below the cut
+                frac = _frac_leq(table, col, lit, inclusive=(op == ">"))
+                if frac is None:
+                    return None
+                bounds[0] = max(bounds[0], frac)
+        for (table, col), (excluded_below, included_upto) in ranges.items():
+            sel *= max(included_upto - excluded_below, 0.0) * _nullfree(
+                table, col
+            )
         return sel
 
     # paren-free SQL is a disjunction of conjunctions (AND binds tighter):

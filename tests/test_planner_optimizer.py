@@ -686,6 +686,65 @@ def test_histogram_selectivity_on_zipf(spark):
     assert est_eq / true_eq < 2.0 and true_eq / est_eq < 2.0, (est_eq, true_eq)
 
 
+def test_null_inlist_isnull_selectivity(spark):
+    """analyze_table learns the per-column null fraction in the same
+    one-pass scan; the estimator then (a) prices IS [NOT] NULL directly,
+    (b) discounts every comparison by (1 - null_frac) — comparisons never
+    match NULLs, (c) sums deduped point masses for literal IN-lists, and
+    (d) prices != as the equality complement."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.planner import (
+        WHERE_SELECTIVITY_DEFAULT,
+        estimate_selectivity,
+    )
+    from approximate_query_engine_spark.sqlparser import parse
+
+    # deterministic: 30% NULL, the rest uniform over {4..10} (10% each)
+    rows = [
+        (i, None if i % 10 < 3 else float(i % 10 + 1)) for i in range(10_000)
+    ]
+    spark.createDataFrame(rows, "id long, v double").createOrReplaceTempView(
+        "nullable_t"
+    )
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_nullsel_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.analyze_table("nullable_t", ["v"])
+    assert eng.catalog.get_column_null_frac(
+        "nullable_t", "v"
+    ) == pytest.approx(0.3)
+
+    def est(w):
+        return estimate_selectivity(
+            parse(f"SELECT COUNT(*) AS c FROM nullable_t WHERE {w}"),
+            eng.catalog,
+        )
+
+    assert est("v IS NULL") == pytest.approx(0.3)
+    assert est("v IS NOT NULL") == pytest.approx(0.7)
+    # range discounted by the null mass: P(v <= 6) = 30% of rows (4,5,6)
+    assert est("v <= 6") == pytest.approx(0.3, rel=0.15)
+    # equality: point mass (10% of non-null) x (1 - null_frac); the
+    # equi-depth CDF quantizes point masses to 1/bins steps, so hold the
+    # histogram promise (within 2x of truth), not exactness
+    e = est("v = 5")
+    assert 0.07 / 2 < e < 0.07 * 2, e
+    # IN-list: sum of deduped point masses (5 repeated must not double)
+    assert est("v IN (4, 5, 5)") == pytest.approx(2 * e, rel=1e-9)
+    # != : complement of the point mass, still excluding NULLs
+    assert est("v != 5") == pytest.approx(0.7 - e, rel=1e-9)
+    assert est("v <> 5") == pytest.approx(0.7 - e, rel=1e-9)
+    # outside the grammar -> whole-clause default, never a wrong guess
+    assert est("v NOT IN (4, 5)") == WHERE_SELECTIVITY_DEFAULT
+    assert (
+        est("v IN (SELECT v FROM nullable_t)") == WHERE_SELECTIVITY_DEFAULT
+    )
+
+
 def test_selectivity_resolves_join_aliases(spark):
     """In a join query the predicate's alias decides WHICH table's stats
     apply — l.l_quantity must read lineitem's range even though the parse
