@@ -838,6 +838,59 @@ _HEAVY_HITTERS_ORACLE = (
 )
 
 
+def _q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned parquet layout + partition pruning
+    (operators/partitioning.py): events rewritten partitionBy(day
+    bucket); the WHERE on the bucket column prunes at FILE-LISTING time
+    (2 of 30 day directories read — measured scan_metrics evidence in
+    tests/test_operators.py). The 100 TB fact-table layout: a one-day
+    query over years of data never lists the other days' files. value is
+    pre-cast to DECIMAL(18,2) so sums are order-independent and
+    DuckDB-bit-exact."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.operators.partitioning import (
+        partition_by_time,
+        read_partitioned,
+    )
+
+    _prep(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="aqe_entry_part_") + "/events_by_day"
+    partition_by_time(
+        spark.table("events").withColumn(
+            "value", F.col("value").cast("decimal(18,2)")
+        ),
+        path,
+        "ts",
+        grain="day",
+    )
+    part = read_partitioned(spark, path)
+    return (
+        # partition-column type inference may read the directory names
+        # back as DATE — cast to string for a stable cross-engine schema
+        part.withColumn("p_bucket", F.col("p_bucket").cast("string"))
+        .filter(F.col("p_bucket").isin("2024-01-03", "2024-01-07"))
+        .groupBy("p_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").cast("double").alias("sum_value"),
+        )
+        .orderBy("p_bucket", "event_type")
+    )
+
+
+_PARTITIONED_SCAN_ORACLE = (
+    "SELECT strftime(ts, '%Y-%m-%d') AS p_bucket, event_type, "
+    "COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM events "
+    "WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-03', '2024-01-07') "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
 def _q_rollup_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate rollup: materialize hourly buckets of events,
     then answer a DAILY query from the rollup only (operators/rollup.py).
@@ -2581,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q82_media_dedup"] = _q_media_dedup
     out["q83_join_aqp"] = _q_join_aqp
     out["q84_heavy_hitters"] = _q_heavy_hitters
+    out["q85_partitioned_scan"] = _q_partitioned_scan
     return _reorder_check_window(out)
 
 
@@ -2626,5 +2680,6 @@ def oracle_sql() -> dict[str, str]:
     out["q82_media_dedup"] = _media_dedup_oracle()
     out["q83_join_aqp"] = _JOIN_AQP_ORACLE
     out["q84_heavy_hitters"] = _HEAVY_HITTERS_ORACLE
+    out["q85_partitioned_scan"] = _PARTITIONED_SCAN_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -21,6 +21,11 @@ from approximate_query_engine_spark.operators.join_estimate import (
     estimate_join_size,
     estimate_join_size_cms,
 )
+from approximate_query_engine_spark.operators.partitioning import (
+    partition_by_time,
+    read_partitioned,
+    scan_metrics,
+)
 from approximate_query_engine_spark.operators.salting import salted_join
 
 __all__ = [
@@ -37,4 +42,7 @@ __all__ = [
     "weighted_sample",
     "scaled_join_agg",
     "cohort_retention",
+    "partition_by_time",
+    "read_partitioned",
+    "scan_metrics",
 ]

@@ -1,0 +1,106 @@
+"""Time-partitioned parquet layout + measured partition-pruning evidence.
+
+At 100 TB the fact table is stored partitioned by a coarse time bucket
+(day/month/year directories); a WHERE on the partition column then reads
+only the matching directories — pruning happens at file-listing time,
+BEFORE any I/O, so a one-month query over ten years of data lists ~1/120
+of the files. The reference has no storage layout at all (everything
+lives in one SQLite file); this module is the Spark-native layout a
+time-series fact table needs at scale.
+
+Evidence is measured, not asserted from the plan text alone:
+:func:`scan_metrics` executes the query and reads the leaf scan's
+``numFiles`` / ``partitions read`` metrics from the executed plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: directory-name formats per grain — lexicographically ordered, so
+#: string range predicates on the partition column prune correctly too
+_GRAIN_FMT = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "year": "yyyy"}
+
+
+def partition_by_time(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    grain: str = "month",
+    partition_col: str = "p_bucket",
+) -> str:
+    """Materialize ``df`` as parquet partitioned by a derived time bucket.
+
+    The bucket is a STRING (stable, human-readable directory names like
+    ``p_bucket=2024-03``); queries filter on ``partition_col`` — an
+    equality or range on it prunes at file-listing time. The original
+    ``ts_col`` stays in the data files untouched, so finer-grained
+    predicates still work (as ordinary data filters).
+    """
+    if grain not in _GRAIN_FMT:
+        raise ValueError(f"grain must be one of {sorted(_GRAIN_FMT)}: {grain}")
+    out = df.withColumn(
+        partition_col, F.date_format(F.col(ts_col), _GRAIN_FMT[grain])
+    )
+    out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    return path
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a :func:`partition_by_time` layout (partition col inferred
+    from the directory names by Spark's parquet source)."""
+    return spark.read.parquet(path)
+
+
+def scan_metrics(df: DataFrame) -> dict:
+    """Execute ``df`` (collects — pass an aggregated frame) and report
+    what its leaf file scans actually read: ``{"files_read": n,
+    "partitions_read": m}``. ``partitions_read`` is only emitted by
+    partitioned scans; unpartitioned scans report just files.
+
+    This is the pruning proof: the same aggregate with and without a
+    partition-column predicate shows the file/partition count drop.
+    """
+    df.collect()
+    scans: list = []
+
+    def _walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        # AQE wraps executed stages as leaves — unwrap to the real scans
+        if name == "AdaptiveSparkPlanExec":
+            _walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            _walk(node.plan())
+            return
+        if name in ("FileSourceScanExec", "BatchScanExec"):
+            scans.append(node)
+            return
+        children = node.children().iterator()
+        while children.hasNext():
+            _walk(children.next())
+
+    _walk(df._jdf.queryExecution().executedPlan())
+    out = {"files_read": 0, "partitions_read": 0}
+    for node in scans:
+        metrics = node.metrics()
+        for key, field in (
+            ("numFiles", "files_read"),
+            ("numPartitions", "partitions_read"),
+        ):
+            opt = metrics.get(key)
+            if opt.isDefined():
+                out[field] += opt.get().value()
+    return out
+
+
+def partition_filters(df: DataFrame) -> str:
+    """The ``PartitionFilters: [...]`` clause of ``df``'s scan node
+    (empty string when none) — plan-text evidence to pair with the
+    measured :func:`scan_metrics`."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    return m.group(0) if m else ""
