@@ -257,9 +257,12 @@ class AQEngine:
         - date/timestamp columns: the same, in EPOCH DAYS (double), so
           ``col <= DATE '…'`` predicates — the most common real WHERE
           shape — share the numeric selectivity math;
-        - string columns: ``approx_count_distinct`` ndv, feeding 1/ndv
-          equality selectivity (returned dict carries ranges only; the
-          ndv lands in the catalog).
+        - every analyzed column: ``approx_count_distinct`` ndv (string
+          equality prices at 1/ndv; numeric/date equality falls back to
+          1/ndv when the literal sits between histogram knots) and the
+          NULL fraction (comparisons never match NULLs; IS [NOT] NULL
+          prices from it directly). The returned dict carries ranges
+          only; ndv/null stats land in the catalog.
 
         Never called implicitly (an O(N) pass is the user's call; the
         reference's implicit live COUNT per plan is the anti-pattern this
@@ -309,8 +312,12 @@ class AQEngine:
             # separate stat: comparison predicates never match NULL rows
             # and IS [NOT] NULL prices from it directly
             aggs.append(F.avg(col.isNull().cast("double")).alias(f"__nullf_{i}"))
+            # ndv for EVERY analyzed column (HLL partial, same one pass):
+            # strings price `col = 'lit'` at 1/ndv; numeric/date equality
+            # falls back to 1/ndv when the literal sits between histogram
+            # knots (no point mass to read)
+            aggs.append(F.approx_count_distinct(col).alias(f"__ndv_{i}"))
             if kind[c] == "string":
-                aggs.append(F.approx_count_distinct(col).alias(f"__ndv_{i}"))
                 continue
             if kind[c] == "date":
                 x = F.datediff(col, F.to_date(F.lit("1970-01-01")))
@@ -342,10 +349,10 @@ class AQEngine:
             nf = row[f"__nullf_{i}"]
             if nf is not None:
                 self.catalog.upsert_column_null_frac(table, c, float(nf))
+            ndv = row[f"__ndv_{i}"]
+            if ndv:
+                self.catalog.upsert_column_ndv(table, c, int(ndv))
             if kind[c] == "string":
-                ndv = row[f"__ndv_{i}"]
-                if ndv:
-                    self.catalog.upsert_column_ndv(table, c, int(ndv))
                 continue
             lo, hi = row[f"__min_{i}"], row[f"__max_{i}"]
             if lo is None or hi is None:

@@ -743,6 +743,13 @@ def test_null_inlist_isnull_selectivity(spark):
     assert (
         est("v IN (SELECT v FROM nullable_t)") == WHERE_SELECTIVITY_DEFAULT
     )
+    # numeric columns get an ndv too: equality on a high-cardinality
+    # column (no point mass at the literal) prices at ~1/ndv -> the 0.01
+    # clamp floor, far below the flat 0.3 default
+    eng.analyze_table("nullable_t", ["id"])
+    ndv = eng.catalog.get_column_ndv("nullable_t", "id")
+    assert ndv and ndv == pytest.approx(10_000, rel=0.1)
+    assert est("id = 500") == 0.01 != WHERE_SELECTIVITY_DEFAULT
 
 
 def test_selectivity_resolves_join_aliases(spark):
