@@ -141,6 +141,12 @@ class Catalog:
         #: predicate's selectivity carries a (1 − null_frac) factor and
         #: IS [NOT] NULL is priced directly.
         self.column_null_frac: dict[tuple[str, str], float] = {}
+        #: (table, column) -> [(value, fraction_of_non_null), ...] most
+        #: common values of a STRING column (approx_top_k in the analyze
+        #: pass), descending fraction — string equality on a heavy hitter
+        #: prices at its true mass instead of 1/ndv (numeric columns get
+        #: the same effect from the histogram CDF's point masses)
+        self.column_mcv: dict[tuple[str, str], list[tuple[str, float]]] = {}
         #: table → {"row_count": n at analyze time, "columns": [...]} —
         #: the baseline the maintenance drift policy measures column-stats
         #: staleness against (stale min/max + histograms misprice every
@@ -173,6 +179,7 @@ class Catalog:
             column_minmax = dict(self.column_minmax)
             column_histogram = dict(self.column_histogram)
             column_null_frac = dict(self.column_null_frac)
+            column_mcv = dict(self.column_mcv)
             doc = {
                 "table_stats": {k: asdict(v) for k, v in table_stats.items()},
                 "samples": {k: asdict(v) for k, v in samples.items()},
@@ -196,6 +203,10 @@ class Catalog:
                 },
                 "column_null_frac": {
                     f"{t}\x1f{c}": v for (t, c), v in column_null_frac.items()
+                },
+                "column_mcv": {
+                    f"{t}\x1f{c}": [[x, f] for x, f in v]
+                    for (t, c), v in column_mcv.items()
                 },
                 "analyze_meta": dict(self.analyze_meta),
             }
@@ -237,6 +248,11 @@ class Catalog:
         for k, v in doc.get("column_null_frac", {}).items():
             table, _, column = k.partition("\x1f")
             self.column_null_frac[(table, column)] = float(v)
+        for k, v in doc.get("column_mcv", {}).items():
+            table, _, column = k.partition("\x1f")
+            self.column_mcv[(table, column)] = [
+                (str(x), float(f)) for x, f in v
+            ]
         self.analyze_meta.update(doc.get("analyze_meta", {}))
 
     # ---- table stats (reference storage.py:88-109) ----
@@ -282,6 +298,18 @@ class Catalog:
 
     def get_column_null_frac(self, table: str, column: str) -> float | None:
         return self.column_null_frac.get((table, column))
+
+    def upsert_column_mcv(
+        self, table: str, column: str, mcv: list[tuple[str, float]]
+    ) -> None:
+        self.column_mcv[(table, column)] = [
+            (str(x), float(f)) for x, f in mcv
+        ]
+
+    def get_column_mcv(
+        self, table: str, column: str
+    ) -> list[tuple[str, float]] | None:
+        return self.column_mcv.get((table, column))
 
     # ---- samples (reference storage.py:46-55, sampler.py:120-143) ----
     def register_sample(self, info: SampleInfo) -> None:

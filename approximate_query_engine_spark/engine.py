@@ -318,6 +318,14 @@ class AQEngine:
             # knots (no point mass to read)
             aggs.append(F.approx_count_distinct(col).alias(f"__ndv_{i}"))
             if kind[c] == "string":
+                # most-common values (bounded heavy-hitter state, merged
+                # map-side like every other agg here): string equality on
+                # a heavy hitter prices at its true mass instead of 1/ndv
+                aggs.append(
+                    F.expr(f"approx_top_k(`{c}`, 8, 10000)").alias(
+                        f"__mcv_{i}"
+                    )
+                )
                 continue
             if kind[c] == "date":
                 x = F.datediff(col, F.to_date(F.lit("1970-01-01")))
@@ -353,6 +361,18 @@ class AQEngine:
             if ndv:
                 self.catalog.upsert_column_ndv(table, c, int(ndv))
             if kind[c] == "string":
+                topk = row[f"__mcv_{i}"] or []
+                n_nonnull = int(row["__n"]) * (1.0 - float(nf or 0.0))
+                if topk and n_nonnull > 0:
+                    mcv = sorted(
+                        (
+                            (str(r["item"]), int(r["count"]) / n_nonnull)
+                            for r in topk
+                            if r["item"] is not None
+                        ),
+                        key=lambda t: (-t[1], t[0]),
+                    )
+                    self.catalog.upsert_column_mcv(table, c, mcv)
                 continue
             lo, hi = row[f"__min_{i}"], row[f"__max_{i}"]
             if lo is None or hi is None:

@@ -368,7 +368,19 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
         would underprice a Zipf head by orders of magnitude); a zero jump
         means v sits between knots — fall back to 1/ndv."""
         if str_lit is not None:
+            # most-common values first (the string analog of the numeric
+            # point mass): a heavy hitter prices at its true mass; a miss
+            # spreads the remaining mass over the remaining distinct values
+            mcv = catalog.get_column_mcv(table, col)
             ndv = catalog.get_column_ndv(table, col)
+            if mcv:
+                for value, frac in mcv:
+                    if value == str_lit:
+                        return frac
+                if not ndv:
+                    return None
+                rest = max(1.0 - sum(f for _, f in mcv), 0.0)
+                return rest / max(ndv - len(mcv), 1)
             if not ndv:
                 return None
             return 1.0 / ndv

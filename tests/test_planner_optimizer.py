@@ -609,8 +609,14 @@ def test_date_filter_pushes_into_sample_scan(spark):
     assert re.search(r"DataFilters: \[[^\]]*l_shipdate[^\]]*<=", scan_line), (
         scan_line
     )
-    """analyze_table learns ndv for string columns; ``col = 'lit'`` then
-    plans at 1/ndv instead of the flat default."""
+
+
+def test_string_equality_selectivity(spark):
+    """analyze_table learns ndv AND most-common values for string
+    columns; ``col = 'lit'`` then plans at the value's TRUE mass (exact
+    up to approx_top_k counting), at remaining-mass/remaining-ndv on an
+    MCV miss, and the skewed case prices a 90% heavy hitter at ~0.9
+    where 1/ndv would say 1/11."""
     import tempfile
 
     from approximate_query_engine_spark import AQEngine
@@ -632,7 +638,42 @@ def test_date_filter_pushes_into_sample_scan(spark):
     eng.analyze_table("orders", ["o_orderstatus"])
     ndv = eng.catalog.get_column_ndv("orders", "o_orderstatus")
     assert ndv and 1 <= ndv <= 5  # tiny domain: approx_count_distinct is exact
-    assert estimate_selectivity(parsed, eng.catalog) == pytest.approx(1.0 / ndv)
+    from pyspark.sql import functions as F
+
+    df = spark.table("orders")
+    n = df.count()
+    for status in ("F", "P"):
+        true_frac = df.filter(F.col("o_orderstatus") == status).count() / n
+        est = estimate_selectivity(
+            parse(
+                "SELECT COUNT(*) AS c FROM orders "
+                f"WHERE o_orderstatus = '{status}'"
+            ),
+            eng.catalog,
+        )
+        # exact up to approx_top_k counting (exact at this ndv), floored
+        # by the [0.01, 1] clamp
+        assert est == pytest.approx(max(true_frac, 0.01), rel=0.02), status
+    # a value missing from the data prices at the remaining-mass floor,
+    # never at 1/ndv
+    est_miss = estimate_selectivity(
+        parse("SELECT COUNT(*) AS c FROM orders WHERE o_orderstatus = 'Z'"),
+        eng.catalog,
+    )
+    assert est_miss <= 0.01 + 1e-9
+    # genuinely skewed: 90% 'hot', 1% each of 10 cold values — the MCV
+    # prices the head at its true mass, and a cold value at ~1% via the
+    # remaining-mass spread, where flat 1/ndv would say 9% for both
+    rows = [
+        ("hot" if i % 100 < 90 else f"cold{i % 10}",) for i in range(10_000)
+    ]
+    spark.createDataFrame(rows, "s string").createOrReplaceTempView("skew_s")
+    eng.analyze_table("skew_s", ["s"])
+    est_hot = estimate_selectivity(
+        parse("SELECT COUNT(*) AS c FROM skew_s WHERE s = 'hot'"),
+        eng.catalog,
+    )
+    assert est_hot == pytest.approx(0.9, rel=0.05), est_hot
     # string RANGE comparison has no stats model: whole-clause default
     parsed_rng = parse(
         "SELECT COUNT(*) AS c FROM orders WHERE o_orderstatus > 'A'"
