@@ -176,6 +176,26 @@ def create_app(engine: AQEngine, config: Config | None = None):
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500
 
+    @app.post("/tables/partition")
+    def tables_partition():
+        """Beyond-reference: rewrite a table as time-partitioned parquet
+        (day/month/year buckets); queries filtering on the bucket column
+        prune at file-listing time (operators/partitioning.py)."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            return jsonify(
+                engine.partition_table(
+                    body["table"],
+                    body["ts_col"],
+                    grain=body.get("grain", "day"),
+                    name=body.get("name"),
+                )
+            )
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
     @app.post("/tables/register")
     def tables_register():
         body = request.get_json(force=True, silent=True) or {}

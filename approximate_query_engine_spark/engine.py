@@ -455,6 +455,41 @@ class AQEngine:
             dry_run=dry_run,
         )
 
+    def partition_table(
+        self,
+        table: str,
+        ts_col: str,
+        grain: str = "day",
+        name: str | None = None,
+    ) -> dict:
+        """Materialize ``table`` as TIME-PARTITIONED parquet under the
+        catalog workdir and register the layout as a queryable view
+        (``<table>__by_<grain>`` unless ``name``). Predicates on the
+        derived ``p_bucket`` column then prune at file-listing time —
+        the 100 TB fact-table layout (operators/partitioning.py, pruning
+        measured by scan_metrics in tests)."""
+        import os
+
+        from approximate_query_engine_spark.operators.partitioning import (
+            partition_by_time,
+            read_partitioned,
+        )
+
+        out_name = name or f"{table}__by_{grain}"
+        path = os.path.join(
+            self.catalog.workdir, f"partitioned_{out_name}"
+        )
+        partition_by_time(self.spark.table(table), path, ts_col, grain=grain)
+        df = read_partitioned(self.spark, path)
+        df.createOrReplaceTempView(out_name)
+        return {
+            "table": out_name,
+            "path": path,
+            "grain": grain,
+            "partition_col": "p_bucket",
+            "partitions": df.select("p_bucket").distinct().count(),
+        }
+
     def progressive_query(
         self,
         sql: str,

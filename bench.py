@@ -255,10 +255,11 @@ def main() -> None:
         big_rows = big.count()
         eng.catalog.upsert_table_stats("lineitem_big", big_rows)
         eng.create_sample("lineitem_big", 0.01, seed=42)
-        # date stats (untimed setup): the big_where_date class below plans
-        # its DATE-literal predicate with histogram selectivity, not the
-        # flat default (VERDICT r04 instruction 3)
-        eng.analyze_table("lineitem_big", ["l_shipdate"])
+        # date + string stats (untimed setup): big_where_date plans its
+        # DATE-literal predicate with histogram selectivity (VERDICT r04
+        # instruction 3); big_where_in prices its literal IN-list from
+        # the string column's most-common-value masses (round 5)
+        eng.analyze_table("lineitem_big", ["l_shipdate", "l_returnflag"])
         # Neyman-allocated stratified sample at the SAME overall fraction
         # as the uniform sample — the stratified-vs-uniform comparison
         # (VERDICT r04 instruction 7) is apples-to-apples on rows scanned
@@ -308,6 +309,13 @@ def main() -> None:
             "big_where_date": (
                 "SELECT SUM(l_extendedprice * (1 - l_discount)) AS rev "
                 "FROM lineitem_big WHERE l_shipdate <= DATE '1996-06-30'"
+            ),
+            # literal IN-list on a string column: priced as the sum of
+            # the values' MCV masses x (1 - null_frac) — the round-5
+            # selectivity grammar, measured where per-row work dominates
+            "big_where_in": (
+                "SELECT SUM(l_extendedprice * (1 - l_discount)) AS rev "
+                "FROM lineitem_big WHERE l_returnflag IN ('A', 'N')"
             ),
         }
         if big_ok

@@ -187,6 +187,32 @@ def test_query_progressive_route(client):
     assert "key_expr" in bad.get_json()["error"]
 
 
+def test_tables_partition_route(client):
+    """POST /tables/partition materializes the time-partitioned layout
+    and registers it; the bucket column is queryable (and prunes at
+    file-listing time — measured in test_operators.py)."""
+    r = client.post(
+        "/tables/partition",
+        json={"table": "events", "ts_col": "ts", "grain": "day"},
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["table"] == "events__by_day"
+    assert body["partitions"] >= 3
+    q = client.post(
+        "/query",
+        json={
+            "sql": (
+                "SELECT COUNT(*) AS n FROM events__by_day "
+                "WHERE p_bucket = '2024-01-01'"
+            )
+        },
+    )
+    assert q.status_code == 200
+    assert q.get_json()["result"][0]["n"] > 0
+    assert client.post("/tables/partition", json={}).status_code == 400
+
+
 def test_tables_analyze_route(client):
     """POST /tables/analyze returns the learned numeric ranges and feeds
     the catalog behind the planner's selectivity estimates."""
