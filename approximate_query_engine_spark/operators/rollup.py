@@ -22,6 +22,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: storage partition column of a materialized rollup (date of the bucket
+#: start) — never part of the registered view's schema
+_PDATE = "p_date"
+
 
 @dataclass
 class RollupSpec:
@@ -68,8 +72,16 @@ def materialize_rollup(
         )
     )
     if path:
-        rolled.write.mode("overwrite").parquet(path)
-        rolled = spark.read.parquet(path)
+        # date-partitioned layout: incremental refresh then replaces only
+        # the affected date directories (dynamic partition overwrite) and
+        # dashboard queries on a date range prune at file-listing time
+        out = rolled.withColumn(
+            _PDATE, F.date_format("bucket_start", "yyyy-MM-dd")
+        )
+        out.write.mode("overwrite").partitionBy(_PDATE).parquet(path)
+        # the registered view keeps the same schema as the unmaterialized
+        # form; the partition column is a storage detail
+        rolled = spark.read.parquet(path).drop(_PDATE)
     rolled.createOrReplaceTempView(spec.rollup_name)
     return rolled
 
@@ -102,23 +114,39 @@ def query_rollup(
 def refresh_rollup_buckets(
     spark: SparkSession, spec: RollupSpec, path: str, since_bucket
 ) -> DataFrame:
-    """Incremental refresh: recompute only buckets >= ``since_bucket`` and
-    overwrite just those partitions of the materialized rollup (late-data
-    repair without a full rebuild)."""
+    """Incremental refresh via DYNAMIC PARTITION OVERWRITE: recompute the
+    rollup from the start of ``since_bucket``'s DATE partition and replace
+    only those date directories of the materialized layout. Untouched
+    history is NEVER re-read or rewritten — at 100 TB a late-data repair
+    of the last day costs one day's scan, not a rewrite of years of
+    rollup. The recompute boundary snaps to the partition (date) boundary
+    so every replaced directory is fully recomputed; repairing deletions
+    of an ENTIRE date's source data is out of scope (as for any
+    continuous aggregate — the stale directory would simply not be
+    overwritten)."""
+    since_date = str(since_bucket)[:10]
     src = spark.table(spec.source_table).filter(
-        F.window(F.col(spec.time_col), spec.bucket)["start"] >= F.lit(since_bucket)
+        F.date_format(
+            F.window(F.col(spec.time_col), spec.bucket)["start"],
+            "yyyy-MM-dd",
+        )
+        >= F.lit(since_date)
     )
     src.createOrReplaceTempView(spec.source_table + "__late")
     tmp_spec = RollupSpec(
         spec.source_table + "__late", spec.time_col, spec.bucket, spec.dims, spec.measures
     )
-    fresh = materialize_rollup(spark, tmp_spec, path=None)
-    old = spark.read.parquet(path).filter(F.col("bucket_start") < F.lit(since_bucket))
-    merged = old.unionByName(fresh)
-    tmp_out = path + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp_out)
-    out = spark.read.parquet(tmp_out)
-    out.write.mode("overwrite").parquet(path)
-    final = spark.read.parquet(path)
+    fresh = materialize_rollup(spark, tmp_spec, path=None).withColumn(
+        _PDATE, F.date_format("bucket_start", "yyyy-MM-dd")
+    )
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fresh.write.mode("overwrite").partitionBy(_PDATE).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    final = spark.read.parquet(path).drop(_PDATE)
     final.createOrReplaceTempView(spec.rollup_name)
     return final

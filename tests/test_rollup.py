@@ -90,6 +90,60 @@ def test_incremental_refresh_repairs_late_buckets(spark, spec):
     assert before == after  # no late data -> refresh is a no-op semantically
 
 
+def test_incremental_refresh_touches_only_affected_partitions(
+    spark, tmp_path
+):
+    """The 100 TB property of the refresh: late data in one day replaces
+    ONLY that day's date directory (dynamic partition overwrite) — prior
+    days' files keep their exact paths and mtimes — while the late row is
+    reflected in the refreshed rollup."""
+    import datetime
+    import glob
+    import os
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (
+            base + datetime.timedelta(days=d, hours=h),
+            "a",
+            float(d * 10 + h),
+        )
+        for d in range(5)
+        for h in range(4)
+    ]
+    schema = "ts timestamp, event_type string, value double"
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("roll_src")
+    spec = RollupSpec("roll_src", "ts", "1 hour", ["event_type"], ["value"])
+    path = str(tmp_path / "roll")
+    materialize_rollup(spark, spec, path=path)
+
+    def day_files(day):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{path}/p_date=2024-03-0{day}/*.parquet")
+        }
+
+    before = {d: day_files(d) for d in (1, 2, 3)}
+    assert all(before.values()), "premise: per-day partition dirs exist"
+    # a late row lands in day 4's 01:00 bucket
+    late = [(datetime.datetime(2024, 3, 4, 1, 30), "a", 999.0)]
+    spark.createDataFrame(rows + late, schema).createOrReplaceTempView(
+        "roll_src"
+    )
+    refresh_rollup_buckets(
+        spark, spec, path, since_bucket=datetime.datetime(2024, 3, 4)
+    )
+    # untouched history: identical file paths AND mtimes for days 1-3
+    assert {d: day_files(d) for d in (1, 2, 3)} == before
+    # the late row is in the refreshed state (31.0 + 999.0)
+    row = (
+        spark.table(spec.rollup_name)
+        .filter("bucket_start = timestamp'2024-03-04 01:00:00'")
+        .collect()[0]
+    )
+    assert row["n_rows"] == 2 and row["value_sum"] == pytest.approx(1030.0)
+
+
 def _rollup_snapshot(spark, spec):
     return sorted(
         (str(r["bucket_start"]), r["event_type"], r["n_rows"], round(r["value_sum"], 6))
