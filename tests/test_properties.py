@@ -281,3 +281,85 @@ def test_inline_never_cheaper_than_prebuilt_at_same_fraction(sql, f):
     w = per_row_agg_work(parse(sql))
     n = 1_000_000
     assert sample_cost(n, f, work=w) <= inline_sample_cost(n, f, work=w)
+
+
+@st.composite
+def column_stats(draw):
+    """Random but coherent analyze_table output for one numeric column:
+    (cdf, null_frac, ndv) over a bounded domain."""
+    xs = sorted(
+        set(
+            draw(
+                st.lists(
+                    st.integers(-1000, 1000), min_size=2, max_size=12
+                )
+            )
+        )
+    )
+    if len(xs) < 2:
+        xs = [0, 1]
+    fs = (
+        sorted(
+            draw(
+                st.lists(
+                    st.floats(0.0, 1.0, allow_nan=False),
+                    min_size=len(xs) - 2,
+                    max_size=len(xs) - 2,
+                )
+            )
+        )
+        if len(xs) > 2
+        else []
+    )
+    cdf = list(zip([float(x) for x in xs], [0.0] + fs + [1.0]))
+    # keep nf off the clamp rails so IS NULL + IS NOT NULL sums exactly
+    nf = draw(st.floats(0.05, 0.95))
+    ndv = draw(st.integers(2, 100_000))
+    return cdf, nf, ndv
+
+
+@given(
+    column_stats(),
+    st.lists(st.integers(-1500, 1500), min_size=1, max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_where_selectivity_invariants(stats, lits):
+    """Clause-level invariants of estimate_selectivity over random
+    analyze output and literals: clamped to [0.01, 1], range estimates
+    monotone in the cut, IN-lists monotone in the value set and
+    duplicate-blind, IS NULL / IS NOT NULL complementary, and a
+    conjunction never exceeds its cheapest part."""
+    import tempfile
+
+    from approximate_query_engine_spark.catalog import Catalog
+    from approximate_query_engine_spark.planner import estimate_selectivity
+
+    cdf, nf, ndv = stats
+    cat = Catalog(tempfile.mkdtemp(prefix="aqe_selprop_"))
+    cat.upsert_table_stats("t", 1_000_000)
+    cat.upsert_column_minmax("t", "v", cdf[0][0], cdf[-1][0])
+    cat.upsert_column_histogram("t", "v", cdf)
+    cat.upsert_column_null_frac("t", "v", nf)
+    cat.upsert_column_ndv("t", "v", ndv)
+
+    def est(w):
+        out = estimate_selectivity(
+            parse(f"SELECT COUNT(*) AS c FROM t WHERE {w}"), cat
+        )
+        assert 0.01 <= out <= 1.0, (w, out)
+        return out
+
+    a, eps = sorted(lits)[0], 1e-9
+    for lo, hi in zip(sorted(lits), sorted(lits)[1:]):
+        assert est(f"v <= {lo}") <= est(f"v <= {hi}") + eps
+    # IN monotone in the set, blind to duplicates
+    vals = sorted(set(lits))
+    in_all = est(f"v IN ({', '.join(map(str, vals))})")
+    assert est(f"v IN ({vals[0]})") <= in_all + eps
+    dup = est(f"v IN ({vals[0]}, {vals[0]})")
+    assert dup == est(f"v IN ({vals[0]})")
+    # null complement (nf chosen off the clamp rails)
+    assert abs(est("v IS NULL") + est("v IS NOT NULL") - 1.0) < 1e-9
+    # a conjunction never exceeds its cheapest part
+    conj = est(f"v <= {a} AND v IS NOT NULL")
+    assert conj <= min(est(f"v <= {a}"), est("v IS NOT NULL")) + eps
