@@ -147,6 +147,11 @@ class Catalog:
         #: prices at its true mass instead of 1/ndv (numeric columns get
         #: the same effect from the histogram CDF's point masses)
         self.column_mcv: dict[tuple[str, str], list[tuple[str, float]]] = {}
+        #: base table → {"view", "path", "ts_col", "grain",
+        #: "partition_col"}: its registered time-partitioned layout
+        #: (engine.partition_table) — exact queries with a literal bound
+        #: on ts_col route to the layout with a derived pruning conjunct
+        self.partitioned_views: dict[str, dict] = {}
         #: table → {"row_count": n at analyze time, "columns": [...]} —
         #: the baseline the maintenance drift policy measures column-stats
         #: staleness against (stale min/max + histograms misprice every
@@ -209,6 +214,7 @@ class Catalog:
                     for (t, c), v in column_mcv.items()
                 },
                 "analyze_meta": dict(self.analyze_meta),
+                "partitioned_views": dict(self.partitioned_views),
             }
             tmp = f"{self._meta_path}.tmp{threading.get_ident()}"
             with open(tmp, "w") as f:
@@ -254,6 +260,7 @@ class Catalog:
                 (str(x), float(f)) for x, f in v
             ]
         self.analyze_meta.update(doc.get("analyze_meta", {}))
+        self.partitioned_views.update(doc.get("partitioned_views", {}))
 
     # ---- table stats (reference storage.py:88-109) ----
     def upsert_table_stats(self, table: str, row_count: int) -> None:

@@ -147,6 +147,15 @@ class AQEngine:
         else:
             plan = self.planner.plan(sql, max_rel_error, prefer_exact=prefer_exact)
 
+        if plan.get("type") == "exact":
+            routed = self._route_partitioned(plan.get("sql") or sql)
+            if routed:
+                plan = {
+                    **plan,
+                    "sql": routed[0],
+                    "reason": f"{plan.get('reason', 'exact')}; {routed[1]}",
+                }
+
         if explain:
             # include Spark's physical plan so `explain` shows what would
             # actually execute (pushdowns, join strategies, codegen spans)
@@ -482,6 +491,14 @@ class AQEngine:
         partition_by_time(self.spark.table(table), path, ts_col, grain=grain)
         df = read_partitioned(self.spark, path)
         df.createOrReplaceTempView(out_name)
+        self.catalog.partitioned_views[table] = {
+            "view": out_name,
+            "path": path,
+            "ts_col": ts_col,
+            "grain": grain,
+            "partition_col": "p_bucket",
+        }
+        self.catalog.save()
         return {
             "table": out_name,
             "path": path,
@@ -489,6 +506,60 @@ class AQEngine:
             "partition_col": "p_bucket",
             "partitions": df.select("p_bucket").distinct().count(),
         }
+
+    def _route_partitioned(self, sql: str) -> tuple[str, str] | None:
+        """Partition routing for the EXACT path: when a single-table query
+        carries a literal date/timestamp bound on a column that has a
+        registered time-partitioned layout, rewrite it to scan the layout
+        with a derived ``p_bucket`` conjunct — pruning at file-listing
+        time. The original WHERE rides along as the row-level filter, so
+        the conservative (superset) bucket bound cannot change results.
+        Approximate plans are never routed: their samples are built from
+        the base table. Returns ``(routed_sql, note)`` or None."""
+        import re
+
+        from approximate_query_engine_spark.operators.partitioning import (
+            derive_bucket_predicate,
+            read_partitioned,
+        )
+        from approximate_query_engine_spark.sqlparser import try_parse
+
+        parsed = try_parse(sql)
+        if parsed is None or not parsed.where:
+            return None
+        if len(getattr(parsed, "tables", None) or []) > 1:
+            return None
+        info = self.catalog.partitioned_views.get(parsed.table)
+        if not info:
+            return None
+        pred = derive_bucket_predicate(
+            parsed.where, info["ts_col"], info["grain"], info["partition_col"]
+        )
+        if not pred:
+            return None
+        view = info["view"]
+        if not self.spark.catalog.tableExists(view):
+            # a persisted mapping from a prior session: re-register the
+            # layout from its parquet path (temp views die with sessions)
+            try:
+                read_partitioned(self.spark, info["path"]).createOrReplaceTempView(view)
+            except Exception:
+                return None
+        routed, n = re.subn(
+            rf"\bFROM\s+{re.escape(parsed.table)}\b",
+            f"FROM {view}",
+            sql,
+            count=1,
+            flags=re.I,
+        )
+        if n != 1:
+            return None
+        routed, n = re.subn(
+            r"\bWHERE\b", f"WHERE {pred} AND ", routed, count=1, flags=re.I
+        )
+        if n != 1:
+            return None
+        return routed, f"routed to partitioned layout {view} [{pred}]"
 
     def progressive_query(
         self,

@@ -95,6 +95,49 @@ def scan_metrics(df: DataFrame) -> dict:
     return out
 
 
+#: how many chars of 'yyyy-MM-dd' a grain's bucket keeps
+_GRAIN_PREFIX = {"day": 10, "month": 7, "year": 4}
+
+
+def derive_bucket_predicate(
+    where: str,
+    ts_col: str,
+    grain: str,
+    partition_col: str = "p_bucket",
+) -> str | None:
+    """The partition-pruning conjunct implied by a WHERE clause's literal
+    date/timestamp bounds on ``ts_col``, or None when none can be derived.
+
+    CONSERVATIVE SUPERSET semantics — the derived predicate may admit a
+    whole extra bucket at each boundary but can never exclude a matching
+    row, because the original WHERE stays in the query as the row-level
+    filter: ``<``/``<=`` → ``bucket <=``, ``>``/``>=`` → ``bucket >=``,
+    ``=`` → ``bucket =``. Any ``OR`` in the clause disables derivation (a
+    disjunct could reach other partitions); bucket strings compare
+    lexicographically in date order by construction.
+    """
+    import re
+
+    if not where or re.search(r"\bOR\b", where, re.I):
+        return None
+    k = _GRAIN_PREFIX[grain]
+    preds = []
+    for m in re.finditer(
+        rf"\b{re.escape(ts_col)}\s*(<=|>=|<|>|=)\s*"
+        r"(?:DATE|TIMESTAMP)?\s*'(\d{4}-\d{2}-\d{2}[^']*)'",
+        where,
+        re.I,
+    ):
+        op, bucket = m.group(1), m.group(2)[:k]
+        if op in ("<", "<="):
+            preds.append(f"{partition_col} <= '{bucket}'")
+        elif op in (">", ">="):
+            preds.append(f"{partition_col} >= '{bucket}'")
+        else:
+            preds.append(f"{partition_col} = '{bucket}'")
+    return " AND ".join(preds) or None
+
+
 def partition_filters(df: DataFrame) -> str:
     """The ``PartitionFilters: [...]`` clause of ``df``'s scan node
     (empty string when none) — plan-text evidence to pair with the

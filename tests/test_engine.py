@@ -258,3 +258,46 @@ def test_engine_applies_runtime_confs_on_init(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_partition_routing_for_exact_queries(spark):
+    """After engine.partition_table, an EXACT single-table query with a
+    literal timestamp bound routes to the partitioned layout with a
+    derived p_bucket conjunct: identical results, and the executed scan
+    reads only the matching day directories (measured). Queries without
+    a derivable bound are untouched."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.operators.partitioning import (
+        scan_metrics,
+    )
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_route_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    sql = (
+        "SELECT COUNT(*) AS n FROM events "
+        "WHERE ts <= TIMESTAMP '2024-01-05 00:00:00'"
+    )
+    truth = q(eng, sql)["result"]
+    eng.partition_table("events", "ts", grain="day")
+    r = q(eng, sql)
+    assert "events__by_day" in r["plan"]["sql"]
+    assert "routed to partitioned layout" in r["plan"]["reason"]
+    assert r["result"] == truth
+    # measured pruning: <= 5 of the 30 day directories actually read
+    m = scan_metrics(spark.sql(r["plan"]["sql"]))
+    assert 1 <= m["partitions_read"] <= 5, m
+    # no derivable bound -> not routed
+    r2 = q(eng, "SELECT COUNT(*) AS n FROM events WHERE user_id = 5")
+    assert "events__by_day" not in r2["plan"]["sql"]
+    # OR could reach other partitions -> not routed
+    r3 = q(
+        eng,
+        "SELECT COUNT(*) AS n FROM events "
+        "WHERE ts <= TIMESTAMP '2024-01-05 00:00:00' OR user_id = 5",
+    )
+    assert "events__by_day" not in r3["plan"]["sql"]
