@@ -497,6 +497,9 @@ class AQEngine:
             "ts_col": ts_col,
             "grain": grain,
             "partition_col": "p_bucket",
+            # drift baseline for the maintenance policy (layout rows ==
+            # base rows at build time)
+            "built_row_count": int(df.count()),
         }
         self.catalog.save()
         return {

@@ -78,6 +78,7 @@ def run_maintenance(
         {s.table_name for s in catalog.samples.values()}
         | {s.table_name for s in catalog.sketches.values()}
         | set(catalog.analyze_meta)
+        | set(catalog.partitioned_views)
     )
     if refresh_stats:
         for t in sorted(base_tables):
@@ -179,6 +180,44 @@ def run_maintenance(
                 report.errors.append(
                     {"sketch": f"{key}", "error": str(exc)[:200]}
                 )
+                continue
+        report.refreshed.append(action)
+
+    # ---- partitioned layouts (engine.partition_table) ------------------
+    # Same drift policy: a layout is a full copy of its base table, so a
+    # drifted base means the exact-path routing serves stale data — the
+    # one artifact class where staleness IS a wrong answer. Drift-driven
+    # maintenance rebuilds in full (growth may touch any bucket);
+    # append-only tails should use refresh_partition_layout directly.
+    for table, info in sorted(catalog.partitioned_views.items()):
+        report.checked += 1
+        current = catalog.get_row_count(table)
+        drift = _drift(info.get("built_row_count"), current)
+        label = f"{table}:partitioned[{info['view']}]"
+        if drift is None and not current:
+            report.unknown.append(label)
+            continue
+        if drift is not None and drift <= max_drift:
+            report.fresh.append(label)
+            continue
+        action = {
+            "kind": "partitioned_layout",
+            "table": table,
+            "view": info["view"],
+            "reason": (
+                f"drift {drift:.1%} > {max_drift:.0%}"
+                if drift is not None
+                else f"no build-time baseline; base table now has {current} rows"
+            ),
+            "dry_run": dry_run,
+        }
+        if not dry_run:
+            try:
+                engine.partition_table(
+                    table, info["ts_col"], info["grain"], name=info["view"]
+                )
+            except Exception as exc:
+                report.errors.append({"layout": table, "error": str(exc)[:200]})
                 continue
         report.refreshed.append(action)
 

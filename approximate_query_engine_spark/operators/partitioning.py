@@ -53,6 +53,47 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def refresh_partition_layout(
+    spark: SparkSession,
+    source_df: DataFrame,
+    path: str,
+    ts_col: str,
+    grain: str = "day",
+    partition_col: str = "p_bucket",
+    since: str | None = None,
+) -> DataFrame:
+    """Incremental tail refresh for APPEND-MOSTLY time data: recompute
+    only the bucket directories >= ``since`` — default the layout's LAST
+    existing bucket, the one that may have been mid-day-incomplete at the
+    previous write — and replace just those via dynamic partition
+    overwrite. Years of history are never re-read or rewritten; one day
+    of appends costs one day's scan. Late rows landing before ``since``
+    need an explicit earlier ``since`` (same contract as the rollup
+    refresh); uniform growth of ALL history needs the full
+    :func:`partition_by_time` rebuild (what the maintenance drift policy
+    does)."""
+    if since is None:
+        since = (
+            read_partitioned(spark, path)
+            .agg(F.max(partition_col))
+            .collect()[0][0]
+        )
+    fresh = source_df.withColumn(
+        partition_col, F.date_format(F.col(ts_col), _GRAIN_FMT[grain])
+    ).filter(F.col(partition_col) >= F.lit(str(since)))
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fresh.write.mode("overwrite").partitionBy(partition_col).parquet(
+            path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return read_partitioned(spark, path)
+
+
 def scan_metrics(df: DataFrame) -> dict:
     """Execute ``df`` (collects — pass an aggregated frame) and report
     what its leaf file scans actually read: ``{"files_read": n,

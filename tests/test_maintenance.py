@@ -148,6 +148,31 @@ def test_drifted_column_stats_reanalyze(meng, spark):
         meng.register_data(SF_SMOKE)
 
 
+def test_drifted_partitioned_layout_rebuilds(meng, spark):
+    """A time-partitioned layout is a full copy of its base table — the
+    one artifact class where staleness IS a wrong answer (exact queries
+    route to it). Drift past max_drift rebuilds it in full."""
+    meng.partition_table("events", "ts", grain="day")
+    rep0 = meng.maintain(max_drift=0.10)
+    assert any("partitioned" in f for f in rep0["fresh"])
+    big = spark.table("events").unionAll(spark.table("events"))
+    big.createOrReplaceTempView("events")
+    try:
+        rep = meng.maintain(max_drift=0.10)
+        acts = [
+            a for a in rep["refreshed"] if a["kind"] == "partitioned_layout"
+        ]
+        assert acts and acts[0]["table"] == "events"
+        # the rebuilt layout serves the doubled data
+        n = spark.table("events__by_day").count()
+        assert n == spark.table("events").count()
+        assert (
+            meng.catalog.partitioned_views["events"]["built_row_count"] == n
+        )
+    finally:
+        meng.register_data(SF_SMOKE)
+
+
 def test_unmeasurable_artifact_reported_unknown(meng):
     """No baseline AND no current row count → 'unknown' bucket, not
     'fresh' (nothing to rebuild against, but freshness is not known)."""

@@ -152,6 +152,59 @@ def test_partition_pruning_measured(spark, engine, tmp_path):
     assert one.count() == truth
 
 
+def test_partition_layout_tail_refresh(spark, tmp_path):
+    """Append-mostly refresh: new rows in a new day plus a late row in
+    the last existing day rewrite ONLY those tail directories (dynamic
+    partition overwrite) — earlier days keep their exact file paths and
+    mtimes — and the refreshed layout reflects every new row."""
+    import datetime
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.operators.partitioning import (
+        partition_by_time,
+        read_partitioned,
+        refresh_partition_layout,
+    )
+
+    base = datetime.datetime(2024, 5, 1)
+    schema = "ts timestamp, v double"
+    rows = [
+        (base + datetime.timedelta(days=d, hours=h), float(d))
+        for d in range(4)
+        for h in range(3)
+    ]
+    path = str(tmp_path / "tail")
+    partition_by_time(
+        spark.createDataFrame(rows, schema), path, "ts", grain="day"
+    )
+
+    def day_files(day):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{path}/p_bucket=2024-05-0{day}/*.parquet")
+        }
+
+    before = {d: day_files(d) for d in (1, 2, 3)}
+    # a late row in the last day (04) and a brand-new day (05)
+    new_rows = rows + [
+        (datetime.datetime(2024, 5, 4, 12), 99.0),
+        (datetime.datetime(2024, 5, 5, 1), 50.0),
+    ]
+    refresh_partition_layout(
+        spark, spark.createDataFrame(new_rows, schema), path, "ts"
+    )
+    assert {d: day_files(d) for d in (1, 2, 3)} == before
+    got = read_partitioned(spark, path)
+    assert got.count() == len(new_rows)
+    assert (
+        got.filter(F.col("p_bucket") == "2024-05-04").count() == 4
+    )  # 3 + late row
+    assert got.filter(F.col("p_bucket") == "2024-05-05").count() == 1
+
+
 def test_estimate_join_size(spark, engine):
     from approximate_query_engine_spark.operators import estimate_join_size
 
