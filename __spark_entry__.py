@@ -891,6 +891,42 @@ _PARTITIONED_SCAN_ORACLE = (
 )
 
 
+_ROUTING_SQL = (
+    "SELECT event_type, COUNT(*) AS n FROM events "
+    "WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' "
+    "AND TIMESTAMP '2024-01-07 23:59:59' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
+def _q_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-path partition routing end-to-end through the ENGINE
+    (engine.partition_table + engine._route_partitioned): the BETWEEN
+    bound derives a two-sided p_bucket range, the query scans 5 of 30 day
+    directories, and — asserted here — the routed plan produces exactly
+    what the unrouted SQL produces (the oracle runs the plain SQL)."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.partition_table("events", "ts", grain="day")
+    r = eng.query(_ROUTING_SQL, prefer_exact=True)
+    assert r["status"] == "ok", r.get("error")
+    assert "routed to partitioned layout" in r["plan"]["reason"], r["plan"]
+    rows = [(d["event_type"], int(d["n"])) for d in r["result"]]
+    return spark.createDataFrame(rows, "event_type string, n long")
+
+
+_ROUTING_ORACLE = (
+    "SELECT event_type, COUNT(*)::BIGINT AS n FROM events "
+    "WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' "
+    "AND TIMESTAMP '2024-01-07 23:59:59' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
 def _q_rollup_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate rollup: materialize hourly buckets of events,
     then answer a DAILY query from the rollup only (operators/rollup.py).
@@ -2635,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q83_join_aqp"] = _q_join_aqp
     out["q84_heavy_hitters"] = _q_heavy_hitters
     out["q85_partitioned_scan"] = _q_partitioned_scan
+    out["q86_partition_routing"] = _q_partition_routing
     return _reorder_check_window(out)
 
 
@@ -2681,5 +2718,6 @@ def oracle_sql() -> dict[str, str]:
     out["q83_join_aqp"] = _JOIN_AQP_ORACLE
     out["q84_heavy_hitters"] = _HEAVY_HITTERS_ORACLE
     out["q85_partitioned_scan"] = _PARTITIONED_SCAN_ORACLE
+    out["q86_partition_routing"] = _ROUTING_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -159,9 +159,18 @@ def derive_bucket_predicate(
     """
     import re
 
-    if not where or re.search(r"\bOR\b", where, re.I):
+    if not where or re.search(r"\b(OR|NOT)\b", where, re.I):
         return None
     k = _GRAIN_PREFIX[grain]
+    # desugar the most common range shape before the operator scan
+    where = re.sub(
+        rf"\b({re.escape(ts_col)})\s+BETWEEN\s+"
+        r"((?:DATE|TIMESTAMP)?\s*'[^']*')\s+AND\s+"
+        r"((?:DATE|TIMESTAMP)?\s*'[^']*')",
+        r"\1 >= \2 AND \1 <= \3",
+        where,
+        flags=re.I,
+    )
     preds = []
     for m in re.finditer(
         rf"\b{re.escape(ts_col)}\s*(<=|>=|<|>|=)\s*"

@@ -301,3 +301,26 @@ def test_partition_routing_for_exact_queries(spark):
         "WHERE ts <= TIMESTAMP '2024-01-05 00:00:00' OR user_id = 5",
     )
     assert "events__by_day" not in r3["plan"]["sql"]
+    # BETWEEN desugars to a two-sided bucket range
+    between = (
+        "SELECT COUNT(*) AS n FROM events WHERE ts BETWEEN "
+        "TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-05 12:00:00'"
+    )
+    r4 = q(eng, between)
+    assert "events__by_day" in r4["plan"]["sql"]
+    assert "p_bucket >= '2024-01-03'" in r4["plan"]["sql"]
+    assert "p_bucket <= '2024-01-05'" in r4["plan"]["sql"]
+    direct = (
+        spark.table("events")
+        .filter("ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' "
+                "AND TIMESTAMP '2024-01-05 12:00:00'")
+        .count()
+    )
+    assert r4["result"][0]["n"] == direct
+    # NOT inverts comparison semantics -> never routed
+    r5 = q(
+        eng,
+        "SELECT COUNT(*) AS n FROM events "
+        "WHERE NOT ts <= TIMESTAMP '2024-01-05 00:00:00'",
+    )
+    assert "events__by_day" not in r5["plan"]["sql"]
