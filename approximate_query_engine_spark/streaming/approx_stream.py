@@ -193,3 +193,42 @@ def run_streaming_sessions(
         )
     )
     return _run_to_completion(agg, "complete")
+
+
+def stream_to_partitioned_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    grain: str = "day",
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Streaming ingestion INTO the time-partitioned storage layout
+    (operators/partitioning.py): an append-mode parquet sink partitioned
+    by the derived time bucket, drained with ``availableNow``. The batch
+    engine reads the same directory (``read_partitioned``) and routes
+    exact time-bounded queries to it — events stream in, dashboards prune
+    at file-listing time, no separate handoff/compaction step. The
+    checkpoint makes ingestion exactly-once across restarts (the parquet
+    sink is idempotent per epoch); at 100 TB this is the continuous
+    producer of the layout the whole exact path scans."""
+    from approximate_query_engine_spark.operators.partitioning import (
+        _GRAIN_FMT,
+    )
+
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "p_bucket", F.date_format(F.col("ts"), _GRAIN_FMT[grain])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint or path + "__chk")
+        .partitionBy("p_bucket")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(path)

@@ -103,3 +103,33 @@ def test_streaming_sessions_match_batch(spark, engine):
     )
     b = sorted(tuple(r) for r in batch.collect())
     assert s == b and len(s) > 0
+
+
+def test_stream_into_partitioned_layout(spark, engine, tmp_path):
+    """Streaming ingestion writes the SAME day-partitioned layout the
+    batch engine prunes: row-complete vs the batch table, day directories
+    on disk, and a one-day filter reads exactly one partition
+    (measured)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.operators.partitioning import (
+        scan_metrics,
+    )
+    from approximate_query_engine_spark.streaming.approx_stream import (
+        stream_to_partitioned_layout,
+    )
+
+    path = str(tmp_path / "events_stream_layout")
+    out = stream_to_partitioned_layout(
+        spark, "/root/testdata/sf0.001", path, grain="day"
+    )
+    assert out.count() == spark.table("events").count()
+    assert len(glob.glob(f"{path}/p_bucket=2024-01-*")) >= 25
+    m = scan_metrics(
+        out.filter(F.col("p_bucket") == "2024-01-02")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert m["partitions_read"] == 1, m
