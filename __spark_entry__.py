@@ -2554,8 +2554,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q26 (subsumed by q69 keep-best dedup), q63 (subsumed by q83), q17
 #: (events pass-through, covered by q18 + q35), q19 (exact scalar-agg,
 #: covered by q11/q74), q29 (subsumed by q81), q58 (sub-step of q59
-#: TF-IDF).  Everything NOT in this list still registers, after the
-#: window, and ``tests/test_oracle_parity.py`` sweeps ALL of them.
+#: TF-IDF).  Late round 5: q86 (partition-layout routing through the
+#: engine — the round's new operator family) took q25's slot
+#: (language-ID runs inside the in-window q66 corpus chain).
+#: Everything NOT in this list still registers, after the window, and
+#: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
     "q06_where_group_avg",
     "q11_tpch_q1",
@@ -2563,7 +2566,7 @@ _CHECK_WINDOW_ORDER = [
     "q15_window_top_order",
     "q18_events_json",
     "q24_doc_stats",
-    "q25_lang_dist",
+    "q86_partition_routing",
     "q27_fingerprint",
     "q28_ann_topk",
     "q44_string_funcs",

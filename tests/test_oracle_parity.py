@@ -133,6 +133,13 @@ def test_check_window_ordering():
         "q29_percentiles": "q81_quantile_aqp",
         "q58_doc_frequency": "q59_tfidf",
         "q63_approx_join": "q83_join_aqp",
+        # round-5 storage-layout family: q86 (engine-routed, BETWEEN
+        # bucket derivation, layout build) is the strict superset of
+        # q85's direct partitioned scan and holds the window slot;
+        # q25's language-ID runs inside the in-window q66 corpus chain
+        # (reject_reason uses lang + quality components)
+        "q85_partitioned_scan": "q86_partition_routing",
+        "q25_lang_dist": "q66_corpus_prepare",
     }
     for name in names[50:]:
         if name in oracled:
