@@ -314,7 +314,6 @@ class AQEngine:
             else sorted(c for c, k in kind.items() if k != "string")
         )
         aggs = [F.count(F.lit(1)).alias("__n")]
-        ranged: list[str] = []
         for i, c in enumerate(cols):
             col = F.col(f"`{c}`")
             # every aggregate below skips nulls, so the null mass is a
@@ -343,7 +342,6 @@ class AQEngine:
                 x = col.cast("double") / F.lit(86400.0)  # epoch seconds
             else:
                 x = col.cast("double")
-            ranged.append(c)
             aggs.append(F.min(x).alias(f"__min_{i}"))
             aggs.append(F.max(x).alias(f"__max_{i}"))
             # interior quantile boundaries; the GK sketch behind
@@ -479,6 +477,8 @@ class AQEngine:
         measured by scan_metrics in tests)."""
         import os
 
+        from pyspark.sql import functions as F
+
         from approximate_query_engine_spark.operators.partitioning import (
             partition_by_time,
             read_partitioned,
@@ -491,6 +491,13 @@ class AQEngine:
         partition_by_time(self.spark.table(table), path, ts_col, grain=grain)
         df = read_partitioned(self.spark, path)
         df.createOrReplaceTempView(out_name)
+        # one aggregation over the fresh layout gets both the drift
+        # baseline and the partition count (two separate full scans here
+        # would double the post-write cost at scale)
+        row = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct("p_bucket").alias("__p"),
+        ).collect()[0]
         self.catalog.partitioned_views[table] = {
             "view": out_name,
             "path": path,
@@ -499,7 +506,7 @@ class AQEngine:
             "partition_col": "p_bucket",
             # drift baseline for the maintenance policy (layout rows ==
             # base rows at build time)
-            "built_row_count": int(df.count()),
+            "built_row_count": int(row["__n"]),
         }
         self.catalog.save()
         return {
@@ -507,7 +514,7 @@ class AQEngine:
             "path": path,
             "grain": grain,
             "partition_col": "p_bucket",
-            "partitions": df.select("p_bucket").distinct().count(),
+            "partitions": int(row["__p"]),
         }
 
     def _route_partitioned(self, sql: str) -> tuple[str, str] | None:
@@ -530,10 +537,22 @@ class AQEngine:
         parsed = try_parse(sql)
         if parsed is None or not parsed.where:
             return None
-        if len(getattr(parsed, "tables", None) or []) > 1:
-            return None
+        # (multi-table shapes never reach here: try_parse rejects joins)
         info = self.catalog.partitioned_views.get(parsed.table)
         if not info:
+            return None
+        # a bare `*` select would surface the layout's extra p_bucket
+        # column and change the result schema — COUNT(*) is fine
+        m = re.match(r"\s*SELECT\s+(.*?)\sFROM\b", sql, re.I | re.S)
+        if not m or any(
+            item.strip() == "*" or item.strip().endswith(".*")
+            for item in m.group(1).split(",")
+        ):
+            return None
+        # catalog-visible drift means the layout is missing rows — serving
+        # it would be a WRONG exact answer; maintenance rebuilds it
+        current = self.catalog.get_row_count(parsed.table)
+        if current is not None and info.get("built_row_count") != current:
             return None
         pred = derive_bucket_predicate(
             parsed.where, info["ts_col"], info["grain"], info["partition_col"]

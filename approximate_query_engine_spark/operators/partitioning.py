@@ -81,16 +81,14 @@ def refresh_partition_layout(
     fresh = source_df.withColumn(
         partition_col, F.date_format(F.col(ts_col), _GRAIN_FMT[grain])
     ).filter(F.col(partition_col) >= F.lit(str(since)))
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    # writer-level option: per-write dynamic overwrite, no global conf
+    # juggling (and no race with concurrent writers on the same session)
+    (
+        fresh.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        fresh.write.mode("overwrite").partitionBy(partition_col).parquet(
-            path
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return read_partitioned(spark, path)
 
 
@@ -160,6 +158,12 @@ def derive_bucket_predicate(
     import re
 
     if not where or re.search(r"\b(OR|NOT)\b", where, re.I):
+        return None
+    if "(" in where or ")" in where:
+        # a parenthesized clause can hold a SUBQUERY whose ts bound
+        # belongs to ANOTHER table — deriving from it would prune the
+        # outer table wrongly (silently dropped rows). Same conservative
+        # paren fallback as the selectivity estimator.
         return None
     k = _GRAIN_PREFIX[grain]
     # desugar the most common range shape before the operator scan

@@ -139,14 +139,14 @@ def refresh_rollup_buckets(
     fresh = materialize_rollup(spark, tmp_spec, path=None).withColumn(
         _PDATE, F.date_format("bucket_start", "yyyy-MM-dd")
     )
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    # writer-level option: per-write dynamic overwrite, no global conf
+    # juggling (and no race with concurrent writers on the same session)
+    (
+        fresh.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(_PDATE)
+        .parquet(path)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        fresh.write.mode("overwrite").partitionBy(_PDATE).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     final = spark.read.parquet(path).drop(_PDATE)
     final.createOrReplaceTempView(spec.rollup_name)
     return final

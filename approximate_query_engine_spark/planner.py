@@ -421,6 +421,16 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
         #: parts whose product would overcount by (1−F(10))·F(25) vs the
         #: true F(25)−F(10)
         ranges: dict[tuple[str, str], list[float]] = {}
+        #: columns whose (1 − null_frac) factor has been applied in THIS
+        #: conjunction — `a = 5 AND a <= 10` excludes one null mass, not
+        #: two (a second factor would double-discount toward the clamp)
+        null_applied: set[tuple[str, str]] = set()
+
+        def _nullfree_once(table: str, col: str) -> float:
+            if (table, col) in null_applied:
+                return 1.0
+            null_applied.add((table, col))
+            return _nullfree(table, col)
         for part in _re.split(r"\bAND\b", clause, flags=_re.I):
             m = _re.fullmatch(
                 r"\s*([A-Za-z_][\w.]*)\s+IS\s+(NOT\s+)?NULL\s*", part, _re.I
@@ -458,7 +468,7 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
                     if e is None:
                         return None
                     total += e
-                sel *= min(total, 1.0) * _nullfree(table, col)
+                sel *= min(total, 1.0) * _nullfree_once(table, col)
                 continue
             m = _re.fullmatch(
                 rf"\s*([A-Za-z_][\w.]*)\s*(<=|>=|<>|!=|<|>|=)\s*"
@@ -479,9 +489,9 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
                 if e is None:
                     return None
                 if op == "=":
-                    sel *= e * _nullfree(table, col)
+                    sel *= e * _nullfree_once(table, col)
                 else:  # != excludes the point mass AND the nulls
-                    sel *= max(1.0 - e, 0.0) * _nullfree(table, col)
+                    sel *= max(1.0 - e, 0.0) * _nullfree_once(table, col)
                 continue
             if str_lit is not None:
                 # range comparison on strings has no stats model here
@@ -509,7 +519,7 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
                     return None
                 bounds[0] = max(bounds[0], frac)
         for (table, col), (excluded_below, included_upto) in ranges.items():
-            sel *= max(included_upto - excluded_below, 0.0) * _nullfree(
+            sel *= max(included_upto - excluded_below, 0.0) * _nullfree_once(
                 table, col
             )
         return sel

@@ -532,6 +532,82 @@ def main() -> None:
         _safe(f"{name}_exact", _run_sql(spark, sql, exact_rows))
         _safe(f"{name}_approx", _run_engine_rec(name, sql))
 
+    # ---- partition-layout routing tier ---------------------------------
+    # events replicated 200x with ts intact: the SAME exact day-range
+    # aggregate against the flat copy vs routed through the day-partitioned
+    # layout (engine.partition_table + _route_partitioned). Both sides are
+    # EXACT — the measured ratio is pure partition pruning (5 of 30 day
+    # directories listed and read), the I/O shape a one-day dashboard
+    # query has at 100 TB. Layout build is untimed setup, cached like the
+    # other big-tier replicas.
+    ev_big_path = os.path.join(
+        big_dir, f"events_big_v2_sf{_sf_from_dir(SF_DIR)}"
+    )
+    route_ok = True
+    route_sql = (
+        "SELECT event_type, COUNT(*) AS n, SUM(value) AS sv "
+        "FROM events_big WHERE ts BETWEEN "
+        "TIMESTAMP '2024-01-03 00:00:00' AND "
+        "TIMESTAMP '2024-01-07 23:59:59' GROUP BY event_type"
+    )
+    try:
+        if not os.path.exists(ev_big_path):
+            (
+                spark.table("events")
+                .crossJoin(spark.range(200).select(F.col("id").alias("rep")))
+                .drop("rep")
+                .write.mode("overwrite")
+                .parquet(ev_big_path)
+            )
+        ev_big = spark.read.parquet(ev_big_path)
+        ev_big.createOrReplaceTempView("events_big")
+        ev_big_rows = ev_big.count()
+        eng.catalog.upsert_table_stats("events_big", ev_big_rows)
+        # layout cached across runs like the other replicas (the bench
+        # engine's workdir is fresh per run, so register the mapping
+        # directly instead of rebuilding through partition_table)
+        from approximate_query_engine_spark.operators.partitioning import (
+            partition_by_time,
+            read_partitioned,
+        )
+
+        layout_path = os.path.join(
+            big_dir, f"events_big_byday_v2_sf{_sf_from_dir(SF_DIR)}"
+        )
+        if not os.path.exists(layout_path):
+            partition_by_time(ev_big, layout_path, "ts", grain="day")
+        read_partitioned(spark, layout_path).createOrReplaceTempView(
+            "events_big__by_day"
+        )
+        eng.catalog.partitioned_views["events_big"] = {
+            "view": "events_big__by_day",
+            "path": layout_path,
+            "ts_col": "ts",
+            "grain": "day",
+            "partition_col": "p_bucket",
+            "built_row_count": ev_big_rows,
+        }
+    except Exception as exc:  # noqa: BLE001 - setup failure isolation
+        route_ok = False
+        bench_errors["partition_route_setup"] = (
+            f"{type(exc).__name__}: {exc}"[:300]
+        )
+    if route_ok:
+        _safe(
+            "partition_route_exact", _run_sql(spark, route_sql, exact_rows)
+        )
+
+        def _routed():
+            r = eng.query(route_sql, prefer_exact=True, dual_execute=False)
+            assert r["status"] == "ok", r.get("error")
+            assert "routed to partitioned layout" in r["plan"]["reason"], (
+                r["plan"]["reason"]
+            )
+            plan_reasons["partition_route"] = f"exact: {r['plan']['reason']}"
+            last_result[route_sql] = r["result"]
+
+        _safe("partition_route_approx", _routed)
+
     _safe(
         "distinct_exact",
         _run_sql(spark, "SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem"),
@@ -974,6 +1050,13 @@ def main() -> None:
         )
         if plan_join_reason:
             plan_reasons["big_join_sql"] = f"sample: {plan_join_reason}"
+    if (
+        "partition_route_exact" in timings
+        and "partition_route_approx" in timings
+    ):
+        speedups["partition_route"] = timings[
+            "partition_route_exact"
+        ] / max(timings["partition_route_approx"], 1e-9)
 
     errors = {}
     for name, sql in {
@@ -999,6 +1082,13 @@ def main() -> None:
         )
         if e is not None:
             errors["big_join_sql"] = round(e, 4)
+    if last_result.get(route_sql):
+        # both sides exact: the routed result must be IDENTICAL (0.0)
+        e = measured_relative_error(
+            last_result[route_sql], exact_rows.get(route_sql)
+        )
+        if e is not None:
+            errors["partition_route"] = round(e, 4)
 
     # ---- tier report ----------------------------------------------------
     # The BASELINE-comparable regime is the big tier: at sf0.1 both sides of
@@ -1010,7 +1100,7 @@ def main() -> None:
     FLOOR_SEC = 0.3
     std_classes = list(exact_sqls) + ["distinct"]
     big_classes = list(big_sqls) + list(big_distinct_sqls) + [
-        "big_join", "big_join_sql",
+        "big_join", "big_join_sql", "partition_route",
     ] + list(extra_class_sqls)
     sum200_classes = list(sum200_sqls)
     tiers = {

@@ -324,3 +324,24 @@ def test_partition_routing_for_exact_queries(spark):
         "WHERE NOT ts <= TIMESTAMP '2024-01-05 00:00:00'",
     )
     assert "events__by_day" not in r5["plan"]["sql"]
+    # a SUBQUERY's ts bound belongs to another scope — pruning the outer
+    # table with it would silently drop rows (parens disable derivation)
+    r6 = q(
+        eng,
+        "SELECT COUNT(*) AS n FROM events WHERE user_id IN "
+        "(SELECT user_id FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-28 00:00:00')",
+    )
+    assert "events__by_day" not in r6["plan"]["sql"]
+    # SELECT * would surface the layout's extra p_bucket column
+    r7 = q(
+        eng,
+        "SELECT * FROM events WHERE ts <= TIMESTAMP '2024-01-02 00:00:00'",
+    )
+    assert "events__by_day" not in r7["plan"]["sql"]
+    assert "p_bucket" not in (r7["result"][0] if r7["result"] else {})
+    # catalog-visible drift: a stale layout is a WRONG exact answer —
+    # never served (maintenance rebuilds it)
+    eng.catalog.upsert_table_stats("events", 999_999)
+    r8 = q(eng, sql)
+    assert "events__by_day" not in r8["plan"]["sql"]

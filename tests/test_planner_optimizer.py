@@ -138,15 +138,33 @@ def test_sketch_build_teaches_catalog_ndv(engine):
     assert ndv == 5  # 5 TPC-H regions
 
 
-def test_plan_where_query_uses_padded_fraction(engine):
-    plan = engine.planner.plan(
-        "SELECT SUM(l_extendedprice) AS s FROM lineitem WHERE l_quantity < 25"
+def test_plan_where_query_uses_padded_fraction(spark):
+    """A WHERE clause shrinks the effective sample by its selectivity, so
+    the planner pads the inline fraction by 1/sel. Fresh engine with NO
+    pre-built samples: the old shared-fixture form silently skipped its
+    assertion (or compared two picks of the same pre-built sample)
+    depending on what samples earlier tests had left behind."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_pad_"),
+        data_dir="/root/testdata/sf0.001",
     )
-    nofilter = engine.planner.plan(
-        "SELECT SUM(l_extendedprice) AS s FROM lineitem"
+    # compute-bound aggregate so the inline sample is the winning plan
+    plan = eng.planner.plan(
+        "SELECT SUM(l_extendedprice * (1 - l_discount)) AS s "
+        "FROM lineitem WHERE l_quantity < 25",
+        max_rel_error=0.2,
     )
-    if plan["type"] == "sample" and nofilter["type"] == "sample":
-        assert plan["sample_fraction"] >= 2 * nofilter["sample_fraction"] - 1e-12
+    nofilter = eng.planner.plan(
+        "SELECT SUM(l_extendedprice * (1 - l_discount)) AS s FROM lineitem",
+        max_rel_error=0.2,
+    )
+    assert plan["type"] == "sample" and nofilter["type"] == "sample"
+    assert plan["sample_fraction"] >= 2 * nofilter["sample_fraction"] - 1e-12
 
 
 # ---- planner end-to-end plan shapes ----
@@ -779,6 +797,10 @@ def test_null_inlist_isnull_selectivity(spark):
     # != : complement of the point mass, still excluding NULLs
     assert est("v != 5") == pytest.approx(0.7 - e, rel=1e-9)
     assert est("v <> 5") == pytest.approx(0.7 - e, rel=1e-9)
+    # equality + range on the SAME column discount the null mass ONCE:
+    # v <= 10 covers all non-null mass, so the conjunction equals the
+    # equality estimate exactly (a second (1-nf) factor would give 0.7e)
+    assert est("v = 5 AND v <= 10") == pytest.approx(e, rel=1e-9)
     # outside the grammar -> whole-clause default, never a wrong guess
     assert est("v NOT IN (4, 5)") == WHERE_SELECTIVITY_DEFAULT
     assert (
