@@ -925,6 +925,34 @@ def _q_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, n long")
 
 
+def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group heavy hitters (sketches.grouped_top_k): top-3 sources
+    per language over documents via approx_top_k partials (O(tracked)
+    state per group per partial), deterministically re-ranked
+    (count DESC, item ASC) so boundary ties match the oracle's exact
+    window ranking. candidate_k=1000 covers the source column's ndv
+    (~20), making the sketch counts exact at every tested SF."""
+    from approximate_query_engine_spark.sketches import grouped_top_k
+
+    _prep(spark, sf_dir)
+    return grouped_top_k(
+        spark.table("documents"), "lang", "source", k=3, candidate_k=1000
+    )
+
+
+_GROUPED_TOPK_ORACLE = """
+WITH c AS (
+  SELECT lang, CAST(source AS VARCHAR) AS item, COUNT(*) AS cnt
+  FROM documents WHERE source IS NOT NULL GROUP BY 1, 2
+)
+SELECT lang, item, cnt, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY cnt DESC, item
+  ) AS rn FROM c
+) WHERE rn <= 3 ORDER BY lang, rank
+"""
+
+
 _ROUTING_ORACLE = (
     "SELECT event_type, COUNT(*)::BIGINT AS n FROM events "
     "WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' "
@@ -2681,6 +2709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q84_heavy_hitters"] = _q_heavy_hitters
     out["q85_partitioned_scan"] = _q_partitioned_scan
     out["q86_partition_routing"] = _q_partition_routing
+    out["q87_grouped_topk"] = _q_grouped_topk
     return _reorder_check_window(out)
 
 
@@ -2728,5 +2757,6 @@ def oracle_sql() -> dict[str, str]:
     out["q84_heavy_hitters"] = _HEAVY_HITTERS_ORACLE
     out["q85_partitioned_scan"] = _PARTITIONED_SCAN_ORACLE
     out["q86_partition_routing"] = _ROUTING_ORACLE
+    out["q87_grouped_topk"] = _GROUPED_TOPK_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -493,3 +493,61 @@ class SketchManager:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
         ).collect()[0]
         return int(row["est"])
+
+
+def grouped_top_k(
+    df,
+    group_col: str,
+    item_col: str,
+    k: int,
+    max_items_tracked: int = 10_000,
+    candidate_k: int | None = None,
+):
+    """Per-GROUP heavy hitters: ``approx_top_k`` partial-aggregates
+    map-side with O(max_items_tracked) state per group per partial —
+    never O(ndv) — then a deterministic (count DESC, item ASC) re-rank
+    trims to ``k`` (Metwally et al.'s Space-Saving bounds apply; counts
+    are exact when the group's distinct items fit the tracked budget).
+
+    ``candidate_k`` (default ``max(4k, k+16)``) is how many items the
+    sketch RETURNS per group before the re-rank: ties AT the k boundary
+    are resolved by the explicit ordering, not by sketch internals, as
+    long as every tied candidate is inside the returned set — widen it
+    toward the column's ndv when exact tie-breaks matter (oracled q87
+    does). The reference has no grouped form at all (its top-k endpoint
+    is single-column, reference sketches.py); this is the shape corpus
+    work needs (top domains per language, top dup-clusters per source).
+    """
+    from pyspark.sql import Window
+
+    inner_k = int(
+        min(
+            candidate_k if candidate_k is not None else max(4 * k, k + 16),
+            max_items_tracked,
+        )
+    )
+    per_group = (
+        df.where(F.col(item_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.expr(
+                f"approx_top_k(`{item_col}`, {inner_k}, "
+                f"{int(max_items_tracked)})"
+            ).alias("tk")
+        )
+    )
+    exploded = per_group.select(
+        group_col, F.explode("tk").alias("e")
+    ).select(
+        group_col,
+        F.col("e.item").cast("string").alias("item"),
+        F.col("e.count").alias("cnt"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("cnt"), F.asc("item")
+    )
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(group_col, "rank")
+    )

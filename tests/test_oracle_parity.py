@@ -140,6 +140,8 @@ def test_check_window_ordering():
         # (reject_reason uses lang + quality components)
         "q85_partitioned_scan": "q86_partition_routing",
         "q25_lang_dist": "q66_corpus_prepare",
+        # grouped form of the in-window top-k heavy-hitter family
+        "q87_grouped_topk": "q84_heavy_hitters",
     }
     for name in names[50:]:
         if name in oracled:

@@ -172,3 +172,35 @@ def test_unknown_sketch_type_lists_topk(engine):
 
     with _pytest.raises(Exception, match="hll|cms|theta|topk"):
         engine.sketches.create("orders", "o_custkey", "nope", {})
+
+
+def test_grouped_top_k_matches_exact(spark, engine):
+    """grouped_top_k equals the exact per-group (count DESC, item ASC)
+    ranking when the candidate set covers the column's ndv — boundary
+    ties resolve by the explicit ordering, not sketch internals."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.sketches import grouped_top_k
+
+    docs = spark.table("documents")
+    got = [
+        (r["lang"], r["item"], r["cnt"], r["rank"])
+        for r in grouped_top_k(
+            docs, "lang", "source", k=3, candidate_k=1000
+        ).collect()
+    ]
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("item"))
+    want = [
+        (r["lang"], r["item"], r["cnt"], r["rank"])
+        for r in (
+            docs.where(F.col("source").isNotNull())
+            .groupBy("lang", F.col("source").cast("string").alias("item"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .orderBy("lang", "rank")
+            .collect()
+        )
+    ]
+    assert got == want and len(got) >= 9
