@@ -152,6 +152,40 @@ def test_partition_pruning_measured(spark, engine, tmp_path):
     assert one.count() == truth
 
 
+def test_derive_bucket_predicate_grains():
+    """Pure-function contract of the routing conjunct: per-grain prefix,
+    conservative superset bounds, BETWEEN desugar, and the refusal cases
+    (OR could reach other partitions; NOT inverts semantics; parens may
+    hold a subquery over another table)."""
+    from approximate_query_engine_spark.operators.partitioning import (
+        derive_bucket_predicate as d,
+    )
+
+    w = "ts >= TIMESTAMP '2024-03-15 12:30:00' AND x = 1"
+    assert d(w, "ts", "day") == "p_bucket >= '2024-03-15'"
+    assert d(w, "ts", "month") == "p_bucket >= '2024-03'"
+    assert d(w, "ts", "year") == "p_bucket >= '2024'"
+    # strict ops keep inclusive bucket bounds (superset is correct;
+    # the original WHERE still filters rows)
+    assert d("ts < DATE '2024-03-15'", "ts", "day") == (
+        "p_bucket <= '2024-03-15'"
+    )
+    assert d("ts = DATE '2024-03-15'", "ts", "day") == (
+        "p_bucket = '2024-03-15'"
+    )
+    between = "ts BETWEEN DATE '2024-01-02' AND DATE '2024-02-03'"
+    assert d(between, "ts", "month") == (
+        "p_bucket >= '2024-01' AND p_bucket <= '2024-02'"
+    )
+    assert d("ts >= DATE '2024-01-02' OR x = 1", "ts", "day") is None
+    assert d("NOT ts >= DATE '2024-01-02'", "ts", "day") is None
+    assert (
+        d("x IN (SELECT x FROM t WHERE ts >= DATE '2024-01-02')", "ts", "day")
+        is None
+    )
+    assert d("x = 1", "ts", "day") is None
+
+
 def test_partition_layout_tail_refresh(spark, tmp_path):
     """Append-mostly refresh: new rows in a new day plus a late row in
     the last existing day rewrite ONLY those tail directories (dynamic
