@@ -993,7 +993,10 @@ def main() -> None:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
-    _safe("corpus_e2e", _corpus_e2e, reps=1)
+    # reps=2: without a spread entry this wall-clock demo couldn't
+    # distinguish noise from regression (the r04 stream_window lesson);
+    # each run writes to a fresh temp dir, so reps are self-contained
+    _safe("corpus_e2e", _corpus_e2e, reps=2)
     try:
         if not knn_ok:
             raise RuntimeError("knn setup failed; skipping recall")
