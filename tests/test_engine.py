@@ -345,3 +345,31 @@ def test_partition_routing_for_exact_queries(spark):
     eng.catalog.upsert_table_stats("events", 999_999)
     r8 = q(eng, sql)
     assert "events__by_day" not in r8["plan"]["sql"]
+
+
+def test_partition_routing_date_column_month_grain(spark):
+    """Routing also covers DATE (not just TIMESTAMP) partitioning
+    columns and coarser grains: lineitem partitioned by month of
+    l_shipdate; a DATE-literal bound routes with a month-bucket
+    conjunct and returns exactly the flat-table answer."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_route_m_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.partition_table("lineitem", "l_shipdate", grain="month")
+    sql = (
+        "SELECT COUNT(*) AS n FROM lineitem "
+        "WHERE l_shipdate <= DATE '1995-06-17'"
+    )
+    truth = (
+        spark.table("lineitem").filter("l_shipdate <= DATE '1995-06-17'").count()
+    )
+    r = q(eng, sql)
+    assert "lineitem__by_month" in r["plan"]["sql"]
+    assert "p_bucket <= '1995-06'" in r["plan"]["sql"]
+    assert r["result"][0]["n"] == truth
