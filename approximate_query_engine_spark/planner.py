@@ -287,6 +287,23 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
         return 1.0
     if _re.search(r"\bNOT\s+(?:BETWEEN|IN)\b", where, _re.I):
         return WHERE_SELECTIVITY_DEFAULT
+    # desugar YEAR(col) = k to the half-open date range BEFORE the paren
+    # fallback (its parens are a function call, not boolean grouping);
+    # strict `< jan-1-next` is correct for BOTH date and timestamp
+    # columns (inclusive `<= dec-31` would drop a timestamp's intra-day
+    # mass on the last day in the epoch-days stats)
+    def _year_eq(m: "_re.Match[str]") -> str:
+        col, y = m.group(1), int(m.group(2))
+        return (
+            f"{col} >= DATE '{y:04d}-01-01' AND {col} < DATE '{y + 1:04d}-01-01'"
+        )
+
+    where = _re.sub(
+        r"\bYEAR\s*\(\s*([A-Za-z_][\w.]*)\s*\)\s*=\s*(\d{4})\b",
+        _year_eq,
+        where,
+        flags=_re.I,
+    )
     # desugar literal IN-lists to a paren-free marker BEFORE the paren
     # fallback (an IN-list's parens don't change boolean precedence);
     # the part grammar below prices the marker as a sum of point masses

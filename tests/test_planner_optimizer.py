@@ -572,6 +572,18 @@ def test_date_predicate_selectivity(spark):
         / n
     )
     assert est_bt / true_bt < 2.0 and true_bt / est_bt < 2.0, (est_bt, true_bt)
+    # YEAR(col) = k desugars to the half-open date range (strict upper
+    # bound, correct for timestamps' intra-day mass on Dec 31)
+    yq = "SELECT SUM(l_extendedprice) AS s FROM lineitem WHERE YEAR(l_shipdate) = 1995"
+    est_y = estimate_selectivity(parse(yq), eng.catalog)
+    true_y = (
+        spark.sql(
+            "SELECT COUNT(*) AS c FROM lineitem WHERE YEAR(l_shipdate) = 1995"
+        ).collect()[0]["c"]
+        / n
+    )
+    assert est_y != WHERE_SELECTIVITY_DEFAULT
+    assert est_y / true_y < 2.0 and true_y / est_y < 2.0, (est_y, true_y)
     # a genuine DateType column follows the same path (datediff branch)
     spark.table("lineitem").selectExpr(
         "CAST(l_shipdate AS DATE) AS d", "l_extendedprice"
