@@ -78,6 +78,12 @@ class AQEngine:
 
     def register_view(self, name: str, df) -> None:
         df.createOrReplaceTempView(name)
+        # replacing a table's data orphans any parquet layout built from
+        # the OLD data — drop the routing entry so exact queries never get
+        # served from a stale layout (the row-count drift gate alone can't
+        # see an equal-row-count replacement)
+        if self.catalog.partitioned_views.pop(name, None) is not None:
+            self.catalog.save()
         self.catalog.upsert_table_stats(name, df.count())
 
     def register_file(
@@ -537,6 +543,14 @@ class AQEngine:
         parsed = try_parse(sql)
         if parsed is None or not parsed.where:
             return None
+        # try_parse accepts scalar subqueries in the select list (their
+        # parens are skipped by its top-level scan), but the regex
+        # injections below anchor on the FIRST `FROM <table>` / first
+        # WHERE after it — a nested SELECT could own either, landing the
+        # p_bucket conjunct inside the subquery (wrong or error). One
+        # outer SELECT only.
+        if len(re.findall(r"\bSELECT\b", sql, re.I)) != 1:
+            return None
         # (multi-table shapes never reach here: try_parse rejects joins)
         info = self.catalog.partitioned_views.get(parsed.table)
         if not info:
@@ -549,8 +563,13 @@ class AQEngine:
             for item in m.group(1).split(",")
         ):
             return None
-        # catalog-visible drift means the layout is missing rows — serving
-        # it would be a WRONG exact answer; maintenance rebuilds it
+        # FRESHNESS CONTRACT: the gate below detects append drift via the
+        # catalog row count (kept current by register_data/maintenance);
+        # same-count in-place mutation is undetectable from counts alone,
+        # so every data-replacement path (register_view/register_file)
+        # invalidates the layout entry outright. Out-of-band temp-view
+        # swaps that bypass the engine's register methods are outside the
+        # contract — run maintenance or re-register through the engine.
         current = self.catalog.get_row_count(parsed.table)
         if current is not None and info.get("built_row_count") != current:
             return None
@@ -567,20 +586,21 @@ class AQEngine:
                 read_partitioned(self.spark, info["path"]).createOrReplaceTempView(view)
             except Exception:
                 return None
-        routed, n = re.subn(
-            rf"\bFROM\s+{re.escape(parsed.table)}\b",
-            f"FROM {view}",
-            sql,
-            count=1,
-            flags=re.I,
+        fm = re.search(
+            rf"\bFROM\s+{re.escape(parsed.table)}\b", sql, re.I
+        )
+        if fm is None:
+            return None
+        # rewrite only AFTER the outer FROM: with the single-SELECT guard
+        # above, the first WHERE past it is the outer one by construction
+        head = sql[: fm.start()]
+        tail = sql[fm.end():]
+        tail, n = re.subn(
+            r"\bWHERE\b", f"WHERE {pred} AND ", tail, count=1, flags=re.I
         )
         if n != 1:
             return None
-        routed, n = re.subn(
-            r"\bWHERE\b", f"WHERE {pred} AND ", routed, count=1, flags=re.I
-        )
-        if n != 1:
-            return None
+        routed = f"{head}FROM {view}{tail}"
         return routed, f"routed to partitioned layout {view} [{pred}]"
 
     def progressive_query(

@@ -53,12 +53,40 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def list_bucket_dirs(
+    spark: SparkSession, path: str, partition_col: str = "p_bucket"
+) -> list[str]:
+    """Bucket values present in a layout, from a DIRECTORY LISTING — one
+    filesystem metadata call, no data I/O (works on local/HDFS/S3A alike
+    via the Hadoop FileSystem API; a `max(p_bucket)` query would scan
+    rows instead)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    prefix = f"{partition_col}="
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            out.append(name[len(prefix):])
+    return sorted(out)
+
+
+def infer_grain(bucket: str) -> str | None:
+    """Grain a bucket directory name was written at ('2024-03-01' → day,
+    '2024-03' → month, '2024' → year), or None for a foreign name."""
+    for grain, k in _GRAIN_PREFIX.items():
+        if len(bucket) == k:
+            return grain
+    return None
+
+
 def refresh_partition_layout(
     spark: SparkSession,
     source_df: DataFrame,
     path: str,
     ts_col: str,
-    grain: str = "day",
+    grain: str | None = None,
     partition_col: str = "p_bucket",
     since: str | None = None,
 ) -> DataFrame:
@@ -71,12 +99,35 @@ def refresh_partition_layout(
     need an explicit earlier ``since`` (same contract as the rollup
     refresh); uniform growth of ALL history needs the full
     :func:`partition_by_time` rebuild (what the maintenance drift policy
-    does)."""
+    does).
+
+    ``grain`` defaults to the grain the EXISTING layout was written at
+    (inferred from its directory names via one filesystem listing) and is
+    validated when passed explicitly — refreshing a month-grain layout at
+    day grain would write day-named directories ALONGSIDE the month
+    directories (dynamic overwrite never replaces the month dirs),
+    silently duplicating every refreshed row."""
+    buckets = list_bucket_dirs(spark, path, partition_col)
+    existing_grain = infer_grain(buckets[-1]) if buckets else None
+    if grain is None:
+        if existing_grain is None:
+            raise ValueError(
+                f"refresh_partition_layout: cannot infer grain from "
+                f"layout at {path} (no bucket directories); pass grain="
+            )
+        grain = existing_grain
+    elif existing_grain is not None and grain != existing_grain:
+        raise ValueError(
+            f"refresh_partition_layout: layout at {path} is "
+            f"{existing_grain}-grain but grain={grain!r} was requested — "
+            "mixed-grain bucket directories would duplicate rows"
+        )
     if since is None:
-        since = (
-            read_partitioned(spark, path)
-            .agg(F.max(partition_col))
-            .collect()[0][0]
+        since = buckets[-1] if buckets else None
+    if since is None:
+        raise ValueError(
+            f"refresh_partition_layout: empty layout at {path}; build it "
+            "with partition_by_time first"
         )
     fresh = source_df.withColumn(
         partition_col, F.date_format(F.col(ts_col), _GRAIN_FMT[grain])

@@ -474,9 +474,12 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
                 total = 0.0
                 # findall tokenizes literals as units (a comma inside a
                 # quoted string is not a separator); dedupe — repeated
-                # values must not double their mass
+                # values must not double their mass. Case-insensitive to
+                # match the desugar that built the @IN@ marker — a
+                # lowercase `date '…'` must tokenize as a DATE literal,
+                # not a quoted string priced off string MCV stats.
                 for item in dict.fromkeys(
-                    t.strip() for t in _re.findall(_lit, m.group(2))
+                    t.strip() for t in _re.findall(_lit, m.group(2), _re.I)
                 ):
                     im = _re.fullmatch(_lit_groups, item, _re.I)
                     e = _eq_sel_nonnull(
