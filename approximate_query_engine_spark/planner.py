@@ -681,6 +681,27 @@ class Planner:
                 reason="full scan, zero error",
             )
         ]
+        # Unfiltered COUNT(*)-only: parquet answers from row-group footer
+        # metadata without touching data pages (~0.07 s even at 120M rows,
+        # bench-measured), and the catalog already holds the row count —
+        # no sample can beat a free exact answer, and a sampled estimate
+        # here is pure error for zero savings (round-5 bench `count200`
+        # was the one weak plan). Priced at zero so exact always wins.
+        if (
+            not parsed.where
+            and not parsed.has_group_by
+            and parsed.aggregates
+            and all(
+                a.func == "COUNT" and a.is_star and not a.distinct
+                for a in parsed.aggregates
+            )
+        ):
+            out[0].cost = 0.0
+            out[0].reason = (
+                "unfiltered COUNT(*): parquet footer metadata count, "
+                "no data scan — exact is free"
+            )
+            return self._filter(out, max_rel_error, forced_strategy)
         # DISTINCT aggregates are never sampled (biased — SURVEY.md §2.6).
         # COUNT(DISTINCT) → the sketch candidate (full scan, HLL++, no
         # sampling; any other aggregates in the query run exact within it);

@@ -190,7 +190,7 @@ def test_plan_prefers_cheapest_strategy(spark):
     )
     eng.planner.table_row_count("lineitem")  # seed catalog stats
     scan_bound = eng.planner.plan(
-        "SELECT COUNT(*) FROM lineitem", max_rel_error=0.2
+        "SELECT SUM(l_quantity) AS s FROM lineitem", max_rel_error=0.2
     )
     assert scan_bound["type"] == "exact"
     assert "scan-bound" in scan_bound["reason"]
@@ -204,10 +204,50 @@ def test_plan_prefers_cheapest_strategy(spark):
     assert "sql" in compute_bound and "original_sql" in compute_bound
     eng.create_sample("lineitem", 0.1, seed=3)
     with_sample = eng.planner.plan(
-        "SELECT COUNT(*) FROM lineitem", max_rel_error=0.2
+        "SELECT SUM(l_quantity) AS s FROM lineitem", max_rel_error=0.2
     )
     assert with_sample["type"] == "sample"
     assert with_sample.get("sample_table")
+
+
+def test_bare_count_star_always_exact(spark):
+    """An UNFILTERED COUNT(*)-only query is a parquet footer-metadata read
+    (~free even at 120M rows, bench-measured) — a sampled estimate is pure
+    error for zero savings, so the planner answers exact even when a
+    pre-built sample exists (round-5 bench `count200` weak plan)."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_countstar_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.planner.table_row_count("lineitem")
+    eng.create_sample("lineitem", 0.1, seed=3)
+    for sql in (
+        "SELECT COUNT(*) FROM lineitem",
+        "SELECT COUNT(*) AS c FROM lineitem",
+    ):
+        plan = eng.planner.plan(sql, max_rel_error=0.2)
+        assert plan["type"] == "exact", plan
+        assert "footer metadata" in plan["reason"]
+    # a WHERE clause makes it a real scan again: sampling is back on the
+    # table (the sample exists and the filtered count is compute-bearing)
+    filtered = eng.planner.plan(
+        "SELECT COUNT(*) AS c FROM lineitem "
+        "WHERE l_quantity > 30 AND l_discount > 0.05",
+        max_rel_error=0.3,
+    )
+    assert filtered["type"] == "sample"
+    # COUNT(*) alongside other aggregates is NOT short-circuited
+    mixed = eng.planner.plan(
+        "SELECT COUNT(*) AS c, SUM(l_extendedprice * (1 - l_discount)) AS s "
+        "FROM lineitem",
+        max_rel_error=0.3,
+    )
+    assert "footer metadata" not in mixed["reason"]
 
 
 def test_plan_sketch_for_distinct(engine):
@@ -373,7 +413,12 @@ def test_per_row_work_classification_drives_plans(spark):
         plan = eng.planner.plan(sql, max_rel_error=0.2)
         if w <= INLINE_PREDICATE_COST_PER_ROW:
             assert plan["type"] == "exact", (sql, w, plan["reason"])
-            assert "scan-bound" in plan["reason"], (sql, plan["reason"])
+            # bare COUNT(*) takes the stronger metadata short-circuit;
+            # every other scan-bound shape keeps the inline-premium reason
+            assert (
+                "scan-bound" in plan["reason"]
+                or "footer metadata" in plan["reason"]
+            ), (sql, plan["reason"])
         else:
             assert plan["type"] != "exact", (sql, w, plan["reason"])
         # every plan must execute end to end
