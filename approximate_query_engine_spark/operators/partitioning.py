@@ -208,13 +208,18 @@ def derive_bucket_predicate(
     """
     import re
 
+    from approximate_query_engine_spark.sqlparser import flatten_and_parens
+
     if not where or re.search(r"\b(OR|NOT)\b", where, re.I):
         return None
+    # parenthesized AND-groups are routine in real SQL; strip the
+    # provably-safe ones before the conservative guard below
+    where = flatten_and_parens(where)
     if "(" in where or ")" in where:
-        # a parenthesized clause can hold a SUBQUERY whose ts bound
-        # belongs to ANOTHER table — deriving from it would prune the
-        # outer table wrongly (silently dropped rows). Same conservative
-        # paren fallback as the selectivity estimator.
+        # a remaining parenthesized clause can hold a SUBQUERY whose ts
+        # bound belongs to ANOTHER table — deriving from it would prune
+        # the outer table wrongly (silently dropped rows). Same
+        # conservative paren fallback as the selectivity estimator.
         return None
     k = _GRAIN_PREFIX[grain]
     # desugar the most common range shape before the operator scan

@@ -38,6 +38,7 @@ from approximate_query_engine_spark.catalog import Catalog, SampleInfo
 from approximate_query_engine_spark.sqlparser import (
     ParsedQuery,
     UnsupportedQueryError,
+    flatten_and_parens,
     try_parse,
     try_parse_join,
 )
@@ -317,6 +318,11 @@ def estimate_selectivity(parsed: ParsedQuery, catalog: Catalog) -> float:
     if _re.search(r"\bIN\s*\(", where, _re.I):
         # IN over a subquery / non-literal list
         return WHERE_SELECTIVITY_DEFAULT
+    # real SQL parenthesizes AND-groups routinely — strip the provably
+    # safe ones (AND-joined simple predicates in boolean context; the
+    # IN-lists above are already markers, so their commas ride along)
+    # before the conservative guard
+    where = flatten_and_parens(where)
     if "(" in where or ")" in where:
         # parentheses change boolean precedence in ways the flat split
         # cannot see — whole-clause fallback

@@ -620,3 +620,61 @@ def try_parse_join(sql: str) -> JoinedQuery | None:
         return parse_join(sql)
     except ParseError:
         return None
+
+
+# ---------------------------------------------------------------------------
+# WHERE-clause normalization shared by the selectivity estimator
+# (planner.estimate_selectivity) and partition-pruning derivation
+# (operators.partitioning.derive_bucket_predicate). Both use a flat
+# AND/OR split that parentheses would silently mis-read, so they bail on
+# any "(" — but real SQL parenthesizes AND-groups routinely. This
+# flattener removes ONLY the provably-safe parens so those clauses stay
+# estimable; anything it declines to touch still hits the callers'
+# conservative paren fallback.
+
+#: a group is only safe to flatten when its inner text cannot change
+#: boolean structure once the parens are gone: no OR (precedence flips
+#: next to an outer AND), no NOT (scope changes), no subquery/CASE
+#: NOT blocks flattening except in the fixed idiom `IS NOT NULL`, whose
+#: NOT never takes scope over the group
+_UNSAFE_GROUP_INNER_RE = re.compile(
+    r"\b(OR|NOT(?!\s+NULL\b)|SELECT|CASE|WHEN|EXISTS)\b", re.I
+)
+#: ...and only in BOOLEAN context: the text before the "(" ends at a
+#: clause edge or an AND/OR token (anything else — an identifier, an
+#: arithmetic operator, IN, NOT — means function call, row constructor,
+#: IN-list, or negation: keep the parens)
+_BOOL_EDGE_BEFORE_RE = re.compile(r"(?:^|\bAND|\bOR)\s*$", re.I)
+_BOOL_EDGE_AFTER_RE = re.compile(r"^\s*(?:$|AND\b|OR\b)", re.I)
+
+
+def flatten_and_parens(where: str) -> str:
+    """Strip parentheses that provably do not change a WHERE clause's
+    boolean structure: innermost groups enclosing AND-joined simple
+    predicates (no OR/NOT/subquery/CASE inside), sitting in boolean
+    context on both sides. ``(a >= 1 AND b = 2) AND c`` flattens;
+    ``a AND (b OR c)``, ``NOT (a)``, ``x IN (1, 2)``, ``f(x) > 1`` and
+    ``y = (1 + 2) * 3`` are all left untouched. Iterates to a fixpoint
+    so nested safe groups unwrap fully."""
+    changed = True
+    while changed:
+        changed = False
+        for m in re.finditer(r"\(([^()]*)\)", where):
+            inner = m.group(1)
+            if not inner.strip() or _UNSAFE_GROUP_INNER_RE.search(inner):
+                continue
+            before, after = where[: m.start()], where[m.end():]
+            # a doubly-wrapped group "((...))" is redundant regardless of
+            # context — unwrapping the inner pair is always identity
+            doubly_wrapped = before.rstrip().endswith("(") and (
+                after.lstrip().startswith(")")
+            )
+            if not doubly_wrapped and not (
+                _BOOL_EDGE_BEFORE_RE.search(before)
+                and _BOOL_EDGE_AFTER_RE.match(after)
+            ):
+                continue
+            where = f"{where[:m.start()]} {inner} {where[m.end():]}"
+            changed = True
+            break
+    return where.strip()

@@ -48,13 +48,17 @@ def test_sample_scaling_single_point_no_double_scale(engine, duck):
     """ML path + pre-built sample: scaled exactly once (the reference
     scales twice on this path — SURVEY.md §2.7 hazard)."""
     engine.create_sample("lineitem", 0.3, seed=5)
+    # filtered COUNT: the unfiltered form short-circuits to the free
+    # metadata-exact answer since round 6 and would never exercise scaling
     r = q(
         engine,
-        "SELECT COUNT(*) AS cnt FROM lineitem",
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity >= 1",
         max_rel_error=0.1,
         use_ml_optimization=True,
     )
-    true = duck.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    true = duck.execute(
+        "SELECT COUNT(*) FROM lineitem WHERE l_quantity >= 1"
+    ).fetchone()[0]
     est = r["result"][0]["cnt"]
     # double-scaled would be ~1/f times too big (3.3x); single-scaled is
     # within sampling noise.

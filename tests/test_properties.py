@@ -363,3 +363,96 @@ def test_where_selectivity_invariants(stats, lits):
     # a conjunction never exceeds its cheapest part
     conj = est(f"v <= {a} AND v IS NOT NULL")
     assert conj <= min(est(f"v <= {a}"), est("v IS NOT NULL")) + eps
+
+
+@given(
+    column_stats(),
+    st.lists(st.integers(-1500, 1500), min_size=2, max_size=4),
+)
+@settings(max_examples=100, deadline=None)
+def test_paren_and_groups_price_like_flat(stats, lits):
+    """Round-6 grammar extension: parentheses that enclose only AND-joined
+    simple predicates are flattened before the split, so the estimate
+    equals the paren-free clause's — while OR/NOT inside a group still
+    falls back to the conservative default (precedence could change)."""
+    import tempfile
+
+    from approximate_query_engine_spark.catalog import Catalog
+    from approximate_query_engine_spark.planner import (
+        WHERE_SELECTIVITY_DEFAULT,
+        estimate_selectivity,
+    )
+
+    cdf, nf, ndv = stats
+    cat = Catalog(tempfile.mkdtemp(prefix="aqe_parenprop_"))
+    cat.upsert_table_stats("t", 1_000_000)
+    cat.upsert_column_minmax("t", "v", cdf[0][0], cdf[-1][0])
+    cat.upsert_column_histogram("t", "v", cdf)
+    cat.upsert_column_null_frac("t", "v", nf)
+    cat.upsert_column_ndv("t", "v", ndv)
+
+    def est(w):
+        return estimate_selectivity(
+            parse(f"SELECT COUNT(*) AS c FROM t WHERE {w}"), cat
+        )
+
+    lo, hi = min(lits), max(lits)
+    flat = f"v >= {lo} AND v <= {hi} AND v IS NOT NULL"
+    assert est(f"({flat})") == est(flat)
+    assert est(f"(v >= {lo} AND v <= {hi}) AND v IS NOT NULL") == est(flat)
+    assert est(f"(v >= {lo}) AND (v <= {hi}) AND (v IS NOT NULL)") == est(flat)
+    assert est(f"((v >= {lo} AND v <= {hi})) AND v IS NOT NULL") == est(flat)
+    # paren-wrapped IN-lists flatten too (members became markers first)
+    assert est(f"(v IN ({lo}, {hi}) AND v IS NOT NULL)") == est(
+        f"v IN ({lo}, {hi}) AND v IS NOT NULL"
+    )
+    # OR inside a group next to AND could change precedence — fallback
+    assert (
+        est(f"(v <= {lo} OR v >= {hi}) AND v IS NOT NULL")
+        == WHERE_SELECTIVITY_DEFAULT
+    )
+    # NOT scope is never flattened away
+    assert est(f"NOT (v <= {lo})") == WHERE_SELECTIVITY_DEFAULT
+
+
+def test_paren_and_groups_route_partitions():
+    """derive_bucket_predicate handles parenthesized AND-groups (the
+    routine BI-generated shape) and still refuses OR groups and
+    subqueries."""
+    from approximate_query_engine_spark.operators.partitioning import (
+        derive_bucket_predicate,
+    )
+
+    flat = (
+        "ts >= TIMESTAMP '2024-01-03 00:00:00' AND "
+        "ts < TIMESTAMP '2024-01-06 00:00:00'"
+    )
+    want = derive_bucket_predicate(flat, "ts", "day")
+    assert want == "p_bucket >= '2024-01-03' AND p_bucket <= '2024-01-06'"
+    assert derive_bucket_predicate(f"({flat})", "ts", "day") == want
+    assert (
+        derive_bucket_predicate(
+            "(ts >= TIMESTAMP '2024-01-03 00:00:00') AND "
+            "(ts < TIMESTAMP '2024-01-06 00:00:00') AND (user_id = 5)",
+            "ts",
+            "day",
+        )
+        == want
+    )
+    # OR anywhere: no derivation
+    assert (
+        derive_bucket_predicate(
+            f"({flat}) OR user_id = 5", "ts", "day"
+        )
+        is None
+    )
+    # subquery parens stay: no derivation
+    assert (
+        derive_bucket_predicate(
+            "user_id IN (SELECT user_id FROM other "
+            "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00')",
+            "ts",
+            "day",
+        )
+        is None
+    )
