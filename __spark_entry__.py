@@ -925,6 +925,56 @@ def _q_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, n long")
 
 
+_ROUTING_APPROX_SQL = (
+    "SELECT event_type, COUNT(*) AS n FROM events "
+    "WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' "
+    "AND TIMESTAMP '2024-01-12 23:59:59' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
+def _q_partition_routing_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX-path partition routing (round 6, VERDICT r5 instruction 1):
+    the engine materializes a deterministic 1-in-4 systematic sample of a
+    layout-backed table — which sampler._materialize bucket-partitions by
+    the SAME day grain — and a date-bounded approximate COUNT then routes
+    its SAMPLE scan through the pruned layout (10 of 30 day dirs listed;
+    scan_metrics evidence in tests/test_engine.py). Asserted here: the
+    plan is a sample plan AND carries the routed-layout reason. The md5
+    inclusion predicate is a pure function of the data and 1/f = 4.0 is
+    exact in IEEE, so DuckDB rebuilds the identical subset and the
+    identical scaled estimate bit-for-bit."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.partition_table("events", "ts", grain="day")
+    eng.sampler.create_systematic_sample("events", 4, "event_id")
+    r = eng.query(_ROUTING_APPROX_SQL, max_rel_error=0.5)
+    assert r["status"] == "ok", r.get("error")
+    assert r["plan"]["type"] == "sample", r["plan"]
+    assert "routed to partitioned layout events__sys_4" in r["plan"]["reason"], (
+        r["plan"]
+    )
+    rows = [(d["event_type"], int(d["n"])) for d in r["result"]]
+    return spark.createDataFrame(rows, "event_type string, n long")
+
+
+#: DuckDB replay of q88: identical md5 1-in-4 membership, identical
+#: scale-by-4 (the engine's SUM(1.0 / 0.25) adds exact 4.0s, so
+#: ROUND(SUM(...)) == COUNT(*) * 4 bit-for-bit).
+_ROUTING_APPROX_ORACLE = (
+    "SELECT event_type, CAST(COUNT(*) * 4 AS BIGINT) AS n FROM events "
+    "WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT "
+    "% 4 = 0) "
+    "AND ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' "
+    "AND TIMESTAMP '2024-01-12 23:59:59' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
 def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group heavy hitters (sketches.grouped_top_k): top-3 sources
     per language over documents via approx_top_k partials (O(tracked)
@@ -2710,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q85_partitioned_scan"] = _q_partitioned_scan
     out["q86_partition_routing"] = _q_partition_routing
     out["q87_grouped_topk"] = _q_grouped_topk
+    out["q88_partition_routing_approx"] = _q_partition_routing_approx
     return _reorder_check_window(out)
 
 
@@ -2758,5 +2809,6 @@ def oracle_sql() -> dict[str, str]:
     out["q85_partitioned_scan"] = _PARTITIONED_SCAN_ORACLE
     out["q86_partition_routing"] = _ROUTING_ORACLE
     out["q87_grouped_topk"] = _GROUPED_TOPK_ORACLE
+    out["q88_partition_routing_approx"] = _ROUTING_APPROX_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -153,14 +153,21 @@ class AQEngine:
         else:
             plan = self.planner.plan(sql, max_rel_error, prefer_exact=prefer_exact)
 
-        if plan.get("type") == "exact":
-            routed = self._route_partitioned(plan.get("sql") or sql)
-            if routed:
-                plan = {
-                    **plan,
-                    "sql": routed[0],
-                    "reason": f"{plan.get('reason', 'exact')}; {routed[1]}",
-                }
+        # Partition routing applies to EVERY plan type (round 6): exact
+        # plans route the base-table scan; sample plans route their
+        # MATERIALIZED sample scan (samples of layout-backed tables are
+        # themselves bucket-partitioned — sampler._materialize); inline
+        # sample and sketch plans route the base-table scan they wrap.
+        # _route_partitioned itself is a no-op unless the plan's FROM
+        # table has a registered layout and the WHERE carries a derivable
+        # literal time bound.
+        routed = self._route_partitioned(plan.get("sql") or sql)
+        if routed:
+            plan = {
+                **plan,
+                "sql": routed[0],
+                "reason": f"{plan.get('reason', 'exact')}; {routed[1]}",
+            }
 
         if explain:
             # include Spark's physical plan so `explain` shows what would
@@ -524,14 +531,19 @@ class AQEngine:
         }
 
     def _route_partitioned(self, sql: str) -> tuple[str, str] | None:
-        """Partition routing for the EXACT path: when a single-table query
-        carries a literal date/timestamp bound on a column that has a
-        registered time-partitioned layout, rewrite it to scan the layout
-        with a derived ``p_bucket`` conjunct — pruning at file-listing
-        time. The original WHERE rides along as the row-level filter, so
-        the conservative (superset) bucket bound cannot change results.
-        Approximate plans are never routed: their samples are built from
-        the base table. Returns ``(routed_sql, note)`` or None."""
+        """Partition routing: when a single-table scan (the base table OR
+        a materialized sample of it — samples of layout-backed tables are
+        bucket-partitioned too, sampler._materialize) carries a literal
+        date/timestamp bound on a column with a registered layout, rewrite
+        it to scan the layout with a derived ``p_bucket`` conjunct —
+        pruning at file-listing time. The original WHERE rides along as
+        the row-level filter, so the conservative (superset) bucket bound
+        cannot change results; for materialized samples the routed answer
+        is bit-identical to the unrouted one. Inline-sample plans route
+        their base scan to the layout view: rand(seed)'s per-partition
+        stream makes that a DIFFERENT (equally valid) Bernoulli draw;
+        deterministic md5-keyed predicates are row-stable and unaffected.
+        Returns ``(routed_sql, note)`` or None."""
         import re
 
         from approximate_query_engine_spark.operators.partitioning import (

@@ -212,15 +212,17 @@ def derive_bucket_predicate(
 
     if not where or re.search(r"\b(OR|NOT)\b", where, re.I):
         return None
-    # parenthesized AND-groups are routine in real SQL; strip the
-    # provably-safe ones before the conservative guard below
-    where = flatten_and_parens(where)
-    if "(" in where or ")" in where:
-        # a remaining parenthesized clause can hold a SUBQUERY whose ts
-        # bound belongs to ANOTHER table — deriving from it would prune
-        # the outer table wrongly (silently dropped rows). Same
-        # conservative paren fallback as the selectivity estimator.
+    if re.search(r"\bSELECT\b", where, re.I):
+        # a subquery's ts bound belongs to ANOTHER scope — deriving from
+        # it would prune the outer table wrongly (silently dropped rows)
         return None
+    # parenthesized AND-groups are routine in real SQL; strip the
+    # provably-safe ones, then only read comparisons at paren depth 0.
+    # With OR/NOT/SELECT excluded above, the clause is a pure conjunction
+    # at depth 0, so every depth-0 ts comparison must hold for a matching
+    # row — remaining parens (function calls like a sampling predicate's
+    # rand()/md5(), CAST args) just hide their contents from derivation.
+    where = flatten_and_parens(where)
     k = _GRAIN_PREFIX[grain]
     # desugar the most common range shape before the operator scan
     where = re.sub(
@@ -231,6 +233,16 @@ def derive_bucket_predicate(
         where,
         flags=re.I,
     )
+    depth_at = []
+    d, in_str = 0, False
+    for ch in where:
+        if ch == "'":
+            in_str = not in_str
+        elif ch == "(" and not in_str:
+            d += 1
+        depth_at.append(d)
+        if ch == ")" and not in_str:
+            d -= 1
     preds = []
     for m in re.finditer(
         rf"\b{re.escape(ts_col)}\s*(<=|>=|<|>|=)\s*"
@@ -238,6 +250,8 @@ def derive_bucket_predicate(
         where,
         re.I,
     ):
+        if depth_at[m.start()] != 0:
+            continue
         op, bucket = m.group(1), m.group(2)[:k]
         if op in ("<", "<="):
             preds.append(f"{partition_col} <= '{bucket}'")

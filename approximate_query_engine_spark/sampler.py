@@ -77,6 +77,50 @@ class Sampler:
         os.makedirs(self.samples_dir, exist_ok=True)
 
     # ------------------------------------------------------------------
+    def _materialize(self, sampled: DataFrame, table: str, sample_table: str,
+                     path: str) -> tuple[DataFrame, int]:
+        """Write a sample as parquet + register its temp view.
+
+        When the base table has a registered time-partitioned layout, the
+        sample is materialized PARTITIONED BY the same time bucket and
+        registered for routing itself — so a date-bounded APPROXIMATE
+        query prunes its sample scan at file-listing time exactly like the
+        exact path prunes the base layout (at 100 TB a 1% sample is ~1 TB;
+        a one-month query must not read all of it). The extra
+        ``p_bucket`` column is invisible to rewritten aggregate queries
+        (explicit select lists) and the routing drift gate is armed by the
+        row-count stat recorded here."""
+        from approximate_query_engine_spark.operators.partitioning import (
+            partition_by_time,
+        )
+
+        layout = self.catalog.partitioned_views.get(table)
+        if layout:
+            partition_by_time(
+                sampled,
+                path,
+                layout["ts_col"],
+                grain=layout["grain"],
+                partition_col=layout["partition_col"],
+            )
+        else:
+            sampled.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        out.createOrReplaceTempView(sample_table)
+        rows = out.count()
+        if layout:
+            self.catalog.partitioned_views[sample_table] = {
+                "view": sample_table,
+                "path": path,
+                "ts_col": layout["ts_col"],
+                "grain": layout["grain"],
+                "partition_col": layout["partition_col"],
+                "built_row_count": rows,
+            }
+            self.catalog.upsert_table_stats(sample_table, rows)
+        return out, rows
+
+    # ------------------------------------------------------------------
     def create_uniform_sample(
         self, table: str, fraction: float, seed: int = 42
     ) -> SampleInfo:
@@ -91,11 +135,7 @@ class Sampler:
         sample_table = f"{table}__sample_{_fraction_tag(fraction)}"
         path = os.path.join(self.samples_dir, sample_table)
         sampled = df.sample(withReplacement=False, fraction=fraction, seed=seed)
-        sampled.write.mode("overwrite").parquet(path)
-
-        out = self.spark.read.parquet(path)
-        out.createOrReplaceTempView(sample_table)
-        rows = out.count()
+        out, rows = self._materialize(sampled, table, sample_table, path)
 
         base_rows = self.catalog.get_row_count(table)
         if base_rows is None:
@@ -111,6 +151,56 @@ class Sampler:
             path=path,
             row_count=rows,
             seed=seed,
+        )
+        self.catalog.register_sample(info)
+        self.catalog.save()
+        return info
+
+    # ------------------------------------------------------------------
+    def create_systematic_sample(
+        self, table: str, k: int, key_expr: str
+    ) -> SampleInfo:
+        """Materialized 1-in-``k`` DETERMINISTIC sample: keep rows where
+        ``hash(key) % k = 0`` with the portable md5-prefix hash, register
+        at the EXACT design fraction 1/k.
+
+        The materialized analog of the inline systematic rewrite
+        (rewriter.rewrite_systematic_sample, the reference's ROWID % k
+        rewrite, reference ml_optimizer.py:234-240): the kept subset is a
+        pure function of the data, so any engine rebuilds it bit-for-bit —
+        what makes an approximate answer oracle-checkable — and refresh
+        after appends is reproducible. The estimator treats the subset as
+        Bernoulli(1/k), sound when the hashed key is equidistributed mod k
+        (md5 is). ``key_expr`` must be a row-identity SQL expression
+        (e.g. a primary key cast to string)."""
+        if k < 2:
+            raise ValueError(f"systematic sample k={k} must be >= 2")
+        df = self.spark.table(table)
+        sample_table = f"{table}__sys_{k}"
+        path = os.path.join(self.samples_dir, sample_table)
+        pred = (
+            f"CONV(SUBSTRING(md5(CAST(({key_expr}) AS STRING)), 1, 8), 16, 10)"
+            f" % {k} = 0"
+        )
+        sampled = df.where(pred)
+        out, rows = self._materialize(sampled, table, sample_table, path)
+        base_rows = self.catalog.get_row_count(table)
+        if base_rows is None:
+            base_rows = df.count()
+            self.catalog.upsert_table_stats(table, base_rows)
+        info = SampleInfo(
+            table_name=table,
+            sample_table=sample_table,
+            # design fraction, exactly: the deterministic estimator is
+            # scale-by-k (the hash decides membership, not a draw whose
+            # achieved rate needs correcting)
+            sample_fraction=1.0 / k,
+            target_fraction=1.0 / k,
+            path=path,
+            allocation_type="systematic",
+            pps_key_expr=key_expr,
+            row_count=rows,
+            seed=0,
         )
         self.catalog.register_sample(info)
         self.catalog.save()
@@ -250,9 +340,7 @@ class Sampler:
         )
         sample_table = f"{table}__strat_sample_{name_tag}_{_fraction_tag(total_fraction)}"
         path = os.path.join(self.samples_dir, sample_table)
-        sampled.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
-        out.createOrReplaceTempView(sample_table)
+        out, _ = self._materialize(sampled, table, sample_table, path)
 
         # Post-hoc achieved-fraction correction (reference sampler.py:249-266):
         # recompute per-stratum achieved sizes in one pass and record the
@@ -371,10 +459,7 @@ class Sampler:
             u = F.rand(seed)
         sampled = df.withColumn("__p", p).filter(u < F.col("__p"))
         path = os.path.join(self.samples_dir, sample_table)
-        sampled.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
-        out.createOrReplaceTempView(sample_table)
-        rows = out.count()
+        out, rows = self._materialize(sampled, table, sample_table, path)
         self.catalog.upsert_table_stats(table, n)
         info = SampleInfo(
             table_name=table,
@@ -416,6 +501,12 @@ class Sampler:
                 info.target_fraction,
                 variance_col=info.variance_column,
                 seed=info.seed,
+            )
+        if info.allocation_type == "systematic":
+            return self.create_systematic_sample(
+                info.table_name,
+                round(1.0 / info.target_fraction),
+                info.pps_key_expr,
             )
         return self.create_uniform_sample(
             info.table_name, info.target_fraction, seed=info.seed

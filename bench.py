@@ -163,11 +163,12 @@ def main() -> None:
 
     last_result: dict = {}
 
-    def _run_engine(sql):
+    def _run_engine(sql, allow_exact=False):
         def go():
             r = eng.query(sql, max_rel_error=0.05, dual_execute=False)
             assert r["status"] == "ok", r.get("error")
-            assert r["plan"]["type"] != "exact", r["plan"]["reason"]
+            if not allow_exact:
+                assert r["plan"]["type"] != "exact", r["plan"]["reason"]
             last_result[sql] = r["result"]
 
         return go
@@ -203,7 +204,9 @@ def main() -> None:
     # rewritten scaled aggregates + CIs → collect
     for name, sql in exact_sqls.items():
         _safe(f"{name}_exact", _run_sql(spark, sql, exact_rows))
-        _safe(f"{name}_approx", _run_engine(sql))
+        # the bare-COUNT(*) class plans exact by design since round 6
+        # (metadata short-circuit, the r5 weak plan)
+        _safe(f"{name}_approx", _run_engine(sql, allow_exact=(name == "count")))
         _safe(f"{name}_tablesample", _run_sql(spark, _approx_sql(sql, f)))
 
     # ---- 50x-replicated tier -------------------------------------------
@@ -529,8 +532,14 @@ def main() -> None:
         else {}
     )
     for name, sql in sum200_sqls.items():
+        # count200 is a bare COUNT(*): since round 6 the planner
+        # short-circuits it to the free metadata-exact answer (the r5
+        # weak plan), so exact IS the expected plan for that class
         _safe(f"{name}_exact", _run_sql(spark, sql, exact_rows))
-        _safe(f"{name}_approx", _run_engine_rec(name, sql))
+        _safe(
+            f"{name}_approx",
+            _run_engine_rec(name, sql, require_approx=(name != "count200")),
+        )
 
     # ---- partition-layout routing tier ---------------------------------
     # events replicated 200x with ts intact: the SAME exact day-range
@@ -607,6 +616,104 @@ def main() -> None:
             last_result[route_sql] = r["result"]
 
         _safe("partition_route_approx", _routed)
+
+    # ---- approx-path routing (round 6, VERDICT r5 instruction 1) -------
+    # The same date-bounded query on the APPROX path: a deterministic
+    # 1-in-4 sample of events_big materialized FLAT vs DAY-PARTITIONED.
+    # Unrouted, the plan scans the whole flat sample (at 100 TB a 1%
+    # sample is ~1 TB); routed, it lists 5 of 30 bucket dirs of the
+    # partitioned sample. files_read measured for both variants.
+    sample_route_ok = False
+    route_sample_files: dict[str, dict] = {}
+    route_sample_plan_sql: dict[str, str] = {}
+    if route_ok:
+        sys_pred = (
+            "CONV(SUBSTRING(md5(CAST((event_id) AS STRING)), 1, 8), 16, 10)"
+            " % 4 = 0"
+        )
+        sys_flat = os.path.join(
+            big_dir, f"events_big_sys4_flat_v1_sf{_sf_from_dir(SF_DIR)}"
+        )
+        sys_part = os.path.join(
+            big_dir, f"events_big_sys4_part_v1_sf{_sf_from_dir(SF_DIR)}"
+        )
+        try:
+            if not os.path.exists(sys_flat):
+                ev_big.where(sys_pred).write.mode("overwrite").parquet(sys_flat)
+            if not os.path.exists(sys_part):
+                partition_by_time(
+                    ev_big.where(sys_pred), sys_part, "ts", grain="day"
+                )
+            from approximate_query_engine_spark.catalog import SampleInfo
+
+            flat_df = spark.read.parquet(sys_flat)
+            flat_df.createOrReplaceTempView("events_big__sys_4")
+            sys_rows = flat_df.count()
+            eng.catalog.register_sample(
+                SampleInfo(
+                    table_name="events_big",
+                    sample_table="events_big__sys_4",
+                    sample_fraction=0.25,
+                    target_fraction=0.25,
+                    path=sys_flat,
+                    allocation_type="systematic",
+                    pps_key_expr="event_id",
+                    row_count=sys_rows,
+                    seed=0,
+                )
+            )
+            sample_route_ok = True
+        except Exception as exc:  # noqa: BLE001 - setup failure isolation
+            bench_errors["route_sample_setup"] = (
+                f"{type(exc).__name__}: {exc}"[:300]
+            )
+    if sample_route_ok:
+
+        def _sample_route_run(tag: str, expect_routed: bool):
+            def go():
+                r = eng.query(route_sql, max_rel_error=0.5, dual_execute=False)
+                assert r["status"] == "ok", r.get("error")
+                assert r["plan"]["type"] == "sample", r["plan"]["reason"]
+                routed = (
+                    "routed to partitioned layout events_big__sys_4"
+                    in r["plan"]["reason"]
+                )
+                assert routed == expect_routed, r["plan"]["reason"]
+                plan_reasons[tag] = f"sample: {r['plan']['reason']}"
+                route_sample_plan_sql[tag] = r["plan"]["sql"]
+                last_result[f"{route_sql}#{tag}"] = r["result"]
+
+            return go
+
+        _safe("route_sample_flat", _sample_route_run("route_sample_flat", False))
+        # flip the sample to its partitioned materialization + arm routing
+        try:
+            read_partitioned(spark, sys_part).createOrReplaceTempView(
+                "events_big__sys_4"
+            )
+            eng.catalog.upsert_table_stats("events_big__sys_4", sys_rows)
+            eng.catalog.partitioned_views["events_big__sys_4"] = {
+                "view": "events_big__sys_4",
+                "path": sys_part,
+                "ts_col": "ts",
+                "grain": "day",
+                "partition_col": "p_bucket",
+                "built_row_count": sys_rows,
+            }
+            _safe(
+                "route_sample_pruned",
+                _sample_route_run("route_sample_pruned", True),
+            )
+            from approximate_query_engine_spark.operators.partitioning import (
+                scan_metrics,
+            )
+
+            for tag, psql in route_sample_plan_sql.items():
+                route_sample_files[tag] = scan_metrics(spark.sql(psql))
+        except Exception as exc:  # noqa: BLE001
+            bench_errors["route_sample_pruned"] = (
+                f"{type(exc).__name__}: {exc}"[:300]
+            )
 
     _safe(
         "distinct_exact",
@@ -1060,6 +1167,17 @@ def main() -> None:
         speedups["partition_route"] = timings[
             "partition_route_exact"
         ] / max(timings["partition_route_approx"], 1e-9)
+    if "route_sample_flat" in timings and "route_sample_pruned" in timings:
+        # pruning benefit WITHIN the approx path (flat sample scan vs
+        # bucket-pruned sample scan, same plan otherwise)
+        speedups["partition_route_sample"] = timings[
+            "route_sample_flat"
+        ] / max(timings["route_sample_pruned"], 1e-9)
+    if "partition_route_exact" in timings and "route_sample_pruned" in timings:
+        # end-to-end: exact flat scan vs routed approx (sample + pruning)
+        speedups["route_sample_vs_exact"] = timings[
+            "partition_route_exact"
+        ] / max(timings["route_sample_pruned"], 1e-9)
 
     errors = {}
     for name, sql in {
@@ -1092,6 +1210,11 @@ def main() -> None:
         )
         if e is not None:
             errors["partition_route"] = round(e, 4)
+    pruned_est = last_result.get(f"{route_sql}#route_sample_pruned")
+    if pruned_est:
+        e = measured_relative_error(pruned_est, exact_rows.get(route_sql))
+        if e is not None:
+            errors["partition_route_sample"] = round(e, 4)
 
     # ---- tier report ----------------------------------------------------
     # The BASELINE-comparable regime is the big tier: at sf0.1 both sides of
@@ -1104,6 +1227,7 @@ def main() -> None:
     std_classes = list(exact_sqls) + ["distinct"]
     big_classes = list(big_sqls) + list(big_distinct_sqls) + [
         "big_join", "big_join_sql", "partition_route",
+        "partition_route_sample", "route_sample_vs_exact",
     ] + list(extra_class_sqls)
     sum200_classes = list(sum200_sqls)
     tiers = {
@@ -1183,6 +1307,9 @@ def main() -> None:
         },
         "tiers": tiers,
         "plan_reasons": plan_reasons,
+        # measured pruning evidence for the approx-path routing class:
+        # files_read/partitions_read of the flat vs pruned sample scan
+        "route_sample_files": route_sample_files,
         "distinct_crossover": distinct_crossover,
         "stratified_vs_uniform": strat_block,
         "ml_stats": ml_block,

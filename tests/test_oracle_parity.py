@@ -142,6 +142,9 @@ def test_check_window_ordering():
         "q25_lang_dist": "q66_corpus_prepare",
         # grouped form of the in-window top-k heavy-hitter family
         "q87_grouped_topk": "q84_heavy_hitters",
+        # round-6 approx-path routing extends the in-window q86 family
+        # (rotates into the window with the round-6 rotation)
+        "q88_partition_routing_approx": "q86_partition_routing",
     }
     for name in names[50:]:
         if name in oracled:
