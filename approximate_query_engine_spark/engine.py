@@ -461,10 +461,13 @@ class AQEngine:
         max_age_sec: float | None = None,
         refresh_stats: bool = True,
         dry_run: bool = False,
+        compact_files_over: int | None = None,
     ) -> dict:
         """Apply the sample/sketch freshness policies (maintenance.py):
         rebuild artifacts whose base table drifted past ``max_drift`` (or
-        aged past ``max_age_sec``)."""
+        aged past ``max_age_sec``); with ``compact_files_over`` set, also
+        compact partitioned-layout buckets fragmented past that many files
+        (streaming appends a file per micro-batch)."""
         from approximate_query_engine_spark.maintenance import run_maintenance
 
         return run_maintenance(
@@ -473,6 +476,7 @@ class AQEngine:
             max_age_sec=max_age_sec,
             refresh_stats=refresh_stats,
             dry_run=dry_run,
+            compact_files_over=compact_files_over,
         )
 
     def partition_table(

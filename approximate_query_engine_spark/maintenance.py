@@ -62,12 +62,17 @@ def run_maintenance(
     max_age_sec: float | None = None,
     refresh_stats: bool = True,
     dry_run: bool = False,
+    compact_files_over: int | None = None,
 ) -> dict[str, Any]:
     """Apply the drift/age policies to every cataloged sample and sketch.
 
     ``refresh_stats``: re-count each distinct base table once up front so
     drift is measured against reality, not stale stats. ``dry_run`` reports
     what WOULD refresh without running any rebuild.
+    ``compact_files_over``: when set, every registered partitioned layout
+    whose bucket directories hold more than this many data files gets
+    compacted to one file per bucket (streaming appends a file per
+    micro-batch — see operators.partitioning.compact_partition_layout).
     """
     catalog = engine.catalog
     report = MaintenanceReport()
@@ -194,6 +199,14 @@ def run_maintenance(
         current = catalog.get_row_count(table)
         drift = _drift(info.get("built_row_count"), current)
         label = f"{table}:partitioned[{info['view']}]"
+        if info["view"] == table:
+            # a SAMPLE's own partitioned materialization (view == table,
+            # sampler._materialize): its freshness is the sample refresh
+            # policy's job above — re-materializing re-arms this entry.
+            # Rebuilding via partition_table here would derive a
+            # layout-of-a-sample under a different view name.
+            report.fresh.append(f"{label} (sample-backed)")
+            continue
         if drift is None and not current:
             report.unknown.append(label)
             continue
@@ -220,6 +233,53 @@ def run_maintenance(
                 report.errors.append({"layout": table, "error": str(exc)[:200]})
                 continue
         report.refreshed.append(action)
+
+    # ---- layout compaction (streaming-fed fragmentation) ---------------
+    # A file per micro-batch accretes into thousands of small files per
+    # bucket; compaction rewrites only the over-threshold buckets (see
+    # compact_partition_layout — staged + dynamic-overwrite swap, content
+    # unchanged, registered views survive).
+    if compact_files_over is not None:
+        from approximate_query_engine_spark.operators.partitioning import (
+            compact_partition_layout,
+        )
+
+        for table, info in sorted(catalog.partitioned_views.items()):
+            try:
+                stats = compact_partition_layout(
+                    engine.spark,
+                    info["path"],
+                    max_files_per_bucket=compact_files_over,
+                    partition_col=info.get("partition_col", "p_bucket"),
+                    dry_run=dry_run,
+                )
+            except Exception as exc:
+                report.errors.append(
+                    {"compaction": info["view"], "error": str(exc)[:200]}
+                )
+                continue
+            if stats["compacted_buckets"]:
+                if not dry_run:
+                    # a temp view registered over the layout pinned the
+                    # pre-compaction file listing — re-register it so the
+                    # next read lists the rewritten buckets
+                    try:
+                        engine.spark.read.parquet(
+                            info["path"]
+                        ).createOrReplaceTempView(info["view"])
+                    except Exception as exc:
+                        report.errors.append(
+                            {"compaction": info["view"], "error": str(exc)[:200]}
+                        )
+                report.refreshed.append(
+                    {
+                        "kind": "layout_compaction",
+                        "table": table,
+                        "view": info["view"],
+                        **stats,
+                        "dry_run": dry_run,
+                    }
+                )
 
     # ---- analyze stats (column min/max, histograms, string ndv) --------
     # Stale column stats don't return wrong ANSWERS (selectivity only

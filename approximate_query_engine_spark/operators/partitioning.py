@@ -140,7 +140,94 @@ def refresh_partition_layout(
         .partitionBy(partition_col)
         .parquet(path)
     )
+    # views registered over the layout cached the replaced buckets' file
+    # listing — invalidate so their next read re-lists
+    spark.catalog.refreshByPath(path)
     return read_partitioned(spark, path)
+
+
+def compact_partition_layout(
+    spark: SparkSession,
+    path: str,
+    max_files_per_bucket: int = 8,
+    partition_col: str = "p_bucket",
+    dry_run: bool = False,
+) -> dict:
+    """Rewrite bucket directories whose data-file count exceeds
+    ``max_files_per_bucket`` down to one file per bucket.
+
+    Streaming ingestion (streaming.stream_to_partitioned_layout) appends
+    a file per micro-batch; continuous ingestion fragments the layout —
+    thousands of small files per bucket kill both the listing step and
+    the scan at 100 TB scale. Only the over-threshold buckets are read
+    and rewritten (years of already-compact history are untouched):
+    their rows are shuffled one-task-per-bucket (``repartition`` on the
+    partition column), staged to a temp directory, then swapped in via
+    the same dynamic partition overwrite :func:`refresh_partition_layout`
+    uses — readers never see a half-written bucket. Row content is
+    unchanged; registered views over ``path`` survive (they re-list files
+    per query). Returns ``{"compacted_buckets", "files_before",
+    "files_after"}``.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    root = hadoop_path(path)
+    fs = root.getFileSystem(conf)
+    prefix = f"{partition_col}="
+
+    def _bucket_files() -> dict[str, int]:
+        out = {}
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not status.isDirectory() or not name.startswith(prefix):
+                continue
+            out[name[len(prefix):]] = sum(
+                1
+                for f in fs.listStatus(status.getPath())
+                if f.isFile()
+                and not f.getPath().getName().startswith(("_", "."))
+            )
+        return out
+
+    before = _bucket_files()
+    files_before = sum(before.values())
+    over = [b for b, n in before.items() if n > max_files_per_bucket]
+    if not over or dry_run:
+        return {
+            "compacted_buckets": 0 if not dry_run else len(over),
+            "files_before": files_before,
+            "files_after": files_before,
+            **({"dry_run": True} if dry_run else {}),
+        }
+    tmp = path.rstrip("/") + "__compact_tmp"
+    # isin with strings covers both inferred partition types (day buckets
+    # read back as DATE, month/year as STRING)
+    fragmented = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(over)
+    )
+    (
+        fragmented.repartition(partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    (
+        spark.read.parquet(tmp)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    fs.delete(hadoop_path(tmp), True)
+    # registered views hold an InMemoryFileIndex snapshot of the OLD
+    # files — invalidate it or their next read hits FILE_NOT_EXIST
+    spark.catalog.refreshByPath(path)
+    return {
+        "compacted_buckets": len(over),
+        "files_before": files_before,
+        "files_after": sum(_bucket_files().values()),
+    }
 
 
 def scan_metrics(df: DataFrame) -> dict:

@@ -190,3 +190,85 @@ def test_unmeasurable_artifact_reported_unknown(meng):
         a["kind"] == "sketch" and "no build-time baseline" in a["reason"]
         for a in rep2["refreshed"]
     )
+
+
+def test_layout_compaction_defragments_streamed_buckets(meng, spark, tmp_path):
+    """Round-6 (VERDICT r5 instruction 5): micro-batch appends fragment a
+    layout into many small files per bucket; maintenance with
+    ``compact_files_over`` rewrites ONLY the over-threshold buckets down
+    to one file each — file count drops, content hash unchanged, the
+    registered view survives, already-compact buckets keep their files
+    untouched."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.operators.partitioning import (
+        compact_partition_layout,
+        partition_by_time,
+    )
+
+    path = str(tmp_path / "frag_layout")
+    ev = spark.table("events").withColumn(
+        "value", F.col("value").cast("double")
+    )
+    day2 = ev.filter(F.date_format("ts", "yyyy-MM-dd") == "2024-01-02")
+    partition_by_time(ev, path, "ts", grain="day")
+    # five micro-batch-style appends into one bucket
+    for _ in range(5):
+        (
+            day2.withColumn(
+                "p_bucket", F.date_format(F.col("ts"), "yyyy-MM-dd")
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("p_bucket")
+            .parquet(path)
+        )
+
+    def bucket_files(day):
+        return [
+            p
+            for p in glob.glob(f"{path}/p_bucket={day}/*")
+            if not os.path.basename(p).startswith(("_", "."))
+        ]
+
+    assert len(bucket_files("2024-01-02")) >= 6
+    other_before = bucket_files("2024-01-03")
+    view = "frag_layout_view"
+    spark.read.parquet(path).createOrReplaceTempView(view)
+    content_before = sorted(
+        map(tuple, spark.table(view).drop("p_bucket").collect())
+    )
+    meng.catalog.partitioned_views["frag_base"] = {
+        "view": view,
+        "path": path,
+        "ts_col": "ts",
+        "grain": "day",
+        "partition_col": "p_bucket",
+        "built_row_count": len(content_before),
+    }
+    # dry run reports, touches nothing
+    rep0 = meng.maintain(
+        refresh_stats=False, dry_run=True, compact_files_over=3
+    )
+    acts = [a for a in rep0["refreshed"] if a["kind"] == "layout_compaction"]
+    assert acts and acts[0]["dry_run"] and acts[0]["compacted_buckets"] == 1
+    assert len(bucket_files("2024-01-02")) >= 6
+    # real run: fragmented bucket → 1 file; compact buckets untouched
+    rep = meng.maintain(
+        refresh_stats=False, dry_run=False, compact_files_over=3
+    )
+    acts = [a for a in rep["refreshed"] if a["kind"] == "layout_compaction"]
+    assert acts and acts[0]["compacted_buckets"] == 1
+    assert acts[0]["files_after"] < acts[0]["files_before"]
+    assert len(bucket_files("2024-01-02")) == 1
+    assert bucket_files("2024-01-03") == other_before
+    content_after = sorted(
+        map(tuple, spark.table(view).drop("p_bucket").collect())
+    )
+    assert content_after == content_before
+    # idempotent: a second pass finds nothing over threshold
+    again = compact_partition_layout(spark, path, max_files_per_bucket=3)
+    assert again["compacted_buckets"] == 0
