@@ -1011,6 +1011,78 @@ _ROUTING_ORACLE = (
 )
 
 
+#: deterministic Zipf-ish item column (head item holds ~50% of the mass,
+#: ~sqrt-many distinct values): item = floor(M / (1 + u)) with u an
+#: md5-hash uniform draw over [0, M) — the hash makes u uniform at EVERY
+#: SF (raw keys are range-limited at small SFs), so the over-budget
+#: heavy-hitter regime holds without synthesizing data
+_TOPK_BOUNDS_ITEM = (
+    "CAST(FLOOR(100000 / (1 + (CONV(SUBSTRING(md5(CONCAT("
+    "CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING)"
+    ")), 1, 8), 16, 10) % 100000))) AS BIGINT)"
+)
+
+
+def _q_grouped_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped heavy hitters with DETERMINISTIC error bounds in the
+    over-budget regime (round 6, VERDICT r5 instruction 6): ndv of the
+    Zipf item column (~hundreds) exceeds max_items_tracked=64, so
+    ``grouped_top_k(with_bounds=True)`` reports the DataSketches
+    frequent-items a-priori bound cnt_err = ceil(3.5·n/64) per group and
+    [cnt_lb, cnt_ub] intervals. Checked here AGAINST EXACT COUNTS
+    computed in the same job: every returned item's true count lies
+    inside its interval (bound_violations = 0) and every
+    ``guaranteed_rank`` item really is in the true top-k
+    (guarantee_violations = 0); the oracle pins those invariants plus
+    k_returned per group."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.sketches import grouped_top_k
+
+    _prep(spark, sf_dir)
+    df = spark.table("lineitem").selectExpr(
+        "l_returnflag AS grp", f"{_TOPK_BOUNDS_ITEM} AS itm"
+    )
+    tk = grouped_top_k(
+        df, "grp", "itm", k=3, max_items_tracked=64, with_bounds=True
+    )
+    exact = df.groupBy(
+        "grp", F.col("itm").cast("string").alias("item")
+    ).agg(F.count(F.lit(1)).alias("true_cnt"))
+    w = Window.partitionBy("grp").orderBy(F.desc("true_cnt"), F.asc("item"))
+    truth = exact.withColumn("trank", F.row_number().over(w))
+    j = tk.join(truth, on=["grp", "item"], how="left")
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("k_returned"),
+            F.sum(
+                F.when(
+                    F.col("true_cnt").isNull()
+                    | (F.col("true_cnt") < F.col("cnt_lb"))
+                    | (F.col("true_cnt") > F.col("cnt_ub")),
+                    1,
+                ).otherwise(0)
+            ).alias("bound_violations"),
+            F.sum(
+                F.when(
+                    F.col("guaranteed_rank") & (F.col("trank") > 3), 1
+                ).otherwise(0)
+            ).alias("guarantee_violations"),
+        )
+        .orderBy("grp")
+    )
+
+
+_TOPK_BOUNDS_ORACLE = (
+    "SELECT l_returnflag AS grp, CAST(3 AS BIGINT) AS k_returned, "
+    "CAST(0 AS BIGINT) AS bound_violations, "
+    "CAST(0 AS BIGINT) AS guarantee_violations "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY grp"
+)
+
+
 def _q_rollup_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate rollup: materialize hourly buckets of events,
     then answer a DAILY query from the rollup only (operators/rollup.py).
@@ -2641,6 +2713,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: TF-IDF).  Late round 5: q86 (partition-layout routing through the
 #: engine — the round's new operator family) took q25's slot
 #: (language-ID runs inside the in-window q66 corpus chain).
+#: Round-6 rotation (VERDICT r5 instruction 7): the round's new surfaces
+#: — q88 approx-path routing, q89 grouped top-k error bounds — plus the
+#: out-of-window oracled q85 (partitioned scan) and q87 (per-group
+#: top-k) moved INTO the window; retired in exchange were four slots
+#: whose component families keep other in-window rows: q18 (events JSON
+#: scalar funcs — q11 scan + q44 scalar-func family), q27 (fingerprint —
+#: feeds the in-window q69 exact dedup; text family keeps q24/q66/q67),
+#: q65 (GROUPING SETS — grouping family keeps q74/q15/q51), q75
+#: (anti/semi join — join family keeps q13/q46/q53/q83).
 #: Everything NOT in this list still registers, after the window, and
 #: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
@@ -2648,10 +2729,10 @@ _CHECK_WINDOW_ORDER = [
     "q11_tpch_q1",
     "q13_join_fact",
     "q15_window_top_order",
-    "q18_events_json",
+    "q85_partitioned_scan",
     "q24_doc_stats",
     "q86_partition_routing",
-    "q27_fingerprint",
+    "q88_partition_routing_approx",
     "q28_ann_topk",
     "q44_string_funcs",
     "q47_pps_sum",
@@ -2668,7 +2749,7 @@ _CHECK_WINDOW_ORDER = [
     "q61_funnel",
     "q62_stream_sessions",
     "q64_retention",
-    "q65_grouping_sets",
+    "q87_grouped_topk",
     "q66_corpus_prepare",
     "q67_repetition",
     "q68_bottomk_sample",
@@ -2678,7 +2759,7 @@ _CHECK_WINDOW_ORDER = [
     "q72_token_budget",
     "q73_minmax_distinct",
     "q74_group_sum_having",
-    "q75_anti_semi_join",
+    "q89_grouped_topk_bounds",
     "q76_sample_group_ci",
     "q32_minhash_pairs",
     "q33_simhash_pairs",
@@ -2761,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q86_partition_routing"] = _q_partition_routing
     out["q87_grouped_topk"] = _q_grouped_topk
     out["q88_partition_routing_approx"] = _q_partition_routing_approx
+    out["q89_grouped_topk_bounds"] = _q_grouped_topk_bounds
     return _reorder_check_window(out)
 
 
@@ -2810,5 +2892,6 @@ def oracle_sql() -> dict[str, str]:
     out["q86_partition_routing"] = _ROUTING_ORACLE
     out["q87_grouped_topk"] = _GROUPED_TOPK_ORACLE
     out["q88_partition_routing_approx"] = _ROUTING_APPROX_ORACLE
+    out["q89_grouped_topk_bounds"] = _TOPK_BOUNDS_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

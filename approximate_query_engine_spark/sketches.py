@@ -502,6 +502,7 @@ def grouped_top_k(
     k: int,
     max_items_tracked: int = 10_000,
     candidate_k: int | None = None,
+    with_bounds: bool = False,
 ):
     """Per-GROUP heavy hitters: ``approx_top_k`` partial-aggregates
     map-side with O(max_items_tracked) state per group per partial —
@@ -517,6 +518,24 @@ def grouped_top_k(
     does). The reference has no grouped form at all (its top-k endpoint
     is single-column, reference sketches.py); this is the shape corpus
     work needs (top domains per language, top dup-clusters per source).
+
+    ``with_bounds=True`` (round 6) appends DETERMINISTIC error-bound
+    columns for the over-budget regime — at corpus scale a group's ndv
+    will exceed any tracked budget. Spark's ``approx_top_k`` is backed by
+    the DataSketches frequent-items ``ItemsSketch`` (Misra–Gries family;
+    spark-catalyst ``aggregate.ApproxTopK`` constructs
+    ``org.apache.datasketches.frequencies.ItemsSketch``), whose published
+    a-priori guarantee is ``|estimate − true| ≤ 3.5·n/mapSize`` with
+    ``mapSize ≥ max_items_tracked``. Columns:
+
+    - ``cnt_err``: the bound above (0 when the group's distinct items
+      provably fit the tracked budget — no purge can occur in any
+      partial, so every count is exact);
+    - ``cnt_lb`` / ``cnt_ub``: ``max(cnt − cnt_err, 0)`` / ``cnt +
+      cnt_err`` — the true count is inside ``[cnt_lb, cnt_ub]``;
+    - ``guaranteed_rank``: true when the item is PROVABLY in the true
+      top-k — its lower bound exceeds the (k+1)-th candidate's upper
+      bound (or the group has no (k+1)-th item at all).
     """
     from pyspark.sql import Window
 
@@ -526,28 +545,71 @@ def grouped_top_k(
             max_items_tracked,
         )
     )
+    aggs = [
+        F.expr(
+            f"approx_top_k(`{item_col}`, {inner_k}, "
+            f"{int(max_items_tracked)})"
+        ).alias("tk")
+    ]
+    if with_bounds:
+        aggs += [
+            F.count(F.col(item_col)).alias("__n"),
+            # conservative ndv probe for the exactness flag: rsd 0.02,
+            # and the fit test below still leaves a 1.25x margin
+            F.expr(f"approx_count_distinct(`{item_col}`, 0.02)").alias(
+                "__ndv"
+            ),
+        ]
     per_group = (
-        df.where(F.col(item_col).isNotNull())
-        .groupBy(group_col)
-        .agg(
-            F.expr(
-                f"approx_top_k(`{item_col}`, {inner_k}, "
-                f"{int(max_items_tracked)})"
-            ).alias("tk")
-        )
+        df.where(F.col(item_col).isNotNull()).groupBy(group_col).agg(*aggs)
     )
+    carry = ["__n", "__ndv"] if with_bounds else []
     exploded = per_group.select(
-        group_col, F.explode("tk").alias("e")
+        group_col, F.explode("tk").alias("e"), *carry
     ).select(
         group_col,
         F.col("e.item").cast("string").alias("item"),
         F.col("e.count").alias("cnt"),
+        *carry,
     )
     w = Window.partitionBy(group_col).orderBy(
         F.desc("cnt"), F.asc("item")
     )
+    ranked = exploded.withColumn("rank", F.row_number().over(w))
+    if not with_bounds:
+        return ranked.where(F.col("rank") <= k).orderBy(group_col, "rank")
+    err = F.when(
+        # no purge is possible when every partial tracks every distinct
+        # item; 0.8 margin absorbs the ndv probe's own error
+        F.col("__ndv") <= 0.8 * max_items_tracked,
+        F.lit(0),
+    ).otherwise(F.ceil(3.5 * F.col("__n") / F.lit(max_items_tracked)))
+    ranked = ranked.withColumn("cnt_err", err.cast("long"))
+    # the (k+1)-th CANDIDATE's count, visible to every row of the group
+    # (inner_k > k by construction unless capped by the budget)
+    nxt = F.max(
+        F.when(F.col("rank") == k + 1, F.col("cnt"))
+    ).over(Window.partitionBy(group_col))
     return (
-        exploded.withColumn("rank", F.row_number().over(w))
+        ranked.withColumn("__nxt", nxt)
         .where(F.col("rank") <= k)
+        .select(
+            group_col,
+            "item",
+            "cnt",
+            "rank",
+            "cnt_err",
+            F.greatest(F.col("cnt") - F.col("cnt_err"), F.lit(0)).alias(
+                "cnt_lb"
+            ),
+            (F.col("cnt") + F.col("cnt_err")).alias("cnt_ub"),
+            (
+                F.col("__nxt").isNull()
+                | (
+                    F.col("cnt") - F.col("cnt_err")
+                    > F.col("__nxt") + F.col("cnt_err")
+                )
+            ).alias("guaranteed_rank"),
+        )
         .orderBy(group_col, "rank")
     )

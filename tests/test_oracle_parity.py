@@ -114,9 +114,9 @@ def test_check_window_ordering():
         "q38_part_stats": "q74_group_sum_having",
         "q39_customer_segments": "q74_group_sum_having",
         "q40_region_revenue": "q13_join_fact",
-        "q41_rollup": "q65_grouping_sets",
-        "q42_anti_join": "q75_anti_semi_join",
-        "q43_semi_join": "q75_anti_semi_join",
+        "q41_rollup": "q74_group_sum_having",
+        "q42_anti_join": "q13_join_fact",
+        "q43_semi_join": "q13_join_fact",
         "q45_date_funcs": "q44_string_funcs",
         # upgraded from rows-only to oracled in round 4 (portable
         # hyperplane-fold oracle); its component family is in-window
@@ -127,24 +127,22 @@ def test_check_window_ordering():
         # family representative.
         "q09_topk": "q15_window_top_order",
         "q16_setop": "q11_tpch_q1",  # plain pass-through SQL family
-        "q17_events_hour": "q18_events_json",
+        "q17_events_hour": "q35_stream_window",  # events time-agg family
         "q19_case_agg": "q11_tpch_q1",  # exact scalar-agg pass-through
         "q26_dedup_exact_docs": "q69_dedup_keep_best",
         "q29_percentiles": "q81_quantile_aqp",
         "q58_doc_frequency": "q59_tfidf",
         "q63_approx_join": "q83_join_aqp",
-        # round-5 storage-layout family: q86 (engine-routed, BETWEEN
-        # bucket derivation, layout build) is the strict superset of
-        # q85's direct partitioned scan and holds the window slot;
         # q25's language-ID runs inside the in-window q66 corpus chain
         # (reject_reason uses lang + quality components)
-        "q85_partitioned_scan": "q86_partition_routing",
         "q25_lang_dist": "q66_corpus_prepare",
-        # grouped form of the in-window top-k heavy-hitter family
-        "q87_grouped_topk": "q84_heavy_hitters",
-        # round-6 approx-path routing extends the in-window q86 family
-        # (rotates into the window with the round-6 rotation)
-        "q88_partition_routing_approx": "q86_partition_routing",
+        # round-6 rotation (VERDICT r5 instruction 7): q85/q87/q88/q89
+        # moved INTO the window; these four redundant slots moved out,
+        # each with an in-window family representative.
+        "q18_events_json": "q44_string_funcs",  # scalar funcs over a scan
+        "q27_fingerprint": "q69_dedup_keep_best",  # fingerprint -> dedup
+        "q65_grouping_sets": "q74_group_sum_having",
+        "q75_anti_semi_join": "q13_join_fact",
     }
     for name in names[50:]:
         if name in oracled:

@@ -204,3 +204,74 @@ def test_grouped_top_k_matches_exact(spark, engine):
         )
     ]
     assert got == want and len(got) >= 9
+
+
+def test_grouped_topk_bounds_over_budget(spark, engine):
+    """with_bounds=True in the OVER-BUDGET regime (ndv >> tracked
+    budget): every returned item's true count lies inside
+    [cnt_lb, cnt_ub] (DataSketches frequent-items a-priori bound
+    3.5·n/m), guaranteed_rank items are provably in the true top-k, and
+    in the UNDER-budget regime cnt_err collapses to 0 with exact
+    counts."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.sketches import grouped_top_k
+
+    df = spark.table("lineitem").selectExpr(
+        "l_returnflag AS grp",
+        "CAST(FLOOR(100000 / (1 + (CONV(SUBSTRING(md5(CONCAT("
+        "CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING)"
+        ")), 1, 8), 16, 10) % 100000))) AS BIGINT) AS itm",
+    )
+    rows = grouped_top_k(
+        df, "grp", "itm", k=3, max_items_tracked=64, with_bounds=True
+    ).collect()
+    assert len(rows) == 9  # 3 groups x k=3
+    exact = {
+        (r["grp"], str(r["itm"])): r["cnt"]
+        for r in df.groupBy("grp", "itm").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    per = collections.defaultdict(list)
+    for (g, i), c in exact.items():
+        per[g].append((c, i))
+    true_top = {
+        g: {i for c, i in sorted(v, key=lambda t: (-t[0], t[1]))[:3]}
+        for g, v in per.items()
+    }
+    for r in rows:
+        true_cnt = exact[(r["grp"], r["item"])]
+        assert r["cnt_err"] > 0  # over-budget: bounds are non-trivial
+        assert r["cnt_lb"] <= true_cnt <= r["cnt_ub"], r
+        if r["guaranteed_rank"]:
+            assert r["item"] in true_top[r["grp"]], r
+    # the heavy head (~50% of mass) must be PROVABLY rank 1
+    assert all(r["guaranteed_rank"] for r in rows if r["rank"] == 1)
+    # under-budget regime: ndv(l_linestatus)=2 << 64 -> exact, err 0
+    exact_rows = grouped_top_k(
+        spark.table("lineitem"),
+        "l_returnflag",
+        "l_linestatus",
+        k=2,
+        max_items_tracked=64,
+        with_bounds=True,
+    ).collect()
+    truth2 = {
+        (r["l_returnflag"], r["l_linestatus"]): r["c"]
+        for r in spark.sql(
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS c "
+            "FROM lineitem GROUP BY 1, 2"
+        ).collect()
+    }
+    for r in exact_rows:
+        assert r["cnt_err"] == 0
+        assert r["cnt_lb"] == r["cnt"] == r["cnt_ub"]
+        assert r["cnt"] == truth2[(r["l_returnflag"], r["item"])]
+    # with_bounds=False keeps the original 5-column schema (q87 contract)
+    plain = grouped_top_k(
+        spark.table("lineitem"), "l_returnflag", "l_linestatus", k=2
+    )
+    assert plain.columns == ["l_returnflag", "item", "cnt", "rank"]
