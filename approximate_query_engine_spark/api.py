@@ -124,6 +124,22 @@ def create_app(engine: AQEngine, config: Config | None = None):
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500
 
+    @app.post("/samples/systematic")
+    def samples_systematic():
+        """Materialized deterministic 1-in-k sample (round 6): md5-keyed
+        membership, exact design fraction — engine-reproducible, and
+        bucket-partitioned when the base table has a registered layout."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            out = engine.create_systematic_sample(
+                body["table"], int(body["k"]), body["key_expr"]
+            )
+            return jsonify(out)
+        except (KeyError, ValueError, TypeError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
     @app.post("/samples/stratified")
     def samples_stratified():
         body = request.get_json(force=True, silent=True) or {}
@@ -228,6 +244,11 @@ def create_app(engine: AQEngine, config: Config | None = None):
                     float(body["max_age_sec"]) if "max_age_sec" in body else None
                 ),
                 dry_run=bool(body.get("dry_run", False)),
+                compact_files_over=(
+                    int(body["compact_files_over"])
+                    if "compact_files_over" in body
+                    else None
+                ),
             )
         )
 

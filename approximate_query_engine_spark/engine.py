@@ -230,6 +230,20 @@ class AQEngine:
         info = self.sampler.create_uniform_sample(table, fraction, seed)
         return {"sample_table": info.sample_table, "rows": info.row_count}
 
+    def create_systematic_sample(
+        self, table: str, k: int, key_expr: str
+    ) -> dict:
+        """Materialized deterministic 1-in-``k`` sample (round 6): md5
+        hash of ``key_expr`` decides membership, registered at the exact
+        design fraction — any engine reproduces the subset bit-for-bit
+        (sampler.create_systematic_sample)."""
+        info = self.sampler.create_systematic_sample(table, k, key_expr)
+        return {
+            "sample_table": info.sample_table,
+            "rows": info.row_count,
+            "fraction": info.sample_fraction,
+        }
+
     def create_stratified_sample(
         self,
         table: str,
@@ -485,6 +499,7 @@ class AQEngine:
         ts_col: str,
         grain: str = "day",
         name: str | None = None,
+        refresh_samples: bool = True,
     ) -> dict:
         """Materialize ``table`` as TIME-PARTITIONED parquet under the
         catalog workdir and register the layout as a queryable view
@@ -526,12 +541,27 @@ class AQEngine:
             "built_row_count": int(row["__n"]),
         }
         self.catalog.save()
+        # samples built BEFORE the layout existed are flat parquet and
+        # can't route; re-materializing through the sampler rebuilds each
+        # bucket-partitioned (identical subsets: seeded df.sample and the
+        # md5 predicates are deterministic over the same base data). Cost
+        # is one base scan per sample — small next to the full-table
+        # layout rewrite above. Opt out with refresh_samples=False.
+        repartitioned = []
+        if refresh_samples:
+            for s in list(self.catalog.samples_for_table(table)):
+                try:
+                    self.sampler.refresh_sample(s.sample_table)
+                    repartitioned.append(s.sample_table)
+                except Exception:
+                    continue  # a broken sample must not fail the layout
         return {
             "table": out_name,
             "path": path,
             "grain": grain,
             "partition_col": "p_bucket",
             "partitions": int(row["__p"]),
+            "samples_partitioned": repartitioned,
         }
 
     def _route_partitioned(self, sql: str) -> tuple[str, str] | None:

@@ -320,6 +320,16 @@ def main() -> None:
                 "SELECT SUM(l_extendedprice * (1 - l_discount)) AS rev "
                 "FROM lineitem_big WHERE l_returnflag IN ('A', 'N')"
             ),
+            # parenthesized AND-group (the routine BI-generated shape):
+            # flatten_and_parens (round 6) strips the safe parens so the
+            # clause still prices from the date histogram x MCV stats
+            # instead of falling to the flat 0.3 guess
+            "big_where_paren": (
+                "SELECT SUM(l_extendedprice * (1 - l_discount)) AS rev "
+                "FROM lineitem_big WHERE (l_shipdate >= DATE '1994-01-01' "
+                "AND l_shipdate <= DATE '1996-06-30') "
+                "AND l_returnflag IN ('A', 'N')"
+            ),
         }
         if big_ok
         else {}

@@ -227,3 +227,28 @@ def test_tables_analyze_route(client):
     assert 1.0 <= lo < hi <= 50.0
     r2 = client.post("/tables/analyze", json={})
     assert r2.status_code == 400
+
+
+def test_samples_systematic_route(client):
+    """POST /samples/systematic: deterministic md5 1-in-k sample through
+    HTTP — exact design fraction, plus the 400 envelope on bad input."""
+    out = client.post(
+        "/samples/systematic",
+        json={"table": "orders", "k": 4, "key_expr": "o_orderkey"},
+    ).get_json()
+    assert out["sample_table"] == "orders__sys_4"
+    assert out["fraction"] == 0.25 and out["rows"] > 0
+    bad = client.post(
+        "/samples/systematic", json={"table": "orders", "k": 1}
+    )
+    assert bad.status_code == 400
+
+
+def test_maintenance_compaction_param(client):
+    """POST /maintenance/run forwards compact_files_over (dry run: report
+    only, no rewrites)."""
+    out = client.post(
+        "/maintenance/run",
+        json={"dry_run": True, "compact_files_over": 8},
+    ).get_json()
+    assert "refreshed" in out and "errors" in out

@@ -456,3 +456,44 @@ def test_partition_routing_for_approx_plans(spark):
     assert "routed to partitioned layout events__sample_0_5" in (
         r6["plan"]["reason"]
     ), r6["plan"]["reason"]
+
+
+def test_partition_table_repartitions_existing_samples(spark):
+    """A sample built BEFORE the layout existed is flat parquet and
+    cannot route; engine.partition_table re-materializes the table's
+    samples bucket-partitioned (same deterministic subset), so
+    pre-existing samples route too."""
+    import glob
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_prepart_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    info = eng.sampler.create_systematic_sample("events", 4, "event_id")
+    before = sorted(
+        map(tuple, spark.table(info.sample_table).collect())
+    )
+    assert not glob.glob(info.path + "/p_bucket=*")  # flat before
+    out = eng.partition_table("events", "ts", grain="day")
+    assert info.sample_table in out["samples_partitioned"]
+    assert len(glob.glob(info.path + "/p_bucket=*")) >= 25
+    after = sorted(
+        map(
+            tuple,
+            spark.table(info.sample_table).drop("p_bucket").collect(),
+        )
+    )
+    assert after == before  # identical subset, just re-laid-out
+    r = eng.query(
+        "SELECT COUNT(*) AS n FROM events "
+        "WHERE ts <= TIMESTAMP '2024-01-05 00:00:00'",
+        max_rel_error=0.5,
+    )
+    assert r["plan"]["type"] == "sample"
+    assert "routed to partitioned layout events__sys_4" in (
+        r["plan"]["reason"]
+    ), r["plan"]["reason"]
