@@ -374,7 +374,13 @@ class SketchManager:
             .agg(
                 F.expr(
                     f"approx_top_k(`{column}`, {k}, {tracked})"
-                ).alias("tk")
+                ).alias("tk"),
+                # build-time row/ndv stats ride along in the SAME pass so
+                # the read path can serve error bounds without a rescan
+                F.count(F.col(column)).alias("__n"),
+                F.expr(f"approx_count_distinct(`{column}`, 0.02)").alias(
+                    "__ndv"
+                ),
             )
             .collect()[0]
         )
@@ -397,22 +403,54 @@ class SketchManager:
                 "k": k,
                 "max_items_tracked": tracked,
                 "format": "json-topk",
+                "n_rows": int(row["__n"]),
+                "ndv_est": int(row["__ndv"]),
             },
         )
 
     # ---- read path (the reference persists sketches but never reads them —
     # SURVEY.md vestigial flag #1; these make the read path real) ----
     def topk_from_sketch(
-        self, table: str, column: str, k: int | None = None
+        self,
+        table: str,
+        column: str,
+        k: int | None = None,
+        with_bounds: bool = False,
     ) -> list[dict[str, Any]] | None:
         """Heavy-hitter items from the persisted top-k sketch — no table
         scan. ``k`` trims the stored list (it cannot deepen it: rebuild
-        with a larger k for that)."""
+        with a larger k for that). ``with_bounds=True`` adds the same
+        deterministic error columns as :func:`grouped_top_k` — served
+        from the build-time row/ndv stats persisted with the sketch (a
+        pre-round-6 sketch without them returns the items unannotated):
+        ``count_err`` = 0 when the column's ndv provably fit the tracked
+        budget, else the DataSketches frequent-items a-priori bound
+        ``ceil(3.5·n/m)``; ``count_lb``/``count_ub`` bracket the true
+        count."""
+        import math
+
         info = self.catalog.get_sketch(table, column, "topk")
         if info is None or not info.sketch_data:
             return None
         items = json.loads(info.sketch_data.decode("utf-8"))
-        return items[:k] if k is not None else items
+        items = items[:k] if k is not None else items
+        if not with_bounds:
+            return items
+        n = info.parameters.get("n_rows")
+        ndv = info.parameters.get("ndv_est")
+        tracked = info.parameters.get("max_items_tracked")
+        if n is None or ndv is None or not tracked:
+            return items  # built before bounds stats existed
+        err = 0 if ndv <= 0.8 * tracked else math.ceil(3.5 * n / tracked)
+        return [
+            {
+                **d,
+                "count_err": err,
+                "count_lb": max(d["count"] - err, 0),
+                "count_ub": d["count"] + err,
+            }
+            for d in items
+        ]
 
     def estimate_distinct_from_sketch(
         self, table: str, column: str, sketch_type: str = "hll"

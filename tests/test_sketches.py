@@ -275,3 +275,45 @@ def test_grouped_topk_bounds_over_budget(spark, engine):
         spark.table("lineitem"), "l_returnflag", "l_linestatus", k=2
     )
     assert plain.columns == ["l_returnflag", "item", "cnt", "rank"]
+
+
+def test_topk_sketch_read_path_bounds(spark, engine):
+    """The persisted single-column top-k sketch serves the same
+    deterministic bounds as grouped_top_k WITHOUT a rescan: build-time
+    n/ndv ride in the sketch parameters; exact regime collapses to
+    err 0, and bounds contain the exact counts."""
+    eng = engine
+    eng.create_sketch("orders", "o_orderstatus", "topk", {"k": 3})
+    rows = eng.sketches.topk_from_sketch(
+        "orders", "o_orderstatus", with_bounds=True
+    )
+    truth = {
+        r["o_orderstatus"]: r["c"]
+        for r in spark.sql(
+            "SELECT o_orderstatus, COUNT(*) AS c FROM orders GROUP BY 1"
+        ).collect()
+    }
+    assert rows
+    for d in rows:
+        assert d["count_err"] == 0  # ndv=3 << tracked budget
+        assert d["count_lb"] == d["count"] == d["count_ub"]
+        assert d["count"] == truth[d["item"]]
+    # over-budget: tiny tracked budget on a wider column
+    eng.create_sketch(
+        "orders", "o_custkey", "topk", {"k": 3, "max_items_tracked": 8}
+    )
+    bounded = eng.sketches.topk_from_sketch(
+        "orders", "o_custkey", with_bounds=True
+    )
+    exact = {
+        str(r["o_custkey"]): r["c"]
+        for r in spark.sql(
+            "SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1"
+        ).collect()
+    }
+    for d in bounded or []:
+        assert d["count_err"] > 0
+        assert d["count_lb"] <= exact[d["item"]] <= d["count_ub"]
+    # without the flag the legacy shape is unchanged
+    legacy = eng.sketches.topk_from_sketch("orders", "o_orderstatus")
+    assert legacy and set(legacy[0]) == {"item", "count"}
