@@ -1011,6 +1011,54 @@ _ROUTING_ORACLE = (
 )
 
 
+_JOIN_ROUTED_SQL = (
+    "SELECT o.o_orderpriority, COUNT(*) AS n, "
+    "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30' "
+    "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
+)
+
+
+def _q_join_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-shape partition routing (round 6): the fact side of a star
+    join is the expensive scan, and a date-bounded join query now routes
+    THAT scan through the fact table's time-partitioned layout (the
+    engine proves the bounded column belongs to exactly one joined table
+    before deriving the bucket conjunct, and qualifies it with the fact
+    alias). Asserted here: the routed plan carries the layout view and
+    returns exactly what the plain join SQL returns — the oracle runs
+    the unrouted SQL, so any routing-induced row loss hash-fails."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.partition_table("lineitem", "l_shipdate", grain="month")
+    r = eng.query(_JOIN_ROUTED_SQL, prefer_exact=True)
+    assert r["status"] == "ok", r.get("error")
+    assert "routed to partitioned layout lineitem__by_month" in (
+        r["plan"]["reason"]
+    ), r["plan"]
+    rows = [
+        (d["o_orderpriority"], int(d["n"]), float(d["rev"]))
+        for d in r["result"]
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n long, rev double"
+    )
+
+
+_JOIN_ROUTED_ORACLE = (
+    "SELECT o.o_orderpriority, COUNT(*)::BIGINT AS n, "
+    "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30' "
+    "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
+)
+
+
 #: deterministic Zipf-ish item column (head item holds ~50% of the mass,
 #: ~sqrt-many distinct values): item = floor(M / (1 + u)) with u an
 #: md5-hash uniform draw over [0, M) — the hash makes u uniform at EVERY
@@ -2843,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q87_grouped_topk"] = _q_grouped_topk
     out["q88_partition_routing_approx"] = _q_partition_routing_approx
     out["q89_grouped_topk_bounds"] = _q_grouped_topk_bounds
+    out["q90_join_routing"] = _q_join_routing
     return _reorder_check_window(out)
 
 
@@ -2893,5 +2942,6 @@ def oracle_sql() -> dict[str, str]:
     out["q87_grouped_topk"] = _GROUPED_TOPK_ORACLE
     out["q88_partition_routing_approx"] = _ROUTING_APPROX_ORACLE
     out["q89_grouped_topk_bounds"] = _TOPK_BOUNDS_ORACLE
+    out["q90_join_routing"] = _JOIN_ROUTED_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -580,26 +580,18 @@ class AQEngine:
         Returns ``(routed_sql, note)`` or None."""
         import re
 
-        from approximate_query_engine_spark.operators.partitioning import (
-            derive_bucket_predicate,
-            read_partitioned,
+        from approximate_query_engine_spark.sqlparser import (
+            try_parse,
+            try_parse_join,
         )
-        from approximate_query_engine_spark.sqlparser import try_parse
 
-        parsed = try_parse(sql)
-        if parsed is None or not parsed.where:
-            return None
         # try_parse accepts scalar subqueries in the select list (their
         # parens are skipped by its top-level scan), but the regex
-        # injections below anchor on the FIRST `FROM <table>` / first
-        # WHERE after it — a nested SELECT could own either, landing the
-        # p_bucket conjunct inside the subquery (wrong or error). One
-        # outer SELECT only.
+        # injections below anchor on the FIRST `FROM|JOIN <table>` /
+        # first WHERE after it — a nested SELECT could own either,
+        # landing the p_bucket conjunct inside the subquery (wrong or
+        # error). One outer SELECT only.
         if len(re.findall(r"\bSELECT\b", sql, re.I)) != 1:
-            return None
-        # (multi-table shapes never reach here: try_parse rejects joins)
-        info = self.catalog.partitioned_views.get(parsed.table)
-        if not info:
             return None
         # a bare `*` select would surface the layout's extra p_bucket
         # column and change the result schema — COUNT(*) is fine
@@ -609,6 +601,77 @@ class AQEngine:
             for item in m.group(1).split(",")
         ):
             return None
+        parsed = try_parse(sql)
+        if parsed is not None:
+            if not parsed.where:
+                return None
+            return self._route_rewrite(
+                sql,
+                parsed.table,
+                parsed.where,
+                has_alias=parsed.table_alias is not None,
+            )
+        # JOIN shape (round 6): route the ONE joined table that owns the
+        # time-bounded column — typically the fact scan, the expensive
+        # side of every star join.
+        jq = try_parse_join(sql)
+        if jq is None or not jq.where:
+            return None
+        for table, alias in jq.tables:
+            info = self.catalog.partitioned_views.get(table)
+            if not info:
+                continue
+            # the ts column must belong to THIS table and NO other joined
+            # table — an unqualified (or foreign-aliased) reference to a
+            # same-named column elsewhere would derive a wrong conjunct
+            owners = []
+            for t, _a in jq.tables:
+                try:
+                    cols = self.spark.table(t).columns
+                except Exception:
+                    return None
+                if info["ts_col"] in cols:
+                    owners.append(t)
+            if owners != [table]:
+                continue
+            routed = self._route_rewrite(
+                sql,
+                table,
+                jq.where,
+                has_alias=alias is not None,
+                # qualify the conjunct so p_bucket resolves against the
+                # routed table even if another joined table grew one
+                qualifier=alias or table,
+            )
+            if routed:
+                return routed
+        return None
+
+    def _route_rewrite(
+        self,
+        sql: str,
+        table: str,
+        where: str,
+        has_alias: bool,
+        qualifier: str | None = None,
+    ) -> tuple[str, str] | None:
+        """Shared routing rewrite for single-table and join shapes: gate
+        on freshness, derive the bucket conjunct from ``where``, swap the
+        table's FROM/JOIN reference for the layout view, and inject the
+        conjunct at the first WHERE past it (sound under the caller's
+        single-SELECT guard). When the original reference had no alias,
+        the view is aliased AS the original table name so qualified
+        column references keep resolving."""
+        import re
+
+        from approximate_query_engine_spark.operators.partitioning import (
+            derive_bucket_predicate,
+            read_partitioned,
+        )
+
+        info = self.catalog.partitioned_views.get(table)
+        if not info:
+            return None
         # FRESHNESS CONTRACT: the gate below detects append drift via the
         # catalog row count (kept current by register_data/maintenance);
         # same-count in-place mutation is undetectable from counts alone,
@@ -616,11 +679,15 @@ class AQEngine:
         # invalidates the layout entry outright. Out-of-band temp-view
         # swaps that bypass the engine's register methods are outside the
         # contract — run maintenance or re-register through the engine.
-        current = self.catalog.get_row_count(parsed.table)
+        current = self.catalog.get_row_count(table)
         if current is not None and info.get("built_row_count") != current:
             return None
+        partition_col = info["partition_col"]
         pred = derive_bucket_predicate(
-            parsed.where, info["ts_col"], info["grain"], info["partition_col"]
+            where,
+            info["ts_col"],
+            info["grain"],
+            f"{qualifier}.{partition_col}" if qualifier else partition_col,
         )
         if not pred:
             return None
@@ -633,20 +700,20 @@ class AQEngine:
             except Exception:
                 return None
         fm = re.search(
-            rf"\bFROM\s+{re.escape(parsed.table)}\b", sql, re.I
+            rf"\b(FROM|JOIN)\s+{re.escape(table)}\b", sql, re.I
         )
         if fm is None:
             return None
-        # rewrite only AFTER the outer FROM: with the single-SELECT guard
-        # above, the first WHERE past it is the outer one by construction
+        replacement = view if has_alias else f"{view} {table}"
         head = sql[: fm.start()]
+        kw = fm.group(1)
         tail = sql[fm.end():]
         tail, n = re.subn(
             r"\bWHERE\b", f"WHERE {pred} AND ", tail, count=1, flags=re.I
         )
         if n != 1:
             return None
-        routed = f"{head}FROM {view}{tail}"
+        routed = f"{head}{kw} {replacement}{tail}"
         return routed, f"routed to partitioned layout {view} [{pred}]"
 
     def progressive_query(

@@ -1291,7 +1291,12 @@ def main() -> None:
                 "two-column lineitem replicated 200x (~120M rows): the "
                 "COUNT/SUM baseline class measured where the exact scan is "
                 "well above the scheduler floor (bare aggregates are "
-                "scan-bound at 30M rows; this is their valid tier)"
+                "scan-bound at 30M rows; this is their valid tier). "
+                "count200 is INHERENTLY floor-bound at every scale — an "
+                "unfiltered COUNT(*) is a parquet footer-metadata read on "
+                "both sides — so its fix (round 6) is the plan flip to "
+                "exact, not a ratio: sampling it traded accuracy for zero "
+                "savings"
             ),
         },
     }

@@ -497,3 +497,61 @@ def test_partition_table_repartitions_existing_samples(spark):
     assert "routed to partitioned layout events__sys_4" in (
         r["plan"]["reason"]
     ), r["plan"]["reason"]
+
+
+def test_partition_routing_for_join_queries(spark):
+    """Round-6 JOIN-shape routing: a date-bounded star join routes its
+    FACT scan through the layout (measured pruning), returns exactly the
+    unrouted answer, qualifies the bucket conjunct with the fact alias,
+    and refuses ambiguous shapes (the bounded column appearing in more
+    than one joined table)."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.operators.partitioning import (
+        scan_metrics,
+    )
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_route_join_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    sql = (
+        "SELECT o.o_orderpriority, COUNT(*) AS n "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30' "
+        "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
+    )
+    truth = q(eng, sql, prefer_exact=True)["result"]
+    eng.partition_table("lineitem", "l_shipdate", grain="month")
+    r = q(eng, sql, prefer_exact=True)
+    assert "lineitem__by_month" in r["plan"]["sql"], r["plan"]["sql"]
+    assert "l.p_bucket >= '1995-01'" in r["plan"]["sql"]
+    assert "l.p_bucket <= '1995-06'" in r["plan"]["sql"]
+    assert r["result"] == truth
+    m = scan_metrics(spark.sql(r["plan"]["sql"]))
+    # month grain over ~7 years of shipdates: 6 bucket dirs of ~80+
+    assert 1 <= m["partitions_read"] <= 7, m
+    # no alias on the fact: the view is aliased AS the table name so
+    # table-qualified references keep resolving
+    sql_noalias = (
+        "SELECT o.o_orderpriority, COUNT(*) AS n "
+        "FROM lineitem JOIN orders o ON lineitem.l_orderkey = o.o_orderkey "
+        "WHERE lineitem.l_shipdate <= DATE '1994-06-30' "
+        "GROUP BY o.o_orderpriority"
+    )
+    r2 = q(eng, sql_noalias, prefer_exact=True)
+    assert "lineitem__by_month lineitem" in r2["plan"]["sql"]
+    # ambiguity guard: a second joined table owning the ts column name
+    # must disable routing (the bound could belong to either scope)
+    spark.table("lineitem").selectExpr(
+        "l_orderkey AS k", "l_shipdate"
+    ).createOrReplaceTempView("lineitem_dates")
+    amb = (
+        "SELECT COUNT(*) AS n FROM lineitem l "
+        "JOIN lineitem_dates d ON l.l_orderkey = d.k "
+        "WHERE l.l_shipdate <= DATE '1994-06-30'"
+    )
+    r3 = q(eng, amb, prefer_exact=True)
+    assert "lineitem__by_month" not in r3["plan"]["sql"]

@@ -143,6 +143,8 @@ def test_check_window_ordering():
         "q27_fingerprint": "q69_dedup_keep_best",  # fingerprint -> dedup
         "q65_grouping_sets": "q74_group_sum_having",
         "q75_anti_semi_join": "q13_join_fact",
+        # JOIN-shape routing extends the in-window q86/q88 routing family
+        "q90_join_routing": "q86_partition_routing",
     }
     for name in names[50:]:
         if name in oracled:
