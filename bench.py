@@ -627,6 +627,45 @@ def main() -> None:
 
         _safe("partition_route_approx", _routed)
 
+    # ---- JOIN-shape routing (round 6) ----------------------------------
+    # The 100 TB star-join shape: a date-bounded fact ⋈ small-dim query.
+    # The dim broadcasts either way; the measured ratio is pruning the
+    # FACT scan (5 of 30 day dirs) inside a join — the plan every
+    # dashboard "revenue by segment last week" query has at scale.
+    if route_ok:
+        join_route_sql = (
+            "SELECT d.label, COUNT(*) AS n, SUM(e.value) AS sv "
+            "FROM events_big e JOIN event_dim d "
+            "ON e.event_type = d.event_type WHERE e.ts BETWEEN "
+            "TIMESTAMP '2024-01-03 00:00:00' AND "
+            "TIMESTAMP '2024-01-07 23:59:59' GROUP BY d.label"
+        )
+        try:
+            spark.table("events_big").select("event_type").distinct().selectExpr(
+                "event_type", "CONCAT('seg_', event_type) AS label"
+            ).cache().createOrReplaceTempView("event_dim")
+            spark.table("event_dim").count()
+        except Exception as exc:  # noqa: BLE001 - setup failure isolation
+            bench_errors["join_route_setup"] = f"{type(exc).__name__}: {exc}"[:300]
+        else:
+            _safe(
+                "join_route_exact", _run_sql(spark, join_route_sql, exact_rows)
+            )
+
+            def _join_routed():
+                r = eng.query(
+                    join_route_sql, prefer_exact=True, dual_execute=False
+                )
+                assert r["status"] == "ok", r.get("error")
+                assert (
+                    "routed to partitioned layout events_big__by_day"
+                    in r["plan"]["reason"]
+                ), r["plan"]["reason"]
+                plan_reasons["join_route"] = f"exact: {r['plan']['reason']}"
+                last_result[join_route_sql] = r["result"]
+
+            _safe("join_route_pruned", _join_routed)
+
     # ---- approx-path routing (round 6, VERDICT r5 instruction 1) -------
     # The same date-bounded query on the APPROX path: a deterministic
     # 1-in-4 sample of events_big materialized FLAT vs DAY-PARTITIONED.
