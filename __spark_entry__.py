@@ -1011,6 +1011,65 @@ _ROUTING_ORACLE = (
 )
 
 
+_ROLLUP_ROUTED_SQL = (
+    "SELECT event_type, DATE_TRUNC('DAY', ts) AS day, COUNT(*) AS n, "
+    "COUNT(value) AS nv, MIN(value) AS mn, MAX(value) AS mx "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-09 00:00:00' "
+    "GROUP BY event_type, DATE_TRUNC('DAY', ts) ORDER BY event_type, day"
+)
+
+
+def _q_rollup_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate SQL ROUTING (round 6): engine.create_rollup
+    materializes hourly partial-agg state, and a plain SQL daily
+    aggregate over the RAW events table is then answered from the rollup
+    — engine._route_rollup proves the shape losslessly derivable
+    (bucket-aligned bounds, dims ⊆ rollup dims, count/min/max state) and
+    short-circuits the planner. The oracle runs the same SQL on raw
+    events in DuckDB, so any rewrite-induced divergence hash-fails;
+    COUNT/MIN/MAX re-aggregate bit-exactly (no float re-association)."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.create_rollup(
+        "events", "ts", "1 hour", dims=["event_type"], measures=["value"]
+    )
+    r = eng.query(_ROLLUP_ROUTED_SQL)
+    assert r["status"] == "ok", r.get("error")
+    assert "answered from materialized rollup" in r["plan"]["reason"], (
+        r["plan"]
+    )
+    rows = [
+        (
+            d["event_type"],
+            d["day"].strftime("%Y-%m-%d"),
+            int(d["n"]),
+            int(d["nv"]),
+            float(d["mn"]),
+            float(d["mx"]),
+        )
+        for d in r["result"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_type string, day string, n long, nv long, mn double, mx double",
+    )
+
+
+_ROLLUP_ROUTED_ORACLE = (
+    "SELECT event_type, STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day, "
+    "COUNT(*)::BIGINT AS n, COUNT(value)::BIGINT AS nv, "
+    "MIN(value) AS mn, MAX(value) AS mx "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-09 00:00:00' "
+    "GROUP BY event_type, DATE_TRUNC('day', ts) ORDER BY event_type, day"
+)
+
+
 _JOIN_ROUTED_SQL = (
     "SELECT o.o_orderpriority, COUNT(*) AS n, "
     "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev "
@@ -2788,7 +2847,7 @@ _CHECK_WINDOW_ORDER = [
     "q48_strata_analysis",
     "q49_neyman_alloc",
     "q50_cms_freq",
-    "q51_rollup_operator",
+    "q91_rollup_routing",
     "q52_graph_components",
     "q53_salted_join",
     "q57_sessionize",
@@ -2892,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q88_partition_routing_approx"] = _q_partition_routing_approx
     out["q89_grouped_topk_bounds"] = _q_grouped_topk_bounds
     out["q90_join_routing"] = _q_join_routing
+    out["q91_rollup_routing"] = _q_rollup_routing
     return _reorder_check_window(out)
 
 
@@ -2943,5 +3003,6 @@ def oracle_sql() -> dict[str, str]:
     out["q88_partition_routing_approx"] = _ROUTING_APPROX_ORACLE
     out["q89_grouped_topk_bounds"] = _TOPK_BOUNDS_ORACLE
     out["q90_join_routing"] = _JOIN_ROUTED_ORACLE
+    out["q91_rollup_routing"] = _ROLLUP_ROUTED_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

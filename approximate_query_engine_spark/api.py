@@ -228,6 +228,39 @@ def create_app(engine: AQEngine, config: Config | None = None):
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500
 
+    @app.post("/rollups/create")
+    def rollups_create():
+        """Beyond-reference: materialize a continuous-aggregate rollup;
+        matching SQL aggregates over the raw table are then answered from
+        it exactly (engine._route_rollup / operators/rollup.py)."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            return jsonify(
+                engine.create_rollup(
+                    body["table"],
+                    body["time_col"],
+                    body["bucket"],
+                    dims=body.get("dims"),
+                    measures=body.get("measures"),
+                )
+            )
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
+    @app.get("/rollups")
+    def rollups_list():
+        return jsonify(
+            {
+                table: [
+                    {k: v for k, v in info.items() if k != "path"}
+                    for info in entries
+                ]
+                for table, entries in engine.catalog.rollups.items()
+            }
+        )
+
     @app.get("/ml/stats")
     def ml_stats():
         return jsonify(engine.ml_stats())

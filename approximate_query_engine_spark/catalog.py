@@ -152,6 +152,13 @@ class Catalog:
         #: (engine.partition_table) — exact queries with a literal bound
         #: on ts_col route to the layout with a derived pruning conjunct
         self.partitioned_views: dict[str, dict] = {}
+        #: base table → [{"view", "files_view", "path", "time_col",
+        #: "bucket", "bucket_seconds", "dims", "measures",
+        #: "built_row_count"}, ...]: registered materialized rollups
+        #: (engine.create_rollup) — matching SQL aggregates rewrite to
+        #: scan the rollup instead of the raw table (operators/rollup.py
+        #: rewrite_to_rollup)
+        self.rollups: dict[str, list[dict]] = {}
         #: table → {"row_count": n at analyze time, "columns": [...]} —
         #: the baseline the maintenance drift policy measures column-stats
         #: staleness against (stale min/max + histograms misprice every
@@ -215,6 +222,7 @@ class Catalog:
                 },
                 "analyze_meta": dict(self.analyze_meta),
                 "partitioned_views": dict(self.partitioned_views),
+                "rollups": {k: list(v) for k, v in dict(self.rollups).items()},
             }
             tmp = f"{self._meta_path}.tmp{threading.get_ident()}"
             with open(tmp, "w") as f:
@@ -261,6 +269,7 @@ class Catalog:
             ]
         self.analyze_meta.update(doc.get("analyze_meta", {}))
         self.partitioned_views.update(doc.get("partitioned_views", {}))
+        self.rollups.update(doc.get("rollups", {}))
 
     # ---- table stats (reference storage.py:88-109) ----
     def upsert_table_stats(self, table: str, row_count: int) -> None:

@@ -142,7 +142,14 @@ class AQEngine:
         dual_execute: bool | None,
     ) -> dict[str, Any]:
         ml_optimization: dict[str, Any] | None = None
-        if use_ml_optimization and not prefer_exact:
+        # Continuous-aggregate routing (round 6): a fresh rollup that can
+        # answer the query losslessly beats EVERY strategy the planner
+        # could pick — exact result, pre-aggregated scan — so it
+        # short-circuits planning (and the ML path) outright.
+        rolled = self._route_rollup(sql)
+        if rolled is not None:
+            plan = {"type": "exact", "sql": rolled[0], "reason": rolled[1]}
+        elif use_ml_optimization and not prefer_exact:
             ml_optimization = self.optimizer.optimize_query(sql, max_rel_error)
             plan = ml_optimization.pop("_plan", None) or self.planner.plan(
                 sql,
@@ -563,6 +570,121 @@ class AQEngine:
             "partitions": int(row["__p"]),
             "samples_partitioned": repartitioned,
         }
+
+    def create_rollup(
+        self,
+        table: str,
+        time_col: str,
+        bucket: str,
+        dims: list[str] | None = None,
+        measures: list[str] | None = None,
+    ) -> dict:
+        """Materialize a continuous-aggregate rollup of ``table`` (partial
+        count/sum/min/max state per (time bucket, dims)) under the catalog
+        workdir, register it, and arm SQL routing: matching aggregates
+        over the RAW table are answered exactly from the rollup
+        (operators/rollup.py rewrite_to_rollup). The hypertable pattern —
+        at 100 TB dashboards scan the rollup, never the fact table."""
+        import os
+
+        from approximate_query_engine_spark.operators.rollup import (
+            RollupSpec,
+            bucket_seconds,
+            materialize_rollup,
+        )
+
+        bsec = bucket_seconds(bucket)
+        if bsec is None:
+            raise ValueError(
+                f"bucket must be a fixed-width interval (seconds/minutes/"
+                f"hours/days/weeks), got: {bucket!r}"
+            )
+        spec = RollupSpec(table, time_col, bucket, dims or [], measures or [])
+        path = os.path.join(self.catalog.workdir, f"rollup_{spec.rollup_name}")
+        materialize_rollup(self.spark, spec, path=path)
+        files_view = f"{spec.rollup_name}__files"
+        self.spark.read.parquet(path).createOrReplaceTempView(files_view)
+        n_buckets = self.spark.table(spec.rollup_name).count()
+        base_rows = self.catalog.get_row_count(table)
+        if base_rows is None:
+            base_rows = self.spark.table(table).count()
+            self.catalog.upsert_table_stats(table, base_rows)
+        info = {
+            "source_table": table,
+            "view": spec.rollup_name,
+            "files_view": files_view,
+            "path": path,
+            "time_col": time_col,
+            "bucket": bucket,
+            "bucket_seconds": bsec,
+            "dims": list(dims or []),
+            "measures": list(measures or []),
+            # freshness gate: routing declines when the base table's
+            # catalog row count drifts from this (same contract as
+            # partitioned layouts — maintenance/register keep it current)
+            "built_row_count": int(base_rows),
+        }
+        entries = [
+            e
+            for e in self.catalog.rollups.get(table, [])
+            if e["view"] != spec.rollup_name
+        ]
+        entries.append(info)
+        self.catalog.rollups[table] = entries
+        self.catalog.save()
+        return {
+            "rollup": spec.rollup_name,
+            "path": path,
+            "buckets": int(n_buckets),
+            "bucket": bucket,
+            "dims": info["dims"],
+            "measures": info["measures"],
+        }
+
+    def _route_rollup(self, sql: str) -> tuple[str, str] | None:
+        """Continuous-aggregate rewrite: when ``sql`` is a single-table
+        aggregate whose shape a registered FRESH rollup can answer
+        losslessly, return (rollup_sql, note). Runs BEFORE planning — an
+        exact answer from a pre-aggregated table dominates every
+        approximate strategy (faster AND error-free), so a hit
+        short-circuits the planner entirely."""
+        from approximate_query_engine_spark.operators.rollup import (
+            rewrite_to_rollup,
+        )
+        from approximate_query_engine_spark.sqlparser import try_parse
+
+        if not self.catalog.rollups:
+            return None
+        parsed = try_parse(sql)
+        if parsed is None:
+            return None
+        current = self.catalog.get_row_count(parsed.table)
+        # coarsest bucket first: among rollups that can answer, the one
+        # with the fewest rows wins (a day rollup beats an hour rollup
+        # 24:1 on scan size; unsound candidates decline individually)
+        candidates = sorted(
+            self.catalog.rollups.get(parsed.table, []),
+            key=lambda i: -i.get("bucket_seconds", 0),
+        )
+        for info in candidates:
+            if (
+                current is not None
+                and info.get("built_row_count") != current
+            ):
+                continue  # stale rollup — raw table has drifted
+            try:
+                # a fresh session lost the temp views — re-register from
+                # the persisted materialization (catalog survives restarts)
+                if not self.spark.catalog.tableExists(info["files_view"]):
+                    files = self.spark.read.parquet(info["path"])
+                    files.createOrReplaceTempView(info["files_view"])
+                    files.drop("p_date").createOrReplaceTempView(info["view"])
+            except Exception:
+                continue  # materialization gone — decline, stay correct
+            routed = rewrite_to_rollup(parsed, info)
+            if routed:
+                return routed
+        return None
 
     def _route_partitioned(self, sql: str) -> tuple[str, str] | None:
         """Partition routing: when a single-table scan (the base table OR

@@ -111,6 +111,375 @@ def query_rollup(
     )
 
 
+# ---------------------------------------------------------------------------
+# SQL → rollup rewriting (continuous-aggregate query routing)
+#
+# The materialized-view rewrite every hypertable system performs: a SQL
+# aggregate over the RAW event table whose shape is derivable from a
+# registered rollup's partial-aggregation state is answered FROM THE
+# ROLLUP — exactly (not approximately), because count/sum/min/max
+# re-aggregate losslessly and the time bounds are required to align to
+# bucket boundaries. At 100 TB this is the difference between scanning
+# the fact table and scanning a table smaller by the bucket compression
+# factor; combined with the rollup's date-partitioned materialization the
+# routed scan also prunes to the queried date directories.
+
+import re as _re
+from datetime import datetime, timedelta, timezone
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+#: every boundary of DATE_TRUNC(unit) falls on an epoch multiple of this
+#: many seconds (week+ boundaries are midnights), so a rollup whose
+#: bucket divides it can regroup to the unit exactly
+_TRUNC_MODULUS = {
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 86400,
+    "month": 86400,
+    "quarter": 86400,
+    "year": 86400,
+}
+
+
+def bucket_seconds(bucket: str) -> int | None:
+    """Length of a fixed-width window bucket string in seconds, or None
+    for variable-width buckets (months) that alignment math can't cover."""
+    m = _re.fullmatch(
+        r"\s*(\d+)\s+(second|minute|hour|day|week)s?\s*", bucket, _re.I
+    )
+    if not m:
+        return None
+    mult = {
+        "second": 1,
+        "minute": 60,
+        "hour": 3600,
+        "day": 86400,
+        "week": 604800,
+    }[m.group(2).lower()]
+    return int(m.group(1)) * mult
+
+
+def _parse_literal(text: str) -> datetime | None:
+    """DATE '...' / TIMESTAMP '...' / bare '...' literal → aware UTC
+    datetime (microsecond precision), or None."""
+    m = _re.fullmatch(
+        r"\s*(?:DATE|TIMESTAMP)?\s*'(\d{4}-\d{2}-\d{2})"
+        r"(?:[ T](\d{2}:\d{2}:\d{2})(\.\d{1,6})?)?'\s*",
+        text,
+        _re.I,
+    )
+    if not m:
+        return None
+    base = datetime.strptime(m.group(1), "%Y-%m-%d")
+    if m.group(2):
+        t = datetime.strptime(m.group(2), "%H:%M:%S")
+        base = base.replace(hour=t.hour, minute=t.minute, second=t.second)
+    if m.group(3):
+        base += timedelta(seconds=float(m.group(3)))
+    return base.replace(tzinfo=timezone.utc)
+
+
+def _epoch_seconds(dt: datetime) -> float:
+    return (dt - _EPOCH).total_seconds()
+
+
+def _split_conjuncts(where: str) -> list[str] | None:
+    """Top-level AND conjuncts of ``where``; None when a top-level OR
+    makes conjunct-by-conjunct reasoning unsound."""
+    from approximate_query_engine_spark.sqlparser import flatten_and_parens
+
+    where = flatten_and_parens(where)
+    depth, in_str = 0, False
+    parts, start, i = [], 0, 0
+    upper = where.upper()
+    while i < len(where):
+        ch = where[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str and ch == "(":
+            depth += 1
+        elif not in_str and ch == ")":
+            depth -= 1
+        elif (
+            not in_str
+            and depth == 0
+            and upper.startswith("AND", i)
+            and (i == 0 or not upper[i - 1].isalnum() and upper[i - 1] != "_")
+            and (
+                i + 3 >= len(upper)
+                or not upper[i + 3].isalnum() and upper[i + 3] != "_"
+            )
+        ):
+            parts.append(where[start:i])
+            start = i + 3
+            i += 3
+            continue
+        elif (
+            not in_str
+            and depth == 0
+            and upper.startswith("OR", i)
+            and (i == 0 or not upper[i - 1].isalnum() and upper[i - 1] != "_")
+            and (
+                i + 2 >= len(upper)
+                or not upper[i + 2].isalnum() and upper[i + 2] != "_"
+            )
+        ):
+            return None
+        i += 1
+    parts.append(where[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+_SQL_KEYWORDS = frozenset(
+    "AND OR NOT IN IS NULL BETWEEN LIKE TRUE FALSE DATE TIMESTAMP "
+    "INTERVAL CAST AS ESCAPE EXISTS SELECT CASE WHEN THEN ELSE END "
+    "BIGINT DOUBLE FLOAT DECIMAL STRING INT SMALLINT TINYINT BOOLEAN".split()
+)
+
+
+def _identifiers(text: str) -> set[str] | None:
+    """Bare column identifiers referenced in a predicate (function names
+    excluded); None when a subquery/CASE makes the scan unreliable."""
+    no_str = _re.sub(r"'[^']*'", "''", text)
+    if _re.search(r"\bSELECT\b|\bCASE\b", no_str, _re.I):
+        return None
+    out = set()
+    for m in _re.finditer(r"[A-Za-z_][\w.]*", no_str):
+        tok = m.group(0)
+        if tok.upper() in _SQL_KEYWORDS:
+            continue
+        if no_str[m.end():].lstrip().startswith("("):
+            continue  # function call
+        out.add(tok)
+    return out
+
+
+def _strip_qualifier(expr: str, scopes: set[str]) -> str:
+    """Remove ``alias.`` / ``table.`` prefixes owned by the routed table."""
+    pat = r"\b(" + "|".join(_re.escape(s) for s in scopes) + r")\.(\w+)"
+    return _re.sub(pat, r"\2", expr)
+
+
+def rewrite_to_rollup(parsed, info: dict) -> tuple[str, str] | None:
+    """Rewrite a parsed single-table aggregate to scan ``info``'s rollup,
+    or None when the shape is not losslessly derivable.
+
+    ``info``: {"view", "files_view", "time_col", "bucket",
+    "bucket_seconds", "dims", "measures"} (engine.create_rollup builds
+    it). Soundness rules, each of which declines rather than risks a
+    wrong answer:
+
+    - aggregates must be COUNT(*)/COUNT(m)/SUM(m)/MIN(m)/MAX(m)/AVG(m)
+      over registered measures, no DISTINCT (n_rows / m_count / m_sum /
+      m_min / m_max state re-aggregates exactly; AVG = Σsum/Σcount —
+      never an average of averages);
+    - group keys must be rollup dims or DATE_TRUNC(unit, ts) at a grain
+      whose boundaries all fall on the bucket grid;
+    - WHERE conjuncts must reference only dims (passed through) or bound
+      ts with ``>=``/``<`` literals EXACTLY on bucket boundaries (a
+      misaligned bound would slice a bucket, which the rollup cannot);
+    - HAVING rewrites its aggregate calls the same way; the rewritten
+      clause must reference only dims + rollup state, else decline;
+    - OR at the top level of WHERE / quantiles / DISTINCT decline.
+    """
+    ts = info["time_col"]
+    bsec = info["bucket_seconds"]
+    dims = set(info["dims"])
+    measures = set(info["measures"])
+    scopes = {info["source_table"]}
+    if parsed.table_alias:
+        scopes.add(parsed.table_alias)
+    #: every column the rewritten SQL may legitimately reference — the
+    #: post-rewrite soundness check for HAVING
+    state_cols = {"n_rows", "bucket_start"} | {
+        f"{m}_{s}"
+        for m in measures
+        for s in ("count", "sum", "min", "max")
+    }
+
+    def strip(e: str) -> str:
+        return _strip_qualifier(e, scopes).strip()
+
+    def rewrite_key(expr: str) -> str | None:
+        e = strip(expr)
+        if e in dims:
+            return e
+        m = _re.fullmatch(
+            rf"DATE_TRUNC\(\s*'(\w+)'\s*,\s*{_re.escape(ts)}\s*\)", e, _re.I
+        )
+        if m:
+            unit = m.group(1).lower()
+            mod = _TRUNC_MODULUS.get(unit)
+            if mod is not None and mod % bsec == 0:
+                return f"DATE_TRUNC('{unit.upper()}', bucket_start)"
+        return None
+
+    def rewrite_agg(agg) -> str | None:
+        if agg.distinct or agg.func not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
+            return None
+        arg = strip(agg.arg)
+        if agg.func == "COUNT":
+            if agg.is_star or arg == "1":
+                return "COALESCE(SUM(n_rows), CAST(0 AS BIGINT))"
+            if arg in measures:
+                return f"COALESCE(SUM({arg}_count), CAST(0 AS BIGINT))"
+            return None
+        if arg not in measures:
+            return None
+        if agg.func == "SUM":
+            return f"SUM({arg}_sum)"
+        if agg.func == "MIN":
+            return f"MIN({arg}_min)"
+        if agg.func == "MAX":
+            return f"MAX({arg}_max)"
+        return f"SUM({arg}_sum) / NULLIF(SUM({arg}_count), 0)"
+
+    # ---- select list ----
+    items, aliases = [], set()
+    for it in parsed.select_items:
+        if it.agg is not None:
+            new = rewrite_agg(it.agg)
+        else:
+            new = rewrite_key(it.raw)
+        if new is None:
+            return None
+        if it.alias:
+            alias_sql = it.alias
+        elif strip(it.raw) in dims:
+            # Spark names an unaliased qualified column by its bare name
+            alias_sql = strip(it.raw)
+        else:
+            alias_sql = f"`{it.raw}`"
+        items.append(f"{new} AS {alias_sql}")
+        if it.alias:
+            aliases.add(it.alias)
+
+    # ---- group by ----
+    keys = []
+    for g in parsed.group_by:
+        new = rewrite_key(g)
+        if new is None:
+            return None
+        keys.append(new)
+
+    # ---- where ----
+    conds, prune = [], []
+    if parsed.where:
+        conjs = _split_conjuncts(parsed.where)
+        if conjs is None:
+            return None
+        for c in conjs:
+            ids = _identifiers(c)
+            if ids is None:
+                return None
+            bare = {strip(i) for i in ids}
+            if bare and bare <= dims:
+                conds.append(strip(c))
+                continue
+            m = _re.fullmatch(
+                rf"\s*{_re.escape(ts)}\s*(>=|<)\s*"
+                r"((?:DATE|TIMESTAMP)?\s*'[^']+')\s*",
+                strip(c),
+                _re.I,
+            )
+            if not m:
+                return None
+            lit = _parse_literal(m.group(2))
+            if lit is None:
+                return None
+            es = _epoch_seconds(lit)
+            if es != int(es) or int(es) % bsec != 0:
+                return None  # bound slices a bucket — rollup can't answer
+            op, text = m.group(1), m.group(2).strip()
+            conds.append(f"bucket_start {op} {text}")
+            if info.get("files_view") and info["files_view"] != info["view"]:
+                day = _re.search(r"\d{4}-\d{2}-\d{2}", text).group(0)
+                # conservative date-directory pruning superset (the
+                # bucket_start conjunct above is the exact filter); only
+                # the materialized files view carries p_date
+                prune.append(
+                    f"p_date >= '{day}'" if op == ">=" else f"p_date <= '{day}'"
+                )
+
+    # ---- having ----
+    having_sql = None
+    if parsed.having:
+        from approximate_query_engine_spark.sqlparser import Aggregate
+
+        bad = False
+
+        def _agg_repl(m):
+            nonlocal bad
+            if m.group(2):  # DISTINCT inside an aggregate
+                bad = True
+                return m.group(0)
+            new = rewrite_agg(
+                Aggregate(m.group(1).upper(), m.group(3), False, m.group(0))
+            )
+            if new is None:
+                bad = True
+                return m.group(0)
+            return f"({new})"
+
+        h = _re.sub(
+            r"\b(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?([^()]*)\)",
+            _agg_repl,
+            parsed.having,
+            flags=_re.I,
+        )
+        ids = None if bad else _identifiers(h)
+        if ids is None:
+            return None
+        # everything the rewritten HAVING references must be a dim or
+        # rollup partial-agg state — anything else means an original
+        # reference this rewrite didn't account for
+        if {strip(i) for i in ids} - dims - state_cols:
+            return None
+        having_sql = _strip_qualifier(h, scopes)
+
+    # ---- order by / limit ----
+    order = []
+    for o in parsed.order_by:
+        new = rewrite_key(o.expr)
+        if new is None:
+            m = _re.fullmatch(
+                r"(COUNT|SUM|MIN|MAX|AVG)\s*\((.*)\)", o.expr.strip(), _re.I
+            )
+            if m:
+                from approximate_query_engine_spark.sqlparser import Aggregate
+
+                new = rewrite_agg(
+                    Aggregate(m.group(1).upper(), m.group(2), False, o.expr)
+                )
+        if new is None:
+            if o.expr in aliases:  # select-list alias — resolves as-is
+                order.append(o.render())
+                continue
+            return None
+        order.append(f"{new} DESC" if o.desc else new)
+
+    sql = "SELECT " + ", ".join(items)
+    sql += f" FROM {info.get('files_view') or info['view']}"
+    allconds = conds + prune
+    if allconds:
+        sql += " WHERE " + " AND ".join(allconds)
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+    if having_sql:
+        sql += f" HAVING {having_sql}"
+    if order:
+        sql += " ORDER BY " + ", ".join(order)
+    if parsed.limit is not None:
+        sql += f" LIMIT {parsed.limit}"
+    note = (
+        f"answered from materialized rollup {info['view']} "
+        f"(bucket {info['bucket']}; exact — partial-agg state re-aggregated)"
+    )
+    return sql, note
+
+
 def refresh_rollup_buckets(
     spark: SparkSession, spec: RollupSpec, path: str, since_bucket
 ) -> DataFrame:

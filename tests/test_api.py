@@ -252,3 +252,42 @@ def test_maintenance_compaction_param(client):
         json={"dry_run": True, "compact_files_over": 8},
     ).get_json()
     assert "refreshed" in out and "errors" in out
+
+
+def test_rollups_routes(client, engine):
+    """POST /rollups/create + GET /rollups: a created rollup lists, and
+    a matching /query is answered from it (round-6 routing surface)."""
+    out = client.post(
+        "/rollups/create",
+        json={
+            "table": "events",
+            "time_col": "ts",
+            "bucket": "1 hour",
+            "dims": ["event_type"],
+            "measures": ["value"],
+        },
+    ).get_json()
+    assert out["rollup"] == "events__rollup_1_hour"
+    assert out["buckets"] > 0
+    listed = client.get("/rollups").get_json()
+    assert [e["view"] for e in listed["events"]] == ["events__rollup_1_hour"]
+    assert "path" not in listed["events"][0]
+    r = client.post(
+        "/query",
+        json={
+            "sql": (
+                "SELECT event_type, COUNT(*) AS n FROM events "
+                "GROUP BY event_type ORDER BY event_type"
+            )
+        },
+    ).get_json()
+    assert "answered from materialized rollup" in r["plan"]["reason"]
+    bad = client.post(
+        "/rollups/create",
+        json={"table": "events", "time_col": "ts", "bucket": "1 month"},
+    )
+    assert bad.status_code == 400  # variable-width bucket
+    # the engine fixture is session-scoped: disarm so later tests'
+    # events-aggregate plan assertions stay order-independent
+    engine.catalog.rollups.pop("events", None)
+    engine.catalog.save()

@@ -145,6 +145,10 @@ def test_check_window_ordering():
         "q75_anti_semi_join": "q13_join_fact",
         # JOIN-shape routing extends the in-window q86/q88 routing family
         "q90_join_routing": "q86_partition_routing",
+        # q91 (rollup SQL routing, the family's newest surface) took
+        # q51's slot; q51's query_rollup operator is the building block
+        # q91's engine path materializes through
+        "q51_rollup_operator": "q91_rollup_routing",
     }
     for name in names[50:]:
         if name in oracled:

@@ -1,0 +1,233 @@
+"""Continuous-aggregate SQL routing (round 6): matching aggregates over
+the raw table are answered exactly from a registered rollup's
+partial-agg state; every unsound shape declines to the normal path.
+
+Reference parity note: the reference has no materialized-view rewrite at
+all (its planner only swaps sample tables, planner.py:242); this is the
+hypertable/continuous-aggregate capability a 100 TB time-series engine
+needs — dashboards scan the rollup, never the fact table.
+"""
+
+import tempfile
+
+import pytest
+
+from approximate_query_engine_spark import AQEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_rollup_route_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    e.create_rollup("events", "ts", "1 hour", dims=["event_type"], measures=["value"])
+    return e
+
+
+def _both(eng, sql):
+    r = eng.query(sql)
+    assert r["status"] == "ok", r.get("error")
+    raw = [x.asDict() for x in eng.spark.sql(sql).collect()]
+    return r, raw
+
+
+def _assert_equal(got, raw):
+    assert len(got) == len(raw)
+    for a, b in zip(got, raw):
+        assert set(a) == set(b)
+        for k in a:
+            if isinstance(a[k], float):
+                assert a[k] == pytest.approx(b[k], rel=1e-9, abs=1e-9), k
+            else:
+                assert str(a[k]) == str(b[k]), (k, a[k], b[k])
+
+
+def test_grouped_rollup_answer_matches_raw(eng):
+    sql = (
+        "SELECT event_type, DATE_TRUNC('DAY', ts) AS day, COUNT(*) AS n, "
+        "COUNT(value) AS nv, SUM(value) AS sv, MIN(value) AS mn, "
+        "MAX(value) AS mx, AVG(value) AS av FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
+        "GROUP BY event_type, DATE_TRUNC('DAY', ts) ORDER BY event_type, day"
+    )
+    r, raw = _both(eng, sql)
+    assert "answered from materialized rollup" in r["plan"]["reason"]
+    # the routed scan reads the rollup's FILES view with date pruning
+    assert "events__rollup_1_hour__files" in r["plan"]["sql"]
+    assert "p_date >= '2024-01-03'" in r["plan"]["sql"]
+    _assert_equal(r["result"], raw)
+
+
+def test_aggregate_only_and_dim_filter(eng):
+    sql = (
+        "SELECT COUNT(*) AS n, SUM(value) AS sv FROM events "
+        "WHERE event_type = 'click'"
+    )
+    r, raw = _both(eng, sql)
+    assert "rollup" in r["plan"]["reason"]
+    _assert_equal(r["result"], raw)
+
+
+def test_dim_or_group_passes_through(eng):
+    # OR confined to a dim-only parenthesized predicate is sound — the
+    # conjunct passes through verbatim against the rollup's dim column
+    sql = (
+        "SELECT COUNT(*) AS n FROM events "
+        "WHERE (event_type = 'click' OR event_type = 'view') "
+        "AND ts >= TIMESTAMP '2024-01-02 00:00:00'"
+    )
+    r, raw = _both(eng, sql)
+    assert "rollup" in r["plan"]["reason"]
+    _assert_equal(r["result"], raw)
+
+
+def test_alias_qualified_references_route(eng):
+    sql = (
+        "SELECT e.event_type, COUNT(*) AS n FROM events e "
+        "WHERE e.ts < TIMESTAMP '2024-01-05 00:00:00' "
+        "GROUP BY e.event_type ORDER BY e.event_type"
+    )
+    r, raw = _both(eng, sql)
+    assert "rollup" in r["plan"]["reason"]
+    _assert_equal(r["result"], raw)
+
+
+def test_count_star_empty_range_is_zero_not_null(eng):
+    r = eng.query(
+        "SELECT COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2031-01-01 00:00:00'"
+    )
+    assert "rollup" in r["plan"]["reason"]
+    assert r["result"] == [{"n": 0}]
+
+
+def test_limit_and_order_by_alias(eng):
+    sql = (
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "GROUP BY event_type ORDER BY n DESC LIMIT 2"
+    )
+    r, raw = _both(eng, sql)
+    assert "rollup" in r["plan"]["reason"]
+    _assert_equal(r["result"], raw)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # bound slices an hour bucket
+        "SELECT COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:30:10'",
+        # measure referenced in WHERE
+        "SELECT COUNT(*) AS n FROM events WHERE value > 10",
+        # finer truncation than... equal is fine, but MINUTE < 1 hour bucket
+        "SELECT DATE_TRUNC('MINUTE', ts) AS m, COUNT(*) AS n FROM events GROUP BY DATE_TRUNC('MINUTE', ts)",
+        # COUNT(DISTINCT) is not derivable from count/sum/min/max state
+        "SELECT COUNT(DISTINCT user_id) AS n FROM events",
+        # aggregate over a non-measure column
+        "SELECT SUM(user_id) AS s FROM events",
+        # HAVING referencing a non-measure aggregate
+        "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type HAVING SUM(user_id) > 5",
+        # top-level OR mixing ts and dim scopes
+        "SELECT COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' OR event_type = 'click'",
+        # inclusive upper bound can't be proven bucket-exact
+        "SELECT COUNT(*) AS n FROM events WHERE ts <= TIMESTAMP '2024-01-03 00:00:00'",
+        # group key outside the rollup dims
+        "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+    ],
+)
+def test_unsound_shapes_decline(eng, sql):
+    r = eng.query(sql)
+    assert r["status"] == "ok", r.get("error")
+    assert "rollup" not in r["plan"]["reason"], (sql, r["plan"]["reason"])
+
+
+def test_having_rewrites_aggregates(eng):
+    sql = (
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "GROUP BY event_type HAVING COUNT(*) > 5 AND AVG(value) > 0 "
+        "ORDER BY event_type"
+    )
+    r, raw = _both(eng, sql)
+    assert "rollup" in r["plan"]["reason"], r["plan"]["reason"]
+    _assert_equal(r["result"], raw)
+
+
+def test_coarsest_capable_rollup_wins(eng, spark):
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_rollup_pref_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    e.create_rollup("events", "ts", "1 hour", dims=["event_type"], measures=["value"])
+    e.create_rollup("events", "ts", "1 day", dims=["event_type"], measures=["value"])
+    # day-aligned query: the day rollup (24x fewer rows) must be chosen
+    r = e.query(
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' GROUP BY event_type"
+    )
+    assert "events__rollup_1_day" in r["plan"]["reason"], r["plan"]["reason"]
+    # hour-aligned (mid-day) bound: day rollup can't, hour rollup can
+    r2 = e.query(
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-03 06:00:00' GROUP BY event_type"
+    )
+    assert "events__rollup_1_hour" in r2["plan"]["reason"], r2["plan"]["reason"]
+
+
+def test_stale_rollup_declines_and_rebuild_rearms(eng, spark):
+    # drift the catalog row count: freshness gate must decline routing
+    true_n = eng.catalog.get_row_count("events")
+    eng.catalog.upsert_table_stats("events", true_n + 1)
+    r = eng.query("SELECT COUNT(*) AS n FROM events WHERE event_type='click'")
+    assert "rollup" not in r["plan"]["reason"]
+    eng.catalog.upsert_table_stats("events", true_n)
+    r2 = eng.query("SELECT COUNT(*) AS n FROM events WHERE event_type='click'")
+    assert "rollup" in r2["plan"]["reason"]
+
+
+def test_rollup_survives_engine_restart(eng, spark):
+    # a new engine over the same workdir re-registers the materialized
+    # rollup views from the persisted catalog on first routed query
+    spark.catalog.dropTempView("events__rollup_1_hour")
+    spark.catalog.dropTempView("events__rollup_1_hour__files")
+    e2 = AQEngine(
+        spark, workdir=eng.catalog.workdir, data_dir="/root/testdata/sf0.001"
+    )
+    sql = (
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    )
+    r = e2.query(sql)
+    assert "rollup" in r["plan"]["reason"], r["plan"]["reason"]
+    raw = [x.asDict() for x in spark.sql(sql).collect()]
+    _assert_equal(r["result"], raw)
+
+
+def test_day_bucket_declines_hour_trunc(eng, spark):
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_rollup_day_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    e.create_rollup("events", "ts", "1 day", measures=["value"])
+    ok = e.query(
+        "SELECT DATE_TRUNC('WEEK', ts) AS w, SUM(value) AS sv FROM events "
+        "GROUP BY DATE_TRUNC('WEEK', ts) ORDER BY w"
+    )
+    assert "rollup" in ok["plan"]["reason"]
+    raw = [
+        x.asDict()
+        for x in spark.sql(
+            "SELECT DATE_TRUNC('WEEK', ts) AS w, SUM(value) AS sv FROM events "
+            "GROUP BY DATE_TRUNC('WEEK', ts) ORDER BY w"
+        ).collect()
+    ]
+    _assert_equal(ok["result"], raw)
+    bad = e.query(
+        "SELECT DATE_TRUNC('HOUR', ts) AS h, COUNT(*) AS n FROM events "
+        "GROUP BY DATE_TRUNC('HOUR', ts)"
+    )
+    assert "rollup" not in bad["plan"]["reason"]
