@@ -84,6 +84,7 @@ def run_maintenance(
         | {s.table_name for s in catalog.sketches.values()}
         | set(catalog.analyze_meta)
         | set(catalog.partitioned_views)
+        | set(catalog.rollups)
     )
     if refresh_stats:
         for t in sorted(base_tables):
@@ -233,6 +234,50 @@ def run_maintenance(
                 report.errors.append({"layout": table, "error": str(exc)[:200]})
                 continue
         report.refreshed.append(action)
+
+    # ---- materialized rollups (engine.create_rollup) -------------------
+    # Routing guards rollups with a STRICT row-count equality gate (any
+    # base-table drift and _route_rollup declines — stale state is never
+    # served), so staleness here doesn't risk wrong answers, it silently
+    # COSTS the raw-table scan on every would-have-routed query. The
+    # policy is therefore rebuild-on-any-drift: re-materialize and re-arm.
+    for table, entries in sorted(catalog.rollups.items()):
+        current = catalog.get_row_count(table)
+        for info in list(entries):
+            report.checked += 1
+            label = f"{table}:rollup[{info['view']}]"
+            if current is None:
+                report.unknown.append(label)
+                continue
+            if info.get("built_row_count") == current:
+                report.fresh.append(label)
+                continue
+            action = {
+                "kind": "rollup",
+                "table": table,
+                "view": info["view"],
+                "reason": (
+                    f"base table rows {current} != built against "
+                    f"{info.get('built_row_count')} — routing disarmed "
+                    "until rebuilt"
+                ),
+                "dry_run": dry_run,
+            }
+            if not dry_run:
+                try:
+                    engine.create_rollup(
+                        table,
+                        info["time_col"],
+                        info["bucket"],
+                        dims=info.get("dims"),
+                        measures=info.get("measures"),
+                    )
+                except Exception as exc:
+                    report.errors.append(
+                        {"rollup": label, "error": str(exc)[:200]}
+                    )
+                    continue
+            report.refreshed.append(action)
 
     # ---- layout compaction (streaming-fed fragmentation) ---------------
     # A file per micro-batch accretes into thousands of small files per

@@ -272,3 +272,42 @@ def test_layout_compaction_defragments_streamed_buckets(meng, spark, tmp_path):
     # idempotent: a second pass finds nothing over threshold
     again = compact_partition_layout(spark, path, max_files_per_bucket=3)
     assert again["compacted_buckets"] == 0
+
+
+def test_stale_rollup_rearms_routing(meng, spark):
+    """A drifted base table disarms rollup routing (strict equality
+    gate); maintenance rebuilds the rollup and routing re-arms, serving
+    the post-drift data."""
+    meng.create_rollup(
+        "events", "ts", "1 hour", dims=["event_type"], measures=["value"]
+    )
+    sql = (
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    )
+    assert "rollup" in meng.query(sql)["plan"]["reason"]
+    orig = spark.table("events")
+    doubled = orig.unionAll(orig)
+    doubled.createOrReplaceTempView("events")
+    try:
+        meng.catalog.upsert_table_stats("events", doubled.count())
+        # disarmed while stale: the strict gate declines, exact path runs
+        r = meng.query(sql, prefer_exact=True)
+        assert "rollup" not in r["plan"]["reason"]
+        rep = meng.maintain(max_drift=0.10)
+        kinds = [(a["kind"], a.get("view")) for a in rep["refreshed"]]
+        assert ("rollup", "events__rollup_1_hour") in kinds, rep
+        r2 = meng.query(sql)
+        assert "rollup" in r2["plan"]["reason"], r2["plan"]["reason"]
+        # and the re-armed answer reflects the DOUBLED table
+        raw = {
+            y["event_type"]: y["n"]
+            for y in (x.asDict() for x in spark.sql(sql).collect())
+        }
+        got = {d["event_type"]: d["n"] for d in r2["result"]}
+        assert got == raw
+        # dry_run on a fresh state reports nothing
+        rep2 = meng.maintain(max_drift=0.10, dry_run=True)
+        assert not any(a["kind"] == "rollup" for a in rep2["refreshed"])
+    finally:
+        orig.createOrReplaceTempView("events")
