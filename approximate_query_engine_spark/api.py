@@ -249,6 +249,24 @@ def create_app(engine: AQEngine, config: Config | None = None):
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500
 
+    @app.post("/rollups/refresh")
+    def rollups_refresh():
+        """Incremental tail refresh (append-mostly contract): recompute
+        only the affected date directories and re-arm routing."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            return jsonify(
+                engine.refresh_rollup(
+                    body["table"],
+                    view=body.get("view"),
+                    since=body.get("since"),
+                )
+            )
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
     @app.get("/rollups")
     def rollups_list():
         return jsonify(

@@ -641,6 +641,70 @@ class AQEngine:
             "measures": info["measures"],
         }
 
+    def refresh_rollup(
+        self,
+        table: str,
+        view: str | None = None,
+        since: str | None = None,
+    ) -> dict:
+        """Incremental tail refresh of a materialized rollup: recompute
+        only the date directories from ``since`` (default: the layout's
+        LAST date — the one that may have been mid-day-incomplete) via
+        dynamic partition overwrite, then re-arm routing against the
+        current base row count. Years of rollup history are never re-read
+        — one day of appends costs one day's source scan, vs the full
+        rebuild maintenance falls back to. CONTRACT: append-mostly data;
+        late rows landing before ``since`` need an explicit earlier
+        ``since`` (same as refresh_partition_layout)."""
+        from approximate_query_engine_spark.operators.partitioning import (
+            list_bucket_dirs,
+        )
+        from approximate_query_engine_spark.operators.rollup import (
+            RollupSpec,
+            refresh_rollup_buckets,
+        )
+
+        entries = self.catalog.rollups.get(table, [])
+        if view is not None:
+            entries = [e for e in entries if e["view"] == view]
+        if not entries:
+            raise ValueError(
+                f"no registered rollup for table {table!r}"
+                + (f" with view {view!r}" if view else "")
+            )
+        info = entries[0]
+        spec = RollupSpec(
+            table,
+            info["time_col"],
+            info["bucket"],
+            list(info.get("dims", [])),
+            list(info.get("measures", [])),
+        )
+        if since is None:
+            dates = list_bucket_dirs(
+                self.spark, info["path"], partition_col="p_date"
+            )
+            if not dates:
+                raise ValueError(
+                    f"rollup layout at {info['path']} has no date "
+                    "directories; rebuild with create_rollup"
+                )
+            since = dates[-1]
+        refresh_rollup_buckets(self.spark, spec, info["path"], since)
+        # the files view pinned the PRE-refresh file listing — re-register
+        self.spark.read.parquet(info["path"]).createOrReplaceTempView(
+            info["files_view"]
+        )
+        current = self.spark.table(table).count()
+        self.catalog.upsert_table_stats(table, current)
+        info["built_row_count"] = int(current)
+        self.catalog.save()
+        return {
+            "rollup": info["view"],
+            "refreshed_since": since,
+            "built_row_count": int(current),
+        }
+
     def _route_rollup(self, sql: str) -> tuple[str, str] | None:
         """Continuous-aggregate rewrite: when ``sql`` is a single-table
         aggregate whose shape a registered FRESH rollup can answer

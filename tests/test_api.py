@@ -282,11 +282,16 @@ def test_rollups_routes(client, engine):
         },
     ).get_json()
     assert "answered from materialized rollup" in r["plan"]["reason"]
+    rf = client.post("/rollups/refresh", json={"table": "events"}).get_json()
+    assert rf["rollup"] == "events__rollup_1_hour"
+    assert rf["refreshed_since"].startswith("2024-")
     bad = client.post(
         "/rollups/create",
         json={"table": "events", "time_col": "ts", "bucket": "1 month"},
     )
     assert bad.status_code == 400  # variable-width bucket
+    bad2 = client.post("/rollups/refresh", json={"table": "nation"})
+    assert bad2.status_code == 400  # no rollup registered
     # the engine fixture is session-scoped: disarm so later tests'
     # events-aggregate plan assertions stay order-independent
     engine.catalog.rollups.pop("events", None)

@@ -231,3 +231,56 @@ def test_day_bucket_declines_hour_trunc(eng, spark):
         "GROUP BY DATE_TRUNC('HOUR', ts)"
     )
     assert "rollup" not in bad["plan"]["reason"]
+
+
+def test_engine_refresh_rollup_incremental_rearm(spark):
+    """engine.refresh_rollup: append-tail drift disarms routing; the
+    incremental refresh recomputes ONLY the tail date directories
+    (mtime evidence), re-arms routing, and the routed answer reflects
+    the appended rows."""
+    import datetime
+    import glob
+    import os
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(days=d, hours=h), "a", float(d * 10 + h))
+        for d in range(5)
+        for h in range(4)
+    ]
+    schema = "ts timestamp, event_type string, value double"
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("refresh_src")
+    e = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_rollup_rf_"))
+    e.catalog.upsert_table_stats("refresh_src", len(rows))
+    e.create_rollup(
+        "refresh_src", "ts", "1 hour", dims=["event_type"], measures=["value"]
+    )
+    path = e.catalog.rollups["refresh_src"][0]["path"]
+
+    def day_files(day):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{path}/p_date=2024-03-0{day}/*.parquet")
+        }
+
+    before = {d: day_files(d) for d in (1, 2, 3)}
+    assert all(before.values())
+    sql = "SELECT COUNT(*) AS n, SUM(value) AS sv FROM refresh_src"
+    assert "rollup" in e.query(sql)["plan"]["reason"]
+    # tail append: a late row in the LAST day
+    late = [(datetime.datetime(2024, 3, 5, 1, 30), "a", 999.0)]
+    spark.createDataFrame(rows + late, schema).createOrReplaceTempView(
+        "refresh_src"
+    )
+    e.catalog.upsert_table_stats("refresh_src", len(rows) + 1)
+    assert "rollup" not in e.query(sql)["plan"]["reason"]  # disarmed
+    out = e.refresh_rollup("refresh_src")
+    assert out["refreshed_since"] == "2024-03-05"
+    assert out["built_row_count"] == len(rows) + 1
+    # untouched history: identical paths AND mtimes for earlier days
+    assert {d: day_files(d) for d in (1, 2, 3)} == before
+    r = e.query(sql)
+    assert "rollup" in r["plan"]["reason"], r["plan"]["reason"]
+    assert r["result"][0]["n"] == len(rows) + 1
+    raw = spark.sql(sql).collect()[0]
+    assert r["result"][0]["sv"] == pytest.approx(raw["sv"], rel=1e-12)
