@@ -47,41 +47,17 @@ def materialize_rollup(
     """Build + register the rollup table. One shuffle on
     (bucket, dims); partial-agg state per measure: count/sum/min/max."""
     src = spark.table(spec.source_table)
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for m in spec.measures:
-        aggs += [
-            F.count(m).alias(f"{m}_count"),
-            F.sum(m).alias(f"{m}_sum"),
-            F.min(m).alias(f"{m}_min"),
-            F.max(m).alias(f"{m}_max"),
-        ]
-    rolled = (
-        src.groupBy(
-            F.window(F.col(spec.time_col), spec.bucket).alias("w"), *spec.dims
-        )
-        .agg(*aggs)
-        .select(
-            F.col("w.start").alias("bucket_start"),
-            *spec.dims,
-            F.col("n_rows"),
-            *[
-                F.col(f"{m}_{s}")
-                for m in spec.measures
-                for s in ("count", "sum", "min", "max")
-            ],
-        )
-    )
+    rolled = _partial_state(src, spec)
     if path:
         # date-partitioned layout: incremental refresh then replaces only
         # the affected date directories (dynamic partition overwrite) and
         # dashboard queries on a date range prune at file-listing time
-        out = rolled.withColumn(
-            _PDATE, F.date_format("bucket_start", "yyyy-MM-dd")
-        )
-        out.write.mode("overwrite").partitionBy(_PDATE).parquet(path)
+        rolled.write.mode("overwrite").partitionBy(_PDATE).parquet(path)
         # the registered view keeps the same schema as the unmaterialized
         # form; the partition column is a storage detail
         rolled = spark.read.parquet(path).drop(_PDATE)
+    else:
+        rolled = rolled.drop(_PDATE)
     rolled.createOrReplaceTempView(spec.rollup_name)
     return rolled
 
@@ -478,6 +454,116 @@ def rewrite_to_rollup(parsed, info: dict) -> tuple[str, str] | None:
         f"(bucket {info['bucket']}; exact — partial-agg state re-aggregated)"
     )
     return sql, note
+
+
+def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
+    """Per-(bucket, dims) partial-agg state of ``df`` in the rollup's
+    column layout, plus the storage ``p_date`` column."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for m in spec.measures:
+        aggs += [
+            F.count(m).alias(f"{m}_count"),
+            F.sum(m).alias(f"{m}_sum"),
+            F.min(m).alias(f"{m}_min"),
+            F.max(m).alias(f"{m}_max"),
+        ]
+    return (
+        df.groupBy(
+            F.window(F.col(spec.time_col), spec.bucket).alias("w"), *spec.dims
+        )
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            *spec.dims,
+            "n_rows",
+            *[
+                f"{m}_{s}"
+                for m in spec.measures
+                for s in ("count", "sum", "min", "max")
+            ],
+        )
+        .withColumn(_PDATE, F.date_format("bucket_start", "yyyy-MM-dd"))
+    )
+
+
+def merge_rollup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    spec: RollupSpec,
+    path: str,
+    batch_id: int | None = None,
+) -> dict:
+    """MERGE one batch of raw rows into a materialized rollup layout:
+    aggregate the batch to partial state, union it with the EXISTING
+    state of only the affected date directories, re-aggregate (counts and
+    sums add, mins/maxes combine — the state is mergeable by
+    construction, so late data is handled exactly, no watermark needed
+    for correctness), and swap those directories in via dynamic partition
+    overwrite. Untouched history is never read or written — at 100 TB a
+    micro-batch costs its own dates, not the table.
+
+    ``batch_id`` arms the idempotency guard for at-least-once callers
+    (foreachBatch re-runs a batch after a crash): ids at or below the
+    persisted high-water mark are skipped. Single-writer contract — two
+    concurrent mergers could interleave read-modify-write. The guard's
+    meta file and the existence listing use local-file I/O; on a shared
+    filesystem swap them for the Hadoop FS API calls
+    compact_partition_layout demonstrates."""
+    import json as _json
+    import os as _os
+
+    meta = _os.path.join(path, "_aqe_merge_meta.json")
+    if batch_id is not None and _os.path.exists(meta):
+        try:
+            with open(meta) as f:
+                if batch_id <= _json.load(f).get("last_batch_id", -1):
+                    return {"merged": False, "reason": "batch already merged"}
+        except (OSError, ValueError):
+            pass
+    rolled = _partial_state(batch_df, spec)
+    exists = _os.path.exists(path) and any(
+        n.startswith(f"{_PDATE}=") for n in _os.listdir(path)
+    )
+    if not exists:
+        rolled.write.mode("overwrite").partitionBy(_PDATE).parquet(path)
+        affected = None
+    else:
+        rolled = rolled.cache()
+        affected = [
+            r[_PDATE] for r in rolled.select(_PDATE).distinct().collect()
+        ]
+        existing = spark.read.parquet(path).filter(
+            F.col(_PDATE).isin(affected)
+        )
+        merge_aggs = [F.sum("n_rows").alias("n_rows")]
+        for m in spec.measures:
+            merge_aggs += [
+                F.sum(f"{m}_count").alias(f"{m}_count"),
+                F.sum(f"{m}_sum").alias(f"{m}_sum"),
+                F.min(f"{m}_min").alias(f"{m}_min"),
+                F.max(f"{m}_max").alias(f"{m}_max"),
+            ]
+        merged = (
+            existing.unionByName(rolled)
+            .groupBy("bucket_start", *spec.dims, _PDATE)
+            .agg(*merge_aggs)
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_PDATE)
+            .parquet(path)
+        )
+        rolled.unpersist()
+    if batch_id is not None:
+        tmp = meta + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"last_batch_id": int(batch_id)}, f)
+        _os.replace(tmp, meta)
+    spark.catalog.refreshByPath(path)
+    final = spark.read.parquet(path).drop(_PDATE)
+    final.createOrReplaceTempView(spec.rollup_name)
+    return {"merged": True, "affected_dates": affected}
 
 
 def refresh_rollup_buckets(

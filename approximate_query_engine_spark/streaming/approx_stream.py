@@ -232,3 +232,43 @@ def stream_to_partitioned_layout(
     finally:
         q.stop()
     return spark.read.parquet(path)
+
+
+def stream_to_rollup(
+    stream: DataFrame,
+    spec,
+    path: str,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Streaming ingestion INTO a materialized rollup — the push-based
+    continuous aggregate: each micro-batch's rows are aggregated to
+    partial count/sum/min/max state and MERGED into the affected date
+    directories of the rollup layout (operators/rollup.merge_rollup_batch
+    — mergeable state, so late data folds in exactly with no watermark
+    needed for correctness; the foreachBatch batch_id arms the merge's
+    idempotency guard, making the sink effectively-once under Structured
+    Streaming's at-least-once replay). Batch dashboards then answer from
+    the same layout via engine._route_rollup while events keep streaming
+    in. ``stream`` is any streaming DataFrame carrying ``spec.time_col``,
+    dims, and measures (Kafka in production; the parquet replay in
+    tests)."""
+    from approximate_query_engine_spark.operators.rollup import (
+        merge_rollup_batch,
+    )
+
+    spark = stream.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_rollup_batch(spark, batch_df, spec, path, batch_id=batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint or path + "__chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(path)

@@ -133,3 +133,115 @@ def test_stream_into_partitioned_layout(spark, engine, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert m["partitions_read"] == 1, m
+
+
+def test_stream_to_rollup_merges_batches(spark, tmp_path):
+    """Push-based continuous aggregate: micro-batches merge partial
+    count/sum/min/max state into the rollup layout; the drained result
+    equals the one-shot batch rollup of the same rows, replaying a batch
+    id is a no-op, and the layout then serves routed engine SQL."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.operators.rollup import (
+        RollupSpec,
+        materialize_rollup,
+        merge_rollup_batch,
+    )
+    from approximate_query_engine_spark.streaming.approx_stream import (
+        stream_to_rollup,
+    )
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        (
+            base + datetime.timedelta(days=d, hours=h, minutes=7 * (h % 3)),
+            ["click", "view"][h % 2],
+            float(d * 100 + h),
+        )
+        for d in range(3)
+        for h in range(24)
+    ]
+    schema = "ts timestamp, event_type string, value double"
+    src_dir = str(tmp_path / "src")
+    # one file per day => three micro-batches with maxFilesPerTrigger=1,
+    # so the MERGE path (existing dirs + new partials) is exercised
+    for d in range(3):
+        day = [r for r in rows if r[0].day == 1 + d]
+        spark.createDataFrame(day, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    spec = RollupSpec("stream_roll_src", "ts", "1 hour", ["event_type"], ["value"])
+    path = str(tmp_path / "rollup")
+    streamed = stream_to_rollup(stream, spec, path).drop("p_date")
+
+    spark.createDataFrame(rows, schema).createOrReplaceTempView(
+        "stream_roll_src"
+    )
+    batch = materialize_rollup(spark, spec)  # unmaterialized reference
+
+    def snap(df):
+        return sorted(
+            (
+                str(r["bucket_start"]),
+                r["event_type"],
+                r["n_rows"],
+                r["value_count"],
+                round(r["value_sum"], 6),
+                r["value_min"],
+                r["value_max"],
+            )
+            for r in df.collect()
+        )
+
+    assert snap(streamed) == snap(batch)
+    # replaying an already-merged batch id is a no-op
+    out = merge_rollup_batch(
+        spark,
+        spark.createDataFrame(rows[:5], schema),
+        spec,
+        path,
+        batch_id=0,
+    )
+    assert out == {"merged": False, "reason": "batch already merged"}
+    assert snap(spark.read.parquet(path).drop("p_date")) == snap(batch)
+    # the streamed layout serves ROUTED engine SQL (register by hand —
+    # the layout was produced by the stream, not create_rollup)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_stream_ru_"))
+    eng.catalog.upsert_table_stats("stream_roll_src", len(rows))
+    files_view = spec.rollup_name + "__files"
+    spark.read.parquet(path).createOrReplaceTempView(files_view)
+    eng.catalog.rollups["stream_roll_src"] = [
+        {
+            "source_table": "stream_roll_src",
+            "view": spec.rollup_name,
+            "files_view": files_view,
+            "path": path,
+            "time_col": "ts",
+            "bucket": "1 hour",
+            "bucket_seconds": 3600,
+            "dims": ["event_type"],
+            "measures": ["value"],
+            "built_row_count": len(rows),
+        }
+    ]
+    sql = (
+        "SELECT event_type, COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx "
+        "FROM stream_roll_src WHERE ts >= TIMESTAMP '2024-05-02 00:00:00' "
+        "GROUP BY event_type ORDER BY event_type"
+    )
+    r = eng.query(sql)
+    assert "answered from materialized rollup" in r["plan"]["reason"]
+    raw = [x.asDict() for x in spark.sql(sql).collect()]
+    assert [
+        (d["event_type"], d["n"], d["mn"], d["mx"]) for d in r["result"]
+    ] == [(d["event_type"], d["n"], d["mn"], d["mx"]) for d in raw]
