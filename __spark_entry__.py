@@ -1070,6 +1070,80 @@ _ROLLUP_ROUTED_ORACLE = (
 )
 
 
+_STREAM_ROLLUP_SQL = (
+    "SELECT event_type, COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-06 00:00:00' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
+def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed continuous aggregate end-to-end (round 6): events REPLAY
+    through Structured Streaming into a rollup layout via per-batch
+    partial-state merge (stream_to_rollup / merge_rollup_batch), the
+    layout is registered, and a plain SQL aggregate over the raw events
+    table is then ANSWERED FROM the stream-fed rollup by
+    engine._route_rollup. The oracle aggregates raw events in DuckDB —
+    COUNT/MIN/MAX re-aggregate bit-exactly, so any streaming-merge or
+    rewrite divergence hash-fails."""
+    import os
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.operators.rollup import RollupSpec
+    from approximate_query_engine_spark.streaming.approx_stream import (
+        _events_stream,
+        stream_to_rollup,
+    )
+
+    _prep(spark, sf_dir)
+    wd = tempfile.mkdtemp(prefix="aqe_entry_")
+    spec = RollupSpec("events", "ts", "1 hour", ["event_type"], ["value"])
+    path = os.path.join(wd, "stream_rollup")
+    stream_to_rollup(_events_stream(spark, sf_dir), spec, path)
+    eng = AQEngine(spark, workdir=wd)
+    n = spark.table("events").count()
+    eng.catalog.upsert_table_stats("events", n)
+    files_view = spec.rollup_name + "__files"
+    spark.read.parquet(path).createOrReplaceTempView(files_view)
+    eng.catalog.rollups["events"] = [
+        {
+            "source_table": "events",
+            "view": spec.rollup_name,
+            "files_view": files_view,
+            "path": path,
+            "time_col": "ts",
+            "bucket": "1 hour",
+            "bucket_seconds": 3600,
+            "dims": ["event_type"],
+            "measures": ["value"],
+            "built_row_count": int(n),
+        }
+    ]
+    r = eng.query(_STREAM_ROLLUP_SQL)
+    assert r["status"] == "ok", r.get("error")
+    assert "answered from materialized rollup" in r["plan"]["reason"], (
+        r["plan"]
+    )
+    rows = [
+        (d["event_type"], int(d["n"]), float(d["mn"]), float(d["mx"]))
+        for d in r["result"]
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, n long, mn double, mx double"
+    )
+
+
+_STREAM_ROLLUP_ORACLE = (
+    "SELECT event_type, COUNT(*)::BIGINT AS n, MIN(value) AS mn, "
+    "MAX(value) AS mx FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-06 00:00:00' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
 _JOIN_ROUTED_SQL = (
     "SELECT o.o_orderpriority, COUNT(*) AS n, "
     "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev "
@@ -2952,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q89_grouped_topk_bounds"] = _q_grouped_topk_bounds
     out["q90_join_routing"] = _q_join_routing
     out["q91_rollup_routing"] = _q_rollup_routing
+    out["q92_stream_rollup"] = _q_stream_rollup
     return _reorder_check_window(out)
 
 
@@ -3004,5 +3079,6 @@ def oracle_sql() -> dict[str, str]:
     out["q89_grouped_topk_bounds"] = _TOPK_BOUNDS_ORACLE
     out["q90_join_routing"] = _JOIN_ROUTED_ORACLE
     out["q91_rollup_routing"] = _ROLLUP_ROUTED_ORACLE
+    out["q92_stream_rollup"] = _STREAM_ROLLUP_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -149,6 +149,9 @@ def test_check_window_ordering():
         # q51's slot; q51's query_rollup operator is the building block
         # q91's engine path materializes through
         "q51_rollup_operator": "q91_rollup_routing",
+        # stream-fed rollup: same routing family as the in-window q91,
+        # plus the streaming family's in-window q35/q62
+        "q92_stream_rollup": "q91_rollup_routing",
     }
     for name in names[50:]:
         if name in oracled:
