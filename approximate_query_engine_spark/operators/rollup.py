@@ -161,6 +161,42 @@ def _epoch_seconds(dt: datetime) -> float:
     return (dt - _EPOCH).total_seconds()
 
 
+def _trunc_dt(unit: str, dt: datetime) -> datetime:
+    """DATE_TRUNC semantics in Python (week → Monday, matching Spark)."""
+    d = dt.replace(microsecond=0)
+    if unit == "minute":
+        return d.replace(second=0)
+    d = d.replace(minute=0, second=0)
+    if unit == "hour":
+        return d
+    d = d.replace(hour=0)
+    if unit == "day":
+        return d
+    if unit == "week":
+        return d - timedelta(days=d.weekday())
+    d = d.replace(day=1)
+    if unit == "month":
+        return d
+    if unit == "quarter":
+        return d.replace(month=((d.month - 1) // 3) * 3 + 1)
+    return d.replace(month=1)  # year
+
+
+def _next_boundary(unit: str, dt: datetime) -> datetime:
+    """The boundary after a unit-aligned ``dt``."""
+    if unit == "minute":
+        return dt + timedelta(minutes=1)
+    if unit == "hour":
+        return dt + timedelta(hours=1)
+    if unit == "day":
+        return dt + timedelta(days=1)
+    if unit == "week":
+        return dt + timedelta(days=7)
+    step = {"month": 1, "quarter": 3, "year": 12}[unit]
+    m = dt.month - 1 + step
+    return dt.replace(year=dt.year + m // 12, month=m % 12 + 1)
+
+
 def _split_conjuncts(where: str) -> list[str] | None:
     """Top-level AND conjuncts of ``where``; None when a top-level OR
     makes conjunct-by-conjunct reasoning unsound."""
@@ -346,6 +382,17 @@ def rewrite_to_rollup(parsed, info: dict) -> tuple[str, str] | None:
         conjs = _split_conjuncts(parsed.where)
         if conjs is None:
             return None
+        materialized = bool(
+            info.get("files_view") and info["files_view"] != info["view"]
+        )
+
+        def add_prune(op: str, dt: datetime) -> None:
+            # conservative date-directory pruning superset (the
+            # bucket_start conjuncts are the exact filter); only the
+            # materialized files view carries p_date
+            if materialized:
+                prune.append(f"p_date {op} '{dt.strftime('%Y-%m-%d')}'")
+
         for c in conjs:
             ids = _identifiers(c)
             if ids is None:
@@ -354,30 +401,70 @@ def rewrite_to_rollup(parsed, info: dict) -> tuple[str, str] | None:
             if bare and bare <= dims:
                 conds.append(strip(c))
                 continue
+            sc = strip(c)
+            # CAST(ts AS DATE) ≡ DATE_TRUNC('DAY', ts) — normalize first
+            sc = _re.sub(
+                rf"CAST\(\s*{_re.escape(ts)}\s+AS\s+DATE\s*\)",
+                f"DATE_TRUNC('DAY', {ts})",
+                sc,
+                flags=_re.I,
+            )
             m = _re.fullmatch(
                 rf"\s*{_re.escape(ts)}\s*(>=|<)\s*"
                 r"((?:DATE|TIMESTAMP)?\s*'[^']+')\s*",
-                strip(c),
+                sc,
+                _re.I,
+            )
+            if m:
+                lit = _parse_literal(m.group(2))
+                if lit is None:
+                    return None
+                es = _epoch_seconds(lit)
+                if es != int(es) or int(es) % bsec != 0:
+                    return None  # bound slices a bucket — rollup can't
+                op, text = m.group(1), m.group(2).strip()
+                conds.append(f"bucket_start {op} {text}")
+                add_prune(">=" if op == ">=" else "<=", lit)
+                continue
+            # the dashboard shape: DATE_TRUNC('UNIT', ts) =|>=|< literal.
+            # Sound when the unit's boundaries all fall on the bucket
+            # grid AND the literal is itself unit-aligned; '=' expands to
+            # the unit's [literal, next-boundary) range.
+            m = _re.fullmatch(
+                rf"\s*DATE_TRUNC\(\s*'(\w+)'\s*,\s*{_re.escape(ts)}\s*\)\s*"
+                r"(=|>=|<)\s*((?:DATE|TIMESTAMP)?\s*'[^']+')\s*",
+                sc,
                 _re.I,
             )
             if not m:
                 return None
-            lit = _parse_literal(m.group(2))
-            if lit is None:
+            unit, op = m.group(1).lower(), m.group(2)
+            lit = _parse_literal(m.group(3))
+            mod = _TRUNC_MODULUS.get(unit)
+            if (
+                lit is None
+                or mod is None
+                or mod % bsec != 0
+                or _trunc_dt(unit, lit.replace(tzinfo=None))
+                != lit.replace(tzinfo=None)
+            ):
                 return None
-            es = _epoch_seconds(lit)
-            if es != int(es) or int(es) % bsec != 0:
-                return None  # bound slices a bucket — rollup can't answer
-            op, text = m.group(1), m.group(2).strip()
-            conds.append(f"bucket_start {op} {text}")
-            if info.get("files_view") and info["files_view"] != info["view"]:
-                day = _re.search(r"\d{4}-\d{2}-\d{2}", text).group(0)
-                # conservative date-directory pruning superset (the
-                # bucket_start conjunct above is the exact filter); only
-                # the materialized files view carries p_date
-                prune.append(
-                    f"p_date >= '{day}'" if op == ">=" else f"p_date <= '{day}'"
+            iso = lit.strftime("%Y-%m-%d %H:%M:%S")
+            if op == "=":
+                nxt = _next_boundary(unit, lit)
+                conds.append(f"bucket_start >= TIMESTAMP '{iso}'")
+                conds.append(
+                    "bucket_start < TIMESTAMP "
+                    f"'{nxt.strftime('%Y-%m-%d %H:%M:%S')}'"
                 )
+                add_prune(">=", lit)
+                add_prune("<=", nxt)
+            elif op == ">=":
+                conds.append(f"bucket_start >= TIMESTAMP '{iso}'")
+                add_prune(">=", lit)
+            else:
+                conds.append(f"bucket_start < TIMESTAMP '{iso}'")
+                add_prune("<=", lit)
 
     # ---- having ----
     having_sql = None

@@ -143,6 +143,44 @@ def test_unsound_shapes_decline(eng, sql):
     assert "rollup" not in r["plan"]["reason"], (sql, r["plan"]["reason"])
 
 
+@pytest.mark.parametrize(
+    "pred",
+    [
+        "DATE_TRUNC('DAY', ts) = DATE '2024-01-03'",
+        "CAST(ts AS DATE) = DATE '2024-01-04'",
+        "DATE_TRUNC('DAY', ts) >= TIMESTAMP '2024-01-03 00:00:00'",
+        "DATE_TRUNC('DAY', ts) < DATE '2024-01-05'",
+        "DATE_TRUNC('MONTH', ts) = DATE '2024-01-01'",
+        "DATE_TRUNC('WEEK', ts) = DATE '2024-01-08'",  # a Monday
+    ],
+)
+def test_trunc_predicates_route_and_match(eng, pred):
+    sql = (
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        f"WHERE {pred} GROUP BY event_type ORDER BY event_type"
+    )
+    r, raw = _both(eng, sql)
+    assert "rollup" in r["plan"]["reason"], (pred, r["plan"]["reason"])
+    assert raw, f"premise: {pred} matches rows"
+    _assert_equal(r["result"], raw)
+
+
+def test_trunc_predicate_unaligned_literal_declines(eng):
+    # DATE_TRUNC('DAY', ts) can never equal a mid-day literal; routing
+    # must decline rather than guess
+    r = eng.query(
+        "SELECT COUNT(*) AS n FROM events "
+        "WHERE DATE_TRUNC('DAY', ts) = TIMESTAMP '2024-01-03 05:00:00'"
+    )
+    assert "rollup" not in r["plan"]["reason"]
+    # week-trunc equality on a non-Monday declines too
+    r2 = eng.query(
+        "SELECT COUNT(*) AS n FROM events "
+        "WHERE DATE_TRUNC('WEEK', ts) = DATE '2024-01-09'"
+    )
+    assert "rollup" not in r2["plan"]["reason"]
+
+
 def test_having_rewrites_aggregates(eng):
     sql = (
         "SELECT event_type, COUNT(*) AS n FROM events "
