@@ -242,6 +242,8 @@ def create_app(engine: AQEngine, config: Config | None = None):
                     body["bucket"],
                     dims=body.get("dims"),
                     measures=body.get("measures"),
+                    distinct_cols=body.get("distinct_cols"),
+                    hll_lgk=int(body.get("hll_lgk", 12)),
                 )
             )
         except (KeyError, ValueError) as e:

@@ -146,9 +146,20 @@ class AQEngine:
         # answer the query losslessly beats EVERY strategy the planner
         # could pick — exact result, pre-aggregated scan — so it
         # short-circuits planning (and the ML path) outright.
-        rolled = self._route_rollup(sql)
+        rolled = self._route_rollup(
+            sql, max_rel_error=max_rel_error, prefer_exact=prefer_exact
+        )
         if rolled is not None:
-            plan = {"type": "exact", "sql": rolled[0], "reason": rolled[1]}
+            routed_sql, note, approx_distinct = rolled
+            plan = {
+                # a COUNT(DISTINCT) served from merged HLL sketch state is
+                # approximate — labeled a sketch plan (and only taken when
+                # the tolerance covers the sketch error); everything else
+                # re-aggregates losslessly
+                "type": "sketch" if approx_distinct else "exact",
+                "sql": routed_sql,
+                "reason": note,
+            }
         elif use_ml_optimization and not prefer_exact:
             ml_optimization = self.optimizer.optimize_query(sql, max_rel_error)
             plan = ml_optimization.pop("_plan", None) or self.planner.plan(
@@ -578,6 +589,8 @@ class AQEngine:
         bucket: str,
         dims: list[str] | None = None,
         measures: list[str] | None = None,
+        distinct_cols: list[str] | None = None,
+        hll_lgk: int = 12,
     ) -> dict:
         """Materialize a continuous-aggregate rollup of ``table`` (partial
         count/sum/min/max state per (time bucket, dims)) under the catalog
@@ -599,7 +612,15 @@ class AQEngine:
                 f"bucket must be a fixed-width interval (seconds/minutes/"
                 f"hours/days/weeks), got: {bucket!r}"
             )
-        spec = RollupSpec(table, time_col, bucket, dims or [], measures or [])
+        spec = RollupSpec(
+            table,
+            time_col,
+            bucket,
+            dims or [],
+            measures or [],
+            distinct_cols or [],
+            hll_lgk,
+        )
         path = os.path.join(self.catalog.workdir, f"rollup_{spec.rollup_name}")
         materialize_rollup(self.spark, spec, path=path)
         files_view = f"{spec.rollup_name}__files"
@@ -619,6 +640,8 @@ class AQEngine:
             "bucket_seconds": bsec,
             "dims": list(dims or []),
             "measures": list(measures or []),
+            "distinct_cols": list(distinct_cols or []),
+            "hll_lgk": int(hll_lgk),
             # freshness gate: routing declines when the base table's
             # catalog row count drifts from this (same contract as
             # partitioned layouts — maintenance/register keep it current)
@@ -679,6 +702,8 @@ class AQEngine:
             info["bucket"],
             list(info.get("dims", [])),
             list(info.get("measures", [])),
+            list(info.get("distinct_cols", [])),
+            int(info.get("hll_lgk", 12)),
         )
         if since is None:
             dates = list_bucket_dirs(
@@ -705,13 +730,23 @@ class AQEngine:
             "built_row_count": int(current),
         }
 
-    def _route_rollup(self, sql: str) -> tuple[str, str] | None:
+    def _route_rollup(
+        self,
+        sql: str,
+        max_rel_error: float = 0.05,
+        prefer_exact: bool = False,
+    ) -> tuple[str, str, bool] | None:
         """Continuous-aggregate rewrite: when ``sql`` is a single-table
-        aggregate whose shape a registered FRESH rollup can answer
-        losslessly, return (rollup_sql, note). Runs BEFORE planning — an
-        exact answer from a pre-aggregated table dominates every
-        approximate strategy (faster AND error-free), so a hit
-        short-circuits the planner entirely."""
+        aggregate whose shape a registered FRESH rollup can answer,
+        return (rollup_sql, note, used_approx_distinct). Runs BEFORE
+        planning — an exact answer from a pre-aggregated table dominates
+        every approximate strategy (faster AND error-free), so a hit
+        short-circuits the planner entirely. COUNT(DISTINCT c) over a
+        tracked sketch column is the one approximate derivation: it is
+        offered only when the caller's tolerance covers ~2 standard
+        errors of the HLL estimate and exactness wasn't requested."""
+        import math
+
         from approximate_query_engine_spark.operators.rollup import (
             rewrite_to_rollup,
         )
@@ -745,7 +780,15 @@ class AQEngine:
                     files.drop("p_date").createOrReplaceTempView(info["view"])
             except Exception:
                 continue  # materialization gone — decline, stay correct
-            routed = rewrite_to_rollup(parsed, info)
+            hll_err = 1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
+            allow_distinct = (
+                not prefer_exact
+                and bool(info.get("distinct_cols"))
+                and max_rel_error >= 2 * hll_err
+            )
+            routed = rewrite_to_rollup(
+                parsed, info, allow_approx_distinct=allow_distinct
+            )
             if routed:
                 return routed
         return None

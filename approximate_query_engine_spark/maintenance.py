@@ -271,6 +271,8 @@ def run_maintenance(
                         info["bucket"],
                         dims=info.get("dims"),
                         measures=info.get("measures"),
+                        distinct_cols=info.get("distinct_cols"),
+                        hll_lgk=int(info.get("hll_lgk", 12)),
                     )
                 except Exception as exc:
                     report.errors.append(

@@ -34,6 +34,13 @@ class RollupSpec:
     bucket: str  # e.g. "1 hour", "15 minutes"
     dims: list[str] = field(default_factory=list)
     measures: list[str] = field(default_factory=list)  # numeric columns
+    #: columns tracked for APPROXIMATE per-bucket distinct counts: each
+    #: gets a DataSketches HLL sketch column (Spark-native
+    #: hll_sketch_agg) whose state unions across buckets/batches exactly
+    #: like the other partials — "distinct users last week" answers from
+    #: pre-aggregated state (rel. std. err. ≈ 1.04/sqrt(2^lgk))
+    distinct_cols: list[str] = field(default_factory=list)
+    hll_lgk: int = 12
 
     @property
     def rollup_name(self) -> str:
@@ -274,9 +281,18 @@ def _strip_qualifier(expr: str, scopes: set[str]) -> str:
     return _re.sub(pat, r"\2", expr)
 
 
-def rewrite_to_rollup(parsed, info: dict) -> tuple[str, str] | None:
-    """Rewrite a parsed single-table aggregate to scan ``info``'s rollup,
-    or None when the shape is not losslessly derivable.
+def rewrite_to_rollup(
+    parsed, info: dict, allow_approx_distinct: bool = False
+) -> tuple[str, str, bool] | None:
+    """Rewrite a parsed single-table aggregate to scan ``info``'s rollup
+    — ``(sql, note, used_approx_distinct)`` — or None when the shape is
+    not derivable.
+
+    With ``allow_approx_distinct``, ``COUNT(DISTINCT c)`` over a column
+    in ``info["distinct_cols"]`` rewrites to the merged HLL sketch
+    estimate (DataSketches state unions across buckets; rel. std. err.
+    ≈ 1.04/√2^lgk) — the ONE approximate derivation, flagged in the
+    returned bool so the caller prices/labels it as a sketch plan.
 
     ``info``: {"view", "files_view", "time_col", "bucket",
     "bucket_seconds", "dims", "measures"} (engine.create_rollup builds
@@ -303,13 +319,19 @@ def rewrite_to_rollup(parsed, info: dict) -> tuple[str, str] | None:
     scopes = {info["source_table"]}
     if parsed.table_alias:
         scopes.add(parsed.table_alias)
+    distinct_set = set(info.get("distinct_cols", []))
+    used_approx: list[str] = []
     #: every column the rewritten SQL may legitimately reference — the
     #: post-rewrite soundness check for HAVING
-    state_cols = {"n_rows", "bucket_start"} | {
-        f"{m}_{s}"
-        for m in measures
-        for s in ("count", "sum", "min", "max")
-    }
+    state_cols = (
+        {"n_rows", "bucket_start"}
+        | {
+            f"{m}_{s}"
+            for m in measures
+            for s in ("count", "sum", "min", "max")
+        }
+        | {f"{dc}_hll" for dc in distinct_set}
+    )
 
     def strip(e: str) -> str:
         return _strip_qualifier(e, scopes).strip()
@@ -329,7 +351,17 @@ def rewrite_to_rollup(parsed, info: dict) -> tuple[str, str] | None:
         return None
 
     def rewrite_agg(agg) -> str | None:
-        if agg.distinct or agg.func not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
+        if agg.distinct:
+            arg = strip(agg.arg)
+            if (
+                allow_approx_distinct
+                and agg.func == "COUNT"
+                and arg in distinct_set
+            ):
+                used_approx.append(arg)
+                return f"hll_sketch_estimate(hll_union_agg({arg}_hll))"
+            return None
+        if agg.func not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
             return None
         arg = strip(agg.arg)
         if agg.func == "COUNT":
@@ -536,11 +568,23 @@ def rewrite_to_rollup(parsed, info: dict) -> tuple[str, str] | None:
         sql += " ORDER BY " + ", ".join(order)
     if parsed.limit is not None:
         sql += f" LIMIT {parsed.limit}"
-    note = (
-        f"answered from materialized rollup {info['view']} "
-        f"(bucket {info['bucket']}; exact — partial-agg state re-aggregated)"
-    )
-    return sql, note
+    if used_approx:
+        import math
+
+        err = 1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
+        note = (
+            f"answered from materialized rollup {info['view']} "
+            f"(bucket {info['bucket']}; COUNT(DISTINCT "
+            f"{', '.join(sorted(set(used_approx)))}) from merged HLL "
+            f"sketch state, rel err ≈ {err:.1%}; other aggregates exact)"
+        )
+    else:
+        note = (
+            f"answered from materialized rollup {info['view']} "
+            f"(bucket {info['bucket']}; exact — partial-agg state "
+            "re-aggregated)"
+        )
+    return sql, note, bool(used_approx)
 
 
 def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
@@ -554,6 +598,8 @@ def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
             F.min(m).alias(f"{m}_min"),
             F.max(m).alias(f"{m}_max"),
         ]
+    for dc in spec.distinct_cols:
+        aggs.append(F.hll_sketch_agg(dc, spec.hll_lgk).alias(f"{dc}_hll"))
     return (
         df.groupBy(
             F.window(F.col(spec.time_col), spec.bucket).alias("w"), *spec.dims
@@ -568,6 +614,7 @@ def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
                 for m in spec.measures
                 for s in ("count", "sum", "min", "max")
             ],
+            *[f"{dc}_hll" for dc in spec.distinct_cols],
         )
         .withColumn(_PDATE, F.date_format("bucket_start", "yyyy-MM-dd"))
     )
@@ -630,6 +677,8 @@ def merge_rollup_batch(
                 F.min(f"{m}_min").alias(f"{m}_min"),
                 F.max(f"{m}_max").alias(f"{m}_max"),
             ]
+        for dc in spec.distinct_cols:
+            merge_aggs.append(F.hll_union_agg(f"{dc}_hll").alias(f"{dc}_hll"))
         merged = (
             existing.unionByName(rolled)
             .groupBy("bucket_start", *spec.dims, _PDATE)

@@ -322,3 +322,55 @@ def test_engine_refresh_rollup_incremental_rearm(spark):
     assert r["result"][0]["n"] == len(rows) + 1
     raw = spark.sql(sql).collect()[0]
     assert r["result"][0]["sv"] == pytest.approx(raw["sv"], rel=1e-12)
+
+
+def test_distinct_sketch_column_routes_within_tolerance(spark):
+    """COUNT(DISTINCT) over a tracked sketch column answers from merged
+    per-bucket HLL state when the tolerance covers the sketch error:
+    plan labeled sketch, estimate within ~2 standard errors; exactness
+    requests and tight tolerances decline."""
+    import datetime
+
+    rows = 60_000
+    base = datetime.datetime(2024, 6, 1)
+    spark.range(rows).selectExpr(
+        f"timestamp'{base}' + make_interval(0,0,0,0,0,0, (id * 5) % 259200)"
+        " AS ts",
+        "CONCAT('u', CONV(SUBSTRING(md5(CAST(id AS STRING)),1,8),16,10) % 7000)"
+        " AS user_id",
+        "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS seg",
+    ).createOrReplaceTempView("hll_src")
+    e = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_hll_route_"))
+    e.catalog.upsert_table_stats("hll_src", rows)
+    e.create_rollup(
+        "hll_src", "ts", "1 hour", dims=["seg"], distinct_cols=["user_id"]
+    )
+    sql = (
+        "SELECT seg, COUNT(*) AS n, COUNT(DISTINCT user_id) AS du "
+        "FROM hll_src WHERE ts >= TIMESTAMP '2024-06-02 00:00:00' "
+        "GROUP BY seg ORDER BY seg"
+    )
+    r = e.query(sql, max_rel_error=0.05)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert "merged HLL sketch state" in r["plan"]["reason"]
+    exact = {
+        x["seg"]: (x["n"], x["du"])
+        for x in (y.asDict() for y in spark.sql(sql).collect())
+    }
+    assert len(r["result"]) == 2
+    for d in r["result"]:
+        n_exact, du_exact = exact[d["seg"]]
+        assert d["n"] == n_exact  # COUNT(*) stays exact in the same query
+        assert abs(d["du"] - du_exact) / du_exact < 0.04, (d, du_exact)
+    # exactness wins over the sketch
+    assert "rollup" not in e.query(sql, prefer_exact=True)["plan"]["reason"]
+    assert (
+        "rollup" not in e.query(sql, max_rel_error=0.005)["plan"]["reason"]
+    )
+    # an untracked column's COUNT(DISTINCT) never routes
+    assert (
+        "rollup"
+        not in e.query(
+            "SELECT COUNT(DISTINCT seg) AS s FROM hll_src", max_rel_error=0.1
+        )["plan"]["reason"]
+    )

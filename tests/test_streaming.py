@@ -161,11 +161,12 @@ def test_stream_to_rollup_merges_batches(spark, tmp_path):
             base + datetime.timedelta(days=d, hours=h, minutes=7 * (h % 3)),
             ["click", "view"][h % 2],
             float(d * 100 + h),
+            f"u{(d * 24 + h) % 17}",
         )
         for d in range(3)
         for h in range(24)
     ]
-    schema = "ts timestamp, event_type string, value double"
+    schema = "ts timestamp, event_type string, value double, uid string"
     src_dir = str(tmp_path / "src")
     # one file per day => three micro-batches with maxFilesPerTrigger=1,
     # so the MERGE path (existing dirs + new partials) is exercised
@@ -180,7 +181,10 @@ def test_stream_to_rollup_merges_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .load(src_dir)
     )
-    spec = RollupSpec("stream_roll_src", "ts", "1 hour", ["event_type"], ["value"])
+    spec = RollupSpec(
+        "stream_roll_src", "ts", "1 hour", ["event_type"], ["value"],
+        distinct_cols=["uid"],
+    )
     path = str(tmp_path / "rollup")
     streamed = stream_to_rollup(stream, spec, path).drop("p_date")
 
@@ -204,6 +208,14 @@ def test_stream_to_rollup_merges_batches(spark, tmp_path):
         )
 
     assert snap(streamed) == snap(batch)
+    # sketch columns union across micro-batches: the merged distinct
+    # estimate sees every batch's uids (17 true; HLL exact at this size)
+    est = (
+        spark.read.parquet(path)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("uid_hll")).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert est == 17, est
     # replaying an already-merged batch id is a no-op
     out = merge_rollup_batch(
         spark,
