@@ -724,8 +724,18 @@ def refresh_rollup_buckets(
         >= F.lit(since_date)
     )
     src.createOrReplaceTempView(spec.source_table + "__late")
+    # the tmp spec must carry EVERY state-defining field of the original —
+    # dropping distinct_cols/hll_lgk here would rewrite the refreshed date
+    # directories without their {col}_hll sketch columns, leaving the
+    # layout with mixed schemas and corrupting routed COUNT(DISTINCT)
     tmp_spec = RollupSpec(
-        spec.source_table + "__late", spec.time_col, spec.bucket, spec.dims, spec.measures
+        spec.source_table + "__late",
+        spec.time_col,
+        spec.bucket,
+        spec.dims,
+        spec.measures,
+        spec.distinct_cols,
+        spec.hll_lgk,
     )
     fresh = materialize_rollup(spark, tmp_spec, path=None).withColumn(
         _PDATE, F.date_format("bucket_start", "yyyy-MM-dd")

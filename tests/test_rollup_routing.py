@@ -374,3 +374,57 @@ def test_distinct_sketch_column_routes_within_tolerance(spark):
             "SELECT COUNT(DISTINCT seg) AS s FROM hll_src", max_rel_error=0.1
         )["plan"]["reason"]
     )
+
+
+def test_refresh_preserves_hll_sketch_columns(spark):
+    """Regression (round-7): refresh_rollup_buckets must rebuild its tail
+    date directories WITH the spec's distinct_cols/hll_lgk.  Before the
+    fix the tmp spec dropped them, so an incremental refresh of an HLL
+    rollup wrote sketch-less date directories (mixed layout schemas) and
+    a routed COUNT(DISTINCT) read NULL state for the refreshed dates."""
+    import datetime
+    import glob
+
+    base = datetime.datetime(2024, 7, 1)
+    rows = [
+        (
+            base + datetime.timedelta(days=d, hours=h),
+            f"u{(d * 97 + h * 13) % 400}",
+            "a" if h % 2 == 0 else "b",
+        )
+        for d in range(3)
+        for h in range(24)
+    ]
+    schema = "ts timestamp, user_id string, seg string"
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("hll_rf_src")
+    e = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_hll_rf_"))
+    e.catalog.upsert_table_stats("hll_rf_src", len(rows))
+    e.create_rollup(
+        "hll_rf_src", "ts", "1 hour", dims=["seg"], distinct_cols=["user_id"]
+    )
+    path = e.catalog.rollups["hll_rf_src"][0]["path"]
+    # tail append: new users land in the LAST day only
+    late = [
+        (datetime.datetime(2024, 7, 3, 5, 30), f"new{i}", "a")
+        for i in range(50)
+    ]
+    spark.createDataFrame(rows + late, schema).createOrReplaceTempView(
+        "hll_rf_src"
+    )
+    e.catalog.upsert_table_stats("hll_rf_src", len(rows) + len(late))
+    e.refresh_rollup("hll_rf_src")
+    # EVERY date directory (refreshed tail included) still carries the
+    # sketch column — no mixed schemas in the layout
+    for day_dir in sorted(glob.glob(f"{path}/p_date=*")):
+        cols = spark.read.parquet(day_dir).columns
+        assert "user_id_hll" in cols, (day_dir, cols)
+    sql = (
+        "SELECT COUNT(DISTINCT user_id) AS du FROM hll_rf_src "
+        "WHERE ts >= TIMESTAMP '2024-07-01 00:00:00'"
+    )
+    r = e.query(sql, max_rel_error=0.1)
+    assert "merged HLL sketch state" in r["plan"]["reason"], r["plan"]
+    exact = spark.sql(sql).collect()[0]["du"]  # 400 old + 50 new users
+    got = r["result"][0]["du"]
+    # 2 standard errors of the lgk=12 sketch (~1.6% rsd)
+    assert abs(got - exact) / exact < 2 * (1.04 / 2 ** 6), (got, exact)
