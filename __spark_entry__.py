@@ -2903,10 +2903,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: feeds the in-window q69 exact dedup; text family keeps q24/q66/q67),
 #: q65 (GROUPING SETS — grouping family keeps q74/q15/q51), q75
 #: (anti/semi join — join family keeps q13/q46/q53/q83).
+#: Round-7 rotation (VERDICT r6 instruction 2): the round-6 flagship
+#: surfaces q90 (star-join fact-scan routing) and q92 (stream→rollup
+#: merge) — both previously oracled only via the local parity sweep —
+#: moved INTO the window; retired in exchange were two long-stable
+#: basics whose families keep other in-window rows: q06 (WHERE + GROUP
+#: BY + AVG — the scan/agg family keeps q11/q74/q15) and q44 (scalar
+#: string/date functions — exercised inside in-window q24/q57/q61/q64).
 #: Everything NOT in this list still registers, after the window, and
 #: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
-    "q06_where_group_avg",
+    "q90_join_routing",
     "q11_tpch_q1",
     "q13_join_fact",
     "q15_window_top_order",
@@ -2915,7 +2922,7 @@ _CHECK_WINDOW_ORDER = [
     "q86_partition_routing",
     "q88_partition_routing_approx",
     "q28_ann_topk",
-    "q44_string_funcs",
+    "q92_stream_rollup",
     "q47_pps_sum",
     "q46_asof_join",
     "q48_strata_analysis",
