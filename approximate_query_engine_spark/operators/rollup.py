@@ -620,6 +620,66 @@ def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
     )
 
 
+#: name of the per-date-directory batch marker: records the highest
+#: batch_id merged into that directory.  It travels INSIDE the staged
+#: directory, so the directory rename that publishes the data publishes
+#: the marker in the same atomic step — there is no window in which the
+#: data is committed but the idempotency state is not (the flaw of a
+#: separate meta file written after the commit).  Underscore-prefixed, so
+#: Spark's parquet listing never sees it.
+_BATCH_MARKER = "_merged_batch.json"
+_STAGING = "_staging"
+
+
+def _read_marker(date_dir: str) -> int:
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(date_dir, _BATCH_MARKER)) as f:
+            return int(_json.load(f).get("last_batch_id", -1))
+    except (OSError, ValueError):
+        return -1
+
+
+def _staging_state(path: str) -> tuple[str, int | None]:
+    """(staging_dir, staged_batch_id) — batch_id is None unless the
+    staging directory holds a COMPLETE staged merge (its ``_batch.json``
+    is written last, after every parquet file and marker)."""
+    import json as _json
+    import os as _os
+
+    staging = _os.path.join(path, _STAGING)
+    try:
+        with open(_os.path.join(staging, "_batch.json")) as f:
+            return staging, int(_json.load(f)["batch_id"])
+    except (OSError, ValueError, KeyError):
+        return staging, None
+
+
+def _publish_staging(path: str) -> list[str]:
+    """Move every staged date directory into the live layout (delete the
+    old directory, rename the staged one in) and remove the staging dir.
+    Resumable: a re-run after a crash at ANY point simply moves whatever
+    is still staged — a date dir whose rename already happened is gone
+    from staging and is skipped."""
+    import os as _os
+    import shutil as _shutil
+
+    staging = _os.path.join(path, _STAGING)
+    moved = []
+    for name in sorted(_os.listdir(staging)):
+        if not name.startswith(f"{_PDATE}="):
+            continue
+        target = _os.path.join(path, name)
+        if _os.path.exists(target):
+            _shutil.rmtree(target)
+        _os.rename(_os.path.join(staging, name), target)
+        moved.append(name.split("=", 1)[1])
+    _shutil.rmtree(staging, ignore_errors=True)
+    return moved
+
+
 def merge_rollup_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -632,40 +692,82 @@ def merge_rollup_batch(
     state of only the affected date directories, re-aggregate (counts and
     sums add, mins/maxes combine — the state is mergeable by
     construction, so late data is handled exactly, no watermark needed
-    for correctness), and swap those directories in via dynamic partition
-    overwrite. Untouched history is never read or written — at 100 TB a
-    micro-batch costs its own dates, not the table.
+    for correctness), and swap those directories in. Untouched history is
+    never read or written — at 100 TB a micro-batch costs its own dates,
+    not the table.
 
-    ``batch_id`` arms the idempotency guard for at-least-once callers
-    (foreachBatch re-runs a batch after a crash): ids at or below the
-    persisted high-water mark are skipped. Single-writer contract — two
-    concurrent mergers could interleave read-modify-write. The guard's
-    meta file and the existence listing use local-file I/O; on a shared
-    filesystem swap them for the Hadoop FS API calls
-    compact_partition_layout demonstrates."""
+    ``batch_id`` makes the merge EFFECTIVELY-ONCE for at-least-once
+    callers (foreachBatch re-runs a batch after a crash) via a
+    staged-swap protocol with no unprotected window:
+
+    1. the merged state of the affected dates is written to a staging
+       directory, each date dir carrying a ``_merged_batch.json`` marker
+       with this batch_id; a ``_batch.json`` manifest is written LAST, so
+       its presence proves the staged merge is complete;
+    2. each staged date dir is renamed into the live layout — data and
+       marker publish in the same atomic rename;
+    3. staging is removed.
+
+    A replay of batch ``B`` is classified from durable state alone:
+    a complete staging manifest for ``B`` → the merge was computed from
+    pre-swap data, so just finish the swap (covers a crash anywhere in
+    step 2, including between a delete and its rename); no staging and
+    every affected live date dir carries a marker ≥ ``B`` → already
+    merged, skip; otherwise → fresh merge (an INCOMPLETE staging dir is
+    discarded — the live layout is untouched until the manifest exists).
+    Single-writer contract — two concurrent mergers could interleave
+    read-modify-write. Marker/staging I/O is local-file; on a shared
+    filesystem swap for the Hadoop FS API calls compact_partition_layout
+    demonstrates (HDFS/ABFS renames are atomic; on S3 use a committer)."""
     import json as _json
     import os as _os
+    import shutil as _shutil
 
-    meta = _os.path.join(path, "_aqe_merge_meta.json")
-    if batch_id is not None and _os.path.exists(meta):
-        try:
-            with open(meta) as f:
-                if batch_id <= _json.load(f).get("last_batch_id", -1):
-                    return {"merged": False, "reason": "batch already merged"}
-        except (OSError, ValueError):
-            pass
-    rolled = _partial_state(batch_df, spec)
     exists = _os.path.exists(path) and any(
         n.startswith(f"{_PDATE}=") for n in _os.listdir(path)
     )
+    if batch_id is not None and _os.path.exists(path):
+        staging, staged_id = _staging_state(path)
+        if staged_id is not None:
+            if staged_id <= batch_id:
+                # a complete staged merge (this batch, or an earlier one
+                # whose swap crashed) — its data was computed from
+                # pre-swap state, so finishing the swap is exact
+                dates = _publish_staging(path)
+                if staged_id == batch_id:
+                    spark.catalog.refreshByPath(path)
+                    final = spark.read.parquet(path).drop(_PDATE)
+                    final.createOrReplaceTempView(spec.rollup_name)
+                    return {
+                        "merged": True,
+                        "affected_dates": dates,
+                        "recovered": True,
+                    }
+                exists = True  # earlier batch published; fall through
+            else:
+                _shutil.rmtree(staging, ignore_errors=True)
+        elif _os.path.exists(staging):
+            # incomplete staging (no manifest): the live layout was never
+            # touched — discard and recompute
+            _shutil.rmtree(staging, ignore_errors=True)
+    rolled = _partial_state(batch_df, spec).cache()
+    affected = [
+        r[_PDATE] for r in rolled.select(_PDATE).distinct().collect()
+    ]
+    if (
+        batch_id is not None
+        and exists
+        and affected
+        and all(
+            _read_marker(_os.path.join(path, f"{_PDATE}={d}")) >= batch_id
+            for d in affected
+        )
+    ):
+        rolled.unpersist()
+        return {"merged": False, "reason": "batch already merged"}
     if not exists:
-        rolled.write.mode("overwrite").partitionBy(_PDATE).parquet(path)
-        affected = None
+        merged = rolled
     else:
-        rolled = rolled.cache()
-        affected = [
-            r[_PDATE] for r in rolled.select(_PDATE).distinct().collect()
-        ]
         existing = spark.read.parquet(path).filter(
             F.col(_PDATE).isin(affected)
         )
@@ -684,18 +786,21 @@ def merge_rollup_batch(
             .groupBy("bucket_start", *spec.dims, _PDATE)
             .agg(*merge_aggs)
         )
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(_PDATE)
-            .parquet(path)
-        )
-        rolled.unpersist()
+    staging = _os.path.join(path, _STAGING)
+    merged.write.mode("overwrite").partitionBy(_PDATE).parquet(staging)
+    rolled.unpersist()
     if batch_id is not None:
-        tmp = meta + ".tmp"
+        for d in affected:
+            with open(
+                _os.path.join(staging, f"{_PDATE}={d}", _BATCH_MARKER), "w"
+            ) as f:
+                _json.dump({"last_batch_id": int(batch_id)}, f)
+        # manifest LAST: staging is recoverable only once it is complete
+        tmp = _os.path.join(staging, "_batch.json.tmp")
         with open(tmp, "w") as f:
-            _json.dump({"last_batch_id": int(batch_id)}, f)
-        _os.replace(tmp, meta)
+            _json.dump({"batch_id": int(batch_id)}, f)
+        _os.replace(tmp, _os.path.join(staging, "_batch.json"))
+    _publish_staging(path)
     spark.catalog.refreshByPath(path)
     final = spark.read.parquet(path).drop(_PDATE)
     final.createOrReplaceTempView(spec.rollup_name)

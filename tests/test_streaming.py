@@ -257,3 +257,136 @@ def test_stream_to_rollup_merges_batches(spark, tmp_path):
     assert [
         (d["event_type"], d["n"], d["mn"], d["mx"]) for d in r["result"]
     ] == [(d["event_type"], d["n"], d["mn"], d["mx"]) for d in raw]
+
+
+def test_merge_rollup_batch_crash_windows(spark, tmp_path):
+    """Round-7: the staged-swap merge protocol is effectively-once across
+    every crash position — (a) crash after the staged merge is complete
+    but before any/all renames: a replay finishes the swap instead of
+    recomputing against half-swapped data; (b) crash before the staging
+    manifest exists: the live layout is untouched, the replay recomputes;
+    (c) replay of a fully-published batch is a no-op even with no
+    separate meta file (the marker travels inside each date dir)."""
+    import datetime
+    import json
+    import os
+    import shutil
+
+    from approximate_query_engine_spark.operators import rollup as ru
+
+    base = datetime.datetime(2024, 9, 1)
+    schema = "ts timestamp, event_type string, value double"
+
+    def mkdf(day, n, v0=0.0):
+        return spark.createDataFrame(
+            [
+                (
+                    base + datetime.timedelta(days=day, hours=h % 24),
+                    "a",
+                    v0 + h,
+                )
+                for h in range(n)
+            ],
+            schema,
+        )
+
+    spec = ru.RollupSpec("crash_src", "ts", "1 hour", ["event_type"], ["value"])
+    path = str(tmp_path / "roll")
+    ru.merge_rollup_batch(spark, mkdf(0, 24), spec, path, batch_id=0)
+
+    def totals():
+        r = spark.read.parquet(path)
+        agg = r.selectExpr(
+            "SUM(n_rows) AS n", "SUM(value_sum) AS sv"
+        ).collect()[0]
+        return agg["n"], agg["sv"]
+
+    n0, sv0 = totals()
+    assert n0 == 24
+
+    # (c) replay of the fully-published batch 0: no-op, no double counts
+    out = ru.merge_rollup_batch(spark, mkdf(0, 24), spec, path, batch_id=0)
+    assert out == {"merged": False, "reason": "batch already merged"}
+    assert totals() == (n0, sv0)
+
+    # (a) batch 1 (same day => true merge): stage completes, swap never
+    # runs (simulated crash between manifest write and publish)
+    real_publish = ru._publish_staging
+
+    def boom(p):
+        raise RuntimeError("crash before swap")
+
+    ru._publish_staging = boom
+    try:
+        with pytest.raises(RuntimeError):
+            ru.merge_rollup_batch(
+                spark, mkdf(0, 12, v0=100.0), spec, path, batch_id=1
+            )
+    finally:
+        ru._publish_staging = real_publish
+    # live layout untouched so far; staging manifest is durable
+    assert totals() == (n0, sv0)
+    assert os.path.exists(os.path.join(path, "_staging", "_batch.json"))
+    # replay of batch 1 recovers by finishing the swap — applied ONCE
+    out = ru.merge_rollup_batch(
+        spark, mkdf(0, 12, v0=100.0), spec, path, batch_id=1
+    )
+    assert out["merged"] is True and out.get("recovered") is True
+    n1, sv1 = totals()
+    assert n1 == 36 and sv1 == pytest.approx(
+        sv0 + sum(100.0 + h for h in range(12))
+    )
+    assert not os.path.exists(os.path.join(path, "_staging"))
+    # and replaying batch 1 AGAIN after full publish: no-op
+    out = ru.merge_rollup_batch(
+        spark, mkdf(0, 12, v0=100.0), spec, path, batch_id=1
+    )
+    assert out == {"merged": False, "reason": "batch already merged"}
+    assert totals() == (n1, sv1)
+
+    # (a') partial swap: re-stage batch 2, publish only SOME dates by
+    # hand, crash, then replay — the remaining staged dirs move over and
+    # already-moved ones are not re-applied
+    ru._publish_staging = boom
+    try:
+        with pytest.raises(RuntimeError):
+            ru.merge_rollup_batch(
+                spark, mkdf(0, 6, v0=500.0).union(mkdf(1, 6, v0=900.0)),
+                spec, path, batch_id=2,
+            )
+    finally:
+        ru._publish_staging = real_publish
+    staging = os.path.join(path, "_staging")
+    staged = sorted(
+        d for d in os.listdir(staging) if d.startswith("p_date=")
+    )
+    assert staged == ["p_date=2024-09-01", "p_date=2024-09-02"]
+    # hand-publish ONE date (as the crashed process would have)
+    tgt = os.path.join(path, staged[0])
+    shutil.rmtree(tgt)
+    os.rename(os.path.join(staging, staged[0]), tgt)
+    out = ru.merge_rollup_batch(
+        spark, mkdf(0, 6, v0=500.0).union(mkdf(1, 6, v0=900.0)),
+        spec, path, batch_id=2,
+    )
+    assert out["merged"] is True and out.get("recovered") is True
+    n2, sv2 = totals()
+    assert n2 == 48
+    assert sv2 == pytest.approx(
+        sv1
+        + sum(500.0 + h for h in range(6))
+        + sum(900.0 + h for h in range(6))
+    )
+
+    # (b) INCOMPLETE staging (no manifest) is discarded and recomputed
+    os.makedirs(os.path.join(staging, "p_date=2024-09-09"), exist_ok=True)
+    out = ru.merge_rollup_batch(spark, mkdf(2, 4), spec, path, batch_id=3)
+    assert out["merged"] is True and "recovered" not in out
+    assert totals()[0] == 52
+    assert not os.path.exists(os.path.join(path, "p_date=2024-09-09"))
+
+    # markers live inside the date dirs and record the right batch
+    m = json.load(
+        open(os.path.join(path, "p_date=2024-09-01", "_merged_batch.json"))
+    )
+    assert m["last_batch_id"] == 2
