@@ -648,22 +648,48 @@ _BOOL_EDGE_BEFORE_RE = re.compile(r"(?:^|\bAND|\bOR)\s*$", re.I)
 _BOOL_EDGE_AFTER_RE = re.compile(r"^\s*(?:$|AND\b|OR\b)", re.I)
 
 
+def _mask_string_literals(text: str) -> str:
+    """Same-length copy of ``text`` with every character INSIDE a
+    single-quoted literal replaced by ``\\x00`` (the quotes themselves
+    survive). All structural scanning runs on the mask, so parens, AND/OR
+    tokens, NOT, etc. inside literals can never be mistaken for boolean
+    structure; splices computed on the mask apply to the original text at
+    identical offsets. SQL's doubled-quote escape (``''``) toggles twice,
+    which masks correctly."""
+    out = []
+    in_str = False
+    for ch in text:
+        if ch == "'":
+            in_str = not in_str
+            out.append(ch)
+        else:
+            out.append("\x00" if in_str else ch)
+    return "".join(out)
+
+
 def flatten_and_parens(where: str) -> str:
     """Strip parentheses that provably do not change a WHERE clause's
     boolean structure: innermost groups enclosing AND-joined simple
     predicates (no OR/NOT/subquery/CASE inside), sitting in boolean
     context on both sides. ``(a >= 1 AND b = 2) AND c`` flattens;
     ``a AND (b OR c)``, ``NOT (a)``, ``x IN (1, 2)``, ``f(x) > 1`` and
-    ``y = (1 + 2) * 3`` are all left untouched. Iterates to a fixpoint
-    so nested safe groups unwrap fully."""
+    ``y = (1 + 2) * 3`` are all left untouched, as is anything inside a
+    string literal (``note = 'x AND (y) AND z'`` keeps its parens — the
+    scan runs on a literal-masked copy). Iterates to a fixpoint so
+    nested safe groups unwrap fully."""
     changed = True
     while changed:
         changed = False
-        for m in re.finditer(r"\(([^()]*)\)", where):
+        masked = _mask_string_literals(where)
+        for m in re.finditer(r"\(([^()]*)\)", masked):
+            # group boundaries and the UNSAFE scan both use the mask, so
+            # parens/AND/OR/NOT inside literals are invisible; the group's
+            # parens are themselves structural (a paren inside a literal
+            # is masked and can't delimit a match)
             inner = m.group(1)
             if not inner.strip() or _UNSAFE_GROUP_INNER_RE.search(inner):
                 continue
-            before, after = where[: m.start()], where[m.end():]
+            before, after = masked[: m.start()], masked[m.end():]
             # a doubly-wrapped group "((...))" is redundant regardless of
             # context — unwrapping the inner pair is always identity
             doubly_wrapped = before.rstrip().endswith("(") and (
@@ -674,7 +700,8 @@ def flatten_and_parens(where: str) -> str:
                 and _BOOL_EDGE_AFTER_RE.match(after)
             ):
                 continue
-            where = f"{where[:m.start()]} {inner} {where[m.end():]}"
+            orig_inner = where[m.start(1):m.end(1)]
+            where = f"{where[:m.start()]} {orig_inner} {where[m.end():]}"
             changed = True
             break
     return where.strip()

@@ -456,3 +456,46 @@ def test_paren_and_groups_route_partitions():
         )
         is None
     )
+
+
+@given(
+    lit=st.text(
+        alphabet=st.sampled_from(list("ab ()ANDOR=<>")), max_size=24
+    ),
+    v=st.integers(-5, 5),
+    wrap=st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_flatten_and_parens_never_touches_string_literals(lit, v, wrap):
+    """Round-7 (VERDICT r6 #6): flatten_and_parens masks quoted literals
+    before its paren scan, so a literal whose CONTENT looks like boolean
+    context ('x AND (y = 2) AND z') can never have its parens stripped —
+    every literal in the output is byte-identical to the input, and the
+    clause's semantics are unchanged (DuckDB oracle on both forms)."""
+    import re as _re
+
+    import duckdb
+
+    from approximate_query_engine_spark.sqlparser import flatten_and_parens
+
+    quoted = lit.replace("'", "''")
+    base = f"note = '{quoted}' AND v >= {v} AND v <= {v + 3}"
+    where = f"({base})" if wrap else base
+
+    flat = flatten_and_parens(where)
+    lits_in = _re.findall(r"'[^']*'", where)
+    lits_out = _re.findall(r"'[^']*'", flat)
+    assert lits_in == lits_out, (where, flat)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{quoted}', {x})" for x in range(-6, 7)
+        )
+        + ") AS v(note, v)"
+    )
+    a = con.execute(f"SELECT COUNT(*) FROM t WHERE {where}").fetchone()
+    b = con.execute(f"SELECT COUNT(*) FROM t WHERE {flat}").fetchone()
+    assert a == b, (where, flat)
+    con.close()
