@@ -79,10 +79,20 @@ class AQEngine:
     def register_view(self, name: str, df) -> None:
         df.createOrReplaceTempView(name)
         # replacing a table's data orphans any parquet layout built from
-        # the OLD data — drop the routing entry so exact queries never get
-        # served from a stale layout (the row-count drift gate alone can't
-        # see an equal-row-count replacement)
-        if self.catalog.partitioned_views.pop(name, None) is not None:
+        # the OLD data — drop the routing entries (partitioned layouts AND
+        # rollups) so exact queries never get served from a stale
+        # materialization (the row-count drift gate alone can't see an
+        # equal-row-count replacement)
+        invalidated = self.catalog.partitioned_views.pop(name, None)
+        stale_rollups = self.catalog.rollups.pop(name, None)
+        for info in stale_rollups or []:
+            for v in (info.get("view"), info.get("files_view")):
+                if v:
+                    try:
+                        self.spark.catalog.dropTempView(v)
+                    except Exception:
+                        pass
+        if invalidated is not None or stale_rollups is not None:
             self.catalog.save()
         self.catalog.upsert_table_stats(name, df.count())
 
@@ -766,10 +776,10 @@ class AQEngine:
             key=lambda i: -i.get("bucket_seconds", 0),
         )
         for info in candidates:
-            if (
-                current is not None
-                and info.get("built_row_count") != current
-            ):
+            # unknown freshness (no catalog row count — dropped/foreign
+            # stats file) is treated as stale, same as maintenance's
+            # "unknown" bucket: never serve a possibly-stale rollup
+            if current is None or info.get("built_row_count") != current:
                 continue  # stale rollup — raw table has drifted
             try:
                 # a fresh session lost the temp views — re-register from

@@ -382,11 +382,14 @@ def rewrite_to_rollup(
 
     # ---- select list ----
     items, aliases = [], set()
+    has_agg, nonagg_keys = False, []
     for it in parsed.select_items:
         if it.agg is not None:
             new = rewrite_agg(it.agg)
+            has_agg = True
         else:
             new = rewrite_key(it.raw)
+            nonagg_keys.append(new)
         if new is None:
             return None
         if it.alias:
@@ -407,6 +410,12 @@ def rewrite_to_rollup(
         if new is None:
             return None
         keys.append(new)
+
+    # the rollup holds one row per (bucket, dims) GROUP, not one row per
+    # raw event — an aggregate-free projection (or a select item outside
+    # GROUP BY) would come back with the wrong multiplicity, so decline
+    if not has_agg or any(k not in keys for k in nonagg_keys):
+        return None
 
     # ---- where ----
     conds, prune = [], []

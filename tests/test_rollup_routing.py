@@ -428,3 +428,78 @@ def test_refresh_preserves_hll_sketch_columns(spark):
     got = r["result"][0]["du"]
     # 2 standard errors of the lgk=12 sketch (~1.6% rsd)
     assert abs(got - exact) / exact < 2 * (1.04 / 2 ** 6), (got, exact)
+
+
+def test_aggregate_free_projection_never_routes(eng):
+    """Round-7 (ADVICE r6 high): a projection with no aggregate must NOT
+    be answered from the rollup — the rollup has one row per (bucket,
+    dims) group, so routing it would serve the wrong row multiplicity.
+    GROUP-BY-covered aggregates keep routing."""
+    sql = (
+        "SELECT event_type FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'"
+    )
+    r = eng.query(sql)
+    assert r["status"] == "ok"
+    assert "rollup" not in r["plan"]["reason"], r["plan"]
+    # raw multiplicity: one row per matching event
+    raw_n = eng.spark.sql(sql).count()
+    assert len(r["result"]) == raw_n
+    # DISTINCT-dims shape (no aggregate) also declines, conservatively
+    r2 = eng.query("SELECT event_type FROM events GROUP BY event_type")
+    assert "rollup" not in r2["plan"]["reason"], r2["plan"]
+    # sanity: the aggregate version still routes
+    r3 = eng.query(
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' GROUP BY event_type"
+    )
+    assert "rollup" in r3["plan"]["reason"], r3["plan"]
+
+
+def test_unknown_base_row_count_declines_routing(eng):
+    """Round-7 (VERDICT r6 #7): a missing catalog row count means
+    freshness is UNKNOWN — routing must decline (like maintenance's
+    'unknown' bucket), not serve a possibly-stale rollup."""
+    sql = (
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' GROUP BY event_type"
+    )
+    assert "rollup" in eng.query(sql)["plan"]["reason"]
+    saved = eng.catalog.table_stats.pop("events")
+    try:
+        r = eng.query(sql)
+        assert r["status"] == "ok"
+        assert "rollup" not in r["plan"]["reason"], r["plan"]
+    finally:
+        eng.catalog.table_stats["events"] = saved
+    assert "rollup" in eng.query(sql)["plan"]["reason"]
+
+
+def test_register_view_invalidates_rollups(spark):
+    """Round-7 (ADVICE r6 medium): replacing a table's data with an
+    EQUAL row count (invisible to the drift gate) must drop its rollup
+    routing entries — otherwise queries are served from the stale rollup
+    and labeled exact."""
+    import datetime
+
+    base = datetime.datetime(2024, 8, 1)
+    schema = "ts timestamp, event_type string, value double"
+    rows = [
+        (base + datetime.timedelta(hours=h), "a", float(h)) for h in range(48)
+    ]
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("rv_src")
+    e = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_rv_inval_"))
+    e.catalog.upsert_table_stats("rv_src", len(rows))
+    e.create_rollup("rv_src", "ts", "1 hour", dims=["event_type"], measures=["value"])
+    sql = "SELECT COUNT(*) AS n, SUM(value) AS sv FROM rv_src"
+    assert "rollup" in e.query(sql)["plan"]["reason"]
+    # same row count, different values — the drift gate can't see this
+    rows2 = [
+        (base + datetime.timedelta(hours=h), "a", float(h * 1000))
+        for h in range(48)
+    ]
+    e.register_view("rv_src", spark.createDataFrame(rows2, schema))
+    assert "rv_src" not in e.catalog.rollups
+    r = e.query(sql)
+    assert "rollup" not in r["plan"]["reason"], r["plan"]
+    assert r["result"][0]["sv"] == pytest.approx(sum(h * 1000 for h in range(48)))
