@@ -1070,6 +1070,62 @@ _ROLLUP_ROUTED_ORACLE = (
 )
 
 
+_ROLLUP_BETWEEN_SQL = (
+    "SELECT event_type, COUNT(*) AS n, COUNT(value) AS nv, "
+    "MIN(value) AS mn, MAX(value) AS mx "
+    "FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' "
+    "AND DATE '2024-01-06' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
+def _q_rollup_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 routing-grammar extension: the dashboard range idiom
+    ``CAST(ts AS DATE) BETWEEN DATE 'a' AND DATE 'b'`` routes to the
+    rollup — BETWEEN desugars to the two comparisons, CAST-to-DATE
+    normalizes to DATE_TRUNC('DAY', ...), and the inclusive upper bound
+    shifts to the day's NEXT boundary (exact: every row of the last day
+    truncates to 'b'). The oracle replays the same SQL over raw events
+    in DuckDB; COUNT/MIN/MAX re-aggregate bit-exactly, so a
+    half-open/closed-range mistake in the rewrite hash-fails."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.create_rollup(
+        "events", "ts", "1 hour", dims=["event_type"], measures=["value"]
+    )
+    r = eng.query(_ROLLUP_BETWEEN_SQL)
+    assert r["status"] == "ok", r.get("error")
+    assert "answered from materialized rollup" in r["plan"]["reason"], (
+        r["plan"]
+    )
+    rows = [
+        (
+            d["event_type"],
+            int(d["n"]),
+            int(d["nv"]),
+            float(d["mn"]),
+            float(d["mx"]),
+        )
+        for d in r["result"]
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, n long, nv long, mn double, mx double"
+    )
+
+
+_ROLLUP_BETWEEN_ORACLE = (
+    "SELECT event_type, COUNT(*)::BIGINT AS n, COUNT(value)::BIGINT AS nv, "
+    "MIN(value) AS mn, MAX(value) AS mx "
+    "FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' "
+    "AND DATE '2024-01-06' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
 _STREAM_ROLLUP_SQL = (
     "SELECT event_type, COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx "
     "FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
@@ -3034,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q90_join_routing"] = _q_join_routing
     out["q91_rollup_routing"] = _q_rollup_routing
     out["q92_stream_rollup"] = _q_stream_rollup
+    out["q93_rollup_between"] = _q_rollup_between
     return _reorder_check_window(out)
 
 
@@ -3087,5 +3144,6 @@ def oracle_sql() -> dict[str, str]:
     out["q90_join_routing"] = _JOIN_ROUTED_ORACLE
     out["q91_rollup_routing"] = _ROLLUP_ROUTED_ORACLE
     out["q92_stream_rollup"] = _STREAM_ROLLUP_ORACLE
+    out["q93_rollup_between"] = _ROLLUP_BETWEEN_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

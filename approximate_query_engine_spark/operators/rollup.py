@@ -168,6 +168,53 @@ def _epoch_seconds(dt: datetime) -> float:
     return (dt - _EPOCH).total_seconds()
 
 
+def _epoch_micros(dt: datetime) -> int:
+    """Integer microseconds since epoch — alignment checks must not ride
+    on float seconds (at 2024 epoch scale float64 resolution is ~0.4 µs,
+    too close to the 1 µs distinctions the <=/> rules depend on)."""
+    d = dt - _EPOCH
+    return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+
+
+def _aligned(dt: datetime, bsec: int) -> bool:
+    return _epoch_micros(dt) % (bsec * 1_000_000) == 0
+
+
+def _desugar_between(where: str) -> str | None:
+    """Rewrite ``<expr> BETWEEN <lit> AND <lit>`` (expr = bare column,
+    ``DATE_TRUNC('unit', col)`` or ``CAST(col AS DATE)``; literals
+    DATE/TIMESTAMP/bare-quoted) into the two-comparison form so the
+    top-level AND split can reason conjunct-by-conjunct. Matching runs on
+    a literal-masked copy (a BETWEEN inside a string can't trigger);
+    ``NOT BETWEEN`` declines the whole clause (None) — its complement is
+    a disjunction."""
+    from approximate_query_engine_spark.sqlparser import (
+        _mask_string_literals,
+    )
+
+    masked = _mask_string_literals(where)
+    if _re.search(r"\bNOT\s+BETWEEN\b", masked, _re.I):
+        return None
+    pat = _re.compile(
+        r"(DATE_TRUNC\(\s*'[^']*'\s*,\s*[A-Za-z_][\w.]*\s*\)"
+        r"|CAST\(\s*[A-Za-z_][\w.]*\s+AS\s+DATE\s*\)"
+        r"|[A-Za-z_][\w.]*)"
+        r"\s+BETWEEN\s+((?:DATE|TIMESTAMP)?\s*'[^']*')"
+        r"\s+AND\s+((?:DATE|TIMESTAMP)?\s*'[^']*')",
+        _re.I,
+    )
+    out, last = [], 0
+    for m in pat.finditer(masked):
+        expr = where[m.start(1):m.end(1)]
+        lo = where[m.start(2):m.end(2)].strip()
+        hi = where[m.start(3):m.end(3)].strip()
+        out.append(where[last:m.start()])
+        out.append(f"{expr} >= {lo} AND {expr} <= {hi}")
+        last = m.end()
+    out.append(where[last:])
+    return "".join(out)
+
+
 def _trunc_dt(unit: str, dt: datetime) -> datetime:
     """DATE_TRUNC semantics in Python (week → Monday, matching Spark)."""
     d = dt.replace(microsecond=0)
@@ -210,6 +257,10 @@ def _split_conjuncts(where: str) -> list[str] | None:
     from approximate_query_engine_spark.sqlparser import flatten_and_parens
 
     where = flatten_and_parens(where)
+    desugared = _desugar_between(where)
+    if desugared is None:
+        return None
+    where = desugared
     depth, in_str = 0, False
     parts, start, i = [], 0, 0
     upper = where.upper()
@@ -306,8 +357,15 @@ def rewrite_to_rollup(
     - group keys must be rollup dims or DATE_TRUNC(unit, ts) at a grain
       whose boundaries all fall on the bucket grid;
     - WHERE conjuncts must reference only dims (passed through) or bound
-      ts with ``>=``/``<`` literals EXACTLY on bucket boundaries (a
-      misaligned bound would slice a bucket, which the rollup cannot);
+      ts: raw ``>=``/``<`` literals EXACTLY on bucket boundaries,
+      ``<=``/``>`` literals one microsecond before a boundary (µs is the
+      timestamp tick, so the shift is an identity, not a convention), or
+      ``DATE_TRUNC``/``CAST AS DATE`` comparisons (``=``, ``>=``, ``<``,
+      ``<=``, ``>``) with unit-aligned literals — ``<=``/``>`` shift to
+      the unit's next boundary, which is exact because every row in
+      [literal, next) truncates to the literal. ``BETWEEN`` desugars to
+      the two comparisons first; a misaligned bound would slice a
+      bucket, which the rollup cannot, so it declines;
     - HAVING rewrites its aggregate calls the same way; the rewritten
       clause must reference only dims + rollup state, else decline;
     - OR at the top level of WHERE / quantiles / DISTINCT decline.
@@ -451,7 +509,7 @@ def rewrite_to_rollup(
                 flags=_re.I,
             )
             m = _re.fullmatch(
-                rf"\s*{_re.escape(ts)}\s*(>=|<)\s*"
+                rf"\s*{_re.escape(ts)}\s*(>=|<=|<|>)\s*"
                 r"((?:DATE|TIMESTAMP)?\s*'[^']+')\s*",
                 sc,
                 _re.I,
@@ -460,20 +518,40 @@ def rewrite_to_rollup(
                 lit = _parse_literal(m.group(2))
                 if lit is None:
                     return None
-                es = _epoch_seconds(lit)
-                if es != int(es) or int(es) % bsec != 0:
-                    return None  # bound slices a bucket — rollup can't
                 op, text = m.group(1), m.group(2).strip()
-                conds.append(f"bucket_start {op} {text}")
-                add_prune(">=" if op == ">=" else "<=", lit)
+                if op in (">=", "<"):
+                    if not _aligned(lit, bsec):
+                        return None  # bound slices a bucket
+                    conds.append(f"bucket_start {op} {text}")
+                    add_prune(">=" if op == ">=" else "<=", lit)
+                else:
+                    # timestamps have µs precision, so `ts <= L` IS
+                    # `ts < L + 1µs` and `ts > L` IS `ts >= L + 1µs` —
+                    # exact, not a convention; route when the shifted
+                    # bound lands on the bucket grid (the inclusive-end
+                    # dashboard idiom `<= '… 23:59:59.999999'`)
+                    shifted = lit + timedelta(microseconds=1)
+                    if not _aligned(shifted, bsec):
+                        return None
+                    iso = shifted.strftime("%Y-%m-%d %H:%M:%S")
+                    if op == "<=":
+                        conds.append(f"bucket_start < TIMESTAMP '{iso}'")
+                        add_prune("<=", shifted)
+                    else:
+                        conds.append(f"bucket_start >= TIMESTAMP '{iso}'")
+                        add_prune(">=", shifted)
                 continue
-            # the dashboard shape: DATE_TRUNC('UNIT', ts) =|>=|< literal.
-            # Sound when the unit's boundaries all fall on the bucket
-            # grid AND the literal is itself unit-aligned; '=' expands to
-            # the unit's [literal, next-boundary) range.
+            # the dashboard shape: DATE_TRUNC('UNIT', ts) cmp literal
+            # (CAST-to-DATE normalized above; BETWEEN desugared by the
+            # conjunct split). Sound when the unit's boundaries all fall
+            # on the bucket grid AND the literal is itself unit-aligned;
+            # '=' expands to the unit's [literal, next-boundary) range,
+            # '<='/'>' shift to the next boundary (the trunc of every row
+            # in [literal, next) equals literal, so the comparison flips
+            # exactly there).
             m = _re.fullmatch(
                 rf"\s*DATE_TRUNC\(\s*'(\w+)'\s*,\s*{_re.escape(ts)}\s*\)\s*"
-                r"(=|>=|<)\s*((?:DATE|TIMESTAMP)?\s*'[^']+')\s*",
+                r"(=|>=|<=|<|>)\s*((?:DATE|TIMESTAMP)?\s*'[^']+')\s*",
                 sc,
                 _re.I,
             )
@@ -491,21 +569,25 @@ def rewrite_to_rollup(
             ):
                 return None
             iso = lit.strftime("%Y-%m-%d %H:%M:%S")
+            nxt = _next_boundary(unit, lit)
+            nxt_iso = nxt.strftime("%Y-%m-%d %H:%M:%S")
             if op == "=":
-                nxt = _next_boundary(unit, lit)
                 conds.append(f"bucket_start >= TIMESTAMP '{iso}'")
-                conds.append(
-                    "bucket_start < TIMESTAMP "
-                    f"'{nxt.strftime('%Y-%m-%d %H:%M:%S')}'"
-                )
+                conds.append(f"bucket_start < TIMESTAMP '{nxt_iso}'")
                 add_prune(">=", lit)
                 add_prune("<=", nxt)
             elif op == ">=":
                 conds.append(f"bucket_start >= TIMESTAMP '{iso}'")
                 add_prune(">=", lit)
-            else:
+            elif op == "<":
                 conds.append(f"bucket_start < TIMESTAMP '{iso}'")
                 add_prune("<=", lit)
+            elif op == "<=":
+                conds.append(f"bucket_start < TIMESTAMP '{nxt_iso}'")
+                add_prune("<=", nxt)
+            else:  # '>'
+                conds.append(f"bucket_start >= TIMESTAMP '{nxt_iso}'")
+                add_prune(">=", nxt)
 
     # ---- having ----
     having_sql = None

@@ -503,3 +503,60 @@ def test_register_view_invalidates_rollups(spark):
     r = e.query(sql)
     assert "rollup" not in r["plan"]["reason"], r["plan"]
     assert r["result"][0]["sv"] == pytest.approx(sum(h * 1000 for h in range(48)))
+
+
+@pytest.mark.parametrize(
+    "pred",
+    [
+        # raw-ts BETWEEN: µs-inclusive end == next boundary - 1µs
+        "ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-06 23:59:59.999999'",
+        "ts <= TIMESTAMP '2024-01-06 23:59:59.999999'",
+        "ts > TIMESTAMP '2024-01-02 23:59:59.999999'",
+        # trunc/CAST comparisons at every operator
+        "DATE_TRUNC('DAY', ts) <= DATE '2024-01-05'",
+        "DATE_TRUNC('DAY', ts) > DATE '2024-01-03'",
+        "CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-06'",
+        "CAST(ts AS DATE) <= DATE '2024-01-04'",
+        "DATE_TRUNC('DAY', ts) BETWEEN DATE '2024-01-03' AND DATE '2024-01-05'",
+        # mixed dim + BETWEEN conjunction
+        "event_type = 'click' AND CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-06'",
+    ],
+)
+def test_between_le_gt_bounds_route_and_match(eng, pred):
+    """Round-7 (VERDICT r6 #4): BETWEEN / <= / > time bounds route when
+    alignment is provable — BETWEEN desugars to two comparisons, raw-ts
+    <=/> shift by the 1 µs timestamp tick, trunc <=/> shift to the
+    unit's next boundary — and the routed answer matches raw exactly."""
+    sql = (
+        "SELECT event_type, COUNT(*) AS n, SUM(value) AS sv FROM events "
+        f"WHERE {pred} GROUP BY event_type ORDER BY event_type"
+    )
+    r, raw = _both(eng, sql)
+    assert "rollup" in r["plan"]["reason"], (pred, r["plan"]["reason"])
+    assert raw, f"premise: {pred} matches rows"
+    _assert_equal(r["result"], raw)
+
+
+@pytest.mark.parametrize(
+    "pred",
+    [
+        # raw-ts upper bound ON the boundary includes one extra instant
+        "ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-07 00:00:00'",
+        "ts <= TIMESTAMP '2024-01-07 00:00:00'",
+        # aligned '>' excludes only the boundary instant — not bucket-exact
+        "ts > TIMESTAMP '2024-01-03 00:00:00'",
+        # DATE literals on a raw ts comparison bind midnight instants
+        "ts BETWEEN DATE '2024-01-03' AND DATE '2024-01-06'",
+        # NOT BETWEEN is a disjunction
+        "ts NOT BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-07 00:00:00'",
+        # misaligned trunc upper bound
+        "DATE_TRUNC('DAY', ts) <= TIMESTAMP '2024-01-05 12:00:00'",
+    ],
+)
+def test_between_le_gt_unsound_bounds_decline(eng, pred):
+    sql = f"SELECT COUNT(*) AS n FROM events WHERE {pred}"
+    r = eng.query(sql)
+    assert r["status"] == "ok", r.get("error")
+    assert "rollup" not in r["plan"]["reason"], (pred, r["plan"]["reason"])
+    # and the raw answer is still correct
+    assert r["result"][0]["n"] == eng.spark.sql(sql).collect()[0]["n"]
