@@ -251,6 +251,83 @@ def _next_boundary(unit: str, dt: datetime) -> datetime:
     return dt.replace(year=dt.year + m // 12, month=m % 12 + 1)
 
 
+def _ts_conjunct_bounds(
+    sc: str, ts: str, bsec: int
+) -> tuple[list[tuple[str, str]], list[tuple[str, datetime]]] | None:
+    """Translate one qualifier-stripped WHERE conjunct bounding ``ts``
+    into rollup bucket bounds: ``([(op, iso_literal), ...], [(op,
+    boundary_dt), ...])`` — the first list becomes ``bucket_start <op>
+    TIMESTAMP '<iso>'`` conjuncts, the second the conservative
+    ``p_date`` pruning bounds. None when the conjunct is not a provably
+    bucket-exact time bound. Rules (each exact, never approximate):
+
+    - raw ``ts >= L`` / ``ts < L``: L must sit ON the bucket grid;
+    - raw ``ts <= L`` / ``ts > L``: timestamps have µs precision, so
+      these ARE ``ts < L+1µs`` / ``ts >= L+1µs`` — route when the
+      shifted bound lands on the grid (the inclusive-end dashboard
+      idiom ``<= '… 23:59:59.999999'``);
+    - ``DATE_TRUNC('unit', ts) cmp L`` (CAST-to-DATE normalized by the
+      caller): unit boundaries must all fall on the bucket grid and L
+      must be unit-aligned; ``=`` expands to [L, next), ``<=``/``>``
+      shift to the unit's next boundary — exact because every row in
+      [L, next) truncates to L.
+    """
+    m = _re.fullmatch(
+        rf"\s*{_re.escape(ts)}\s*(>=|<=|<|>)\s*"
+        r"((?:DATE|TIMESTAMP)?\s*'[^']+')\s*",
+        sc,
+        _re.I,
+    )
+    if m:
+        lit = _parse_literal(m.group(2))
+        if lit is None:
+            return None
+        op = m.group(1)
+        if op in (">=", "<"):
+            if not _aligned(lit, bsec):
+                return None  # bound slices a bucket
+            iso = lit.strftime("%Y-%m-%d %H:%M:%S")
+            return [(op, iso)], [(">=" if op == ">=" else "<=", lit)]
+        shifted = lit + timedelta(microseconds=1)
+        if not _aligned(shifted, bsec):
+            return None
+        iso = shifted.strftime("%Y-%m-%d %H:%M:%S")
+        if op == "<=":
+            return [("<", iso)], [("<=", shifted)]
+        return [(">=", iso)], [(">=", shifted)]
+    m = _re.fullmatch(
+        rf"\s*DATE_TRUNC\(\s*'(\w+)'\s*,\s*{_re.escape(ts)}\s*\)\s*"
+        r"(=|>=|<=|<|>)\s*((?:DATE|TIMESTAMP)?\s*'[^']+')\s*",
+        sc,
+        _re.I,
+    )
+    if not m:
+        return None
+    unit, op = m.group(1).lower(), m.group(2)
+    lit = _parse_literal(m.group(3))
+    mod = _TRUNC_MODULUS.get(unit)
+    if (
+        lit is None
+        or mod is None
+        or mod % bsec != 0
+        or _trunc_dt(unit, lit.replace(tzinfo=None))
+        != lit.replace(tzinfo=None)
+    ):
+        return None
+    iso = lit.strftime("%Y-%m-%d %H:%M:%S")
+    nxt = _next_boundary(unit, lit)
+    nxt_iso = nxt.strftime("%Y-%m-%d %H:%M:%S")
+    if op == "=":
+        return [(">=", iso), ("<", nxt_iso)], [(">=", lit), ("<=", nxt)]
+    if op == ">=":
+        return [(">=", iso)], [(">=", lit)]
+    if op == "<":
+        return [("<", iso)], [("<=", lit)]
+    if op == "<=":
+        return [("<", nxt_iso)], [("<=", nxt)]
+    return [(">=", nxt_iso)], [(">=", nxt)]  # '>'
+
+
 def _split_conjuncts(where: str) -> list[str] | None:
     """Top-level AND conjuncts of ``where``; None when a top-level OR
     makes conjunct-by-conjunct reasoning unsound."""
@@ -508,86 +585,14 @@ def rewrite_to_rollup(
                 sc,
                 flags=_re.I,
             )
-            m = _re.fullmatch(
-                rf"\s*{_re.escape(ts)}\s*(>=|<=|<|>)\s*"
-                r"((?:DATE|TIMESTAMP)?\s*'[^']+')\s*",
-                sc,
-                _re.I,
-            )
-            if m:
-                lit = _parse_literal(m.group(2))
-                if lit is None:
-                    return None
-                op, text = m.group(1), m.group(2).strip()
-                if op in (">=", "<"):
-                    if not _aligned(lit, bsec):
-                        return None  # bound slices a bucket
-                    conds.append(f"bucket_start {op} {text}")
-                    add_prune(">=" if op == ">=" else "<=", lit)
-                else:
-                    # timestamps have µs precision, so `ts <= L` IS
-                    # `ts < L + 1µs` and `ts > L` IS `ts >= L + 1µs` —
-                    # exact, not a convention; route when the shifted
-                    # bound lands on the bucket grid (the inclusive-end
-                    # dashboard idiom `<= '… 23:59:59.999999'`)
-                    shifted = lit + timedelta(microseconds=1)
-                    if not _aligned(shifted, bsec):
-                        return None
-                    iso = shifted.strftime("%Y-%m-%d %H:%M:%S")
-                    if op == "<=":
-                        conds.append(f"bucket_start < TIMESTAMP '{iso}'")
-                        add_prune("<=", shifted)
-                    else:
-                        conds.append(f"bucket_start >= TIMESTAMP '{iso}'")
-                        add_prune(">=", shifted)
-                continue
-            # the dashboard shape: DATE_TRUNC('UNIT', ts) cmp literal
-            # (CAST-to-DATE normalized above; BETWEEN desugared by the
-            # conjunct split). Sound when the unit's boundaries all fall
-            # on the bucket grid AND the literal is itself unit-aligned;
-            # '=' expands to the unit's [literal, next-boundary) range,
-            # '<='/'>' shift to the next boundary (the trunc of every row
-            # in [literal, next) equals literal, so the comparison flips
-            # exactly there).
-            m = _re.fullmatch(
-                rf"\s*DATE_TRUNC\(\s*'(\w+)'\s*,\s*{_re.escape(ts)}\s*\)\s*"
-                r"(=|>=|<=|<|>)\s*((?:DATE|TIMESTAMP)?\s*'[^']+')\s*",
-                sc,
-                _re.I,
-            )
-            if not m:
+            tb = _ts_conjunct_bounds(sc, ts, bsec)
+            if tb is None:
                 return None
-            unit, op = m.group(1).lower(), m.group(2)
-            lit = _parse_literal(m.group(3))
-            mod = _TRUNC_MODULUS.get(unit)
-            if (
-                lit is None
-                or mod is None
-                or mod % bsec != 0
-                or _trunc_dt(unit, lit.replace(tzinfo=None))
-                != lit.replace(tzinfo=None)
-            ):
-                return None
-            iso = lit.strftime("%Y-%m-%d %H:%M:%S")
-            nxt = _next_boundary(unit, lit)
-            nxt_iso = nxt.strftime("%Y-%m-%d %H:%M:%S")
-            if op == "=":
-                conds.append(f"bucket_start >= TIMESTAMP '{iso}'")
-                conds.append(f"bucket_start < TIMESTAMP '{nxt_iso}'")
-                add_prune(">=", lit)
-                add_prune("<=", nxt)
-            elif op == ">=":
-                conds.append(f"bucket_start >= TIMESTAMP '{iso}'")
-                add_prune(">=", lit)
-            elif op == "<":
-                conds.append(f"bucket_start < TIMESTAMP '{iso}'")
-                add_prune("<=", lit)
-            elif op == "<=":
-                conds.append(f"bucket_start < TIMESTAMP '{nxt_iso}'")
-                add_prune("<=", nxt)
-            else:  # '>'
-                conds.append(f"bucket_start >= TIMESTAMP '{nxt_iso}'")
-                add_prune(">=", nxt)
+            bconds, bprunes = tb
+            for bop, iso in bconds:
+                conds.append(f"bucket_start {bop} TIMESTAMP '{iso}'")
+            for pop, pdt in bprunes:
+                add_prune(pop, pdt)
 
     # ---- having ----
     having_sql = None
