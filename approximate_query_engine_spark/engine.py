@@ -747,32 +747,56 @@ class AQEngine:
         prefer_exact: bool = False,
     ) -> tuple[str, str, bool] | None:
         """Continuous-aggregate rewrite: when ``sql`` is a single-table
-        aggregate whose shape a registered FRESH rollup can answer,
-        return (rollup_sql, note, used_approx_distinct). Runs BEFORE
-        planning — an exact answer from a pre-aggregated table dominates
-        every approximate strategy (faster AND error-free), so a hit
-        short-circuits the planner entirely. COUNT(DISTINCT c) over a
-        tracked sketch column is the one approximate derivation: it is
-        offered only when the caller's tolerance covers ~2 standard
-        errors of the HLL estimate and exactness wasn't requested."""
+        aggregate — or a star join whose FACT side has a rollup — whose
+        shape a registered FRESH rollup can answer, return (rollup_sql,
+        note, used_approx_distinct). Runs BEFORE planning — an exact
+        answer from a pre-aggregated table dominates every approximate
+        strategy (faster AND error-free), so a hit short-circuits the
+        planner entirely. COUNT(DISTINCT c) over a tracked sketch column
+        is the one approximate derivation: it is offered only when the
+        caller's tolerance covers ~2 standard errors of the HLL estimate
+        and exactness wasn't requested."""
         import math
 
         from approximate_query_engine_spark.operators.rollup import (
+            rewrite_join_to_rollup,
             rewrite_to_rollup,
         )
-        from approximate_query_engine_spark.sqlparser import try_parse
+        from approximate_query_engine_spark.sqlparser import (
+            try_parse,
+            try_parse_join,
+        )
 
         if not self.catalog.rollups:
             return None
         parsed = try_parse(sql)
-        if parsed is None:
-            return None
-        current = self.catalog.get_row_count(parsed.table)
+        jq = None
+        table_columns: dict[str, list[str]] = {}
+        if parsed is not None:
+            target = parsed.table
+        else:
+            # star-join shape: exactly ONE joined table may own a rollup
+            # (two would make the rewrite ambiguous — decline)
+            jq = try_parse_join(sql)
+            if jq is None:
+                return None
+            for t, _a in jq.tables:
+                try:
+                    table_columns[t] = self.spark.table(t).columns
+                except Exception:
+                    return None
+            with_rollups = [
+                t for t, _a in jq.tables if self.catalog.rollups.get(t)
+            ]
+            if len(with_rollups) != 1:
+                return None
+            target = with_rollups[0]
+        current = self.catalog.get_row_count(target)
         # coarsest bucket first: among rollups that can answer, the one
         # with the fewest rows wins (a day rollup beats an hour rollup
         # 24:1 on scan size; unsound candidates decline individually)
         candidates = sorted(
-            self.catalog.rollups.get(parsed.table, []),
+            self.catalog.rollups.get(target, []),
             key=lambda i: -i.get("bucket_seconds", 0),
         )
         for info in candidates:
@@ -796,9 +820,17 @@ class AQEngine:
                 and bool(info.get("distinct_cols"))
                 and max_rel_error >= 2 * hll_err
             )
-            routed = rewrite_to_rollup(
-                parsed, info, allow_approx_distinct=allow_distinct
-            )
+            if parsed is not None:
+                routed = rewrite_to_rollup(
+                    parsed, info, allow_approx_distinct=allow_distinct
+                )
+            else:
+                routed = rewrite_join_to_rollup(
+                    jq,
+                    info,
+                    table_columns,
+                    allow_approx_distinct=allow_distinct,
+                )
             if routed:
                 return routed
         return None

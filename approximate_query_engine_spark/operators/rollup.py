@@ -683,6 +683,310 @@ def rewrite_to_rollup(
     return sql, note, bool(used_approx)
 
 
+def rewrite_join_to_rollup(
+    jq,
+    info: dict,
+    table_columns: dict[str, list[str]],
+    allow_approx_distinct: bool = False,
+) -> tuple[str, str, bool] | None:
+    """Rewrite a star-join aggregate so the FACT side is the rollup, not
+    the raw event table — ``(sql, note, used_approx_distinct)`` or None.
+
+    The 100 TB dashboard shape is ``fact ⋈ dims`` with a time bound and
+    aggregates over fact measures. When the join keys on the fact side
+    are rollup DIMENSIONS, the join distributes over the pre-aggregation:
+    every raw join-output row descends from exactly one fact row, and all
+    fact rows of one rollup group share the same dim values, hence the
+    same dim matches — so ``COUNT(*)`` over the raw join equals
+    ``SUM(n_rows)`` over rollup ⋈ dims, and fact-measure SUM/COUNT/MIN/
+    MAX/AVG re-aggregate from state identically. The joined scan shrinks
+    from the fact table to the rollup (bucket compression factor), and
+    Catalyst still broadcasts the dims. ``COUNT(DISTINCT fact_col)`` for
+    a tracked sketch column stays correct under non-unique dim matches
+    because HLL union is idempotent.
+
+    Soundness rules (decline, never guess):
+    - every ON condition is a conjunction of plain equalities, and any
+      fact-side column in one is a rollup dim;
+    - aggregates are COUNT(*)/fact-measure COUNT/SUM/MIN/MAX/AVG (or HLL
+      COUNT(DISTINCT) when allowed); aggregates over DIM columns decline
+      (they'd collapse per-fact-row repetition);
+    - group keys are fact dims, bucket-aligned DATE_TRUNC/CAST-to-DATE
+      of the fact ts, or dim-table columns (which pass through);
+    - non-aggregate select items must appear in GROUP BY and at least
+      one aggregate must be present (row multiplicity);
+    - WHERE conjuncts reference dim tables only (pass through), fact
+      dims only (pass through — the rollup carries them), or bound the
+      fact ts bucket-exactly (_ts_conjunct_bounds); mixed fact+dim
+      conjuncts and HAVING decline;
+    - every table reference is unique and unqualified columns must
+      resolve to exactly one joined table.
+    """
+    fact = info["source_table"]
+    names = [t for t, _ in jq.tables]
+    if names.count(fact) != 1 or len(set(names)) != len(names):
+        return None
+    ts = info["time_col"]
+    bsec = info["bucket_seconds"]
+    dims = set(info["dims"])
+    measures = set(info["measures"])
+    distinct_set = set(info.get("distinct_cols", []))
+    fact_alias = jq.alias_of(fact)  # alias if present, else table name
+    R = fact_alias  # the rollup keeps the fact's alias in the FROM body
+    used_approx: list[str] = []
+
+    own: dict[str, set[str]] = {}
+    for t, _a in jq.tables:
+        cols = table_columns.get(t)
+        if cols is None:
+            return None
+        for c in cols:
+            own.setdefault(c, set()).add(t)
+    #: columns the rollup view ADDS relative to the fact table — an
+    #: unqualified reference to a same-named DIM column would become
+    #: ambiguous once the fact reference is swapped for the rollup
+    state_names = (
+        {"n_rows", "bucket_start", "p_date"}
+        | {f"{m}_{s}" for m in measures for s in ("count", "sum", "min", "max")}
+        | {f"{dc}_hll" for dc in distinct_set}
+    )
+
+    def resolve(ref: str) -> tuple[str, str] | None:
+        """qualified/unqualified column reference → (table, column)."""
+        ref = ref.strip()
+        if "." in ref:
+            q, c = ref.split(".", 1)
+            for t, a in jq.tables:
+                if q == (a or t):
+                    return (t, c) if c in table_columns.get(t, []) else None
+            return None
+        owners = own.get(ref)
+        if owners is None or len(owners) != 1:
+            return None
+        owner = next(iter(owners))
+        if owner != fact and ref in state_names:
+            return None  # would collide with a rollup state column
+        return owner, ref
+
+    # ---- ON conditions: equi-joins whose fact-side keys are dims ----
+    for seg in _re.split(r"\bJOIN\b", jq.from_body, flags=_re.I)[1:]:
+        mo = _re.search(r"\bON\b", seg, _re.I)
+        if not mo:
+            return None
+        cond = seg[mo.end():]
+        for eq in _re.split(r"\bAND\b", cond, flags=_re.I):
+            pm = _re.fullmatch(
+                r"\s*([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)\s*", eq
+            )
+            if pm is None:
+                return None
+            for side in (pm.group(1), pm.group(2)):
+                r = resolve(side)
+                if r is None:
+                    return None
+                if r[0] == fact and r[1] not in dims:
+                    return None
+
+    def rewrite_agg(agg) -> str | None:
+        if agg.distinct:
+            if not (allow_approx_distinct and agg.func == "COUNT"):
+                return None
+            r = resolve(agg.arg)
+            if r is None or r[0] != fact or r[1] not in distinct_set:
+                return None
+            used_approx.append(r[1])
+            return f"hll_sketch_estimate(hll_union_agg({R}.{r[1]}_hll))"
+        if agg.func not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
+            return None
+        if agg.func == "COUNT" and (agg.is_star or agg.arg.strip() == "1"):
+            return f"COALESCE(SUM({R}.n_rows), CAST(0 AS BIGINT))"
+        r = resolve(agg.arg)
+        if r is None or r[0] != fact or r[1] not in measures:
+            return None
+        c = r[1]
+        if agg.func == "COUNT":
+            return f"COALESCE(SUM({R}.{c}_count), CAST(0 AS BIGINT))"
+        if agg.func == "SUM":
+            return f"SUM({R}.{c}_sum)"
+        if agg.func == "MIN":
+            return f"MIN({R}.{c}_min)"
+        if agg.func == "MAX":
+            return f"MAX({R}.{c}_max)"
+        return f"SUM({R}.{c}_sum) / NULLIF(SUM({R}.{c}_count), 0)"
+
+    def rewrite_key(expr: str) -> str | None:
+        e = expr.strip()
+        m = _re.fullmatch(
+            r"DATE_TRUNC\(\s*'(\w+)'\s*,\s*([A-Za-z_][\w.]*)\s*\)", e, _re.I
+        )
+        if m:
+            r = resolve(m.group(2))
+            if r is None or r[0] != fact or r[1] != ts:
+                return None
+            unit = m.group(1).lower()
+            mod = _TRUNC_MODULUS.get(unit)
+            if mod is None or mod % bsec != 0:
+                return None
+            return f"DATE_TRUNC('{unit.upper()}', {R}.bucket_start)"
+        m = _re.fullmatch(
+            r"CAST\(\s*([A-Za-z_][\w.]*)\s+AS\s+DATE\s*\)", e, _re.I
+        )
+        if m:
+            r = resolve(m.group(1))
+            if r is None or r[0] != fact or r[1] != ts:
+                return None
+            if 86400 % bsec != 0:
+                return None
+            return f"CAST({R}.bucket_start AS DATE)"
+        r = resolve(e)
+        if r is None:
+            return None
+        t, c = r
+        if t == fact:
+            return f"{R}.{c}" if c in dims else None
+        return e  # dim-table column — rides through the join unchanged
+
+    # ---- select list ----
+    items, aliases = [], set()
+    has_agg, nonagg_keys = False, []
+    for it in jq.select_items:
+        if it.agg is not None:
+            new = rewrite_agg(it.agg)
+            has_agg = True
+        else:
+            new = rewrite_key(it.raw)
+            nonagg_keys.append(new)
+        if new is None:
+            return None
+        if it.alias:
+            alias_sql = it.alias
+        else:
+            # Spark names an unaliased (possibly qualified) plain column
+            # by its bare name; expressions keep their full text
+            rr = resolve(it.raw)
+            alias_sql = rr[1] if rr is not None else f"`{it.raw}`"
+        items.append(f"{new} AS {alias_sql}")
+        if it.alias:
+            aliases.add(it.alias)
+
+    # ---- group by ----
+    keys = []
+    for g in jq.group_by:
+        new = rewrite_key(g)
+        if new is None:
+            return None
+        keys.append(new)
+    if not has_agg or any(k not in keys for k in nonagg_keys):
+        return None
+
+    if jq.having:
+        return None
+
+    # ---- where ----
+    conds, prune = [], []
+    if jq.where:
+        conjs = _split_conjuncts(jq.where)
+        if conjs is None:
+            return None
+        materialized = bool(
+            info.get("files_view") and info["files_view"] != info["view"]
+        )
+        for c in conjs:
+            ids = _identifiers(c)
+            if ids is None:
+                return None
+            rs = {i: resolve(i) for i in ids}
+            if any(r is None for r in rs.values()):
+                return None
+            owners = {r[0] for r in rs.values()}
+            if not owners or fact not in owners:
+                conds.append(c)  # constant or dim-only — passes through
+                continue
+            if owners != {fact}:
+                return None  # mixed fact+dim conjunct
+            fact_cols = {r[1] for r in rs.values()}
+            if fact_cols <= dims:
+                # fact-dim filter: the rollup carries these columns under
+                # the same alias, so the conjunct passes through verbatim
+                conds.append(c)
+                continue
+            if fact_cols != {ts}:
+                return None
+            # strip the fact alias/table qualifier for the bound matcher,
+            # then normalize CAST-to-DATE
+            sc = _strip_qualifier(c, {fact, fact_alias}).strip()
+            sc = _re.sub(
+                rf"CAST\(\s*{_re.escape(ts)}\s+AS\s+DATE\s*\)",
+                f"DATE_TRUNC('DAY', {ts})",
+                sc,
+                flags=_re.I,
+            )
+            tb = _ts_conjunct_bounds(sc, ts, bsec)
+            if tb is None:
+                return None
+            bconds, bprunes = tb
+            for bop, iso in bconds:
+                conds.append(f"{R}.bucket_start {bop} TIMESTAMP '{iso}'")
+            if materialized:
+                for pop, pdt in bprunes:
+                    prune.append(
+                        f"{R}.p_date {pop} '{pdt.strftime('%Y-%m-%d')}'"
+                    )
+
+    # ---- order by / limit ----
+    order = []
+    for o in jq.order_by:
+        new = rewrite_key(o.expr)
+        if new is None:
+            m = _re.fullmatch(
+                r"(COUNT|SUM|MIN|MAX|AVG)\s*\((.*)\)", o.expr.strip(), _re.I
+            )
+            if m:
+                from approximate_query_engine_spark.sqlparser import Aggregate
+
+                new = rewrite_agg(
+                    Aggregate(m.group(1).upper(), m.group(2), False, o.expr)
+                )
+        if new is None:
+            if o.expr in aliases:
+                order.append(o.render())
+                continue
+            return None
+        order.append(f"{new} DESC" if o.desc else new)
+
+    from_body = jq.from_with_replacement(
+        fact, info.get("files_view") or info["view"]
+    )
+    sql = "SELECT " + ", ".join(items) + f" FROM {from_body}"
+    allconds = conds + prune
+    if allconds:
+        sql += " WHERE " + " AND ".join(allconds)
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+    if order:
+        sql += " ORDER BY " + ", ".join(order)
+    if jq.limit is not None:
+        sql += f" LIMIT {jq.limit}"
+    if used_approx:
+        import math
+
+        err = 1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
+        note = (
+            f"star join answered from materialized rollup {info['view']} "
+            f"(bucket {info['bucket']}; fact scan replaced by partial-agg "
+            f"state; COUNT(DISTINCT {', '.join(sorted(set(used_approx)))}) "
+            f"from merged HLL sketch state, rel err ≈ {err:.1%}; other "
+            "aggregates exact)"
+        )
+    else:
+        note = (
+            f"star join answered from materialized rollup {info['view']} "
+            f"(bucket {info['bucket']}; fact scan replaced by partial-agg "
+            "state — exact, dims broadcast as before)"
+        )
+    return sql, note, bool(used_approx)
+
+
 def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
     """Per-(bucket, dims) partial-agg state of ``df`` in the rollup's
     column layout, plus the storage ``p_date`` column."""

@@ -560,3 +560,149 @@ def test_between_le_gt_unsound_bounds_decline(eng, pred):
     assert "rollup" not in r["plan"]["reason"], (pred, r["plan"]["reason"])
     # and the raw answer is still correct
     assert r["result"][0]["n"] == eng.spark.sql(sql).collect()[0]["n"]
+
+
+@pytest.fixture(scope="module")
+def jeng(spark):
+    """Engine with a fact rollup + two dim tables for star-join routing."""
+    import datetime
+
+    base = datetime.datetime(2024, 2, 1)
+    rows = [
+        (
+            base + datetime.timedelta(hours=h, minutes=h % 7),
+            ["click", "view", "error"][h % 3],
+            float(h % 97),
+            f"u{h % 41}",
+        )
+        for h in range(24 * 12)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double, uid string"
+    ).createOrReplaceTempView("jfact")
+    spark.createDataFrame(
+        [("click", "Clicks", 1.0), ("view", "Views", 2.0), ("error", "Errors", 3.0)],
+        "event_type string, label string, weight double",
+    ).createOrReplaceTempView("jdim")
+    # NON-unique dim: 'click' matches TWO rows (multiplicity check)
+    spark.createDataFrame(
+        [("click", "c1"), ("click", "c2"), ("view", "v1"), ("error", "e1")],
+        "event_type string, tag string",
+    ).createOrReplaceTempView("jdim_dup")
+    e = AQEngine(
+        spark, workdir=tempfile.mkdtemp(prefix="aqe_rollup_join_")
+    )
+    e.catalog.upsert_table_stats("jfact", len(rows))
+    e.create_rollup(
+        "jfact", "ts", "1 hour", dims=["event_type"], measures=["value"],
+        distinct_cols=["uid"],
+    )
+    return e
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # the canonical dashboard star join
+        "SELECT d.label, COUNT(*) AS n, SUM(jfact.value) AS sv, "
+        "MIN(jfact.value) AS mn, MAX(jfact.value) AS mx, "
+        "AVG(jfact.value) AS av "
+        "FROM jfact JOIN jdim d ON jfact.event_type = d.event_type "
+        "WHERE jfact.ts >= TIMESTAMP '2024-02-02 00:00:00' "
+        "AND jfact.ts < TIMESTAMP '2024-02-10 00:00:00' "
+        "GROUP BY d.label ORDER BY d.label",
+        # day grain + dim key, aliased fact, BETWEEN bound
+        "SELECT d.label, DATE_TRUNC('DAY', f.ts) AS day, COUNT(*) AS n "
+        "FROM jfact f JOIN jdim d ON f.event_type = d.event_type "
+        "WHERE CAST(f.ts AS DATE) BETWEEN DATE '2024-02-03' AND DATE '2024-02-08' "
+        "GROUP BY d.label, DATE_TRUNC('DAY', f.ts) ORDER BY d.label, day",
+        # unqualified columns resolve by uniqueness; dim-side filter rides
+        "SELECT label, COUNT(value) AS nv, SUM(value) AS sv "
+        "FROM jfact JOIN jdim d ON jfact.event_type = d.event_type "
+        "WHERE label <> 'Views' GROUP BY label ORDER BY label",
+        # NON-unique dim key: multiplicity must match the raw join
+        "SELECT t.tag, COUNT(*) AS n, SUM(jfact.value) AS sv "
+        "FROM jfact JOIN jdim_dup t ON jfact.event_type = t.event_type "
+        "GROUP BY t.tag ORDER BY t.tag",
+        # group by the fact dim itself + ORDER BY an aggregate
+        "SELECT jfact.event_type, COUNT(*) AS n "
+        "FROM jfact JOIN jdim d ON jfact.event_type = d.event_type "
+        "GROUP BY jfact.event_type ORDER BY COUNT(*) DESC, jfact.event_type",
+    ],
+)
+def test_star_join_routes_to_rollup_and_matches(jeng, sql):
+    """Round-7 flagship: star-join aggregates are answered from
+    rollup ⋈ dim — the fact scan is replaced by partial-agg state and
+    the result matches the raw join bit-for-bit."""
+    r = jeng.query(sql)
+    assert r["status"] == "ok", r.get("error")
+    assert "star join answered from materialized rollup" in r["plan"]["reason"], (
+        sql, r["plan"]["reason"],
+    )
+    raw = [x.asDict() for x in jeng.spark.sql(sql).collect()]
+    assert raw, f"premise: rows for {sql}"
+    _assert_equal(r["result"], raw)
+
+
+def test_star_join_distinct_sketch_routes(jeng):
+    sql = (
+        "SELECT d.label, COUNT(DISTINCT jfact.uid) AS du, COUNT(*) AS n "
+        "FROM jfact JOIN jdim d ON jfact.event_type = d.event_type "
+        "WHERE jfact.ts >= TIMESTAMP '2024-02-02 00:00:00' "
+        "GROUP BY d.label ORDER BY d.label"
+    )
+    r = jeng.query(sql, max_rel_error=0.05)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert "merged HLL sketch state" in r["plan"]["reason"]
+    exact = {
+        x["label"]: (x["du"], x["n"])
+        for x in (y.asDict() for y in jeng.spark.sql(sql).collect())
+    }
+    for d in r["result"]:
+        du_e, n_e = exact[d["label"]]
+        assert d["n"] == n_e  # COUNT(*) stays exact
+        assert abs(d["du"] - du_e) / du_e < 0.04, (d, du_e)
+    # prefer_exact or a tight tolerance declines the sketch
+    assert (
+        "rollup" not in jeng.query(sql, prefer_exact=True)["plan"]["reason"]
+    )
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # aggregate over a DIM column collapses per-fact repetition
+        "SELECT d.label, SUM(d.weight) AS w FROM jfact "
+        "JOIN jdim d ON jfact.event_type = d.event_type GROUP BY d.label",
+        # join key on the fact side is NOT a rollup dim
+        "SELECT d.label, COUNT(*) AS n FROM jfact "
+        "JOIN jdim d ON jfact.uid = d.event_type GROUP BY d.label",
+        # mixed fact+dim conjunct
+        "SELECT d.label, COUNT(*) AS n FROM jfact "
+        "JOIN jdim d ON jfact.event_type = d.event_type "
+        "WHERE jfact.value > d.weight GROUP BY d.label",
+        # misaligned time bound
+        "SELECT d.label, COUNT(*) AS n FROM jfact "
+        "JOIN jdim d ON jfact.event_type = d.event_type "
+        "WHERE jfact.ts >= TIMESTAMP '2024-02-02 00:30:10' GROUP BY d.label",
+        # HAVING declines (v1)
+        "SELECT d.label, COUNT(*) AS n FROM jfact "
+        "JOIN jdim d ON jfact.event_type = d.event_type "
+        "GROUP BY d.label HAVING COUNT(*) > 10",
+        # fact measure referenced in WHERE
+        "SELECT d.label, COUNT(*) AS n FROM jfact "
+        "JOIN jdim d ON jfact.event_type = d.event_type "
+        "WHERE jfact.value > 10 GROUP BY d.label",
+        # aggregate-free projection (multiplicity)
+        "SELECT d.label FROM jfact "
+        "JOIN jdim d ON jfact.event_type = d.event_type "
+        "WHERE jfact.ts >= TIMESTAMP '2024-02-02 00:00:00'",
+    ],
+)
+def test_star_join_unsound_shapes_decline(jeng, sql):
+    r = jeng.query(sql)
+    assert r["status"] == "ok", r.get("error")
+    assert "rollup" not in r["plan"]["reason"], (sql, r["plan"]["reason"])
+    # and the un-routed answer still matches raw
+    raw = jeng.spark.sql(sql).collect()
+    assert len(r["result"]) == len(raw)
