@@ -1126,6 +1126,70 @@ _ROLLUP_BETWEEN_ORACLE = (
 )
 
 
+_ROLLUP_JOIN_SQL = (
+    "SELECT d.label, COUNT(*) AS n, COUNT(e.value) AS nv, "
+    "MIN(e.value) AS mn, MAX(e.value) AS mx "
+    "FROM events e JOIN event_dim94 d ON e.event_type = d.event_type "
+    "WHERE e.ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND e.ts < TIMESTAMP '2024-01-09 00:00:00' "
+    "GROUP BY d.label ORDER BY d.label"
+)
+
+
+def _q_rollup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 flagship: a star-join aggregate (fact ⋈ dim, time-bounded,
+    grouped by a DIM column) is answered from rollup ⋈ dim — the fact
+    scan is replaced by the rollup's partial-agg state
+    (rewrite_join_to_rollup; sound because the fact-side join key is a
+    rollup dimension, so the join distributes over the pre-aggregation).
+    The oracle replays the raw join in DuckDB with the dim defined
+    inline as a CTE; COUNT/MIN/MAX re-aggregate bit-exactly, so a
+    multiplicity mistake in the join rewrite hash-fails."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    spark.sql(
+        "SELECT DISTINCT event_type, CONCAT('seg_', event_type) AS label "
+        "FROM events"
+    ).createOrReplaceTempView("event_dim94")
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.create_rollup(
+        "events", "ts", "1 hour", dims=["event_type"], measures=["value"]
+    )
+    r = eng.query(_ROLLUP_JOIN_SQL)
+    assert r["status"] == "ok", r.get("error")
+    assert "star join answered from materialized rollup" in (
+        r["plan"]["reason"]
+    ), r["plan"]
+    rows = [
+        (
+            d["label"],
+            int(d["n"]),
+            int(d["nv"]),
+            float(d["mn"]),
+            float(d["mx"]),
+        )
+        for d in r["result"]
+    ]
+    return spark.createDataFrame(
+        rows, "label string, n long, nv long, mn double, mx double"
+    )
+
+
+_ROLLUP_JOIN_ORACLE = (
+    "WITH event_dim94 AS (SELECT DISTINCT event_type, "
+    "CONCAT('seg_', event_type) AS label FROM events) "
+    "SELECT d.label, COUNT(*)::BIGINT AS n, COUNT(e.value)::BIGINT AS nv, "
+    "MIN(e.value) AS mn, MAX(e.value) AS mx "
+    "FROM events e JOIN event_dim94 d ON e.event_type = d.event_type "
+    "WHERE e.ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND e.ts < TIMESTAMP '2024-01-09 00:00:00' "
+    "GROUP BY d.label ORDER BY d.label"
+)
+
+
 _STREAM_ROLLUP_SQL = (
     "SELECT event_type, COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx "
     "FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
@@ -3091,6 +3155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q91_rollup_routing"] = _q_rollup_routing
     out["q92_stream_rollup"] = _q_stream_rollup
     out["q93_rollup_between"] = _q_rollup_between
+    out["q94_rollup_join"] = _q_rollup_join
     return _reorder_check_window(out)
 
 
@@ -3145,5 +3210,6 @@ def oracle_sql() -> dict[str, str]:
     out["q91_rollup_routing"] = _ROLLUP_ROUTED_ORACLE
     out["q92_stream_rollup"] = _STREAM_ROLLUP_ORACLE
     out["q93_rollup_between"] = _ROLLUP_BETWEEN_ORACLE
+    out["q94_rollup_join"] = _ROLLUP_JOIN_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -56,6 +56,52 @@ def _sample_base_population(info) -> float | None:
     return None
 
 
+def _rollup_tail_repair(engine, info) -> str | None:
+    """The ``since`` date from which a drifted rollup can be repaired
+    INCREMENTALLY, or None when only a full rebuild is sound. Sound iff
+    every row outside the tail is already accounted for: the source rows
+    whose bucket lands before the layout's LAST date (a column-pruned
+    filtered COUNT — no shuffle) must equal the layout's own n_rows
+    total over those dates (a rollup-sized SUM). Equal-count head
+    mutation is the same undetectable case as everywhere row counts
+    gate freshness — the append-mostly contract of refresh_rollup."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.operators.partitioning import (
+        list_bucket_dirs,
+    )
+
+    try:
+        dates = list_bucket_dirs(
+            engine.spark, info["path"], partition_col="p_date"
+        )
+        if not dates:
+            return None
+        since = dates[-1]
+        layout = engine.spark.read.parquet(info["path"])
+        head_state = (
+            layout.filter(F.col("p_date") < since)
+            .agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"))
+            .collect()[0]["n"]
+        )
+        src_head = (
+            engine.spark.table(info["source_table"])
+            .filter(
+                F.date_format(
+                    F.window(F.col(info["time_col"]), info["bucket"])[
+                        "start"
+                    ],
+                    "yyyy-MM-dd",
+                )
+                < since
+            )
+            .count()
+        )
+        return since if int(head_state) == int(src_head) else None
+    except Exception:
+        return None
+
+
 def run_maintenance(
     engine,
     max_drift: float = 0.10,
@@ -239,8 +285,17 @@ def run_maintenance(
     # Routing guards rollups with a STRICT row-count equality gate (any
     # base-table drift and _route_rollup declines — stale state is never
     # served), so staleness here doesn't risk wrong answers, it silently
-    # COSTS the raw-table scan on every would-have-routed query. The
-    # policy is therefore rebuild-on-any-drift: re-materialize and re-arm.
+    # COSTS the raw-table scan on every would-have-routed query.
+    #
+    # Repair policy (round 7): APPEND-ONLY drift repairs INCREMENTALLY —
+    # when the new rows all land on/after the layout's last date
+    # (verified: the source's pre-tail row count equals the layout's own
+    # per-date n_rows total, a column-pruned filtered COUNT vs a
+    # rollup-sized SUM), only the tail date directories are recomputed
+    # (engine.refresh_rollup → dynamic partition overwrite). At 100 TB
+    # that's one day's shuffle+write instead of re-materializing years of
+    # history. Anything else (shrink, head mutation, verification
+    # mismatch) falls back to the full rebuild, which is always sound.
     for table, entries in sorted(catalog.rollups.items()):
         current = catalog.get_row_count(table)
         for info in list(entries):
@@ -252,28 +307,42 @@ def run_maintenance(
             if info.get("built_row_count") == current:
                 report.fresh.append(label)
                 continue
+            built = info.get("built_row_count")
+            incremental = None
+            if current > (built or 0):
+                incremental = _rollup_tail_repair(engine, info)
             action = {
                 "kind": "rollup",
                 "table": table,
                 "view": info["view"],
+                "mode": "incremental" if incremental else "rebuild",
                 "reason": (
                     f"base table rows {current} != built against "
-                    f"{info.get('built_row_count')} — routing disarmed "
-                    "until rebuilt"
+                    f"{built} — routing disarmed until "
+                    + (
+                        f"tail refresh from {incremental}"
+                        if incremental
+                        else "rebuilt"
+                    )
                 ),
                 "dry_run": dry_run,
             }
             if not dry_run:
                 try:
-                    engine.create_rollup(
-                        table,
-                        info["time_col"],
-                        info["bucket"],
-                        dims=info.get("dims"),
-                        measures=info.get("measures"),
-                        distinct_cols=info.get("distinct_cols"),
-                        hll_lgk=int(info.get("hll_lgk", 12)),
-                    )
+                    if incremental:
+                        engine.refresh_rollup(
+                            table, view=info["view"], since=incremental
+                        )
+                    else:
+                        engine.create_rollup(
+                            table,
+                            info["time_col"],
+                            info["bucket"],
+                            dims=info.get("dims"),
+                            measures=info.get("measures"),
+                            distinct_cols=info.get("distinct_cols"),
+                            hll_lgk=int(info.get("hll_lgk", 12)),
+                        )
                 except Exception as exc:
                     report.errors.append(
                         {"rollup": label, "error": str(exc)[:200]}

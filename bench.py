@@ -582,6 +582,14 @@ def main() -> None:
         "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
         "GROUP BY DATE_TRUNC('DAY', ts) ORDER BY day"
     )
+    rollup_join_sql = (
+        "SELECT d.label, COUNT(*) AS n, SUM(e.value) AS sv "
+        "FROM events_big e JOIN event_dim d "
+        "ON e.event_type = d.event_type "
+        "WHERE e.ts >= TIMESTAMP '2024-01-03 00:00:00' "
+        "AND e.ts < TIMESTAMP '2024-01-08 00:00:00' "
+        "GROUP BY d.label ORDER BY d.label"
+    )
     rollup_distinct_raw_sql = (
         "SELECT DATE_TRUNC('DAY', ts) AS day, "
         "approx_count_distinct(user_id) AS du FROM events_big "
@@ -774,6 +782,28 @@ def main() -> None:
                 last_result[rollup_between_sql] = r["result"]
 
             _safe("rollup_route_between_answered", _rollup_between_routed)
+
+            # round-7 flagship: the star join itself routes — fact scan
+            # replaced by rollup state, dim still broadcast. At 100 TB
+            # this turns "revenue by segment last week" from a fact-table
+            # scan into a rollup-sized join. (event_dim is built by the
+            # join_route setup above; if that failed, _safe records it.)
+            _safe(
+                "rollup_join_exact",
+                _run_sql(spark, rollup_join_sql, exact_rows),
+            )
+
+            def _rollup_join_routed():
+                r = eng.query(rollup_join_sql, dual_execute=False)
+                assert r["status"] == "ok", r.get("error")
+                assert (
+                    "star join answered from materialized rollup"
+                    in r["plan"]["reason"]
+                ), r["plan"]["reason"]
+                plan_reasons["rollup_join"] = f"exact: {r['plan']['reason']}"
+                last_result[rollup_join_sql] = r["result"]
+
+            _safe("rollup_join_answered", _rollup_join_routed)
             # disarm: later classes measure sample/layout plans on
             # events_big and must not silently hit the rollup instead
             eng.catalog.rollups.pop("events_big", None)
@@ -1432,10 +1462,13 @@ def main() -> None:
             "partition_route_exact"
         ] / max(timings["route_sample_pruned"], 1e-9)
     # continuous-aggregate classes: exact raw scan vs answered-from-state
-    for _cls in ("rollup_route", "rollup_route_between", "join_route"):
+    for _cls in (
+        "rollup_route", "rollup_route_between", "rollup_join", "join_route",
+    ):
         _ans = {
             "rollup_route": "rollup_route_answered",
             "rollup_route_between": "rollup_route_between_answered",
+            "rollup_join": "rollup_join_answered",
             "join_route": "join_route_pruned",
         }[_cls]
         if f"{_cls}_exact" in timings and _ans in timings:
@@ -1493,6 +1526,7 @@ def main() -> None:
     for _cls, _csql in (
         # rollup classes: both sides exact — routed result must be 0.0
         ("rollup_route_between", rollup_between_sql),
+        ("rollup_join", rollup_join_sql),
         # sketch-from-state vs exact distinct: bounded by ~2·1.04/√2^12
         ("rollup_distinct", rollup_distinct_sql),
     ):
@@ -1521,7 +1555,7 @@ def main() -> None:
         "big_join", "big_join_sql", "partition_route",
         "partition_route_sample", "route_sample_vs_exact",
         "rollup_route", "rollup_route_between", "rollup_distinct",
-        "rollup_distinct_vs_exact", "join_route",
+        "rollup_distinct_vs_exact", "rollup_join", "join_route",
     ] + list(extra_class_sqls)
     sum200_classes = list(sum200_sqls)
     tiers = {

@@ -311,3 +311,83 @@ def test_stale_rollup_rearms_routing(meng, spark):
         assert not any(a["kind"] == "rollup" for a in rep2["refreshed"])
     finally:
         orig.createOrReplaceTempView("events")
+
+
+def test_append_only_rollup_drift_repairs_incrementally(spark):
+    """Round-7: maintenance repairs an append-only drifted rollup with a
+    TAIL refresh (mode=incremental) — earlier date directories keep
+    their files and mtimes — verified against the layout's own per-date
+    row totals; a head mutation fails the verification and falls back
+    to the full rebuild (mode=rebuild)."""
+    import datetime
+    import glob
+    import os
+
+    base = datetime.datetime(2024, 4, 1)
+    schema = "ts timestamp, event_type string, value double, uid string"
+    rows = [
+        (
+            base + datetime.timedelta(days=d, hours=h),
+            ["a", "b"][h % 2],
+            float(d * 10 + h),
+            f"u{(d * 24 + h) % 13}",
+        )
+        for d in range(4)
+        for h in range(24)
+    ]
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("inc_src")
+    e = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_minc_"))
+    e.catalog.upsert_table_stats("inc_src", len(rows))
+    e.create_rollup(
+        "inc_src", "ts", "1 hour", dims=["event_type"],
+        measures=["value"], distinct_cols=["uid"],
+    )
+    path = e.catalog.rollups["inc_src"][0]["path"]
+
+    def day_files(d):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{path}/p_date=2024-04-0{d}/*.parquet")
+        }
+
+    before = {d: day_files(d) for d in (1, 2, 3)}
+    # append-only tail drift: new rows land on the LAST day only
+    late = [
+        (datetime.datetime(2024, 4, 4, 9, 30), "a", 777.0, f"new{i}")
+        for i in range(7)
+    ]
+    spark.createDataFrame(rows + late, schema).createOrReplaceTempView(
+        "inc_src"
+    )
+    rep = e.maintain(max_drift=0.0)
+    acts = [a for a in rep["refreshed"] if a["kind"] == "rollup"]
+    assert acts and acts[0]["mode"] == "incremental", rep
+    assert acts[0]["reason"].endswith("tail refresh from 2024-04-04")
+    # untouched history: identical files AND mtimes for earlier days
+    assert {d: day_files(d) for d in (1, 2, 3)} == before
+    # sketch columns survive the incremental repair (round-7 refresh fix)
+    for day_dir in sorted(glob.glob(f"{path}/p_date=*")):
+        assert "uid_hll" in spark.read.parquet(day_dir).columns, day_dir
+    # routing re-armed and correct
+    sql = "SELECT COUNT(*) AS n, SUM(value) AS sv FROM inc_src"
+    r = e.query(sql)
+    assert "rollup" in r["plan"]["reason"], r["plan"]
+    assert r["result"][0]["n"] == len(rows) + len(late)
+    raw = spark.sql(sql).collect()[0]
+    assert r["result"][0]["sv"] == pytest.approx(raw["sv"], rel=1e-12)
+
+    # HEAD mutation with growth: verification mismatch => full rebuild
+    mutated = [r_ for r_ in rows if r_[2] != 0.0] + late + [
+        (datetime.datetime(2024, 4, 4, 10, 30), "b", 1.0, "x1"),
+        (datetime.datetime(2024, 4, 4, 11, 30), "b", 2.0, "x2"),
+    ]
+    assert len(mutated) > len(rows) + len(late)  # grows, but head changed
+    spark.createDataFrame(mutated, schema).createOrReplaceTempView(
+        "inc_src"
+    )
+    rep2 = e.maintain(max_drift=0.0)
+    acts2 = [a for a in rep2["refreshed"] if a["kind"] == "rollup"]
+    assert acts2 and acts2[0]["mode"] == "rebuild", rep2
+    r2 = e.query(sql)
+    assert "rollup" in r2["plan"]["reason"]
+    assert r2["result"][0]["n"] == len(mutated)
