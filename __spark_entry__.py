@@ -3023,13 +3023,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: feeds the in-window q69 exact dedup; text family keeps q24/q66/q67),
 #: q65 (GROUPING SETS — grouping family keeps q74/q15/q51), q75
 #: (anti/semi join — join family keeps q13/q46/q53/q83).
-#: Round-7 rotation (VERDICT r6 instruction 2): the round-6 flagship
-#: surfaces q90 (star-join fact-scan routing) and q92 (stream→rollup
-#: merge) — both previously oracled only via the local parity sweep —
-#: moved INTO the window; retired in exchange were two long-stable
-#: basics whose families keep other in-window rows: q06 (WHERE + GROUP
-#: BY + AVG — the scan/agg family keeps q11/q74/q15) and q44 (scalar
-#: string/date functions — exercised inside in-window q24/q57/q61/q64).
+#: Round-7 rotation (VERDICT r6 instruction 2, extended): the round-6
+#: flagship surfaces q90 (star-join fact-scan routing) and q92
+#: (stream→rollup merge) — both previously oracled only via the local
+#: parity sweep — moved INTO the window, plus the round-7 surfaces q93
+#: (BETWEEN/<=/> rollup routing) and q94 (star-join answered from
+#: rollup ⋈ dim). Retired in exchange were four slots whose families
+#: keep other in-window rows: q06 (WHERE + GROUP BY + AVG — scan/agg
+#: family keeps q11/q74/q15), q44 (scalar string/date functions —
+#: exercised inside q61/q64), q24 (doc quality stats — the text family
+#: keeps q66's corpus chain + q67), and q57 (batch sessionization — the
+#: session family keeps the stricter streaming q62).
 #: Everything NOT in this list still registers, after the window, and
 #: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
@@ -3038,7 +3042,7 @@ _CHECK_WINDOW_ORDER = [
     "q13_join_fact",
     "q15_window_top_order",
     "q85_partitioned_scan",
-    "q24_doc_stats",
+    "q93_rollup_between",
     "q86_partition_routing",
     "q88_partition_routing_approx",
     "q28_ann_topk",
@@ -3051,7 +3055,7 @@ _CHECK_WINDOW_ORDER = [
     "q91_rollup_routing",
     "q52_graph_components",
     "q53_salted_join",
-    "q57_sessionize",
+    "q94_rollup_join",
     "q59_tfidf",
     "q60_knn_join",
     "q61_funnel",
