@@ -99,7 +99,7 @@ def test_check_window_ordering():
     covered_by = {
         "q01_count": "q11_tpch_q1",
         "q02_count_sum": "q11_tpch_q1",
-        "q03_avg": "q06_where_group_avg",
+        "q03_avg": "q11_tpch_q1",
         "q04_group_count": "q74_group_sum_having",
         "q05_group_sum": "q74_group_sum_having",
         "q07_having": "q74_group_sum_having",
@@ -107,7 +107,7 @@ def test_check_window_ordering():
         "q10_distinct_exact": "q73_minmax_distinct",
         "q12_join_dims": "q13_join_fact",
         "q14_join3_agg": "q13_join_fact",
-        "q20_sessionize": "q57_sessionize",
+        "q20_sessionize": "q62_stream_sessions",
         "q21_sys_sample_count": "q76_sample_group_ci",
         "q22_sys_sample_group_sum": "q76_sample_group_ci",
         "q23_sample_ci": "q76_sample_group_ci",
@@ -117,7 +117,7 @@ def test_check_window_ordering():
         "q41_rollup": "q74_group_sum_having",
         "q42_anti_join": "q13_join_fact",
         "q43_semi_join": "q13_join_fact",
-        "q45_date_funcs": "q44_string_funcs",
+        "q45_date_funcs": "q64_retention",  # date arithmetic family
         # upgraded from rows-only to oracled in round 4 (portable
         # hyperplane-fold oracle); its component family is in-window
         "q34_lsh_topk": "q28_ann_topk",
@@ -139,7 +139,7 @@ def test_check_window_ordering():
         # round-6 rotation (VERDICT r5 instruction 7): q85/q87/q88/q89
         # moved INTO the window; these four redundant slots moved out,
         # each with an in-window family representative.
-        "q18_events_json": "q44_string_funcs",  # scalar funcs over a scan
+        "q18_events_json": "q66_corpus_prepare",  # scalar-func-heavy scan
         "q27_fingerprint": "q69_dedup_keep_best",  # fingerprint -> dedup
         "q65_grouping_sets": "q74_group_sum_having",
         "q75_anti_semi_join": "q13_join_fact",
@@ -149,9 +149,13 @@ def test_check_window_ordering():
         # q51's slot; q51's query_rollup operator is the building block
         # q91's engine path materializes through
         "q51_rollup_operator": "q91_rollup_routing",
-        # stream-fed rollup: same routing family as the in-window q91,
-        # plus the streaming family's in-window q35/q62
-        "q92_stream_rollup": "q91_rollup_routing",
+        # round-7 rotation (VERDICT r6 instruction 2, extended): q90, q92
+        # and the new q93/q94 moved INTO the window; these four stable
+        # slots moved out, each with an in-window family representative.
+        "q06_where_group_avg": "q11_tpch_q1",  # WHERE+GROUP+AVG scan
+        "q44_string_funcs": "q66_corpus_prepare",  # scalar string funcs
+        "q24_doc_stats": "q66_corpus_prepare",  # doc quality stats
+        "q57_sessionize": "q62_stream_sessions",  # sessionization family
     }
     for name in names[50:]:
         if name in oracled:
