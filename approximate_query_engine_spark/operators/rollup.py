@@ -718,7 +718,8 @@ def rewrite_join_to_rollup(
     - WHERE conjuncts reference dim tables only (pass through), fact
       dims only (pass through — the rollup carries them), or bound the
       fact ts bucket-exactly (_ts_conjunct_bounds); mixed fact+dim
-      conjuncts and HAVING decline;
+      conjuncts decline; HAVING rewrites its aggregates through the same
+      rules and declines on anything else;
     - every table reference is unique and unqualified columns must
       resolve to exactly one joined table.
     """
@@ -879,8 +880,46 @@ def rewrite_join_to_rollup(
     if not has_agg or any(k not in keys for k in nonagg_keys):
         return None
 
+    # ---- having: rewrite its aggregate calls through the same rules,
+    # then require every remaining reference to be rollup state (under
+    # the fact alias), a fact dim, or a dim-table column ----
+    having_sql = None
     if jq.having:
-        return None
+        from approximate_query_engine_spark.sqlparser import Aggregate
+
+        bad = False
+
+        def _agg_repl(m):
+            nonlocal bad
+            if m.group(2):  # DISTINCT inside a HAVING aggregate
+                bad = True
+                return m.group(0)
+            new = rewrite_agg(
+                Aggregate(m.group(1).upper(), m.group(3), False, m.group(0))
+            )
+            if new is None:
+                bad = True
+                return m.group(0)
+            return f"({new})"
+
+        h = _re.sub(
+            r"\b(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?([^()]*)\)",
+            _agg_repl,
+            jq.having,
+            flags=_re.I,
+        )
+        ids = None if bad else _identifiers(h)
+        if ids is None:
+            return None
+        for i in ids:
+            if "." in i:
+                q, c = i.split(".", 1)
+                if q == R and (c in state_names or c in dims):
+                    continue  # rewritten state / fact dim under the alias
+            r = resolve(i)
+            if r is None or (r[0] == fact and r[1] not in dims):
+                return None
+        having_sql = h
 
     # ---- where ----
     conds, prune = [], []
@@ -963,6 +1002,8 @@ def rewrite_join_to_rollup(
         sql += " WHERE " + " AND ".join(allconds)
     if keys:
         sql += " GROUP BY " + ", ".join(keys)
+    if having_sql:
+        sql += f" HAVING {having_sql}"
     if order:
         sql += " ORDER BY " + ", ".join(order)
     if jq.limit is not None:

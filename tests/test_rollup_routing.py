@@ -685,10 +685,10 @@ def test_star_join_distinct_sketch_routes(jeng):
         "SELECT d.label, COUNT(*) AS n FROM jfact "
         "JOIN jdim d ON jfact.event_type = d.event_type "
         "WHERE jfact.ts >= TIMESTAMP '2024-02-02 00:30:10' GROUP BY d.label",
-        # HAVING declines (v1)
+        # HAVING over a non-measure aggregate declines
         "SELECT d.label, COUNT(*) AS n FROM jfact "
         "JOIN jdim d ON jfact.event_type = d.event_type "
-        "GROUP BY d.label HAVING COUNT(*) > 10",
+        "GROUP BY d.label HAVING SUM(d.weight) > 10",
         # fact measure referenced in WHERE
         "SELECT d.label, COUNT(*) AS n FROM jfact "
         "JOIN jdim d ON jfact.event_type = d.event_type "
@@ -706,3 +706,34 @@ def test_star_join_unsound_shapes_decline(jeng, sql):
     # and the un-routed answer still matches raw
     raw = jeng.spark.sql(sql).collect()
     assert len(r["result"]) == len(raw)
+
+
+def test_star_join_having_and_three_tables(jeng, spark):
+    """Round-7 follow-up: HAVING rewrites through the join rules, and a
+    3-table star (fact ⋈ dim ⋈ dim) routes with both dims broadcast."""
+    sql = (
+        "SELECT d.label, COUNT(*) AS n, SUM(jfact.value) AS sv "
+        "FROM jfact JOIN jdim d ON jfact.event_type = d.event_type "
+        "WHERE jfact.ts >= TIMESTAMP '2024-02-02 00:00:00' "
+        "GROUP BY d.label HAVING COUNT(*) > 10 AND AVG(jfact.value) > 1 "
+        "ORDER BY d.label"
+    )
+    r = jeng.query(sql)
+    assert "star join answered" in r["plan"]["reason"], r["plan"]
+    raw = [x.asDict() for x in spark.sql(sql).collect()]
+    assert raw
+    _assert_equal(r["result"], raw)
+
+    three = (
+        "SELECT d.label, t.tag, COUNT(*) AS n, MAX(jfact.value) AS mx "
+        "FROM jfact JOIN jdim d ON jfact.event_type = d.event_type "
+        "JOIN jdim_dup t ON jfact.event_type = t.event_type "
+        "WHERE CAST(jfact.ts AS DATE) BETWEEN DATE '2024-02-02' "
+        "AND DATE '2024-02-09' "
+        "GROUP BY d.label, t.tag ORDER BY d.label, t.tag"
+    )
+    r3 = jeng.query(three)
+    assert "star join answered" in r3["plan"]["reason"], r3["plan"]
+    raw3 = [x.asDict() for x in spark.sql(three).collect()]
+    assert raw3
+    _assert_equal(r3["result"], raw3)
