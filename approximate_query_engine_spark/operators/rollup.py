@@ -1167,26 +1167,24 @@ def merge_rollup_batch(
     exists = _os.path.exists(path) and any(
         n.startswith(f"{_PDATE}=") for n in _os.listdir(path)
     )
-    if batch_id is not None and _os.path.exists(path):
+    if _os.path.exists(path):
         staging, staged_id = _staging_state(path)
         if staged_id is not None:
-            if staged_id <= batch_id:
-                # a complete staged merge (this batch, or an earlier one
-                # whose swap crashed) — its data was computed from
-                # pre-swap state, so finishing the swap is exact
-                dates = _publish_staging(path)
-                if staged_id == batch_id:
-                    spark.catalog.refreshByPath(path)
-                    final = spark.read.parquet(path).drop(_PDATE)
-                    final.createOrReplaceTempView(spec.rollup_name)
-                    return {
-                        "merged": True,
-                        "affected_dates": dates,
-                        "recovered": True,
-                    }
-                exists = True  # earlier batch published; fall through
-            else:
-                _shutil.rmtree(staging, ignore_errors=True)
+            # a COMPLETE staged merge (manifest present) from any batch
+            # whose swap crashed: its data was computed from pre-swap
+            # state, so finishing the swap is always exact — publish
+            # first, then classify the incoming batch against markers
+            dates = _publish_staging(path)
+            if batch_id is not None and staged_id == batch_id:
+                spark.catalog.refreshByPath(path)
+                final = spark.read.parquet(path).drop(_PDATE)
+                final.createOrReplaceTempView(spec.rollup_name)
+                return {
+                    "merged": True,
+                    "affected_dates": dates,
+                    "recovered": True,
+                }
+            exists = exists or bool(dates)
         elif _os.path.exists(staging):
             # incomplete staging (no manifest): the live layout was never
             # touched — discard and recompute
@@ -1227,20 +1225,36 @@ def merge_rollup_batch(
             .groupBy("bucket_start", *spec.dims, _PDATE)
             .agg(*merge_aggs)
         )
+    # a swapped date dir REPLACES the old one, so its marker must carry
+    # the old high-water mark forward even for untracked (batch_id=None)
+    # merges — otherwise a later replay of an already-merged batch would
+    # no longer classify as merged
+    old_markers = {
+        d: _read_marker(_os.path.join(path, f"{_PDATE}={d}"))
+        for d in affected
+    }
     staging = _os.path.join(path, _STAGING)
     merged.write.mode("overwrite").partitionBy(_PDATE).parquet(staging)
     rolled.unpersist()
-    if batch_id is not None:
-        for d in affected:
+    for d in affected:
+        val = max(
+            old_markers.get(d, -1),
+            batch_id if batch_id is not None else -1,
+        )
+        if val >= 0:
             with open(
                 _os.path.join(staging, f"{_PDATE}={d}", _BATCH_MARKER), "w"
             ) as f:
-                _json.dump({"last_batch_id": int(batch_id)}, f)
-        # manifest LAST: staging is recoverable only once it is complete
-        tmp = _os.path.join(staging, "_batch.json.tmp")
-        with open(tmp, "w") as f:
-            _json.dump({"batch_id": int(batch_id)}, f)
-        _os.replace(tmp, _os.path.join(staging, "_batch.json"))
+                _json.dump({"last_batch_id": int(val)}, f)
+    # manifest LAST: staging is recoverable only once it is complete.
+    # Untracked merges write batch_id -1 — their staged swap is just as
+    # safe to finish after a crash, they only skip replay detection.
+    tmp = _os.path.join(staging, "_batch.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(
+            {"batch_id": int(batch_id) if batch_id is not None else -1}, f
+        )
+    _os.replace(tmp, _os.path.join(staging, "_batch.json"))
     _publish_staging(path)
     spark.catalog.refreshByPath(path)
     final = spark.read.parquet(path).drop(_PDATE)

@@ -390,3 +390,50 @@ def test_merge_rollup_batch_crash_windows(spark, tmp_path):
         open(os.path.join(path, "p_date=2024-09-01", "_merged_batch.json"))
     )
     assert m["last_batch_id"] == 2
+
+
+def test_merge_recovery_publishes_newer_staged_batch(spark, tmp_path):
+    """A complete staged merge is published even when the NEXT merge call
+    carries a different (or no) batch_id — staged state is always safe
+    to finish, and the replayed older batch then classifies as already
+    merged from the in-dir markers."""
+    import datetime
+    import os
+
+    from approximate_query_engine_spark.operators import rollup as ru
+
+    base = datetime.datetime(2024, 10, 1)
+    schema = "ts timestamp, event_type string, value double"
+
+    def mkdf(n, v0=0.0):
+        return spark.createDataFrame(
+            [(base + datetime.timedelta(hours=h % 24), "a", v0 + h) for h in range(n)],
+            schema,
+        )
+
+    spec = ru.RollupSpec("rec_src", "ts", "1 hour", ["event_type"], ["value"])
+    path = str(tmp_path / "roll")
+    ru.merge_rollup_batch(spark, mkdf(24), spec, path, batch_id=0)
+
+    def total_n():
+        return spark.read.parquet(path).selectExpr("SUM(n_rows) AS n").collect()[0]["n"]
+
+    # stage batch 1 fully but crash before any swap
+    real = ru._publish_staging
+    ru._publish_staging = lambda p: (_ for _ in ()).throw(RuntimeError("x"))
+    try:
+        with pytest.raises(RuntimeError):
+            ru.merge_rollup_batch(spark, mkdf(12, 100.0), spec, path, batch_id=1)
+    finally:
+        ru._publish_staging = real
+    assert total_n() == 24
+    # a batch_id=None merge call first completes batch 1's staged swap,
+    # then applies its own rows
+    out = ru.merge_rollup_batch(spark, mkdf(6, 500.0), spec, path)
+    assert out["merged"] is True
+    assert total_n() == 24 + 12 + 6
+    assert not os.path.exists(os.path.join(path, "_staging"))
+    # replaying batch 1 now: markers say already merged — no double apply
+    out = ru.merge_rollup_batch(spark, mkdf(12, 100.0), spec, path, batch_id=1)
+    assert out == {"merged": False, "reason": "batch already merged"}
+    assert total_n() == 42
