@@ -483,6 +483,14 @@ def rewrite_to_rollup(
             mod = _TRUNC_MODULUS.get(unit)
             if mod is not None and mod % bsec == 0:
                 return f"DATE_TRUNC('{unit.upper()}', bucket_start)"
+        # GROUP BY CAST(ts AS DATE) — the other dashboard day-grain key;
+        # DATE-typed (unlike DATE_TRUNC's timestamp), so it rewrites to
+        # the same cast of bucket_start
+        m = _re.fullmatch(
+            rf"CAST\(\s*{_re.escape(ts)}\s+AS\s+DATE\s*\)", e, _re.I
+        )
+        if m and 86400 % bsec == 0:
+            return "CAST(bucket_start AS DATE)"
         return None
 
     def rewrite_agg(agg) -> str | None:

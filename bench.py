@@ -563,6 +563,7 @@ def main() -> None:
         big_dir, f"events_big_v2_sf{_sf_from_dir(SF_DIR)}"
     )
     route_ok = True
+    rollup_compression: dict = {}
     route_sql = (
         "SELECT event_type, COUNT(*) AS n, SUM(value) AS sv "
         "FROM events_big WHERE ts BETWEEN "
@@ -747,6 +748,20 @@ def main() -> None:
                 f"{type(exc).__name__}: {exc}"[:300]
             )
         else:
+            try:
+                rollup_compression = {
+                    "fact_rows": int(ev_big_rows),
+                    "rollup_rows": int(
+                        spark.table(spec.rollup_name).count()
+                    ),
+                }
+                rollup_compression["ratio"] = round(
+                    rollup_compression["fact_rows"]
+                    / max(rollup_compression["rollup_rows"], 1),
+                    1,
+                )
+            except Exception:  # noqa: BLE001 - evidence only, never fatal
+                pass
             _safe("rollup_route_exact", _run_sql(spark, rollup_sql, exact_rows))
 
             def _rollup_routed():
@@ -1643,6 +1658,9 @@ def main() -> None:
         # measured pruning evidence for the approx-path routing class:
         # files_read/partitions_read of the flat vs pruned sample scan
         "route_sample_files": route_sample_files,
+        # the continuous-aggregate scale story in one ratio: every routed
+        # rollup class scans this many rows instead of the fact table
+        "rollup_compression": rollup_compression,
         "distinct_crossover": distinct_crossover,
         "stratified_vs_uniform": strat_block,
         "ml_stats": ml_block,

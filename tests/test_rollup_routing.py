@@ -737,3 +737,18 @@ def test_star_join_having_and_three_tables(jeng, spark):
     raw3 = [x.asDict() for x in spark.sql(three).collect()]
     assert raw3
     _assert_equal(r3["result"], raw3)
+
+
+def test_cast_to_date_group_key_routes(eng):
+    """Round-7: GROUP BY CAST(ts AS DATE) (the DATE-typed day-grain key)
+    routes like DATE_TRUNC and matches raw, including the output type."""
+    sql = (
+        "SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n, "
+        "SUM(value) AS sv FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+        "GROUP BY CAST(ts AS DATE), event_type ORDER BY day, event_type"
+    )
+    r, raw = _both(eng, sql)
+    assert "rollup" in r["plan"]["reason"], r["plan"]["reason"]
+    assert raw
+    _assert_equal(r["result"], raw)
