@@ -761,6 +761,7 @@ class AQEngine:
         from approximate_query_engine_spark.operators.rollup import (
             rewrite_join_to_rollup,
             rewrite_to_rollup,
+            rewrite_to_rollup_hybrid,
         )
         from approximate_query_engine_spark.sqlparser import (
             try_parse,
@@ -799,6 +800,7 @@ class AQEngine:
             self.catalog.rollups.get(target, []),
             key=lambda i: -i.get("bucket_seconds", 0),
         )
+        usable = []
         for info in candidates:
             # unknown freshness (no catalog row count — dropped/foreign
             # stats file) is treated as stale, same as maintenance's
@@ -814,26 +816,67 @@ class AQEngine:
                     files.drop("p_date").createOrReplaceTempView(info["view"])
             except Exception:
                 continue  # materialization gone — decline, stay correct
+            usable.append(info)
+
+        def _allow_distinct(info) -> bool:
             hll_err = 1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
-            allow_distinct = (
+            return (
                 not prefer_exact
                 and bool(info.get("distinct_cols"))
                 and max_rel_error >= 2 * hll_err
             )
+
+        # phase 1: pure state answers (any candidate's plain rewrite
+        # beats any hybrid — no raw rows read at all)
+        for info in usable:
             if parsed is not None:
                 routed = rewrite_to_rollup(
-                    parsed, info, allow_approx_distinct=allow_distinct
+                    parsed, info, allow_approx_distinct=_allow_distinct(info)
                 )
             else:
                 routed = rewrite_join_to_rollup(
                     jq,
                     info,
                     table_columns,
-                    allow_approx_distinct=allow_distinct,
+                    allow_approx_distinct=_allow_distinct(info),
                 )
             if routed:
                 return routed
+        # phase 2: off-grid time bounds — real-time hybrid (complete
+        # buckets from state + raw edge slices, routed through the
+        # table's fresh partitioned layout when one exists). FINEST
+        # bucket first: a finer rollup leaves smaller raw slices.
+        if parsed is not None:
+            for info in reversed(usable):
+                routed = rewrite_to_rollup_hybrid(
+                    parsed, info, self._fresh_layout_info(parsed.table)
+                )
+                if routed:
+                    return routed
         return None
+
+    def _fresh_layout_info(self, table: str) -> dict | None:
+        """The table's partitioned-layout routing entry when it is FRESH
+        (row count matches) and its view is registered — used by the
+        hybrid rollup rewrite to prune the raw edge-slice scan."""
+        info = self.catalog.partitioned_views.get(table)
+        if not info:
+            return None
+        current = self.catalog.get_row_count(table)
+        if current is None or info.get("built_row_count") != current:
+            return None
+        try:
+            if not self.spark.catalog.tableExists(info["view"]):
+                from approximate_query_engine_spark.operators.partitioning import (
+                    read_partitioned,
+                )
+
+                read_partitioned(
+                    self.spark, info["path"]
+                ).createOrReplaceTempView(info["view"])
+        except Exception:
+            return None
+        return info
 
     def _route_partitioned(self, sql: str) -> tuple[str, str] | None:
         """Partition routing: when a single-table scan (the base table OR

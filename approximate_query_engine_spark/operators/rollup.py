@@ -691,6 +691,223 @@ def rewrite_to_rollup(
     return sql, note, bool(used_approx)
 
 
+def _fmt_ts(dt: datetime) -> str:
+    """Full-precision TIMESTAMP literal text (microseconds kept — hybrid
+    bounds are routinely off-grid by exactly 1 µs)."""
+    if dt.microsecond:
+        return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return dt.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _ceil_bucket(dt: datetime, bsec: int) -> datetime:
+    mics = _epoch_micros(dt)
+    step = bsec * 1_000_000
+    up = ((mics + step - 1) // step) * step
+    return _EPOCH + timedelta(microseconds=up)
+
+
+def _floor_bucket(dt: datetime, bsec: int) -> datetime:
+    mics = _epoch_micros(dt)
+    step = bsec * 1_000_000
+    return _EPOCH + timedelta(microseconds=(mics // step) * step)
+
+
+def rewrite_to_rollup_hybrid(
+    parsed, info: dict, layout_info: dict | None = None
+) -> tuple[str, str, bool] | None:
+    """REAL-TIME continuous-aggregate rewrite: answer an aggregate whose
+    time bounds do NOT align to the bucket grid by unioning the rollup's
+    state for every COMPLETE bucket with per-row pseudo-state for the
+    raw edge slices — ``(sql, note, False)`` or None. This is the
+    hypertable "real-time aggregate" pattern: ``WHERE ts >= <aligned 7
+    days ago> AND ts < <now, mid-bucket>`` reads 7 days of rollup rows
+    plus only the current partial bucket's raw rows, exactly.
+
+    Mechanics: a raw row is a degenerate rollup group — n_rows 1,
+    m_count 0/1, m_sum/m_min/m_max = m — so ``rollup-state UNION ALL
+    per-row-state`` re-aggregates under the same outer rewrite with no
+    inner shuffle for the slices. The raw slice scan routes through the
+    table's time-partitioned layout when one is registered and fresh
+    (``layout_info``), pruning to the slice's buckets; otherwise it
+    falls back to the base table (parquet min/max pushdown only — fine
+    at test scale, register a layout at warehouse scale).
+
+    Soundness: bounds compose by max(lower)/min(upper) over the
+    conjuncts; only dim conjuncts may remain; COUNT(DISTINCT) declines
+    (per-row rows can't fabricate mergeable sketch state cheaply); at
+    least one complete bucket must fall inside the range (otherwise the
+    rollup contributes nothing and the normal planner should own the
+    query). Numeric caveat: integer-typed measure state widens to
+    DOUBLE through the union's type coercion — exact below 2^53."""
+    from dataclasses import replace as _dc_replace
+
+    ts = info["time_col"]
+    bsec = info["bucket_seconds"]
+    dims = list(info["dims"])
+    dim_set = set(dims)
+    measures = list(info["measures"])
+    scopes = {info["source_table"]}
+    if parsed.table_alias:
+        scopes.add(parsed.table_alias)
+
+    if not parsed.where:
+        return None
+    conjs = _split_conjuncts(parsed.where)
+    if conjs is None:
+        return None
+    dim_conjs: list[str] = []
+    lowers: list[datetime] = []
+    uppers: list[datetime] = []
+    saw_misaligned = False
+    for c in conjs:
+        ids = _identifiers(c)
+        if ids is None:
+            return None
+        bare = {_strip_qualifier(i, scopes).strip() for i in ids}
+        if bare and bare <= dim_set:
+            dim_conjs.append(_strip_qualifier(c, scopes).strip())
+            continue
+        sc = _strip_qualifier(c, scopes).strip()
+        sc = _re.sub(
+            rf"CAST\(\s*{_re.escape(ts)}\s+AS\s+DATE\s*\)",
+            f"DATE_TRUNC('DAY', {ts})",
+            sc,
+            flags=_re.I,
+        )
+        tb = _ts_conjunct_bounds(sc, ts, bsec)
+        if tb is not None:
+            # aligned bound: bucket bounds ARE raw-ts bounds
+            for bop, iso in tb[0]:
+                dt = _parse_literal(f"'{iso}'")
+                if dt is None:
+                    return None
+                (lowers if bop == ">=" else uppers).append(dt)
+            continue
+        m = _re.fullmatch(
+            rf"\s*{_re.escape(ts)}\s*(>=|<=|<|>)\s*"
+            r"((?:DATE|TIMESTAMP)?\s*'[^']+')\s*",
+            sc,
+            _re.I,
+        )
+        if m is None:
+            return None
+        lit = _parse_literal(m.group(2))
+        if lit is None:
+            return None
+        op = m.group(1)
+        saw_misaligned = True
+        if op == ">=":
+            lowers.append(lit)
+        elif op == ">":
+            lowers.append(lit + timedelta(microseconds=1))
+        elif op == "<":
+            uppers.append(lit)
+        else:
+            uppers.append(lit + timedelta(microseconds=1))
+    if not saw_misaligned:
+        return None  # plain rewrite's territory (it declined elsewhere)
+    A = max(lowers) if lowers else None
+    B = min(uppers) if uppers else None
+    ceilA = _ceil_bucket(A, bsec) if A is not None else None
+    floorB = _floor_bucket(B, bsec) if B is not None else None
+    if ceilA is not None and floorB is not None and ceilA >= floorB:
+        return None  # no complete bucket — nothing for the rollup to add
+    if A is not None and B is not None and B <= A:
+        return None  # empty range — let the normal path answer it
+
+    state_cols = ["n_rows"] + [
+        f"{m_}_{s}" for m_ in measures for s in ("count", "sum", "min", "max")
+    ]
+    proj = ", ".join(["bucket_start", *dims, *state_cols])
+
+    # ---- rollup branch: complete buckets only, date-dir pruned ----
+    files_view = info.get("files_view") or info["view"]
+    materialized = bool(
+        info.get("files_view") and info["files_view"] != info["view"]
+    )
+    rconds = []
+    if ceilA is not None:
+        rconds.append(f"bucket_start >= TIMESTAMP '{_fmt_ts(ceilA)}'")
+        if materialized:
+            rconds.append(f"p_date >= '{ceilA.strftime('%Y-%m-%d')}'")
+    if floorB is not None:
+        rconds.append(f"bucket_start < TIMESTAMP '{_fmt_ts(floorB)}'")
+        if materialized:
+            rconds.append(f"p_date <= '{floorB.strftime('%Y-%m-%d')}'")
+    rollup_part = f"SELECT {proj} FROM {files_view}"
+    if rconds:
+        rollup_part += " WHERE " + " AND ".join(rconds)
+
+    # ---- fresh branch: per-row pseudo-state over the edge slices ----
+    fresh_state = ["CAST(1 AS BIGINT) AS n_rows"]
+    for m_ in measures:
+        fresh_state += [
+            f"CASE WHEN {m_} IS NULL THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(1 AS BIGINT) END AS {m_}_count",
+            f"{m_} AS {m_}_sum",
+            f"{m_} AS {m_}_min",
+            f"{m_} AS {m_}_max",
+        ]
+    bucket_expr = (
+        f"TIMESTAMP_SECONDS(CAST(FLOOR(UNIX_TIMESTAMP({ts}) / {bsec}) "
+        f"* {bsec} AS BIGINT))"
+    )
+    slices: list[tuple[datetime | None, datetime | None]] = []
+    if A is not None and (ceilA != A):
+        head_hi = ceilA if B is None else min(ceilA, B)
+        slices.append((A, head_hi))
+    if B is not None and (floorB != B):
+        tail_lo = floorB if A is None else max(floorB, A)
+        slices.append((tail_lo, B))
+    fresh_src, layout_note = info["source_table"], ""
+    grain_k = {"hour": 13, "day": 10, "month": 7}
+    if layout_info and layout_info.get("grain") in grain_k:
+        fresh_src = layout_info["view"]
+        layout_note = f" via layout {fresh_src}"
+    preds = []
+    for lo, hi in slices:
+        p = [
+            f"{ts} >= TIMESTAMP '{_fmt_ts(lo)}'",
+            f"{ts} < TIMESTAMP '{_fmt_ts(hi)}'",
+        ]
+        if layout_note:
+            k = grain_k[layout_info["grain"]]
+            pcol = layout_info.get("partition_col", "p_bucket")
+            hi_inc = hi - timedelta(microseconds=1)
+            p.append(f"{pcol} >= '{lo.isoformat(sep=' ')[:k]}'")
+            p.append(f"{pcol} <= '{hi_inc.isoformat(sep=' ')[:k]}'")
+        preds.append("(" + " AND ".join(p) + ")")
+    if not preds:
+        return None  # misaligned flag without a real slice — bail safely
+    fresh_proj = ", ".join(
+        [f"{bucket_expr} AS bucket_start", *dims, *fresh_state]
+    )
+    fresh_part = (
+        f"SELECT {fresh_proj} FROM {fresh_src} "
+        f"WHERE {' OR '.join(preds)}"
+    )
+
+    hybrid_view = f"({rollup_part} UNION ALL {fresh_part}) AS __aqe_rt"
+    parsed2 = _dc_replace(
+        parsed, where=" AND ".join(dim_conjs) if dim_conjs else None
+    )
+    info2 = dict(info)
+    info2["files_view"] = hybrid_view
+    info2["distinct_cols"] = []
+    routed = rewrite_to_rollup(parsed2, info2, allow_approx_distinct=False)
+    if routed is None:
+        return None
+    sql, _note, _ = routed
+    n_slices = len(slices)
+    note = (
+        f"answered from materialized rollup {info['view']} + raw edge "
+        f"slice{'s' if n_slices > 1 else ''}{layout_note} (real-time "
+        f"hybrid: complete buckets from partial-agg state, the "
+        f"off-grid remainder per-row — exact)"
+    )
+    return sql, note, False
+
+
 def rewrite_join_to_rollup(
     jq,
     info: dict,

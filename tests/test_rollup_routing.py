@@ -117,8 +117,6 @@ def test_limit_and_order_by_alias(eng):
 @pytest.mark.parametrize(
     "sql",
     [
-        # bound slices an hour bucket
-        "SELECT COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:30:10'",
         # measure referenced in WHERE
         "SELECT COUNT(*) AS n FROM events WHERE value > 10",
         # finer truncation than... equal is fine, but MINUTE < 1 hour bucket
@@ -131,8 +129,6 @@ def test_limit_and_order_by_alias(eng):
         "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type HAVING SUM(user_id) > 5",
         # top-level OR mixing ts and dim scopes
         "SELECT COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' OR event_type = 'click'",
-        # inclusive upper bound can't be proven bucket-exact
-        "SELECT COUNT(*) AS n FROM events WHERE ts <= TIMESTAMP '2024-01-03 00:00:00'",
         # group key outside the rollup dims
         "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
     ],
@@ -540,16 +536,9 @@ def test_between_le_gt_bounds_route_and_match(eng, pred):
 @pytest.mark.parametrize(
     "pred",
     [
-        # raw-ts upper bound ON the boundary includes one extra instant
-        "ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-07 00:00:00'",
-        "ts <= TIMESTAMP '2024-01-07 00:00:00'",
-        # aligned '>' excludes only the boundary instant — not bucket-exact
-        "ts > TIMESTAMP '2024-01-03 00:00:00'",
-        # DATE literals on a raw ts comparison bind midnight instants
-        "ts BETWEEN DATE '2024-01-03' AND DATE '2024-01-06'",
         # NOT BETWEEN is a disjunction
         "ts NOT BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-07 00:00:00'",
-        # misaligned trunc upper bound
+        # misaligned trunc bound has no raw-comparison fallback
         "DATE_TRUNC('DAY', ts) <= TIMESTAMP '2024-01-05 12:00:00'",
     ],
 )
@@ -560,6 +549,38 @@ def test_between_le_gt_unsound_bounds_decline(eng, pred):
     assert "rollup" not in r["plan"]["reason"], (pred, r["plan"]["reason"])
     # and the raw answer is still correct
     assert r["result"][0]["n"] == eng.spark.sql(sql).collect()[0]["n"]
+
+
+@pytest.mark.parametrize(
+    "pred",
+    [
+        # bound slices an hour bucket — head slice + open-ended state
+        "ts >= TIMESTAMP '2024-01-03 00:30:10'",
+        # upper bound ON the boundary includes one extra instant — the
+        # 1 µs tail slice catches exactly it
+        "ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-07 00:00:00'",
+        "ts <= TIMESTAMP '2024-01-07 00:00:00'",
+        # aligned '>' excludes only the boundary instant
+        "ts > TIMESTAMP '2024-01-03 00:00:00'",
+        # DATE literals on raw ts bind midnight instants — hybrid-exact
+        "ts BETWEEN DATE '2024-01-03' AND DATE '2024-01-06'",
+    ],
+)
+def test_formerly_declined_bounds_now_hybrid_exact(eng, pred):
+    """Round-7 upgrade: bucket-slicing bounds that used to decline are
+    answered by the real-time hybrid (state + raw edge slices), exactly
+    — the raw slices fall back to the base table here (no layout on
+    this engine), which is still correct."""
+    sql = (
+        "SELECT event_type, COUNT(*) AS n, SUM(value) AS sv FROM events "
+        f"WHERE {pred} GROUP BY event_type ORDER BY event_type"
+    )
+    r = eng.query(sql)
+    assert r["status"] == "ok", r.get("error")
+    assert "raw edge slice" in r["plan"]["reason"], (pred, r["plan"]["reason"])
+    raw = [x.asDict() for x in eng.spark.sql(sql).collect()]
+    assert raw
+    _assert_equal(r["result"], raw)
 
 
 @pytest.fixture(scope="module")
@@ -752,3 +773,83 @@ def test_cast_to_date_group_key_routes(eng):
     assert "rollup" in r["plan"]["reason"], r["plan"]["reason"]
     assert raw
     _assert_equal(r["result"], raw)
+
+
+@pytest.fixture(scope="module")
+def heng(spark):
+    """Engine with a rollup AND a day layout — the real-time hybrid
+    config (separate from `eng` so layout routing can't perturb the
+    other tests' plans)."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_rollup_hyb_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    e.create_rollup("events", "ts", "1 hour", dims=["event_type"], measures=["value"])
+    e.partition_table("events", "ts", grain="day")
+    return e
+
+
+@pytest.mark.parametrize(
+    "pred",
+    [
+        # the "last N days until now" dashboard shape: off-grid upper
+        "ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-07 18:37:22'",
+        # off-grid on both ends (head + tail slices)
+        "ts >= TIMESTAMP '2024-01-02 05:30:00' AND ts <= TIMESTAMP '2024-01-07 18:10:11'",
+        # strict > lower (shifts by 1µs) + off-grid upper
+        "ts > TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-06 11:11:11'",
+        # unbounded lower, off-grid upper: all history + one slice
+        "ts < TIMESTAMP '2024-01-06 11:11:11'",
+        # dim filter rides along (pushed into both union branches)
+        "event_type = 'click' AND ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-07 18:37:22'",
+    ],
+)
+def test_realtime_hybrid_routes_and_matches(heng, pred):
+    """Round-7 flagship #2: off-grid time bounds answer as rollup state
+    for complete buckets UNION ALL per-row pseudo-state for the raw
+    edge slices (routed through the day layout) — exactly."""
+    sql = (
+        "SELECT event_type, COUNT(*) AS n, COUNT(value) AS nv, "
+        "SUM(value) AS sv, MIN(value) AS mn, MAX(value) AS mx, "
+        "AVG(value) AS av FROM events "
+        f"WHERE {pred} GROUP BY event_type ORDER BY event_type"
+    )
+    r = heng.query(sql)
+    assert r["status"] == "ok", r.get("error")
+    assert "raw edge slice" in r["plan"]["reason"], (pred, r["plan"]["reason"])
+    assert "via layout events__by_day" in r["plan"]["reason"]
+    raw = [x.asDict() for x in heng.spark.sql(sql).collect()]
+    assert raw, f"premise: {pred}"
+    _assert_equal(r["result"], raw)
+
+
+def test_realtime_hybrid_declines_when_no_complete_bucket(heng):
+    """A range inside one bucket has nothing for the rollup to add —
+    the normal planner owns it (and partition routing still applies)."""
+    sql = (
+        "SELECT COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-03 05:10:00' "
+        "AND ts < TIMESTAMP '2024-01-03 05:50:00'"
+    )
+    r = heng.query(sql)
+    assert r["status"] == "ok"
+    assert "raw edge slice" not in r["plan"]["reason"], r["plan"]
+    assert r["result"][0]["n"] == heng.spark.sql(sql).collect()[0]["n"]
+
+
+def test_realtime_hybrid_declines_distinct(heng):
+    """COUNT(DISTINCT) has no per-row mergeable state — hybrid declines
+    and the planner answers (exactly, under prefer_exact)."""
+    sql = (
+        "SELECT COUNT(DISTINCT user_id) AS du FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-07 18:37:22'"
+    )
+    r = heng.query(sql, prefer_exact=True)
+    assert r["status"] == "ok"
+    assert "raw edge slice" not in r["plan"]["reason"], r["plan"]
+    assert (
+        r["result"][0]["du"]
+        == heng.spark.sql(sql).collect()[0]["du"]
+    )
