@@ -1190,6 +1190,62 @@ _ROLLUP_JOIN_ORACLE = (
 )
 
 
+_ROLLUP_HYBRID_SQL = (
+    "SELECT event_type, COUNT(*) AS n, COUNT(value) AS nv, "
+    "MIN(value) AS mn, MAX(value) AS mx "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-08 17:45:33' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
+def _q_rollup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 flagship #2: a dashboard range whose upper bound falls
+    MID-BUCKET ('last week until now') is answered by the REAL-TIME
+    hybrid plan — complete buckets from the rollup's partial-agg state
+    UNION ALL per-row pseudo-state for the raw edge slice, the slice
+    scan pruned through the day-partitioned layout
+    (rewrite_to_rollup_hybrid). The oracle replays the identical SQL on
+    raw events in DuckDB; COUNT/MIN/MAX re-aggregate bit-exactly, so an
+    off-by-a-bucket or double-counted-slice mistake hash-fails."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.create_rollup(
+        "events", "ts", "1 hour", dims=["event_type"], measures=["value"]
+    )
+    eng.partition_table("events", "ts", grain="day")
+    r = eng.query(_ROLLUP_HYBRID_SQL)
+    assert r["status"] == "ok", r.get("error")
+    assert "raw edge slice" in r["plan"]["reason"], r["plan"]
+    assert "via layout events__by_day" in r["plan"]["reason"], r["plan"]
+    rows = [
+        (
+            d["event_type"],
+            int(d["n"]),
+            int(d["nv"]),
+            float(d["mn"]),
+            float(d["mx"]),
+        )
+        for d in r["result"]
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, n long, nv long, mn double, mx double"
+    )
+
+
+_ROLLUP_HYBRID_ORACLE = (
+    "SELECT event_type, COUNT(*)::BIGINT AS n, COUNT(value)::BIGINT AS nv, "
+    "MIN(value) AS mn, MAX(value) AS mx "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-08 17:45:33' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
 _STREAM_ROLLUP_SQL = (
     "SELECT event_type, COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx "
     "FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
@@ -3027,13 +3083,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: flagship surfaces q90 (star-join fact-scan routing) and q92
 #: (stream→rollup merge) — both previously oracled only via the local
 #: parity sweep — moved INTO the window, plus the round-7 surfaces q93
-#: (BETWEEN/<=/> rollup routing) and q94 (star-join answered from
-#: rollup ⋈ dim). Retired in exchange were four slots whose families
+#: (BETWEEN/<=/> rollup routing), q94 (star-join answered from
+#: rollup ⋈ dim) and q95 (real-time hybrid: state + raw edge slices).
+#: Retired in exchange were five slots whose families
 #: keep other in-window rows: q06 (WHERE + GROUP BY + AVG — scan/agg
 #: family keeps q11/q74/q15), q44 (scalar string/date functions —
 #: exercised inside q61/q64), q24 (doc quality stats — the text family
-#: keeps q66's corpus chain + q67), and q57 (batch sessionization — the
-#: session family keeps the stricter streaming q62).
+#: keeps q66's corpus chain + q67), q57 (batch sessionization — the
+#: session family keeps the stricter streaming q62), and q53 (salted
+#: join — the join family keeps q13/q46/q83/q90/q94).
 #: Everything NOT in this list still registers, after the window, and
 #: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
@@ -3054,7 +3112,7 @@ _CHECK_WINDOW_ORDER = [
     "q50_cms_freq",
     "q91_rollup_routing",
     "q52_graph_components",
-    "q53_salted_join",
+    "q95_rollup_hybrid",
     "q94_rollup_join",
     "q59_tfidf",
     "q60_knn_join",
@@ -3160,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q92_stream_rollup"] = _q_stream_rollup
     out["q93_rollup_between"] = _q_rollup_between
     out["q94_rollup_join"] = _q_rollup_join
+    out["q95_rollup_hybrid"] = _q_rollup_hybrid
     return _reorder_check_window(out)
 
 
@@ -3215,5 +3274,6 @@ def oracle_sql() -> dict[str, str]:
     out["q92_stream_rollup"] = _STREAM_ROLLUP_ORACLE
     out["q93_rollup_between"] = _ROLLUP_BETWEEN_ORACLE
     out["q94_rollup_join"] = _ROLLUP_JOIN_ORACLE
+    out["q95_rollup_hybrid"] = _ROLLUP_HYBRID_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -583,6 +583,13 @@ def main() -> None:
         "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
         "GROUP BY DATE_TRUNC('DAY', ts) ORDER BY day"
     )
+    rollup_hybrid_sql = (
+        "SELECT event_type, COUNT(*) AS n, SUM(value) AS sv "
+        "FROM events_big "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-07 18:37:22' "
+        "GROUP BY event_type ORDER BY event_type"
+    )
     rollup_join_sql = (
         "SELECT d.label, COUNT(*) AS n, SUM(e.value) AS sv "
         "FROM events_big e JOIN event_dim d "
@@ -797,6 +804,32 @@ def main() -> None:
                 last_result[rollup_between_sql] = r["result"]
 
             _safe("rollup_route_between_answered", _rollup_between_routed)
+
+            # round-7 flagship #2: an off-grid upper bound ("last N days
+            # until now") answers as rollup state for complete buckets
+            # UNION ALL per-row state for the raw edge slice, the slice
+            # scan pruned through the day layout — the real-time
+            # continuous-aggregate pattern
+            _safe(
+                "rollup_hybrid_exact",
+                _run_sql(spark, rollup_hybrid_sql, exact_rows),
+            )
+
+            def _rollup_hybrid_routed():
+                r = eng.query(rollup_hybrid_sql, dual_execute=False)
+                assert r["status"] == "ok", r.get("error")
+                assert "raw edge slice" in r["plan"]["reason"], (
+                    r["plan"]["reason"]
+                )
+                assert "via layout" in r["plan"]["reason"], (
+                    r["plan"]["reason"]
+                )
+                plan_reasons["rollup_hybrid"] = (
+                    f"exact: {r['plan']['reason']}"
+                )
+                last_result[rollup_hybrid_sql] = r["result"]
+
+            _safe("rollup_hybrid_answered", _rollup_hybrid_routed)
 
             # round-7 flagship: the star join itself routes — fact scan
             # replaced by rollup state, dim still broadcast. At 100 TB
@@ -1478,12 +1511,14 @@ def main() -> None:
         ] / max(timings["route_sample_pruned"], 1e-9)
     # continuous-aggregate classes: exact raw scan vs answered-from-state
     for _cls in (
-        "rollup_route", "rollup_route_between", "rollup_join", "join_route",
+        "rollup_route", "rollup_route_between", "rollup_join",
+        "rollup_hybrid", "join_route",
     ):
         _ans = {
             "rollup_route": "rollup_route_answered",
             "rollup_route_between": "rollup_route_between_answered",
             "rollup_join": "rollup_join_answered",
+            "rollup_hybrid": "rollup_hybrid_answered",
             "join_route": "join_route_pruned",
         }[_cls]
         if f"{_cls}_exact" in timings and _ans in timings:
@@ -1542,6 +1577,7 @@ def main() -> None:
         # rollup classes: both sides exact — routed result must be 0.0
         ("rollup_route_between", rollup_between_sql),
         ("rollup_join", rollup_join_sql),
+        ("rollup_hybrid", rollup_hybrid_sql),
         # sketch-from-state vs exact distinct: bounded by ~2·1.04/√2^12
         ("rollup_distinct", rollup_distinct_sql),
     ):
@@ -1570,7 +1606,8 @@ def main() -> None:
         "big_join", "big_join_sql", "partition_route",
         "partition_route_sample", "route_sample_vs_exact",
         "rollup_route", "rollup_route_between", "rollup_distinct",
-        "rollup_distinct_vs_exact", "rollup_join", "join_route",
+        "rollup_distinct_vs_exact", "rollup_join", "rollup_hybrid",
+        "join_route",
     ] + list(extra_class_sqls)
     sum200_classes = list(sum200_sqls)
     tiers = {

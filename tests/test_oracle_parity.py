@@ -156,6 +156,9 @@ def test_check_window_ordering():
         "q44_string_funcs": "q66_corpus_prepare",  # scalar string funcs
         "q24_doc_stats": "q66_corpus_prepare",  # doc quality stats
         "q57_sessionize": "q62_stream_sessions",  # sessionization family
+        # q95 (real-time hybrid) took q53's slot; the skew-join family
+        # keeps q13/q46/q83/q90/q94 in-window
+        "q53_salted_join": "q13_join_fact",
     }
     for name in names[50:]:
         if name in oracled:
