@@ -849,7 +849,10 @@ class AQEngine:
         if parsed is not None:
             for info in reversed(usable):
                 routed = rewrite_to_rollup_hybrid(
-                    parsed, info, self._fresh_layout_info(parsed.table)
+                    parsed,
+                    info,
+                    self._fresh_layout_info(parsed.table),
+                    allow_approx_distinct=_allow_distinct(info),
                 )
                 if routed:
                     return routed

@@ -713,32 +713,35 @@ def _floor_bucket(dt: datetime, bsec: int) -> datetime:
 
 
 def rewrite_to_rollup_hybrid(
-    parsed, info: dict, layout_info: dict | None = None
+    parsed,
+    info: dict,
+    layout_info: dict | None = None,
+    allow_approx_distinct: bool = False,
 ) -> tuple[str, str, bool] | None:
     """REAL-TIME continuous-aggregate rewrite: answer an aggregate whose
     time bounds do NOT align to the bucket grid by unioning the rollup's
-    state for every COMPLETE bucket with per-row pseudo-state for the
-    raw edge slices — ``(sql, note, False)`` or None. This is the
-    hypertable "real-time aggregate" pattern: ``WHERE ts >= <aligned 7
-    days ago> AND ts < <now, mid-bucket>`` reads 7 days of rollup rows
+    state for every COMPLETE bucket with freshly-built state for the raw
+    edge slices — ``(sql, note, used_approx_distinct)`` or None. This is
+    the hypertable "real-time aggregate" pattern: ``WHERE ts >= <aligned
+    7 days ago> AND ts < <now, mid-bucket>`` reads 7 days of rollup rows
     plus only the current partial bucket's raw rows, exactly.
 
-    Mechanics: a raw row is a degenerate rollup group — n_rows 1,
-    m_count 0/1, m_sum/m_min/m_max = m — so ``rollup-state UNION ALL
-    per-row-state`` re-aggregates under the same outer rewrite with no
-    inner shuffle for the slices. The raw slice scan routes through the
-    table's time-partitioned layout when one is registered and fresh
+    Mechanics: the fresh branch aggregates the slice rows to the SAME
+    partial-agg state schema as the rollup (COUNT/SUM/MIN/MAX per
+    measure, hll_sketch_agg per tracked distinct column) — a map-side
+    combine over only the slice rows, so state types match exactly and
+    ``COUNT(DISTINCT)`` over a tracked column merges across both
+    branches via hll_union_agg (flagged approximate, same pricing as the
+    plain sketch path). The slice scan routes through the table's
+    time-partitioned layout when one is registered and fresh
     (``layout_info``), pruning to the slice's buckets; otherwise it
     falls back to the base table (parquet min/max pushdown only — fine
     at test scale, register a layout at warehouse scale).
 
     Soundness: bounds compose by max(lower)/min(upper) over the
-    conjuncts; only dim conjuncts may remain; COUNT(DISTINCT) declines
-    (per-row rows can't fabricate mergeable sketch state cheaply); at
-    least one complete bucket must fall inside the range (otherwise the
-    rollup contributes nothing and the normal planner should own the
-    query). Numeric caveat: integer-typed measure state widens to
-    DOUBLE through the union's type coercion — exact below 2^53."""
+    conjuncts; only dim conjuncts may remain; at least one complete
+    bucket must fall inside the range (otherwise the rollup contributes
+    nothing and the normal planner should own the query)."""
     from dataclasses import replace as _dc_replace
 
     ts = info["time_col"]
@@ -815,9 +818,16 @@ def rewrite_to_rollup_hybrid(
     if A is not None and B is not None and B <= A:
         return None  # empty range — let the normal path answer it
 
-    state_cols = ["n_rows"] + [
-        f"{m_}_{s}" for m_ in measures for s in ("count", "sum", "min", "max")
-    ]
+    distinct_cols = list(info.get("distinct_cols", []))
+    state_cols = (
+        ["n_rows"]
+        + [
+            f"{m_}_{s}"
+            for m_ in measures
+            for s in ("count", "sum", "min", "max")
+        ]
+        + [f"{dc}_hll" for dc in distinct_cols]
+    )
     proj = ", ".join(["bucket_start", *dims, *state_cols])
 
     # ---- rollup branch: complete buckets only, date-dir pruned ----
@@ -838,16 +848,22 @@ def rewrite_to_rollup_hybrid(
     if rconds:
         rollup_part += " WHERE " + " AND ".join(rconds)
 
-    # ---- fresh branch: per-row pseudo-state over the edge slices ----
-    fresh_state = ["CAST(1 AS BIGINT) AS n_rows"]
+    # ---- fresh branch: build the SAME partial-agg state over only the
+    # edge-slice rows (map-side combine; state types match the rollup's
+    # exactly, sketches included) ----
+    fresh_state = ["COUNT(*) AS n_rows"]
     for m_ in measures:
         fresh_state += [
-            f"CASE WHEN {m_} IS NULL THEN CAST(0 AS BIGINT) "
-            f"ELSE CAST(1 AS BIGINT) END AS {m_}_count",
-            f"{m_} AS {m_}_sum",
-            f"{m_} AS {m_}_min",
-            f"{m_} AS {m_}_max",
+            f"COUNT({m_}) AS {m_}_count",
+            f"SUM({m_}) AS {m_}_sum",
+            f"MIN({m_}) AS {m_}_min",
+            f"MAX({m_}) AS {m_}_max",
         ]
+    for dc in distinct_cols:
+        fresh_state.append(
+            f"hll_sketch_agg({dc}, {int(info.get('hll_lgk', 12))}) "
+            f"AS {dc}_hll"
+        )
     bucket_expr = (
         f"TIMESTAMP_SECONDS(CAST(FLOOR(UNIX_TIMESTAMP({ts}) / {bsec}) "
         f"* {bsec} AS BIGINT))"
@@ -882,9 +898,10 @@ def rewrite_to_rollup_hybrid(
     fresh_proj = ", ".join(
         [f"{bucket_expr} AS bucket_start", *dims, *fresh_state]
     )
+    fresh_keys = ", ".join([bucket_expr, *dims])
     fresh_part = (
         f"SELECT {fresh_proj} FROM {fresh_src} "
-        f"WHERE {' OR '.join(preds)}"
+        f"WHERE {' OR '.join(preds)} GROUP BY {fresh_keys}"
     )
 
     hybrid_view = f"({rollup_part} UNION ALL {fresh_part}) AS __aqe_rt"
@@ -893,19 +910,30 @@ def rewrite_to_rollup_hybrid(
     )
     info2 = dict(info)
     info2["files_view"] = hybrid_view
-    info2["distinct_cols"] = []
-    routed = rewrite_to_rollup(parsed2, info2, allow_approx_distinct=False)
+    routed = rewrite_to_rollup(
+        parsed2, info2, allow_approx_distinct=allow_approx_distinct
+    )
     if routed is None:
         return None
-    sql, _note, _ = routed
+    sql, _note, used_approx = routed
     n_slices = len(slices)
+    approx_note = ""
+    if used_approx:
+        import math
+
+        err = 1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
+        approx_note = (
+            f"; COUNT(DISTINCT) from HLL state merged across both "
+            f"branches, rel err ≈ {err:.1%}"
+        )
     note = (
         f"answered from materialized rollup {info['view']} + raw edge "
         f"slice{'s' if n_slices > 1 else ''}{layout_note} (real-time "
         f"hybrid: complete buckets from partial-agg state, the "
-        f"off-grid remainder per-row — exact)"
+        f"off-grid remainder aggregated in place"
+        f"{approx_note or ' — exact'})"
     )
-    return sql, note, False
+    return sql, note, used_approx
 
 
 def rewrite_join_to_rollup(

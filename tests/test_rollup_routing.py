@@ -853,3 +853,49 @@ def test_realtime_hybrid_declines_distinct(heng):
         r["result"][0]["du"]
         == heng.spark.sql(sql).collect()[0]["du"]
     )
+
+
+def test_realtime_hybrid_distinct_sketch(spark):
+    """COUNT(DISTINCT) over a tracked column works through the hybrid:
+    the fresh branch builds hll_sketch_agg state over the slice rows
+    and the union merges both branches' sketches."""
+    import datetime
+
+    rows = 40_000
+    base = datetime.datetime(2024, 11, 1)
+    spark.range(rows).selectExpr(
+        f"timestamp'{base}' + make_interval(0,0,0,0,0,0, (id * 7) % 432000)"
+        " AS ts",
+        "CONCAT('u', CONV(SUBSTRING(md5(CAST(id AS STRING)),1,8),16,10)"
+        " % 5000) AS user_id",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS seg",
+    ).createOrReplaceTempView("hyb_hll_src")
+    e = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_hyb_hll_"))
+    e.catalog.upsert_table_stats("hyb_hll_src", rows)
+    e.create_rollup(
+        "hyb_hll_src", "ts", "1 hour", dims=["seg"],
+        distinct_cols=["user_id"],
+    )
+    sql = (
+        "SELECT seg, COUNT(*) AS n, COUNT(DISTINCT user_id) AS du "
+        "FROM hyb_hll_src WHERE ts >= TIMESTAMP '2024-11-01 00:00:00' "
+        "AND ts < TIMESTAMP '2024-11-05 13:40:27' "
+        "GROUP BY seg ORDER BY seg"
+    )
+    r = e.query(sql, max_rel_error=0.05)
+    assert r["status"] == "ok", r.get("error")
+    assert "raw edge slice" in r["plan"]["reason"], r["plan"]
+    assert "HLL state merged across both branches" in r["plan"]["reason"]
+    assert r["plan"]["type"] == "sketch"
+    exact = {
+        x["seg"]: (x["n"], x["du"])
+        for x in (y.asDict() for y in spark.sql(sql).collect())
+    }
+    assert len(r["result"]) == 2
+    for d in r["result"]:
+        n_e, du_e = exact[d["seg"]]
+        assert d["n"] == n_e  # COUNT(*) exact through the hybrid
+        assert abs(d["du"] - du_e) / du_e < 0.04, (d, du_e)
+    # exactness request: hybrid must not serve the sketch
+    r2 = e.query(sql, prefer_exact=True)
+    assert "raw edge slice" not in r2["plan"]["reason"]
