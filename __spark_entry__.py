@@ -1246,6 +1246,49 @@ _ROLLUP_HYBRID_ORACLE = (
 )
 
 
+def _q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 set-algebra surface: audience overlap between order-
+    priority segments from per-segment THETA sketches (sketches.
+    segment_overlap) — distinct customers per segment, pairwise
+    intersection/union, Jaccard — one raw scan, bounded sketch state,
+    never a key-level self-join. Theta sketches are in EXACT mode while
+    each segment retains ≤ 2^lg_k entries (1 500 custkeys < 4 096 here),
+    so every estimate — intersections included — hash-matches the exact
+    DuckDB set computation at driver scale; at warehouse ndv the same
+    plan degrades gracefully to ~1/sqrt(2^lg_k) relative error.
+    Reference parity: extends the reference's single-sketch distinct
+    endpoint (reference sketches.py) with the set operations HLL cannot
+    express."""
+    from approximate_query_engine_spark.sketches import segment_overlap
+
+    _prep(spark, sf_dir)
+    return segment_overlap(
+        spark.table("orders"), "o_orderpriority", "o_custkey", lg_k=12
+    )
+
+
+_THETA_OVERLAP_ORACLE = """
+WITH seg AS (
+  SELECT DISTINCT o_orderpriority AS s, o_custkey AS u FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+card AS (SELECT s, COUNT(*)::BIGINT AS c FROM seg GROUP BY s),
+ov AS (
+  SELECT a.s AS seg_a, b.s AS seg_b, COUNT(*)::BIGINT AS o
+  FROM seg a JOIN seg b ON a.u = b.u AND a.s < b.s GROUP BY 1, 2
+)
+SELECT ca.s AS seg_a, cb.s AS seg_b,
+  ca.c AS distinct_a, cb.c AS distinct_b,
+  COALESCE(ov.o, 0)::BIGINT AS overlap_cnt,
+  (ca.c + cb.c - COALESCE(ov.o, 0))::BIGINT AS union_cnt,
+  CAST(COALESCE(ov.o, 0) AS DOUBLE)
+    / CAST(ca.c + cb.c - COALESCE(ov.o, 0) AS DOUBLE) AS jaccard
+FROM card ca JOIN card cb ON ca.s < cb.s
+LEFT JOIN ov ON ov.seg_a = ca.s AND ov.seg_b = cb.s
+ORDER BY seg_a, seg_b
+"""
+
+
 _STREAM_ROLLUP_SQL = (
     "SELECT event_type, COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx "
     "FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
@@ -3079,6 +3122,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: feeds the in-window q69 exact dedup; text family keeps q24/q66/q67),
 #: q65 (GROUPING SETS — grouping family keeps q74/q15/q51), q75
 #: (anti/semi join — join family keeps q13/q46/q53/q83).
+#: Late round 7: q96 (theta set-algebra segment overlap — the sketch
+#: family's first intersection-capable surface) took q13's slot (exact
+#: fact join — the join family keeps q46/q83/q90/q94 in-window).
 #: Round-7 rotation (VERDICT r6 instruction 2, extended): the round-6
 #: flagship surfaces q90 (star-join fact-scan routing) and q92
 #: (stream→rollup merge) — both previously oracled only via the local
@@ -3097,7 +3143,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_WINDOW_ORDER = [
     "q90_join_routing",
     "q11_tpch_q1",
-    "q13_join_fact",
+    "q96_theta_overlap",
     "q15_window_top_order",
     "q85_partitioned_scan",
     "q93_rollup_between",
@@ -3219,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q93_rollup_between"] = _q_rollup_between
     out["q94_rollup_join"] = _q_rollup_join
     out["q95_rollup_hybrid"] = _q_rollup_hybrid
+    out["q96_theta_overlap"] = _q_theta_overlap
     return _reorder_check_window(out)
 
 
@@ -3275,5 +3322,6 @@ def oracle_sql() -> dict[str, str]:
     out["q93_rollup_between"] = _ROLLUP_BETWEEN_ORACLE
     out["q94_rollup_join"] = _ROLLUP_JOIN_ORACLE
     out["q95_rollup_hybrid"] = _ROLLUP_HYBRID_ORACLE
+    out["q96_theta_overlap"] = _THETA_OVERLAP_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -651,3 +651,84 @@ def grouped_top_k(
         )
         .orderBy(group_col, "rank")
     )
+
+
+def segment_overlap(
+    df,
+    segment_col: str,
+    key_col: str,
+    lg_k: int = 12,
+    pairs: list[tuple[str, str]] | None = None,
+):
+    """Audience overlap between segments from THETA sketches: per-pair
+    ``(seg_a, seg_b, distinct_a, distinct_b, overlap_cnt, union_cnt,
+    jaccard)``, computed WITHOUT ever joining raw keys.
+
+    HLL can only union; theta sketches (Dasgupta et al., the DataSketches
+    theta framework Spark 4 exposes as ``theta_sketch_agg`` /
+    ``theta_intersection`` / ``theta_union``) support full set algebra,
+    which is what audience-overlap / cross-segment-contamination
+    questions need ("how many distinct users did BOTH X and Y").
+
+    Shape (the 100 TB story): ONE scan of the raw table partial-aggregates
+    per-segment sketches map-side — state per segment per partial is
+    bounded by the sketch's nominal entry budget (2^lg_k), never by ndv —
+    then the pairwise stage runs on S sketches (S = number of segments,
+    dashboard-small). The exact formulation is a self-join of
+    ``S × ndv`` distinct pairs: at 30M rows that shuffles the whole key
+    set twice; this shuffles ≤ S·2^lg_k sketch entries once.
+
+    Exactness: a theta sketch stays in EXACT mode until it retains more
+    than its nominal-entries budget, so every output (intersections
+    included) is exact while each segment's ndv ≤ 2^lg_k; beyond it the
+    relative error is ~1/sqrt(2^lg_k) per estimate.
+
+    ``pairs`` restricts output to the given (seg_a, seg_b) pairs;
+    default is every unordered pair, emitted once with seg_a < seg_b.
+    Reference parity: the reference has no set-algebra surface at all —
+    this extends its single-sketch distinct endpoint (reference
+    sketches.py) the way its own README's "audience" example implies.
+    """
+    per_seg = (
+        df.where(F.col(key_col).isNotNull() & F.col(segment_col).isNotNull())
+        .groupBy(F.col(segment_col).cast("string").alias("seg"))
+        .agg(
+            F.expr(
+                f"theta_sketch_agg(CAST(`{key_col}` AS STRING), {int(lg_k)})"
+            ).alias("sk")
+        )
+    )
+    a = per_seg.select(
+        F.col("seg").alias("seg_a"), F.col("sk").alias("sk_a")
+    )
+    b = per_seg.select(
+        F.col("seg").alias("seg_b"), F.col("sk").alias("sk_b")
+    )
+    # sketch-level cross join: S^2/2 rows of bounded binary state — tiny
+    paired = a.join(b, F.col("seg_a") < F.col("seg_b"), "inner")
+    if pairs is not None:
+        want = {(str(x), str(y)) if str(x) < str(y) else (str(y), str(x))
+                for x, y in pairs}
+        cond = F.lit(False)
+        for x, y in sorted(want):
+            cond = cond | ((F.col("seg_a") == x) & (F.col("seg_b") == y))
+        paired = paired.where(cond)
+    est = "CAST(ROUND(theta_sketch_estimate({0})) AS BIGINT)"
+    return (
+        paired.select(
+            "seg_a",
+            "seg_b",
+            F.expr(est.format("sk_a")).alias("distinct_a"),
+            F.expr(est.format("sk_b")).alias("distinct_b"),
+            F.expr(
+                est.format("theta_intersection(sk_a, sk_b)")
+            ).alias("overlap_cnt"),
+            F.expr(est.format("theta_union(sk_a, sk_b)")).alias("union_cnt"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("overlap_cnt").cast("double")
+            / F.col("union_cnt").cast("double"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )

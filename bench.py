@@ -444,6 +444,47 @@ def main() -> None:
             "distinct_crossover", "big_distinct_mid never planned"
         )
 
+    # ---- theta set-algebra overlap (round 7) ----------------------------
+    # "Distinct keys in BOTH segments" — the question HLL cannot answer.
+    # Exact side: DISTINCT (flag, l_mid) pairs self-joined on the key —
+    # a ~12M-distinct-pair shuffle joined against itself, the shape this
+    # costs at warehouse scale. Sketch side: segment_overlap — one scan,
+    # ≤ 2^12 entries of state per segment per partial, the pairwise stage
+    # on 3 sketches. Both sides produce the same frame; rel error is the
+    # theta estimation error at ndv≈4M (≈1/sqrt(4096) per estimate).
+    theta_sql_exact = (
+        "WITH seg AS (SELECT DISTINCT l_returnflag AS s, l_mid AS u "
+        "             FROM lineitem_big), "
+        "card AS (SELECT s, COUNT(*) AS c FROM seg GROUP BY s), "
+        "ov AS (SELECT a.s AS sa, b.s AS sb, COUNT(*) AS o FROM seg a "
+        "       JOIN seg b ON a.u = b.u AND a.s < b.s GROUP BY 1, 2) "
+        "SELECT sa AS seg_a, sb AS seg_b, ca.c AS distinct_a, "
+        "cb.c AS distinct_b, o AS overlap_cnt, ca.c + cb.c - o AS union_cnt "
+        "FROM ov JOIN card ca ON ca.s = sa JOIN card cb ON cb.s = sb "
+        "ORDER BY 1, 2"
+    )
+    theta_rows: dict = {}
+    if big_ok:
+        from approximate_query_engine_spark.sketches import segment_overlap
+
+        def _theta_exact():
+            theta_rows["exact"] = [
+                r.asDict() for r in spark.sql(theta_sql_exact).collect()
+            ]
+
+        def _theta_sketch():
+            theta_rows["sketch"] = [
+                r.asDict()
+                for r in segment_overlap(
+                    spark.table("lineitem_big"), "l_returnflag", "l_mid"
+                )
+                .drop("jaccard")
+                .collect()
+            ]
+
+        _safe("theta_overlap_exact", _theta_exact)
+        _safe("theta_overlap_sketch", _theta_sketch)
+
     # ---- stratified vs uniform at equal fraction (r04 instruction 7) ---
     # GROUP BY on the strata column: the error contract is per group, the
     # rare stratum carries 40x the variance, and both designs scan the
@@ -1541,6 +1582,10 @@ def main() -> None:
         speedups["rollup_distinct_vs_exact"] = timings[
             "rollup_distinct_exact"
         ] / max(timings["rollup_distinct_answered"], 1e-9)
+    if "theta_overlap_exact" in timings and "theta_overlap_sketch" in timings:
+        speedups["theta_overlap"] = timings["theta_overlap_exact"] / max(
+            timings["theta_overlap_sketch"], 1e-9
+        )
 
     errors = {}
     for name, sql in {
@@ -1587,6 +1632,10 @@ def main() -> None:
             )
             if e is not None:
                 errors[_cls] = round(e, 4)
+    if theta_rows.get("exact") and theta_rows.get("sketch"):
+        e = measured_relative_error(theta_rows["sketch"], theta_rows["exact"])
+        if e is not None:
+            errors["theta_overlap"] = round(e, 4)
     pruned_est = last_result.get(f"{route_sql}#route_sample_pruned")
     if pruned_est:
         e = measured_relative_error(pruned_est, exact_rows.get(route_sql))
@@ -1607,7 +1656,7 @@ def main() -> None:
         "partition_route_sample", "route_sample_vs_exact",
         "rollup_route", "rollup_route_between", "rollup_distinct",
         "rollup_distinct_vs_exact", "rollup_join", "rollup_hybrid",
-        "join_route",
+        "join_route", "theta_overlap",
     ] + list(extra_class_sqls)
     sum200_classes = list(sum200_sqls)
     tiers = {

@@ -130,3 +130,81 @@ def test_register_json(engine, tmp_path):
 def test_register_bad_format(engine):
     with pytest.raises(ValueError):
         engine.register_file("x", "/nonexistent", fmt="avro")
+
+
+def test_segment_overlap_exact_mode(engine, duck):
+    """Below the nominal-entry budget every theta estimate — the
+    intersections included — is exact, so the whole overlap frame must
+    equal the key-level set computation."""
+    from approximate_query_engine_spark.sketches import segment_overlap
+
+    got = {
+        (r["seg_a"], r["seg_b"]): (
+            r["distinct_a"],
+            r["distinct_b"],
+            r["overlap_cnt"],
+            r["union_cnt"],
+        )
+        for r in segment_overlap(
+            engine.spark.table("orders"), "o_orderpriority", "o_custkey"
+        ).collect()
+    }
+    want = duck.execute(
+        """
+        WITH seg AS (SELECT DISTINCT o_orderpriority s, o_custkey u FROM orders),
+        card AS (SELECT s, COUNT(*) c FROM seg GROUP BY s),
+        ov AS (SELECT a.s sa, b.s sb, COUNT(*) o FROM seg a
+               JOIN seg b ON a.u = b.u AND a.s < b.s GROUP BY 1, 2)
+        SELECT sa, sb, ca.c, cb.c, o, ca.c + cb.c - o
+        FROM ov JOIN card ca ON ca.s = sa JOIN card cb ON cb.s = sb
+        """
+    ).fetchall()
+    assert len(got) == len(want)
+    for sa, sb, ca, cb, o, un in want:
+        assert got[(sa, sb)] == (ca, cb, o, un)
+
+
+def test_segment_overlap_pairs_filter_and_jaccard(engine):
+    from approximate_query_engine_spark.sketches import segment_overlap
+
+    rows = segment_overlap(
+        engine.spark.table("orders"),
+        "o_orderpriority",
+        "o_custkey",
+        pairs=[("2-HIGH", "1-URGENT")],  # unordered input, canonical output
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["seg_a"], r["seg_b"]) == ("1-URGENT", "2-HIGH")
+    assert r["jaccard"] == r["overlap_cnt"] / r["union_cnt"]
+    assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_segment_overlap_estimation_regime_bounded_error(engine, duck):
+    """Past the nominal budget the sketch degrades to ~1/sqrt(2^lg_k)
+    relative error per estimate — check a deliberately tiny lg_k (2^4 =
+    16 entries, far below the segment ndv at any fixture scale) against
+    exact truth computed from the same data."""
+    from approximate_query_engine_spark.sketches import segment_overlap
+
+    true_a, true_o = duck.execute(
+        """
+        WITH seg AS (SELECT DISTINCT o_orderpriority s, o_custkey u FROM orders)
+        SELECT (SELECT COUNT(*) FROM seg WHERE s = '1-URGENT'),
+               (SELECT COUNT(*) FROM (
+                  SELECT u FROM seg WHERE s = '1-URGENT'
+                  INTERSECT SELECT u FROM seg WHERE s = '2-HIGH'))
+        """
+    ).fetchone()
+    rows = segment_overlap(
+        engine.spark.table("orders"),
+        "o_orderpriority",
+        "o_custkey",
+        lg_k=4,
+        pairs=[("1-URGENT", "2-HIGH")],
+    ).collect()
+    r = rows[0]
+    # ~8 sigma of 1/sqrt(16) = 25% — loose, but catches a broken rewrite
+    assert abs(r["distinct_a"] - true_a) / true_a < 2.0
+    assert abs(r["overlap_cnt"] - true_o) / true_o < 3.0  # intersections noisier
+    assert r["distinct_a"] > 16  # genuinely in estimation mode, not truncated
