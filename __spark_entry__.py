@@ -1289,6 +1289,140 @@ ORDER BY seg_a, seg_b
 """
 
 
+_ROLLUP_QUANTILE_SQL = (
+    "SELECT event_type, MEDIAN(value) AS med, "
+    "PERCENTILE(value, 0.9) AS p90 "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
+def _q_rollup_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 quantile-from-state surface: the rollup tracks ``value``
+    with a DataSketches KLL sketch column (quantile_cols), and a plain
+    SQL MEDIAN/PERCENTILE over the raw table is answered by MERGING the
+    per-bucket sketch state (kll_merge_agg_double →
+    kll_sketch_get_quantile_double) — "p90 per segment from
+    pre-aggregated state", the continuous-aggregate answer to quantile
+    dashboards. KLL's rank guarantee makes the estimate exact below the
+    sketch's compaction threshold (k=800 ≥ any merged group size at
+    driver scale), and Spark's inclusive-rank convention equals DuckDB's
+    quantile_disc — verified bit-for-bit across n/p grids — so the hash
+    oracle is legitimate: the sketch path IS exact here, and degrades to
+    bounded rank error (ε ≈ 2.296/k^0.9433) at warehouse scale."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.create_rollup(
+        "events",
+        "ts",
+        "1 hour",
+        dims=["event_type"],
+        measures=["value"],
+        quantile_cols=["value"],
+        kll_k=800,
+    )
+    r = eng.query(_ROLLUP_QUANTILE_SQL, max_rel_error=0.05)
+    assert r["status"] == "ok", r.get("error")
+    assert "KLL sketch state" in r["plan"]["reason"], r["plan"]
+    rows = [
+        (d["event_type"], float(d["med"]), float(d["p90"]))
+        for d in r["result"]
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, med double, p90 double"
+    )
+
+
+_ROLLUP_QUANTILE_ORACLE = (
+    "SELECT event_type, quantile_disc(value, 0.5) AS med, "
+    "quantile_disc(value, 0.9) AS p90 "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
+#: deterministic PII augmentation (same expression text runs in Spark and
+#: DuckDB): a seventh of docs gain an email, an eleventh a phone + IP —
+#: the corpus itself is synthetic lorem, so the scrub needs real targets
+_PII_AUG = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact: user' || "
+    "CAST(doc_id AS STRING) || '@example.com' "
+    "WHEN doc_id % 11 = 0 THEN "
+    "text || ' call 555-867-5309 or visit 10.1.2.3' "
+    "ELSE text END"
+)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 corpus-scrub surface: PII detection + redaction over the
+    documents table (functions/pii.py) — per-source doc counts, per-type
+    match totals, and redacted-character volume, all from built-in
+    regexp expressions (codegen, no UDF, no shuffle beyond the tiny
+    final aggregate). The oracle replays the identical patterns through
+    DuckDB's RE2 regexp functions — the patterns are restricted to the
+    Java-regex/RE2 common subset precisely so detection and redaction
+    are engine-independent and hash-exact."""
+    from approximate_query_engine_spark.functions.pii import pii_stats
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").selectExpr(
+        "source", f"{_PII_AUG} AS text"
+    )
+    return pii_stats(docs, "text", group_col="source").select(
+        "source",
+        "n_docs",
+        "docs_with_pii",
+        "total_matches",
+        "redacted_chars",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+    )
+
+
+def _pii_oracle() -> str:
+    from approximate_query_engine_spark.functions.pii import PII_PATTERNS
+
+    pats = {name: p for name, p, _ph in PII_PATTERNS}
+    red = "t.text"
+    for _name, pattern, placeholder in PII_PATTERNS:
+        red = (
+            f"regexp_replace({red}, '{pattern}', '{placeholder}', 'g')"
+        )
+    cnt = {
+        name: f"length(regexp_extract_all(t.text, '{p}'))"
+        for name, p in pats.items()
+    }
+    total = " + ".join(cnt.values())
+    return f"""
+WITH t AS (SELECT source, {_PII_AUG} AS text FROM documents),
+rowed AS (
+  SELECT source,
+    CAST({total} AS BIGINT) AS pii_total,
+    CAST(length(t.text) - length({red}) AS BIGINT) AS redacted_chars,
+    CAST({cnt['email']} AS BIGINT) AS c_email,
+    CAST({cnt['phone']} AS BIGINT) AS c_phone,
+    CAST({cnt['ipv4']} AS BIGINT) AS c_ipv4
+  FROM t
+)
+SELECT source,
+  COUNT(*)::BIGINT AS n_docs,
+  SUM(CASE WHEN pii_total > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+  SUM(pii_total)::BIGINT AS total_matches,
+  SUM(redacted_chars)::BIGINT AS redacted_chars,
+  SUM(c_email)::BIGINT AS n_email,
+  SUM(c_phone)::BIGINT AS n_phone,
+  SUM(c_ipv4)::BIGINT AS n_ipv4
+FROM rowed GROUP BY source ORDER BY source
+"""
+
+
 _STREAM_ROLLUP_SQL = (
     "SELECT event_type, COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx "
     "FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
@@ -3124,7 +3258,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (anti/semi join — join family keeps q13/q46/q53/q83).
 #: Late round 7: q96 (theta set-algebra segment overlap — the sketch
 #: family's first intersection-capable surface) took q13's slot (exact
-#: fact join — the join family keeps q46/q83/q90/q94 in-window).
+#: fact join — the join family keeps q46/q83/q90/q94 in-window), and
+#: q97 (MEDIAN/PERCENTILE routed to merged KLL rollup state) took q15's
+#: (window-function pass-through — plain Spark SQL, parity-swept, and
+#: window functions run inside the in-window q61/q62/q64 chains), and
+#: q98 (PII detect/redact corpus scrub) took q67's (repetition stats —
+#: the text family keeps q66's corpus chain + q59/q70/q79 in-window).
 #: Round-7 rotation (VERDICT r6 instruction 2, extended): the round-6
 #: flagship surfaces q90 (star-join fact-scan routing) and q92
 #: (stream→rollup merge) — both previously oracled only via the local
@@ -3144,7 +3283,7 @@ _CHECK_WINDOW_ORDER = [
     "q90_join_routing",
     "q11_tpch_q1",
     "q96_theta_overlap",
-    "q15_window_top_order",
+    "q97_rollup_quantile",
     "q85_partitioned_scan",
     "q93_rollup_between",
     "q86_partition_routing",
@@ -3167,7 +3306,7 @@ _CHECK_WINDOW_ORDER = [
     "q64_retention",
     "q87_grouped_topk",
     "q66_corpus_prepare",
-    "q67_repetition",
+    "q98_pii_scrub",
     "q68_bottomk_sample",
     "q69_dedup_keep_best",
     "q70_contamination",
@@ -3266,6 +3405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q94_rollup_join"] = _q_rollup_join
     out["q95_rollup_hybrid"] = _q_rollup_hybrid
     out["q96_theta_overlap"] = _q_theta_overlap
+    out["q97_rollup_quantile"] = _q_rollup_quantile
+    out["q98_pii_scrub"] = _q_pii_scrub
     return _reorder_check_window(out)
 
 
@@ -3323,5 +3464,7 @@ def oracle_sql() -> dict[str, str]:
     out["q94_rollup_join"] = _ROLLUP_JOIN_ORACLE
     out["q95_rollup_hybrid"] = _ROLLUP_HYBRID_ORACLE
     out["q96_theta_overlap"] = _THETA_OVERLAP_ORACLE
+    out["q97_rollup_quantile"] = _ROLLUP_QUANTILE_ORACLE
+    out["q98_pii_scrub"] = _pii_oracle()
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -244,6 +244,8 @@ def create_app(engine: AQEngine, config: Config | None = None):
                     measures=body.get("measures"),
                     distinct_cols=body.get("distinct_cols"),
                     hll_lgk=int(body.get("hll_lgk", 12)),
+                    quantile_cols=body.get("quantile_cols"),
+                    kll_k=int(body.get("kll_k", 200)),
                 )
             )
         except (KeyError, ValueError) as e:

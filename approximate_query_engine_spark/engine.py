@@ -162,10 +162,11 @@ class AQEngine:
         if rolled is not None:
             routed_sql, note, approx_distinct = rolled
             plan = {
-                # a COUNT(DISTINCT) served from merged HLL sketch state is
-                # approximate — labeled a sketch plan (and only taken when
-                # the tolerance covers the sketch error); everything else
-                # re-aggregates losslessly
+                # COUNT(DISTINCT) served from merged HLL state and
+                # MEDIAN/PERCENTILE served from merged KLL state are
+                # approximate — labeled sketch plans (and only taken when
+                # the tolerance covers the sketch's error bound);
+                # everything else re-aggregates losslessly
                 "type": "sketch" if approx_distinct else "exact",
                 "sql": routed_sql,
                 "reason": note,
@@ -601,13 +602,18 @@ class AQEngine:
         measures: list[str] | None = None,
         distinct_cols: list[str] | None = None,
         hll_lgk: int = 12,
+        quantile_cols: list[str] | None = None,
+        kll_k: int = 200,
     ) -> dict:
         """Materialize a continuous-aggregate rollup of ``table`` (partial
         count/sum/min/max state per (time bucket, dims)) under the catalog
         workdir, register it, and arm SQL routing: matching aggregates
         over the RAW table are answered exactly from the rollup
         (operators/rollup.py rewrite_to_rollup). The hypertable pattern —
-        at 100 TB dashboards scan the rollup, never the fact table."""
+        at 100 TB dashboards scan the rollup, never the fact table.
+        ``distinct_cols`` adds HLL sketch state (routed COUNT(DISTINCT));
+        ``quantile_cols`` adds KLL sketch state (routed MEDIAN /
+        PERCENTILE, rank error ≤ kll_rank_error(kll_k))."""
         import os
 
         from approximate_query_engine_spark.operators.rollup import (
@@ -630,6 +636,8 @@ class AQEngine:
             measures or [],
             distinct_cols or [],
             hll_lgk,
+            quantile_cols or [],
+            kll_k,
         )
         path = os.path.join(self.catalog.workdir, f"rollup_{spec.rollup_name}")
         materialize_rollup(self.spark, spec, path=path)
@@ -652,6 +660,8 @@ class AQEngine:
             "measures": list(measures or []),
             "distinct_cols": list(distinct_cols or []),
             "hll_lgk": int(hll_lgk),
+            "quantile_cols": list(quantile_cols or []),
+            "kll_k": int(kll_k),
             # freshness gate: routing declines when the base table's
             # catalog row count drifts from this (same contract as
             # partitioned layouts — maintenance/register keep it current)
@@ -714,6 +724,8 @@ class AQEngine:
             list(info.get("measures", [])),
             list(info.get("distinct_cols", [])),
             int(info.get("hll_lgk", 12)),
+            list(info.get("quantile_cols", [])),
+            int(info.get("kll_k", 200)),
         )
         if since is None:
             dates = list_bucket_dirs(
@@ -826,12 +838,30 @@ class AQEngine:
                 and max_rel_error >= 2 * hll_err
             )
 
+        def _allow_quantile(info) -> bool:
+            # KLL's contract is on RANK (the value returned is a real
+            # data value whose rank is within ε of p), so the caller's
+            # tolerance is compared against the published rank-error
+            # bound — the same honest-gating shape as the HLL path
+            from approximate_query_engine_spark.operators.rollup import (
+                kll_rank_error,
+            )
+
+            return (
+                not prefer_exact
+                and bool(info.get("quantile_cols"))
+                and max_rel_error >= kll_rank_error(info.get("kll_k", 200))
+            )
+
         # phase 1: pure state answers (any candidate's plain rewrite
         # beats any hybrid — no raw rows read at all)
         for info in usable:
             if parsed is not None:
                 routed = rewrite_to_rollup(
-                    parsed, info, allow_approx_distinct=_allow_distinct(info)
+                    parsed,
+                    info,
+                    allow_approx_distinct=_allow_distinct(info),
+                    allow_approx_quantile=_allow_quantile(info),
                 )
             else:
                 routed = rewrite_join_to_rollup(
@@ -853,6 +883,7 @@ class AQEngine:
                     info,
                     self._fresh_layout_info(parsed.table),
                     allow_approx_distinct=_allow_distinct(info),
+                    allow_approx_quantile=_allow_quantile(info),
                 )
                 if routed:
                     return routed

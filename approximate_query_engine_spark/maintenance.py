@@ -342,6 +342,8 @@ def run_maintenance(
                             measures=info.get("measures"),
                             distinct_cols=info.get("distinct_cols"),
                             hll_lgk=int(info.get("hll_lgk", 12)),
+                            quantile_cols=info.get("quantile_cols"),
+                            kll_k=int(info.get("kll_k", 200)),
                         )
                 except Exception as exc:
                     report.errors.append(

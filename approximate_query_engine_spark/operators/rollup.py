@@ -41,6 +41,17 @@ class RollupSpec:
     #: pre-aggregated state (rel. std. err. ≈ 1.04/sqrt(2^lgk))
     distinct_cols: list[str] = field(default_factory=list)
     hll_lgk: int = 12
+    #: columns tracked for APPROXIMATE per-bucket quantiles: each gets a
+    #: DataSketches KLL sketch column (Spark-native
+    #: ``kll_sketch_agg_double``) whose state merges across buckets —
+    #: "p95 latency per day/week" answers from pre-aggregated state.
+    #: KLL's guarantee is on RANK, not value: the answer is a true data
+    #: value whose rank is within ε(k) ≈ 2.296/k^0.9433 of the requested
+    #: p (the published DataSketches single-sided bound); below the
+    #: sketch's compaction threshold the answer is exactly the
+    #: inclusive-rank order statistic.
+    quantile_cols: list[str] = field(default_factory=list)
+    kll_k: int = 200
 
     @property
     def rollup_name(self) -> str:
@@ -409,8 +420,20 @@ def _strip_qualifier(expr: str, scopes: set[str]) -> str:
     return _re.sub(pat, r"\2", expr)
 
 
+def kll_rank_error(k: int) -> float:
+    """DataSketches' published KLL single-sided normalized rank-error
+    bound: ε(k) ≈ 2.296 / k^0.9433 at 99% confidence (the quantiles
+    component's documented getNormalizedRankError fit). k=200 → ~1.6%,
+    k=800 → ~0.42%. The guarantee is on RANK: the returned value is a
+    true data value whose rank is within ε of the requested p."""
+    return 2.296 / (float(k) ** 0.9433)
+
+
 def rewrite_to_rollup(
-    parsed, info: dict, allow_approx_distinct: bool = False
+    parsed,
+    info: dict,
+    allow_approx_distinct: bool = False,
+    allow_approx_quantile: bool = False,
 ) -> tuple[str, str, bool] | None:
     """Rewrite a parsed single-table aggregate to scan ``info``'s rollup
     — ``(sql, note, used_approx_distinct)`` — or None when the shape is
@@ -419,8 +442,16 @@ def rewrite_to_rollup(
     With ``allow_approx_distinct``, ``COUNT(DISTINCT c)`` over a column
     in ``info["distinct_cols"]`` rewrites to the merged HLL sketch
     estimate (DataSketches state unions across buckets; rel. std. err.
-    ≈ 1.04/√2^lgk) — the ONE approximate derivation, flagged in the
-    returned bool so the caller prices/labels it as a sketch plan.
+    ≈ 1.04/√2^lgk) — flagged in the returned bool so the caller
+    prices/labels it as a sketch plan.
+
+    With ``allow_approx_quantile``, ``MEDIAN(c)`` / ``PERCENTILE(c, p)``
+    over a column in ``info["quantile_cols"]`` rewrites to the merged
+    KLL sketch quantile (``kll_merge_agg_double`` across buckets →
+    ``kll_sketch_get_quantile_double``) — same flag. The answer is a
+    true data value whose rank is within ε(kll_k) of p
+    (:func:`kll_rank_error`); below the sketch's compaction threshold it
+    is exactly the inclusive-rank order statistic (discrete quantile).
 
     ``info``: {"view", "files_view", "time_col", "bucket",
     "bucket_seconds", "dims", "measures"} (engine.create_rollup builds
@@ -455,7 +486,10 @@ def rewrite_to_rollup(
     if parsed.table_alias:
         scopes.add(parsed.table_alias)
     distinct_set = set(info.get("distinct_cols", []))
+    quantile_set = set(info.get("quantile_cols", []))
+    kll_k = int(info.get("kll_k", 200))
     used_approx: list[str] = []
+    used_quantile: list[str] = []
     #: every column the rewritten SQL may legitimately reference — the
     #: post-rewrite soundness check for HAVING
     state_cols = (
@@ -466,6 +500,7 @@ def rewrite_to_rollup(
             for s in ("count", "sum", "min", "max")
         }
         | {f"{dc}_hll" for dc in distinct_set}
+        | {f"{qc}_kll" for qc in quantile_set}
     )
 
     def strip(e: str) -> str:
@@ -504,6 +539,22 @@ def rewrite_to_rollup(
                 used_approx.append(arg)
                 return f"hll_sketch_estimate(hll_union_agg({arg}_hll))"
             return None
+        if agg.is_quantile:
+            if not allow_approx_quantile:
+                return None
+            try:
+                vexpr, p = agg.quantile_args()
+            except Exception:  # noqa: BLE001 - non-literal p: not derivable
+                return None
+            arg = strip(vexpr)
+            if arg not in quantile_set:
+                return None
+            used_quantile.append(arg)
+            return (
+                f"kll_sketch_get_quantile_double("
+                f"kll_merge_agg_double({arg}_kll, {kll_k}), "
+                f"CAST({p!r} AS DOUBLE))"
+            )
         if agg.func not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
             return None
         arg = strip(agg.arg)
@@ -672,15 +723,26 @@ def rewrite_to_rollup(
         sql += " ORDER BY " + ", ".join(order)
     if parsed.limit is not None:
         sql += f" LIMIT {parsed.limit}"
-    if used_approx:
+    if used_approx or used_quantile:
         import math
 
-        err = 1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
+        parts = []
+        if used_approx:
+            err = 1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
+            parts.append(
+                f"COUNT(DISTINCT {', '.join(sorted(set(used_approx)))}) "
+                f"from merged HLL sketch state, rel err ≈ {err:.1%}"
+            )
+        if used_quantile:
+            qerr = kll_rank_error(kll_k)
+            parts.append(
+                f"quantiles of {', '.join(sorted(set(used_quantile)))} "
+                f"from merged KLL sketch state, rank err ≤ {qerr:.2%}"
+            )
         note = (
             f"answered from materialized rollup {info['view']} "
-            f"(bucket {info['bucket']}; COUNT(DISTINCT "
-            f"{', '.join(sorted(set(used_approx)))}) from merged HLL "
-            f"sketch state, rel err ≈ {err:.1%}; other aggregates exact)"
+            f"(bucket {info['bucket']}; {'; '.join(parts)}; "
+            "other aggregates exact)"
         )
     else:
         note = (
@@ -688,7 +750,7 @@ def rewrite_to_rollup(
             f"(bucket {info['bucket']}; exact — partial-agg state "
             "re-aggregated)"
         )
-    return sql, note, bool(used_approx)
+    return sql, note, bool(used_approx or used_quantile)
 
 
 def _fmt_ts(dt: datetime) -> str:
@@ -717,6 +779,7 @@ def rewrite_to_rollup_hybrid(
     info: dict,
     layout_info: dict | None = None,
     allow_approx_distinct: bool = False,
+    allow_approx_quantile: bool = False,
 ) -> tuple[str, str, bool] | None:
     """REAL-TIME continuous-aggregate rewrite: answer an aggregate whose
     time bounds do NOT align to the bucket grid by unioning the rollup's
@@ -819,6 +882,8 @@ def rewrite_to_rollup_hybrid(
         return None  # empty range — let the normal path answer it
 
     distinct_cols = list(info.get("distinct_cols", []))
+    quantile_cols = list(info.get("quantile_cols", []))
+    kll_k = int(info.get("kll_k", 200))
     state_cols = (
         ["n_rows"]
         + [
@@ -827,6 +892,7 @@ def rewrite_to_rollup_hybrid(
             for s in ("count", "sum", "min", "max")
         ]
         + [f"{dc}_hll" for dc in distinct_cols]
+        + [f"{qc}_kll" for qc in quantile_cols]
     )
     proj = ", ".join(["bucket_start", *dims, *state_cols])
 
@@ -863,6 +929,11 @@ def rewrite_to_rollup_hybrid(
         fresh_state.append(
             f"hll_sketch_agg({dc}, {int(info.get('hll_lgk', 12))}) "
             f"AS {dc}_hll"
+        )
+    for qc in quantile_cols:
+        fresh_state.append(
+            f"kll_sketch_agg_double(CAST(`{qc}` AS DOUBLE), {kll_k}) "
+            f"AS {qc}_kll"
         )
     bucket_expr = (
         f"TIMESTAMP_SECONDS(CAST(FLOOR(UNIX_TIMESTAMP({ts}) / {bsec}) "
@@ -911,21 +982,32 @@ def rewrite_to_rollup_hybrid(
     info2 = dict(info)
     info2["files_view"] = hybrid_view
     routed = rewrite_to_rollup(
-        parsed2, info2, allow_approx_distinct=allow_approx_distinct
+        parsed2,
+        info2,
+        allow_approx_distinct=allow_approx_distinct,
+        allow_approx_quantile=allow_approx_quantile,
     )
     if routed is None:
         return None
-    sql, _note, used_approx = routed
+    sql, inner_note, used_approx = routed
     n_slices = len(slices)
     approx_note = ""
     if used_approx:
         import math
 
-        err = 1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
-        approx_note = (
-            f"; COUNT(DISTINCT) from HLL state merged across both "
-            f"branches, rel err ≈ {err:.1%}"
-        )
+        parts = []
+        if "HLL" in inner_note:
+            err = 1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
+            parts.append(
+                f"COUNT(DISTINCT) from HLL state merged across both "
+                f"branches, rel err ≈ {err:.1%}"
+            )
+        if "KLL" in inner_note:
+            parts.append(
+                f"quantiles from KLL state merged across both branches, "
+                f"rank err ≤ {kll_rank_error(kll_k):.2%}"
+            )
+        approx_note = "; " + "; ".join(parts)
     note = (
         f"answered from materialized rollup {info['view']} + raw edge "
         f"slice{'s' if n_slices > 1 else ''}{layout_note} (real-time "
@@ -1294,6 +1376,13 @@ def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
         ]
     for dc in spec.distinct_cols:
         aggs.append(F.hll_sketch_agg(dc, spec.hll_lgk).alias(f"{dc}_hll"))
+    for qc in spec.quantile_cols:
+        aggs.append(
+            F.expr(
+                f"kll_sketch_agg_double(CAST(`{qc}` AS DOUBLE), "
+                f"{int(spec.kll_k)})"
+            ).alias(f"{qc}_kll")
+        )
     return (
         df.groupBy(
             F.window(F.col(spec.time_col), spec.bucket).alias("w"), *spec.dims
@@ -1309,6 +1398,7 @@ def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
                 for s in ("count", "sum", "min", "max")
             ],
             *[f"{dc}_hll" for dc in spec.distinct_cols],
+            *[f"{qc}_kll" for qc in spec.quantile_cols],
         )
         .withColumn(_PDATE, F.date_format("bucket_start", "yyyy-MM-dd"))
     )
@@ -1473,6 +1563,12 @@ def merge_rollup_batch(
             ]
         for dc in spec.distinct_cols:
             merge_aggs.append(F.hll_union_agg(f"{dc}_hll").alias(f"{dc}_hll"))
+        for qc in spec.quantile_cols:
+            merge_aggs.append(
+                F.expr(
+                    f"kll_merge_agg_double(`{qc}_kll`, {int(spec.kll_k)})"
+                ).alias(f"{qc}_kll")
+            )
         merged = (
             existing.unionByName(rolled)
             .groupBy("bucket_start", *spec.dims, _PDATE)
@@ -1538,18 +1634,14 @@ def refresh_rollup_buckets(
     )
     src.createOrReplaceTempView(spec.source_table + "__late")
     # the tmp spec must carry EVERY state-defining field of the original —
-    # dropping distinct_cols/hll_lgk here would rewrite the refreshed date
+    # dropping distinct_cols/hll_lgk here once rewrote refreshed date
     # directories without their {col}_hll sketch columns, leaving the
-    # layout with mixed schemas and corrupting routed COUNT(DISTINCT)
-    tmp_spec = RollupSpec(
-        spec.source_table + "__late",
-        spec.time_col,
-        spec.bucket,
-        spec.dims,
-        spec.measures,
-        spec.distinct_cols,
-        spec.hll_lgk,
-    )
+    # layout with mixed schemas and corrupting routed COUNT(DISTINCT).
+    # dataclasses.replace copies every field (present and future) so a
+    # new sketch-column kind can never be silently dropped here again.
+    from dataclasses import replace as _dc_replace
+
+    tmp_spec = _dc_replace(spec, source_table=spec.source_table + "__late")
     fresh = materialize_rollup(spark, tmp_spec, path=None).withColumn(
         _PDATE, F.date_format("bucket_start", "yyyy-MM-dd")
     )

@@ -646,6 +646,20 @@ def main() -> None:
         "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
         "GROUP BY DATE_TRUNC('DAY', ts) ORDER BY day"
     )
+    rollup_quantile_sql = (
+        "SELECT DATE_TRUNC('DAY', ts) AS day, "
+        "PERCENTILE(value, 0.95) AS p95 FROM events_big "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
+        "GROUP BY DATE_TRUNC('DAY', ts) ORDER BY day"
+    )
+    rollup_quantile_raw_sql = (
+        "SELECT DATE_TRUNC('DAY', ts) AS day, "
+        "percentile_approx(value, 0.95) AS p95 FROM events_big "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
+        "GROUP BY DATE_TRUNC('DAY', ts) ORDER BY day"
+    )
     try:
         if not os.path.exists(ev_big_path):
             (
@@ -987,6 +1001,95 @@ def main() -> None:
                 last_result[rollup_distinct_sql] = r["result"]
 
             _safe("rollup_distinct_answered", _rollup_distinct_routed)
+            eng.catalog.rollups.pop("events_big", None)
+
+    # ---- rollup-KLL quantile tier (round 7) -----------------------------
+    # "p95 per day" answered from MERGED per-bucket DataSketches KLL
+    # state vs percentile_approx over the raw fact scan — the quantile
+    # analog of the HLL tier. At 100 TB a latency dashboard's p95/p99
+    # re-reads every event without pre-aggregation; KLL state makes it a
+    # rollup-sized scan with a published rank-error bound
+    # (ε(200) ≈ 1.6%). Build is untimed setup, cached across runs.
+    if route_ok:
+        rollup_kll_path = os.path.join(
+            big_dir, f"events_big_rollup1h_kll_v1_sf{_sf_from_dir(SF_DIR)}"
+        )
+        try:
+            from approximate_query_engine_spark.operators.rollup import (
+                RollupSpec as _RSpecQ,
+            )
+            from approximate_query_engine_spark.operators.rollup import (
+                materialize_rollup as _mat_rollup_q,
+            )
+
+            # "3600 seconds" == "1 hour" on the bucket grid but gives the
+            # KLL rollup its own temp-view name (no collision)
+            spec_kll = _RSpecQ(
+                "events_big",
+                "ts",
+                "3600 seconds",
+                ["event_type"],
+                [],
+                quantile_cols=["value"],
+                kll_k=200,
+            )
+            if not os.path.exists(rollup_kll_path):
+                _mat_rollup_q(spark, spec_kll, path=rollup_kll_path)
+            else:
+                spark.read.parquet(rollup_kll_path).drop(
+                    "p_date"
+                ).createOrReplaceTempView(spec_kll.rollup_name)
+            files_view_kll = f"{spec_kll.rollup_name}__files"
+            spark.read.parquet(rollup_kll_path).createOrReplaceTempView(
+                files_view_kll
+            )
+            eng.catalog.rollups["events_big"] = [
+                {
+                    "source_table": "events_big",
+                    "view": spec_kll.rollup_name,
+                    "files_view": files_view_kll,
+                    "path": rollup_kll_path,
+                    "time_col": "ts",
+                    "bucket": "3600 seconds",
+                    "bucket_seconds": 3600,
+                    "dims": ["event_type"],
+                    "measures": [],
+                    "quantile_cols": ["value"],
+                    "kll_k": 200,
+                    "built_row_count": ev_big_rows,
+                }
+            ]
+        except Exception as exc:  # noqa: BLE001 - setup failure isolation
+            bench_errors["rollup_quantile_setup"] = (
+                f"{type(exc).__name__}: {exc}"[:300]
+            )
+        else:
+            _safe(
+                "rollup_quantile_exact",
+                _run_sql(spark, rollup_quantile_sql, exact_rows),
+            )
+            # the plan the sketch state competes against: the same
+            # estimator family (quantile summary) over the RAW fact scan
+            _safe(
+                "rollup_quantile_scan_raw",
+                _run_sql(spark, rollup_quantile_raw_sql),
+            )
+
+            def _rollup_quantile_routed():
+                r = eng.query(
+                    rollup_quantile_sql, max_rel_error=0.05,
+                    dual_execute=False,
+                )
+                assert r["status"] == "ok", r.get("error")
+                assert (
+                    "merged KLL sketch state" in r["plan"]["reason"]
+                ), r["plan"]["reason"]
+                plan_reasons["rollup_quantile"] = (
+                    f"{r['plan']['type']}: {r['plan']['reason']}"
+                )
+                last_result[rollup_quantile_sql] = r["result"]
+
+            _safe("rollup_quantile_answered", _rollup_quantile_routed)
             eng.catalog.rollups.pop("events_big", None)
 
     # ---- approx-path routing (round 6, VERDICT r5 instruction 1) -------
@@ -1586,6 +1689,20 @@ def main() -> None:
         speedups["theta_overlap"] = timings["theta_overlap_exact"] / max(
             timings["theta_overlap_sketch"], 1e-9
         )
+    if (
+        "rollup_quantile_scan_raw" in timings
+        and "rollup_quantile_answered" in timings
+    ):
+        speedups["rollup_quantile"] = timings[
+            "rollup_quantile_scan_raw"
+        ] / max(timings["rollup_quantile_answered"], 1e-9)
+    if (
+        "rollup_quantile_exact" in timings
+        and "rollup_quantile_answered" in timings
+    ):
+        speedups["rollup_quantile_vs_exact"] = timings[
+            "rollup_quantile_exact"
+        ] / max(timings["rollup_quantile_answered"], 1e-9)
 
     errors = {}
     for name, sql in {
@@ -1625,6 +1742,8 @@ def main() -> None:
         ("rollup_hybrid", rollup_hybrid_sql),
         # sketch-from-state vs exact distinct: bounded by ~2·1.04/√2^12
         ("rollup_distinct", rollup_distinct_sql),
+        # quantile-from-state vs exact PERCENTILE: rank err ε(200) ≈ 1.6%
+        ("rollup_quantile", rollup_quantile_sql),
     ):
         if last_result.get(_csql) and exact_rows.get(_csql) is not None:
             e = measured_relative_error(
@@ -1656,7 +1775,8 @@ def main() -> None:
         "partition_route_sample", "route_sample_vs_exact",
         "rollup_route", "rollup_route_between", "rollup_distinct",
         "rollup_distinct_vs_exact", "rollup_join", "rollup_hybrid",
-        "join_route", "theta_overlap",
+        "join_route", "theta_overlap", "rollup_quantile",
+        "rollup_quantile_vs_exact",
     ] + list(extra_class_sqls)
     sum200_classes = list(sum200_sqls)
     tiers = {
