@@ -1386,6 +1386,55 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 heavy-hitters-from-state surface: the rollup tracks
+    ``user_id`` with an ``approx_top_k_accumulate`` state column, and
+    ``engine.rollup_top_items`` answers "top users in this window" by
+    COMBINING the per-bucket state over the (date-pruned) range — the
+    fact table is never re-read. Counts are exact while the range's
+    distinct items fit the tracked budget (150 users ≪ 1024 here, so no
+    purge can occur in any partial — the Misra–Gries exactness
+    condition), and candidate_k = budget makes the (cnt DESC, item ASC)
+    re-rank fully deterministic across tie boundaries; the oracle is the
+    plain exact GROUP BY top-k in DuckDB."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.create_rollup(
+        "events",
+        "ts",
+        "1 hour",
+        dims=[],
+        measures=[],
+        topk_cols=["user_id"],
+        topk_budget=1024,
+    )
+    return eng.rollup_top_items(
+        "events",
+        "user_id",
+        k=10,
+        lo="2024-01-03 00:00:00",
+        hi="2024-01-08 00:00:00",
+        candidate_k=1024,
+    )
+
+
+_ROLLUP_TOPK_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS item, COUNT(*)::BIGINT AS cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+            CAST(user_id AS VARCHAR) ASC) AS INT) AS rank
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+  AND ts < TIMESTAMP '2024-01-08 00:00:00'
+GROUP BY user_id
+ORDER BY cnt DESC, item ASC
+LIMIT 10
+"""
+
+
 def _pii_oracle() -> str:
     from approximate_query_engine_spark.functions.pii import PII_PATTERNS
 
@@ -3263,7 +3312,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (window-function pass-through — plain Spark SQL, parity-swept, and
 #: window functions run inside the in-window q61/q62/q64 chains), and
 #: q98 (PII detect/redact corpus scrub) took q67's (repetition stats —
-#: the text family keeps q66's corpus chain + q59/q70/q79 in-window).
+#: the text family keeps q66's corpus chain + q59/q70/q79 in-window),
+#: and q99 (top-k from combined rollup state) took q84's (persisted
+#: top-k sketch — the heavy-hitter family keeps q87/q89, the persisted
+#: sketch read path keeps q50 CMS + q54 HLL in-window).
 #: Round-7 rotation (VERDICT r6 instruction 2, extended): the round-6
 #: flagship surfaces q90 (star-join fact-scan routing) and q92
 #: (stream→rollup merge) — both previously oracled only via the local
@@ -3329,7 +3381,7 @@ _CHECK_WINDOW_ORDER = [
     "q81_quantile_aqp",
     "q82_media_dedup",
     "q83_join_aqp",
-    "q84_heavy_hitters",
+    "q99_rollup_topk",
 ]
 
 
@@ -3407,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q96_theta_overlap"] = _q_theta_overlap
     out["q97_rollup_quantile"] = _q_rollup_quantile
     out["q98_pii_scrub"] = _q_pii_scrub
+    out["q99_rollup_topk"] = _q_rollup_topk
     return _reorder_check_window(out)
 
 
@@ -3466,5 +3519,6 @@ def oracle_sql() -> dict[str, str]:
     out["q96_theta_overlap"] = _THETA_OVERLAP_ORACLE
     out["q97_rollup_quantile"] = _ROLLUP_QUANTILE_ORACLE
     out["q98_pii_scrub"] = _pii_oracle()
+    out["q99_rollup_topk"] = _ROLLUP_TOPK_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -246,6 +246,8 @@ def create_app(engine: AQEngine, config: Config | None = None):
                     hll_lgk=int(body.get("hll_lgk", 12)),
                     quantile_cols=body.get("quantile_cols"),
                     kll_k=int(body.get("kll_k", 200)),
+                    topk_cols=body.get("topk_cols"),
+                    topk_budget=int(body.get("topk_budget", 1024)),
                 )
             )
         except (KeyError, ValueError) as e:

@@ -604,6 +604,8 @@ class AQEngine:
         hll_lgk: int = 12,
         quantile_cols: list[str] | None = None,
         kll_k: int = 200,
+        topk_cols: list[str] | None = None,
+        topk_budget: int = 1024,
     ) -> dict:
         """Materialize a continuous-aggregate rollup of ``table`` (partial
         count/sum/min/max state per (time bucket, dims)) under the catalog
@@ -638,6 +640,8 @@ class AQEngine:
             hll_lgk,
             quantile_cols or [],
             kll_k,
+            topk_cols or [],
+            topk_budget,
         )
         path = os.path.join(self.catalog.workdir, f"rollup_{spec.rollup_name}")
         materialize_rollup(self.spark, spec, path=path)
@@ -662,6 +666,8 @@ class AQEngine:
             "hll_lgk": int(hll_lgk),
             "quantile_cols": list(quantile_cols or []),
             "kll_k": int(kll_k),
+            "topk_cols": list(topk_cols or []),
+            "topk_budget": int(topk_budget),
             # freshness gate: routing declines when the base table's
             # catalog row count drifts from this (same contract as
             # partitioned layouts — maintenance/register keep it current)
@@ -726,6 +732,8 @@ class AQEngine:
             int(info.get("hll_lgk", 12)),
             list(info.get("quantile_cols", [])),
             int(info.get("kll_k", 200)),
+            list(info.get("topk_cols", [])),
+            int(info.get("topk_budget", 1024)),
         )
         if since is None:
             dates = list_bucket_dirs(
@@ -751,6 +759,122 @@ class AQEngine:
             "refreshed_since": since,
             "built_row_count": int(current),
         }
+
+    def rollup_top_items(
+        self,
+        table: str,
+        column: str,
+        k: int = 10,
+        lo: str | None = None,
+        hi: str | None = None,
+        candidate_k: int | None = None,
+    ):
+        """Heavy hitters over a time range FROM PRE-AGGREGATED STATE: the
+        rollup's ``approx_top_k_accumulate`` column for ``column`` is
+        combined across the range's buckets (date-directory pruned) and
+        re-ranked deterministically (count DESC, item ASC) —
+        "top items last week" without touching the fact table. ``lo``/
+        ``hi`` are ``>=``/``<`` timestamp literals that must fall on the
+        rollup's bucket grid (misaligned bounds would slice a bucket,
+        which combined state cannot — raise instead of approximating
+        silently). Counts are EXACT while the range's distinct items fit
+        the rollup's ``topk_budget`` (no purge can occur in any partial);
+        beyond it the Misra–Gries ``3.5·n/budget`` bound applies — the
+        same contract as sketches.grouped_top_k, but over state that is
+        never rebuilt per query. Returns (item, cnt, rank) rows."""
+        from datetime import datetime
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from approximate_query_engine_spark.operators.rollup import (
+            _parse_literal,
+        )
+
+        entries = [
+            e
+            for e in self.catalog.rollups.get(table, [])
+            if column in e.get("topk_cols", [])
+        ]
+        if not entries:
+            raise ValueError(
+                f"no rollup of {table!r} tracks top-k state for {column!r}"
+            )
+        info = entries[0]
+        current = self.catalog.get_row_count(table)
+        if current is None or info.get("built_row_count") != current:
+            raise ValueError(
+                f"rollup {info['view']} is stale for {table!r}; refresh it"
+            )
+        bsec = int(info["bucket_seconds"])
+        budget = int(info.get("topk_budget", 1024))
+        conds, prune = [], []
+        for name, op, val in (("lo", ">=", lo), ("hi", "<", hi)):
+            if val is None:
+                continue
+            dt = _parse_literal(f"'{val}'")
+            if dt is None:
+                raise ValueError(f"{name} must be a timestamp literal: {val!r}")
+            epoch = dt.replace(tzinfo=None) - datetime(1970, 1, 1)
+            if int(epoch.total_seconds() * 1_000_000) % (bsec * 1_000_000):
+                raise ValueError(
+                    f"{name}={val!r} is not aligned to the {info['bucket']} "
+                    "bucket grid"
+                )
+            conds.append(f"bucket_start {op} TIMESTAMP '{val}'")
+            prune.append(
+                f"p_date {'>=' if op == '>=' else '<='} "
+                f"'{dt.strftime('%Y-%m-%d')}'"
+            )
+        src = info.get("files_view") or info["view"]
+        if not self.spark.catalog.tableExists(src):
+            self.spark.read.parquet(info["path"]).createOrReplaceTempView(
+                info["files_view"]
+            )
+        where = " AND ".join(conds + prune) if conds else "true"
+        # candidate_k: how many items the sketch RETURNS before the
+        # deterministic (cnt DESC, item ASC) re-rank — widen toward the
+        # column's ndv when exact tie-breaks at the k boundary matter
+        # (same contract as sketches.grouped_top_k)
+        cand = int(
+            min(
+                candidate_k if candidate_k is not None else max(4 * k, k + 16),
+                budget,
+            )
+        )
+        # the range's state rows are rollup-sized — coalesce(1) before
+        # combining: ApproxTopKCombine cannot serialize the empty buffer
+        # an input-less partial produces (Spark 4.1 genSketchSerDe
+        # MatchError on null itemDataType), and one non-empty partition
+        # sidesteps it at no cost at this cardinality
+        state = (
+            self.spark.table(src)
+            .where(where)
+            .select(f"{column}_topk")
+            .coalesce(1)
+        )
+        if state.isEmpty():
+            raise ValueError(
+                f"no rollup buckets of {info['view']} fall in "
+                f"[{lo or '-inf'}, {hi or '+inf'})"
+            )
+        combined = state.agg(
+            F.expr(
+                f"approx_top_k_estimate(approx_top_k_combine("
+                f"`{column}_topk`, {budget}), {cand})"
+            ).alias("tk")
+        )
+        w = Window.orderBy(F.desc("cnt"), F.asc("item"))
+        return (
+            combined.select(F.explode("tk").alias("e"))
+            .select(
+                F.col("e.item").cast("string").alias("item"),
+                F.col("e.count").alias("cnt"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("rank")
+        )
 
     def _route_rollup(
         self,

@@ -344,6 +344,8 @@ def run_maintenance(
                             hll_lgk=int(info.get("hll_lgk", 12)),
                             quantile_cols=info.get("quantile_cols"),
                             kll_k=int(info.get("kll_k", 200)),
+                            topk_cols=info.get("topk_cols"),
+                            topk_budget=int(info.get("topk_budget", 1024)),
                         )
                 except Exception as exc:
                     report.errors.append(

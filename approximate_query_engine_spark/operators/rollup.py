@@ -52,6 +52,16 @@ class RollupSpec:
     #: inclusive-rank order statistic.
     quantile_cols: list[str] = field(default_factory=list)
     kll_k: int = 200
+    #: columns tracked for per-bucket HEAVY HITTERS: each gets an
+    #: ``approx_top_k_accumulate`` state column (DataSketches
+    #: frequent-items) that combines across buckets — "top items last
+    #: week" answers from pre-aggregated state via
+    #: :meth:`AQEngine.rollup_top_items`. Counts are exact while a
+    #: combined range's distinct items fit ``topk_budget`` (no purge can
+    #: occur); beyond it the Misra–Gries ``3.5·n/budget`` bound applies
+    #: (same contract as sketches.grouped_top_k).
+    topk_cols: list[str] = field(default_factory=list)
+    topk_budget: int = 1024
 
     @property
     def rollup_name(self) -> str:
@@ -884,6 +894,8 @@ def rewrite_to_rollup_hybrid(
     distinct_cols = list(info.get("distinct_cols", []))
     quantile_cols = list(info.get("quantile_cols", []))
     kll_k = int(info.get("kll_k", 200))
+    topk_cols = list(info.get("topk_cols", []))
+    topk_budget = int(info.get("topk_budget", 1024))
     state_cols = (
         ["n_rows"]
         + [
@@ -893,6 +905,7 @@ def rewrite_to_rollup_hybrid(
         ]
         + [f"{dc}_hll" for dc in distinct_cols]
         + [f"{qc}_kll" for qc in quantile_cols]
+        + [f"{tc}_topk" for tc in topk_cols]
     )
     proj = ", ".join(["bucket_start", *dims, *state_cols])
 
@@ -934,6 +947,11 @@ def rewrite_to_rollup_hybrid(
         fresh_state.append(
             f"kll_sketch_agg_double(CAST(`{qc}` AS DOUBLE), {kll_k}) "
             f"AS {qc}_kll"
+        )
+    for tc in topk_cols:
+        fresh_state.append(
+            f"approx_top_k_accumulate(`{tc}`, {topk_budget}) "
+            f"AS {tc}_topk"
         )
     bucket_expr = (
         f"TIMESTAMP_SECONDS(CAST(FLOOR(UNIX_TIMESTAMP({ts}) / {bsec}) "
@@ -1383,6 +1401,13 @@ def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
                 f"{int(spec.kll_k)})"
             ).alias(f"{qc}_kll")
         )
+    for tc in spec.topk_cols:
+        aggs.append(
+            F.expr(
+                f"approx_top_k_accumulate(`{tc}`, "
+                f"{int(spec.topk_budget)})"
+            ).alias(f"{tc}_topk")
+        )
     return (
         df.groupBy(
             F.window(F.col(spec.time_col), spec.bucket).alias("w"), *spec.dims
@@ -1399,6 +1424,7 @@ def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
             ],
             *[f"{dc}_hll" for dc in spec.distinct_cols],
             *[f"{qc}_kll" for qc in spec.quantile_cols],
+            *[f"{tc}_topk" for tc in spec.topk_cols],
         )
         .withColumn(_PDATE, F.date_format("bucket_start", "yyyy-MM-dd"))
     )
@@ -1568,6 +1594,13 @@ def merge_rollup_batch(
                 F.expr(
                     f"kll_merge_agg_double(`{qc}_kll`, {int(spec.kll_k)})"
                 ).alias(f"{qc}_kll")
+            )
+        for tc in spec.topk_cols:
+            merge_aggs.append(
+                F.expr(
+                    f"approx_top_k_combine(`{tc}_topk`, "
+                    f"{int(spec.topk_budget)})"
+                ).alias(f"{tc}_topk")
             )
         merged = (
             existing.unionByName(rolled)

@@ -1,0 +1,135 @@
+"""Heavy-hitter state in rollups (round 7): approx_top_k_accumulate
+columns combine across buckets so "top items in this window" answers from
+pre-aggregated state (engine.rollup_top_items) — exact while the range's
+distinct items fit the tracked budget (Misra–Gries no-purge condition)."""
+
+import tempfile
+
+import pytest
+
+from approximate_query_engine_spark import AQEngine
+
+
+@pytest.fixture(scope="module")
+def teng(spark):
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_rollup_topk_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    e.create_rollup(
+        "events",
+        "ts",
+        "1 hour",
+        dims=["event_type"],
+        measures=[],
+        topk_cols=["user_id"],
+        topk_budget=1024,
+    )
+    return e
+
+
+def _exact_top(spark, lo, hi, k):
+    return [
+        (r["item"], r["cnt"])
+        for r in spark.sql(
+            f"SELECT CAST(user_id AS STRING) item, COUNT(*) cnt FROM events "
+            f"WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}' "
+            f"GROUP BY user_id ORDER BY cnt DESC, item ASC LIMIT {k}"
+        ).collect()
+    ]
+
+
+def test_top_items_exact_below_budget(teng):
+    lo, hi = "2024-01-02 00:00:00", "2024-01-05 00:00:00"
+    got = [
+        (r["item"], r["cnt"])
+        for r in teng.rollup_top_items(
+            "events", "user_id", k=5, lo=lo, hi=hi, candidate_k=1024
+        ).collect()
+    ]
+    assert got == _exact_top(teng.spark, lo, hi, 5)
+
+
+def test_misaligned_bound_raises(teng):
+    with pytest.raises(ValueError, match="not aligned"):
+        teng.rollup_top_items("events", "user_id", lo="2024-01-02 00:30:10")
+
+
+def test_empty_range_raises(teng):
+    with pytest.raises(ValueError, match="no rollup buckets"):
+        teng.rollup_top_items(
+            "events", "user_id", lo="2030-01-01 00:00:00"
+        )
+
+
+def test_untracked_column_raises(teng):
+    with pytest.raises(ValueError, match="tracks top-k"):
+        teng.rollup_top_items("events", "event_type")
+
+
+def test_stale_rollup_raises(teng):
+    teng.catalog.upsert_table_stats("events", 10**9)
+    try:
+        with pytest.raises(ValueError, match="stale"):
+            teng.rollup_top_items("events", "user_id", k=3)
+    finally:
+        n = teng.spark.table("events").count()
+        teng.catalog.upsert_table_stats("events", n)
+
+
+def test_merge_batch_preserves_topk_state(spark):
+    """Micro-batch merges must combine the top-k state: two half-merges
+    answer identically to exact truth below the budget."""
+    import os
+
+    from approximate_query_engine_spark.operators.rollup import (
+        RollupSpec,
+        merge_rollup_batch,
+    )
+    from pyspark.sql import functions as F
+
+    wd = tempfile.mkdtemp(prefix="aqe_topk_merge_")
+    spec = RollupSpec(
+        "events",
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [],
+        topk_cols=["user_id"],
+        topk_budget=1024,
+    )
+    ev = spark.table("events")
+    path = os.path.join(wd, "layout")
+    merge_rollup_batch(
+        spark, ev.where(F.col("event_id") % 2 == 0), spec, path, batch_id=0
+    )
+    merge_rollup_batch(
+        spark, ev.where(F.col("event_id") % 2 == 1), spec, path, batch_id=1
+    )
+    got = (
+        spark.read.parquet(path)
+        .select("user_id_topk")
+        .coalesce(1)
+        .agg(
+            F.expr(
+                "approx_top_k_estimate("
+                "approx_top_k_combine(user_id_topk, 1024), 1024)"
+            ).alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").cast("string").alias("item"),
+            F.col("e.count").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("item"))
+        .limit(5)
+        .collect()
+    )
+    want = spark.sql(
+        "SELECT CAST(user_id AS STRING) item, COUNT(*) cnt FROM events "
+        "GROUP BY user_id ORDER BY cnt DESC, item ASC LIMIT 5"
+    ).collect()
+    assert [(r["item"], r["cnt"]) for r in got] == [
+        (r["item"], r["cnt"]) for r in want
+    ]
