@@ -1435,6 +1435,76 @@ LIMIT 10
 """
 
 
+def _q_rollup_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 cross-window set algebra from rollup state: the rollup
+    tracks ``user_id`` with a THETA sketch column (theta_cols — unlike
+    HLL, theta supports intersection/difference), and
+    ``engine.rollup_audience_diff`` answers "new vs returning users
+    day-over-day" by unioning each window's per-bucket state and taking
+    sketch set ops — the fact table is never re-read. Theta sketches are
+    exact below 2^lgk retained entries (150 users ≪ 4096 here), so every
+    output — differences included — hash-matches the exact DuckDB set
+    computation; at warehouse ndv the same plan degrades to
+    ~1/sqrt(2^lgk) per estimate."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.create_rollup(
+        "events",
+        "ts",
+        "1 hour",
+        dims=[],
+        measures=[],
+        theta_cols=["user_id"],
+        theta_lgk=12,
+    )
+    d = eng.rollup_audience_diff(
+        "events",
+        "user_id",
+        "2024-01-03 00:00:00",
+        "2024-01-04 00:00:00",
+        "2024-01-04 00:00:00",
+        "2024-01-05 00:00:00",
+    )
+    return spark.createDataFrame(
+        [
+            (
+                d["distinct_a"],
+                d["distinct_b"],
+                d["returning"],
+                d["union_cnt"],
+                d["new_in_b"],
+                d["churned"],
+            )
+        ],
+        "distinct_a long, distinct_b long, returning long, "
+        "union_cnt long, new_in_b long, churned long",
+    )
+
+
+_ROLLUP_AUDIENCE_ORACLE = """
+WITH a AS (SELECT DISTINCT user_id AS u FROM events
+           WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+             AND ts < TIMESTAMP '2024-01-04 00:00:00'),
+     b AS (SELECT DISTINCT user_id AS u FROM events
+           WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+             AND ts < TIMESTAMP '2024-01-05 00:00:00')
+SELECT (SELECT COUNT(*) FROM a)::BIGINT AS distinct_a,
+       (SELECT COUNT(*) FROM b)::BIGINT AS distinct_b,
+       (SELECT COUNT(*) FROM a JOIN b ON a.u = b.u)::BIGINT AS returning,
+       ((SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+        - (SELECT COUNT(*) FROM a JOIN b ON a.u = b.u))::BIGINT
+         AS union_cnt,
+       (SELECT COUNT(*) FROM b
+        WHERE u NOT IN (SELECT u FROM a))::BIGINT AS new_in_b,
+       (SELECT COUNT(*) FROM a
+        WHERE u NOT IN (SELECT u FROM b))::BIGINT AS churned
+"""
+
+
 def _pii_oracle() -> str:
     from approximate_query_engine_spark.functions.pii import PII_PATTERNS
 
@@ -3315,7 +3385,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the text family keeps q66's corpus chain + q59/q70/q79 in-window),
 #: and q99 (top-k from combined rollup state) took q84's (persisted
 #: top-k sketch — the heavy-hitter family keeps q87/q89, the persisted
-#: sketch read path keeps q50 CMS + q54 HLL in-window).
+#: sketch read path keeps q50 CMS + q54 HLL in-window), and q100
+#: (day-over-day new/returning users from theta rollup state) took
+#: q68's (bottom-k per-group sample — the sampling family keeps
+#: q47/q48/q49/q71/q76/q77/q81 in-window).
 #: Round-7 rotation (VERDICT r6 instruction 2, extended): the round-6
 #: flagship surfaces q90 (star-join fact-scan routing) and q92
 #: (stream→rollup merge) — both previously oracled only via the local
@@ -3359,7 +3432,7 @@ _CHECK_WINDOW_ORDER = [
     "q87_grouped_topk",
     "q66_corpus_prepare",
     "q98_pii_scrub",
-    "q68_bottomk_sample",
+    "q100_rollup_audience",
     "q69_dedup_keep_best",
     "q70_contamination",
     "q71_mixture_sample",
@@ -3460,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q97_rollup_quantile"] = _q_rollup_quantile
     out["q98_pii_scrub"] = _q_pii_scrub
     out["q99_rollup_topk"] = _q_rollup_topk
+    out["q100_rollup_audience"] = _q_rollup_audience
     return _reorder_check_window(out)
 
 
@@ -3520,5 +3594,6 @@ def oracle_sql() -> dict[str, str]:
     out["q97_rollup_quantile"] = _ROLLUP_QUANTILE_ORACLE
     out["q98_pii_scrub"] = _pii_oracle()
     out["q99_rollup_topk"] = _ROLLUP_TOPK_ORACLE
+    out["q100_rollup_audience"] = _ROLLUP_AUDIENCE_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

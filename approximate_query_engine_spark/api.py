@@ -248,6 +248,8 @@ def create_app(engine: AQEngine, config: Config | None = None):
                     kll_k=int(body.get("kll_k", 200)),
                     topk_cols=body.get("topk_cols"),
                     topk_budget=int(body.get("topk_budget", 1024)),
+                    theta_cols=body.get("theta_cols"),
+                    theta_lgk=int(body.get("theta_lgk", 12)),
                 )
             )
         except (KeyError, ValueError) as e:

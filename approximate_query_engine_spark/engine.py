@@ -606,6 +606,8 @@ class AQEngine:
         kll_k: int = 200,
         topk_cols: list[str] | None = None,
         topk_budget: int = 1024,
+        theta_cols: list[str] | None = None,
+        theta_lgk: int = 12,
     ) -> dict:
         """Materialize a continuous-aggregate rollup of ``table`` (partial
         count/sum/min/max state per (time bucket, dims)) under the catalog
@@ -642,6 +644,8 @@ class AQEngine:
             kll_k,
             topk_cols or [],
             topk_budget,
+            theta_cols or [],
+            theta_lgk,
         )
         path = os.path.join(self.catalog.workdir, f"rollup_{spec.rollup_name}")
         materialize_rollup(self.spark, spec, path=path)
@@ -668,6 +672,8 @@ class AQEngine:
             "kll_k": int(kll_k),
             "topk_cols": list(topk_cols or []),
             "topk_budget": int(topk_budget),
+            "theta_cols": list(theta_cols or []),
+            "theta_lgk": int(theta_lgk),
             # freshness gate: routing declines when the base table's
             # catalog row count drifts from this (same contract as
             # partitioned layouts — maintenance/register keep it current)
@@ -734,6 +740,8 @@ class AQEngine:
             int(info.get("kll_k", 200)),
             list(info.get("topk_cols", [])),
             int(info.get("topk_budget", 1024)),
+            list(info.get("theta_cols", [])),
+            int(info.get("theta_lgk", 12)),
         )
         if since is None:
             dates = list_bucket_dirs(
@@ -760,6 +768,69 @@ class AQEngine:
             "built_row_count": int(current),
         }
 
+    def _fresh_rollup_with(
+        self, table: str, field: str, column: str, kind: str
+    ) -> dict:
+        """The table's FRESH rollup entry whose ``field`` list tracks
+        ``column`` — raises (never silently serves stale or untracked
+        state) and re-registers the files view on a fresh session."""
+        entries = [
+            e
+            for e in self.catalog.rollups.get(table, [])
+            if column in e.get(field, [])
+        ]
+        if not entries:
+            raise ValueError(
+                f"no rollup of {table!r} tracks {kind} state for {column!r}"
+            )
+        info = entries[0]
+        current = self.catalog.get_row_count(table)
+        if current is None or info.get("built_row_count") != current:
+            raise ValueError(
+                f"rollup {info['view']} is stale for {table!r}; refresh it"
+            )
+        src = info.get("files_view") or info["view"]
+        if not self.spark.catalog.tableExists(src):
+            self.spark.read.parquet(info["path"]).createOrReplaceTempView(
+                info["files_view"]
+            )
+        return info
+
+    def _aligned_range_pred(
+        self, info: dict, lo: str | None, hi: str | None
+    ) -> str:
+        """bucket_start + p_date predicate text for a [lo, hi) range that
+        must fall on the rollup's bucket grid (misaligned bounds would
+        slice a bucket, which combined state cannot — raise instead)."""
+        from datetime import datetime
+
+        from approximate_query_engine_spark.operators.rollup import (
+            _parse_literal,
+        )
+
+        bsec = int(info["bucket_seconds"])
+        conds = []
+        for name, op, val in (("lo", ">=", lo), ("hi", "<", hi)):
+            if val is None:
+                continue
+            dt = _parse_literal(f"'{val}'")
+            if dt is None:
+                raise ValueError(
+                    f"{name} must be a timestamp literal: {val!r}"
+                )
+            epoch = dt.replace(tzinfo=None) - datetime(1970, 1, 1)
+            if int(epoch.total_seconds() * 1_000_000) % (bsec * 1_000_000):
+                raise ValueError(
+                    f"{name}={val!r} is not aligned to the {info['bucket']} "
+                    "bucket grid"
+                )
+            conds.append(f"bucket_start {op} TIMESTAMP '{val}'")
+            conds.append(
+                f"p_date {'>=' if op == '>=' else '<='} "
+                f"'{dt.strftime('%Y-%m-%d')}'"
+            )
+        return " AND ".join(conds) if conds else "true"
+
     def rollup_top_items(
         self,
         table: str,
@@ -782,56 +853,13 @@ class AQEngine:
         beyond it the Misra–Gries ``3.5·n/budget`` bound applies — the
         same contract as sketches.grouped_top_k, but over state that is
         never rebuilt per query. Returns (item, cnt, rank) rows."""
-        from datetime import datetime
-
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        from approximate_query_engine_spark.operators.rollup import (
-            _parse_literal,
-        )
-
-        entries = [
-            e
-            for e in self.catalog.rollups.get(table, [])
-            if column in e.get("topk_cols", [])
-        ]
-        if not entries:
-            raise ValueError(
-                f"no rollup of {table!r} tracks top-k state for {column!r}"
-            )
-        info = entries[0]
-        current = self.catalog.get_row_count(table)
-        if current is None or info.get("built_row_count") != current:
-            raise ValueError(
-                f"rollup {info['view']} is stale for {table!r}; refresh it"
-            )
-        bsec = int(info["bucket_seconds"])
+        info = self._fresh_rollup_with(table, "topk_cols", column, "top-k")
         budget = int(info.get("topk_budget", 1024))
-        conds, prune = [], []
-        for name, op, val in (("lo", ">=", lo), ("hi", "<", hi)):
-            if val is None:
-                continue
-            dt = _parse_literal(f"'{val}'")
-            if dt is None:
-                raise ValueError(f"{name} must be a timestamp literal: {val!r}")
-            epoch = dt.replace(tzinfo=None) - datetime(1970, 1, 1)
-            if int(epoch.total_seconds() * 1_000_000) % (bsec * 1_000_000):
-                raise ValueError(
-                    f"{name}={val!r} is not aligned to the {info['bucket']} "
-                    "bucket grid"
-                )
-            conds.append(f"bucket_start {op} TIMESTAMP '{val}'")
-            prune.append(
-                f"p_date {'>=' if op == '>=' else '<='} "
-                f"'{dt.strftime('%Y-%m-%d')}'"
-            )
+        where = self._aligned_range_pred(info, lo, hi)
         src = info.get("files_view") or info["view"]
-        if not self.spark.catalog.tableExists(src):
-            self.spark.read.parquet(info["path"]).createOrReplaceTempView(
-                info["files_view"]
-            )
-        where = " AND ".join(conds + prune) if conds else "true"
         # candidate_k: how many items the sketch RETURNS before the
         # deterministic (cnt DESC, item ASC) re-rank — widen toward the
         # column's ndv when exact tie-breaks at the k boundary matter
@@ -875,6 +903,68 @@ class AQEngine:
             .where(F.col("rank") <= k)
             .orderBy("rank")
         )
+
+    def rollup_audience_diff(
+        self,
+        table: str,
+        column: str,
+        a_lo: str,
+        a_hi: str,
+        b_lo: str,
+        b_hi: str,
+    ) -> dict:
+        """Cross-window SET ALGEBRA from rollup theta state: distinct
+        ``column`` keys of window A ([a_lo, a_hi)) vs window B — |A|,
+        |B|, |A∩B| (returning), |A∪B|, |B\\A| (new in B), |A\\B|
+        (churned) — the week-over-week retention primitive, answered
+        without re-reading the fact table. HLL state can only union;
+        theta sketches support intersection/difference (Dasgupta et al.,
+        the DataSketches theta framework), which is why ``theta_cols``
+        exists alongside ``distinct_cols``. Exact while each window's
+        distinct keys fit 2^theta_lgk (the sketch's exact mode);
+        ~1/sqrt(2^lgk) relative error per estimate beyond. Bounds must
+        fall on the bucket grid (raise, never silently slice)."""
+        from pyspark.sql import functions as F
+
+        info = self._fresh_rollup_with(
+            table, "theta_cols", column, "theta set-algebra"
+        )
+        src = info.get("files_view") or info["view"]
+        sketches = []
+        for tag, lo, hi in (("a", a_lo, a_hi), ("b", b_lo, b_hi)):
+            pred = self._aligned_range_pred(info, lo, hi)
+            ranged = self.spark.table(src).where(pred)
+            # theta_union_agg of zero rows is a valid EMPTY sketch (est
+            # 0) — an empty window is a caller mistake, not an audience
+            # of zero, so check emptiness explicitly
+            if ranged.isEmpty():
+                raise ValueError(
+                    f"no rollup buckets of {info['view']} fall in "
+                    f"[{lo}, {hi})"
+                )
+            row = ranged.agg(
+                F.expr(f"theta_union_agg(`{column}_theta`)").alias("sk")
+            ).collect()[0]
+            sketches.append((tag, bytes(row["sk"])))
+        df = self.spark.createDataFrame(
+            [(sketches[0][1], sketches[1][1])], "ska binary, skb binary"
+        )
+        est = "CAST(ROUND(theta_sketch_estimate({0})) AS BIGINT)"
+        out = df.select(
+            F.expr(est.format("ska")).alias("distinct_a"),
+            F.expr(est.format("skb")).alias("distinct_b"),
+            F.expr(
+                est.format("theta_intersection(ska, skb)")
+            ).alias("returning"),
+            F.expr(est.format("theta_union(ska, skb)")).alias("union_cnt"),
+            F.expr(
+                est.format("theta_difference(skb, ska)")
+            ).alias("new_in_b"),
+            F.expr(
+                est.format("theta_difference(ska, skb)")
+            ).alias("churned"),
+        ).collect()[0]
+        return {k: int(v) for k, v in out.asDict().items()}
 
     def _route_rollup(
         self,

@@ -346,6 +346,8 @@ def run_maintenance(
                             kll_k=int(info.get("kll_k", 200)),
                             topk_cols=info.get("topk_cols"),
                             topk_budget=int(info.get("topk_budget", 1024)),
+                            theta_cols=info.get("theta_cols"),
+                            theta_lgk=int(info.get("theta_lgk", 12)),
                         )
                 except Exception as exc:
                     report.errors.append(

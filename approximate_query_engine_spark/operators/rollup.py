@@ -62,6 +62,15 @@ class RollupSpec:
     #: (same contract as sketches.grouped_top_k).
     topk_cols: list[str] = field(default_factory=list)
     topk_budget: int = 1024
+    #: columns tracked for cross-window SET ALGEBRA: each gets a theta
+    #: sketch column (``theta_sketch_agg``) that unions across buckets
+    #: and, unlike HLL, supports INTERSECTION/DIFFERENCE between two
+    #: window ranges — "new vs returning users this week" answers from
+    #: state via :meth:`AQEngine.rollup_audience_diff`. Exact while each
+    #: range's distinct keys fit 2^theta_lgk; ~1/sqrt(2^lgk) relative
+    #: error per estimate beyond (Dasgupta et al., DataSketches theta).
+    theta_cols: list[str] = field(default_factory=list)
+    theta_lgk: int = 12
 
     @property
     def rollup_name(self) -> str:
@@ -896,6 +905,8 @@ def rewrite_to_rollup_hybrid(
     kll_k = int(info.get("kll_k", 200))
     topk_cols = list(info.get("topk_cols", []))
     topk_budget = int(info.get("topk_budget", 1024))
+    theta_cols = list(info.get("theta_cols", []))
+    theta_lgk = int(info.get("theta_lgk", 12))
     state_cols = (
         ["n_rows"]
         + [
@@ -906,6 +917,7 @@ def rewrite_to_rollup_hybrid(
         + [f"{dc}_hll" for dc in distinct_cols]
         + [f"{qc}_kll" for qc in quantile_cols]
         + [f"{tc}_topk" for tc in topk_cols]
+        + [f"{sc}_theta" for sc in theta_cols]
     )
     proj = ", ".join(["bucket_start", *dims, *state_cols])
 
@@ -952,6 +964,11 @@ def rewrite_to_rollup_hybrid(
         fresh_state.append(
             f"approx_top_k_accumulate(`{tc}`, {topk_budget}) "
             f"AS {tc}_topk"
+        )
+    for sc in theta_cols:
+        fresh_state.append(
+            f"theta_sketch_agg(CAST(`{sc}` AS STRING), {theta_lgk}) "
+            f"AS {sc}_theta"
         )
     bucket_expr = (
         f"TIMESTAMP_SECONDS(CAST(FLOOR(UNIX_TIMESTAMP({ts}) / {bsec}) "
@@ -1408,6 +1425,13 @@ def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
                 f"{int(spec.topk_budget)})"
             ).alias(f"{tc}_topk")
         )
+    for sc in spec.theta_cols:
+        aggs.append(
+            F.expr(
+                f"theta_sketch_agg(CAST(`{sc}` AS STRING), "
+                f"{int(spec.theta_lgk)})"
+            ).alias(f"{sc}_theta")
+        )
     return (
         df.groupBy(
             F.window(F.col(spec.time_col), spec.bucket).alias("w"), *spec.dims
@@ -1425,6 +1449,7 @@ def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
             *[f"{dc}_hll" for dc in spec.distinct_cols],
             *[f"{qc}_kll" for qc in spec.quantile_cols],
             *[f"{tc}_topk" for tc in spec.topk_cols],
+            *[f"{sc}_theta" for sc in spec.theta_cols],
         )
         .withColumn(_PDATE, F.date_format("bucket_start", "yyyy-MM-dd"))
     )
@@ -1601,6 +1626,10 @@ def merge_rollup_batch(
                     f"approx_top_k_combine(`{tc}_topk`, "
                     f"{int(spec.topk_budget)})"
                 ).alias(f"{tc}_topk")
+            )
+        for sc in spec.theta_cols:
+            merge_aggs.append(
+                F.expr(f"theta_union_agg(`{sc}_theta`)").alias(f"{sc}_theta")
             )
         merged = (
             existing.unionByName(rolled)

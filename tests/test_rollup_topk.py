@@ -133,3 +133,76 @@ def test_merge_batch_preserves_topk_state(spark):
     assert [(r["item"], r["cnt"]) for r in got] == [
         (r["item"], r["cnt"]) for r in want
     ]
+
+
+@pytest.fixture(scope="module")
+def theng(spark):
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_rollup_theta_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    e.create_rollup(
+        "events",
+        "ts",
+        "1 hour",
+        dims=[],
+        measures=[],
+        theta_cols=["user_id"],
+        theta_lgk=12,
+    )
+    return e
+
+
+def test_audience_diff_exact_below_budget(theng):
+    got = theng.rollup_audience_diff(
+        "events",
+        "user_id",
+        "2024-01-02 00:00:00",
+        "2024-01-03 00:00:00",
+        "2024-01-03 00:00:00",
+        "2024-01-04 00:00:00",
+    )
+    ex = theng.spark.sql(
+        """
+        WITH a AS (SELECT DISTINCT user_id u FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+                     AND ts < TIMESTAMP '2024-01-03 00:00:00'),
+             b AS (SELECT DISTINCT user_id u FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                     AND ts < TIMESTAMP '2024-01-04 00:00:00')
+        SELECT (SELECT COUNT(*) FROM a) da, (SELECT COUNT(*) FROM b) db,
+               (SELECT COUNT(*) FROM a JOIN b ON a.u = b.u) ret,
+               (SELECT COUNT(*) FROM b
+                WHERE u NOT IN (SELECT u FROM a)) new_b,
+               (SELECT COUNT(*) FROM a
+                WHERE u NOT IN (SELECT u FROM b)) churn
+        """
+    ).collect()[0]
+    assert got["distinct_a"] == ex["da"]
+    assert got["distinct_b"] == ex["db"]
+    assert got["returning"] == ex["ret"]
+    assert got["new_in_b"] == ex["new_b"]
+    assert got["churned"] == ex["churn"]
+    assert got["union_cnt"] == ex["da"] + ex["db"] - ex["ret"]
+
+
+def test_audience_diff_guards(theng):
+    with pytest.raises(ValueError, match="not aligned"):
+        theng.rollup_audience_diff(
+            "events", "user_id",
+            "2024-01-02 00:00:01", "2024-01-03 00:00:00",
+            "2024-01-03 00:00:00", "2024-01-04 00:00:00",
+        )
+    with pytest.raises(ValueError, match="no rollup buckets"):
+        theng.rollup_audience_diff(
+            "events", "user_id",
+            "2030-01-01 00:00:00", "2030-01-02 00:00:00",
+            "2024-01-03 00:00:00", "2024-01-04 00:00:00",
+        )
+    with pytest.raises(ValueError, match="theta set-algebra"):
+        theng.rollup_audience_diff(
+            "events", "event_type",
+            "2024-01-02 00:00:00", "2024-01-03 00:00:00",
+            "2024-01-03 00:00:00", "2024-01-04 00:00:00",
+        )
