@@ -45,7 +45,7 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ),
     (
         "phone",
-        r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+        r"(?:\+\d{1,3}[- ])?\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b",
         "[PHONE]",
     ),
     (
@@ -62,12 +62,16 @@ def pii_count_expr(text_col: str | Column, pattern: str) -> Column:
     return F.array_size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
 
 
-def redact_expr(text_col: str | Column) -> Column:
-    """The text with every PII match replaced by its typed placeholder,
-    applied in PII_PATTERNS order (most specific first)."""
+def redact_expr(text_col: str | Column, token: str | None = None) -> Column:
+    """The text with every PII match replaced by its typed placeholder
+    (or by the uniform ``token`` when given), applied in PII_PATTERNS
+    order (most specific first). Idempotent as long as the placeholders
+    match no pattern — they don't."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     for _name, pattern, placeholder in PII_PATTERNS:
-        col = F.regexp_replace(col, F.lit(pattern), F.lit(placeholder))
+        col = F.regexp_replace(
+            col, F.lit(pattern), F.lit(token or placeholder)
+        )
     return col
 
 

@@ -411,34 +411,31 @@ def tf_idf(
 #: operator in this module relies on. Ordered dict: redaction applies
 #: patterns IN THIS ORDER (email before phone so the digits of an
 #: already-redacted email can't re-match as a phone fragment).
-PII_PATTERNS: dict[str, str] = {
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    "phone": r"(?:\+\d{1,3}[- ])?\b\d{3}[- ]\d{3,4}[- ]\d{4}\b",
-}
-
-
 def count_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """→ input + one ``pii_<kind>`` count column per pattern — pure
     scan-side ``regexp_count``, zero shuffle. Counting BEFORE redaction is
     the audit trail: aggregate the counts to decide whether a source needs
-    quarantining rather than silent scrubbing."""
+    quarantining rather than silent scrubbing. The patterns live in
+    ``functions/pii.py`` (the canonical PII module — typed placeholders,
+    grouped stats, oracle-parity contract); this wrapper keeps the
+    original corpus-chain call shape."""
+    from approximate_query_engine_spark.functions.pii import (
+        PII_PATTERNS,
+        pii_count_expr,
+    )
+
     out = df
-    for kind, pat in PII_PATTERNS.items():
-        out = out.withColumn(
-            f"pii_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
-        )
+    for kind, pat, _ph in PII_PATTERNS:
+        out = out.withColumn(f"pii_{kind}", pii_count_expr(text_col, pat))
     return out
 
 
 def redact_pii(
     df: DataFrame, text_col: str = "text", token: str = "[PII]"
 ) -> DataFrame:
-    """Replace every PII match with ``token`` in :data:`PII_PATTERNS`
-    order, in place in ``text_col`` — a chain of ``regexp_replace``
-    (global replace), still one scan-side projection with zero shuffle.
-    Idempotent as long as ``token`` itself matches no pattern."""
-    col: Column = F.col(text_col)
-    for pat in PII_PATTERNS.values():
-        col = F.regexp_replace(col, pat, token)
-    return df.withColumn(text_col, col)
+    """Replace every PII match with ``token`` in pattern order, in place
+    in ``text_col`` — one scan-side projection, zero shuffle, idempotent
+    (the token matches no pattern). Delegates to ``functions/pii.py``."""
+    from approximate_query_engine_spark.functions.pii import redact_expr
+
+    return df.withColumn(text_col, redact_expr(text_col, token=token))
