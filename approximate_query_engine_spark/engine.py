@@ -1045,11 +1045,25 @@ class AQEngine:
             usable.append(info)
 
         def _allow_distinct(info) -> bool:
-            hll_err = 1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
-            return (
-                not prefer_exact
-                and bool(info.get("distinct_cols"))
-                and max_rel_error >= 2 * hll_err
+            # 2-standard-error gate; COUNT(DISTINCT) may be served from
+            # HLL state (distinct_cols) or theta state (theta_cols —
+            # same accuracy family, rse 1/√2^lgk vs 1.04/√2^lgk). The
+            # flag is one bool for the whole rewrite, so EVERY distinct
+            # state family the rollup tracks must pass its own gate —
+            # conservative when the two are configured at different lgk
+            if prefer_exact:
+                return False
+            gates = []
+            if info.get("distinct_cols"):
+                gates.append(
+                    1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
+                )
+            if info.get("theta_cols"):
+                gates.append(
+                    1.0 / math.sqrt(2 ** int(info.get("theta_lgk", 12)))
+                )
+            return bool(gates) and all(
+                max_rel_error >= 2 * e for e in gates
             )
 
         def _allow_quantile(info) -> bool:

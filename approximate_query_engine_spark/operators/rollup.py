@@ -505,6 +505,7 @@ def rewrite_to_rollup(
     if parsed.table_alias:
         scopes.add(parsed.table_alias)
     distinct_set = set(info.get("distinct_cols", []))
+    theta_set = set(info.get("theta_cols", []))
     quantile_set = set(info.get("quantile_cols", []))
     kll_k = int(info.get("kll_k", 200))
     used_approx: list[str] = []
@@ -520,6 +521,7 @@ def rewrite_to_rollup(
         }
         | {f"{dc}_hll" for dc in distinct_set}
         | {f"{qc}_kll" for qc in quantile_set}
+        | {f"{sc}_theta" for sc in theta_set}
     )
 
     def strip(e: str) -> str:
@@ -550,13 +552,21 @@ def rewrite_to_rollup(
     def rewrite_agg(agg) -> str | None:
         if agg.distinct:
             arg = strip(agg.arg)
-            if (
-                allow_approx_distinct
-                and agg.func == "COUNT"
-                and arg in distinct_set
-            ):
-                used_approx.append(arg)
-                return f"hll_sketch_estimate(hll_union_agg({arg}_hll))"
+            if allow_approx_distinct and agg.func == "COUNT":
+                if arg in distinct_set:
+                    used_approx.append(arg)
+                    return (
+                        f"hll_sketch_estimate(hll_union_agg({arg}_hll))"
+                    )
+                # theta state serves plain distinct counts too (union
+                # then estimate) — same accuracy family (~1/√2^lgk), so
+                # the caller's HLL tolerance gate covers it
+                if arg in theta_set:
+                    used_approx.append(arg)
+                    return (
+                        f"CAST(ROUND(theta_sketch_estimate("
+                        f"theta_union_agg({arg}_theta))) AS BIGINT)"
+                    )
             return None
         if agg.is_quantile:
             if not allow_approx_quantile:
@@ -746,11 +756,21 @@ def rewrite_to_rollup(
         import math
 
         parts = []
-        if used_approx:
+        hll_used = sorted({a for a in used_approx if a in distinct_set})
+        theta_used = sorted(
+            {a for a in used_approx if a in theta_set and a not in distinct_set}
+        )
+        if hll_used:
             err = 1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
             parts.append(
-                f"COUNT(DISTINCT {', '.join(sorted(set(used_approx)))}) "
+                f"COUNT(DISTINCT {', '.join(hll_used)}) "
                 f"from merged HLL sketch state, rel err ≈ {err:.1%}"
+            )
+        if theta_used:
+            terr = 1.0 / math.sqrt(2 ** int(info.get("theta_lgk", 12)))
+            parts.append(
+                f"COUNT(DISTINCT {', '.join(theta_used)}) "
+                f"from merged theta sketch state, rel err ≈ {terr:.1%}"
             )
         if used_quantile:
             qerr = kll_rank_error(kll_k)
@@ -1036,6 +1056,12 @@ def rewrite_to_rollup_hybrid(
             parts.append(
                 f"COUNT(DISTINCT) from HLL state merged across both "
                 f"branches, rel err ≈ {err:.1%}"
+            )
+        if "theta sketch state" in inner_note:
+            terr = 1.0 / math.sqrt(2 ** int(info.get("theta_lgk", 12)))
+            parts.append(
+                f"COUNT(DISTINCT) from theta state merged across both "
+                f"branches, rel err ≈ {terr:.1%}"
             )
         if "KLL" in inner_note:
             parts.append(

@@ -206,3 +206,35 @@ def test_audience_diff_guards(theng):
             "2024-01-02 00:00:00", "2024-01-03 00:00:00",
             "2024-01-03 00:00:00", "2024-01-04 00:00:00",
         )
+
+
+def test_count_distinct_served_from_theta_state(theng, duck):
+    """A rollup tracking theta_cols (but no HLL) serves routed
+    COUNT(DISTINCT) from unioned theta state — exact below 2^lgk."""
+    sql = (
+        "SELECT COUNT(DISTINCT user_id) AS du FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00'"
+    )
+    r = theng.query(sql, max_rel_error=0.05)
+    assert r["status"] == "ok", r.get("error")
+    assert r["plan"]["type"] == "sketch"
+    assert "theta sketch state" in r["plan"]["reason"]
+    want = duck.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00'"
+    ).fetchone()[0]
+    assert r["result"][0]["du"] == want
+
+
+def test_theta_distinct_tolerance_gate(theng):
+    # 2·(1/sqrt(4096)) ≈ 3.1%: a 1% tolerance must decline the state path
+    sql = (
+        "SELECT COUNT(DISTINCT user_id) AS du FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00'"
+    )
+    r = theng.query(sql, max_rel_error=0.01)
+    assert r["status"] == "ok"
+    assert "theta sketch state" not in r["plan"]["reason"]

@@ -437,3 +437,102 @@ def test_merge_recovery_publishes_newer_staged_batch(spark, tmp_path):
     out = ru.merge_rollup_batch(spark, mkdf(12, 100.0), spec, path, batch_id=1)
     assert out == {"merged": False, "reason": "batch already merged"}
     assert total_n() == 42
+
+
+def test_stream_to_rollup_carries_sketch_state(spark, tmp_path):
+    """Micro-batch merges must carry EVERY sketch-state kind (HLL, KLL,
+    top-k, theta): a streamed three-batch build answers identically to
+    the one-shot batch rollup — compared on ESTIMATES (sketch binaries
+    may differ by merge order; below their budgets the answers cannot)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.operators.rollup import (
+        RollupSpec,
+        materialize_rollup,
+    )
+    from approximate_query_engine_spark.streaming.approx_stream import (
+        stream_to_rollup,
+    )
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        (
+            base + datetime.timedelta(days=d, hours=h, minutes=7 * (h % 3)),
+            ["click", "view"][h % 2],
+            float(d * 100 + h),
+            f"u{(d * 24 + h) % 17}",
+        )
+        for d in range(3)
+        for h in range(24)
+    ]
+    schema = "ts timestamp, event_type string, value double, uid string"
+    src_dir = str(tmp_path / "src")
+    for d in range(3):
+        day = [r for r in rows if r[0].day == 1 + d]
+        spark.createDataFrame(day, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    spec = RollupSpec(
+        "stream_sketch_src",
+        "ts",
+        "1 hour",
+        ["event_type"],
+        ["value"],
+        distinct_cols=["uid"],
+        quantile_cols=["value"],
+        kll_k=800,
+        topk_cols=["uid"],
+        topk_budget=1024,
+        theta_cols=["uid"],
+    )
+    path = str(tmp_path / "rollup_sketch")
+    stream_to_rollup(stream, spec, path)
+    spark.createDataFrame(rows, schema).createOrReplaceTempView(
+        "stream_sketch_src"
+    )
+    batch = materialize_rollup(spark, spec)
+
+    def answers(df):
+        row = (
+            df.coalesce(1)
+            .agg(
+                F.expr(
+                    "CAST(hll_sketch_estimate(hll_union_agg(uid_hll)) "
+                    "AS BIGINT)"
+                ).alias("du"),
+                F.expr(
+                    "kll_sketch_get_quantile_double("
+                    "kll_merge_agg_double(value_kll, 800), 0.5)"
+                ).alias("med"),
+                F.expr(
+                    "CAST(ROUND(theta_sketch_estimate("
+                    "theta_union_agg(uid_theta))) AS BIGINT)"
+                ).alias("dt"),
+                F.expr(
+                    "approx_top_k_estimate("
+                    "approx_top_k_combine(uid_topk, 1024), 1024)"
+                ).alias("tk"),
+            )
+            .collect()[0]
+        )
+        return (
+            row["du"],
+            row["med"],
+            row["dt"],
+            sorted((e["item"], e["count"]) for e in row["tk"]),
+        )
+
+    streamed_path_df = spark.read.parquet(path)
+    got = answers(streamed_path_df)
+    want = answers(batch)
+    assert got == want
+    # and the estimates are the exact truths below every budget
+    assert got[0] == 17 and got[2] == 17
