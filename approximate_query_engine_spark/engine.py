@@ -608,6 +608,7 @@ class AQEngine:
         topk_budget: int = 1024,
         theta_cols: list[str] | None = None,
         theta_lgk: int = 12,
+        derive: bool = True,
     ) -> dict:
         """Materialize a continuous-aggregate rollup of ``table`` (partial
         count/sum/min/max state per (time bucket, dims)) under the catalog
@@ -617,12 +618,23 @@ class AQEngine:
         at 100 TB dashboards scan the rollup, never the fact table.
         ``distinct_cols`` adds HLL sketch state (routed COUNT(DISTINCT));
         ``quantile_cols`` adds KLL sketch state (routed MEDIAN /
-        PERCENTILE, rank error ≤ kll_rank_error(kll_k))."""
+        PERCENTILE, rank error ≤ kll_rank_error(kll_k)); ``topk_cols`` /
+        ``theta_cols`` add heavy-hitter and set-algebra state.
+
+        ``derive`` (default on): when a FRESH finer-grain rollup of the
+        same table already holds a superset of the requested state, this
+        build re-aggregates THAT rollup's state instead of re-scanning
+        the fact table — the hierarchical continuous-aggregate build
+        (day-from-hour costs a state scan, not a fact scan; every state
+        kind is mergeable by construction)."""
         import os
 
         from approximate_query_engine_spark.operators.rollup import (
+            _PDATE,
             RollupSpec,
             bucket_seconds,
+            can_derive_rollup,
+            derive_rollup_state,
             materialize_rollup,
         )
 
@@ -647,15 +659,55 @@ class AQEngine:
             theta_cols or [],
             theta_lgk,
         )
-        path = os.path.join(self.catalog.workdir, f"rollup_{spec.rollup_name}")
-        materialize_rollup(self.spark, spec, path=path)
-        files_view = f"{spec.rollup_name}__files"
-        self.spark.read.parquet(path).createOrReplaceTempView(files_view)
-        n_buckets = self.spark.table(spec.rollup_name).count()
         base_rows = self.catalog.get_row_count(table)
         if base_rows is None:
             base_rows = self.spark.table(table).count()
             self.catalog.upsert_table_stats(table, base_rows)
+        path = os.path.join(self.catalog.workdir, f"rollup_{spec.rollup_name}")
+        derived_from = None
+        if derive:
+            for e in self.catalog.rollups.get(table, []):
+                if e["view"] == spec.rollup_name:
+                    continue
+                if e.get("built_row_count") != base_rows:
+                    continue  # stale fine state would bake in the drift
+                if e.get("time_col") != time_col:
+                    continue
+                fine = RollupSpec(
+                    table,
+                    e["time_col"],
+                    e["bucket"],
+                    list(e.get("dims", [])),
+                    list(e.get("measures", [])),
+                    list(e.get("distinct_cols", [])),
+                    int(e.get("hll_lgk", 12)),
+                    list(e.get("quantile_cols", [])),
+                    int(e.get("kll_k", 200)),
+                    list(e.get("topk_cols", [])),
+                    int(e.get("topk_budget", 1024)),
+                    list(e.get("theta_cols", [])),
+                    int(e.get("theta_lgk", 12)),
+                )
+                if can_derive_rollup(fine, spec) is not None:
+                    continue
+                if not self.spark.catalog.tableExists(fine.rollup_name):
+                    self.spark.read.parquet(e["path"]).drop(
+                        _PDATE
+                    ).createOrReplaceTempView(fine.rollup_name)
+                rolled = derive_rollup_state(self.spark, fine, spec)
+                rolled.write.mode("overwrite").partitionBy(_PDATE).parquet(
+                    path
+                )
+                self.spark.read.parquet(path).drop(
+                    _PDATE
+                ).createOrReplaceTempView(spec.rollup_name)
+                derived_from = e["view"]
+                break
+        if derived_from is None:
+            materialize_rollup(self.spark, spec, path=path)
+        files_view = f"{spec.rollup_name}__files"
+        self.spark.read.parquet(path).createOrReplaceTempView(files_view)
+        n_buckets = self.spark.table(spec.rollup_name).count()
         info = {
             "source_table": table,
             "view": spec.rollup_name,
@@ -694,6 +746,9 @@ class AQEngine:
             "bucket": bucket,
             "dims": info["dims"],
             "measures": info["measures"],
+            # provenance: which finer rollup's state this build
+            # re-aggregated (None = built from the raw table)
+            "derived_from": derived_from,
         }
 
     def refresh_rollup(

@@ -99,6 +99,107 @@ def materialize_rollup(
     return rolled
 
 
+def can_derive_rollup(fine: RollupSpec, coarse: RollupSpec) -> str | None:
+    """None when ``coarse`` is derivable from ``fine``'s state, else the
+    human-readable reason it is not. Derivable = coarse bucket is a
+    multiple of fine's, coarse dims/measures/sketch columns are subsets
+    of fine's, and every sketch parameter matches (merging state built
+    at a different k/lgk would silently change the error contract)."""
+    fb, cb = bucket_seconds(fine.bucket), bucket_seconds(coarse.bucket)
+    if fb is None or cb is None:
+        return "non-fixed-width bucket"
+    if cb % fb != 0:
+        return f"coarse bucket {coarse.bucket!r} not a multiple of {fine.bucket!r}"
+    if not set(coarse.dims) <= set(fine.dims):
+        return "coarse dims not a subset of fine dims"
+    if set(coarse.dims) != set(fine.dims):
+        # collapsing a dim is STATE-sound (counts add, sketches merge)
+        # but changes which raw groups a bucket row represents — allowed
+        pass
+    for name in ("measures", "distinct_cols", "quantile_cols",
+                 "topk_cols", "theta_cols"):
+        if not set(getattr(coarse, name)) <= set(getattr(fine, name)):
+            return f"coarse {name} not a subset of fine {name}"
+    for pname in ("hll_lgk", "kll_k", "topk_budget", "theta_lgk"):
+        tracked = {
+            "hll_lgk": coarse.distinct_cols,
+            "kll_k": coarse.quantile_cols,
+            "topk_budget": coarse.topk_cols,
+            "theta_lgk": coarse.theta_cols,
+        }[pname]
+        if tracked and getattr(fine, pname) != getattr(coarse, pname):
+            return f"{pname} differs ({getattr(fine, pname)} vs {getattr(coarse, pname)})"
+    return None
+
+
+def derive_rollup_state(
+    spark: SparkSession, fine: RollupSpec, coarse: RollupSpec
+) -> DataFrame:
+    """Build ``coarse``'s state FROM ``fine``'s materialized state — the
+    hierarchical continuous-aggregate build: counts/sums add, min/max
+    combine, HLL/theta union, KLL merges, top-k combines, so a daily
+    rollup derives from the hourly one at rollup cost (the 20M-row fact
+    scan becomes a few-thousand-row state scan — at 100 TB this is the
+    only sane way to maintain a grain hierarchy). Raises ValueError when
+    the shapes are not derivable (:func:`can_derive_rollup`)."""
+    reason = can_derive_rollup(fine, coarse)
+    if reason:
+        raise ValueError(f"cannot derive {coarse.rollup_name}: {reason}")
+    src = spark.table(fine.rollup_name)
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for m in coarse.measures:
+        aggs += [
+            F.sum(f"{m}_count").alias(f"{m}_count"),
+            F.sum(f"{m}_sum").alias(f"{m}_sum"),
+            F.min(f"{m}_min").alias(f"{m}_min"),
+            F.max(f"{m}_max").alias(f"{m}_max"),
+        ]
+    for dc in coarse.distinct_cols:
+        aggs.append(F.hll_union_agg(f"{dc}_hll").alias(f"{dc}_hll"))
+    for qc in coarse.quantile_cols:
+        aggs.append(
+            F.expr(
+                f"kll_merge_agg_double(`{qc}_kll`, {int(coarse.kll_k)})"
+            ).alias(f"{qc}_kll")
+        )
+    for tc in coarse.topk_cols:
+        aggs.append(
+            F.expr(
+                f"approx_top_k_combine(`{tc}_topk`, "
+                f"{int(coarse.topk_budget)})"
+            ).alias(f"{tc}_topk")
+        )
+    for sc in coarse.theta_cols:
+        aggs.append(
+            F.expr(f"theta_union_agg(`{sc}_theta`)").alias(f"{sc}_theta")
+        )
+    out = (
+        src.groupBy(
+            F.window(F.col("bucket_start"), coarse.bucket)["start"].alias(
+                "bucket_start"
+            ),
+            *coarse.dims,
+        )
+        .agg(*aggs)
+        .select(
+            "bucket_start",
+            *coarse.dims,
+            "n_rows",
+            *[
+                f"{m}_{s}"
+                for m in coarse.measures
+                for s in ("count", "sum", "min", "max")
+            ],
+            *[f"{dc}_hll" for dc in coarse.distinct_cols],
+            *[f"{qc}_kll" for qc in coarse.quantile_cols],
+            *[f"{tc}_topk" for tc in coarse.topk_cols],
+            *[f"{sc}_theta" for sc in coarse.theta_cols],
+        )
+        .withColumn(_PDATE, F.date_format("bucket_start", "yyyy-MM-dd"))
+    )
+    return out
+
+
 def query_rollup(
     spark: SparkSession,
     spec: RollupSpec,

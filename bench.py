@@ -907,6 +907,33 @@ def main() -> None:
                 last_result[rollup_join_sql] = r["result"]
 
             _safe("rollup_join_answered", _rollup_join_routed)
+
+            # hierarchical build (late round 7): the DAILY rollup's state
+            # computed from the hourly rollup's state vs from the raw
+            # fact scan — the maintenance cost of a grain hierarchy.
+            # Both sides forced with count() (no write I/O in the ratio).
+            from approximate_query_engine_spark.operators.rollup import (
+                RollupSpec as _RSpecD,
+            )
+            from approximate_query_engine_spark.operators.rollup import (
+                _partial_state as _pstate,
+            )
+            from approximate_query_engine_spark.operators.rollup import (
+                derive_rollup_state as _derive_state,
+            )
+
+            day_spec = _RSpecD(
+                "events_big", "ts", "1 day", ["event_type"], ["value"]
+            )
+
+            def _derive_from_raw():
+                _pstate(spark.table("events_big"), day_spec).count()
+
+            def _derive_from_state():
+                _derive_state(spark, spec, day_spec).count()
+
+            _safe("rollup_derive_raw", _derive_from_raw)
+            _safe("rollup_derive_state", _derive_from_state)
             # disarm: later classes measure sample/layout plans on
             # events_big and must not silently hit the rollup instead
             eng.catalog.rollups.pop("events_big", None)
@@ -1755,6 +1782,10 @@ def main() -> None:
         speedups["rollup_topk"] = timings["rollup_topk_exact"] / max(
             timings["rollup_topk_answered"], 1e-9
         )
+    if "rollup_derive_raw" in timings and "rollup_derive_state" in timings:
+        speedups["rollup_derive"] = timings["rollup_derive_raw"] / max(
+            timings["rollup_derive_state"], 1e-9
+        )
 
     errors = {}
     for name, sql in {
@@ -1831,7 +1862,7 @@ def main() -> None:
         "rollup_route", "rollup_route_between", "rollup_distinct",
         "rollup_distinct_vs_exact", "rollup_join", "rollup_hybrid",
         "join_route", "theta_overlap", "rollup_quantile",
-        "rollup_quantile_vs_exact", "rollup_topk",
+        "rollup_quantile_vs_exact", "rollup_topk", "rollup_derive",
     ] + list(extra_class_sqls)
     sum200_classes = list(sum200_sqls)
     tiers = {
