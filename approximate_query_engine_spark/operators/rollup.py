@@ -1229,6 +1229,7 @@ def rewrite_join_to_rollup(
     dims = set(info["dims"])
     measures = set(info["measures"])
     distinct_set = set(info.get("distinct_cols", []))
+    theta_set = set(info.get("theta_cols", []))
     fact_alias = jq.alias_of(fact)  # alias if present, else table name
     R = fact_alias  # the rollup keeps the fact's alias in the FROM body
     used_approx: list[str] = []
@@ -1247,6 +1248,9 @@ def rewrite_join_to_rollup(
         {"n_rows", "bucket_start", "p_date"}
         | {f"{m}_{s}" for m in measures for s in ("count", "sum", "min", "max")}
         | {f"{dc}_hll" for dc in distinct_set}
+        | {f"{sc}_theta" for sc in theta_set}
+        | {f"{qc}_kll" for qc in info.get("quantile_cols", [])}
+        | {f"{tc}_topk" for tc in info.get("topk_cols", [])}
     )
 
     def resolve(ref: str) -> tuple[str, str] | None:
@@ -1290,10 +1294,28 @@ def rewrite_join_to_rollup(
             if not (allow_approx_distinct and agg.func == "COUNT"):
                 return None
             r = resolve(agg.arg)
-            if r is None or r[0] != fact or r[1] not in distinct_set:
+            if r is None or r[0] != fact:
                 return None
-            used_approx.append(r[1])
-            return f"hll_sketch_estimate(hll_union_agg({R}.{r[1]}_hll))"
+            if r[1] in distinct_set:
+                used_approx.append(r[1])
+                return (
+                    f"hll_sketch_estimate(hll_union_agg({R}.{r[1]}_hll))"
+                )
+            if r[1] in theta_set:
+                # theta union is idempotent like HLL union, so distinct
+                # stays correct under non-unique dim matches too
+                used_approx.append(r[1])
+                return (
+                    f"CAST(ROUND(theta_sketch_estimate("
+                    f"theta_union_agg({R}.{r[1]}_theta))) AS BIGINT)"
+                )
+            return None
+        # quantile (KLL) and top-k state must DECLINE over a join: a dim
+        # multiplicity of m repeats each fact value m times in the raw
+        # join, and sketch state cannot be weight-scaled — unlike
+        # counts/sums (multiply via SUM(n_rows)) or HLL/theta
+        # (idempotent union). Only the is_quantile grammar reaches here;
+        # it falls through to the whitelist below and declines.
         if agg.func not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
             return None
         if agg.func == "COUNT" and (agg.is_star or agg.arg.strip() == "1"):
@@ -1508,13 +1530,27 @@ def rewrite_join_to_rollup(
     if used_approx:
         import math
 
-        err = 1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
+        parts = []
+        hll_used = sorted({a for a in used_approx if a in distinct_set})
+        theta_used = sorted(
+            {a for a in used_approx if a in theta_set and a not in distinct_set}
+        )
+        if hll_used:
+            err = 1.04 / math.sqrt(2 ** int(info.get("hll_lgk", 12)))
+            parts.append(
+                f"COUNT(DISTINCT {', '.join(hll_used)}) from merged HLL "
+                f"sketch state, rel err ≈ {err:.1%}"
+            )
+        if theta_used:
+            terr = 1.0 / math.sqrt(2 ** int(info.get("theta_lgk", 12)))
+            parts.append(
+                f"COUNT(DISTINCT {', '.join(theta_used)}) from merged "
+                f"theta sketch state, rel err ≈ {terr:.1%}"
+            )
         note = (
             f"star join answered from materialized rollup {info['view']} "
             f"(bucket {info['bucket']}; fact scan replaced by partial-agg "
-            f"state; COUNT(DISTINCT {', '.join(sorted(set(used_approx)))}) "
-            f"from merged HLL sketch state, rel err ≈ {err:.1%}; other "
-            "aggregates exact)"
+            f"state; {'; '.join(parts)}; other aggregates exact)"
         )
     else:
         note = (

@@ -238,3 +238,42 @@ def test_theta_distinct_tolerance_gate(theng):
     r = theng.query(sql, max_rel_error=0.01)
     assert r["status"] == "ok"
     assert "theta sketch state" not in r["plan"]["reason"]
+
+
+def test_join_distinct_served_from_theta_state(theng, spark):
+    """The star-join rewrite serves COUNT(DISTINCT fact_col) from theta
+    state too (union is idempotent under dim multiplicity, like HLL)."""
+    spark.createDataFrame(
+        [("click", "Click!"), ("view", "View"), ("purchase", "Buy"),
+         ("signup", "Join"), ("error", "Err")],
+        "event_type string, label string",
+    ).createOrReplaceTempView("theta_dim")
+    theng.catalog.upsert_table_stats("theta_dim", 5)
+    # the join key must be a rollup DIM (the module fixture's rollup has
+    # none) — register a dimensioned theta rollup under its own bucket tag
+    theng.create_rollup(
+        "events",
+        "ts",
+        "60 minutes",
+        dims=["event_type"],
+        measures=[],
+        theta_cols=["user_id"],
+        theta_lgk=12,
+    )
+    sql = (
+        "SELECT d.label AS label, COUNT(DISTINCT e.user_id) AS du "
+        "FROM events e JOIN theta_dim d ON e.event_type = d.event_type "
+        "WHERE e.ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND e.ts < TIMESTAMP '2024-01-05 00:00:00' "
+        "GROUP BY d.label ORDER BY d.label"
+    )
+    r = theng.query(sql, max_rel_error=0.05)
+    assert r["status"] == "ok", r.get("error")
+    assert "star join answered from materialized rollup" in r["plan"]["reason"]
+    assert "theta sketch state" in r["plan"]["reason"]
+    want = {
+        (x["label"], x["du"])
+        for x in theng.spark.sql(sql).collect()
+    }
+    got = {(x["label"], x["du"]) for x in r["result"]}
+    assert got == want  # theta exact below 2^lgk
