@@ -117,3 +117,52 @@ def test_can_derive_rules():
             quantile_cols=["v"], kll_k=200,
         ),
     )
+
+
+def test_routing_metamorphic_fuzz(heng):
+    """Metamorphic property over the WHOLE routing stack (plain rewrite,
+    hybrid, hierarchy, sketch state): for random bounds (aligned or not)
+    and random aggregate shapes, the engine answer equals the raw Spark
+    answer — whichever plan routing picked. Sketch-served aggregates are
+    exact below their budgets at this scale, so equality is strict."""
+    import random
+
+    rng = random.Random(77)
+    aggs = [
+        ("COUNT(*) AS n", "COUNT(*) AS n"),
+        ("SUM(value) AS sv", "SUM(value) AS sv"),
+        ("MIN(value) AS mn", "MIN(value) AS mn"),
+        ("MAX(value) AS mx", "MAX(value) AS mx"),
+        ("COUNT(DISTINCT user_id) AS du", "COUNT(DISTINCT user_id) AS du"),
+    ]
+    for trial in range(18):
+        lo_h = rng.randrange(0, 24 * 6)
+        span_h = rng.randrange(1, 72)
+        # mix of bucket-aligned and off-grid bounds
+        lo_m = rng.choice([0, 0, 17])
+        hi_m = rng.choice([0, 0, 43])
+        lo = f"2024-01-{2 + lo_h // 24:02d} {lo_h % 24:02d}:{lo_m:02d}:00"
+        hi_h = lo_h + span_h
+        hi = f"2024-01-{2 + hi_h // 24:02d} {hi_h % 24:02d}:{hi_m:02d}:00"
+        chosen = rng.sample(aggs, rng.randrange(1, 4))
+        sel = ", ".join(c[0] for c in chosen)
+        group = rng.choice(["", " GROUP BY event_type"])
+        prefix = "event_type, " if group else ""
+        order = " ORDER BY event_type" if group else ""
+        sql = (
+            f"SELECT {prefix}{sel} FROM events "
+            f"WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'"
+            f"{group}{order}"
+        )
+        r = heng.query(sql, max_rel_error=0.05)
+        assert r["status"] == "ok", (sql, r.get("error"))
+        raw = [x.asDict() for x in heng.spark.sql(sql).collect()]
+        got = r["result"]
+        assert len(got) == len(raw), (sql, r["plan"]["reason"])
+        for a, b in zip(got, raw):
+            for k, v in b.items():
+                g = a[k]
+                if isinstance(v, float):
+                    assert g == pytest.approx(v, rel=1e-9), (sql, k)
+                else:
+                    assert g == v, (sql, k, r["plan"]["reason"])
