@@ -275,6 +275,53 @@ def create_app(engine: AQEngine, config: Config | None = None):
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500
 
+    @app.post("/rollups/top_items")
+    def rollups_top_items():
+        """Heavy hitters over a bucket-aligned window from COMBINED
+        rollup top-k state (engine.rollup_top_items) — the fact table is
+        never re-read."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            rows = engine.rollup_top_items(
+                body["table"],
+                body["column"],
+                k=int(body.get("k", 10)),
+                lo=body.get("lo"),
+                hi=body.get("hi"),
+                candidate_k=(
+                    int(body["candidate_k"])
+                    if body.get("candidate_k") is not None
+                    else None
+                ),
+            ).collect()
+            return jsonify({"items": [r.asDict() for r in rows]})
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
+    @app.post("/rollups/audience_diff")
+    def rollups_audience_diff():
+        """New/returning/churned distinct keys between two windows from
+        theta rollup state (engine.rollup_audience_diff) — the set
+        algebra HLL cannot express."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            return jsonify(
+                engine.rollup_audience_diff(
+                    body["table"],
+                    body["column"],
+                    body["a_lo"],
+                    body["a_hi"],
+                    body["b_lo"],
+                    body["b_hi"],
+                )
+            )
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
     @app.get("/rollups")
     def rollups_list():
         return jsonify(

@@ -296,3 +296,61 @@ def test_rollups_routes(client, engine):
     # events-aggregate plan assertions stay order-independent
     engine.catalog.rollups.pop("events", None)
     engine.catalog.save()
+
+
+def test_rollup_state_routes(client, engine):
+    """POST /rollups/top_items and /rollups/audience_diff answer from
+    combined sketch state; guard errors surface as 400s."""
+    out = client.post(
+        "/rollups/create",
+        json={
+            "table": "events",
+            "time_col": "ts",
+            "bucket": "30 minutes",
+            "dims": [],
+            "measures": [],
+            "topk_cols": ["user_id"],
+            "topk_budget": 1024,
+            "theta_cols": ["user_id"],
+        },
+    ).get_json()
+    assert out["rollup"] == "events__rollup_30_minutes"
+    top = client.post(
+        "/rollups/top_items",
+        json={
+            "table": "events",
+            "column": "user_id",
+            "k": 3,
+            "lo": "2024-01-02 00:00:00",
+            "hi": "2024-01-05 00:00:00",
+            "candidate_k": 1024,
+        },
+    ).get_json()
+    assert len(top["items"]) == 3
+    assert top["items"][0]["rank"] == 1
+    assert top["items"][0]["cnt"] >= top["items"][1]["cnt"]
+    diff = client.post(
+        "/rollups/audience_diff",
+        json={
+            "table": "events",
+            "column": "user_id",
+            "a_lo": "2024-01-02 00:00:00",
+            "a_hi": "2024-01-03 00:00:00",
+            "b_lo": "2024-01-03 00:00:00",
+            "b_hi": "2024-01-04 00:00:00",
+        },
+    ).get_json()
+    assert diff["union_cnt"] == (
+        diff["distinct_a"] + diff["new_in_b"]
+    )
+    assert diff["returning"] + diff["new_in_b"] == diff["distinct_b"]
+    # misaligned bound → 400, not a silently sliced bucket
+    bad = client.post(
+        "/rollups/top_items",
+        json={
+            "table": "events",
+            "column": "user_id",
+            "lo": "2024-01-02 00:10:09",
+        },
+    )
+    assert bad.status_code == 400
