@@ -666,34 +666,8 @@ class AQEngine:
         path = os.path.join(self.catalog.workdir, f"rollup_{spec.rollup_name}")
         derived_from = None
         if derive:
-            for e in self.catalog.rollups.get(table, []):
-                if e["view"] == spec.rollup_name:
-                    continue
-                if e.get("built_row_count") != base_rows:
-                    continue  # stale fine state would bake in the drift
-                if e.get("time_col") != time_col:
-                    continue
-                fine = RollupSpec(
-                    table,
-                    e["time_col"],
-                    e["bucket"],
-                    list(e.get("dims", [])),
-                    list(e.get("measures", [])),
-                    list(e.get("distinct_cols", [])),
-                    int(e.get("hll_lgk", 12)),
-                    list(e.get("quantile_cols", [])),
-                    int(e.get("kll_k", 200)),
-                    list(e.get("topk_cols", [])),
-                    int(e.get("topk_budget", 1024)),
-                    list(e.get("theta_cols", [])),
-                    int(e.get("theta_lgk", 12)),
-                )
-                if can_derive_rollup(fine, spec) is not None:
-                    continue
-                if not self.spark.catalog.tableExists(fine.rollup_name):
-                    self.spark.read.parquet(e["path"]).drop(
-                        _PDATE
-                    ).createOrReplaceTempView(fine.rollup_name)
+            fine = self._derivable_fine(table, spec, base_rows)
+            if fine is not None:
                 rolled = derive_rollup_state(self.spark, fine, spec)
                 rolled.write.mode("overwrite").partitionBy(_PDATE).parquet(
                     path
@@ -701,8 +675,7 @@ class AQEngine:
                 self.spark.read.parquet(path).drop(
                     _PDATE
                 ).createOrReplaceTempView(spec.rollup_name)
-                derived_from = e["view"]
-                break
+                derived_from = fine.rollup_name
         if derived_from is None:
             materialize_rollup(self.spark, spec, path=path)
         files_view = f"{spec.rollup_name}__files"
@@ -750,6 +723,52 @@ class AQEngine:
             # re-aggregated (None = built from the raw table)
             "derived_from": derived_from,
         }
+
+    def _derivable_fine(self, table, spec, base_rows):
+        """The FRESH finer-grain rollup spec of ``table`` whose state can
+        derive ``spec`` (create/refresh hierarchy source), with its temp
+        view registered — or None. Freshness = the fine entry was built
+        against exactly ``base_rows``; a stale fine would bake its drift
+        into the derived state."""
+        from approximate_query_engine_spark.operators.rollup import (
+            _PDATE,
+            RollupSpec,
+            can_derive_rollup,
+        )
+
+        for e in self.catalog.rollups.get(table, []):
+            if e["view"] == spec.rollup_name:
+                continue
+            if e.get("built_row_count") != base_rows:
+                continue
+            if e.get("time_col") != spec.time_col:
+                continue
+            fine = RollupSpec(
+                table,
+                e["time_col"],
+                e["bucket"],
+                list(e.get("dims", [])),
+                list(e.get("measures", [])),
+                list(e.get("distinct_cols", [])),
+                int(e.get("hll_lgk", 12)),
+                list(e.get("quantile_cols", [])),
+                int(e.get("kll_k", 200)),
+                list(e.get("topk_cols", [])),
+                int(e.get("topk_budget", 1024)),
+                list(e.get("theta_cols", [])),
+                int(e.get("theta_lgk", 12)),
+            )
+            if can_derive_rollup(fine, spec) is not None:
+                continue
+            if not self.spark.catalog.tableExists(fine.rollup_name):
+                try:
+                    self.spark.read.parquet(e["path"]).drop(
+                        _PDATE
+                    ).createOrReplaceTempView(fine.rollup_name)
+                except Exception:
+                    continue  # materialization gone — not usable
+            return fine
+        return None
 
     def refresh_rollup(
         self,
@@ -808,12 +827,29 @@ class AQEngine:
                     "directories; rebuild with create_rollup"
                 )
             since = dates[-1]
-        refresh_rollup_buckets(self.spark, spec, info["path"], since)
+        # hierarchical refresh: when an ALREADY-REFRESHED finer rollup
+        # can derive this one, recompute the tail from ITS state — day
+        # refreshes from hour at state-scan cost. The freshness gate
+        # (fine.built_row_count == current source rows) guarantees the
+        # fine layout already reflects the data this refresh targets.
+        current = self.spark.table(table).count()
+        fine = self._derivable_fine(table, spec, current)
+        if fine is not None:
+            from approximate_query_engine_spark.operators.rollup import (
+                refresh_rollup_buckets_from_state,
+            )
+
+            refresh_rollup_buckets_from_state(
+                self.spark, fine, spec, info["path"], since
+            )
+            refreshed_from = fine.rollup_name
+        else:
+            refresh_rollup_buckets(self.spark, spec, info["path"], since)
+            refreshed_from = None
         # the files view pinned the PRE-refresh file listing — re-register
         self.spark.read.parquet(info["path"]).createOrReplaceTempView(
             info["files_view"]
         )
-        current = self.spark.table(table).count()
         self.catalog.upsert_table_stats(table, current)
         info["built_row_count"] = int(current)
         self.catalog.save()
@@ -821,6 +857,7 @@ class AQEngine:
             "rollup": info["view"],
             "refreshed_since": since,
             "built_row_count": int(current),
+            "refreshed_from": refreshed_from,
         }
 
     def _fresh_rollup_with(

@@ -298,7 +298,12 @@ def run_maintenance(
     # mismatch) falls back to the full rebuild, which is always sound.
     for table, entries in sorted(catalog.rollups.items()):
         current = catalog.get_row_count(table)
-        for info in list(entries):
+        # finest bucket first: once the hourly rollup is repaired, the
+        # daily one's refresh derives from ITS state (engine.
+        # refresh_rollup's hierarchical path) instead of re-scanning raw
+        for info in sorted(
+            entries, key=lambda i: i.get("bucket_seconds", 0)
+        ):
             report.checked += 1
             label = f"{table}:rollup[{info['view']}]"
             if current is None:

@@ -133,7 +133,10 @@ def can_derive_rollup(fine: RollupSpec, coarse: RollupSpec) -> str | None:
 
 
 def derive_rollup_state(
-    spark: SparkSession, fine: RollupSpec, coarse: RollupSpec
+    spark: SparkSession,
+    fine: RollupSpec,
+    coarse: RollupSpec,
+    src: DataFrame | None = None,
 ) -> DataFrame:
     """Build ``coarse``'s state FROM ``fine``'s materialized state — the
     hierarchical continuous-aggregate build: counts/sums add, min/max
@@ -145,7 +148,8 @@ def derive_rollup_state(
     reason = can_derive_rollup(fine, coarse)
     if reason:
         raise ValueError(f"cannot derive {coarse.rollup_name}: {reason}")
-    src = spark.table(fine.rollup_name)
+    if src is None:
+        src = spark.table(fine.rollup_name)
     aggs = [F.sum("n_rows").alias("n_rows")]
     for m in coarse.measures:
         aggs += [
@@ -1880,4 +1884,40 @@ def refresh_rollup_buckets(
     )
     final = spark.read.parquet(path).drop(_PDATE)
     final.createOrReplaceTempView(spec.rollup_name)
+    return final
+
+
+def refresh_rollup_buckets_from_state(
+    spark: SparkSession,
+    fine: RollupSpec,
+    coarse: RollupSpec,
+    path: str,
+    since_bucket,
+) -> DataFrame:
+    """Hierarchical tail refresh: recompute the coarse rollup's date
+    directories from ``since_bucket`` by re-aggregating the (already
+    refreshed) FINE rollup's state instead of the raw table — the
+    maintenance pattern of a grain hierarchy: hour refreshes from raw
+    (one day's scan), day refreshes from hour (a state scan). Same
+    dynamic-partition-overwrite contract as :func:`refresh_rollup_buckets`
+    (the recompute boundary snaps to the coarse bucket's date partition;
+    append-mostly data). The caller is responsible for the fine rollup
+    being FRESH — engine.refresh_rollup gates on its built_row_count."""
+    since_date = str(since_bucket)[:10]
+    src = spark.table(fine.rollup_name).filter(
+        F.date_format(
+            F.window(F.col("bucket_start"), coarse.bucket)["start"],
+            "yyyy-MM-dd",
+        )
+        >= F.lit(since_date)
+    )
+    fresh = derive_rollup_state(spark, fine, coarse, src=src)
+    (
+        fresh.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(_PDATE)
+        .parquet(path)
+    )
+    final = spark.read.parquet(path).drop(_PDATE)
+    final.createOrReplaceTempView(coarse.rollup_name)
     return final

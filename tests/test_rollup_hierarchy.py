@@ -166,3 +166,63 @@ def test_routing_metamorphic_fuzz(heng):
                     assert g == pytest.approx(v, rel=1e-9), (sql, k)
                 else:
                     assert g == v, (sql, k, r["plan"]["reason"])
+
+
+def test_hierarchical_refresh_uses_fine_state(spark):
+    """After appending tail data: refreshing the hourly rollup (raw
+    scan), then the daily one, derives the daily tail from HOURLY STATE
+    (refreshed_from provenance), touches only the tail date dirs, and
+    both serve the appended rows exactly."""
+    import datetime
+    import glob
+    import os
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(days=d, hours=h), "a", float(d * 10 + h))
+        for d in range(5)
+        for h in range(4)
+    ]
+    schema = "ts timestamp, event_type string, value double"
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("hier_src")
+    e = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_hier_rf_"))
+    e.catalog.upsert_table_stats("hier_src", len(rows))
+    e.create_rollup(
+        "hier_src", "ts", "1 hour", dims=["event_type"], measures=["value"]
+    )
+    r_day = e.create_rollup(
+        "hier_src", "ts", "1 day", dims=["event_type"], measures=["value"]
+    )
+    assert r_day["derived_from"] == "hier_src__rollup_1_hour"
+    day_path = next(
+        i["path"]
+        for i in e.catalog.rollups["hier_src"]
+        if i["view"] == "hier_src__rollup_1_day"
+    )
+
+    def mtimes(day):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{day_path}/p_date=2024-03-0{day}/*.parquet")
+        }
+
+    head_before = {d: mtimes(d) for d in (1, 2, 3)}
+    late = [(datetime.datetime(2024, 3, 5, 1, 30), "a", 999.0)]
+    spark.createDataFrame(rows + late, schema).createOrReplaceTempView(
+        "hier_src"
+    )
+    e.catalog.upsert_table_stats("hier_src", len(rows) + 1)
+    out_h = e.refresh_rollup("hier_src", view="hier_src__rollup_1_hour")
+    assert out_h["refreshed_from"] is None  # hour refreshes from raw
+    out_d = e.refresh_rollup("hier_src", view="hier_src__rollup_1_day")
+    assert out_d["refreshed_from"] == "hier_src__rollup_1_hour"
+    assert {d: mtimes(d) for d in (1, 2, 3)} == head_before
+    r = e.query(
+        "SELECT COUNT(*) AS n, SUM(value) AS sv FROM hier_src "
+        "WHERE ts >= TIMESTAMP '2024-03-01 00:00:00' "
+        "AND ts < TIMESTAMP '2024-03-06 00:00:00'"
+    )
+    assert "rollup" in r["plan"]["reason"]
+    assert r["result"][0]["n"] == len(rows) + 1
+    raw = spark.sql("SELECT SUM(value) AS sv FROM hier_src").collect()[0]
+    assert r["result"][0]["sv"] == raw["sv"]
