@@ -699,6 +699,9 @@ class AQEngine:
             "topk_budget": int(topk_budget),
             "theta_cols": list(theta_cols or []),
             "theta_lgk": int(theta_lgk),
+            # provenance (observability only — routing never reads it):
+            # which finer rollup's state this build re-aggregated
+            "derived_from": derived_from,
             # freshness gate: routing declines when the base table's
             # catalog row count drifts from this (same contract as
             # partitioned layouts — maintenance/register keep it current)
