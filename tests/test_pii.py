@@ -88,3 +88,64 @@ def test_patterns_avoid_lookaround_and_backrefs():
     for name, pattern, _ph in PII_PATTERNS:
         assert "(?=" not in pattern and "(?<" not in pattern, name
         assert "\\1" not in pattern, name
+
+
+def test_cross_engine_parity_on_random_corpus(spark, duck):
+    """Randomized parity sweep: on 300 random documents with embedded
+    PII-ish fragments (and near-miss decoys), Spark's Java regex and
+    DuckDB's RE2 must agree on every per-type count AND on the redacted
+    text — the exact property the q98 hash oracle rests on."""
+    import random
+
+    rng = random.Random(20260815)
+    frags = [
+        lambda: f"user{rng.randrange(999)}@ex-{rng.randrange(9)}.org",
+        lambda: f"{rng.randrange(100,999)}-{rng.randrange(100,999)}-{rng.randrange(1000,9999)}",
+        lambda: f"{rng.randrange(1,255)}.{rng.randrange(255)}.{rng.randrange(255)}.{rng.randrange(1,255)}",
+        lambda: f"{rng.randrange(100,999)}-{rng.randrange(10,99)}-{rng.randrange(1000,9999)}",
+        lambda: (
+            f"{rng.randrange(1000,9999)}-{rng.randrange(1000,9999)}-"
+            f"{rng.randrange(1000,9999)}-{rng.randrange(1000,9999)}"
+        ),
+        # decoys: near-misses that must NOT match
+        lambda: f"v{rng.randrange(9)}.{rng.randrange(9)}.{rng.randrange(9)}",
+        lambda: f"{rng.randrange(10,99)}-{rng.randrange(10,99)}",
+        lambda: "a@b",
+        lambda: f"{rng.randrange(10000,99999)}.{rng.randrange(10000,99999)}",
+    ]
+    words = ["lorem", "ipsum", "dolor", "sit", "(amet)", "42", "x.y", "@", "-"]
+    rows = []
+    for i in range(300):
+        parts = []
+        for _ in range(rng.randrange(3, 14)):
+            parts.append(
+                frags[rng.randrange(len(frags))]()
+                if rng.random() < 0.4
+                else words[rng.randrange(len(words))]
+            )
+        rows.append((i, " ".join(parts)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            tuple(r[f"pii_{n}"] for n, _p, _ph in PII_PATTERNS),
+            r["text_redacted"],
+        )
+        for r in with_pii(df).collect()
+    }
+    duck.execute("DROP TABLE IF EXISTS pii_rand")
+    duck.execute("CREATE TABLE pii_rand(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO pii_rand VALUES (?,?)", rows)
+    red = "text"
+    for _n, pattern, placeholder in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pattern}', '{placeholder}', 'g')"
+    counts = ", ".join(
+        f"length(regexp_extract_all(text, '{p}'))"
+        for _n, p, _ph in PII_PATTERNS
+    )
+    want = {
+        row[0]: (tuple(row[1:-1]), row[-1])
+        for row in duck.execute(
+            f"SELECT doc_id, {counts}, {red} FROM pii_rand ORDER BY doc_id"
+        ).fetchall()
+    }
+    assert got == want
