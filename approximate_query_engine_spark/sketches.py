@@ -697,6 +697,10 @@ def segment_overlap(
                 f"theta_sketch_agg(CAST(`{key_col}` AS STRING), {int(lg_k)})"
             ).alias("sk")
         )
+        # both sides of the pairwise self-join consume this: pin the
+        # S-row sketch frame so the raw table is scanned ONCE, not once
+        # per branch (plan audit showed two full scans otherwise)
+        .localCheckpoint(eager=False)
     )
     a = per_seg.select(
         F.col("seg").alias("seg_a"), F.col("sk").alias("sk_a")
