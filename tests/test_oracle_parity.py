@@ -105,18 +105,18 @@ def test_check_window_ordering():
         "q07_having": "q74_group_sum_having",
         "q08_min_max": "q73_minmax_distinct",
         "q10_distinct_exact": "q73_minmax_distinct",
-        "q12_join_dims": "q13_join_fact",
-        "q14_join3_agg": "q13_join_fact",
+        "q12_join_dims": "q90_join_routing",
+        "q14_join3_agg": "q94_rollup_join",
         "q20_sessionize": "q62_stream_sessions",
         "q21_sys_sample_count": "q76_sample_group_ci",
         "q22_sys_sample_group_sum": "q76_sample_group_ci",
         "q23_sample_ci": "q76_sample_group_ci",
         "q38_part_stats": "q74_group_sum_having",
         "q39_customer_segments": "q74_group_sum_having",
-        "q40_region_revenue": "q13_join_fact",
+        "q40_region_revenue": "q90_join_routing",
         "q41_rollup": "q74_group_sum_having",
-        "q42_anti_join": "q13_join_fact",
-        "q43_semi_join": "q13_join_fact",
+        "q42_anti_join": "q46_asof_join",
+        "q43_semi_join": "q46_asof_join",
         "q45_date_funcs": "q64_retention",  # date arithmetic family
         # upgraded from rows-only to oracled in round 4 (portable
         # hyperplane-fold oracle); its component family is in-window
@@ -125,7 +125,7 @@ def test_check_window_ordering():
         # flagship surfaces q47/q78-q84 moved INTO the window; these
         # redundant exact-SQL slots moved out, each with an in-window
         # family representative.
-        "q09_topk": "q15_window_top_order",
+        "q09_topk": "q87_grouped_topk",  # top-k ordering family
         "q16_setop": "q11_tpch_q1",  # plain pass-through SQL family
         "q17_events_hour": "q35_stream_window",  # events time-agg family
         "q19_case_agg": "q11_tpch_q1",  # exact scalar-agg pass-through
@@ -142,7 +142,7 @@ def test_check_window_ordering():
         "q18_events_json": "q66_corpus_prepare",  # scalar-func-heavy scan
         "q27_fingerprint": "q69_dedup_keep_best",  # fingerprint -> dedup
         "q65_grouping_sets": "q74_group_sum_having",
-        "q75_anti_semi_join": "q13_join_fact",
+        "q75_anti_semi_join": "q46_asof_join",
         # JOIN-shape routing extends the in-window q86/q88 routing family
         "q90_join_routing": "q86_partition_routing",
         # q91 (rollup SQL routing, the family's newest surface) took
@@ -157,8 +157,17 @@ def test_check_window_ordering():
         "q24_doc_stats": "q66_corpus_prepare",  # doc quality stats
         "q57_sessionize": "q62_stream_sessions",  # sessionization family
         # q95 (real-time hybrid) took q53's slot; the skew-join family
-        # keeps q13/q46/q83/q90/q94 in-window
-        "q53_salted_join": "q13_join_fact",
+        # keeps q46/q83/q90/q94 in-window
+        "q53_salted_join": "q90_join_routing",
+        # late-round-7 rotation: q96-q100 (theta overlap, KLL rollup
+        # quantile, PII scrub, top-k-from-state, theta audience diff)
+        # moved INTO the window; these five stable slots moved out, each
+        # with an in-window family representative.
+        "q13_join_fact": "q90_join_routing",  # exact fact join family
+        "q15_window_top_order": "q87_grouped_topk",  # window/top-k order
+        "q67_repetition": "q66_corpus_prepare",  # text-quality family
+        "q84_heavy_hitters": "q87_grouped_topk",  # heavy-hitter family
+        "q68_bottomk_sample": "q76_sample_group_ci",  # sampling family
     }
     for name in names[50:]:
         if name in oracled:
