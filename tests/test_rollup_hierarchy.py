@@ -226,3 +226,55 @@ def test_hierarchical_refresh_uses_fine_state(spark):
     assert r["result"][0]["n"] == len(rows) + 1
     raw = spark.sql("SELECT SUM(value) AS sv FROM hier_src").collect()[0]
     assert r["result"][0]["sv"] == raw["sv"]
+
+
+def test_join_routing_metamorphic_fuzz(heng, spark):
+    """Same metamorphic property for the STAR-JOIN grammar: random
+    aggregate subsets, time bounds, dim-side filters, and HAVING clauses
+    over fact ⋈ dim must answer identically through the engine (whether
+    the join routes to the rollup or runs raw) and through Spark SQL."""
+    import random
+
+    spark.createDataFrame(
+        [("click", "c", 1), ("view", "v", 1), ("purchase", "p", 2),
+         ("signup", "s", 2), ("error", "e", 3)],
+        "event_type string, label string, tier int",
+    ).createOrReplaceTempView("fuzz_dim")
+    heng.catalog.upsert_table_stats("fuzz_dim", 5)
+    rng = random.Random(41)
+    aggs = [
+        "COUNT(*) AS n",
+        "SUM(e.value) AS sv",
+        "MIN(e.value) AS mn",
+        "AVG(e.value) AS av",
+        "COUNT(DISTINCT e.user_id) AS du",
+    ]
+    for trial in range(12):
+        lo_d = rng.randrange(2, 6)
+        hi_d = lo_d + rng.randrange(1, 4)
+        chosen = rng.sample(aggs, rng.randrange(1, 4))
+        sel = ", ".join(chosen)
+        dimf = rng.choice(["", " AND d.tier <= 2", " AND d.label <> 'v'"])
+        having = (
+            " HAVING COUNT(*) > 3"
+            if rng.random() < 0.3 and "COUNT(*) AS n" in chosen
+            else ""
+        )
+        sql = (
+            f"SELECT d.label AS label, {sel} "
+            f"FROM events e JOIN fuzz_dim d ON e.event_type = d.event_type "
+            f"WHERE e.ts >= TIMESTAMP '2024-01-{lo_d:02d} 00:00:00' "
+            f"AND e.ts < TIMESTAMP '2024-01-{hi_d:02d} 00:00:00'{dimf} "
+            f"GROUP BY d.label{having} ORDER BY label"
+        )
+        r = heng.query(sql, max_rel_error=0.05)
+        assert r["status"] == "ok", (sql, r.get("error"))
+        raw = [x.asDict() for x in heng.spark.sql(sql).collect()]
+        got = r["result"]
+        assert len(got) == len(raw), (sql, r["plan"]["reason"])
+        for a, b in zip(got, raw):
+            for k, v in b.items():
+                if isinstance(v, float):
+                    assert a[k] == pytest.approx(v, rel=1e-9), (sql, k)
+                else:
+                    assert a[k] == v, (sql, k, r["plan"]["reason"])
