@@ -1505,6 +1505,50 @@ SELECT (SELECT COUNT(*) FROM a)::BIGINT AS distinct_a,
 """
 
 
+def _q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 pipeline surface: document CHUNKING into fixed 64-token
+    windows with 16-token overlap (functions/packing.chunk_documents —
+    pack_sequences' dual: packing joins short docs, chunking splits long
+    ones). Pure built-in split/sequence/posexplode/slice — a scan-side
+    flatMap, zero shuffle, no Python. The oracle replays the identical
+    windowing with DuckDB list functions; chunk text compares via md5 so
+    the hash check covers the full token content of every chunk."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.packing import (
+        chunk_documents,
+    )
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 300")
+    return chunk_documents(
+        docs, "text", chunk_tokens=64, overlap_tokens=16
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_chunk_tokens",
+    )
+
+
+_CHUNKING_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 300
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+s AS (
+  SELECT doc_id, toks, n, UNNEST(range(0, n, 48)) AS start FROM nz
+)
+SELECT doc_id,
+  CAST(start / 48 AS INT) AS chunk_id,
+  md5(array_to_string(list_slice(toks, start + 1, start + 64), ' '))
+    AS chunk_md5,
+  CAST(LEAST(64, n - start) AS INT) AS n_chunk_tokens
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
 def _pii_oracle() -> str:
     from approximate_query_engine_spark.functions.pii import PII_PATTERNS
 
@@ -3534,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q98_pii_scrub"] = _q_pii_scrub
     out["q99_rollup_topk"] = _q_rollup_topk
     out["q100_rollup_audience"] = _q_rollup_audience
+    out["q101_chunking"] = _q_chunking
     return _reorder_check_window(out)
 
 
@@ -3595,5 +3640,6 @@ def oracle_sql() -> dict[str, str]:
     out["q98_pii_scrub"] = _pii_oracle()
     out["q99_rollup_topk"] = _ROLLUP_TOPK_ORACLE
     out["q100_rollup_audience"] = _ROLLUP_AUDIENCE_ORACLE
+    out["q101_chunking"] = _CHUNKING_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -124,3 +124,60 @@ def write_training_shards(
         )
         .orderBy("shard")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into fixed-size token windows with overlap —
+    the context-window preparation step (pack_sequences' dual: packing
+    joins short docs, chunking splits long ones). Whitespace tokens;
+    chunk starts advance by ``chunk_tokens - overlap_tokens`` so
+    consecutive chunks share exactly ``overlap_tokens`` tokens (the last
+    chunk may be shorter). → one row per (doc, chunk): ``chunk_id``,
+    ``chunk_text``, ``n_chunk_tokens``.
+
+    Scale shape: split/sequence/posexplode/slice are all built-in
+    expressions — a scan-side flatMap with zero shuffle and no Python;
+    output rows ≈ corpus_tokens / step regardless of document skew.
+    Empty/whitespace-only documents yield no rows (nothing to window).
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap_tokens}) < chunk ({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap_tokens
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    out = (
+        df.withColumn("__toks", toks)
+        .withColumn("__n", F.array_size("__toks"))
+        .where(F.col("__n") > 0)
+        .select(
+            id_col,
+            "__toks",
+            "__n",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))
+            ).alias("chunk_id", "__start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__toks"), F.col("__start") + 1, chunk_tokens
+                ),
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.col("__n") - F.col("__start")
+            ).cast("int").alias("n_chunk_tokens"),
+        )
+    )
+    return out

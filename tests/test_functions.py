@@ -808,3 +808,42 @@ def test_pii_count_and_redact(spark):
     assert (agg["e"], agg["i"], agg["p"]) == (0, 0, 0)
     plan = count_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """Chunking invariants: consecutive full chunks share exactly
+    `overlap` tokens, every token index is covered, short/empty docs
+    behave (single short chunk / no rows), and bad params raise."""
+    import pytest as _pytest
+
+    from approximate_query_engine_spark.functions.packing import (
+        chunk_documents,
+    )
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),
+        (2, "a b c"),
+        (3, ""),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, overlap_tokens=1)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in out.collect()
+    }
+    # step 3: starts 0,3,6,9 over 10 tokens
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert got[(1, 3)] == ("t9", 1)
+    assert got[(2, 0)] == ("a b c", 3)
+    assert not any(d in (3, 4) for d, _c in got)  # empty docs: no rows
+    # coverage: concatenating chunks with overlap dropped reconstructs
+    toks = []
+    for cid in range(4):
+        ctoks = got[(1, cid)][0].split(" ")
+        toks.extend(ctoks if cid == 0 else ctoks[1:])
+    assert toks == [f"t{i}" for i in range(10)]
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)

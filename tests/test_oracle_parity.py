@@ -164,6 +164,9 @@ def test_check_window_ordering():
         # moved INTO the window; these five stable slots moved out, each
         # with an in-window family representative.
         "q13_join_fact": "q90_join_routing",  # exact fact join family
+        # q101 (document chunking) registers OUT of the full window; its
+        # packing/sequence family representative is in-window
+        "q101_chunking": "q78_pack_sequences",
         "q15_window_top_order": "q87_grouped_topk",  # window/top-k order
         "q67_repetition": "q66_corpus_prepare",  # text-quality family
         "q84_heavy_hitters": "q87_grouped_topk",  # heavy-hitter family
