@@ -110,12 +110,10 @@ def can_derive_rollup(fine: RollupSpec, coarse: RollupSpec) -> str | None:
         return "non-fixed-width bucket"
     if cb % fb != 0:
         return f"coarse bucket {coarse.bucket!r} not a multiple of {fine.bucket!r}"
+    # a strict subset collapses dims, which is STATE-sound (counts add,
+    # sketches merge) — only NEW dims are underivable
     if not set(coarse.dims) <= set(fine.dims):
         return "coarse dims not a subset of fine dims"
-    if set(coarse.dims) != set(fine.dims):
-        # collapsing a dim is STATE-sound (counts add, sketches merge)
-        # but changes which raw groups a bucket row represents — allowed
-        pass
     for name in ("measures", "distinct_cols", "quantile_cols",
                  "topk_cols", "theta_cols"):
         if not set(getattr(coarse, name)) <= set(getattr(fine, name)):

@@ -29,3 +29,52 @@ def test_concurrent_mixed_queries(engine):
         by_sql.setdefault(sql, set()).add(key)
     for sql, variants in by_sql.items():
         assert len(variants) == 1, f"nondeterministic concurrent results for {sql}"
+
+
+def test_concurrent_rollup_routed_queries(spark):
+    """Routed rollup reads are thread-safe: 8 threads × mixed routed
+    shapes (plain, hybrid, sketch-state) against one shared engine all
+    return the same answers as a single-threaded pass."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from approximate_query_engine_spark import AQEngine
+
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_conc_rollup_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    e.create_rollup(
+        "events",
+        "ts",
+        "1 hour",
+        dims=["event_type"],
+        measures=["value"],
+        quantile_cols=["value"],
+        kll_k=800,
+    )
+    sqls = [
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00' "
+        "GROUP BY event_type ORDER BY event_type",
+        "SELECT event_type, MEDIAN(value) AS med FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00' "
+        "GROUP BY event_type ORDER BY event_type",
+        "SELECT COUNT(*) AS n, MAX(value) AS mx FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-04 13:00:00'",
+    ]
+    baseline = [e.query(s, max_rel_error=0.05)["result"] for s in sqls]
+
+    def run(i):
+        s = sqls[i % len(sqls)]
+        r = e.query(s, max_rel_error=0.05)
+        assert r["status"] == "ok", r.get("error")
+        return (i % len(sqls), r["result"])
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for idx, res in pool.map(run, range(24)):
+            assert res == baseline[idx]
