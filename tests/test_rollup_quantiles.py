@@ -183,3 +183,38 @@ def test_kll_rank_error_formula():
     assert 0.015 < kll_rank_error(200) < 0.017
     assert 0.0040 < kll_rank_error(800) < 0.0045
     assert kll_rank_error(800) < kll_rank_error(200)
+
+
+def test_routed_scan_prunes_partitions_and_columns(qeng):
+    """The 100 TB plan shape, pinned: a routed COUNT-only query's file
+    scan must carry p_date PartitionFilters (date-directory pruning at
+    listing time) and a ReadSchema WITHOUT the KLL sketch column (column
+    pruning — state bytes are only read when an aggregate needs them)."""
+    import re
+
+    r = qeng.query(
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00' GROUP BY event_type"
+    )
+    assert "rollup" in r["plan"]["reason"]
+    plan = (
+        qeng.spark.sql(r["plan"]["sql"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf is not None
+    assert "p_date" in pf.group(0) and "2024-01-03" in pf.group(0)
+    rs = re.search(r"ReadSchema: [^\n]*", plan)
+    assert rs is not None and "value_kll" not in rs.group(0)
+    # and when the quantile IS requested, the state column is read
+    r2 = qeng.query(Q, max_rel_error=0.05)
+    plan2 = (
+        qeng.spark.sql(r2["plan"]["sql"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "value_kll" in re.search(r"ReadSchema: [^\n]*", plan2).group(0)
