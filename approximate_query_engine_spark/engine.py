@@ -934,6 +934,7 @@ class AQEngine:
         lo: str | None = None,
         hi: str | None = None,
         candidate_k: int | None = None,
+        dims: dict[str, str] | None = None,
     ):
         """Heavy hitters over a time range FROM PRE-AGGREGATED STATE: the
         rollup's ``approx_top_k_accumulate`` column for ``column`` is
@@ -954,6 +955,7 @@ class AQEngine:
         info = self._fresh_rollup_with(table, "topk_cols", column, "top-k")
         budget = int(info.get("topk_budget", 1024))
         where = self._aligned_range_pred(info, lo, hi)
+        where = self._with_dim_filter(info, where, dims)
         src = info.get("files_view") or info["view"]
         # candidate_k: how many items the sketch RETURNS before the
         # deterministic (cnt DESC, item ASC) re-rank — widen toward the
@@ -999,6 +1001,28 @@ class AQEngine:
             .orderBy("rank")
         )
 
+    def _with_dim_filter(
+        self, info: dict, where: str, dims: dict[str, str] | None
+    ) -> str:
+        """AND equality predicates on ROLLUP DIMS onto ``where`` — "top
+        users among clicks". Only registered dims are allowed (any other
+        column is not in the state's grouping, so filtering on it would
+        be semantically undefined — raise, never guess). Values bind as
+        string literals with quotes escaped."""
+        if not dims:
+            return where
+        valid = set(info.get("dims", []))
+        conds = []
+        for col, val in sorted(dims.items()):
+            if col not in valid:
+                raise ValueError(
+                    f"{col!r} is not a dimension of rollup {info['view']} "
+                    f"(dims: {sorted(valid)})"
+                )
+            lit = str(val).replace("'", "''")
+            conds.append(f"`{col}` = '{lit}'")
+        return " AND ".join([where, *conds])
+
     def rollup_audience_diff(
         self,
         table: str,
@@ -1007,6 +1031,7 @@ class AQEngine:
         a_hi: str,
         b_lo: str,
         b_hi: str,
+        dims: dict[str, str] | None = None,
     ) -> dict:
         """Cross-window SET ALGEBRA from rollup theta state: distinct
         ``column`` keys of window A ([a_lo, a_hi)) vs window B — |A|,
@@ -1027,7 +1052,9 @@ class AQEngine:
         src = info.get("files_view") or info["view"]
         sketches = []
         for tag, lo, hi in (("a", a_lo, a_hi), ("b", b_lo, b_hi)):
-            pred = self._aligned_range_pred(info, lo, hi)
+            pred = self._with_dim_filter(
+                info, self._aligned_range_pred(info, lo, hi), dims
+            )
             ranged = self.spark.table(src).where(pred)
             # theta_union_agg of zero rows is a valid EMPTY sketch (est
             # 0) — an empty window is a caller mistake, not an audience

@@ -277,3 +277,85 @@ def test_join_distinct_served_from_theta_state(theng, spark):
     }
     got = {(x["label"], x["du"]) for x in r["result"]}
     assert got == want  # theta exact below 2^lgk
+
+
+@pytest.fixture(scope="module")
+def dteng(spark):
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_rollup_dimf_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    e.create_rollup(
+        "events",
+        "ts",
+        "1 hour",
+        dims=["event_type"],
+        measures=[],
+        topk_cols=["user_id"],
+        topk_budget=1024,
+        theta_cols=["user_id"],
+    )
+    return e
+
+
+def test_top_items_with_dim_filter(dteng):
+    """'Top users among clicks': the dim filter narrows the combined
+    state to matching rollup groups; exact below budget."""
+    got = [
+        (r["item"], r["cnt"])
+        for r in dteng.rollup_top_items(
+            "events",
+            "user_id",
+            k=5,
+            lo="2024-01-02 00:00:00",
+            hi="2024-01-05 00:00:00",
+            candidate_k=1024,
+            dims={"event_type": "click"},
+        ).collect()
+    ]
+    want = [
+        (r["item"], r["cnt"])
+        for r in dteng.spark.sql(
+            "SELECT CAST(user_id AS STRING) item, COUNT(*) cnt FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+            "AND ts < TIMESTAMP '2024-01-05 00:00:00' "
+            "AND event_type = 'click' GROUP BY user_id "
+            "ORDER BY cnt DESC, item ASC LIMIT 5"
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_dim_filter_guards(dteng):
+    with pytest.raises(ValueError, match="not a dimension"):
+        dteng.rollup_top_items(
+            "events", "user_id", dims={"value": "1.0"}
+        )
+    # audience diff accepts the same filter
+    d = dteng.rollup_audience_diff(
+        "events",
+        "user_id",
+        "2024-01-02 00:00:00",
+        "2024-01-03 00:00:00",
+        "2024-01-03 00:00:00",
+        "2024-01-04 00:00:00",
+        dims={"event_type": "purchase"},
+    )
+    ex = dteng.spark.sql(
+        """
+        WITH a AS (SELECT DISTINCT user_id u FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+                     AND ts < TIMESTAMP '2024-01-03 00:00:00'
+                     AND event_type = 'purchase'),
+             b AS (SELECT DISTINCT user_id u FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                     AND ts < TIMESTAMP '2024-01-04 00:00:00'
+                     AND event_type = 'purchase')
+        SELECT (SELECT COUNT(*) FROM a) da, (SELECT COUNT(*) FROM b) db,
+               (SELECT COUNT(*) FROM a JOIN b ON a.u = b.u) ret
+        """
+    ).collect()[0]
+    assert (d["distinct_a"], d["distinct_b"], d["returning"]) == (
+        ex["da"], ex["db"], ex["ret"],
+    )
