@@ -293,6 +293,7 @@ def create_app(engine: AQEngine, config: Config | None = None):
                     if body.get("candidate_k") is not None
                     else None
                 ),
+                dims=body.get("dims"),
             ).collect()
             return jsonify({"items": [r.asDict() for r in rows]})
         except (KeyError, ValueError) as e:
@@ -315,6 +316,7 @@ def create_app(engine: AQEngine, config: Config | None = None):
                     body["a_hi"],
                     body["b_lo"],
                     body["b_hi"],
+                    dims=body.get("dims"),
                 )
             )
         except (KeyError, ValueError) as e:
