@@ -324,6 +324,20 @@ def create_app(engine: AQEngine, config: Config | None = None):
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500
 
+    @app.get("/rollups/recommend")
+    def rollups_recommend():
+        """The materialization advisor: recurring rollup-shaped queries
+        that ran WITHOUT a rollup, merged into concrete create_rollup
+        suggestions (engine.recommend_rollups); converges to empty once
+        followed."""
+        try:
+            min_count = int(request.args.get("min_count", 3))
+            return jsonify(
+                {"recommendations": engine.recommend_rollups(min_count)}
+            )
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
     @app.get("/rollups")
     def rollups_list():
         return jsonify(

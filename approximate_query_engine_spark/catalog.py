@@ -159,6 +159,10 @@ class Catalog:
         #: scan the rollup instead of the raw table (operators/rollup.py
         #: rewrite_to_rollup)
         self.rollups: dict[str, list[dict]] = {}
+        #: workload-observed rollup-shaped queries that ran WITHOUT a
+        #: rollup, keyed by shape signature → {"count", ...shape fields}
+        #: — the rollup advisor's evidence (engine.recommend_rollups)
+        self.rollup_candidates: dict[str, dict] = {}
         #: table → {"row_count": n at analyze time, "columns": [...]} —
         #: the baseline the maintenance drift policy measures column-stats
         #: staleness against (stale min/max + histograms misprice every
@@ -223,6 +227,7 @@ class Catalog:
                 "analyze_meta": dict(self.analyze_meta),
                 "partitioned_views": dict(self.partitioned_views),
                 "rollups": {k: list(v) for k, v in dict(self.rollups).items()},
+                "rollup_candidates": dict(self.rollup_candidates),
             }
             tmp = f"{self._meta_path}.tmp{threading.get_ident()}"
             with open(tmp, "w") as f:
@@ -270,6 +275,7 @@ class Catalog:
         self.analyze_meta.update(doc.get("analyze_meta", {}))
         self.partitioned_views.update(doc.get("partitioned_views", {}))
         self.rollups.update(doc.get("rollups", {}))
+        self.rollup_candidates.update(doc.get("rollup_candidates", {}))
 
     # ---- table stats (reference storage.py:88-109) ----
     def upsert_table_stats(self, table: str, row_count: int) -> None:

@@ -159,6 +159,12 @@ class AQEngine:
         rolled = self._route_rollup(
             sql, max_rel_error=max_rel_error, prefer_exact=prefer_exact
         )
+        if rolled is None:
+            # advisor evidence: a rollup-SHAPED query just ran without a
+            # rollup (none registered, stale, or not covering) — record
+            # its inferred spec so recommend_rollups can aggregate
+            # recurring shapes into a concrete materialization
+            self._record_rollup_candidate(sql)
         if rolled is not None:
             routed_sql, note, approx_distinct = rolled
             plan = {
@@ -862,6 +868,133 @@ class AQEngine:
             "built_row_count": int(current),
             "refreshed_from": refreshed_from,
         }
+
+    def _record_rollup_candidate(self, sql: str) -> None:
+        """Best-effort advisor bookkeeping — never fails the query."""
+        try:
+            import json as _json
+
+            from approximate_query_engine_spark.operators.rollup import (
+                infer_rollup_shape,
+            )
+            from approximate_query_engine_spark.sqlparser import try_parse
+
+            parsed = try_parse(sql)
+            if parsed is None:
+                return
+            shape = infer_rollup_shape(parsed)
+            if shape is None:
+                return
+            cols = set(self.spark.table(shape["table"]).columns)
+            referenced = (
+                {shape["time_col"]}
+                | set(shape["dims"])
+                | set(shape["measures"])
+                | set(shape["distinct_cols"])
+                | set(shape["quantile_cols"])
+            )
+            if not referenced <= cols:
+                return  # alias/typo noise — don't advise on it
+            sig = _json.dumps(shape, sort_keys=True)
+            rec = self.catalog.rollup_candidates.setdefault(
+                sig, {**shape, "count": 0}
+            )
+            rec["count"] += 1
+        except Exception:  # noqa: BLE001 - advice must never break queries
+            return
+
+    def recommend_rollups(self, min_count: int = 3) -> list[dict]:
+        """The MATERIALIZATION ADVISOR: merge recurring rollup-shaped
+        queries that ran without a rollup into concrete create_rollup
+        suggestions — per (table, time_col): union of dims/measures/
+        sketch columns, finest observed bucket. Shapes a registered
+        FRESH rollup already covers (can_derive_rollup: it could answer
+        them) are excluded, so advice converges to empty once followed.
+        At 100 TB this is how the rollup set tracks the workload instead
+        of someone's guess."""
+        from approximate_query_engine_spark.operators.rollup import (
+            RollupSpec,
+            bucket_seconds,
+        )
+
+        merged: dict[tuple[str, str], dict] = {}
+        for rec in self.catalog.rollup_candidates.values():
+            key = (rec["table"], rec["time_col"])
+            m = merged.setdefault(
+                key,
+                {
+                    "table": rec["table"],
+                    "time_col": rec["time_col"],
+                    "bucket": rec["bucket"],
+                    "dims": set(),
+                    "measures": set(),
+                    "distinct_cols": set(),
+                    "quantile_cols": set(),
+                    "observed_queries": 0,
+                },
+            )
+            if bucket_seconds(rec["bucket"]) < bucket_seconds(m["bucket"]):
+                m["bucket"] = rec["bucket"]
+            for f in ("dims", "measures", "distinct_cols", "quantile_cols"):
+                m[f] |= set(rec[f])
+            m["observed_queries"] += int(rec["count"])
+        out = []
+        for m in merged.values():
+            if m["observed_queries"] < min_count:
+                continue
+            cand = RollupSpec(
+                m["table"],
+                m["time_col"],
+                m["bucket"],
+                sorted(m["dims"]),
+                sorted(m["measures"]),
+                sorted(m["distinct_cols"]),
+                12,
+                sorted(m["quantile_cols"]),
+                200,
+            )
+            # coverage is STRUCTURAL (unlike derivability, sketch params
+            # don't matter — a rollup at any k answers quantile queries;
+            # theta state covers plain distinct counts too)
+            def _covers(e: dict) -> bool:
+                eb, cb = (
+                    bucket_seconds(e["bucket"]),
+                    bucket_seconds(cand.bucket),
+                )
+                if e.get("time_col") != cand.time_col:
+                    return False
+                if eb is None or cb is None or cb % eb != 0:
+                    return False
+                return (
+                    set(cand.dims) <= set(e.get("dims", []))
+                    and set(cand.measures) <= set(e.get("measures", []))
+                    and set(cand.distinct_cols)
+                    <= set(e.get("distinct_cols", []))
+                    | set(e.get("theta_cols", []))
+                    and set(cand.quantile_cols)
+                    <= set(e.get("quantile_cols", []))
+                )
+
+            base_rows = self.catalog.get_row_count(m["table"])
+            if any(
+                e.get("built_row_count") == base_rows and _covers(e)
+                for e in self.catalog.rollups.get(m["table"], [])
+            ):
+                continue
+            out.append(
+                {
+                    "table": m["table"],
+                    "time_col": m["time_col"],
+                    "bucket": m["bucket"],
+                    "dims": sorted(m["dims"]),
+                    "measures": sorted(m["measures"]),
+                    "distinct_cols": sorted(m["distinct_cols"]),
+                    "quantile_cols": sorted(m["quantile_cols"]),
+                    "observed_queries": m["observed_queries"],
+                }
+            )
+        out.sort(key=lambda s: -s["observed_queries"])
+        return out
 
     def _fresh_rollup_with(
         self, table: str, field: str, column: str, kind: str

@@ -1919,3 +1919,157 @@ def refresh_rollup_buckets_from_state(
     final = spark.read.parquet(path).drop(_PDATE)
     final.createOrReplaceTempView(coarse.rollup_name)
     return final
+
+
+def infer_rollup_shape(parsed) -> dict | None:
+    """The rollup spec a query WOULD route to, inferred from its shape —
+    or None when no rollup could ever serve it. This is the advisor's
+    front half (engine.recommend_rollups): every time a rollup-shaped
+    aggregate runs WITHOUT a rollup, its inferred shape is recorded, and
+    recurring shapes merge into a concrete create_rollup suggestion.
+
+    Mirrors rewrite_to_rollup's grammar WITHOUT an info dict: aggregates
+    must be COUNT(*)/COUNT/SUM/MIN/MAX/AVG over plain columns (→
+    measures), COUNT(DISTINCT col) (→ distinct_cols), or
+    MEDIAN/PERCENTILE (→ quantile_cols); group keys are plain columns (→
+    dims) or DATE_TRUNC/CAST-to-DATE of one time column (→ bucket
+    grain); WHERE conjuncts either filter plain columns (→ dims — a
+    routed filter column must be a dimension) or bound the time column.
+    Anything else returns None — better no advice than wrong advice."""
+    scopes = {parsed.table}
+    if parsed.table_alias:
+        scopes.add(parsed.table_alias)
+
+    def strip(e: str) -> str:
+        return _strip_qualifier(e, scopes).strip()
+
+    ident = _re.compile(r"[A-Za-z_]\w*$")
+    dims: set[str] = set()
+    measures: set[str] = set()
+    distinct_cols: set[str] = set()
+    quantile_cols: set[str] = set()
+    time_col: str | None = None
+    unit: str | None = None
+    time_bounded = False
+
+    def note_time(col: str, u: str | None) -> bool:
+        nonlocal time_col, unit
+        if time_col is not None and time_col != col:
+            return False  # two different time columns — not a rollup shape
+        time_col = col
+        if u is not None:
+            order = ["minute", "hour", "day", "week", "month",
+                     "quarter", "year"]
+            if unit is None or (
+                u in order and unit in order
+                and order.index(u) < order.index(unit)
+            ):
+                unit = u
+        return True
+
+    has_agg = False
+    for it in parsed.select_items:
+        if it.agg is None:
+            continue  # non-agg items must be group keys; handled below
+        agg = it.agg
+        has_agg = True
+        if agg.is_quantile:
+            try:
+                vexpr, _p = agg.quantile_args()
+            except Exception:  # noqa: BLE001
+                return None
+            c = strip(vexpr)
+            if not ident.fullmatch(c):
+                return None
+            quantile_cols.add(c)
+            continue
+        if agg.distinct:
+            c = strip(agg.arg)
+            if agg.func != "COUNT" or not ident.fullmatch(c):
+                return None
+            distinct_cols.add(c)
+            continue
+        if agg.func not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
+            return None
+        if agg.func == "COUNT" and (agg.is_star or agg.arg.strip() == "1"):
+            continue
+        c = strip(agg.arg)
+        if not ident.fullmatch(c):
+            return None
+        measures.add(c)
+    if not has_agg:
+        return None
+
+    for g in parsed.group_by:
+        e = strip(g)
+        m = _re.fullmatch(
+            r"DATE_TRUNC\(\s*'(\w+)'\s*,\s*([A-Za-z_]\w*)\s*\)", e, _re.I
+        )
+        if m:
+            if not note_time(m.group(2), m.group(1).lower()):
+                return None
+            continue
+        m = _re.fullmatch(r"CAST\(\s*([A-Za-z_]\w*)\s+AS\s+DATE\s*\)", e, _re.I)
+        if m:
+            if not note_time(m.group(1), "day"):
+                return None
+            continue
+        if ident.fullmatch(e):
+            dims.add(e)
+            continue
+        return None
+
+    if parsed.where:
+        where = _desugar_between(parsed.where) or parsed.where
+        conjs = _split_conjuncts(where)
+        if conjs is None:
+            return None
+        for c in conjs:
+            sc = strip(c)
+            sc_n = _re.sub(
+                r"CAST\(\s*([A-Za-z_]\w*)\s+AS\s+DATE\s*\)",
+                r"DATE_TRUNC('DAY', \1)",
+                sc,
+                flags=_re.I,
+            )
+            m = _re.match(
+                r"\s*(?:DATE_TRUNC\(\s*'\w+'\s*,\s*)?([A-Za-z_]\w*)\s*\)?\s*"
+                r"(>=|<=|<|>|=)\s*(?:DATE|TIMESTAMP)\s*'",
+                sc_n,
+                _re.I,
+            )
+            if m:
+                if not note_time(m.group(1), None):
+                    return None
+                time_bounded = True
+                continue
+            ids = _identifiers(sc)
+            if ids is None:
+                return None
+            bare = {strip(i) for i in ids}
+            if bare and all(ident.fullmatch(b) for b in bare):
+                dims |= bare  # filter columns must be dims to route
+                continue
+            return None
+
+    if time_col is None:
+        return None  # nothing time-series about it — not rollup territory
+    if not time_bounded and unit is None:
+        return None
+    bucket = {
+        "minute": "1 minute",
+        "hour": "1 hour",
+    }.get(unit or "hour", "1 day")
+    # the time column can't also be a dim/measure (grouping on raw ts
+    # would make every bucket row its own group — not a rollup shape)
+    if time_col in dims | measures | distinct_cols | quantile_cols:
+        return None
+    return {
+        "table": parsed.table,
+        "time_col": time_col,
+        "bucket": bucket,
+        "dims": sorted(dims),
+        "measures": sorted(measures),
+        "distinct_cols": sorted(distinct_cols),
+        "quantile_cols": sorted(quantile_cols),
+    }
