@@ -37,6 +37,12 @@ class MaintenanceReport:
     #: drift unmeasurable AND base table empty/uncounted — nothing to do yet
     unknown: list[str] = field(default_factory=list)
     errors: list[dict[str, str]] = field(default_factory=list)
+    #: the rollup advisor's current suggestions (engine.recommend_rollups)
+    #: — maintenance is the ops surface, so the "you should materialize
+    #: this" signal rides the same report as the freshness sweep
+    rollup_recommendations: list[dict[str, Any]] = field(
+        default_factory=list
+    )
 
     def to_dict(self) -> dict[str, Any]:
         return {
@@ -45,6 +51,7 @@ class MaintenanceReport:
             "fresh": self.fresh,
             "unknown": self.unknown,
             "errors": self.errors,
+            "rollup_recommendations": self.rollup_recommendations,
         }
 
 
@@ -438,5 +445,9 @@ def run_maintenance(
                 continue
         report.refreshed.append(action)
 
+    try:
+        report.rollup_recommendations = engine.recommend_rollups()
+    except Exception as exc:  # noqa: BLE001 - advice never fails the sweep
+        report.errors.append({"advisor": "rollups", "error": str(exc)[:200]})
     catalog.save()
     return report.to_dict()
