@@ -90,6 +90,13 @@ def _time(fn, reps: int = 3, key: str | None = None, warmup: int = 1) -> float:
     return med
 
 
+def _advisor_block(eng) -> list:
+    try:
+        return eng.recommend_rollups(min_count=2)
+    except Exception:  # noqa: BLE001 - evidence only, never fatal
+        return []
+
+
 def _run_sql(spark, sql, sink: dict | None = None):
     def go():
         rows = spark.sql(sql).collect()
@@ -1954,6 +1961,10 @@ def main() -> None:
         # rollup class scans this many rows instead of the fact table
         "rollup_compression": rollup_compression,
         "distinct_crossover": distinct_crossover,
+        # the materialization advisor's view of THIS bench's workload:
+        # rollup-shaped classes that ran un-routed (e.g. while the rollup
+        # tiers were disarmed) surface as concrete suggestions
+        "rollup_advisor": _advisor_block(eng),
         "stratified_vs_uniform": strat_block,
         "ml_stats": ml_block,
         "rel_errors": errors,
