@@ -1872,6 +1872,7 @@ def refresh_rollup_buckets(
     fresh = materialize_rollup(spark, tmp_spec, path=None).withColumn(
         _PDATE, F.date_format("bucket_start", "yyyy-MM-dd")
     )
+    old_markers = _snapshot_markers(path)
     # writer-level option: per-write dynamic overwrite, no global conf
     # juggling (and no race with concurrent writers on the same session)
     (
@@ -1880,6 +1881,7 @@ def refresh_rollup_buckets(
         .partitionBy(_PDATE)
         .parquet(path)
     )
+    _restore_markers(path, old_markers)
     final = spark.read.parquet(path).drop(_PDATE)
     final.createOrReplaceTempView(spec.rollup_name)
     return final
@@ -1910,15 +1912,54 @@ def refresh_rollup_buckets_from_state(
         >= F.lit(since_date)
     )
     fresh = derive_rollup_state(spark, fine, coarse, src=src)
+    old_markers = _snapshot_markers(path)
     (
         fresh.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(_PDATE)
         .parquet(path)
     )
+    _restore_markers(path, old_markers)
     final = spark.read.parquet(path).drop(_PDATE)
     final.createOrReplaceTempView(coarse.rollup_name)
     return final
+
+
+def _snapshot_markers(path: str) -> dict[str, int]:
+    """Per-date streaming batch markers of a layout (empty when none).
+    A dynamic-partition overwrite REPLACES date directories and would
+    silently drop them — and a marker-less directory makes a later batch
+    replay re-merge rows the refresh already recomputed from source."""
+    import os as _os
+
+    out: dict[str, int] = {}
+    try:
+        names = _os.listdir(path)
+    except OSError:
+        return out
+    for name in names:
+        if not name.startswith(f"{_PDATE}="):
+            continue
+        val = _read_marker(_os.path.join(path, name))
+        if val >= 0:
+            out[name] = val
+    return out
+
+
+def _restore_markers(path: str, old: dict[str, int]) -> None:
+    """Re-write snapshot markers into (possibly rewritten) date dirs.
+    The refresh recomputed those dates from SOURCE, which already
+    contains every previously-merged batch's rows — so the old
+    high-water mark remains the correct replay gate."""
+    import json as _json
+    import os as _os
+
+    for name, val in old.items():
+        target = _os.path.join(path, name)
+        if not _os.path.isdir(target):
+            continue  # date disappeared from the layout — nothing to gate
+        with open(_os.path.join(target, _BATCH_MARKER), "w") as f:
+            _json.dump({"last_batch_id": int(val)}, f)
 
 
 def infer_rollup_shape(parsed) -> dict | None:

@@ -536,3 +536,50 @@ def test_stream_to_rollup_carries_sketch_state(spark, tmp_path):
     assert got == want
     # and the estimates are the exact truths below every budget
     assert got[0] == 17 and got[2] == 17
+
+
+def test_refresh_preserves_replay_markers(spark, tmp_path):
+    """Crash-ops interleaving: merge batch → incremental refresh (which
+    rewrites the same date dirs from source) → REPLAY of the merged
+    batch. The refresh must carry the per-date batch markers forward, so
+    the replay classifies as already-merged instead of double-counting
+    rows the refresh already recomputed from source."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.operators.rollup import (
+        RollupSpec,
+        merge_rollup_batch,
+        refresh_rollup_buckets,
+    )
+
+    base = datetime.datetime(2024, 6, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), "a", float(h)) for h in range(48)
+    ]
+    schema = "ts timestamp, event_type string, value double"
+    spark.createDataFrame(rows, schema).createOrReplaceTempView(
+        "marker_src"
+    )
+    spec = RollupSpec("marker_src", "ts", "1 hour", ["event_type"], ["value"])
+    path = str(tmp_path / "marker_layout")
+    batch = spark.table("marker_src")
+    out = merge_rollup_batch(spark, batch, spec, path, batch_id=0)
+    assert out["merged"]
+
+    def total():
+        return (
+            spark.read.parquet(path)
+            .agg(F.sum("n_rows").alias("n"))
+            .collect()[0]["n"]
+        )
+
+    assert total() == len(rows)
+    # incremental refresh rewrites the tail date dirs from source
+    refresh_rollup_buckets(spark, spec, path, since_bucket="2024-06-01")
+    assert total() == len(rows)
+    # replay of batch 0 must be a no-op, not a re-merge
+    replay = merge_rollup_batch(spark, batch, spec, path, batch_id=0)
+    assert replay.get("merged") is False, replay
+    assert total() == len(rows)
