@@ -1549,6 +1549,72 @@ FROM s ORDER BY doc_id, chunk_id
 """
 
 
+_HIERARCHY_SQL = (
+    "SELECT event_type, DATE_TRUNC('WEEK', ts) AS wk, COUNT(*) AS n, "
+    "COUNT(value) AS nv, MIN(value) AS mn, MAX(value) AS mx "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-22 00:00:00' "
+    "GROUP BY event_type, DATE_TRUNC('WEEK', ts) "
+    "ORDER BY event_type, wk"
+)
+
+
+def _q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 hierarchy surface: the DAILY rollup is DERIVED from the
+    hourly one's state (create_rollup(derive=True) re-aggregates state —
+    counts add, min/max combine — instead of re-scanning the fact
+    table), and a weekly dashboard aggregate is then routed to the
+    derived layout (coarsest-capable wins). The oracle replays the same
+    SQL on raw events in DuckDB, so an error anywhere in the two-level
+    re-aggregation chain (hour state → day state → week answer)
+    hash-fails (COUNT/MIN/MAX re-aggregate bit-exactly; float SUMs
+    re-associate across the two levels, so they are bench-verified with
+    measured error instead). Both engines truncate weeks to Monday."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.create_rollup(
+        "events", "ts", "1 hour", dims=["event_type"], measures=["value"]
+    )
+    out = eng.create_rollup(
+        "events", "ts", "1 day", dims=["event_type"], measures=["value"]
+    )
+    assert out["derived_from"] == "events__rollup_1_hour", out
+    r = eng.query(_HIERARCHY_SQL)
+    assert r["status"] == "ok", r.get("error")
+    assert "events__rollup_1_day" in r["plan"]["reason"], r["plan"]
+    rows = [
+        (
+            d["event_type"],
+            d["wk"].strftime("%Y-%m-%d"),
+            int(d["n"]),
+            int(d["nv"]),
+            float(d["mn"]),
+            float(d["mx"]),
+        )
+        for d in r["result"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_type string, wk string, n long, nv long, "
+        "mn double, mx double",
+    )
+
+
+_HIERARCHY_ORACLE = (
+    "SELECT event_type, STRFTIME(DATE_TRUNC('week', ts), '%Y-%m-%d') AS wk, "
+    "COUNT(*)::BIGINT AS n, COUNT(value)::BIGINT AS nv, "
+    "MIN(value) AS mn, MAX(value) AS mx "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-22 00:00:00' "
+    "GROUP BY event_type, DATE_TRUNC('week', ts) "
+    "ORDER BY event_type, wk"
+)
+
+
 def _pii_oracle() -> str:
     from approximate_query_engine_spark.functions.pii import PII_PATTERNS
 
@@ -3579,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q99_rollup_topk"] = _q_rollup_topk
     out["q100_rollup_audience"] = _q_rollup_audience
     out["q101_chunking"] = _q_chunking
+    out["q102_rollup_hierarchy"] = _q_rollup_hierarchy
     return _reorder_check_window(out)
 
 
@@ -3641,5 +3708,6 @@ def oracle_sql() -> dict[str, str]:
     out["q99_rollup_topk"] = _ROLLUP_TOPK_ORACLE
     out["q100_rollup_audience"] = _ROLLUP_AUDIENCE_ORACLE
     out["q101_chunking"] = _CHUNKING_ORACLE
+    out["q102_rollup_hierarchy"] = _HIERARCHY_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

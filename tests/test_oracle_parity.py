@@ -167,6 +167,9 @@ def test_check_window_ordering():
         # q101 (document chunking) registers OUT of the full window; its
         # packing/sequence family representative is in-window
         "q101_chunking": "q78_pack_sequences",
+        # q102 (hierarchy: weekly answer from a day-derived-from-hour
+        # rollup) is out-of-window; the rollup routing family rep
+        "q102_rollup_hierarchy": "q91_rollup_routing",
         "q15_window_top_order": "q87_grouped_topk",  # window/top-k order
         "q67_repetition": "q66_corpus_prepare",  # text-quality family
         "q84_heavy_hitters": "q87_grouped_topk",  # heavy-hitter family
