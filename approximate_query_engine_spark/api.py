@@ -78,6 +78,11 @@ def create_app(engine: AQEngine, config: Config | None = None):
             prefer_exact=bool(body.get("prefer_exact", False)),
             use_ml_optimization=bool(body.get("use_ml_optimization", False)),
             explain=bool(body.get("explain", False)),
+            max_rank_error=(
+                float(body["max_rank_error"])
+                if body.get("max_rank_error") is not None
+                else None
+            ),
         )
         status = 200 if out.get("status") == "ok" else 500
         return jsonify(out), status
@@ -370,6 +375,13 @@ def create_app(engine: AQEngine, config: Config | None = None):
                     int(body["compact_files_over"])
                     if "compact_files_over" in body
                     else None
+                ),
+                apply_advice=bool(body.get("apply_advice", False)),
+                advice_max_apply=int(body.get("advice_max_apply", 1)),
+                advice_max_state_rows=(
+                    int(body["advice_max_state_rows"])
+                    if "advice_max_state_rows" in body
+                    else 5_000_000
                 ),
             )
         )

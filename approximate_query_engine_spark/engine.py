@@ -48,6 +48,10 @@ class AQEngine:
         self.planner = Planner(spark, self.catalog)
         self.optimizer = MLOptimizer(self.catalog, self.planner)
         self.sketches = SketchManager(spark, self.catalog)
+        # per-table column sets for advisor bookkeeping — the advisor
+        # runs on EVERY non-routed query, and spark.table(t).columns is
+        # a catalog RPC that doesn't belong in the hot query path
+        self._table_cols_cache: dict[str, frozenset[str]] = {}
         if data_dir:
             self.register_data(data_dir)
         self.sampler.load_registered_samples()
@@ -78,6 +82,7 @@ class AQEngine:
 
     def register_view(self, name: str, df) -> None:
         df.createOrReplaceTempView(name)
+        self._table_cols_cache.pop(name, None)
         # replacing a table's data orphans any parquet layout built from
         # the OLD data — drop the routing entries (partitioned layouts AND
         # rollups) so exact queries never get served from a stale
@@ -132,12 +137,24 @@ class AQEngine:
         use_ml_optimization: bool = False,
         explain: bool = False,
         dual_execute: bool | None = None,
+        max_rank_error: float | None = None,
     ) -> dict[str, Any]:
-        """The reference's POST /query contract (app.py:62-163)."""
+        """The reference's POST /query contract (app.py:62-163).
+
+        Error knobs: ``max_rel_error`` bounds the VALUE-relative error of
+        approximate counts/sums/distincts. Approximate MEDIAN/PERCENTILE
+        served from KLL rollup state carries a RANK guarantee instead
+        (the answer is a true data value whose rank is within ε of the
+        requested p) — on skewed data a small rank error can be a large
+        value error, so it is gated by its own ``max_rank_error`` knob.
+        When ``max_rank_error`` is None the value tolerance doubles as
+        the rank budget (conservative in the declining direction); pass
+        ``max_rank_error=0`` (or ``prefer_exact``) to forbid KLL-served
+        quantiles outright."""
         try:
             return self._query(
                 sql, max_rel_error, prefer_exact, use_ml_optimization,
-                explain, dual_execute,
+                explain, dual_execute, max_rank_error,
             )
         except Exception as e:  # reference app.py:158-163 error envelope
             return {"status": "error", "error": f"{type(e).__name__}: {e}"}
@@ -150,6 +167,7 @@ class AQEngine:
         use_ml_optimization: bool,
         explain: bool,
         dual_execute: bool | None,
+        max_rank_error: float | None = None,
     ) -> dict[str, Any]:
         ml_optimization: dict[str, Any] | None = None
         # Continuous-aggregate routing (round 6): a fresh rollup that can
@@ -157,7 +175,10 @@ class AQEngine:
         # could pick — exact result, pre-aggregated scan — so it
         # short-circuits planning (and the ML path) outright.
         rolled = self._route_rollup(
-            sql, max_rel_error=max_rel_error, prefer_exact=prefer_exact
+            sql,
+            max_rel_error=max_rel_error,
+            prefer_exact=prefer_exact,
+            max_rank_error=max_rank_error,
         )
         if rolled is None:
             # advisor evidence: a rollup-SHAPED query just ran without a
@@ -511,12 +532,17 @@ class AQEngine:
         refresh_stats: bool = True,
         dry_run: bool = False,
         compact_files_over: int | None = None,
+        apply_advice: bool = False,
+        advice_max_apply: int = 1,
+        advice_max_state_rows: int | None = 5_000_000,
     ) -> dict:
         """Apply the sample/sketch freshness policies (maintenance.py):
         rebuild artifacts whose base table drifted past ``max_drift`` (or
         aged past ``max_age_sec``); with ``compact_files_over`` set, also
         compact partitioned-layout buckets fragmented past that many files
-        (streaming appends a file per micro-batch)."""
+        (streaming appends a file per micro-batch). ``apply_advice``
+        opt-in: materialize the top rollup-advisor suggestion(s) under
+        the advice budget (:meth:`apply_rollup_advice`)."""
         from approximate_query_engine_spark.maintenance import run_maintenance
 
         return run_maintenance(
@@ -525,6 +551,9 @@ class AQEngine:
             max_age_sec=max_age_sec,
             refresh_stats=refresh_stats,
             dry_run=dry_run,
+            apply_advice=apply_advice,
+            advice_max_apply=advice_max_apply,
+            advice_max_state_rows=advice_max_state_rows,
             compact_files_over=compact_files_over,
         )
 
@@ -641,6 +670,7 @@ class AQEngine:
             bucket_seconds,
             can_derive_rollup,
             derive_rollup_state,
+            is_week_bucket,
             materialize_rollup,
         )
 
@@ -648,7 +678,21 @@ class AQEngine:
         if bsec is None:
             raise ValueError(
                 f"bucket must be a fixed-width interval (seconds/minutes/"
-                f"hours/days/weeks), got: {bucket!r}"
+                f"hours/days), got: {bucket!r}"
+            )
+        if is_week_bucket(bucket):
+            # Spark's F.window weeks are EPOCH-aligned (Thursday
+            # boundaries) while SQL DATE_TRUNC('week') is Monday — a
+            # weekly-bucket layout could never serve week-grain dashboard
+            # keys (the bucket-alignment gate would always decline) and
+            # its buckets match no calendar. Refuse loudly instead of
+            # building a useless layout.
+            raise ValueError(
+                "week-grain buckets are not supported: Spark windows are "
+                "epoch-aligned (Thursday), not calendar weeks. Build a "
+                "'1 day' rollup instead — DATE_TRUNC('week', ...) "
+                "queries route from day-grain state (Monday weeks are "
+                "day-aligned)."
             )
         spec = RollupSpec(
             table,
@@ -869,6 +913,10 @@ class AQEngine:
             "refreshed_from": refreshed_from,
         }
 
+    #: cap on distinct observed query shapes kept for the advisor (the
+    #: book persists in catalog metadata; eviction is least-observed-first)
+    _MAX_ROLLUP_CANDIDATES = 256
+
     def _record_rollup_candidate(self, sql: str) -> None:
         """Best-effort advisor bookkeeping — never fails the query."""
         try:
@@ -885,7 +933,10 @@ class AQEngine:
             shape = infer_rollup_shape(parsed)
             if shape is None:
                 return
-            cols = set(self.spark.table(shape["table"]).columns)
+            cols = self._table_cols_cache.get(shape["table"])
+            if cols is None:
+                cols = frozenset(self.spark.table(shape["table"]).columns)
+                self._table_cols_cache[shape["table"]] = cols
             referenced = (
                 {shape["time_col"]}
                 | set(shape["dims"])
@@ -900,6 +951,16 @@ class AQEngine:
                 sig, {**shape, "count": 0}
             )
             rec["count"] += 1
+            # the candidate book persists in catalog metadata — cap it so
+            # a high-cardinality ad-hoc workload can't grow it without
+            # bound (evict the least-observed shapes; recurring dashboard
+            # shapes accumulate count and survive)
+            book = self.catalog.rollup_candidates
+            if len(book) > self._MAX_ROLLUP_CANDIDATES:
+                for k in sorted(book, key=lambda k: book[k]["count"])[
+                    : len(book) - self._MAX_ROLLUP_CANDIDATES
+                ]:
+                    del book[k]
         except Exception:  # noqa: BLE001 - advice must never break queries
             return
 
@@ -996,27 +1057,116 @@ class AQEngine:
         out.sort(key=lambda s: -s["observed_queries"])
         return out
 
+    def apply_rollup_advice(
+        self,
+        max_apply: int = 1,
+        max_state_rows: int | None = 5_000_000,
+        min_count: int = 3,
+    ) -> list[dict]:
+        """Close the advisor loop: MATERIALIZE the top
+        :meth:`recommend_rollups` suggestion(s) so the next matching
+        query routes to pre-aggregated state (observe → advise →
+        materialize → route, no hand-copying of specs). Opt-in and
+        budget-capped: at most ``max_apply`` builds per call, and a
+        suggestion whose estimated state size exceeds ``max_state_rows``
+        is declined WITHOUT building (the estimate is one shuffle-free
+        ``approx_count_distinct`` over (bucket, dims) — at 100 TB this
+        pre-gate is what keeps the advisor from materializing a rollup
+        bigger than the fact table). Returns one record per considered
+        suggestion with ``applied`` plus the build result or the decline
+        reason."""
+        from pyspark.sql import functions as F
+
+        report: list[dict] = []
+        applied = 0
+        for spec in self.recommend_rollups(min_count=min_count):
+            if applied >= max_apply:
+                report.append(
+                    {**spec, "applied": False, "reason": "max_apply budget"}
+                )
+                continue
+            if max_state_rows is not None:
+                try:
+                    est = (
+                        self.spark.table(spec["table"])
+                        .where(F.col(spec["time_col"]).isNotNull())
+                        .select(
+                            F.approx_count_distinct(
+                                F.struct(
+                                    F.window(
+                                        spec["time_col"], spec["bucket"]
+                                    ).start,
+                                    *[F.col(d) for d in spec["dims"]],
+                                )
+                            ).alias("n")
+                        )
+                        .collect()[0]["n"]
+                    )
+                except Exception as exc:  # estimate failed — don't build
+                    report.append(
+                        {
+                            **spec,
+                            "applied": False,
+                            "reason": f"state estimate failed: {exc}"[:200],
+                        }
+                    )
+                    continue
+                if est > max_state_rows:
+                    report.append(
+                        {
+                            **spec,
+                            "applied": False,
+                            "reason": (
+                                f"estimated state rows {int(est)} exceed "
+                                f"budget {int(max_state_rows)}"
+                            ),
+                        }
+                    )
+                    continue
+            built = self.create_rollup(
+                spec["table"],
+                spec["time_col"],
+                spec["bucket"],
+                dims=spec["dims"],
+                measures=spec["measures"],
+                distinct_cols=spec["distinct_cols"],
+                quantile_cols=spec["quantile_cols"],
+            )
+            applied += 1
+            report.append({**spec, "applied": True, "built": built})
+        return report
+
     def _fresh_rollup_with(
         self, table: str, field: str, column: str, kind: str
     ) -> dict:
         """The table's FRESH rollup entry whose ``field`` list tracks
         ``column`` — raises (never silently serves stale or untracked
         state) and re-registers the files view on a fresh session."""
-        entries = [
-            e
-            for e in self.catalog.rollups.get(table, [])
-            if column in e.get(field, [])
-        ]
+        # coarsest bucket first, matching _route_rollup: among rollups
+        # that track the column, the fewest-state-rows one wins (a day
+        # rollup beats an hour rollup 24:1 on scan size)
+        entries = sorted(
+            (
+                e
+                for e in self.catalog.rollups.get(table, [])
+                if column in e.get(field, [])
+            ),
+            key=lambda e: -e.get("bucket_seconds", 0),
+        )
         if not entries:
             raise ValueError(
                 f"no rollup of {table!r} tracks {kind} state for {column!r}"
             )
-        info = entries[0]
         current = self.catalog.get_row_count(table)
-        if current is None or info.get("built_row_count") != current:
+        fresh = [
+            e for e in entries if e.get("built_row_count") == current
+        ] if current is not None else []
+        if not fresh:
             raise ValueError(
-                f"rollup {info['view']} is stale for {table!r}; refresh it"
+                f"rollup {entries[0]['view']} is stale for {table!r}; "
+                "refresh it"
             )
+        info = fresh[0]
         src = info.get("files_view") or info["view"]
         if not self.spark.catalog.tableExists(src):
             self.spark.read.parquet(info["path"]).createOrReplaceTempView(
@@ -1226,6 +1376,7 @@ class AQEngine:
         sql: str,
         max_rel_error: float = 0.05,
         prefer_exact: bool = False,
+        max_rank_error: float | None = None,
     ) -> tuple[str, str, bool] | None:
         """Continuous-aggregate rewrite: when ``sql`` is a single-table
         aggregate — or a star join whose FACT side has a rollup — whose
@@ -1323,17 +1474,24 @@ class AQEngine:
 
         def _allow_quantile(info) -> bool:
             # KLL's contract is on RANK (the value returned is a real
-            # data value whose rank is within ε of p), so the caller's
-            # tolerance is compared against the published rank-error
-            # bound — the same honest-gating shape as the HLL path
+            # data value whose rank is within ε of p) — a distinct error
+            # dimension from value-relative tolerance, since on skewed
+            # data a small rank error can be an arbitrarily large value
+            # error. The caller's explicit max_rank_error wins; absent
+            # one, the value tolerance doubles as the rank budget
+            # (conservative in the declining direction — see query()).
             from approximate_query_engine_spark.operators.rollup import (
                 kll_rank_error,
             )
 
+            budget = (
+                max_rank_error if max_rank_error is not None
+                else max_rel_error
+            )
             return (
                 not prefer_exact
                 and bool(info.get("quantile_cols"))
-                and max_rel_error >= kll_rank_error(info.get("kll_k", 200))
+                and budget >= kll_rank_error(info.get("kll_k", 200))
             )
 
         # phase 1: pure state answers (any candidate's plain rewrite
@@ -1510,8 +1668,11 @@ class AQEngine:
         # invalidates the layout entry outright. Out-of-band temp-view
         # swaps that bypass the engine's register methods are outside the
         # contract — run maintenance or re-register through the engine.
+        # Unknown freshness (no catalog row count — dropped/foreign stats
+        # file) declines, matching the rollup routing policy: never serve
+        # a possibly-stale layout labeled exact.
         current = self.catalog.get_row_count(table)
-        if current is not None and info.get("built_row_count") != current:
+        if current is None or info.get("built_row_count") != current:
             return None
         partition_col = info["partition_col"]
         pred = derive_bucket_predicate(

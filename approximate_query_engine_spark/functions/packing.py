@@ -139,7 +139,10 @@ def chunk_documents(
     chunk starts advance by ``chunk_tokens - overlap_tokens`` so
     consecutive chunks share exactly ``overlap_tokens`` tokens (the last
     chunk may be shorter). → one row per (doc, chunk): ``chunk_id``,
-    ``chunk_text``, ``n_chunk_tokens``.
+    ``chunk_text``, ``n_chunk_tokens``. A trailing window that is wholly
+    contained in the previous chunk (start > 0 and start + overlap >= n)
+    is never emitted — it would inject duplicated content into training
+    data; chunk text is normalized to single-space-joined tokens.
 
     Scale shape: split/sequence/posexplode/slice are all built-in
     expressions — a scan-side flatMap with zero shuffle and no Python;
@@ -151,8 +154,15 @@ def chunk_documents(
             f"need 0 <= overlap ({overlap_tokens}) < chunk ({chunk_tokens})"
         )
     step = chunk_tokens - overlap_tokens
+    # true whitespace tokenization (\s+): tabs/newlines are separators,
+    # not token glue — mirrored by the q101 DuckDB oracle
     toks = F.filter(
-        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    # last useful start: any start > n - overlap - 1 (other than 0)
+    # yields a window wholly inside the previous chunk — cap it out
+    last_start = F.greatest(
+        F.lit(0), F.col("__n") - F.lit(overlap_tokens) - 1
     )
     out = (
         df.withColumn("__toks", toks)
@@ -163,7 +173,7 @@ def chunk_documents(
             "__toks",
             "__n",
             F.posexplode(
-                F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))
+                F.sequence(F.lit(0), last_start, F.lit(step))
             ).alias("chunk_id", "__start"),
         )
         .select(

@@ -43,6 +43,11 @@ class MaintenanceReport:
     rollup_recommendations: list[dict[str, Any]] = field(
         default_factory=list
     )
+    #: advisor suggestions MATERIALIZED this sweep (apply_advice=True —
+    #: the observe → advise → materialize → route loop closed in one call)
+    rollup_advice_applied: list[dict[str, Any]] = field(
+        default_factory=list
+    )
 
     def to_dict(self) -> dict[str, Any]:
         return {
@@ -52,6 +57,7 @@ class MaintenanceReport:
             "unknown": self.unknown,
             "errors": self.errors,
             "rollup_recommendations": self.rollup_recommendations,
+            "rollup_advice_applied": self.rollup_advice_applied,
         }
 
 
@@ -116,6 +122,9 @@ def run_maintenance(
     refresh_stats: bool = True,
     dry_run: bool = False,
     compact_files_over: int | None = None,
+    apply_advice: bool = False,
+    advice_max_apply: int = 1,
+    advice_max_state_rows: int | None = 5_000_000,
 ) -> dict[str, Any]:
     """Apply the drift/age policies to every cataloged sample and sketch.
 
@@ -126,6 +135,11 @@ def run_maintenance(
     whose bucket directories hold more than this many data files gets
     compacted to one file per bucket (streaming appends a file per
     micro-batch — see operators.partitioning.compact_partition_layout).
+    ``apply_advice``: opt-in — MATERIALIZE the top rollup-advisor
+    suggestion(s) (engine.apply_rollup_advice) under the
+    ``advice_max_apply`` / ``advice_max_state_rows`` budget so the next
+    matching dashboard query routes to pre-aggregated state; never runs
+    under ``dry_run``.
     """
     catalog = engine.catalog
     report = MaintenanceReport()
@@ -445,7 +459,19 @@ def run_maintenance(
                 continue
         report.refreshed.append(action)
 
+    if apply_advice and not dry_run:
+        try:
+            report.rollup_advice_applied = engine.apply_rollup_advice(
+                max_apply=advice_max_apply,
+                max_state_rows=advice_max_state_rows,
+            )
+        except Exception as exc:  # noqa: BLE001 - advice never fails sweep
+            report.errors.append(
+                {"advisor": "apply_rollups", "error": str(exc)[:200]}
+            )
     try:
+        # recomputed AFTER any apply so the report shows what is STILL
+        # unmaterialized (advice converges to empty once followed)
         report.rollup_recommendations = engine.recommend_rollups()
     except Exception as exc:  # noqa: BLE001 - advice never fails the sweep
         report.errors.append({"advisor": "rollups", "error": str(exc)[:200]})

@@ -105,6 +105,18 @@ def can_derive_rollup(fine: RollupSpec, coarse: RollupSpec) -> str | None:
     multiple of fine's, coarse dims/measures/sketch columns are subsets
     of fine's, and every sketch parameter matches (merging state built
     at a different k/lgk would silently change the error contract)."""
+    # same fact lineage first: state bucketed on a different time column
+    # (or built from a different table) is silently-wrong to re-bucket
+    if fine.source_table != coarse.source_table:
+        return (
+            f"source tables differ ({fine.source_table!r} vs "
+            f"{coarse.source_table!r})"
+        )
+    if fine.time_col != coarse.time_col:
+        return (
+            f"time columns differ ({fine.time_col!r} vs "
+            f"{coarse.time_col!r})"
+        )
     fb, cb = bucket_seconds(fine.bucket), bucket_seconds(coarse.bucket)
     if fb is None or cb is None:
         return "non-fixed-width bucket"
@@ -257,6 +269,15 @@ _TRUNC_MODULUS = {
     "quarter": 86400,
     "year": 86400,
 }
+
+
+def is_week_bucket(bucket: str) -> bool:
+    """True for week-unit bucket strings. Week windows are a foot-gun:
+    Spark's ``F.window`` aligns to the epoch (Thursday boundaries) while
+    SQL ``DATE_TRUNC('week')`` is Monday, so week-bucketed state can
+    never serve calendar-week keys — :meth:`AQEngine.create_rollup`
+    refuses them and points at day-grain state instead."""
+    return bool(_re.fullmatch(r"\s*\d+\s+weeks?\s*", bucket, _re.I))
 
 
 def bucket_seconds(bucket: str) -> int | None:

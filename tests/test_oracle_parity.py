@@ -97,9 +97,9 @@ def test_check_window_ordering():
     assert rows_only_in_window == []
     # exiled oracled entries must each have an in-window component stand-in
     covered_by = {
-        "q01_count": "q11_tpch_q1",
-        "q02_count_sum": "q11_tpch_q1",
-        "q03_avg": "q11_tpch_q1",
+        "q01_count": "q74_group_sum_having",
+        "q02_count_sum": "q74_group_sum_having",
+        "q03_avg": "q74_group_sum_having",
         "q04_group_count": "q74_group_sum_having",
         "q05_group_sum": "q74_group_sum_having",
         "q07_having": "q74_group_sum_having",
@@ -115,8 +115,8 @@ def test_check_window_ordering():
         "q39_customer_segments": "q74_group_sum_having",
         "q40_region_revenue": "q90_join_routing",
         "q41_rollup": "q74_group_sum_having",
-        "q42_anti_join": "q46_asof_join",
-        "q43_semi_join": "q46_asof_join",
+        "q42_anti_join": "q83_join_aqp",
+        "q43_semi_join": "q83_join_aqp",
         "q45_date_funcs": "q64_retention",  # date arithmetic family
         # upgraded from rows-only to oracled in round 4 (portable
         # hyperplane-fold oracle); its component family is in-window
@@ -126,9 +126,9 @@ def test_check_window_ordering():
         # redundant exact-SQL slots moved out, each with an in-window
         # family representative.
         "q09_topk": "q87_grouped_topk",  # top-k ordering family
-        "q16_setop": "q11_tpch_q1",  # plain pass-through SQL family
+        "q16_setop": "q74_group_sum_having",  # pass-through SQL family
         "q17_events_hour": "q35_stream_window",  # events time-agg family
-        "q19_case_agg": "q11_tpch_q1",  # exact scalar-agg pass-through
+        "q19_case_agg": "q74_group_sum_having",  # exact scalar-agg family
         "q26_dedup_exact_docs": "q69_dedup_keep_best",
         "q29_percentiles": "q81_quantile_aqp",
         "q58_doc_frequency": "q59_tfidf",
@@ -142,7 +142,7 @@ def test_check_window_ordering():
         "q18_events_json": "q66_corpus_prepare",  # scalar-func-heavy scan
         "q27_fingerprint": "q69_dedup_keep_best",  # fingerprint -> dedup
         "q65_grouping_sets": "q74_group_sum_having",
-        "q75_anti_semi_join": "q46_asof_join",
+        "q75_anti_semi_join": "q83_join_aqp",
         # JOIN-shape routing extends the in-window q86/q88 routing family
         "q90_join_routing": "q86_partition_routing",
         # q91 (rollup SQL routing, the family's newest surface) took
@@ -152,7 +152,7 @@ def test_check_window_ordering():
         # round-7 rotation (VERDICT r6 instruction 2, extended): q90, q92
         # and the new q93/q94 moved INTO the window; these four stable
         # slots moved out, each with an in-window family representative.
-        "q06_where_group_avg": "q11_tpch_q1",  # WHERE+GROUP+AVG scan
+        "q06_where_group_avg": "q74_group_sum_having",  # WHERE+GROUP scan
         "q44_string_funcs": "q66_corpus_prepare",  # scalar string funcs
         "q24_doc_stats": "q66_corpus_prepare",  # doc quality stats
         "q57_sessionize": "q62_stream_sessions",  # sessionization family
@@ -164,12 +164,12 @@ def test_check_window_ordering():
         # moved INTO the window; these five stable slots moved out, each
         # with an in-window family representative.
         "q13_join_fact": "q90_join_routing",  # exact fact join family
-        # q101 (document chunking) registers OUT of the full window; its
-        # packing/sequence family representative is in-window
-        "q101_chunking": "q78_pack_sequences",
-        # q102 (hierarchy: weekly answer from a day-derived-from-hour
-        # rollup) is out-of-window; the rollup routing family rep
-        "q102_rollup_hierarchy": "q91_rollup_routing",
+        # round-8 rotation (VERDICT r7 instruction 2): q101 (document
+        # chunking) and q102 (hierarchical derive -> weekly dashboard)
+        # moved INTO the window; these long-stable slots moved out, each
+        # with an in-window family representative.
+        "q11_tpch_q1": "q74_group_sum_having",  # scalar-agg scan family
+        "q46_asof_join": "q90_join_routing",  # join family
         "q15_window_top_order": "q87_grouped_topk",  # window/top-k order
         "q67_repetition": "q66_corpus_prepare",  # text-quality family
         "q84_heavy_hitters": "q87_grouped_topk",  # heavy-hitter family
