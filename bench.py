@@ -1164,6 +1164,87 @@ def main() -> None:
 
             _safe("rollup_topk_exact", _rollup_topk_exact)
             _safe("rollup_topk_answered", _rollup_topk_answered)
+
+            # coarsest-covering state (round 8, VERDICT r7 item 4): with
+            # a DAY-grain rollup ALSO registered, the same top-items call
+            # must scan the day state (24x fewer rows —
+            # _fresh_rollup_with picks the coarsest fresh entry). The day
+            # state DERIVES from the hour state (a state scan, never the
+            # fact table) and is cached across runs like the other
+            # replicas; timed as its own class so the grain win is a
+            # measured delta, not an assumption.
+            try:
+                from approximate_query_engine_spark.operators.rollup import (
+                    RollupSpec as _RSpecDay,
+                )
+                from approximate_query_engine_spark.operators.rollup import (
+                    derive_rollup_state as _derive_day,
+                )
+
+                # "86400 seconds" == "1 day" on the bucket grid but gives
+                # the derived state its own view name (no collision with
+                # the measures-rollup's day spec in the derive classes)
+                day_kll = _RSpecDay(
+                    "events_big",
+                    "ts",
+                    "86400 seconds",
+                    ["event_type"],
+                    [],
+                    quantile_cols=["value"],
+                    kll_k=200,
+                    topk_cols=["user_id"],
+                    topk_budget=1024,
+                )
+                day_kll_path = os.path.join(
+                    big_dir,
+                    f"events_big_rollup1d_kll_v1_sf{_sf_from_dir(SF_DIR)}",
+                )
+                if not os.path.exists(day_kll_path):
+                    _derive_day(spark, spec_kll, day_kll).write.mode(
+                        "overwrite"
+                    ).partitionBy("p_date").parquet(day_kll_path)
+                files_view_day = f"{day_kll.rollup_name}__files"
+                spark.read.parquet(day_kll_path).createOrReplaceTempView(
+                    files_view_day
+                )
+                eng.catalog.rollups["events_big"].append(
+                    {
+                        "source_table": "events_big",
+                        "view": day_kll.rollup_name,
+                        "files_view": files_view_day,
+                        "path": day_kll_path,
+                        "time_col": "ts",
+                        "bucket": "86400 seconds",
+                        "bucket_seconds": 86400,
+                        "dims": ["event_type"],
+                        "measures": [],
+                        "quantile_cols": ["value"],
+                        "kll_k": 200,
+                        "topk_cols": ["user_id"],
+                        "topk_budget": 1024,
+                        "built_row_count": ev_big_rows,
+                        "derived_from": spec_kll.rollup_name,
+                    }
+                )
+                picked = eng._fresh_rollup_with(
+                    "events_big", "topk_cols", "user_id", "top-k"
+                )
+                assert picked["bucket"] == "86400 seconds", picked["bucket"]
+
+                def _rollup_topk_day():
+                    eng.rollup_top_items(
+                        "events_big",
+                        "user_id",
+                        k=10,
+                        lo="2024-01-03 00:00:00",
+                        hi="2024-01-08 00:00:00",
+                    ).collect()
+
+                _safe("rollup_topk_day_answered", _rollup_topk_day)
+            except Exception as exc:  # noqa: BLE001 - setup isolation
+                bench_errors["rollup_topk_day_setup"] = (
+                    f"{type(exc).__name__}: {exc}"[:300]
+                )
             if topk_truth.get("exact") and topk_truth.get("state"):
                 true_items = {i for i, _c in topk_truth["exact"]}
                 got_items = {i for i, _c in topk_truth["state"]}
@@ -1173,6 +1254,63 @@ def main() -> None:
             else:
                 topk_recall = None
             eng.catalog.rollups.pop("events_big", None)
+
+    # ---- advisor loop end-to-end (round 8, VERDICT r7 item 3) -----------
+    # observed → advised → MATERIALIZED → routed in one engine: the
+    # dashboard query runs un-routed (each run records its inferred
+    # rollup shape), apply_rollup_advice materializes the top suggestion
+    # under the state-row budget, and the next identical query answers
+    # from the advisor-built rollup. The un-routed/routed pair is the
+    # measured speedup the advisor's advice actually delivers.
+    advisor_apply_info: dict = {}
+    if route_ok:
+        try:
+            import tempfile as _tf_adv
+
+            eng_adv = AQEngine(
+                spark, workdir=_tf_adv.mkdtemp(prefix="aqe_bench_adv_")
+            )
+            eng_adv.catalog.upsert_table_stats("events_big", ev_big_rows)
+
+            def _advisor_unrouted():
+                r = eng_adv.query(rollup_sql, dual_execute=False)
+                assert r["status"] == "ok", r.get("error")
+                assert "rollup" not in r["plan"]["reason"], (
+                    r["plan"]["reason"]
+                )
+                last_result[rollup_sql] = r["result"]
+
+            # warmup + reps = >=3 observations of the recurring shape,
+            # which is exactly the advisor's default min_count
+            _safe("rollup_advisor_unrouted", _advisor_unrouted)
+
+            t0 = time.perf_counter()
+            applied = eng_adv.apply_rollup_advice(max_apply=1)
+            build_s = time.perf_counter() - t0
+            assert applied and applied[0]["applied"] is True, applied
+            advisor_apply_info = {
+                "rollup": applied[0]["built"]["rollup"],
+                "state_rows": applied[0]["built"]["buckets"],
+                "build_sec": round(build_s, 3),
+                "observed_queries": applied[0]["observed_queries"],
+            }
+
+            def _advisor_routed():
+                r = eng_adv.query(rollup_sql, dual_execute=False)
+                assert r["status"] == "ok", r.get("error")
+                assert (
+                    "answered from materialized rollup" in r["plan"]["reason"]
+                ), r["plan"]["reason"]
+                plan_reasons["rollup_advisor_e2e"] = (
+                    f"exact: {r['plan']['reason']}"
+                )
+                last_result[rollup_sql] = r["result"]
+
+            _safe("rollup_advisor_routed", _advisor_routed)
+        except Exception as exc:  # noqa: BLE001 - setup failure isolation
+            bench_errors["rollup_advisor_e2e"] = (
+                f"{type(exc).__name__}: {exc}"[:300]
+            )
 
     # ---- approx-path routing (round 6, VERDICT r5 instruction 1) -------
     # The same date-bounded query on the APPROX path: a deterministic
@@ -1661,6 +1799,24 @@ def main() -> None:
     # distinguish noise from regression (the r04 stream_window lesson);
     # each run writes to a fresh temp dir, so reps are self-contained
     _safe("corpus_e2e", _corpus_e2e, reps=2)
+
+    # ---- PII scrub priced on its own line (VERDICT r7 item 6) ----------
+    # corpus_e2e absorbed the round-7 5-pattern typed redaction (+1.37 s
+    # unattributed); this class times JUST the scrub projection over the
+    # same corpus so drift in the regex pass shows on its own line. It is
+    # one codegen'd projection of chained JVM regexp_replace exprs with
+    # zero shuffle — the agg forces full evaluation without collecting
+    # document text.
+    def _redact_pii():
+        from pyspark.sql import functions as F
+
+        from approximate_query_engine_spark.functions.text import redact_pii
+
+        redact_pii(spark.table("documents"), "text").agg(
+            F.sum(F.length("text")).alias("chars")
+        ).collect()
+
+    _safe("redact_pii", _redact_pii, reps=2)
     try:
         if not knn_ok:
             raise RuntimeError("knn setup failed; skipping recall")
@@ -1793,6 +1949,25 @@ def main() -> None:
         speedups["rollup_derive"] = timings["rollup_derive_raw"] / max(
             timings["rollup_derive_state"], 1e-9
         )
+    # coarsest-covering grain win (round 8): the same state call on
+    # day-grain vs hour-grain state — both answered-from-state, so this
+    # ratio isolates the _fresh_rollup_with coarsest-first pick
+    if (
+        "rollup_topk_answered" in timings
+        and "rollup_topk_day_answered" in timings
+    ):
+        speedups["rollup_topk_grain"] = timings[
+            "rollup_topk_answered"
+        ] / max(timings["rollup_topk_day_answered"], 1e-9)
+    # the advisor loop's delivered win: un-routed workload vs routed to
+    # the advisor-materialized rollup (round 8)
+    if (
+        "rollup_advisor_unrouted" in timings
+        and "rollup_advisor_routed" in timings
+    ):
+        speedups["rollup_advisor_e2e"] = timings[
+            "rollup_advisor_unrouted"
+        ] / max(timings["rollup_advisor_routed"], 1e-9)
 
     errors = {}
     for name, sql in {
@@ -1965,6 +2140,11 @@ def main() -> None:
         # rollup-shaped classes that ran un-routed (e.g. while the rollup
         # tiers were disarmed) surface as concrete suggestions
         "rollup_advisor": _advisor_block(eng),
+        # the observed→advised→materialized→routed loop, closed this
+        # round: what apply_rollup_advice built for the recurring
+        # dashboard shape and what it cost (rollup_advisor_e2e in
+        # queries is the delivered speedup)
+        "rollup_advisor_apply": advisor_apply_info,
         "stratified_vs_uniform": strat_block,
         "ml_stats": ml_block,
         "rel_errors": errors,

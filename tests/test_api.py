@@ -254,6 +254,49 @@ def test_maintenance_compaction_param(client):
     assert "refreshed" in out and "errors" in out
 
 
+def test_maintenance_apply_advice_param(client):
+    """POST /maintenance/run forwards apply_advice + budget params; with
+    no recurring workload recorded the applied list is empty but the
+    report field is present (round 8)."""
+    out = client.post(
+        "/maintenance/run",
+        json={
+            "apply_advice": True,
+            "advice_max_apply": 1,
+            "advice_max_state_rows": 1000,
+        },
+    ).get_json()
+    assert "rollup_advice_applied" in out
+    assert isinstance(out["rollup_advice_applied"], list)
+
+
+def test_query_max_rank_error_param(client, engine):
+    """POST /query forwards max_rank_error: a zero rank budget forbids
+    KLL-served quantiles even when a rollup tracks the column (round 8)."""
+    engine.create_rollup(
+        "events", "ts", "1 hour", dims=["event_type"],
+        quantile_cols=["value"], kll_k=800,
+    )
+    sql = (
+        "SELECT event_type, MEDIAN(value) AS med FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00' GROUP BY event_type"
+    )
+    try:
+        routed = client.post(
+            "/query", json={"sql": sql, "max_rank_error": 0.05}
+        ).get_json()
+        assert routed["status"] == "ok"
+        assert "KLL sketch state" in routed["plan"]["reason"]
+        forbidden = client.post(
+            "/query", json={"sql": sql, "max_rank_error": 0.0}
+        ).get_json()
+        assert forbidden["status"] == "ok"
+        assert "rollup" not in forbidden["plan"]["reason"]
+    finally:
+        engine.catalog.rollups.pop("events", None)
+
+
 def test_rollups_routes(client, engine):
     """POST /rollups/create + GET /rollups: a created rollup lists, and
     a matching /query is answered from it (round-6 routing surface)."""
