@@ -1608,6 +1608,126 @@ def _q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ADVISOR_SQL = (
+    "SELECT event_type, COUNT(*) AS n, COUNT(value) AS nv, "
+    "MIN(value) AS mn, MAX(value) AS mx "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-12 00:00:00' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
+def _q_advisor_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 surface: the materialization-advisor loop CLOSED —
+    observe → advise → materialize → route with no human in the middle.
+    The dashboard query runs three times un-routed (each run records its
+    inferred rollup shape, engine._record_rollup_candidate), maintenance
+    with apply_advice=True materializes the top recommend_rollups
+    suggestion under the state-row budget (engine.apply_rollup_advice —
+    the budget gate is a shuffle-free approx_count_distinct estimate,
+    never a wasted build), and the NEXT identical query answers from the
+    advisor-built rollup. The oracle replays the same SQL on raw events
+    in DuckDB, so the advisor-built state must re-aggregate bit-exactly
+    (COUNT/MIN/MAX only — float SUM re-association is bench-verified
+    with measured error instead, same contract as q102)."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    for _ in range(3):
+        r = eng.query(_ADVISOR_SQL, dual_execute=False)
+        assert r["status"] == "ok", r.get("error")
+        assert "rollup" not in r["plan"]["reason"], r["plan"]
+    rep = eng.maintain(refresh_stats=False, apply_advice=True)
+    applied = rep["rollup_advice_applied"]
+    assert applied and applied[0]["applied"] is True, applied
+    assert rep["rollup_recommendations"] == [], rep  # advice converged
+    r = eng.query(_ADVISOR_SQL, dual_execute=False)
+    assert r["status"] == "ok", r.get("error")
+    assert "answered from materialized rollup" in r["plan"]["reason"], (
+        r["plan"]
+    )
+    rows = [
+        (
+            d["event_type"],
+            int(d["n"]),
+            int(d["nv"]),
+            float(d["mn"]),
+            float(d["mx"]),
+        )
+        for d in r["result"]
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, n long, nv long, mn double, mx double"
+    )
+
+
+_ADVISOR_ORACLE = (
+    "SELECT event_type, COUNT(*)::BIGINT AS n, COUNT(value)::BIGINT AS nv, "
+    "MIN(value) AS mn, MAX(value) AS mx "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-12 00:00:00' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
+_LAYOUT_ADVISOR_SQL = (
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-06 00:00:00'"
+)
+
+
+def _q_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 surface: the LAYOUT advisor loop closed — the storage
+    sibling of q103. A row-level PROJECTION with a literal time bound (a
+    shape no rollup can ever serve) runs three times with no layout to
+    prune through (each run records its (table, ts_col) shape,
+    engine._record_layout_candidate), maintenance with apply_advice=True
+    partitions the table under the bucket budget
+    (engine.apply_layout_advice — the gate is a shuffle-free
+    approx_count_distinct over the truncated time column), and the NEXT
+    identical query routes through the advisor-built day layout, pruning
+    at file-listing time. Routing is exact by construction (the original
+    WHERE rides along as the row filter), so the oracle is the same SQL
+    over raw events in DuckDB."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    for _ in range(3):
+        r = eng.query(_LAYOUT_ADVISOR_SQL, dual_execute=False)
+        assert r["status"] == "ok", r.get("error")
+        assert "partitioned layout" not in r["plan"]["reason"], r["plan"]
+    rep = eng.maintain(refresh_stats=False, apply_advice=True)
+    applied = rep["layout_advice_applied"]
+    assert applied and applied[0]["applied"] is True, applied
+    assert rep["layout_recommendations"] == [], rep  # advice converged
+    r = eng.query(_LAYOUT_ADVISOR_SQL, dual_execute=False)
+    assert r["status"] == "ok", r.get("error")
+    assert "routed to partitioned layout" in r["plan"]["reason"], r["plan"]
+    assert "events__by_day" in r["plan"]["sql"], r["plan"]
+    rows = [
+        (int(d["event_id"]), int(d["user_id"]), d["event_type"])
+        for d in r["result"]
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    )
+
+
+_LAYOUT_ADVISOR_ORACLE = (
+    "SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id, "
+    "event_type FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-06 00:00:00'"
+)
+
+
 _HIERARCHY_ORACLE = (
     "SELECT event_type, STRFTIME(DATE_TRUNC('week', ts), '%Y-%m-%d') AS wk, "
     "COUNT(*)::BIGINT AS n, COUNT(value)::BIGINT AS nv, "
@@ -3658,6 +3778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q100_rollup_audience"] = _q_rollup_audience
     out["q101_chunking"] = _q_chunking
     out["q102_rollup_hierarchy"] = _q_rollup_hierarchy
+    out["q103_advisor_loop"] = _q_advisor_loop
+    out["q104_layout_advisor"] = _q_layout_advisor
     return _reorder_check_window(out)
 
 
@@ -3721,5 +3843,7 @@ def oracle_sql() -> dict[str, str]:
     out["q100_rollup_audience"] = _ROLLUP_AUDIENCE_ORACLE
     out["q101_chunking"] = _CHUNKING_ORACLE
     out["q102_rollup_hierarchy"] = _HIERARCHY_ORACLE
+    out["q103_advisor_loop"] = _ADVISOR_ORACLE
+    out["q104_layout_advisor"] = _LAYOUT_ADVISOR_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -343,6 +343,25 @@ def create_app(engine: AQEngine, config: Config | None = None):
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500
 
+    @app.get("/layouts/recommend")
+    def layouts_recommend():
+        """The layout advisor (round 8): recurring time-bounded query
+        shapes that ran WITHOUT a partitioned layout, merged into
+        concrete partition_table suggestions
+        (engine.recommend_partition_layouts); converges to empty once
+        followed."""
+        try:
+            min_count = int(request.args.get("min_count", 3))
+            return jsonify(
+                {
+                    "recommendations": engine.recommend_partition_layouts(
+                        min_count
+                    )
+                }
+            )
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
     @app.get("/rollups")
     def rollups_list():
         return jsonify(
@@ -382,6 +401,11 @@ def create_app(engine: AQEngine, config: Config | None = None):
                     int(body["advice_max_state_rows"])
                     if "advice_max_state_rows" in body
                     else 5_000_000
+                ),
+                advice_max_buckets=(
+                    int(body["advice_max_buckets"])
+                    if "advice_max_buckets" in body
+                    else 100_000
                 ),
             )
         )

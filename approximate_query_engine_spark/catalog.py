@@ -163,6 +163,11 @@ class Catalog:
         #: rollup, keyed by shape signature → {"count", ...shape fields}
         #: — the rollup advisor's evidence (engine.recommend_rollups)
         self.rollup_candidates: dict[str, dict] = {}
+        #: workload-observed time-bounded queries whose table had NO
+        #: partitioned layout to route through, keyed by shape signature
+        #: → {"table", "ts_col", "grain", "count"} — the layout advisor's
+        #: evidence (engine.recommend_partition_layouts)
+        self.layout_candidates: dict[str, dict] = {}
         #: table → {"row_count": n at analyze time, "columns": [...]} —
         #: the baseline the maintenance drift policy measures column-stats
         #: staleness against (stale min/max + histograms misprice every
@@ -228,6 +233,7 @@ class Catalog:
                 "partitioned_views": dict(self.partitioned_views),
                 "rollups": {k: list(v) for k, v in dict(self.rollups).items()},
                 "rollup_candidates": dict(self.rollup_candidates),
+                "layout_candidates": dict(self.layout_candidates),
             }
             tmp = f"{self._meta_path}.tmp{threading.get_ident()}"
             with open(tmp, "w") as f:
@@ -276,6 +282,7 @@ class Catalog:
         self.partitioned_views.update(doc.get("partitioned_views", {}))
         self.rollups.update(doc.get("rollups", {}))
         self.rollup_candidates.update(doc.get("rollup_candidates", {}))
+        self.layout_candidates.update(doc.get("layout_candidates", {}))
 
     # ---- table stats (reference storage.py:88-109) ----
     def upsert_table_stats(self, table: str, row_count: int) -> None:

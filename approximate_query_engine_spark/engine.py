@@ -224,6 +224,14 @@ class AQEngine:
                 "sql": routed[0],
                 "reason": f"{plan.get('reason', 'exact')}; {routed[1]}",
             }
+        elif rolled is None:
+            # layout-advisor evidence: a time-bounded query just ran with
+            # no layout to prune through (and no rollup served it) —
+            # record its (table, ts_col) shape for
+            # recommend_partition_layouts. Recorded on the ORIGINAL sql:
+            # a sample-plan rewrite references the sample view, but the
+            # advice target is the base table.
+            self._record_layout_candidate(sql)
 
         if explain:
             # include Spark's physical plan so `explain` shows what would
@@ -535,6 +543,7 @@ class AQEngine:
         apply_advice: bool = False,
         advice_max_apply: int = 1,
         advice_max_state_rows: int | None = 5_000_000,
+        advice_max_buckets: int | None = 100_000,
     ) -> dict:
         """Apply the sample/sketch freshness policies (maintenance.py):
         rebuild artifacts whose base table drifted past ``max_drift`` (or
@@ -554,6 +563,7 @@ class AQEngine:
             apply_advice=apply_advice,
             advice_max_apply=advice_max_apply,
             advice_max_state_rows=advice_max_state_rows,
+            advice_max_buckets=advice_max_buckets,
             compact_files_over=compact_files_over,
         )
 
@@ -604,6 +614,10 @@ class AQEngine:
             # base rows at build time)
             "built_row_count": int(row["__n"]),
         }
+        # the layout count IS the base row count at this instant — record
+        # it so the freshness gate (which declines on UNKNOWN counts)
+        # can route immediately, without waiting for a stats refresh
+        self.catalog.upsert_table_stats(table, int(row["__n"]))
         self.catalog.save()
         # samples built BEFORE the layout existed are flat parquet and
         # can't route; re-materializing through the sampler rebuilds each
@@ -1131,6 +1145,181 @@ class AQEngine:
                 measures=spec["measures"],
                 distinct_cols=spec["distinct_cols"],
                 quantile_cols=spec["quantile_cols"],
+            )
+            applied += 1
+            report.append({**spec, "applied": True, "built": built})
+        return report
+
+    def _record_layout_candidate(self, sql: str) -> None:
+        """Best-effort LAYOUT-advisor bookkeeping (the partitioned-layout
+        sibling of _record_rollup_candidate): a single-table query whose
+        WHERE carries a derivable literal time bound just ran against a
+        table with NO registered layout — record (table, ts_col) so
+        recommend_partition_layouts can aggregate recurring shapes. Never
+        fails the query."""
+        try:
+            import json as _json
+            import re as _re
+
+            from approximate_query_engine_spark.operators.partitioning import (
+                derive_bucket_predicate,
+            )
+            from approximate_query_engine_spark.sqlparser import try_parse
+
+            parsed = try_parse(sql)
+            if parsed is None or not parsed.where:
+                return
+            table = parsed.table
+            if self.catalog.partitioned_views.get(table):
+                return  # a layout exists — freshness is maintenance's job
+            cols = self._table_cols_cache.get(table)
+            if cols is None:
+                cols = frozenset(self.spark.table(table).columns)
+                self._table_cols_cache[table] = cols
+            scopes = {table, parsed.table_alias or table}
+            seen: set[str] = set()
+            for m in _re.finditer(
+                r"\b((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s*"
+                r"(?:<=|>=|<|>|=|BETWEEN)\s*(?:DATE|TIMESTAMP)?\s*"
+                r"'\d{4}-\d{2}-\d{2}",
+                parsed.where,
+                _re.I,
+            ):
+                name = m.group(1)
+                if "." in name:
+                    q, _, bare = name.partition(".")
+                    if q not in scopes:
+                        continue
+                    name = bare
+                if name in cols:
+                    seen.add(name)
+            for ts_col in sorted(seen):
+                # the derivation gate (no OR/NOT/subquery, depth-0 bound)
+                # decides recordability — exactly what routing would need
+                if derive_bucket_predicate(
+                    parsed.where, ts_col, "day"
+                ) is None:
+                    continue
+                sig = _json.dumps(
+                    {"table": table, "ts_col": ts_col, "grain": "day"},
+                    sort_keys=True,
+                )
+                rec = self.catalog.layout_candidates.setdefault(
+                    sig,
+                    {
+                        "table": table,
+                        "ts_col": ts_col,
+                        "grain": "day",
+                        "count": 0,
+                    },
+                )
+                rec["count"] += 1
+            book = self.catalog.layout_candidates
+            if len(book) > self._MAX_ROLLUP_CANDIDATES:
+                for k in sorted(book, key=lambda k: book[k]["count"])[
+                    : len(book) - self._MAX_ROLLUP_CANDIDATES
+                ]:
+                    del book[k]
+        except Exception:  # noqa: BLE001 - advice must never break queries
+            return
+
+    def recommend_partition_layouts(self, min_count: int = 3) -> list[dict]:
+        """The layout advisor's back half: merge recurring time-bounded
+        query shapes that ran WITHOUT a partitioned layout into concrete
+        partition_table suggestions, per (table, ts_col). Tables whose
+        registered layout already covers the column are excluded, so
+        advice converges to empty once followed — same contract as
+        recommend_rollups."""
+        merged: dict[tuple[str, str], dict] = {}
+        for rec in self.catalog.layout_candidates.values():
+            key = (rec["table"], rec["ts_col"])
+            m = merged.setdefault(
+                key,
+                {
+                    "table": rec["table"],
+                    "ts_col": rec["ts_col"],
+                    "grain": rec.get("grain", "day"),
+                    "observed_queries": 0,
+                },
+            )
+            m["observed_queries"] += int(rec["count"])
+        out = []
+        for m in merged.values():
+            if m["observed_queries"] < min_count:
+                continue
+            info = self.catalog.partitioned_views.get(m["table"])
+            if info and info.get("ts_col") == m["ts_col"]:
+                continue  # covered — a layout on this column exists
+            out.append(m)
+        out.sort(key=lambda s: -s["observed_queries"])
+        return out
+
+    def apply_layout_advice(
+        self,
+        max_apply: int = 1,
+        max_buckets: int | None = 100_000,
+        min_count: int = 3,
+    ) -> list[dict]:
+        """Close the layout-advisor loop: PARTITION the table(s) the top
+        :meth:`recommend_partition_layouts` suggestion(s) name so the
+        next time-bounded query prunes at file-listing time. Opt-in and
+        budget-capped like apply_rollup_advice: at most ``max_apply``
+        rewrites per call, and a suggestion whose bucket count would
+        exceed ``max_buckets`` is declined WITHOUT rewriting (the
+        estimate is one shuffle-free ``approx_count_distinct`` over the
+        truncated time column — at 100 TB an unbounded day layout of a
+        decade-spanning table is a small-files problem, not a win)."""
+        from pyspark.sql import functions as F
+
+        trunc_unit = {"hour": "HOUR", "day": "DAY", "month": "MONTH"}
+        report: list[dict] = []
+        applied = 0
+        for spec in self.recommend_partition_layouts(min_count=min_count):
+            if applied >= max_apply:
+                report.append(
+                    {**spec, "applied": False, "reason": "max_apply budget"}
+                )
+                continue
+            if max_buckets is not None:
+                try:
+                    est = (
+                        self.spark.table(spec["table"])
+                        .where(F.col(spec["ts_col"]).isNotNull())
+                        .select(
+                            F.approx_count_distinct(
+                                F.date_trunc(
+                                    trunc_unit.get(
+                                        spec["grain"], "DAY"
+                                    ),
+                                    F.col(spec["ts_col"]),
+                                )
+                            ).alias("n")
+                        )
+                        .collect()[0]["n"]
+                    )
+                except Exception as exc:  # estimate failed — don't build
+                    report.append(
+                        {
+                            **spec,
+                            "applied": False,
+                            "reason": f"bucket estimate failed: {exc}"[:200],
+                        }
+                    )
+                    continue
+                if est > max_buckets:
+                    report.append(
+                        {
+                            **spec,
+                            "applied": False,
+                            "reason": (
+                                f"estimated buckets {int(est)} exceed "
+                                f"budget {int(max_buckets)}"
+                            ),
+                        }
+                    )
+                    continue
+            built = self.partition_table(
+                spec["table"], spec["ts_col"], grain=spec["grain"]
             )
             applied += 1
             report.append({**spec, "applied": True, "built": built})

@@ -48,6 +48,14 @@ class MaintenanceReport:
     rollup_advice_applied: list[dict[str, Any]] = field(
         default_factory=list
     )
+    #: the layout advisor's current suggestions
+    #: (engine.recommend_partition_layouts) + what apply_advice built
+    layout_recommendations: list[dict[str, Any]] = field(
+        default_factory=list
+    )
+    layout_advice_applied: list[dict[str, Any]] = field(
+        default_factory=list
+    )
 
     def to_dict(self) -> dict[str, Any]:
         return {
@@ -58,6 +66,8 @@ class MaintenanceReport:
             "errors": self.errors,
             "rollup_recommendations": self.rollup_recommendations,
             "rollup_advice_applied": self.rollup_advice_applied,
+            "layout_recommendations": self.layout_recommendations,
+            "layout_advice_applied": self.layout_advice_applied,
         }
 
 
@@ -125,6 +135,7 @@ def run_maintenance(
     apply_advice: bool = False,
     advice_max_apply: int = 1,
     advice_max_state_rows: int | None = 5_000_000,
+    advice_max_buckets: int | None = 100_000,
 ) -> dict[str, Any]:
     """Apply the drift/age policies to every cataloged sample and sketch.
 
@@ -137,9 +148,12 @@ def run_maintenance(
     micro-batch — see operators.partitioning.compact_partition_layout).
     ``apply_advice``: opt-in — MATERIALIZE the top rollup-advisor
     suggestion(s) (engine.apply_rollup_advice) under the
-    ``advice_max_apply`` / ``advice_max_state_rows`` budget so the next
-    matching dashboard query routes to pre-aggregated state; never runs
-    under ``dry_run``.
+    ``advice_max_apply`` / ``advice_max_state_rows`` budget, and
+    PARTITION the top layout-advisor suggestion(s)
+    (engine.apply_layout_advice) under ``advice_max_apply`` /
+    ``advice_max_buckets``, so the next matching dashboard query routes
+    to pre-aggregated state / a pruned layout; never runs under
+    ``dry_run``.
     """
     catalog = engine.catalog
     report = MaintenanceReport()
@@ -469,11 +483,26 @@ def run_maintenance(
             report.errors.append(
                 {"advisor": "apply_rollups", "error": str(exc)[:200]}
             )
+        try:
+            report.layout_advice_applied = engine.apply_layout_advice(
+                max_apply=advice_max_apply,
+                max_buckets=advice_max_buckets,
+            )
+        except Exception as exc:  # noqa: BLE001 - advice never fails sweep
+            report.errors.append(
+                {"advisor": "apply_layouts", "error": str(exc)[:200]}
+            )
     try:
         # recomputed AFTER any apply so the report shows what is STILL
         # unmaterialized (advice converges to empty once followed)
         report.rollup_recommendations = engine.recommend_rollups()
     except Exception as exc:  # noqa: BLE001 - advice never fails the sweep
         report.errors.append({"advisor": "rollups", "error": str(exc)[:200]})
+    try:
+        report.layout_recommendations = (
+            engine.recommend_partition_layouts()
+        )
+    except Exception as exc:  # noqa: BLE001 - advice never fails the sweep
+        report.errors.append({"advisor": "layouts", "error": str(exc)[:200]})
     catalog.save()
     return report.to_dict()

@@ -170,6 +170,12 @@ def test_check_window_ordering():
         # with an in-window family representative.
         "q11_tpch_q1": "q74_group_sum_having",  # scalar-agg scan family
         "q46_asof_join": "q90_join_routing",  # join family
+        # q103/q104 (advisor loops closed: observe → apply → route, for
+        # rollups and partitioned layouts) landed after the round-8
+        # rotation; their routing-family reps are in-window (rotate both
+        # in next round)
+        "q103_advisor_loop": "q91_rollup_routing",
+        "q104_layout_advisor": "q86_partition_routing",
         "q15_window_top_order": "q87_grouped_topk",  # window/top-k order
         "q67_repetition": "q66_corpus_prepare",  # text-quality family
         "q84_heavy_hitters": "q87_grouped_topk",  # heavy-hitter family
