@@ -3636,6 +3636,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: keeps q66's corpus chain + q67), q57 (batch sessionization — the
 #: session family keeps the stricter streaming q62), and q53 (salted
 #: join — the join family keeps q13/q46/q83/q90/q94).
+#: Late round 8: the advisor-loop surfaces q103 (observe → apply →
+#: routed rollup answer) and q104 (observe → apply → routed layout
+#: projection) took the slots of their own families' narrower rows —
+#: q91 (routed daily aggregate: q103's routed check subsumes it; the
+#: rollup routing family keeps q93/q94/q95 in-window) and q85 (layout
+#: scan: q104 routes through the same layout end-to-end; the layout
+#: family keeps q86/q88 in-window).
 #: Round-8 rotation (VERDICT r7 instruction 2): the round-7 flagship
 #: surfaces q101 (document chunking) and q102 (hierarchical rollup
 #: derive → weekly dashboard) — both previously oracled only via the
@@ -3651,7 +3658,7 @@ _CHECK_WINDOW_ORDER = [
     "q101_chunking",
     "q96_theta_overlap",
     "q97_rollup_quantile",
-    "q85_partitioned_scan",
+    "q104_layout_advisor",
     "q93_rollup_between",
     "q86_partition_routing",
     "q88_partition_routing_approx",
@@ -3662,7 +3669,7 @@ _CHECK_WINDOW_ORDER = [
     "q48_strata_analysis",
     "q49_neyman_alloc",
     "q50_cms_freq",
-    "q91_rollup_routing",
+    "q103_advisor_loop",
     "q52_graph_components",
     "q95_rollup_hybrid",
     "q94_rollup_join",

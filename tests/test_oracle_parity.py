@@ -148,7 +148,7 @@ def test_check_window_ordering():
         # q91 (rollup SQL routing, the family's newest surface) took
         # q51's slot; q51's query_rollup operator is the building block
         # q91's engine path materializes through
-        "q51_rollup_operator": "q91_rollup_routing",
+        "q51_rollup_operator": "q93_rollup_between",
         # round-7 rotation (VERDICT r6 instruction 2, extended): q90, q92
         # and the new q93/q94 moved INTO the window; these four stable
         # slots moved out, each with an in-window family representative.
@@ -170,12 +170,11 @@ def test_check_window_ordering():
         # with an in-window family representative.
         "q11_tpch_q1": "q74_group_sum_having",  # scalar-agg scan family
         "q46_asof_join": "q90_join_routing",  # join family
-        # q103/q104 (advisor loops closed: observe → apply → route, for
-        # rollups and partitioned layouts) landed after the round-8
-        # rotation; their routing-family reps are in-window (rotate both
-        # in next round)
-        "q103_advisor_loop": "q91_rollup_routing",
-        "q104_layout_advisor": "q86_partition_routing",
+        # late-round-8 rotation: q103/q104 (advisor loops closed:
+        # observe → apply → route, for rollups and layouts) moved INTO
+        # the window, displacing their families' narrower rows
+        "q91_rollup_routing": "q103_advisor_loop",
+        "q85_partitioned_scan": "q104_layout_advisor",
         "q15_window_top_order": "q87_grouped_topk",  # window/top-k order
         "q67_repetition": "q66_corpus_prepare",  # text-quality family
         "q84_heavy_hitters": "q87_grouped_topk",  # heavy-hitter family
