@@ -1720,6 +1720,53 @@ def _q_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPK_SQL = (
+    "SELECT user_id, COUNT(*) AS n FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-09 00:00:00' "
+    "GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10"
+)
+
+
+def _q_topk_sql_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 surface: the canonical TOP-ITEMS dashboard SQL routed to
+    combined frequent-items rollup state
+    (operators/rollup.rewrite_topk_to_rollup — the SQL twin of
+    rollup_top_items). The grouping column is too high-cardinality to be
+    a rollup dim, so the approx_top_k_accumulate state is the only
+    pre-aggregation that can serve it without a fact scan; the budget is
+    sized above the range's distinct count, so combined counts are EXACT
+    (Misra–Gries no-purge regime) and the DuckDB oracle hash-matches the
+    raw GROUP BY bit-for-bit, deterministic (count DESC, item ASC)
+    ordering on both sides."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.create_rollup(
+        "events", "ts", "1 hour", dims=["event_type"],
+        topk_cols=["user_id"], topk_budget=2048,
+    )
+    r = eng.query(_TOPK_SQL, dual_execute=False)
+    assert r["status"] == "ok", r.get("error")
+    assert "combined frequent-items state" in r["plan"]["reason"], (
+        r["plan"]
+    )
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    rows = [(int(d["user_id"]), int(d["n"])) for d in r["result"]]
+    return spark.createDataFrame(rows, "user_id long, n long")
+
+
+_TOPK_SQL_ORACLE = (
+    "SELECT user_id::BIGINT AS user_id, COUNT(*)::BIGINT AS n FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-09 00:00:00' "
+    "GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10"
+)
+
+
 _LAYOUT_ADVISOR_ORACLE = (
     "SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id, "
     "event_type FROM events "
@@ -3787,6 +3834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q102_rollup_hierarchy"] = _q_rollup_hierarchy
     out["q103_advisor_loop"] = _q_advisor_loop
     out["q104_layout_advisor"] = _q_layout_advisor
+    out["q105_topk_sql_routing"] = _q_topk_sql_routing
     return _reorder_check_window(out)
 
 
@@ -3852,5 +3900,6 @@ def oracle_sql() -> dict[str, str]:
     out["q102_rollup_hierarchy"] = _HIERARCHY_ORACLE
     out["q103_advisor_loop"] = _ADVISOR_ORACLE
     out["q104_layout_advisor"] = _LAYOUT_ADVISOR_ORACLE
+    out["q105_topk_sql_routing"] = _TOPK_SQL_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -1583,6 +1583,7 @@ class AQEngine:
             rewrite_join_to_rollup,
             rewrite_to_rollup,
             rewrite_to_rollup_hybrid,
+            rewrite_topk_to_rollup,
         )
         from approximate_query_engine_spark.sqlparser import (
             try_parse,
@@ -1683,6 +1684,20 @@ class AQEngine:
                 and budget >= kll_rank_error(info.get("kll_k", 200))
             )
 
+        def _allow_topk(info, k: int) -> bool:
+            # top-items-from-state gate: counts are exact while the
+            # range's distinct items fit the budget; beyond it the
+            # Misra–Gries additive bound 3.5·n/budget applies, which is
+            # ≥ 3.5·k/budget RELATIVE to the k-th item's best-case count
+            # n/k — so that ratio must fit inside the caller's tolerance
+            budget = int(info.get("topk_budget", 1024))
+            return (
+                not prefer_exact
+                and bool(info.get("topk_cols"))
+                and k > 0
+                and max_rel_error >= 3.5 * k / budget
+            )
+
         # phase 1: pure state answers (any candidate's plain rewrite
         # beats any hybrid — no raw rows read at all)
         for info in usable:
@@ -1693,6 +1708,13 @@ class AQEngine:
                     allow_approx_distinct=_allow_distinct(info),
                     allow_approx_quantile=_allow_quantile(info),
                 )
+                if routed is None and _allow_topk(
+                    info, int(parsed.limit or 0)
+                ):
+                    # the canonical top-items dashboard shape: the group
+                    # key is a tracked topk column (too high-cardinality
+                    # to be a dim), served from combined sketch state
+                    routed = rewrite_topk_to_rollup(parsed, info)
             else:
                 routed = rewrite_join_to_rollup(
                     jq,

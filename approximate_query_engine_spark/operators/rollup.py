@@ -916,6 +916,152 @@ def rewrite_to_rollup(
     return sql, note, bool(used_approx or used_quantile)
 
 
+def rewrite_topk_to_rollup(
+    parsed, info: dict
+) -> tuple[str, str, bool] | None:
+    """Rewrite the canonical TOP-ITEMS dashboard SQL —
+    ``SELECT col, COUNT(*) FROM t [WHERE ...] GROUP BY col
+    ORDER BY COUNT(*) DESC LIMIT k`` — to ``info``'s combined
+    frequent-items state (``approx_top_k_combine`` over the range's
+    ``col_topk`` sketches), or None when the shape is not derivable.
+    The SQL twin of :meth:`AQEngine.rollup_top_items`: the grouping
+    column is too high-cardinality to be a rollup dim (that exact case
+    routes through rewrite_to_rollup), so the state IS the only
+    pre-aggregation that can serve it without a fact scan.
+
+    Accuracy contract (the caller gates and labels it a sketch plan):
+    counts are EXACT while the range's distinct items fit
+    ``topk_budget`` (no purge can occur in any partial); beyond it the
+    Misra–Gries ``3.5·n/budget`` additive bound applies. The rewritten
+    ORDER BY is the deterministic (count DESC, item ASC) re-rank — a
+    valid instance of the user's count-DESC ordering under ties.
+
+    Soundness rules, each declining rather than risking a wrong answer:
+    exactly one group key (a tracked topk column), select items are the
+    key + one COUNT(*), ORDER BY leads with that count DESC (an
+    optional secondary ASC on the key is absorbed), LIMIT present,
+    WHERE conjuncts are dim filters or bucket-aligned time bounds
+    (combined state cannot slice a bucket), no HAVING/DISTINCT/OR."""
+    ts = info["time_col"]
+    bsec = info["bucket_seconds"]
+    dims = set(info["dims"])
+    topk_set = set(info.get("topk_cols", []))
+    budget = int(info.get("topk_budget", 1024))
+    scopes = {info["source_table"]}
+    if parsed.table_alias:
+        scopes.add(parsed.table_alias)
+
+    def strip(e: str) -> str:
+        return _strip_qualifier(e, scopes).strip()
+
+    if parsed.having or parsed.limit is None or parsed.limit <= 0:
+        return None
+    if len(parsed.group_by) != 1:
+        return None
+    col = strip(parsed.group_by[0])
+    if col not in topk_set or col in dims:
+        return None  # a dim group key re-aggregates exactly — not ours
+    if len(parsed.select_items) != 2:
+        return None
+    col_alias = cnt_alias = None
+    for it in parsed.select_items:
+        if it.agg is not None:
+            if it.agg.distinct or it.agg.func != "COUNT":
+                return None
+            if not (it.agg.is_star or strip(it.agg.arg) == "1"):
+                return None
+            cnt_alias = it.alias or f"`{it.raw}`"
+        else:
+            if strip(it.raw) != col:
+                return None
+            col_alias = it.alias or col
+    if col_alias is None or cnt_alias is None:
+        return None
+    # ORDER BY must LEAD with the count DESC; a secondary ASC key on the
+    # grouping column matches the deterministic re-rank we emit anyway
+    if not parsed.order_by:
+        return None
+    lead = parsed.order_by[0]
+    lead_e = strip(lead.expr)
+    is_cnt = (
+        lead_e == cnt_alias.strip("`")
+        or _re.fullmatch(r"COUNT\s*\(\s*(\*|1)\s*\)", lead_e, _re.I)
+    )
+    if not (lead.desc and is_cnt):
+        return None
+    if len(parsed.order_by) > 2:
+        return None
+    if len(parsed.order_by) == 2:
+        sec = parsed.order_by[1]
+        if sec.desc or strip(sec.expr) not in (col, col_alias):
+            return None
+
+    # ---- where: dim filters pass through; ts bounds translate to the
+    # bucket grid exactly like rewrite_to_rollup (misaligned declines)
+    conds, prune = [], []
+    if parsed.where:
+        conjs = _split_conjuncts(parsed.where)
+        if conjs is None:
+            return None
+        materialized = bool(
+            info.get("files_view") and info["files_view"] != info["view"]
+        )
+        for c in conjs:
+            ids = _identifiers(c)
+            if ids is None:
+                return None
+            bare = {strip(i) for i in ids}
+            if bare and bare <= dims:
+                conds.append(strip(c))
+                continue
+            sc = strip(c)
+            sc = _re.sub(
+                rf"CAST\(\s*{_re.escape(ts)}\s+AS\s+DATE\s*\)",
+                f"DATE_TRUNC('DAY', {ts})",
+                sc,
+                flags=_re.I,
+            )
+            tb = _ts_conjunct_bounds(sc, ts, bsec)
+            if tb is None:
+                return None
+            bconds, bprunes = tb
+            for bop, iso in bconds:
+                conds.append(f"bucket_start {bop} TIMESTAMP '{iso}'")
+            if materialized:
+                for pop, pdt in bprunes:
+                    prune.append(
+                        f"p_date {pop} '{pdt.strftime('%Y-%m-%d')}'"
+                    )
+
+    k = int(parsed.limit)
+    cand = min(max(4 * k, k + 16), budget)
+    src = info.get("files_view") or info["view"]
+    where_sql = ""
+    allconds = conds + prune
+    if allconds:
+        where_sql = " WHERE " + " AND ".join(allconds)
+    # the inner GROUP BY 'all' makes an EMPTY range produce zero groups
+    # (no rows) instead of one empty combine buffer, which Spark 4.1's
+    # ApproxTopKCombine cannot serialize (genSketchSerDe MatchError);
+    # COALESCE(1) sidesteps the same footgun for empty PARTIAL buffers —
+    # free at state cardinality
+    sql = (
+        f"SELECT e.item AS {col_alias}, e.count AS {cnt_alias} "
+        f"FROM (SELECT explode(approx_top_k_estimate("
+        f"approx_top_k_combine(`{col}_topk`, {budget}), {cand})) AS e "
+        f"FROM (SELECT /*+ COALESCE(1) */ `{col}_topk` FROM {src}"
+        f"{where_sql}) GROUP BY 'all') "
+        f"ORDER BY {cnt_alias} DESC, {col_alias} ASC LIMIT {k}"
+    )
+    note = (
+        f"top-{k} {col} from combined frequent-items state of "
+        f"materialized rollup {info['view']} (bucket {info['bucket']}, "
+        f"budget {budget}; counts exact while the range's distinct "
+        f"{col} fit the budget, Misra–Gries ±3.5·n/{budget} beyond)"
+    )
+    return sql, note, True
+
+
 def _fmt_ts(dt: datetime) -> str:
     """Full-precision TIMESTAMP literal text (microseconds kept — hybrid
     bounds are routinely off-grid by exactly 1 µs)."""

@@ -667,6 +667,13 @@ def main() -> None:
         "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
         "GROUP BY DATE_TRUNC('DAY', ts) ORDER BY day"
     )
+    rollup_topk_sql = (
+        "SELECT user_id, COUNT(*) AS n FROM events_big "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
+        "GROUP BY user_id "
+        "ORDER BY n DESC, user_id ASC LIMIT 10"
+    )
     try:
         if not os.path.exists(ev_big_path):
             (
@@ -1241,6 +1248,30 @@ def main() -> None:
                     ).collect()
 
                 _safe("rollup_topk_day_answered", _rollup_topk_day)
+
+                # the same question through the SQL surface (round 8):
+                # SELECT col, COUNT(*) ... ORDER BY count DESC LIMIT k
+                # routes to the combined frequent-items state
+                # (rewrite_topk_to_rollup) — with both grains registered
+                # the coarsest-first pick serves it from day state
+                _safe(
+                    "rollup_topk_sql_exact",
+                    _run_sql(spark, rollup_topk_sql, exact_rows),
+                )
+
+                def _topk_sql_routed():
+                    r = eng.query(rollup_topk_sql, dual_execute=False)
+                    assert r["status"] == "ok", r.get("error")
+                    assert (
+                        "combined frequent-items state"
+                        in r["plan"]["reason"]
+                    ), r["plan"]["reason"]
+                    plan_reasons["rollup_topk_sql"] = (
+                        f"{r['plan']['type']}: {r['plan']['reason']}"
+                    )
+                    last_result[rollup_topk_sql] = r["result"]
+
+                _safe("rollup_topk_sql_answered", _topk_sql_routed)
             except Exception as exc:  # noqa: BLE001 - setup isolation
                 bench_errors["rollup_topk_day_setup"] = (
                     f"{type(exc).__name__}: {exc}"[:300]
@@ -1959,6 +1990,13 @@ def main() -> None:
         speedups["rollup_topk_grain"] = timings[
             "rollup_topk_answered"
         ] / max(timings["rollup_topk_day_answered"], 1e-9)
+    if (
+        "rollup_topk_sql_exact" in timings
+        and "rollup_topk_sql_answered" in timings
+    ):
+        speedups["rollup_topk_sql"] = timings[
+            "rollup_topk_sql_exact"
+        ] / max(timings["rollup_topk_sql_answered"], 1e-9)
     # the advisor loop's delivered win: un-routed workload vs routed to
     # the advisor-materialized rollup (round 8)
     if (
@@ -2019,6 +2057,12 @@ def main() -> None:
             )
             if e is not None:
                 errors[_cls] = round(e, 4)
+    if last_result.get(rollup_topk_sql) and exact_rows.get(rollup_topk_sql):
+        _true = {r["user_id"] for r in exact_rows[rollup_topk_sql]}
+        _got = {r["user_id"] for r in last_result[rollup_topk_sql]}
+        errors["rollup_topk_sql"] = round(
+            1.0 - len(_true & _got) / max(len(_true), 1), 4
+        )
     if theta_rows.get("exact") and theta_rows.get("sketch"):
         e = measured_relative_error(theta_rows["sketch"], theta_rows["exact"])
         if e is not None:

@@ -359,3 +359,85 @@ def test_dim_filter_guards(dteng):
     assert (d["distinct_a"], d["distinct_b"], d["returning"]) == (
         ex["da"], ex["db"], ex["ret"],
     )
+
+
+# ---- routed top-items SQL (round 8): the canonical dashboard query ----
+# SELECT col, COUNT(*) ... GROUP BY col ORDER BY count DESC LIMIT k
+# answers from combined frequent-items state when col is tracked — the
+# SQL twin of rollup_top_items (operators/rollup.rewrite_topk_to_rollup).
+
+TOPK_SQL = (
+    "SELECT user_id, COUNT(*) AS n FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-05 00:00:00' "
+    "GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10"
+)
+
+
+def test_topk_sql_routes_and_matches_exact(teng):
+    r = teng.query(TOPK_SQL)
+    assert r["status"] == "ok", r.get("error")
+    assert r["plan"]["type"] == "sketch"
+    assert "combined frequent-items state" in r["plan"]["reason"]
+    got = [(d["user_id"], d["n"]) for d in r["result"]]
+    exact = [
+        (x["user_id"], x["n"]) for x in teng.spark.sql(TOPK_SQL).collect()
+    ]
+    # below the budget the combined counts are exact — bit-identical,
+    # native column type preserved (no string cast in the routed SQL)
+    assert got == exact
+
+
+def test_topk_sql_dim_filter_routes(teng):
+    sql = TOPK_SQL.replace("WHERE ts", "WHERE event_type = 'click' AND ts")
+    r = teng.query(sql)
+    assert r["status"] == "ok", r.get("error")
+    assert "combined frequent-items state" in r["plan"]["reason"]
+    got = [(d["user_id"], d["n"]) for d in r["result"]]
+    exact = [
+        (x["user_id"], x["n"]) for x in teng.spark.sql(sql).collect()
+    ]
+    assert got == exact
+
+
+def test_topk_sql_gates_decline(teng):
+    # exactness requested
+    r = teng.query(TOPK_SQL, prefer_exact=True)
+    assert "frequent-items" not in r["plan"]["reason"]
+    # tolerance below the 3.5·k/budget relative bound (10 items,
+    # budget 1024 -> 0.0342)
+    r = teng.query(TOPK_SQL, max_rel_error=0.01)
+    assert "frequent-items" not in r["plan"]["reason"]
+    # misaligned bound would slice a bucket
+    r = teng.query(
+        TOPK_SQL.replace("2024-01-02 00:00:00", "2024-01-02 00:30:10")
+    )
+    assert "frequent-items" not in r["plan"]["reason"]
+    # no LIMIT / no ORDER BY: not a top-k shape
+    r = teng.query(
+        "SELECT user_id, COUNT(*) AS n FROM events "
+        "GROUP BY user_id ORDER BY n DESC"
+    )
+    assert "frequent-items" not in r["plan"]["reason"]
+    # ORDER BY a non-count expression
+    r = teng.query(
+        "SELECT user_id, COUNT(*) AS n FROM events "
+        "GROUP BY user_id ORDER BY user_id DESC LIMIT 10"
+    )
+    assert "frequent-items" not in r["plan"]["reason"]
+    # HAVING is not expressible over combined sketch output
+    r = teng.query(
+        "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
+        "HAVING COUNT(*) > 3 ORDER BY n DESC LIMIT 10"
+    )
+    assert "frequent-items" not in r["plan"]["reason"]
+
+
+def test_topk_sql_empty_range_returns_no_rows(teng):
+    sql = TOPK_SQL.replace("2024-01-02", "2030-01-02").replace(
+        "2024-01-05", "2030-01-05"
+    )
+    r = teng.query(sql)
+    assert r["status"] == "ok", r.get("error")
+    assert "combined frequent-items state" in r["plan"]["reason"]
+    assert r["result"] == []
