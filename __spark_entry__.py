@@ -1748,12 +1748,17 @@ def _q_topk_sql_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.create_rollup(
         "events", "ts", "1 hour", dims=["event_type"],
         topk_cols=["user_id"], topk_budget=2048,
+        # the distinct-sketch state is the routing gate's exactness
+        # certificate: range ndv (+2 sigma) provably fits the budget,
+        # so no Misra-Gries purge can occur and counts are exact
+        distinct_cols=["user_id"],
     )
     r = eng.query(_TOPK_SQL, dual_execute=False)
     assert r["status"] == "ok", r.get("error")
     assert "combined frequent-items state" in r["plan"]["reason"], (
         r["plan"]
     )
+    assert "exact regime certified" in r["plan"]["reason"], r["plan"]
     assert r["plan"]["type"] == "sketch", r["plan"]
     rows = [(int(d["user_id"]), int(d["n"])) for d in r["result"]]
     return spark.createDataFrame(rows, "user_id long, n long")

@@ -397,15 +397,19 @@ def create_app(engine: AQEngine, config: Config | None = None):
                 ),
                 apply_advice=bool(body.get("apply_advice", False)),
                 advice_max_apply=int(body.get("advice_max_apply", 1)),
+                # an explicit JSON null means UNLIMITED (the engine's
+                # None budget); absent means the default
                 advice_max_state_rows=(
-                    int(body["advice_max_state_rows"])
+                    None
                     if "advice_max_state_rows" in body
-                    else 5_000_000
+                    and body["advice_max_state_rows"] is None
+                    else int(body.get("advice_max_state_rows", 5_000_000))
                 ),
                 advice_max_buckets=(
-                    int(body["advice_max_buckets"])
+                    None
                     if "advice_max_buckets" in body
-                    else 100_000
+                    and body["advice_max_buckets"] is None
+                    else int(body.get("advice_max_buckets", 100_000))
                 ),
             )
         )

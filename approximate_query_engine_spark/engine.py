@@ -52,6 +52,10 @@ class AQEngine:
         # runs on EVERY non-routed query, and spark.table(t).columns is
         # a catalog RPC that doesn't belong in the hot query path
         self._table_cols_cache: dict[str, frozenset[str]] = {}
+        # top-k routing exactness certificates per (view, build, col) —
+        # the state-sized ndv agg runs once per rollup build, not per
+        # routed query
+        self._topk_cert_cache: dict[tuple, str | bool] = {}
         if data_dir:
             self.register_data(data_dir)
         self.sampler.load_registered_samples()
@@ -927,9 +931,21 @@ class AQEngine:
             "refreshed_from": refreshed_from,
         }
 
-    #: cap on distinct observed query shapes kept for the advisor (the
-    #: book persists in catalog metadata; eviction is least-observed-first)
-    _MAX_ROLLUP_CANDIDATES = 256
+    #: cap on distinct observed query shapes kept per ADVISOR BOOK
+    #: (rollup and layout candidates each; the books persist in catalog
+    #: metadata, so a high-cardinality ad-hoc workload must not grow
+    #: them without bound)
+    _MAX_ADVISOR_CANDIDATES = 256
+
+    def _evict_candidates(self, book: dict) -> None:
+        """Cap an advisor candidate book in place: evict the
+        least-observed shapes first — recurring dashboard shapes
+        accumulate count and survive."""
+        if len(book) > self._MAX_ADVISOR_CANDIDATES:
+            for k in sorted(book, key=lambda k: book[k]["count"])[
+                : len(book) - self._MAX_ADVISOR_CANDIDATES
+            ]:
+                del book[k]
 
     def _record_rollup_candidate(self, sql: str) -> None:
         """Best-effort advisor bookkeeping — never fails the query."""
@@ -965,16 +981,7 @@ class AQEngine:
                 sig, {**shape, "count": 0}
             )
             rec["count"] += 1
-            # the candidate book persists in catalog metadata — cap it so
-            # a high-cardinality ad-hoc workload can't grow it without
-            # bound (evict the least-observed shapes; recurring dashboard
-            # shapes accumulate count and survive)
-            book = self.catalog.rollup_candidates
-            if len(book) > self._MAX_ROLLUP_CANDIDATES:
-                for k in sorted(book, key=lambda k: book[k]["count"])[
-                    : len(book) - self._MAX_ROLLUP_CANDIDATES
-                ]:
-                    del book[k]
+            self._evict_candidates(self.catalog.rollup_candidates)
         except Exception:  # noqa: BLE001 - advice must never break queries
             return
 
@@ -1137,15 +1144,26 @@ class AQEngine:
                         }
                     )
                     continue
-            built = self.create_rollup(
-                spec["table"],
-                spec["time_col"],
-                spec["bucket"],
-                dims=spec["dims"],
-                measures=spec["measures"],
-                distinct_cols=spec["distinct_cols"],
-                quantile_cols=spec["quantile_cols"],
-            )
+            try:
+                built = self.create_rollup(
+                    spec["table"],
+                    spec["time_col"],
+                    spec["bucket"],
+                    dims=spec["dims"],
+                    measures=spec["measures"],
+                    distinct_cols=spec["distinct_cols"],
+                    quantile_cols=spec["quantile_cols"],
+                )
+            except Exception as exc:  # noqa: BLE001 - one failing build
+                # must not abort the batch or discard prior successes
+                report.append(
+                    {
+                        **spec,
+                        "applied": False,
+                        "reason": f"build failed: {exc}"[:200],
+                    }
+                )
+                continue
             applied += 1
             report.append({**spec, "applied": True, "built": built})
         return report
@@ -1164,6 +1182,9 @@ class AQEngine:
             from approximate_query_engine_spark.operators.partitioning import (
                 derive_bucket_predicate,
             )
+            from approximate_query_engine_spark.operators.rollup import (
+                infer_rollup_shape,
+            )
             from approximate_query_engine_spark.sqlparser import try_parse
 
             parsed = try_parse(sql)
@@ -1172,6 +1193,14 @@ class AQEngine:
             table = parsed.table
             if self.catalog.partitioned_views.get(table):
                 return  # a layout exists — freshness is maintenance's job
+            if infer_rollup_shape(parsed) is not None:
+                # a rollup-SHAPED aggregate belongs to the ROLLUP advisor
+                # (state beats a pruned raw scan for it); recording it
+                # here too would make apply_advice follow a rollup build
+                # with a pointless full-table layout rewrite in the same
+                # sweep. Layout advice drives the shapes rollups can
+                # never serve: projections and out-of-grammar exact scans.
+                return
             cols = self._table_cols_cache.get(table)
             if cols is None:
                 cols = frozenset(self.spark.table(table).columns)
@@ -1214,12 +1243,7 @@ class AQEngine:
                     },
                 )
                 rec["count"] += 1
-            book = self.catalog.layout_candidates
-            if len(book) > self._MAX_ROLLUP_CANDIDATES:
-                for k in sorted(book, key=lambda k: book[k]["count"])[
-                    : len(book) - self._MAX_ROLLUP_CANDIDATES
-                ]:
-                    del book[k]
+            self._evict_candidates(self.catalog.layout_candidates)
         except Exception:  # noqa: BLE001 - advice must never break queries
             return
 
@@ -1247,9 +1271,13 @@ class AQEngine:
         for m in merged.values():
             if m["observed_queries"] < min_count:
                 continue
-            info = self.catalog.partitioned_views.get(m["table"])
-            if info and info.get("ts_col") == m["ts_col"]:
-                continue  # covered — a layout on this column exists
+            # a table holds ONE layout — advising a second time column
+            # would DESTROY the existing layout (same view/path), so any
+            # registered layout excludes the table outright (the stale
+            # candidates are purged on apply; re-partitioning on a
+            # different column stays an explicit human decision)
+            if self.catalog.partitioned_views.get(m["table"]):
+                continue
             out.append(m)
         out.sort(key=lambda s: -s["observed_queries"])
         return out
@@ -1318,10 +1346,30 @@ class AQEngine:
                         }
                     )
                     continue
-            built = self.partition_table(
-                spec["table"], spec["ts_col"], grain=spec["grain"]
-            )
+            try:
+                built = self.partition_table(
+                    spec["table"], spec["ts_col"], grain=spec["grain"]
+                )
+            except Exception as exc:  # noqa: BLE001 - one failing build
+                # must not abort the batch or discard prior successes
+                report.append(
+                    {
+                        **spec,
+                        "applied": False,
+                        "reason": f"build failed: {exc}"[:200],
+                    }
+                )
+                continue
             applied += 1
+            # purge the table's candidate evidence: one layout per table
+            # means every remaining shape for it is either served now or
+            # must stay a human decision — without the purge a SECOND
+            # time column's stale candidates would resurface forever
+            self.catalog.layout_candidates = {
+                k: v
+                for k, v in self.catalog.layout_candidates.items()
+                if v.get("table") != spec["table"]
+            }
             report.append({**spec, "applied": True, "built": built})
         return report
 
@@ -1685,18 +1733,71 @@ class AQEngine:
             )
 
         def _allow_topk(info, k: int) -> bool:
-            # top-items-from-state gate: counts are exact while the
-            # range's distinct items fit the budget; beyond it the
-            # Misra–Gries additive bound 3.5·n/budget applies, which is
-            # ≥ 3.5·k/budget RELATIVE to the k-th item's best-case count
-            # n/k — so that ratio must fit inside the caller's tolerance
+            # top-items-from-state gate: routed ONLY in the CERTIFIED
+            # exact regime — the column's distinct count is known to fit
+            # the tracked budget, so no Misra–Gries purge can occur in
+            # any partial and combined counts are exact. Beyond the
+            # budget the MG additive bound 3.5·n/budget has NO bound
+            # relative to the k-th item's count (an earlier draft gated
+            # on the best-case 3.5·k/budget, which a heavy tail violates
+            # by orders of magnitude), so no tolerance can honestly
+            # admit it — decline and let the planner answer.
+            # Certification sources, cheapest first: the catalog's
+            # learned whole-table ndv (≥ any range ndv), else the
+            # rollup's OWN distinct-sketch state for the column (one
+            # state-sized agg, ±2σ margin applied).
+            if prefer_exact or k <= 0 or not info.get("topk_cols"):
+                return False
+            return True  # per-column certification happens post-rewrite
+
+        def _topk_certified(info, col: str) -> str | None:
+            """Certification note when ``col``'s distinct count provably
+            fits ``info``'s topk budget, else None (decline). The
+            state-sized sketch estimate is cached per (view, build, col)
+            — state only changes on rebuild, so routing pays the agg
+            once, not per query."""
+            import math
+
             budget = int(info.get("topk_budget", 1024))
-            return (
-                not prefer_exact
-                and bool(info.get("topk_cols"))
-                and k > 0
-                and max_rel_error >= 3.5 * k / budget
+            ndv = self.catalog.column_ndv.get((target, col))
+            if ndv is not None and ndv <= budget:
+                return f"ndv {int(ndv)} <= budget (catalog stats)"
+            cache_key = (
+                info["view"], info.get("built_row_count"), col
             )
+            cached = self._topk_cert_cache.get(cache_key)
+            if cached is not None:
+                return cached or None
+            sk = None
+            if col in info.get("distinct_cols", []):
+                lgk = int(info.get("hll_lgk", 12))
+                sk, err = (
+                    f"hll_sketch_estimate(hll_union_agg({col}_hll))",
+                    1.04 / math.sqrt(2**lgk),
+                )
+            elif col in info.get("theta_cols", []):
+                lgk = int(info.get("theta_lgk", 12))
+                sk, err = (
+                    f"theta_sketch_estimate(theta_union_agg({col}_theta))",
+                    1.0 / math.sqrt(2**lgk),
+                )
+            if sk is None:
+                return None
+            try:
+                src = info.get("files_view") or info["view"]
+                est = self.spark.sql(
+                    f"SELECT {sk} AS n FROM {src}"
+                ).collect()[0]["n"]
+            except Exception:  # noqa: BLE001 - decline, stay correct
+                return None
+            note = None
+            if est is not None and float(est) * (1 + 2 * err) <= budget:
+                note = (
+                    f"ndv ~{int(est)} (+2σ) <= budget "
+                    "(rollup distinct state)"
+                )
+            self._topk_cert_cache[cache_key] = note or False
+            return note
 
         # phase 1: pure state answers (any candidate's plain rewrite
         # beats any hybrid — no raw rows read at all)
@@ -1713,8 +1814,18 @@ class AQEngine:
                 ):
                     # the canonical top-items dashboard shape: the group
                     # key is a tracked topk column (too high-cardinality
-                    # to be a dim), served from combined sketch state
-                    routed = rewrite_topk_to_rollup(parsed, info)
+                    # to be a dim), served from combined sketch state —
+                    # only when the exact (no-purge) regime is certified
+                    tk = rewrite_topk_to_rollup(parsed, info)
+                    if tk is not None:
+                        cert = _topk_certified(info, tk[3])
+                        if cert is not None:
+                            routed = (
+                                tk[0],
+                                f"{tk[1]}; exact regime certified: "
+                                f"{cert}",
+                                tk[2],
+                            )
             else:
                 routed = rewrite_join_to_rollup(
                     jq,

@@ -918,7 +918,7 @@ def rewrite_to_rollup(
 
 def rewrite_topk_to_rollup(
     parsed, info: dict
-) -> tuple[str, str, bool] | None:
+) -> tuple[str, str, bool, str] | None:
     """Rewrite the canonical TOP-ITEMS dashboard SQL —
     ``SELECT col, COUNT(*) FROM t [WHERE ...] GROUP BY col
     ORDER BY COUNT(*) DESC LIMIT k`` — to ``info``'s combined
@@ -929,12 +929,16 @@ def rewrite_topk_to_rollup(
     routes through rewrite_to_rollup), so the state IS the only
     pre-aggregation that can serve it without a fact scan.
 
-    Accuracy contract (the caller gates and labels it a sketch plan):
-    counts are EXACT while the range's distinct items fit
-    ``topk_budget`` (no purge can occur in any partial); beyond it the
-    Misra–Gries ``3.5·n/budget`` additive bound applies. The rewritten
-    ORDER BY is the deterministic (count DESC, item ASC) re-rank — a
-    valid instance of the user's count-DESC ordering under ties.
+    Accuracy contract: counts are EXACT while the range's distinct
+    items fit ``topk_budget`` (no purge can occur in any partial) — the
+    CALLER must certify that regime before serving the rewrite (the
+    engine checks catalog ndv or the rollup's own distinct-sketch
+    state), because beyond the budget the Misra–Gries additive bound
+    has no bound relative to the k-th item's count. The sketch is asked
+    for its full budget of items (not a candidate prefix), so the
+    deterministic (count DESC, item ASC) re-rank breaks ties globally —
+    a valid instance of the user's count-DESC ordering. Returns
+    ``(sql, note, used_approx, column)``.
 
     Soundness rules, each declining rather than risking a wrong answer:
     exactly one group key (a tracked topk column), select items are the
@@ -1034,7 +1038,11 @@ def rewrite_topk_to_rollup(
                     )
 
     k = int(parsed.limit)
-    cand = min(max(4 * k, k + 16), budget)
+    # ask the sketch for its FULL budget of items: a shorter candidate
+    # list could drop ties at the cutoff that the deterministic re-rank
+    # (count DESC, item ASC) must break globally — budget-sized output
+    # is still state-scale, so the width costs nothing material
+    cand = budget
     src = info.get("files_view") or info["view"]
     where_sql = ""
     allconds = conds + prune
@@ -1056,10 +1064,9 @@ def rewrite_topk_to_rollup(
     note = (
         f"top-{k} {col} from combined frequent-items state of "
         f"materialized rollup {info['view']} (bucket {info['bucket']}, "
-        f"budget {budget}; counts exact while the range's distinct "
-        f"{col} fit the budget, Misra–Gries ±3.5·n/{budget} beyond)"
+        f"budget {budget})"
     )
-    return sql, note, True
+    return sql, note, True, col
 
 
 def _fmt_ts(dt: datetime) -> str:

@@ -1251,9 +1251,54 @@ def main() -> None:
 
                 # the same question through the SQL surface (round 8):
                 # SELECT col, COUNT(*) ... ORDER BY count DESC LIMIT k
-                # routes to the combined frequent-items state
-                # (rewrite_topk_to_rollup) — with both grains registered
-                # the coarsest-first pick serves it from day state
+                # routes to combined frequent-items state
+                # (rewrite_topk_to_rollup). Routing requires the exact
+                # (no-purge) regime CERTIFIED: user_id ndv (1500) beats
+                # the 1024-budget entries above (which correctly
+                # decline), so this class builds a 4096-budget rollup
+                # whose own HLL state certifies it. Cached across runs.
+                topk_sql_path = os.path.join(
+                    big_dir,
+                    f"events_big_rollup1h_tk_v1_sf{_sf_from_dir(SF_DIR)}",
+                )
+                spec_tk = _RSpecQ(
+                    "events_big",
+                    "ts",
+                    "60 minutes",
+                    ["event_type"],
+                    [],
+                    distinct_cols=["user_id"],
+                    topk_cols=["user_id"],
+                    topk_budget=4096,
+                )
+                if not os.path.exists(topk_sql_path):
+                    _mat_rollup_q(spark, spec_tk, path=topk_sql_path)
+                else:
+                    spark.read.parquet(topk_sql_path).drop(
+                        "p_date"
+                    ).createOrReplaceTempView(spec_tk.rollup_name)
+                files_view_tk = f"{spec_tk.rollup_name}__files"
+                spark.read.parquet(topk_sql_path).createOrReplaceTempView(
+                    files_view_tk
+                )
+                eng.catalog.rollups["events_big"].append(
+                    {
+                        "source_table": "events_big",
+                        "view": spec_tk.rollup_name,
+                        "files_view": files_view_tk,
+                        "path": topk_sql_path,
+                        "time_col": "ts",
+                        "bucket": "60 minutes",
+                        "bucket_seconds": 3600,
+                        "dims": ["event_type"],
+                        "measures": [],
+                        "distinct_cols": ["user_id"],
+                        "hll_lgk": 12,
+                        "topk_cols": ["user_id"],
+                        "topk_budget": 4096,
+                        "built_row_count": ev_big_rows,
+                    }
+                )
                 _safe(
                     "rollup_topk_sql_exact",
                     _run_sql(spark, rollup_topk_sql, exact_rows),
@@ -1265,6 +1310,9 @@ def main() -> None:
                     assert (
                         "combined frequent-items state"
                         in r["plan"]["reason"]
+                    ), r["plan"]["reason"]
+                    assert (
+                        "exact regime certified" in r["plan"]["reason"]
                     ), r["plan"]["reason"]
                     plan_reasons["rollup_topk_sql"] = (
                         f"{r['plan']['type']}: {r['plan']['reason']}"

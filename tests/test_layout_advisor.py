@@ -104,3 +104,39 @@ def test_layout_recorder_skips_rollup_served(eng):
     r = q(eng, sql)
     assert "rollup" in r["plan"]["reason"]
     assert eng.catalog.layout_candidates == {}
+
+
+def test_apply_purges_table_candidates_and_any_layout_excludes(eng):
+    """One layout per table: applying advice purges the table's
+    candidate evidence, and ANY registered layout excludes the table
+    from further recommendations — no oscillating full-table rewrites
+    (round-8 review fix)."""
+    for _ in range(3):
+        q(eng, PROJ)
+    assert eng.catalog.layout_candidates
+    out = eng.apply_layout_advice()
+    assert out and out[0]["applied"] is True
+    assert eng.catalog.layout_candidates == {}
+    # even a hypothetical leftover candidate on another time column
+    # cannot resurface while a layout exists
+    eng.catalog.layout_candidates["stale"] = {
+        "table": "events", "ts_col": "created_at", "grain": "day",
+        "count": 99,
+    }
+    assert eng.recommend_partition_layouts() == []
+
+
+def test_rollup_shaped_queries_never_record_layout_evidence(eng):
+    """Aggregate dashboards belong to the rollup advisor: the layout
+    recorder skips rollup-shaped queries even when NO rollup exists, so
+    one apply_advice sweep never follows a rollup build with a
+    redundant full-table layout rewrite (round-8 review fix)."""
+    agg = (
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-06 00:00:00' GROUP BY event_type"
+    )
+    for _ in range(3):
+        q(eng, agg)
+    assert eng.catalog.layout_candidates == {}
+    assert eng.recommend_rollups()  # the rollup advisor owns the shape

@@ -277,7 +277,7 @@ def test_max_rank_error_knob(eng):
 
 # ---------------------------------------------------------------- 8
 def test_rollup_candidate_book_is_capped(eng):
-    eng._MAX_ROLLUP_CANDIDATES = 5
+    eng._MAX_ADVISOR_CANDIDATES = 5
     recurring = (
         "SELECT event_type, COUNT(*) AS n FROM events "
         "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' GROUP BY event_type"
@@ -297,3 +297,42 @@ def test_rollup_candidate_book_is_capped(eng):
     assert len(book) <= 5
     # the recurring dashboard shape survived eviction
     assert any(r["count"] >= 4 for r in book.values())
+
+
+def test_apply_advice_build_failure_is_recorded_not_fatal(
+    eng, monkeypatch
+):
+    """A failing build must not abort the apply batch or escape to the
+    maintenance sweep — it lands in the report as a per-suggestion
+    decline (round-8 review fix)."""
+    for _ in range(3):
+        q(eng, DASHBOARD)
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(eng, "create_rollup", boom)
+    out = eng.apply_rollup_advice()
+    assert out and out[0]["applied"] is False
+    assert "build failed" in out[0]["reason"]
+    assert not eng.catalog.rollups.get("events")
+
+
+def test_apply_layout_advice_build_failure_is_recorded(eng, monkeypatch):
+    proj = (
+        "SELECT event_id FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-06 00:00:00'"
+    )
+    for _ in range(3):
+        q(eng, proj)
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(eng, "partition_table", boom)
+    out = eng.apply_layout_advice()
+    assert out and out[0]["applied"] is False
+    assert "build failed" in out[0]["reason"]
+    # evidence survives the failed build (nothing was purged)
+    assert eng.catalog.layout_candidates

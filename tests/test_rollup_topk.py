@@ -20,11 +20,18 @@ def teng(spark):
     e.create_rollup(
         "events",
         "ts",
-        "1 hour",
+        # "3600 seconds" == "1 hour" on the bucket grid but gives this
+        # fixture its own temp-view names: the module's other engines
+        # register events__rollup_1_hour / __60_minutes over state
+        # WITHOUT the HLL column, and temp views are session-global
+        "3600 seconds",
         dims=["event_type"],
         measures=[],
         topk_cols=["user_id"],
         topk_budget=1024,
+        # distinct state doubles as the SQL-routing gate's exactness
+        # certificate (range ndv provably fits the topk budget)
+        distinct_cols=["user_id"],
     )
     return e
 
@@ -404,10 +411,6 @@ def test_topk_sql_gates_decline(teng):
     # exactness requested
     r = teng.query(TOPK_SQL, prefer_exact=True)
     assert "frequent-items" not in r["plan"]["reason"]
-    # tolerance below the 3.5·k/budget relative bound (10 items,
-    # budget 1024 -> 0.0342)
-    r = teng.query(TOPK_SQL, max_rel_error=0.01)
-    assert "frequent-items" not in r["plan"]["reason"]
     # misaligned bound would slice a bucket
     r = teng.query(
         TOPK_SQL.replace("2024-01-02 00:00:00", "2024-01-02 00:30:10")
@@ -431,6 +434,34 @@ def test_topk_sql_gates_decline(teng):
         "HAVING COUNT(*) > 3 ORDER BY n DESC LIMIT 10"
     )
     assert "frequent-items" not in r["plan"]["reason"]
+
+
+def test_topk_sql_uncertified_declines(spark):
+    """No catalog ndv and no distinct state on the column: the exact
+    (no-purge) regime cannot be certified, and beyond the budget the
+    MG bound has no relative guarantee — routing must decline rather
+    than serve counts that could be arbitrarily wrong."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_topk_uncert_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    e.create_rollup(
+        "events", "ts", "1 hour", dims=["event_type"],
+        topk_cols=["user_id"], topk_budget=1024,
+    )
+    r = e.query(TOPK_SQL)
+    assert r["status"] == "ok", r.get("error")
+    assert "frequent-items" not in r["plan"]["reason"], r["plan"]
+    # a learned catalog ndv within budget certifies it
+    e.catalog.upsert_column_ndv("events", "user_id", 40)
+    r = e.query(TOPK_SQL)
+    assert "exact regime certified" in r["plan"]["reason"], r["plan"]
+    assert "catalog stats" in r["plan"]["reason"]
+    # ndv ABOVE budget: certification honestly fails again
+    e.catalog.upsert_column_ndv("events", "user_id", 5000)
+    r = e.query(TOPK_SQL)
+    assert "frequent-items" not in r["plan"]["reason"], r["plan"]
 
 
 def test_topk_sql_empty_range_returns_no_rows(teng):
