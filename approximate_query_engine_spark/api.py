@@ -374,6 +374,17 @@ def create_app(engine: AQEngine, config: Config | None = None):
             }
         )
 
+    @app.get("/layouts")
+    def layouts_list():
+        """Registered time-partitioned layouts, one per table (round 8 —
+        the storage sibling of GET /rollups)."""
+        return jsonify(
+            {
+                table: {k: v for k, v in info.items() if k != "path"}
+                for table, info in engine.catalog.partitioned_views.items()
+            }
+        )
+
     @app.get("/ml/stats")
     def ml_stats():
         return jsonify(engine.ml_stats())

@@ -397,3 +397,13 @@ def test_rollup_state_routes(client, engine):
         },
     )
     assert bad.status_code == 400
+
+
+def test_layouts_list_route(client, engine):
+    """GET /layouts mirrors GET /rollups for partitioned layouts."""
+    out = client.get("/layouts").get_json()
+    assert isinstance(out, dict)
+    if "events" in out:  # registered by an earlier routing test
+        info = out["events"]
+        assert info["partition_col"] == "p_bucket"
+        assert "path" not in info
