@@ -87,6 +87,9 @@ class AQEngine:
     def register_view(self, name: str, df) -> None:
         df.createOrReplaceTempView(name)
         self._table_cols_cache.pop(name, None)
+        # replaced data orphans every cached top-k exactness certificate
+        # (an equal-row-count replacement would otherwise cache-hit)
+        self._topk_cert_cache.clear()
         # replacing a table's data orphans any parquet layout built from
         # the OLD data — drop the routing entries (partitioned layouts AND
         # rollups) so exact queries never get served from a stale
@@ -733,9 +736,18 @@ class AQEngine:
             self.catalog.upsert_table_stats(table, base_rows)
         path = os.path.join(self.catalog.workdir, f"rollup_{spec.rollup_name}")
         derived_from = None
+        fine_entry = None
         if derive:
             fine = self._derivable_fine(table, spec, base_rows)
             if fine is not None:
+                fine_entry = next(
+                    (
+                        e
+                        for e in self.catalog.rollups.get(table, [])
+                        if e["view"] == fine.rollup_name
+                    ),
+                    None,
+                )
                 rolled = derive_rollup_state(self.spark, fine, spec)
                 rolled.write.mode("overwrite").partitionBy(_PDATE).parquet(
                     path
@@ -746,6 +758,38 @@ class AQEngine:
                 derived_from = fine.rollup_name
         if derived_from is None:
             materialize_rollup(self.spark, spec, path=path)
+        # NULL evidence for the top-k SQL routing gate: approx_top_k
+        # state never sees NULLs, so a routed GROUP BY would silently
+        # drop the NULL group — record whether each tracked column was
+        # null-free at build time (one column-pruned agg; the derived
+        # path copies the fine rollup's flags — same data lineage —
+        # instead of re-scanning the fact table)
+        topk_notnull: dict[str, bool] = {}
+        if topk_cols:
+            from pyspark.sql import functions as F
+
+            inherited = (
+                (fine_entry or {}).get("topk_notnull") or {}
+                if derived_from is not None
+                else {}
+            )
+            missing = [c for c in topk_cols if c not in inherited]
+            topk_notnull = {
+                c: bool(inherited[c]) for c in topk_cols if c in inherited
+            }
+            if missing:
+                row = (
+                    self.spark.table(table)
+                    .agg(
+                        *[
+                            F.sum(F.col(c).isNull().cast("long")).alias(c)
+                            for c in missing
+                        ]
+                    )
+                    .collect()[0]
+                )
+                for c in missing:
+                    topk_notnull[c] = int(row[c] or 0) == 0
         files_view = f"{spec.rollup_name}__files"
         self.spark.read.parquet(path).createOrReplaceTempView(files_view)
         n_buckets = self.spark.table(spec.rollup_name).count()
@@ -767,6 +811,10 @@ class AQEngine:
             "topk_budget": int(topk_budget),
             "theta_cols": list(theta_cols or []),
             "theta_lgk": int(theta_lgk),
+            # build-time null evidence per topk column (see above) —
+            # the SQL routing gate requires True (refresh re-checks the
+            # tail and can only flip True -> False)
+            "topk_notnull": topk_notnull,
             # provenance (observability only — routing never reads it):
             # which finer rollup's state this build re-aggregated
             "derived_from": derived_from,
@@ -921,6 +969,30 @@ class AQEngine:
         self.spark.read.parquet(info["path"]).createOrReplaceTempView(
             info["files_view"]
         )
+        # re-verify NULL evidence over the refreshed tail: appends can
+        # only ADD nulls, so a True flag stays True iff the tail is
+        # null-free (one column-pruned tail scan; False is sticky until
+        # a full rebuild re-proves it)
+        notnull = info.get("topk_notnull") or {}
+        live = [c for c, ok in notnull.items() if ok]
+        if live:
+            from pyspark.sql import functions as F
+
+            row = (
+                self.spark.table(table)
+                .where(F.col(info["time_col"]).cast("date") >= since)
+                .agg(
+                    *[
+                        F.sum(F.col(c).isNull().cast("long")).alias(c)
+                        for c in live
+                    ]
+                )
+                .collect()[0]
+            )
+            for c in live:
+                if int(row[c] or 0) != 0:
+                    notnull[c] = False
+            info["topk_notnull"] = notnull
         self.catalog.upsert_table_stats(table, current)
         info["built_row_count"] = int(current)
         self.catalog.save()
@@ -930,6 +1002,16 @@ class AQEngine:
             "built_row_count": int(current),
             "refreshed_from": refreshed_from,
         }
+
+    def _table_columns(self, table: str) -> frozenset[str]:
+        """Cached column set of ``table`` — the advisors run on every
+        non-routed query and spark.table().columns is a catalog RPC that
+        doesn't belong in the hot path (register_view invalidates)."""
+        cols = self._table_cols_cache.get(table)
+        if cols is None:
+            cols = frozenset(self.spark.table(table).columns)
+            self._table_cols_cache[table] = cols
+        return cols
 
     #: cap on distinct observed query shapes kept per ADVISOR BOOK
     #: (rollup and layout candidates each; the books persist in catalog
@@ -963,10 +1045,7 @@ class AQEngine:
             shape = infer_rollup_shape(parsed)
             if shape is None:
                 return
-            cols = self._table_cols_cache.get(shape["table"])
-            if cols is None:
-                cols = frozenset(self.spark.table(shape["table"]).columns)
-                self._table_cols_cache[shape["table"]] = cols
+            cols = self._table_columns(shape["table"])
             referenced = (
                 {shape["time_col"]}
                 | set(shape["dims"])
@@ -1098,75 +1177,43 @@ class AQEngine:
         reason."""
         from pyspark.sql import functions as F
 
-        report: list[dict] = []
-        applied = 0
-        for spec in self.recommend_rollups(min_count=min_count):
-            if applied >= max_apply:
-                report.append(
-                    {**spec, "applied": False, "reason": "max_apply budget"}
-                )
-                continue
-            if max_state_rows is not None:
-                try:
-                    est = (
-                        self.spark.table(spec["table"])
-                        .where(F.col(spec["time_col"]).isNotNull())
-                        .select(
-                            F.approx_count_distinct(
-                                F.struct(
-                                    F.window(
-                                        spec["time_col"], spec["bucket"]
-                                    ).start,
-                                    *[F.col(d) for d in spec["dims"]],
-                                )
-                            ).alias("n")
+        def estimate(spec):
+            return (
+                self.spark.table(spec["table"])
+                .where(F.col(spec["time_col"]).isNotNull())
+                .select(
+                    F.approx_count_distinct(
+                        F.struct(
+                            F.window(
+                                spec["time_col"], spec["bucket"]
+                            ).start,
+                            *[F.col(d) for d in spec["dims"]],
                         )
-                        .collect()[0]["n"]
-                    )
-                except Exception as exc:  # estimate failed — don't build
-                    report.append(
-                        {
-                            **spec,
-                            "applied": False,
-                            "reason": f"state estimate failed: {exc}"[:200],
-                        }
-                    )
-                    continue
-                if est > max_state_rows:
-                    report.append(
-                        {
-                            **spec,
-                            "applied": False,
-                            "reason": (
-                                f"estimated state rows {int(est)} exceed "
-                                f"budget {int(max_state_rows)}"
-                            ),
-                        }
-                    )
-                    continue
-            try:
-                built = self.create_rollup(
-                    spec["table"],
-                    spec["time_col"],
-                    spec["bucket"],
-                    dims=spec["dims"],
-                    measures=spec["measures"],
-                    distinct_cols=spec["distinct_cols"],
-                    quantile_cols=spec["quantile_cols"],
+                    ).alias("n")
                 )
-            except Exception as exc:  # noqa: BLE001 - one failing build
-                # must not abort the batch or discard prior successes
-                report.append(
-                    {
-                        **spec,
-                        "applied": False,
-                        "reason": f"build failed: {exc}"[:200],
-                    }
-                )
-                continue
-            applied += 1
-            report.append({**spec, "applied": True, "built": built})
-        return report
+                .collect()[0]["n"]
+            )
+
+        def build(spec):
+            return self.create_rollup(
+                spec["table"],
+                spec["time_col"],
+                spec["bucket"],
+                dims=spec["dims"],
+                measures=spec["measures"],
+                distinct_cols=spec["distinct_cols"],
+                quantile_cols=spec["quantile_cols"],
+            )
+
+        return self._apply_advice(
+            self.recommend_rollups(min_count=min_count),
+            max_apply=max_apply,
+            budget=max_state_rows,
+            budget_noun="state rows",
+            estimate_label="state",
+            estimate_fn=estimate,
+            build_fn=build,
+        )
 
     def _record_layout_candidate(self, sql: str) -> None:
         """Best-effort LAYOUT-advisor bookkeeping (the partitioned-layout
@@ -1201,10 +1248,7 @@ class AQEngine:
                 # sweep. Layout advice drives the shapes rollups can
                 # never serve: projections and out-of-grammar exact scans.
                 return
-            cols = self._table_cols_cache.get(table)
-            if cols is None:
-                cols = frozenset(self.spark.table(table).columns)
-                self._table_cols_cache[table] = cols
+            cols = self._table_columns(table)
             scopes = {table, parsed.table_alias or table}
             seen: set[str] = set()
             for m in _re.finditer(
@@ -1300,56 +1344,102 @@ class AQEngine:
         from pyspark.sql import functions as F
 
         trunc_unit = {"hour": "HOUR", "day": "DAY", "month": "MONTH"}
+
+        def estimate(spec):
+            return (
+                self.spark.table(spec["table"])
+                .where(F.col(spec["ts_col"]).isNotNull())
+                .select(
+                    F.approx_count_distinct(
+                        F.date_trunc(
+                            trunc_unit.get(spec["grain"], "DAY"),
+                            F.col(spec["ts_col"]),
+                        )
+                    ).alias("n")
+                )
+                .collect()[0]["n"]
+            )
+
+        def build(spec):
+            return self.partition_table(
+                spec["table"], spec["ts_col"], grain=spec["grain"]
+            )
+
+        def purge(spec):
+            # purge the table's candidate evidence: one layout per table
+            # means every remaining shape for it is either served now or
+            # must stay a human decision — without the purge a SECOND
+            # time column's stale candidates would resurface forever
+            self.catalog.layout_candidates = {
+                k: v
+                for k, v in self.catalog.layout_candidates.items()
+                if v.get("table") != spec["table"]
+            }
+
+        return self._apply_advice(
+            self.recommend_partition_layouts(min_count=min_count),
+            max_apply=max_apply,
+            budget=max_buckets,
+            budget_noun="buckets",
+            estimate_label="bucket",
+            estimate_fn=estimate,
+            build_fn=build,
+            on_applied=purge,
+        )
+
+    def _apply_advice(
+        self,
+        suggestions: list[dict],
+        max_apply: int,
+        budget: int | None,
+        budget_noun: str,
+        estimate_label: str,
+        estimate_fn,
+        build_fn,
+        on_applied=None,
+    ) -> list[dict]:
+        """Shared apply driver for both advisor families: a max-builds
+        gate, a pre-build budget estimate (failures and over-budget
+        suggestions decline per-suggestion), a guarded build (one
+        failure never aborts the batch or discards prior successes),
+        and an optional post-apply hook."""
         report: list[dict] = []
         applied = 0
-        for spec in self.recommend_partition_layouts(min_count=min_count):
+        for spec in suggestions:
             if applied >= max_apply:
                 report.append(
                     {**spec, "applied": False, "reason": "max_apply budget"}
                 )
                 continue
-            if max_buckets is not None:
+            if budget is not None:
                 try:
-                    est = (
-                        self.spark.table(spec["table"])
-                        .where(F.col(spec["ts_col"]).isNotNull())
-                        .select(
-                            F.approx_count_distinct(
-                                F.date_trunc(
-                                    trunc_unit.get(
-                                        spec["grain"], "DAY"
-                                    ),
-                                    F.col(spec["ts_col"]),
-                                )
-                            ).alias("n")
-                        )
-                        .collect()[0]["n"]
-                    )
+                    est = estimate_fn(spec)
                 except Exception as exc:  # estimate failed — don't build
                     report.append(
                         {
                             **spec,
                             "applied": False,
-                            "reason": f"bucket estimate failed: {exc}"[:200],
+                            "reason": (
+                                f"{estimate_label} estimate failed: "
+                                f"{exc}"
+                            )[:200],
                         }
                     )
                     continue
-                if est > max_buckets:
+                if est > budget:
                     report.append(
                         {
                             **spec,
                             "applied": False,
                             "reason": (
-                                f"estimated buckets {int(est)} exceed "
-                                f"budget {int(max_buckets)}"
+                                f"estimated {budget_noun} {int(est)} "
+                                f"exceed budget {int(budget)}"
                             ),
                         }
                     )
                     continue
             try:
-                built = self.partition_table(
-                    spec["table"], spec["ts_col"], grain=spec["grain"]
-                )
+                built = build_fn(spec)
             except Exception as exc:  # noqa: BLE001 - one failing build
                 # must not abort the batch or discard prior successes
                 report.append(
@@ -1361,24 +1451,21 @@ class AQEngine:
                 )
                 continue
             applied += 1
-            # purge the table's candidate evidence: one layout per table
-            # means every remaining shape for it is either served now or
-            # must stay a human decision — without the purge a SECOND
-            # time column's stale candidates would resurface forever
-            self.catalog.layout_candidates = {
-                k: v
-                for k, v in self.catalog.layout_candidates.items()
-                if v.get("table") != spec["table"]
-            }
+            if on_applied is not None:
+                on_applied(spec)
             report.append({**spec, "applied": True, "built": built})
         return report
 
-    def _fresh_rollup_with(
+    def _fresh_rollups_with(
         self, table: str, field: str, column: str, kind: str
-    ) -> dict:
-        """The table's FRESH rollup entry whose ``field`` list tracks
-        ``column`` — raises (never silently serves stale or untracked
-        state) and re-registers the files view on a fresh session."""
+    ) -> list[dict]:
+        """ALL of the table's FRESH rollup entries whose ``field`` list
+        tracks ``column``, COARSEST first — raises when none exist or
+        none are fresh (never silently serves stale or untracked state)
+        and re-registers each files view on a fresh session. Callers
+        take the first entry whose bucket grid fits their bounds, so a
+        coarse rollup that cannot serve an off-grid call falls back to
+        a finer fresh one instead of breaking previously-working calls."""
         # coarsest bucket first, matching _route_rollup: among rollups
         # that track the column, the fewest-state-rows one wins (a day
         # rollup beats an hour rollup 24:1 on scan size)
@@ -1403,13 +1490,19 @@ class AQEngine:
                 f"rollup {entries[0]['view']} is stale for {table!r}; "
                 "refresh it"
             )
-        info = fresh[0]
-        src = info.get("files_view") or info["view"]
-        if not self.spark.catalog.tableExists(src):
-            self.spark.read.parquet(info["path"]).createOrReplaceTempView(
-                info["files_view"]
-            )
-        return info
+        for info in fresh:
+            src = info.get("files_view") or info["view"]
+            if not self.spark.catalog.tableExists(src):
+                self.spark.read.parquet(
+                    info["path"]
+                ).createOrReplaceTempView(info["files_view"])
+        return fresh
+
+    def _fresh_rollup_with(
+        self, table: str, field: str, column: str, kind: str
+    ) -> dict:
+        """The coarsest fresh entry (see :meth:`_fresh_rollups_with`)."""
+        return self._fresh_rollups_with(table, field, column, kind)[0]
 
     def _aligned_range_pred(
         self, info: dict, lo: str | None, hi: str | None
@@ -1472,10 +1565,27 @@ class AQEngine:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        info = self._fresh_rollup_with(table, "topk_cols", column, "top-k")
+        # coarsest rollup whose bucket grid fits the bounds (and whose
+        # dims cover the filter) — an off-grid coarse rollup falls back
+        # to a finer fresh one instead of failing the call
+        entries = self._fresh_rollups_with(
+            table, "topk_cols", column, "top-k"
+        )
+        info = where = last_err = None
+        for cand_info in entries:
+            try:
+                where = self._with_dim_filter(
+                    cand_info,
+                    self._aligned_range_pred(cand_info, lo, hi),
+                    dims,
+                )
+                info = cand_info
+                break
+            except ValueError as exc:
+                last_err = exc
+        if info is None:
+            raise last_err
         budget = int(info.get("topk_budget", 1024))
-        where = self._aligned_range_pred(info, lo, hi)
-        where = self._with_dim_filter(info, where, dims)
         src = info.get("files_view") or info["view"]
         # candidate_k: how many items the sketch RETURNS before the
         # deterministic (cnt DESC, item ASC) re-rank — widen toward the
@@ -1566,15 +1676,33 @@ class AQEngine:
         fall on the bucket grid (raise, never silently slice)."""
         from pyspark.sql import functions as F
 
-        info = self._fresh_rollup_with(
+        # coarsest rollup whose grid fits BOTH windows; finer fresh
+        # rollups serve off-grid bounds a coarse one cannot
+        entries = self._fresh_rollups_with(
             table, "theta_cols", column, "theta set-algebra"
         )
+        info = preds = last_err = None
+        for cand_info in entries:
+            try:
+                preds = [
+                    self._with_dim_filter(
+                        cand_info,
+                        self._aligned_range_pred(cand_info, lo, hi),
+                        dims,
+                    )
+                    for lo, hi in ((a_lo, a_hi), (b_lo, b_hi))
+                ]
+                info = cand_info
+                break
+            except ValueError as exc:
+                last_err = exc
+        if info is None:
+            raise last_err
         src = info.get("files_view") or info["view"]
         sketches = []
-        for tag, lo, hi in (("a", a_lo, a_hi), ("b", b_lo, b_hi)):
-            pred = self._with_dim_filter(
-                info, self._aligned_range_pred(info, lo, hi), dims
-            )
+        for (tag, lo, hi), pred in zip(
+            (("a", a_lo, a_hi), ("b", b_lo, b_hi)), preds
+        ):
             ranged = self.spark.table(src).where(pred)
             # theta_union_agg of zero rows is a valid EMPTY sketch (est
             # 0) — an empty window is a caller mistake, not an audience
@@ -1751,19 +1879,32 @@ class AQEngine:
             return True  # per-column certification happens post-rewrite
 
         def _topk_certified(info, col: str) -> str | None:
-            """Certification note when ``col``'s distinct count provably
-            fits ``info``'s topk budget, else None (decline). The
-            state-sized sketch estimate is cached per (view, build, col)
-            — state only changes on rebuild, so routing pays the agg
-            once, not per query."""
+            """Certification note when serving ``col``'s top-k from state
+            is provably exact, else None (decline). Two obligations:
+            (1) NULL evidence — approx_top_k state never sees NULLs, so
+            the raw GROUP BY's NULL group would be silently dropped;
+            the rollup's build-time flag (re-checked by refresh) or an
+            exact analyzed zero null fraction must vouch the column is
+            null-free. (2) the distinct count fits the budget (no
+            Misra–Gries purge): catalog ndv with a 10% margin
+            (analyze_table's approx_count_distinct has ~5% rsd — an
+            unmargined 1015 would certify a true 1070 over a 1024
+            budget), else the rollup's own distinct-sketch state at
+            +2σ. The state estimate is cached per (view, build, budget,
+            col) — state only changes on rebuild, so routing pays the
+            agg once, not per query; register_view clears the cache."""
             import math
 
             budget = int(info.get("topk_budget", 1024))
+            if (info.get("topk_notnull") or {}).get(col) is not True:
+                nf = self.catalog.column_null_frac.get((target, col))
+                if nf != 0.0:
+                    return None  # NULL group unprovable — decline
             ndv = self.catalog.column_ndv.get((target, col))
-            if ndv is not None and ndv <= budget:
-                return f"ndv {int(ndv)} <= budget (catalog stats)"
+            if ndv is not None and ndv * 1.1 <= budget:
+                return f"ndv {int(ndv)} (+10%) <= budget (catalog stats)"
             cache_key = (
-                info["view"], info.get("built_row_count"), col
+                info["view"], info.get("built_row_count"), budget, col
             )
             cached = self._topk_cert_cache.get(cache_key)
             if cached is not None:

@@ -472,3 +472,78 @@ def test_topk_sql_empty_range_returns_no_rows(teng):
     assert r["status"] == "ok", r.get("error")
     assert "combined frequent-items state" in r["plan"]["reason"]
     assert r["result"] == []
+
+
+def test_topk_sql_null_group_declines(spark):
+    """approx_top_k state never sees NULLs, so routing a GROUP BY over a
+    nullable column would silently drop the NULL group — the gate
+    requires build-time null evidence and declines without it (round-8
+    review fix)."""
+    from pyspark.sql import functions as F
+
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_topk_null_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    nulled = spark.table("events").withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(
+            F.col("user_id")
+        ),
+    )
+    e.register_view("events_nullable", nulled)
+    e.create_rollup(
+        "events_nullable", "ts", "1 hour", dims=["event_type"],
+        topk_cols=["user_id"], distinct_cols=["user_id"],
+    )
+    info = e.catalog.rollups["events_nullable"][0]
+    assert info["topk_notnull"] == {"user_id": False}
+    sql = TOPK_SQL.replace("FROM events", "FROM events_nullable")
+    r = e.query(sql)
+    assert r["status"] == "ok", r.get("error")
+    assert "frequent-items" not in r["plan"]["reason"], r["plan"]
+    # the exact answer (which the planner serves instead) keeps the
+    # NULL group the sketch state could never represent
+    assert any(d["user_id"] is None for d in r["result"]) or len(
+        r["result"]
+    ) == 10
+
+
+def test_top_items_falls_back_to_finer_grid(teng):
+    """Adding a COARSER rollup must not break off-grid API calls the
+    finer one serves: hour-aligned bounds that slice a day bucket fall
+    back to the fresh hour-grain state (round-8 review fix)."""
+    lo, hi = "2024-01-02 06:00:00", "2024-01-03 06:00:00"
+    before = [
+        (r["item"], r["cnt"])
+        for r in teng.rollup_top_items(
+            "events", "user_id", k=5, lo=lo, hi=hi, candidate_k=1024
+        ).collect()
+    ]
+    assert before == _exact_top(teng.spark, lo, hi, 5)
+    teng.create_rollup(
+        "events", "ts", "1 day", dims=["event_type"],
+        topk_cols=["user_id"], distinct_cols=["user_id"],
+    )
+    try:
+        # day-aligned call serves from the day state (coarsest wins)
+        day = teng.rollup_top_items(
+            "events", "user_id", k=5,
+            lo="2024-01-02 00:00:00", hi="2024-01-04 00:00:00",
+            candidate_k=1024,
+        )
+        assert day.count() == 5
+        # hour-aligned (day-slicing) call falls back to hour state
+        after = [
+            (r["item"], r["cnt"])
+            for r in teng.rollup_top_items(
+                "events", "user_id", k=5, lo=lo, hi=hi, candidate_k=1024
+            ).collect()
+        ]
+        assert after == before
+    finally:
+        teng.catalog.rollups["events"] = [
+            e for e in teng.catalog.rollups["events"]
+            if e["bucket"] != "1 day"
+        ]
