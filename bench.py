@@ -1296,6 +1296,12 @@ def main() -> None:
                         "hll_lgk": 12,
                         "topk_cols": ["user_id"],
                         "topk_budget": 4096,
+                        # null evidence the routing gate requires
+                        # (create_rollup records this automatically;
+                        # this hand-built replica entry asserts what a
+                        # build-time scan would find: the synthetic
+                        # events user_id column is never NULL)
+                        "topk_notnull": {"user_id": True},
                         "built_row_count": ev_big_rows,
                     }
                 )
