@@ -547,3 +547,44 @@ def test_top_items_falls_back_to_finer_grid(teng):
             e for e in teng.catalog.rollups["events"]
             if e["bucket"] != "1 day"
         ]
+
+
+def test_topk_sql_metamorphic_windows(teng):
+    """Routed-vs-raw metamorphic sweep (same pattern as the hierarchy
+    fuzz): random hour-aligned windows and k values must hash-match the
+    exact GROUP BY bit-for-bit in the certified regime — window edges,
+    single-bucket ranges, and dim filters included."""
+    import random
+
+    rng = random.Random(8)
+    for _ in range(6):
+        d0 = rng.randint(1, 25)
+        h0 = rng.randint(0, 23)
+        span_h = rng.choice([1, 5, 24, 72])
+        k = rng.choice([1, 3, 10])
+        lo = f"2024-01-{d0:02d} {h0:02d}:00:00"
+        import datetime as _dt
+
+        hi_dt = _dt.datetime(2024, 1, d0, h0) + _dt.timedelta(
+            hours=span_h
+        )
+        hi = hi_dt.strftime("%Y-%m-%d %H:%M:%S")
+        dimf = rng.choice(["", "event_type = 'click' AND "])
+        sql = (
+            f"SELECT user_id, COUNT(*) AS n FROM events "
+            f"WHERE {dimf}ts >= TIMESTAMP '{lo}' "
+            f"AND ts < TIMESTAMP '{hi}' "
+            f"GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT {k}"
+        )
+        r = teng.query(sql)
+        assert r["status"] == "ok", r.get("error")
+        assert "combined frequent-items state" in r["plan"]["reason"], (
+            sql,
+            r["plan"]["reason"],
+        )
+        got = [(d["user_id"], d["n"]) for d in r["result"]]
+        exact = [
+            (x["user_id"], x["n"])
+            for x in teng.spark.sql(sql).collect()
+        ]
+        assert got == exact, (sql, got, exact)
