@@ -329,6 +329,34 @@ def create_app(engine: AQEngine, config: Config | None = None):
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500
 
+    @app.post("/rollups/quantile_bounds")
+    def rollups_quantile_bounds():
+        """Value bracket implied by KLL's rank guarantee for a window's
+        quantile, from merged rollup state (round 8 — the concrete
+        answer to 'what does a 1.6% rank error mean in value space for
+        MY data')."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            return jsonify(
+                engine.rollup_quantile_bounds(
+                    body["table"],
+                    body["column"],
+                    float(body["p"]),
+                    lo=body.get("lo"),
+                    hi=body.get("hi"),
+                    dims=body.get("dims"),
+                )
+            )
+        except KeyError as e:
+            return (
+                jsonify(
+                    {"status": "error", "error": f"missing field {e}"}
+                ),
+                400,
+            )
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
     @app.get("/rollups/recommend")
     def rollups_recommend():
         """The materialization advisor: recurring rollup-shaped queries

@@ -1653,6 +1653,78 @@ class AQEngine:
             conds.append(f"`{col}` = '{lit}'")
         return " AND ".join([where, *conds])
 
+    def rollup_quantile_bounds(
+        self,
+        table: str,
+        column: str,
+        p: float,
+        lo: str | None = None,
+        hi: str | None = None,
+        dims: dict[str, str] | None = None,
+    ) -> dict:
+        """VALUE bracket for a quantile answered from merged KLL rollup
+        state: the state's values at ranks ``p ∓ ε(k)`` alongside the
+        estimate at ``p``. KLL's guarantee is on RANK — on a heavy tail
+        a 1.6% rank error can be an arbitrarily large value error, so
+        this converts the rank bound into the concrete value interval it
+        implies FOR THIS DATA (the ADVICE-r7 alternative to gating on a
+        value tolerance the sketch cannot promise). Below the sketch's
+        compaction threshold the state is exact and the bracket collapses
+        to neighboring order statistics. One state-sized scan; bounds
+        must fall on a fresh rollup's bucket grid (finer fresh rollups
+        serve off-grid bounds a coarse one cannot)."""
+        from approximate_query_engine_spark.operators.rollup import (
+            kll_rank_error,
+        )
+
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"p must be in [0, 1], got {p!r}")
+        entries = self._fresh_rollups_with(
+            table, "quantile_cols", column, "quantile"
+        )
+        info = pred = last_err = None
+        for cand_info in entries:
+            try:
+                pred = self._with_dim_filter(
+                    cand_info,
+                    self._aligned_range_pred(cand_info, lo, hi),
+                    dims,
+                )
+                info = cand_info
+                break
+            except ValueError as exc:
+                last_err = exc
+        if info is None:
+            raise last_err
+        kll_k = int(info.get("kll_k", 200))
+        eps = kll_rank_error(kll_k)
+        p_lo, p_hi = max(0.0, p - eps), min(1.0, p + eps)
+        src = info.get("files_view") or info["view"]
+        ranged = self.spark.table(src).where(pred)
+        if ranged.isEmpty():
+            raise ValueError(
+                f"no rollup buckets of {info['view']} fall in "
+                f"[{lo or '-inf'}, {hi or '+inf'})"
+            )
+        merged = f"kll_merge_agg_double(`{column}_kll`, {kll_k})"
+        row = ranged.selectExpr(
+            f"kll_sketch_get_quantile_double({merged}, "
+            f"CAST({p!r} AS DOUBLE)) AS est",
+            f"kll_sketch_get_quantile_double({merged}, "
+            f"CAST({p_lo!r} AS DOUBLE)) AS vlo",
+            f"kll_sketch_get_quantile_double({merged}, "
+            f"CAST({p_hi!r} AS DOUBLE)) AS vhi",
+        ).collect()[0]
+        return {
+            "rollup": info["view"],
+            "column": column,
+            "p": float(p),
+            "estimate": float(row["est"]),
+            "rank_epsilon": float(eps),
+            "value_lo": float(row["vlo"]),
+            "value_hi": float(row["vhi"]),
+        }
+
     def rollup_audience_diff(
         self,
         table: str,

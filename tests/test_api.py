@@ -407,3 +407,28 @@ def test_layouts_list_route(client, engine):
         info = out["events"]
         assert info["partition_col"] == "p_bucket"
         assert "path" not in info
+
+
+def test_rollups_quantile_bounds_route(client, engine):
+    """POST /rollups/quantile_bounds returns the value bracket implied
+    by the KLL rank guarantee (round 8)."""
+    engine.create_rollup(
+        "events", "ts", "1 hour", dims=["event_type"],
+        quantile_cols=["value"], kll_k=800,
+    )
+    try:
+        out = client.post(
+            "/rollups/quantile_bounds",
+            json={
+                "table": "events", "column": "value", "p": 0.9,
+                "lo": "2024-01-02 00:00:00", "hi": "2024-01-05 00:00:00",
+            },
+        ).get_json()
+        assert out["value_lo"] <= out["estimate"] <= out["value_hi"]
+        assert out["rank_epsilon"] > 0
+        miss = client.post(
+            "/rollups/quantile_bounds", json={"table": "events"}
+        )
+        assert miss.status_code == 400
+    finally:
+        engine.catalog.rollups.pop("events", None)

@@ -218,3 +218,30 @@ def test_routed_scan_prunes_partitions_and_columns(qeng):
         .toString()
     )
     assert "value_kll" in re.search(r"ReadSchema: [^\n]*", plan2).group(0)
+
+
+def test_rollup_quantile_bounds_bracket_exact(qeng, duck):
+    """The rank guarantee converted to VALUE space (round 8): the state's
+    values at ranks p∓ε must bracket the true discrete quantile of the
+    window; below compaction the estimate IS the true quantile."""
+    lo, hi = "2024-01-02 00:00:00", "2024-01-05 00:00:00"
+    for p in (0.5, 0.9, 0.99):
+        out = qeng.rollup_quantile_bounds("events", "value", p, lo=lo, hi=hi)
+        truth = duck.execute(
+            f"SELECT quantile_disc(value, {p}) FROM events "
+            f"WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'"
+        ).fetchone()[0]
+        assert out["value_lo"] <= truth <= out["value_hi"], (p, out, truth)
+        assert out["estimate"] == truth  # exact mode at k=800 here
+        assert 0 < out["rank_epsilon"] < 0.01  # ε(800) ≈ 0.42%
+    with pytest.raises(ValueError, match="p must be"):
+        qeng.rollup_quantile_bounds("events", "value", 1.5)
+    with pytest.raises(ValueError, match="not aligned"):
+        qeng.rollup_quantile_bounds(
+            "events", "value", 0.5, lo="2024-01-02 00:30:10"
+        )
+    with pytest.raises(ValueError, match="no rollup buckets"):
+        qeng.rollup_quantile_bounds(
+            "events", "value", 0.5,
+            lo="2030-01-01 00:00:00", hi="2030-01-02 00:00:00",
+        )
