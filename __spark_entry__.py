@@ -3695,6 +3695,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rollup routing family keeps q93/q94/q95 in-window) and q85 (layout
 #: scan: q104 routes through the same layout end-to-end; the layout
 #: family keeps q86/q88 in-window).
+#: Later round 8: q105 (top-items SQL routed to certified
+#: frequent-items state) took q99's slot — q105's routed check
+#: subsumes the top-k-from-state family's API row (q99 combines the
+#: same state via rollup_top_items and stays parity-swept; the
+#: heavy-hitter family keeps q87/q89 in-window).
 #: Round-8 rotation (VERDICT r7 instruction 2): the round-7 flagship
 #: surfaces q101 (document chunking) and q102 (hierarchical rollup
 #: derive → weekly dashboard) — both previously oracled only via the
@@ -3755,7 +3760,7 @@ _CHECK_WINDOW_ORDER = [
     "q81_quantile_aqp",
     "q82_media_dedup",
     "q83_join_aqp",
-    "q99_rollup_topk",
+    "q105_topk_sql_routing",
 ]
 
 

@@ -175,9 +175,10 @@ def test_check_window_ordering():
         # the window, displacing their families' narrower rows
         "q91_rollup_routing": "q103_advisor_loop",
         "q85_partitioned_scan": "q104_layout_advisor",
-        # q105 (top-items SQL routed to frequent-items state) landed
-        # late round 8; the top-k-from-state family rep is in-window
-        "q105_topk_sql_routing": "q99_rollup_topk",
+        # later round 8: q105 (top-items SQL routed to CERTIFIED
+        # frequent-items state) took q99's slot — the API path combines
+        # the same state q105's routed SQL reads
+        "q99_rollup_topk": "q105_topk_sql_routing",
         "q15_window_top_order": "q87_grouped_topk",  # window/top-k order
         "q67_repetition": "q66_corpus_prepare",  # text-quality family
         "q84_heavy_hitters": "q87_grouped_topk",  # heavy-hitter family
