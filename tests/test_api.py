@@ -432,3 +432,11 @@ def test_rollups_quantile_bounds_route(client, engine):
         assert miss.status_code == 400
     finally:
         engine.catalog.rollups.pop("events", None)
+
+
+def test_layouts_recommend_route(client):
+    """GET /layouts/recommend returns the layout advisor's suggestions
+    (empty until a recurring time-bounded shape is observed)."""
+    out = client.get("/layouts/recommend?min_count=3").get_json()
+    assert "recommendations" in out
+    assert isinstance(out["recommendations"], list)
