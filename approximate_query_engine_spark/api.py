@@ -422,8 +422,8 @@ def create_app(engine: AQEngine, config: Config | None = None):
         """Freshness policies over cataloged samples/sketches (no reference
         analog — its artifacts silently drift; SURVEY.md §2.5/§2.6)."""
         body = request.get_json(force=True, silent=True) or {}
-        return jsonify(
-            engine.maintain(
+        try:
+            kwargs = dict(
                 max_drift=float(body.get("max_drift", 0.10)),
                 max_age_sec=(
                     float(body["max_age_sec"]) if "max_age_sec" in body else None
@@ -451,7 +451,11 @@ def create_app(engine: AQEngine, config: Config | None = None):
                     else int(body.get("advice_max_buckets", 100_000))
                 ),
             )
-        )
+        except (TypeError, ValueError) as e:
+            # a non-numeric budget is a client error — the same JSON
+            # envelope the sibling endpoints return, never a bare 500
+            return jsonify({"status": "error", "error": str(e)}), 400
+        return jsonify(engine.maintain(**kwargs))
 
     return app
 

@@ -1346,15 +1346,20 @@ class AQEngine:
         trunc_unit = {"hour": "HOUR", "day": "DAY", "month": "MONTH"}
 
         def estimate(spec):
+            unit = trunc_unit.get(spec["grain"])
+            if unit is None:
+                # estimating at a substitute granularity would gate the
+                # build against the wrong bucket count — decline loudly
+                raise ValueError(
+                    f"unsupported layout grain {spec['grain']!r} "
+                    f"(supported: {sorted(trunc_unit)})"
+                )
             return (
                 self.spark.table(spec["table"])
                 .where(F.col(spec["ts_col"]).isNotNull())
                 .select(
                     F.approx_count_distinct(
-                        F.date_trunc(
-                            trunc_unit.get(spec["grain"], "DAY"),
-                            F.col(spec["ts_col"]),
-                        )
+                        F.date_trunc(unit, F.col(spec["ts_col"]))
                     ).alias("n")
                 )
                 .collect()[0]["n"]
@@ -1510,7 +1515,7 @@ class AQEngine:
         """bucket_start + p_date predicate text for a [lo, hi) range that
         must fall on the rollup's bucket grid (misaligned bounds would
         slice a bucket, which combined state cannot — raise instead)."""
-        from datetime import datetime
+        from datetime import datetime, timedelta
 
         from approximate_query_engine_spark.operators.rollup import (
             _parse_literal,
@@ -1533,9 +1538,13 @@ class AQEngine:
                     "bucket grid"
                 )
             conds.append(f"bucket_start {op} TIMESTAMP '{val}'")
+            # strict upper bound: the last included bucket starts before
+            # hi, so a midnight-aligned hi must not list its own (fully
+            # filtered) day directory
+            pdt = dt if op == ">=" else dt - timedelta(microseconds=1)
             conds.append(
                 f"p_date {'>=' if op == '>=' else '<='} "
-                f"'{dt.strftime('%Y-%m-%d')}'"
+                f"'{pdt.strftime('%Y-%m-%d')}'"
             )
         return " AND ".join(conds) if conds else "true"
 
@@ -1706,15 +1715,23 @@ class AQEngine:
                 f"no rollup buckets of {info['view']} fall in "
                 f"[{lo or '-inf'}, {hi or '+inf'})"
             )
-        merged = f"kll_merge_agg_double(`{column}_kll`, {kll_k})"
-        row = ranged.selectExpr(
-            f"kll_sketch_get_quantile_double({merged}, "
-            f"CAST({p!r} AS DOUBLE)) AS est",
-            f"kll_sketch_get_quantile_double({merged}, "
-            f"CAST({p_lo!r} AS DOUBLE)) AS vlo",
-            f"kll_sketch_get_quantile_double({merged}, "
-            f"CAST({p_hi!r} AS DOUBLE)) AS vhi",
-        ).collect()[0]
+        # merge the KLL state ONCE, then read all three quantiles from
+        # the single merged sketch (inlining the merge per quantile would
+        # re-aggregate the full state three times per call)
+        row = (
+            ranged.selectExpr(
+                f"kll_merge_agg_double(`{column}_kll`, {kll_k}) AS mk"
+            )
+            .selectExpr(
+                f"kll_sketch_get_quantile_double(mk, "
+                f"CAST({p!r} AS DOUBLE)) AS est",
+                f"kll_sketch_get_quantile_double(mk, "
+                f"CAST({p_lo!r} AS DOUBLE)) AS vlo",
+                f"kll_sketch_get_quantile_double(mk, "
+                f"CAST({p_hi!r} AS DOUBLE)) AS vhi",
+            )
+            .collect()[0]
+        )
         return {
             "rollup": info["view"],
             "column": column,

@@ -272,12 +272,18 @@ _TRUNC_MODULUS = {
 
 
 def is_week_bucket(bucket: str) -> bool:
-    """True for week-unit bucket strings. Week windows are a foot-gun:
-    Spark's ``F.window`` aligns to the epoch (Thursday boundaries) while
-    SQL ``DATE_TRUNC('week')`` is Monday, so week-bucketed state can
-    never serve calendar-week keys — :meth:`AQEngine.create_rollup`
-    refuses them and points at day-grain state instead."""
-    return bool(_re.fullmatch(r"\s*\d+\s+weeks?\s*", bucket, _re.I))
+    """True for any week-length bucket, however spelled. Week windows
+    are a foot-gun: Spark's ``F.window`` aligns to the epoch (Thursday
+    boundaries) while SQL ``DATE_TRUNC('week')`` is Monday, so
+    week-bucketed state can never serve calendar-week keys —
+    :meth:`AQEngine.create_rollup` refuses them and points at day-grain
+    state instead. '7 days' and '168 hours' have the identical epoch
+    alignment, so the guard is on SECONDS (any multiple of 604800),
+    not the unit spelling."""
+    if _re.fullmatch(r"\s*\d+\s+weeks?\s*", bucket, _re.I):
+        return True
+    bsec = bucket_seconds(bucket)
+    return bsec is not None and bsec > 0 and bsec % 604800 == 0
 
 
 def bucket_seconds(bucket: str) -> int | None:
@@ -426,6 +432,14 @@ def _ts_conjunct_bounds(
       shift to the unit's next boundary — exact because every row in
       [L, next) truncates to L.
     """
+    # every upper prune below pairs with a STRICT ``bucket_start < B``
+    # condition, so the last included bucket starts at or before B - 1µs:
+    # truncating THAT instant to a date keeps a midnight-aligned bound
+    # from listing the bound's own (fully filtered) day directory — at
+    # 100 TB with day directories that's one free directory per query
+    def _upper(dt):
+        return dt - timedelta(microseconds=1)
+
     m = _re.fullmatch(
         rf"\s*{_re.escape(ts)}\s*(>=|<=|<|>)\s*"
         r"((?:DATE|TIMESTAMP)?\s*'[^']+')\s*",
@@ -441,13 +455,15 @@ def _ts_conjunct_bounds(
             if not _aligned(lit, bsec):
                 return None  # bound slices a bucket
             iso = lit.strftime("%Y-%m-%d %H:%M:%S")
-            return [(op, iso)], [(">=" if op == ">=" else "<=", lit)]
+            if op == ">=":
+                return [(op, iso)], [(">=", lit)]
+            return [(op, iso)], [("<=", _upper(lit))]
         shifted = lit + timedelta(microseconds=1)
         if not _aligned(shifted, bsec):
             return None
         iso = shifted.strftime("%Y-%m-%d %H:%M:%S")
         if op == "<=":
-            return [("<", iso)], [("<=", shifted)]
+            return [("<", iso)], [("<=", _upper(shifted))]
         return [(">=", iso)], [(">=", shifted)]
     m = _re.fullmatch(
         rf"\s*DATE_TRUNC\(\s*'(\w+)'\s*,\s*{_re.escape(ts)}\s*\)\s*"
@@ -472,13 +488,16 @@ def _ts_conjunct_bounds(
     nxt = _next_boundary(unit, lit)
     nxt_iso = nxt.strftime("%Y-%m-%d %H:%M:%S")
     if op == "=":
-        return [(">=", iso), ("<", nxt_iso)], [(">=", lit), ("<=", nxt)]
+        return (
+            [(">=", iso), ("<", nxt_iso)],
+            [(">=", lit), ("<=", _upper(nxt))],
+        )
     if op == ">=":
         return [(">=", iso)], [(">=", lit)]
     if op == "<":
-        return [("<", iso)], [("<=", lit)]
+        return [("<", iso)], [("<=", _upper(lit))]
     if op == "<=":
-        return [("<", nxt_iso)], [("<=", nxt)]
+        return [("<", nxt_iso)], [("<=", _upper(nxt))]
     return [(">=", nxt_iso)], [(">=", nxt)]  # '>'
 
 
@@ -1231,7 +1250,11 @@ def rewrite_to_rollup_hybrid(
     if floorB is not None:
         rconds.append(f"bucket_start < TIMESTAMP '{_fmt_ts(floorB)}'")
         if materialized:
-            rconds.append(f"p_date <= '{floorB.strftime('%Y-%m-%d')}'")
+            # strict upper bound: the last included bucket starts before
+            # floorB, so a midnight-aligned floorB must not list its own
+            # (fully filtered) day directory
+            tight = floorB - timedelta(microseconds=1)
+            rconds.append(f"p_date <= '{tight.strftime('%Y-%m-%d')}'")
     rollup_part = f"SELECT {proj} FROM {files_view}"
     if rconds:
         rollup_part += " WHERE " + " AND ".join(rconds)
