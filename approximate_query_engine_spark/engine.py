@@ -34,8 +34,16 @@ class AQEngine:
         workdir: str | None = None,
         data_dir: str | None = None,
         broadcast_threshold: int | str | None = None,
+        advisor_topk_dim_ndv: int = 10_000,
     ):
         self.spark = spark
+        #: the rollup advisor's dim-viability line: a top-items group
+        #: key whose catalog ndv exceeds this is advised as
+        #: frequent-items sketch state (topk_cols) instead of a dim —
+        #: beyond it, (buckets × ndv) dims state stops being a rollup.
+        #: Policy, not correctness: routing certifies exactness
+        #: separately (_topk_certified).
+        self.advisor_topk_dim_ndv = int(advisor_topk_dim_ndv)
         # the engine's rewritten SQL assumes these runtime confs (permissive
         # ANSI-off eval, UTC, Arrow batches) regardless of who built the
         # session — a host-owned session without them would evaluate
@@ -765,6 +773,7 @@ class AQEngine:
         # path copies the fine rollup's flags — same data lineage —
         # instead of re-scanning the fact table)
         topk_notnull: dict[str, bool] = {}
+        topk_exact_ndv: dict[str, dict] = {}
         if topk_cols:
             from pyspark.sql import functions as F
 
@@ -773,23 +782,51 @@ class AQEngine:
                 if derived_from is not None
                 else {}
             )
-            missing = [c for c in topk_cols if c not in inherited]
+            # exact-ndv build evidence rides the same lineage rule: a
+            # derived build re-aggregates the fine rollup's state over
+            # the same base rows, so its per-column evidence holds
+            inh_ndv = (
+                (fine_entry or {}).get("topk_exact_ndv") or {}
+                if derived_from is not None
+                else {}
+            )
+            missing = [
+                c
+                for c in topk_cols
+                if c not in inherited or c not in inh_ndv
+            ]
             topk_notnull = {
                 c: bool(inherited[c]) for c in topk_cols if c in inherited
             }
+            topk_exact_ndv = {
+                c: dict(inh_ndv[c]) for c in topk_cols if c in inh_ndv
+            }
             if missing:
-                row = (
-                    self.spark.table(table)
-                    .agg(
-                        *[
-                            F.sum(F.col(c).isNull().cast("long")).alias(c)
-                            for c in missing
-                        ]
+                # one column-pruned pass records BOTH the NULL evidence
+                # and the EXACT distinct count per tracked column — the
+                # build already pays a fact scan, and exact ndv is what
+                # lets _topk_certified say "exact regime" literally
+                # (countDistinct skips NULLs: exactly the values that
+                # can enter the approx_top_k state)
+                aggs = []
+                for i, c in enumerate(missing):
+                    aggs.append(
+                        F.sum(F.col(c).isNull().cast("long")).alias(
+                            f"__nulls_{i}"
+                        )
                     )
-                    .collect()[0]
-                )
-                for c in missing:
-                    topk_notnull[c] = int(row[c] or 0) == 0
+                    aggs.append(
+                        F.countDistinct(F.col(c)).alias(f"__ndv_{i}")
+                    )
+                row = self.spark.table(table).agg(*aggs).collect()[0]
+                for i, c in enumerate(missing):
+                    topk_notnull[c] = int(row[f"__nulls_{i}"] or 0) == 0
+                    topk_exact_ndv[c] = {
+                        "ndv": int(row[f"__ndv_{i}"] or 0),
+                        # True = exact count at build; refresh degrades
+                        # it to an exact UPPER BOUND (old + tail ndv)
+                        "exact": True,
+                    }
         files_view = f"{spec.rollup_name}__files"
         self.spark.read.parquet(path).createOrReplaceTempView(files_view)
         n_buckets = self.spark.table(spec.rollup_name).count()
@@ -815,6 +852,11 @@ class AQEngine:
             # the SQL routing gate requires True (refresh re-checks the
             # tail and can only flip True -> False)
             "topk_notnull": topk_notnull,
+            # build-time EXACT distinct count per topk column: the
+            # first (strongest) certification tier for top-k routing.
+            # exact=True at build; refresh turns it into an exact upper
+            # bound (old + tail distinct count, exact=False)
+            "topk_exact_ndv": topk_exact_ndv,
             # provenance (observability only — routing never reads it):
             # which finer rollup's state this build re-aggregated
             "derived_from": derived_from,
@@ -972,27 +1014,45 @@ class AQEngine:
         # re-verify NULL evidence over the refreshed tail: appends can
         # only ADD nulls, so a True flag stays True iff the tail is
         # null-free (one column-pruned tail scan; False is sticky until
-        # a full rebuild re-proves it)
+        # a full rebuild re-proves it). The same tail pass maintains the
+        # exact-ndv build evidence as an exact UPPER BOUND: ndv(new) <=
+        # ndv(old) + ndv(tail) — appends can only add values, and the
+        # tail superset (>= since includes the overlap day) only widens
+        # the bound. A no-append refresh leaves the evidence untouched.
         notnull = info.get("topk_notnull") or {}
         live = [c for c, ok in notnull.items() if ok]
-        if live:
+        evid = {
+            c: dict(v) for c, v in (info.get("topk_exact_ndv") or {}).items()
+        }
+        grew = int(current) != int(info.get("built_row_count") or -1)
+        ndv_cols = sorted(evid) if (evid and grew) else []
+        if live or ndv_cols:
             from pyspark.sql import functions as F
 
+            aggs = [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{i}")
+                for i, c in enumerate(live)
+            ] + [
+                F.countDistinct(F.col(c)).alias(f"__ndv_{i}")
+                for i, c in enumerate(ndv_cols)
+            ]
             row = (
                 self.spark.table(table)
                 .where(F.col(info["time_col"]).cast("date") >= since)
-                .agg(
-                    *[
-                        F.sum(F.col(c).isNull().cast("long")).alias(c)
-                        for c in live
-                    ]
-                )
+                .agg(*aggs)
                 .collect()[0]
             )
-            for c in live:
-                if int(row[c] or 0) != 0:
+            for i, c in enumerate(live):
+                if int(row[f"__nulls_{i}"] or 0) != 0:
                     notnull[c] = False
             info["topk_notnull"] = notnull
+            for i, c in enumerate(ndv_cols):
+                evid[c] = {
+                    "ndv": int(evid[c]["ndv"]) + int(row[f"__ndv_{i}"] or 0),
+                    "exact": False,  # now an upper bound, still exact math
+                }
+            if ndv_cols:
+                info["topk_exact_ndv"] = evid
         self.catalog.upsert_table_stats(table, current)
         info["built_row_count"] = int(current)
         self.catalog.save()
@@ -1091,6 +1151,8 @@ class AQEngine:
                     "measures": set(),
                     "distinct_cols": set(),
                     "quantile_cols": set(),
+                    "topk_candidates": set(),
+                    "hard_dims": set(),
                     "observed_queries": 0,
                 },
             )
@@ -1098,11 +1160,48 @@ class AQEngine:
                 m["bucket"] = rec["bucket"]
             for f in ("dims", "measures", "distinct_cols", "quantile_cols"):
                 m[f] |= set(rec[f])
+            tk = set(rec.get("topk_candidates", []))
+            m["topk_candidates"] |= tk
+            # a dim some OTHER shape filters or groups on for real must
+            # stay a dim — only soft (candidate-only) columns may be
+            # converted to sketch state
+            m["hard_dims"] |= set(rec["dims"]) - tk
             m["observed_queries"] += int(rec["count"])
         out = []
         for m in merged.values():
             if m["observed_queries"] < min_count:
                 continue
+            # the TOP-ITEMS decision (VERDICT r8 #1): a candidate group
+            # key too high-cardinality to be a dim becomes frequent-items
+            # sketch state — the only pre-aggregation that can serve
+            # `GROUP BY col ORDER BY COUNT(*) DESC LIMIT k` without a
+            # fact scan. Low/unknown ndv keeps the exact dims advice
+            # (it routes through the plain rewrite). The budget is sized
+            # for certified-exact routing: next power of two above
+            # ndv × 1.25, so build-time exact evidence (plus append
+            # headroom) fits with no Misra–Gries purge.
+            dims = set(m["dims"])
+            distincts = set(m["distinct_cols"])
+            topk_cols: list[str] = []
+            topk_budget = 0
+            for col in sorted(m["topk_candidates"]):
+                if col in m["hard_dims"]:
+                    continue
+                ndv = self.catalog.get_column_ndv(m["table"], col)
+                if ndv is None or ndv <= self.advisor_topk_dim_ndv:
+                    continue
+                dims.discard(col)
+                topk_cols.append(col)
+                # certification fallback once refresh inflates the exact
+                # upper bound: the rollup's own distinct-sketch state
+                distincts.add(col)
+                need = max(1024, int(ndv * 1.25) + 1)
+                topk_budget = max(topk_budget, 1 << (need - 1).bit_length())
+            m["dims"], m["distinct_cols"] = dims, distincts
+            m["topk_cols"], m["topk_budget"] = (
+                topk_cols,
+                topk_budget or 1024,
+            )
             cand = RollupSpec(
                 m["table"],
                 m["time_col"],
@@ -1113,6 +1212,8 @@ class AQEngine:
                 12,
                 sorted(m["quantile_cols"]),
                 200,
+                sorted(m["topk_cols"]),
+                m["topk_budget"],
             )
             # coverage is STRUCTURAL (unlike derivability, sketch params
             # don't matter — a rollup at any k answers quantile queries;
@@ -1134,6 +1235,12 @@ class AQEngine:
                     | set(e.get("theta_cols", []))
                     and set(cand.quantile_cols)
                     <= set(e.get("quantile_cols", []))
+                    and set(cand.topk_cols) <= set(e.get("topk_cols", []))
+                    and (
+                        not cand.topk_cols
+                        or int(e.get("topk_budget", 1024))
+                        >= int(cand.topk_budget)
+                    )
                 )
 
             base_rows = self.catalog.get_row_count(m["table"])
@@ -1151,6 +1258,8 @@ class AQEngine:
                     "measures": sorted(m["measures"]),
                     "distinct_cols": sorted(m["distinct_cols"]),
                     "quantile_cols": sorted(m["quantile_cols"]),
+                    "topk_cols": sorted(m["topk_cols"]),
+                    "topk_budget": int(m["topk_budget"]),
                     "observed_queries": m["observed_queries"],
                 }
             )
@@ -1178,7 +1287,7 @@ class AQEngine:
         from pyspark.sql import functions as F
 
         def estimate(spec):
-            return (
+            n_struct = (
                 self.spark.table(spec["table"])
                 .where(F.col(spec["time_col"]).isNotNull())
                 .select(
@@ -1193,6 +1302,16 @@ class AQEngine:
                 )
                 .collect()[0]["n"]
             )
+            # a frequent-items column widens every state row by up to
+            # min(budget, column ndv) sketch entries — charge them
+            # against the same budget so a topk suggestion can't hide a
+            # fact-table-sized materialization behind a small row count
+            weight = 1
+            budget = int(spec.get("topk_budget", 1024))
+            for c in spec.get("topk_cols") or []:
+                ndv = self.catalog.get_column_ndv(spec["table"], c)
+                weight += budget if ndv is None else min(budget, int(ndv))
+            return n_struct * weight
 
         def build(spec):
             return self.create_rollup(
@@ -1203,6 +1322,8 @@ class AQEngine:
                 measures=spec["measures"],
                 distinct_cols=spec["distinct_cols"],
                 quantile_cols=spec["quantile_cols"],
+                topk_cols=spec.get("topk_cols") or [],
+                topk_budget=int(spec.get("topk_budget", 1024)),
             )
 
         return self._apply_advice(
@@ -1973,24 +2094,55 @@ class AQEngine:
             (1) NULL evidence — approx_top_k state never sees NULLs, so
             the raw GROUP BY's NULL group would be silently dropped;
             the rollup's build-time flag (re-checked by refresh) or an
-            exact analyzed zero null fraction must vouch the column is
-            null-free. (2) the distinct count fits the budget (no
-            Misra–Gries purge): catalog ndv with a 10% margin
+            exact analyzed zero null fraction (gated on analyze
+            freshness) must vouch the column is null-free. (2) the
+            distinct count fits the budget (no Misra–Gries purge),
+            strongest evidence first: the rollup's own EXACT build-time
+            distinct count (refresh degrades it to an exact upper
+            bound, still a proof); else catalog ndv with a 10% margin
             (analyze_table's approx_count_distinct has ~5% rsd — an
             unmargined 1015 would certify a true 1070 over a 1024
-            budget), else the rollup's own distinct-sketch state at
-            +2σ. The state estimate is cached per (view, build, budget,
-            col) — state only changes on rebuild, so routing pays the
-            agg once, not per query; register_view clears the cache."""
+            budget) when the analyze baseline matches the current row
+            count (a stale low ndv must not certify post-append); else
+            the rollup's own distinct-sketch state at +2σ, computed
+            from the current build by construction. The state estimate
+            is cached per (view, build, budget, col) — state only
+            changes on rebuild, so routing pays the agg once, not per
+            query; register_view clears the cache."""
             import math
 
             budget = int(info.get("topk_budget", 1024))
+            # analyze freshness: catalog column stats describe the table
+            # AS OF their analyze pass — post-append they can be stale
+            # in the dangerous direction (low ndv, zero null fraction)
+            meta = self.catalog.analyze_meta.get(target) or {}
+            stats_fresh = (
+                meta.get("row_count") is not None
+                and meta.get("row_count")
+                == self.catalog.get_row_count(target)
+            )
             if (info.get("topk_notnull") or {}).get(col) is not True:
                 nf = self.catalog.column_null_frac.get((target, col))
-                if nf != 0.0:
+                if not stats_fresh or nf != 0.0:
                     return None  # NULL group unprovable — decline
+            ev = (info.get("topk_exact_ndv") or {}).get(col)
+            if ev is not None:
+                n = int(ev.get("ndv", 0))
+                if n <= budget:
+                    if ev.get("exact"):
+                        return f"exact ndv {n} <= budget (build evidence)"
+                    return (
+                        f"ndv <= {n} <= budget (exact upper bound, "
+                        "build+refresh evidence)"
+                    )
+                if ev.get("exact"):
+                    # exact evidence says the column CANNOT fit — no
+                    # statistical tier may overrule a proof
+                    return None
+                # an inflated upper bound may exceed the budget while
+                # the true ndv fits — fall through to the other tiers
             ndv = self.catalog.column_ndv.get((target, col))
-            if ndv is not None and ndv * 1.1 <= budget:
+            if stats_fresh and ndv is not None and ndv * 1.1 <= budget:
                 return f"ndv {int(ndv)} (+10%) <= budget (catalog stats)"
             cache_key = (
                 info["view"], info.get("built_row_count"), budget, col

@@ -2310,4 +2310,65 @@ def infer_rollup_shape(parsed) -> dict | None:
         "measures": sorted(measures),
         "distinct_cols": sorted(distinct_cols),
         "quantile_cols": sorted(quantile_cols),
+        # the canonical TOP-ITEMS marker: when the query is
+        # `GROUP BY <col> ... ORDER BY COUNT(*) DESC LIMIT k`, <col> is
+        # recorded here AS WELL AS in dims — the advisor's back half
+        # (engine.recommend_rollups) decides from catalog ndv whether
+        # to advise it as a dim (re-aggregates exactly) or as
+        # frequent-items sketch state (the only viable pre-aggregation
+        # when the column is too high-cardinality to be a dim,
+        # rewrite_topk_to_rollup's docstring)
+        "topk_candidates": _topk_candidate(parsed, dims, measures,
+                                           distinct_cols, quantile_cols,
+                                           strip),
     }
+
+
+def _topk_candidate(
+    parsed, dims, measures, distinct_cols, quantile_cols, strip
+) -> list[str]:
+    """``[col]`` when the query is the canonical top-items dashboard
+    shape :func:`rewrite_topk_to_rollup` serves — exactly one plain
+    group key, select = key + one COUNT(*), ORDER BY leading with that
+    count DESC (optional secondary ASC on the key), LIMIT present, no
+    HAVING — else ``[]``. Mirrors the rewrite's grammar so recorded
+    advice only ever describes a shape the router could actually
+    serve."""
+    if (
+        not parsed.limit
+        or parsed.limit <= 0
+        or parsed.having
+        or measures
+        or distinct_cols
+        or quantile_cols
+        or len(parsed.group_by) != 1
+        or len(parsed.select_items) != 2
+        or not parsed.order_by
+        or len(parsed.order_by) > 2
+    ):
+        return []
+    col = strip(parsed.group_by[0])
+    if col not in dims:
+        return []  # group key was a time bucket, not a plain column
+    cnt_alias = None
+    for it in parsed.select_items:
+        if it.agg is not None:
+            if it.agg.distinct or it.agg.func != "COUNT":
+                return []
+            if not (it.agg.is_star or it.agg.arg.strip() == "1"):
+                return []
+            cnt_alias = it.alias
+        elif strip(it.raw) != col:
+            return []
+    lead = parsed.order_by[0]
+    lead_e = strip(lead.expr)
+    is_cnt = (cnt_alias is not None and lead_e == cnt_alias) or bool(
+        _re.fullmatch(r"COUNT\s*\(\s*(\*|1)\s*\)", lead_e, _re.I)
+    )
+    if not (lead.desc and is_cnt):
+        return []
+    if len(parsed.order_by) == 2:
+        sec = parsed.order_by[1]
+        if sec.desc or strip(sec.expr) != col:
+            return []
+    return [col]

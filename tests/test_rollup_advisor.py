@@ -113,3 +113,131 @@ def test_infer_shape_edges(sql, expect):
         assert shape is None
     else:
         assert shape is not None and shape["bucket"] == expect
+
+
+# ------------------------------------------------------------------ r9
+TOPK_WORKLOAD = (
+    "SELECT user_id, COUNT(*) AS n FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-09 00:00:00' "
+    "GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10"
+)
+
+
+def test_advisor_learns_top_items_shape(spark):
+    """VERDICT r8 #1: the q105-shaped workload (high-cardinality group
+    key, ORDER BY COUNT(*) DESC LIMIT k) gets an advisor-built
+    frequent-items rollup — observe ×3 → maintenance apply → the NEXT
+    identical query routes with 'exact regime certified' — instead of
+    an un-materializable dims suggestion."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_topk_"),
+        # sf0.001 user_id ndv is 15 — set the dim-viability line below
+        # it to exercise the too-high-cardinality branch at this scale
+        data_dir="/root/testdata/sf0.001",
+        advisor_topk_dim_ndv=5,
+    )
+    e.analyze_table("events", ["user_id"])
+    for _ in range(3):
+        r = e.query(TOPK_WORKLOAD, dual_execute=False)
+        assert r["status"] == "ok", r.get("error")
+        assert "rollup" not in r["plan"]["reason"], r["plan"]
+    recs = e.recommend_rollups()
+    assert len(recs) == 1, recs
+    assert recs[0]["topk_cols"] == ["user_id"], recs
+    assert recs[0]["dims"] == [], recs  # converted OUT of dims
+    # certification fallback companion rides along
+    assert recs[0]["distinct_cols"] == ["user_id"], recs
+    rep = e.maintain(refresh_stats=False, apply_advice=True)
+    applied = rep["rollup_advice_applied"]
+    assert applied and applied[0]["applied"] is True, applied
+    assert rep["rollup_recommendations"] == []  # advice converged
+    r = e.query(TOPK_WORKLOAD, dual_execute=False)
+    assert "combined frequent-items state" in r["plan"]["reason"], (
+        r["plan"]
+    )
+    assert "exact regime certified" in r["plan"]["reason"], r["plan"]
+    # and the routed answer matches the raw GROUP BY bit-for-bit
+    got = [(d["user_id"], d["n"]) for d in r["result"]]
+    exact = [
+        (x["user_id"], x["n"]) for x in spark.sql(TOPK_WORKLOAD).collect()
+    ]
+    assert got == exact
+
+
+def test_advisor_topk_keeps_low_ndv_as_dim(spark):
+    """Below the dim-viability line (or with no catalog ndv at all) the
+    dims advice stands — an exact dims rollup serves the same query
+    through the plain rewrite, no sketch state needed."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_lowndv_"),
+        data_dir="/root/testdata/sf0.001",  # user_id ndv 15 < 10k default
+    )
+    e.analyze_table("events", ["user_id"])
+    for _ in range(3):
+        e.query(TOPK_WORKLOAD, dual_execute=False)
+    recs = e.recommend_rollups()
+    assert len(recs) == 1
+    assert recs[0]["dims"] == ["user_id"], recs
+    assert recs[0]["topk_cols"] == [], recs
+
+
+def test_advisor_topk_respects_hard_dims(spark):
+    """A column some OTHER recurring shape genuinely filters on stays a
+    dim even when it is also a top-items candidate — converting it
+    would break the dim-filter shape's coverage."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_hard_"),
+        data_dir="/root/testdata/sf0.001",
+        advisor_topk_dim_ndv=5,
+    )
+    e.analyze_table("events", ["user_id"])
+    hard = (
+        "SELECT user_id, COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00' GROUP BY user_id"
+    )  # no ORDER BY count/LIMIT: user_id is a true dim here
+    for _ in range(3):
+        e.query(TOPK_WORKLOAD, dual_execute=False)
+        e.query(hard, dual_execute=False)
+    recs = e.recommend_rollups()
+    assert len(recs) == 1
+    assert recs[0]["dims"] == ["user_id"], recs
+    assert recs[0]["topk_cols"] == [], recs
+
+
+def test_topk_candidate_grammar_edges():
+    from approximate_query_engine_spark.operators.rollup import (
+        infer_rollup_shape,
+    )
+    from approximate_query_engine_spark.sqlparser import try_parse
+
+    def cands(sql):
+        shape = infer_rollup_shape(try_parse(sql))
+        return None if shape is None else shape["topk_candidates"]
+
+    base = (
+        "SELECT user_id, COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "GROUP BY user_id ORDER BY n DESC LIMIT 10"
+    )
+    assert cands(base) == ["user_id"]
+    # ORDER BY the raw COUNT(*) expression works too
+    assert cands(base.replace("ORDER BY n DESC", "ORDER BY COUNT(*) DESC")
+                 ) == ["user_id"]
+    # no LIMIT, ascending count, non-count lead, extra select item,
+    # HAVING, secondary DESC: all fall back to plain dims shapes
+    assert cands(base.replace(" LIMIT 10", "")) == []
+    assert cands(base.replace("ORDER BY n DESC", "ORDER BY n ASC")) == []
+    assert cands(base.replace("ORDER BY n DESC", "ORDER BY user_id DESC")
+                 ) == []
+    assert cands(base.replace(
+        "ORDER BY n DESC", "ORDER BY n DESC, user_id DESC")) == []
+    assert cands(
+        "SELECT user_id, COUNT(*) AS n, SUM(value) AS sv FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "GROUP BY user_id ORDER BY n DESC LIMIT 10"
+    ) == []

@@ -437,10 +437,12 @@ def test_topk_sql_gates_decline(teng):
 
 
 def test_topk_sql_uncertified_declines(spark):
-    """No catalog ndv and no distinct state on the column: the exact
-    (no-purge) regime cannot be certified, and beyond the budget the
-    MG bound has no relative guarantee — routing must decline rather
-    than serve counts that could be arbitrarily wrong."""
+    """Without ANY fitting-ndv evidence the exact (no-purge) regime
+    cannot be certified, and beyond the budget the MG bound has no
+    relative guarantee — routing must decline rather than serve counts
+    that could be arbitrarily wrong. Round 9: the build itself records
+    EXACT ndv evidence (the strongest tier), so the uncertified regime
+    needs that evidence stripped (a legacy/pre-r9 catalog entry)."""
     e = AQEngine(
         spark,
         workdir=tempfile.mkdtemp(prefix="aqe_topk_uncert_"),
@@ -450,14 +452,35 @@ def test_topk_sql_uncertified_declines(spark):
         "events", "ts", "1 hour", dims=["event_type"],
         topk_cols=["user_id"], topk_budget=1024,
     )
+    # the build pass recorded exact evidence: certified with no catalog
+    # stats and no distinct-sketch state at all
+    info = e.catalog.rollups["events"][0]
+    assert info["topk_exact_ndv"]["user_id"]["exact"] is True
     r = e.query(TOPK_SQL)
     assert r["status"] == "ok", r.get("error")
+    assert "exact regime certified" in r["plan"]["reason"], r["plan"]
+    assert "build evidence" in r["plan"]["reason"], r["plan"]
+    # strip the build evidence (legacy entry): no tier left -> decline
+    info["topk_exact_ndv"] = {}
+    r = e.query(TOPK_SQL)
     assert "frequent-items" not in r["plan"]["reason"], r["plan"]
-    # a learned catalog ndv within budget certifies it
+    # a learned catalog ndv within budget certifies — but ONLY with a
+    # fresh analyze baseline (a stale low ndv must not certify)
     e.catalog.upsert_column_ndv("events", "user_id", 40)
+    r = e.query(TOPK_SQL)
+    assert "frequent-items" not in r["plan"]["reason"], r["plan"]
+    e.catalog.analyze_meta["events"] = {
+        "row_count": e.catalog.get_row_count("events"),
+        "columns": ["user_id"],
+    }
     r = e.query(TOPK_SQL)
     assert "exact regime certified" in r["plan"]["reason"], r["plan"]
     assert "catalog stats" in r["plan"]["reason"]
+    # analyze baseline drifts from the current row count: stale again
+    e.catalog.analyze_meta["events"]["row_count"] -= 1
+    r = e.query(TOPK_SQL)
+    assert "frequent-items" not in r["plan"]["reason"], r["plan"]
+    e.catalog.analyze_meta["events"]["row_count"] += 1
     # ndv ABOVE budget: certification honestly fails again
     e.catalog.upsert_column_ndv("events", "user_id", 5000)
     r = e.query(TOPK_SQL)
