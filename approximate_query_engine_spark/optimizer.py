@@ -186,6 +186,13 @@ class MLOptimizer:
             sql, max_rel_error, forced_strategy=strategy
         )
         est_speedup, est_error = self._estimates(plan, feats, max_rel_error)
+        raw_est_speedup = est_speedup
+        if plan["type"] != "exact":
+            # calibrate the cost-model promise against what dual
+            # execution actually measured for this (strategy, shape)
+            est_speedup *= self._speedup_correction(
+                plan["type"], feats.has_group_by
+            )
         reasoning = self._reasoning(strategy, feats, learned)
         if plan["type"] != strategy:
             # the chosen strategy wasn't realizable for this query shape
@@ -208,7 +215,14 @@ class MLOptimizer:
             "estimated_error": est_error,
             "reasoning": reasoning,
             "transformations": plan.get("reason", ""),
-            "features": feats.as_dict(),
+            # the UNCALIBRATED model estimate rides in features so
+            # recorded outcomes calibrate against the stationary raw
+            # model (actual/raw), not against their own corrected
+            # predictions — self-reference would drift the factor to 1
+            "features": {
+                **feats.as_dict(),
+                "raw_est_speedup": float(raw_est_speedup),
+            },
         }
 
     # ------------------------------------------------------------------
@@ -238,6 +252,40 @@ class MLOptimizer:
             return strategy, confidence, False
         conf = min(0.6 + 0.3 * (best_n / 10.0), 0.95)
         return best, conf, True
+
+    # ------------------------------------------------------------------
+    def _speedup_correction(self, strategy: str, grouped: bool) -> float:
+        """Per-(strategy, shape) calibration factor from the CLOSED
+        learning loop (round 9, VERDICT r8 #4): the geometric mean of
+        actual/predicted speedup over recent dual-executed outcomes of
+        the same strategy and aggregate shape. Grouped and scalar
+        aggregates calibrate separately — sampling shrinks a per-group
+        shuffle differently than a scalar scan, and the measured ratios
+        sit on opposite sides of 1. Neutral (1.0) with no history;
+        clamped to [0.2, 5]. Ratios compare actual against the RAW
+        (uncalibrated) model estimate each record carries in
+        query_features — calibrating against already-corrected
+        predictions would drift the factor toward 1 instead of toward
+        the model's true bias (legacy records without the raw estimate
+        fall back to their predicted_speedup)."""
+        import math
+
+        ratios = []
+        for h in self.catalog.history[-200:]:
+            if h.strategy != strategy:
+                continue
+            if bool(h.query_features.get("has_group_by")) != grouped:
+                continue
+            raw = (
+                h.query_features.get("raw_est_speedup")
+                or h.predicted_speedup
+            )
+            if raw and raw > 0 and h.actual_speedup and h.actual_speedup > 0:
+                ratios.append(h.actual_speedup / raw)
+        if not ratios:
+            return 1.0
+        g = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+        return max(0.2, min(5.0, g))
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -103,8 +103,8 @@ def test_check_window_ordering():
         "q04_group_count": "q74_group_sum_having",
         "q05_group_sum": "q74_group_sum_having",
         "q07_having": "q74_group_sum_having",
-        "q08_min_max": "q73_minmax_distinct",
-        "q10_distinct_exact": "q73_minmax_distinct",
+        "q08_min_max": "q74_group_sum_having",  # r9: q73 exiled too
+        "q10_distinct_exact": "q74_group_sum_having",  # r9: q73 exiled too
         "q12_join_dims": "q90_join_routing",
         "q14_join3_agg": "q94_rollup_join",
         "q20_sessionize": "q62_stream_sessions",
@@ -120,14 +120,14 @@ def test_check_window_ordering():
         "q45_date_funcs": "q64_retention",  # date arithmetic family
         # upgraded from rows-only to oracled in round 4 (portable
         # hyperplane-fold oracle); its component family is in-window
-        "q34_lsh_topk": "q28_ann_topk",
+        "q34_lsh_topk": "q60_knn_join",  # r9: q28 exiled too
         # round-5 rotation (VERDICT r04 instruction 1): the round-4
         # flagship surfaces q47/q78-q84 moved INTO the window; these
         # redundant exact-SQL slots moved out, each with an in-window
         # family representative.
         "q09_topk": "q87_grouped_topk",  # top-k ordering family
         "q16_setop": "q74_group_sum_having",  # pass-through SQL family
-        "q17_events_hour": "q35_stream_window",  # events time-agg family
+        "q17_events_hour": "q92_stream_rollup",  # r9: q35 exiled too
         "q19_case_agg": "q74_group_sum_having",  # exact scalar-agg family
         "q26_dedup_exact_docs": "q69_dedup_keep_best",
         "q29_percentiles": "q81_quantile_aqp",
@@ -172,13 +172,15 @@ def test_check_window_ordering():
         "q46_asof_join": "q90_join_routing",  # join family
         # late-round-8 rotation: q103/q104 (advisor loops closed:
         # observe → apply → route, for rollups and layouts) moved INTO
-        # the window, displacing their families' narrower rows
-        "q91_rollup_routing": "q103_advisor_loop",
+        # the window, displacing their families' narrower rows.
+        # (Round 9 rotated q91/q99 themselves back IN per VERDICT r8 #6.)
         "q85_partitioned_scan": "q104_layout_advisor",
-        # later round 8: q105 (top-items SQL routed to CERTIFIED
-        # frequent-items state) took q99's slot — the API path combines
-        # the same state q105's routed SQL reads
-        "q99_rollup_topk": "q105_topk_sql_routing",
+        # round-9 rotation: q91/q99 back in, q106 (advisor loop closed
+        # for the top-items family) in; these long-stable slots moved
+        # out, each with an in-window family representative.
+        "q73_minmax_distinct": "q74_group_sum_having",  # scan/agg family
+        "q35_stream_window": "q62_stream_sessions",  # streaming family
+        "q28_ann_topk": "q60_knn_join",  # similarity family
         "q15_window_top_order": "q87_grouped_topk",  # window/top-k order
         "q67_repetition": "q66_corpus_prepare",  # text-quality family
         "q84_heavy_hitters": "q87_grouped_topk",  # heavy-hitter family

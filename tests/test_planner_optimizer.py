@@ -910,3 +910,65 @@ def test_selectivity_resolves_join_aliases(spark):
         "WHERE o.o_totalprice < 1000 GROUP BY o.o_orderpriority"
     )
     assert estimate_selectivity(jq2, eng.catalog) == WHERE_SELECTIVITY_DEFAULT
+
+
+def test_speedup_correction_from_history(spark):
+    """Round 9 (VERDICT r8 #4): estimated_speedup is calibrated by the
+    geometric mean of actual/predicted ratios from dual-executed
+    history, keyed by (strategy, grouped-vs-scalar shape) — the cost
+    model's ~2x over-promise on sample plans shrinks to what dual
+    execution measured, while an unseen shape stays neutral."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_calib_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.create_sample("lineitem", 0.1, seed=7)
+    scalar_sql = (
+        "SELECT SUM(l_extendedprice * (1 - l_discount)) AS rev "
+        "FROM lineitem WHERE l_quantity > 10"
+    )
+    base = eng.optimizer.optimize_query(scalar_sql, 0.1)
+    assert base["strategy"] == "sample", base
+    raw = base["estimated_speedup"]
+    assert raw > 1.0
+    # dual execution measured HALF the promise, four times running
+    for _ in range(4):
+        eng.optimizer.record_outcome(
+            scalar_sql,
+            {"table_size": 6000, "has_group_by": False},
+            "sample",
+            actual_speedup=raw / 2,
+            actual_error=0.01,
+            predicted_speedup=raw,
+            predicted_error=0.05,
+            execution_time_ms=5.0,
+            error_tolerance=0.1,
+        )
+    assert eng.optimizer._speedup_correction(
+        "sample", False
+    ) == pytest.approx(0.5, rel=1e-6)
+    # the grouped shape has no history: calibrates independently
+    assert eng.optimizer._speedup_correction("sample", True) == 1.0
+    calibrated = eng.optimizer.optimize_query(scalar_sql, 0.1)
+    assert calibrated["strategy"] == "sample", calibrated
+    assert calibrated["estimated_speedup"] == pytest.approx(
+        raw / 2, rel=0.05
+    )
+    # degenerate measurements clamp instead of zeroing the estimate
+    eng.optimizer.record_outcome(
+        scalar_sql,
+        {"table_size": 6000, "has_group_by": False},
+        "sample",
+        actual_speedup=1e-6,
+        actual_error=0.01,
+        predicted_speedup=raw,
+        predicted_error=0.05,
+        execution_time_ms=5.0,
+        error_tolerance=0.1,
+    )
+    assert eng.optimizer._speedup_correction("sample", False) >= 0.2
