@@ -125,6 +125,54 @@ def _rollup_tail_repair(engine, info) -> str | None:
         return None
 
 
+def _reprove_topk_evidence(engine, table, info, dry_run):
+    """Restore the EXACT certification tier for a FRESH rollup's top-k
+    evidence (round 9): refresh maintains ``topk_exact_ndv`` as an exact
+    upper bound (old + tail distinct count), and after enough append
+    cycles the bound can exceed the budget even though the true ndv
+    still fits — the strongest routing tier goes dark. Re-prove it with
+    one column-pruned exact COUNT(DISTINCT) per affected column:
+    scheduled maintenance cost instead of a lost certification."""
+    evid = info.get("topk_exact_ndv") or {}
+    budget = int(info.get("topk_budget", 1024))
+    stale = sorted(
+        c
+        for c, v in evid.items()
+        if not v.get("exact") and int(v.get("ndv", 0)) > budget
+    )
+    if not stale:
+        return None
+    action = {
+        "kind": "rollup_topk_evidence",
+        "table": table,
+        "view": info["view"],
+        "columns": stale,
+        "dry_run": dry_run,
+        "reason": (
+            f"exact ndv upper bound exceeds topk budget {budget} — "
+            "re-proving with an exact COUNT(DISTINCT)"
+        ),
+    }
+    if not dry_run:
+        from pyspark.sql import functions as F
+
+        row = (
+            engine.spark.table(table)
+            .agg(
+                *[
+                    F.countDistinct(F.col(c)).alias(f"__ndv_{i}")
+                    for i, c in enumerate(stale)
+                ]
+            )
+            .collect()[0]
+        )
+        for i, c in enumerate(stale):
+            evid[c] = {"ndv": int(row[f"__ndv_{i}"] or 0), "exact": True}
+        info["topk_exact_ndv"] = evid
+        engine.catalog.save()
+    return action
+
+
 def run_maintenance(
     engine,
     max_drift: float = 0.10,
@@ -346,6 +394,19 @@ def run_maintenance(
                 continue
             if info.get("built_row_count") == current:
                 report.fresh.append(label)
+                # fresh state can still carry budget-dark EXACT-tier
+                # evidence (refresh-inflated upper bound) — re-prove it
+                try:
+                    reproved = _reprove_topk_evidence(
+                        engine, table, info, dry_run
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    report.errors.append(
+                        {"rollup": label, "error": str(exc)[:200]}
+                    )
+                    reproved = None
+                if reproved:
+                    report.refreshed.append(reproved)
                 continue
             built = info.get("built_row_count")
             incremental = None

@@ -145,3 +145,61 @@ def test_inflated_upper_bound_falls_through_to_sketch_tier(spark):
     assert r["status"] == "ok", r.get("error")
     assert "exact regime certified" in r["plan"]["reason"], r["plan"]
     assert "rollup distinct state" in r["plan"]["reason"], r["plan"]
+
+
+def test_derived_build_inherits_exact_evidence(spark):
+    """A day rollup derived from hour STATE (no fact re-scan) inherits
+    the fine rollup's exact-ndv evidence — same data lineage — and its
+    routed top-k certifies from it."""
+    rows = _rows(16, per_user=6)
+    e = _mk(spark, "cert_derive", rows)
+    e.create_rollup(
+        "cert_derive", "ts", "1 hour", topk_cols=["user_id"],
+        topk_budget=64,
+    )
+    out = e.create_rollup(
+        "cert_derive", "ts", "1 day", topk_cols=["user_id"],
+        topk_budget=64,
+    )
+    assert out["derived_from"] == "cert_derive__rollup_1_hour"
+    day = next(
+        i for i in e.catalog.rollups["cert_derive"]
+        if i["bucket"] == "1 day"
+    )
+    assert day["topk_exact_ndv"] == {"user_id": {"ndv": 16, "exact": True}}
+    assert day["topk_notnull"] == {"user_id": True}
+
+
+def test_maintenance_reproves_inflated_evidence(spark):
+    """Round 9: maintenance restores the EXACT certification tier when
+    refresh cycles have inflated the upper bound past the budget on an
+    otherwise-fresh rollup — one column-pruned exact COUNT(DISTINCT),
+    scheduled instead of silently losing the strongest tier."""
+    rows = _rows(20)
+    e = _mk(spark, "cert_reprove", rows)
+    e.create_rollup(
+        "cert_reprove", "ts", "1 hour", topk_cols=["user_id"],
+        topk_budget=32,
+    )
+    info = e.catalog.rollups["cert_reprove"][0]
+    # simulate append/refresh cycles inflating the bound past budget
+    info["topk_exact_ndv"]["user_id"] = {"ndv": 999, "exact": False}
+    # dry run reports the plan without touching the evidence
+    rep = e.maintain(refresh_stats=False, dry_run=True)
+    planned = [
+        a for a in rep["refreshed"]
+        if a.get("kind") == "rollup_topk_evidence"
+    ]
+    assert planned and planned[0]["columns"] == ["user_id"], rep
+    assert info["topk_exact_ndv"]["user_id"]["exact"] is False
+    # the real run re-proves: exact ndv restored, certification returns
+    rep = e.maintain(refresh_stats=False)
+    assert info["topk_exact_ndv"]["user_id"] == {"ndv": 20, "exact": True}
+    r = e.query(TOPK.format(t="cert_reprove"))
+    assert "exact regime certified: exact ndv 20 <= budget" in (
+        r["plan"]["reason"]
+    ), r["plan"]
+    # a bound within budget (still certifying) is NOT re-proved
+    info["topk_exact_ndv"]["user_id"] = {"ndv": 25, "exact": False}
+    rep = e.maintain(refresh_stats=False)
+    assert info["topk_exact_ndv"]["user_id"] == {"ndv": 25, "exact": False}
