@@ -187,11 +187,15 @@ class MLOptimizer:
         )
         est_speedup, est_error = self._estimates(plan, feats, max_rel_error)
         raw_est_speedup = est_speedup
+        from approximate_query_engine_spark.planner import per_row_agg_work
+
+        per_row_work = per_row_agg_work(parsed)
         if plan["type"] != "exact":
             # calibrate the cost-model promise against what dual
-            # execution actually measured for this (strategy, shape)
+            # execution actually measured for this (strategy, shape,
+            # per-row work)
             est_speedup *= self._speedup_correction(
-                plan["type"], feats.has_group_by
+                plan["type"], feats.has_group_by, per_row_work
             )
         reasoning = self._reasoning(strategy, feats, learned)
         if plan["type"] != strategy:
@@ -222,6 +226,7 @@ class MLOptimizer:
             "features": {
                 **feats.as_dict(),
                 "raw_est_speedup": float(raw_est_speedup),
+                "per_row_work": float(per_row_work),
             },
         }
 
@@ -254,23 +259,30 @@ class MLOptimizer:
         return best, conf, True
 
     # ------------------------------------------------------------------
-    def _speedup_correction(self, strategy: str, grouped: bool) -> float:
+    def _speedup_correction(
+        self, strategy: str, grouped: bool, work: float | None = None
+    ) -> float:
         """Per-(strategy, shape) calibration factor from the CLOSED
-        learning loop (round 9, VERDICT r8 #4): the geometric mean of
-        actual/predicted speedup over recent dual-executed outcomes of
-        the same strategy and aggregate shape. Grouped and scalar
-        aggregates calibrate separately — sampling shrinks a per-group
-        shuffle differently than a scalar scan, and the measured ratios
-        sit on opposite sides of 1. Neutral (1.0) with no history;
-        clamped to [0.2, 5]. Ratios compare actual against the RAW
-        (uncalibrated) model estimate each record carries in
+        learning loop (round 9, VERDICT r8 #4), conditioned on PER-ROW
+        WORK: the measured actual/raw ratio rises almost linearly with
+        the aggregate's per-row work (a light SUM is floor-bound — the
+        exact side is scan-cheap, so sampling delivers ~0.3× of the
+        model's scan-ratio promise — while a trig-heavy aggregate
+        delivers the full promise). When the cell's history spans ≥2
+        distinct work values, fit log(ratio) = α + β·work by least
+        squares and predict at this query's work; otherwise fall back
+        to the geometric mean of the cell's ratios. Grouped and scalar
+        aggregates calibrate separately (sampling shrinks a per-group
+        shuffle differently than a scalar scan). Neutral (1.0) with no
+        history; clamped to [0.2, 5]. Ratios compare actual against the
+        RAW (uncalibrated) model estimate each record carries in
         query_features — calibrating against already-corrected
         predictions would drift the factor toward 1 instead of toward
         the model's true bias (legacy records without the raw estimate
         fall back to their predicted_speedup)."""
         import math
 
-        ratios = []
+        pts: list[tuple[float | None, float]] = []
         for h in self.catalog.history[-200:]:
             if h.strategy != strategy:
                 continue
@@ -281,11 +293,33 @@ class MLOptimizer:
                 or h.predicted_speedup
             )
             if raw and raw > 0 and h.actual_speedup and h.actual_speedup > 0:
-                ratios.append(h.actual_speedup / raw)
-        if not ratios:
+                pts.append(
+                    (
+                        h.query_features.get("per_row_work"),
+                        h.actual_speedup / raw,
+                    )
+                )
+        if not pts:
             return 1.0
-        g = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
-        return max(0.2, min(5.0, g))
+
+        def _clamped(v: float) -> float:
+            return max(0.2, min(5.0, v))
+
+        fit = [(w, math.log(r)) for w, r in pts if w is not None]
+        ws = {w for w, _y in fit}
+        if work is not None and len(ws) >= 2:
+            n = len(fit)
+            mw = sum(w for w, _y in fit) / n
+            my = sum(y for _w, y in fit) / n
+            var = sum((w - mw) ** 2 for w, _y in fit)
+            cov = sum((w - mw) * (y - my) for w, y in fit)
+            if var > 1e-12:
+                beta = cov / var
+                return _clamped(math.exp(my + beta * (work - mw)))
+        g = math.exp(
+            sum(math.log(r) for _w, r in pts) / len(pts)
+        )
+        return _clamped(g)
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -972,3 +972,54 @@ def test_speedup_correction_from_history(spark):
         error_tolerance=0.1,
     )
     assert eng.optimizer._speedup_correction("sample", False) >= 0.2
+
+
+def test_speedup_correction_work_regression(spark):
+    """With history spanning two per-row-work values, the correction is
+    a log-linear fit in work — a light aggregate gets the floor-bound
+    ratio, a heavy one the full promise, and intermediate work
+    interpolates between them instead of averaging."""
+    import math
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_calibw_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+
+    def rec(work, ratio, n=2):
+        for _ in range(n):
+            eng.optimizer.record_outcome(
+                "q",
+                {
+                    "table_size": 6000,
+                    "has_group_by": False,
+                    "raw_est_speedup": 4.0,
+                    "per_row_work": work,
+                },
+                "sample",
+                actual_speedup=4.0 * ratio,
+                actual_error=0.01,
+                predicted_speedup=4.0,
+                predicted_error=0.05,
+                execution_time_ms=5.0,
+                error_tolerance=0.1,
+            )
+
+    rec(0.6, 0.3)
+    rec(1.5, 1.0)
+    c = eng.optimizer._speedup_correction
+    assert c("sample", False, 0.6) == pytest.approx(0.3, rel=1e-6)
+    assert c("sample", False, 1.5) == pytest.approx(1.0, rel=1e-6)
+    mid = c("sample", False, 1.05)
+    assert mid == pytest.approx(math.sqrt(0.3 * 1.0), rel=1e-6)
+    # extrapolation stays clamped
+    assert c("sample", False, 10.0) == 5.0
+    assert c("sample", False, -5.0) == 0.2
+    # without a work value: geometric mean of the cell
+    assert c("sample", False) == pytest.approx(
+        math.sqrt(0.3 * 1.0), rel=1e-6
+    )
