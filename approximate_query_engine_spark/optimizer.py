@@ -29,6 +29,7 @@ from approximate_query_engine_spark.planner import (
     SKETCH_QUERY_COST,
     Planner,
     inline_fraction_for,
+    per_row_agg_work,
 )
 from approximate_query_engine_spark.sqlparser import ParsedQuery, try_parse
 
@@ -187,8 +188,6 @@ class MLOptimizer:
         )
         est_speedup, est_error = self._estimates(plan, feats, max_rel_error)
         raw_est_speedup = est_speedup
-        from approximate_query_engine_spark.planner import per_row_agg_work
-
         per_row_work = per_row_agg_work(parsed)
         if plan["type"] != "exact":
             # calibrate the cost-model promise against what dual
@@ -305,9 +304,21 @@ class MLOptimizer:
         def _clamped(v: float) -> float:
             return max(0.2, min(5.0, v))
 
-        fit = [(w, math.log(r)) for w, r in pts if w is not None]
-        ws = {w for w, _y in fit}
-        if work is not None and len(ws) >= 2:
+        # aggregate repeated observations at the same work value by the
+        # MEDIAN of the 3 MOST RECENT log-ratios: the median sheds a
+        # single outlier dual measurement (wall-clock jitter), and the
+        # recency window tracks a nonstationary measurement environment
+        # (cache/JIT/GC state drifts within a session, so old ratios
+        # describe conditions that no longer hold)
+        by_w: dict[float, list[float]] = {}
+        for w, r in pts:  # pts is history order — oldest first
+            if w is not None:
+                by_w.setdefault(w, []).append(math.log(r))
+        fit = []
+        for w, ys in sorted(by_w.items()):
+            tail = ys[-3:]
+            fit.append((w, sorted(tail)[len(tail) // 2]))
+        if work is not None and len(fit) >= 2:
             n = len(fit)
             mw = sum(w for w, _y in fit) / n
             my = sum(y for _w, y in fit) / n
