@@ -133,27 +133,43 @@ class MLOptimizer:
             jq = try_parse_join(sql)
             if jq is not None:
                 plan = self.planner.plan(sql, max_rel_error)
+                # cost-model ratio, same honesty rule as _estimates;
+                # calibrated from JOIN-cell history (is_join separates
+                # the cells — join plan economics differ from a
+                # single-table scan at the same per-row work)
+                raw_join_est = _wall_clock_ratio(plan) or (
+                    1.0 / plan["sample_fraction"]
+                    if plan.get("sample_fraction")
+                    else 1.0
+                )
+                join_work = per_row_agg_work(jq)
+                est = raw_join_est
+                if plan["type"] != "exact":
+                    est *= self._speedup_correction(
+                        plan["type"],
+                        bool(jq.group_by),
+                        join_work,
+                        is_join=True,
+                    )
                 return {
                     "_plan": plan,
                     "strategy": plan["type"],
                     "modified_sql": plan["sql"],
                     "original_sql": sql,
                     "confidence": 0.9,
-                    # cost-model ratio, same honesty rule as _estimates
-                    "estimated_speedup": (
-                        _wall_clock_ratio(plan)
-                        or (
-                            1.0 / plan["sample_fraction"]
-                            if plan.get("sample_fraction")
-                            else 1.0
-                        )
-                    ),
+                    "estimated_speedup": est,
                     "estimated_error": plan.get("estimated_error", 0.0),
                     "reasoning": (
                         "inner star join: the fact side samples inside the "
                         f"join while dims stay exact — {plan['reason']}"
                     ),
                     "transformations": plan.get("reason", ""),
+                    "features": {
+                        "has_group_by": bool(jq.group_by),
+                        "raw_est_speedup": float(raw_join_est),
+                        "per_row_work": float(join_work),
+                        "is_join": True,
+                    },
                 }
             return self._exact_optimization(
                 sql, 0.95, "Query outside the approximable grammar "
@@ -259,7 +275,11 @@ class MLOptimizer:
 
     # ------------------------------------------------------------------
     def _speedup_correction(
-        self, strategy: str, grouped: bool, work: float | None = None
+        self,
+        strategy: str,
+        grouped: bool,
+        work: float | None = None,
+        is_join: bool = False,
     ) -> float:
         """Per-(strategy, shape) calibration factor from the CLOSED
         learning loop (round 9, VERDICT r8 #4), conditioned on PER-ROW
@@ -286,6 +306,8 @@ class MLOptimizer:
             if h.strategy != strategy:
                 continue
             if bool(h.query_features.get("has_group_by")) != grouped:
+                continue
+            if bool(h.query_features.get("is_join")) != is_join:
                 continue
             raw = (
                 h.query_features.get("raw_est_speedup")

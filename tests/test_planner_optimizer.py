@@ -1023,3 +1023,56 @@ def test_speedup_correction_work_regression(spark):
     assert c("sample", False) == pytest.approx(
         math.sqrt(0.3 * 1.0), rel=1e-6
     )
+
+
+def test_join_estimates_calibrate_in_their_own_cell(spark):
+    """Round 9: the join-AQP branch calibrates too, in a SEPARATE
+    (is_join) cell — join outcomes never tilt single-table corrections
+    and vice versa."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_calibj_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    eng.planner.table_row_count("lineitem")
+    eng.planner.table_row_count("orders")
+    eng.create_sample("lineitem", 0.1, seed=7)
+    jsql = (
+        "SELECT o.o_orderstatus, COUNT(*) AS n FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderstatus"
+    )
+    base = eng.optimizer.optimize_query(jsql, 0.1)
+    assert base["strategy"] == "sample", base
+    f = base["features"]
+    assert f["is_join"] is True and f["per_row_work"] > 0
+    raw = f["raw_est_speedup"]
+    # join history at half the promise calibrates the join cell...
+    for _ in range(4):
+        eng.optimizer.record_outcome(
+            jsql,
+            {
+                "table_size": 6000,
+                "has_group_by": True,
+                "is_join": True,
+                "raw_est_speedup": raw,
+                "per_row_work": f["per_row_work"],
+            },
+            "sample",
+            actual_speedup=raw / 2,
+            actual_error=0.01,
+            predicted_speedup=raw,
+            predicted_error=0.05,
+            execution_time_ms=5.0,
+            error_tolerance=0.1,
+        )
+    calibrated = eng.optimizer.optimize_query(jsql, 0.1)
+    assert calibrated["estimated_speedup"] == pytest.approx(
+        raw / 2, rel=0.05
+    )
+    # ...and leaves the single-table grouped cell untouched
+    assert eng.optimizer._speedup_correction("sample", True) == 1.0
