@@ -205,14 +205,21 @@ class MLOptimizer:
         est_speedup, est_error = self._estimates(plan, feats, max_rel_error)
         raw_est_speedup = est_speedup
         per_row_work = per_row_agg_work(parsed)
+        corr = 1.0
         if plan["type"] != "exact":
             # calibrate the cost-model promise against what dual
             # execution actually measured for this (strategy, shape,
             # per-row work)
-            est_speedup *= self._speedup_correction(
+            corr = self._speedup_correction(
                 plan["type"], feats.has_group_by, per_row_work
             )
+            est_speedup *= corr
         reasoning = self._reasoning(strategy, feats, learned)
+        if corr != 1.0:
+            reasoning += (
+                f"; speedup estimate calibrated x{corr:.2f} from "
+                "dual-executed history"
+            )
         if plan["type"] != strategy:
             # the chosen strategy wasn't realizable for this query shape
             # (e.g. history favored 'sample' but DISTINCT aggregates can't
