@@ -1838,6 +1838,112 @@ _ADVISOR_TOPK_ORACLE = (
 )
 
 
+_LIFECYCLE_SQL = (
+    "SELECT user_id, COUNT(*) AS n FROM events_life "
+    "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+    "AND ts < TIMESTAMP '2024-02-01 00:00:00' "
+    "GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10"
+)
+
+
+def _q_evidence_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 surface: the EXACT-evidence lifecycle for certified top-k
+    routing, end to end on one table. Build (exact COUNT(DISTINCT)
+    recorded in the build pass) → certified routing; out-of-band append
+    + incremental refresh (the evidence degrades to an exact upper
+    bound, old + tail distinct count, here provably OVER the budget) →
+    routing honestly DECLINES to an exact plan, never serving counts it
+    cannot prove; maintenance re-proves the evidence with one
+    column-pruned exact COUNT(DISTINCT) (engine.maintenance
+    _reprove_topk_evidence) → the same query routes again under
+    'build evidence'. The returned rows come from the post-re-proof
+    ROUTED plan over refreshed state, so the DuckDB oracle (raw GROUP
+    BY over events UNION ALL the same literal appended rows) must
+    hash-match bit-for-bit — refresh correctness, decline honesty, and
+    re-proof all in one check."""
+    import datetime as _dt
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    # private copy-view: this surface mutates its table's view and the
+    # shared `events` view must stay pristine for the other queries
+    spark.table("events").createOrReplaceTempView("events_life")
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    base_rows = spark.table("events_life").count()
+    eng.catalog.upsert_table_stats("events_life", base_rows)
+    # budget 200: above the table's true ndv (150 at sf0.01 — the build
+    # evidence certifies), below the refresh-inflated upper bound
+    # (150 + tail ndv >= 210, since the append alone adds 60 distinct
+    # users to the tail scan) — so the lifecycle hits all three states
+    eng.create_rollup(
+        "events_life", "ts", "1 hour",
+        topk_cols=["user_id"], topk_budget=200,
+    )
+    r = eng.query(_LIFECYCLE_SQL, dual_execute=False)
+    assert r["status"] == "ok", r.get("error")
+    assert "exact regime certified" in r["plan"]["reason"], r["plan"]
+    assert "build evidence" in r["plan"]["reason"], r["plan"]
+    # out-of-band append: 60 rows on a NEW day for EXISTING users 0..59
+    # (true ndv stays 150); mirrored literally in the DuckDB oracle
+    late = [
+        (
+            1_000_000 + i,
+            _dt.datetime(2024, 1, 31, i % 20),
+            i,
+            "click",
+            1.0,
+            None,
+        )
+        for i in range(60)
+    ]
+    appended = spark.table("events").unionByName(
+        spark.createDataFrame(late, spark.table("events").schema)
+    )
+    appended.createOrReplaceTempView("events_life")
+    eng.catalog.upsert_table_stats("events_life", base_rows + 60)
+    eng.refresh_rollup("events_life")
+    info = eng.catalog.rollups["events_life"][0]
+    ev = info["topk_exact_ndv"]["user_id"]
+    assert ev["exact"] is False and ev["ndv"] > 200, ev
+    # the exact tier is dark and no other tier can vouch: routing
+    # declines to an exact plan instead of risking purged counts
+    r = eng.query(_LIFECYCLE_SQL, dual_execute=False)
+    assert r["status"] == "ok", r.get("error")
+    assert "frequent-items" not in r["plan"]["reason"], r["plan"]
+    # maintenance re-proves the evidence (one exact COUNT(DISTINCT))
+    rep = eng.maintain(refresh_stats=False)
+    assert any(
+        a.get("kind") == "rollup_topk_evidence" for a in rep["refreshed"]
+    ), rep["refreshed"]
+    assert info["topk_exact_ndv"]["user_id"] == {
+        "ndv": 150, "exact": True,
+    }, info["topk_exact_ndv"]
+    r = eng.query(_LIFECYCLE_SQL, dual_execute=False)
+    assert r["status"] == "ok", r.get("error")
+    assert "combined frequent-items state" in r["plan"]["reason"], (
+        r["plan"]
+    )
+    assert "build evidence" in r["plan"]["reason"], r["plan"]
+    rows = [(int(d["user_id"]), int(d["n"])) for d in r["result"]]
+    return spark.createDataFrame(rows, "user_id long, n long")
+
+
+_LIFECYCLE_ORACLE = (
+    "SELECT user_id::BIGINT AS user_id, COUNT(*)::BIGINT AS n FROM ("
+    "  SELECT user_id, ts FROM events"
+    "  UNION ALL"
+    "  SELECT i::BIGINT AS user_id,"
+    "         TIMESTAMP '2024-01-31 00:00:00'"
+    "         + (i % 20) * INTERVAL 1 HOUR AS ts"
+    "  FROM range(60) t(i)"
+    ") WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+    "AND ts < TIMESTAMP '2024-02-01 00:00:00' "
+    "GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10"
+)
+
+
 _LAYOUT_ADVISOR_ORACLE = (
     "SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id, "
     "event_type FROM events "
@@ -3922,6 +4028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q104_layout_advisor"] = _q_layout_advisor
     out["q105_topk_sql_routing"] = _q_topk_sql_routing
     out["q106_advisor_topk_loop"] = _q_advisor_topk_loop
+    out["q107_evidence_lifecycle"] = _q_evidence_lifecycle
     return _reorder_check_window(out)
 
 
@@ -3989,5 +4096,6 @@ def oracle_sql() -> dict[str, str]:
     out["q104_layout_advisor"] = _LAYOUT_ADVISOR_ORACLE
     out["q105_topk_sql_routing"] = _TOPK_SQL_ORACLE
     out["q106_advisor_topk_loop"] = _ADVISOR_TOPK_ORACLE
+    out["q107_evidence_lifecycle"] = _LIFECYCLE_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -181,6 +181,11 @@ def test_check_window_ordering():
         "q73_minmax_distinct": "q74_group_sum_having",  # scan/agg family
         "q35_stream_window": "q62_stream_sessions",  # streaming family
         "q28_ann_topk": "q60_knn_join",  # similarity family
+        # q107 (evidence lifecycle: append -> refresh degrades -> honest
+        # decline -> maintenance re-proof -> certified route) is born
+        # out-of-window: its certified-topk family already holds TWO
+        # in-window rows (q105 routed SQL, q106 advisor loop)
+        "q107_evidence_lifecycle": "q106_advisor_topk_loop",
         "q15_window_top_order": "q87_grouped_topk",  # window/top-k order
         "q67_repetition": "q66_corpus_prepare",  # text-quality family
         "q84_heavy_hitters": "q87_grouped_topk",  # heavy-hitter family
