@@ -3890,6 +3890,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the scan/agg family keeps q74), q35 (drained stream window agg — the
 #: streaming family keeps q62 and q92 in-window), and q28 (brute-force
 #: ANN top-k — the similarity family keeps q60 and q80 in-window).
+#: Round-10 rotation (VERDICT r9 instruction 1): q107 (the round-9
+#: exact-evidence lifecycle: append → refresh degrades the exact tier
+#: to an upper bound → honest decline → maintenance re-proof →
+#: certified route) moves INTO the window — it was the one registered
+#: query never driver-checked. Retired in exchange: q86 (exact
+#: partition-layout routing — multiply checked since round 6; the
+#: partition-routing family keeps q88 and q104 in-window).
 #: Everything NOT in this list still registers, after the window, and
 #: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
@@ -3899,7 +3906,7 @@ _CHECK_WINDOW_ORDER = [
     "q97_rollup_quantile",
     "q104_layout_advisor",
     "q93_rollup_between",
-    "q86_partition_routing",
+    "q107_evidence_lifecycle",
     "q88_partition_routing_approx",
     "q91_rollup_routing",
     "q92_stream_rollup",

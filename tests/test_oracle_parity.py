@@ -143,8 +143,6 @@ def test_check_window_ordering():
         "q27_fingerprint": "q69_dedup_keep_best",  # fingerprint -> dedup
         "q65_grouping_sets": "q74_group_sum_having",
         "q75_anti_semi_join": "q83_join_aqp",
-        # JOIN-shape routing extends the in-window q86/q88 routing family
-        "q90_join_routing": "q86_partition_routing",
         # q91 (rollup SQL routing, the family's newest surface) took
         # q51's slot; q51's query_rollup operator is the building block
         # q91's engine path materializes through
@@ -181,11 +179,12 @@ def test_check_window_ordering():
         "q73_minmax_distinct": "q74_group_sum_having",  # scan/agg family
         "q35_stream_window": "q62_stream_sessions",  # streaming family
         "q28_ann_topk": "q60_knn_join",  # similarity family
-        # q107 (evidence lifecycle: append -> refresh degrades -> honest
-        # decline -> maintenance re-proof -> certified route) is born
-        # out-of-window: its certified-topk family already holds TWO
-        # in-window rows (q105 routed SQL, q106 advisor loop)
-        "q107_evidence_lifecycle": "q106_advisor_topk_loop",
+        # round-10 rotation (VERDICT r9 instruction 1): q107 moved INTO
+        # the window; q86 (exact partition-layout routing, multiply
+        # checked r6-r9) moved out — the partition-routing family keeps
+        # q88 (approx routed scan) and q104 (advisor-built layout route)
+        # in-window.
+        "q86_partition_routing": "q88_partition_routing_approx",
         "q15_window_top_order": "q87_grouped_topk",  # window/top-k order
         "q67_repetition": "q66_corpus_prepare",  # text-quality family
         "q84_heavy_hitters": "q87_grouped_topk",  # heavy-hitter family
