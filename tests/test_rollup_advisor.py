@@ -241,3 +241,101 @@ def test_topk_candidate_grammar_edges():
         "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
         "GROUP BY user_id ORDER BY n DESC LIMIT 10"
     ) == []
+
+
+CLICKS_TOPK = (
+    "SELECT user_id, COUNT(*) AS n FROM clicks "
+    "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-07 00:00:00' "
+    "GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10"
+)
+
+
+def _clicks_engine(spark, stale_ndv: int = 200):
+    """A fact table whose TRUE user_id ndv (2000) exceeds the 1024
+    budget floor, with a seeded STALE-LOW catalog ndv — the scenario
+    where recommend_rollups under-sizes topk_budget and only the
+    build's exact evidence can reveal it (VERDICT r9 #2)."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_repair_"),
+        data_dir="/root/testdata/sf0.001",
+        advisor_topk_dim_ndv=100,
+    )
+    n = 12_000
+    spark.range(n).selectExpr(
+        "CAST(id % 2000 AS BIGINT) AS user_id",
+        "timestampadd(SECOND, CAST((id * 43) % 518400 AS INT), "
+        "TIMESTAMP '2024-01-01 00:00:00') AS ts",
+    ).createOrReplaceTempView("clicks")
+    e.catalog.upsert_table_stats("clicks", n)
+    e.catalog.upsert_column_ndv("clicks", "user_id", stale_ndv)
+    return e
+
+
+def test_advisor_topk_budget_repair_from_build_evidence(spark):
+    """VERDICT r9 #2: a stale-low catalog ndv sizes the advised budget
+    at the 1024 floor; the build's exact COUNT(DISTINCT) evidence (2000)
+    proves it under-sized, and apply_rollup_advice rebuilds ONCE at the
+    evidence-sized budget (next pow2 >= 2000*1.25 = 4096) instead of
+    leaving a permanently non-certifiable rollup behind. The catalog ndv
+    is repaired from the evidence, and the next query still routes
+    'exact regime certified'."""
+    e = _clicks_engine(spark)
+    for _ in range(3):
+        r = e.query(CLICKS_TOPK, dual_execute=False)
+        assert r["status"] == "ok", r.get("error")
+    recs = e.recommend_rollups()
+    assert len(recs) == 1 and recs[0]["topk_budget"] == 1024, recs
+    rep = e.apply_rollup_advice()
+    assert rep and rep[0]["applied"] is True, rep
+    repair = rep[0]["built"]["topk_budget_repair"]
+    assert repair["resized"] is True, repair
+    assert (repair["from"], repair["to"]) == (1024, 4096), repair
+    # the catalog now carries the exact truth for the next advice round
+    assert e.catalog.get_column_ndv("clicks", "user_id") == 2000
+    info = e.catalog.rollups["clicks"][0]
+    assert info["topk_budget"] == 4096, info
+    assert info["topk_exact_ndv"]["user_id"] == {
+        "ndv": 2000,
+        "exact": True,
+    }
+    r = e.query(CLICKS_TOPK, dual_execute=False)
+    assert "combined frequent-items state" in r["plan"]["reason"], (
+        r["plan"]
+    )
+    assert "exact regime certified" in r["plan"]["reason"], r["plan"]
+    assert "build evidence" in r["plan"]["reason"], r["plan"]
+    got = [(d["user_id"], d["n"]) for d in r["result"]]
+    exact = [
+        (x["user_id"], x["n"]) for x in spark.sql(CLICKS_TOPK).collect()
+    ]
+    assert got == exact
+
+
+def test_advisor_topk_budget_repair_declines_over_state_budget(spark):
+    """The repair honors the operator's state-row budget: when the
+    evidence-sized rebuild would exceed max_state_rows, the resize is
+    DECLINED with a recorded reason — the rollup is kept for its other
+    state, and top-k routing declines to exact (exact over-budget
+    evidence hard-blocks every statistical tier) instead of silently
+    building state nobody budgeted for."""
+    e = _clicks_engine(spark)
+    for _ in range(3):
+        e.query(CLICKS_TOPK, dual_execute=False)
+    # initial gate passes at the stale estimate (144 buckets x 201),
+    # the exact-evidence resize (144 x 2001) would not
+    rep = e.apply_rollup_advice(max_state_rows=50_000)
+    assert rep and rep[0]["applied"] is True, rep
+    repair = rep[0]["built"]["topk_budget_repair"]
+    assert repair["resized"] is False, repair
+    assert "max_state_rows" in repair["reason"], repair
+    # budget stayed as advised; exact evidence recorded; routing declines
+    info = e.catalog.rollups["clicks"][0]
+    assert info["topk_budget"] == 1024, info
+    r = e.query(CLICKS_TOPK, dual_execute=False)
+    assert r["status"] == "ok", r.get("error")
+    assert "frequent-items" not in r["plan"]["reason"], r["plan"]
+    # the catalog ndv is still repaired, so the NEXT advice round sizes
+    # from truth instead of repeating the under-sized build
+    assert e.catalog.get_column_ndv("clicks", "user_id") == 2000
