@@ -450,6 +450,13 @@ def create_app(engine: AQEngine, config: Config | None = None):
                     and body["advice_max_buckets"] is None
                     else int(body.get("advice_max_buckets", 100_000))
                 ),
+                # evidence re-proof scan budget (round 10): absent or
+                # JSON null = unbounded, 0 = defer every re-proof
+                max_reprove_scans=(
+                    int(body["max_reprove_scans"])
+                    if body.get("max_reprove_scans") is not None
+                    else None
+                ),
             )
         except (TypeError, ValueError) as e:
             # a non-numeric budget is a client error — the same JSON

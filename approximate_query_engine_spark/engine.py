@@ -559,6 +559,7 @@ class AQEngine:
         advice_max_apply: int = 1,
         advice_max_state_rows: int | None = 5_000_000,
         advice_max_buckets: int | None = 100_000,
+        max_reprove_scans: int | None = None,
     ) -> dict:
         """Apply the sample/sketch freshness policies (maintenance.py):
         rebuild artifacts whose base table drifted past ``max_drift`` (or
@@ -566,7 +567,11 @@ class AQEngine:
         compact partitioned-layout buckets fragmented past that many files
         (streaming appends a file per micro-batch). ``apply_advice``
         opt-in: materialize the top rollup-advisor suggestion(s) under
-        the advice budget (:meth:`apply_rollup_advice`)."""
+        the advice budget (:meth:`apply_rollup_advice`).
+        ``max_reprove_scans`` bounds the exact COUNT(DISTINCT) fact scans
+        the top-k evidence re-proof may pay per window (None =
+        unbounded; 0 = defer all — deferral only costs declined routing,
+        never correctness)."""
         from approximate_query_engine_spark.maintenance import run_maintenance
 
         return run_maintenance(
@@ -580,6 +585,7 @@ class AQEngine:
             advice_max_state_rows=advice_max_state_rows,
             advice_max_buckets=advice_max_buckets,
             compact_files_over=compact_files_over,
+            max_reprove_scans=max_reprove_scans,
         )
 
     def partition_table(

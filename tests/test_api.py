@@ -270,6 +270,20 @@ def test_maintenance_apply_advice_param(client):
     assert isinstance(out["rollup_advice_applied"], list)
 
 
+def test_maintenance_reprove_budget_param(client):
+    """POST /maintenance/run forwards max_reprove_scans (round 10); a
+    non-numeric budget gets the sibling endpoints' 400 JSON envelope."""
+    out = client.post(
+        "/maintenance/run", json={"max_reprove_scans": 0}
+    ).get_json()
+    assert "refreshed" in out and "errors" in out
+    resp = client.post(
+        "/maintenance/run", json={"max_reprove_scans": "lots"}
+    )
+    assert resp.status_code == 400
+    assert resp.get_json()["status"] == "error"
+
+
 def test_query_max_rank_error_param(client, engine):
     """POST /query forwards max_rank_error: a zero rank budget forbids
     KLL-served quantiles even when a rollup tracks the column (round 8)."""

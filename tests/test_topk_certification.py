@@ -203,3 +203,59 @@ def test_maintenance_reproves_inflated_evidence(spark):
     info["topk_exact_ndv"]["user_id"] = {"ndv": 25, "exact": False}
     rep = e.maintain(refresh_stats=False)
     assert info["topk_exact_ndv"]["user_id"] == {"ndv": 25, "exact": False}
+
+
+def test_reprove_scan_budget_defers(spark):
+    """Round 10 (VERDICT r9 #6): ``max_reprove_scans`` bounds the exact
+    COUNT(DISTINCT) fact scans the re-proof may pay per maintenance
+    window. Budget 0 defers every re-proof (action recorded with
+    deferred=true, evidence untouched, routing keeps declining to
+    exact); budget 1 over two dark rollups re-proves exactly one and
+    defers the other; the next window picks up the rest — the same
+    spread-across-windows posture advice_max_apply gives builds."""
+    rows = _rows(20)
+    e = _mk(spark, "cert_budget", rows)
+    for bucket in ("1 hour", "1 day"):
+        e.create_rollup(
+            "cert_budget", "ts", bucket, topk_cols=["user_id"],
+            topk_budget=32, derive=False,
+        )
+    infos = e.catalog.rollups["cert_budget"]
+    for info in infos:
+        info["topk_exact_ndv"]["user_id"] = {"ndv": 999, "exact": False}
+    # budget 0: both deferred, nothing scanned, evidence untouched
+    rep = e.maintain(refresh_stats=False, max_reprove_scans=0)
+    acts = [
+        a for a in rep["refreshed"]
+        if a.get("kind") == "rollup_topk_evidence"
+    ]
+    assert len(acts) == 2 and all(a.get("deferred") for a in acts), rep
+    assert all(a.get("reason") and "deferred" in a["reason"] for a in acts)
+    assert all(
+        i["topk_exact_ndv"]["user_id"] == {"ndv": 999, "exact": False}
+        for i in infos
+    )
+    r = e.query(TOPK.format(t="cert_budget"))
+    assert "frequent-items" not in r["plan"]["reason"], r["plan"]
+    # budget 1: one re-proved, one deferred
+    rep = e.maintain(refresh_stats=False, max_reprove_scans=1)
+    acts = [
+        a for a in rep["refreshed"]
+        if a.get("kind") == "rollup_topk_evidence"
+    ]
+    assert len(acts) == 2, rep
+    assert sorted(bool(a.get("deferred")) for a in acts) == [False, True]
+    states = sorted(
+        i["topk_exact_ndv"]["user_id"]["exact"] for i in infos
+    )
+    assert states == [False, True], infos
+    # the next window (default unbounded) finishes the job
+    e.maintain(refresh_stats=False)
+    assert all(
+        i["topk_exact_ndv"]["user_id"] == {"ndv": 20, "exact": True}
+        for i in infos
+    )
+    r = e.query(TOPK.format(t="cert_budget"))
+    assert "exact regime certified: exact ndv 20 <= budget" in (
+        r["plan"]["reason"]
+    ), r["plan"]
