@@ -348,6 +348,13 @@ class MLOptimizer:
             tail = ys[-3:]
             fit.append((w, sorted(tail)[len(tail) // 2]))
         if work is not None and len(fit) >= 2:
+            # NEVER extrapolate the fitted slope beyond the observed
+            # work span (round 10, VERDICT r9 #3): outside it the slope
+            # is unvalidated and a thin two-point fit would amplify a
+            # single noisy dual measurement into a wild correction —
+            # the nearest endpoint's median ratio is the defensible
+            # estimate there. Inside the span this is a no-op.
+            work = max(fit[0][0], min(fit[-1][0], work))
             n = len(fit)
             mw = sum(w for w, _y in fit) / n
             my = sum(y for _w, y in fit) / n
