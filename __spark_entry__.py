@@ -1952,6 +1952,69 @@ _LAYOUT_ADVISOR_ORACLE = (
 )
 
 
+def _q_theta_advisor_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 surface (VERDICT r9 #4): the advisor loop CLOSED for the
+    THETA/OVERLAP family — the one state family SQL shapes can never
+    imply, because audience-overlap requests arrive via the engine API
+    (engine.segment_overlap), not the SQL grammar. The q96-shaped
+    request (pairwise distinct-user overlap between event-type segments)
+    runs three times with no theta state to serve it — each raw-scan
+    fallback records its (dims=[event_type], theta_cols=[user_id])
+    shape in the SAME observation book the SQL workload feeds;
+    maintenance with apply_advice=True materializes the theta rollup
+    under the state-row budget (theta columns charge min(2^lgk, ndv)
+    entries per state row in the pre-gate), and the NEXT identical
+    request answers by UNIONING per-bucket theta state — the fact table
+    is never re-read. Theta sketches are exact below 2^theta_lgk
+    retained entries per segment (≤150 user ids per segment at sf0.01,
+    4096 budget), so every routed output — intersections included —
+    hash-matches DuckDB's exact set computation bit-for-bit, including
+    the IEEE-double Jaccard of two exact integers."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    for _ in range(3):
+        r = eng.segment_overlap(
+            "events", "event_type", "user_id", time_col="ts"
+        )
+        assert r["source"] == "raw_scan", r
+        assert "shape recorded" in r["reason"], r
+    rep = eng.maintain(refresh_stats=False, apply_advice=True)
+    applied = rep["rollup_advice_applied"]
+    assert applied and applied[0]["applied"] is True, applied
+    assert applied[0]["theta_cols"] == ["user_id"], applied
+    assert rep["rollup_recommendations"] == [], rep  # advice converged
+    r = eng.segment_overlap("events", "event_type", "user_id")
+    assert r["source"] == "rollup_state", r
+    assert "theta state" in r["reason"], r
+    return r["df"]
+
+
+_THETA_ADVISOR_ORACLE = """
+WITH seg AS (
+  SELECT DISTINCT event_type AS s, user_id AS u FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+card AS (SELECT s, COUNT(*)::BIGINT AS c FROM seg GROUP BY s),
+ov AS (
+  SELECT a.s AS seg_a, b.s AS seg_b, COUNT(*)::BIGINT AS o
+  FROM seg a JOIN seg b ON a.u = b.u AND a.s < b.s GROUP BY 1, 2
+)
+SELECT ca.s AS seg_a, cb.s AS seg_b,
+  ca.c AS distinct_a, cb.c AS distinct_b,
+  COALESCE(ov.o, 0)::BIGINT AS overlap_cnt,
+  (ca.c + cb.c - COALESCE(ov.o, 0))::BIGINT AS union_cnt,
+  CAST(COALESCE(ov.o, 0) AS DOUBLE)
+    / CAST(ca.c + cb.c - COALESCE(ov.o, 0) AS DOUBLE) AS jaccard
+FROM card ca JOIN card cb ON ca.s < cb.s
+LEFT JOIN ov ON ov.seg_a = ca.s AND ov.seg_b = cb.s
+ORDER BY seg_a, seg_b
+"""
+
+
 _HIERARCHY_ORACLE = (
     "SELECT event_type, STRFTIME(DATE_TRUNC('week', ts), '%Y-%m-%d') AS wk, "
     "COUNT(*)::BIGINT AS n, COUNT(value)::BIGINT AS nv, "
@@ -3896,7 +3959,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: certified route) moves INTO the window — it was the one registered
 #: query never driver-checked. Retired in exchange: q86 (exact
 #: partition-layout routing — multiply checked since round 6; the
-#: partition-routing family keeps q88 and q104 in-window).
+#: partition-routing family keeps q88 and q104 in-window). The new
+#: q108 (advisor loop closed for the THETA/OVERLAP family — the one
+#: state family SQL shapes can never imply) takes q33's slot (SimHash
+#: near-dup pairs, stable since round 4; the near-dup family keeps
+#: q32 minhash, q80 embedding, q69 exact and q82 media in-window).
 #: Everything NOT in this list still registers, after the window, and
 #: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
@@ -3937,7 +4004,7 @@ _CHECK_WINDOW_ORDER = [
     "q89_grouped_topk_bounds",
     "q76_sample_group_ci",
     "q32_minhash_pairs",
-    "q33_simhash_pairs",
+    "q108_theta_advisor_loop",
     "q106_advisor_topk_loop",
     "q54_hll_ci",
     "q55_multimodal_decode",
@@ -4036,6 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q105_topk_sql_routing"] = _q_topk_sql_routing
     out["q106_advisor_topk_loop"] = _q_advisor_topk_loop
     out["q107_evidence_lifecycle"] = _q_evidence_lifecycle
+    out["q108_theta_advisor_loop"] = _q_theta_advisor_loop
     return _reorder_check_window(out)
 
 
@@ -4104,5 +4172,6 @@ def oracle_sql() -> dict[str, str]:
     out["q105_topk_sql_routing"] = _TOPK_SQL_ORACLE
     out["q106_advisor_topk_loop"] = _ADVISOR_TOPK_ORACLE
     out["q107_evidence_lifecycle"] = _LIFECYCLE_ORACLE
+    out["q108_theta_advisor_loop"] = _THETA_ADVISOR_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

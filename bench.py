@@ -1466,6 +1466,64 @@ def main() -> None:
                 f"{type(exc).__name__}: {exc}"[:300]
             )
 
+    # ---- advisor loop for the THETA/OVERLAP family (round 10, VERDICT
+    # r9 #4). Audience-overlap requests arrive via the engine API, not
+    # SQL — engine.segment_overlap's raw fallback records the
+    # (dims=[event_type], theta_cols=[user_id]) shape; apply_rollup_advice
+    # materializes the theta rollup, and the next identical request
+    # answers by unioning per-bucket state instead of re-scanning the
+    # fact table. The unrouted/routed pair is the advisor's delivered
+    # win for the one family SQL shapes can never imply.
+    advisor_theta_info: dict = {}
+    if route_ok:
+        try:
+            import tempfile as _tf_advth
+
+            eng_advth = AQEngine(
+                spark,
+                workdir=_tf_advth.mkdtemp(prefix="aqe_bench_advth_"),
+            )
+            eng_advth.catalog.upsert_table_stats("events_big", ev_big_rows)
+
+            def _advisor_theta_unrouted():
+                r = eng_advth.segment_overlap(
+                    "events_big", "event_type", "user_id", time_col="ts"
+                )
+                assert r["source"] == "raw_scan", r["reason"]
+                r["df"].collect()
+
+            _safe("rollup_advisor_theta_unrouted", _advisor_theta_unrouted)
+
+            t0 = time.perf_counter()
+            applied_th = eng_advth.apply_rollup_advice(max_apply=1)
+            build_th_s = time.perf_counter() - t0
+            assert applied_th and applied_th[0]["applied"] is True, (
+                applied_th
+            )
+            assert applied_th[0]["theta_cols"] == ["user_id"], applied_th
+            advisor_theta_info = {
+                "rollup": applied_th[0]["built"]["rollup"],
+                "state_rows": applied_th[0]["built"]["buckets"],
+                "build_sec": round(build_th_s, 3),
+                "observed_queries": applied_th[0]["observed_queries"],
+            }
+
+            def _advisor_theta_routed():
+                r = eng_advth.segment_overlap(
+                    "events_big", "event_type", "user_id"
+                )
+                assert r["source"] == "rollup_state", r["reason"]
+                plan_reasons["rollup_advisor_theta_e2e"] = (
+                    f"sketch: {r['reason']}"
+                )
+                r["df"].collect()
+
+            _safe("rollup_advisor_theta_routed", _advisor_theta_routed)
+        except Exception as exc:  # noqa: BLE001 - setup failure isolation
+            bench_errors["rollup_advisor_theta_e2e"] = (
+                f"{type(exc).__name__}: {exc}"[:300]
+            )
+
     # ---- approx-path routing (round 6, VERDICT r5 instruction 1) -------
     # The same date-bounded query on the APPROX path: a deterministic
     # 1-in-4 sample of events_big materialized FLAT vs DAY-PARTITIONED.
@@ -2258,6 +2316,13 @@ def main() -> None:
         speedups["rollup_advisor_topk_e2e"] = timings[
             "rollup_advisor_topk_unrouted"
         ] / max(timings["rollup_advisor_topk_routed"], 1e-9)
+    if (
+        "rollup_advisor_theta_unrouted" in timings
+        and "rollup_advisor_theta_routed" in timings
+    ):
+        speedups["rollup_advisor_theta_e2e"] = timings[
+            "rollup_advisor_theta_unrouted"
+        ] / max(timings["rollup_advisor_theta_routed"], 1e-9)
 
     errors = {}
     for name, sql in {
@@ -2442,6 +2507,7 @@ def main() -> None:
         # queries is the delivered speedup)
         "rollup_advisor_apply": advisor_apply_info,
         "rollup_advisor_topk_apply": advisor_topk_info,
+        "rollup_advisor_theta_apply": advisor_theta_info,
         "stratified_vs_uniform": strat_block,
         "ml_stats": ml_block,
         "rel_errors": errors,

@@ -185,6 +185,9 @@ def test_check_window_ordering():
         # q88 (approx routed scan) and q104 (advisor-built layout route)
         # in-window.
         "q86_partition_routing": "q88_partition_routing_approx",
+        # q108 (theta/overlap advisor loop) took q33's slot; the
+        # near-dup family keeps q32/q69/q80/q82 in-window
+        "q33_simhash_pairs": "q32_minhash_pairs",
         "q15_window_top_order": "q87_grouped_topk",  # window/top-k order
         "q67_repetition": "q66_corpus_prepare",  # text-quality family
         "q84_heavy_hitters": "q87_grouped_topk",  # heavy-hitter family

@@ -339,3 +339,84 @@ def test_advisor_topk_budget_repair_declines_over_state_budget(spark):
     # the catalog ndv is still repaired, so the NEXT advice round sizes
     # from truth instead of repeating the under-sized build
     assert e.catalog.get_column_ndv("clicks", "user_id") == 2000
+
+
+def test_advisor_learns_theta_overlap_family(spark):
+    """VERDICT r9 #4: the overlap workload (engine.segment_overlap) is
+    the one state family SQL shapes can never imply — its raw fallback
+    records a (dims=[segment], theta_cols=[key]) observation, three
+    recurring calls produce theta_cols advice, maintenance materializes
+    it, and the NEXT call answers from unioned rollup theta state with
+    identical output."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_theta_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    raw = None
+    for _ in range(3):
+        r = e.segment_overlap("events", "event_type", "user_id",
+                              time_col="ts")
+        assert r["source"] == "raw_scan", r
+        assert "shape recorded" in r["reason"], r
+        raw = r["df"]
+    recs = e.recommend_rollups()
+    assert len(recs) == 1, recs
+    assert recs[0]["theta_cols"] == ["user_id"], recs
+    assert recs[0]["dims"] == ["event_type"], recs
+    rep = e.maintain(refresh_stats=False, apply_advice=True)
+    applied = rep["rollup_advice_applied"]
+    assert applied and applied[0]["applied"] is True, applied
+    assert applied[0]["theta_cols"] == ["user_id"], applied
+    assert rep["rollup_recommendations"] == [], rep  # advice converged
+    r = e.segment_overlap("events", "event_type", "user_id")
+    assert r["source"] == "rollup_state", r
+    assert "theta state" in r["reason"], r
+    # routed output identical to the raw scan (theta exact below 2^lgk)
+    assert [tuple(x) for x in r["df"].collect()] == [
+        tuple(x) for x in raw.collect()
+    ]
+    # and bit-identical to the exact set computation
+    exact = spark.sql(
+        "WITH seg AS (SELECT DISTINCT event_type AS s, user_id AS u "
+        "FROM events WHERE user_id IS NOT NULL "
+        "AND event_type IS NOT NULL), "
+        "card AS (SELECT s, COUNT(*) AS c FROM seg GROUP BY s) "
+        "SELECT ca.s, cb.s, ca.c, cb.c FROM card ca JOIN card cb "
+        "ON ca.s < cb.s ORDER BY ca.s, cb.s"
+    ).collect()
+    got = r["df"].collect()
+    assert [(x[0], x[1], x[2], x[3]) for x in got] == [
+        tuple(x) for x in exact
+    ]
+
+
+def test_overlap_without_time_col_never_records(spark):
+    """No time column named -> the shape is not materializable as a
+    rollup, so nothing enters the observation book (better no advice
+    than advice naming a grain the caller never confirmed)."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_theta_nt_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    for _ in range(3):
+        r = e.segment_overlap("orders", "o_orderpriority", "o_custkey")
+        assert r["source"] == "raw_scan", r
+        assert "shape recorded" not in r["reason"], r
+    assert e.recommend_rollups() == []
+
+
+def test_overlap_routes_only_with_segment_dim(spark):
+    """A fresh rollup tracking the key's theta state WITHOUT the segment
+    as a dim cannot group state per segment — the call falls back to
+    raw instead of answering from unservable state."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_theta_dim_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    e.create_rollup("events", "ts", "1 day", dims=[],
+                    theta_cols=["user_id"])
+    r = e.segment_overlap("events", "event_type", "user_id")
+    assert r["source"] == "raw_scan", r
