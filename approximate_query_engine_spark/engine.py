@@ -27,6 +27,38 @@ from approximate_query_engine_spark.session import (
 from approximate_query_engine_spark.sketches import SketchManager
 
 
+def _overlap_advice_bucket(*bounds: str | None) -> str | None:
+    """The COARSEST bucket grain whose grid every given bound falls on —
+    what an advisor-built rollup must use to be able to serve the
+    observed overlap request ("1 day" when all bounds are midnight,
+    "1 hour" when all are on the hour). None when a bound is off every
+    grid (or unparseable): a rollup could never serve it, so recording
+    advice for it would drive a useless build. No bounds at all (the
+    whole-table overlap shape) is served by any grain → "1 day"."""
+    from datetime import datetime
+
+    real = [b for b in bounds if b is not None]
+    if not real:
+        return "1 day"
+    parsed = []
+    for b in real:
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+            try:
+                parsed.append(datetime.strptime(str(b), fmt))
+                break
+            except ValueError:
+                continue
+        else:
+            return None
+    if all(
+        t.hour == 0 and t.minute == 0 and t.second == 0 for t in parsed
+    ):
+        return "1 day"
+    if all(t.minute == 0 and t.second == 0 for t in parsed):
+        return "1 hour"
+    return None
+
+
 class AQEngine:
     def __init__(
         self,
@@ -1998,6 +2030,7 @@ class AQEngine:
         b_lo: str,
         b_hi: str,
         dims: dict[str, str] | None = None,
+        time_col: str | None = None,
     ) -> dict:
         """Cross-window SET ALGEBRA from rollup theta state: distinct
         ``column`` keys of window A ([a_lo, a_hi)) vs window B — |A|,
@@ -2009,14 +2042,41 @@ class AQEngine:
         exists alongside ``distinct_cols``. Exact while each window's
         distinct keys fit 2^theta_lgk (the sketch's exact mode);
         ~1/sqrt(2^lgk) relative error per estimate beyond. Bounds must
-        fall on the bucket grid (raise, never silently slice)."""
+        fall on the bucket grid (raise, never silently slice).
+
+        Round 10 (VERDICT r9 #4, the q100 side of the overlap family):
+        when NO rollup can serve and the caller names ``time_col``, the
+        call no longer dead-ends — it answers EXACTLY from one raw scan
+        (single pass: per-key window-membership flags, then one agg) and
+        records the (dims, theta_cols=[column]) shape in the advisor
+        observation book, so three recurring calls produce theta_cols
+        advice and the next call answers from state. Without
+        ``time_col`` the historical contract stands: raise. The result
+        carries ``source`` ("rollup_state" | "raw_scan") either way."""
         from pyspark.sql import functions as F
 
         # coarsest rollup whose grid fits BOTH windows; finer fresh
         # rollups serve off-grid bounds a coarse one cannot
-        entries = self._fresh_rollups_with(
-            table, "theta_cols", column, "theta set-algebra"
-        )
+        try:
+            entries = self._fresh_rollups_with(
+                table, "theta_cols", column, "theta set-algebra"
+            )
+        except ValueError:
+            if time_col is None:
+                raise
+            self._record_overlap_candidate(
+                table,
+                sorted(dims) if dims else [],
+                column,
+                time_col,
+                _overlap_advice_bucket(a_lo, a_hi, b_lo, b_hi),
+            )
+            return {
+                **self._audience_diff_raw(
+                    table, column, a_lo, a_hi, b_lo, b_hi, dims, time_col
+                ),
+                "source": "raw_scan",
+            }
         info = preds = last_err = None
         for cand_info in entries:
             try:
@@ -2070,7 +2130,68 @@ class AQEngine:
                 est.format("theta_difference(ska, skb)")
             ).alias("churned"),
         ).collect()[0]
-        return {k: int(v) for k, v in out.asDict().items()}
+        return {
+            **{k: int(v) for k, v in out.asDict().items()},
+            "source": "rollup_state",
+        }
+
+    def _audience_diff_raw(
+        self,
+        table: str,
+        column: str,
+        a_lo: str,
+        a_hi: str,
+        b_lo: str,
+        b_hi: str,
+        dims: dict[str, str] | None,
+        time_col: str,
+    ) -> dict:
+        """EXACT raw-scan fallback for :meth:`rollup_audience_diff` —
+        one pass, one shuffle: per-key window-membership flags
+        (max(in_a), max(in_b) per distinct key), then a single agg sums
+        the flags into |A|, |B|, |A∩B| and |A∪B|. Never materializes
+        the key sets or self-joins them; at 100 TB the shuffle carries
+        one row per distinct key in A∪B, which is the same order as the
+        DISTINCT any exact formulation must pay. Unlike the state path
+        it accepts off-grid bounds (no bucket grid to respect)."""
+        from pyspark.sql import functions as F
+
+        t = self.spark.table(table)
+        for k, v in (dims or {}).items():
+            t = t.where(F.col(k) == F.lit(v))
+        ts = F.col(time_col)
+        in_a = (ts >= F.lit(a_lo).cast("timestamp")) & (
+            ts < F.lit(a_hi).cast("timestamp")
+        )
+        in_b = (ts >= F.lit(b_lo).cast("timestamp")) & (
+            ts < F.lit(b_hi).cast("timestamp")
+        )
+        row = (
+            t.where(F.col(column).isNotNull() & (in_a | in_b))
+            .groupBy(column)
+            .agg(
+                F.max(in_a.cast("int")).alias("ia"),
+                F.max(in_b.cast("int")).alias("ib"),
+            )
+            .agg(
+                F.coalesce(F.sum("ia"), F.lit(0)).alias("a"),
+                F.coalesce(F.sum("ib"), F.lit(0)).alias("b"),
+                F.coalesce(
+                    F.sum(F.col("ia") * F.col("ib")), F.lit(0)
+                ).alias("both"),
+                F.count(F.lit(1)).alias("u"),
+            )
+            .collect()[0]
+        )
+        a, b, both, u = (int(row[k]) for k in ("a", "b", "both", "u"))
+        return {
+            "distinct_a": a,
+            "distinct_b": b,
+            "returning": both,
+            "union_cnt": u,
+            "new_in_b": b - both,
+            "churned": a - both,
+        }
 
     def segment_overlap(
         self,
@@ -2081,6 +2202,8 @@ class AQEngine:
         pairs: list[tuple[str, str]] | None = None,
         time_col: str | None = None,
         bucket: str = "1 day",
+        lo: str | None = None,
+        hi: str | None = None,
     ) -> dict:
         """Pairwise AUDIENCE OVERLAP between segments — per unordered
         (seg_a, seg_b): distinct ``key_col`` per segment, intersection,
@@ -2101,6 +2224,13 @@ class AQEngine:
         :meth:`apply_rollup_advice` can materialize: observe → advise →
         materialize → route, mirroring the round-9 top-items pattern.
 
+        Optional ``[lo, hi)`` bounds window the overlap ("who overlapped
+        LAST WEEK"): the routed path requires them on the serving
+        rollup's bucket grid (p_date-pruned state scan; a coarse rollup
+        that cannot align falls through to a finer fresh one, mirroring
+        rollup_audience_diff), the raw path needs ``time_col`` to filter
+        the scan and accepts any bounds.
+
         Exactness contract (both paths): theta sketches are exact while
         each segment's distinct keys fit the nominal budget (2^lg_k raw,
         2^theta_lgk routed); beyond it each estimate carries
@@ -2115,22 +2245,33 @@ class AQEngine:
             segment_overlap as raw_segment_overlap,
         )
 
-        info = None
+        bounded = lo is not None or hi is not None
+        info = pred = None
         try:
             entries = self._fresh_rollups_with(
                 table, "theta_cols", key_col, "theta set-algebra"
             )
-            info = next(
-                (e for e in entries if segment_col in e.get("dims", [])),
-                None,
-            )
+            for cand_info in entries:
+                if segment_col not in cand_info.get("dims", []):
+                    continue
+                if not bounded:
+                    info = cand_info
+                    break
+                try:
+                    pred = self._aligned_range_pred(cand_info, lo, hi)
+                    info = cand_info
+                    break
+                except ValueError:
+                    continue  # off this grid — try a finer fresh rollup
         except ValueError:
             info = None
         if info is not None:
             src = info.get("files_view") or info["view"]
+            state = self.spark.table(src)
+            if pred is not None:
+                state = state.where(pred)
             per_seg = (
-                self.spark.table(src)
-                .where(F.col(segment_col).isNotNull())
+                state.where(F.col(segment_col).isNotNull())
                 .groupBy(
                     F.col(segment_col).cast("string").alias("seg")
                 )
@@ -2146,15 +2287,37 @@ class AQEngine:
                 "reason": (
                     f"answered from materialized rollup {info['view']} "
                     "theta state (per-bucket sketches unioned per "
-                    "segment; fact table not re-read)"
+                    "segment"
+                    + (", p_date-pruned to the window" if pred else "")
+                    + "; fact table not re-read)"
                 ),
             }
+        if bounded and time_col is None:
+            # no serving rollup and the raw fallback cannot honor the
+            # window without knowing which column the bounds filter —
+            # refuse rather than silently answering unwindowed
+            raise ValueError(
+                "windowed segment_overlap needs a serving theta rollup "
+                "or time_col (the raw fallback must know which column "
+                "the bounds filter)"
+            )
         self._record_overlap_candidate(
-            table, segment_col, key_col, time_col, bucket
+            table,
+            [segment_col],
+            key_col,
+            time_col,
+            _overlap_advice_bucket(lo, hi) if bounded else bucket,
         )
+        raw = self.spark.table(table)
+        if bounded:
+            ts = F.col(time_col)
+            if lo is not None:
+                raw = raw.where(ts >= F.lit(lo).cast("timestamp"))
+            if hi is not None:
+                raw = raw.where(ts < F.lit(hi).cast("timestamp"))
         return {
             "df": raw_segment_overlap(
-                self.spark.table(table),
+                raw,
                 segment_col,
                 key_col,
                 lg_k=lg_k,
@@ -2167,6 +2330,7 @@ class AQEngine:
                 + (
                     "; shape recorded for the rollup advisor"
                     if time_col is not None
+                    and (not bounded or _overlap_advice_bucket(lo, hi))
                     else ""
                 )
             ),
@@ -2175,31 +2339,32 @@ class AQEngine:
     def _record_overlap_candidate(
         self,
         table: str,
-        segment_col: str,
+        dims: list[str],
         key_col: str,
         time_col: str | None,
-        bucket: str,
+        bucket: str | None,
     ) -> None:
         """Best-effort THETA-advisor bookkeeping (round 10 — the overlap
         sibling of _record_rollup_candidate): an overlap request just
         paid a raw scan because no rollup tracks theta state for it.
-        When the caller names the table's time column, record the
-        materializable shape so recommend_rollups can aggregate
-        recurring overlap workloads into theta_cols advice. Never fails
-        the request."""
-        if time_col is None:
+        When the caller names the table's time column (and the request's
+        bounds fit SOME bucket grid — ``bucket`` is None otherwise),
+        record the materializable shape so recommend_rollups can
+        aggregate recurring overlap workloads into theta_cols advice.
+        Never fails the request."""
+        if time_col is None or bucket is None:
             return
         try:
             import json as _json
 
             cols = self._table_columns(table)
-            if not {segment_col, key_col, time_col} <= cols:
+            if not {*dims, key_col, time_col} <= cols:
                 return
             shape = {
                 "table": table,
                 "time_col": time_col,
                 "bucket": bucket,
-                "dims": [segment_col],
+                "dims": sorted(dims),
                 "measures": [],
                 "distinct_cols": [],
                 "quantile_cols": [],

@@ -420,3 +420,115 @@ def test_overlap_routes_only_with_segment_dim(spark):
                     theta_cols=["user_id"])
     r = e.segment_overlap("events", "event_type", "user_id")
     assert r["source"] == "raw_scan", r
+
+
+def test_audience_diff_raw_fallback_feeds_advisor(spark):
+    """Round 10: the q100 side of the overlap family — with no theta
+    rollup and a named time_col, rollup_audience_diff answers EXACTLY
+    from one raw scan (single-pass membership flags) and records the
+    shape; three calls -> theta advice -> apply -> the same call
+    answers from state with identical numbers. Without time_col the
+    historical raise contract stands."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_adiff_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    args = (
+        "events", "user_id",
+        "2024-01-02 00:00:00", "2024-01-03 00:00:00",
+        "2024-01-03 00:00:00", "2024-01-04 00:00:00",
+    )
+    with pytest.raises(ValueError, match="theta set-algebra"):
+        e.rollup_audience_diff(*args)
+    raw = None
+    for _ in range(3):
+        raw = e.rollup_audience_diff(*args, time_col="ts")
+        assert raw["source"] == "raw_scan", raw
+    # exact by construction: matches the subquery formulation
+    ex = spark.sql(
+        "WITH a AS (SELECT DISTINCT user_id u FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-03 00:00:00'), "
+        "b AS (SELECT DISTINCT user_id u FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-04 00:00:00') "
+        "SELECT (SELECT COUNT(*) FROM a) da, "
+        "(SELECT COUNT(*) FROM b) db, "
+        "(SELECT COUNT(*) FROM a JOIN b ON a.u = b.u) ret"
+    ).collect()[0]
+    assert (raw["distinct_a"], raw["distinct_b"], raw["returning"]) == (
+        ex["da"], ex["db"], ex["ret"],
+    )
+    recs = e.recommend_rollups()
+    assert len(recs) == 1 and recs[0]["theta_cols"] == ["user_id"], recs
+    rep = e.maintain(refresh_stats=False, apply_advice=True)
+    assert rep["rollup_advice_applied"][0]["applied"] is True
+    routed = e.rollup_audience_diff(*args)
+    assert routed["source"] == "rollup_state", routed
+    keys = (
+        "distinct_a", "distinct_b", "returning",
+        "union_cnt", "new_in_b", "churned",
+    )
+    assert {k: routed[k] for k in keys} == {k: raw[k] for k in keys}
+
+
+def test_windowed_segment_overlap_routed_and_raw(spark):
+    """Round 10: [lo, hi) bounds window the overlap on BOTH paths — the
+    routed path p_date-prunes state on the rollup's grid, the raw path
+    filters the scan; identical output below the sketch's exact-mode
+    budget. Off-grid bounds fall back to raw instead of slicing a
+    bucket, and a windowed call with neither state nor time_col
+    refuses rather than silently answering unwindowed."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_win_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    lo, hi = "2024-01-02 00:00:00", "2024-01-05 00:00:00"
+    r_raw = e.segment_overlap(
+        "events", "event_type", "user_id", time_col="ts", lo=lo, hi=hi
+    )
+    assert r_raw["source"] == "raw_scan", r_raw
+    e.create_rollup(
+        "events", "ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    r_st = e.segment_overlap("events", "event_type", "user_id",
+                             lo=lo, hi=hi)
+    assert r_st["source"] == "rollup_state", r_st
+    assert "p_date-pruned" in r_st["reason"], r_st
+    assert [tuple(x) for x in r_st["df"].collect()] == [
+        tuple(x) for x in r_raw["df"].collect()
+    ]
+    # off the day grid: raw fallback, never a sliced bucket
+    r_off = e.segment_overlap(
+        "events", "event_type", "user_id", time_col="ts",
+        lo="2024-01-02 03:00:00", hi=hi,
+    )
+    assert r_off["source"] == "raw_scan", r_off
+    # windowed with neither state nor time_col refuses
+    e2 = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_win2_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    with pytest.raises(ValueError, match="windowed segment_overlap"):
+        e2.segment_overlap("events", "event_type", "user_id", lo=lo)
+
+
+def test_overlap_advice_bucket_inference():
+    from approximate_query_engine_spark.engine import (
+        _overlap_advice_bucket,
+    )
+
+    assert _overlap_advice_bucket() == "1 day"
+    assert _overlap_advice_bucket(None, None) == "1 day"
+    assert _overlap_advice_bucket("2024-01-02 00:00:00") == "1 day"
+    assert _overlap_advice_bucket(
+        "2024-01-02 03:00:00", "2024-01-04 00:00:00"
+    ) == "1 hour"
+    # off every grid / unparseable: no advice is better than a build
+    # that could never serve the request
+    assert _overlap_advice_bucket("2024-01-02 03:30:00") is None
+    assert _overlap_advice_bucket("garbage") is None
