@@ -322,7 +322,45 @@ def create_app(engine: AQEngine, config: Config | None = None):
                     body["b_lo"],
                     body["b_hi"],
                     dims=body.get("dims"),
+                    # round 10: with time_col, no-rollup answers exactly
+                    # from one raw pass and feeds the theta advisor
+                    time_col=body.get("time_col"),
                 )
+            )
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
+    @app.post("/overlap")
+    def overlap():
+        """Pairwise audience overlap between segments
+        (engine.segment_overlap, round 10): routed to theta rollup
+        state when one serves, else one raw scan that feeds the theta
+        advisor when ``time_col`` is named. Optional [lo, hi) bounds
+        window the overlap on both paths."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            r = engine.segment_overlap(
+                body["table"],
+                body["segment_col"],
+                body["key_col"],
+                lg_k=int(body.get("lg_k", 12)),
+                pairs=(
+                    [tuple(p) for p in body["pairs"]]
+                    if body.get("pairs")
+                    else None
+                ),
+                time_col=body.get("time_col"),
+                lo=body.get("lo"),
+                hi=body.get("hi"),
+            )
+            return jsonify(
+                {
+                    "source": r["source"],
+                    "reason": r["reason"],
+                    "rows": [row.asDict() for row in r["df"].collect()],
+                }
             )
         except (KeyError, ValueError) as e:
             return jsonify({"status": "error", "error": str(e)}), 400

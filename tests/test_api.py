@@ -454,3 +454,65 @@ def test_layouts_recommend_route(client):
     out = client.get("/layouts/recommend?min_count=3").get_json()
     assert "recommendations" in out
     assert isinstance(out["recommendations"], list)
+
+
+def test_overlap_endpoint(client, engine):
+    """POST /overlap (round 10): raw-scan answer with advisor recording
+    when time_col is named; routes to theta state once a serving rollup
+    exists; bad windowed requests get the 400 JSON envelope."""
+    out = client.post(
+        "/overlap",
+        json={
+            "table": "events",
+            "segment_col": "event_type",
+            "key_col": "user_id",
+            "time_col": "ts",
+        },
+    ).get_json()
+    assert out["source"] == "raw_scan", out
+    assert out["rows"] and {"seg_a", "seg_b", "jaccard"} <= set(
+        out["rows"][0]
+    )
+    engine.create_rollup(
+        "events", "ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    routed = client.post(
+        "/overlap",
+        json={
+            "table": "events",
+            "segment_col": "event_type",
+            "key_col": "user_id",
+            "lo": "2024-01-02 00:00:00",
+            "hi": "2024-01-05 00:00:00",
+        },
+    ).get_json()
+    assert routed["source"] == "rollup_state", routed
+    resp = client.post(
+        "/overlap",
+        json={"table": "events", "segment_col": "event_type"},
+    )
+    assert resp.status_code == 400
+    assert resp.get_json()["status"] == "error"
+
+
+def test_audience_diff_endpoint_time_col_fallback(client):
+    """POST /rollups/audience_diff forwards time_col (round 10): with no
+    theta rollup the answer comes exactly from one raw pass instead of
+    a 400."""
+    # event_id: no theta rollup tracks it (the module-scope engine may
+    # carry user_id theta state from the /overlap test above)
+    out = client.post(
+        "/rollups/audience_diff",
+        json={
+            "table": "events",
+            "column": "event_id",
+            "a_lo": "2024-01-02 00:00:00",
+            "a_hi": "2024-01-03 00:00:00",
+            "b_lo": "2024-01-03 00:00:00",
+            "b_hi": "2024-01-04 00:00:00",
+            "time_col": "ts",
+        },
+    ).get_json()
+    assert out.get("source") == "raw_scan", out
+    assert out["union_cnt"] >= max(out["distinct_a"], out["distinct_b"])
