@@ -2012,19 +2012,32 @@ def main() -> None:
                 spark.sql(s).collect()
                 eng2.query(s, max_rel_error=0.05, dual_execute=False)
                 actuals = []
-                est0 = est_last = strat0 = None
+                est0 = strat0 = None
                 for _rep in range(5):
                     r = eng2.query(
                         s, max_rel_error=0.05, use_ml_optimization=True
                     )
                     assert r["status"] == "ok", r.get("error")
-                    est_last = r["ml_optimization"]["estimated_speedup"]
                     if est0 is None:
-                        est0 = est_last
+                        est0 = r["ml_optimization"]["estimated_speedup"]
                         strat0 = r["ml_optimization"]["strategy"]
                     actuals.append(
                         r["ml_optimization"].get("actual_speedup", 0.0)
                     )
+                # the steady-state estimate: predicted AFTER the loop has
+                # observed all five duals (one approx-only read — no
+                # outcome recorded, history unperturbed), paired against
+                # the median of the same five measurements. A mid-loop
+                # estimate would lag the reps it hasn't seen and read as
+                # model bias what is actually within-session drift.
+                r = eng2.query(
+                    s,
+                    max_rel_error=0.05,
+                    use_ml_optimization=True,
+                    dual_execute=False,
+                )
+                assert r["status"] == "ok", r.get("error")
+                est_last = r["ml_optimization"]["estimated_speedup"]
                 # predicted-vs-measured speedup for each dual-executed
                 # query: the honesty check on the cost-model estimates
                 # (the reference promised a flat 1/f = 100x here).

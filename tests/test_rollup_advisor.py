@@ -532,3 +532,37 @@ def test_overlap_advice_bucket_inference():
     # that could never serve the request
     assert _overlap_advice_bucket("2024-01-02 03:30:00") is None
     assert _overlap_advice_bucket("garbage") is None
+
+
+def test_segment_overlap_pairs_filter_through_state(spark):
+    """The pairs restriction applies identically on the routed path —
+    pairwise_sketch_overlap is shared, so a routed (a, b)-only request
+    returns exactly the raw path's filtered rows."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_pairs_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    segs = [
+        r[0]
+        for r in spark.sql(
+            "SELECT DISTINCT event_type FROM events ORDER BY 1 LIMIT 2"
+        ).collect()
+    ]
+    pairs = [(segs[0], segs[1])]
+    raw = e.segment_overlap(
+        "events", "event_type", "user_id", pairs=pairs
+    )
+    assert raw["source"] == "raw_scan"
+    e.create_rollup(
+        "events", "ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    routed = e.segment_overlap(
+        "events", "event_type", "user_id", pairs=pairs
+    )
+    assert routed["source"] == "rollup_state"
+    raw_rows = [tuple(x) for x in raw["df"].collect()]
+    routed_rows = [tuple(x) for x in routed["df"].collect()]
+    assert len(routed_rows) == 1
+    assert routed_rows == raw_rows
