@@ -566,3 +566,38 @@ def test_segment_overlap_pairs_filter_through_state(spark):
     routed_rows = [tuple(x) for x in routed["df"].collect()]
     assert len(routed_rows) == 1
     assert routed_rows == raw_rows
+
+
+def test_segment_overlap_routed_estimation_regime(spark):
+    """The routed path degrades exactly like the raw one at warehouse
+    ndv: per-bucket theta sketches built past the nominal budget
+    (theta_lgk=4 → 16 entries vs 1000 keys/segment) union into
+    estimates with ~1/sqrt(2^lgk) relative error — the 100 TB contract
+    for overlap-from-state. Checked against exact truth from the same
+    synthetic data."""
+    from pyspark.sql import functions as F
+
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_estim_"),
+    )
+    # 2 segments, 1000 keys each, keys 500..999 shared → overlap 500
+    spark.range(2000).selectExpr(
+        "CASE WHEN id < 1000 THEN 'a' ELSE 'b' END AS seg",
+        "CAST(CASE WHEN id < 1000 THEN id ELSE id - 500 END AS BIGINT) AS k",
+        "timestampadd(HOUR, CAST(id % 72 AS INT), "
+        "TIMESTAMP '2024-01-01 00:00:00') AS ts",
+    ).createOrReplaceTempView("bigseg")
+    e.catalog.upsert_table_stats("bigseg", 2000)
+    e.create_rollup(
+        "bigseg", "ts", "1 day", dims=["seg"], theta_cols=["k"],
+        theta_lgk=4,
+    )
+    r = e.segment_overlap("bigseg", "seg", "k")
+    assert r["source"] == "rollup_state", r
+    row = r["df"].collect()[0]
+    assert row["distinct_a"] > 16  # estimation mode, not truncation
+    # same loose 8-sigma bars as the raw-path estimation test
+    assert abs(row["distinct_a"] - 1000) / 1000 < 2.0
+    assert abs(row["distinct_b"] - 1000) / 1000 < 2.0
+    assert abs(row["overlap_cnt"] - 500) / 500 < 3.0
