@@ -354,6 +354,7 @@ def create_app(engine: AQEngine, config: Config | None = None):
                 time_col=body.get("time_col"),
                 lo=body.get("lo"),
                 hi=body.get("hi"),
+                dims=body.get("dims"),
             )
             return jsonify(
                 {

@@ -2204,6 +2204,7 @@ class AQEngine:
         bucket: str = "1 day",
         lo: str | None = None,
         hi: str | None = None,
+        dims: dict[str, str] | None = None,
     ) -> dict:
         """Pairwise AUDIENCE OVERLAP between segments — per unordered
         (seg_a, seg_b): distinct ``key_col`` per segment, intersection,
@@ -2229,7 +2230,13 @@ class AQEngine:
         rollup's bucket grid (p_date-pruned state scan; a coarse rollup
         that cannot align falls through to a finer fresh one, mirroring
         rollup_audience_diff), the raw path needs ``time_col`` to filter
-        the scan and accepts any bounds.
+        the scan and accepts any bounds. Optional ``dims`` equality
+        filters restrict the population first ("overlap among premium
+        users") — routed only when every filtered column is a registered
+        dim of the serving rollup (any other column is not in the
+        state's grouping, so filtering on it is undefined — fall back to
+        raw, never guess), and recorded into the advice so the
+        materialized rollup can serve the filtered shape next time.
 
         Exactness contract (both paths): theta sketches are exact while
         each segment's distinct keys fit the nominal budget (2^lg_k raw,
@@ -2251,8 +2258,9 @@ class AQEngine:
             entries = self._fresh_rollups_with(
                 table, "theta_cols", key_col, "theta set-algebra"
             )
+            need_dims = {segment_col, *(dims or {})}
             for cand_info in entries:
-                if segment_col not in cand_info.get("dims", []):
+                if not need_dims <= set(cand_info.get("dims", [])):
                     continue
                 if not bounded:
                     info = cand_info
@@ -2270,6 +2278,8 @@ class AQEngine:
             state = self.spark.table(src)
             if pred is not None:
                 state = state.where(pred)
+            for k, v in (dims or {}).items():
+                state = state.where(F.col(k) == F.lit(v))
             per_seg = (
                 state.where(F.col(segment_col).isNotNull())
                 .groupBy(
@@ -2303,7 +2313,7 @@ class AQEngine:
             )
         self._record_overlap_candidate(
             table,
-            [segment_col],
+            sorted({segment_col, *(dims or {})}),
             key_col,
             time_col,
             _overlap_advice_bucket(lo, hi) if bounded else bucket,
@@ -2315,6 +2325,8 @@ class AQEngine:
                 raw = raw.where(ts >= F.lit(lo).cast("timestamp"))
             if hi is not None:
                 raw = raw.where(ts < F.lit(hi).cast("timestamp"))
+        for k, v in (dims or {}).items():
+            raw = raw.where(F.col(k) == F.lit(v))
         return {
             "df": raw_segment_overlap(
                 raw,

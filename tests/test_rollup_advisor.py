@@ -601,3 +601,51 @@ def test_segment_overlap_routed_estimation_regime(spark):
     assert abs(row["distinct_a"] - 1000) / 1000 < 2.0
     assert abs(row["distinct_b"] - 1000) / 1000 < 2.0
     assert abs(row["overlap_cnt"] - 500) / 500 < 3.0
+
+
+def test_segment_overlap_dim_filter_routed_and_raw(spark):
+    """dims equality filters restrict the population before the overlap
+    ("overlap among region=r0 users") — routed only when every filtered
+    column is a registered dim of the serving rollup (else raw, never
+    a guess against state that didn't group by it); identical output on
+    both paths, and the filtered shape's dims are recorded into the
+    advice."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_dimf_"),
+    )
+    spark.range(4000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS seg",
+        "CONCAT('r', CAST(id % 2 AS STRING)) AS region",
+        "CAST(id % 40 AS BIGINT) AS k",
+        "timestampadd(HOUR, CAST(id % 48 AS INT), "
+        "TIMESTAMP '2024-01-01 00:00:00') AS ts",
+    ).createOrReplaceTempView("segpop")
+    e.catalog.upsert_table_stats("segpop", 4000)
+    raw = e.segment_overlap(
+        "segpop", "seg", "k", time_col="ts", dims={"region": "r0"}
+    )
+    assert raw["source"] == "raw_scan", raw
+    # the recorded shape carries BOTH the segment and the filter dim
+    recs = []
+    for _ in range(2):
+        e.segment_overlap(
+            "segpop", "seg", "k", time_col="ts", dims={"region": "r0"}
+        )
+    recs = e.recommend_rollups()
+    assert recs and sorted(recs[0]["dims"]) == ["region", "seg"], recs
+    # a rollup missing the filter dim cannot serve — stays raw
+    e.create_rollup("segpop", "ts", "1 day", dims=["seg"],
+                    theta_cols=["k"])
+    still = e.segment_overlap("segpop", "seg", "k", time_col="ts",
+                              dims={"region": "r0"})
+    assert still["source"] == "raw_scan", still
+    # one that groups by both dims serves, bit-identical to raw
+    e.create_rollup("segpop", "ts", "1 hour", dims=["seg", "region"],
+                    theta_cols=["k"])
+    routed = e.segment_overlap("segpop", "seg", "k",
+                               dims={"region": "r0"})
+    assert routed["source"] == "rollup_state", routed
+    assert [tuple(x) for x in routed["df"].collect()] == [
+        tuple(x) for x in raw["df"].collect()
+    ]
