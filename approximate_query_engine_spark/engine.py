@@ -27,6 +27,37 @@ from approximate_query_engine_spark.session import (
 from approximate_query_engine_spark.sketches import SketchManager
 
 
+def _parse_overlap_bound(b) -> "object | None":
+    """Unquoted overlap bound → aware datetime, or None when it is not a
+    timestamp literal. Delegates to operators.rollup._parse_literal
+    (the SAME grammar the routed grid check speaks: date-only, space or
+    ISO-T separator, optional fractional seconds) so the advice/validate
+    path can never reject a literal the routed path accepts."""
+    from approximate_query_engine_spark.operators.rollup import (
+        _parse_literal,
+    )
+
+    if b is None:
+        return None
+    text = str(b)
+    if "'" in text:  # a quote can't appear in a bare literal — refuse
+        return None
+    return _parse_literal(f"'{text}'")
+
+
+def _require_ts_bound(name: str, b: str) -> None:
+    """Raise when a raw-path time bound is not a timestamp literal —
+    Spark's ``CAST('garbage' AS TIMESTAMP)`` yields NULL, which would
+    silently filter EVERY row and return an exact-looking empty/zero
+    answer; the routed path raises for the same input, and the raw path
+    must be just as loud."""
+    if _parse_overlap_bound(b) is None:
+        raise ValueError(
+            f"{name} must be a timestamp literal "
+            f"(YYYY-MM-DD[ HH:MM:SS[.ffffff]]), got {b!r}"
+        )
+
+
 def _overlap_advice_bucket(*bounds: str | None) -> str | None:
     """The COARSEST bucket grain whose grid every given bound falls on —
     what an advisor-built rollup must use to be able to serve the
@@ -35,21 +66,17 @@ def _overlap_advice_bucket(*bounds: str | None) -> str | None:
     grid (or unparseable): a rollup could never serve it, so recording
     advice for it would drive a useless build. No bounds at all (the
     whole-table overlap shape) is served by any grain → "1 day"."""
-    from datetime import datetime
-
     real = [b for b in bounds if b is not None]
     if not real:
         return "1 day"
     parsed = []
     for b in real:
-        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
-            try:
-                parsed.append(datetime.strptime(str(b), fmt))
-                break
-            except ValueError:
-                continue
-        else:
+        t = _parse_overlap_bound(b)
+        if t is None:
             return None
+        parsed.append(t)
+    if any(t.microsecond for t in parsed):
+        return None
     if all(
         t.hour == 0 and t.minute == 0 and t.second == 0 for t in parsed
     ):
@@ -1448,8 +1475,15 @@ class AQEngine:
             self.catalog.save()
             return built
         # re-gate at the resized budget: real built bucket count × the
-        # exact-evidence sketch width (min(budget, ndv) entries per col)
+        # exact-evidence sketch width (min(budget, ndv) entries per
+        # topk col) PLUS the same theta charge the original apply gate
+        # priced — dropping it would let a resize smuggle state past
+        # max_state_rows that the first gate explicitly counted
         weight = 1 + sum(min(need, n) for n in exact_ndvs.values())
+        tbudget = 1 << int(spec.get("theta_lgk", 12))
+        for c in spec.get("theta_cols") or []:
+            ndv = self.catalog.get_column_ndv(spec["table"], c)
+            weight += tbudget if ndv is None else min(tbudget, int(ndv))
         est = int(built.get("buckets", 0)) * weight
         if max_state_rows is not None and est > max_state_rows:
             self.catalog.save()
@@ -1468,18 +1502,45 @@ class AQEngine:
                     ),
                 },
             }
-        rebuilt = self.create_rollup(
-            spec["table"],
-            spec["time_col"],
-            spec["bucket"],
-            dims=spec["dims"],
-            measures=spec["measures"],
-            distinct_cols=spec["distinct_cols"],
-            quantile_cols=spec["quantile_cols"],
-            topk_cols=topk_cols,
-            topk_budget=need,
-            theta_cols=spec.get("theta_cols") or [],
-        )
+        try:
+            rebuilt = self.create_rollup(
+                spec["table"],
+                spec["time_col"],
+                spec["bucket"],
+                dims=spec["dims"],
+                measures=spec["measures"],
+                distinct_cols=spec["distinct_cols"],
+                quantile_cols=spec["quantile_cols"],
+                topk_cols=topk_cols,
+                topk_budget=need,
+                theta_cols=spec.get("theta_cols") or [],
+            )
+        except Exception as exc:  # noqa: BLE001 - the FIRST build already
+            # registered; letting this bubble would make _apply_advice
+            # mislabel an applied suggestion as a failed one. But the
+            # rebuild OVERWRITES the same parquet path, so a mid-write
+            # failure may have destroyed the first build's files —
+            # DEREGISTER the entry (routing disarmed, no partial reads)
+            # and persist the exact-ndv upsert the docstring promises.
+            self.catalog.rollups[spec["table"]] = [
+                e
+                for e in self.catalog.rollups.get(spec["table"], [])
+                if e["view"] != built.get("rollup")
+            ]
+            self.catalog.save()
+            return {
+                **built,
+                "topk_budget_repair": {
+                    "resized": False,
+                    "from": budget,
+                    "to": need,
+                    "reason": (
+                        f"evidence-sized rebuild failed: {exc}; rollup "
+                        "deregistered (the overwrite may have destroyed "
+                        "the first build's files)"
+                    )[:300],
+                },
+            }
         return {
             **rebuilt,
             "topk_budget_repair": {
@@ -2079,6 +2140,18 @@ class AQEngine:
             }
         info = preds = last_err = None
         for cand_info in entries:
+            if (
+                time_col is not None
+                and cand_info.get("time_col") != time_col
+            ):
+                # a rollup bucketed on a DIFFERENT clock would window the
+                # wrong column — same call must never change meaning
+                # depending on which state happens to exist
+                last_err = ValueError(
+                    f"rollup {cand_info['view']} buckets on "
+                    f"{cand_info.get('time_col')!r}, not {time_col!r}"
+                )
+                continue
             try:
                 preds = [
                     self._with_dim_filter(
@@ -2093,7 +2166,25 @@ class AQEngine:
             except ValueError as exc:
                 last_err = exc
         if info is None:
-            raise last_err
+            if time_col is None:
+                raise last_err
+            # rollups exist but none can serve these bounds/dims/clock —
+            # the raw fallback stands (and records at the grain the
+            # bounds actually need, so advice converges on a rollup that
+            # CAN serve them next time)
+            self._record_overlap_candidate(
+                table,
+                sorted(dims) if dims else [],
+                column,
+                time_col,
+                _overlap_advice_bucket(a_lo, a_hi, b_lo, b_hi),
+            )
+            return {
+                **self._audience_diff_raw(
+                    table, column, a_lo, a_hi, b_lo, b_hi, dims, time_col
+                ),
+                "source": "raw_scan",
+            }
         src = info.get("files_view") or info["view"]
         sketches = []
         for (tag, lo, hi), pred in zip(
@@ -2153,9 +2244,15 @@ class AQEngine:
         the key sets or self-joins them; at 100 TB the shuffle carries
         one row per distinct key in A∪B, which is the same order as the
         DISTINCT any exact formulation must pay. Unlike the state path
-        it accepts off-grid bounds (no bucket grid to respect)."""
+        it accepts off-grid bounds (no bucket grid to respect) — but they
+        must still PARSE: a garbage bound cast to NULL would silently
+        filter every row and return exact-looking zeros."""
         from pyspark.sql import functions as F
 
+        for name, b in (
+            ("a_lo", a_lo), ("a_hi", a_hi), ("b_lo", b_lo), ("b_hi", b_hi)
+        ):
+            _require_ts_bound(name, b)
         t = self.spark.table(table)
         for k, v in (dims or {}).items():
             t = t.where(F.col(k) == F.lit(v))
@@ -2262,6 +2359,13 @@ class AQEngine:
             for cand_info in entries:
                 if not need_dims <= set(cand_info.get("dims", [])):
                     continue
+                if (
+                    time_col is not None
+                    and cand_info.get("time_col") != time_col
+                ):
+                    # bucketed on a different clock: windowing through it
+                    # would silently bound the wrong column
+                    continue
                 if not bounded:
                     info = cand_info
                     break
@@ -2290,6 +2394,11 @@ class AQEngine:
                         f"theta_union_agg(`{key_col}_theta`)"
                     ).alias("sk")
                 )
+                # a segment whose key is NULL on every row has state
+                # rows with EMPTY sketches; the raw path's
+                # key.isNotNull() filter never even forms that segment —
+                # drop it here too, or the two paths' row sets diverge
+                .where(F.expr("theta_sketch_estimate(sk) > 0"))
             )
             return {
                 "df": pairwise_sketch_overlap(per_seg, pairs=pairs),
@@ -2311,7 +2420,7 @@ class AQEngine:
                 "or time_col (the raw fallback must know which column "
                 "the bounds filter)"
             )
-        self._record_overlap_candidate(
+        recorded = self._record_overlap_candidate(
             table,
             sorted({segment_col, *(dims or {})}),
             key_col,
@@ -2320,10 +2429,14 @@ class AQEngine:
         )
         raw = self.spark.table(table)
         if bounded:
+            # garbage bounds cast to NULL and would silently filter
+            # EVERY row — the raw path must be as loud as the routed one
             ts = F.col(time_col)
             if lo is not None:
+                _require_ts_bound("lo", lo)
                 raw = raw.where(ts >= F.lit(lo).cast("timestamp"))
             if hi is not None:
+                _require_ts_bound("hi", hi)
                 raw = raw.where(ts < F.lit(hi).cast("timestamp"))
         for k, v in (dims or {}).items():
             raw = raw.where(F.col(k) == F.lit(v))
@@ -2341,8 +2454,7 @@ class AQEngine:
                 f"with dim {segment_col!r} — one raw scan"
                 + (
                     "; shape recorded for the rollup advisor"
-                    if time_col is not None
-                    and (not bounded or _overlap_advice_bucket(lo, hi))
+                    if recorded
                     else ""
                 )
             ),
@@ -2355,7 +2467,7 @@ class AQEngine:
         key_col: str,
         time_col: str | None,
         bucket: str | None,
-    ) -> None:
+    ) -> bool:
         """Best-effort THETA-advisor bookkeeping (round 10 — the overlap
         sibling of _record_rollup_candidate): an overlap request just
         paid a raw scan because no rollup tracks theta state for it.
@@ -2363,15 +2475,17 @@ class AQEngine:
         bounds fit SOME bucket grid — ``bucket`` is None otherwise),
         record the materializable shape so recommend_rollups can
         aggregate recurring overlap workloads into theta_cols advice.
-        Never fails the request."""
+        Never fails the request; returns whether a shape was actually
+        recorded, so callers never CLAIM recording that didn't happen
+        (unknown column, eviction failure)."""
         if time_col is None or bucket is None:
-            return
+            return False
         try:
             import json as _json
 
             cols = self._table_columns(table)
             if not {*dims, key_col, time_col} <= cols:
-                return
+                return False
             shape = {
                 "table": table,
                 "time_col": time_col,
@@ -2388,8 +2502,9 @@ class AQEngine:
             )
             rec["count"] += 1
             self._evict_candidates(self.catalog.rollup_candidates)
+            return True
         except Exception:  # noqa: BLE001 - advice must never break calls
-            return
+            return False
 
     def _route_rollup(
         self,

@@ -528,9 +528,16 @@ def test_overlap_advice_bucket_inference():
     assert _overlap_advice_bucket(
         "2024-01-02 03:00:00", "2024-01-04 00:00:00"
     ) == "1 hour"
+    # review fix (round 10): the advice parser speaks the SAME literal
+    # grammar as the routed grid check — ISO-T separators and date-only
+    # forms must not silently disable the advisor loop
+    assert _overlap_advice_bucket("2024-01-02T00:00:00") == "1 day"
+    assert _overlap_advice_bucket("2024-01-02T03:00:00") == "1 hour"
+    assert _overlap_advice_bucket("2024-01-02") == "1 day"
     # off every grid / unparseable: no advice is better than a build
     # that could never serve the request
     assert _overlap_advice_bucket("2024-01-02 03:30:00") is None
+    assert _overlap_advice_bucket("2024-01-02 03:00:00.5") is None
     assert _overlap_advice_bucket("garbage") is None
 
 
@@ -649,3 +656,146 @@ def test_segment_overlap_dim_filter_routed_and_raw(spark):
     assert [tuple(x) for x in routed["df"].collect()] == [
         tuple(x) for x in raw["df"].collect()
     ]
+
+
+def test_audience_diff_falls_back_when_state_cannot_serve(spark):
+    """Review fix (round 10): a materialized rollup must never make a
+    previously-working raw-fallback call STOP working — off-grid bounds
+    (or a different clock) with time_col fall through to the raw scan
+    instead of raising, and record advice at the grain the bounds
+    actually need."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_adiff_fall_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    e.create_rollup("events", "ts", "1 day", theta_cols=["user_id"])
+    # off the day grid: the rollup exists but cannot serve these bounds
+    d = e.rollup_audience_diff(
+        "events", "user_id",
+        "2024-01-02 03:00:00", "2024-01-03 03:00:00",
+        "2024-01-03 03:00:00", "2024-01-04 03:00:00",
+        time_col="ts",
+    )
+    assert d["source"] == "raw_scan", d
+    # the recorded shape names the hour grain these bounds need
+    recs = [
+        v for v in e.catalog.rollup_candidates.values()
+        if v.get("theta_cols") == ["user_id"]
+    ]
+    assert recs and recs[0]["bucket"] == "1 hour", recs
+    # without time_col the historical raise contract still stands
+    with pytest.raises(ValueError, match="not aligned"):
+        e.rollup_audience_diff(
+            "events", "user_id",
+            "2024-01-02 03:00:00", "2024-01-03 03:00:00",
+            "2024-01-03 03:00:00", "2024-01-04 03:00:00",
+        )
+
+
+def test_overlap_never_windows_the_wrong_clock(spark):
+    """Review fix (round 10): a rollup bucketed on a DIFFERENT time
+    column must not serve a windowed request naming another clock —
+    same call, same meaning, regardless of which state exists."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_clock_"),
+    )
+    spark.range(2000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS seg",
+        "CAST(id % 50 AS BIGINT) AS k",
+        "timestampadd(HOUR, CAST(id % 48 AS INT), "
+        "TIMESTAMP '2024-01-01 00:00:00') AS ts",
+        # ingest lags the event clock by two days
+        "timestampadd(HOUR, CAST(id % 48 AS INT) + 48, "
+        "TIMESTAMP '2024-01-01 00:00:00') AS ingest_ts",
+    ).createOrReplaceTempView("twoclock")
+    e.catalog.upsert_table_stats("twoclock", 2000)
+    e.create_rollup("twoclock", "ingest_ts", "1 day", dims=["seg"],
+                    theta_cols=["k"])
+    r = e.segment_overlap(
+        "twoclock", "seg", "k", time_col="ts",
+        lo="2024-01-01 00:00:00", hi="2024-01-02 00:00:00",
+    )
+    # the ingest_ts rollup must NOT serve a ts-windowed request
+    assert r["source"] == "raw_scan", r
+    # audience diff applies the same clock guard
+    d = e.rollup_audience_diff(
+        "twoclock", "k",
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00",
+        "2024-01-02 00:00:00", "2024-01-03 00:00:00",
+        time_col="ts",
+    )
+    assert d["source"] == "raw_scan", d
+    # unwindowed calls don't involve a clock at all — state serves
+    assert e.segment_overlap("twoclock", "seg", "k")["source"] == (
+        "rollup_state"
+    )
+
+
+def test_raw_paths_reject_garbage_bounds(spark):
+    """Review fix (round 10): Spark casts an unparseable bound to NULL,
+    which silently filters every row — the raw paths must raise like
+    the routed one instead of returning exact-looking zeros."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_garbage_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    with pytest.raises(ValueError, match="timestamp literal"):
+        e.segment_overlap(
+            "events", "event_type", "user_id", time_col="ts",
+            lo="2024/01/02", hi="2024/01/05",
+        )
+    with pytest.raises(ValueError, match="timestamp literal"):
+        e.rollup_audience_diff(
+            "events", "user_id",
+            "garbage", "2024-01-03 00:00:00",
+            "2024-01-03 00:00:00", "2024-01-04 00:00:00",
+            time_col="ts",
+        )
+
+
+def test_routed_overlap_drops_all_null_key_segments(spark):
+    """Review fix (round 10): a segment whose key is NULL on every row
+    never forms on the raw path (key.isNotNull() precedes grouping) —
+    the routed path must drop its empty-sketch state rows too, or the
+    two paths' row sets diverge."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_nullseg_"),
+    )
+    spark.range(300).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'hb' "
+        "WHEN id % 3 = 1 THEN 'a' ELSE 'b' END AS seg",
+        # the 'hb' heartbeat segment carries no keys at all
+        "CASE WHEN id % 3 = 0 THEN CAST(NULL AS BIGINT) "
+        "ELSE CAST(id % 20 AS BIGINT) END AS k",
+        "timestampadd(HOUR, CAST(id % 24 AS INT), "
+        "TIMESTAMP '2024-01-01 00:00:00') AS ts",
+    ).createOrReplaceTempView("nullseg")
+    e.catalog.upsert_table_stats("nullseg", 300)
+    raw = e.segment_overlap("nullseg", "seg", "k")
+    e.create_rollup("nullseg", "ts", "1 day", dims=["seg"],
+                    theta_cols=["k"])
+    routed = e.segment_overlap("nullseg", "seg", "k")
+    assert routed["source"] == "rollup_state"
+    raw_rows = [tuple(x) for x in raw["df"].collect()]
+    routed_rows = [tuple(x) for x in routed["df"].collect()]
+    assert routed_rows == raw_rows
+    assert all("hb" not in (r[0], r[1]) for r in routed_rows)
+
+
+def test_overlap_reason_never_claims_unrecorded_shape(spark):
+    """Review fix (round 10): a typo'd time_col records nothing — the
+    reason string must not claim it did."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_typo_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    r = e.segment_overlap("events", "event_type", "user_id",
+                          time_col="tss")  # typo
+    assert r["source"] == "raw_scan"
+    assert "shape recorded" not in r["reason"], r
+    assert e.recommend_rollups() == []
