@@ -347,6 +347,16 @@ class MLOptimizer:
         for w, ys in sorted(by_w.items()):
             tail = ys[-3:]
             fit.append((w, sorted(tail)[len(tail) // 2]))
+        if work is not None and len(by_w.get(work, [])) >= 3:
+            # LOCAL-FIRST (round 10): the regression exists to
+            # generalize to UNSEEN work values; at a work point with
+            # ≥3 of its own observations, the local recent median is
+            # the better estimator — the global line sits above or
+            # below any point whose ratio is off the trend, which
+            # showed up as a persistent +20% bias on the one
+            # calibration cell whose ratio undershoots the fit
+            ys = by_w[work][-3:]
+            return _clamped(math.exp(sorted(ys)[len(ys) // 2]))
         if work is not None and len(fit) >= 2:
             # NEVER extrapolate the fitted slope beyond the observed
             # work span (round 10, VERDICT r9 #3): outside it the slope

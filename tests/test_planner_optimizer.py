@@ -1079,3 +1079,48 @@ def test_join_estimates_calibrate_in_their_own_cell(spark):
     )
     # ...and leaves the single-table grouped cell untouched
     assert eng.optimizer._speedup_correction("sample", True) == 1.0
+
+
+def test_speedup_correction_local_history_beats_the_line(spark):
+    """Round 10: the regression generalizes to UNSEEN work values; at a
+    work point with >=3 of its own observations the local recent median
+    answers — a point whose ratio sits off the global trend must not
+    inherit the line's bias forever."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_caliblocal_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+
+    def rec(work, ratio, n):
+        for _ in range(n):
+            eng.optimizer.record_outcome(
+                "q",
+                {
+                    "table_size": 6000,
+                    "has_group_by": False,
+                    "raw_est_speedup": 4.0,
+                    "per_row_work": work,
+                },
+                "sample",
+                actual_speedup=4.0 * ratio,
+                actual_error=0.01,
+                predicted_speedup=4.0,
+                predicted_error=0.05,
+                execution_time_ms=5.0,
+                error_tolerance=0.1,
+            )
+
+    rec(0.5, 0.2, 2)
+    rec(2.0, 1.0, 2)
+    # the line through (0.5, 0.2) and (2.0, 1.0) predicts ~0.43 at
+    # w=1.0; this query's OWN repeated measurements say 0.7
+    rec(1.0, 0.7, 3)
+    c = eng.optimizer._speedup_correction
+    assert c("sample", False, 1.0) == pytest.approx(0.7, rel=1e-6)
+    # unseen work still generalizes from the fit, not the local point
+    assert 0.2 <= c("sample", False, 0.75) <= 0.7
