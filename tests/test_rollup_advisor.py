@@ -799,3 +799,56 @@ def test_overlap_reason_never_claims_unrecorded_shape(spark):
     assert r["source"] == "raw_scan"
     assert "shape recorded" not in r["reason"], r
     assert e.recommend_rollups() == []
+
+
+def test_overlap_staleness_and_refresh_loop(spark):
+    """The overlap route honors the same freshness contract as every
+    state endpoint: an out-of-band append makes the theta rollup stale
+    (raw fallback, never stale numbers), refresh_rollup repairs it, and
+    the routed answer reflects the appended keys exactly."""
+    from pyspark.sql import functions as F
+
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_overlap_fresh_"),
+    )
+
+    def mk(n):
+        return spark.range(n).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS seg",
+            "CAST(id % 30 AS BIGINT) AS k",
+            "timestampadd(HOUR, CAST(id % 48 AS INT), "
+            "TIMESTAMP '2024-01-01 00:00:00') AS ts",
+        )
+
+    mk(600).createOrReplaceTempView("ovfresh")
+    e.catalog.upsert_table_stats("ovfresh", 600)
+    e.create_rollup("ovfresh", "ts", "1 day", dims=["seg"],
+                    theta_cols=["k"])
+    assert e.segment_overlap("ovfresh", "seg", "k")["source"] == (
+        "rollup_state"
+    )
+    # out-of-band append: 100 new rows, 10 NEW keys (30..39), all on a
+    # LATER day so the incremental tail refresh path applies
+    mk(600).unionByName(
+        spark.range(100).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS seg",
+            "CAST(30 + id % 10 AS BIGINT) AS k",
+            "timestampadd(HOUR, CAST(id % 24 AS INT) + 72, "
+            "TIMESTAMP '2024-01-01 00:00:00') AS ts",
+        )
+    ).createOrReplaceTempView("ovfresh")
+    e.catalog.upsert_table_stats("ovfresh", 700)
+    stale = e.segment_overlap("ovfresh", "seg", "k", time_col="ts")
+    assert stale["source"] == "raw_scan", stale  # stale state never serves
+    e.refresh_rollup("ovfresh")
+    routed = e.segment_overlap("ovfresh", "seg", "k")
+    assert routed["source"] == "rollup_state", routed
+    row = routed["df"].collect()[0]
+    # exact below 2^lgk: id%2 × id%30 gives each segment 15 original
+    # keys (even/odd halves of 0..29) and the append adds 5 more
+    # (even/odd halves of 30..39) — 20 each, reflecting the append
+    assert (row["distinct_a"], row["distinct_b"]) == (20, 20)
+    assert [tuple(x) for x in routed["df"].collect()] == [
+        tuple(x) for x in stale["df"].collect()
+    ]
