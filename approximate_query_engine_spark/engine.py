@@ -32,7 +32,9 @@ def _parse_overlap_bound(b) -> "object | None":
     timestamp literal. Delegates to operators.rollup._parse_literal
     (the SAME grammar the routed grid check speaks: date-only, space or
     ISO-T separator, optional fractional seconds) so the advice/validate
-    path can never reject a literal the routed path accepts."""
+    path can never reject a literal the routed path accepts. NEVER
+    raises — a regex-matching but calendar-invalid literal ('2024-02-30')
+    is just as unparseable as garbage."""
     from approximate_query_engine_spark.operators.rollup import (
         _parse_literal,
     )
@@ -42,7 +44,10 @@ def _parse_overlap_bound(b) -> "object | None":
     text = str(b)
     if "'" in text:  # a quote can't appear in a bare literal — refuse
         return None
-    return _parse_literal(f"'{text}'")
+    try:
+        return _parse_literal(f"'{text}'")
+    except ValueError:
+        return None
 
 
 def _require_ts_bound(name: str, b: str) -> None:
@@ -50,12 +55,23 @@ def _require_ts_bound(name: str, b: str) -> None:
     Spark's ``CAST('garbage' AS TIMESTAMP)`` yields NULL, which would
     silently filter EVERY row and return an exact-looking empty/zero
     answer; the routed path raises for the same input, and the raw path
-    must be just as loud."""
-    if _parse_overlap_bound(b) is None:
-        raise ValueError(
-            f"{name} must be a timestamp literal "
-            f"(YYYY-MM-DD[ HH:MM:SS[.ffffff]]), got {b!r}"
-        )
+    must be just as loud. Accepts the rollup literal grammar PLUS any
+    ISO-8601 form (offset suffix, minute precision) — Spark's cast
+    parses those, so rejecting them would break valid callers just to
+    catch garbage."""
+    from datetime import datetime
+
+    if _parse_overlap_bound(b) is not None:
+        return
+    try:
+        datetime.fromisoformat(str(b).strip())
+        return
+    except (ValueError, TypeError):
+        pass
+    raise ValueError(
+        f"{name} must be a timestamp literal "
+        f"(YYYY-MM-DD[ HH:MM:SS[.ffffff]] or ISO-8601), got {b!r}"
+    )
 
 
 def _overlap_advice_bucket(*bounds: str | None) -> str | None:
@@ -1515,32 +1531,27 @@ class AQEngine:
                 topk_budget=need,
                 theta_cols=spec.get("theta_cols") or [],
             )
-        except Exception as exc:  # noqa: BLE001 - the FIRST build already
-            # registered; letting this bubble would make _apply_advice
-            # mislabel an applied suggestion as a failed one. But the
-            # rebuild OVERWRITES the same parquet path, so a mid-write
-            # failure may have destroyed the first build's files —
-            # DEREGISTER the entry (routing disarmed, no partial reads)
-            # and persist the exact-ndv upsert the docstring promises.
+        except Exception as exc:  # noqa: BLE001
+            # The rebuild OVERWRITES the same parquet path, so a
+            # mid-write failure may have destroyed the first build's
+            # files — DEREGISTER the entry (routing disarmed, no partial
+            # reads), persist the exact-ndv upsert the docstring
+            # promises, then RE-RAISE: with zero state materialized the
+            # suggestion genuinely failed, and _apply_advice must report
+            # applied: False, not a success the next query can't route
+            # through.
             self.catalog.rollups[spec["table"]] = [
                 e
                 for e in self.catalog.rollups.get(spec["table"], [])
                 if e["view"] != built.get("rollup")
             ]
             self.catalog.save()
-            return {
-                **built,
-                "topk_budget_repair": {
-                    "resized": False,
-                    "from": budget,
-                    "to": need,
-                    "reason": (
-                        f"evidence-sized rebuild failed: {exc}; rollup "
-                        "deregistered (the overwrite may have destroyed "
-                        "the first build's files)"
-                    )[:300],
-                },
-            }
+            raise RuntimeError(
+                f"evidence-sized rebuild (budget {budget} -> {need}) "
+                f"failed and the rollup was deregistered — the "
+                f"overwrite may have destroyed the first build's "
+                f"files: {exc}"
+            ) from exc
         return {
             **rebuilt,
             "topk_budget_repair": {
@@ -2118,13 +2129,11 @@ class AQEngine:
 
         # coarsest rollup whose grid fits BOTH windows; finer fresh
         # rollups serve off-grid bounds a coarse one cannot
-        try:
-            entries = self._fresh_rollups_with(
-                table, "theta_cols", column, "theta set-algebra"
-            )
-        except ValueError:
-            if time_col is None:
-                raise
+        def _raw_fallback() -> dict:
+            # one shared fallback for BOTH no-rollup and cannot-serve:
+            # record the shape at the grain the bounds actually need (so
+            # advice converges on a rollup that CAN serve them), then
+            # answer exactly from one raw pass
             self._record_overlap_candidate(
                 table,
                 sorted(dims) if dims else [],
@@ -2138,6 +2147,15 @@ class AQEngine:
                 ),
                 "source": "raw_scan",
             }
+
+        try:
+            entries = self._fresh_rollups_with(
+                table, "theta_cols", column, "theta set-algebra"
+            )
+        except ValueError:
+            if time_col is None:
+                raise
+            return _raw_fallback()
         info = preds = last_err = None
         for cand_info in entries:
             if (
@@ -2168,23 +2186,8 @@ class AQEngine:
         if info is None:
             if time_col is None:
                 raise last_err
-            # rollups exist but none can serve these bounds/dims/clock —
-            # the raw fallback stands (and records at the grain the
-            # bounds actually need, so advice converges on a rollup that
-            # CAN serve them next time)
-            self._record_overlap_candidate(
-                table,
-                sorted(dims) if dims else [],
-                column,
-                time_col,
-                _overlap_advice_bucket(a_lo, a_hi, b_lo, b_hi),
-            )
-            return {
-                **self._audience_diff_raw(
-                    table, column, a_lo, a_hi, b_lo, b_hi, dims, time_col
-                ),
-                "source": "raw_scan",
-            }
+            # rollups exist but none can serve these bounds/dims/clock
+            return _raw_fallback()
         src = info.get("files_view") or info["view"]
         sketches = []
         for (tag, lo, hi), pred in zip(
@@ -2355,28 +2358,42 @@ class AQEngine:
             entries = self._fresh_rollups_with(
                 table, "theta_cols", key_col, "theta set-algebra"
             )
-            need_dims = {segment_col, *(dims or {})}
-            for cand_info in entries:
-                if not need_dims <= set(cand_info.get("dims", [])):
-                    continue
-                if (
-                    time_col is not None
-                    and cand_info.get("time_col") != time_col
-                ):
-                    # bucketed on a different clock: windowing through it
-                    # would silently bound the wrong column
-                    continue
-                if not bounded:
-                    info = cand_info
-                    break
-                try:
-                    pred = self._aligned_range_pred(cand_info, lo, hi)
-                    info = cand_info
-                    break
-                except ValueError:
-                    continue  # off this grid — try a finer fresh rollup
         except ValueError:
-            info = None
+            entries = []
+        need_dims = {segment_col, *(dims or {})}
+        eligible = [
+            e for e in entries if need_dims <= set(e.get("dims", []))
+        ]
+        if bounded and time_col is None:
+            clocks = {e.get("time_col") for e in eligible}
+            if len(clocks) > 1:
+                # two rollups on different clocks could both serve —
+                # picking one would silently decide WHICH column the
+                # window bounds, and the choice would flip whenever
+                # state freshness changes. Refuse; the caller names
+                # the clock.
+                raise ValueError(
+                    "windowed segment_overlap is ambiguous: rollups "
+                    f"track {sorted(map(str, clocks))} — name "
+                    "time_col to pick the clock the bounds filter"
+                )
+        for cand_info in eligible:
+            if (
+                time_col is not None
+                and cand_info.get("time_col") != time_col
+            ):
+                # bucketed on a different clock: windowing through it
+                # would silently bound the wrong column
+                continue
+            if not bounded:
+                info = cand_info
+                break
+            try:
+                pred = self._aligned_range_pred(cand_info, lo, hi)
+                info = cand_info
+                break
+            except ValueError:
+                continue  # off this grid — try a finer fresh rollup
         if info is not None:
             src = info.get("files_view") or info["view"]
             state = self.spark.table(src)

@@ -343,10 +343,10 @@ class MLOptimizer:
         for w, r in pts:  # pts is history order — oldest first
             if w is not None:
                 by_w.setdefault(w, []).append(math.log(r))
-        fit = []
-        for w, ys in sorted(by_w.items()):
+        def _recent_median(ys: list[float]) -> float:
             tail = ys[-3:]
-            fit.append((w, sorted(tail)[len(tail) // 2]))
+            return sorted(tail)[len(tail) // 2]
+
         if work is not None and len(by_w.get(work, [])) >= 3:
             # LOCAL-FIRST (round 10): the regression exists to
             # generalize to UNSEEN work values; at a work point with
@@ -355,8 +355,10 @@ class MLOptimizer:
             # below any point whose ratio is off the trend, which
             # showed up as a persistent +20% bias on the one
             # calibration cell whose ratio undershoots the fit
-            ys = by_w[work][-3:]
-            return _clamped(math.exp(sorted(ys)[len(ys) // 2]))
+            return _clamped(math.exp(_recent_median(by_w[work])))
+        fit = [
+            (w, _recent_median(ys)) for w, ys in sorted(by_w.items())
+        ]
         if work is not None and len(fit) >= 2:
             # NEVER extrapolate the fitted slope beyond the observed
             # work span (round 10, VERDICT r9 #3): outside it the slope

@@ -852,3 +852,84 @@ def test_overlap_staleness_and_refresh_loop(spark):
     assert [tuple(x) for x in routed["df"].collect()] == [
         tuple(x) for x in stale["df"].collect()
     ]
+
+
+def test_windowed_overlap_multi_clock_requires_time_col(spark):
+    """Second-pass review fix: with serving rollups on TWO different
+    clocks, a bounded call naming no time_col is ambiguous — refuse
+    loudly instead of letting state freshness decide which column the
+    window filters. One clock (unambiguous) still serves; naming the
+    clock always disambiguates."""
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_multiclock_"),
+    )
+    spark.range(1000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS seg",
+        "CAST(id % 30 AS BIGINT) AS k",
+        "timestampadd(HOUR, CAST(id % 48 AS INT), "
+        "TIMESTAMP '2024-01-01 00:00:00') AS ts",
+        "timestampadd(HOUR, CAST(id % 48 AS INT) + 48, "
+        "TIMESTAMP '2024-01-01 00:00:00') AS ingest_ts",
+    ).createOrReplaceTempView("mclock")
+    e.catalog.upsert_table_stats("mclock", 1000)
+    e.create_rollup("mclock", "ts", "1 day", dims=["seg"],
+                    theta_cols=["k"])
+    lo, hi = "2024-01-01 00:00:00", "2024-01-02 00:00:00"
+    # one clock: unambiguous, serves without naming it
+    assert e.segment_overlap("mclock", "seg", "k", lo=lo, hi=hi)[
+        "source"
+    ] == "rollup_state"
+    # a different bucket so the rollup NAME differs (one name per
+    # (table, bucket)) and both clock rollups coexist
+    e.create_rollup("mclock", "ingest_ts", "1 hour", dims=["seg"],
+                    theta_cols=["k"])
+    with pytest.raises(ValueError, match="ambiguous"):
+        e.segment_overlap("mclock", "seg", "k", lo=lo, hi=hi)
+    # naming the clock disambiguates
+    assert e.segment_overlap(
+        "mclock", "seg", "k", time_col="ts", lo=lo, hi=hi
+    )["source"] == "rollup_state"
+    # unwindowed calls involve no clock at all — still unambiguous
+    assert e.segment_overlap("mclock", "seg", "k")["source"] == (
+        "rollup_state"
+    )
+
+
+def test_bound_grammar_edges(spark):
+    """Second-pass review fixes: ISO-8601 short/offset forms Spark's
+    cast accepts must pass the raw-path bound guard, and a
+    calendar-invalid literal is unparseable (None from the advice
+    parser, ValueError from the guard) rather than a strptime escape."""
+    from approximate_query_engine_spark.engine import (
+        _overlap_advice_bucket,
+        _parse_overlap_bound,
+        _require_ts_bound,
+    )
+
+    assert _parse_overlap_bound("2024-02-30") is None  # invalid calendar
+    assert _overlap_advice_bucket("2024-02-30") is None
+    _require_ts_bound("lo", "2024-01-02 00:00")  # minute precision: ok
+    _require_ts_bound("lo", "2024-01-02T00:00:00+00:00")  # offset: ok
+    with pytest.raises(ValueError, match="timestamp literal"):
+        _require_ts_bound("lo", "2024-02-30")
+    # end-to-end: a calendar-invalid bound raises cleanly, it doesn't
+    # escape from the best-effort advice bookkeeping
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_boundedge_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    with pytest.raises(ValueError, match="timestamp literal"):
+        e.segment_overlap(
+            "events", "event_type", "user_id", time_col="ts",
+            lo="2024-02-30", hi="2024-03-02",
+        )
+    # a minute-precision bound is served (raw path, advice skipped —
+    # the literal is off the rollup grammar but the window is honored)
+    r = e.segment_overlap(
+        "events", "event_type", "user_id", time_col="ts",
+        lo="2024-01-02 00:00", hi="2024-01-05 00:00",
+    )
+    assert r["source"] == "raw_scan"
+    assert r["df"].count() > 0
