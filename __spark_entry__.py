@@ -2015,6 +2015,188 @@ ORDER BY seg_a, seg_b
 """
 
 
+#: the three overlap questions q109 asks (two self-join idioms + one
+#: INTERSECT-count idiom) over a derived key with PARTIAL cross-segment
+#: overlap (event_id % 6000: each ~2000-row segment holds ~1700 distinct
+#: keys of 6000, so pairwise overlaps land near 300 and differ per pair —
+#: a routed answer that returned any segment's own cardinality, or another
+#: pair's, hash-fails; user_id would be 150 for every pair and segment)
+_OVERLAP_SQL_PAIRS = [
+    (
+        "click|purchase",
+        "SELECT COUNT(DISTINCT a.uid) AS overlap_cnt "
+        "FROM events_ov a JOIN events_ov b ON a.uid = b.uid "
+        "WHERE a.event_type = 'click' AND b.event_type = 'purchase'",
+    ),
+    (
+        "signup|view",
+        "SELECT COUNT(DISTINCT a.uid) AS overlap_cnt "
+        "FROM events_ov a JOIN events_ov b ON a.uid = b.uid "
+        "WHERE a.event_type = 'signup' AND b.event_type = 'view'",
+    ),
+    (
+        "click|error",
+        "WITH ca AS (SELECT DISTINCT uid FROM events_ov "
+        "            WHERE event_type = 'click'), "
+        "cb AS (SELECT DISTINCT uid FROM events_ov "
+        "       WHERE event_type = 'error') "
+        "SELECT COUNT(*) AS overlap_cnt "
+        "FROM (SELECT * FROM ca INTERSECT SELECT * FROM cb) t",
+    ),
+]
+
+
+def _q_overlap_sql_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 surface (VERDICT r10 #3): segment overlap through the SQL
+    surface, advisor loop included. The two canonical overlap idioms a
+    BI user writes — COUNT(DISTINCT key) over a self-join with two
+    segment predicates, and the INTERSECT-count CTE pair
+    (sqlparser.parse_overlap) — run three times with no theta state:
+    each executes EXACTLY (pass-through) and records its
+    (dims=[event_type], theta_cols=[uid]) shape in the advisor
+    observation book, with the table's clock INFERRED from the schema
+    (VERDICT r10 #4 — events_ov has exactly one timestamp column, so
+    omitting time_col no longer loses the advice). apply_rollup_advice
+    materializes the theta rollup, and the SAME SQL texts then answer
+    from per-bucket theta state (engine._route_overlap_sql) — the fact
+    table is never re-read. Theta sketches are exact below 2^12 retained
+    entries per segment (~1700 keys per segment here), so each routed
+    count hash-matches DuckDB's exact set computation. The INTERSECT
+    idiom routes only after analyze_table proves uid null-free (SQL
+    INTERSECT counts a NULL∩NULL row sketches cannot see). Returns one
+    row per pair: (pair, overlap_cnt) — values differ per pair by
+    construction, so cross-wired routing cannot sneak past the hash."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    # private derived view (never mutates shared views): a key with
+    # genuinely partial overlap between event-type segments
+    spark.sql(
+        "SELECT event_id % 6000 AS uid, event_type, ts FROM events"
+    ).createOrReplaceTempView("events_ov")
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.catalog.upsert_table_stats(
+        "events_ov", spark.table("events_ov").count()
+    )
+    for _, sql in _OVERLAP_SQL_PAIRS:
+        r = eng.query(sql, dual_execute=False)
+        assert r["status"] == "ok", r.get("error")
+        assert r["plan"]["type"] == "exact", r["plan"]
+        assert "theta state" not in r["plan"]["reason"], r["plan"]
+    # three observations of the SAME (table, clock, dims, theta) shape
+    book = list(eng.catalog.rollup_candidates.values())
+    assert len(book) == 1 and book[0]["count"] == 3, book
+    assert book[0]["time_col"] == "ts", book  # inferred, not named
+    assert book[0]["theta_cols"] == ["uid"], book
+    applied = eng.apply_rollup_advice(max_apply=1)
+    assert applied and applied[0]["applied"] is True, applied
+    assert applied[0]["theta_cols"] == ["uid"], applied
+    # null-freedom proof the INTERSECT idiom's routing gate requires
+    eng.analyze_table("events_ov", ["uid"])
+    rows = []
+    for pair, sql in _OVERLAP_SQL_PAIRS:
+        r = eng.query(sql, dual_execute=False)
+        assert r["status"] == "ok", r.get("error")
+        assert r["plan"]["type"] == "sketch", r["plan"]
+        assert "theta state" in r["plan"]["reason"], r["plan"]
+        assert "fact table not re-read" in r["plan"]["reason"], r["plan"]
+        rows.append((pair, int(r["result"][0]["overlap_cnt"])))
+    return spark.createDataFrame(rows, "pair string, overlap_cnt long")
+
+
+_OVERLAP_SQL_ORACLE = """
+WITH ov AS (SELECT event_id % 6000 AS uid, event_type FROM events)
+SELECT 'click|purchase' AS pair, COUNT(DISTINCT a.uid)::BIGINT AS overlap_cnt
+FROM ov a JOIN ov b ON a.uid = b.uid
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+UNION ALL
+SELECT 'signup|view' AS pair, COUNT(DISTINCT a.uid)::BIGINT AS overlap_cnt
+FROM ov a JOIN ov b ON a.uid = b.uid
+WHERE a.event_type = 'signup' AND b.event_type = 'view'
+UNION ALL
+SELECT 'click|error' AS pair, cnt::BIGINT AS overlap_cnt FROM (
+  SELECT COUNT(*) AS cnt FROM (
+    SELECT DISTINCT uid FROM ov WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT uid FROM ov WHERE event_type = 'error'
+  )
+)
+ORDER BY pair
+"""
+
+
+_REPAIR_TOPK_SQL = (
+    "SELECT uid, COUNT(*) AS n FROM events_rep "
+    "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+    "AND ts < TIMESTAMP '2024-02-01 00:00:00' "
+    "GROUP BY uid ORDER BY n DESC, uid ASC LIMIT 10"
+)
+
+
+def _q_advisor_repair_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 surface (VERDICT r10 #6): the topk BUDGET SELF-REPAIR
+    lifecycle (engine._repair_topk_budget, round 10) against the driver
+    oracle, mirroring q107's pattern. A stale-LOW catalog ndv (seeded
+    200; the true ndv of uid = event_id % 3000 is min(rows, 3000), well
+    over the 1024 budget floor) makes the advisor under-size
+    topk_budget; the build's exact COUNT(DISTINCT) evidence proves it,
+    and apply_rollup_advice rebuilds ONCE at the evidence-sized budget
+    (next pow2 >= ndv*1.25) instead of leaving a permanently
+    non-certifiable rollup behind. The catalog ndv is repaired from the
+    evidence, the next query routes 'exact regime certified (build
+    evidence)', and the ROUTED rows must hash-match DuckDB's raw GROUP
+    BY — repair sizing, certification, and combined frequent-items
+    state correctness in one check."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    spark.sql(
+        "SELECT event_id % 3000 AS uid, ts FROM events"
+    ).createOrReplaceTempView("events_rep")
+    eng = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_entry_"),
+        advisor_topk_dim_ndv=100,
+    )
+    n = spark.table("events_rep").count()
+    eng.catalog.upsert_table_stats("events_rep", n)
+    true_ndv = min(n, 3000)
+    eng.catalog.upsert_column_ndv("events_rep", "uid", 200)  # stale-low
+    for _ in range(3):
+        r = eng.query(_REPAIR_TOPK_SQL, dual_execute=False)
+        assert r["status"] == "ok", r.get("error")
+        assert "frequent-items" not in r["plan"]["reason"], r["plan"]
+    recs = eng.recommend_rollups()
+    assert recs and recs[0]["topk_budget"] == 1024, recs  # under-sized
+    applied = eng.apply_rollup_advice(max_apply=1)
+    assert applied and applied[0]["applied"] is True, applied
+    repair = applied[0]["built"]["topk_budget_repair"]
+    assert repair["resized"] is True, repair
+    assert repair["from"] == 1024 and repair["to"] > 1024, repair
+    # the catalog now carries the exact truth for the next advice round
+    assert eng.catalog.get_column_ndv("events_rep", "uid") == true_ndv
+    r = eng.query(_REPAIR_TOPK_SQL, dual_execute=False)
+    assert r["status"] == "ok", r.get("error")
+    assert "combined frequent-items state" in r["plan"]["reason"], r["plan"]
+    assert "exact regime certified" in r["plan"]["reason"], r["plan"]
+    assert "build evidence" in r["plan"]["reason"], r["plan"]
+    rows = [(int(d["uid"]), int(d["n"])) for d in r["result"]]
+    return spark.createDataFrame(rows, "uid long, n long")
+
+
+_REPAIR_ORACLE = (
+    "SELECT (event_id % 3000)::BIGINT AS uid, COUNT(*)::BIGINT AS n "
+    "FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+    "AND ts < TIMESTAMP '2024-02-01 00:00:00' "
+    "GROUP BY 1 ORDER BY n DESC, uid ASC LIMIT 10"
+)
+
+
 _HIERARCHY_ORACLE = (
     "SELECT event_type, STRFTIME(DATE_TRUNC('week', ts), '%Y-%m-%d') AS wk, "
     "COUNT(*)::BIGINT AS n, COUNT(value)::BIGINT AS nv, "
@@ -3964,6 +4146,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #: state family SQL shapes can never imply) takes q33's slot (SimHash
 #: near-dup pairs, stable since round 4; the near-dup family keeps
 #: q32 minhash, q80 embedding, q69 exact and q82 media in-window).
+#: Round-11 rotation (VERDICT r10 instructions 3, 5, 6): the two NEW
+#: round-11 surfaces enter — q109 (segment overlap through the SQL
+#: surface: idioms routed to theta state + advisor loop, order #3) and
+#: q110 (the topk budget self-repair lifecycle against the driver
+#: oracle, order #6) — and the five LONG-EXILED basics ordered back in
+#: by #5: q15 (window functions), q16 (set ops), q44/q45 (scalar
+#: string/date functions) and q73 (MIN/MAX + exact-DISTINCT gate),
+#: parity-only since rounds 5–9. Retired in exchange, each multiply
+#: driver-checked and family-covered in-window: q47 (PPS sum — the
+#: sampling family keeps q76/q77/q48), q49 (Neyman allocation — q48
+#: strata analysis stays), q50 (CMS point lookup — the sketch family
+#: keeps q54/q96), q52 (connected components — the dedup/near-dup
+#: family keeps q32/q69/q80/q82), q61 (funnel — the events family
+#: keeps q62/q92), q64 (retention — the date-arithmetic family's
+#: q45 comes IN this round), q71 (mixture sampling — the pipeline
+#: family keeps q72/q78).
 #: Everything NOT in this list still registers, after the window, and
 #: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
@@ -3977,27 +4175,27 @@ _CHECK_WINDOW_ORDER = [
     "q88_partition_routing_approx",
     "q91_rollup_routing",
     "q92_stream_rollup",
-    "q47_pps_sum",
+    "q109_overlap_sql_routing",
     "q102_rollup_hierarchy",
     "q48_strata_analysis",
-    "q49_neyman_alloc",
-    "q50_cms_freq",
+    "q110_advisor_repair_loop",
+    "q15_window_top_order",
     "q103_advisor_loop",
-    "q52_graph_components",
+    "q16_setop",
     "q95_rollup_hybrid",
     "q94_rollup_join",
     "q59_tfidf",
     "q60_knn_join",
-    "q61_funnel",
+    "q44_string_funcs",
     "q62_stream_sessions",
-    "q64_retention",
+    "q45_date_funcs",
     "q87_grouped_topk",
     "q66_corpus_prepare",
     "q98_pii_scrub",
     "q100_rollup_audience",
     "q69_dedup_keep_best",
     "q70_contamination",
-    "q71_mixture_sample",
+    "q73_minmax_distinct",
     "q72_token_budget",
     "q99_rollup_topk",
     "q74_group_sum_having",
@@ -4104,6 +4302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q106_advisor_topk_loop"] = _q_advisor_topk_loop
     out["q107_evidence_lifecycle"] = _q_evidence_lifecycle
     out["q108_theta_advisor_loop"] = _q_theta_advisor_loop
+    out["q109_overlap_sql_routing"] = _q_overlap_sql_routing
+    out["q110_advisor_repair_loop"] = _q_advisor_repair_loop
     return _reorder_check_window(out)
 
 
@@ -4173,5 +4373,7 @@ def oracle_sql() -> dict[str, str]:
     out["q106_advisor_topk_loop"] = _ADVISOR_TOPK_ORACLE
     out["q107_evidence_lifecycle"] = _LIFECYCLE_ORACLE
     out["q108_theta_advisor_loop"] = _THETA_ADVISOR_ORACLE
+    out["q109_overlap_sql_routing"] = _OVERLAP_SQL_ORACLE
+    out["q110_advisor_repair_loop"] = _REPAIR_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

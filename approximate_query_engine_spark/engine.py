@@ -260,23 +260,36 @@ class AQEngine:
         max_rank_error: float | None = None,
     ) -> dict[str, Any]:
         ml_optimization: dict[str, Any] | None = None
+        # Segment-overlap SQL routing (round 11): the two canonical
+        # overlap idioms answer from theta rollup state when one serves
+        # (and the honesty gates pass); an unserved idiom records its
+        # shape for the theta advisor and executes exactly below.
+        overlap_plan = self._route_overlap_sql(
+            sql, max_rel_error=max_rel_error, prefer_exact=prefer_exact
+        )
         # Continuous-aggregate routing (round 6): a fresh rollup that can
         # answer the query losslessly beats EVERY strategy the planner
         # could pick — exact result, pre-aggregated scan — so it
         # short-circuits planning (and the ML path) outright.
-        rolled = self._route_rollup(
-            sql,
-            max_rel_error=max_rel_error,
-            prefer_exact=prefer_exact,
-            max_rank_error=max_rank_error,
+        rolled = (
+            None
+            if overlap_plan is not None
+            else self._route_rollup(
+                sql,
+                max_rel_error=max_rel_error,
+                prefer_exact=prefer_exact,
+                max_rank_error=max_rank_error,
+            )
         )
-        if rolled is None:
+        if overlap_plan is None and rolled is None:
             # advisor evidence: a rollup-SHAPED query just ran without a
             # rollup (none registered, stale, or not covering) — record
             # its inferred spec so recommend_rollups can aggregate
             # recurring shapes into a concrete materialization
             self._record_rollup_candidate(sql)
-        if rolled is not None:
+        if overlap_plan is not None:
+            plan = overlap_plan
+        elif rolled is not None:
             routed_sql, note, approx_distinct = rolled
             plan = {
                 # COUNT(DISTINCT) served from merged HLL state and
@@ -314,7 +327,7 @@ class AQEngine:
                 "sql": routed[0],
                 "reason": f"{plan.get('reason', 'exact')}; {routed[1]}",
             }
-        elif rolled is None:
+        elif rolled is None and overlap_plan is None:
             # layout-advisor evidence: a time-bounded query just ran with
             # no layout to prune through (and no rollup served it) —
             # record its (table, ts_col) shape for
@@ -2488,13 +2501,20 @@ class AQEngine:
         """Best-effort THETA-advisor bookkeeping (round 10 — the overlap
         sibling of _record_rollup_candidate): an overlap request just
         paid a raw scan because no rollup tracks theta state for it.
-        When the caller names the table's time column (and the request's
-        bounds fit SOME bucket grid — ``bucket`` is None otherwise),
+        When the table's time column is known — named by the caller, or
+        (round 11) inferred via :meth:`_infer_time_col` when exactly one
+        candidate clock exists — and the request's bounds fit SOME
+        bucket grid (``bucket`` is None otherwise),
         record the materializable shape so recommend_rollups can
         aggregate recurring overlap workloads into theta_cols advice.
         Never fails the request; returns whether a shape was actually
         recorded, so callers never CLAIM recording that didn't happen
         (unknown column, eviction failure)."""
+        if time_col is None:
+            # round 11 (VERDICT r10 #4): the caller didn't name the
+            # clock, but the catalog usually knows it — infer when
+            # exactly one candidate exists, keep refusing on ambiguity
+            time_col = self._infer_time_col(table)
         if time_col is None or bucket is None:
             return False
         try:
@@ -2522,6 +2542,159 @@ class AQEngine:
             return True
         except Exception:  # noqa: BLE001 - advice must never break calls
             return False
+
+    def _infer_time_col(self, table: str) -> str | None:
+        """The table's clock when EXACTLY ONE candidate exists, else None
+        (round 11, VERDICT r10 #4). Catalog evidence first — a registered
+        partition layout's ``ts_col`` and the time_cols of the table's
+        registered rollups; those records were created by callers who DID
+        name the clock. When the catalog is silent, fall back to the
+        schema: a table with exactly one timestamp/date-typed column has
+        an unambiguous clock. Two catalog clocks, or two time-typed
+        columns with no catalog record, stay None — advice recorded
+        against a guessed clock would materialize a rollup bucketed on
+        the wrong column, so ambiguity refuses (same posture as
+        segment_overlap's windowed-path refusal)."""
+        cands: set[str] = set()
+        lay = self.catalog.partitioned_views.get(table)
+        if lay and lay.get("ts_col"):
+            cands.add(lay["ts_col"])
+        for e in self.catalog.rollups.get(table, []):
+            if e.get("time_col"):
+                cands.add(e["time_col"])
+        if len(cands) == 1:
+            return next(iter(cands))
+        if cands:
+            return None  # two recorded clocks — ambiguous
+        try:
+            ts_cols = [
+                f.name
+                for f in self.spark.table(table).schema.fields
+                if f.dataType.typeName()
+                in ("timestamp", "timestamp_ntz", "date")
+            ]
+        except Exception:  # noqa: BLE001 - inference must never break calls
+            return None
+        return ts_cols[0] if len(ts_cols) == 1 else None
+
+    def _route_overlap_sql(
+        self, sql: str, max_rel_error: float, prefer_exact: bool
+    ) -> dict | None:
+        """SQL surface for segment overlap (round 11, VERDICT r10 #3):
+        when ``sql`` is one of the two canonical overlap idioms
+        (sqlparser.parse_overlap — the COUNT(DISTINCT) self-join and the
+        INTERSECT-count pair) and a FRESH rollup tracks ``key_col`` in
+        ``theta_cols`` with ``segment_col`` as a dim, answer from theta
+        state: per-segment sketches come from unioning per-bucket state
+        (the fact table is never re-read — at 100 TB the exact idioms
+        re-shuffle the whole key set; this scans a few hundred state
+        rows), intersected sketch-side. Returns a plan dict or None
+        (exact pass-through).
+
+        Honesty gates, mirroring _route_rollup._allow_distinct:
+        ``prefer_exact`` always declines; otherwise the caller's
+        tolerance must cover ~2 standard errors of the theta estimate
+        (rse ≈ 1/sqrt(2^theta_lgk), relative to the UNION size — the
+        same per-estimate contract segment_overlap documents), OR fresh
+        catalog stats must show the key's whole-table ndv (+10% margin)
+        fits the nominal budget, in which case the sketches never
+        sampled and every count — intersections included — is exact.
+        The ``"intersect"`` idiom additionally requires fresh analyzed
+        ``null_frac == 0`` on the key: SQL INTERSECT treats two NULLs as
+        equal, so with NULLs present in both slices the exact answer has
+        one row no sketch can count — decline rather than be off by one.
+
+        An idiom hit with NO serving rollup records its (dims=[segment],
+        theta_cols=[key]) shape in the advisor observation book
+        (_record_overlap_candidate, clock inferred when unambiguous) so
+        recurring SQL overlap workloads reach the theta advisor exactly
+        like API callers do (q108 family), then returns None — the exact
+        idiom executes unchanged."""
+        import math
+
+        from approximate_query_engine_spark.sqlparser import (
+            try_parse_overlap,
+        )
+
+        ov = try_parse_overlap(sql)
+        if ov is None:
+            return None
+        try:
+            entries = self._fresh_rollups_with(
+                ov.table, "theta_cols", ov.key_col, "theta set-algebra"
+            )
+        except ValueError:
+            entries = []
+        eligible = [
+            e for e in entries if ov.segment_col in e.get("dims", [])
+        ]
+        if not eligible:
+            # exact execution proceeds, but the shape now feeds the
+            # theta advisor (observe -> advise -> materialize -> route,
+            # closing the SQL side of the q108 loop)
+            self._record_overlap_candidate(
+                ov.table, [ov.segment_col], ov.key_col, None, "1 day"
+            )
+            return None
+        if prefer_exact:
+            return None
+        info = eligible[0]
+        lgk = int(info.get("theta_lgk", 12))
+        rse = 1.0 / math.sqrt(2**lgk)
+        meta = self.catalog.analyze_meta.get(ov.table) or {}
+        stats_fresh = (
+            meta.get("row_count") is not None
+            and meta.get("row_count") == self.catalog.get_row_count(ov.table)
+        )
+        ndv = self.catalog.column_ndv.get((ov.table, ov.key_col))
+        exact_regime = (
+            stats_fresh and ndv is not None and ndv * 1.1 <= 2**lgk
+        )
+        if not exact_regime and max_rel_error < 2 * rse:
+            return None  # tolerance cannot cover the sketch's error
+        if ov.idiom == "intersect":
+            nf = self.catalog.column_null_frac.get((ov.table, ov.key_col))
+            if not stats_fresh or nf != 0.0:
+                return None  # NULL-intersection row unprovable — decline
+        src = info.get("files_view") or info["view"]
+        seg_sub = (
+            "(SELECT theta_union_agg(`{key}_theta`) AS sk FROM {src} "
+            "WHERE `{seg}` = {lit}) {tag}"
+        )
+        routed_sql = (
+            "SELECT CAST(CASE WHEN sa.sk IS NULL OR sb.sk IS NULL THEN 0 "
+            "ELSE ROUND(theta_sketch_estimate("
+            "theta_intersection(sa.sk, sb.sk))) END AS BIGINT) "
+            f"AS {ov.alias} FROM "
+            + seg_sub.format(
+                key=ov.key_col,
+                src=src,
+                seg=ov.segment_col,
+                lit=ov.lit_a,
+                tag="sa",
+            )
+            + " CROSS JOIN "
+            + seg_sub.format(
+                key=ov.key_col,
+                src=src,
+                seg=ov.segment_col,
+                lit=ov.lit_b,
+                tag="sb",
+            )
+        )
+        note = (
+            f"segment-overlap idiom ({ov.idiom}) answered from "
+            f"materialized rollup {info['view']} theta state "
+            "(per-bucket sketches unioned per segment, intersected "
+            "sketch-side; fact table not re-read); "
+            + (
+                f"exact regime (catalog ndv {int(ndv)} +10% fits "
+                f"2^{lgk} nominal budget)"
+                if exact_regime
+                else f"rse ~{rse:.4f} of union within tolerance"
+            )
+        )
+        return {"type": "sketch", "sql": routed_sql, "reason": note}
 
     def _route_rollup(
         self,

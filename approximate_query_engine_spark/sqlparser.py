@@ -632,6 +632,324 @@ def try_parse_join(sql: str) -> JoinedQuery | None:
 # estimable; anything it declines to touch still hits the callers'
 # conservative paren fallback.
 
+# ---------------------------------------------------------------------------
+# segment-overlap idioms (round 11, VERDICT r10 #3): the two canonical SQL
+# shapes a BI user writes for "how many distinct keys are in BOTH segments".
+# Recognized so the engine can serve them from materialized theta-sketch
+# rollup state (engine._route_overlap_sql) instead of executing the exact
+# set computation, and so unrouted hits can feed the theta advisor
+# (engine._record_overlap_candidate) — the one state family plain
+# rollup-shaped SQL can never imply. Reference parity: the reference has no
+# set-algebra surface at all (its sketches.py stops at single-sketch
+# distinct counts); this extends the q96/q100/q108 engine-API family to the
+# SQL surface.
+
+
+@dataclass
+class OverlapQuery:
+    """A recognized segment-overlap query: COUNT of distinct ``key_col``
+    present in BOTH the ``segment_col = lit_a`` and ``segment_col =
+    lit_b`` slices of ``table``. ``idiom`` records which shape matched:
+
+    - ``"self_join"``: SELECT COUNT(DISTINCT a.key) FROM t a JOIN t b ON
+      a.key = b.key WHERE a.seg = lit_a AND b.seg = lit_b. NULL keys
+      never join, so the exact semantics already exclude NULLs — safe to
+      serve from sketches unconditionally.
+    - ``"intersect"``: SELECT COUNT(*) FROM (SELECT key FROM t WHERE seg
+      = lit_a INTERSECT SELECT key FROM t WHERE seg = lit_b), with or
+      without a WITH-CTE wrapping. INTERSECT treats two NULLs as equal,
+      so the exact answer can include one NULL row a sketch can never
+      count — callers must prove the key column null-free before routing
+      this idiom (engine gates on fresh analyzed null_frac == 0).
+    """
+
+    table: str
+    key_col: str
+    segment_col: str
+    lit_a: str  # literal text as written, e.g. "'click'" or "3"
+    lit_b: str
+    alias: str  # required output-column alias
+    idiom: str  # "self_join" | "intersect"
+
+
+#: string literal (with '' escape) or numeric literal
+_LIT = r"(?:'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+_OV_SEG_PRED_RE = re.compile(
+    rf"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*({_LIT})$", re.DOTALL
+)
+_OV_FROM_RE = re.compile(
+    r"^([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+(?:INNER\s+)?JOIN\s+"
+    r"([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+ON\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OV_ON_RE = re.compile(
+    r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)$"
+)
+_OV_COUNT_RE = re.compile(
+    r"^COUNT\s*\(\s*DISTINCT\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*\)$",
+    re.IGNORECASE,
+)
+_OV_BRANCH_RE = re.compile(
+    rf"^SELECT\s+(?:DISTINCT\s+)?([A-Za-z_]\w*)\s+FROM\s+([A-Za-z_]\w*)"
+    rf"\s+WHERE\s+([A-Za-z_]\w*)\s*=\s*({_LIT})$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OV_CTE_REF_RE = re.compile(
+    r"^SELECT\s+(?:\*|DISTINCT\s+[A-Za-z_]\w*|[A-Za-z_]\w*)\s+FROM\s+"
+    r"([A-Za-z_]\w*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_keyword(text: str, keyword: str) -> list[str]:
+    """Split ``text`` on top-level (outside parens/literals) ``keyword``
+    token boundaries."""
+    masked = _mask_string_literals(text)
+    positions = []
+    top = {i for i, _c in _scan_top_level(masked)}
+    for m in re.finditer(rf"\b{keyword}\b", masked, re.IGNORECASE):
+        if m.start() in top:
+            positions.append((m.start(), m.end()))
+    parts, last = [], 0
+    for s, e in positions:
+        parts.append(text[last:s])
+        last = e
+    parts.append(text[last:])
+    return [p.strip() for p in parts]
+
+
+def _strip_outer_parens(text: str) -> str:
+    text = text.strip()
+    while text.startswith("(") and text.endswith(")"):
+        # only strip when the opening paren closes at the very end
+        depth = 0
+        for i, c in enumerate(_mask_string_literals(text)):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        if i != len(text) - 1:
+            break
+        text = text[1:-1].strip()
+    return text
+
+
+def parse_overlap(sql: str) -> OverlapQuery:
+    """Parse ``sql`` as one of the two overlap idioms or raise
+    :class:`UnsupportedQueryError` (callers fall back to exact
+    pass-through — the contract everywhere else in this module)."""
+    sql = _strip_comments(sql).strip().rstrip(";").strip()
+    if not sql:
+        raise ParseError("empty query")
+    upper = sql.upper()
+    if re.match(r"^\s*WITH\b", upper) or "INTERSECT" in upper:
+        return _parse_overlap_intersect(sql)
+    if re.search(r"\bJOIN\b", upper):
+        return _parse_overlap_self_join(sql)
+    raise UnsupportedQueryError("not an overlap idiom")
+
+
+def _parse_overlap_self_join(sql: str) -> OverlapQuery:
+    spans = _find_clause_spans(sql)
+    clauses: dict[str, str] = {}
+    for clause, s, e in spans:
+        if clause in clauses:
+            raise UnsupportedQueryError(f"duplicate {clause} clause")
+        clauses[clause] = sql[s:e].strip()
+    if set(clauses) != {"SELECT", "FROM", "WHERE"}:
+        raise UnsupportedQueryError(
+            "overlap self-join idiom is exactly SELECT ... FROM ... WHERE"
+        )
+    items = _split_top_commas(clauses["SELECT"])
+    if len(items) != 1:
+        raise UnsupportedQueryError("overlap idiom has one select item")
+    it = _parse_select_item(items[0])
+    if it.alias is None:
+        raise UnsupportedQueryError(
+            "overlap routing requires an explicit AS alias on the count"
+        )
+    cm = _OV_COUNT_RE.match(it.raw.strip())
+    if not cm:
+        raise UnsupportedQueryError(
+            "overlap idiom counts COUNT(DISTINCT alias.key)"
+        )
+    cnt_qual, cnt_key = cm.group(1), cm.group(2)
+    fm = _OV_FROM_RE.match(clauses["FROM"].strip())
+    if not fm:
+        raise UnsupportedQueryError("not a two-table inner self-join")
+    t1, a1, t2, a2, on_body = fm.groups()
+    if _JOIN_VARIANT_RE.search(clauses["FROM"]):
+        raise UnsupportedQueryError("only plain INNER JOIN is an overlap")
+    if t1.lower() != t2.lower():
+        raise UnsupportedQueryError("overlap self-join joins a table to itself")
+    if a1.lower() == a2.lower():
+        raise UnsupportedQueryError("self-join aliases must be distinct")
+    om = _OV_ON_RE.match(on_body.strip())
+    if not om:
+        raise UnsupportedQueryError("ON must equate one column across aliases")
+    q1, k1, q2, k2 = om.groups()
+    aliases = {a1.lower(), a2.lower()}
+    if {q1.lower(), q2.lower()} != aliases or k1.lower() != k2.lower():
+        raise UnsupportedQueryError("ON must equate the SAME key across BOTH aliases")
+    key = k1
+    if cnt_qual.lower() not in aliases or cnt_key.lower() != key.lower():
+        raise UnsupportedQueryError("COUNT(DISTINCT) must count the join key")
+    conjuncts = _split_top_keyword(clauses["WHERE"], "AND")
+    if len(conjuncts) != 2:
+        raise UnsupportedQueryError(
+            "overlap WHERE is exactly two segment predicates"
+        )
+    by_alias: dict[str, tuple[str, str]] = {}
+    seg_cols = set()
+    for c in conjuncts:
+        pm = _OV_SEG_PRED_RE.match(c.strip())
+        if not pm:
+            raise UnsupportedQueryError(f"not a segment predicate: {c!r}")
+        qual, col, lit = pm.groups()
+        if qual.lower() not in aliases or qual.lower() in by_alias:
+            raise UnsupportedQueryError("one segment predicate per alias")
+        if col.lower() == key.lower():
+            raise UnsupportedQueryError("segment column must differ from key")
+        by_alias[qual.lower()] = (col, lit)
+        seg_cols.add(col.lower())
+    if len(seg_cols) != 1 or set(by_alias) != aliases:
+        raise UnsupportedQueryError(
+            "both predicates must filter the SAME segment column, one per side"
+        )
+    (seg_a, lit_a), (seg_b, lit_b) = by_alias[a1.lower()], by_alias[a2.lower()]
+    return OverlapQuery(
+        table=t1,
+        key_col=key,
+        segment_col=seg_a,
+        lit_a=lit_a,
+        lit_b=lit_b,
+        alias=it.alias,
+        idiom="self_join",
+    )
+
+
+def _parse_overlap_intersect(sql: str) -> OverlapQuery:
+    ctes: dict[str, tuple[str, str, str, str]] = {}  # name -> branch parts
+    rest = sql
+    m = re.match(r"^\s*WITH\s+", rest, re.IGNORECASE)
+    if m:
+        rest = rest[m.end():]
+        while True:
+            hm = re.match(r"^([A-Za-z_]\w*)\s+AS\s*\(", rest, re.IGNORECASE)
+            if not hm:
+                raise UnsupportedQueryError("malformed CTE header")
+            name = hm.group(1)
+            body, end = _extract_balanced(rest, hm.end() - 1)
+            ctes[name.lower()] = _parse_overlap_branch(body)
+            rest = rest[end:].lstrip()
+            if rest.startswith(","):
+                rest = rest[1:].lstrip()
+                continue
+            break
+        if len(ctes) != 2:
+            raise UnsupportedQueryError("overlap CTE idiom has exactly two CTEs")
+    mm = re.match(
+        r"^SELECT\s+COUNT\s*\(\s*\*\s*\)\s+AS\s+([A-Za-z_]\w*)\s+FROM\s*\(",
+        rest,
+        re.IGNORECASE,
+    )
+    if not mm:
+        raise UnsupportedQueryError(
+            "overlap INTERSECT idiom is SELECT COUNT(*) AS alias FROM (...)"
+        )
+    alias = mm.group(1)
+    inner, end = _extract_balanced(rest, mm.end() - 1)
+    tail = rest[end:].strip()
+    if tail and not re.match(r"^(?:AS\s+)?[A-Za-z_]\w*$", tail, re.IGNORECASE):
+        raise UnsupportedQueryError(f"unexpected trailing clause: {tail!r}")
+    if re.search(r"\bINTERSECT\s+ALL\b", inner, re.IGNORECASE):
+        raise UnsupportedQueryError(
+            "INTERSECT ALL is bag semantics, not a distinct overlap"
+        )
+    sides = _split_top_keyword(inner, "INTERSECT")
+    if len(sides) != 2:
+        raise UnsupportedQueryError("exactly one top-level INTERSECT")
+    branches = []
+    for side in sides:
+        side = _strip_outer_parens(side)
+        rm = _OV_CTE_REF_RE.match(side)
+        if rm and rm.group(1).lower() in ctes:
+            branch = ctes[rm.group(1).lower()]
+            # a projected column must be the branch's key column
+            sel = re.match(
+                r"^SELECT\s+(?:DISTINCT\s+)?([A-Za-z_*]\w*)\s+FROM",
+                side,
+                re.IGNORECASE,
+            )
+            if sel and sel.group(1) != "*" and (
+                sel.group(1).lower() != branch[1].lower()
+            ):
+                raise UnsupportedQueryError("CTE projection must be the key")
+            branches.append(branch)
+        else:
+            branches.append(_parse_overlap_branch(side))
+    (ta, ka, sa, la), (tb, kb, sb, lb) = branches
+    if ta.lower() != tb.lower() or ka.lower() != kb.lower() or (
+        sa.lower() != sb.lower()
+    ):
+        raise UnsupportedQueryError(
+            "both INTERSECT sides must slice the same table/key/segment"
+        )
+    return OverlapQuery(
+        table=ta,
+        key_col=ka,
+        segment_col=sa,
+        lit_a=la,
+        lit_b=lb,
+        alias=alias,
+        idiom="intersect",
+    )
+
+
+def _parse_overlap_branch(text: str) -> tuple[str, str, str, str]:
+    """(table, key, segment_col, literal) from ``SELECT [DISTINCT] key
+    FROM t WHERE seg = lit``."""
+    bm = _OV_BRANCH_RE.match(_strip_outer_parens(text))
+    if not bm:
+        raise UnsupportedQueryError(f"not an overlap branch: {text!r}")
+    key, table, seg, lit = bm.groups()
+    if seg.lower() == key.lower():
+        raise UnsupportedQueryError("segment column must differ from key")
+    return table, key, seg, lit
+
+
+def _extract_balanced(text: str, open_pos: int) -> tuple[str, int]:
+    """Return (inner, index_after_close) for the paren group opening at
+    ``open_pos``; string literals are masked so parens inside them are
+    invisible."""
+    masked = _mask_string_literals(text)
+    if masked[open_pos] != "(":
+        raise ParseError("expected '('")
+    depth = 0
+    for i in range(open_pos, len(masked)):
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[open_pos + 1:i], i + 1
+    raise ParseError("unbalanced parentheses")
+
+
+def try_parse_overlap(sql: str) -> OverlapQuery | None:
+    """Best-effort overlap-idiom parse; None → not an overlap query."""
+    upper = sql.upper()
+    # cheap pre-filter: every idiom carries one of these tokens
+    if "JOIN" not in upper and "INTERSECT" not in upper:
+        return None
+    try:
+        return parse_overlap(sql)
+    except ParseError:
+        return None
+
+
 #: a group is only safe to flatten when its inner text cannot change
 #: boolean structure once the parens are gone: no OR (precedence flips
 #: next to an outer AND), no NOT (scope changes), no subquery/CASE

@@ -117,7 +117,6 @@ def test_check_window_ordering():
         "q41_rollup": "q74_group_sum_having",
         "q42_anti_join": "q83_join_aqp",
         "q43_semi_join": "q83_join_aqp",
-        "q45_date_funcs": "q64_retention",  # date arithmetic family
         # upgraded from rows-only to oracled in round 4 (portable
         # hyperplane-fold oracle); its component family is in-window
         "q34_lsh_topk": "q60_knn_join",  # r9: q28 exiled too
@@ -126,7 +125,6 @@ def test_check_window_ordering():
         # redundant exact-SQL slots moved out, each with an in-window
         # family representative.
         "q09_topk": "q87_grouped_topk",  # top-k ordering family
-        "q16_setop": "q74_group_sum_having",  # pass-through SQL family
         "q17_events_hour": "q92_stream_rollup",  # r9: q35 exiled too
         "q19_case_agg": "q74_group_sum_having",  # exact scalar-agg family
         "q26_dedup_exact_docs": "q69_dedup_keep_best",
@@ -151,7 +149,6 @@ def test_check_window_ordering():
         # and the new q93/q94 moved INTO the window; these four stable
         # slots moved out, each with an in-window family representative.
         "q06_where_group_avg": "q74_group_sum_having",  # WHERE+GROUP scan
-        "q44_string_funcs": "q66_corpus_prepare",  # scalar string funcs
         "q24_doc_stats": "q66_corpus_prepare",  # doc quality stats
         "q57_sessionize": "q62_stream_sessions",  # sessionization family
         # q95 (real-time hybrid) took q53's slot; the skew-join family
@@ -176,7 +173,6 @@ def test_check_window_ordering():
         # round-9 rotation: q91/q99 back in, q106 (advisor loop closed
         # for the top-items family) in; these long-stable slots moved
         # out, each with an in-window family representative.
-        "q73_minmax_distinct": "q74_group_sum_having",  # scan/agg family
         "q35_stream_window": "q62_stream_sessions",  # streaming family
         "q28_ann_topk": "q60_knn_join",  # similarity family
         # round-10 rotation (VERDICT r9 instruction 1): q107 moved INTO
@@ -188,10 +184,20 @@ def test_check_window_ordering():
         # q108 (theta/overlap advisor loop) took q33's slot; the
         # near-dup family keeps q32/q69/q80/q82 in-window
         "q33_simhash_pairs": "q32_minhash_pairs",
-        "q15_window_top_order": "q87_grouped_topk",  # window/top-k order
         "q67_repetition": "q66_corpus_prepare",  # text-quality family
         "q84_heavy_hitters": "q87_grouped_topk",  # heavy-hitter family
         "q68_bottomk_sample": "q76_sample_group_ci",  # sampling family
+        # round-11 rotation (VERDICT r10 #3/#5/#6): q109/q110 (new
+        # surfaces) and the long-exiled q15/q16/q44/q45/q73 moved INTO
+        # the window; these seven multiply-checked slots moved out, each
+        # with an in-window family representative.
+        "q47_pps_sum": "q76_sample_group_ci",  # weighted-sampling family
+        "q49_neyman_alloc": "q48_strata_analysis",  # allocation family
+        "q50_cms_freq": "q54_hll_ci",  # point-frequency sketch family
+        "q52_graph_components": "q32_minhash_pairs",  # dedup-graph family
+        "q61_funnel": "q62_stream_sessions",  # events-analytics family
+        "q64_retention": "q45_date_funcs",  # date-arithmetic family
+        "q71_mixture_sample": "q72_token_budget",  # pipeline family
     }
     for name in names[50:]:
         if name in oracled:

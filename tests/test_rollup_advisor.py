@@ -391,10 +391,13 @@ def test_advisor_learns_theta_overlap_family(spark):
     ]
 
 
-def test_overlap_without_time_col_never_records(spark):
-    """No time column named -> the shape is not materializable as a
-    rollup, so nothing enters the observation book (better no advice
-    than advice naming a grain the caller never confirmed)."""
+def test_overlap_without_time_col_infers_unambiguous_clock(spark):
+    """Round 11 (VERDICT r10 #4): no time column named, but the table's
+    clock is unambiguous — orders has exactly ONE date/timestamp-typed
+    column (o_orderdate) — so the shape IS recorded against the inferred
+    clock instead of being dropped (the round-10 behavior this
+    supersedes: better-known advice beats no advice when the clock
+    cannot be wrong)."""
     e = AQEngine(
         spark,
         workdir=tempfile.mkdtemp(prefix="aqe_advisor_theta_nt_"),
@@ -403,8 +406,57 @@ def test_overlap_without_time_col_never_records(spark):
     for _ in range(3):
         r = e.segment_overlap("orders", "o_orderpriority", "o_custkey")
         assert r["source"] == "raw_scan", r
+        assert "shape recorded" in r["reason"], r
+    book = list(e.catalog.rollup_candidates.values())
+    assert len(book) == 1 and book[0]["time_col"] == "o_orderdate", book
+    assert book[0]["theta_cols"] == ["o_custkey"], book
+
+
+def test_overlap_without_time_col_ambiguous_clock_never_records(spark):
+    """Round 11 (VERDICT r10 #4): two time-typed columns and no catalog
+    record naming the clock -> inference refuses and nothing enters the
+    observation book (advice recorded against a guessed clock would
+    materialize a rollup bucketed on the wrong column)."""
+    spark.sql(
+        "SELECT user_id, event_type, ts AS created_ts, ts AS updated_ts "
+        "FROM events"
+    ).createOrReplaceTempView("events_twoclock")
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_theta_amb_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    for _ in range(3):
+        r = e.segment_overlap("events_twoclock", "event_type", "user_id")
+        assert r["source"] == "raw_scan", r
         assert "shape recorded" not in r["reason"], r
     assert e.recommend_rollups() == []
+
+
+def test_overlap_without_time_col_layout_record_names_clock(spark):
+    """Round 11 (VERDICT r10 #4, the ordered Done-case): a LAYOUT-backed
+    table's clock comes from the catalog record — even when the schema
+    alone is ambiguous (two time-typed columns), the layout's ts_col was
+    named by a caller, so the unwindowed overlap call records the shape
+    against it."""
+    spark.sql(
+        "SELECT event_id, user_id, event_type, ts, ts AS ingested_ts "
+        "FROM events"
+    ).createOrReplaceTempView("events_laid")
+    e = AQEngine(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="aqe_advisor_theta_lay_"),
+        data_dir="/root/testdata/sf0.001",
+    )
+    e.catalog.upsert_table_stats(
+        "events_laid", spark.table("events_laid").count()
+    )
+    e.partition_table("events_laid", "ts", grain="day")
+    r = e.segment_overlap("events_laid", "event_type", "user_id")
+    assert r["source"] == "raw_scan", r
+    assert "shape recorded" in r["reason"], r
+    book = list(e.catalog.rollup_candidates.values())
+    assert len(book) == 1 and book[0]["time_col"] == "ts", book
 
 
 def test_overlap_routes_only_with_segment_dim(spark):
