@@ -2017,10 +2017,14 @@ ORDER BY seg_a, seg_b
 
 #: the three overlap questions q109 asks (two self-join idioms + one
 #: INTERSECT-count idiom) over a derived key with PARTIAL cross-segment
-#: overlap (event_id % 6000: each ~2000-row segment holds ~1700 distinct
-#: keys of 6000, so pairwise overlaps land near 300 and differ per pair —
+#: overlap (event_id % 3000: each ~2000-row segment holds ~1450 distinct
+#: keys of 3000, so pairwise overlaps land near 700 and differ per pair —
 #: a routed answer that returned any segment's own cardinality, or another
-#: pair's, hash-fails; user_id would be 150 for every pair and segment)
+#: pair's, hash-fails; user_id would be 150 for every pair and segment).
+#: 3000 also keeps the whole-table ndv (+ the analyze estimator's margin)
+#: under the 2^12 theta budget, which is the exact-regime certificate the
+#: SQL route requires (engine._route_overlap_sql) — sketches provably
+#: never sample, so the routed counts hash-match DuckDB bit-for-bit
 _OVERLAP_SQL_PAIRS = [
     (
         "click|purchase",
@@ -2057,15 +2061,18 @@ def _q_overlap_sql_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation book, with the table's clock INFERRED from the schema
     (VERDICT r10 #4 — events_ov has exactly one timestamp column, so
     omitting time_col no longer loses the advice). apply_rollup_advice
-    materializes the theta rollup, and the SAME SQL texts then answer
-    from per-bucket theta state (engine._route_overlap_sql) — the fact
-    table is never re-read. Theta sketches are exact below 2^12 retained
-    entries per segment (~1700 keys per segment here), so each routed
-    count hash-matches DuckDB's exact set computation. The INTERSECT
-    idiom routes only after analyze_table proves uid null-free (SQL
-    INTERSECT counts a NULL∩NULL row sketches cannot see). Returns one
-    row per pair: (pair, overlap_cnt) — values differ per pair by
-    construction, so cross-wired routing cannot sneak past the hash."""
+    materializes the theta rollup, and — once analyze_table provides
+    the exact-regime certificate (whole-table uid ndv + margin fits the
+    2^12 budget, so the sketches provably never sampled; the route
+    declines without the proof, because query()'s value-relative
+    tolerance cannot honestly bound a union-relative intersection
+    error) — the SAME SQL texts answer from per-bucket theta state
+    (engine._route_overlap_sql), the fact table never re-read. The same
+    analyze pass proves uid null-free, which the INTERSECT idiom
+    additionally requires (SQL INTERSECT counts a NULL∩NULL row
+    sketches cannot see). Returns one row per pair: (pair, overlap_cnt)
+    — values differ per pair by construction, so cross-wired routing
+    cannot sneak past the hash."""
     import tempfile
 
     from approximate_query_engine_spark import AQEngine
@@ -2074,7 +2081,7 @@ def _q_overlap_sql_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # private derived view (never mutates shared views): a key with
     # genuinely partial overlap between event-type segments
     spark.sql(
-        "SELECT event_id % 6000 AS uid, event_type, ts FROM events"
+        "SELECT event_id % 3000 AS uid, event_type, ts FROM events"
     ).createOrReplaceTempView("events_ov")
     eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
     eng.catalog.upsert_table_stats(
@@ -2107,7 +2114,7 @@ def _q_overlap_sql_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OVERLAP_SQL_ORACLE = """
-WITH ov AS (SELECT event_id % 6000 AS uid, event_type FROM events)
+WITH ov AS (SELECT event_id % 3000 AS uid, event_type FROM events)
 SELECT 'click|purchase' AS pair, COUNT(DISTINCT a.uid)::BIGINT AS overlap_cnt
 FROM ov a JOIN ov b ON a.uid = b.uid
 WHERE a.event_type = 'click' AND b.event_type = 'purchase'

@@ -2577,6 +2577,20 @@ class AQEngine:
             return None
         return ts_cols[0] if len(ts_cols) == 1 else None
 
+    def _stats_fresh(self, table: str) -> bool:
+        """Whether the catalog's analyzed column stats describe the
+        table AS IT IS NOW: the analyze pass's recorded row count must
+        match the current catalog row count. Post-append, stale stats
+        are dangerous in exactly the certifying direction (low ndv,
+        zero null fraction), so every routing gate that cites analyzed
+        stats checks this first — one definition, shared by the top-k
+        certification tiers and the overlap SQL route."""
+        meta = self.catalog.analyze_meta.get(table) or {}
+        return (
+            meta.get("row_count") is not None
+            and meta.get("row_count") == self.catalog.get_row_count(table)
+        )
+
     def _route_overlap_sql(
         self, sql: str, max_rel_error: float, prefer_exact: bool
     ) -> dict | None:
@@ -2591,18 +2605,32 @@ class AQEngine:
         rows), intersected sketch-side. Returns a plan dict or None
         (exact pass-through).
 
-        Honesty gates, mirroring _route_rollup._allow_distinct:
-        ``prefer_exact`` always declines; otherwise the caller's
-        tolerance must cover ~2 standard errors of the theta estimate
-        (rse ≈ 1/sqrt(2^theta_lgk), relative to the UNION size — the
-        same per-estimate contract segment_overlap documents), OR fresh
-        catalog stats must show the key's whole-table ndv (+10% margin)
-        fits the nominal budget, in which case the sketches never
-        sampled and every count — intersections included — is exact.
-        The ``"intersect"`` idiom additionally requires fresh analyzed
-        ``null_frac == 0`` on the key: SQL INTERSECT treats two NULLs as
-        equal, so with NULLs present in both slices the exact answer has
-        one row no sketch can count — decline rather than be off by one.
+        EXACT-REGIME ONLY. ``query()``'s contract is that
+        ``max_rel_error`` bounds the VALUE-relative error of the
+        returned number, but a theta intersection's error is relative
+        to the UNION size — a small overlap of two huge segments could
+        be off by orders of magnitude while a union-relative gate
+        passes. No tolerance can honestly admit that, so this route
+        requires PROOF the sketches never sampled: fresh catalog stats
+        (``_stats_fresh``) showing the key's whole-table ndv (+10%
+        analyze margin) fits the nominal 2^theta_lgk budget — then
+        every count, intersections included, is exact (same posture as
+        the top-k family's certification). ``prefer_exact`` still
+        declines: the answer is exact but comes from sketch state, and
+        the caller asked for the raw plan. The union-relative
+        ESTIMATION regime stays available on the API surface
+        (:meth:`segment_overlap`), which returns union/jaccard
+        alongside so its error contract is visible. The ``"intersect"``
+        idiom additionally requires fresh analyzed ``null_frac == 0``
+        on the key: SQL INTERSECT treats two NULLs as equal, so with
+        NULLs present in both slices the exact answer has one row no
+        sketch can count — decline rather than be off by one.
+
+        Identifier case: Spark resolves column names case-insensitively,
+        so the parsed key/segment columns are canonicalized to the
+        table's actual schema casing first — a BI tool emitting
+        ``A.EVENT_TYPE`` routes through (and records the same advisor
+        shape as) ``a.event_type``.
 
         An idiom hit with NO serving rollup records its (dims=[segment],
         theta_cols=[key]) shape in the advisor observation book
@@ -2610,8 +2638,6 @@ class AQEngine:
         recurring SQL overlap workloads reach the theta advisor exactly
         like API callers do (q108 family), then returns None — the exact
         idiom executes unchanged."""
-        import math
-
         from approximate_query_engine_spark.sqlparser import (
             try_parse_overlap,
         )
@@ -2620,43 +2646,45 @@ class AQEngine:
         if ov is None:
             return None
         try:
+            cmap = {c.lower(): c for c in self._table_columns(ov.table)}
+        except Exception:  # noqa: BLE001 - unknown table: pass through
+            return None
+        key = cmap.get(ov.key_col.lower())
+        seg = cmap.get(ov.segment_col.lower())
+        if key is None or seg is None or key == seg:
+            return None  # columns the table doesn't have — pass through
+        try:
             entries = self._fresh_rollups_with(
-                ov.table, "theta_cols", ov.key_col, "theta set-algebra"
+                ov.table, "theta_cols", key, "theta set-algebra"
             )
         except ValueError:
             entries = []
-        eligible = [
-            e for e in entries if ov.segment_col in e.get("dims", [])
-        ]
+        eligible = [e for e in entries if seg in e.get("dims", [])]
         if not eligible:
             # exact execution proceeds, but the shape now feeds the
             # theta advisor (observe -> advise -> materialize -> route,
             # closing the SQL side of the q108 loop)
             self._record_overlap_candidate(
-                ov.table, [ov.segment_col], ov.key_col, None, "1 day"
+                ov.table, [seg], key, None, "1 day"
             )
             return None
         if prefer_exact:
             return None
         info = eligible[0]
         lgk = int(info.get("theta_lgk", 12))
-        rse = 1.0 / math.sqrt(2**lgk)
-        meta = self.catalog.analyze_meta.get(ov.table) or {}
-        stats_fresh = (
-            meta.get("row_count") is not None
-            and meta.get("row_count") == self.catalog.get_row_count(ov.table)
-        )
-        ndv = self.catalog.column_ndv.get((ov.table, ov.key_col))
-        exact_regime = (
-            stats_fresh and ndv is not None and ndv * 1.1 <= 2**lgk
-        )
-        if not exact_regime and max_rel_error < 2 * rse:
-            return None  # tolerance cannot cover the sketch's error
+        ndv = self.catalog.column_ndv.get((ov.table, key))
+        if not (
+            self._stats_fresh(ov.table)
+            and ndv is not None
+            and ndv * 1.1 <= 2**lgk
+        ):
+            return None  # exact regime unprovable — decline, stay exact
         if ov.idiom == "intersect":
-            nf = self.catalog.column_null_frac.get((ov.table, ov.key_col))
-            if not stats_fresh or nf != 0.0:
+            nf = self.catalog.column_null_frac.get((ov.table, key))
+            if nf != 0.0:
                 return None  # NULL-intersection row unprovable — decline
         src = info.get("files_view") or info["view"]
+        alias_bt = ov.alias.replace("`", "``")
         seg_sub = (
             "(SELECT theta_union_agg(`{key}_theta`) AS sk FROM {src} "
             "WHERE `{seg}` = {lit}) {tag}"
@@ -2665,34 +2693,21 @@ class AQEngine:
             "SELECT CAST(CASE WHEN sa.sk IS NULL OR sb.sk IS NULL THEN 0 "
             "ELSE ROUND(theta_sketch_estimate("
             "theta_intersection(sa.sk, sb.sk))) END AS BIGINT) "
-            f"AS {ov.alias} FROM "
+            f"AS `{alias_bt}` FROM "
             + seg_sub.format(
-                key=ov.key_col,
-                src=src,
-                seg=ov.segment_col,
-                lit=ov.lit_a,
-                tag="sa",
+                key=key, src=src, seg=seg, lit=ov.lit_a, tag="sa"
             )
             + " CROSS JOIN "
             + seg_sub.format(
-                key=ov.key_col,
-                src=src,
-                seg=ov.segment_col,
-                lit=ov.lit_b,
-                tag="sb",
+                key=key, src=src, seg=seg, lit=ov.lit_b, tag="sb"
             )
         )
         note = (
             f"segment-overlap idiom ({ov.idiom}) answered from "
             f"materialized rollup {info['view']} theta state "
             "(per-bucket sketches unioned per segment, intersected "
-            "sketch-side; fact table not re-read); "
-            + (
-                f"exact regime (catalog ndv {int(ndv)} +10% fits "
-                f"2^{lgk} nominal budget)"
-                if exact_regime
-                else f"rse ~{rse:.4f} of union within tolerance"
-            )
+            "sketch-side; fact table not re-read); exact regime "
+            f"(catalog ndv {int(ndv)} +10% fits 2^{lgk} nominal budget)"
         )
         return {"type": "sketch", "sql": routed_sql, "reason": note}
 
@@ -2865,12 +2880,7 @@ class AQEngine:
             # analyze freshness: catalog column stats describe the table
             # AS OF their analyze pass — post-append they can be stale
             # in the dangerous direction (low ndv, zero null fraction)
-            meta = self.catalog.analyze_meta.get(target) or {}
-            stats_fresh = (
-                meta.get("row_count") is not None
-                and meta.get("row_count")
-                == self.catalog.get_row_count(target)
-            )
+            stats_fresh = self._stats_fresh(target)
             if (info.get("topk_notnull") or {}).get(col) is not True:
                 nf = self.catalog.column_null_frac.get((target, col))
                 if not stats_fresh or nf != 0.0:

@@ -743,10 +743,15 @@ def parse_overlap(sql: str) -> OverlapQuery:
     sql = _strip_comments(sql).strip().rstrip(";").strip()
     if not sql:
         raise ParseError("empty query")
-    upper = sql.upper()
-    if re.match(r"^\s*WITH\b", upper) or "INTERSECT" in upper:
+    # dispatch on TOKENS in a literal-masked copy: a column named
+    # `intersects` or a string literal containing 'INTERSECT' must not
+    # misroute a valid self-join idiom into the INTERSECT parser
+    masked = _mask_string_literals(sql)
+    if re.match(r"^\s*WITH\b", masked, re.IGNORECASE) or re.search(
+        r"\bINTERSECT\b", masked, re.IGNORECASE
+    ):
         return _parse_overlap_intersect(sql)
-    if re.search(r"\bJOIN\b", upper):
+    if re.search(r"\bJOIN\b", masked, re.IGNORECASE):
         return _parse_overlap_self_join(sql)
     raise UnsupportedQueryError("not an overlap idiom")
 

@@ -3011,20 +3011,19 @@ def main() -> None:
         "errors": bench_errors,
         "detail": "bench_detail.json",
     }
-    # Drop order (round 11): queries LAST — but it IS droppable now,
-    # because every past round's full-queries line overflowed the
-    # driver's 2000-char tail and parsed as None (BENCH_r01..r10 all
-    # carry "parsed": null; the detail file has been the real artifact
-    # since r02). A shorter line that PARSES — metric, headline wall,
-    # canary, speedups, scale ratios — beats a complete line that
-    # doesn't; bench_detail.json still carries every per-query wall.
+    # Shrink order (round 11): the full ~100-entry queries map alone is
+    # ~3000 chars, so every past round's line overflowed the driver's
+    # 2000-char tail and parsed as None (BENCH_r01..r10 all carry
+    # "parsed": null; the detail file has been the real artifact since
+    # r02). Truncate queries FIRST — to the 15 slowest walls, keeping
+    # the contract shape — which leaves room for speedups, rel_errors
+    # and the rest; only drop those if the line still can't fit.
+    # bench_detail.json always carries every per-query wall.
     line = json.dumps(compact, separators=(",", ":"))
-    for drop in ("rel_errors", "errors", "fast_floor", "speedups", "queries"):
+    for drop in ("queries", "rel_errors", "errors", "fast_floor", "speedups"):
         if len(line) <= 1800:
             break
         if drop == "queries":
-            # keep the contract shape: the 15 slowest walls instead of
-            # all ~100 (the full map is in bench_detail.json)
             slow15 = dict(
                 sorted(timings.items(), key=lambda kv: -kv[1])[:15]
             )

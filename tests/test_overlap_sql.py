@@ -67,6 +67,23 @@ def test_parse_accepts_reversed_count_side_and_numeric_literals():
     assert ov is not None and {ov.lit_a, ov.lit_b} == {"1", "2"}
 
 
+def test_parse_dispatch_is_token_aware():
+    """A column named `intersects` (or a literal containing INTERSECT /
+    JOIN text) must not misroute the self-join idiom into the INTERSECT
+    parser — dispatch runs on word boundaries over a literal-masked
+    copy."""
+    ov = try_parse_overlap(
+        "SELECT COUNT(DISTINCT a.u) AS c FROM t a JOIN t b ON a.u = b.u "
+        "WHERE a.intersects = 'x' AND b.intersects = 'y'"
+    )
+    assert ov is not None and ov.segment_col == "intersects"
+    ov = try_parse_overlap(
+        "SELECT COUNT(DISTINCT a.u) AS c FROM t a JOIN t b ON a.u = b.u "
+        "WHERE a.s = 'INTERSECT ME' AND b.s = 'WITH GUSTO'"
+    )
+    assert ov is not None and ov.lit_a == "'INTERSECT ME'"
+
+
 @pytest.mark.parametrize(
     "bad",
     [
@@ -155,23 +172,50 @@ def test_overlap_sql_requires_segment_dim(spark):
     assert r["result"][0]["oc"] == _exact(spark, SELF_JOIN)
 
 
-def test_overlap_sql_tolerance_gate_and_exact_regime(spark):
-    """Tolerance below 2x the theta rse declines — unless FRESH catalog
-    stats prove the key's ndv fits the nominal budget, in which case the
-    sketches never sampled and the route is exact regardless of the
-    tolerance knob."""
+def test_overlap_sql_requires_exact_regime_proof(spark):
+    """The SQL route is EXACT-REGIME ONLY: query()'s max_rel_error
+    bounds VALUE-relative error, but a theta intersection's error is
+    union-relative — a small overlap of two huge segments could be off
+    by orders of magnitude under any tolerance. So with no fresh
+    analyzed ndv the route declines at EVERY tolerance; once fresh
+    stats prove the key fits the nominal budget (sketches never
+    sampled), it routes even at a 0.1% tolerance, exactly."""
     e = _engine(spark)
     e.create_rollup(
         "events", "ts", "1 day", dims=["event_type"],
         theta_cols=["user_id"],
     )
-    r = e.query(SELF_JOIN, max_rel_error=0.001, dual_execute=False)
-    assert r["plan"]["type"] == "exact", r["plan"]  # gate declines
+    for tol in (0.001, 0.05, 0.5):
+        r = e.query(SELF_JOIN, max_rel_error=tol, dual_execute=False)
+        assert r["plan"]["type"] == "exact", (tol, r["plan"])
     e.analyze_table("events", ["user_id"])  # ndv 15 << 2^12, fresh
     r = e.query(SELF_JOIN, max_rel_error=0.001, dual_execute=False)
     assert r["plan"]["type"] == "sketch", r["plan"]
     assert "exact regime" in r["plan"]["reason"], r["plan"]
     assert r["result"][0]["oc"] == _exact(spark, SELF_JOIN)
+
+
+def test_overlap_sql_stale_stats_never_certify(spark):
+    """The exact-regime proof dies with stats freshness: an append
+    after the analyze pass makes the recorded ndv stale in the
+    certifying direction, so the route declines until re-analyzed."""
+    spark.table("events").createOrReplaceTempView("events_ovfr")
+    e = _engine(spark)
+    n = spark.table("events_ovfr").count()
+    e.catalog.upsert_table_stats("events_ovfr", n)
+    e.create_rollup(
+        "events_ovfr", "ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    e.analyze_table("events_ovfr", ["user_id"])
+    sql = SELF_JOIN.replace("events ", "events_ovfr ")
+    assert e.query(sql, dual_execute=False)["plan"]["type"] == "sketch"
+    # out-of-band append: stats now describe a smaller table. The
+    # rollup is stale too — but even a refreshed rollup must not route
+    # on pre-append ndv, which is what _stats_fresh pins.
+    e.catalog.upsert_table_stats("events_ovfr", n + 10)
+    r = e.query(sql, dual_execute=False)
+    assert r["plan"]["type"] == "exact", r["plan"]
 
 
 def test_overlap_sql_prefer_exact_declines(spark):
@@ -180,26 +224,82 @@ def test_overlap_sql_prefer_exact_declines(spark):
         "events", "ts", "1 day", dims=["event_type"],
         theta_cols=["user_id"],
     )
+    e.analyze_table("events", ["user_id"])  # exact regime provable...
     r = e.query(SELF_JOIN, prefer_exact=True, dual_execute=False)
-    assert r["plan"]["type"] == "exact", r["plan"]
+    assert r["plan"]["type"] == "exact", r["plan"]  # ...but caller said raw
 
 
-def test_intersect_idiom_needs_null_free_proof(spark):
-    """SQL INTERSECT counts a NULL-in-both row sketches can never see:
-    without fresh analyzed null_frac == 0 on the key the idiom stays
-    exact; the self-join idiom (whose semantics already drop NULLs)
-    routes under the same state."""
+def test_overlap_sql_case_insensitive_columns(spark):
+    """Spark resolves identifiers case-insensitively; the route and the
+    advisor book must too. A case-variant spelling routes through the
+    same rollup, and an unrouted case-variant records the SAME
+    canonical shape instead of a duplicate candidate."""
     e = _engine(spark)
     e.create_rollup(
         "events", "ts", "1 day", dims=["event_type"],
         theta_cols=["user_id"],
     )
-    assert e.query(INTERSECT, dual_execute=False)["plan"]["type"] == "exact"
-    assert (
-        e.query(SELF_JOIN, dual_execute=False)["plan"]["type"] == "sketch"
-    )
     e.analyze_table("events", ["user_id"])
-    r = e.query(INTERSECT, dual_execute=False)
+    shouty = (
+        "SELECT COUNT(DISTINCT a.USER_ID) AS oc FROM events a "
+        "JOIN events b ON a.USER_ID = b.USER_ID "
+        "WHERE a.EVENT_TYPE = 'click' AND b.EVENT_TYPE = 'view'"
+    )
+    r = e.query(shouty, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, SELF_JOIN)
+    # unrouted case variants dedupe into one canonical candidate
+    e2 = _engine(spark)
+    e2.query(SELF_JOIN, dual_execute=False)
+    e2.query(shouty, dual_execute=False)
+    book = list(e2.catalog.rollup_candidates.values())
+    assert len(book) == 1 and book[0]["count"] == 2, book
+    assert book[0]["dims"] == ["event_type"], book
+    assert book[0]["theta_cols"] == ["user_id"], book
+
+
+def test_intersect_idiom_needs_null_free_proof(spark):
+    """SQL INTERSECT counts a NULL-in-both row sketches can never see:
+    on a key column WITH nulls, fresh stats prove null_frac > 0 and the
+    INTERSECT idiom declines; the self-join idiom (whose semantics
+    already drop NULLs) routes under the same state, exactly."""
+    spark.sql(
+        "SELECT event_id, ts, event_type, "
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS ukey "
+        "FROM events"
+    ).createOrReplaceTempView("events_ovnull")
+    e = _engine(spark)
+    n = spark.table("events_ovnull").count()
+    e.catalog.upsert_table_stats("events_ovnull", n)
+    e.create_rollup(
+        "events_ovnull", "ts", "1 day", dims=["event_type"],
+        theta_cols=["ukey"],
+    )
+    e.analyze_table("events_ovnull", ["ukey"])  # fresh, null_frac > 0
+    isql = (
+        "SELECT COUNT(*) AS oc FROM ("
+        "SELECT ukey FROM events_ovnull WHERE event_type = 'click' "
+        "INTERSECT "
+        "SELECT ukey FROM events_ovnull WHERE event_type = 'view') t"
+    )
+    jsql = (
+        "SELECT COUNT(DISTINCT a.ukey) AS oc FROM events_ovnull a "
+        "JOIN events_ovnull b ON a.ukey = b.ukey "
+        "WHERE a.event_type = 'click' AND b.event_type = 'view'"
+    )
+    r = e.query(isql, dual_execute=False)
+    assert r["plan"]["type"] == "exact", r["plan"]  # nulls: declined
+    r = e.query(jsql, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]  # NULLs never join
+    assert r["result"][0]["oc"] == _exact(spark, jsql)
+    # and on a proven null-free key the INTERSECT idiom routes exactly
+    e2 = _engine(spark)
+    e2.create_rollup(
+        "events", "ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    e2.analyze_table("events", ["user_id"])
+    r = e2.query(INTERSECT, dual_execute=False)
     assert r["plan"]["type"] == "sketch", r["plan"]
     assert r["result"][0]["oc"] == _exact(spark, INTERSECT)
 
@@ -207,7 +307,8 @@ def test_intersect_idiom_needs_null_free_proof(spark):
 def test_unrouted_overlap_sql_feeds_theta_advisor(spark):
     """The SQL side of the q108 loop: three unrouted idiom hits record
     ONE (dims=[segment], theta_cols=[key]) shape with the clock inferred
-    from the schema; apply materializes; the same SQL then routes."""
+    from the schema; apply materializes; the same SQL then routes (once
+    fresh stats prove the exact regime)."""
     e = _engine(spark)
     for sql in (SELF_JOIN, INTERSECT, INTERSECT_CTE):
         r = e.query(sql, dual_execute=False)
@@ -219,6 +320,7 @@ def test_unrouted_overlap_sql_feeds_theta_advisor(spark):
     assert book[0]["dims"] == ["event_type"], book
     applied = e.apply_rollup_advice(max_apply=1)
     assert applied and applied[0]["applied"] is True, applied
+    e.analyze_table("events", ["user_id"])  # exact-regime proof
     r = e.query(SELF_JOIN, dual_execute=False)
     assert r["plan"]["type"] == "sketch", r["plan"]
     assert "theta state" in r["plan"]["reason"], r["plan"]
@@ -237,6 +339,7 @@ def test_stale_rollup_declines_and_rerecords(spark):
         "events_ovst", "ts", "1 day", dims=["event_type"],
         theta_cols=["user_id"],
     )
+    e.analyze_table("events_ovst", ["user_id"])
     sql = SELF_JOIN.replace("events ", "events_ovst ")
     assert e.query(sql, dual_execute=False)["plan"]["type"] == "sketch"
     e.catalog.upsert_table_stats("events_ovst", n + 1)  # out-of-band append
