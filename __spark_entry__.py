@@ -2015,8 +2015,9 @@ ORDER BY seg_a, seg_b
 """
 
 
-#: the three overlap questions q109 asks (two self-join idioms + one
-#: INTERSECT-count idiom) over a derived key with PARTIAL cross-segment
+#: the four overlap questions q109 asks (two self-join idioms, one
+#: INTERSECT-count idiom, one WINDOWED self-join) over a derived key
+#: with PARTIAL cross-segment
 #: overlap (event_id % 3000: each ~2000-row segment holds ~1450 distinct
 #: keys of 3000, so pairwise overlaps land near 700 and differ per pair —
 #: a routed answer that returned any segment's own cardinality, or another
@@ -2046,6 +2047,18 @@ _OVERLAP_SQL_PAIRS = [
         "       WHERE event_type = 'error') "
         "SELECT COUNT(*) AS overlap_cnt "
         "FROM (SELECT * FROM ca INTERSECT SELECT * FROM cb) t",
+    ),
+    # the dashboard form: the same self-join idiom WINDOWED (symmetric
+    # ts bounds on both aliases) — routed through p_date-pruned state
+    (
+        "click|purchase|w06-13",
+        "SELECT COUNT(DISTINCT a.uid) AS overlap_cnt "
+        "FROM events_ov a JOIN events_ov b ON a.uid = b.uid "
+        "WHERE a.event_type = 'click' AND b.event_type = 'purchase' "
+        "AND a.ts >= TIMESTAMP '2024-01-06 00:00:00' "
+        "AND a.ts < TIMESTAMP '2024-01-13 00:00:00' "
+        "AND b.ts >= TIMESTAMP '2024-01-06 00:00:00' "
+        "AND b.ts < TIMESTAMP '2024-01-13 00:00:00'",
     ),
 ]
 
@@ -2092,9 +2105,11 @@ def _q_overlap_sql_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert r["status"] == "ok", r.get("error")
         assert r["plan"]["type"] == "exact", r["plan"]
         assert "theta state" not in r["plan"]["reason"], r["plan"]
-    # three observations of the SAME (table, clock, dims, theta) shape
+    # four observations of the SAME (table, clock, dims, theta) shape:
+    # the three unwindowed idioms record with the clock INFERRED, the
+    # windowed one names ts and midnight bounds → the same 1-day grain
     book = list(eng.catalog.rollup_candidates.values())
-    assert len(book) == 1 and book[0]["count"] == 3, book
+    assert len(book) == 1 and book[0]["count"] == 4, book
     assert book[0]["time_col"] == "ts", book  # inferred, not named
     assert book[0]["theta_cols"] == ["uid"], book
     applied = eng.apply_rollup_advice(max_apply=1)
@@ -2130,6 +2145,17 @@ SELECT 'click|error' AS pair, cnt::BIGINT AS overlap_cnt FROM (
     SELECT DISTINCT uid FROM ov WHERE event_type = 'error'
   )
 )
+UNION ALL
+SELECT 'click|purchase|w06-13' AS pair,
+       COUNT(DISTINCT a.uid)::BIGINT AS overlap_cnt
+FROM (SELECT event_id % 3000 AS uid, event_type, ts FROM events) a
+JOIN (SELECT event_id % 3000 AS uid, event_type, ts FROM events) b
+  ON a.uid = b.uid
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND a.ts >= TIMESTAMP '2024-01-06 00:00:00'
+  AND a.ts < TIMESTAMP '2024-01-13 00:00:00'
+  AND b.ts >= TIMESTAMP '2024-01-06 00:00:00'
+  AND b.ts < TIMESTAMP '2024-01-13 00:00:00'
 ORDER BY pair
 """
 

@@ -2632,6 +2632,14 @@ class AQEngine:
         ``A.EVENT_TYPE`` routes through (and records the same advisor
         shape as) ``a.event_type``.
 
+        WINDOWED idioms (a symmetric ``ts >= lo AND ts < hi`` pair on
+        both sides — sqlparser validates the symmetry) route only
+        through a rollup bucketed on the SAME clock whose grid the
+        bounds fall on (:meth:`_aligned_range_pred` — p_date-pruned
+        state scan; off-grid bounds fall through to a finer fresh
+        rollup, then to exact). Unrouted windowed hits record the
+        coarsest grain their bounds fall on.
+
         An idiom hit with NO serving rollup records its (dims=[segment],
         theta_cols=[key]) shape in the advisor observation book
         (_record_overlap_candidate, clock inferred when unambiguous) so
@@ -2653,24 +2661,51 @@ class AQEngine:
         seg = cmap.get(ov.segment_col.lower())
         if key is None or seg is None or key == seg:
             return None  # columns the table doesn't have — pass through
+        tcol = None
+        if ov.time_col is not None:
+            tcol = cmap.get(ov.time_col.lower())
+            if tcol is None or tcol in (key, seg):
+                return None  # not a plausible clock — pass through
         try:
             entries = self._fresh_rollups_with(
                 ov.table, "theta_cols", key, "theta set-algebra"
             )
         except ValueError:
             entries = []
-        eligible = [e for e in entries if seg in e.get("dims", [])]
-        if not eligible:
+        info = pred = None
+        for cand in entries:
+            if seg not in cand.get("dims", []):
+                continue
+            if tcol is None:
+                info = cand
+                break
+            if cand.get("time_col") != tcol:
+                # bucketed on a different clock: windowing through it
+                # would silently bound the wrong column (same refusal
+                # as the API path)
+                continue
+            try:
+                pred = self._aligned_range_pred(cand, ov.lo, ov.hi)
+                info = cand
+                break
+            except ValueError:
+                continue  # off this grid — try a finer fresh rollup
+        if info is None:
             # exact execution proceeds, but the shape now feeds the
             # theta advisor (observe -> advise -> materialize -> route,
-            # closing the SQL side of the q108 loop)
+            # closing the SQL side of the q108 loop). Windowed shapes
+            # record the coarsest grain their bounds fall on; off-grid
+            # bounds record nothing (no rollup could ever serve them).
             self._record_overlap_candidate(
-                ov.table, [seg], key, None, "1 day"
+                ov.table,
+                [seg],
+                key,
+                tcol,
+                _overlap_advice_bucket(ov.lo, ov.hi),
             )
             return None
         if prefer_exact:
             return None
-        info = eligible[0]
         lgk = int(info.get("theta_lgk", 12))
         ndv = self.catalog.column_ndv.get((ov.table, key))
         if not (
@@ -2685,9 +2720,10 @@ class AQEngine:
                 return None  # NULL-intersection row unprovable — decline
         src = info.get("files_view") or info["view"]
         alias_bt = ov.alias.replace("`", "``")
+        window = f" AND ({pred})" if pred is not None else ""
         seg_sub = (
             "(SELECT theta_union_agg(`{key}_theta`) AS sk FROM {src} "
-            "WHERE `{seg}` = {lit}) {tag}"
+            "WHERE `{seg}` = {lit}" + window + ") {tag}"
         )
         routed_sql = (
             "SELECT CAST(CASE WHEN sa.sk IS NULL OR sb.sk IS NULL THEN 0 "
@@ -2705,8 +2741,10 @@ class AQEngine:
         note = (
             f"segment-overlap idiom ({ov.idiom}) answered from "
             f"materialized rollup {info['view']} theta state "
-            "(per-bucket sketches unioned per segment, intersected "
-            "sketch-side; fact table not re-read); exact regime "
+            "(per-bucket sketches unioned per segment"
+            + (", p_date-pruned to the window" if pred else "")
+            + ", intersected sketch-side; fact table not re-read); "
+            "exact regime "
             f"(catalog ndv {int(ndv)} +10% fits 2^{lgk} nominal budget)"
         )
         return {"type": "sketch", "sql": routed_sql, "reason": note}

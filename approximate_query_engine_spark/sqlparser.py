@@ -661,6 +661,17 @@ class OverlapQuery:
       so the exact answer can include one NULL row a sketch can never
       count — callers must prove the key column null-free before routing
       this idiom (engine gates on fresh analyzed null_frac == 0).
+
+    Both idioms take an optional TIME WINDOW — the dashboard form
+    ("overlap last week"). The window must be stated SYMMETRICALLY so
+    the overlap semantics are unambiguous: in the self-join idiom, a
+    ``col >= TIMESTAMP 'lo'`` and a ``col < TIMESTAMP 'hi'`` conjunct
+    per alias, identical bounds and column on both sides; in the
+    INTERSECT idiom, the same pair in each branch's WHERE. An
+    asymmetric window (bounds on one side only, or differing bounds)
+    is a different question — rejected, exact pass-through. When
+    present, ``time_col``/``lo``/``hi`` carry the column and the bare
+    literal text (quotes stripped).
     """
 
     table: str
@@ -670,6 +681,9 @@ class OverlapQuery:
     lit_b: str
     alias: str  # required output-column alias
     idiom: str  # "self_join" | "intersect"
+    time_col: str | None = None
+    lo: str | None = None  # bare timestamp text, e.g. 2024-01-03 00:00:00
+    hi: str | None = None
 
 
 #: string literal (with '' escape) or numeric literal
@@ -690,8 +704,17 @@ _OV_COUNT_RE = re.compile(
     re.IGNORECASE,
 )
 _OV_BRANCH_RE = re.compile(
-    rf"^SELECT\s+(?:DISTINCT\s+)?([A-Za-z_]\w*)\s+FROM\s+([A-Za-z_]\w*)"
-    rf"\s+WHERE\s+([A-Za-z_]\w*)\s*=\s*({_LIT})$",
+    r"^SELECT\s+(?:DISTINCT\s+)?([A-Za-z_]\w*)\s+FROM\s+([A-Za-z_]\w*)"
+    r"\s+WHERE\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OV_BARE_SEG_RE = re.compile(
+    rf"^([A-Za-z_]\w*)\s*=\s*({_LIT})$", re.DOTALL
+)
+#: time-window conjunct: [alias.]col >=|< TIMESTAMP '...'
+_OV_TIME_RE = re.compile(
+    r"^(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*(>=|<)\s*"
+    r"TIMESTAMP\s*'((?:[^']|'')*)'$",
     re.IGNORECASE | re.DOTALL,
 )
 _OV_CTE_REF_RE = re.compile(
@@ -802,27 +825,45 @@ def _parse_overlap_self_join(sql: str) -> OverlapQuery:
     if cnt_qual.lower() not in aliases or cnt_key.lower() != key.lower():
         raise UnsupportedQueryError("COUNT(DISTINCT) must count the join key")
     conjuncts = _split_top_keyword(clauses["WHERE"], "AND")
-    if len(conjuncts) != 2:
-        raise UnsupportedQueryError(
-            "overlap WHERE is exactly two segment predicates"
-        )
     by_alias: dict[str, tuple[str, str]] = {}
     seg_cols = set()
+    # per alias: list of (col, op, bare-literal) time-bound conjuncts
+    time_by_alias: dict[str, list[tuple[str, str, str]]] = {}
     for c in conjuncts:
-        pm = _OV_SEG_PRED_RE.match(c.strip())
-        if not pm:
-            raise UnsupportedQueryError(f"not a segment predicate: {c!r}")
-        qual, col, lit = pm.groups()
-        if qual.lower() not in aliases or qual.lower() in by_alias:
-            raise UnsupportedQueryError("one segment predicate per alias")
-        if col.lower() == key.lower():
-            raise UnsupportedQueryError("segment column must differ from key")
-        by_alias[qual.lower()] = (col, lit)
-        seg_cols.add(col.lower())
+        c = c.strip()
+        pm = _OV_SEG_PRED_RE.match(c)
+        if pm:
+            qual, col, lit = pm.groups()
+            if qual.lower() not in aliases or qual.lower() in by_alias:
+                raise UnsupportedQueryError(
+                    "one segment predicate per alias"
+                )
+            if col.lower() == key.lower():
+                raise UnsupportedQueryError(
+                    "segment column must differ from key"
+                )
+            by_alias[qual.lower()] = (col, lit)
+            seg_cols.add(col.lower())
+            continue
+        tm = _OV_TIME_RE.match(c)
+        if tm:
+            qual, col, op, lit = tm.groups()
+            if qual is None or qual.lower() not in aliases:
+                raise UnsupportedQueryError(
+                    "time bounds must be alias-qualified"
+                )
+            time_by_alias.setdefault(qual.lower(), []).append(
+                (col, op, lit)
+            )
+            continue
+        raise UnsupportedQueryError(f"not an overlap predicate: {c!r}")
     if len(seg_cols) != 1 or set(by_alias) != aliases:
         raise UnsupportedQueryError(
-            "both predicates must filter the SAME segment column, one per side"
+            "both sides must filter the SAME segment column, one per side"
         )
+    time_col, lo, hi = _validate_symmetric_window(
+        time_by_alias, sorted(aliases)
+    )
     (seg_a, lit_a), (seg_b, lit_b) = by_alias[a1.lower()], by_alias[a2.lower()]
     return OverlapQuery(
         table=t1,
@@ -832,7 +873,53 @@ def _parse_overlap_self_join(sql: str) -> OverlapQuery:
         lit_b=lit_b,
         alias=it.alias,
         idiom="self_join",
+        time_col=time_col,
+        lo=lo,
+        hi=hi,
     )
+
+
+def _validate_symmetric_window(
+    time_by_alias: dict[str, list[tuple[str, str, str]]],
+    aliases: list[str],
+) -> tuple[str | None, str | None, str | None]:
+    """(time_col, lo, hi) when every alias/branch carries the IDENTICAL
+    ``col >= lo`` + ``col < hi`` pair; (None, None, None) when no time
+    bounds at all. Anything asymmetric — bounds on one side only, a
+    lone >= or <, differing columns or literals — raises: it is a
+    DIFFERENT question than windowed overlap and must pass through
+    exact rather than be silently symmetrized."""
+    if not time_by_alias:
+        return None, None, None
+    if set(time_by_alias) != set(aliases):
+        raise UnsupportedQueryError(
+            "time window must bound BOTH sides of the overlap"
+        )
+    windows = set()
+    for preds in time_by_alias.values():
+        if len(preds) != 2:
+            raise UnsupportedQueryError(
+                "time window is one >= and one < bound per side"
+            )
+        ops = {op: (col, lit) for col, op, lit in preds}
+        if set(ops) != {">=", "<"}:
+            raise UnsupportedQueryError(
+                "time window is one >= and one < bound per side"
+            )
+        (lo_col, lo), (hi_col, hi) = ops[">="], ops["<"]
+        if lo_col.lower() != hi_col.lower():
+            raise UnsupportedQueryError(
+                "time window bounds must share one column"
+            )
+        windows.add((lo_col.lower(), lo, hi))
+    if len(windows) != 1:
+        raise UnsupportedQueryError(
+            "time window must be identical on both sides"
+        )
+    col_l, lo, hi = next(iter(windows))
+    # return the column as WRITTEN (first occurrence), not lowercased
+    first = next(iter(time_by_alias.values()))[0][0]
+    return (first if first.lower() == col_l else col_l), lo, hi
 
 
 def _parse_overlap_intersect(sql: str) -> OverlapQuery:
@@ -895,13 +982,16 @@ def _parse_overlap_intersect(sql: str) -> OverlapQuery:
             branches.append(branch)
         else:
             branches.append(_parse_overlap_branch(side))
-    (ta, ka, sa, la), (tb, kb, sb, lb) = branches
+    (ta, ka, sa, la, wa), (tb, kb, sb, lb, wb) = branches
     if ta.lower() != tb.lower() or ka.lower() != kb.lower() or (
         sa.lower() != sb.lower()
     ):
         raise UnsupportedQueryError(
             "both INTERSECT sides must slice the same table/key/segment"
         )
+    time_col, lo, hi = _validate_symmetric_window(
+        {"a": wa, "b": wb} if (wa or wb) else {}, ["a", "b"]
+    )
     return OverlapQuery(
         table=ta,
         key_col=ka,
@@ -910,19 +1000,49 @@ def _parse_overlap_intersect(sql: str) -> OverlapQuery:
         lit_b=lb,
         alias=alias,
         idiom="intersect",
+        time_col=time_col,
+        lo=lo,
+        hi=hi,
     )
 
 
-def _parse_overlap_branch(text: str) -> tuple[str, str, str, str]:
-    """(table, key, segment_col, literal) from ``SELECT [DISTINCT] key
-    FROM t WHERE seg = lit``."""
+def _parse_overlap_branch(
+    text: str,
+) -> tuple[str, str, str, str, list[tuple[str, str, str]]]:
+    """(table, key, segment_col, literal, time_preds) from ``SELECT
+    [DISTINCT] key FROM t WHERE seg = lit [AND ts >= TIMESTAMP '...'
+    AND ts < TIMESTAMP '...']``."""
     bm = _OV_BRANCH_RE.match(_strip_outer_parens(text))
     if not bm:
         raise UnsupportedQueryError(f"not an overlap branch: {text!r}")
-    key, table, seg, lit = bm.groups()
+    key, table, where = bm.groups()
+    seg = lit = None
+    time_preds: list[tuple[str, str, str]] = []
+    for c in _split_top_keyword(where, "AND"):
+        c = c.strip()
+        sm = _OV_BARE_SEG_RE.match(c)
+        if sm:
+            if seg is not None:
+                raise UnsupportedQueryError(
+                    "one segment predicate per branch"
+                )
+            seg, lit = sm.groups()
+            continue
+        tm = _OV_TIME_RE.match(c)
+        if tm:
+            qual, col, op, tlit = tm.groups()
+            if qual is not None:
+                raise UnsupportedQueryError(
+                    "branch time bounds must be unqualified"
+                )
+            time_preds.append((col, op, tlit))
+            continue
+        raise UnsupportedQueryError(f"not an overlap predicate: {c!r}")
+    if seg is None:
+        raise UnsupportedQueryError(f"not an overlap branch: {text!r}")
     if seg.lower() == key.lower():
         raise UnsupportedQueryError("segment column must differ from key")
-    return table, key, seg, lit
+    return table, key, seg, lit, time_preds
 
 
 def _extract_balanced(text: str, open_pos: int) -> tuple[str, int]:

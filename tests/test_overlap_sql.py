@@ -327,6 +327,98 @@ def test_unrouted_overlap_sql_feeds_theta_advisor(spark):
     assert r["result"][0]["oc"] == _exact(spark, SELF_JOIN)
 
 
+WINDOWED = (
+    "SELECT COUNT(DISTINCT a.user_id) AS oc FROM events a "
+    "JOIN events b ON a.user_id = b.user_id "
+    "WHERE a.event_type = 'click' AND b.event_type = 'view' "
+    "AND a.ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND a.ts < TIMESTAMP '2024-01-05 00:00:00' "
+    "AND b.ts >= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND b.ts < TIMESTAMP '2024-01-05 00:00:00'"
+)
+
+
+def test_parse_windowed_idioms_and_symmetry():
+    ov = try_parse_overlap(WINDOWED)
+    assert ov is not None and ov.idiom == "self_join"
+    assert (ov.time_col, ov.lo, ov.hi) == (
+        "ts", "2024-01-02 00:00:00", "2024-01-05 00:00:00",
+    )
+    wi = try_parse_overlap(
+        "SELECT COUNT(*) AS oc FROM ("
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "AND ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00' "
+        "INTERSECT "
+        "SELECT user_id FROM events WHERE event_type = 'view' "
+        "AND ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00') t"
+    )
+    assert wi is not None and wi.lo == "2024-01-02 00:00:00"
+    # asymmetric windows are a DIFFERENT question — rejected
+    for bad in (
+        # bounds on one alias only
+        WINDOWED.replace(
+            "AND b.ts >= TIMESTAMP '2024-01-02 00:00:00' "
+            "AND b.ts < TIMESTAMP '2024-01-05 00:00:00'",
+            "",
+        ),
+        # differing bounds across aliases
+        WINDOWED.replace(
+            "b.ts < TIMESTAMP '2024-01-05 00:00:00'",
+            "b.ts < TIMESTAMP '2024-01-06 00:00:00'",
+        ),
+        # a lone lower bound
+        WINDOWED.replace(
+            "AND a.ts < TIMESTAMP '2024-01-05 00:00:00'", ""
+        ),
+    ):
+        assert try_parse_overlap(bad) is None, bad
+
+
+def test_windowed_overlap_routes_pruned_and_matches_exact(spark):
+    """The dashboard form: symmetric ts bounds route through the
+    serving rollup's p_date-pruned state when they fall on its grid;
+    off-grid bounds fall through to exact."""
+    e = _engine(spark)
+    e.create_rollup(
+        "events", "ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    e.analyze_table("events", ["user_id"])
+    r = e.query(WINDOWED, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert "p_date-pruned" in r["plan"]["reason"], r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, WINDOWED)
+    off_grid = WINDOWED.replace("2024-01-02 00:00:00", "2024-01-02 00:30:00")
+    r = e.query(off_grid, dual_execute=False)
+    assert r["plan"]["type"] == "exact", r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, off_grid)
+
+
+def test_windowed_overlap_wrong_clock_declines(spark):
+    """A rollup bucketed on a DIFFERENT clock must not serve a windowed
+    overlap — bounding through it would filter the wrong column."""
+    spark.sql(
+        "SELECT user_id, event_type, ts, "
+        "ts + INTERVAL 2 DAYS AS ingested_ts FROM events"
+    ).createOrReplaceTempView("events_ovck")
+    e = _engine(spark)
+    n = spark.table("events_ovck").count()
+    e.catalog.upsert_table_stats("events_ovck", n)
+    e.create_rollup(
+        "events_ovck", "ingested_ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    e.analyze_table("events_ovck", ["user_id"])
+    sql = WINDOWED.replace("events ", "events_ovck ")
+    r = e.query(sql, dual_execute=False)
+    assert r["plan"]["type"] == "exact", r["plan"]
+    # the unwindowed form serves fine from the same state
+    usql = SELF_JOIN.replace("events ", "events_ovck ")
+    assert e.query(usql, dual_execute=False)["plan"]["type"] == "sketch"
+
+
 def test_stale_rollup_declines_and_rerecords(spark):
     """Freshness contract: an append that outdates the serving rollup
     sends the idiom back to exact pass-through (stale state must never
