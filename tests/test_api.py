@@ -516,3 +516,31 @@ def test_audience_diff_endpoint_time_col_fallback(client):
     ).get_json()
     assert out.get("source") == "raw_scan", out
     assert out["union_cnt"] >= max(out["distinct_a"], out["distinct_b"])
+
+
+def test_query_overlap_sql_idiom_over_http(client, engine):
+    """Round 11: the overlap SQL idioms ride the existing POST /query
+    contract. With no serving theta rollup the idiom executes exactly
+    (and its shape enters the theta advisor book); value column follows
+    the AS alias like every other query."""
+    # o_clerk/o_custkey: columns no other module-scoped test tracks in
+    # rollup state, so this stays order-independent
+    sql = (
+        "SELECT COUNT(DISTINCT a.o_custkey) AS oc FROM orders a "
+        "JOIN orders b ON a.o_custkey = b.o_custkey "
+        "WHERE a.o_orderpriority = '1-URGENT' "
+        "AND b.o_orderpriority = '5-LOW'"
+    )
+    r = client.post("/query", json={"sql": sql})
+    body = r.get_json()
+    assert r.status_code == 200 and body["status"] == "ok"
+    assert body["plan"]["type"] == "exact"
+    assert body["result"][0]["oc"] >= 0
+    shapes = [
+        s
+        for s in engine.catalog.rollup_candidates.values()
+        if s.get("theta_cols") == ["o_custkey"]
+    ]
+    assert shapes and shapes[0]["dims"] == ["o_orderpriority"], shapes
+    # clock inferred (orders has exactly one date-typed column)
+    assert shapes[0]["time_col"] == "o_orderdate", shapes
