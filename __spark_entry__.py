@@ -2015,9 +2015,11 @@ ORDER BY seg_a, seg_b
 """
 
 
-#: the four overlap questions q109 asks (two self-join idioms, one
-#: INTERSECT-count idiom, one WINDOWED self-join) over a derived key
-#: with PARTIAL cross-segment
+#: the six overlap questions q109 asks (two self-join idioms, one
+#: INTERSECT-count idiom, one WINDOWED self-join, and the two
+#: unsegmented audience set-ops: returning=INTERSECT / churned=EXCEPT
+#: across different windows) over a derived key with PARTIAL
+#: cross-segment
 #: overlap (event_id % 3000: each ~2000-row segment holds ~1450 distinct
 #: keys of 3000, so pairwise overlaps land near 700 and differ per pair —
 #: a routed answer that returned any segment's own cardinality, or another
@@ -2060,15 +2062,43 @@ _OVERLAP_SQL_PAIRS = [
         "AND b.ts >= TIMESTAMP '2024-01-06 00:00:00' "
         "AND b.ts < TIMESTAMP '2024-01-13 00:00:00'",
     ),
+    # the UNSEGMENTED audience set-op idioms (per-branch windows): keys
+    # present in BOTH periods (returning) and in period 1 but not 2
+    # (churned) — routed as theta intersection/difference of two
+    # p_date-pruned state unions
+    (
+        "returning|w01-08|w08-15",
+        "SELECT COUNT(*) AS overlap_cnt FROM ("
+        "SELECT uid FROM events_ov "
+        "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
+        "INTERSECT "
+        "SELECT uid FROM events_ov "
+        "WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-15 00:00:00') t",
+    ),
+    (
+        "churned|w01-08|w08-15",
+        "SELECT COUNT(*) AS overlap_cnt FROM ("
+        "SELECT uid FROM events_ov "
+        "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
+        "EXCEPT "
+        "SELECT uid FROM events_ov "
+        "WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-15 00:00:00') t",
+    ),
 ]
 
 
 def _q_overlap_sql_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-11 surface (VERDICT r10 #3): segment overlap through the SQL
-    surface, advisor loop included. The two canonical overlap idioms a
+    surface, advisor loop included. The canonical overlap idioms a
     BI user writes — COUNT(DISTINCT key) over a self-join with two
-    segment predicates, and the INTERSECT-count CTE pair
-    (sqlparser.parse_overlap) — run three times with no theta state:
+    segment predicates (unwindowed and windowed), the INTERSECT-count
+    CTE pair, and the unsegmented audience set-ops (returning =
+    INTERSECT / churned = EXCEPT of two period slices)
+    (sqlparser.parse_overlap) — first run with no theta state:
     each executes EXACTLY (pass-through) and records its
     (dims=[event_type], theta_cols=[uid]) shape in the advisor
     observation book, with the table's clock INFERRED from the schema
@@ -2105,16 +2135,26 @@ def _q_overlap_sql_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert r["status"] == "ok", r.get("error")
         assert r["plan"]["type"] == "exact", r["plan"]
         assert "theta state" not in r["plan"]["reason"], r["plan"]
-    # four observations of the SAME (table, clock, dims, theta) shape:
-    # the three unwindowed idioms record with the clock INFERRED, the
-    # windowed one names ts and midnight bounds → the same 1-day grain
-    book = list(eng.catalog.rollup_candidates.values())
-    assert len(book) == 1 and book[0]["count"] == 4, book
-    assert book[0]["time_col"] == "ts", book  # inferred, not named
-    assert book[0]["theta_cols"] == ["uid"], book
+    # two shapes in the book: the four segmented idioms merge into ONE
+    # (dims=[event_type]) candidate — the three unwindowed ones record
+    # with the clock INFERRED, the windowed one names ts and midnight
+    # bounds → the same 1-day grain — and the two unsegmented audience
+    # set-ops merge into a (dims=[]) candidate. Only the recurring
+    # (count >= 3) segmented shape is applied; the materialized rollup
+    # then serves BOTH (an unsegmented branch unions across dim values).
+    book = sorted(
+        eng.catalog.rollup_candidates.values(),
+        key=lambda s: -s["count"],
+    )
+    assert [s["count"] for s in book] == [4, 2], book
+    assert book[0]["dims"] == ["event_type"], book
+    assert book[1]["dims"] == [], book
+    assert all(s["time_col"] == "ts" for s in book), book
+    assert all(s["theta_cols"] == ["uid"] for s in book), book
     applied = eng.apply_rollup_advice(max_apply=1)
     assert applied and applied[0]["applied"] is True, applied
     assert applied[0]["theta_cols"] == ["uid"], applied
+    assert applied[0]["dims"] == ["event_type"], applied
     # null-freedom proof the INTERSECT idiom's routing gate requires
     eng.analyze_table("events_ov", ["uid"])
     rows = []
@@ -2156,6 +2196,30 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
   AND a.ts < TIMESTAMP '2024-01-13 00:00:00'
   AND b.ts >= TIMESTAMP '2024-01-06 00:00:00'
   AND b.ts < TIMESTAMP '2024-01-13 00:00:00'
+UNION ALL
+SELECT 'returning|w01-08|w08-15' AS pair, cnt::BIGINT AS overlap_cnt FROM (
+  SELECT COUNT(*) AS cnt FROM (
+    SELECT DISTINCT event_id % 3000 AS uid FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts < TIMESTAMP '2024-01-08 00:00:00'
+    INTERSECT
+    SELECT DISTINCT event_id % 3000 AS uid FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts < TIMESTAMP '2024-01-15 00:00:00'
+  )
+)
+UNION ALL
+SELECT 'churned|w01-08|w08-15' AS pair, cnt::BIGINT AS overlap_cnt FROM (
+  SELECT COUNT(*) AS cnt FROM (
+    SELECT DISTINCT event_id % 3000 AS uid FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts < TIMESTAMP '2024-01-08 00:00:00'
+    EXCEPT
+    SELECT DISTINCT event_id % 3000 AS uid FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts < TIMESTAMP '2024-01-15 00:00:00'
+  )
+)
 ORDER BY pair
 """
 

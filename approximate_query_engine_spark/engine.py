@@ -2658,9 +2658,13 @@ class AQEngine:
         except Exception:  # noqa: BLE001 - unknown table: pass through
             return None
         key = cmap.get(ov.key_col.lower())
-        seg = cmap.get(ov.segment_col.lower())
-        if key is None or seg is None or key == seg:
+        if key is None:
             return None  # columns the table doesn't have — pass through
+        seg = None
+        if ov.segment_col is not None:
+            seg = cmap.get(ov.segment_col.lower())
+            if seg is None or key == seg:
+                return None
         tcol = None
         if ov.time_col is not None:
             tcol = cmap.get(ov.time_col.lower())
@@ -2672,9 +2676,12 @@ class AQEngine:
             )
         except ValueError:
             entries = []
-        info = pred = None
+        info = pred_a = pred_b = None
         for cand in entries:
-            if seg not in cand.get("dims", []):
+            # an UNSEGMENTED branch unions across every dim value, so
+            # it serves from any theta rollup; a segmented one needs
+            # the segment registered as a dim to slice state by it
+            if seg is not None and seg not in cand.get("dims", []):
                 continue
             if tcol is None:
                 info = cand
@@ -2685,10 +2692,20 @@ class AQEngine:
                 # as the API path)
                 continue
             try:
-                pred = self._aligned_range_pred(cand, ov.lo, ov.hi)
+                pred_a = (
+                    self._aligned_range_pred(cand, ov.lo, ov.hi)
+                    if (ov.lo is not None or ov.hi is not None)
+                    else None
+                )
+                pred_b = (
+                    self._aligned_range_pred(cand, ov.lo_b, ov.hi_b)
+                    if (ov.lo_b is not None or ov.hi_b is not None)
+                    else None
+                )
                 info = cand
                 break
             except ValueError:
+                pred_a = pred_b = None
                 continue  # off this grid — try a finer fresh rollup
         if info is None:
             # exact execution proceeds, but the shape now feeds the
@@ -2698,10 +2715,10 @@ class AQEngine:
             # bounds record nothing (no rollup could ever serve them).
             self._record_overlap_candidate(
                 ov.table,
-                [seg],
+                [seg] if seg is not None else [],
                 key,
                 tcol,
-                _overlap_advice_bucket(ov.lo, ov.hi),
+                _overlap_advice_bucket(ov.lo, ov.hi, ov.lo_b, ov.hi_b),
             )
             return None
         if prefer_exact:
@@ -2720,30 +2737,56 @@ class AQEngine:
                 return None  # NULL-intersection row unprovable — decline
         src = info.get("files_view") or info["view"]
         alias_bt = ov.alias.replace("`", "``")
-        window = f" AND ({pred})" if pred is not None else ""
-        seg_sub = (
-            "(SELECT theta_union_agg(`{key}_theta`) AS sk FROM {src} "
-            "WHERE `{seg}` = {lit}" + window + ") {tag}"
-        )
+
+        def _branch_sub(lit, pred, tag):
+            conds = []
+            if lit is not None:
+                conds.append(f"`{seg}` = {lit}")
+            if pred is not None:
+                conds.append(f"({pred})")
+            where = f" WHERE {' AND '.join(conds)}" if conds else ""
+            return (
+                f"(SELECT theta_union_agg(`{key}_theta`) AS sk "
+                f"FROM {src}{where}) {tag}"
+            )
+
+        if ov.set_op == "except":
+            # A \ empty = A; empty \ B = empty — NULL-state branches
+            # must reproduce exact set semantics, not NULL-propagate
+            est = (
+                "CASE WHEN sa.sk IS NULL THEN 0 "
+                "WHEN sb.sk IS NULL "
+                "THEN ROUND(theta_sketch_estimate(sa.sk)) "
+                "ELSE ROUND(theta_sketch_estimate("
+                "theta_difference(sa.sk, sb.sk))) END"
+            )
+        else:
+            est = (
+                "CASE WHEN sa.sk IS NULL OR sb.sk IS NULL THEN 0 "
+                "ELSE ROUND(theta_sketch_estimate("
+                "theta_intersection(sa.sk, sb.sk))) END"
+            )
         routed_sql = (
-            "SELECT CAST(CASE WHEN sa.sk IS NULL OR sb.sk IS NULL THEN 0 "
-            "ELSE ROUND(theta_sketch_estimate("
-            "theta_intersection(sa.sk, sb.sk))) END AS BIGINT) "
-            f"AS `{alias_bt}` FROM "
-            + seg_sub.format(
-                key=key, src=src, seg=seg, lit=ov.lit_a, tag="sa"
-            )
+            f"SELECT CAST({est} AS BIGINT) AS `{alias_bt}` FROM "
+            + _branch_sub(ov.lit_a, pred_a, "sa")
             + " CROSS JOIN "
-            + seg_sub.format(
-                key=key, src=src, seg=seg, lit=ov.lit_b, tag="sb"
-            )
+            + _branch_sub(ov.lit_b, pred_b, "sb")
+        )
+        shape = (
+            "segment-overlap"
+            if seg is not None
+            else f"audience {ov.set_op}"
         )
         note = (
-            f"segment-overlap idiom ({ov.idiom}) answered from "
+            f"{shape} idiom ({ov.idiom}) answered from "
             f"materialized rollup {info['view']} theta state "
-            "(per-bucket sketches unioned per segment"
-            + (", p_date-pruned to the window" if pred else "")
-            + ", intersected sketch-side; fact table not re-read); "
+            "(per-bucket sketches unioned per branch"
+            + (
+                ", p_date-pruned to the window"
+                if (pred_a or pred_b)
+                else ""
+            )
+            + f", {ov.set_op}ed sketch-side; fact table not re-read); "
             "exact regime "
             f"(catalog ndv {int(ndv)} +10% fits 2^{lgk} nominal budget)"
         )

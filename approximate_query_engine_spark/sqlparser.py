@@ -663,27 +663,37 @@ class OverlapQuery:
       this idiom (engine gates on fresh analyzed null_frac == 0).
 
     Both idioms take an optional TIME WINDOW — the dashboard form
-    ("overlap last week"). The window must be stated SYMMETRICALLY so
-    the overlap semantics are unambiguous: in the self-join idiom, a
-    ``col >= TIMESTAMP 'lo'`` and a ``col < TIMESTAMP 'hi'`` conjunct
-    per alias, identical bounds and column on both sides; in the
-    INTERSECT idiom, the same pair in each branch's WHERE. An
-    asymmetric window (bounds on one side only, or differing bounds)
-    is a different question — rejected, exact pass-through. When
-    present, ``time_col``/``lo``/``hi`` carry the column and the bare
-    literal text (quotes stripped).
+    ("overlap last week"). In the SELF-JOIN idiom the window must be
+    stated SYMMETRICALLY (a ``col >= TIMESTAMP 'lo'`` and a ``col <
+    TIMESTAMP 'hi'`` conjunct per alias, identical bounds and column on
+    both sides) — asymmetric bounds inside one join are a different,
+    murkier question and are rejected. In the set-op idiom each BRANCH
+    is its own set, so each may carry its own window (``lo``/``hi`` for
+    branch A, ``lo_b``/``hi_b`` for branch B) — that is the
+    cross-period form ("segment X last week vs segment Y this week").
+
+    The set-op idiom also comes UNSEGMENTED (``segment_col``/``lit_*``
+    = None): two windowed slices of the SAME key column combined with
+    INTERSECT ("returning users": in both periods) or EXCEPT
+    ("churned"/"new": in one period, not the other — ``set_op``
+    records which, branch order preserved). At least one branch must be
+    windowed or segmented; a fully unconstrained pair is the identity
+    question and is rejected.
     """
 
     table: str
     key_col: str
-    segment_col: str
-    lit_a: str  # literal text as written, e.g. "'click'" or "3"
-    lit_b: str
+    segment_col: str | None
+    lit_a: str | None  # literal text as written, e.g. "'click'" or "3"
+    lit_b: str | None
     alias: str  # required output-column alias
     idiom: str  # "self_join" | "intersect"
     time_col: str | None = None
-    lo: str | None = None  # bare timestamp text, e.g. 2024-01-03 00:00:00
+    lo: str | None = None  # branch A window (bare timestamp text)
     hi: str | None = None
+    lo_b: str | None = None  # branch B window; self-join mirrors A's
+    hi_b: str | None = None
+    set_op: str = "intersect"  # "intersect" | "except" (set-op idiom)
 
 
 #: string literal (with '' escape) or numeric literal
@@ -771,7 +781,7 @@ def parse_overlap(sql: str) -> OverlapQuery:
     # misroute a valid self-join idiom into the INTERSECT parser
     masked = _mask_string_literals(sql)
     if re.match(r"^\s*WITH\b", masked, re.IGNORECASE) or re.search(
-        r"\bINTERSECT\b", masked, re.IGNORECASE
+        r"\b(?:INTERSECT|EXCEPT)\b", masked, re.IGNORECASE
     ):
         return _parse_overlap_intersect(sql)
     if re.search(r"\bJOIN\b", masked, re.IGNORECASE):
@@ -876,6 +886,8 @@ def _parse_overlap_self_join(sql: str) -> OverlapQuery:
         time_col=time_col,
         lo=lo,
         hi=hi,
+        lo_b=lo,
+        hi_b=hi,
     )
 
 
@@ -923,7 +935,7 @@ def _validate_symmetric_window(
 
 
 def _parse_overlap_intersect(sql: str) -> OverlapQuery:
-    ctes: dict[str, tuple[str, str, str, str]] = {}  # name -> branch parts
+    ctes: dict[str, tuple] = {}  # name -> branch parts
     rest = sql
     m = re.match(r"^\s*WITH\s+", rest, re.IGNORECASE)
     if m:
@@ -949,20 +961,32 @@ def _parse_overlap_intersect(sql: str) -> OverlapQuery:
     )
     if not mm:
         raise UnsupportedQueryError(
-            "overlap INTERSECT idiom is SELECT COUNT(*) AS alias FROM (...)"
+            "overlap set-op idiom is SELECT COUNT(*) AS alias FROM (...)"
         )
     alias = mm.group(1)
     inner, end = _extract_balanced(rest, mm.end() - 1)
     tail = rest[end:].strip()
     if tail and not re.match(r"^(?:AS\s+)?[A-Za-z_]\w*$", tail, re.IGNORECASE):
         raise UnsupportedQueryError(f"unexpected trailing clause: {tail!r}")
-    if re.search(r"\bINTERSECT\s+ALL\b", inner, re.IGNORECASE):
+    masked_inner = _mask_string_literals(inner)
+    if re.search(
+        r"\b(?:INTERSECT|EXCEPT)\s+ALL\b", masked_inner, re.IGNORECASE
+    ):
         raise UnsupportedQueryError(
-            "INTERSECT ALL is bag semantics, not a distinct overlap"
+            "INTERSECT/EXCEPT ALL is bag semantics, not a distinct overlap"
         )
-    sides = _split_top_keyword(inner, "INTERSECT")
+    has_intersect = bool(
+        re.search(r"\bINTERSECT\b", masked_inner, re.IGNORECASE)
+    )
+    has_except = bool(re.search(r"\bEXCEPT\b", masked_inner, re.IGNORECASE))
+    if has_intersect and has_except:
+        raise UnsupportedQueryError("exactly one set operator")
+    set_op = "intersect" if has_intersect else "except"
+    sides = _split_top_keyword(
+        inner, "INTERSECT" if has_intersect else "EXCEPT"
+    )
     if len(sides) != 2:
-        raise UnsupportedQueryError("exactly one top-level INTERSECT")
+        raise UnsupportedQueryError("exactly one top-level set operator")
     branches = []
     for side in sides:
         side = _strip_outer_parens(side)
@@ -983,15 +1007,28 @@ def _parse_overlap_intersect(sql: str) -> OverlapQuery:
         else:
             branches.append(_parse_overlap_branch(side))
     (ta, ka, sa, la, wa), (tb, kb, sb, lb, wb) = branches
-    if ta.lower() != tb.lower() or ka.lower() != kb.lower() or (
-        sa.lower() != sb.lower()
-    ):
+    if ta.lower() != tb.lower() or ka.lower() != kb.lower():
         raise UnsupportedQueryError(
-            "both INTERSECT sides must slice the same table/key/segment"
+            "both set-op sides must slice the same table and key"
         )
-    time_col, lo, hi = _validate_symmetric_window(
-        {"a": wa, "b": wb} if (wa or wb) else {}, ["a", "b"]
-    )
+    if (sa is None) != (sb is None):
+        raise UnsupportedQueryError(
+            "segment either on both sides or neither"
+        )
+    if sa is not None and sa.lower() != sb.lower():
+        raise UnsupportedQueryError(
+            "both sides must filter the SAME segment column"
+        )
+    ca, lo_a, hi_a = _branch_window(wa)
+    cb, lo_b, hi_b = _branch_window(wb)
+    if ca is not None and cb is not None and ca.lower() != cb.lower():
+        raise UnsupportedQueryError(
+            "both windows must bound the same time column"
+        )
+    if sa is None and ca is None and cb is None:
+        raise UnsupportedQueryError(
+            "unsegmented unwindowed set-op is the identity question"
+        )
     return OverlapQuery(
         table=ta,
         key_col=ka,
@@ -1000,10 +1037,37 @@ def _parse_overlap_intersect(sql: str) -> OverlapQuery:
         lit_b=lb,
         alias=alias,
         idiom="intersect",
-        time_col=time_col,
-        lo=lo,
-        hi=hi,
+        time_col=ca or cb,
+        lo=lo_a,
+        hi=hi_a,
+        lo_b=lo_b,
+        hi_b=hi_b,
+        set_op=set_op,
     )
+
+
+def _branch_window(
+    preds: list[tuple[str, str, str]],
+) -> tuple[str | None, str | None, str | None]:
+    """(time_col, lo, hi) from one branch's time conjuncts: exactly one
+    ``>=`` and one ``<`` on a single column, or no bounds at all. A
+    half-open branch (a lone >= or <) raises — it is a different
+    question than a windowed slice."""
+    if not preds:
+        return None, None, None
+    if len(preds) != 2:
+        raise UnsupportedQueryError(
+            "branch window is one >= and one < bound"
+        )
+    ops = {op: (col, lit) for col, op, lit in preds}
+    if set(ops) != {">=", "<"}:
+        raise UnsupportedQueryError(
+            "branch window is one >= and one < bound"
+        )
+    (lo_col, lo), (hi_col, hi) = ops[">="], ops["<"]
+    if lo_col.lower() != hi_col.lower():
+        raise UnsupportedQueryError("window bounds must share one column")
+    return lo_col, lo, hi
 
 
 def _parse_overlap_branch(
@@ -1038,9 +1102,9 @@ def _parse_overlap_branch(
             time_preds.append((col, op, tlit))
             continue
         raise UnsupportedQueryError(f"not an overlap predicate: {c!r}")
-    if seg is None:
+    if seg is None and not time_preds:
         raise UnsupportedQueryError(f"not an overlap branch: {text!r}")
-    if seg.lower() == key.lower():
+    if seg is not None and seg.lower() == key.lower():
         raise UnsupportedQueryError("segment column must differ from key")
     return table, key, seg, lit, time_preds
 
@@ -1067,7 +1131,11 @@ def try_parse_overlap(sql: str) -> OverlapQuery | None:
     """Best-effort overlap-idiom parse; None → not an overlap query."""
     upper = sql.upper()
     # cheap pre-filter: every idiom carries one of these tokens
-    if "JOIN" not in upper and "INTERSECT" not in upper:
+    if (
+        "JOIN" not in upper
+        and "INTERSECT" not in upper
+        and "EXCEPT" not in upper
+    ):
         return None
     try:
         return parse_overlap(sql)

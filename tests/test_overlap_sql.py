@@ -419,6 +419,123 @@ def test_windowed_overlap_wrong_clock_declines(spark):
     assert e.query(usql, dual_execute=False)["plan"]["type"] == "sketch"
 
 
+W1 = (
+    "ts >= TIMESTAMP '2024-01-01 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-04 00:00:00'"
+)
+W2 = (
+    "ts >= TIMESTAMP '2024-01-04 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-07 00:00:00'"
+)
+RETURNING = (
+    f"SELECT COUNT(*) AS oc FROM (SELECT user_id FROM events WHERE {W1} "
+    f"INTERSECT SELECT user_id FROM events WHERE {W2}) t"
+)
+CHURNED = (
+    f"SELECT COUNT(*) AS oc FROM (SELECT user_id FROM events WHERE {W1} "
+    f"EXCEPT SELECT user_id FROM events WHERE {W2}) t"
+)
+
+
+def test_parse_audience_setop_idioms():
+    """Unsegmented per-branch-windowed set-ops: INTERSECT = returning,
+    EXCEPT = churned (branch order preserved); cross-period SEGMENTED
+    branches parse too; the identity question (no segment, no windows)
+    and mixed segmented/unsegmented sides are rejected."""
+    ov = try_parse_overlap(RETURNING)
+    assert ov is not None and (ov.set_op, ov.segment_col) == (
+        "intersect", None,
+    )
+    assert (ov.lo, ov.lo_b) == (
+        "2024-01-01 00:00:00", "2024-01-04 00:00:00",
+    )
+    ch = try_parse_overlap(CHURNED)
+    assert ch is not None and ch.set_op == "except"
+    xseg = try_parse_overlap(
+        "SELECT COUNT(*) AS oc FROM ("
+        f"SELECT user_id FROM events WHERE event_type = 'click' AND {W1} "
+        "INTERSECT "
+        f"SELECT user_id FROM events WHERE event_type = 'view' AND {W2}"
+        ") t"
+    )
+    assert xseg is not None and xseg.segment_col == "event_type"
+    assert (xseg.lo, xseg.lo_b) == (
+        "2024-01-01 00:00:00", "2024-01-04 00:00:00",
+    )
+    for bad in (
+        # identity question: no segment, no windows
+        "SELECT COUNT(*) AS c FROM (SELECT u FROM t "
+        "INTERSECT SELECT u FROM t) x",
+        # mixed segmented / unsegmented sides
+        f"SELECT COUNT(*) AS c FROM (SELECT u FROM t WHERE s = 'x' "
+        f"INTERSECT SELECT u FROM t WHERE {W1}) x",
+        # bag semantics
+        f"SELECT COUNT(*) AS c FROM (SELECT u FROM t WHERE {W1} "
+        f"EXCEPT ALL SELECT u FROM t WHERE {W2}) x",
+        # half-open branch window
+        "SELECT COUNT(*) AS c FROM (SELECT u FROM t "
+        "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+        "INTERSECT SELECT u FROM t WHERE s = 'y') x",
+    ):
+        assert try_parse_overlap(bad) is None, bad
+
+
+def test_audience_setops_route_and_match_exact(spark):
+    """returning/churned answer from two p_date-pruned state unions,
+    intersected/differenced sketch-side — exactly, under the same
+    exact-regime + null-free proofs; the cross-period segmented form
+    routes through the same state."""
+    e = _engine(spark)
+    e.create_rollup(
+        "events", "ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    e.analyze_table("events", ["user_id"])
+    xseg = (
+        "SELECT COUNT(*) AS oc FROM ("
+        f"SELECT user_id FROM events WHERE event_type = 'click' AND {W1} "
+        "INTERSECT "
+        f"SELECT user_id FROM events WHERE event_type = 'view' AND {W2}"
+        ") t"
+    )
+    for sql in (RETURNING, CHURNED, xseg):
+        r = e.query(sql, dual_execute=False)
+        assert r["plan"]["type"] == "sketch", (sql, r["plan"])
+        assert "p_date-pruned" in r["plan"]["reason"], r["plan"]
+        assert r["result"][0]["oc"] == _exact(spark, sql), sql
+    # EXCEPT against a segment absent from state: A \ empty = |A|,
+    # not NULL — the CASE arm must reproduce exact set semantics
+    ghost = (
+        "SELECT COUNT(*) AS oc FROM ("
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "EXCEPT "
+        "SELECT user_id FROM events WHERE event_type = 'ghost') t"
+    )
+    r = e.query(ghost, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, ghost)
+
+
+def test_unsegmented_audience_records_dimless_shape(spark):
+    """An unrouted audience set-op records a (dims=[], theta_cols=[key])
+    candidate — the advisor can materialize a dimension-less theta
+    rollup for pure period-over-period workloads."""
+    e = _engine(spark)
+    for _ in range(3):
+        r = e.query(RETURNING, dual_execute=False)
+        assert r["plan"]["type"] == "exact", r["plan"]
+    book = list(e.catalog.rollup_candidates.values())
+    assert len(book) == 1 and book[0]["count"] == 3, book
+    assert book[0]["dims"] == [], book
+    assert book[0]["theta_cols"] == ["user_id"], book
+    applied = e.apply_rollup_advice(max_apply=1)
+    assert applied and applied[0]["applied"] is True, applied
+    e.analyze_table("events", ["user_id"])
+    r = e.query(RETURNING, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, RETURNING)
+
+
 def test_stale_rollup_declines_and_rerecords(spark):
     """Freshness contract: an append that outdates the serving rollup
     sends the idiom back to exact pass-through (stale state must never
