@@ -1553,6 +1553,162 @@ FROM s ORDER BY doc_id, chunk_id
 """
 
 
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 pipeline surface: line-level BOILERPLATE removal
+    (functions/boilerplate.py — the CCNet/RefinedWeb corpus cleanup that
+    strips lines recurring across many documents while keeping each
+    document's unique body). The documents table is single-line, so the
+    query synthesizes the web-corpus shape deterministically: every doc
+    gains a shared subscribe banner, docs divisible by 3 share a
+    copyright footer, the rest get a unique signature line. Banner
+    (all docs) and footer (~1/3) cross the 40-distinct-doc threshold and
+    are stripped; bodies and signatures survive. The oracle replays the
+    identical split → normalized-line frequency → threshold → ordered
+    rebuild in DuckDB; cleaned text compares via md5 so the hash check
+    covers every surviving byte and the original line order."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.boilerplate import (
+        remove_boilerplate,
+    )
+
+    _prep(spark, sf_dir)
+    corpus = spark.table("documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Subscribe To Our Newsletter"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("(c) 2024 Example Corp")
+            ).otherwise(
+                F.concat(F.lit("signed note "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    out = remove_boilerplate(corpus, min_docs=40)
+    return out.select(
+        "doc_id",
+        "lines_total",
+        "lines_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+_BOILERPLATE_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id,
+         concat_ws(chr(10), 'Subscribe To Our Newsletter', text,
+           CASE WHEN doc_id % 3 = 0 THEN '(c) 2024 Example Corp'
+                ELSE 'signed note ' || CAST(doc_id AS VARCHAR) END) AS text
+  FROM documents
+), parts AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls FROM corpus
+), pos_rows AS (
+  SELECT doc_id, UNNEST(range(0, len(ls))) AS pos, ls FROM parts
+), norm AS (
+  SELECT doc_id, pos, ls[pos + 1] AS line,
+         lower(trim(ls[pos + 1])) AS nline
+  FROM pos_rows
+), bp AS (
+  SELECT nline FROM norm WHERE length(nline) >= 1
+  GROUP BY nline HAVING COUNT(DISTINCT doc_id) >= 40
+)
+SELECT n.doc_id,
+       COUNT(*) AS lines_total,
+       CAST(COALESCE(SUM(CASE WHEN b.nline IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS lines_removed,
+       md5(COALESCE(string_agg(CASE WHEN b.nline IS NULL THEN n.line END,
+                               chr(10) ORDER BY n.pos), '')) AS clean_md5
+FROM norm n LEFT JOIN bp b ON n.nline = b.nline
+GROUP BY n.doc_id
+ORDER BY n.doc_id
+"""
+
+
+def _q_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 similarity surface: SCALAR QUANTIZATION of the embedding
+    column (functions/quantization.py — the FAISS SQ8 layout: per-dim
+    min/max fit, 8-bit affine codes, 4x smaller broadcast/shuffle) and
+    brute-phase kNN over the integer codes. The per-dim fit, the code
+    arithmetic (float64, pinned op order, half-up rounding on
+    non-negative values) and the integer dot products are all replayable
+    in DuckDB, so ids + rank AND the integer code checksum sit under the
+    driver hash — the whole quantize → shortlist pipeline is
+    value-checked, not just the final ordering."""
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.quantization import (
+        ScalarQuantizer,
+        knn_join_quantized,
+    )
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = ScalarQuantizer.fit(emb)
+    knn = knn_join_quantized(
+        emb.where(F.col("vec_id") < 40), emb, q, k=3, exclude_self=True
+    ).select("query_id", "neighbor_id", "rank")
+    codesum = (
+        q.encode(emb.where(F.col("vec_id") < 40))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.aggregate(
+                "codes", F.lit(0).cast("long"), lambda a, v: a + v
+            ).alias("code_sum"),
+        )
+    )
+    return knn.join(codesum, "query_id")
+
+
+_QUANTIZED_KNN_ORACLE = """
+WITH dims AS (
+  SELECT UNNEST(range(0, len(embedding))) AS d, embedding FROM embeddings
+), stats AS (
+  SELECT d, MIN(embedding[d + 1]::DOUBLE) AS mn,
+         MAX(embedding[d + 1]::DOUBLE) AS mx
+  FROM dims GROUP BY d
+), params AS (
+  SELECT list(mn ORDER BY d) AS mins,
+         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END
+              ORDER BY d) AS scales
+  FROM stats
+), codes AS (
+  SELECT vec_id,
+         list_transform(range(0, len(embedding)), i ->
+           CAST(round((embedding[i + 1]::DOUBLE - mins[i + 1])
+                      * scales[i + 1]) AS INT)) AS c
+  FROM embeddings, params
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(range(0, len(a.c)), i ->
+           CAST(a.c[i + 1] AS BIGINT) * b.c[i + 1])) AS dot,
+         sqrt(CAST(list_sum(list_transform(a.c, x ->
+           CAST(x AS BIGINT) * x)) AS DOUBLE)) AS na,
+         sqrt(CAST(list_sum(list_transform(b.c, x ->
+           CAST(x AS BIGINT) * x)) AS DOUBLE)) AS nb
+  FROM codes a CROSS JOIN codes b
+  WHERE a.vec_id < 40 AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           CASE WHEN na > 0 AND nb > 0
+                THEN (CAST(dot AS DOUBLE) / na) / nb ELSE 0.0 END DESC,
+           neighbor_id) AS rank
+  FROM pairs
+), codesum AS (
+  SELECT vec_id AS query_id,
+         CAST(list_sum(list_transform(c, x -> CAST(x AS BIGINT)))
+              AS BIGINT) AS code_sum
+  FROM codes WHERE vec_id < 40
+)
+SELECT r.query_id, r.neighbor_id, r.rank, s.code_sum
+FROM ranked r JOIN codesum s USING (query_id)
+WHERE r.rank <= 3
+ORDER BY r.query_id, r.rank
+"""
+
+
 _HIERARCHY_SQL = (
     "SELECT event_type, DATE_TRUNC('WEEK', ts) AS wk, COUNT(*) AS n, "
     "COUNT(value) AS nv, MIN(value) AS mn, MAX(value) AS mx "
@@ -4259,6 +4415,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: keeps q62/q92), q64 (retention — the date-arithmetic family's
 #: q45 comes IN this round), q71 (mixture sampling — the pipeline
 #: family keeps q72/q78).
+#: Late round-11 additions: q111 (line-level boilerplate removal — the
+#: CCNet/RefinedWeb corpus cleanup; a NEW operator family, so it must
+#: hold a driver row this round) and q112 (scalar-quantized embeddings +
+#: kNN over integer codes — the FAISS SQ8 layout). In exchange: q59
+#: (TF-IDF — driver-checked r4–r10; the text family keeps q66
+#: corpus_prepare and gains q111) and q60 (brute kNN join —
+#: driver-checked r4–r10; q112 exercises the identical join shape PLUS
+#: the quantizer, and the similarity family keeps q80 embedding
+#: near-dup in-window).
 #: Everything NOT in this list still registers, after the window, and
 #: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
@@ -4281,8 +4446,8 @@ _CHECK_WINDOW_ORDER = [
     "q16_setop",
     "q95_rollup_hybrid",
     "q94_rollup_join",
-    "q59_tfidf",
-    "q60_knn_join",
+    "q111_boilerplate",
+    "q112_quantized_knn",
     "q44_string_funcs",
     "q62_stream_sessions",
     "q45_date_funcs",
@@ -4401,6 +4566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q108_theta_advisor_loop"] = _q_theta_advisor_loop
     out["q109_overlap_sql_routing"] = _q_overlap_sql_routing
     out["q110_advisor_repair_loop"] = _q_advisor_repair_loop
+    out["q111_boilerplate"] = _q_boilerplate
+    out["q112_quantized_knn"] = _q_quantized_knn
     return _reorder_check_window(out)
 
 
@@ -4472,5 +4639,7 @@ def oracle_sql() -> dict[str, str]:
     out["q108_theta_advisor_loop"] = _THETA_ADVISOR_ORACLE
     out["q109_overlap_sql_routing"] = _OVERLAP_SQL_ORACLE
     out["q110_advisor_repair_loop"] = _REPAIR_ORACLE
+    out["q111_boilerplate"] = _BOILERPLATE_ORACLE
+    out["q112_quantized_knn"] = _QUANTIZED_KNN_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

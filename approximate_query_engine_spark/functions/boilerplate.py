@@ -1,0 +1,154 @@
+"""Line-level boilerplate removal (beyond-reference training-data op).
+
+The standard corpus cleanup the CCNet / RefinedWeb / Dolma pipelines run
+before dedup: split every document into lines, count how many DISTINCT
+documents each normalized line appears in, and strip the lines that recur
+across many documents — navigation bars, cookie banners, subscribe
+prompts, copyright footers. Unlike document-level dedup (functions/
+dedup.py) this removes the repeated FRAGMENTS while keeping the unique
+body of every document.
+
+Spark-first plan, and why it holds at 100 TB:
+
+- ``split_lines`` is a scan-side ``posexplode`` — a flatMap, zero
+  shuffle, and Catalyst prunes the scan to (id, text).
+- ``line_doc_frequency`` is one hash aggregation keyed by the normalized
+  line. Spark plans COUNT(DISTINCT id) as a two-stage partial aggregate
+  ((line, id) pre-combine map-side, then per-line count), so the shuffle
+  carries one row per distinct (line, doc) pair, not per occurrence.
+- The boilerplate SET (lines above the threshold) is the join side of
+  the removal pass. Its size is bounded by the threshold — a line needs
+  ``min_docs`` distinct documents to qualify, so at most
+  ``total_docs / min_docs`` lines qualify — and AQE converts the join to
+  a broadcast at runtime when it fits (we don't force the hint because
+  the bound is data-dependent).
+- Reconstruction is ONE groupBy(id): lines carry their position through
+  the explode, ``array_sort`` over collected (pos, line, is_bp) structs
+  restores document order, and a higher-order ``filter`` + ``array_join``
+  rebuilds the cleaned text JVM-side. No window function, no second
+  shuffle, no Python.
+
+Every formula is replayable in ANSI SQL (string_split + unnest + group
+by + left join + ordered string_agg), so the whole operator sits under
+the DuckDB value-hash gate (q111).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_line_expr(line: Column) -> Column:
+    """Case-folded, whitespace-trimmed line key used for frequency
+    counting. Matching is exact on the normalized form — the CCNet
+    convention — so near-identical banners that differ in wording stay
+    (that's document-level near-dup's job, not line removal's)."""
+    return F.lower(F.trim(line))
+
+
+def split_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per (document, line): ``(id_col, pos, line)``.
+
+    Scan-side flatMap (posexplode of a split) — zero shuffle. NULL text
+    is treated as the empty document (one empty line) so no document
+    ever drops out of the pipeline.
+    """
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
+    )
+
+
+def line_doc_frequency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Distinct-document frequency per normalized line:
+    ``(nline, doc_count)``.
+
+    Lines whose normalized form is shorter than ``min_chars`` are
+    excluded (blank/whitespace lines are document structure, not
+    boilerplate). One aggregation; Spark's two-stage distinct plan keeps
+    the shuffle at one row per (line, doc) pair.
+    """
+    lines = split_lines(df, text_col, id_col)
+    return (
+        lines.select(
+            F.col(id_col), normalized_line_expr(F.col("line")).alias("nline")
+        )
+        .where(F.length("nline") >= int(min_chars))
+        .groupBy("nline")
+        .agg(F.countDistinct(id_col).alias("doc_count"))
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+    min_chars: int = 1,
+) -> DataFrame:
+    """The normalized lines flagged as boilerplate:
+    ``(nline, doc_count)`` where ``doc_count >= min_docs``."""
+    return line_doc_frequency(df, text_col, id_col, min_chars).where(
+        F.col("doc_count") >= int(min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Strip lines that appear in ``>= min_docs`` distinct documents.
+
+    Returns one row per input document (no document ever vanishes, even
+    when every line is boilerplate):
+
+    - ``id_col``
+    - ``clean_text``    — surviving lines rejoined with ``\\n`` in their
+      original order ('' when everything was removed). The ORIGINAL line
+      text survives; normalization affects matching only.
+    - ``lines_total``   — lines before removal
+    - ``lines_removed`` — lines stripped
+
+    Join the result back to the source on ``id_col`` to recover the
+    document's other columns (id-equi join; the result is exactly one
+    row per id).
+    """
+    lines = split_lines(df, text_col, id_col)
+    bp = (
+        boilerplate_lines(df, text_col, id_col, min_docs, min_chars)
+        .select("nline", F.lit(True).alias("is_bp"))
+    )
+    flagged = (
+        lines.withColumn("nline", normalized_line_expr(F.col("line")))
+        .join(bp, "nline", "left")
+        .select(
+            id_col,
+            F.struct(
+                F.col("pos"),
+                F.col("line"),
+                F.coalesce(F.col("is_bp"), F.lit(False)).alias("is_bp"),
+            ).alias("entry"),
+        )
+    )
+    ordered = F.array_sort(F.collect_list("entry"))
+    kept = F.filter(ordered, lambda e: ~e["is_bp"])
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(kept, lambda e: e["line"]), "\n"
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("lines_total"),
+        F.sum(F.col("entry")["is_bp"].cast("int")).alias("lines_removed"),
+    )

@@ -1,0 +1,91 @@
+"""Line-level boilerplate removal (functions/boilerplate.py): frequency
+counting, threshold flagging, order-preserving reconstruction, and the
+no-document-vanishes invariant."""
+
+from pyspark.sql import functions as F
+
+from approximate_query_engine_spark.functions.boilerplate import (
+    boilerplate_lines,
+    line_doc_frequency,
+    remove_boilerplate,
+    split_lines,
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, "COOKIE BANNER\nalpha body one\nunique footer 1"),
+        (2, "cookie banner\nbeta body two\nshared promo"),
+        (3, "Cookie Banner\ngamma body three\nshared promo"),
+        (4, "cookie banner\n\ndelta body four\nshared promo"),
+        (5, None),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_split_lines_positions_and_null_safety(spark):
+    out = split_lines(_corpus(spark)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.line))
+    assert by_doc[1] == [
+        (0, "COOKIE BANNER"), (1, "alpha body one"), (2, "unique footer 1"),
+    ]
+    assert by_doc[4][1] == (1, "")  # interior empty line keeps its slot
+    assert by_doc[5] == [(0, "")]  # NULL text = empty document, not dropped
+    assert by_doc[6] == [(0, "")]
+
+
+def test_line_doc_frequency_is_distinct_doc_count(spark):
+    df = _corpus(spark).union(
+        _corpus(spark).sparkSession.createDataFrame(
+            [(7, "shared promo\nshared promo")], ["doc_id", "text"]
+        )
+    )
+    freq = {
+        r.nline: r.doc_count for r in line_doc_frequency(df).collect()
+    }
+    assert freq["cookie banner"] == 4  # case/trim-normalized match
+    assert freq["shared promo"] == 4  # doc 7's duplicate line counts once
+    assert freq["alpha body one"] == 1
+    assert "" not in freq  # blank lines are structure, never boilerplate
+
+
+def test_remove_boilerplate_keeps_order_and_every_doc(spark):
+    out = remove_boilerplate(_corpus(spark), min_docs=3)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}  # no document vanishes
+    # banner (4 docs) and promo (3 docs) stripped; bodies/footers kept
+    assert rows[1].clean_text == "alpha body one\nunique footer 1"
+    assert rows[2].clean_text == "beta body two"
+    assert rows[4].clean_text == "\ndelta body four"  # blank line survives
+    assert (rows[1].lines_total, rows[1].lines_removed) == (3, 1)
+    assert (rows[4].lines_total, rows[4].lines_removed) == (4, 2)
+    assert rows[5].clean_text == "" and rows[5].lines_removed == 0
+
+
+def test_remove_boilerplate_all_lines_removed_yields_empty(spark):
+    df = spark.createDataFrame(
+        [(i, "same line") for i in range(5)], ["doc_id", "text"]
+    )
+    out = remove_boilerplate(df, min_docs=5)
+    assert out.count() == 5
+    r = out.where(F.col("doc_id") == 0).collect()[0]
+    assert r.clean_text == "" and r.lines_removed == 1
+
+
+def test_threshold_and_min_chars_gates(spark):
+    df = _corpus(spark)
+    bp = {r.nline for r in boilerplate_lines(df, min_docs=4).collect()}
+    assert bp == {"cookie banner"}  # promo at 3 docs stays below 4
+    # a high min_chars exempts short lines from flagging
+    short = spark.createDataFrame(
+        [(i, "ok\nlong shared boilerplate line") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    bp2 = {
+        r.nline
+        for r in boilerplate_lines(short, min_docs=3, min_chars=5).collect()
+    }
+    assert bp2 == {"long shared boilerplate line"}

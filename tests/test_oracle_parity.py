@@ -119,7 +119,7 @@ def test_check_window_ordering():
         "q43_semi_join": "q83_join_aqp",
         # upgraded from rows-only to oracled in round 4 (portable
         # hyperplane-fold oracle); its component family is in-window
-        "q34_lsh_topk": "q60_knn_join",  # r9: q28 exiled too
+        "q34_lsh_topk": "q112_quantized_knn",  # r9: q28 exiled too
         # round-5 rotation (VERDICT r04 instruction 1): the round-4
         # flagship surfaces q47/q78-q84 moved INTO the window; these
         # redundant exact-SQL slots moved out, each with an in-window
@@ -129,7 +129,7 @@ def test_check_window_ordering():
         "q19_case_agg": "q74_group_sum_having",  # exact scalar-agg family
         "q26_dedup_exact_docs": "q69_dedup_keep_best",
         "q29_percentiles": "q81_quantile_aqp",
-        "q58_doc_frequency": "q59_tfidf",
+        "q58_doc_frequency": "q66_corpus_prepare",  # r11: q59 exiled too
         "q63_approx_join": "q83_join_aqp",
         # q25's language-ID runs inside the in-window q66 corpus chain
         # (reject_reason uses lang + quality components)
@@ -174,7 +174,7 @@ def test_check_window_ordering():
         # for the top-items family) in; these long-stable slots moved
         # out, each with an in-window family representative.
         "q35_stream_window": "q62_stream_sessions",  # streaming family
-        "q28_ann_topk": "q60_knn_join",  # similarity family
+        "q28_ann_topk": "q112_quantized_knn",  # similarity family
         # round-10 rotation (VERDICT r9 instruction 1): q107 moved INTO
         # the window; q86 (exact partition-layout routing, multiply
         # checked r6-r9) moved out — the partition-routing family keeps
@@ -198,6 +198,11 @@ def test_check_window_ordering():
         "q61_funnel": "q62_stream_sessions",  # events-analytics family
         "q64_retention": "q45_date_funcs",  # date-arithmetic family
         "q71_mixture_sample": "q72_token_budget",  # pipeline family
+        # late round 11: the new q111 (boilerplate removal) and q112
+        # (scalar-quantized kNN) surfaces moved INTO the window; these
+        # two multiply-checked (r4-r10) slots moved out.
+        "q59_tfidf": "q66_corpus_prepare",  # text/corpus family
+        "q60_knn_join": "q112_quantized_knn",  # same join shape + codes
     }
     for name in names[50:]:
         if name in oracled:

@@ -1,0 +1,103 @@
+"""Scalar quantization (functions/quantization.py): fit/encode/decode
+round trips, code range, quantized kNN vs exact kNN recall, and the
+zero-norm cosine guard."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from approximate_query_engine_spark.functions.quantization import (
+    ScalarQuantizer,
+    knn_join_quantized,
+    quantized_cosine_expr,
+    recall_at_k,
+)
+from approximate_query_engine_spark.functions.similarity import knn_join
+
+
+def _vectors(spark):
+    rows = [
+        (0, [0.0, 1.0, 2.0]),
+        (1, [0.5, 1.0, 0.0]),
+        (2, [1.0, 0.0, 4.0]),
+        (3, [0.25, 0.5, 3.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_fit_and_code_range(spark):
+    df = _vectors(spark)
+    q = ScalarQuantizer.fit(df, levels=256)
+    assert q.mins == (0.0, 0.0, 0.0)
+    assert q.scales[0] == 255.0 / 1.0
+    codes = {r.vec_id: r.codes for r in q.encode(df).collect()}
+    assert codes[0] == [0, 255, 128]  # min→0, max→255, half rounds up
+    assert codes[2] == [255, 0, 255]
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+
+
+def test_constant_dimension_codes_zero(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 7.0]), (1, [2.0, 7.0])], ["vec_id", "embedding"]
+    )
+    q = ScalarQuantizer.fit(df)
+    assert q.scales[1] == 0.0
+    codes = {r.vec_id: r.codes for r in q.encode(df).collect()}
+    assert codes[0][1] == 0 and codes[1][1] == 0
+    # decode returns the dimension's min for constant dims
+    dec = q.encode(df).select(
+        q.decode_expr("codes").alias("d")
+    ).collect()
+    assert all(abs(r.d[1] - 7.0) < 1e-12 for r in dec)
+
+
+def test_decode_reconstruction_error_bounded(spark):
+    df = _vectors(spark)
+    q = ScalarQuantizer.fit(df)
+    out = q.encode(df).select(
+        "embedding", q.decode_expr("codes").alias("dec")
+    ).collect()
+    for r in out:
+        for x, y in zip(r.embedding, r.dec):
+            # max error is half a quantization cell
+            assert abs(x - y) <= 0.5 * (4.0 / 255.0) + 1e-12
+
+
+def test_zero_norm_cosine_is_zero(spark):
+    df = spark.createDataFrame(
+        [(0, [0, 0], [1, 2])], ["i", "a", "b"]
+    )
+    r = df.select(
+        quantized_cosine_expr(F.col("a"), F.col("b")).alias("c")
+    ).collect()[0]
+    assert r.c == 0.0
+
+
+def test_quantized_knn_high_recall_vs_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    # 20 well-separated clusters of 6: each row's exact top-5 is its 5
+    # cluster-mates, with a wide cosine margin to every other cluster —
+    # the regime quantized shortlisting must preserve. (On UNIFORM random
+    # vectors adjacent cosines differ by less than the quantization
+    # noise, so rank flips there are expected, not a defect.)
+    rows = []
+    for c in range(20):
+        center = [rng.uniform(-1, 1) for _ in range(16)]
+        for j in range(6):
+            rows.append((
+                c * 6 + j,
+                [x + rng.uniform(-0.02, 0.02) for x in center],
+            ))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = ScalarQuantizer.fit(df)
+    exact = knn_join(df, df, k=5, exclude_self=True)
+    approx = knn_join_quantized(df, df, q, k=5, exclude_self=True)
+    rec = recall_at_k(exact, approx).agg(F.avg("recall")).collect()[0][0]
+    # 8-bit codes keep every cluster-mate in the shortlist
+    assert rec > 0.98, rec
+    # sanity on shape: every query has exactly k ranked neighbors
+    per = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per)
+    assert not math.isnan(rec)
