@@ -1676,8 +1676,9 @@ WITH dims AS (
 ), codes AS (
   SELECT vec_id,
          list_transform(range(0, len(embedding)), i ->
-           CAST(round((embedding[i + 1]::DOUBLE - mins[i + 1])
-                      * scales[i + 1]) AS INT)) AS c
+           LEAST(GREATEST(
+             CAST(round((embedding[i + 1]::DOUBLE - mins[i + 1])
+                        * scales[i + 1]) AS INT), 0), 255)) AS c
   FROM embeddings, params
 ), pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

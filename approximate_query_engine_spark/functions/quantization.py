@@ -50,10 +50,20 @@ class ScalarQuantizer:
         df: DataFrame,
         vec_col: str = "embedding",
         levels: int = 256,
+        sample_fraction: float | None = None,
+        seed: int = 42,
     ) -> "ScalarQuantizer":
         """Learn per-dimension [min, max] over the corpus. One pass:
         posexplode + groupBy(dim) min/max — partial aggregation keeps the
-        shuffle at (partitions x dims) rows regardless of corpus size."""
+        shuffle at (partitions x dims) rows regardless of corpus size.
+
+        At 100 TB pass ``sample_fraction`` to fit the bounds on a
+        Bernoulli sample instead of a full scan — encode CLAMPS codes to
+        [0, levels-1], so out-of-sample outliers saturate at the range
+        edges instead of producing invalid codes (the FAISS SQ training
+        convention). The clamp is a no-op for a full-corpus fit."""
+        if sample_fraction is not None:
+            df = df.sample(fraction=float(sample_fraction), seed=seed)
         stats = (
             df.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
             .select("d", F.col("x").cast("double").alias("x"))
@@ -83,9 +93,12 @@ class ScalarQuantizer:
         shifted = F.zip_with(
             c.cast("array<double>"), mins, lambda x, m: x - m
         )
+        hi = F.lit(int(self.levels - 1))
         return F.zip_with(
             shifted, scales,
-            lambda d, s: F.round(d * s).cast("int"),
+            lambda d, s: F.least(
+                F.greatest(F.round(d * s).cast("int"), F.lit(0)), hi
+            ),
         )
 
     def encode(
@@ -143,6 +156,7 @@ def knn_join_quantized(
     right_id: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = False,
+    right_encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Brute-phase kNN over quantized codes: for every left row, the
     top-k rows of ``right`` by cosine over int codes →
@@ -150,27 +164,47 @@ def knn_join_quantized(
     functions/similarity.knn_join's brute path (broadcast right, streamed
     left) but the broadcast ships 4x-smaller code arrays and each pair
     costs one integer dot — the broad phase of a quantize → shortlist →
-    exact-rerank pipeline. Ties break by neighbor id."""
+    exact-rerank pipeline. Ties break by neighbor id.
+
+    Pass ``right_encoded`` — a (right_id, codes) frame from
+    ``quantizer.encode`` — to skip re-encoding the corpus: the
+    operational model at scale is codes materialized once beside the
+    vectors (like knn_join's ``assigned`` IVF table) and only the query
+    batch encoded at lookup time."""
     from pyspark.sql import Window
 
     lhs = left.select(
         F.col(left_id).alias("query_id"),
         quantizer.encode_expr(vec_col).alias("__qc"),
-    )
-    rhs = right.select(
-        F.col(right_id).alias("neighbor_id"),
-        quantizer.encode_expr(vec_col).alias("__nc"),
-    )
+    ).withColumn("__qn", _int_norm(F.col("__qc")))
+    if right_encoded is not None:
+        rhs = right_encoded.select(
+            F.col(right_id).alias("neighbor_id"),
+            F.col("codes").alias("__nc"),
+        )
+    else:
+        rhs = right.select(
+            F.col(right_id).alias("neighbor_id"),
+            quantizer.encode_expr(vec_col).alias("__nc"),
+        )
+    rhs = rhs.withColumn("__nn", _int_norm(F.col("__nc")))
     cand = lhs.crossJoin(F.broadcast(rhs))
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("__qcos"), F.col("neighbor_id")
     )
+    # per-side norms were hoisted BEFORE the pair join (once per row,
+    # like knn_join) so each candidate pair costs exactly one integer
+    # dot pass — value identical to quantized_cosine_expr (same
+    # operations, same division order)
+    qcos = F.when(
+        (F.col("__qn") > 0.0) & (F.col("__nn") > 0.0),
+        (_int_dot(F.col("__qc"), F.col("__nc")).cast("double")
+         / F.col("__qn")) / F.col("__nn"),
+    ).otherwise(F.lit(0.0))
     return (
-        cand.withColumn(
-            "__qcos", quantized_cosine_expr(F.col("__qc"), F.col("__nc"))
-        )
+        cand.withColumn("__qcos", qcos)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(k))
         .select(
@@ -179,6 +213,73 @@ def knn_join_quantized(
             F.col("__qcos").alias("qcosine"),
             "rank",
         )
+    )
+
+
+def knn_join_reranked(
+    left: DataFrame,
+    right: DataFrame,
+    quantizer: ScalarQuantizer,
+    k: int = 5,
+    shortlist_factor: int = 4,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+    right_encoded: DataFrame | None = None,
+) -> DataFrame:
+    """The full production ANN pipeline: quantized BROAD PHASE shortlists
+    ``k * shortlist_factor`` candidates per query over int codes, then an
+    exact float cosine RERANK over only the shortlisted pairs picks the
+    final top-k → (query_id, neighbor_id, cosine, rank).
+
+    Scale shape: the expensive all-pairs work happens on 4x-smaller
+    codes; the float vectors are touched only for |queries| x (k x
+    factor) shortlisted pairs — two id-equi joins, never an all-pairs
+    float pass. The rerank cosine is IEEE-identical to
+    functions/similarity.knn_join's (same fold order), so with a
+    sufficient shortlist the output EQUALS the exact brute result."""
+    from pyspark.sql import Window
+
+    from approximate_query_engine_spark.functions.dedup import (
+        dot_expr,
+        sumsq_expr,
+    )
+
+    shortlist = knn_join_quantized(
+        left,
+        right,
+        quantizer,
+        k=int(k) * int(shortlist_factor),
+        left_id=left_id,
+        right_id=right_id,
+        vec_col=vec_col,
+        exclude_self=exclude_self,
+        right_encoded=right_encoded,
+    ).select("query_id", "neighbor_id")
+    qv = left.select(
+        F.col(left_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", F.sqrt(sumsq_expr(F.col("__qv"))))
+    nv = right.select(
+        F.col(right_id).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    ).withColumn("__nn", F.sqrt(sumsq_expr(F.col("__nv"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        shortlist.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("__qn") > 0.0) & (F.col("__nn") > 0.0),
+                dot_expr(F.col("__qv"), F.col("__nv"))
+                / (F.col("__qn") * F.col("__nn")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

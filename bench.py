@@ -1755,6 +1755,36 @@ def main() -> None:
 
     _safe("corpus_prepare", _corpus_prepare)
 
+    # round 11: line-level boilerplate removal (functions/boilerplate.py)
+    # over the q111 synthetic web-corpus shape — shared banner + 1/3-share
+    # footer injected around each document's unique body. One distinct-
+    # (line, doc) aggregation + one line join + one rebuild groupBy.
+    def _boilerplate():
+        from approximate_query_engine_spark.functions.boilerplate import (
+            remove_boilerplate,
+        )
+
+        corpus = spark.table("documents").select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.lit("Subscribe To Our Newsletter"),
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.lit("(c) 2024 Example Corp")
+                ).otherwise(
+                    F.concat(
+                        F.lit("signed note "), F.col("doc_id").cast("string")
+                    )
+                ),
+            ).alias("text"),
+        )
+        remove_boilerplate(corpus, min_docs=40).where(
+            "lines_removed > 0"
+        ).count()
+
+    _safe("boilerplate", _boilerplate)
+
     # per-stage attribution of the corpus_prepare wall (VERDICT r9 #5):
     # each stage's expression forced independently over the same scan,
     # so an r-to-r drift in the opaque total names its stage. The agg
@@ -1888,6 +1918,7 @@ def main() -> None:
     )
 
     knn_recall = None
+    knn_q_recall = None
     knn_ok = False
     try:
         if not os.path.exists(emb_big_path):
@@ -1925,6 +1956,33 @@ def main() -> None:
 
         _safe("knn_brute", _knn_brute)  # reps=3 medians (r03: reps=1 noise)
         _safe("knn_ivf", _knn_ivf)
+
+        # round 11: the SQ8 path — corpus codes materialized once
+        # (untimed setup, the same operational model as ivf_assigned),
+        # queries encoded at lookup time; each candidate pair costs one
+        # int64 dot over 4x-smaller arrays instead of a float dot.
+        from approximate_query_engine_spark.functions.quantization import (
+            ScalarQuantizer,
+            knn_join_quantized,
+        )
+
+        sq_quantizer = ScalarQuantizer.fit(emb_big)
+        sq_codes = (
+            sq_quantizer.encode(emb_big)
+            .select("vec_id", "codes")
+            .localCheckpoint()
+        )
+
+        def _knn_quantized():
+            knn_join_quantized(
+                knn_queries,
+                emb_big,
+                sq_quantizer,
+                k=10,
+                right_encoded=sq_codes,
+            ).count()
+
+        _safe("knn_quantized", _knn_quantized)
         knn_ok = True
     except Exception as exc:  # noqa: BLE001 - setup failure isolation
         bench_errors["knn_setup"] = f"{type(exc).__name__}: {exc}"[:300]
@@ -2254,6 +2312,17 @@ def main() -> None:
             ).collect()
         }
         knn_recall = len(b_pairs & i_pairs) / max(len(b_pairs), 1)
+        q_pairs = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_join_quantized(
+                knn_queries,
+                emb_big,
+                sq_quantizer,
+                k=10,
+                right_encoded=sq_codes,
+            ).collect()
+        }
+        knn_q_recall = len(b_pairs & q_pairs) / max(len(b_pairs), 1)
     except Exception as exc:  # noqa: BLE001
         bench_errors["knn_recall"] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -2279,6 +2348,10 @@ def main() -> None:
     if "knn_brute" in timings and "knn_ivf" in timings:
         speedups["knn_ivf_vs_brute"] = timings["knn_brute"] / max(
             timings["knn_ivf"], 1e-9
+        )
+    if "knn_brute" in timings and "knn_quantized" in timings:
+        speedups["knn_quantized_vs_brute"] = timings["knn_brute"] / max(
+            timings["knn_quantized"], 1e-9
         )
     if "big_join_exact" in timings and "big_join_approx" in timings:
         speedups["big_join"] = timings["big_join_exact"] / max(
@@ -2427,6 +2500,9 @@ def main() -> None:
     # for the knn class "error" is 1 - recall@10 of the IVF pruning
     if knn_recall is not None:
         errors["knn_ivf"] = round(1.0 - knn_recall, 4)
+    # and 1 - recall@10 of the 8-bit scalar-quantized shortlist
+    if knn_q_recall is not None:
+        errors["knn_quantized"] = round(1.0 - knn_q_recall, 4)
     # same shape for top-k-from-state: item recall@10 vs exact GROUP BY
     if topk_recall is not None:
         errors["rollup_topk"] = round(1.0 - topk_recall, 4)

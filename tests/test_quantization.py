@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from approximate_query_engine_spark.functions.quantization import (
     ScalarQuantizer,
     knn_join_quantized,
+    knn_join_reranked,
     quantized_cosine_expr,
     recall_at_k,
 )
@@ -63,6 +64,24 @@ def test_decode_reconstruction_error_bounded(spark):
             assert abs(x - y) <= 0.5 * (4.0 / 255.0) + 1e-12
 
 
+def test_sample_fit_clamps_out_of_range_values(spark):
+    # fit bounds on a narrow subset; encode the full data — outliers must
+    # saturate at [0, levels-1], never leave the code range
+    fit_df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    q = ScalarQuantizer.fit(fit_df)
+    wide = spark.createDataFrame(
+        [(2, [-5.0, 9.0]), (3, [0.5, 0.5])], ["vec_id", "embedding"]
+    )
+    codes = {r.vec_id: r.codes for r in q.encode(wide).collect()}
+    assert codes[2] == [0, 255]  # clamped, not negative / overflowed
+    assert codes[3] == [128, 128]
+    # sample_fraction=1.0 reproduces the full fit deterministically
+    q2 = ScalarQuantizer.fit(fit_df, sample_fraction=1.0)
+    assert q2.mins == q.mins and q2.scales == q.scales
+
+
 def test_zero_norm_cosine_is_zero(spark):
     df = spark.createDataFrame(
         [(0, [0, 0], [1, 2])], ["i", "a", "b"]
@@ -101,3 +120,17 @@ def test_quantized_knn_high_recall_vs_exact(spark):
     per = approx.groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in per)
     assert not math.isnan(rec)
+    # shortlist -> exact float rerank REPRODUCES the exact brute result
+    # (ids, ranks AND bit-identical cosines — same fold/division order)
+    rer = knn_join_reranked(
+        df, df, q, k=5, shortlist_factor=4, exclude_self=True
+    )
+    e_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in exact.collect()
+    }
+    r_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in rer.collect()
+    }
+    assert e_rows == r_rows
