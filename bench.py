@@ -1961,6 +1961,11 @@ def main() -> None:
         # (untimed setup, the same operational model as ivf_assigned),
         # queries encoded at lookup time; each candidate pair costs one
         # int64 dot over 4x-smaller arrays instead of a float dot.
+        # EXPECTATION: ~1x wall vs brute here (both are one dot pass per
+        # pair; single-node CPU-bound) — the class exists to pin recall
+        # (errors.knn_quantized) and guard the dot-pass count; the 4x
+        # payoff is broadcast/shuffle BYTES, which this single-JVM tier
+        # cannot price (SCALING.md "Embedding quantization").
         from approximate_query_engine_spark.functions.quantization import (
             ScalarQuantizer,
             knn_join_quantized,
