@@ -103,6 +103,36 @@ def boilerplate_lines(
     )
 
 
+def _strip_flagged_lines(
+    df: DataFrame, bp: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """The rebuild half shared by batch and incremental removal: join
+    each document's lines against the flagged set ``bp`` (nline, is_bp)
+    and rebuild (id, clean_text, lines_total, lines_removed)."""
+    lines = split_lines(df, text_col, id_col)
+    flagged = (
+        lines.withColumn("nline", normalized_line_expr(F.col("line")))
+        .join(bp, "nline", "left")
+        .select(
+            id_col,
+            F.struct(
+                F.col("pos"),
+                F.col("line"),
+                F.coalesce(F.col("is_bp"), F.lit(False)).alias("is_bp"),
+            ).alias("entry"),
+        )
+    )
+    ordered = F.array_sort(F.collect_list("entry"))
+    kept = F.filter(ordered, lambda e: ~e["is_bp"])
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(kept, lambda e: e["line"]), "\n"
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("lines_total"),
+        F.sum(F.col("entry")["is_bp"].cast("int")).alias("lines_removed"),
+    )
+
+
 def remove_boilerplate(
     df: DataFrame,
     text_col: str = "text",
@@ -126,29 +156,55 @@ def remove_boilerplate(
     document's other columns (id-equi join; the result is exactly one
     row per id).
     """
-    lines = split_lines(df, text_col, id_col)
     bp = (
         boilerplate_lines(df, text_col, id_col, min_docs, min_chars)
         .select("nline", F.lit(True).alias("is_bp"))
     )
-    flagged = (
-        lines.withColumn("nline", normalized_line_expr(F.col("line")))
-        .join(bp, "nline", "left")
-        .select(
-            id_col,
-            F.struct(
-                F.col("pos"),
-                F.col("line"),
-                F.coalesce(F.col("is_bp"), F.lit(False)).alias("is_bp"),
-            ).alias("entry"),
-        )
+    return _strip_flagged_lines(df, bp, text_col, id_col)
+
+
+def merge_line_frequency(
+    existing: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """Additive merge of two line-frequency tables (nline, doc_count).
+    Correct when the two sides counted DISJOINT document sets — the
+    incremental contract (same as the dedup signature tables: new
+    batches carry new ids)."""
+    return (
+        existing.unionByName(batch)
+        .groupBy("nline")
+        .agg(F.sum("doc_count").alias("doc_count"))
     )
-    ordered = F.array_sort(F.collect_list("entry"))
-    kept = F.filter(ordered, lambda e: ~e["is_bp"])
-    return flagged.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(kept, lambda e: e["line"]), "\n"
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("lines_total"),
-        F.sum(F.col("entry")["is_bp"].cast("int")).alias("lines_removed"),
+
+
+def incremental_remove_boilerplate(
+    batch: DataFrame,
+    freq_table: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+    min_chars: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Clean a NEW batch against the corpus-so-far: the persisted
+    line-frequency table (``line_doc_frequency`` output, or None for the
+    first batch) merges with the batch's own counts, the threshold
+    applies to the COMBINED count, and only the new batch is stripped.
+    Returns ``(cleaned_batch, updated_freq_table)`` — persist the second
+    for the next batch (at warehouse scale a Parquet/Delta table, like
+    the dedup signature tables).
+
+    Semantics: a banner reaching ``min_docs`` only in a LATER batch is
+    stripped from that batch onward; earlier batches were emitted before
+    the evidence existed and are not retroactively rewritten (re-run the
+    batch form for a full re-clean). Batches must carry disjoint
+    document ids — the additive-count contract."""
+    batch_freq = line_doc_frequency(batch, text_col, id_col, min_chars)
+    merged = (
+        merge_line_frequency(freq_table, batch_freq)
+        if freq_table is not None
+        else batch_freq
     )
+    bp = merged.where(F.col("doc_count") >= int(min_docs)).select(
+        "nline", F.lit(True).alias("is_bp")
+    )
+    return _strip_flagged_lines(batch, bp, text_col, id_col), merged

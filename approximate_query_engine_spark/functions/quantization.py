@@ -109,6 +109,38 @@ class ScalarQuantizer:
     ) -> DataFrame:
         return df.withColumn(out_col, self.encode_expr(vec_col))
 
+    def to_dict(self) -> dict:
+        return {
+            "mins": list(self.mins),
+            "scales": list(self.scales),
+            "levels": int(self.levels),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ScalarQuantizer":
+        return cls(
+            mins=tuple(float(x) for x in d["mins"]),
+            scales=tuple(float(x) for x in d["scales"]),
+            levels=int(d["levels"]),
+        )
+
+    def save(self, path: str) -> None:
+        """Persist the quantizer beside its codes (a dim-length JSON —
+        the float64 params round-trip exactly via repr)."""
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f)
+
+    @classmethod
+    def load(cls, path: str) -> "ScalarQuantizer":
+        import json
+
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
     def decode_expr(self, codes_col: str | Column) -> Column:
         """Reconstructed float64 vector (cell centers): min_d + code/scale
         (constant dimensions decode to min_d)."""
@@ -120,6 +152,44 @@ class ScalarQuantizer:
             lambda x, s: F.when(s > 0.0, x / s).otherwise(F.lit(0.0)),
         )
         return F.zip_with(scaled, mins, lambda x, m: x + m)
+
+
+def write_quantized_codes(
+    df: DataFrame,
+    quantizer: ScalarQuantizer,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the corpus code table — the 'encode once, probe many'
+    operational model the kNN paths assume at scale. Writes
+    ``(id_col, codes)`` Parquet under ``path`` plus the quantizer params
+    as ``<path>/_quantizer.json`` so a later session reloads BOTH halves
+    consistently (codes from one fit scored against another fit's params
+    would be silently wrong). Returns the reloaded codes frame."""
+    import os
+
+    spark = df.sparkSession
+    (
+        df.select(F.col(id_col), quantizer.encode_expr(vec_col).alias("codes"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    quantizer.save(os.path.join(path, "_quantizer.json"))
+    return spark.read.parquet(path)
+
+
+def read_quantized_codes(
+    spark, path: str
+) -> tuple[DataFrame, ScalarQuantizer]:
+    """The read half of :func:`write_quantized_codes`: the codes frame
+    and the quantizer that produced it, as one consistent pair."""
+    import os
+
+    return (
+        spark.read.parquet(path),
+        ScalarQuantizer.load(os.path.join(path, "_quantizer.json")),
+    )
 
 
 def _int_dot(a: Column, b: Column) -> Column:

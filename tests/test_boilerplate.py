@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 
 from approximate_query_engine_spark.functions.boilerplate import (
     boilerplate_lines,
+    incremental_remove_boilerplate,
     line_doc_frequency,
+    merge_line_frequency,
     remove_boilerplate,
     split_lines,
 )
@@ -73,6 +75,44 @@ def test_remove_boilerplate_all_lines_removed_yields_empty(spark):
     assert out.count() == 5
     r = out.where(F.col("doc_id") == 0).collect()[0]
     assert r.clean_text == "" and r.lines_removed == 1
+
+
+def test_incremental_equals_batch_restricted_to_new_ids(spark):
+    # batches carry disjoint ids; union(batches) = the full corpus, so
+    # the incremental clean of batch 2 must equal the batch-form clean
+    # of the FULL corpus restricted to batch-2 ids
+    full = spark.createDataFrame(
+        [(i, "shared banner\nbody %d" % i) for i in range(8)]
+        + [(i, "other stuff %d" % i) for i in range(8, 12)],
+        ["doc_id", "text"],
+    )
+    b1 = full.where("doc_id < 6")
+    b2 = full.where("doc_id >= 6")
+    cleaned1, freq1 = incremental_remove_boilerplate(b1, None, min_docs=7)
+    # banner seen in only 6 docs so far: batch 1 keeps it
+    assert all(r.lines_removed == 0 for r in cleaned1.collect())
+    cleaned2, freq2 = incremental_remove_boilerplate(b2, freq1, min_docs=7)
+    want = {
+        r.doc_id: (r.clean_text, r.lines_total, r.lines_removed)
+        for r in remove_boilerplate(full, min_docs=7).collect()
+        if r.doc_id >= 6
+    }
+    got = {
+        r.doc_id: (r.clean_text, r.lines_total, r.lines_removed)
+        for r in cleaned2.collect()
+    }
+    assert got == want
+    # the updated table counts the whole corpus
+    assert {
+        r.nline: r.doc_count for r in freq2.collect()
+    }["shared banner"] == 8
+
+
+def test_merge_line_frequency_is_additive(spark):
+    a = spark.createDataFrame([("x", 2), ("y", 1)], ["nline", "doc_count"])
+    b = spark.createDataFrame([("x", 3), ("z", 4)], ["nline", "doc_count"])
+    got = {r.nline: r.doc_count for r in merge_line_frequency(a, b).collect()}
+    assert got == {"x": 5, "y": 1, "z": 4}
 
 
 def test_threshold_and_min_chars_gates(spark):

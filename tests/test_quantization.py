@@ -82,6 +82,28 @@ def test_sample_fit_clamps_out_of_range_values(spark):
     assert q2.mins == q.mins and q2.scales == q.scales
 
 
+def test_codes_sink_round_trips_quantizer_and_codes(spark, tmp_path):
+    from approximate_query_engine_spark.functions.quantization import (
+        read_quantized_codes,
+        write_quantized_codes,
+    )
+
+    df = _vectors(spark)
+    q = ScalarQuantizer.fit(df)
+    path = str(tmp_path / "codes")
+    write_quantized_codes(df, q, path)
+    codes_df, q2 = read_quantized_codes(spark, path)
+    assert q2 == q  # float64 params round-trip exactly through JSON
+    on_disk = {r.vec_id: r.codes for r in codes_df.collect()}
+    live = {r.vec_id: r.codes for r in q.encode(df).collect()}
+    assert on_disk == live
+    # the persisted pair drives the kNN path directly
+    out = knn_join_quantized(
+        df, df, q2, k=2, exclude_self=True, right_encoded=codes_df
+    )
+    assert out.count() == 4 * 2
+
+
 def test_zero_norm_cosine_is_zero(spark):
     df = spark.createDataFrame(
         [(0, [0, 0], [1, 2])], ["i", "a", "b"]
