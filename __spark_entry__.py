@@ -1608,7 +1608,7 @@ WITH corpus AS (
   SELECT doc_id, UNNEST(range(0, len(ls))) AS pos, ls FROM parts
 ), norm AS (
   SELECT doc_id, pos, ls[pos + 1] AS line,
-         lower(trim(ls[pos + 1])) AS nline
+         lower(regexp_replace(ls[pos + 1], '^\\s+|\\s+$', '', 'g')) AS nline
   FROM pos_rows
 ), bp AS (
   SELECT nline FROM norm WHERE length(nline) >= 1

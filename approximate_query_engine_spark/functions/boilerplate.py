@@ -43,8 +43,15 @@ def normalized_line_expr(line: Column) -> Column:
     """Case-folded, whitespace-trimmed line key used for frequency
     counting. Matching is exact on the normalized form — the CCNet
     convention — so near-identical banners that differ in wording stay
-    (that's document-level near-dup's job, not line removal's)."""
-    return F.lower(F.trim(line))
+    (that's document-level near-dup's job, not line removal's).
+
+    The trim is a FULL whitespace trim (regexp, not ``F.trim`` which
+    strips ASCII spaces only): a CRLF corpus leaves ``\\r`` on every
+    split line, and space-only trimming would normalize blank lines to
+    ``"\\r"``/``"\\t"`` — length >= 1, so the blank-line exemption would
+    miss them and paragraph breaks would be stripped as 'boilerplate'.
+    Same regex class in Java and RE2, so the oracle replays it."""
+    return F.lower(F.regexp_replace(line, r"^\s+|\s+$", ""))
 
 
 def split_lines(
@@ -59,7 +66,9 @@ def split_lines(
     return df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+            # \r?\n: CRLF documents split cleanly instead of carrying a
+            # trailing \r into every line's bytes
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\r?\n", -1)
         ).alias("pos", "line"),
     )
 
@@ -198,7 +207,13 @@ def incremental_remove_boilerplate(
     the evidence existed and are not retroactively rewritten (re-run the
     batch form for a full re-clean). Batches must carry disjoint
     document ids — the additive-count contract."""
-    batch_freq = line_doc_frequency(batch, text_col, id_col, min_chars)
+    # lazy-checkpoint the batch's frequency pass: both the returned
+    # merged table and the threshold filter consume it, and the caller's
+    # documented workflow materializes both — without this the batch
+    # would be split/normalized/aggregated once per consumer
+    batch_freq = line_doc_frequency(
+        batch, text_col, id_col, min_chars
+    ).localCheckpoint(eager=False)
     merged = (
         merge_line_frequency(freq_table, batch_freq)
         if freq_table is not None

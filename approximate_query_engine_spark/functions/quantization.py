@@ -72,6 +72,17 @@ class ScalarQuantizer:
             .orderBy("d")
             .collect()
         )
+        if not stats:
+            raise ValueError(
+                "ScalarQuantizer.fit saw no vectors (empty frame or "
+                "sample_fraction too small) — a 0-dim quantizer would "
+                "silently encode everything to code 0"
+            )
+        if any(r.mn is None or r.mx is None for r in stats):
+            bad = [r.d for r in stats if r.mn is None]
+            raise ValueError(
+                f"ScalarQuantizer.fit: dimension(s) {bad} are all-NULL"
+            )
         mins = tuple(float(r.mn) for r in stats)
         span = float(levels - 1)
         scales = tuple(
@@ -94,11 +105,23 @@ class ScalarQuantizer:
             c.cast("array<double>"), mins, lambda x, m: x - m
         )
         hi = F.lit(int(self.levels - 1))
-        return F.zip_with(
+        codes = F.zip_with(
             shifted, scales,
             lambda d, s: F.least(
                 F.greatest(F.round(d * s).cast("int"), F.lit(0)), hi
             ),
+        )
+        # loud dimension-mismatch guard: zip_with would otherwise NULL-pad
+        # and the clamp would turn the padding into code 0 — silently
+        # ignoring most of the vector (exactly the wrong-params hazard
+        # the persisted sidecar exists to prevent)
+        return F.when(F.size(c) == len(self.mins), codes).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"quantizer fit on {len(self.mins)} dims; "
+                    "vector has a different length"
+                )
+            )
         )
 
     def encode(
@@ -125,8 +148,11 @@ class ScalarQuantizer:
         )
 
     def save(self, path: str) -> None:
-        """Persist the quantizer beside its codes (a dim-length JSON —
-        the float64 params round-trip exactly via repr)."""
+        """Persist the quantizer to a DRIVER-LOCAL file (a dim-length
+        JSON — the float64 params round-trip exactly via repr). For
+        codes + params on a shared/remote filesystem use
+        :func:`write_quantized_codes`, which ships the sidecar through
+        Spark's writer."""
         import json
         import os
 
@@ -164,10 +190,15 @@ def write_quantized_codes(
     """Materialize the corpus code table — the 'encode once, probe many'
     operational model the kNN paths assume at scale. Writes
     ``(id_col, codes)`` Parquet under ``path`` plus the quantizer params
-    as ``<path>/_quantizer.json`` so a later session reloads BOTH halves
+    under ``<path>/_quantizer/`` so a later session reloads BOTH halves
     consistently (codes from one fit scored against another fit's params
-    would be silently wrong). Returns the reloaded codes frame."""
-    import os
+    would be silently wrong). The sidecar goes through Spark's text
+    writer, so it lands on the SAME filesystem as the codes (S3/HDFS
+    paths included — a driver-local ``open()`` would silently write a
+    local file beside remote codes); the underscore prefix keeps both
+    out of the Parquet reader's file listing. Returns the reloaded codes
+    frame."""
+    import json
 
     spark = df.sparkSession
     (
@@ -175,7 +206,14 @@ def write_quantized_codes(
         .write.mode("overwrite")
         .parquet(path)
     )
-    quantizer.save(os.path.join(path, "_quantizer.json"))
+    (
+        spark.createDataFrame(
+            [(json.dumps(quantizer.to_dict()),)], ["value"]
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path.rstrip("/") + "/_quantizer")
+    )
     return spark.read.parquet(path)
 
 
@@ -184,18 +222,22 @@ def read_quantized_codes(
 ) -> tuple[DataFrame, ScalarQuantizer]:
     """The read half of :func:`write_quantized_codes`: the codes frame
     and the quantizer that produced it, as one consistent pair."""
-    import os
+    import json
 
+    payload = spark.read.text(path.rstrip("/") + "/_quantizer").collect()
+    (row,) = [r for r in payload if r.value.strip()]
     return (
         spark.read.parquet(path),
-        ScalarQuantizer.load(os.path.join(path, "_quantizer.json")),
+        ScalarQuantizer.from_dict(json.loads(row.value)),
     )
 
 
 def _int_dot(a: Column, b: Column) -> Column:
-    """Exact integer dot product of two int-code arrays (int64 sums)."""
+    """Exact integer dot product of two int-code arrays. Each factor is
+    widened to int64 BEFORE the multiply: int32 products overflow past
+    levels ~46341 (65535^2 > 2^31), which would silently wrap ranks."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
@@ -358,10 +400,13 @@ def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
     one: |approx ∩ exact| / |exact| on (query_id, neighbor_id). Both
     inputs are (query_id, neighbor_id, ...) as produced by knn_join /
     knn_join_quantized."""
-    e = exact.select("query_id", "neighbor_id")
+    # dedupe both projections: a duplicate (query, neighbor) pair on
+    # either side would fan the join out and inflate both the hit count
+    # and the denominator
+    e = exact.select("query_id", "neighbor_id").dropDuplicates()
     a = approx.select(
         "query_id", "neighbor_id", F.lit(1).alias("__hit")
-    )
+    ).dropDuplicates(["query_id", "neighbor_id"])
     return (
         e.join(a, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")

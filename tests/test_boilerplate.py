@@ -77,6 +77,21 @@ def test_remove_boilerplate_all_lines_removed_yields_empty(spark):
     assert r.clean_text == "" and r.lines_removed == 1
 
 
+def test_crlf_corpus_blank_lines_and_cross_ending_banners(spark):
+    # CRLF docs split cleanly (no trailing \r in line bytes), blank and
+    # tab-only lines stay exempt, and the same banner matches across
+    # LF and CRLF documents
+    rows = [(i, "BANNER\r\n\r\nbody %d\r\n\t" % i) for i in range(3)]
+    rows += [(i, "banner\n\nbody %d" % i) for i in range(3, 6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bp = {r.nline for r in boilerplate_lines(df, min_docs=5).collect()}
+    assert bp == {"banner"}  # 6 docs across both endings; blanks exempt
+    out = {r.doc_id: r for r in remove_boilerplate(df, min_docs=5).collect()}
+    assert out[0].clean_text == "\nbody 0\n\t"  # structure intact
+    assert out[0].lines_removed == 1
+    assert out[3].clean_text == "\nbody 3"
+
+
 def test_incremental_equals_batch_restricted_to_new_ids(spark):
     # batches carry disjoint ids; union(batches) = the full corpus, so
     # the incremental clean of batch 2 must equal the batch-form clean

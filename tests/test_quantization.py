@@ -82,6 +82,67 @@ def test_sample_fit_clamps_out_of_range_values(spark):
     assert q2.mins == q.mins and q2.scales == q.scales
 
 
+def test_wide_levels_dot_products_do_not_overflow_int32(spark):
+    # 16-bit quantization: per-element products reach 65535^2 > 2^31 —
+    # the dot must widen to int64 BEFORE multiplying
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    q = ScalarQuantizer.fit(df, levels=65536)
+    out = knn_join_quantized(df, df, q, k=1, exclude_self=True).collect()
+    # identical direction → cosine exactly... 0-code query vector has
+    # zero norm → 0.0; the max-code row sees the 0 row at cosine 0.0 —
+    # the point is no wrap/ANSI overflow, and a sane non-negative value
+    assert all(r.qcosine >= 0.0 for r in out)
+    codes = {r.vec_id: r.codes for r in q.encode(df).collect()}
+    assert codes[1] == [65535, 65535]
+
+
+def test_fit_raises_on_empty_and_all_null(spark):
+    import pytest
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="no vectors"):
+        ScalarQuantizer.fit(empty)
+    all_null = spark.createDataFrame(
+        [(0, [None, 1.0]), (1, [None, 2.0])], schema
+    )
+    with pytest.raises(ValueError, match="all-NULL"):
+        ScalarQuantizer.fit(all_null)
+
+
+def test_encode_raises_on_dimension_mismatch(spark):
+    import pytest
+
+    fit_df = spark.createDataFrame(
+        [(0, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    q = ScalarQuantizer.fit(fit_df)
+    wrong = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="fit on 2 dims"):
+        q.encode(wrong).collect()
+
+
+def test_recall_ignores_duplicate_pairs(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11)], ["query_id", "neighbor_id"]
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10)], ["query_id", "neighbor_id"]  # dup pair
+    )
+    r = recall_at_k(exact, approx).collect()[0]
+    assert abs(r.recall - 0.5) < 1e-12  # 1 of 2, not 2/3 or 2/2
+
+
 def test_codes_sink_round_trips_quantizer_and_codes(spark, tmp_path):
     from approximate_query_engine_spark.functions.quantization import (
         read_quantized_codes,
