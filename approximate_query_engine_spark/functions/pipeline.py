@@ -42,12 +42,37 @@ def prepare_corpus(
     languages: list[str] | None = None,
     min_quality: float | None = None,
     dedup: str | None = "exact",
+    boilerplate_min_docs: int | None = None,
 ) -> DataFrame:
     """Annotate ``docs`` with filter metrics and ``reject_reason``
     (NULL = kept). Filters whose argument is None are skipped entirely
-    (their metric column is still computed only when needed)."""
+    (their metric column is still computed only when needed).
+
+    ``boilerplate_min_docs`` runs line-level boilerplate removal FIRST
+    (the CCNet stage order: strip recurring lines, then apply document
+    filters) — every metric below then scores the CLEANED text, so a
+    banner-only document falls to ``too_short`` instead of its banner
+    tokens inflating the count. Adds a ``lines_removed`` metric column;
+    line frequency is counted over the full input corpus (pre-filter,
+    as it must be — rejected docs still prove a banner recurs)."""
     if dedup not in (None, "exact"):
         raise ValueError("dedup must be None or 'exact'")
+    if boilerplate_min_docs is not None:
+        from approximate_query_engine_spark.functions.boilerplate import (
+            remove_boilerplate,
+        )
+
+        cleaned = remove_boilerplate(
+            docs, text_col, id_col, min_docs=int(boilerplate_min_docs)
+        )
+        docs = (
+            docs.join(
+                cleaned.select(id_col, "clean_text", "lines_removed"),
+                id_col,
+            )
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text")
+        )
     out = docs.withColumn("token_count", token_count_expr(text_col))
     if languages is not None:
         out = out.withColumn("lang_pred", lang_id_expr(text_col))
@@ -99,6 +124,7 @@ def clean_corpus(annotated: DataFrame) -> DataFrame:
             "quality_score",
             "is_duplicate",
             "reject_reason",
+            "lines_removed",
         )
         if c in annotated.columns
     ]

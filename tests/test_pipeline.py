@@ -86,3 +86,25 @@ def test_none_filters_skipped(docs):
 def test_bad_dedup_mode_rejected(docs):
     with pytest.raises(ValueError):
         prepare_corpus(docs, dedup="minhash")
+
+
+def test_boilerplate_stage_runs_before_filters(spark):
+    # 5 docs share a banner; doc 4 is banner-only. With the boilerplate
+    # stage on, the banner strips FIRST, so doc 4 falls to too_short —
+    # its banner tokens must not inflate the count past the filter.
+    rows = [(i, "the shared banner line\nreal body %d here" % i)
+            for i in range(4)] + [(4, "the shared banner line")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prepare_corpus(
+        docs, min_tokens=2, dedup=None, boilerplate_min_docs=5
+    )
+    r = {x["doc_id"]: x for x in out.collect()}
+    assert r[4]["reject_reason"] == "too_short"
+    assert r[4]["lines_removed"] == 1
+    assert r[0]["reject_reason"] is None
+    assert r[0]["token_count"] == 4  # cleaned text only
+    # the metric column is dropped by clean_corpus like the others
+    assert "lines_removed" not in clean_corpus(out).columns
+    # without the stage, the banner-only doc passes the token filter
+    out2 = prepare_corpus(docs, min_tokens=2, dedup=None)
+    assert {x["doc_id"]: x["reject_reason"] for x in out2.collect()}[4] is None
