@@ -135,6 +135,9 @@ class AQEngine:
         # runs on EVERY non-routed query, and spark.table(t).columns is
         # a catalog RPC that doesn't belong in the hot query path
         self._table_cols_cache: dict[str, frozenset[str]] = {}
+        # time-typed columns per table, for clock inference on every
+        # unrouted overlap idiom — same RPC-avoidance contract as above
+        self._time_cols_cache: dict[str, tuple[str, ...]] = {}
         # top-k routing exactness certificates per (view, build, col) —
         # the state-sized ndv agg runs once per rollup build, not per
         # routed query
@@ -170,6 +173,7 @@ class AQEngine:
     def register_view(self, name: str, df) -> None:
         df.createOrReplaceTempView(name)
         self._table_cols_cache.pop(name, None)
+        self._time_cols_cache.pop(name, None)
         # replaced data orphans every cached top-k exactness certificate
         # (an equal-row-count replacement would otherwise cache-hit)
         self._topk_cert_cache.clear()
@@ -2216,7 +2220,13 @@ class AQEngine:
                     f"[{lo}, {hi})"
                 )
             row = ranged.agg(
-                F.expr(f"theta_union_agg(`{column}_theta`)").alias("sk")
+                # union at the STATE's own nominal: the default (lg_k 12)
+                # would silently downsample sketches built larger and
+                # break the exact-mode contract the caller was promised
+                F.expr(
+                    f"theta_union_agg(`{column}_theta`, "
+                    f"{int(info.get('theta_lgk', 12))})"
+                ).alias("sk")
             ).collect()[0]
             sketches.append((tag, bytes(row["sk"])))
         df = self.spark.createDataFrame(
@@ -2229,7 +2239,11 @@ class AQEngine:
             F.expr(
                 est.format("theta_intersection(ska, skb)")
             ).alias("returning"),
-            F.expr(est.format("theta_union(ska, skb)")).alias("union_cnt"),
+            F.expr(
+                est.format(
+                    f"theta_union(ska, skb, {int(info.get('theta_lgk', 12))})"
+                )
+            ).alias("union_cnt"),
             F.expr(
                 est.format("theta_difference(skb, ska)")
             ).alias("new_in_b"),
@@ -2421,7 +2435,8 @@ class AQEngine:
                 )
                 .agg(
                     F.expr(
-                        f"theta_union_agg(`{key_col}_theta`)"
+                        f"theta_union_agg(`{key_col}_theta`, "
+                        f"{int(info.get('theta_lgk', 12))})"
                     ).alias("sk")
                 )
                 # a segment whose key is NULL on every row has state
@@ -2431,7 +2446,11 @@ class AQEngine:
                 .where(F.expr("theta_sketch_estimate(sk) > 0"))
             )
             return {
-                "df": pairwise_sketch_overlap(per_seg, pairs=pairs),
+                "df": pairwise_sketch_overlap(
+                    per_seg,
+                    pairs=pairs,
+                    lg_k=int(info.get("theta_lgk", 12)),
+                ),
                 "source": "rollup_state",
                 "reason": (
                     f"answered from materialized rollup {info['view']} "
@@ -2566,15 +2585,21 @@ class AQEngine:
             return next(iter(cands))
         if cands:
             return None  # two recorded clocks — ambiguous
-        try:
-            ts_cols = [
-                f.name
-                for f in self.spark.table(table).schema.fields
-                if f.dataType.typeName()
-                in ("timestamp", "timestamp_ntz", "date")
-            ]
-        except Exception:  # noqa: BLE001 - inference must never break calls
-            return None
+        ts_cols = self._time_cols_cache.get(table)
+        if ts_cols is None:
+            # cached per table (invalidated with register_view): this
+            # runs on every unrouted overlap idiom, the advisor's
+            # steady state, and schema reads are catalog RPCs
+            try:
+                ts_cols = tuple(
+                    f.name
+                    for f in self.spark.table(table).schema.fields
+                    if f.dataType.typeName()
+                    in ("timestamp", "timestamp_ntz", "date")
+                )
+            except Exception:  # noqa: BLE001 - must never break calls
+                return None
+            self._time_cols_cache[table] = ts_cols
         return ts_cols[0] if len(ts_cols) == 1 else None
 
     def _stats_fresh(self, table: str) -> bool:
@@ -2746,7 +2771,7 @@ class AQEngine:
                 conds.append(f"({pred})")
             where = f" WHERE {' AND '.join(conds)}" if conds else ""
             return (
-                f"(SELECT theta_union_agg(`{key}_theta`) AS sk "
+                f"(SELECT theta_union_agg(`{key}_theta`, {lgk}) AS sk "
                 f"FROM {src}{where}) {tag}"
             )
 
@@ -3001,7 +3026,8 @@ class AQEngine:
             elif col in info.get("theta_cols", []):
                 lgk = int(info.get("theta_lgk", 12))
                 sk, err = (
-                    f"theta_sketch_estimate(theta_union_agg({col}_theta))",
+                    f"theta_sketch_estimate("
+                    f"theta_union_agg({col}_theta, {lgk}))",
                     1.0 / math.sqrt(2**lgk),
                 )
             if sk is None:

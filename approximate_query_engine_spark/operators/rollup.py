@@ -184,8 +184,13 @@ def derive_rollup_state(
             ).alias(f"{tc}_topk")
         )
     for sc in coarse.theta_cols:
+        # union at the spec's nominal (can_derive_rollup proved the fine
+        # state was built at the same lg_k) — the function default would
+        # downsample any state built above lg_k 12
         aggs.append(
-            F.expr(f"theta_union_agg(`{sc}_theta`)").alias(f"{sc}_theta")
+            F.expr(
+                f"theta_union_agg(`{sc}_theta`, {int(coarse.theta_lgk)})"
+            ).alias(f"{sc}_theta")
         )
     out = (
         src.groupBy(
@@ -708,7 +713,8 @@ def rewrite_to_rollup(
                     used_approx.append(arg)
                     return (
                         f"CAST(ROUND(theta_sketch_estimate("
-                        f"theta_union_agg({arg}_theta))) AS BIGINT)"
+                        f"theta_union_agg({arg}_theta, "
+                        f"{int(info.get('theta_lgk', 12))}))) AS BIGINT)"
                     )
             return None
         if agg.is_quantile:
@@ -1506,7 +1512,8 @@ def rewrite_join_to_rollup(
                 used_approx.append(r[1])
                 return (
                     f"CAST(ROUND(theta_sketch_estimate("
-                    f"theta_union_agg({R}.{r[1]}_theta))) AS BIGINT)"
+                    f"theta_union_agg({R}.{r[1]}_theta, "
+                    f"{int(info.get('theta_lgk', 12))}))) AS BIGINT)"
                 )
             return None
         # quantile (KLL) and top-k state must DECLINE over a join: a dim
@@ -1991,7 +1998,9 @@ def merge_rollup_batch(
             )
         for sc in spec.theta_cols:
             merge_aggs.append(
-                F.expr(f"theta_union_agg(`{sc}_theta`)").alias(f"{sc}_theta")
+                F.expr(
+                    f"theta_union_agg(`{sc}_theta`, {int(spec.theta_lgk)})"
+                ).alias(f"{sc}_theta")
             )
         merged = (
             existing.unionByName(rolled)

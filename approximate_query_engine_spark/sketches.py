@@ -698,10 +698,10 @@ def segment_overlap(
             ).alias("sk")
         )
     )
-    return pairwise_sketch_overlap(per_seg, pairs=pairs)
+    return pairwise_sketch_overlap(per_seg, pairs=pairs, lg_k=lg_k)
 
 
-def pairwise_sketch_overlap(per_seg, pairs=None):
+def pairwise_sketch_overlap(per_seg, pairs=None, lg_k: int = 12):
     """The pairwise back half of :func:`segment_overlap`, factored out so
     per-segment theta sketches can come from EITHER a raw-table scan
     (segment_overlap) or merged ROLLUP STATE (engine.segment_overlap's
@@ -740,7 +740,12 @@ def pairwise_sketch_overlap(per_seg, pairs=None):
             F.expr(
                 est.format("theta_intersection(sk_a, sk_b)")
             ).alias("overlap_cnt"),
-            F.expr(est.format("theta_union(sk_a, sk_b)")).alias("union_cnt"),
+            # the scalar union must run at the sketches' own nominal:
+            # its default (lg_k 12) would downsample exact-mode inputs
+            # built larger, turning union_cnt into an estimate
+            F.expr(
+                est.format(f"theta_union(sk_a, sk_b, {int(lg_k)})")
+            ).alias("union_cnt"),
         )
         .withColumn(
             "jaccard",

@@ -985,3 +985,46 @@ def test_bound_grammar_edges(spark):
     )
     assert r["source"] == "raw_scan"
     assert r["df"].count() > 0
+
+
+def test_theta_lgk_above_default_unions_at_state_nominal(spark):
+    """Regression: theta_union_agg's function default (lg_k 12) silently
+    DOWNSAMPLES state built at a larger nominal — 10k distinct keys
+    sketched at lg_k 14 are exact-mode, but a default union retained
+    ~4096 entries and estimated 9890 (observed), contradicting the
+    routed path's exactness contract. Every union site must pass the
+    rollup's own theta_lgk."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark import AQEngine
+
+    # segments x: keys 0..9999, y: keys 5000..11999 — 12k distinct total
+    # (2^12 < 12k < 2^14), truth: |x∩y| = 5000, |x∪y| = 12000
+    base = spark.range(12000).select(F.col("id").alias("u"))
+    rows = base.where("u < 10000").selectExpr("u", "'x' AS s").unionAll(
+        base.where("u >= 5000").selectExpr("u", "'y' AS s")
+    ).selectExpr(
+        "CAST(u AS BIGINT) AS u", "s",
+        "timestampadd(SECOND, CAST((u * 37) % 172800 AS INT), "
+        "TIMESTAMP '2024-01-01 00:00:00') AS ts",
+    )
+    rows.createOrReplaceTempView("seg14")
+    e = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_lgk14_"))
+    e.create_rollup(
+        "seg14", "ts", "1 hour", dims=["s"], theta_cols=["u"],
+        theta_lgk=14,
+    )
+    r = e.segment_overlap("seg14", "s", "u")
+    assert r["source"] == "rollup_state", r
+    out = {
+        (x["seg_a"], x["seg_b"]): x for x in (
+            row.asDict() for row in r["df"].collect()
+        )
+    }
+    pair = out[("x", "y")]
+    # exact, not the ~1%-off estimates a default-lg_k union produced
+    assert pair["overlap_cnt"] == 5000, pair
+    assert pair["union_cnt"] == 12000, pair
+    assert pair["distinct_a"] == 10000 and pair["distinct_b"] == 7000, pair
