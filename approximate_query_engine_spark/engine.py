@@ -2678,6 +2678,21 @@ class AQEngine:
         ov = try_parse_overlap(sql)
         if ov is None:
             return None
+        # table-name case: Spark resolves tables case-insensitively, but
+        # every catalog structure (rollups, stats, ndv, the advisor's
+        # candidate signatures) is a dict keyed by spelling — 'FROM
+        # EVENTS' would never find the 'events' rollup and would record
+        # advisor shapes that never merge with 'events' observations.
+        # Canonicalize to the catalog's recorded casing when exactly one
+        # case-insensitive match exists (same policy as columns below).
+        known = (
+            set(self.catalog.rollups)
+            | set(self.catalog.partitioned_views)
+            | set(self.catalog.table_stats)
+        )
+        matches = {t for t in known if t.lower() == ov.table.lower()}
+        if len(matches) == 1 and ov.table not in matches:
+            ov.table = next(iter(matches))
         try:
             cmap = {c.lower(): c for c in self._table_columns(ov.table)}
         except Exception:  # noqa: BLE001 - unknown table: pass through

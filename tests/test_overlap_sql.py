@@ -555,3 +555,34 @@ def test_stale_rollup_declines_and_rerecords(spark):
     r = e.query(sql, dual_execute=False)
     assert r["plan"]["type"] == "exact", r["plan"]
     assert list(e.catalog.rollup_candidates.values()), "miss not recorded"
+
+
+def test_overlap_sql_case_insensitive_table(spark):
+    """The TABLE spelling is catalog currency too: 'FROM EVENTS' must
+    find the rollup registered under 'events' (Spark resolves tables
+    case-insensitively; catalog dicts do not), and an unrouted
+    case-variant table must merge into the same advisor candidate
+    instead of splitting the observation book."""
+    e = _engine(spark)
+    e.create_rollup(
+        "events", "ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    e.analyze_table("events", ["user_id"])
+    shouty = (
+        "SELECT COUNT(DISTINCT a.user_id) AS oc FROM EVENTS a "
+        "JOIN EVENTS b ON a.user_id = b.user_id "
+        "WHERE a.event_type = 'click' AND b.event_type = 'view'"
+    )
+    r = e.query(shouty, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, SELF_JOIN)
+    # unrouted: the case-variant table merges into ONE candidate once
+    # the catalog knows the canonical spelling (stats record it here)
+    e2 = _engine(spark)
+    e2.analyze_table("events", ["user_id"])
+    e2.query(SELF_JOIN, dual_execute=False)
+    e2.query(shouty, dual_execute=False)
+    book = list(e2.catalog.rollup_candidates.values())
+    assert len(book) == 1 and book[0]["count"] == 2, book
+    assert book[0]["table"] == "events", book
