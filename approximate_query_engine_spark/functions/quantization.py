@@ -232,6 +232,49 @@ def read_quantized_codes(
     )
 
 
+def clamp_stats(
+    df: DataFrame,
+    quantizer: ScalarQuantizer,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drift diagnostic for a persisted quantizer: per-dimension count
+    and fraction of values falling OUTSIDE the fitted [min, max] (the
+    values encode clamps to the range edges). A sample-fitted quantizer
+    clamps a little by design; a rising fraction on appended data means
+    the distribution moved and the codes are losing resolution — the
+    signal to re-fit and re-encode. One posexplode + groupBy(dim) pass,
+    same bounded-shuffle shape as fit. Returns
+    (d, n, clamped, clamp_fraction) per dimension."""
+    mins = F.array(*[F.lit(float(m)) for m in quantizer.mins])
+    scales = F.array(*[F.lit(float(s)) for s in quantizer.scales])
+    span = float(quantizer.levels - 1)
+    # a value clamps when (x - min) * scale rounds outside [0, span] —
+    # test the SAME arithmetic encode uses, not a plain range check, so
+    # boundary rounding agrees with the actual codes
+    out_flag = F.zip_with(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), mins, lambda x, m: x - m
+        ),
+        scales,
+        lambda d, s: (
+            (F.round(d * s) < 0.0) | (F.round(d * s) > F.lit(span))
+        ).cast("int"),
+    )
+    return (
+        df.select(F.posexplode(out_flag).alias("d", "clamped"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("clamped").alias("clamped"),
+        )
+        .withColumn(
+            "clamp_fraction",
+            F.col("clamped") / F.col("n").cast("double"),
+        )
+        .orderBy("d")
+    )
+
+
 def _int_dot(a: Column, b: Column) -> Column:
     """Exact integer dot product of two int-code arrays. Each factor is
     widened to int64 BEFORE the multiply: int32 products overflow past

@@ -143,6 +143,29 @@ def test_recall_ignores_duplicate_pairs(spark):
     assert abs(r.recall - 0.5) < 1e-12  # 1 of 2, not 2/3 or 2/2
 
 
+def test_clamp_stats_flags_out_of_range_dimensions(spark):
+    from approximate_query_engine_spark.functions.quantization import (
+        clamp_stats,
+    )
+
+    fit_df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    q = ScalarQuantizer.fit(fit_df)
+    drifted = spark.createDataFrame(
+        [(2, [-5.0, 0.5]), (3, [0.5, 0.5]), (4, [2.0, 0.25]),
+         (5, [0.1, 0.9])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.d: r for r in clamp_stats(drifted, q).collect()}
+    assert rows[0].n == 4 and rows[0].clamped == 2  # -5.0 and 2.0
+    assert rows[0].clamp_fraction == 0.5
+    assert rows[1].clamped == 0  # dim 1 stayed inside the fit
+    # in-range data on the fitting set itself never clamps
+    clean = {r.d: r.clamped for r in clamp_stats(fit_df, q).collect()}
+    assert clean == {0: 0, 1: 0}
+
+
 def test_codes_sink_round_trips_quantizer_and_codes(spark, tmp_path):
     from approximate_query_engine_spark.functions.quantization import (
         read_quantized_codes,
