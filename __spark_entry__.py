@@ -1710,6 +1710,173 @@ ORDER BY r.query_id, r.rank
 """
 
 
+#: q113 IVF x SQ8 parameters. The coarse centroids are DATA-INDEPENDENT
+#: seeded random int8 codes (a valid — if unbalanced — inverted file; any
+#: consistent partitioner defines correct IVF semantics) so the oracle
+#: can embed them as literals: a k-means fit is driver-side numpy and no
+#: SQL engine could replay it. The PRODUCTION path runs trained k-means
+#: centroids through the same code (quantization.centroid_codes_from_index);
+#: its recall is pinned in tests/test_quantization.py and bench.py — what
+#: q113 value-checks is the composition mechanics every centroid choice
+#: shares: assignment argmax, probe ranking, probed-bucket-ONLY integer
+#: shortlist (cand_cnt proves the pruning), exact-float rerank.
+_QIVF_NLIST, _QIVF_NPROBE, _QIVF_K, _QIVF_FACTOR, _QIVF_SEED = 8, 3, 3, 4, 11
+
+
+def _qivf_centroids() -> list[list[int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(_QIVF_SEED)
+    return rng.integers(0, 256, size=(_QIVF_NLIST, _EMB_DIM)).tolist()
+
+
+def _q_quantized_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 surface (VERDICT r11 #1): scalar quantization COMPOSED
+    with the IVF index — int8 codes stored in the assigned table,
+    integer-dot shortlist computed ONLY inside the nprobe probed
+    buckets, exact-float rerank (functions/quantization.
+    knn_join_ivf_quantized). This is the scale-safe replacement for
+    q112's corpus-broadcast all-pairs broad phase: the corpus streams
+    join-pruned to probed buckets and never broadcasts. Everything the
+    pipeline ranks by is exact int64 dots + pinned float64 divisions,
+    so the oracle replays assignment, probing, shortlist AND rerank
+    bit-for-bit — and ``cand_cnt`` (scored candidates per query) sits
+    under the hash, so an implementation that quietly scanned the whole
+    corpus (cand_cnt = |corpus|-1) hash-fails even where the final
+    ranks happen to agree."""
+    from approximate_query_engine_spark.functions.quantization import (
+        ScalarQuantizer,
+        ivf_assign_quantized,
+        knn_join_ivf_quantized,
+    )
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = ScalarQuantizer.fit(emb)
+    cents = _qivf_centroids()
+    assigned = ivf_assign_quantized(emb, q, cents)
+    return knn_join_ivf_quantized(
+        emb.where("vec_id < 40"),
+        emb,
+        q,
+        cents,
+        k=_QIVF_K,
+        nprobe=_QIVF_NPROBE,
+        shortlist_factor=_QIVF_FACTOR,
+        exclude_self=True,
+        assigned_codes=assigned,
+        with_candidate_count=True,
+    )
+
+
+def _quantized_ivf_oracle() -> str:
+    """DuckDB replay of q113: same per-dim fit and codes as q112's
+    oracle, centroid codes embedded as BIGINT[] literals, the same
+    pinned (dot / na) / nb cosine for assignment, probe ranking and
+    shortlist, rerank via the probe-verified sequential float fold
+    (_duck_dot), ties by id at every ranking."""
+    cents = _qivf_centroids()
+    values = ", ".join(
+        f"({cid}, [{','.join(str(int(x)) for x in cc)}]::BIGINT[])"
+        for cid, cc in enumerate(cents)
+    )
+
+    def dot(x, y):
+        return _duck_dot(x, y, _EMB_DIM)
+
+    return f"""
+WITH dims AS (
+  SELECT UNNEST(range(0, len(embedding))) AS d, embedding FROM embeddings
+), stats AS (
+  SELECT d, MIN(embedding[d + 1]::DOUBLE) AS mn,
+         MAX(embedding[d + 1]::DOUBLE) AS mx
+  FROM dims GROUP BY d
+), params AS (
+  SELECT list(mn ORDER BY d) AS mins,
+         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END
+              ORDER BY d) AS scales
+  FROM stats
+), codes AS (
+  SELECT vec_id,
+         list_transform(range(0, len(embedding)), i ->
+           LEAST(GREATEST(
+             CAST(round((embedding[i + 1]::DOUBLE - mins[i + 1])
+                        * scales[i + 1]) AS INT), 0), 255)) AS c
+  FROM embeddings, params
+), rn AS (
+  SELECT vec_id, c,
+         sqrt(CAST(list_sum(list_transform(c, x ->
+           CAST(x AS BIGINT) * x)) AS DOUBLE)) AS n
+  FROM codes
+), cents AS (
+  SELECT * FROM (VALUES {values}) AS t(cid, cc)
+), cstats AS (
+  SELECT cid, cc,
+         sqrt(CAST(list_sum(list_transform(cc, x -> x * x)) AS DOUBLE))
+           AS cn
+  FROM cents
+), ccos AS (
+  SELECT r.vec_id, k.cid,
+         CASE WHEN r.n > 0 AND k.cn > 0
+              THEN (CAST(list_sum(list_transform(range(0, {_EMB_DIM}),
+                     i -> CAST(r.c[i + 1] AS BIGINT) * k.cc[i + 1]))
+                     AS DOUBLE) / r.n) / k.cn
+              ELSE 0.0 END AS cos
+  FROM rn r CROSS JOIN cstats k
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+    FROM ccos) WHERE rk = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+    FROM ccos WHERE vec_id < 40) WHERE rk <= {_QIVF_NPROBE}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+), cnt AS (
+  SELECT query_id, COUNT(*) AS cand_cnt FROM cand GROUP BY query_id
+), qcs AS (
+  SELECT c.query_id, c.neighbor_id,
+         CASE WHEN q.n > 0 AND b.n > 0
+              THEN (CAST(list_sum(list_transform(range(0, {_EMB_DIM}),
+                     i -> CAST(q.c[i + 1] AS BIGINT) * b.c[i + 1]))
+                     AS DOUBLE) / q.n) / b.n
+              ELSE 0.0 END AS qcos
+  FROM cand c
+  JOIN rn q ON q.vec_id = c.query_id
+  JOIN rn b ON b.vec_id = c.neighbor_id
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rk
+    FROM qcs) WHERE rk <= {_QIVF_K * _QIVF_FACTOR}
+), rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         CASE WHEN sqrt({dot('a.embedding', 'a.embedding')}) > 0
+               AND sqrt({dot('b.embedding', 'b.embedding')}) > 0
+              THEN {dot('a.embedding', 'b.embedding')}
+                   / (sqrt({dot('a.embedding', 'a.embedding')})
+                      * sqrt({dot('b.embedding', 'b.embedding')}))
+              ELSE 0.0 END AS cosine
+  FROM short s
+  JOIN embeddings a ON a.vec_id = s.query_id
+  JOIN embeddings b ON b.vec_id = s.neighbor_id
+)
+SELECT r.query_id, r.neighbor_id, r.cosine, r.rank, t.cand_cnt
+FROM (SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rer) r
+JOIN cnt t USING (query_id)
+WHERE r.rank <= {_QIVF_K}
+ORDER BY r.query_id, r.rank
+"""
+
+
 _HIERARCHY_SQL = (
     "SELECT event_type, DATE_TRUNC('WEEK', ts) AS wk, COUNT(*) AS n, "
     "COUNT(value) AS nv, MIN(value) AS mn, MAX(value) AS mx "
@@ -4569,6 +4736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q110_advisor_repair_loop"] = _q_advisor_repair_loop
     out["q111_boilerplate"] = _q_boilerplate
     out["q112_quantized_knn"] = _q_quantized_knn
+    out["q113_quantized_ivf"] = _q_quantized_ivf
     return _reorder_check_window(out)
 
 
@@ -4642,5 +4810,6 @@ def oracle_sql() -> dict[str, str]:
     out["q110_advisor_repair_loop"] = _REPAIR_ORACLE
     out["q111_boilerplate"] = _BOILERPLATE_ORACLE
     out["q112_quantized_knn"] = _QUANTIZED_KNN_ORACLE
+    out["q113_quantized_ivf"] = _quantized_ivf_oracle()
     out["q47_pps_sum"] = _pps_oracle()
     return out
