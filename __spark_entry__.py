@@ -2548,6 +2548,126 @@ ORDER BY pair
 """
 
 
+#: q114 (round 12, VERDICT r11 #2): the UNION arm of the overlap SQL
+#: family — "either segment" reach. Four spellings over the same derived
+#: partial-overlap key as q109 (event_id % 3000): the two-CTE UNION
+#: count, the one-table seg IN (a, b) COUNT(DISTINCT), the WINDOWED
+#: seg_in (p_date-pruned state), and the unsegmented cross-period UNION
+#: ("active either week"). Per-pair values differ by construction, so a
+#: routed answer that returned one segment's cardinality — or another
+#: pair's union — hash-fails.
+_REACH_SQL_PAIRS = [
+    (
+        "reach|click|purchase",
+        "WITH ca AS (SELECT DISTINCT uid FROM events_rch "
+        "            WHERE event_type = 'click'), "
+        "cb AS (SELECT DISTINCT uid FROM events_rch "
+        "       WHERE event_type = 'purchase') "
+        "SELECT COUNT(*) AS reach_cnt "
+        "FROM (SELECT * FROM ca UNION SELECT * FROM cb) t",
+    ),
+    (
+        "reach|signup|view",
+        "SELECT COUNT(DISTINCT uid) AS reach_cnt FROM events_rch "
+        "WHERE event_type IN ('signup', 'view')",
+    ),
+    (
+        "reach|click|view|w06-13",
+        "SELECT COUNT(DISTINCT uid) AS reach_cnt FROM events_rch "
+        "WHERE event_type IN ('click', 'view') "
+        "AND ts >= TIMESTAMP '2024-01-06 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-13 00:00:00'",
+    ),
+    (
+        "either|w01-08|w08-15",
+        "SELECT COUNT(*) AS reach_cnt FROM ("
+        "SELECT uid FROM events_rch "
+        "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-08 00:00:00' "
+        "UNION "
+        "SELECT uid FROM events_rch "
+        "WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-15 00:00:00') t",
+    ),
+]
+
+
+def _q_overlap_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 surface (VERDICT r11 #2): the overlap SQL family's
+    UNION arm. All four reach spellings (sqlparser.parse_overlap:
+    set_op='union' in the set-op idiom; the new seg_in idiom) answer
+    from per-bucket theta state — per-branch state unions combined with
+    theta_union AT THE ROLLUP'S OWN lg_k (042a0e3's invariant), the
+    fact table never re-read — under the same exact-regime certificate
+    as q109 (fresh ndv + margin fits 2^lg_k, so the sketches provably
+    never sampled and every union is exact). The same analyze pass
+    proves uid null-free, which the COUNT(*)-over-UNION spellings
+    additionally require (SQL UNION keeps a NULL key as one distinct
+    row sketches cannot see; COUNT(DISTINCT ... IN (...)) ignores NULLs
+    and needs no gate). The windowed spellings route p_date-pruned."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    spark.sql(
+        "SELECT event_id % 3000 AS uid, event_type, ts FROM events"
+    ).createOrReplaceTempView("events_rch")
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    eng.catalog.upsert_table_stats(
+        "events_rch", spark.table("events_rch").count()
+    )
+    eng.create_rollup(
+        "events_rch", "ts", "1 day", dims=["event_type"],
+        theta_cols=["uid"],
+    )
+    eng.analyze_table("events_rch", ["uid"])
+    rows = []
+    for pair, sql in _REACH_SQL_PAIRS:
+        r = eng.query(sql, dual_execute=False)
+        assert r["status"] == "ok", r.get("error")
+        assert r["plan"]["type"] == "sketch", (pair, r["plan"])
+        assert "theta state" in r["plan"]["reason"], r["plan"]
+        assert "fact table not re-read" in r["plan"]["reason"], r["plan"]
+        rows.append((pair, int(r["result"][0]["reach_cnt"])))
+    return spark.createDataFrame(rows, "pair string, reach_cnt long")
+
+
+_OVERLAP_UNION_ORACLE = """
+WITH ov AS (SELECT event_id % 3000 AS uid, event_type, ts FROM events)
+SELECT 'reach|click|purchase' AS pair, cnt::BIGINT AS reach_cnt FROM (
+  SELECT COUNT(*) AS cnt FROM (
+    SELECT DISTINCT uid FROM ov WHERE event_type = 'click'
+    UNION
+    SELECT DISTINCT uid FROM ov WHERE event_type = 'purchase'
+  )
+)
+UNION ALL
+SELECT 'reach|signup|view' AS pair,
+       COUNT(DISTINCT uid)::BIGINT AS reach_cnt
+FROM ov WHERE event_type IN ('signup', 'view')
+UNION ALL
+SELECT 'reach|click|view|w06-13' AS pair,
+       COUNT(DISTINCT uid)::BIGINT AS reach_cnt
+FROM ov WHERE event_type IN ('click', 'view')
+  AND ts >= TIMESTAMP '2024-01-06 00:00:00'
+  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+UNION ALL
+SELECT 'either|w01-08|w08-15' AS pair, cnt::BIGINT AS reach_cnt FROM (
+  SELECT COUNT(*) AS cnt FROM (
+    SELECT DISTINCT uid FROM ov
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts < TIMESTAMP '2024-01-08 00:00:00'
+    UNION
+    SELECT DISTINCT uid FROM ov
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts < TIMESTAMP '2024-01-15 00:00:00'
+  )
+)
+ORDER BY pair
+"""
+
+
 _REPAIR_TOPK_SQL = (
     "SELECT uid, COUNT(*) AS n FROM events_rep "
     "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
@@ -4737,6 +4857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q111_boilerplate"] = _q_boilerplate
     out["q112_quantized_knn"] = _q_quantized_knn
     out["q113_quantized_ivf"] = _q_quantized_ivf
+    out["q114_overlap_union"] = _q_overlap_union
     return _reorder_check_window(out)
 
 
@@ -4811,5 +4932,6 @@ def oracle_sql() -> dict[str, str]:
     out["q111_boilerplate"] = _BOILERPLATE_ORACLE
     out["q112_quantized_knn"] = _QUANTIZED_KNN_ORACLE
     out["q113_quantized_ivf"] = _quantized_ivf_oracle()
+    out["q114_overlap_union"] = _OVERLAP_UNION_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

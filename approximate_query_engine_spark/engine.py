@@ -2619,10 +2619,13 @@ class AQEngine:
     def _route_overlap_sql(
         self, sql: str, max_rel_error: float, prefer_exact: bool
     ) -> dict | None:
-        """SQL surface for segment overlap (round 11, VERDICT r10 #3):
-        when ``sql`` is one of the two canonical overlap idioms
-        (sqlparser.parse_overlap — the COUNT(DISTINCT) self-join and the
-        INTERSECT-count pair) and a FRESH rollup tracks ``key_col`` in
+        """SQL surface for segment overlap (round 11, VERDICT r10 #3;
+        round 12 adds the UNION/reach arm per VERDICT r11 #2): when
+        ``sql`` is one of the canonical overlap idioms
+        (sqlparser.parse_overlap — the COUNT(DISTINCT) self-join, the
+        INTERSECT/EXCEPT/UNION-count set-op pair, and the one-table
+        ``seg IN (a, b)`` COUNT(DISTINCT) reach spelling) and a FRESH
+        rollup tracks ``key_col`` in
         ``theta_cols`` with ``segment_col`` as a dim, answer from theta
         state: per-segment sketches come from unioning per-bucket state
         (the fact table is never re-read — at 100 TB the exact idioms
@@ -2772,9 +2775,17 @@ class AQEngine:
         ):
             return None  # exact regime unprovable — decline, stay exact
         if ov.idiom == "intersect":
+            # the CTE set-op spelling keeps a NULL key as one distinct
+            # row under ALL THREE operators (INTERSECT: NULL∩NULL;
+            # EXCEPT: NULL on the left only; UNION: NULL on either side
+            # — verified against DuckDB, round 12) — rows no sketch can
+            # count, so the whole idiom requires the null-freedom proof.
+            # The seg_in spelling is COUNT(DISTINCT), which IGNORES
+            # NULLs — exactly theta_union's semantics — so it routes
+            # without the gate.
             nf = self.catalog.column_null_frac.get((ov.table, key))
             if nf != 0.0:
-                return None  # NULL-intersection row unprovable — decline
+                return None  # NULL set-op row unprovable — decline
         src = info.get("files_view") or info["view"]
         alias_bt = ov.alias.replace("`", "``")
 
@@ -2800,6 +2811,19 @@ class AQEngine:
                 "ELSE ROUND(theta_sketch_estimate("
                 "theta_difference(sa.sk, sb.sk))) END"
             )
+        elif ov.set_op == "union":
+            # A ∪ empty = A — and the union must run at the ROLLUP'S
+            # OWN lg_k (042a0e3: a smaller function-default nominal
+            # would re-sample certified-exact sketches)
+            est = (
+                "CASE WHEN sa.sk IS NULL AND sb.sk IS NULL THEN 0 "
+                "WHEN sa.sk IS NULL "
+                "THEN ROUND(theta_sketch_estimate(sb.sk)) "
+                "WHEN sb.sk IS NULL "
+                "THEN ROUND(theta_sketch_estimate(sa.sk)) "
+                "ELSE ROUND(theta_sketch_estimate("
+                f"theta_union(sa.sk, sb.sk, {lgk}))) END"
+            )
         else:
             est = (
                 "CASE WHEN sa.sk IS NULL OR sb.sk IS NULL THEN 0 "
@@ -2813,7 +2837,7 @@ class AQEngine:
             + _branch_sub(ov.lit_b, pred_b, "sb")
         )
         shape = (
-            "segment-overlap"
+            ("segment-reach" if ov.set_op == "union" else "segment-overlap")
             if seg is not None
             else f"audience {ov.set_op}"
         )

@@ -679,6 +679,21 @@ class OverlapQuery:
     records which, branch order preserved). At least one branch must be
     windowed or segmented; a fully unconstrained pair is the identity
     question and is rejected.
+
+    Round 12 (VERDICT r11 #2) adds the UNION arm — the third audience
+    question, "either segment" reach:
+
+    - ``set_op = "union"`` in the set-op idiom: SELECT COUNT(*) FROM
+      (SELECT key ... UNION SELECT key ...). NOTE: SQL UNION keeps a
+      NULL key as one distinct row (verified against DuckDB), so like
+      INTERSECT/EXCEPT this spelling routes only under the proven
+      null_frac == 0 gate.
+    - ``idiom = "seg_in"``: SELECT COUNT(DISTINCT key) FROM t WHERE seg
+      IN (lit_a, lit_b) [AND symmetric time window] — the one-table
+      spelling of the same reach question. COUNT(DISTINCT) IGNORES
+      NULLs, so this spelling needs no null gate (it is the exact
+      semantics theta_union computes). The optional window applies to
+      both branches (``lo_b``/``hi_b`` mirror ``lo``/``hi``).
     """
 
     table: str
@@ -687,13 +702,13 @@ class OverlapQuery:
     lit_a: str | None  # literal text as written, e.g. "'click'" or "3"
     lit_b: str | None
     alias: str  # required output-column alias
-    idiom: str  # "self_join" | "intersect"
+    idiom: str  # "self_join" | "intersect" | "seg_in"
     time_col: str | None = None
     lo: str | None = None  # branch A window (bare timestamp text)
     hi: str | None = None
     lo_b: str | None = None  # branch B window; self-join mirrors A's
     hi_b: str | None = None
-    set_op: str = "intersect"  # "intersect" | "except" (set-op idiom)
+    set_op: str = "intersect"  # "intersect" | "except" | "union"
 
 
 #: string literal (with '' escape) or numeric literal
@@ -781,11 +796,13 @@ def parse_overlap(sql: str) -> OverlapQuery:
     # misroute a valid self-join idiom into the INTERSECT parser
     masked = _mask_string_literals(sql)
     if re.match(r"^\s*WITH\b", masked, re.IGNORECASE) or re.search(
-        r"\b(?:INTERSECT|EXCEPT)\b", masked, re.IGNORECASE
+        r"\b(?:INTERSECT|EXCEPT|UNION)\b", masked, re.IGNORECASE
     ):
         return _parse_overlap_intersect(sql)
     if re.search(r"\bJOIN\b", masked, re.IGNORECASE):
         return _parse_overlap_self_join(sql)
+    if re.search(r"\bIN\b", masked, re.IGNORECASE):
+        return _parse_overlap_in(sql)
     raise UnsupportedQueryError("not an overlap idiom")
 
 
@@ -970,21 +987,21 @@ def _parse_overlap_intersect(sql: str) -> OverlapQuery:
         raise UnsupportedQueryError(f"unexpected trailing clause: {tail!r}")
     masked_inner = _mask_string_literals(inner)
     if re.search(
-        r"\b(?:INTERSECT|EXCEPT)\s+ALL\b", masked_inner, re.IGNORECASE
+        r"\b(?:INTERSECT|EXCEPT|UNION)\s+ALL\b", masked_inner, re.IGNORECASE
     ):
         raise UnsupportedQueryError(
-            "INTERSECT/EXCEPT ALL is bag semantics, not a distinct overlap"
+            "INTERSECT/EXCEPT/UNION ALL is bag semantics, not a "
+            "distinct overlap"
         )
-    has_intersect = bool(
-        re.search(r"\bINTERSECT\b", masked_inner, re.IGNORECASE)
-    )
-    has_except = bool(re.search(r"\bEXCEPT\b", masked_inner, re.IGNORECASE))
-    if has_intersect and has_except:
+    present = [
+        op
+        for op in ("INTERSECT", "EXCEPT", "UNION")
+        if re.search(rf"\b{op}\b", masked_inner, re.IGNORECASE)
+    ]
+    if len(present) != 1:
         raise UnsupportedQueryError("exactly one set operator")
-    set_op = "intersect" if has_intersect else "except"
-    sides = _split_top_keyword(
-        inner, "INTERSECT" if has_intersect else "EXCEPT"
-    )
+    set_op = present[0].lower()
+    sides = _split_top_keyword(inner, present[0])
     if len(sides) != 2:
         raise UnsupportedQueryError("exactly one top-level set operator")
     branches = []
@@ -1109,6 +1126,92 @@ def _parse_overlap_branch(
     return table, key, seg, lit, time_preds
 
 
+_OV_IN_COUNT_RE = re.compile(
+    r"^COUNT\s*\(\s*DISTINCT\s+([A-Za-z_]\w*)\s*\)$", re.IGNORECASE
+)
+_OV_IN_PRED_RE = re.compile(
+    rf"^([A-Za-z_]\w*)\s+IN\s*\(\s*({_LIT})\s*,\s*({_LIT})\s*\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_overlap_in(sql: str) -> OverlapQuery:
+    """The one-table reach spelling (round 12, VERDICT r11 #2):
+    ``SELECT COUNT(DISTINCT key) AS alias FROM t WHERE seg IN (lit_a,
+    lit_b) [AND ts >= TIMESTAMP 'lo' AND ts < TIMESTAMP 'hi']`` —
+    semantically |keys(seg=a) ∪ keys(seg=b)| with NULL keys ignored
+    (COUNT DISTINCT's contract), i.e. exactly a theta union of the two
+    segment slices. The optional window is a single >=/< pair applying
+    to both branches."""
+    spans = _find_clause_spans(sql)
+    clauses: dict[str, str] = {}
+    for clause, s, e in spans:
+        if clause in clauses:
+            raise UnsupportedQueryError(f"duplicate {clause} clause")
+        clauses[clause] = sql[s:e].strip()
+    if set(clauses) != {"SELECT", "FROM", "WHERE"}:
+        raise UnsupportedQueryError(
+            "overlap IN idiom is exactly SELECT ... FROM ... WHERE"
+        )
+    items = _split_top_commas(clauses["SELECT"])
+    if len(items) != 1:
+        raise UnsupportedQueryError("overlap idiom has one select item")
+    it = _parse_select_item(items[0])
+    if it.alias is None:
+        raise UnsupportedQueryError(
+            "overlap routing requires an explicit AS alias on the count"
+        )
+    cm = _OV_IN_COUNT_RE.match(it.raw.strip())
+    if not cm:
+        raise UnsupportedQueryError(
+            "overlap IN idiom counts COUNT(DISTINCT key)"
+        )
+    key = cm.group(1)
+    table = clauses["FROM"].strip()
+    if not re.match(r"^[A-Za-z_]\w*$", table):
+        raise UnsupportedQueryError("overlap IN idiom reads one table")
+    seg = lit_a = lit_b = None
+    time_preds: list[tuple[str, str, str]] = []
+    for c in _split_top_keyword(clauses["WHERE"], "AND"):
+        c = c.strip()
+        pm = _OV_IN_PRED_RE.match(c)
+        if pm:
+            if seg is not None:
+                raise UnsupportedQueryError("one IN predicate")
+            seg, lit_a, lit_b = pm.groups()
+            continue
+        tm = _OV_TIME_RE.match(c)
+        if tm:
+            qual, col, op, tlit = tm.groups()
+            if qual is not None:
+                raise UnsupportedQueryError(
+                    "single-table time bounds must be unqualified"
+                )
+            time_preds.append((col, op, tlit))
+            continue
+        raise UnsupportedQueryError(f"not an overlap predicate: {c!r}")
+    if seg is None:
+        raise UnsupportedQueryError("overlap IN idiom needs seg IN (a, b)")
+    if seg.lower() == key.lower():
+        raise UnsupportedQueryError("segment column must differ from key")
+    tcol, lo, hi = _branch_window(time_preds)
+    return OverlapQuery(
+        table=table,
+        key_col=key,
+        segment_col=seg,
+        lit_a=lit_a,
+        lit_b=lit_b,
+        alias=it.alias,
+        idiom="seg_in",
+        time_col=tcol,
+        lo=lo,
+        hi=hi,
+        lo_b=lo,
+        hi_b=hi,
+        set_op="union",
+    )
+
+
 def _extract_balanced(text: str, open_pos: int) -> tuple[str, int]:
     """Return (inner, index_after_close) for the paren group opening at
     ``open_pos``; string literals are masked so parens inside them are
@@ -1130,11 +1233,15 @@ def _extract_balanced(text: str, open_pos: int) -> tuple[str, int]:
 def try_parse_overlap(sql: str) -> OverlapQuery | None:
     """Best-effort overlap-idiom parse; None → not an overlap query."""
     upper = sql.upper()
-    # cheap pre-filter: every idiom carries one of these tokens
+    # cheap pre-filter: every idiom carries one of these tokens (the
+    # seg-IN reach spelling carries "IN(" / "IN (" — checked as a word
+    # by the real parser; this is only a fast-path screen)
     if (
         "JOIN" not in upper
         and "INTERSECT" not in upper
         and "EXCEPT" not in upper
+        and "UNION" not in upper
+        and " IN" not in upper
     ):
         return None
     try:

@@ -586,3 +586,162 @@ def test_overlap_sql_case_insensitive_table(spark):
     book = list(e2.catalog.rollup_candidates.values())
     assert len(book) == 1 and book[0]["count"] == 2, book
     assert book[0]["table"] == "events", book
+
+
+# ---------------------------------------------------------------------------
+# round 12 (VERDICT r11 #2): the UNION arm — "either segment" reach
+
+UNION_CTE = (
+    "WITH ca AS (SELECT DISTINCT user_id FROM events "
+    "            WHERE event_type = 'click'), "
+    "cb AS (SELECT DISTINCT user_id FROM events "
+    "       WHERE event_type = 'view') "
+    "SELECT COUNT(*) AS oc "
+    "FROM (SELECT * FROM ca UNION SELECT * FROM cb) t"
+)
+UNION_INLINE = (
+    "SELECT COUNT(*) AS oc FROM ("
+    "SELECT user_id FROM events WHERE event_type = 'click' "
+    "UNION "
+    "SELECT user_id FROM events WHERE event_type = 'view') t"
+)
+SEG_IN = (
+    "SELECT COUNT(DISTINCT user_id) AS oc FROM events "
+    "WHERE event_type IN ('click', 'view')"
+)
+
+
+def test_parse_union_idioms():
+    for sql in (UNION_CTE, UNION_INLINE):
+        ov = try_parse_overlap(sql)
+        assert ov is not None and ov.set_op == "union", sql
+        assert ov.idiom == "intersect"
+        assert {ov.lit_a, ov.lit_b} == {"'click'", "'view'"}
+    ov = try_parse_overlap(SEG_IN)
+    assert ov is not None and (ov.idiom, ov.set_op) == ("seg_in", "union")
+    assert (ov.table, ov.key_col, ov.segment_col) == (
+        "events", "user_id", "event_type",
+    )
+    assert (ov.lit_a, ov.lit_b) == ("'click'", "'view'")
+    # windowed seg_in: one >=/< pair applying to BOTH branches
+    w = (
+        "SELECT COUNT(DISTINCT user_id) AS oc FROM events "
+        "WHERE event_type IN ('click', 'view') "
+        "AND ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00'"
+    )
+    ov = try_parse_overlap(w)
+    assert ov is not None and ov.time_col == "ts"
+    assert (ov.lo, ov.hi) == (ov.lo_b, ov.hi_b)
+    # near-misses stay unparsed: bag semantics, 3-element IN, key==seg,
+    # ordinary IN filters with a non-count projection
+    for bad in (
+        UNION_INLINE.replace("UNION", "UNION ALL"),
+        "SELECT COUNT(DISTINCT user_id) AS oc FROM events "
+        "WHERE event_type IN ('a', 'b', 'c')",
+        "SELECT COUNT(DISTINCT user_id) AS oc FROM events "
+        "WHERE user_id IN (1, 2)",
+        "SELECT event_id AS oc FROM events WHERE event_type IN ('a', 'b')",
+    ):
+        assert try_parse_overlap(bad) is None, bad
+
+
+def test_union_idioms_route_and_match_exact(spark):
+    """Both reach spellings answer from theta state — per-segment
+    per-bucket unions combined with theta_union AT THE ROLLUP'S OWN
+    lg_k — exactly, under the same exact-regime proof. The union with
+    a segment absent from state is A ∪ empty = |A|, not NULL."""
+    e = _engine(spark)
+    e.create_rollup(
+        "events", "ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    e.analyze_table("events", ["user_id"])
+    for sql in (UNION_CTE, UNION_INLINE, SEG_IN):
+        r = e.query(sql, dual_execute=False)
+        assert r["status"] == "ok", r.get("error")
+        assert r["plan"]["type"] == "sketch", (sql, r["plan"])
+        assert "theta state" in r["plan"]["reason"], r["plan"]
+        assert r["result"][0]["oc"] == _exact(spark, sql), sql
+    ghost = (
+        "SELECT COUNT(*) AS oc FROM ("
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "UNION "
+        "SELECT user_id FROM events WHERE event_type = 'ghost') t"
+    )
+    r = e.query(ghost, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, ghost)
+    # windowed seg_in routes p_date-pruned and matches exact
+    w = (
+        "SELECT COUNT(DISTINCT user_id) AS oc FROM events "
+        "WHERE event_type IN ('click', 'view') "
+        "AND ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00'"
+    )
+    r = e.query(w, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert "p_date-pruned" in r["plan"]["reason"], r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, w)
+
+
+def test_union_cte_needs_null_free_proof_but_seg_in_does_not(spark):
+    """SQL UNION keeps a NULL key as one distinct row (verified against
+    DuckDB), so the CTE spelling declines on a nullable key exactly
+    like INTERSECT/EXCEPT; COUNT(DISTINCT ... IN (...)) IGNORES NULLs
+    — theta_union's own semantics — so the seg_in spelling routes on
+    the same nullable key and still matches exact."""
+    spark.sql(
+        "SELECT event_id, ts, event_type, "
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS ukey "
+        "FROM events"
+    ).createOrReplaceTempView("events_unull")
+    e = _engine(spark)
+    e.catalog.upsert_table_stats(
+        "events_unull", spark.table("events_unull").count()
+    )
+    e.create_rollup(
+        "events_unull", "ts", "1 day", dims=["event_type"],
+        theta_cols=["ukey"],
+    )
+    e.analyze_table("events_unull", ["ukey"])  # fresh, null_frac > 0
+    usql = (
+        "SELECT COUNT(*) AS oc FROM ("
+        "SELECT ukey FROM events_unull WHERE event_type = 'click' "
+        "UNION "
+        "SELECT ukey FROM events_unull WHERE event_type = 'view') t"
+    )
+    r = e.query(usql, dual_execute=False)
+    assert r["plan"]["type"] == "exact", r["plan"]  # NULL row: declined
+    assert r["result"][0]["oc"] == _exact(spark, usql)
+    insql = (
+        "SELECT COUNT(DISTINCT ukey) AS oc FROM events_unull "
+        "WHERE event_type IN ('click', 'view')"
+    )
+    r = e.query(insql, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]  # NULLs never counted
+    assert r["result"][0]["oc"] == _exact(spark, insql)
+
+
+def test_unrouted_union_feeds_theta_advisor(spark):
+    """Unrouted reach hits record the same (dims=[segment],
+    theta_cols=[key]) advisor shape as overlap hits — the one candidate
+    serves intersect, except AND union questions once materialized."""
+    e = _engine(spark)
+    # NOTE: unlike the join/set-op idioms, seg_in is plain plannable SQL
+    # — under a loose tolerance the planner would answer it with an HLL
+    # estimate (honest, but not this test's subject). A tight tolerance
+    # forces the unrouted phase exact.
+    for _ in range(3):
+        r = e.query(SEG_IN, dual_execute=False, max_rel_error=0.001)
+        assert r["plan"]["type"] == "exact", r["plan"]
+    book = list(e.catalog.rollup_candidates.values())
+    assert len(book) == 1 and book[0]["count"] == 3, book
+    assert book[0]["dims"] == ["event_type"], book
+    assert book[0]["theta_cols"] == ["user_id"], book
+    applied = e.apply_rollup_advice(max_apply=1)
+    assert applied and applied[0]["applied"] is True, applied
+    e.analyze_table("events", ["user_id"])
+    r = e.query(SEG_IN, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, SEG_IN)
