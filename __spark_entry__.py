@@ -1626,6 +1626,107 @@ ORDER BY n.doc_id
 """
 
 
+def _q_boilerplate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 surface (VERDICT r11 #3): the INCREMENTAL boilerplate
+    path with its persisted line-frequency state. Batch 1 (doc_id <
+    300) carries a footer in every doc and a 'Late Banner' in 1-of-12;
+    batch 2 (the rest) carries the banner in every doc. At min_docs=40
+    the footer crosses the threshold in batch 1 (stripped there), while
+    the banner crosses ONLY once batch 2's counts merge in — so batch 1
+    keeps it (emitted before the evidence existed) and batch 2 strips
+    it. Batch 1 cleans through the functional API
+    (incremental_remove_boilerplate, first-batch form); batch 2 cleans
+    through the ENGINE's persisted index (build_boilerplate_index →
+    update_boilerplate_index: catalog-registered Parquet state +
+    seen-id disjointness guard + versioned swap), so the value hash
+    covers the sink round-trip, the additive merge, and the
+    no-retroactive-rewrite semantics in one oracle."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.functions.boilerplate import (
+        incremental_remove_boilerplate,
+    )
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    b1 = docs.where("doc_id < 300").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 12 == 0, F.lit("Late Banner")),
+            F.lit("Subscribe Footer"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    b2 = docs.where("doc_id >= 300").select(
+        "doc_id",
+        F.concat_ws("\n", F.lit("Late Banner"), F.col("text")).alias("text"),
+    )
+    cleaned1, _ = incremental_remove_boilerplate(b1, None, min_docs=40)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    b1.createOrReplaceTempView("bp_inc_b1")
+    built = eng.build_boilerplate_index("bp_inc_b1", min_docs=40)
+    assert built["version"] == 1, built
+    cleaned2, entry = eng.update_boilerplate_index("bp_inc_b1", b2)
+    assert entry["version"] == 2, entry
+    assert entry["built_row_count"] == built["built_row_count"] + b2.count()
+
+    def _shape(df, tag):
+        return df.select(
+            "doc_id",
+            F.lit(tag).alias("batch"),
+            "lines_total",
+            "lines_removed",
+            F.md5("clean_text").alias("clean_md5"),
+        )
+
+    return _shape(cleaned1, "b1").unionByName(_shape(cleaned2, "b2"))
+
+
+_BOILERPLATE_INC_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, 'b1' AS batch,
+         concat_ws(chr(10),
+           CASE WHEN doc_id % 12 = 0 THEN 'Late Banner' END,
+           'Subscribe Footer', text) AS text
+  FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id, 'b2' AS batch,
+         concat_ws(chr(10), 'Late Banner', text) AS text
+  FROM documents WHERE doc_id >= 300
+), parts AS (
+  SELECT doc_id, batch, string_split(COALESCE(text, ''), chr(10)) AS ls
+  FROM corpus
+), pos_rows AS (
+  SELECT doc_id, batch, UNNEST(range(0, len(ls))) AS pos, ls FROM parts
+), norm AS (
+  SELECT doc_id, batch, pos, ls[pos + 1] AS line,
+         lower(regexp_replace(ls[pos + 1], '^\\s+|\\s+$', '', 'g')) AS nline
+  FROM pos_rows
+), bp AS (
+  SELECT 'b1' AS batch, nline FROM norm
+  WHERE batch = 'b1' AND length(nline) >= 1
+  GROUP BY nline HAVING COUNT(DISTINCT doc_id) >= 40
+  UNION ALL
+  SELECT 'b2' AS batch, nline FROM norm
+  WHERE length(nline) >= 1
+  GROUP BY nline HAVING COUNT(DISTINCT doc_id) >= 40
+)
+SELECT n.doc_id, n.batch,
+       COUNT(*) AS lines_total,
+       CAST(COALESCE(SUM(CASE WHEN b.nline IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS lines_removed,
+       md5(COALESCE(string_agg(CASE WHEN b.nline IS NULL THEN n.line END,
+                               chr(10) ORDER BY n.pos), '')) AS clean_md5
+FROM norm n LEFT JOIN bp b ON b.batch = n.batch AND b.nline = n.nline
+GROUP BY n.doc_id, n.batch
+ORDER BY n.batch, n.doc_id
+"""
+
+
 def _q_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-11 similarity surface: SCALAR QUANTIZATION of the embedding
     column (functions/quantization.py — the FAISS SQ8 layout: per-dim
@@ -4858,6 +4959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q112_quantized_knn"] = _q_quantized_knn
     out["q113_quantized_ivf"] = _q_quantized_ivf
     out["q114_overlap_union"] = _q_overlap_union
+    out["q115_boilerplate_incremental"] = _q_boilerplate_incremental
     return _reorder_check_window(out)
 
 
@@ -4933,5 +5035,6 @@ def oracle_sql() -> dict[str, str]:
     out["q112_quantized_knn"] = _QUANTIZED_KNN_ORACLE
     out["q113_quantized_ivf"] = _quantized_ivf_oracle()
     out["q114_overlap_union"] = _OVERLAP_UNION_ORACLE
+    out["q115_boilerplate_incremental"] = _BOILERPLATE_INC_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -173,6 +173,21 @@ class Catalog:
         #: staleness against (stale min/max + histograms misprice every
         #: selectivity estimate silently)
         self.analyze_meta: dict[str, dict] = {}
+        #: base table → {"path", "text_col", "id_col", "min_docs",
+        #: "min_chars", "built_row_count", "created_at"}: its registered
+        #: persisted line-frequency table (engine.build_boilerplate_index
+        #: — the incremental corpus-cleaning artifact, round 12). The
+        #: maintenance drift policy rebuilds it when the base table moves,
+        #: like the sample/sketch artifacts.
+        self.boilerplate_indexes: dict[str, dict] = {}
+        #: base table → {"path", "vec_col", "id_col", "levels",
+        #: "built_row_count", "built_clamp_fraction", "clamp_threshold",
+        #: "created_at"}: its registered quantized-codes table
+        #: (engine.build_quantized_codes). Maintenance measures
+        #: clamp_stats on APPENDED rows and advises a re-fit + re-encode
+        #: when the appended clamp fraction crosses the threshold — the
+        #: quantizer's drift policy (round 12, VERDICT r11 #4).
+        self.quantized_codes: dict[str, dict] = {}
         # the engine serves concurrent queries over one shared session;
         # saves must not race on the tmp file
         self._save_lock = threading.Lock()
@@ -234,6 +249,8 @@ class Catalog:
                 "rollups": {k: list(v) for k, v in dict(self.rollups).items()},
                 "rollup_candidates": dict(self.rollup_candidates),
                 "layout_candidates": dict(self.layout_candidates),
+                "boilerplate_indexes": dict(self.boilerplate_indexes),
+                "quantized_codes": dict(self.quantized_codes),
             }
             tmp = f"{self._meta_path}.tmp{threading.get_ident()}"
             with open(tmp, "w") as f:
@@ -283,6 +300,8 @@ class Catalog:
         self.rollups.update(doc.get("rollups", {}))
         self.rollup_candidates.update(doc.get("rollup_candidates", {}))
         self.layout_candidates.update(doc.get("layout_candidates", {}))
+        self.boilerplate_indexes.update(doc.get("boilerplate_indexes", {}))
+        self.quantized_codes.update(doc.get("quantized_codes", {}))
 
     # ---- table stats (reference storage.py:88-109) ----
     def upsert_table_stats(self, table: str, row_count: int) -> None:

@@ -755,6 +755,246 @@ class AQEngine:
             "samples_partitioned": repartitioned,
         }
 
+    def build_boilerplate_index(
+        self,
+        table: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_docs: int = 10,
+        min_chars: int = 1,
+    ) -> dict:
+        """Materialize the line-frequency table for ``table``'s current
+        contents and register it (round 12, VERDICT r11 #3 — the
+        boilerplate sibling of the dedup signature tables): the
+        persisted (nline, doc_count) Parquet plus the counted doc-id set
+        and the build parameters, all under one versioned root in the
+        catalog workdir. Later sessions load it via
+        :meth:`update_boilerplate_index` to clean NEW batches against
+        the corpus-so-far without rescanning history; the maintenance
+        drift policy rebuilds it when the base table changes out from
+        under it (an unfed mutation — fed appends keep it current)."""
+        import os
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from approximate_query_engine_spark.functions.boilerplate import (
+            line_doc_frequency,
+            write_line_frequency,
+        )
+
+        df = self.spark.table(table)
+        root = os.path.join(self.catalog.workdir, f"boilerplate_{table}")
+        prev = self.catalog.boilerplate_indexes.get(table)
+        version = int(prev.get("version", 0)) + 1 if prev else 1
+        path = os.path.join(root, f"v{version}")
+        freq = line_doc_frequency(df, text_col, id_col, min_chars)
+        seen = df.select(F.col(id_col)).distinct()
+        meta = {
+            "text_col": text_col,
+            "id_col": id_col,
+            "min_docs": int(min_docs),
+            "min_chars": int(min_chars),
+        }
+        write_line_frequency(freq, path, seen_ids=seen, meta=meta)
+        n_docs = self.spark.read.parquet(
+            path.rstrip("/") + "/_seen_ids"
+        ).count()
+        entry = {
+            **meta,
+            "path": path,
+            "root": root,
+            "version": version,
+            # drift baseline: the doc count this index accounts for —
+            # equal to the base table's distinct-doc count at build/update
+            # time, so an unfed base mutation shows up as drift
+            "built_row_count": int(n_docs),
+            "created_at": _time.time(),
+        }
+        self.catalog.boilerplate_indexes[table] = entry
+        self.catalog.save()
+        self._prune_artifact_versions(root, keep=path)
+        return dict(entry)
+
+    def update_boilerplate_index(self, table: str, batch) -> tuple:
+        """Clean a NEW batch against the registered line-frequency index
+        and persist the merged counts as the next version → (cleaned
+        DataFrame, updated catalog entry). The disjoint-batch contract
+        is ENFORCED (the batch's ids anti-join the persisted seen-id
+        set; an overlap raises before any count is double-added). The
+        merged table is written to a NEW versioned directory before the
+        catalog pointer moves — Spark cannot safely overwrite a Parquet
+        path it is lazily reading, and a reader crash mid-rewrite must
+        never corrupt the only copy of the corpus state."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from approximate_query_engine_spark.functions.boilerplate import (
+            incremental_remove_boilerplate,
+            read_line_frequency,
+            write_line_frequency,
+        )
+
+        info = self.catalog.boilerplate_indexes.get(table)
+        if info is None:
+            raise ValueError(
+                f"no boilerplate index registered for {table!r} — "
+                "build one with build_boilerplate_index first"
+            )
+        freq, seen, _ = read_line_frequency(self.spark, info["path"])
+        id_col = info["id_col"]
+        # the disjoint-batch guard + merge, shared with the functional
+        # API; the returned cleaned frame is DISCARDED because it reads
+        # the old version lazily — it is rebuilt below against the NEW
+        # persisted version so the old directory can be pruned safely
+        _, merged = incremental_remove_boilerplate(
+            batch,
+            freq,
+            text_col=info["text_col"],
+            id_col=id_col,
+            min_docs=int(info["min_docs"]),
+            min_chars=int(info["min_chars"]),
+            seen_ids=seen,
+        )
+        version = int(info.get("version", 1)) + 1
+        path = os.path.join(info["root"], f"v{version}")
+        new_seen = (
+            seen.unionByName(batch.select(F.col(id_col)).distinct())
+            if seen is not None
+            else batch.select(F.col(id_col)).distinct()
+        )
+        write_line_frequency(
+            merged,
+            path,
+            seen_ids=new_seen.distinct(),
+            meta={k: info[k] for k in (
+                "text_col", "id_col", "min_docs", "min_chars"
+            )},
+        )
+        # re-derive the cleaned batch from the persisted new version:
+        # value-identical (the written merged table IS the threshold
+        # evidence) and pinned to files that outlive the prune below
+        from approximate_query_engine_spark.functions.boilerplate import (
+            _strip_flagged_lines,
+        )
+
+        freq_new, _, _ = read_line_frequency(self.spark, path)
+        bp = freq_new.where(
+            F.col("doc_count") >= int(info["min_docs"])
+        ).select("nline", F.lit(True).alias("is_bp"))
+        cleaned = _strip_flagged_lines(
+            batch, bp, info["text_col"], id_col
+        )
+        n_docs = self.spark.read.parquet(
+            path.rstrip("/") + "/_seen_ids"
+        ).count()
+        entry = {
+            **info,
+            "path": path,
+            "version": version,
+            "built_row_count": int(n_docs),
+        }
+        self.catalog.boilerplate_indexes[table] = entry
+        self.catalog.save()
+        self._prune_artifact_versions(info["root"], keep=path)
+        return cleaned, dict(entry)
+
+    def build_quantized_codes(
+        self,
+        table: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        levels: int = 256,
+        sample_fraction: float | None = None,
+        seed: int = 42,
+        clamp_threshold: float = 0.005,
+    ) -> dict:
+        """Materialize ``table``'s scalar-quantized code table (the
+        'encode once, probe many' half of the quantized kNN paths) and
+        register it with a CLAMP-DRIFT policy (round 12, VERDICT r11
+        #4): maintenance measures functions/quantization.clamp_stats on
+        rows APPENDED after the build — values outside the fitted
+        [min, max] saturate at the code-range edges, losing resolution
+        silently — and when the appended clamp fraction crosses
+        ``clamp_threshold`` it advises a re-fit + re-encode
+        (budget-gated like the layout advice; in-range appends are
+        simply encoded with the existing params and appended to the
+        code table). The quantizer params ride the Parquet sidecar
+        (quantization.write_quantized_codes), so any session reloads
+        codes + params as one consistent pair."""
+        import os
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from approximate_query_engine_spark.functions.quantization import (
+            ScalarQuantizer,
+            clamp_stats,
+            write_quantized_codes,
+        )
+
+        df = self.spark.table(table)
+        q = ScalarQuantizer.fit(
+            df,
+            vec_col=vec_col,
+            levels=levels,
+            sample_fraction=sample_fraction,
+            seed=seed,
+        )
+        root = os.path.join(self.catalog.workdir, f"quantized_{table}")
+        prev = self.catalog.quantized_codes.get(table)
+        version = int(prev.get("version", 0)) + 1 if prev else 1
+        path = os.path.join(root, f"v{version}")
+        write_quantized_codes(df, q, path, id_col=id_col, vec_col=vec_col)
+        # build-time clamp baseline: ~0 for a full fit, small and
+        # EXPECTED for a sample fit (the threshold gates appended-data
+        # drift, not the fit's own design clamping)
+        row = (
+            clamp_stats(df, q, vec_col)
+            .agg(
+                F.coalesce(F.sum("clamped"), F.lit(0)).alias("c"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+            )
+            .collect()[0]
+        )
+        frac = float(row["c"]) / float(row["n"]) if row["n"] else 0.0
+        n_rows = self.spark.read.parquet(path).count()
+        entry = {
+            "path": path,
+            "root": root,
+            "version": version,
+            "vec_col": vec_col,
+            "id_col": id_col,
+            "levels": int(levels),
+            "sample_fraction": sample_fraction,
+            "seed": int(seed),
+            "clamp_threshold": float(clamp_threshold),
+            "built_row_count": int(n_rows),
+            "built_clamp_fraction": frac,
+            "created_at": _time.time(),
+        }
+        self.catalog.quantized_codes[table] = entry
+        self.catalog.upsert_table_stats(table, int(n_rows))
+        self.catalog.save()
+        self._prune_artifact_versions(root, keep=path)
+        return dict(entry)
+
+    def _prune_artifact_versions(self, root: str, keep: str) -> None:
+        """Best-effort removal of superseded version directories (the
+        catalog pointer has already moved; old versions only cost
+        disk). Never fails the caller."""
+        import os
+        import shutil
+
+        try:
+            for d in os.listdir(root):
+                full = os.path.join(root, d)
+                if full != keep.rstrip("/") and d.startswith("v"):
+                    shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+
     def create_rollup(
         self,
         table: str,

@@ -246,6 +246,8 @@ def run_maintenance(
         | set(catalog.analyze_meta)
         | set(catalog.partitioned_views)
         | set(catalog.rollups)
+        | set(catalog.boilerplate_indexes)
+        | set(catalog.quantized_codes)
     )
     if refresh_stats:
         for t in sorted(base_tables):
@@ -576,6 +578,178 @@ def run_maintenance(
                 report.errors.append({"stats": table, "error": str(exc)[:200]})
                 continue
         report.refreshed.append(action)
+
+    # ---- boilerplate line-frequency indexes (round 12, VERDICT r11 #3)
+    # Fed appends keep the index current (update_boilerplate_index sets
+    # built_row_count to the docs it accounts for), so drift here means
+    # the base table changed WITHOUT being fed through the incremental
+    # path — the re-clean trigger: recount from the current table (a
+    # full rebuild is the only sound repair for arbitrary mutation; the
+    # additive merge is only defined for disjoint appends).
+    for table, info in sorted(list(catalog.boilerplate_indexes.items())):
+        report.checked += 1
+        label = f"{table}:boilerplate[v{info.get('version', 1)}]"
+        current = catalog.get_row_count(table)
+        drift = _drift(info.get("built_row_count"), current)
+        if drift is None:
+            report.unknown.append(label)
+            continue
+        if drift <= max_drift:
+            report.fresh.append(label)
+            continue
+        action = {
+            "kind": "boilerplate_index",
+            "table": table,
+            "reason": (
+                f"base table drifted {drift:.1%} > {max_drift:.0%} "
+                "without being fed through update_boilerplate_index — "
+                "line counts no longer describe the corpus; recounting"
+            ),
+            "dry_run": dry_run,
+        }
+        if not dry_run:
+            try:
+                new = engine.build_boilerplate_index(
+                    table,
+                    text_col=info["text_col"],
+                    id_col=info["id_col"],
+                    min_docs=int(info["min_docs"]),
+                    min_chars=int(info["min_chars"]),
+                )
+                action["new_docs"] = new["built_row_count"]
+            except Exception as exc:  # noqa: BLE001
+                report.errors.append(
+                    {"boilerplate_index": table, "error": str(exc)[:200]}
+                )
+                continue
+        report.refreshed.append(action)
+
+    # ---- quantized code tables: clamp-drift policy (round 12, r11 #4)
+    # Three regimes per appended delta (appended rows = base ids absent
+    # from the code table, an anti-join that scans only at maintenance
+    # time, never per query):
+    # - shrink/mutation (current < built): codes serve ghosts — rebuild
+    #   outright, same posture as partitioned layouts (staleness here IS
+    #   a wrong answer: a deleted vector can rank as a neighbor).
+    # - in-range appends (clamp fraction <= threshold): encode the new
+    #   rows with the EXISTING params and append — cheap, exact, keeps
+    #   every previously issued code valid.
+    # - out-of-range appends (clamp fraction > threshold): the
+    #   distribution moved; codes are losing resolution. Re-fit +
+    #   re-encode is a full-corpus job, so it is ADVISED and only
+    #   applied under apply_advice (budget-gated like the layout
+    #   advice); deferral costs approximation quality, never
+    #   correctness (clamped codes still rank, just coarser).
+    quantizer_refits = 0
+    for table, info in sorted(list(catalog.quantized_codes.items())):
+        report.checked += 1
+        label = f"{table}:quantized[v{info.get('version', 1)}]"
+        current = catalog.get_row_count(table)
+        built = info.get("built_row_count")
+        if current is None or not built:
+            report.unknown.append(label)
+            continue
+        if current == built:
+            report.fresh.append(label)
+            continue
+        try:
+            from pyspark.sql import functions as F
+
+            from approximate_query_engine_spark.functions.quantization import (
+                clamp_stats,
+                read_quantized_codes,
+            )
+
+            codes, quant = read_quantized_codes(engine.spark, info["path"])
+            id_col, vec_col = info["id_col"], info["vec_col"]
+            base = engine.spark.table(table)
+            if current < built:
+                mode, frac = "rebuild", None
+                reason = (
+                    f"base table shrank ({current} < built {built}) — "
+                    "the code table serves vectors that no longer "
+                    "exist; rebuilding"
+                )
+            else:
+                appended = base.join(
+                    codes.select(F.col(id_col)), id_col, "left_anti"
+                )
+                row = (
+                    clamp_stats(appended, quant, vec_col)
+                    .agg(
+                        F.coalesce(F.sum("clamped"), F.lit(0)).alias("c"),
+                        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+                    )
+                    .collect()[0]
+                )
+                frac = (
+                    float(row["c"]) / float(row["n"]) if row["n"] else 0.0
+                )
+                threshold = float(info.get("clamp_threshold", 0.005))
+                if frac > threshold:
+                    mode = "refit"
+                    reason = (
+                        f"appended rows clamp at {frac:.2%} > "
+                        f"{threshold:.2%} — the value distribution "
+                        "moved past the fitted range; codes are losing "
+                        "resolution. Re-fit + re-encode advised"
+                    )
+                else:
+                    mode = "encode_append"
+                    reason = (
+                        f"appended rows clamp at {frac:.2%} <= "
+                        f"{float(info.get('clamp_threshold', 0.005)):.2%}"
+                        " — encoding them with the existing params"
+                    )
+            action = {
+                "kind": "quantized_codes",
+                "table": table,
+                "mode": mode,
+                "appended_clamp_fraction": frac,
+                "reason": reason,
+                "dry_run": dry_run,
+            }
+            if dry_run:
+                report.refreshed.append(action)
+                continue
+            if mode == "encode_append":
+                (
+                    appended.select(
+                        F.col(id_col),
+                        quant.encode_expr(vec_col).alias("codes"),
+                    )
+                    .write.mode("append")
+                    .parquet(info["path"])
+                )
+                info["built_row_count"] = int(current)
+                catalog.save()
+            elif mode == "rebuild" or (
+                apply_advice and quantizer_refits < advice_max_apply
+            ):
+                engine.build_quantized_codes(
+                    table,
+                    vec_col=vec_col,
+                    id_col=id_col,
+                    levels=int(info.get("levels", 256)),
+                    sample_fraction=info.get("sample_fraction"),
+                    seed=int(info.get("seed", 42)),
+                    clamp_threshold=float(
+                        info.get("clamp_threshold", 0.005)
+                    ),
+                )
+                if mode == "refit":
+                    quantizer_refits += 1
+            else:
+                action["deferred"] = True
+                action["reason"] += (
+                    " (apply_advice off or budget exhausted — deferred; "
+                    "clamped codes still rank, just coarser)"
+                )
+            report.refreshed.append(action)
+        except Exception as exc:  # noqa: BLE001
+            report.errors.append(
+                {"quantized_codes": table, "error": str(exc)[:200]}
+            )
 
     if apply_advice and not dry_run:
         try:

@@ -144,3 +144,59 @@ def test_threshold_and_min_chars_gates(spark):
         for r in boilerplate_lines(short, min_docs=3, min_chars=5).collect()
     }
     assert bp2 == {"long shared boilerplate line"}
+
+
+def test_line_frequency_sink_round_trips(spark, tmp_path):
+    """write_line_frequency / read_line_frequency persist the merged
+    counts, the seen-id set and the build params as one artifact; the
+    guard built on the reloaded seen ids enforces the disjoint-batch
+    contract across sessions."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.boilerplate import (
+        incremental_remove_boilerplate,
+        line_doc_frequency,
+        read_line_frequency,
+        write_line_frequency,
+    )
+
+    b1 = spark.createDataFrame(
+        [(i, f"Shared Banner\nbody {i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    freq = line_doc_frequency(b1)
+    path = str(tmp_path / "bp_state")
+    write_line_frequency(
+        freq,
+        path,
+        seen_ids=b1.select("doc_id").distinct(),
+        meta={"min_docs": 10, "min_chars": 1},
+    )
+    freq2, seen2, meta2 = read_line_frequency(spark, path)
+    assert meta2 == {"min_docs": 10, "min_chars": 1}
+    assert seen2.count() == 12
+    got = {r.nline: r.doc_count for r in freq2.collect()}
+    assert got["shared banner"] == 12
+    # a disjoint batch cleans against the reloaded state
+    b2 = spark.createDataFrame(
+        [(100, "Shared Banner\nnew body")], "doc_id long, text string"
+    )
+    cleaned, merged = incremental_remove_boilerplate(
+        b2, freq2, min_docs=10, seen_ids=seen2
+    )
+    row = cleaned.collect()[0]
+    assert row.lines_removed == 1 and row.clean_text == "new body"
+    assert {r.nline: r.doc_count for r in merged.collect()}[
+        "shared banner"
+    ] == 13
+    # an overlapping batch raises before any count double-adds
+    with _pytest.raises(ValueError, match="double-count"):
+        incremental_remove_boilerplate(
+            b1.limit(1), freq2, min_docs=10, seen_ids=seen2
+        )[0].collect()
+    # no seen_ids -> the guard is off (documented contract mode)
+    cleaned2, _ = incremental_remove_boilerplate(
+        b1.limit(1).select("doc_id", F.col("text")), freq2, min_docs=10
+    )
+    assert cleaned2.count() == 1

@@ -391,3 +391,202 @@ def test_append_only_rollup_drift_repairs_incrementally(spark):
     r2 = e.query(sql)
     assert "rollup" in r2["plan"]["reason"]
     assert r2["result"][0]["n"] == len(mutated)
+
+
+# ---------------------------------------------------------------------------
+# round 12: boilerplate line-frequency index re-clean trigger (VERDICT
+# r11 #3) and the quantizer clamp-drift policy (VERDICT r11 #4)
+
+
+def _docs_view(spark, name, ids, banner_every=1):
+    rows = [
+        (
+            i,
+            "\n".join(
+                (["Subscribe Now"] if i % banner_every == 0 else [])
+                + [f"unique body {i}", f"tail {i * 7}"]
+            ),
+        )
+        for i in ids
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(name)
+
+
+def test_boilerplate_index_drift_triggers_reclean(spark):
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_bp_"))
+    _docs_view(spark, "bp_docs", range(40))
+    eng.build_boilerplate_index("bp_docs", min_docs=30)
+    rep = eng.maintain(max_drift=0.10)
+    assert "bp_docs:boilerplate[v1]" in rep["fresh"], rep["fresh"]
+    # the base table doubles WITHOUT being fed through the incremental
+    # path — the index no longer describes the corpus
+    _docs_view(spark, "bp_docs", range(80))
+    rep = eng.maintain(max_drift=0.10)
+    acts = [a for a in rep["refreshed"] if a["kind"] == "boilerplate_index"]
+    assert len(acts) == 1 and acts[0]["table"] == "bp_docs", rep
+    assert acts[0]["new_docs"] == 80
+    info = eng.catalog.boilerplate_indexes["bp_docs"]
+    assert info["built_row_count"] == 80 and info["version"] == 2
+    # recounted: fresh again
+    rep = eng.maintain(max_drift=0.10)
+    assert any(
+        f.startswith("bp_docs:boilerplate") for f in rep["fresh"]
+    ), rep["fresh"]
+
+
+def test_boilerplate_index_fed_appends_stay_fresh(spark):
+    """update_boilerplate_index accounts for the appended docs, so a
+    FED append never trips the re-clean trigger."""
+    from pyspark.sql import functions as F
+
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_bp2_"))
+    _docs_view(spark, "bp_docs2", range(40))
+    eng.build_boilerplate_index("bp_docs2", min_docs=30)
+    batch = spark.createDataFrame(
+        [(i, f"Subscribe Now\nfresh body {i}") for i in range(40, 60)],
+        "doc_id long, text string",
+    )
+    cleaned, entry = eng.update_boilerplate_index("bp_docs2", batch)
+    assert entry["built_row_count"] == 60 and entry["version"] == 2
+    # the banner crossed min_docs in batch 1 already — stripped here
+    assert cleaned.where(F.col("lines_removed") == 1).count() == 20
+    _docs_view(spark, "bp_docs2", range(60))  # base view now matches
+    rep = eng.maintain(max_drift=0.10)
+    assert any(
+        f.startswith("bp_docs2:boilerplate") for f in rep["fresh"]
+    ), rep["fresh"]
+
+
+def test_boilerplate_disjoint_batch_guard(spark):
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_bp3_"))
+    _docs_view(spark, "bp_docs3", range(40))
+    eng.build_boilerplate_index("bp_docs3", min_docs=30)
+    overlapping = spark.createDataFrame(
+        [(39, "Subscribe Now\nre-fed doc")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="double-count"):
+        eng.update_boilerplate_index("bp_docs3", overlapping)
+
+
+def test_boilerplate_index_cross_session(spark):
+    """The cross-session contract (VERDICT r11 #3 'done' criterion): a
+    banner that only crosses the threshold in batch 2 — counted across
+    TWO engine sessions sharing one workdir — is stripped from batch 2
+    while batch 1's docs (emitted before the evidence existed) were
+    not."""
+    from pyspark.sql import functions as F
+
+    wd = tempfile.mkdtemp(prefix="aqe_bpx_")
+    # batch 1: the banner appears in 20 docs — below min_docs=30
+    rows1 = [(i, f"Late Banner\nbody one {i}") for i in range(20)]
+    spark.createDataFrame(
+        rows1, "doc_id long, text string"
+    ).createOrReplaceTempView("bpx_docs")
+    eng1 = AQEngine(spark, workdir=wd)
+    eng1.build_boilerplate_index("bpx_docs", min_docs=30)
+    freq_v1 = eng1.catalog.boilerplate_indexes["bpx_docs"]["path"]
+    del eng1  # session 1 ends; state lives in the workdir catalog
+    # session 2: a fresh engine over the SAME workdir sees the index
+    eng2 = AQEngine(spark, workdir=wd)
+    info = eng2.catalog.boilerplate_indexes["bpx_docs"]
+    assert info["path"] == freq_v1 and info["built_row_count"] == 20
+    batch2 = spark.createDataFrame(
+        [(i, f"Late Banner\nbody two {i}") for i in range(100, 115)],
+        "doc_id long, text string",
+    )
+    cleaned, entry = eng2.update_boilerplate_index("bpx_docs", batch2)
+    # 20 + 15 = 35 >= 30: the banner crossed the threshold IN batch 2
+    out = cleaned.orderBy("doc_id").collect()
+    assert all(r.lines_removed == 1 for r in out), out[:3]
+    assert all(r.clean_text == f"body two {r.doc_id}" for r in out)
+    assert entry["built_row_count"] == 35 and entry["version"] == 2
+
+
+def _vec_view(spark, name, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).createOrReplaceTempView(name)
+
+
+def test_quantizer_in_range_appends_encode_without_refit(spark):
+    import random
+
+    rng = random.Random(5)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    _vec_view(spark, "qt_vecs", base)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_qt_"))
+    eng.build_quantized_codes("qt_vecs", clamp_threshold=0.01)
+    rep = eng.maintain(max_drift=0.10)
+    assert "qt_vecs:quantized[v1]" in rep["fresh"], rep["fresh"]
+    # in-range appends: interior values, zero clamping
+    extra = [(i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(50, 70)]
+    _vec_view(spark, "qt_vecs", base + extra)
+    rep = eng.maintain(max_drift=0.10)
+    acts = [a for a in rep["refreshed"] if a["kind"] == "quantized_codes"]
+    assert len(acts) == 1 and acts[0]["mode"] == "encode_append", rep
+    assert acts[0]["appended_clamp_fraction"] == 0.0
+    info = eng.catalog.quantized_codes["qt_vecs"]
+    assert info["version"] == 1  # params untouched
+    assert info["built_row_count"] == 70
+    # the appended rows are now IN the code table
+    codes = spark.read.parquet(info["path"])
+    assert codes.count() == 70
+
+
+def test_quantizer_clamp_drift_advises_and_applies_refit(spark):
+    import random
+
+    from approximate_query_engine_spark.functions.quantization import (
+        read_quantized_codes,
+    )
+
+    rng = random.Random(6)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    _vec_view(spark, "qt_vecs2", base)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_qt2_"))
+    eng.build_quantized_codes("qt_vecs2", clamp_threshold=0.01)
+    # out-of-range appends: the distribution moved past the fitted range
+    drifted = [
+        (i, [rng.uniform(2.0, 4.0) for _ in range(8)])
+        for i in range(50, 70)
+    ]
+    _vec_view(spark, "qt_vecs2", base + drifted)
+    # without apply_advice the refit is ADVISED and deferred — codes
+    # still rank, just coarser (never a wrong-answer hazard)
+    rep = eng.maintain(max_drift=0.10)
+    acts = [a for a in rep["refreshed"] if a["kind"] == "quantized_codes"]
+    assert len(acts) == 1 and acts[0]["mode"] == "refit", rep
+    assert acts[0]["appended_clamp_fraction"] > 0.9
+    assert acts[0].get("deferred") is True
+    assert eng.catalog.quantized_codes["qt_vecs2"]["version"] == 1
+    # with apply_advice the budget admits the re-fit + re-encode
+    rep = eng.maintain(max_drift=0.10, apply_advice=True)
+    acts = [a for a in rep["refreshed"] if a["kind"] == "quantized_codes"]
+    assert len(acts) == 1 and not acts[0].get("deferred"), rep
+    info = eng.catalog.quantized_codes["qt_vecs2"]
+    assert info["version"] == 2 and info["built_row_count"] == 70
+    codes, quant = read_quantized_codes(spark, info["path"])
+    assert codes.count() == 70
+    # the refit range now covers the drifted values
+    assert max(quant.mins[d] + 255.0 / quant.scales[d] if quant.scales[d] else 0
+               for d in range(8)) > 3.0
+    # and the table is fresh again
+    rep = eng.maintain(max_drift=0.10)
+    assert "qt_vecs2:quantized[v2]" in rep["fresh"], rep["fresh"]
+
+
+def test_quantizer_shrink_rebuilds_outright(spark):
+    import random
+
+    rng = random.Random(8)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    _vec_view(spark, "qt_vecs3", base)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_qt3_"))
+    eng.build_quantized_codes("qt_vecs3")
+    _vec_view(spark, "qt_vecs3", base[:30])  # deletions: codes serve ghosts
+    rep = eng.maintain(max_drift=0.10)
+    acts = [a for a in rep["refreshed"] if a["kind"] == "quantized_codes"]
+    assert len(acts) == 1 and acts[0]["mode"] == "rebuild", rep
+    info = eng.catalog.quantized_codes["qt_vecs3"]
+    assert info["built_row_count"] == 30 and info["version"] == 2
+    assert spark.read.parquet(info["path"]).count() == 30
