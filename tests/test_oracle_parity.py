@@ -192,17 +192,26 @@ def test_check_window_ordering():
         # the window; these seven multiply-checked slots moved out, each
         # with an in-window family representative.
         "q47_pps_sum": "q76_sample_group_ci",  # weighted-sampling family
-        "q49_neyman_alloc": "q48_strata_analysis",  # allocation family
-        "q50_cms_freq": "q54_hll_ci",  # point-frequency sketch family
         "q52_graph_components": "q32_minhash_pairs",  # dedup-graph family
         "q61_funnel": "q62_stream_sessions",  # events-analytics family
-        "q64_retention": "q45_date_funcs",  # date-arithmetic family
+        # r12: q45 exiled; retention's date arithmetic is covered by the
+        # day-over-day theta family's in-window row
+        "q64_retention": "q100_rollup_audience",
         "q71_mixture_sample": "q72_token_budget",  # pipeline family
         # late round 11: the new q111 (boilerplate removal) and q112
         # (scalar-quantized kNN) surfaces moved INTO the window; these
         # two multiply-checked (r4-r10) slots moved out.
         "q59_tfidf": "q66_corpus_prepare",  # text/corpus family
         "q60_knn_join": "q112_quantized_knn",  # same join shape + codes
+        # round-12 rotation (VERDICT r11 #1/#2/#3/#5): q113/q114/q115
+        # (new surfaces) and q49/q50 (ordered back in) moved INTO the
+        # window; these five re-proven-in-r11 slots moved out, each with
+        # an in-window family representative.
+        "q15_window_top_order": "q87_grouped_topk",  # window-rank family
+        "q16_setop": "q114_overlap_union",  # set-op family (routed form)
+        "q44_string_funcs": "q66_corpus_prepare",  # string-func-heavy scan
+        "q45_date_funcs": "q102_rollup_hierarchy",  # date-arithmetic family
+        "q55_multimodal_decode": "q82_media_dedup",  # media family
     }
     for name in names[50:]:
         if name in oracled:
