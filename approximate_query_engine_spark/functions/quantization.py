@@ -605,21 +605,31 @@ def knn_join_ivf_quantized(
         F.col(left_id).alias("query_id"),
         quantizer.encode_expr(vec_col).alias("__qc"),
     ).withColumn("__qn", _int_norm(F.col("__qc")))
-    # probe ranking: explode the per-centroid cosine list and take the
-    # top nprobe per query — |Q| x nlist rows, a bounded window shuffle
+    # probe ranking: broadcast-join the tiny (cid, codes) centroid frame
+    # against the query batch and window-rank — |Q| x nlist rows, a
+    # bounded shuffle. A nlist x dim LITERAL expression here would cost
+    # seconds of analysis/codegen EVERY query batch (the measured
+    # hazard similarity.knn_join's centroid_df note documents); the
+    # one-time corpus assignment keeps the literal form instead because
+    # a window over corpus x nlist rows would shuffle the corpus.
+    # Values are identical either way: exact int64 dots, pinned
+    # (dot / na) / nb float64 divisions, ties by centroid id.
     nlist = len(centroid_codes)
+    cents_df = left.sparkSession.createDataFrame(
+        [(i, [int(x) for x in cc]) for i, cc in enumerate(centroid_codes)],
+        "centroid_id int, __cc array<int>",
+    ).withColumn("__cn", _int_norm(F.col("__cc")))
     wc = Window.partitionBy("query_id").orderBy(
         F.desc("__ccos"), F.col("centroid_id")
     )
+    ccos = F.when(
+        (F.col("__qn") > 0.0) & (F.col("__cn") > 0.0),
+        (_int_dot(F.col("__qc"), F.col("__cc")).cast("double")
+         / F.col("__qn")) / F.col("__cn"),
+    ).otherwise(F.lit(0.0))
     probed = (
-        lhs.select(
-            "query_id",
-            "__qc",
-            "__qn",
-            F.posexplode(
-                _centroid_cosine_list(F.col("__qc"), centroid_codes)
-            ).alias("centroid_id", "__ccos"),
-        )
+        lhs.crossJoin(F.broadcast(cents_df))
+        .withColumn("__ccos", ccos)
         .withColumn("__crk", F.row_number().over(wc))
         .where(F.col("__crk") <= min(int(nprobe), nlist))
         .select("query_id", "__qc", "__qn", "centroid_id")

@@ -713,6 +713,15 @@ def main() -> None:
         "INTERSECT "
         "SELECT user_id FROM events_big WHERE event_type = 'purchase') t"
     )
+    # round 12 (VERDICT r11 #2/#6): the reach (UNION-arm) spellings
+    reach_sql_bench = (
+        "SELECT COUNT(DISTINCT user_id) AS reach_cnt FROM events_big "
+        "WHERE event_type IN ('click', 'purchase')"
+    )
+    ovsql_bench = (
+        "SELECT COUNT(DISTINCT user_id) AS reach_cnt FROM events_big "
+        "WHERE event_type IN ('signup', 'view')"
+    )
     try:
         if not os.path.exists(ev_big_path):
             (
@@ -1587,8 +1596,97 @@ def main() -> None:
                 last_result[overlap_sql_bench] = r["result"]
 
             _safe("overlap_sql_answered", _overlap_sql_routed)
+
+            # ---- the UNION/reach arm (round 12, VERDICT r11 #2): the
+            # one-table seg IN (a, b) COUNT(DISTINCT) spelling, exact
+            # (fact scan + distinct shuffle) vs routed through the SAME
+            # theta state — per-segment state unions combined with
+            # theta_union at the rollup's own lg_k, fact never re-read.
+            # COUNT(DISTINCT) ignores NULL keys, so this spelling needs
+            # no null gate; the ndv certificate above covers it.
+            _safe(
+                "reach_sql_exact",
+                _run_sql(spark, reach_sql_bench, exact_rows),
+            )
+
+            def _reach_sql_routed():
+                r = eng_advth.query(reach_sql_bench, dual_execute=False)
+                assert r["status"] == "ok", r.get("error")
+                assert "theta state" in r["plan"]["reason"], (
+                    r["plan"]["reason"]
+                )
+                plan_reasons["reach_sql"] = (
+                    f"{r['plan']['type']}: {r['plan']['reason']}"
+                )
+                last_result[reach_sql_bench] = r["result"]
+
+            _safe("reach_sql_answered", _reach_sql_routed)
         except Exception as exc:  # noqa: BLE001 - setup failure isolation
             bench_errors["rollup_advisor_theta_e2e"] = (
+                f"{type(exc).__name__}: {exc}"[:300]
+            )
+
+    # ---- advisor loop for SQL-ORIGIN overlap shapes (round 12, VERDICT
+    # r11 #6). q109 proves routing; this benches the full loop when the
+    # observations arrive as SQL text: the reach idiom runs unrouted
+    # (each hit records its (dims=[event_type], theta_cols=[user_id])
+    # shape via _record_overlap_candidate with the clock INFERRED from
+    # the schema — no caller ever names ts), apply_rollup_advice
+    # materializes, and the SAME SQL then answers from state. Mirrors
+    # rollup_advisor_theta_e2e, which benches the API-origin loop.
+    overlap_sql_advisor_info: dict = {}
+    if route_ok:
+        try:
+            import tempfile as _tf_ovsql
+
+            eng_ovsql = AQEngine(
+                spark,
+                workdir=_tf_ovsql.mkdtemp(prefix="aqe_bench_ovsql_"),
+            )
+            eng_ovsql.catalog.upsert_table_stats("events_big", ev_big_rows)
+
+            def _ovsql_unrouted():
+                # tight tolerance: the unrouted wall must be the honest
+                # exact computation, not an HLL estimate the planner is
+                # otherwise entitled to offer for plain COUNT(DISTINCT)
+                r = eng_ovsql.query(
+                    ovsql_bench, dual_execute=False, max_rel_error=0.0001
+                )
+                assert r["status"] == "ok", r.get("error")
+                assert "theta state" not in r["plan"]["reason"], r["plan"]
+
+            _safe("overlap_sql_advisor_unrouted", _ovsql_unrouted)
+
+            t0 = time.perf_counter()
+            applied_ov = eng_ovsql.apply_rollup_advice(max_apply=1)
+            build_ov_s = time.perf_counter() - t0
+            assert applied_ov and applied_ov[0]["applied"] is True, (
+                applied_ov
+            )
+            assert applied_ov[0]["theta_cols"] == ["user_id"], applied_ov
+            assert applied_ov[0]["dims"] == ["event_type"], applied_ov
+            overlap_sql_advisor_info = {
+                "rollup": applied_ov[0]["built"]["rollup"],
+                "state_rows": applied_ov[0]["built"]["buckets"],
+                "build_sec": round(build_ov_s, 3),
+                "observed_queries": applied_ov[0]["observed_queries"],
+                "time_col_inferred": True,  # no caller ever named ts
+            }
+            # exact-regime certificate (untimed setup, like the theta e2e)
+            eng_ovsql.analyze_table("events_big", ["user_id"])
+
+            def _ovsql_routed():
+                r = eng_ovsql.query(ovsql_bench, dual_execute=False)
+                assert r["status"] == "ok", r.get("error")
+                assert "theta state" in r["plan"]["reason"], r["plan"]
+                plan_reasons["overlap_sql_advisor_e2e"] = (
+                    f"{r['plan']['type']}: {r['plan']['reason']}"
+                )
+                last_result[ovsql_bench] = r["result"]
+
+            _safe("overlap_sql_advisor_routed", _ovsql_routed)
+        except Exception as exc:  # noqa: BLE001 - setup failure isolation
+            bench_errors["overlap_sql_advisor_e2e"] = (
                 f"{type(exc).__name__}: {exc}"[:300]
             )
 
@@ -1919,6 +2017,7 @@ def main() -> None:
 
     knn_recall = None
     knn_q_recall = None
+    knn_qivf_recall = None
     knn_ok = False
     try:
         if not os.path.exists(emb_big_path):
@@ -1988,6 +2087,38 @@ def main() -> None:
             ).count()
 
         _safe("knn_quantized", _knn_quantized)
+
+        # round 12 (VERDICT r11 #1): quantization COMPOSED with the IVF
+        # index — int8 codes stored in the assigned table (untimed
+        # setup, the materialize-once model), integer-dot shortlist
+        # computed ONLY inside the nprobe probed buckets, exact-float
+        # rerank. vs knn_quantized this scores ~nprobe/nlist of the
+        # corpus per query and never broadcasts the corpus — the wall
+        # should beat the all-pairs broad phase at matched recall
+        # (errors.knn_ivf_quantized pins the recall).
+        from approximate_query_engine_spark.functions.quantization import (
+            centroid_codes_from_index,
+            ivf_assign_quantized,
+            knn_join_ivf_quantized,
+        )
+
+        qivf_cents = centroid_codes_from_index(ivf_index, sq_quantizer)
+        qivf_assigned = ivf_assign_quantized(
+            emb_big, sq_quantizer, qivf_cents
+        ).localCheckpoint()
+
+        def _knn_ivf_quantized():
+            knn_join_ivf_quantized(
+                knn_queries,
+                emb_big,
+                sq_quantizer,
+                qivf_cents,
+                k=10,
+                nprobe=4,
+                assigned_codes=qivf_assigned,
+            ).count()
+
+        _safe("knn_ivf_quantized", _knn_ivf_quantized)
         knn_ok = True
     except Exception as exc:  # noqa: BLE001 - setup failure isolation
         bench_errors["knn_setup"] = f"{type(exc).__name__}: {exc}"[:300]
@@ -2328,6 +2459,19 @@ def main() -> None:
             ).collect()
         }
         knn_q_recall = len(b_pairs & q_pairs) / max(len(b_pairs), 1)
+        qi_pairs = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_join_ivf_quantized(
+                knn_queries,
+                emb_big,
+                sq_quantizer,
+                qivf_cents,
+                k=10,
+                nprobe=4,
+                assigned_codes=qivf_assigned,
+            ).collect()
+        }
+        knn_qivf_recall = len(b_pairs & qi_pairs) / max(len(b_pairs), 1)
     except Exception as exc:  # noqa: BLE001
         bench_errors["knn_recall"] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -2357,6 +2501,16 @@ def main() -> None:
     if "knn_brute" in timings and "knn_quantized" in timings:
         speedups["knn_quantized_vs_brute"] = timings["knn_brute"] / max(
             timings["knn_quantized"], 1e-9
+        )
+    if "knn_quantized" in timings and "knn_ivf_quantized" in timings:
+        # the round-12 claim: composing the quantizer with the IVF index
+        # beats the all-pairs quantized broad phase at matched recall
+        speedups["knn_ivf_quantized_vs_quantized"] = timings[
+            "knn_quantized"
+        ] / max(timings["knn_ivf_quantized"], 1e-9)
+    if "knn_brute" in timings and "knn_ivf_quantized" in timings:
+        speedups["knn_ivf_quantized_vs_brute"] = timings["knn_brute"] / max(
+            timings["knn_ivf_quantized"], 1e-9
         )
     if "big_join_exact" in timings and "big_join_approx" in timings:
         speedups["big_join"] = timings["big_join_exact"] / max(
@@ -2490,6 +2644,20 @@ def main() -> None:
         speedups["overlap_sql"] = timings["overlap_sql_exact"] / max(
             timings["overlap_sql_answered"], 1e-9
         )
+    if "reach_sql_exact" in timings and "reach_sql_answered" in timings:
+        # round 12: the UNION/reach arm through the same theta state
+        speedups["reach_sql"] = timings["reach_sql_exact"] / max(
+            timings["reach_sql_answered"], 1e-9
+        )
+    if (
+        "overlap_sql_advisor_unrouted" in timings
+        and "overlap_sql_advisor_routed" in timings
+    ):
+        # round 12 (VERDICT r11 #6): the SQL-origin advisor loop —
+        # observe (clock inferred) → advise → materialize → route
+        speedups["overlap_sql_advisor_e2e"] = timings[
+            "overlap_sql_advisor_unrouted"
+        ] / max(timings["overlap_sql_advisor_routed"], 1e-9)
 
     errors = {}
     for name, sql in {
@@ -2508,6 +2676,9 @@ def main() -> None:
     # and 1 - recall@10 of the 8-bit scalar-quantized shortlist
     if knn_q_recall is not None:
         errors["knn_quantized"] = round(1.0 - knn_q_recall, 4)
+    # and of the composed quantized-IVF path (probed buckets + rerank)
+    if knn_qivf_recall is not None:
+        errors["knn_ivf_quantized"] = round(1.0 - knn_qivf_recall, 4)
     # same shape for top-k-from-state: item recall@10 vs exact GROUP BY
     if topk_recall is not None:
         errors["rollup_topk"] = round(1.0 - topk_recall, 4)
@@ -2563,6 +2734,20 @@ def main() -> None:
         )
         if e is not None:
             errors["overlap_sql"] = round(e, 4)
+    # reach (UNION arm) classes: theta exact regime — routed must be 0.0
+    if last_result.get(reach_sql_bench) and exact_rows.get(reach_sql_bench):
+        e = measured_relative_error(
+            last_result[reach_sql_bench], exact_rows[reach_sql_bench]
+        )
+        if e is not None:
+            errors["reach_sql"] = round(e, 4)
+    if last_result.get(ovsql_bench):
+        _ov_exact = [
+            r.asDict() for r in spark.sql(ovsql_bench).collect()
+        ]
+        e = measured_relative_error(last_result[ovsql_bench], _ov_exact)
+        if e is not None:
+            errors["overlap_sql_advisor"] = round(e, 4)
     pruned_est = last_result.get(f"{route_sql}#route_sample_pruned")
     if pruned_est:
         e = measured_relative_error(pruned_est, exact_rows.get(route_sql))
@@ -2909,6 +3094,119 @@ def main() -> None:
                 f"{type(exc).__name__}: {exc}"[:300]
             )
 
+        # scale evidence for the quantized-kNN composition (round 12,
+        # VERDICT r11 #1 'done' criterion): the all-pairs quantized
+        # broad phase scores |Q| x |corpus| integer dots — linear in
+        # corpus rows — while the IVF-composed path scores only the
+        # nprobe/nlist probed fraction, so its wall must grow
+        # SUB-LINEARLY relative to the all-pairs slope. Replication
+        # preserves per-dim min/max, so one quantizer + coarse index
+        # (the ones fit on emb_big above) serve every factor; codes and
+        # assignments are materialize-once setup, untimed like the
+        # other tiers. Walls kept out of the headline total.
+        if knn_ok:
+            try:
+                qsc_points: list[dict] = []
+                for fac in (1, 3, 10):
+                    corp = (
+                        spark.table("embeddings")
+                        .crossJoin(
+                            spark.range(fac).select(
+                                F.col("id").alias("rep")
+                            )
+                        )
+                        .select(
+                            (F.col("vec_id") * fac + F.col("rep")).alias(
+                                "vec_id"
+                            ),
+                            "embedding",
+                        )
+                        .localCheckpoint()
+                    )
+                    n_vecs = corp.count()
+                    q_sc = corp.where("vec_id < 20").localCheckpoint()
+                    codes_sc = (
+                        sq_quantizer.encode(corp)
+                        .select("vec_id", "codes")
+                        .localCheckpoint()
+                    )
+                    assigned_sc = ivf_assign_quantized(
+                        corp, sq_quantizer, qivf_cents
+                    ).localCheckpoint()
+
+                    def _qsc_allpairs(qq=q_sc, cc=corp, enc=codes_sc):
+                        knn_join_quantized(
+                            qq, cc, sq_quantizer, k=10, right_encoded=enc
+                        ).count()
+
+                    def _qsc_ivf(qq=q_sc, cc=corp, asg=assigned_sc):
+                        knn_join_ivf_quantized(
+                            qq,
+                            cc,
+                            sq_quantizer,
+                            qivf_cents,
+                            k=10,
+                            nprobe=4,
+                            assigned_codes=asg,
+                        ).count()
+
+                    qsc_points.append(
+                        {
+                            "factor": fac,
+                            "rows": int(n_vecs),
+                            "walls": {
+                                "quantized_allpairs": round(
+                                    _time(_qsc_allpairs, reps=2), 4
+                                ),
+                                "quantized_ivf": round(
+                                    _time(_qsc_ivf, reps=2), 4
+                                ),
+                            },
+                        }
+                    )
+
+                def _qsc_slope(cname: str) -> float | None:
+                    pts = [
+                        (p["rows"], p["walls"][cname]) for p in qsc_points
+                    ]
+                    if len(pts) < 2:
+                        return None
+                    mx = sum(x for x, _ in pts) / len(pts)
+                    my = sum(y for _, y in pts) / len(pts)
+                    var = sum((x - mx) ** 2 for x, _ in pts)
+                    cov = sum((x - mx) * (y - my) for x, y in pts)
+                    return cov / var if var else None
+
+                s_all = _qsc_slope("quantized_allpairs")
+                s_ivf = _qsc_slope("quantized_ivf")
+                scale_trend["knn_quantized"] = {
+                    "points": qsc_points,
+                    "slope_sec_per_100k_rows": {
+                        "quantized_allpairs": (
+                            round(s_all * 1e5, 3) if s_all else None
+                        ),
+                        "quantized_ivf": (
+                            round(s_ivf * 1e5, 3) if s_ivf else None
+                        ),
+                    },
+                    "ivf_vs_allpairs_slope_ratio": (
+                        round(max(s_ivf, 0.0) / s_all, 4)
+                        if s_all and s_ivf is not None and s_all > 0
+                        else None
+                    ),
+                    "note": (
+                        "embeddings replicated x1/x3/x10; the composed "
+                        "IVF path scores ~nprobe/nlist of the corpus per "
+                        "query, so its per-row slope is a fraction of "
+                        "the all-pairs broad phase's — the measured form "
+                        "of killing the last corpus-broadcast cross join"
+                    ),
+                }
+            except Exception as exc:  # noqa: BLE001 - evidence only
+                bench_errors["scale_trend_knn_quantized"] = (
+                    f"{type(exc).__name__}: {exc}"[:300]
+                )
+
     _canary("last")
 
     # ---- tier report ----------------------------------------------------
@@ -3113,6 +3411,7 @@ def main() -> None:
         "rollup_advisor_apply": advisor_apply_info,
         "rollup_advisor_topk_apply": advisor_topk_info,
         "rollup_advisor_theta_apply": advisor_theta_info,
+        "overlap_sql_advisor_apply": overlap_sql_advisor_info,
         "stratified_vs_uniform": strat_block,
         # round 11 (VERDICT r10 #2): measured wall-vs-rows slopes for the
         # routed families at three fact sizes — the 100x-scale evidence
