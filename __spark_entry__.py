@@ -1978,6 +1978,98 @@ ORDER BY r.query_id, r.rank
 """
 
 
+def _q_quantizer_drift_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 surface (VERDICT r11 #4): the quantizer CLAMP-DRIFT
+    lifecycle against the driver oracle, mirroring q107/q110's pattern.
+    A code table is built on the initial corpus (vec_id < 400); the
+    table then grows by 3x-scaled vectors — far outside the fitted
+    [min, max], so their codes would saturate at the range edges. The
+    first maintenance sweep ADVISES a re-fit and defers it (apply_advice
+    off — deferral costs resolution, never correctness); the second,
+    with apply_advice, re-fits on the full current corpus and re-encodes
+    into a new catalog version. The returned per-vector code sums read
+    the PERSISTED v2 Parquet, and the oracle replays the re-fit + codes
+    over the same derived corpus in DuckDB — so the lifecycle's end
+    state (params learned from the drifted corpus, every row re-encoded)
+    sits under the value hash, not just under unit tests."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    spark.sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400"
+    ).createOrReplaceTempView("qdl_vecs")
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    built = eng.build_quantized_codes("qdl_vecs", clamp_threshold=0.01)
+    assert built["version"] == 1, built
+    # the corpus grows by out-of-range vectors (x3 the fitted range)
+    spark.sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400 "
+        "UNION ALL "
+        "SELECT vec_id, transform(embedding, x -> x * 3.0D) AS embedding "
+        "FROM embeddings WHERE vec_id >= 400"
+    ).createOrReplaceTempView("qdl_vecs")
+    rep = eng.maintain(max_drift=0.10)
+    acts = [
+        a for a in rep["refreshed"] if a["kind"] == "quantized_codes"
+    ]
+    assert len(acts) == 1 and acts[0]["mode"] == "refit", rep
+    assert acts[0].get("deferred") is True, acts
+    assert acts[0]["appended_clamp_fraction"] > 0.01, acts
+    assert eng.catalog.quantized_codes["qdl_vecs"]["version"] == 1
+    rep = eng.maintain(max_drift=0.10, apply_advice=True)
+    acts = [
+        a for a in rep["refreshed"] if a["kind"] == "quantized_codes"
+    ]
+    assert len(acts) == 1 and not acts[0].get("deferred"), rep
+    info = eng.catalog.quantized_codes["qdl_vecs"]
+    assert info["version"] == 2, info
+    return (
+        spark.read.parquet(info["path"])
+        .select(
+            "vec_id",
+            F.aggregate(
+                "codes", F.lit(0).cast("long"), lambda a, v: a + v
+            ).alias("code_sum"),
+        )
+    )
+
+
+_QUANTIZER_DRIFT_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  WHERE vec_id < 400
+  UNION ALL
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE * 3.0)
+  FROM embeddings WHERE vec_id >= 400
+), dims AS (
+  SELECT UNNEST(range(0, len(embedding))) AS d, embedding FROM corpus
+), stats AS (
+  SELECT d, MIN(embedding[d + 1]) AS mn, MAX(embedding[d + 1]) AS mx
+  FROM dims GROUP BY d
+), params AS (
+  SELECT list(mn ORDER BY d) AS mins,
+         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END
+              ORDER BY d) AS scales
+  FROM stats
+), codes AS (
+  SELECT vec_id,
+         list_transform(range(0, len(embedding)), i ->
+           LEAST(GREATEST(
+             CAST(round((embedding[i + 1] - mins[i + 1])
+                        * scales[i + 1]) AS INT), 0), 255)) AS c
+  FROM corpus, params
+)
+SELECT vec_id,
+       CAST(list_sum(list_transform(c, x -> CAST(x AS BIGINT)))
+            AS BIGINT) AS code_sum
+FROM codes ORDER BY vec_id
+"""
+
+
 _HIERARCHY_SQL = (
     "SELECT event_type, DATE_TRUNC('WEEK', ts) AS wk, COUNT(*) AS n, "
     "COUNT(value) AS nv, MIN(value) AS mn, MAX(value) AS mx "
@@ -4828,7 +4920,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: inside the in-window q66 corpus chain), q45 (date functions — the
 #: date-arithmetic family keeps q102's DATE_TRUNC hierarchy), and q55
 #: (multimodal decode, driver-checked r4-r11 — the media family keeps
-#: q82 media dedup in-window).
+#: q82 media dedup in-window). Late round 12: q116 (the quantizer
+#: clamp-drift lifecycle: out-of-range appends -> deferred advisory ->
+#: budget-gated re-fit + re-encode, persisted v2 codes ≡ DuckDB re-fit
+#: replay) took q78's slot (sequence packing, driver-checked r4-r11 —
+#: the packing family keeps q101 chunking and q72 token budget
+#: in-window).
 #: Everything NOT in this list still registers, after the window, and
 #: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
@@ -4875,7 +4972,7 @@ _CHECK_WINDOW_ORDER = [
     "q50_cms_freq",
     "q56_progressive",
     "q77_stratified_rewrite",
-    "q78_pack_sequences",
+    "q116_quantizer_drift",
     "q79_ngram_jaccard",
     "q80_embedding_neardup",
     "q81_quantile_aqp",
@@ -4976,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q113_quantized_ivf"] = _q_quantized_ivf
     out["q114_overlap_union"] = _q_overlap_union
     out["q115_boilerplate_incremental"] = _q_boilerplate_incremental
+    out["q116_quantizer_drift"] = _q_quantizer_drift_lifecycle
     return _reorder_check_window(out)
 
 
@@ -5052,5 +5150,6 @@ def oracle_sql() -> dict[str, str]:
     out["q113_quantized_ivf"] = _quantized_ivf_oracle()
     out["q114_overlap_union"] = _OVERLAP_UNION_ORACLE
     out["q115_boilerplate_incremental"] = _BOILERPLATE_INC_ORACLE
+    out["q116_quantizer_drift"] = _QUANTIZER_DRIFT_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

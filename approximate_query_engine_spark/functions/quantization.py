@@ -535,20 +535,77 @@ def ivf_assign_quantized(
     centroid_codes,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_literal_cells: int = 4096,
 ) -> DataFrame:
     """The materialized corpus half of quantized IVF:
     ``(id_col, codes, centroid_id)`` where ``centroid_id`` = argmax
-    code-space cosine over the centroid codes (ties -> lowest id, via
-    array_position's first-match). One scan, zero shuffle — at 100 TB
-    write the result ``partitionBy('centroid_id')`` (the operational
-    model of similarity.IVFIndex.assign, similarity.py:189) so probed
-    lookups prune at the file listing and never touch the other
-    ``nlist - nprobe`` buckets."""
+    code-space cosine over the centroid codes (ties -> lowest id). One
+    scan, zero shuffle — at 100 TB write the result
+    ``partitionBy('centroid_id')`` (the operational model of
+    similarity.IVFIndex.assign, similarity.py:189) so probed lookups
+    prune at the file listing and never touch the other
+    ``nlist - nprobe`` buckets.
+
+    Two value-identical execution paths, switched on plan size: up to
+    ``max_literal_cells`` total centroid-code cells (nlist x dim), the
+    argmax is a codegen'd transform over a literal centroid array
+    (first-match ties via array_position — lowest centroid id). A
+    realistic inverted file (nlist 256-4096, dim 768) would explode
+    that plan into hundreds of thousands of literal expressions, so
+    larger indexes switch to an Arrow-batched ``mapInPandas`` kernel:
+    one int64 numpy matmul per batch against the (nlist x dim) centroid
+    matrix — exact integer dots, the same pinned float64
+    ``(dot / na) / nb`` divisions elementwise, ``argmax`` first-max tie
+    break (lowest cid). Equality of the two paths is test-pinned."""
     codes = quantizer.encode_expr(vec_col)
     out = df.select(F.col(id_col), codes.alias("codes"))
-    sims = _centroid_cosine_list(F.col("codes"), centroid_codes)
-    best = F.array_position(sims, F.array_max(sims)) - 1
-    return out.withColumn("centroid_id", best.cast("int"))
+    nlist = len(centroid_codes)
+    dim = len(quantizer.mins)
+    if nlist * dim <= int(max_literal_cells):
+        sims = _centroid_cosine_list(F.col("codes"), centroid_codes)
+        best = F.array_position(sims, F.array_max(sims)) - 1
+        return out.withColumn("centroid_id", best.cast("int"))
+
+    import numpy as np
+
+    cents = np.asarray(
+        [[int(x) for x in cc] for cc in centroid_codes], dtype=np.int64
+    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cnorms = np.sqrt((cents * cents).sum(axis=1).astype(np.float64))
+    # a FRESH StructType: StructType.add mutates in place, which would
+    # corrupt the input frame's cached schema object
+    schema = StructType(
+        list(out.schema.fields)
+        + [StructField("centroid_id", IntegerType())]
+    )
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(centroid_id=pd.Series([], dtype="int32"))
+                continue
+            m = np.asarray(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            dots = m @ cents.T  # exact: int64 products, max ~dim*255^2
+            rn = np.sqrt((m * m).sum(axis=1).astype(np.float64))
+            # the SAME guarded pinned arithmetic as the literal path:
+            # (dot / na) / nb, zero-norm on either side defines 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (dots.astype(np.float64)
+                       / rn[:, None]) / cnorms[None, :]
+            cos[rn == 0.0, :] = 0.0
+            cos[:, cnorms == 0.0] = 0.0
+            pdf = pdf.assign(
+                centroid_id=cos.argmax(axis=1).astype("int32")
+            )
+            yield pdf
+
+    return out.mapInPandas(_assign, schema=schema)
 
 
 def knn_join_ivf_quantized(

@@ -212,6 +212,9 @@ def test_check_window_ordering():
         "q44_string_funcs": "q66_corpus_prepare",  # string-func-heavy scan
         "q45_date_funcs": "q102_rollup_hierarchy",  # date-arithmetic family
         "q55_multimodal_decode": "q82_media_dedup",  # media family
+        # late round 12: q116 (quantizer drift lifecycle) took q78's
+        # slot; the packing family keeps q101 chunking + q72 in-window
+        "q78_pack_sequences": "q101_chunking",
     }
     for name in names[50:]:
         if name in oracled:

@@ -345,3 +345,34 @@ def test_encode_py_matches_encode_expr(spark):
 
     with _pytest.raises(ValueError):
         q.encode_py([0.0])
+
+
+def test_ivf_assign_pandas_path_equals_literal_path(spark):
+    """A realistic inverted file (nlist x dim past the literal-plan
+    bound) assigns through the Arrow-batched numpy kernel — which must
+    agree with the codegen'd literal path on every row, zero-norm rows
+    and exact ties included (both break ties to the lowest cid)."""
+    import numpy as np
+
+    from approximate_query_engine_spark.functions.quantization import (
+        ivf_assign_quantized,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(16)])
+            for i in range(60)]
+    rows.append((60, [0.0] * 16))  # zero-norm row: cosine 0 everywhere
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = ScalarQuantizer.fit(df)
+    rng = np.random.default_rng(4)
+    cents = rng.integers(0, 256, size=(8, 16)).tolist()
+    cents.append(list(cents[0]))  # duplicate centroid: exact tie
+    cents.append([0] * 16)  # zero-norm centroid
+    lit = ivf_assign_quantized(
+        df, q, cents, max_literal_cells=1_000_000
+    )
+    pnd = ivf_assign_quantized(df, q, cents, max_literal_cells=1)
+    a = {r.vec_id: (r.codes, r.centroid_id) for r in lit.collect()}
+    b = {r.vec_id: (r.codes, r.centroid_id) for r in pnd.collect()}
+    assert a == b
+    # the duplicate of centroid 0 (cid 8) never wins a tie against it
+    assert all(cid != 8 for _, cid in a.values())
