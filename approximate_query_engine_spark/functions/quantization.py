@@ -408,6 +408,7 @@ def knn_join_reranked(
     vec_col: str = "embedding",
     exclude_self: bool = False,
     right_encoded: DataFrame | None = None,
+    broadcast_shortlist: bool = True,
 ) -> DataFrame:
     """Quantized broad phase + exact rerank, EXHAUSTIVE variant: the
     shortlist scores int codes against the WHOLE corpus (broadcast — the
@@ -433,7 +434,14 @@ def knn_join_reranked(
         right_encoded=right_encoded,
     ).select("query_id", "neighbor_id")
     return _exact_rerank(
-        shortlist, left, right, int(k), left_id, right_id, vec_col
+        shortlist,
+        left,
+        right,
+        int(k),
+        left_id,
+        right_id,
+        vec_col,
+        broadcast_shortlist=broadcast_shortlist,
     )
 
 
@@ -446,6 +454,7 @@ def _exact_rerank(
     right_id: str,
     vec_col: str,
     extra_cols: tuple[str, ...] = (),
+    broadcast_shortlist: bool = True,
 ) -> DataFrame:
     """Exact float-cosine rerank over an already-shortlisted
     (query_id, neighbor_id) pair set: two id-equi joins pull the float
@@ -454,7 +463,16 @@ def _exact_rerank(
     is IEEE-identical to functions/similarity.knn_join's (same
     dot_expr/sumsq_expr fold order), so with a sufficient shortlist the
     top-k EQUALS the exact brute result. ``extra_cols`` are shortlist
-    columns carried through to the output (e.g. a candidate count)."""
+    columns carried through to the output (e.g. a candidate count).
+
+    The corpus-vector join BROADCASTS the shortlist side (|Q| x k x
+    factor pairs + their query vectors — bounded) so the corpus streams:
+    without the hint Catalyst can sort-merge-join, shuffling every
+    corpus float vector for a join against a few thousand pairs.
+    ``broadcast_shortlist=False`` drops the hint for corpus-vs-corpus
+    self-join shapes where |Q| is the corpus and the pair set can
+    exceed the broadcast budget — a shuffle join keyed on neighbor_id
+    is the right plan there."""
     from pyspark.sql import Window
 
     from approximate_query_engine_spark.functions.dedup import (
@@ -471,9 +489,11 @@ def _exact_rerank(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor_id")
     )
+    pairs = shortlist.join(qv, "query_id")
+    if broadcast_shortlist:
+        pairs = F.broadcast(pairs)
     return (
-        shortlist.join(qv, "query_id")
-        .join(nv, "neighbor_id")
+        nv.join(pairs, "neighbor_id")
         .withColumn(
             "cosine",
             F.when(
@@ -608,6 +628,63 @@ def ivf_assign_quantized(
     return out.mapInPandas(_assign, schema=schema)
 
 
+def write_ivf_quantized_codes(
+    df: DataFrame,
+    quantizer: ScalarQuantizer,
+    centroid_codes,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the quantized IVF corpus the way a 100 TB deployment
+    stores it: ``(id, codes)`` Parquet written
+    ``partitionBy('centroid_id')`` — probing ``nprobe`` buckets then
+    reads ONLY those directories (partition pruning at the file
+    listing, measured in tests) — with the quantizer params AND the
+    centroid codes in a ``_quantizer`` sidecar on the same filesystem,
+    so any later session reloads codes, params and coarse geometry as
+    one consistent triple (codes scored against a different fit's
+    params or probed against different centroids would be silently
+    wrong). Returns the reloaded assigned frame."""
+    import json
+
+    spark = df.sparkSession
+    assigned = ivf_assign_quantized(
+        df, quantizer, centroid_codes, id_col=id_col, vec_col=vec_col
+    )
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    payload = {
+        **quantizer.to_dict(),
+        "centroid_codes": [[int(x) for x in cc] for cc in centroid_codes],
+    }
+    (
+        spark.createDataFrame([(json.dumps(payload),)], ["value"])
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path.rstrip("/") + "/_quantizer")
+    )
+    return spark.read.parquet(path)
+
+
+def read_ivf_quantized_codes(
+    spark, path: str
+) -> tuple[DataFrame, ScalarQuantizer, list[list[int]]]:
+    """The read half of :func:`write_ivf_quantized_codes`:
+    ``(assigned_codes, quantizer, centroid_codes)`` as one consistent
+    triple."""
+    import json
+
+    payload = spark.read.text(path.rstrip("/") + "/_quantizer").collect()
+    (row,) = [r for r in payload if r.value.strip()]
+    d = json.loads(row.value)
+    cents = [[int(x) for x in cc] for cc in d.pop("centroid_codes")]
+    return spark.read.parquet(path), ScalarQuantizer.from_dict(d), cents
+
+
 def knn_join_ivf_quantized(
     left: DataFrame,
     right: DataFrame,
@@ -737,6 +814,9 @@ def knn_join_ivf_quantized(
         right_id,
         vec_col,
         extra_cols=extra,
+        # the same huge-query-batch condition that governs the probe
+        # side governs the rerank's shortlist broadcast
+        broadcast_shortlist=broadcast_probes,
     )
 
 

@@ -376,3 +376,57 @@ def test_ivf_assign_pandas_path_equals_literal_path(spark):
     assert a == b
     # the duplicate of centroid 0 (cid 8) never wins a tie against it
     assert all(cid != 8 for _, cid in a.values())
+
+
+def test_ivf_codes_sink_prunes_and_round_trips(spark, tmp_path):
+    """write_ivf_quantized_codes persists the assigned table
+    partitionBy('centroid_id') with params + centroids in the sidecar:
+    a probe-shaped filter reads FEWER files than a full scan (partition
+    pruning at the listing, the 100 TB probe cost model), and kNN over
+    the reloaded triple equals kNN over the in-memory assignment."""
+    import numpy as np
+
+    from approximate_query_engine_spark.functions.quantization import (
+        ivf_assign_quantized,
+        knn_join_ivf_quantized,
+        read_ivf_quantized_codes,
+        write_ivf_quantized_codes,
+    )
+    from approximate_query_engine_spark.operators.partitioning import (
+        scan_metrics,
+    )
+
+    df = _clustered(spark, nclusters=12, per=5)
+    q = ScalarQuantizer.fit(df)
+    rng = np.random.default_rng(9)
+    cents = rng.integers(0, 256, size=(6, 16)).tolist()
+    path = str(tmp_path / "ivf_codes")
+    write_ivf_quantized_codes(df, q, cents, path)
+    reloaded, q2, cents2 = read_ivf_quantized_codes(spark, path)
+    assert q2.to_dict() == q.to_dict()
+    assert cents2 == [[int(x) for x in cc] for cc in cents]
+    # pruning: a 2-bucket probe filter lists fewer files than full scan
+    present = sorted(
+        r.centroid_id
+        for r in reloaded.select("centroid_id").distinct().collect()
+    )
+    assert len(present) >= 3  # data spreads over several buckets
+    probe = present[:2]
+    full = scan_metrics(reloaded.groupBy().count())
+    pruned = scan_metrics(
+        reloaded.filter(F.col("centroid_id").isin(probe)).groupBy().count()
+    )
+    assert 0 < pruned["files_read"] < full["files_read"], (pruned, full)
+    # reloaded assigned table drives the SAME kNN as in-memory assignment
+    mem = ivf_assign_quantized(df, q, cents)
+    out_mem = knn_join_ivf_quantized(
+        df, df, q, cents, k=4, nprobe=2, exclude_self=True,
+        assigned_codes=mem,
+    )
+    out_disk = knn_join_ivf_quantized(
+        df, df, q2, cents2, k=4, nprobe=2, exclude_self=True,
+        assigned_codes=reloaded,
+    )
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in out_mem.collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank) for r in out_disk.collect()}
+    assert a == b
