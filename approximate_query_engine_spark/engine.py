@@ -3070,12 +3070,32 @@ class AQEngine:
                 "ELSE ROUND(theta_sketch_estimate("
                 "theta_intersection(sa.sk, sb.sk))) END"
             )
-        routed_sql = (
-            f"SELECT CAST({est} AS BIGINT) AS `{alias_bt}` FROM "
-            + _branch_sub(ov.lit_a, pred_a, "sa")
-            + " CROSS JOIN "
-            + _branch_sub(ov.lit_b, pred_b, "sb")
-        )
+        if ov.idiom == "seg_in":
+            # N-ary reach: one theta_union_agg over state filtered to
+            # ALL listed segments — a single state scan, no per-branch
+            # subqueries or sketch-pair combine (the union of N slices
+            # IS the union of their per-bucket sketches)
+            conds = [f"`{seg}` IN ({', '.join(ov.lits)})"]
+            if pred_a is not None:
+                conds.append(f"({pred_a})")
+            routed_sql = (
+                f"SELECT CAST(CASE WHEN sk IS NULL THEN 0 ELSE "
+                f"ROUND(theta_sketch_estimate(sk)) END AS BIGINT) "
+                f"AS `{alias_bt}` FROM "
+                f"(SELECT theta_union_agg(`{key}_theta`, {lgk}) AS sk "
+                f"FROM {src} WHERE {' AND '.join(conds)}) u"
+            )
+            branch_note = (
+                f"{len(ov.lits)} segments unioned in ONE state scan"
+            )
+        else:
+            routed_sql = (
+                f"SELECT CAST({est} AS BIGINT) AS `{alias_bt}` FROM "
+                + _branch_sub(ov.lit_a, pred_a, "sa")
+                + " CROSS JOIN "
+                + _branch_sub(ov.lit_b, pred_b, "sb")
+            )
+            branch_note = "per-bucket sketches unioned per branch"
         shape = (
             ("segment-reach" if ov.set_op == "union" else "segment-overlap")
             if seg is not None
@@ -3084,7 +3104,7 @@ class AQEngine:
         note = (
             f"{shape} idiom ({ov.idiom}) answered from "
             f"materialized rollup {info['view']} theta state "
-            "(per-bucket sketches unioned per branch"
+            f"({branch_note}"
             + (
                 ", p_date-pruned to the window"
                 if (pred_a or pred_b)

@@ -689,11 +689,15 @@ class OverlapQuery:
       INTERSECT/EXCEPT this spelling routes only under the proven
       null_frac == 0 gate.
     - ``idiom = "seg_in"``: SELECT COUNT(DISTINCT key) FROM t WHERE seg
-      IN (lit_a, lit_b) [AND symmetric time window] — the one-table
-      spelling of the same reach question. COUNT(DISTINCT) IGNORES
+      IN (lit_1, ..., lit_n) [AND symmetric time window] — the
+      one-table spelling of the same reach question, N-ARY (two or more
+      segments; ``lits`` carries all of them in written order,
+      ``lit_a``/``lit_b`` the first two). COUNT(DISTINCT) IGNORES
       NULLs, so this spelling needs no null gate (it is the exact
       semantics theta_union computes). The optional window applies to
-      both branches (``lo_b``/``hi_b`` mirror ``lo``/``hi``).
+      every branch (``lo_b``/``hi_b`` mirror ``lo``/``hi``). The
+      routed form is ONE ``theta_union_agg`` state scan filtered to
+      the listed segments, not per-branch subqueries.
     """
 
     table: str
@@ -709,6 +713,8 @@ class OverlapQuery:
     lo_b: str | None = None  # branch B window; self-join mirrors A's
     hi_b: str | None = None
     set_op: str = "intersect"  # "intersect" | "except" | "union"
+    #: seg_in only: ALL the IN-list literals in written order (N >= 2)
+    lits: tuple[str, ...] | None = None
 
 
 #: string literal (with '' escape) or numeric literal
@@ -1130,9 +1136,10 @@ _OV_IN_COUNT_RE = re.compile(
     r"^COUNT\s*\(\s*DISTINCT\s+([A-Za-z_]\w*)\s*\)$", re.IGNORECASE
 )
 _OV_IN_PRED_RE = re.compile(
-    rf"^([A-Za-z_]\w*)\s+IN\s*\(\s*({_LIT})\s*,\s*({_LIT})\s*\)$",
+    rf"^([A-Za-z_]\w*)\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})+)\s*\)$",
     re.IGNORECASE | re.DOTALL,
 )
+_OV_IN_LIT_RE = re.compile(_LIT, re.DOTALL)
 
 
 def _parse_overlap_in(sql: str) -> OverlapQuery:
@@ -1170,7 +1177,8 @@ def _parse_overlap_in(sql: str) -> OverlapQuery:
     table = clauses["FROM"].strip()
     if not re.match(r"^[A-Za-z_]\w*$", table):
         raise UnsupportedQueryError("overlap IN idiom reads one table")
-    seg = lit_a = lit_b = None
+    seg = None
+    lits: tuple[str, ...] = ()
     time_preds: list[tuple[str, str, str]] = []
     for c in _split_top_keyword(clauses["WHERE"], "AND"):
         c = c.strip()
@@ -1178,7 +1186,10 @@ def _parse_overlap_in(sql: str) -> OverlapQuery:
         if pm:
             if seg is not None:
                 raise UnsupportedQueryError("one IN predicate")
-            seg, lit_a, lit_b = pm.groups()
+            seg = pm.group(1)
+            lits = tuple(
+                m.group(0) for m in _OV_IN_LIT_RE.finditer(pm.group(2))
+            )
             continue
         tm = _OV_TIME_RE.match(c)
         if tm:
@@ -1191,7 +1202,9 @@ def _parse_overlap_in(sql: str) -> OverlapQuery:
             continue
         raise UnsupportedQueryError(f"not an overlap predicate: {c!r}")
     if seg is None:
-        raise UnsupportedQueryError("overlap IN idiom needs seg IN (a, b)")
+        raise UnsupportedQueryError(
+            "overlap IN idiom needs seg IN (a, b, ...)"
+        )
     if seg.lower() == key.lower():
         raise UnsupportedQueryError("segment column must differ from key")
     tcol, lo, hi = _branch_window(time_preds)
@@ -1199,8 +1212,8 @@ def _parse_overlap_in(sql: str) -> OverlapQuery:
         table=table,
         key_col=key,
         segment_col=seg,
-        lit_a=lit_a,
-        lit_b=lit_b,
+        lit_a=lits[0],
+        lit_b=lits[1],
         alias=it.alias,
         idiom="seg_in",
         time_col=tcol,
@@ -1209,6 +1222,7 @@ def _parse_overlap_in(sql: str) -> OverlapQuery:
         lo_b=lo,
         hi_b=hi,
         set_op="union",
+        lits=lits,
     )
 
 

@@ -633,12 +633,18 @@ def test_parse_union_idioms():
     ov = try_parse_overlap(w)
     assert ov is not None and ov.time_col == "ts"
     assert (ov.lo, ov.hi) == (ov.lo_b, ov.hi_b)
-    # near-misses stay unparsed: bag semantics, 3-element IN, key==seg,
+    # N-ary reach: all literals carried in written order
+    ov = try_parse_overlap(
+        "SELECT COUNT(DISTINCT user_id) AS oc FROM events "
+        "WHERE event_type IN ('a', 'b', 'c')"
+    )
+    assert ov is not None and ov.lits == ("'a'", "'b'", "'c'"), ov
+    # near-misses stay unparsed: bag semantics, 1-element IN, key==seg,
     # ordinary IN filters with a non-count projection
     for bad in (
         UNION_INLINE.replace("UNION", "UNION ALL"),
         "SELECT COUNT(DISTINCT user_id) AS oc FROM events "
-        "WHERE event_type IN ('a', 'b', 'c')",
+        "WHERE event_type IN ('a')",
         "SELECT COUNT(DISTINCT user_id) AS oc FROM events "
         "WHERE user_id IN (1, 2)",
         "SELECT event_id AS oc FROM events WHERE event_type IN ('a', 'b')",
@@ -745,3 +751,39 @@ def test_unrouted_union_feeds_theta_advisor(spark):
     r = e.query(SEG_IN, dual_execute=False)
     assert r["plan"]["type"] == "sketch", r["plan"]
     assert r["result"][0]["oc"] == _exact(spark, SEG_IN)
+
+
+def test_nary_reach_routes_single_state_scan(spark):
+    """3+ segments route as ONE theta_union_agg over state filtered to
+    the whole IN-list — no per-branch subqueries — and match exact."""
+    e = _engine(spark)
+    e.create_rollup(
+        "events", "ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    e.analyze_table("events", ["user_id"])
+    sql3 = (
+        "SELECT COUNT(DISTINCT user_id) AS oc FROM events "
+        "WHERE event_type IN ('click', 'view', 'purchase')"
+    )
+    r = e.query(sql3, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert "3 segments unioned in ONE state scan" in r["plan"]["reason"]
+    assert r["result"][0]["oc"] == _exact(spark, sql3)
+    # windowed N-ary form: same single scan, p_date-pruned
+    w3 = (
+        sql3 + " AND ts >= TIMESTAMP '2024-01-02 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00'"
+    )
+    r = e.query(w3, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert "p_date-pruned" in r["plan"]["reason"], r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, w3)
+    # a ghost segment in the list never breaks A ∪ empty semantics
+    g = (
+        "SELECT COUNT(DISTINCT user_id) AS oc FROM events "
+        "WHERE event_type IN ('click', 'ghost')"
+    )
+    r = e.query(g, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, g)
