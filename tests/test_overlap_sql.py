@@ -787,3 +787,58 @@ def test_nary_reach_routes_single_state_scan(spark):
     r = e.query(g, dual_execute=False)
     assert r["plan"]["type"] == "sketch", r["plan"]
     assert r["result"][0]["oc"] == _exact(spark, g)
+
+
+def test_seg_in_parse_fuzz():
+    """Property fuzz for the round-12 reach idiom: generated seg_in
+    queries round-trip every component; generated near-misses (wrong
+    projection, seg == key, 1-element lists, extra conjuncts) never
+    parse. Pure parser work — no Spark session."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True).filter(
+        lambda s: s.upper() not in {
+            "IN", "AND", "OR", "NOT", "SELECT", "FROM", "WHERE", "AS",
+            "COUNT", "DISTINCT", "JOIN", "ON", "UNION", "INTERSECT",
+            "EXCEPT", "ALL", "BY", "GROUP",
+        }
+    )
+    lit = st.one_of(
+        st.integers(-999, 999).map(str),
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            min_size=1, max_size=6,
+        ).map(lambda t: f"'{t}'"),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        key=ident, seg=ident, tbl=ident, alias=ident,
+        lits=st.lists(lit, min_size=2, max_size=5),
+    )
+    def _roundtrip(key, seg, tbl, alias, lits):
+        if seg.lower() == key.lower():
+            return
+        sql = (
+            f"SELECT COUNT(DISTINCT {key}) AS {alias} FROM {tbl} "
+            f"WHERE {seg} IN ({', '.join(lits)})"
+        )
+        ov = try_parse_overlap(sql)
+        assert ov is not None, sql
+        assert (ov.table, ov.key_col, ov.segment_col) == (tbl, key, seg)
+        assert ov.alias == alias and ov.lits == tuple(lits)
+        assert (ov.idiom, ov.set_op) == ("seg_in", "union")
+        # near-misses derived from the same inputs never parse
+        assert try_parse_overlap(sql.replace("COUNT(DISTINCT", "COUNT(")) is None
+        assert try_parse_overlap(
+            f"SELECT COUNT(DISTINCT {key}) AS {alias} FROM {tbl} "
+            f"WHERE {key} IN ({', '.join(lits)})"
+        ) is None
+        assert try_parse_overlap(
+            f"SELECT COUNT(DISTINCT {key}) AS {alias} FROM {tbl} "
+            f"WHERE {seg} IN ({lits[0]})"
+        ) is None
+        assert try_parse_overlap(sql + " AND x > 3") is None
+
+    _roundtrip()

@@ -430,3 +430,33 @@ def test_ivf_codes_sink_prunes_and_round_trips(spark, tmp_path):
     a = {(r.query_id, r.neighbor_id, r.rank) for r in out_mem.collect()}
     b = {(r.query_id, r.neighbor_id, r.rank) for r in out_disk.collect()}
     assert a == b
+
+
+def test_ivf_quantized_plan_shape_is_scale_safe(spark):
+    """Executed-plan regression pin for the composed path's scale
+    contract: no Cartesian product anywhere, the shortlist join is a
+    broadcast hash join ON centroid_id (probe side builds, corpus
+    streams), and the rerank's corpus-vector join builds the pair set
+    (the corpus never sits under a BroadcastExchange or shuffles for
+    the rerank)."""
+    import numpy as np
+
+    from approximate_query_engine_spark.functions.quantization import (
+        ivf_assign_quantized,
+        knn_join_ivf_quantized,
+    )
+
+    df = _clustered(spark, nclusters=10, per=6)
+    q = ScalarQuantizer.fit(df)
+    cents = np.random.default_rng(2).integers(0, 256, (8, 16)).tolist()
+    asg = ivf_assign_quantized(df, q, cents)
+    out = knn_join_ivf_quantized(
+        df.where("vec_id < 5"), df, q, cents, k=3, nprobe=2,
+        assigned_codes=asg,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastHashJoin [centroid_id" in plan, plan[:2000]
+    # the probe ranking's centroid frame broadcasts (nested-loop over
+    # an 8-row build side is the intended tiny cross)
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
