@@ -1978,6 +1978,76 @@ ORDER BY r.query_id, r.rank
 """
 
 
+def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 surface: n-gram LM quality scoring (functions/lm.py —
+    the CCNet/RefinedWeb perplexity-filter stage at bigram granularity).
+    The first half of the documents table (doc_id < 250) trains the
+    reference model (two vocabulary-bounded count aggregations); the
+    rest score against it through one bigram-keyed equi join. The
+    INTEGER evidence tier — token/bigram totals, reference-hit
+    occurrences, summed reference counts, OOV occurrences — is exact
+    engine-portable currency, so it sits under the driver hash; the
+    float tier (add-k log-probs / perplexity, a monotone function of
+    this evidence given the counts) is pinned against a pure-Python
+    reference in tests/test_lm.py instead (ln is libm-dependent, not
+    bit-portable)."""
+    from approximate_query_engine_spark.functions.lm import (
+        fit_bigram_lm,
+        score_documents,
+    )
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    uni, bi = fit_bigram_lm(docs.where("doc_id < 250"))
+    return score_documents(docs.where("doc_id >= 250"), uni, bi).select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        "bigram_hits",
+        "sum_hit_count",
+        "oov_bigrams",
+    )
+
+
+_LM_QUALITY_ORACLE = """
+WITH ref_toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 250
+), uni AS (
+  SELECT t AS term, COUNT(*)::BIGINT AS c
+  FROM ref_toks, UNNEST(toks) AS u(t) GROUP BY t
+), ref_grams AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS gram
+  FROM ref_toks, UNNEST(range(1, len(toks))) AS r(i)
+), bi AS (
+  SELECT gram, COUNT(*)::BIGINT AS c FROM ref_grams GROUP BY gram
+), cand AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE doc_id >= 250
+), occ AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM cand, UNNEST(range(1, len(toks))) AS r(i)
+), sc AS (
+  SELECT o.doc_id, COUNT(b.c)::BIGINT AS bigram_hits,
+         COALESCE(SUM(b.c), 0)::BIGINT AS sum_hit_count
+  FROM occ o LEFT JOIN bi b USING (gram) GROUP BY o.doc_id
+)
+SELECT c.doc_id,
+       CAST(len(c.toks) AS INT) AS n_tokens,
+       CAST(GREATEST(len(c.toks) - 1, 0) AS INT) AS n_bigrams,
+       COALESCE(s.bigram_hits, 0)::BIGINT AS bigram_hits,
+       COALESCE(s.sum_hit_count, 0)::BIGINT AS sum_hit_count,
+       (CAST(GREATEST(len(c.toks) - 1, 0) AS BIGINT)
+        - COALESCE(s.bigram_hits, 0))::BIGINT AS oov_bigrams
+FROM cand c LEFT JOIN sc s USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
 def _q_quantizer_drift_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 surface (VERDICT r11 #4): the quantizer CLAMP-DRIFT
     lifecycle against the driver oracle, mirroring q107/q110's pattern.
@@ -4925,7 +4995,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: budget-gated re-fit + re-encode, persisted v2 codes ≡ DuckDB re-fit
 #: replay) took q78's slot (sequence packing, driver-checked r4-r11 —
 #: the packing family keeps q101 chunking and q72 token budget
-#: in-window).
+#: in-window), and q117 (n-gram LM quality scoring — the CCNet
+#: perplexity-filter stage, a NEW operator family, so it must hold a
+#: driver row this round) took q32's slot (MinHash-LSH pairs,
+#: driver-checked r5-r12 — the near-dup family keeps q80 embedding,
+#: q69 exact and q82 media in-window).
 #: Everything NOT in this list still registers, after the window, and
 #: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
@@ -4965,7 +5039,7 @@ _CHECK_WINDOW_ORDER = [
     "q74_group_sum_having",
     "q89_grouped_topk_bounds",
     "q76_sample_group_ci",
-    "q32_minhash_pairs",
+    "q117_lm_quality",
     "q108_theta_advisor_loop",
     "q106_advisor_topk_loop",
     "q54_hll_ci",
@@ -5074,6 +5148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q114_overlap_union"] = _q_overlap_union
     out["q115_boilerplate_incremental"] = _q_boilerplate_incremental
     out["q116_quantizer_drift"] = _q_quantizer_drift_lifecycle
+    out["q117_lm_quality"] = _q_lm_quality
     return _reorder_check_window(out)
 
 
@@ -5151,5 +5226,6 @@ def oracle_sql() -> dict[str, str]:
     out["q114_overlap_union"] = _OVERLAP_UNION_ORACLE
     out["q115_boilerplate_incremental"] = _BOILERPLATE_INC_ORACLE
     out["q116_quantizer_drift"] = _QUANTIZER_DRIFT_ORACLE
+    out["q117_lm_quality"] = _LM_QUALITY_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -1883,6 +1883,35 @@ def main() -> None:
 
     _safe("boilerplate", _boilerplate)
 
+    # round 12: n-gram LM quality scoring (functions/lm.py — the CCNet
+    # perplexity-filter stage). Fit on half the corpus (two vocabulary-
+    # bounded count aggs, untimed setup like the other fit-once models),
+    # score the other half: one bigram-keyed equi join + per-doc agg.
+    try:
+        from approximate_query_engine_spark.functions.lm import (
+            fit_bigram_lm,
+            score_documents,
+        )
+
+        lm_uni, lm_bi = fit_bigram_lm(
+            spark.table("documents").where("doc_id % 2 = 0")
+        )
+        lm_uni = lm_uni.localCheckpoint()
+        lm_bi = lm_bi.localCheckpoint()
+        lm_vocab = lm_uni.count()
+
+        def _lm_score():
+            score_documents(
+                spark.table("documents").where("doc_id % 2 = 1"),
+                lm_uni,
+                lm_bi,
+                vocab_size=lm_vocab,
+            ).where("ppl IS NOT NULL").count()
+
+        _safe("lm_score", _lm_score)
+    except Exception as exc:  # noqa: BLE001 - setup failure isolation
+        bench_errors["lm_score_setup"] = f"{type(exc).__name__}: {exc}"[:300]
+
     # per-stage attribution of the corpus_prepare wall (VERDICT r9 #5):
     # each stage's expression forced independently over the same scan,
     # so an r-to-r drift in the opaque total names its stage. The agg

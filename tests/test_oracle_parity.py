@@ -182,8 +182,8 @@ def test_check_window_ordering():
         # in-window.
         "q86_partition_routing": "q88_partition_routing_approx",
         # q108 (theta/overlap advisor loop) took q33's slot; the
-        # near-dup family keeps q32/q69/q80/q82 in-window
-        "q33_simhash_pairs": "q32_minhash_pairs",
+        # near-dup family keeps q69/q80/q82 in-window (q32 exiled r12)
+        "q33_simhash_pairs": "q80_embedding_neardup",
         "q67_repetition": "q66_corpus_prepare",  # text-quality family
         "q84_heavy_hitters": "q87_grouped_topk",  # heavy-hitter family
         "q68_bottomk_sample": "q76_sample_group_ci",  # sampling family
@@ -192,7 +192,7 @@ def test_check_window_ordering():
         # the window; these seven multiply-checked slots moved out, each
         # with an in-window family representative.
         "q47_pps_sum": "q76_sample_group_ci",  # weighted-sampling family
-        "q52_graph_components": "q32_minhash_pairs",  # dedup-graph family
+        "q52_graph_components": "q69_dedup_keep_best",  # dedup-graph family
         "q61_funnel": "q62_stream_sessions",  # events-analytics family
         # r12: q45 exiled; retention's date arithmetic is covered by the
         # day-over-day theta family's in-window row
@@ -215,6 +215,10 @@ def test_check_window_ordering():
         # late round 12: q116 (quantizer drift lifecycle) took q78's
         # slot; the packing family keeps q101 chunking + q72 in-window
         "q78_pack_sequences": "q101_chunking",
+        # later round 12: q117 (n-gram LM quality scoring, a NEW
+        # operator family) took q32's slot; the near-dup family keeps
+        # q69/q80/q82 in-window
+        "q32_minhash_pairs": "q80_embedding_neardup",
     }
     for name in names[50:]:
         if name in oracled:
