@@ -76,6 +76,49 @@ def fit_bigram_lm(
     return unigrams, bigrams
 
 
+def write_bigram_lm(
+    unigrams: DataFrame, bigrams: DataFrame, path: str
+) -> None:
+    """Persist the fitted model as ONE artifact rooted at ``path``: the
+    bigram counts as Parquet under ``path``, the unigram counts under
+    ``path/_unigrams``, and the vocabulary size in a ``_meta`` sidecar
+    (scoring needs V in every smoothing denominator — recounting it per
+    batch would pay a scalar aggregate the sidecar makes free). All
+    three ride Spark's writers onto the same filesystem; the underscore
+    prefixes hide the sidecars from the Parquet listing of ``path``."""
+    import json
+
+    spark = unigrams.sparkSession
+    bigrams.write.mode("overwrite").parquet(path)
+    root = path.rstrip("/")
+    unigrams.write.mode("overwrite").parquet(root + "/_unigrams")
+    v = spark.read.parquet(root + "/_unigrams").count()
+    (
+        spark.createDataFrame(
+            [(json.dumps({"vocab_size": int(v)}),)], ["value"]
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(root + "/_meta")
+    )
+
+
+def read_bigram_lm(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
+    """The read half of :func:`write_bigram_lm`:
+    ``(unigrams, bigrams, vocab_size)`` as one consistent triple —
+    feed ``vocab_size`` straight to :func:`score_documents`."""
+    import json
+
+    root = path.rstrip("/")
+    payload = spark.read.text(root + "/_meta").collect()
+    (row,) = [r for r in payload if r.value.strip()]
+    return (
+        spark.read.parquet(root + "/_unigrams"),
+        spark.read.parquet(path),
+        int(json.loads(row.value)["vocab_size"]),
+    )
+
+
 def score_documents(
     docs: DataFrame,
     unigrams: DataFrame,

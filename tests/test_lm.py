@@ -184,3 +184,47 @@ def test_lm_vocab_size_passthrough_matches(spark):
         .collect()
     )
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_lm_sink_round_trips(spark, tmp_path):
+    """write_bigram_lm / read_bigram_lm persist counts + vocab size as
+    one artifact; scoring from the reloaded triple equals scoring from
+    the in-memory fit."""
+    from approximate_query_engine_spark.functions.lm import (
+        read_bigram_lm,
+        write_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(REF)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(CANDS, "doc_id long, text string")
+    uni, bi = fit_bigram_lm(ref)
+    path = str(tmp_path / "lm")
+    write_bigram_lm(uni, bi, path)
+    uni2, bi2, v2 = read_bigram_lm(spark, path)
+    assert v2 == uni.count()
+    a = [
+        r.asDict()
+        for r in score_documents(docs, uni, bi).orderBy("doc_id").collect()
+    ]
+    b = [
+        r.asDict()
+        for r in score_documents(docs, uni2, bi2, vocab_size=v2)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    for ra, rb in zip(a, b):
+        for key in (
+            "doc_id", "n_tokens", "n_bigrams", "bigram_hits",
+            "sum_hit_count", "oov_bigrams",
+        ):
+            assert ra[key] == rb[key], key
+        # the float tier's AVG reassociates with partitioning (reloaded
+        # counts partition differently than the in-memory fit) — equal
+        # to ~1 ulp, by design not bit-pinned
+        for key in ("avg_logprob", "ppl"):
+            if ra[key] is None:
+                assert rb[key] is None
+            else:
+                assert rb[key] == pytest.approx(ra[key], rel=1e-12)

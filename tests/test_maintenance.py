@@ -528,9 +528,20 @@ def test_quantizer_in_range_appends_encode_without_refit(spark):
     info = eng.catalog.quantized_codes["qt_vecs"]
     assert info["version"] == 1  # params untouched
     assert info["built_row_count"] == 70
-    # the appended rows are now IN the code table
-    codes = spark.read.parquet(info["path"])
+    # the appended rows are now IN the code table, encoded with the
+    # ORIGINAL params (values, not just counts)
+    from approximate_query_engine_spark.functions.quantization import (
+        read_quantized_codes,
+    )
+
+    codes, quant = read_quantized_codes(spark, info["path"])
     assert codes.count() == 70
+    got = {
+        r.vec_id: r.codes
+        for r in codes.where("vec_id >= 50").collect()
+    }
+    want = {i: quant.encode_py(v) for i, v in extra}
+    assert got == want
 
 
 def test_quantizer_clamp_drift_advises_and_applies_refit(spark):
