@@ -43,6 +43,10 @@ def prepare_corpus(
     min_quality: float | None = None,
     dedup: str | None = "exact",
     boilerplate_min_docs: int | None = None,
+    lm_ref: DataFrame | None = None,
+    lm_max_ppl: float | None = None,
+    lm_max_oov_frac: float | None = None,
+    lm_tables: tuple | None = None,
 ) -> DataFrame:
     """Annotate ``docs`` with filter metrics and ``reject_reason``
     (NULL = kept). Filters whose argument is None are skipped entirely
@@ -54,7 +58,17 @@ def prepare_corpus(
     banner-only document falls to ``too_short`` instead of its banner
     tokens inflating the count. Adds a ``lines_removed`` metric column;
     line frequency is counted over the full input corpus (pre-filter,
-    as it must be — rejected docs still prove a banner recurs)."""
+    as it must be — rejected docs still prove a banner recurs).
+
+    ``lm_ref`` + ``lm_max_ppl`` / ``lm_max_oov_frac`` add the LM stage
+    (round 12, functions/lm.py — CCNet's perplexity filter): documents
+    the reference model finds disfluent reject with reason ``"lm"``,
+    AFTER the cheap heuristics (a too-short or wrong-language doc keeps
+    that reason) and BEFORE dedup, scoring the boilerplate-CLEANED
+    text. ``lm_tables = (unigrams, bigrams, vocab_size)`` — e.g. from
+    lm.read_bigram_lm — skips the fit, the production model (fit on a
+    trusted corpus once, score every batch). Adds ``ppl`` and
+    ``oov_frac`` metric columns."""
     if dedup not in (None, "exact"):
         raise ValueError("dedup must be None or 'exact'")
     if boilerplate_min_docs is not None:
@@ -78,6 +92,40 @@ def prepare_corpus(
         out = out.withColumn("lang_pred", lang_id_expr(text_col))
     if min_quality is not None:
         out = out.withColumn("quality_score", quality_score_expr(text_col))
+    lm_on = lm_max_ppl is not None or lm_max_oov_frac is not None
+    if lm_on:
+        from approximate_query_engine_spark.functions.lm import (
+            fit_bigram_lm,
+            score_documents,
+        )
+
+        if lm_tables is not None:
+            lm_uni, lm_bi, lm_v = lm_tables
+        elif lm_ref is not None:
+            lm_uni, lm_bi = fit_bigram_lm(lm_ref, text_col=text_col)
+            lm_v = None
+        else:
+            raise ValueError(
+                "LM thresholds need a model: pass lm_ref (fit here) or "
+                "lm_tables=(unigrams, bigrams, vocab_size)"
+            )
+        scores = score_documents(
+            out.select(id_col, text_col),
+            lm_uni,
+            lm_bi,
+            text_col=text_col,
+            id_col=id_col,
+            vocab_size=lm_v,
+        ).select(
+            id_col,
+            "ppl",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("oov_bigrams")
+                / F.col("n_bigrams").cast("double"),
+            ).alias("oov_frac"),
+        )
+        out = out.join(scores, id_col)
     if dedup == "exact":
         w = Window.partitionBy(text_col)
         out = out.withColumn(
@@ -95,6 +143,18 @@ def prepare_corpus(
         )
     if min_quality is not None:
         checks.append(("low_quality", F.col("quality_score") < min_quality))
+    if lm_on:
+        # NULL-score docs (< 2 terms) carry no LM evidence either way —
+        # they fall through to the length/dedup checks, never to "lm"
+        conds = []
+        if lm_max_ppl is not None:
+            conds.append(F.col("ppl") > float(lm_max_ppl))
+        if lm_max_oov_frac is not None:
+            conds.append(F.col("oov_frac") > float(lm_max_oov_frac))
+        lm_cond = conds[0]
+        for c in conds[1:]:
+            lm_cond = lm_cond | c
+        checks.append(("lm", F.coalesce(lm_cond, F.lit(False))))
     if dedup == "exact":
         checks.append(("duplicate", F.col("is_duplicate")))
     # first failing check wins: build the CASE from the last reason up
@@ -125,6 +185,8 @@ def clean_corpus(annotated: DataFrame) -> DataFrame:
             "is_duplicate",
             "reject_reason",
             "lines_removed",
+            "ppl",
+            "oov_frac",
         )
         if c in annotated.columns
     ]

@@ -108,3 +108,63 @@ def test_boilerplate_stage_runs_before_filters(spark):
     # without the stage, the banner-only doc passes the token filter
     out2 = prepare_corpus(docs, min_tokens=2, dedup=None)
     assert {x["doc_id"]: x["reject_reason"] for x in out2.collect()}[4] is None
+
+
+def test_prepare_corpus_lm_stage(spark):
+    """The LM stage (round 12): disfluent docs reject with reason 'lm'
+    AFTER the cheap heuristics win their docs, NULL-score docs never
+    fall to 'lm', and the pre-fitted lm_tables path equals the lm_ref
+    fit path."""
+    from approximate_query_engine_spark.functions.lm import fit_bigram_lm
+    from approximate_query_engine_spark.functions.pipeline import (
+        prepare_corpus,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (100 + i, "the quick brown fox jumps over the lazy dog")
+            for i in range(5)
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the dog"),  # fluent
+            (1, "zz yy xx ww vv uu tt ss"),                 # disfluent
+            (2, ""),                                        # too_short
+            (3, "one"),  # 1 term: passes length, no LM evidence
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.reject_reason
+        for r in prepare_corpus(
+            docs,
+            min_tokens=1,
+            dedup=None,
+            lm_ref=ref,
+            lm_max_oov_frac=0.5,
+        ).collect()
+    }
+    assert out[0] is None, out
+    assert out[1] == "lm", out
+    assert out[2] == "too_short", out  # heuristic outranks the LM reason
+    assert out[3] is None, out  # no bigram evidence: never 'lm'
+    # pre-fitted tables path: identical decisions
+    uni, bi = fit_bigram_lm(ref)
+    out2 = {
+        r.doc_id: r.reject_reason
+        for r in prepare_corpus(
+            docs,
+            min_tokens=1,
+            dedup=None,
+            lm_tables=(uni, bi, uni.count()),
+            lm_max_oov_frac=0.5,
+        ).collect()
+    }
+    assert out2 == out
+    # thresholds without a model refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lm_ref"):
+        prepare_corpus(docs, lm_max_oov_frac=0.5)
