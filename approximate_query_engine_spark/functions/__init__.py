@@ -8,12 +8,15 @@ Pandas UDF is genuinely required (multimodal decode), so they scale to
 """
 
 from approximate_query_engine_spark.functions import (
+    boilerplate,
     contamination,
     dedup,
     graph,
+    lm,
     multimodal,
     pipeline,
     quantiles,
+    quantization,
     sampling,
     similarity,
     text,
@@ -28,5 +31,8 @@ __all__ = [
     "sampling",
     "contamination",
     "quantiles",
+    "quantization",
+    "boilerplate",
+    "lm",
     "graph",
 ]
