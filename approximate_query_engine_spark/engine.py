@@ -772,7 +772,10 @@ class AQEngine:
         :meth:`update_boilerplate_index` to clean NEW batches against
         the corpus-so-far without rescanning history; the maintenance
         drift policy rebuilds it when the base table changes out from
-        under it (an unfed mutation — fed appends keep it current)."""
+        under it (an unfed mutation — fed appends keep it current).
+        Contract: one row per document id (the corpus shape) — a
+        multi-row-per-id table would make the doc-count baseline and
+        the table row count disagree and read as perpetual drift."""
         import os
         import time as _time
 

@@ -296,6 +296,16 @@ def read_line_frequency(
     meta = json.loads(row.value)
     try:
         seen = spark.read.parquet(root + "/_seen_ids")
-    except Exception:  # noqa: BLE001 - sidecar optional (pre-guard state)
-        seen = None
+    except Exception as exc:
+        # ONLY a genuinely-missing sidecar (a pre-guard artifact) maps
+        # to None; engine-written artifacts always carry one, so any
+        # other failure (transient FS error, corrupt part file) must
+        # raise — a silently-disabled guard would let a re-fed batch
+        # double-count, and the next update would persist a seen set
+        # truncated to that batch alone
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            seen = None
+        else:
+            raise
     return freq, seen, meta

@@ -155,9 +155,15 @@ def score_documents(
             "k_smooth must be positive: with k = 0 an unseen bigram has "
             "probability 0 and every document containing one scores -inf"
         )
+    # greatest(..., 0) on BOTH sizes: NULL text makes terms_expr NULL
+    # and F.size(NULL) is -1 — a negative token count would poison the
+    # integer evidence tier (and a NULL doc must score as empty, not
+    # vanish or go negative)
     base = docs.select(
         F.col(id_col),
-        F.size(terms_expr(text_col)).alias("n_tokens"),
+        F.greatest(F.size(terms_expr(text_col)), F.lit(0)).alias(
+            "n_tokens"
+        ),
         term_bigrams_expr(text_col).alias("__grams"),
     ).withColumn(
         "n_bigrams", F.greatest(F.size("__grams"), F.lit(0))
@@ -242,7 +248,14 @@ def lm_quality_filter(
     )
     out = scored.where(F.col("n_tokens") >= int(min_tokens))
     if max_ppl is not None:
-        out = out.where(F.col("ppl") <= float(max_ppl))
+        # NULL-evidence docs (no bigrams) carry no LM evidence either
+        # way: KEEP them, the same posture as prepare_corpus's lm stage
+        # and as the max_oov_frac arm below (0 <= frac * 0 is true) —
+        # a bare `ppl <= x` would NULL-filter them for one threshold
+        # and keep them for the other
+        out = out.where(
+            F.col("ppl").isNull() | (F.col("ppl") <= float(max_ppl))
+        )
     if max_oov_frac is not None:
         out = out.where(
             F.col("oov_bigrams")

@@ -103,7 +103,14 @@ def prepare_corpus(
             lm_uni, lm_bi, lm_v = lm_tables
         elif lm_ref is not None:
             lm_uni, lm_bi = fit_bigram_lm(lm_ref, text_col=text_col)
-            lm_v = None
+            # checkpoint the fit: the vocab count below + the scoring
+            # join + every downstream action on the annotated frame
+            # would otherwise each re-run the reference aggregations
+            # (the same lazy-checkpoint rationale as the boilerplate
+            # frequency pass)
+            lm_uni = lm_uni.localCheckpoint(eager=False)
+            lm_bi = lm_bi.localCheckpoint(eager=False)
+            lm_v = lm_uni.count()
         else:
             raise ValueError(
                 "LM thresholds need a model: pass lm_ref (fit here) or "

@@ -174,7 +174,7 @@ class ScalarQuantizer:
         round on the non-negative result, clamp to [0, levels-1]), so a
         centroid encoded here scores identically to corpus codes encoded
         executor-side."""
-        import math
+        from decimal import ROUND_HALF_UP, Decimal
 
         vals = [float(x) for x in vec]
         if len(vals) != len(self.mins):
@@ -185,12 +185,17 @@ class ScalarQuantizer:
         hi = int(self.levels - 1)
         out = []
         for x, m, s in zip(vals, self.mins, self.scales):
-            # Spark's round() is HALF_UP on positives; (x-m)*s >= 0 up
-            # to float error, and negatives clamp to 0 anyway, so
-            # floor(v + 0.5) matches for every value that can survive
-            # the clamp
             v = (x - m) * s
-            out.append(min(max(int(math.floor(v + 0.5)), 0), hi))
+            # Spark's Round is HALF_UP over BigDecimal.valueOf(double),
+            # i.e. the SHORTEST decimal representation — which is what
+            # Python's repr() produces too. floor(v + 0.5) would differ
+            # at boundary doubles (0.49999999999999994 + 0.5 rounds to
+            # 1.0 in binary; its decimal form HALF_UPs to 0), so the
+            # Decimal path is the bit-faithful replica.
+            code = int(
+                Decimal(repr(v)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+            )
+            out.append(min(max(code, 0), hi))
         return out
 
     def decode_expr(self, codes_col: str | Column) -> Column:

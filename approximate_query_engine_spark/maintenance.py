@@ -663,11 +663,28 @@ def run_maintenance(
             codes, quant = read_quantized_codes(engine.spark, info["path"])
             id_col, vec_col = info["id_col"], info["vec_col"]
             base = engine.spark.table(table)
-            if current < built:
+            ghosts = 0
+            if current >= built:
+                # growth can MASK deletions (drop 10 ids, add 20: the
+                # count grows but the code table still serves the 10
+                # deleted vectors as neighbors) — probe for ghost codes
+                # before trusting the append branch
+                ghosts = (
+                    codes.select(F.col(id_col))
+                    .join(base.select(F.col(id_col)), id_col, "left_anti")
+                    .limit(1)
+                    .count()
+                )
+            if current < built or ghosts:
                 mode, frac = "rebuild", None
                 reason = (
-                    f"base table shrank ({current} < built {built}) — "
-                    "the code table serves vectors that no longer "
+                    (
+                        f"base table shrank ({current} < built {built})"
+                        if current < built
+                        else "base table mutated under growth (code "
+                        "table holds ids the base no longer has)"
+                    )
+                    + " — the code table serves vectors that no longer "
                     "exist; rebuilding"
                 )
             else:

@@ -1247,15 +1247,16 @@ def _extract_balanced(text: str, open_pos: int) -> tuple[str, int]:
 def try_parse_overlap(sql: str) -> OverlapQuery | None:
     """Best-effort overlap-idiom parse; None → not an overlap query."""
     upper = sql.upper()
-    # cheap pre-filter: every idiom carries one of these tokens (the
-    # seg-IN reach spelling carries "IN(" / "IN (" — checked as a word
-    # by the real parser; this is only a fast-path screen)
+    # cheap pre-filter: every idiom carries one of these tokens. IN is
+    # screened as a word-boundary regex, not a " IN" substring — a
+    # newline or tab before IN (BI tools wrap clauses freely) must not
+    # silently skip both the routing and the advisor observation
     if (
         "JOIN" not in upper
         and "INTERSECT" not in upper
         and "EXCEPT" not in upper
         and "UNION" not in upper
-        and " IN" not in upper
+        and not re.search(r"\bIN\b", upper)
     ):
         return None
     try:

@@ -200,3 +200,39 @@ def test_line_frequency_sink_round_trips(spark, tmp_path):
         b1.limit(1).select("doc_id", F.col("text")), freq2, min_docs=10
     )
     assert cleaned2.count() == 1
+
+
+def test_read_line_frequency_sidecar_errors_raise(spark, tmp_path):
+    """Round-12 review fix: only a MISSING _seen_ids sidecar (pre-guard
+    artifact) maps to None; a corrupt one must raise — a silently
+    disabled guard would double-count a re-fed batch and truncate the
+    persisted seen-id history."""
+    import pytest as _pytest
+
+    from approximate_query_engine_spark.functions.boilerplate import (
+        line_doc_frequency,
+        read_line_frequency,
+        write_line_frequency,
+    )
+
+    b = spark.createDataFrame(
+        [(1, "a\nb")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "state")
+    write_line_frequency(line_doc_frequency(b), path, meta={})
+    # no sidecar written at all -> None (the documented pre-guard case)
+    _, seen, _ = read_line_frequency(spark, path)
+    assert seen is None
+    # a sidecar that EXISTS but is unreadable must raise, not degrade
+    import os
+
+    os.makedirs(path + "/_seen_ids", exist_ok=True)
+    with open(path + "/_seen_ids/part-corrupt.parquet", "wb") as f:
+        f.write(b"not parquet at all")
+    with _pytest.raises(Exception):
+        freq, seen, _ = read_line_frequency(spark, path)
+        # Spark may defer the failure to the first action
+        if seen is not None:
+            seen.count()
+        else:  # pragma: no cover - degrading to None IS the bug
+            raise AssertionError("corrupt sidecar degraded to None")

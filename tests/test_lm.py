@@ -228,3 +228,33 @@ def test_lm_sink_round_trips(spark, tmp_path):
                 assert rb[key] is None
             else:
                 assert rb[key] == pytest.approx(ra[key], rel=1e-12)
+
+
+def test_lm_null_text_and_null_ppl_postures(spark):
+    """Round-12 review fixes: NULL text scores as the empty document
+    (n_tokens 0, never -1, never vanishes), and max_ppl KEEPS
+    NULL-evidence docs just like max_oov_frac does."""
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(REF)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, None), (2, "solo")],
+        "doc_id long, text string",
+    )
+    uni, bi = fit_bigram_lm(ref)
+    out = {
+        r.doc_id: r.asDict()
+        for r in score_documents(docs, uni, bi).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[1]["n_tokens"] == 0 and out[1]["n_bigrams"] == 0
+    assert out[1]["bigram_hits"] == 0 and out[1]["oov_bigrams"] == 0
+    assert out[1]["avg_logprob"] is None
+    # min_tokens=0 admits the no-evidence docs; max_ppl must keep them
+    kept = {
+        r.doc_id
+        for r in lm_quality_filter(
+            docs, uni, bi, max_ppl=1e9, min_tokens=0
+        ).collect()
+    }
+    assert kept == {0, 1, 2}

@@ -601,3 +601,31 @@ def test_quantizer_shrink_rebuilds_outright(spark):
     info = eng.catalog.quantized_codes["qt_vecs3"]
     assert info["built_row_count"] == 30 and info["version"] == 2
     assert spark.read.parquet(info["path"]).count() == 30
+
+
+def test_quantizer_mixed_mutation_rebuilds_not_appends(spark):
+    """Round-12 review fix: deletions masked by growth (drop ids, add
+    more) must REBUILD — the append branch would leave ghost codes
+    serving deleted vectors forever and then read 'fresh'."""
+    import random
+
+    rng = random.Random(9)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    _vec_view(spark, "qt_vecs4", base)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_qt4_"))
+    eng.build_quantized_codes("qt_vecs4")
+    # drop ids 0..9, add 20 new in-range rows: count GROWS to 60
+    mutated = base[10:] + [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(8)])
+        for i in range(50, 70)
+    ]
+    _vec_view(spark, "qt_vecs4", mutated)
+    rep = eng.maintain(max_drift=0.10)
+    acts = [a for a in rep["refreshed"] if a["kind"] == "quantized_codes"]
+    assert len(acts) == 1 and acts[0]["mode"] == "rebuild", rep
+    info = eng.catalog.quantized_codes["qt_vecs4"]
+    codes = spark.read.parquet(info["path"])
+    assert codes.count() == 60
+    # no ghosts: every code id exists in the mutated base
+    ids = {r.vec_id for r in codes.select("vec_id").collect()}
+    assert ids == {i for i, _ in mutated}

@@ -842,3 +842,21 @@ def test_seg_in_parse_fuzz():
         assert try_parse_overlap(sql + " AND x > 3") is None
 
     _roundtrip()
+
+
+def test_seg_in_parses_across_newlines():
+    """Round-12 review fix: the cheap pre-filter screens IN as a word,
+    not as the ' IN' substring — a newline or tab before IN (BI tools
+    wrap clauses freely) must still reach the parser."""
+    sql = (
+        "SELECT COUNT(DISTINCT user_id) AS oc FROM events\n"
+        "WHERE event_type\nIN ('click', 'view')"
+    )
+    ov = try_parse_overlap(sql)
+    assert ov is not None and ov.idiom == "seg_in", sql
+    tabbed = sql.replace("\nIN", "\tIN")
+    assert try_parse_overlap(tabbed) is not None
+    # ...without opening the gate for identifiers containing 'in'
+    assert try_parse_overlap(
+        "SELECT spending AS oc FROM t WHERE kind = 3"
+    ) is None

@@ -460,3 +460,17 @@ def test_ivf_quantized_plan_shape_is_scale_safe(spark):
     # the probe ranking's centroid frame broadcasts (nested-loop over
     # an 8-row build side is the intended tiny cross)
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+
+
+def test_encode_py_boundary_rounding_matches_spark(spark):
+    """Round-12 review fix: floor(v + 0.5) differs from Spark's
+    BigDecimal HALF_UP at boundary doubles (0.49999999999999994 + 0.5
+    binary-rounds to 1.0; its shortest decimal form HALF_UPs to 0).
+    encode_py must agree with encode_expr bit-for-bit there too."""
+    v = 0.49999999999999994
+    q = ScalarQuantizer(mins=(0.0,), scales=(1.0,), levels=256)
+    df = spark.createDataFrame(
+        [(0, [v])], "vec_id long, embedding array<double>"
+    )
+    spark_code = q.encode(df).collect()[0].codes
+    assert q.encode_py([v]) == spark_code == [0]
