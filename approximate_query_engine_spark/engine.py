@@ -983,6 +983,183 @@ class AQEngine:
         self._prune_artifact_versions(root, keep=path)
         return dict(entry)
 
+    def build_ivf_codes(
+        self,
+        table: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        nlist: int = 16,
+        levels: int = 256,
+        sample_fraction: float | None = None,
+        sample_rows: int = 10_000,
+        seed: int = 42,
+        clamp_threshold: float = 0.005,
+    ) -> dict:
+        """Materialize the PRODUCTION ANN index for ``table`` (round 12
+        — the engine-level home of functions/quantization's quantized
+        IVF composition): train k-means coarse centroids on a bounded
+        sample, fit the scalar quantizer, and write the int8 codes
+        ``partitionBy('centroid_id')`` with params + centroid codes +
+        FLOAT centroids in one sidecar. Registers under the same
+        catalog entry class as :meth:`build_quantized_codes`
+        (``kind='ivf'``), so maintenance runs the same clamp-drift
+        policy — appended in-range rows are ASSIGNED and appended into
+        their buckets; drifted appends advise a re-fit that re-encodes
+        the SAME coarse geometry under the new params (float centroids
+        ride the sidecar). Query with :meth:`knn`."""
+        import os
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from approximate_query_engine_spark.functions.quantization import (
+            ScalarQuantizer,
+            centroid_codes_from_index,
+            clamp_stats,
+            write_ivf_quantized_codes,
+        )
+        from approximate_query_engine_spark.functions.similarity import (
+            IVFIndex,
+        )
+
+        df = self.spark.table(table)
+        q = ScalarQuantizer.fit(
+            df,
+            vec_col=vec_col,
+            levels=levels,
+            sample_fraction=sample_fraction,
+            seed=seed,
+        )
+        prev = self.catalog.quantized_codes.get(table)
+        prev_floats = None
+        if prev and prev.get("kind") == "ivf":
+            # re-build under the SAME coarse geometry (refit changes
+            # the quantizer, not the partitioning — every bucket stays
+            # meaningful and a re-encode never re-shuffles intent)
+            try:
+                from approximate_query_engine_spark.functions.quantization import (  # noqa: E501
+                    read_ivf_quantized_codes,
+                )
+
+                _, _, _, prev_floats = read_ivf_quantized_codes(
+                    self.spark, prev["path"], with_float_centroids=True
+                )
+            except Exception:  # noqa: BLE001 - fall back to retrain
+                prev_floats = None
+        if prev_floats is not None and len(prev_floats) != int(nlist):
+            prev_floats = None  # caller asked for a DIFFERENT geometry
+        if prev_floats is not None:
+            import numpy as _np
+
+            index = IVFIndex(_np.asarray(prev_floats, dtype=float))
+        else:
+            index = IVFIndex.train(
+                df,
+                vec_col=vec_col,
+                nlist=int(nlist),
+                sample_rows=int(sample_rows),
+                seed=seed,
+            )
+        cents = centroid_codes_from_index(index, q)
+        root = os.path.join(self.catalog.workdir, f"quantized_{table}")
+        version = int(prev.get("version", 0)) + 1 if prev else 1
+        path = os.path.join(root, f"v{version}")
+        write_ivf_quantized_codes(
+            df,
+            q,
+            cents,
+            path,
+            id_col=id_col,
+            vec_col=vec_col,
+            float_centroids=index.centroids,
+        )
+        row = (
+            clamp_stats(df, q, vec_col)
+            .agg(
+                F.coalesce(F.sum("clamped"), F.lit(0)).alias("c"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+            )
+            .collect()[0]
+        )
+        frac = float(row["c"]) / float(row["n"]) if row["n"] else 0.0
+        n_rows = self.spark.read.parquet(path).count()
+        entry = {
+            "kind": "ivf",
+            "path": path,
+            "root": root,
+            "version": version,
+            "vec_col": vec_col,
+            "id_col": id_col,
+            "levels": int(levels),
+            "nlist": int(len(index.centroids)),
+            "sample_fraction": sample_fraction,
+            "seed": int(seed),
+            "clamp_threshold": float(clamp_threshold),
+            "built_row_count": int(n_rows),
+            "built_clamp_fraction": frac,
+            "created_at": _time.time(),
+        }
+        self.catalog.quantized_codes[table] = entry
+        self.catalog.upsert_table_stats(table, int(n_rows))
+        self.catalog.save()
+        self._prune_artifact_versions(root, keep=path)
+        return dict(entry)
+
+    def knn(
+        self,
+        table: str,
+        queries,
+        k: int = 10,
+        nprobe: int = 4,
+        shortlist_factor: int = 4,
+        exclude_self: bool = False,
+    ):
+        """Batch kNN over ``table``'s registered ANN index
+        (:meth:`build_ivf_codes`): ``queries`` is a DataFrame of
+        (id_col, vec_col) rows; returns (query_id, neighbor_id, cosine,
+        rank) from the quantized-IVF pipeline — probed-bucket integer
+        shortlist over the PERSISTED partitioned codes (file-listing
+        pruning), exact-float rerank against the base table's vectors.
+        Declines loudly when the index is stale (base row count moved
+        since the build/maintenance last accounted for it) — a stale
+        index can rank deleted vectors or miss new ones; run
+        ``maintain()`` first."""
+        from approximate_query_engine_spark.functions.quantization import (
+            knn_join_ivf_quantized,
+            read_ivf_quantized_codes,
+        )
+
+        info = self.catalog.quantized_codes.get(table)
+        if info is None or info.get("kind") != "ivf":
+            raise ValueError(
+                f"no ANN index registered for {table!r} — build one "
+                "with build_ivf_codes first"
+            )
+        current = self.catalog.get_row_count(table)
+        if current is not None and current != info.get("built_row_count"):
+            raise ValueError(
+                f"ANN index for {table!r} is stale (base rows "
+                f"{current} != indexed {info.get('built_row_count')}) — "
+                "run maintain() to re-encode/rebuild before querying"
+            )
+        assigned, quant, cents = read_ivf_quantized_codes(
+            self.spark, info["path"]
+        )
+        return knn_join_ivf_quantized(
+            queries,
+            self.spark.table(table),
+            quant,
+            cents,
+            k=int(k),
+            nprobe=int(nprobe),
+            shortlist_factor=int(shortlist_factor),
+            left_id=info["id_col"],
+            right_id=info["id_col"],
+            vec_col=info["vec_col"],
+            exclude_self=exclude_self,
+            assigned_codes=assigned,
+        )
+
     def _prune_artifact_versions(self, root: str, keep: str) -> None:
         """Best-effort removal of superseded version directories (the
         catalog pointer has already moved; old versions only cost

@@ -640,6 +640,7 @@ def write_ivf_quantized_codes(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    float_centroids=None,
 ) -> DataFrame:
     """Materialize the quantized IVF corpus the way a 100 TB deployment
     stores it: ``(id, codes)`` Parquet written
@@ -666,6 +667,13 @@ def write_ivf_quantized_codes(
         **quantizer.to_dict(),
         "centroid_codes": [[int(x) for x in cc] for cc in centroid_codes],
     }
+    if float_centroids is not None:
+        # the FLOAT coarse centroids ride along so a later RE-FIT can
+        # re-encode the same coarse geometry under the new params
+        # (re-deriving codes from codes would compound quantization)
+        payload["float_centroids"] = [
+            [float(x) for x in c] for c in float_centroids
+        ]
     (
         spark.createDataFrame([(json.dumps(payload),)], ["value"])
         .coalesce(1)
@@ -676,18 +684,25 @@ def write_ivf_quantized_codes(
 
 
 def read_ivf_quantized_codes(
-    spark, path: str
-) -> tuple[DataFrame, ScalarQuantizer, list[list[int]]]:
+    spark, path: str, with_float_centroids: bool = False
+):
     """The read half of :func:`write_ivf_quantized_codes`:
     ``(assigned_codes, quantizer, centroid_codes)`` as one consistent
-    triple."""
+    triple — plus the float centroids as a fourth element when
+    ``with_float_centroids`` (None if the artifact predates them)."""
     import json
 
     payload = spark.read.text(path.rstrip("/") + "/_quantizer").collect()
     (row,) = [r for r in payload if r.value.strip()]
     d = json.loads(row.value)
     cents = [[int(x) for x in cc] for cc in d.pop("centroid_codes")]
-    return spark.read.parquet(path), ScalarQuantizer.from_dict(d), cents
+    floats = d.pop("float_centroids", None)
+    out = (
+        spark.read.parquet(path),
+        ScalarQuantizer.from_dict(d),
+        cents,
+    )
+    return (*out, floats) if with_float_centroids else out
 
 
 def knn_join_ivf_quantized(

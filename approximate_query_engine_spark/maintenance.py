@@ -657,10 +657,19 @@ def run_maintenance(
 
             from approximate_query_engine_spark.functions.quantization import (
                 clamp_stats,
+                read_ivf_quantized_codes,
                 read_quantized_codes,
             )
 
-            codes, quant = read_quantized_codes(engine.spark, info["path"])
+            is_ivf = info.get("kind") == "ivf"
+            if is_ivf:
+                codes, quant, cents = read_ivf_quantized_codes(
+                    engine.spark, info["path"]
+                )
+            else:
+                codes, quant = read_quantized_codes(
+                    engine.spark, info["path"]
+                )
             id_col, vec_col = info["id_col"], info["vec_col"]
             base = engine.spark.table(table)
             ghosts = 0
@@ -730,21 +739,40 @@ def run_maintenance(
                 report.refreshed.append(action)
                 continue
             if mode == "encode_append":
-                (
-                    appended.select(
-                        F.col(id_col),
-                        quant.encode_expr(vec_col).alias("codes"),
+                if is_ivf:
+                    # new rows are ASSIGNED into their coarse buckets
+                    # and appended partition-wise — probes keep pruning
+                    from approximate_query_engine_spark.functions.quantization import (  # noqa: E501
+                        ivf_assign_quantized,
                     )
-                    .write.mode("append")
-                    .parquet(info["path"])
-                )
+
+                    (
+                        ivf_assign_quantized(
+                            appended,
+                            quant,
+                            cents,
+                            id_col=id_col,
+                            vec_col=vec_col,
+                        )
+                        .write.mode("append")
+                        .partitionBy("centroid_id")
+                        .parquet(info["path"])
+                    )
+                else:
+                    (
+                        appended.select(
+                            F.col(id_col),
+                            quant.encode_expr(vec_col).alias("codes"),
+                        )
+                        .write.mode("append")
+                        .parquet(info["path"])
+                    )
                 info["built_row_count"] = int(current)
                 catalog.save()
             elif mode == "rebuild" or (
                 apply_advice and quantizer_refits < advice_max_apply
             ):
-                engine.build_quantized_codes(
-                    table,
+                common = dict(
                     vec_col=vec_col,
                     id_col=id_col,
                     levels=int(info.get("levels", 256)),
@@ -754,6 +782,14 @@ def run_maintenance(
                         info.get("clamp_threshold", 0.005)
                     ),
                 )
+                if is_ivf:
+                    engine.build_ivf_codes(
+                        table,
+                        nlist=int(info.get("nlist", 16)),
+                        **common,
+                    )
+                else:
+                    engine.build_quantized_codes(table, **common)
                 if mode == "refit":
                     quantizer_refits += 1
             else:

@@ -629,3 +629,87 @@ def test_quantizer_mixed_mutation_rebuilds_not_appends(spark):
     # no ghosts: every code id exists in the mutated base
     ids = {r.vec_id for r in codes.select("vec_id").collect()}
     assert ids == {i for i, _ in mutated}
+
+
+def test_ivf_index_engine_lifecycle(spark):
+    """Round-12 engine-level ANN surface: build_ivf_codes registers the
+    partitioned quantized-IVF index; engine.knn answers from it (and
+    matches exact brute on clustered data); in-range appends are
+    ASSIGNED into their buckets without a refit; a stale index declines
+    loudly until maintenance runs; clamp drift refits under apply_advice
+    REUSING the same coarse geometry."""
+    import random
+
+    from approximate_query_engine_spark.functions.quantization import (
+        read_ivf_quantized_codes,
+        recall_at_k,
+    )
+    from approximate_query_engine_spark.functions.similarity import knn_join
+
+    rng = random.Random(21)
+    def _cluster_rows(lo, hi, spread=0.02, scale=1.0):
+        rows = []
+        for i in range(lo, hi):
+            c = i % 8
+            center = [
+                scale * (1.0 if (c >> b) & 1 else -1.0) for b in range(3)
+            ] + [0.0] * 5
+            rows.append((
+                i,
+                [x + rng.uniform(-spread, spread) for x in center],
+            ))
+        return rows
+
+    base = _cluster_rows(0, 80)
+    _vec_view(spark, "ann_vecs", base)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_ann_"))
+    entry = eng.build_ivf_codes(
+        "ann_vecs", nlist=8, clamp_threshold=0.05, seed=3
+    )
+    assert entry["kind"] == "ivf" and entry["built_row_count"] == 80
+    queries = spark.table("ann_vecs").where("vec_id < 10")
+    out = eng.knn("ann_vecs", queries, k=3, nprobe=3, exclude_self=True)
+    exact = knn_join(
+        queries, spark.table("ann_vecs"), k=3, exclude_self=True
+    )
+    from pyspark.sql import functions as F
+
+    rec = recall_at_k(exact, out).agg(F.avg("recall")).collect()[0][0]
+    assert rec > 0.95, rec
+    # in-range append: assigned + appended, no refit, index fresh again
+    extra = _cluster_rows(80, 100)
+    _vec_view(spark, "ann_vecs", base + extra)
+    # the staleness gate reads CATALOG stats (the same currency every
+    # freshness gate uses) — once the append is recorded, knn declines
+    eng.catalog.upsert_table_stats("ann_vecs", 100)
+    with pytest.raises(ValueError, match="stale"):
+        eng.knn("ann_vecs", queries, k=3)
+    rep = eng.maintain(max_drift=0.10)
+    acts = [a for a in rep["refreshed"] if a["kind"] == "quantized_codes"]
+    assert len(acts) == 1 and acts[0]["mode"] == "encode_append", rep
+    info = eng.catalog.quantized_codes["ann_vecs"]
+    assert info["version"] == 1 and info["built_row_count"] == 100
+    assigned, _, _ = read_ivf_quantized_codes(spark, info["path"])
+    assert assigned.count() == 100
+    assert assigned.where("vec_id >= 80").count() == 20
+    # ...and the appended rows are retrievable through the index
+    q2 = spark.table("ann_vecs").where("vec_id >= 95")
+    out2 = eng.knn("ann_vecs", q2, k=3, nprobe=3, exclude_self=True)
+    assert out2.count() == 15
+    # clamp drift: scaled appends advise a refit; apply reuses geometry
+    drifted = _cluster_rows(100, 120, scale=5.0)
+    _vec_view(spark, "ann_vecs", base + extra + drifted)
+    rep = eng.maintain(max_drift=0.10, apply_advice=True)
+    acts = [a for a in rep["refreshed"] if a["kind"] == "quantized_codes"]
+    assert len(acts) == 1 and acts[0]["mode"] == "refit", rep
+    info = eng.catalog.quantized_codes["ann_vecs"]
+    assert info["version"] == 2 and info["built_row_count"] == 120
+    _, _, _, floats_v2 = read_ivf_quantized_codes(
+        spark, info["path"], with_float_centroids=True
+    )
+    assert floats_v2 is not None and len(floats_v2) == 8
+    # same coarse geometry (refit re-encodes, never re-clusters)
+    assert eng.knn(
+        "ann_vecs", spark.table("ann_vecs").where("vec_id < 5"), k=2,
+        exclude_self=True,
+    ).count() == 10
