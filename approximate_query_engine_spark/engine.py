@@ -927,13 +927,9 @@ class AQEngine:
         (quantization.write_quantized_codes), so any session reloads
         codes + params as one consistent pair."""
         import os
-        import time as _time
-
-        from pyspark.sql import functions as F
 
         from approximate_query_engine_spark.functions.quantization import (
             ScalarQuantizer,
-            clamp_stats,
             write_quantized_codes,
         )
 
@@ -953,6 +949,49 @@ class AQEngine:
         # build-time clamp baseline: ~0 for a full fit, small and
         # EXPECTED for a sample fit (the threshold gates appended-data
         # drift, not the fit's own design clamping)
+        return self._register_quantized_codes(
+            table,
+            df,
+            q,
+            path,
+            root,
+            version,
+            vec_col=vec_col,
+            id_col=id_col,
+            levels=levels,
+            sample_fraction=sample_fraction,
+            seed=seed,
+            clamp_threshold=clamp_threshold,
+        )
+
+    def _register_quantized_codes(
+        self,
+        table: str,
+        df,
+        q,
+        path: str,
+        root: str,
+        version: int,
+        vec_col: str,
+        id_col: str,
+        levels: int,
+        sample_fraction: float | None,
+        seed: int,
+        clamp_threshold: float,
+        extra: dict | None = None,
+    ) -> dict:
+        """Shared registration tail for BOTH code-table kinds (flat and
+        IVF): clamp baseline, row count, catalog entry + stats, version
+        prune. One definition so the drift policy's bookkeeping can
+        never diverge between the two kinds."""
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from approximate_query_engine_spark.functions.quantization import (
+            clamp_stats,
+        )
+
         row = (
             clamp_stats(df, q, vec_col)
             .agg(
@@ -976,6 +1015,7 @@ class AQEngine:
             "built_row_count": int(n_rows),
             "built_clamp_fraction": frac,
             "created_at": _time.time(),
+            **(extra or {}),
         }
         self.catalog.quantized_codes[table] = entry
         self.catalog.upsert_table_stats(table, int(n_rows))
@@ -994,6 +1034,7 @@ class AQEngine:
         sample_rows: int = 10_000,
         seed: int = 42,
         clamp_threshold: float = 0.005,
+        retrain: bool = False,
     ) -> dict:
         """Materialize the PRODUCTION ANN index for ``table`` (round 12
         — the engine-level home of functions/quantization's quantized
@@ -1006,16 +1047,17 @@ class AQEngine:
         policy — appended in-range rows are ASSIGNED and appended into
         their buckets; drifted appends advise a re-fit that re-encodes
         the SAME coarse geometry under the new params (float centroids
-        ride the sidecar). Query with :meth:`knn`."""
+        ride the sidecar — a refit re-scales codes, it never re-shuffles
+        bucket meaning). Geometry reuse requires a previous ivf entry
+        over the SAME vector column at the SAME nlist; pass
+        ``retrain=True`` to force fresh k-means when the data itself has
+        drifted past what a re-encode can absorb. Query with
+        :meth:`knn`."""
         import os
-        import time as _time
-
-        from pyspark.sql import functions as F
 
         from approximate_query_engine_spark.functions.quantization import (
             ScalarQuantizer,
             centroid_codes_from_index,
-            clamp_stats,
             write_ivf_quantized_codes,
         )
         from approximate_query_engine_spark.functions.similarity import (
@@ -1032,10 +1074,15 @@ class AQEngine:
         )
         prev = self.catalog.quantized_codes.get(table)
         prev_floats = None
-        if prev and prev.get("kind") == "ivf":
-            # re-build under the SAME coarse geometry (refit changes
-            # the quantizer, not the partitioning — every bucket stays
-            # meaningful and a re-encode never re-shuffles intent)
+        if (
+            not retrain
+            and prev
+            and prev.get("kind") == "ivf"
+            # centroids trained in a DIFFERENT embedding space (another
+            # vec_col) must never be reused — assignments would be
+            # silently meaningless
+            and prev.get("vec_col") == vec_col
+        ):
             try:
                 from approximate_query_engine_spark.functions.quantization import (  # noqa: E501
                     read_ivf_quantized_codes,
@@ -1073,37 +1120,28 @@ class AQEngine:
             vec_col=vec_col,
             float_centroids=index.centroids,
         )
-        row = (
-            clamp_stats(df, q, vec_col)
-            .agg(
-                F.coalesce(F.sum("clamped"), F.lit(0)).alias("c"),
-                F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
-            )
-            .collect()[0]
+        return self._register_quantized_codes(
+            table,
+            df,
+            q,
+            path,
+            root,
+            version,
+            vec_col=vec_col,
+            id_col=id_col,
+            levels=levels,
+            sample_fraction=sample_fraction,
+            seed=seed,
+            clamp_threshold=clamp_threshold,
+            extra={
+                "kind": "ivf",
+                "nlist": int(len(index.centroids)),
+                # persisted so a maintenance RETRAIN (sidecar predates
+                # float centroids, or geometry forced fresh) keeps the
+                # operator's chosen k-means sample size
+                "sample_rows": int(sample_rows),
+            },
         )
-        frac = float(row["c"]) / float(row["n"]) if row["n"] else 0.0
-        n_rows = self.spark.read.parquet(path).count()
-        entry = {
-            "kind": "ivf",
-            "path": path,
-            "root": root,
-            "version": version,
-            "vec_col": vec_col,
-            "id_col": id_col,
-            "levels": int(levels),
-            "nlist": int(len(index.centroids)),
-            "sample_fraction": sample_fraction,
-            "seed": int(seed),
-            "clamp_threshold": float(clamp_threshold),
-            "built_row_count": int(n_rows),
-            "built_clamp_fraction": frac,
-            "created_at": _time.time(),
-        }
-        self.catalog.quantized_codes[table] = entry
-        self.catalog.upsert_table_stats(table, int(n_rows))
-        self.catalog.save()
-        self._prune_artifact_versions(root, keep=path)
-        return dict(entry)
 
     def knn(
         self,

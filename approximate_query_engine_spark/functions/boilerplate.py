@@ -294,18 +294,19 @@ def read_line_frequency(
     payload = spark.read.text(root + "/_meta").collect()
     (row,) = [r for r in payload if r.value.strip()]
     meta = json.loads(row.value)
-    try:
-        seen = spark.read.parquet(root + "/_seen_ids")
-    except Exception as exc:
-        # ONLY a genuinely-missing sidecar (a pre-guard artifact) maps
-        # to None; engine-written artifacts always carry one, so any
-        # other failure (transient FS error, corrupt part file) must
-        # raise — a silently-disabled guard would let a re-fed batch
-        # double-count, and the next update would persist a seen set
-        # truncated to that batch alone
-        msg = str(exc)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-            seen = None
-        else:
-            raise
+    # ONLY a genuinely-missing sidecar (a pre-guard artifact) maps to
+    # None; engine-written artifacts always carry one, so any read
+    # failure on an EXISTING sidecar (transient FS error, corrupt part
+    # file) must raise — a silently-disabled guard would let a re-fed
+    # batch double-count, and the next update would persist a seen set
+    # truncated to that batch alone. Existence is probed through the
+    # Hadoop FS API (works for any scheme), not by matching exception
+    # message text, which varies by connector and Spark release.
+    seen_path = root + "/_seen_ids"
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(seen_path)
+    fs = hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    seen = spark.read.parquet(seen_path) if fs.exists(hpath) else None
     return freq, seen, meta

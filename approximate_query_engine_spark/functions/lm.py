@@ -233,10 +233,12 @@ def lm_quality_filter(
     vocab_size: int | None = None,
 ) -> DataFrame:
     """The filter stage: keep documents the reference LM finds fluent —
-    ``ppl <= max_ppl`` and/or OOV-occurrence fraction ``<= max_oov_frac``
-    (documents below ``min_tokens`` are dropped: they carry no bigram
-    evidence either way, the same posture as the heuristic quality
-    filter's length floor). Returns the scored survivors."""
+    ``ppl <= max_ppl`` and/or OOV-occurrence fraction ``<= max_oov_frac``.
+    Documents below ``min_tokens`` are dropped (the heuristic length
+    floor); documents AT or above it that carry NO bigram evidence
+    (ppl NULL — fewer than 2 terms) are KEPT by every threshold arm:
+    the LM has nothing against them, the same posture as
+    prepare_corpus's lm stage. Returns the scored survivors."""
     scored = score_documents(
         docs,
         unigrams,

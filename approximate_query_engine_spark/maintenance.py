@@ -650,6 +650,10 @@ def run_maintenance(
             report.unknown.append(label)
             continue
         if current == built:
+            # equal-count mutation (delete N, insert N) is the same
+            # undetectable case as everywhere row counts gate freshness
+            # (rollups, layouts, samples share the contract); the ghost
+            # probe below only runs once the count moves
             report.fresh.append(label)
             continue
         try:
@@ -786,6 +790,7 @@ def run_maintenance(
                     engine.build_ivf_codes(
                         table,
                         nlist=int(info.get("nlist", 16)),
+                        sample_rows=int(info.get("sample_rows", 10_000)),
                         **common,
                     )
                 else:
