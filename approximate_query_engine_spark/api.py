@@ -368,6 +368,133 @@ def create_app(engine: AQEngine, config: Config | None = None):
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500
 
+    @app.post("/ann/build")
+    def ann_build():
+        """Build + register the quantized-IVF ANN index for a table
+        (engine.build_ivf_codes, round 12): coarse k-means centroids,
+        scalar-quantized codes partitioned by centroid, clamp-drift
+        policy under maintenance."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            entry = engine.build_ivf_codes(
+                body["table"],
+                vec_col=body.get("vec_col", "embedding"),
+                id_col=body.get("id_col", "vec_id"),
+                nlist=int(body.get("nlist", 16)),
+                levels=int(body.get("levels", 256)),
+                sample_fraction=(
+                    float(body["sample_fraction"])
+                    if body.get("sample_fraction") is not None
+                    else None
+                ),
+                sample_rows=int(body.get("sample_rows", 10_000)),
+                seed=int(body.get("seed", 42)),
+                clamp_threshold=float(body.get("clamp_threshold", 0.005)),
+                retrain=bool(body.get("retrain", False)),
+            )
+            return jsonify(entry)
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
+    @app.post("/ann/query")
+    def ann_query():
+        """Batch kNN from the registered index (engine.knn): queries
+        come as ``ids`` (vectors pulled from the indexed table) or
+        inline ``vectors`` ([[id, [floats]], ...]). Declines with 409
+        when the index is stale — run maintenance first."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            table = body["table"]
+            info = engine.catalog.quantized_codes.get(table) or {}
+            id_col = info.get("id_col", body.get("id_col", "vec_id"))
+            vec_col = info.get("vec_col", body.get("vec_col", "embedding"))
+            if body.get("ids") is not None:
+                ids = [int(x) for x in body["ids"]]
+                queries = engine.spark.table(table).filter(
+                    f"`{id_col}` IN ({', '.join(str(i) for i in ids)})"
+                )
+            elif body.get("vectors") is not None:
+                queries = engine.spark.createDataFrame(
+                    [(int(i), [float(x) for x in v]) for i, v in body["vectors"]],
+                    f"{id_col} long, {vec_col} array<double>",
+                )
+            else:
+                raise KeyError("ids or vectors")
+            rows = engine.knn(
+                table,
+                queries,
+                k=int(body.get("k", 10)),
+                nprobe=int(body.get("nprobe", 4)),
+                shortlist_factor=int(body.get("shortlist_factor", 4)),
+                exclude_self=bool(body.get("exclude_self", False)),
+            ).collect()
+            return jsonify({"neighbors": [r.asDict() for r in rows]})
+        except KeyError as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except ValueError as e:
+            # staleness decline is the honest 409: the index exists but
+            # no longer accounts for the base table
+            code = 409 if "stale" in str(e) else 400
+            return jsonify({"status": "error", "error": str(e)}), code
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
+    @app.post("/boilerplate/build")
+    def boilerplate_build():
+        """Build + register the persisted line-frequency index
+        (engine.build_boilerplate_index, round 12)."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            return jsonify(
+                engine.build_boilerplate_index(
+                    body["table"],
+                    text_col=body.get("text_col", "text"),
+                    id_col=body.get("id_col", "doc_id"),
+                    min_docs=int(body.get("min_docs", 10)),
+                    min_chars=int(body.get("min_chars", 1)),
+                )
+            )
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
+    @app.post("/boilerplate/update")
+    def boilerplate_update():
+        """Clean a NEW batch (a registered view) against the persisted
+        index and merge its counts (engine.update_boilerplate_index).
+        Re-fed document ids are refused with 409 — additive counts
+        would double-count them."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            cleaned, entry = engine.update_boilerplate_index(
+                body["table"], engine.spark.table(body["batch_view"])
+            )
+            from pyspark.sql import functions as F
+
+            stats = cleaned.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.coalesce(F.sum("lines_removed"), F.lit(0)).alias(
+                    "lines_removed"
+                ),
+            ).collect()[0]
+            return jsonify(
+                {
+                    "cleaned_docs": int(stats["docs"]),
+                    "lines_removed": int(stats["lines_removed"]),
+                    "entry": entry,
+                }
+            )
+        except KeyError as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except ValueError as e:
+            code = 409 if "double-count" in str(e) else 400
+            return jsonify({"status": "error", "error": str(e)}), code
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
     @app.post("/rollups/quantile_bounds")
     def rollups_quantile_bounds():
         """Value bracket implied by KLL's rank guarantee for a window's

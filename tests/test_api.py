@@ -544,3 +544,95 @@ def test_query_overlap_sql_idiom_over_http(client, engine):
     assert shapes and shapes[0]["dims"] == ["o_orderpriority"], shapes
     # clock inferred (orders has exactly one date-typed column)
     assert shapes[0]["time_col"] == "o_orderdate", shapes
+
+
+def test_ann_routes(client, engine):
+    """Round-12 ANN surface over HTTP: build registers the index, query
+    answers by id-list and by inline vectors, staleness declines 409."""
+    import random
+
+    spark = engine.spark
+    rng = random.Random(41)
+    rows = []
+    for i in range(48):
+        c = i % 4
+        center = [2.0 * ((c >> b) & 1) - 1.0 for b in range(2)] + [0.0] * 4
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in center]))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).createOrReplaceTempView("api_vecs")
+    r = client.post(
+        "/ann/build", json={"table": "api_vecs", "nlist": 4, "seed": 2}
+    )
+    assert r.status_code == 200, r.get_json()
+    entry = r.get_json()
+    assert entry["kind"] == "ivf" and entry["built_row_count"] == 48
+    r = client.post(
+        "/ann/query",
+        json={
+            "table": "api_vecs",
+            "ids": [0, 1],
+            "k": 3,
+            "nprobe": 2,
+            "exclude_self": True,
+        },
+    )
+    assert r.status_code == 200, r.get_json()
+    nb = r.get_json()["neighbors"]
+    assert len(nb) == 6
+    assert {n["query_id"] for n in nb} == {0, 1}
+    # inline-vector form: a probe vector near cluster 0's center
+    r = client.post(
+        "/ann/query",
+        json={
+            "table": "api_vecs",
+            "vectors": [[999, [-1.0, -1.0, 0.0, 0.0, 0.0, 0.0]]],
+            "k": 2,
+            "nprobe": 2,
+        },
+    )
+    assert r.status_code == 200, r.get_json()
+    nb = r.get_json()["neighbors"]
+    assert len(nb) == 2 and all(n["query_id"] == 999 for n in nb)
+    # staleness declines 409 until maintenance runs
+    engine.catalog.upsert_table_stats("api_vecs", 49)
+    r = client.post(
+        "/ann/query", json={"table": "api_vecs", "ids": [0], "k": 1}
+    )
+    assert r.status_code == 409, (r.status_code, r.get_json())
+    engine.catalog.upsert_table_stats("api_vecs", 48)  # restore
+
+
+def test_boilerplate_routes(client, engine):
+    """Round-12 boilerplate index over HTTP: build, disjoint update,
+    re-fed batch refused with 409."""
+    spark = engine.spark
+    spark.createDataFrame(
+        [(i, f"Banner Line\nbody {i}") for i in range(30)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("api_docs")
+    r = client.post(
+        "/boilerplate/build", json={"table": "api_docs", "min_docs": 25}
+    )
+    assert r.status_code == 200, r.get_json()
+    assert r.get_json()["built_row_count"] == 30
+    spark.createDataFrame(
+        [(i, f"Banner Line\nnew body {i}") for i in range(100, 110)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("api_docs_b2")
+    r = client.post(
+        "/boilerplate/update",
+        json={"table": "api_docs", "batch_view": "api_docs_b2"},
+    )
+    assert r.status_code == 200, r.get_json()
+    body = r.get_json()
+    # the banner crossed min_docs in batch 1 — stripped from all 10
+    assert body["cleaned_docs"] == 10 and body["lines_removed"] == 10
+    assert body["entry"]["built_row_count"] == 40
+    # re-feeding the same batch is refused: additive counts would
+    # double-count it
+    r = client.post(
+        "/boilerplate/update",
+        json={"table": "api_docs", "batch_view": "api_docs_b2"},
+    )
+    assert r.status_code == 409, (r.status_code, r.get_json())
