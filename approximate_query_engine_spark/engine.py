@@ -1180,9 +1180,26 @@ class AQEngine:
                 f"{current} != indexed {info.get('built_row_count')}) — "
                 "run maintain() to re-encode/rebuild before querying"
             )
-        assigned, quant, cents = read_ivf_quantized_codes(
-            self.spark, info["path"]
-        )
+        # the params/centroids sidecar is a one-row collect — cache it
+        # per version path so repeated lookups pay zero extra jobs (the
+        # versioned-directory contract makes the path itself the cache
+        # key: a refit moves the pointer, never mutates in place). The
+        # assigned frame is re-read each call on purpose: maintenance
+        # APPENDS files under the same path and a lazy re-list picks
+        # them up.
+        cached = getattr(self, "_ann_sidecar_cache", None)
+        if cached is None:
+            cached = self._ann_sidecar_cache = {}
+        if info["path"] in cached:
+            quant, cents = cached[info["path"]]
+            assigned = self.spark.read.parquet(info["path"])
+        else:
+            assigned, quant, cents = read_ivf_quantized_codes(
+                self.spark, info["path"]
+            )
+            cached[info["path"]] = (quant, cents)
+            if len(cached) > 16:  # bounded: a handful of live indexes
+                cached.pop(next(iter(cached)))
         return knn_join_ivf_quantized(
             queries,
             self.spark.table(table),
