@@ -411,9 +411,24 @@ def create_app(engine: AQEngine, config: Config | None = None):
             id_col = info.get("id_col", body.get("id_col", "vec_id"))
             vec_col = info.get("vec_col", body.get("vec_col", "embedding"))
             if body.get("ids") is not None:
-                ids = [int(x) for x in body["ids"]]
-                queries = engine.spark.table(table).filter(
-                    f"`{id_col}` IN ({', '.join(str(i) for i in ids)})"
+                # typed isin filter, NOT an int()-coerced SQL IN-list
+                # splice: id_col is caller-chosen at build time and may
+                # be string-typed — coercion would 400 every non-integer
+                # id, and literal splicing is brittle besides (r12
+                # ADVICE). The list is bounded so the filter stays a
+                # broadcastable in-set predicate, never a giant plan.
+                from pyspark.sql import functions as F
+
+                ids = list(body["ids"])
+                if not ids:
+                    raise ValueError("ids must be a non-empty list")
+                if len(ids) > 10_000:
+                    raise ValueError(
+                        "ids list too large (>10000) — pass vectors or "
+                        "run engine.knn with a query DataFrame instead"
+                    )
+                queries = engine.spark.table(table).where(
+                    F.col(id_col).isin(ids)
                 )
             elif body.get("vectors") is not None:
                 queries = engine.spark.createDataFrame(

@@ -1161,7 +1161,14 @@ class AQEngine:
         Declines loudly when the index is stale (base row count moved
         since the build/maintenance last accounted for it) — a stale
         index can rank deleted vectors or miss new ones; run
-        ``maintain()`` first."""
+        ``maintain()`` first. The gate compares CATALOG row counts
+        (catalog-first, no live COUNT on the query path — SURVEY row
+        37's posture), so it is only as fresh as the last
+        analyze/maintain sweep: an append that never updated the
+        catalog stats is invisible here until maintenance runs. The
+        maintenance quantized-codes arm closes the loop — it refreshes
+        stats, probes for ghost ids on EVERY sweep, and re-encodes or
+        rebuilds as needed (r12 ADVICE)."""
         from approximate_query_engine_spark.functions.quantization import (
             knn_join_ivf_quantized,
             read_ivf_quantized_codes,
@@ -1218,16 +1225,30 @@ class AQEngine:
     def _prune_artifact_versions(self, root: str, keep: str) -> None:
         """Best-effort removal of superseded version directories (the
         catalog pointer has already moved; old versions only cost
-        disk). Never fails the caller."""
-        import os
-        import shutil
+        disk). Never fails the caller.
 
+        Goes through the Hadoop FileSystem API, not os.listdir — the
+        artifacts it prunes are written by Spark writers that are
+        S3/HDFS-safe (write_line_frequency, write_ivf_quantized_codes),
+        so the prune must resolve the same scheme the writes did or
+        superseded versions on a remote workdir would leak silently
+        forever (r12 ADVICE)."""
+        import os
+
+        keep_name = os.path.basename(keep.rstrip("/"))
         try:
-            for d in os.listdir(root):
-                full = os.path.join(root, d)
-                if full != keep.rstrip("/") and d.startswith("v"):
-                    shutil.rmtree(full, ignore_errors=True)
-        except OSError:
+            jvm = self.spark.sparkContext._jvm
+            hroot = jvm.org.apache.hadoop.fs.Path(root)
+            fs = hroot.getFileSystem(
+                self.spark.sparkContext._jsc.hadoopConfiguration()
+            )
+            if not fs.exists(hroot):
+                return
+            for st in fs.listStatus(hroot):
+                name = st.getPath().getName()
+                if name.startswith("v") and name != keep_name:
+                    fs.delete(st.getPath(), True)
+        except Exception:  # noqa: BLE001 - prune never fails the build
             pass
 
     def create_rollup(

@@ -68,7 +68,15 @@ def prepare_corpus(
     text. ``lm_tables = (unigrams, bigrams, vocab_size)`` — e.g. from
     lm.read_bigram_lm — skips the fit, the production model (fit on a
     trusted corpus once, score every batch). Adds ``ppl`` and
-    ``oov_frac`` metric columns."""
+    ``oov_frac`` metric columns.
+
+    Id contract: ``id_col`` should be unique per document (the corpus
+    shape; the dedup keep-rule and the report's per-doc counts assume
+    it). A NULL id never vanishes — the boilerplate and LM stages join
+    their metrics back with LEFT joins, so a NULL-id doc carries NULL
+    stage metrics and falls through to the remaining checks — but
+    DUPLICATE ids multiply rows at those joins (each copy matches the
+    shared metric row), so feed unique ids or dedup first."""
     if dedup not in (None, "exact"):
         raise ValueError("dedup must be None or 'exact'")
     if boilerplate_min_docs is not None:
@@ -79,12 +87,20 @@ def prepare_corpus(
         cleaned = remove_boilerplate(
             docs, text_col, id_col, min_docs=int(boilerplate_min_docs)
         )
+        # LEFT join + coalesce: a NULL-id doc gets no cleaned row back
+        # (NULL keys never equi-match) but must not vanish — it keeps
+        # its original text and a NULL lines_removed (r12 ADVICE: the
+        # chain's 'no document ever vanishes' posture)
         docs = (
             docs.join(
                 cleaned.select(id_col, "clean_text", "lines_removed"),
                 id_col,
+                "left",
             )
-            .withColumn(text_col, F.col("clean_text"))
+            .withColumn(
+                text_col,
+                F.coalesce(F.col("clean_text"), F.col(text_col)),
+            )
             .drop("clean_text")
         )
     out = docs.withColumn("token_count", token_count_expr(text_col))
@@ -132,7 +148,13 @@ def prepare_corpus(
                 / F.col("n_bigrams").cast("double"),
             ).alias("oov_frac"),
         )
-        out = out.join(scores, id_col)
+        # LEFT join (r12 ADVICE): a NULL-id document must survive the LM
+        # stage like it survives every other stage — score_documents
+        # itself preserves every row via a left join, and a NULL score
+        # falls through to the other checks below. An inner join here
+        # would silently vanish NULL-id docs only when LM thresholds
+        # are on.
+        out = out.join(scores, id_col, "left")
     if dedup == "exact":
         w = Window.partitionBy(text_col)
         out = out.withColumn(

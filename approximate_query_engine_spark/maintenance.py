@@ -649,13 +649,6 @@ def run_maintenance(
         if current is None or not built:
             report.unknown.append(label)
             continue
-        if current == built:
-            # equal-count mutation (delete N, insert N) is the same
-            # undetectable case as everywhere row counts gate freshness
-            # (rollups, layouts, samples share the contract); the ghost
-            # probe below only runs once the count moves
-            report.fresh.append(label)
-            continue
         try:
             from pyspark.sql import functions as F
 
@@ -678,24 +671,36 @@ def run_maintenance(
             base = engine.spark.table(table)
             ghosts = 0
             if current >= built:
-                # growth can MASK deletions (drop 10 ids, add 20: the
-                # count grows but the code table still serves the 10
-                # deleted vectors as neighbors) — probe for ghost codes
-                # before trusting the append branch
+                # the ghost probe runs on EVERY sweep, including equal
+                # counts (r12 ADVICE): growth can MASK deletions (drop
+                # 10 ids, add 20) and an equal-count mutation (delete N,
+                # insert N) is invisible to row counts entirely — unlike
+                # rollup staleness this surface returns WRONG NEIGHBORS,
+                # not a coarser approximation, and the anti-join is
+                # cheap at maintenance cadence (limit-1 short-circuit)
                 ghosts = (
                     codes.select(F.col(id_col))
                     .join(base.select(F.col(id_col)), id_col, "left_anti")
                     .limit(1)
                     .count()
                 )
+            if current == built and not ghosts:
+                report.fresh.append(label)
+                continue
             if current < built or ghosts:
                 mode, frac = "rebuild", None
                 reason = (
                     (
                         f"base table shrank ({current} < built {built})"
                         if current < built
-                        else "base table mutated under growth (code "
-                        "table holds ids the base no longer has)"
+                        else "base table mutated (code table holds ids "
+                        "the base no longer has"
+                        + (
+                            " at an unchanged row count"
+                            if current == built
+                            else " under growth"
+                        )
+                        + ")"
                     )
                     + " — the code table serves vectors that no longer "
                     "exist; rebuilding"
