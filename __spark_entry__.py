@@ -2140,6 +2140,100 @@ FROM codes ORDER BY vec_id
 """
 
 
+def _q_lm_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 surface (VERDICT r12 #1): the LM's operational home —
+    the boilerplate/quantizer lifecycle treatment for the bigram model.
+    The model is BUILT on the first reference batch (doc_id < 200) as a
+    versioned catalog artifact (engine.build_lm_index: counts + seen-id
+    sidecar + vocab size under lm_<table>/v1), then EXTENDED with a
+    disjoint second batch (200 <= doc_id < 350) through the additive
+    incremental merge (engine.update_lm_index — never a rescan of batch
+    1; the version-swap directory moves the pointer only after v2 is
+    written). A re-fed batch is refused loudly (the ENFORCED
+    disjoint-batch contract — additive gram counts would silently
+    double-count). Candidates (doc_id >= 350) then score against the
+    PERSISTED v2 model via engine.lm_score. The oracle fits ONE batch
+    model over the union (doc_id < 350) in DuckDB and scores the same
+    candidates — so the driver hash proves the core incremental claim:
+    merge(fit(b1), fit(b2)) ≡ fit(b1 ∪ b2), end-to-end through the
+    persisted artifact. Integer evidence tier only, as q117 (ln is
+    libm-dependent; the float tier is pinned in tests/test_lm.py)."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+
+    _prep(spark, sf_dir)
+    spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 200"
+    ).createOrReplaceTempView("lmx_ref")
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    built = eng.build_lm_index("lmx_ref")
+    assert built["version"] == 1 and built["built_row_count"] == 200, built
+    batch2 = spark.sql(
+        "SELECT doc_id, text FROM documents "
+        "WHERE doc_id >= 200 AND doc_id < 350"
+    )
+    entry = eng.update_lm_index("lmx_ref", batch2)
+    assert entry["version"] == 2 and entry["built_row_count"] == 350, entry
+    # the disjoint-batch guard: re-feeding batch 2 must raise, and the
+    # failed update must not move the pointer
+    try:
+        eng.update_lm_index("lmx_ref", batch2)
+        raise AssertionError("re-fed batch must be refused")
+    except ValueError:
+        pass
+    assert eng.catalog.lm_indexes["lmx_ref"]["version"] == 2
+    cand = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id >= 350"
+    )
+    return eng.lm_score("lmx_ref", cand).select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        "bigram_hits",
+        "sum_hit_count",
+        "oov_bigrams",
+    )
+
+
+#: One batch fit over the UNION of both reference batches (doc_id <
+#: 350) — what the incremental merge must be indistinguishable from.
+_LM_INDEX_ORACLE = """
+WITH ref_toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 350
+), bi AS (
+  SELECT gram, COUNT(*)::BIGINT AS c FROM (
+    SELECT toks[i] || ' ' || toks[i + 1] AS gram
+    FROM ref_toks, UNNEST(range(1, len(toks))) AS r(i)
+  ) GROUP BY gram
+), cand AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE doc_id >= 350
+), occ AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM cand, UNNEST(range(1, len(toks))) AS r(i)
+), sc AS (
+  SELECT o.doc_id, COUNT(b.c)::BIGINT AS bigram_hits,
+         COALESCE(SUM(b.c), 0)::BIGINT AS sum_hit_count
+  FROM occ o LEFT JOIN bi b USING (gram) GROUP BY o.doc_id
+)
+SELECT c.doc_id,
+       CAST(len(c.toks) AS INT) AS n_tokens,
+       CAST(GREATEST(len(c.toks) - 1, 0) AS INT) AS n_bigrams,
+       COALESCE(s.bigram_hits, 0)::BIGINT AS bigram_hits,
+       COALESCE(s.sum_hit_count, 0)::BIGINT AS sum_hit_count,
+       (CAST(GREATEST(len(c.toks) - 1, 0) AS BIGINT)
+        - COALESCE(s.bigram_hits, 0))::BIGINT AS oov_bigrams
+FROM cand c LEFT JOIN sc s USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
 _HIERARCHY_SQL = (
     "SELECT event_type, DATE_TRUNC('WEEK', ts) AS wk, COUNT(*) AS n, "
     "COUNT(value) AS nv, MIN(value) AS mn, MAX(value) AS mx "
@@ -2812,13 +2906,16 @@ ORDER BY pair
 
 
 #: q114 (round 12, VERDICT r11 #2): the UNION arm of the overlap SQL
-#: family — "either segment" reach. Four spellings over the same derived
+#: family — "either segment" reach. Five spellings over the same derived
 #: partial-overlap key as q109 (event_id % 3000): the two-CTE UNION
 #: count, the one-table seg IN (a, b) COUNT(DISTINCT), the WINDOWED
-#: seg_in (p_date-pruned state), and the unsegmented cross-period UNION
-#: ("active either week"). Per-pair values differ by construction, so a
-#: routed answer that returned one segment's cardinality — or another
-#: pair's union — hash-fails.
+#: seg_in (p_date-pruned state), the unsegmented cross-period UNION
+#: ("active either week"), and — round 13, VERDICT r12 #3 — the N-ARY
+#: three-CTE UNION chain, routed as the same ONE theta_union_agg state
+#: scan (UNION is associative and idempotent, so the union of N slices
+#: is the union of every state bucket matching any branch). Per-pair
+#: values differ by construction, so a routed answer that returned one
+#: segment's cardinality — or another pair's union — hash-fails.
 _REACH_SQL_PAIRS = [
     (
         "reach|click|purchase",
@@ -2851,6 +2948,18 @@ _REACH_SQL_PAIRS = [
         "SELECT uid FROM events_rch "
         "WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' "
         "AND ts < TIMESTAMP '2024-01-15 00:00:00') t",
+    ),
+    (
+        "reach3|click|signup|purchase",
+        "WITH ca AS (SELECT DISTINCT uid FROM events_rch "
+        "            WHERE event_type = 'click'), "
+        "cb AS (SELECT DISTINCT uid FROM events_rch "
+        "       WHERE event_type = 'signup'), "
+        "cc AS (SELECT DISTINCT uid FROM events_rch "
+        "       WHERE event_type = 'purchase') "
+        "SELECT COUNT(*) AS reach_cnt FROM "
+        "(SELECT * FROM ca UNION SELECT * FROM cb "
+        "UNION SELECT * FROM cc) t",
     ),
 ]
 
@@ -2925,6 +3034,17 @@ SELECT 'either|w01-08|w08-15' AS pair, cnt::BIGINT AS reach_cnt FROM (
     SELECT DISTINCT uid FROM ov
     WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
       AND ts < TIMESTAMP '2024-01-15 00:00:00'
+  )
+)
+UNION ALL
+SELECT 'reach3|click|signup|purchase' AS pair,
+       cnt::BIGINT AS reach_cnt FROM (
+  SELECT COUNT(*) AS cnt FROM (
+    SELECT DISTINCT uid FROM ov WHERE event_type = 'click'
+    UNION
+    SELECT DISTINCT uid FROM ov WHERE event_type = 'signup'
+    UNION
+    SELECT DISTINCT uid FROM ov WHERE event_type = 'purchase'
   )
 )
 ORDER BY pair
@@ -5000,12 +5120,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #: driver row this round) took q32's slot (MinHash-LSH pairs,
 #: driver-checked r5-r12 — the near-dup family keeps q80 embedding,
 #: q69 exact and q82 media in-window).
+#: Round-13 rotation (VERDICT r12 instructions 1, 5): the NEW round-13
+#: surface q118 (the LM index lifecycle: build → disjoint incremental
+#: merge → guard → score from the persisted v2 artifact ≡ one DuckDB
+#: batch fit over the union, order #1) enters, plus q15 (window
+#: functions) and q44/q45 (scalar string/date functions) ordered back
+#: in by #5 (SURVEY rows 40/43 were parity-only in r12). Retired in
+#: exchange, each multiply driver-checked and family-covered in-window:
+#: q48 (strata analysis — the sampling family keeps q49 allocation,
+#: which is computed FROM the strata-analysis pass, plus q76/q77),
+#: q54 (HLL CI — the persisted sketch read-path family keeps q50 CMS
+#: in-window; HLL distinct state is also exercised by q102's derive
+#: chain), q73 (MIN/MAX + exact-DISTINCT gate — the scan/agg family
+#: keeps q74), and q96 (theta segment overlap — the theta family keeps
+#: q100/q108/q109/q114 in-window, and q109 routes the same
+#: segment-overlap computation through SQL).
 #: Everything NOT in this list still registers, after the window, and
 #: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
     "q90_join_routing",
     "q101_chunking",
-    "q96_theta_overlap",
+    "q118_lm_index",
     "q97_rollup_quantile",
     "q104_layout_advisor",
     "q93_rollup_between",
@@ -5015,7 +5150,7 @@ _CHECK_WINDOW_ORDER = [
     "q92_stream_rollup",
     "q109_overlap_sql_routing",
     "q102_rollup_hierarchy",
-    "q48_strata_analysis",
+    "q15_window_top_order",
     "q110_advisor_repair_loop",
     "q113_quantized_ivf",
     "q103_advisor_loop",
@@ -5033,7 +5168,7 @@ _CHECK_WINDOW_ORDER = [
     "q100_rollup_audience",
     "q69_dedup_keep_best",
     "q70_contamination",
-    "q73_minmax_distinct",
+    "q44_string_funcs",
     "q72_token_budget",
     "q99_rollup_topk",
     "q74_group_sum_having",
@@ -5042,7 +5177,7 @@ _CHECK_WINDOW_ORDER = [
     "q117_lm_quality",
     "q108_theta_advisor_loop",
     "q106_advisor_topk_loop",
-    "q54_hll_ci",
+    "q45_date_funcs",
     "q50_cms_freq",
     "q56_progressive",
     "q77_stratified_rewrite",
@@ -5149,6 +5284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q115_boilerplate_incremental"] = _q_boilerplate_incremental
     out["q116_quantizer_drift"] = _q_quantizer_drift_lifecycle
     out["q117_lm_quality"] = _q_lm_quality
+    out["q118_lm_index"] = _q_lm_index_lifecycle
     return _reorder_check_window(out)
 
 
@@ -5227,5 +5363,6 @@ def oracle_sql() -> dict[str, str]:
     out["q115_boilerplate_incremental"] = _BOILERPLATE_INC_ORACLE
     out["q116_quantizer_drift"] = _QUANTIZER_DRIFT_ORACLE
     out["q117_lm_quality"] = _LM_QUALITY_ORACLE
+    out["q118_lm_index"] = _LM_INDEX_ORACLE
     out["q47_pps_sum"] = _pps_oracle()
     return out

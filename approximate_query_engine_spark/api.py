@@ -510,6 +510,82 @@ def create_app(engine: AQEngine, config: Config | None = None):
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500
 
+    @app.post("/lm/build")
+    def lm_build():
+        """Fit + register the bigram LM on a reference table
+        (engine.build_lm_index, round 13 — the CCNet perplexity-filter
+        model as a versioned catalog artifact)."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            return jsonify(
+                engine.build_lm_index(
+                    body["table"],
+                    text_col=body.get("text_col", "text"),
+                    id_col=body.get("id_col", "doc_id"),
+                )
+            )
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
+    @app.post("/lm/update")
+    def lm_update():
+        """Merge a NEW reference batch's counts into the registered LM
+        (engine.update_lm_index). Re-fed document ids are refused with
+        409 — additive gram counts would double-count them."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            return jsonify(
+                engine.update_lm_index(
+                    body["table"], engine.spark.table(body["batch_view"])
+                )
+            )
+        except KeyError as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except ValueError as e:
+            code = 409 if "double-count" in str(e) else 400
+            return jsonify({"status": "error", "error": str(e)}), code
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
+    @app.post("/lm/score")
+    def lm_score():
+        """Score a candidate view against the registered LM
+        (engine.lm_score): per-document integer evidence + perplexity,
+        optionally threshold-filtered (max_ppl / max_oov_frac /
+        min_tokens). Row payload is bounded by ``limit``."""
+        body = request.get_json(force=True, silent=True) or {}
+        try:
+            scored = engine.lm_score(
+                body["table"],
+                body["docs_view"],
+                id_col=body.get("id_col", "doc_id"),
+                k_smooth=float(body.get("k_smooth", 1.0)),
+                max_ppl=(
+                    float(body["max_ppl"])
+                    if body.get("max_ppl") is not None
+                    else None
+                ),
+                max_oov_frac=(
+                    float(body["max_oov_frac"])
+                    if body.get("max_oov_frac") is not None
+                    else None
+                ),
+                min_tokens=(
+                    int(body["min_tokens"])
+                    if body.get("min_tokens") is not None
+                    else None
+                ),
+            )
+            limit = int(body.get("limit", 100))
+            rows = scored.limit(limit).collect()
+            return jsonify({"scored": [r.asDict() for r in rows]})
+        except (KeyError, ValueError) as e:
+            return jsonify({"status": "error", "error": str(e)}), 400
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
     @app.post("/rollups/quantile_bounds")
     def rollups_quantile_bounds():
         """Value bracket implied by KLL's rank guarantee for a window's

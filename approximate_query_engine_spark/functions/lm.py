@@ -76,26 +76,68 @@ def fit_bigram_lm(
     return unigrams, bigrams
 
 
+def merge_bigram_lm(
+    uni_existing: DataFrame,
+    bi_existing: DataFrame,
+    uni_batch: DataFrame,
+    bi_batch: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Additive merge of two fitted models' count tables → the model
+    that a single :func:`fit_bigram_lm` over the UNION of both corpora
+    would produce (n-gram counts are plain sums, the same additive
+    shape as boilerplate.merge_line_frequency). Correct ONLY when the
+    two sides counted DISJOINT document sets — the incremental
+    contract, ENFORCED at the engine level via the persisted seen-id
+    sidecar (engine.update_lm_index)."""
+    uni = (
+        uni_existing.unionByName(uni_batch)
+        .groupBy("term")
+        .agg(F.sum("c").alias("c"))
+    )
+    bi = (
+        bi_existing.unionByName(bi_batch)
+        .groupBy("gram")
+        .agg(F.sum("c").alias("c"))
+    )
+    return uni, bi
+
+
 def write_bigram_lm(
-    unigrams: DataFrame, bigrams: DataFrame, path: str
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    path: str,
+    seen_ids: DataFrame | None = None,
+    meta: dict | None = None,
 ) -> None:
     """Persist the fitted model as ONE artifact rooted at ``path``: the
     bigram counts as Parquet under ``path``, the unigram counts under
-    ``path/_unigrams``, and the vocabulary size in a ``_meta`` sidecar
-    (scoring needs V in every smoothing denominator — recounting it per
-    batch would pay a scalar aggregate the sidecar makes free). All
-    three ride Spark's writers onto the same filesystem; the underscore
-    prefixes hide the sidecars from the Parquet listing of ``path``."""
+    ``path/_unigrams``, the fitted document ids under ``path/_seen_ids``
+    (the incremental disjoint-batch guard's evidence — optional for a
+    fit-once model), and the vocabulary size + build params in a
+    ``_meta`` sidecar (scoring needs V in every smoothing denominator —
+    recounting it per batch would pay a scalar aggregate the sidecar
+    makes free). Everything rides Spark's writers onto the same
+    filesystem (S3/HDFS included); the underscore prefixes hide the
+    sidecars from the Parquet listing of ``path``.
+
+    This function OVERWRITES ``path`` in place — fine for a standalone
+    fit-once artifact, but a model another session may be lazily
+    reading must go through the engine's versioned-directory lifecycle
+    (engine.build_lm_index / update_lm_index), which always writes a
+    NEW version directory before the catalog pointer moves."""
     import json
 
     spark = unigrams.sparkSession
     bigrams.write.mode("overwrite").parquet(path)
     root = path.rstrip("/")
     unigrams.write.mode("overwrite").parquet(root + "/_unigrams")
+    if seen_ids is not None:
+        seen_ids.write.mode("overwrite").parquet(root + "/_seen_ids")
     v = spark.read.parquet(root + "/_unigrams").count()
     (
         spark.createDataFrame(
-            [(json.dumps({"vocab_size": int(v)}),)], ["value"]
+            [(json.dumps({**(meta or {}), "vocab_size": int(v)}),)],
+            ["value"],
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -107,15 +149,39 @@ def read_bigram_lm(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     """The read half of :func:`write_bigram_lm`:
     ``(unigrams, bigrams, vocab_size)`` as one consistent triple —
     feed ``vocab_size`` straight to :func:`score_documents`."""
+    uni, bi, v, _, _ = read_bigram_lm_state(spark, path)
+    return uni, bi, v
+
+
+def read_bigram_lm_state(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, int, DataFrame | None, dict]:
+    """The full artifact: ``(unigrams, bigrams, vocab_size,
+    seen_ids_or_None, meta)``. Only a genuinely-missing ``_seen_ids``
+    sidecar (a fit-once artifact written without one) maps to None —
+    probed through the Hadoop FS API like boilerplate's
+    read_line_frequency, so a transient read failure on an EXISTING
+    sidecar raises instead of silently disarming the disjoint-batch
+    guard."""
     import json
 
     root = path.rstrip("/")
     payload = spark.read.text(root + "/_meta").collect()
     (row,) = [r for r in payload if r.value.strip()]
+    meta = json.loads(row.value)
+    seen_path = root + "/_seen_ids"
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(seen_path)
+    fs = hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    seen = spark.read.parquet(seen_path) if fs.exists(hpath) else None
     return (
         spark.read.parquet(root + "/_unigrams"),
         spark.read.parquet(path),
-        int(json.loads(row.value)["vocab_size"]),
+        int(meta["vocab_size"]),
+        seen,
+        meta,
     )
 
 

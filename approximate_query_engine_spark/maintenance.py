@@ -248,6 +248,7 @@ def run_maintenance(
         | set(catalog.rollups)
         | set(catalog.boilerplate_indexes)
         | set(catalog.quantized_codes)
+        | set(catalog.lm_indexes)
     )
     if refresh_stats:
         for t in sorted(base_tables):
@@ -620,6 +621,52 @@ def run_maintenance(
             except Exception as exc:  # noqa: BLE001
                 report.errors.append(
                     {"boilerplate_index": table, "error": str(exc)[:200]}
+                )
+                continue
+        report.refreshed.append(action)
+
+    # ---- bigram LM indexes (round 13, VERDICT r12 #1) — the
+    # boilerplate arm's shape: fed batches keep the model current
+    # (update_lm_index sets built_row_count to the reference docs it
+    # accounts for), so drift here means the REFERENCE table changed
+    # without being fed — a full re-fit is the only sound repair for
+    # arbitrary mutation (the additive merge is only defined for
+    # disjoint appends). A stale LM never returns a wrong answer — it
+    # scores against yesterday's reference — but its percentile
+    # thresholds silently shift as the trusted corpus evolves.
+    for table, info in sorted(list(catalog.lm_indexes.items())):
+        report.checked += 1
+        label = f"{table}:lm[v{info.get('version', 1)}]"
+        current = catalog.get_row_count(table)
+        drift = _drift(info.get("built_row_count"), current)
+        if drift is None:
+            report.unknown.append(label)
+            continue
+        if drift <= max_drift:
+            report.fresh.append(label)
+            continue
+        action = {
+            "kind": "lm_index",
+            "table": table,
+            "reason": (
+                f"reference table drifted {drift:.1%} > {max_drift:.0%} "
+                "without being fed through update_lm_index — gram "
+                "counts no longer describe the trusted corpus; refitting"
+            ),
+            "dry_run": dry_run,
+        }
+        if not dry_run:
+            try:
+                new = engine.build_lm_index(
+                    table,
+                    text_col=info["text_col"],
+                    id_col=info["id_col"],
+                )
+                action["new_docs"] = new["built_row_count"]
+                action["vocab_size"] = new["vocab_size"]
+            except Exception as exc:  # noqa: BLE001
+                report.errors.append(
+                    {"lm_index": table, "error": str(exc)[:200]}
                 )
                 continue
         report.refreshed.append(action)

@@ -715,6 +715,17 @@ class OverlapQuery:
     set_op: str = "intersect"  # "intersect" | "except" | "union"
     #: seg_in only: ALL the IN-list literals in written order (N >= 2)
     lits: tuple[str, ...] | None = None
+    #: set-op UNION only, N > 2 branches (round 13, VERDICT r12 #3 —
+    #: the N-ary reach CTE chain): per-branch (literal, lo, hi) in
+    #: written order (literal None when unsegmented, lo/hi None when
+    #: unwindowed). UNION is associative and idempotent, so the routed
+    #: form is ONE theta_union_agg state scan whose WHERE is the OR of
+    #: the branch conditions — never per-branch subqueries.
+    #: INTERSECT/EXCEPT stay binary (EXCEPT is not associative; a
+    #: 3-branch intersect chain is a different, rarer question).
+    branches: tuple[tuple[str | None, str | None, str | None], ...] | None = (
+        None
+    )
 
 
 #: string literal (with '' escape) or numeric literal
@@ -975,8 +986,10 @@ def _parse_overlap_intersect(sql: str) -> OverlapQuery:
                 rest = rest[1:].lstrip()
                 continue
             break
-        if len(ctes) != 2:
-            raise UnsupportedQueryError("overlap CTE idiom has exactly two CTEs")
+        if not 2 <= len(ctes) <= 16:
+            raise UnsupportedQueryError(
+                "overlap CTE idiom takes two to sixteen CTEs"
+            )
     mm = re.match(
         r"^SELECT\s+COUNT\s*\(\s*\*\s*\)\s+AS\s+([A-Za-z_]\w*)\s+FROM\s*\(",
         rest,
@@ -1008,8 +1021,12 @@ def _parse_overlap_intersect(sql: str) -> OverlapQuery:
         raise UnsupportedQueryError("exactly one set operator")
     set_op = present[0].lower()
     sides = _split_top_keyword(inner, present[0])
-    if len(sides) != 2:
+    if len(sides) != 2 and set_op != "union":
+        # EXCEPT is not associative and an N-branch INTERSECT chain is
+        # a different, rarer question — only UNION generalizes N-ary
         raise UnsupportedQueryError("exactly one top-level set operator")
+    if not 2 <= len(sides) <= 16:
+        raise UnsupportedQueryError("union reach takes two to sixteen branches")
     branches = []
     for side in sides:
         side = _strip_outer_parens(side)
@@ -1029,43 +1046,83 @@ def _parse_overlap_intersect(sql: str) -> OverlapQuery:
             branches.append(branch)
         else:
             branches.append(_parse_overlap_branch(side))
-    (ta, ka, sa, la, wa), (tb, kb, sb, lb, wb) = branches
-    if ta.lower() != tb.lower() or ka.lower() != kb.lower():
+    (ta, ka, sa, _la, _wa) = branches[0]
+    for (tb, kb, sb, _lb, _wb) in branches[1:]:
+        if ta.lower() != tb.lower() or ka.lower() != kb.lower():
+            raise UnsupportedQueryError(
+                "all set-op sides must slice the same table and key"
+            )
+        if (sa is None) != (sb is None):
+            raise UnsupportedQueryError(
+                "segment either on all sides or none"
+            )
+        if sa is not None and sa.lower() != sb.lower():
+            raise UnsupportedQueryError(
+                "all sides must filter the SAME segment column"
+            )
+    windows = [_branch_window(w) for (_t, _k, _s, _l, w) in branches]
+    tcols = {c.lower() for c, _lo, _hi in windows if c is not None}
+    if len(tcols) > 1:
         raise UnsupportedQueryError(
-            "both set-op sides must slice the same table and key"
+            "all windows must bound the same time column"
         )
-    if (sa is None) != (sb is None):
-        raise UnsupportedQueryError(
-            "segment either on both sides or neither"
-        )
-    if sa is not None and sa.lower() != sb.lower():
-        raise UnsupportedQueryError(
-            "both sides must filter the SAME segment column"
-        )
-    ca, lo_a, hi_a = _branch_window(wa)
-    cb, lo_b, hi_b = _branch_window(wb)
-    if ca is not None and cb is not None and ca.lower() != cb.lower():
-        raise UnsupportedQueryError(
-            "both windows must bound the same time column"
-        )
-    if sa is None and ca is None and cb is None:
+    tcol = next(
+        (c for c, _lo, _hi in windows if c is not None), None
+    )
+    if sa is None and all(c is None for c, _lo, _hi in windows):
         raise UnsupportedQueryError(
             "unsegmented unwindowed set-op is the identity question"
         )
+    if sa is None and len(branches) > 2 and any(
+        c is None for c, _lo, _hi in windows
+    ):
+        # one unconstrained branch makes the whole union the identity
+        # question; the binary form already enforces this via the
+        # all-None check above, the N-ary form must per-branch
+        raise UnsupportedQueryError(
+            "every unsegmented union branch needs its own window"
+        )
+    if len(branches) == 2:
+        (_, _, _, la, _), (_, _, _, lb, _) = branches
+        (_, lo_a, hi_a), (_, lo_b, hi_b) = windows
+        return OverlapQuery(
+            table=ta,
+            key_col=ka,
+            segment_col=sa,
+            lit_a=la,
+            lit_b=lb,
+            alias=alias,
+            idiom="intersect",
+            time_col=tcol,
+            lo=lo_a,
+            hi=hi_a,
+            lo_b=lo_b,
+            hi_b=hi_b,
+            set_op=set_op,
+        )
+    # N-ary UNION reach (round 13, VERDICT r12 #3): carry every branch's
+    # (literal, lo, hi); the engine routes them as ONE state scan
+    lits = tuple(l for (_t, _k, _s, l, _w) in branches)
+    first_win = next(
+        ((lo, hi) for _c, lo, hi in windows if lo is not None),
+        (None, None),
+    )
     return OverlapQuery(
         table=ta,
         key_col=ka,
         segment_col=sa,
-        lit_a=la,
-        lit_b=lb,
+        lit_a=lits[0],
+        lit_b=lits[1],
         alias=alias,
         idiom="intersect",
-        time_col=ca or cb,
-        lo=lo_a,
-        hi=hi_a,
-        lo_b=lo_b,
-        hi_b=hi_b,
+        time_col=tcol,
+        lo=first_win[0],
+        hi=first_win[1],
         set_op=set_op,
+        branches=tuple(
+            (l, lo, hi)
+            for (_t, _k, _s, l, _w), (_c, lo, hi) in zip(branches, windows)
+        ),
     )
 
 

@@ -205,12 +205,10 @@ def test_check_window_ordering():
         "q60_knn_join": "q112_quantized_knn",  # same join shape + codes
         # round-12 rotation (VERDICT r11 #1/#2/#3/#5): q113/q114/q115
         # (new surfaces) and q49/q50 (ordered back in) moved INTO the
-        # window; these five re-proven-in-r11 slots moved out, each with
-        # an in-window family representative.
-        "q15_window_top_order": "q87_grouped_topk",  # window-rank family
+        # window; these re-proven-in-r11 slots moved out, each with
+        # an in-window family representative. (Round 13 rotated
+        # q15/q44/q45 themselves back IN per VERDICT r12 #5.)
         "q16_setop": "q114_overlap_union",  # set-op family (routed form)
-        "q44_string_funcs": "q66_corpus_prepare",  # string-func-heavy scan
-        "q45_date_funcs": "q102_rollup_hierarchy",  # date-arithmetic family
         "q55_multimodal_decode": "q82_media_dedup",  # media family
         # late round 12: q116 (quantizer drift lifecycle) took q78's
         # slot; the packing family keeps q101 chunking + q72 in-window
@@ -219,6 +217,15 @@ def test_check_window_ordering():
         # operator family) took q32's slot; the near-dup family keeps
         # q69/q80/q82 in-window
         "q32_minhash_pairs": "q80_embedding_neardup",
+        # round-13 rotation (VERDICT r12 #1/#5): q118 (LM index
+        # lifecycle) and q15/q44/q45 (back in) moved INTO the window;
+        # these four multiply-checked slots moved out, each with an
+        # in-window family representative.
+        "q48_strata_analysis": "q49_neyman_alloc",  # allocation IS the
+        # strata-analysis pass's consumer; sampling keeps q76/q77 too
+        "q54_hll_ci": "q50_cms_freq",  # persisted sketch read path
+        "q73_minmax_distinct": "q74_group_sum_having",  # scan/agg family
+        "q96_theta_overlap": "q109_overlap_sql_routing",  # theta family
     }
     for name in names[50:]:
         if name in oracled:

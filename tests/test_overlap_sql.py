@@ -789,6 +789,160 @@ def test_nary_reach_routes_single_state_scan(spark):
     assert r["result"][0]["oc"] == _exact(spark, g)
 
 
+NARY_CTE = (
+    "WITH ca AS (SELECT DISTINCT user_id FROM events "
+    "            WHERE event_type = 'click'), "
+    "cb AS (SELECT DISTINCT user_id FROM events "
+    "       WHERE event_type = 'view'), "
+    "cc AS (SELECT DISTINCT user_id FROM events "
+    "       WHERE event_type = 'purchase') "
+    "SELECT COUNT(*) AS oc FROM "
+    "(SELECT * FROM ca UNION SELECT * FROM cb UNION SELECT * FROM cc) t"
+)
+NARY_INLINE = (
+    "SELECT COUNT(*) AS oc FROM ("
+    "SELECT user_id FROM events WHERE event_type = 'click' "
+    "UNION "
+    "SELECT user_id FROM events WHERE event_type = 'view' "
+    "UNION "
+    "SELECT user_id FROM events WHERE event_type = 'purchase') t"
+)
+
+
+def test_parse_nary_union_cte_chain():
+    """Round 13 (VERDICT r12 #3): the set-op UNION arm is N-ary — a
+    3-branch CTE chain or inline UNION parses with every branch's
+    (literal, window) carried; INTERSECT/EXCEPT stay binary."""
+    for sql in (NARY_CTE, NARY_INLINE):
+        ov = try_parse_overlap(sql)
+        assert ov is not None and ov.set_op == "union", sql
+        assert ov.branches is not None and len(ov.branches) == 3, sql
+        assert [b[0] for b in ov.branches] == [
+            "'click'", "'view'", "'purchase'"
+        ], ov.branches
+    # unsegmented 3-window reach ("active in any of three weeks")
+    def _win(lo, hi):
+        return (
+            f"SELECT user_id FROM events "
+            f"WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'"
+        )
+
+    w3 = (
+        "SELECT COUNT(*) AS oc FROM ("
+        + _win("2024-01-01 00:00:00", "2024-01-08 00:00:00")
+        + " UNION "
+        + _win("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+        + " UNION "
+        + _win("2024-01-15 00:00:00", "2024-01-22 00:00:00")
+        + ") t"
+    )
+    ov = try_parse_overlap(w3)
+    assert ov is not None and ov.segment_col is None
+    assert ov.branches is not None and len(ov.branches) == 3
+    assert all(lo is not None and hi is not None for _l, lo, hi in ov.branches)
+    # near-misses stay unparsed: N-ary INTERSECT/EXCEPT chains (not
+    # associative / a different question), a 3-branch union with one
+    # unconstrained branch (the identity question), mixed time columns
+    for bad in (
+        NARY_INLINE.replace("UNION", "INTERSECT"),
+        NARY_INLINE.replace("UNION", "EXCEPT"),
+        "SELECT COUNT(*) AS oc FROM ("
+        + _win("2024-01-01 00:00:00", "2024-01-08 00:00:00")
+        + " UNION "
+        + _win("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+        + " UNION SELECT user_id FROM events) t",
+        "SELECT COUNT(*) AS oc FROM ("
+        + _win("2024-01-01 00:00:00", "2024-01-08 00:00:00")
+        + " UNION "
+        + _win("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+        + " UNION SELECT user_id FROM events "
+        "WHERE other_ts >= TIMESTAMP '2024-01-15 00:00:00' "
+        "AND other_ts < TIMESTAMP '2024-01-22 00:00:00') t",
+    ):
+        assert try_parse_overlap(bad) is None, bad
+
+
+def test_nary_union_cte_routes_single_state_scan(spark):
+    """The 3-branch CTE chain routes as ONE theta_union_agg state scan
+    (never per-branch subqueries) and matches the exact answer —
+    including with per-branch windows and ghost segments."""
+    e = _engine(spark)
+    e.create_rollup(
+        "events", "ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    e.analyze_table("events", ["user_id"])  # null-proof for set-op idiom
+    for sql in (NARY_CTE, NARY_INLINE):
+        r = e.query(sql, dual_execute=False)
+        assert r["status"] == "ok", r.get("error")
+        assert r["plan"]["type"] == "sketch", (sql, r["plan"])
+        assert "3 branches unioned in ONE state scan" in r["plan"]["reason"]
+        assert r["result"][0]["oc"] == _exact(spark, sql), sql
+    # unsegmented cross-period 3-way reach, p_date-pruned, ghost branch
+    w3 = (
+        "SELECT COUNT(*) AS oc FROM ("
+        "SELECT user_id FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00' "
+        "UNION "
+        "SELECT user_id FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-09 00:00:00' "
+        "UNION "
+        "SELECT user_id FROM events "
+        "WHERE ts >= TIMESTAMP '2030-01-01 00:00:00' "
+        "AND ts < TIMESTAMP '2030-01-08 00:00:00') t"
+    )
+    r = e.query(w3, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert "p_date-pruned" in r["plan"]["reason"], r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, w3)
+    # segmented + per-branch windows: each branch's condition is its
+    # own (seg AND window) conjunction inside the single scan
+    m3 = (
+        "SELECT COUNT(*) AS oc FROM ("
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "AND ts >= TIMESTAMP '2024-01-01 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00' "
+        "UNION "
+        "SELECT user_id FROM events WHERE event_type = 'view' "
+        "AND ts >= TIMESTAMP '2024-01-05 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-09 00:00:00' "
+        "UNION "
+        "SELECT user_id FROM events WHERE event_type = 'purchase') t"
+    )
+    r = e.query(m3, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, m3)
+    # an off-grid branch window declines the WHOLE union to exact
+    off = m3.replace("2024-01-05 00:00:00", "2024-01-05 06:30:00")
+    r = e.query(off, dual_execute=False)
+    assert r["plan"]["type"] == "exact", r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, off)
+
+
+def test_nary_union_cte_needs_null_free_proof(spark):
+    """The N-ary CTE spelling is still the set-op idiom: SQL UNION
+    keeps a NULL key as one distinct row, so a nullable key declines."""
+    spark.sql(
+        "SELECT CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END "
+        "AS user_id, event_type, ts FROM events"
+    ).createOrReplaceTempView("ev_nullkey_nary")
+    e = _engine(spark)
+    e.catalog.upsert_table_stats(
+        "ev_nullkey_nary", spark.table("ev_nullkey_nary").count()
+    )
+    e.create_rollup(
+        "ev_nullkey_nary", "ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    e.analyze_table("ev_nullkey_nary", ["user_id"])
+    sql = NARY_CTE.replace("FROM events", "FROM ev_nullkey_nary")
+    r = e.query(sql, dual_execute=False)
+    assert r["plan"]["type"] == "exact", r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, sql)
+
+
 def test_seg_in_parse_fuzz():
     """Property fuzz for the round-12 reach idiom: generated seg_in
     queries round-trip every component; generated near-misses (wrong
