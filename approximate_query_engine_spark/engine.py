@@ -1242,6 +1242,7 @@ class AQEngine:
         sample_rows: int = 10_000,
         seed: int = 42,
         clamp_threshold: float = 0.005,
+        skew_threshold: float = 8.0,
         retrain: bool = False,
     ) -> dict:
         """Materialize the PRODUCTION ANN index for ``table`` (round 12
@@ -1259,8 +1260,13 @@ class AQEngine:
         bucket meaning). Geometry reuse requires a previous ivf entry
         over the SAME vector column at the SAME nlist; pass
         ``retrain=True`` to force fresh k-means when the data itself has
-        drifted past what a re-encode can absorb. Query with
-        :meth:`knn`."""
+        drifted past what a re-encode can absorb. Maintenance also
+        watches per-bucket POPULATION skew (round 13, VERDICT r12 #4):
+        appends assigned into a drifting corpus pile into few buckets
+        and probe cost creeps with the fat bucket's share — when
+        max/median crosses ``skew_threshold`` a coarse re-train is
+        advised (budget-gated; deferral costs probe time, never
+        correctness). Query with :meth:`knn`."""
         import os
 
         from approximate_query_engine_spark.functions.quantization import (
@@ -1348,6 +1354,11 @@ class AQEngine:
                 # float centroids, or geometry forced fresh) keeps the
                 # operator's chosen k-means sample size
                 "sample_rows": int(sample_rows),
+                # max/median bucket-population ratio past which the
+                # maintenance skew policy advises a coarse re-train
+                # (round 13, VERDICT r12 #4 — probe cost, never
+                # correctness)
+                "skew_threshold": float(skew_threshold),
             },
         )
 

@@ -840,6 +840,36 @@ def knn_join_ivf_quantized(
     )
 
 
+def ivf_bucket_skew(assigned: DataFrame) -> dict:
+    """Per-bucket population skew of an assigned IVF code table
+    (round 13, VERDICT r12 #4 — the probe-cost drift signal): returns
+    ``{"buckets", "max", "median", "ratio"}`` where ``ratio`` =
+    max bucket / median bucket. One count aggregation keyed on the
+    partition column — the result is nlist-bounded, never corpus-sized.
+
+    Why it matters at 100 TB: probes prune at the file listing, so a
+    probed query pays the POPULATION of its nprobe buckets. As appends
+    drift the corpus away from the trained coarse geometry, one bucket
+    silently absorbs most new vectors and every query probing it scans
+    an ever-growing fraction of the corpus — a probe-COST creep, never
+    a correctness issue (assignment to the nearest trained centroid
+    stays sound). The maintenance policy advises a coarse re-train when
+    the ratio crosses the entry's ``skew_threshold``."""
+    import statistics
+
+    rows = assigned.groupBy("centroid_id").count().collect()
+    counts = sorted(int(r["count"]) for r in rows)
+    if not counts:
+        return {"buckets": 0, "max": 0, "median": 0, "ratio": 1.0}
+    med = statistics.median(counts)
+    return {
+        "buckets": len(counts),
+        "max": counts[-1],
+        "median": med,
+        "ratio": float(counts[-1]) / med if med else float("inf"),
+    }
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """Per-query recall of an approximate kNN result against the exact
     one: |approx ∩ exact| / |exact| on (query_id, neighbor_id). Both

@@ -861,6 +861,78 @@ def run_maintenance(
                 {"quantized_codes": table, "error": str(exc)[:200]}
             )
 
+    # ---- IVF bucket-skew policy (round 13, VERDICT r12 #4) — the
+    # clamp policy's sibling for the COARSE geometry. Appends are
+    # assigned into their nearest trained bucket, so a drifting corpus
+    # piles new vectors into few buckets and probe cost creeps silently
+    # (a probed query pays its buckets' POPULATION — the fat bucket
+    # makes every query touching it scan a growing corpus fraction).
+    # Runs AFTER the clamp arm so it measures the state this sweep
+    # actually left behind (appends encoded, rebuilds done). Skew is a
+    # probe-COST trade, never correctness (nearest-trained-centroid
+    # assignment stays sound), so the re-train is ADVISED and only
+    # applied under apply_advice, sharing the refit budget.
+    for table, info in sorted(list(catalog.quantized_codes.items())):
+        if info.get("kind") != "ivf":
+            continue
+        try:
+            from approximate_query_engine_spark.functions.quantization import (  # noqa: E501
+                ivf_bucket_skew,
+            )
+
+            skew = ivf_bucket_skew(engine.spark.read.parquet(info["path"]))
+            threshold = float(info.get("skew_threshold", 8.0))
+            if skew["ratio"] <= threshold:
+                continue  # balanced — the entry already reported above
+            action = {
+                "kind": "ivf_bucket_skew",
+                "table": table,
+                "bucket_skew": skew,
+                "reason": (
+                    f"max/median bucket population {skew['ratio']:.1f}x "
+                    f"> {threshold:.1f}x — appends drifted from the "
+                    "trained coarse geometry; probes over the fat "
+                    "bucket scan a growing corpus fraction. Coarse "
+                    "re-train advised (probe cost, never correctness)"
+                ),
+                "dry_run": dry_run,
+            }
+            if dry_run:
+                report.refreshed.append(action)
+                continue
+            if apply_advice and quantizer_refits < advice_max_apply:
+                engine.build_ivf_codes(
+                    table,
+                    vec_col=info["vec_col"],
+                    id_col=info["id_col"],
+                    nlist=int(info.get("nlist", 16)),
+                    levels=int(info.get("levels", 256)),
+                    sample_fraction=info.get("sample_fraction"),
+                    sample_rows=int(info.get("sample_rows", 10_000)),
+                    seed=int(info.get("seed", 42)),
+                    clamp_threshold=float(
+                        info.get("clamp_threshold", 0.005)
+                    ),
+                    skew_threshold=threshold,
+                    retrain=True,
+                )
+                quantizer_refits += 1
+                new_info = catalog.quantized_codes[table]
+                action["retrained_skew"] = ivf_bucket_skew(
+                    engine.spark.read.parquet(new_info["path"])
+                )
+            else:
+                action["deferred"] = True
+                action["reason"] += (
+                    " (apply_advice off or budget exhausted — deferred; "
+                    "probe cost creeps, answers stay correct)"
+                )
+            report.refreshed.append(action)
+        except Exception as exc:  # noqa: BLE001
+            report.errors.append(
+                {"ivf_bucket_skew": table, "error": str(exc)[:200]}
+            )
+
     if apply_advice and not dry_run:
         try:
             report.rollup_advice_applied = engine.apply_rollup_advice(

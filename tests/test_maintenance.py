@@ -771,3 +771,81 @@ def test_ivf_geometry_reuse_gates(spark):
     # centroids are componentwise positive — emb_a's mix signs
     assert all(all(x > 0 for x in c) for c in f4)
     assert any(any(x < 0 for x in c) for c in f1)
+
+
+def test_ivf_bucket_skew_policy(spark):
+    """Round-13 (VERDICT r12 #4): per-bucket population skew advises a
+    budget-gated coarse re-train. Balanced appends never trip it; a
+    drifted append stream piling into one trained bucket does — the
+    advisory defers without apply_advice (probe COST, never
+    correctness: the index still answers, just slower), and applying
+    it re-trains the coarse geometry so probe cost is restored."""
+    import random
+
+    rng = random.Random(13)
+
+    def _blob(lo, hi, cx, cy, spread):
+        return [
+            (
+                i,
+                [
+                    cx + rng.uniform(-spread, spread),
+                    cy + rng.uniform(-spread, spread),
+                    1.0,
+                ],
+            )
+            for i in range(lo, hi)
+        ]
+
+    # four tight clusters close together + two range sentinels so later
+    # appends stay inside the fitted quantizer range (skew must be
+    # exercised WITHOUT tripping the clamp policy)
+    base = (
+        _blob(0, 25, 1.0, 1.0, 0.2)
+        + _blob(25, 50, 3.0, 1.0, 0.2)
+        + _blob(50, 75, 1.0, 3.0, 0.2)
+        + _blob(75, 100, 3.0, 3.0, 0.2)
+        + [(100, [0.0, 0.0, 1.0]), (101, [10.0, 10.0, 1.0])]
+    )
+    _vec_view(spark, "skew_vecs", base)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_skew_"))
+    eng.build_ivf_codes(
+        "skew_vecs", nlist=4, seed=7, clamp_threshold=0.05,
+        skew_threshold=4.0,
+    )
+    # balanced: no skew advisory
+    rep = eng.maintain(max_drift=0.10)
+    assert [a for a in rep["refreshed"] if a["kind"] == "ivf_bucket_skew"] == []
+    # 300 in-range appends in a NEW wide region: the trained geometry
+    # funnels every one into its single nearest bucket
+    appended = _blob(200, 500, 8.0, 8.0, 1.9)
+    _vec_view(spark, "skew_vecs", base + appended)
+    rep = eng.maintain(max_drift=0.10)
+    clamp_acts = [
+        a for a in rep["refreshed"] if a["kind"] == "quantized_codes"
+    ]
+    assert len(clamp_acts) == 1, rep
+    assert clamp_acts[0]["mode"] == "encode_append", clamp_acts
+    skew_acts = [
+        a for a in rep["refreshed"] if a["kind"] == "ivf_bucket_skew"
+    ]
+    assert len(skew_acts) == 1, rep
+    assert skew_acts[0]["deferred"] is True, skew_acts
+    assert skew_acts[0]["bucket_skew"]["ratio"] > 4.0, skew_acts
+    info = eng.catalog.quantized_codes["skew_vecs"]
+    assert info["version"] == 1  # deferred — nothing rebuilt
+    # apply: coarse re-train splits the new region, skew restored
+    rep = eng.maintain(max_drift=0.10, apply_advice=True)
+    skew_acts = [
+        a for a in rep["refreshed"] if a["kind"] == "ivf_bucket_skew"
+    ]
+    assert len(skew_acts) == 1 and not skew_acts[0].get("deferred"), rep
+    assert skew_acts[0]["retrained_skew"]["ratio"] <= 4.0, skew_acts
+    info = eng.catalog.quantized_codes["skew_vecs"]
+    assert info["version"] == 2, info
+    assert info["built_row_count"] == 402
+    # next sweep: balanced again, no advisory — and the index answers
+    rep = eng.maintain(max_drift=0.10)
+    assert [a for a in rep["refreshed"] if a["kind"] == "ivf_bucket_skew"] == []
+    q = spark.table("skew_vecs").where("vec_id IN (0, 250)")
+    assert eng.knn("skew_vecs", q, k=3, nprobe=2, exclude_self=True).count() == 6
