@@ -15,6 +15,13 @@ Contracts (reference app.py:33-324):
     GET  /sketches[?table=]     → {"sketches": [...]}
     GET  /ml/stats              → learning-loop report
 
+Beyond-reference surfaces (rounds 12-13):
+    POST /ann/build, /ann/query         → quantized-IVF ANN index
+    POST /boilerplate/build, /boilerplate/update → line-frequency index
+    POST /lm/build, /lm/update, /lm/score → bigram LM lifecycle
+    (updates refuse re-fed document ids with 409 — additive counts
+    would double-count them; /ann/query declines 409 when stale)
+
 Run: ``python -m approximate_query_engine_spark.api`` (env:
 AQE_PORT, AQE_DATA_DIR, AQE_WORKDIR). Flask is gated behind an
 import-try so the engine library works without it.

@@ -1441,10 +1441,21 @@ class AQEngine:
             assigned_codes=assigned,
         )
 
-    def _prune_artifact_versions(self, root: str, keep: str) -> None:
+    def _prune_artifact_versions(
+        self, root: str, keep: str, grace: int = 1
+    ) -> None:
         """Best-effort removal of superseded version directories (the
         catalog pointer has already moved; old versions only cost
         disk). Never fails the caller.
+
+        Keeps the pointer's directory PLUS the ``grace`` newest
+        superseded versions (round 13, VERDICT r12 #6): another session
+        that resolved the catalog pointer just before this update may
+        still be lazily scanning the previous version — deleting it mid
+        scan fails that reader for no reason, while one extra version
+        of bounded artifacts (count tables, code tables — never corpus
+        copies) is cheap. Versions older than the grace window are
+        deleted; the next update retires the graced one in turn.
 
         Goes through the Hadoop FileSystem API, not os.listdir — the
         artifacts it prunes are written by Spark writers that are
@@ -1455,6 +1466,13 @@ class AQEngine:
         import os
 
         keep_name = os.path.basename(keep.rstrip("/"))
+
+        def _vnum(name: str) -> int:
+            try:
+                return int(name[1:])
+            except ValueError:
+                return -1
+
         try:
             jvm = self.spark.sparkContext._jvm
             hroot = jvm.org.apache.hadoop.fs.Path(root)
@@ -1463,10 +1481,18 @@ class AQEngine:
             )
             if not fs.exists(hroot):
                 return
-            for st in fs.listStatus(hroot):
-                name = st.getPath().getName()
-                if name.startswith("v") and name != keep_name:
-                    fs.delete(st.getPath(), True)
+            superseded = sorted(
+                (
+                    st.getPath()
+                    for st in fs.listStatus(hroot)
+                    if st.getPath().getName().startswith("v")
+                    and st.getPath().getName() != keep_name
+                ),
+                key=lambda p: _vnum(p.getName()),
+                reverse=True,
+            )
+            for p in superseded[max(int(grace), 0):]:
+                fs.delete(p, True)
         except Exception:  # noqa: BLE001 - prune never fails the build
             pass
 

@@ -228,7 +228,14 @@ def write_quantized_codes(
     paths included — a driver-local ``open()`` would silently write a
     local file beside remote codes); the underscore prefix keeps both
     out of the Parquet reader's file listing. Returns the reloaded codes
-    frame."""
+    frame.
+
+    This function OVERWRITES ``path`` in place — fine for a standalone
+    build-once artifact, but a code table another session may be lazily
+    reading must go through the engine lifecycle
+    (engine.build_quantized_codes / build_ivf_codes), which writes each
+    rebuild to a NEW version directory before the catalog pointer moves
+    and prunes superseded versions behind a one-version grace window."""
     import json
 
     spark = df.sparkSession

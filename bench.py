@@ -2033,6 +2033,29 @@ def main() -> None:
 
     _safe("asof_join", _asof)
 
+    # ---- kNN section isolation (round 13, VERDICT r12 #2) ---------------
+    # r12's knn_brute/knn_quantized walls grew 42-71% round-over-round
+    # with a STABLE canary and unchanged class code — heap litter from
+    # the ~2000 lines of classes above (lazily-freed localCheckpoint
+    # blocks, py4j handles, accumulated broadcast cleanup debt) was the
+    # prime suspect, and the bench could not distinguish that from a
+    # plan regression. Quiesce the JVM (drop dead Python refs, force
+    # both collectors so the ContextCleaner reclaims checkpointed
+    # blocks/broadcasts) and re-probe the canary IMMEDIATELY before the
+    # timed kNN classes: a pre_knn canary at the first/mid level proves
+    # the box is clean going in, so the knn walls are attributable to
+    # the classes themselves (knn_wall_note in the output pins this).
+    import gc as _gc
+
+    _gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)  # let the async ContextCleaner drain
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 - evidence only
+        pass
+    _canary("pre_knn")
+
     # batch k-NN join: brute (exact) vs IVF (pruned) on a 10x-replicated
     # corpus — the same exact-vs-approx axis as the BASELINE classes, for
     # the vector path. Corpus build + index train are untimed setup.
@@ -2151,6 +2174,136 @@ def main() -> None:
         knn_ok = True
     except Exception as exc:  # noqa: BLE001 - setup failure isolation
         bench_errors["knn_setup"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    # probe-cost evidence for the IVF bucket-skew policy (round 13,
+    # VERDICT r12 #4 'done' criterion): 20k appends piled by the OLD
+    # geometry into one bucket (tiny-noise copies of vector 0 — the
+    # realistic 'corpus drifted into a region the trained centroids
+    # treat as one bucket' stream) make every fat-bucket probe score
+    # most of the corpus; the coarse re-train maintenance applies
+    # restores ~nprobe/nlist pruning. cand_cnt (candidates scored per
+    # query) is the scale-free currency — walls at this corpus size sit
+    # on the scheduling floor — but both are recorded. Out of the
+    # headline total, like scale_trend.
+    ivf_skew: dict = {}
+    if knn_ok:
+        try:
+            from approximate_query_engine_spark.functions.quantization import (  # noqa: E501
+                ivf_bucket_skew,
+            )
+
+            # the drift stream: 20k convex mixtures (1-t)·v0 + t·v1 of
+            # two existing corpus vectors, t uniform per row — an ARC of
+            # new DIRECTIONS between two trained ones. Assignment is
+            # cosine-based, so the old geometry funnels the whole arc
+            # into the few buckets nearest its endpoints, while a fresh
+            # k-means subdivides the (directionally wide, 20k-point)
+            # arc across many centroids — measured in a probe run:
+            # skew 19.9x before, 2.9x after retrain. In-range by
+            # construction (convex combos of in-range vectors), so the
+            # clamp policy never fires — this is PURE bucket-population
+            # drift. A zero-variance copy blob would NOT work here:
+            # cosine is scale-invariant and k-means minimizes SSE, not
+            # bucket balance, so it never splits a point mass.
+            v0, v1 = (
+                r["embedding"]
+                for r in emb_big.where("vec_id IN (0, 55)")
+                .orderBy("vec_id")
+                .collect()
+            )
+            drift_sc = (
+                spark.range(20_000)
+                .withColumn("t", F.rand(777))
+                .select(
+                    (F.col("id") + 1_000_000).alias("vec_id"),
+                    F.array(
+                        *[
+                            (F.lit(1.0) - F.col("t")) * F.lit(float(a))
+                            + F.col("t") * F.lit(float(b))
+                            for a, b in zip(v0, v1)
+                        ]
+                    ).alias("embedding"),
+                )
+            )
+            skew_corpus = emb_big.unionByName(drift_sc).localCheckpoint()
+            skew_rows = skew_corpus.count()
+            skewed_asg = ivf_assign_quantized(
+                skew_corpus, sq_quantizer, qivf_cents
+            ).localCheckpoint()
+            fat_q = skew_corpus.where(
+                "vec_id >= 1000000 AND vec_id < 1000020"
+            ).localCheckpoint()
+
+            def _fat_cands(asg, cents):
+                return float(
+                    knn_join_ivf_quantized(
+                        fat_q,
+                        skew_corpus,
+                        sq_quantizer,
+                        cents,
+                        k=10,
+                        nprobe=4,
+                        assigned_codes=asg,
+                        with_candidate_count=True,
+                    )
+                    .agg(F.avg("cand_cnt"))
+                    .collect()[0][0]
+                )
+
+            def _fat_wall(asg, cents):
+                return _time(
+                    lambda: knn_join_ivf_quantized(
+                        fat_q,
+                        skew_corpus,
+                        sq_quantizer,
+                        cents,
+                        k=10,
+                        nprobe=4,
+                        assigned_codes=asg,
+                    ).count(),
+                    reps=2,
+                )
+
+            # the re-train maintenance applies: fresh k-means on the
+            # CURRENT corpus, same nlist, codes re-assigned
+            retrained = IVFIndex.train(skew_corpus, nlist=32, seed=43)
+            ret_cents = centroid_codes_from_index(retrained, sq_quantizer)
+            ret_asg = ivf_assign_quantized(
+                skew_corpus, sq_quantizer, ret_cents
+            ).localCheckpoint()
+            ivf_skew = {
+                "corpus_rows": int(skew_rows),
+                "bucket_skew_before": round(
+                    ivf_bucket_skew(skewed_asg)["ratio"], 2
+                ),
+                "bucket_skew_after_retrain": round(
+                    ivf_bucket_skew(ret_asg)["ratio"], 2
+                ),
+                "fat_probe_cand_before": round(
+                    _fat_cands(skewed_asg, qivf_cents), 1
+                ),
+                "fat_probe_cand_after_retrain": round(
+                    _fat_cands(ret_asg, ret_cents), 1
+                ),
+                "fat_probe_wall_before": round(
+                    _fat_wall(skewed_asg, qivf_cents), 4
+                ),
+                "fat_probe_wall_after_retrain": round(
+                    _fat_wall(ret_asg, ret_cents), 4
+                ),
+                "note": (
+                    "20k drifted appends funneled into one trained "
+                    "bucket; probes there score most of the corpus "
+                    "until the budget-gated coarse re-train "
+                    "(maintenance ivf_bucket_skew policy) restores "
+                    "~nprobe/nlist pruning — probe COST, never "
+                    "correctness"
+                ),
+            }
+            del skewed_asg, ret_asg, skew_corpus, fat_q, drift_sc
+            _gc.collect()
+        except Exception as exc:  # noqa: BLE001 - evidence only
+            bench_errors["ivf_skew"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # join-level AQP: 1% fact sample through the fact-dim join (the
     # single-table classes above never sample a join input; this is the
@@ -3382,8 +3535,19 @@ def main() -> None:
     if machine_canary:
         import statistics as _stats
 
+        # median over the ORIGINAL first/mid/last probes only — pre_knn
+        # (round 13) is a section-local diagnostic; folding it in would
+        # shift the cross-round normalizer the r11/r12 numbers used
         canary_med = round(
-            _stats.median(machine_canary.values()), 4
+            _stats.median(
+                [
+                    v
+                    for k, v in machine_canary.items()
+                    if k in ("first", "mid", "last")
+                ]
+                or list(machine_canary.values())
+            ),
+            4,
         )
     payload = {
         "metric": "headline_queries_total_wall",
@@ -3445,6 +3609,17 @@ def main() -> None:
         # round 11 (VERDICT r10 #2): measured wall-vs-rows slopes for the
         # routed families at three fact sizes — the 100x-scale evidence
         "scale_trend": scale_trend,
+        # round 13 (VERDICT r12 #2): knn walls are timed right after a
+        # JVM quiesce with a dedicated canary probe — compare
+        # machine_canary.pre_knn to first/mid to separate heap-litter
+        # drift (the r12 suspect) from plan drift in the knn classes
+        "knn_wall_note": (
+            "knn_brute/knn_quantized/knn_ivf* timed immediately after "
+            "gc+System.gc quiesce; machine_canary.pre_knn probes the "
+            "box at that instant — knn wall moves the pre_knn canary "
+            "does not share are plan drift, moves it shares are the box"
+        ),
+        "ivf_skew": ivf_skew,
         "ml_stats": ml_block,
         "rel_errors": errors,
         "errors": bench_errors,

@@ -46,7 +46,8 @@ def test_build_registers_versioned_artifact(spark, eng):
 def test_incremental_merge_equals_batch_fit(spark, eng):
     """The q118 claim at unit scale: build on batch 1, update with a
     DISJOINT batch 2 → count tables identical to one fit over the
-    union, version advanced, old version pruned."""
+    union, version advanced, superseded versions pruned behind a
+    one-version grace window."""
     import os
 
     from approximate_query_engine_spark.functions.lm import (
@@ -58,8 +59,14 @@ def test_incremental_merge_equals_batch_fit(spark, eng):
     e1 = eng.build_lm_index("lm_ref2")
     e2 = eng.update_lm_index("lm_ref2", _docs(spark, 20, 35, "beta"))
     assert e2["version"] == 2 and e2["built_row_count"] == 35
-    # superseded v1 directory pruned after the pointer moved
+    # v1 survives ONE update (the grace window: a concurrent reader of
+    # the just-superseded version finishes its scan) and is retired by
+    # the next — superseded versions never accumulate past the grace
+    assert os.path.exists(e1["path"])
+    e3 = eng.update_lm_index("lm_ref2", _docs(spark, 35, 40, "gamma"))
+    assert e3["version"] == 3
     assert not os.path.exists(e1["path"])
+    assert os.path.exists(e2["path"])
     uni_m, bi_m, v_m = read_bigram_lm(spark, e2["path"])
     union = _docs(spark, 0, 20, "alpha").unionByName(
         _docs(spark, 20, 35, "beta")

@@ -137,3 +137,57 @@ def test_ann_query_ids_string_typed(spark):
         "/ann/query", json={"table": "sid_vecs", "ids": [], "k": 1}
     )
     assert r.status_code == 400, (r.status_code, r.get_json())
+
+
+# ---------------------------------------------------------------- 4
+def test_version_grace_window_keeps_concurrent_readers_alive(spark):
+    """Round-13 (VERDICT r12 #6): every versioned artifact family prunes
+    superseded versions behind a ONE-VERSION grace window — a session
+    that resolved the catalog pointer just before an update can still
+    collect its lazily-read previous version; only the next update
+    retires it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from approximate_query_engine_spark.functions.boilerplate import (
+        read_line_frequency,
+    )
+    from approximate_query_engine_spark.functions.quantization import (
+        read_quantized_codes,
+    )
+
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_grace_"))
+
+    # --- boilerplate family ---
+    spark.createDataFrame(
+        [(i, f"Banner\nbody {i}") for i in range(20)],
+        "doc_id int, text string",
+    ).createOrReplaceTempView("grace_docs")
+    b1 = eng.build_boilerplate_index("grace_docs", min_docs=5)
+    freq_v1, _, _ = read_line_frequency(spark, b1["path"])  # lazy v1 reader
+    batch = spark.createDataFrame(
+        [(100 + i, f"Banner\nnew {i}") for i in range(5)],
+        "doc_id int, text string",
+    )
+    _, b2 = eng.update_boilerplate_index("grace_docs", batch)
+    assert b2["version"] == 2
+    # the v1 reader still completes (grace), and v1 is still on disk
+    assert freq_v1.count() > 0
+    assert os.path.exists(b1["path"]) and os.path.exists(b2["path"])
+
+    # --- quantized-codes family ---
+    rows = [(i, [float(i % 5), 1.0]) for i in range(30)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).createOrReplaceTempView("grace_vecs")
+    q1 = eng.build_quantized_codes("grace_vecs")
+    codes_v1, _ = read_quantized_codes(spark, q1["path"])
+    q2 = eng.build_quantized_codes("grace_vecs")  # rebuild → v2
+    assert q2["version"] == 2
+    assert codes_v1.count() == 30  # v1 reader survives the rebuild
+    assert os.path.exists(q1["path"])
+    q3 = eng.build_quantized_codes("grace_vecs")  # v3 retires v1
+    assert q3["version"] == 3
+    assert not os.path.exists(q1["path"])
+    assert os.path.exists(q2["path"])
