@@ -1978,6 +1978,156 @@ ORDER BY r.query_id, r.rank
 """
 
 
+#: q119 semantic-dedup threshold: natural pairs in the synthetic
+#: embeddings top out at cosine ~0.51, planted perturbed copies sit at
+#: ~0.9999 — 0.9 cleanly separates them.
+_SDD_THRESHOLD = 0.9
+#: the derived corpus: embeddings ∪ perturbed copies of vec_id < 60
+#: (alternating ±1% per-dim scale — changes DIRECTION, so cosine < 1
+#: but ≈ 0.9999; a pure rescale would be cosine-invariant and prove
+#: nothing). Both engines compute the same doubles.
+_SDD_CORPUS_SPARK = (
+    "SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL "
+    "SELECT vec_id + 100000 AS vec_id, "
+    "transform(embedding, (x, i) -> x * (1.0D + 0.01D * "
+    "CASE WHEN i % 2 = 0 THEN 1.0D ELSE -1.0D END)) AS embedding "
+    "FROM embeddings WHERE vec_id < 60"
+)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 surface: SemDedup-style semantic near-duplicate pairs
+    through the bucketed inverted file (functions/quantization.
+    ivf_semantic_dup_pairs — the embedding-space sibling of the
+    minhash/simhash near-dup family, riding the SAME coarse buckets the
+    ANN path probes). Candidate pairs generate ONLY within buckets
+    (Σ B²/2, never N²/2 — the SemDedup pruning) and the verdict is
+    exact float cosine over the base vectors. The oracle replays the
+    whole chain — derived corpus, per-dim fit, codes, seeded-centroid
+    assignment, same-bucket pair generation, the canonical-fold cosine
+    — and ``cand_cnt`` (the pair's bucket candidate count) sits under
+    the hash, so an implementation that quietly compared all pairs
+    (cand_cnt = C(|corpus|, 2)) hash-fails even though the threshold
+    would hide it in the pair list. Centroids are the q113
+    data-independent seeded codes so SQL can replay them; the
+    production path (trained k-means through engine.semantic_dedup)
+    has its recall pinned in tests/test_quantization.py."""
+    from approximate_query_engine_spark.functions.quantization import (
+        ScalarQuantizer,
+        ivf_assign_quantized,
+        ivf_semantic_dup_pairs,
+    )
+
+    _prep(spark, sf_dir)
+    vecs = spark.sql(_SDD_CORPUS_SPARK)
+    q = ScalarQuantizer.fit(vecs)
+    cents = _qivf_centroids()
+    assigned = ivf_assign_quantized(vecs, q, cents)
+    return ivf_semantic_dup_pairs(
+        vecs,
+        q,
+        cents,
+        threshold=_SDD_THRESHOLD,
+        assigned_codes=assigned,
+        with_candidate_count=True,
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    """DuckDB replay of q119: derived corpus, q113's fit/codes/
+    assignment CTEs, same-bucket candidate pairs with per-bucket
+    counts, exact cosine via the probe-verified sequential fold in
+    cosine_expr's pinned ``dot / (norm_a * norm_b)`` form."""
+    cents = _qivf_centroids()
+    values = ", ".join(
+        f"({cid}, [{','.join(str(int(x)) for x in cc)}]::BIGINT[])"
+        for cid, cc in enumerate(cents)
+    )
+
+    def dot(x, y):
+        return _duck_dot(x, y, _EMB_DIM)
+
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(0, len(embedding)), i ->
+           embedding[i + 1]::DOUBLE * (1.0 + 0.01 *
+             CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END))
+  FROM embeddings WHERE vec_id < 60
+), dims AS (
+  SELECT UNNEST(range(0, len(embedding))) AS d, embedding FROM corpus
+), stats AS (
+  SELECT d, MIN(embedding[d + 1]) AS mn, MAX(embedding[d + 1]) AS mx
+  FROM dims GROUP BY d
+), params AS (
+  SELECT list(mn ORDER BY d) AS mins,
+         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END
+              ORDER BY d) AS scales
+  FROM stats
+), codes AS (
+  SELECT vec_id,
+         list_transform(range(0, len(embedding)), i ->
+           LEAST(GREATEST(
+             CAST(round((embedding[i + 1] - mins[i + 1])
+                        * scales[i + 1]) AS INT), 0), 255)) AS c
+  FROM corpus, params
+), rn AS (
+  SELECT vec_id, c,
+         sqrt(CAST(list_sum(list_transform(c, x ->
+           CAST(x AS BIGINT) * x)) AS DOUBLE)) AS n
+  FROM codes
+), cents AS (
+  SELECT * FROM (VALUES {values}) AS t(cid, cc)
+), cstats AS (
+  SELECT cid, cc,
+         sqrt(CAST(list_sum(list_transform(cc, x -> x * x)) AS DOUBLE))
+           AS cn
+  FROM cents
+), ccos AS (
+  SELECT r.vec_id, k.cid,
+         CASE WHEN r.n > 0 AND k.cn > 0
+              THEN (CAST(list_sum(list_transform(range(0, {_EMB_DIM}),
+                     i -> CAST(r.c[i + 1] AS BIGINT) * k.cc[i + 1]))
+                     AS DOUBLE) / r.n) / k.cn
+              ELSE 0.0 END AS cos
+  FROM rn r CROSS JOIN cstats k
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+    FROM ccos) WHERE rk = 1
+), cand AS (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+), cnt AS (
+  SELECT cid, COUNT(*) AS cand_cnt FROM cand GROUP BY cid
+)
+SELECT c.id_a, c.id_b,
+       CASE WHEN sqrt({dot('a.embedding', 'a.embedding')}) > 0
+             AND sqrt({dot('b.embedding', 'b.embedding')}) > 0
+            THEN {dot('a.embedding', 'b.embedding')}
+                 / (sqrt({dot('a.embedding', 'a.embedding')})
+                    * sqrt({dot('b.embedding', 'b.embedding')}))
+            ELSE 0.0 END AS cosine,
+       t.cand_cnt
+FROM cand c
+JOIN corpus a ON a.vec_id = c.id_a
+JOIN corpus b ON b.vec_id = c.id_b
+JOIN cnt t USING (cid)
+WHERE CASE WHEN sqrt({dot('a.embedding', 'a.embedding')}) > 0
+            AND sqrt({dot('b.embedding', 'b.embedding')}) > 0
+           THEN {dot('a.embedding', 'b.embedding')}
+                / (sqrt({dot('a.embedding', 'a.embedding')})
+                   * sqrt({dot('b.embedding', 'b.embedding')}))
+           ELSE 0.0 END >= {_SDD_THRESHOLD}
+ORDER BY c.id_a, c.id_b
+"""
+
+
 def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 surface: n-gram LM quality scoring (functions/lm.py —
     the CCNet/RefinedWeb perplexity-filter stage at bigram granularity).
@@ -5135,6 +5285,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: keeps q74), and q96 (theta segment overlap — the theta family keeps
 #: q100/q108/q109/q114 in-window, and q109 routes the same
 #: segment-overlap computation through SQL).
+#: Late round 13: q119 (SemDedup-style semantic near-dup pairs through
+#: the bucketed inverted file — cand_cnt under the hash proves the
+#: same-bucket pruning; a NEW operator surface, so it must hold a
+#: driver row this round) took q79's slot (n-gram Jaccard pairs,
+#: driver-checked r5-r12 — the contamination/n-gram family keeps q70
+#: in-window, and the near-dup family keeps q69/q80/q82 plus gains
+#: q119 itself).
 #: Everything NOT in this list still registers, after the window, and
 #: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
@@ -5182,7 +5339,7 @@ _CHECK_WINDOW_ORDER = [
     "q56_progressive",
     "q77_stratified_rewrite",
     "q116_quantizer_drift",
-    "q79_ngram_jaccard",
+    "q119_semantic_dedup",
     "q80_embedding_neardup",
     "q81_quantile_aqp",
     "q82_media_dedup",
@@ -5285,6 +5442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q116_quantizer_drift"] = _q_quantizer_drift_lifecycle
     out["q117_lm_quality"] = _q_lm_quality
     out["q118_lm_index"] = _q_lm_index_lifecycle
+    out["q119_semantic_dedup"] = _q_semantic_dedup
     return _reorder_check_window(out)
 
 
@@ -5364,5 +5522,6 @@ def oracle_sql() -> dict[str, str]:
     out["q116_quantizer_drift"] = _QUANTIZER_DRIFT_ORACLE
     out["q117_lm_quality"] = _LM_QUALITY_ORACLE
     out["q118_lm_index"] = _LM_INDEX_ORACLE
+    out["q119_semantic_dedup"] = _semantic_dedup_oracle()
     out["q47_pps_sum"] = _pps_oracle()
     return out

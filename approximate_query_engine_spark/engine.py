@@ -1441,6 +1441,60 @@ class AQEngine:
             assigned_codes=assigned,
         )
 
+    def semantic_dedup(
+        self,
+        table: str,
+        threshold: float = 0.95,
+        return_pairs: bool = False,
+    ):
+        """Semantic (embedding-cosine) near-duplicate detection over
+        ``table`` through its registered ANN index (round 13 — the
+        SemDedup stage riding the same persisted inverted file
+        :meth:`knn` probes): candidate pairs generate ONLY within
+        coarse buckets of the partitioned assigned table, the verdict
+        is exact float cosine against the base vectors. Returns the
+        marked frame (``is_semantic_duplicate``, keep-earliest) or the
+        raw pairs under ``return_pairs``. The same staleness gate as
+        knn: a code table that no longer accounts for the base rows
+        could both miss new duplicates and flag ghosts, so it declines
+        loudly — run ``maintain()`` first. Sizing note: pair cost is
+        Σ_buckets B²/2, so build the index with ``nlist`` large enough
+        that the expected bucket is small (SemDedup uses ~100k clusters
+        at web scale); the maintenance bucket-skew policy keeps that
+        assumption honest as the corpus drifts."""
+        from approximate_query_engine_spark.functions.quantization import (
+            ivf_semantic_dedup,
+            ivf_semantic_dup_pairs,
+            read_ivf_quantized_codes,
+        )
+
+        info = self.catalog.quantized_codes.get(table)
+        if info is None or info.get("kind") != "ivf":
+            raise ValueError(
+                f"no ANN index registered for {table!r} — build one "
+                "with build_ivf_codes first"
+            )
+        current = self.catalog.get_row_count(table)
+        if current is not None and current != info.get("built_row_count"):
+            raise ValueError(
+                f"ANN index for {table!r} is stale (base rows "
+                f"{current} != indexed {info.get('built_row_count')}) — "
+                "run maintain() to re-encode/rebuild before deduping"
+            )
+        assigned, quant, cents = read_ivf_quantized_codes(
+            self.spark, info["path"]
+        )
+        fn = ivf_semantic_dup_pairs if return_pairs else ivf_semantic_dedup
+        return fn(
+            self.spark.table(table),
+            quant,
+            cents,
+            threshold=float(threshold),
+            id_col=info["id_col"],
+            vec_col=info["vec_col"],
+            assigned_codes=assigned,
+        )
+
     def _prune_artifact_versions(
         self, root: str, keep: str, grace: int = 1
     ) -> None:

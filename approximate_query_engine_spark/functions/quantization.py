@@ -847,6 +847,115 @@ def knn_join_ivf_quantized(
     )
 
 
+def ivf_semantic_dup_pairs(
+    df: DataFrame,
+    quantizer: ScalarQuantizer,
+    centroid_codes,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned_codes: DataFrame | None = None,
+    with_candidate_count: bool = False,
+) -> DataFrame:
+    """SemDedup-style semantic near-duplicate PAIRS over an embedding
+    column (Abbas et al. 2023, public — 'SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication'): bucket the
+    corpus by coarse centroid (the same inverted file the ANN path
+    probes), generate candidate pairs ONLY within buckets, and keep
+    pairs whose EXACT float cosine clears ``threshold``. Returns
+    ``(id_a, id_b, cosine)`` with ``id_a < id_b`` (+ ``cand_cnt`` — the
+    pair's bucket candidate-pair count — under ``with_candidate_count``,
+    so an oracle can prove the bucketing really pruned: an all-pairs
+    scan would inflate it to |corpus| choose 2).
+
+    Why this scales where all-pairs cannot: candidate pairs cost
+    Σ_buckets B·(B−1)/2, not N²/2 — at 100 TB size ``nlist`` so the
+    expected bucket holds ~√(pair_budget) rows (SemDedup uses ~100k
+    clusters for web corpora), and the pair join is an equi-join on
+    centroid_id over the PERSISTED partitioned assigned table, so each
+    bucket's pairs materialize partition-local, nothing corpus-sized
+    broadcasts. Cross-bucket near-dups are missed by construction —
+    the SemDedup trade: recall against the brute-force pair set is
+    pinned in tests, and near-identical vectors (cosine → 1) land in
+    the same cosine-assigned bucket except exactly at a Voronoi
+    boundary. The dedup DECISION is exact float cosine over the base
+    vectors (codes only bucket; no quantization error in the verdict),
+    computed as ``dot / (norm_a * norm_b)`` (dedup.cosine_expr's pinned
+    form) so a SQL oracle replays it bit-for-bit."""
+    from approximate_query_engine_spark.functions.dedup import cosine_expr
+
+    if assigned_codes is None:
+        assigned_codes = ivf_assign_quantized(
+            df, quantizer, centroid_codes, id_col=id_col, vec_col=vec_col
+        )
+    a = assigned_codes.select(
+        F.col(id_col).alias("id_a"), "centroid_id"
+    )
+    b = assigned_codes.select(
+        F.col(id_col).alias("id_b"), "centroid_id"
+    )
+    cand = a.join(b, "centroid_id").where(F.col("id_a") < F.col("id_b"))
+    if with_candidate_count:
+        per_bucket = cand.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("cand_cnt")
+        )
+        cand = cand.join(per_bucket, "centroid_id")
+    va = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_expr("__va", "__vb"))
+        .where(F.col("cosine") >= float(threshold))
+    )
+    cols = ["id_a", "id_b", "cosine"] + (
+        ["cand_cnt"] if with_candidate_count else []
+    )
+    return out.select(*cols)
+
+
+def ivf_semantic_dedup(
+    df: DataFrame,
+    quantizer: ScalarQuantizer,
+    centroid_codes,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned_codes: DataFrame | None = None,
+) -> DataFrame:
+    """The marking form of :func:`ivf_semantic_dup_pairs`: every input
+    row back with ``is_semantic_duplicate`` — True when the row has ANY
+    above-threshold partner with a SMALLER id (keep-earliest, the same
+    deterministic keep rule as the exact/minhash dedup family). No row
+    ever vanishes; filter on the flag to drop duplicates."""
+    pairs = ivf_semantic_dup_pairs(
+        df,
+        quantizer,
+        centroid_codes,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        assigned_codes=assigned_codes,
+    )
+    dups = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        df.join(dups, id_col, "left")
+        .withColumn(
+            "is_semantic_duplicate",
+            F.coalesce(F.col("__dup"), F.lit(False)),
+        )
+        .drop("__dup")
+    )
+
+
 def ivf_bucket_skew(assigned: DataFrame) -> dict:
     """Per-bucket population skew of an assigned IVF code table
     (round 13, VERDICT r12 #4 — the probe-cost drift signal): returns

@@ -474,3 +474,112 @@ def test_encode_py_boundary_rounding_matches_spark(spark):
     )
     spark_code = q.encode(df).collect()[0].codes
     assert q.encode_py([v]) == spark_code == [0]
+
+
+def test_ivf_semantic_dedup_pairs_and_marking(spark):
+    """Round-13 SemDedup surface: planted near-dup copies are found as
+    same-bucket pairs with EXACT cosine above the threshold (recall vs
+    brute-force all-pairs pinned), natural pairs stay below it, the
+    marking form keeps the earliest copy and never drops a row, and
+    cand_cnt proves the bucketing pruned the pair space."""
+    import random
+
+    from approximate_query_engine_spark.functions.dedup import cosine_expr
+    from approximate_query_engine_spark.functions.quantization import (
+        ScalarQuantizer,
+        centroid_codes_from_index,
+        ivf_assign_quantized,
+        ivf_semantic_dedup,
+        ivf_semantic_dup_pairs,
+    )
+    from approximate_query_engine_spark.functions.similarity import IVFIndex
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(80):
+        c = i % 8
+        center = [2.0 * ((c >> b) & 1) - 1.0 for b in range(3)] + [0.5] * 3
+        # noise wide enough that NATURAL same-cluster pairs stay below
+        # the 0.999 threshold (they sit ~0.99) — only the planted
+        # 0.002-perturbation copies (cosine ~0.999998) clear it, so the
+        # truth set is exactly the planted pairs and recall is honest
+        rows.append((i, [x + rng.uniform(-0.15, 0.15) for x in center]))
+    # planted copies of ids 0..19 with a tiny DIRECTION change
+    for i in range(20):
+        rows.append(
+            (1000 + i, [x * (1.0 + 0.002 * ((j % 2) * 2 - 1))
+                        for j, x in enumerate(rows[i][1])])
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = ScalarQuantizer.fit(df)
+    idx = IVFIndex.train(df, nlist=8, seed=5)
+    cents = centroid_codes_from_index(idx, q)
+    assigned = ivf_assign_quantized(df, q, cents)
+    pairs = ivf_semantic_dup_pairs(
+        df, q, cents, threshold=0.999, assigned_codes=assigned,
+        with_candidate_count=True,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # brute-force truth: EVERY pair with exact cosine >= threshold
+    va = df.selectExpr("vec_id AS ia", "embedding AS ea")
+    vb = df.selectExpr("vec_id AS ib", "embedding AS eb")
+    truth = {
+        (r["ia"], r["ib"])
+        for r in va.crossJoin(vb)
+        .where("ia < ib")
+        .withColumn("cos", cosine_expr("ea", "eb"))
+        .where("cos >= 0.999")
+        .collect()
+    }
+    assert all((i, 1000 + i) in truth for i in range(3))  # planted
+    # recall vs brute force — same-bucket pruning finds the planted
+    # copies (near-identical directions co-assign); pin >= 90%
+    assert got <= truth
+    assert len(got) >= 0.9 * len(truth), (len(got), len(truth))
+    # pruning proof: no bucket's candidate count reaches all-pairs
+    n = df.count()
+    assert all(r["cand_cnt"] < n * (n - 1) / 2 for r in pairs)
+    # marking form: larger ids flagged, no row vanishes
+    marked = ivf_semantic_dedup(
+        df, q, cents, threshold=0.999, assigned_codes=assigned
+    )
+    assert marked.count() == n
+    flagged = {
+        r["vec_id"]
+        for r in marked.where("is_semantic_duplicate").collect()
+    }
+    assert flagged == {b for _a, b in got}
+
+
+def test_engine_semantic_dedup_lifecycle(spark):
+    """engine.semantic_dedup rides the registered ANN index: finds the
+    planted pair from the persisted assigned table, declines loudly on
+    a stale index, pairs form returns the raw pairs."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from approximate_query_engine_spark import AQEngine
+
+    rows = [
+        (i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)
+    ]
+    rows.append((99, [x * 1.0000001 for x in rows[0][1]]))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).createOrReplaceTempView("sem_vecs")
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_sem_"))
+    eng.build_ivf_codes("sem_vecs", nlist=4, seed=9)
+    pairs = eng.semantic_dedup(
+        "sem_vecs", threshold=0.999, return_pairs=True
+    ).collect()
+    assert (0, 99) in {(r["id_a"], r["id_b"]) for r in pairs}
+    marked = eng.semantic_dedup("sem_vecs", threshold=0.999)
+    dup = {r["vec_id"] for r in marked.where("is_semantic_duplicate").collect()}
+    assert 99 in dup and 0 not in dup
+    # staleness declines until maintenance accounts for the change
+    eng.catalog.upsert_table_stats("sem_vecs", 999)
+    with _pytest.raises(ValueError, match="stale"):
+        eng.semantic_dedup("sem_vecs")
