@@ -998,6 +998,69 @@ def test_seg_in_parse_fuzz():
     _roundtrip()
 
 
+def test_nary_union_parse_fuzz():
+    """Property fuzz for the round-13 N-ary set-op UNION arm: generated
+    K-branch inline chains (2 <= K <= 6) round-trip table/key/segment
+    and every branch literal in written order; the same chains under
+    INTERSECT/EXCEPT (K > 2), UNION ALL, or a mixed key never parse.
+    Pure parser work — no Spark session."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ident = st.from_regex(
+        r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True
+    ).filter(
+        lambda s: s.upper() not in {
+            "IN", "AND", "OR", "NOT", "SELECT", "FROM", "WHERE", "AS",
+            "COUNT", "DISTINCT", "JOIN", "ON", "UNION", "INTERSECT",
+            "EXCEPT", "ALL", "BY", "GROUP",
+        }
+    )
+    lit = st.one_of(
+        st.integers(-999, 999).map(str),
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            min_size=1, max_size=6,
+        ).map(lambda t: f"'{t}'"),
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        key=ident, seg=ident, tbl=ident, alias=ident,
+        lits=st.lists(lit, min_size=2, max_size=6),
+    )
+    def _roundtrip(key, seg, tbl, alias, lits):
+        if len({key.lower(), seg.lower(), tbl.lower()}) < 3:
+            return
+        inner = " UNION ".join(
+            f"SELECT {key} FROM {tbl} WHERE {seg} = {l}" for l in lits
+        )
+        sql = f"SELECT COUNT(*) AS {alias} FROM ({inner}) t"
+        ov = try_parse_overlap(sql)
+        assert ov is not None, sql
+        assert (ov.table, ov.key_col, ov.segment_col) == (tbl, key, seg)
+        assert ov.alias == alias and ov.set_op == "union"
+        if len(lits) == 2:
+            assert ov.branches is None  # binary stays the r12 shape
+            assert (ov.lit_a, ov.lit_b) == (lits[0], lits[1])
+        else:
+            assert ov.branches is not None
+            assert [b[0] for b in ov.branches] == lits
+            assert all(lo is None and hi is None for _l, lo, hi in ov.branches)
+        # near-misses: non-associative ops stay binary; bag semantics
+        # and an unsegmented unwindowed branch never parse
+        if len(lits) > 2:
+            for op in ("INTERSECT", "EXCEPT"):
+                assert try_parse_overlap(sql.replace("UNION", op)) is None
+        assert try_parse_overlap(sql.replace("UNION", "UNION ALL")) is None
+        assert try_parse_overlap(
+            f"SELECT COUNT(*) AS {alias} FROM ({inner} "
+            f"UNION SELECT {key} FROM {tbl}) t"
+        ) is None
+
+    _roundtrip()
+
+
 def test_seg_in_parses_across_newlines():
     """Round-12 review fix: the cheap pre-filter screens IN as a word,
     not as the ' IN' substring — a newline or tab before IN (BI tools
