@@ -583,3 +583,31 @@ def test_engine_semantic_dedup_lifecycle(spark):
     eng.catalog.upsert_table_stats("sem_vecs", 999)
     with _pytest.raises(ValueError, match="stale"):
         eng.semantic_dedup("sem_vecs")
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """The pair generation must be an EQUI-join on centroid_id — never
+    a cartesian/broadcast-nested-loop over the corpus (the all-pairs
+    shape SemDedup exists to avoid). Plan-text evidence, the same check
+    class as the contamination gram-join test."""
+    from approximate_query_engine_spark.functions.quantization import (
+        ScalarQuantizer,
+        ivf_assign_quantized,
+        ivf_semantic_dup_pairs,
+    )
+
+    rows = [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = ScalarQuantizer.fit(df)
+    cents = [[10, 10, 200], [200, 10, 10], [10, 200, 10], [120, 120, 120]]
+    assigned = ivf_assign_quantized(df, q, cents)
+    pairs = ivf_semantic_dup_pairs(
+        df, q, cents, threshold=0.99, assigned_codes=assigned
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the join key is the bucket, so the pair space is bucket-local
+    assert "centroid_id" in plan
