@@ -1390,42 +1390,11 @@ class AQEngine:
         rebuilds as needed (r12 ADVICE)."""
         from approximate_query_engine_spark.functions.quantization import (
             knn_join_ivf_quantized,
-            read_ivf_quantized_codes,
         )
 
-        info = self.catalog.quantized_codes.get(table)
-        if info is None or info.get("kind") != "ivf":
-            raise ValueError(
-                f"no ANN index registered for {table!r} — build one "
-                "with build_ivf_codes first"
-            )
-        current = self.catalog.get_row_count(table)
-        if current is not None and current != info.get("built_row_count"):
-            raise ValueError(
-                f"ANN index for {table!r} is stale (base rows "
-                f"{current} != indexed {info.get('built_row_count')}) — "
-                "run maintain() to re-encode/rebuild before querying"
-            )
-        # the params/centroids sidecar is a one-row collect — cache it
-        # per version path so repeated lookups pay zero extra jobs (the
-        # versioned-directory contract makes the path itself the cache
-        # key: a refit moves the pointer, never mutates in place). The
-        # assigned frame is re-read each call on purpose: maintenance
-        # APPENDS files under the same path and a lazy re-list picks
-        # them up.
-        cached = getattr(self, "_ann_sidecar_cache", None)
-        if cached is None:
-            cached = self._ann_sidecar_cache = {}
-        if info["path"] in cached:
-            quant, cents = cached[info["path"]]
-            assigned = self.spark.read.parquet(info["path"])
-        else:
-            assigned, quant, cents = read_ivf_quantized_codes(
-                self.spark, info["path"]
-            )
-            cached[info["path"]] = (quant, cents)
-            if len(cached) > 16:  # bounded: a handful of live indexes
-                cached.pop(next(iter(cached)))
+        info, assigned, quant, cents = self._ann_index_frames(
+            table, "querying"
+        )
         return knn_join_ivf_quantized(
             queries,
             self.spark.table(table),
@@ -1465,6 +1434,36 @@ class AQEngine:
         from approximate_query_engine_spark.functions.quantization import (
             ivf_semantic_dedup,
             ivf_semantic_dup_pairs,
+        )
+
+        info, assigned, quant, cents = self._ann_index_frames(
+            table, "deduping"
+        )
+        fn = ivf_semantic_dup_pairs if return_pairs else ivf_semantic_dedup
+        return fn(
+            self.spark.table(table),
+            quant,
+            cents,
+            threshold=float(threshold),
+            id_col=info["id_col"],
+            vec_col=info["vec_col"],
+            assigned_codes=assigned,
+        )
+
+    def _ann_index_frames(self, table: str, verb: str):
+        """Shared index fetch for the ANN consumers (:meth:`knn`,
+        :meth:`semantic_dedup`): registered-entry lookup, the catalog
+        staleness gate, and the per-version sidecar cache — ONE
+        definition so the gates can never diverge between consumers.
+
+        The params/centroids sidecar is a one-row collect — cached per
+        version path so repeated lookups pay zero extra jobs (the
+        versioned-directory contract makes the path itself the cache
+        key: a refit moves the pointer, never mutates in place). The
+        assigned frame is re-read each call on purpose: maintenance
+        APPENDS files under the same path and a lazy re-list picks
+        them up."""
+        from approximate_query_engine_spark.functions.quantization import (
             read_ivf_quantized_codes,
         )
 
@@ -1479,21 +1478,22 @@ class AQEngine:
             raise ValueError(
                 f"ANN index for {table!r} is stale (base rows "
                 f"{current} != indexed {info.get('built_row_count')}) — "
-                "run maintain() to re-encode/rebuild before deduping"
+                f"run maintain() to re-encode/rebuild before {verb}"
             )
-        assigned, quant, cents = read_ivf_quantized_codes(
-            self.spark, info["path"]
-        )
-        fn = ivf_semantic_dup_pairs if return_pairs else ivf_semantic_dedup
-        return fn(
-            self.spark.table(table),
-            quant,
-            cents,
-            threshold=float(threshold),
-            id_col=info["id_col"],
-            vec_col=info["vec_col"],
-            assigned_codes=assigned,
-        )
+        cached = getattr(self, "_ann_sidecar_cache", None)
+        if cached is None:
+            cached = self._ann_sidecar_cache = {}
+        if info["path"] in cached:
+            quant, cents = cached[info["path"]]
+            assigned = self.spark.read.parquet(info["path"])
+        else:
+            assigned, quant, cents = read_ivf_quantized_codes(
+                self.spark, info["path"]
+            )
+            cached[info["path"]] = (quant, cents)
+            if len(cached) > 16:  # bounded: a handful of live indexes
+                cached.pop(next(iter(cached)))
+        return info, assigned, quant, cents
 
     def _prune_artifact_versions(
         self, root: str, keep: str, grace: int = 1
