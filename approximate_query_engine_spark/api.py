@@ -397,6 +397,7 @@ def create_app(engine: AQEngine, config: Config | None = None):
                 sample_rows=int(body.get("sample_rows", 10_000)),
                 seed=int(body.get("seed", 42)),
                 clamp_threshold=float(body.get("clamp_threshold", 0.005)),
+                skew_threshold=float(body.get("skew_threshold", 8.0)),
                 retrain=bool(body.get("retrain", False)),
             )
             return jsonify(entry)

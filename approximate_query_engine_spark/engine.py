@@ -956,16 +956,16 @@ class AQEngine:
         created_at: float,
     ) -> dict:
         """Shared registration tail for build and update: re-read the
-        PERSISTED sidecars (vocab size, counted doc ids) so the catalog
-        entry describes what is actually on disk, move the pointer,
-        prune superseded versions."""
-        import json
+        PERSISTED sidecars (vocab size, counted doc ids) through the
+        artifact's own reader so the catalog entry describes what is
+        actually on disk (one sidecar-format parser, not two), move the
+        pointer, prune superseded versions."""
+        from approximate_query_engine_spark.functions.lm import (
+            read_bigram_lm_state,
+        )
 
-        root_p = path.rstrip("/")
-        payload = self.spark.read.text(root_p + "/_meta").collect()
-        (row,) = [r for r in payload if r.value.strip()]
-        vocab = int(json.loads(row.value)["vocab_size"])
-        n_docs = self.spark.read.parquet(root_p + "/_seen_ids").count()
+        _, _, vocab, seen, _ = read_bigram_lm_state(self.spark, path)
+        n_docs = seen.count() if seen is not None else 0
         entry = {
             **meta,
             "path": path,
@@ -990,7 +990,17 @@ class AQEngine:
         catalog pointer moves, and the old version is pruned. The
         disjoint-batch contract is ENFORCED: a batch re-feeding ids
         already in the persisted seen set would silently double-count
-        every gram of those documents, so the guard raises instead."""
+        every gram of those documents, so the guard raises instead
+        (NULL-id documents are refused outright — the guard tracks by
+        id and cannot protect what has none).
+
+        Reference-table contract (shared with the boilerplate index):
+        the batch must ALSO be appended to ``table`` — the table is the
+        source of truth the maintenance drift policy refits from, so
+        counts fed here but absent from the table would be LOST on the
+        next drift-triggered refit (the drift measure itself flags the
+        mismatch: built_row_count counts fed docs, the catalog counts
+        table rows)."""
         import os
         import time as _time
 
@@ -1013,6 +1023,22 @@ class AQEngine:
             self.spark, info["path"]
         )
         id_col, text_col = info["id_col"], info["text_col"]
+        # a NULL id can never satisfy the disjoint contract: the semi
+        # join below never matches NULL keys, so a re-fed NULL-id doc
+        # would slip past the guard and its grams would double-count
+        # silently (the fit aggregations never look at ids). Unlike the
+        # boilerplate index — whose countDistinct(id) already ignores
+        # NULL-id rows — the LM counts every document's grams, so the
+        # guard must refuse what it cannot track (round-13 review).
+        if (
+            batch.where(F.col(id_col).isNull()).limit(1).count()
+        ):
+            raise ValueError(
+                "update_lm_index: batch contains NULL document ids — "
+                "the disjoint-batch guard tracks documents by id and "
+                "cannot prevent a NULL-id document from double-counting "
+                "on a re-feed. Assign ids before feeding."
+            )
         if seen is not None:
             dup = (
                 batch.select(F.col(id_col))
@@ -1264,7 +1290,7 @@ class AQEngine:
         watches per-bucket POPULATION skew (round 13, VERDICT r12 #4):
         appends assigned into a drifting corpus pile into few buckets
         and probe cost creeps with the fat bucket's share — when
-        max/median crosses ``skew_threshold`` a coarse re-train is
+        max/mean crosses ``skew_threshold`` a coarse re-train is
         advised (budget-gated; deferral costs probe time, never
         correctness). Query with :meth:`knn`."""
         import os
@@ -1354,7 +1380,8 @@ class AQEngine:
                 # float centroids, or geometry forced fresh) keeps the
                 # operator's chosen k-means sample size
                 "sample_rows": int(sample_rows),
-                # max/median bucket-population ratio past which the
+                # max/mean bucket-population ratio (probe-cost inflation
+                # vs a balanced file) past which the
                 # maintenance skew policy advises a coarse re-train
                 # (round 13, VERDICT r12 #4 — probe cost, never
                 # correctness)
@@ -3567,12 +3594,22 @@ class AQEngine:
             # closing the SQL side of the q108 loop). Windowed shapes
             # record the coarsest grain their bounds fall on; off-grid
             # bounds record nothing (no rollup could ever serve them).
+            # EVERY branch's bounds feed the grain inference — an N-ary
+            # union whose later branch sits on a finer grid than the
+            # first must not record day-grain advice a built rollup
+            # could never serve (round-13 review finding: that would
+            # drive a useless build plus a permanent re-advise loop)
+            all_bounds = (
+                [b for (_l, blo, bhi) in ov.branches for b in (blo, bhi)]
+                if ov.branches is not None
+                else [ov.lo, ov.hi, ov.lo_b, ov.hi_b]
+            )
             self._record_overlap_candidate(
                 ov.table,
                 [seg] if seg is not None else [],
                 key,
                 tcol,
-                _overlap_advice_bucket(ov.lo, ov.hi, ov.lo_b, ov.hi_b),
+                _overlap_advice_bucket(*all_bounds),
             )
             return None
         if prefer_exact:

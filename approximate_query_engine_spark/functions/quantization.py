@@ -956,12 +956,23 @@ def ivf_semantic_dedup(
     )
 
 
-def ivf_bucket_skew(assigned: DataFrame) -> dict:
+def ivf_bucket_skew(assigned: DataFrame, nlist: int | None = None) -> dict:
     """Per-bucket population skew of an assigned IVF code table
     (round 13, VERDICT r12 #4 — the probe-cost drift signal): returns
-    ``{"buckets", "max", "median", "ratio"}`` where ``ratio`` =
-    max bucket / median bucket. One count aggregation keyed on the
-    partition column — the result is nlist-bounded, never corpus-sized.
+    ``{"buckets", "populated", "max", "mean", "ratio"}`` where
+    ``ratio`` = max bucket / MEAN bucket over ALL ``nlist`` buckets
+    (``nlist`` defaults to the populated count when not given — pass
+    the trained nlist so EMPTY buckets weigh in). One count aggregation
+    keyed on the partition column — nlist-bounded, never corpus-sized.
+
+    Why max/mean and not max/median: the mean over all trained buckets
+    is exactly the balanced per-bucket population, so the ratio IS the
+    probe-cost inflation factor a query probing the fat bucket pays vs
+    a balanced file. A median over populated buckets only would report
+    the two most extreme regimes as balanced — all rows collapsed into
+    one bucket gives counts=[N] → median=N → ratio 1.0, and two buckets
+    [small, huge] give a median that RISES with the skew — precisely
+    the cases the policy exists to catch (round-13 review finding).
 
     Why it matters at 100 TB: probes prune at the file listing, so a
     probed query pays the POPULATION of its nprobe buckets. As appends
@@ -971,18 +982,24 @@ def ivf_bucket_skew(assigned: DataFrame) -> dict:
     a correctness issue (assignment to the nearest trained centroid
     stays sound). The maintenance policy advises a coarse re-train when
     the ratio crosses the entry's ``skew_threshold``."""
-    import statistics
-
     rows = assigned.groupBy("centroid_id").count().collect()
     counts = sorted(int(r["count"]) for r in rows)
-    if not counts:
-        return {"buckets": 0, "max": 0, "median": 0, "ratio": 1.0}
-    med = statistics.median(counts)
+    total_buckets = int(nlist) if nlist else len(counts)
+    if not counts or total_buckets <= 0:
+        return {
+            "buckets": total_buckets,
+            "populated": 0,
+            "max": 0,
+            "mean": 0.0,
+            "ratio": 1.0,
+        }
+    mean = sum(counts) / float(total_buckets)
     return {
-        "buckets": len(counts),
+        "buckets": total_buckets,
+        "populated": len(counts),
         "max": counts[-1],
-        "median": med,
-        "ratio": float(counts[-1]) / med if med else float("inf"),
+        "mean": round(mean, 2),
+        "ratio": float(counts[-1]) / mean if mean else 1.0,
     }
 
 

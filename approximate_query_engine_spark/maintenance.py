@@ -645,13 +645,23 @@ def run_maintenance(
         if drift <= max_drift:
             report.fresh.append(label)
             continue
+        built = info.get("built_row_count") or 0
         action = {
             "kind": "lm_index",
             "table": table,
             "reason": (
-                f"reference table drifted {drift:.1%} > {max_drift:.0%} "
-                "without being fed through update_lm_index — gram "
-                "counts no longer describe the trusted corpus; refitting"
+                (
+                    f"model accounts for {built} docs but the reference "
+                    f"table holds {current} — batches fed through "
+                    "update_lm_index were NOT appended to the table "
+                    "(the reference-table contract); refitting from the "
+                    "table DROPS the out-of-table counts"
+                    if current is not None and built > current
+                    else f"reference table drifted {drift:.1%} > "
+                    f"{max_drift:.0%} without being fed through "
+                    "update_lm_index — gram counts no longer describe "
+                    "the trusted corpus; refitting"
+                )
             ),
             "dry_run": dry_run,
         }
@@ -843,6 +853,13 @@ def run_maintenance(
                         table,
                         nlist=int(info.get("nlist", 16)),
                         sample_rows=int(info.get("sample_rows", 10_000)),
+                        # carry the operator's skew knob through the
+                        # rebuild/refit — re-registering with the 8.0
+                        # default would silently disarm a tighter
+                        # policy (round-13 review finding)
+                        skew_threshold=float(
+                            info.get("skew_threshold", 8.0)
+                        ),
                         **common,
                     )
                 else:
@@ -880,7 +897,10 @@ def run_maintenance(
                 ivf_bucket_skew,
             )
 
-            skew = ivf_bucket_skew(engine.spark.read.parquet(info["path"]))
+            skew = ivf_bucket_skew(
+                engine.spark.read.parquet(info["path"]),
+                nlist=int(info.get("nlist", 0)) or None,
+            )
             threshold = float(info.get("skew_threshold", 8.0))
             if skew["ratio"] <= threshold:
                 continue  # balanced — the entry already reported above
@@ -889,11 +909,12 @@ def run_maintenance(
                 "table": table,
                 "bucket_skew": skew,
                 "reason": (
-                    f"max/median bucket population {skew['ratio']:.1f}x "
-                    f"> {threshold:.1f}x — appends drifted from the "
-                    "trained coarse geometry; probes over the fat "
-                    "bucket scan a growing corpus fraction. Coarse "
-                    "re-train advised (probe cost, never correctness)"
+                    f"fat bucket holds {skew['ratio']:.1f}x the balanced "
+                    f"per-bucket population (> {threshold:.1f}x) — "
+                    "appends drifted from the trained coarse geometry; "
+                    "probes over the fat bucket scan a growing corpus "
+                    "fraction. Coarse re-train advised (probe cost, "
+                    "never correctness)"
                 ),
                 "dry_run": dry_run,
             }
@@ -919,7 +940,8 @@ def run_maintenance(
                 quantizer_refits += 1
                 new_info = catalog.quantized_codes[table]
                 action["retrained_skew"] = ivf_bucket_skew(
-                    engine.spark.read.parquet(new_info["path"])
+                    engine.spark.read.parquet(new_info["path"]),
+                    nlist=int(new_info.get("nlist", 0)) or None,
                 )
             else:
                 action["deferred"] = True

@@ -2343,10 +2343,10 @@ def main() -> None:
             ivf_skew = {
                 "corpus_rows": int(skew_rows),
                 "bucket_skew_before": round(
-                    ivf_bucket_skew(skewed_asg)["ratio"], 2
+                    ivf_bucket_skew(skewed_asg, nlist=32)["ratio"], 2
                 ),
                 "bucket_skew_after_retrain": round(
-                    ivf_bucket_skew(ret_asg)["ratio"], 2
+                    ivf_bucket_skew(ret_asg, nlist=32)["ratio"], 2
                 ),
                 "fat_probe_cand_before": round(
                     _fat_cands(skewed_asg, qivf_cents), 1

@@ -207,3 +207,17 @@ def test_http_lm_routes(spark):
         "/lm/score", json={"table": "nope", "docs_view": "lm_api_cand"}
     )
     assert r.status_code == 400
+
+
+def test_null_id_batch_refused(spark, eng):
+    """A NULL document id can never satisfy the disjoint contract (the
+    seen-id semi-join never matches NULL keys, so a re-fed NULL-id doc
+    would double-count silently) — the update refuses it loudly."""
+    _docs(spark, 0, 10).createOrReplaceTempView("lm_ref7")
+    eng.build_lm_index("lm_ref7")
+    bad = spark.createDataFrame(
+        [(None, "a document with no id")], "doc_id int, text string"
+    )
+    with pytest.raises(ValueError, match="NULL document ids"):
+        eng.update_lm_index("lm_ref7", bad)
+    assert eng.catalog.lm_indexes["lm_ref7"]["version"] == 1

@@ -809,9 +809,11 @@ def test_ivf_bucket_skew_policy(spark):
     )
     _vec_view(spark, "skew_vecs", base)
     eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_skew_"))
+    # skew ratio is max/mean over ALL trained buckets — the probe-cost
+    # inflation factor ([325, 25, 25, 27] at mean ~100 reads ~3.25x)
     eng.build_ivf_codes(
         "skew_vecs", nlist=4, seed=7, clamp_threshold=0.05,
-        skew_threshold=4.0,
+        skew_threshold=2.0,
     )
     # balanced: no skew advisory
     rep = eng.maintain(max_drift=0.10)
@@ -831,7 +833,7 @@ def test_ivf_bucket_skew_policy(spark):
     ]
     assert len(skew_acts) == 1, rep
     assert skew_acts[0]["deferred"] is True, skew_acts
-    assert skew_acts[0]["bucket_skew"]["ratio"] > 4.0, skew_acts
+    assert skew_acts[0]["bucket_skew"]["ratio"] > 2.0, skew_acts
     info = eng.catalog.quantized_codes["skew_vecs"]
     assert info["version"] == 1  # deferred — nothing rebuilt
     # apply: coarse re-train splits the new region, skew restored
@@ -840,7 +842,7 @@ def test_ivf_bucket_skew_policy(spark):
         a for a in rep["refreshed"] if a["kind"] == "ivf_bucket_skew"
     ]
     assert len(skew_acts) == 1 and not skew_acts[0].get("deferred"), rep
-    assert skew_acts[0]["retrained_skew"]["ratio"] <= 4.0, skew_acts
+    assert skew_acts[0]["retrained_skew"]["ratio"] <= 2.0, skew_acts
     info = eng.catalog.quantized_codes["skew_vecs"]
     assert info["version"] == 2, info
     assert info["built_row_count"] == 402
@@ -849,3 +851,35 @@ def test_ivf_bucket_skew_policy(spark):
     assert [a for a in rep["refreshed"] if a["kind"] == "ivf_bucket_skew"] == []
     q = spark.table("skew_vecs").where("vec_id IN (0, 250)")
     assert eng.knn("skew_vecs", q, k=3, nprobe=2, exclude_self=True).count() == 6
+
+
+def test_clamp_refit_preserves_skew_threshold(spark):
+    """Round-13 review fix: a clamp-drift refit/rebuild of an IVF entry
+    must carry the operator's skew_threshold through re-registration —
+    re-registering with the 8.0 default would silently disarm a tighter
+    probe-cost policy."""
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (i, [rng.uniform(-1, 1), rng.uniform(-1, 1), 1.0])
+        for i in range(60)
+    ]
+    _vec_view(spark, "sk_vecs", rows)
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_skt_"))
+    eng.build_ivf_codes(
+        "sk_vecs", nlist=4, seed=11, clamp_threshold=0.01,
+        skew_threshold=3.0,
+    )
+    # out-of-range appends → clamp refit under apply_advice
+    drifted = rows + [
+        (100 + i, [rng.uniform(-9, 9), rng.uniform(-9, 9), 9.0])
+        for i in range(30)
+    ]
+    _vec_view(spark, "sk_vecs", drifted)
+    rep = eng.maintain(max_drift=0.10, apply_advice=True)
+    acts = [a for a in rep["refreshed"] if a["kind"] == "quantized_codes"]
+    assert acts and acts[0]["mode"] == "refit", rep
+    info = eng.catalog.quantized_codes["sk_vecs"]
+    assert info["version"] == 2
+    assert info["skew_threshold"] == 3.0, info

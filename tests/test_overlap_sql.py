@@ -753,6 +753,47 @@ def test_unrouted_union_feeds_theta_advisor(spark):
     assert r["result"][0]["oc"] == _exact(spark, SEG_IN)
 
 
+def test_nary_union_advice_grain_covers_every_branch(spark):
+    """Round-13 review fix: the unrouted N-ary union records the grain
+    EVERY branch's bounds fall on — a later hour-aligned branch must
+    pull day-grain advice down to '1 hour' (a day rollup could never
+    serve it: permanent useless build + re-advise loop), and an
+    off-every-grid branch must suppress the advice entirely."""
+    e = _engine(spark)
+
+    def _b(seg, lo=None, hi=None):
+        w = (
+            f" AND ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'"
+            if lo
+            else ""
+        )
+        return (
+            f"SELECT user_id FROM events WHERE event_type = '{seg}'{w}"
+        )
+
+    mixed = (
+        "SELECT COUNT(*) AS oc FROM ("
+        + _b("click", "2024-01-01 00:00:00", "2024-01-05 00:00:00")
+        + " UNION "
+        + _b("view", "2024-01-05 06:00:00", "2024-01-06 18:00:00")
+        + " UNION "
+        + _b("purchase")
+        + ") t"
+    )
+    for _ in range(3):
+        r = e.query(mixed, dual_execute=False)
+        assert r["plan"]["type"] == "exact", r["plan"]
+    book = list(e.catalog.rollup_candidates.values())
+    assert len(book) == 1, book
+    assert book[0]["bucket"] == "1 hour", book  # NOT '1 day'
+    # an off-grid branch (6:30) suppresses advice — nothing could serve
+    e2 = _engine(spark)
+    off = mixed.replace("06:00:00", "06:30:00")
+    for _ in range(3):
+        e2.query(off, dual_execute=False)
+    assert list(e2.catalog.rollup_candidates.values()) == []
+
+
 def test_nary_reach_routes_single_state_scan(spark):
     """3+ segments route as ONE theta_union_agg over state filtered to
     the whole IN-list — no per-branch subqueries — and match exact."""
