@@ -1669,10 +1669,15 @@ def _q_boilerplate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
     b1.createOrReplaceTempView("bp_inc_b1")
     built = eng.build_boilerplate_index("bp_inc_b1", min_docs=40)
-    assert built["version"] == 1, built
+    # explicit raises, not bare asserts (python -O strips those and the
+    # lifecycle claims ARE what this query driver-checks; r13 ADVICE)
+    if built["version"] != 1:
+        raise RuntimeError(f"build must register v1: {built}")
     cleaned2, entry = eng.update_boilerplate_index("bp_inc_b1", b2)
-    assert entry["version"] == 2, entry
-    assert entry["built_row_count"] == built["built_row_count"] + b2.count()
+    if entry["version"] != 2:
+        raise RuntimeError(f"update must register v2: {entry}")
+    if entry["built_row_count"] != built["built_row_count"] + b2.count():
+        raise RuntimeError(f"update must account for batch 2's docs: {entry}")
 
     def _shape(df, tag):
         return df.select(
@@ -2318,21 +2323,26 @@ def _q_lm_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("lmx_ref")
     eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
     built = eng.build_lm_index("lmx_ref")
-    assert built["version"] == 1 and built["built_row_count"] == 200, built
+    # lifecycle invariants raise explicitly (not bare asserts, which
+    # python -O strips — these ARE the driver-checked claim; r13 ADVICE)
+    if built["version"] != 1 or built["built_row_count"] != 200:
+        raise RuntimeError(f"build must register v1 over 200 docs: {built}")
     batch2 = spark.sql(
         "SELECT doc_id, text FROM documents "
         "WHERE doc_id >= 200 AND doc_id < 350"
     )
     entry = eng.update_lm_index("lmx_ref", batch2)
-    assert entry["version"] == 2 and entry["built_row_count"] == 350, entry
+    if entry["version"] != 2 or entry["built_row_count"] != 350:
+        raise RuntimeError(f"update must register v2 over 350 docs: {entry}")
     # the disjoint-batch guard: re-feeding batch 2 must raise, and the
     # failed update must not move the pointer
     try:
         eng.update_lm_index("lmx_ref", batch2)
-        raise AssertionError("re-fed batch must be refused")
+        raise RuntimeError("re-fed batch must be refused")
     except ValueError:
         pass
-    assert eng.catalog.lm_indexes["lmx_ref"]["version"] == 2
+    if eng.catalog.lm_indexes["lmx_ref"]["version"] != 2:
+        raise RuntimeError("failed update moved the catalog pointer")
     cand = spark.sql(
         "SELECT doc_id, text FROM documents WHERE doc_id >= 350"
     )

@@ -513,7 +513,7 @@ def create_app(engine: AQEngine, config: Config | None = None):
         except KeyError as e:
             return jsonify({"status": "error", "error": str(e)}), 400
         except ValueError as e:
-            code = 409 if "double-count" in str(e) else 400
+            code = 409 if "re-feeds document" in str(e) else 400
             return jsonify({"status": "error", "error": str(e)}), code
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500
@@ -552,7 +552,12 @@ def create_app(engine: AQEngine, config: Config | None = None):
         except KeyError as e:
             return jsonify({"status": "error", "error": str(e)}), 400
         except ValueError as e:
-            code = 409 if "double-count" in str(e) else 400
+            # the re-feed CONFLICT is the honest 409 (the index exists
+            # but already counted those ids); every other ValueError —
+            # including the NULL-id refusal, whose message also says
+            # 'double-counting' — is a malformed request, a plain 400
+            # (r13 ADVICE)
+            code = 409 if "re-feeds document" in str(e) else 400
             return jsonify({"status": "error", "error": str(e)}), code
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500

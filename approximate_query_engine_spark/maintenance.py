@@ -726,22 +726,56 @@ def run_maintenance(
                 )
             id_col, vec_col = info["id_col"], info["vec_col"]
             base = engine.spark.table(table)
+            # cheap change signal (r13 ADVICE): the base table's input
+            # FILE LISTING. Spark writers never mutate a file in place —
+            # every overwrite/append lands new part- names — so an
+            # unchanged sorted listing at an unchanged row count proves
+            # the table cannot have mutated, and the ghost-probe join
+            # can be skipped for it. Tables with no file lineage (temp
+            # views over in-memory frames return an empty listing) keep
+            # the every-sweep probe: no signal means no proof.
+            sig = None
+            try:
+                files = sorted(base.inputFiles())
+                if files:
+                    import hashlib
+
+                    sig = hashlib.md5(
+                        "\n".join(files).encode()
+                    ).hexdigest()
+            except Exception:  # noqa: BLE001 - signal is best-effort
+                sig = None
             ghosts = 0
             if current >= built:
-                # the ghost probe runs on EVERY sweep, including equal
-                # counts (r12 ADVICE): growth can MASK deletions (drop
-                # 10 ids, add 20) and an equal-count mutation (delete N,
-                # insert N) is invisible to row counts entirely — unlike
-                # rollup staleness this surface returns WRONG NEIGHBORS,
-                # not a coarser approximation, and the anti-join is
-                # cheap at maintenance cadence (limit-1 short-circuit)
-                ghosts = (
-                    codes.select(F.col(id_col))
-                    .join(base.select(F.col(id_col)), id_col, "left_anti")
-                    .limit(1)
-                    .count()
-                )
+                if (
+                    current == built
+                    and sig is not None
+                    and sig == info.get("base_files_sig")
+                ):
+                    pass  # provably unchanged — probe skipped
+                else:
+                    # the ghost probe otherwise runs on EVERY sweep
+                    # (r12 ADVICE): growth can MASK deletions (drop 10
+                    # ids, add 20) and an equal-count mutation (delete
+                    # N, insert N) is invisible to row counts entirely
+                    # — unlike rollup staleness this surface returns
+                    # WRONG NEIGHBORS, not a coarser approximation, and
+                    # the anti-join is cheap at maintenance cadence
+                    # (limit-1 short-circuit)
+                    ghosts = (
+                        codes.select(F.col(id_col))
+                        .join(
+                            base.select(F.col(id_col)), id_col, "left_anti"
+                        )
+                        .limit(1)
+                        .count()
+                    )
             if current == built and not ghosts:
+                if sig is not None and sig != info.get("base_files_sig"):
+                    # a clean probe under a NEW listing arms the skip
+                    # for the next sweep
+                    info["base_files_sig"] = sig
+                    catalog.save()
                 report.fresh.append(label)
                 continue
             if current < built or ghosts:
@@ -834,6 +868,8 @@ def run_maintenance(
                         .parquet(info["path"])
                     )
                 info["built_row_count"] = int(current)
+                if sig is not None:
+                    info["base_files_sig"] = sig
                 catalog.save()
             elif mode == "rebuild" or (
                 apply_advice and quantizer_refits < advice_max_apply
@@ -864,6 +900,11 @@ def run_maintenance(
                     )
                 else:
                     engine.build_quantized_codes(table, **common)
+                if sig is not None:
+                    # arm the skip for the rebuilt entry (a fresh dict —
+                    # the old info's signature died with it)
+                    catalog.quantized_codes[table]["base_files_sig"] = sig
+                    catalog.save()
                 if mode == "refit":
                     quantizer_refits += 1
             else:

@@ -883,3 +883,49 @@ def test_clamp_refit_preserves_skew_threshold(spark):
     info = eng.catalog.quantized_codes["sk_vecs"]
     assert info["version"] == 2
     assert info["skew_threshold"] == 3.0, info
+
+
+def test_ghost_probe_gated_on_file_listing_signature(spark, tmp_path):
+    """Round-14 (r13 ADVICE #4): the every-sweep ghost probe is gated on
+    a cheap change signal — the base table's input-file listing. A
+    parquet-backed table whose listing AND row count are unchanged skips
+    the anti-join probe (the sweep still reports it fresh); a rewrite
+    that mutates content at an equal row count lands NEW part files, so
+    the signature changes, the probe runs, and the mutation still trips
+    a rebuild. Tables with no file lineage (in-memory temp views) keep
+    the every-sweep probe — that case is pinned by
+    test_review_fixes_round13.test_equal_count_mutation_trips_ghost_probe."""
+    import random
+
+    rng = random.Random(41)
+    base_path = str(tmp_path / "sig_vecs")
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)]
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(rows, schema).write.parquet(base_path)
+    spark.read.parquet(base_path).createOrReplaceTempView("sig_vecs")
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_sig_"))
+    eng.build_quantized_codes("sig_vecs")
+    # sweep 1 probes (no signature recorded yet) and ARMS the skip
+    rep = eng.maintain(max_drift=0.10)
+    assert "sig_vecs:quantized[v1]" in rep["fresh"], rep
+    info = eng.catalog.quantized_codes["sig_vecs"]
+    sig1 = info.get("base_files_sig")
+    assert sig1, "clean probe must record the file-listing signature"
+    # sweep 2: unchanged listing + count — still fresh, signature stable
+    rep = eng.maintain(max_drift=0.10)
+    assert "sig_vecs:quantized[v1]" in rep["fresh"], rep
+    assert eng.catalog.quantized_codes["sig_vecs"]["base_files_sig"] == sig1
+    # equal-count content mutation via overwrite: new part files → the
+    # signature changes → the probe runs and catches the ghost id
+    mutated = rows[1:] + [(1000, [0.5, 0.5, 0.5, 0.5])]
+    spark.createDataFrame(mutated, schema).write.mode("overwrite").parquet(
+        base_path
+    )
+    spark.read.parquet(base_path).createOrReplaceTempView("sig_vecs")
+    rep = eng.maintain(max_drift=0.10)
+    acts = [a for a in rep["refreshed"] if a["kind"] == "quantized_codes"]
+    assert acts and acts[0]["mode"] == "rebuild", rep
+    assert "mutated" in acts[0]["reason"], acts[0]
+    info = eng.catalog.quantized_codes["sig_vecs"]
+    assert info["version"] == 2
+    assert info.get("base_files_sig") not in (None, sig1)
