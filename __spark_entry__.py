@@ -3121,22 +3121,42 @@ _REACH_SQL_PAIRS = [
         "(SELECT * FROM ca UNION SELECT * FROM cb "
         "UNION SELECT * FROM cc) t",
     ),
+    # round 14 (VERDICT r13 #2): the N-ary INTERSECT chain — "users in
+    # ALL three segments" — routes as 3 per-branch state unions
+    # intersected sketch-side under the same exact-regime certificate
+    (
+        "all3|click|signup|view",
+        "WITH ia AS (SELECT DISTINCT uid FROM events_rch "
+        "            WHERE event_type = 'click'), "
+        "ib AS (SELECT DISTINCT uid FROM events_rch "
+        "       WHERE event_type = 'signup'), "
+        "ic AS (SELECT DISTINCT uid FROM events_rch "
+        "       WHERE event_type = 'view') "
+        "SELECT COUNT(*) AS reach_cnt FROM "
+        "(SELECT * FROM ia INTERSECT SELECT * FROM ib "
+        "INTERSECT SELECT * FROM ic) t",
+    ),
 ]
 
 
 def _q_overlap_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 surface (VERDICT r11 #2): the overlap SQL family's
-    UNION arm. All four reach spellings (sqlparser.parse_overlap:
-    set_op='union' in the set-op idiom; the new seg_in idiom) answer
-    from per-bucket theta state — per-branch state unions combined with
-    theta_union AT THE ROLLUP'S OWN lg_k (042a0e3's invariant), the
-    fact table never re-read — under the same exact-regime certificate
-    as q109 (fresh ndv + margin fits 2^lg_k, so the sketches provably
-    never sampled and every union is exact). The same analyze pass
-    proves uid null-free, which the COUNT(*)-over-UNION spellings
-    additionally require (SQL UNION keeps a NULL key as one distinct
-    row sketches cannot see; COUNT(DISTINCT ... IN (...)) ignores NULLs
-    and needs no gate). The windowed spellings route p_date-pruned."""
+    UNION arm — plus, round 14 (VERDICT r13 #2), the N-ary INTERSECT
+    chain. The reach spellings (sqlparser.parse_overlap: set_op='union'
+    in the set-op idiom; the seg_in idiom) answer from per-bucket theta
+    state — per-branch state unions combined with theta_union AT THE
+    ROLLUP'S OWN lg_k (042a0e3's invariant), the fact table never
+    re-read — under the same exact-regime certificate as q109 (fresh
+    ndv + margin fits 2^lg_k, so the sketches provably never sampled
+    and every union is exact). The 3-CTE INTERSECT chain ("users in ALL
+    three segments") routes as 3 per-branch state unions intersected
+    sketch-side — exact under the same certificate (never-sampled
+    sketches make theta_intersection exact set computation). The same
+    analyze pass proves uid null-free, which every COUNT(*)-over-set-op
+    spelling additionally requires (SQL UNION/INTERSECT keep a NULL key
+    as one distinct row sketches cannot see; COUNT(DISTINCT ... IN
+    (...)) ignores NULLs and needs no gate). The windowed spellings
+    route p_date-pruned."""
     import tempfile
 
     from approximate_query_engine_spark import AQEngine
@@ -3205,6 +3225,16 @@ SELECT 'reach3|click|signup|purchase' AS pair,
     SELECT DISTINCT uid FROM ov WHERE event_type = 'signup'
     UNION
     SELECT DISTINCT uid FROM ov WHERE event_type = 'purchase'
+  )
+)
+UNION ALL
+SELECT 'all3|click|signup|view' AS pair, cnt::BIGINT AS reach_cnt FROM (
+  SELECT COUNT(*) AS cnt FROM (
+    SELECT DISTINCT uid FROM ov WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT uid FROM ov WHERE event_type = 'signup'
+    INTERSECT
+    SELECT DISTINCT uid FROM ov WHERE event_type = 'view'
   )
 )
 ORDER BY pair

@@ -3678,7 +3678,7 @@ class AQEngine:
                 "ELSE ROUND(theta_sketch_estimate("
                 "theta_intersection(sa.sk, sb.sk))) END"
             )
-        if ov.branches is not None:
+        if ov.branches is not None and ov.set_op == "union":
             # N-ary UNION reach, CTE set-op spelling (round 13, VERDICT
             # r12 #3): UNION is associative and idempotent, so the
             # union of N slices IS the union of every state bucket
@@ -3708,6 +3708,45 @@ class AQEngine:
             )
             branch_note = (
                 f"{len(ov.branches)} branches unioned in ONE state scan"
+            )
+        elif ov.branches is not None:
+            # N-ary INTERSECT chain (round 14, VERDICT r13 #2 — "users
+            # in ALL N segments"). INTERSECT is associative (EXCEPT is
+            # not, and the parser keeps it binary), so the chain is
+            # well-defined; unlike UNION it is not expressible as one
+            # state scan (a bucket matching ONE branch proves nothing
+            # about membership in the others), so each branch gets its
+            # own per-branch state union and the sketches intersect
+            # pairwise left-to-right. The exact-regime gate above means
+            # no sketch ever sampled, so every intersection — however
+            # deep the nesting — is exact set computation, and the
+            # idiom's null-freedom proof already held (INTERSECT keeps
+            # a NULL key as one distinct row sketches cannot see). An
+            # empty (NULL-state) branch makes the whole intersection
+            # empty.
+            if not branch_preds:
+                branch_preds = [None] * len(ov.branches)
+            subs = [
+                _branch_sub(blit, bpred, f"s{i}")
+                for i, ((blit, _blo, _bhi), bpred) in enumerate(
+                    zip(ov.branches, branch_preds)
+                )
+            ]
+            null_any = " OR ".join(
+                f"s{i}.sk IS NULL" for i in range(len(subs))
+            )
+            inter = "s0.sk"
+            for i in range(1, len(subs)):
+                inter = f"theta_intersection({inter}, s{i}.sk)"
+            routed_sql = (
+                f"SELECT CAST(CASE WHEN {null_any} THEN 0 ELSE "
+                f"ROUND(theta_sketch_estimate({inter})) END AS BIGINT) "
+                f"AS `{alias_bt}` FROM "
+                + " CROSS JOIN ".join(subs)
+            )
+            branch_note = (
+                f"{len(ov.branches)} branch state unions intersected "
+                "sketch-side"
             )
         elif ov.idiom == "seg_in":
             # N-ary reach: one theta_union_agg over state filtered to

@@ -715,14 +715,17 @@ class OverlapQuery:
     set_op: str = "intersect"  # "intersect" | "except" | "union"
     #: seg_in only: ALL the IN-list literals in written order (N >= 2)
     lits: tuple[str, ...] | None = None
-    #: set-op UNION only, N > 2 branches (round 13, VERDICT r12 #3 —
-    #: the N-ary reach CTE chain): per-branch (literal, lo, hi) in
-    #: written order (literal None when unsegmented, lo/hi None when
-    #: unwindowed). UNION is associative and idempotent, so the routed
-    #: form is ONE theta_union_agg state scan whose WHERE is the OR of
-    #: the branch conditions — never per-branch subqueries.
-    #: INTERSECT/EXCEPT stay binary (EXCEPT is not associative; a
-    #: 3-branch intersect chain is a different, rarer question).
+    #: set-op UNION (round 13, VERDICT r12 #3) or INTERSECT (round 14,
+    #: VERDICT r13 #2) only, N > 2 branches: per-branch
+    #: (literal, lo, hi) in written order (literal None when
+    #: unsegmented, lo/hi None when unwindowed). Both operators are
+    #: associative, so an N-branch chain is well-defined regardless of
+    #: grouping. UNION is additionally idempotent, so its routed form
+    #: is ONE theta_union_agg state scan whose WHERE is the OR of the
+    #: branch conditions; INTERSECT routes as N per-branch state unions
+    #: combined with nested theta_intersection ("users in ALL N
+    #: segments"). EXCEPT stays binary — it is NOT associative, so an
+    #: unparenthesized chain is order-dependent and ambiguous.
     branches: tuple[tuple[str | None, str | None, str | None], ...] | None = (
         None
     )
@@ -1021,12 +1024,14 @@ def _parse_overlap_intersect(sql: str) -> OverlapQuery:
         raise UnsupportedQueryError("exactly one set operator")
     set_op = present[0].lower()
     sides = _split_top_keyword(inner, present[0])
-    if len(sides) != 2 and set_op != "union":
-        # EXCEPT is not associative and an N-branch INTERSECT chain is
-        # a different, rarer question — only UNION generalizes N-ary
-        raise UnsupportedQueryError("exactly one top-level set operator")
+    if len(sides) != 2 and set_op == "except":
+        # EXCEPT is not associative: A EXCEPT B EXCEPT C depends on the
+        # (unstated) grouping, so a chain is ambiguous and must pass
+        # through exact. UNION (round 13) and INTERSECT (round 14,
+        # VERDICT r13 #2) are associative and generalize N-ary.
+        raise UnsupportedQueryError("EXCEPT chains are binary only")
     if not 2 <= len(sides) <= 16:
-        raise UnsupportedQueryError("union reach takes two to sixteen branches")
+        raise UnsupportedQueryError("set-op idiom takes two to sixteen branches")
     branches = []
     for side in sides:
         side = _strip_outer_parens(side)
@@ -1076,11 +1081,12 @@ def _parse_overlap_intersect(sql: str) -> OverlapQuery:
     if sa is None and len(branches) > 2 and any(
         c is None for c, _lo, _hi in windows
     ):
-        # one unconstrained branch makes the whole union the identity
-        # question; the binary form already enforces this via the
-        # all-None check above, the N-ary form must per-branch
+        # one unconstrained branch degenerates the question (the whole
+        # key set: UNION's absorbing element, INTERSECT's identity);
+        # the binary form already enforces this via the all-None check
+        # above, the N-ary form must per-branch
         raise UnsupportedQueryError(
-            "every unsegmented union branch needs its own window"
+            "every unsegmented set-op branch needs its own window"
         )
     if len(branches) == 2:
         (_, _, _, la, _), (_, _, _, lb, _) = branches
@@ -1100,8 +1106,9 @@ def _parse_overlap_intersect(sql: str) -> OverlapQuery:
             hi_b=hi_b,
             set_op=set_op,
         )
-    # N-ary UNION reach (round 13, VERDICT r12 #3): carry every branch's
-    # (literal, lo, hi); the engine routes them as ONE state scan
+    # N-ary UNION reach (round 13) / INTERSECT (round 14): carry every
+    # branch's (literal, lo, hi); the engine routes UNION as ONE state
+    # scan and INTERSECT as N state unions intersected sketch-side
     lits = tuple(l for (_t, _k, _s, l, _w) in branches)
     first_win = next(
         ((lo, hi) for _c, lo, hi in windows if lo is not None),

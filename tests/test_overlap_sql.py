@@ -853,10 +853,24 @@ NARY_INLINE = (
 def test_parse_nary_union_cte_chain():
     """Round 13 (VERDICT r12 #3): the set-op UNION arm is N-ary — a
     3-branch CTE chain or inline UNION parses with every branch's
-    (literal, window) carried; INTERSECT/EXCEPT stay binary."""
+    (literal, window) carried. Round 14 (VERDICT r13 #2): INTERSECT is
+    associative too and parses N-ary; EXCEPT stays binary (an
+    unparenthesized chain is order-dependent, hence ambiguous)."""
     for sql in (NARY_CTE, NARY_INLINE):
         ov = try_parse_overlap(sql)
         assert ov is not None and ov.set_op == "union", sql
+        assert ov.branches is not None and len(ov.branches) == 3, sql
+        assert [b[0] for b in ov.branches] == [
+            "'click'", "'view'", "'purchase'"
+        ], ov.branches
+    # the same 3-branch chains spelled INTERSECT ("in ALL three
+    # segments") parse with identical branch payloads
+    for sql in (
+        NARY_CTE.replace("UNION", "INTERSECT"),
+        NARY_INLINE.replace("UNION", "INTERSECT"),
+    ):
+        ov = try_parse_overlap(sql)
+        assert ov is not None and ov.set_op == "intersect", sql
         assert ov.branches is not None and len(ov.branches) == 3, sql
         assert [b[0] for b in ov.branches] == [
             "'click'", "'view'", "'purchase'"
@@ -881,11 +895,10 @@ def test_parse_nary_union_cte_chain():
     assert ov is not None and ov.segment_col is None
     assert ov.branches is not None and len(ov.branches) == 3
     assert all(lo is not None and hi is not None for _l, lo, hi in ov.branches)
-    # near-misses stay unparsed: N-ary INTERSECT/EXCEPT chains (not
-    # associative / a different question), a 3-branch union with one
-    # unconstrained branch (the identity question), mixed time columns
+    # near-misses stay unparsed: an N-ary EXCEPT chain (not
+    # associative), a 3-branch union with one unconstrained branch
+    # (the identity question), mixed time columns
     for bad in (
-        NARY_INLINE.replace("UNION", "INTERSECT"),
         NARY_INLINE.replace("UNION", "EXCEPT"),
         "SELECT COUNT(*) AS oc FROM ("
         + _win("2024-01-01 00:00:00", "2024-01-08 00:00:00")
@@ -978,10 +991,76 @@ def test_nary_union_cte_needs_null_free_proof(spark):
         theta_cols=["user_id"],
     )
     e.analyze_table("ev_nullkey_nary", ["user_id"])
-    sql = NARY_CTE.replace("FROM events", "FROM ev_nullkey_nary")
-    r = e.query(sql, dual_execute=False)
+    for op in ("UNION", "INTERSECT"):
+        sql = NARY_CTE.replace("FROM events", "FROM ev_nullkey_nary")
+        sql = sql.replace("UNION", op)
+        r = e.query(sql, dual_execute=False)
+        assert r["plan"]["type"] == "exact", (op, r["plan"])
+        assert r["result"][0]["oc"] == _exact(spark, sql)
+
+
+def test_nary_intersect_routes_sketch_side(spark):
+    """Round 14 (VERDICT r13 #2): the 3-branch INTERSECT chain ("users
+    in ALL three segments") routes as N per-branch state unions
+    intersected sketch-side — exact under the same never-sampled
+    certificate and null-freedom proof the binary INTERSECT idiom
+    already required. An empty branch empties the whole intersection;
+    EXCEPT chains stay exact (not associative)."""
+    e = _engine(spark)
+    e.create_rollup(
+        "events", "ts", "1 day", dims=["event_type"],
+        theta_cols=["user_id"],
+    )
+    e.analyze_table("events", ["user_id"])
+    for sql in (
+        NARY_CTE.replace("UNION", "INTERSECT"),
+        NARY_INLINE.replace("UNION", "INTERSECT"),
+    ):
+        r = e.query(sql, dual_execute=False)
+        assert r["status"] == "ok", r.get("error")
+        assert r["plan"]["type"] == "sketch", (sql, r["plan"])
+        assert (
+            "3 branch state unions intersected sketch-side"
+            in r["plan"]["reason"]
+        ), r["plan"]
+        assert r["result"][0]["oc"] == _exact(spark, sql), sql
+    # a ghost segment empties the whole intersection (A ∩ empty = ∅)
+    g = NARY_INLINE.replace("UNION", "INTERSECT").replace(
+        "'purchase'", "'ghost'"
+    )
+    r = e.query(g, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert r["result"][0]["oc"] == 0 == _exact(spark, g)
+    # unsegmented cross-period 3-way ("in all three windows"),
+    # per-branch windows p_date-pruned inside each branch's state union
+    w3 = (
+        "SELECT COUNT(*) AS oc FROM ("
+        "SELECT user_id FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-05 00:00:00' "
+        "INTERSECT "
+        "SELECT user_id FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-09 00:00:00' "
+        "INTERSECT "
+        "SELECT user_id FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-09 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-13 00:00:00') t"
+    )
+    r = e.query(w3, dual_execute=False)
+    assert r["plan"]["type"] == "sketch", r["plan"]
+    assert "p_date-pruned" in r["plan"]["reason"], r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, w3)
+    # an off-grid branch window declines the WHOLE chain to exact
+    off = w3.replace("2024-01-05 00:00:00", "2024-01-05 06:30:00")
+    r = e.query(off, dual_execute=False)
     assert r["plan"]["type"] == "exact", r["plan"]
-    assert r["result"][0]["oc"] == _exact(spark, sql)
+    assert r["result"][0]["oc"] == _exact(spark, off)
+    # EXCEPT chains stay exact — not associative, never routed
+    x3 = NARY_INLINE.replace("UNION", "EXCEPT")
+    r = e.query(x3, dual_execute=False)
+    assert r["plan"]["type"] == "exact", r["plan"]
+    assert r["result"][0]["oc"] == _exact(spark, x3)
 
 
 def test_seg_in_parse_fuzz():
@@ -1088,11 +1167,14 @@ def test_nary_union_parse_fuzz():
             assert ov.branches is not None
             assert [b[0] for b in ov.branches] == lits
             assert all(lo is None and hi is None for _l, lo, hi in ov.branches)
-        # near-misses: non-associative ops stay binary; bag semantics
-        # and an unsegmented unwindowed branch never parse
+        # INTERSECT chains parse too (round 14 — associative, like
+        # UNION); EXCEPT chains never do (not associative); bag
+        # semantics and an unsegmented unwindowed branch never parse
         if len(lits) > 2:
-            for op in ("INTERSECT", "EXCEPT"):
-                assert try_parse_overlap(sql.replace("UNION", op)) is None
+            ovi = try_parse_overlap(sql.replace("UNION", "INTERSECT"))
+            assert ovi is not None and ovi.set_op == "intersect"
+            assert [b[0] for b in ovi.branches] == lits
+            assert try_parse_overlap(sql.replace("UNION", "EXCEPT")) is None
         assert try_parse_overlap(sql.replace("UNION", "UNION ALL")) is None
         assert try_parse_overlap(
             f"SELECT COUNT(*) AS {alias} FROM ({inner} "
