@@ -2133,6 +2133,200 @@ ORDER BY c.id_a, c.id_b
 """
 
 
+#: q120's NEW batch: ±1%-perturbed copies of vec_id < 60 (ids
+#: +100000 — cosine vs source ≈ 0.9999, the q119 near-dup shape) plus
+#: ±0.5%-perturbed copies of vec_id < 20 (ids +200000), so the batch
+#: holds new×existing pairs AND new×new pairs (100000+i vs 200000+i).
+_SDU_BATCH_SPARK = (
+    "SELECT vec_id + 100000 AS vec_id, "
+    "transform(embedding, (x, i) -> x * (1.0D + 0.01D * "
+    "CASE WHEN i % 2 = 0 THEN 1.0D ELSE -1.0D END)) AS embedding "
+    "FROM embeddings WHERE vec_id < 60 "
+    "UNION ALL "
+    "SELECT vec_id + 200000 AS vec_id, "
+    "transform(embedding, (x, i) -> x * (1.0D + 0.005D * "
+    "CASE WHEN i % 2 = 0 THEN 1.0D ELSE -1.0D END)) AS embedding "
+    "FROM embeddings WHERE vec_id < 20"
+)
+
+
+def _q_semantic_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-14 surface (VERDICT r13 #1): INCREMENTAL semantic dedup
+    through the ENGINE's persisted ANN index — the new-batch-vs-state
+    path every sibling dedup family already had. The index is BUILT on
+    the existing corpus (engine.build_ivf_codes with bring-your-own
+    centroids: the q113 seeded codes decoded to their float cell
+    centers, so the whole build — per-dim fit on the EXISTING corpus
+    only, centroid encoding, assignment — is SQL-replayable; k-means
+    stays the production default, its recall pinned in tests). A new
+    batch then feeds engine.semantic_dedup_update: assigned into the
+    REGISTERED buckets with the persisted quantizer (batch values
+    outside the existing fit clamp, exactly like the oracle), paired
+    only within buckets and only where a batch id participates, codes
+    appended partition-wise under the enforced disjoint-batch guard.
+    The oracle replays the FULL-corpus pair chain over
+    (existing ∪ batch) with the same existing-only fit and restricts to
+    pairs touching a batch id — so the driver hash proves the core
+    incremental claim: incremental pairs ≡ full-corpus pairs restricted
+    to new ids, with ``cand_cnt`` (per-bucket RESTRICTED candidate
+    count, B_new·B_old + C(B_new,2)) under the hash so a quiet
+    re-pairing of the whole corpus (or an all-pairs scan) hash-fails."""
+    import tempfile
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.functions.quantization import (
+        ScalarQuantizer,
+    )
+
+    _prep(spark, sf_dir)
+    spark.sql(
+        "SELECT vec_id, CAST(embedding AS array<double>) AS embedding "
+        "FROM embeddings"
+    ).createOrReplaceTempView("sdu_corpus")
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_entry_"))
+    # the engine re-fits identically inside build_ivf_codes (the fit is
+    # deterministic); this driver-side fit only DECODES the seeded
+    # centroid codes into the float cell centers the build API takes
+    q = ScalarQuantizer.fit(spark.table("sdu_corpus"))
+    cents = [[int(x) for x in c] for c in _qivf_centroids()]
+    floats = [q.decode_py(c) for c in cents]
+    # lifecycle invariants raise explicitly (python -O strips asserts)
+    if [q.encode_py(f) for f in floats] != cents:
+        raise RuntimeError(
+            "decoded centroids must re-encode to the seeded codes"
+        )
+    n_corpus = spark.table("sdu_corpus").count()
+    built = eng.build_ivf_codes("sdu_corpus", centroids=floats)
+    if built["version"] != 1 or built["built_row_count"] != n_corpus:
+        raise RuntimeError(f"build must register v1 over the corpus: {built}")
+    batch = spark.sql(_SDU_BATCH_SPARK)
+    pairs, entry = eng.semantic_dedup_update(
+        "sdu_corpus",
+        batch,
+        threshold=_SDD_THRESHOLD,
+        return_pairs=True,
+        with_candidate_count=True,
+    )
+    if entry["built_row_count"] != n_corpus + 80:
+        raise RuntimeError(f"update must account for the batch: {entry}")
+    # the disjoint-batch guard: re-feeding must refuse WITHOUT appending
+    try:
+        eng.semantic_dedup_update("sdu_corpus", batch)
+        raise RuntimeError("re-fed batch must be refused")
+    except ValueError:
+        pass
+    if spark.read.parquet(entry["path"]).count() != n_corpus + 80:
+        raise RuntimeError("appended codes must match the accounted rows")
+    return pairs
+
+
+def _semantic_inc_oracle() -> str:
+    """DuckDB replay of q120: the FULL-corpus q119 chain over
+    (existing ∪ batch) — with the per-dim fit over the EXISTING corpus
+    only (the engine fits at build time, before the batch exists; batch
+    values outside that range clamp in both engines) — restricted to
+    candidate pairs touching a batch id, with the restricted per-bucket
+    candidate counts under the hash."""
+    cents = _qivf_centroids()
+    values = ", ".join(
+        f"({cid}, [{','.join(str(int(x)) for x in cc)}]::BIGINT[])"
+        for cid, cc in enumerate(cents)
+    )
+
+    def dot(x, y):
+        return _duck_dot(x, y, _EMB_DIM)
+
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(0, len(embedding)), i ->
+           embedding[i + 1]::DOUBLE * (1.0 + 0.01 *
+             CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END))
+  FROM embeddings WHERE vec_id < 60
+  UNION ALL
+  SELECT vec_id + 200000,
+         list_transform(range(0, len(embedding)), i ->
+           embedding[i + 1]::DOUBLE * (1.0 + 0.005 *
+             CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END))
+  FROM embeddings WHERE vec_id < 20
+), dims AS (
+  SELECT UNNEST(range(0, len(embedding))) AS d,
+         embedding::DOUBLE[] AS embedding
+  FROM embeddings
+), stats AS (
+  SELECT d, MIN(embedding[d + 1]) AS mn, MAX(embedding[d + 1]) AS mx
+  FROM dims GROUP BY d
+), params AS (
+  SELECT list(mn ORDER BY d) AS mins,
+         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END
+              ORDER BY d) AS scales
+  FROM stats
+), codes AS (
+  SELECT vec_id,
+         list_transform(range(0, len(embedding)), i ->
+           LEAST(GREATEST(
+             CAST(round((embedding[i + 1] - mins[i + 1])
+                        * scales[i + 1]) AS INT), 0), 255)) AS c
+  FROM corpus, params
+), rn AS (
+  SELECT vec_id, c,
+         sqrt(CAST(list_sum(list_transform(c, x ->
+           CAST(x AS BIGINT) * x)) AS DOUBLE)) AS n
+  FROM codes
+), cents AS (
+  SELECT * FROM (VALUES {values}) AS t(cid, cc)
+), cstats AS (
+  SELECT cid, cc,
+         sqrt(CAST(list_sum(list_transform(cc, x -> x * x)) AS DOUBLE))
+           AS cn
+  FROM cents
+), ccos AS (
+  SELECT r.vec_id, k.cid,
+         CASE WHEN r.n > 0 AND k.cn > 0
+              THEN (CAST(list_sum(list_transform(range(0, {_EMB_DIM}),
+                     i -> CAST(r.c[i + 1] AS BIGINT) * k.cc[i + 1]))
+                     AS DOUBLE) / r.n) / k.cn
+              ELSE 0.0 END AS cos
+  FROM rn r CROSS JOIN cstats k
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+    FROM ccos) WHERE rk = 1
+), cand AS (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE a.vec_id >= 100000 OR b.vec_id >= 100000
+), cnt AS (
+  SELECT cid, COUNT(*) AS cand_cnt FROM cand GROUP BY cid
+)
+SELECT c.id_a, c.id_b,
+       CASE WHEN sqrt({dot('a.embedding', 'a.embedding')}) > 0
+             AND sqrt({dot('b.embedding', 'b.embedding')}) > 0
+            THEN {dot('a.embedding', 'b.embedding')}
+                 / (sqrt({dot('a.embedding', 'a.embedding')})
+                    * sqrt({dot('b.embedding', 'b.embedding')}))
+            ELSE 0.0 END AS cosine,
+       t.cand_cnt
+FROM cand c
+JOIN corpus a ON a.vec_id = c.id_a
+JOIN corpus b ON b.vec_id = c.id_b
+JOIN cnt t USING (cid)
+WHERE CASE WHEN sqrt({dot('a.embedding', 'a.embedding')}) > 0
+            AND sqrt({dot('b.embedding', 'b.embedding')}) > 0
+           THEN {dot('a.embedding', 'b.embedding')}
+                / (sqrt({dot('a.embedding', 'a.embedding')})
+                   * sqrt({dot('b.embedding', 'b.embedding')}))
+           ELSE 0.0 END >= {_SDD_THRESHOLD}
+ORDER BY c.id_a, c.id_b
+"""
+
+
 def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 surface: n-gram LM quality scoring (functions/lm.py —
     the CCNet/RefinedWeb perplexity-filter stage at bigram granularity).
@@ -5332,14 +5526,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #: driver-checked r5-r12 — the contamination/n-gram family keeps q70
 #: in-window, and the near-dup family keeps q69/q80/q82 plus gains
 #: q119 itself).
+#: Round-14 rotation (VERDICT r13 #1/#5): q120 (incremental semantic
+#: dedup through the engine's persisted index — a NEW surface) plus
+#: q48/q54/q73 (ordered back in; parity-only last window) moved INTO
+#: the window; four multiply-checked passes moved out, each with an
+#: in-window family representative: q90 (join routing — q94/q83 keep
+#: the join families), q101 (chunking — q72 keeps packing), q62
+#: (stream sessions — q92 keeps streaming), q104 (layout advisor —
+#: q88 keeps partition routing).
 #: Everything NOT in this list still registers, after the window, and
 #: ``tests/test_oracle_parity.py`` sweeps ALL of them.
 _CHECK_WINDOW_ORDER = [
-    "q90_join_routing",
-    "q101_chunking",
+    "q120_semantic_incremental",
+    "q48_strata_analysis",
+    "q54_hll_ci",
+    "q73_minmax_distinct",
     "q118_lm_index",
     "q97_rollup_quantile",
-    "q104_layout_advisor",
     "q93_rollup_between",
     "q107_evidence_lifecycle",
     "q88_partition_routing_approx",
@@ -5357,7 +5560,6 @@ _CHECK_WINDOW_ORDER = [
     "q111_boilerplate",
     "q112_quantized_knn",
     "q115_boilerplate_incremental",
-    "q62_stream_sessions",
     "q49_neyman_alloc",
     "q87_grouped_topk",
     "q66_corpus_prepare",
@@ -5483,6 +5685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q117_lm_quality"] = _q_lm_quality
     out["q118_lm_index"] = _q_lm_index_lifecycle
     out["q119_semantic_dedup"] = _q_semantic_dedup
+    out["q120_semantic_incremental"] = _q_semantic_dedup_incremental
     return _reorder_check_window(out)
 
 
@@ -5563,5 +5766,6 @@ def oracle_sql() -> dict[str, str]:
     out["q117_lm_quality"] = _LM_QUALITY_ORACLE
     out["q118_lm_index"] = _LM_INDEX_ORACLE
     out["q119_semantic_dedup"] = _semantic_dedup_oracle()
+    out["q120_semantic_incremental"] = _semantic_inc_oracle()
     out["q47_pps_sum"] = _pps_oracle()
     return out

@@ -1270,6 +1270,7 @@ class AQEngine:
         clamp_threshold: float = 0.005,
         skew_threshold: float = 8.0,
         retrain: bool = False,
+        centroids=None,
     ) -> dict:
         """Materialize the PRODUCTION ANN index for ``table`` (round 12
         — the engine-level home of functions/quantization's quantized
@@ -1286,7 +1287,12 @@ class AQEngine:
         bucket meaning). Geometry reuse requires a previous ivf entry
         over the SAME vector column at the SAME nlist; pass
         ``retrain=True`` to force fresh k-means when the data itself has
-        drifted past what a re-encode can absorb. Maintenance also
+        drifted past what a re-encode can absorb, or ``centroids``
+        (nlist × dim float vectors) to BRING YOUR OWN coarse geometry —
+        e.g. trained offline in another system — which skips both
+        k-means and geometry reuse (``nlist`` is then the list's
+        length; round 14, also what lets a SQL oracle replay the whole
+        build in q120). Maintenance also
         watches per-bucket POPULATION skew (round 13, VERDICT r12 #4):
         appends assigned into a drifting corpus pile into few buckets
         and probe cost creeps with the fat bucket's share — when
@@ -1315,7 +1321,8 @@ class AQEngine:
         prev = self.catalog.quantized_codes.get(table)
         prev_floats = None
         if (
-            not retrain
+            centroids is None
+            and not retrain
             and prev
             and prev.get("kind") == "ivf"
             # centroids trained in a DIFFERENT embedding space (another
@@ -1335,7 +1342,11 @@ class AQEngine:
                 prev_floats = None
         if prev_floats is not None and len(prev_floats) != int(nlist):
             prev_floats = None  # caller asked for a DIFFERENT geometry
-        if prev_floats is not None:
+        if centroids is not None:
+            import numpy as _np
+
+            index = IVFIndex(_np.asarray(centroids, dtype=float))
+        elif prev_floats is not None:
             import numpy as _np
 
             index = IVFIndex(_np.asarray(prev_floats, dtype=float))
@@ -1477,11 +1488,132 @@ class AQEngine:
             assigned_codes=assigned,
         )
 
-    def _ann_index_frames(self, table: str, verb: str):
+    def semantic_dedup_update(
+        self,
+        table: str,
+        batch,
+        threshold: float = 0.95,
+        return_pairs: bool = False,
+        with_candidate_count: bool = False,
+    ) -> tuple:
+        """Incremental semantic dedup of a NEW embedding batch against
+        ``table``'s registered ANN index (round 14, VERDICT r13 #1 —
+        the update_lm_index / update_boilerplate_index treatment for
+        the SemDedup family): the batch is assigned into the PERSISTED
+        index's coarse buckets (the registered quantizer + centroid
+        codes — never a re-fit), candidate pairs generate only within
+        buckets and only where a batch id participates, the verdict is
+        exact float cosine, and the batch's codes are appended
+        partition-wise into the persisted assigned table (the
+        maintenance encode_append shape — probes keep pruning). Returns
+        ``(marked_batch_or_pairs, updated_entry)``.
+
+        The disjoint-batch contract is ENFORCED: a batch re-feeding
+        vector ids already in the code table would duplicate those rows
+        in every future probe and pair them against themselves, so the
+        guard raises before anything is appended (NULL-id vectors are
+        refused outright — the guard tracks by id and cannot protect
+        what has none). Invariant (q120's oracle claim): the returned
+        pairs EQUAL the full-corpus :meth:`semantic_dedup` pair set
+        over (corpus ∪ batch) restricted to pairs touching a batch id.
+
+        Base-table contract (shared with the LM index): the batch must
+        ALSO be appended to ``table`` — the table is the source of
+        truth maintenance rebuilds from, so codes fed here but absent
+        from the table would be LOST on the next drift-triggered
+        rebuild (the ghost probe flags exactly that mismatch). Either
+        feed order works: the staleness gate accepts the catalog
+        reading built or built + batch rows during the update."""
+        from pyspark.sql import functions as F
+
+        from approximate_query_engine_spark.functions.quantization import (
+            incremental_semantic_dedup,
+            incremental_semantic_dup_pairs,
+        )
+
+        n_batch = batch.count()
+        if n_batch == 0:
+            raise ValueError(
+                "semantic_dedup_update: empty batch — nothing to assign"
+            )
+        info, assigned, quant, cents = self._ann_index_frames(
+            table, "incrementally deduping", pending_batch_rows=n_batch
+        )
+        id_col, vec_col = info["id_col"], info["vec_col"]
+        # a NULL id can never satisfy the disjoint contract: the semi
+        # join below never matches NULL keys, so a re-fed NULL-id vector
+        # would slip past the guard and duplicate silently (the same
+        # refusal rationale as update_lm_index, engine.py:1033)
+        if batch.where(F.col(id_col).isNull()).limit(1).count():
+            raise ValueError(
+                "semantic_dedup_update: batch contains NULL vector ids "
+                "— the disjoint-batch guard tracks vectors by id and "
+                "cannot prevent a NULL-id vector from duplicating on a "
+                "re-feed. Assign ids before feeding."
+            )
+        dup = (
+            batch.select(F.col(id_col))
+            .join(assigned.select(F.col(id_col)), id_col, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "semantic_dedup_update: batch re-feeds vector ids "
+                "already in the code table — appending would duplicate "
+                "them in every probe and pair them against themselves. "
+                "Feed disjoint batches, or rebuild with build_ivf_codes."
+            )
+        kwargs = dict(
+            threshold=float(threshold), id_col=id_col, vec_col=vec_col
+        )
+        if return_pairs:
+            fn = incremental_semantic_dup_pairs
+            # the pruning proof rides only the pairs form (the marked
+            # frame is row-per-batch-doc, not row-per-pair)
+            kwargs["with_candidate_count"] = bool(with_candidate_count)
+        else:
+            fn = incremental_semantic_dedup
+        out, batch_assigned = fn(
+            batch,
+            assigned,
+            self.spark.table(table),
+            quant,
+            cents,
+            **kwargs,
+        )
+        # pin the result to the PRE-APPEND state before new files land
+        # under the same path: the pair set must never see the batch on
+        # the corpus side of its own update
+        out = out.localCheckpoint(eager=True)
+        (
+            batch_assigned.write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(info["path"])
+        )
+        info["built_row_count"] = int(
+            info.get("built_row_count") or 0
+        ) + int(n_batch)
+        self.catalog.quantized_codes[table] = info
+        self.catalog.upsert_table_stats(table, info["built_row_count"])
+        self.catalog.save()
+        return out, dict(info)
+
+    def _ann_index_frames(
+        self, table: str, verb: str, pending_batch_rows: int | None = None
+    ):
         """Shared index fetch for the ANN consumers (:meth:`knn`,
-        :meth:`semantic_dedup`): registered-entry lookup, the catalog
-        staleness gate, and the per-version sidecar cache — ONE
-        definition so the gates can never diverge between consumers.
+        :meth:`semantic_dedup`, :meth:`semantic_dedup_update`):
+        registered-entry lookup, the catalog staleness gate, and the
+        per-version sidecar cache — ONE definition so the gates can
+        never diverge between consumers.
+
+        ``pending_batch_rows`` relaxes the staleness gate for the
+        incremental-update path ONLY: a caller feeding a batch of that
+        size may have appended it to the base table already (the
+        catalog then reads built + batch) or not yet (built) — both are
+        consistent mid-update; any OTHER count is a real mutation and
+        still declines.
 
         The params/centroids sidecar is a one-row collect — cached per
         version path so repeated lookups pay zero extra jobs (the
@@ -1501,7 +1633,13 @@ class AQEngine:
                 "with build_ivf_codes first"
             )
         current = self.catalog.get_row_count(table)
-        if current is not None and current != info.get("built_row_count"):
+        allowed = {info.get("built_row_count")}
+        if pending_batch_rows:
+            allowed.add(
+                int(info.get("built_row_count") or 0)
+                + int(pending_batch_rows)
+            )
+        if current is not None and current not in allowed:
             raise ValueError(
                 f"ANN index for {table!r} is stale (base rows "
                 f"{current} != indexed {info.get('built_row_count')}) — "

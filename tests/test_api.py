@@ -636,3 +636,93 @@ def test_boilerplate_routes(client, engine):
         json={"table": "api_docs", "batch_view": "api_docs_b2"},
     )
     assert r.status_code == 409, (r.status_code, r.get_json())
+
+
+def test_semantic_dedup_routes(client, engine):
+    """Round-14 SemDedup surface over HTTP (VERDICT r13 #1): the full
+    pass returns flagged ids / pairs from the registered index, the
+    incremental update assigns a new batch into the persisted buckets
+    and appends its codes, a re-fed batch is refused with 409, a NULL-id
+    batch with 400, and a stale index declines 409."""
+    import math
+
+    spark = engine.spark
+    # distinct directions 0.12 rad apart (pairwise cosine <= 0.9964,
+    # below the 0.999 threshold) so the ONLY above-threshold pair is
+    # the planted copy
+    rows = [
+        (i, [math.cos(0.12 * i), math.sin(0.12 * i), 1.0])
+        for i in range(40)
+    ]
+    rows.append((99, [x * 1.0000001 for x in rows[0][1]]))  # planted dup
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("api_sem")
+    r = client.post(
+        "/ann/build", json={"table": "api_sem", "nlist": 4, "seed": 9}
+    )
+    assert r.status_code == 200, r.get_json()
+    # full pass, marking form: the planted copy (larger id) is flagged
+    r = client.post(
+        "/dedup/semantic", json={"table": "api_sem", "threshold": 0.999}
+    )
+    assert r.status_code == 200, r.get_json()
+    body = r.get_json()
+    assert body["duplicates"] == 1 and body["flagged_ids"] == [99]
+    # full pass, pairs form
+    r = client.post(
+        "/dedup/semantic",
+        json={"table": "api_sem", "threshold": 0.999, "return_pairs": True},
+    )
+    assert r.status_code == 200
+    assert {(p["id_a"], p["id_b"]) for p in r.get_json()["pairs"]} == {(0, 99)}
+    # incremental update: a dup of id 7 and a novel vector
+    spark.createDataFrame(
+        [
+            (200, [x * 1.0000002 for x in rows[7][1]]),
+            (201, [9.0, -9.0, 9.0]),
+        ],
+        schema,
+    ).createOrReplaceTempView("api_sem_b2")
+    r = client.post(
+        "/dedup/semantic/update",
+        json={
+            "table": "api_sem",
+            "batch_view": "api_sem_b2",
+            "threshold": 0.999,
+        },
+    )
+    assert r.status_code == 200, r.get_json()
+    body = r.get_json()
+    assert body["duplicates"] == 1 and body["flagged_ids"] == [200]
+    assert body["entry"]["built_row_count"] == 43
+    # base-table contract: the caller appends the batch to the table
+    spark.createDataFrame(
+        rows + [(200, [x * 1.0000002 for x in rows[7][1]]),
+                (201, [9.0, -9.0, 9.0])],
+        schema,
+    ).createOrReplaceTempView("api_sem")
+    # re-feeding the same batch is refused with 409
+    r = client.post(
+        "/dedup/semantic/update",
+        json={"table": "api_sem", "batch_view": "api_sem_b2"},
+    )
+    assert r.status_code == 409, (r.status_code, r.get_json())
+    # NULL-id batch is a 400 (malformed), never a conflict
+    spark.createDataFrame(
+        [(None, [1.0, 1.0, 1.0])], schema
+    ).createOrReplaceTempView("api_sem_null")
+    r = client.post(
+        "/dedup/semantic/update",
+        json={"table": "api_sem", "batch_view": "api_sem_null"},
+    )
+    assert r.status_code == 400, (r.status_code, r.get_json())
+    # a real mutation declines 409 on BOTH routes
+    engine.catalog.upsert_table_stats("api_sem", 999)
+    assert client.post(
+        "/dedup/semantic", json={"table": "api_sem"}
+    ).status_code == 409
+    assert client.post(
+        "/dedup/semantic/update",
+        json={"table": "api_sem", "batch_view": "api_sem_b2"},
+    ).status_code == 409
+    engine.catalog.upsert_table_stats("api_sem", 43)  # restore

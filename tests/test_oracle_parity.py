@@ -105,15 +105,15 @@ def test_check_window_ordering():
         "q07_having": "q74_group_sum_having",
         "q08_min_max": "q74_group_sum_having",  # r9: q73 exiled too
         "q10_distinct_exact": "q74_group_sum_having",  # r9: q73 exiled too
-        "q12_join_dims": "q90_join_routing",
+        "q12_join_dims": "q94_rollup_join",
         "q14_join3_agg": "q94_rollup_join",
-        "q20_sessionize": "q62_stream_sessions",
+        "q20_sessionize": "q92_stream_rollup",
         "q21_sys_sample_count": "q76_sample_group_ci",
         "q22_sys_sample_group_sum": "q76_sample_group_ci",
         "q23_sample_ci": "q76_sample_group_ci",
         "q38_part_stats": "q74_group_sum_having",
         "q39_customer_segments": "q74_group_sum_having",
-        "q40_region_revenue": "q90_join_routing",
+        "q40_region_revenue": "q94_rollup_join",
         "q41_rollup": "q74_group_sum_having",
         "q42_anti_join": "q83_join_aqp",
         "q43_semi_join": "q83_join_aqp",
@@ -150,30 +150,30 @@ def test_check_window_ordering():
         # slots moved out, each with an in-window family representative.
         "q06_where_group_avg": "q74_group_sum_having",  # WHERE+GROUP scan
         "q24_doc_stats": "q66_corpus_prepare",  # doc quality stats
-        "q57_sessionize": "q62_stream_sessions",  # sessionization family
+        "q57_sessionize": "q92_stream_rollup",  # sessionization family
         # q95 (real-time hybrid) took q53's slot; the skew-join family
         # keeps q46/q83/q90/q94 in-window
-        "q53_salted_join": "q90_join_routing",
+        "q53_salted_join": "q94_rollup_join",
         # late-round-7 rotation: q96-q100 (theta overlap, KLL rollup
         # quantile, PII scrub, top-k-from-state, theta audience diff)
         # moved INTO the window; these five stable slots moved out, each
         # with an in-window family representative.
-        "q13_join_fact": "q90_join_routing",  # exact fact join family
+        "q13_join_fact": "q94_rollup_join",  # exact fact join family
         # round-8 rotation (VERDICT r7 instruction 2): q101 (document
         # chunking) and q102 (hierarchical derive -> weekly dashboard)
         # moved INTO the window; these long-stable slots moved out, each
         # with an in-window family representative.
         "q11_tpch_q1": "q74_group_sum_having",  # scalar-agg scan family
-        "q46_asof_join": "q90_join_routing",  # join family
+        "q46_asof_join": "q94_rollup_join",  # join family
         # late-round-8 rotation: q103/q104 (advisor loops closed:
         # observe → apply → route, for rollups and layouts) moved INTO
         # the window, displacing their families' narrower rows.
         # (Round 9 rotated q91/q99 themselves back IN per VERDICT r8 #6.)
-        "q85_partitioned_scan": "q104_layout_advisor",
+        "q85_partitioned_scan": "q88_partition_routing_approx",
         # round-9 rotation: q91/q99 back in, q106 (advisor loop closed
         # for the top-items family) in; these long-stable slots moved
         # out, each with an in-window family representative.
-        "q35_stream_window": "q62_stream_sessions",  # streaming family
+        "q35_stream_window": "q92_stream_rollup",  # streaming family
         "q28_ann_topk": "q112_quantized_knn",  # similarity family
         # round-10 rotation (VERDICT r9 instruction 1): q107 moved INTO
         # the window; q86 (exact partition-layout routing, multiply
@@ -193,7 +193,7 @@ def test_check_window_ordering():
         # with an in-window family representative.
         "q47_pps_sum": "q76_sample_group_ci",  # weighted-sampling family
         "q52_graph_components": "q69_dedup_keep_best",  # dedup-graph family
-        "q61_funnel": "q62_stream_sessions",  # events-analytics family
+        "q61_funnel": "q92_stream_rollup",  # events-analytics family
         # r12: q45 exiled; retention's date arithmetic is covered by the
         # day-over-day theta family's in-window row
         "q64_retention": "q100_rollup_audience",
@@ -212,7 +212,7 @@ def test_check_window_ordering():
         "q55_multimodal_decode": "q82_media_dedup",  # media family
         # late round 12: q116 (quantizer drift lifecycle) took q78's
         # slot; the packing family keeps q101 chunking + q72 in-window
-        "q78_pack_sequences": "q101_chunking",
+        "q78_pack_sequences": "q72_token_budget",
         # later round 12: q117 (n-gram LM quality scoring, a NEW
         # operator family) took q32's slot; the near-dup family keeps
         # q69/q80/q82 in-window
@@ -230,6 +230,16 @@ def test_check_window_ordering():
         # inverted file) took q79's slot; the contamination/n-gram
         # family keeps q70 in-window
         "q79_ngram_jaccard": "q70_contamination",
+        # round-14 rotation (VERDICT r13 #1/#5): q120 (incremental
+        # semantic dedup through the engine's persisted index) and
+        # q48/q54/q73 (ordered back in) moved INTO the window; these
+        # four multiply-checked slots moved out, each with an in-window
+        # family representative (earlier exiles that leaned on them
+        # were re-pointed above).
+        "q90_join_routing": "q94_rollup_join",  # routed-join family
+        "q101_chunking": "q72_token_budget",  # packing/chunking family
+        "q62_stream_sessions": "q92_stream_rollup",  # streaming family
+        "q104_layout_advisor": "q88_partition_routing_approx",
     }
     for name in names[50:]:
         if name in oracled:

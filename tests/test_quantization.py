@@ -611,3 +611,229 @@ def test_semantic_dedup_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # the join key is the bucket, so the pair space is bucket-local
     assert "centroid_id" in plan
+
+
+def test_incremental_semantic_dedup_matches_full_restricted(spark):
+    """Round-14 invariant (VERDICT r13 #1): the incremental pair set
+    over (existing, batch) EQUALS the full-corpus ivf_semantic_dup_pairs
+    over the union restricted to pairs touching a batch id — same
+    quantizer (fitted on the EXISTING corpus, the build-time state),
+    same centroids, exact cosine verdict. Batch ids both smaller and
+    larger than existing ids exercise the id_a < id_b canonicalization;
+    the marking form applies corpus-wins + keep-earliest-in-batch."""
+    import random
+
+    from approximate_query_engine_spark.functions.quantization import (
+        ScalarQuantizer,
+        centroid_codes_from_index,
+        incremental_semantic_dedup,
+        incremental_semantic_dup_pairs,
+        ivf_assign_quantized,
+        ivf_semantic_dup_pairs,
+    )
+    from approximate_query_engine_spark.functions.similarity import IVFIndex
+
+    rng = random.Random(37)
+    existing = []
+    for i in range(60):
+        c = i % 6
+        center = [2.0 * ((c >> b) & 1) - 1.0 for b in range(3)] + [0.4] * 3
+        existing.append(
+            (100 + i, [x + rng.uniform(-0.12, 0.12) for x in center])
+        )
+    # batch: a near-copy of existing id 100 under a SMALLER id (5), two
+    # near-copies under larger ids, a near-dup PAIR inside the batch,
+    # and novel rows
+    batch = [
+        (5, [x * 1.000001 for x in existing[0][1]]),
+        (1000, [x * (1.0 + 0.001 * ((j % 2) * 2 - 1))
+                for j, x in enumerate(existing[1][1])]),
+        (1001, [x * 1.000002 for x in existing[2][1]]),
+        (1002, [rng.uniform(-1, 1) for _ in range(6)]),
+        (1003, None),  # placeholder replaced below
+    ]
+    batch[4] = (1003, [x * 1.0000015 for x in batch[3][1]])  # in-batch dup
+    schema = "vec_id long, embedding array<double>"
+    edf = spark.createDataFrame(existing, schema)
+    bdf = spark.createDataFrame(batch, schema)
+    q = ScalarQuantizer.fit(edf)  # build-time fit: EXISTING only
+    idx = IVFIndex.train(edf, nlist=6, seed=3)
+    cents = centroid_codes_from_index(idx, q)
+    existing_assigned = ivf_assign_quantized(edf, q, cents)
+    inc, batch_assigned = incremental_semantic_dup_pairs(
+        bdf, existing_assigned, edf, q, cents, threshold=0.999,
+        with_candidate_count=True,
+    )
+    inc_rows = inc.collect()
+    got = {(r["id_a"], r["id_b"]) for r in inc_rows}
+    # full replay over the union with the SAME quantizer + centroids
+    union = edf.unionByName(bdf)
+    full = ivf_semantic_dup_pairs(
+        union, q, cents, threshold=0.999,
+        assigned_codes=ivf_assign_quantized(union, q, cents),
+    ).collect()
+    new_ids = {i for i, _v in batch}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert got == want, (got, want)
+    # the planted pairs are all found, including the smaller-id batch row
+    assert (5, 100) in got and (1002, 1003) in got
+    assert (101, 1000) in got and (102, 1001) in got
+    # cosines match the full replay exactly (same pinned expression)
+    full_cos = {
+        (r["id_a"], r["id_b"]): r["cosine"] for r in full
+    }
+    for r in inc_rows:
+        assert r["cosine"] == full_cos[(r["id_a"], r["id_b"])]
+    # pruning proof: candidate counts are batch-bucket-sized, never the
+    # union's all-pairs
+    n = 65
+    assert all(r["cand_cnt"] < n * (n - 1) / 2 for r in inc_rows)
+    # batch_assigned matches what full assignment gives those ids
+    ba = {r["vec_id"]: r["centroid_id"] for r in batch_assigned.collect()}
+    fa = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign_quantized(bdf, q, cents).collect()
+    }
+    assert ba == fa and set(ba) == new_ids
+    # marking form: corpus-wins (id 5 flagged despite being smaller),
+    # keep-earliest within the batch (1003 flagged, 1002 kept)
+    marked, _ = incremental_semantic_dedup(
+        bdf, existing_assigned, edf, q, cents, threshold=0.999
+    )
+    flags = {
+        r["vec_id"]: r["is_semantic_duplicate"] for r in marked.collect()
+    }
+    assert flags == {
+        5: True, 1000: True, 1001: True, 1002: False, 1003: True
+    }, flags
+
+
+def test_engine_semantic_dedup_update_lifecycle(spark):
+    """engine.semantic_dedup_update: assigns the batch into the
+    REGISTERED index's buckets, returns the incremental pairs/marks,
+    appends the codes partition-wise, and accounts for the batch
+    (built_row_count, catalog stats). The disjoint-batch guard refuses
+    re-fed and NULL ids BEFORE anything is appended; a later knn over
+    the updated index sees the batch's vectors."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from approximate_query_engine_spark import AQEngine
+
+    rows = [
+        (i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("semu_vecs")
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_semu_"))
+    eng.build_ivf_codes("semu_vecs", nlist=4, seed=9)
+    batch_rows = [
+        (200, [x * 1.0000001 for x in rows[0][1]]),  # dup of id 0
+        (201, [9.0, -9.0, 9.0]),                     # novel direction
+        (202, [x * 1.0000002 for x in rows[7][1]]),  # dup of id 7
+    ]
+    batch = spark.createDataFrame(batch_rows, schema)
+    pairs, entry = eng.semantic_dedup_update(
+        "semu_vecs", batch, threshold=0.999, return_pairs=True
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 200) in got and (7, 202) in got
+    assert not any(a == 201 or b == 201 for a, b in got)
+    assert entry["built_row_count"] == 43
+    # codes were appended into the SAME versioned path, partition-wise
+    assert spark.read.parquet(entry["path"]).count() == 43
+    # base-table contract: append the batch to the table too
+    spark.createDataFrame(rows + batch_rows, schema).createOrReplaceTempView(
+        "semu_vecs"
+    )
+    # the updated index serves knn over the batch's vectors (wide
+    # shortlist: the grid corpus puts several rows on 201's CODE-space
+    # direction, and code ties break by id before the float rerank)
+    nbr = eng.knn(
+        "semu_vecs", batch.where("vec_id = 201"), k=2, nprobe=4,
+        shortlist_factor=8,
+    ).collect()
+    assert nbr and nbr[0]["neighbor_id"] == 201, nbr
+    assert nbr[0]["cosine"] == 1.0
+    # re-feeding any already-indexed id is refused, nothing appended
+    with _pytest.raises(ValueError, match="re-feeds vector ids"):
+        eng.semantic_dedup_update("semu_vecs", batch)
+    assert spark.read.parquet(entry["path"]).count() == 43
+    # NULL-id batches are refused outright
+    nb = spark.createDataFrame([(None, [1.0, 1.0, 1.0])], schema)
+    with _pytest.raises(ValueError, match="NULL vector ids"):
+        eng.semantic_dedup_update("semu_vecs", nb)
+    # marked form on a second disjoint batch: dup flagged, novel kept
+    b2 = spark.createDataFrame(
+        [(300, [x * 1.0000003 for x in rows[1][1]]), (301, [-7.0, 3.0, -5.0])],
+        schema,
+    )
+    marked, entry2 = eng.semantic_dedup_update(
+        "semu_vecs", b2, threshold=0.999
+    )
+    flags = {r["vec_id"]: r["is_semantic_duplicate"] for r in marked.collect()}
+    assert flags == {300: True, 301: False}
+    assert entry2["built_row_count"] == 45
+    spark.createDataFrame(
+        rows + batch_rows + [(300, None), (301, None)], schema
+    )  # (doc only: table append is the caller's job)
+    # a REAL mutation (not the pending batch) still declines stale
+    eng.catalog.upsert_table_stats("semu_vecs", 999)
+    with _pytest.raises(ValueError, match="stale"):
+        eng.semantic_dedup_update(
+            "semu_vecs",
+            spark.createDataFrame([(400, [1.0, 2.0, 3.0])], schema),
+        )
+
+
+def test_build_ivf_codes_with_given_centroids(spark):
+    """Round 14: bring-your-own coarse geometry — build_ivf_codes with
+    explicit float centroids skips k-means, records nlist from the
+    list, and assigns exactly as the functional path with the encoded
+    centroid codes. decode_py(codes) re-encodes to the same codes (the
+    cell-center round-trip q120's oracle relies on)."""
+    import tempfile
+
+    import numpy as np
+
+    from approximate_query_engine_spark import AQEngine
+    from approximate_query_engine_spark.functions.quantization import (
+        ScalarQuantizer,
+        ivf_assign_quantized,
+        read_ivf_quantized_codes,
+    )
+
+    # no constant dimension: a 0-scale dim decodes to its min and
+    # re-encodes to 0, so only varying dims round-trip arbitrary codes
+    rows = [
+        (i, [float((i * 13) % 7) - 3.0, float((i * 5) % 11) / 2.0,
+             float(i % 4)])
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).createOrReplaceTempView("byo_vecs")
+    q = ScalarQuantizer.fit(spark.table("byo_vecs"))
+    seeded = np.random.default_rng(7).integers(0, 256, (4, 3)).tolist()
+    floats = [q.decode_py(c) for c in seeded]
+    assert [q.encode_py(f) for f in floats] == [
+        [int(x) for x in c] for c in seeded
+    ]
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_byo_"))
+    entry = eng.build_ivf_codes("byo_vecs", centroids=floats)
+    assert entry["kind"] == "ivf" and entry["nlist"] == 4
+    assigned, quant, cents = read_ivf_quantized_codes(spark, entry["path"])
+    assert cents == [[int(x) for x in c] for c in seeded]
+    got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    want = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign_quantized(
+            spark.table("byo_vecs"), q, seeded
+        ).collect()
+    }
+    assert got == want
