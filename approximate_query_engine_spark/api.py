@@ -489,16 +489,22 @@ def create_app(engine: AQEngine, config: Config | None = None):
             table = body["table"]
             threshold = float(body.get("threshold", 0.95))
             limit = int(body.get("limit", 100))
+            probes = int(body.get("assign_probes", 1))
             if body.get("return_pairs"):
                 rows = (
                     engine.semantic_dedup(
-                        table, threshold=threshold, return_pairs=True
+                        table,
+                        threshold=threshold,
+                        return_pairs=True,
+                        assign_probes=probes,
                     )
                     .limit(limit)
                     .collect()
                 )
                 return jsonify({"pairs": [r.asDict() for r in rows]})
-            marked = engine.semantic_dedup(table, threshold=threshold)
+            marked = engine.semantic_dedup(
+                table, threshold=threshold, assign_probes=probes
+            )
             dups = marked.where(F.col("is_semantic_duplicate"))
             info = engine.catalog.quantized_codes.get(table) or {}
             id_col = info.get("id_col", "vec_id")

@@ -1453,6 +1453,7 @@ class AQEngine:
         table: str,
         threshold: float = 0.95,
         return_pairs: bool = False,
+        assign_probes: int = 1,
     ):
         """Semantic (embedding-cosine) near-duplicate detection over
         ``table`` through its registered ANN index (round 13 — the
@@ -1468,7 +1469,11 @@ class AQEngine:
         Σ_buckets B²/2, so build the index with ``nlist`` large enough
         that the expected bucket is small (SemDedup uses ~100k clusters
         at web scale); the maintenance bucket-skew policy keeps that
-        assumption honest as the corpus drifts."""
+        assumption honest as the corpus drifts. ``assign_probes > 1``
+        (round 14) bounds the Voronoi-boundary miss — boundary pairs
+        share a top-P bucket — at the cost of one fresh multi-probe
+        corpus scan (the persisted top-1 table cannot express
+        multi-membership) and ~P× candidate volume."""
         from approximate_query_engine_spark.functions.quantization import (
             ivf_semantic_dedup,
             ivf_semantic_dup_pairs,
@@ -1486,6 +1491,7 @@ class AQEngine:
             id_col=info["id_col"],
             vec_col=info["vec_col"],
             assigned_codes=assigned,
+            assign_probes=int(assign_probes),
         )
 
     def semantic_dedup_update(
@@ -1551,9 +1557,16 @@ class AQEngine:
                 "cannot prevent a NULL-id vector from duplicating on a "
                 "re-feed. Assign ids before feeding."
             )
+        # EXISTS probe flipped so the corpus-sized code table STREAMS
+        # against the broadcast batch ids (a batch-left semi join would
+        # shuffle the whole assigned table to answer a yes/no)
         dup = (
-            batch.select(F.col(id_col))
-            .join(assigned.select(F.col(id_col)), id_col, "left_semi")
+            assigned.select(F.col(id_col))
+            .join(
+                F.broadcast(batch.select(F.col(id_col))),
+                id_col,
+                "left_semi",
+            )
             .limit(1)
             .count()
         )

@@ -2662,6 +2662,93 @@ def main() -> None:
     # each run writes to a fresh temp dir, so reps are self-contained
     _safe("corpus_e2e", _corpus_e2e, reps=2)
 
+    # per-stage attribution of the corpus_e2e TAIL (round 14, VERDICT
+    # r13 #3): r13's +9% canary-normalized e2e growth was
+    # unattributable — corpus_prepare and its stage walls stayed flat,
+    # so the drift lived somewhere in dedup → redact+tokens → pack →
+    # shards. Each tail stage times ONLY its own work over an UNTIMED
+    # localCheckpoint of its input (the corpus_prepare_* pattern one
+    # level up the chain), so a round-over-round corpus_e2e move names
+    # its stage. The checkpoint refs are dropped after; the kNN quiesce
+    # section already ran far above, so their heap litter never touches
+    # the isolated knn walls.
+    try:
+        import shutil as _sh
+        import tempfile as _tf2
+
+        from approximate_query_engine_spark.functions.dedup import (
+            dedup_minhash as _ddm,
+        )
+        from approximate_query_engine_spark.functions.packing import (
+            pack_sequences as _pseq,
+        )
+        from approximate_query_engine_spark.functions.packing import (
+            write_training_shards as _wts,
+        )
+        from approximate_query_engine_spark.functions.pipeline import (
+            prepare_corpus as _prep_c,
+        )
+        from approximate_query_engine_spark.functions.text import (
+            redact_pii as _rpii,
+        )
+        from approximate_query_engine_spark.functions.text import (
+            token_count_expr as _tok,
+        )
+
+        _kept_ck = (
+            _prep_c(
+                spark.table("documents"),
+                min_tokens=5,
+                max_tokens=100_000,
+                languages=["en", "de"],
+                min_quality=0.2,
+            )
+            .where("reject_reason IS NULL")
+            .localCheckpoint()
+        )
+
+        def _e2e_dedup():
+            _ddm(_kept_ck, threshold=0.5, num_hashes=64, bands=16).count()
+
+        _safe("corpus_e2e_dedup", _e2e_dedup, reps=2)
+        _dedup_ck = _ddm(
+            _kept_ck, threshold=0.5, num_hashes=64, bands=16
+        ).localCheckpoint()
+
+        def _e2e_redact():
+            (
+                _rpii(_dedup_ck, "text")
+                .withColumn("n_tokens", _tok("text"))
+                .agg(F.sum("n_tokens").alias("s"))
+                .collect()
+            )
+
+        _safe("corpus_e2e_redact", _e2e_redact, reps=2)
+        _clean_ck = (
+            _rpii(_dedup_ck, "text")
+            .withColumn("n_tokens", _tok("text"))
+            .select("doc_id", "n_tokens")
+            .localCheckpoint()
+        )
+
+        def _e2e_pack():
+            _pseq(_clean_ck, 2048, n_shards=8).count()
+
+        _safe("corpus_e2e_pack", _e2e_pack, reps=2)
+        _packed_ck = _pseq(_clean_ck, 2048, n_shards=8).localCheckpoint()
+
+        def _e2e_shards():
+            d = _tf2.mkdtemp(prefix="aqe_e2e_shards_")
+            try:
+                _wts(_packed_ck, d).collect()
+            finally:
+                _sh.rmtree(d, ignore_errors=True)
+
+        _safe("corpus_e2e_shards", _e2e_shards, reps=2)
+        del _kept_ck, _dedup_ck, _clean_ck, _packed_ck
+    except Exception as exc:  # noqa: BLE001 - attribution never fails bench
+        bench_errors["corpus_e2e_stages"] = f"{type(exc).__name__}: {exc}"[:300]
+
     # ---- PII scrub priced on its own line (VERDICT r7 item 6) ----------
     # corpus_e2e absorbed the round-7 5-pattern typed redaction (+1.37 s
     # unattributed); this class times JUST the scrub projection over the
@@ -3686,8 +3773,35 @@ def main() -> None:
             "knn_brute/knn_quantized/knn_ivf* timed immediately after "
             "gc+System.gc quiesce; machine_canary.pre_knn probes the "
             "box at that instant — knn wall moves the pre_knn canary "
-            "does not share are plan drift, moves it shares are the box"
+            "does not share are plan drift, moves it shares are the box. "
+            "knn_anchor compares this round's canary-normalized walls "
+            "to the r11 anchor (the last pre-spike round): ratio_vs_r11 "
+            "within the class's spread/median band = restored"
         ),
+        # round 14 (VERDICT r13 #4): the residual knn_quantized drift is
+        # pinned against a CANARY-NORMALIZED r11 anchor (BENCH_r11:
+        # knn_quantized 3.60 s, knn_brute 3.32 s at canary median 1.287
+        # — pre_knn did not exist yet, so the round median is the
+        # anchor's normalizer)
+        "knn_anchor": (lambda _pre: {
+            "anchor_sf": 0.1,
+            "comparable": abs(_sf_from_dir(SF_DIR) - 0.1) < 1e-9,
+            **{
+                cls: {
+                    "wall": round(timings[cls], 3),
+                    "normalized": round(timings[cls] / _pre, 3),
+                    "r11_normalized": round(a_wall / 1.287, 3),
+                    "ratio_vs_r11": round(
+                        (timings[cls] / _pre) / (a_wall / 1.287), 3
+                    ),
+                    "spread": _SPREADS.get(cls),
+                }
+                for cls, a_wall in (
+                    ("knn_quantized", 3.60), ("knn_brute", 3.32)
+                )
+                if cls in timings and _pre
+            },
+        })(machine_canary.get("pre_knn") or canary_med or 0),
         "ivf_skew": ivf_skew,
         "lm_lifecycle": lm_lifecycle,
         "ml_stats": ml_block,

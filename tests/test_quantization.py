@@ -885,3 +885,69 @@ def test_bucket_skew_footer_probe_equals_scan_form(spark, tmp_path):
     df.write.parquet(flat)
     with pytest.raises(ValueError, match="bucket directories"):
         ivf_bucket_skew_from_footers(spark, flat)
+
+
+def test_semantic_dedup_multi_probe_bounds_voronoi_miss(spark):
+    """Round 14 (VERDICT r13 #6, optional knob): two near-identical
+    vectors straddling a Voronoi boundary argmax into DIFFERENT buckets
+    and the single-assignment pair generation never compares them;
+    assign_probes=2 puts both in both top-2 buckets and finds the pair.
+    Multi-assign rank 1 equals the stored argmax (both execution paths
+    value-identical); the per-bucket candidate count is refused under
+    multi-probe (a pair sharing two buckets has no owning bucket)."""
+    import pytest
+
+    from approximate_query_engine_spark.functions.quantization import (
+        ScalarQuantizer,
+        ivf_assign_quantized,
+        ivf_multi_assign_quantized,
+        ivf_semantic_dup_pairs,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]),   # range corner (zero-norm: cosine defined 0)
+        (1, [1.0, 0.9]),   # boundary pair: cos(v1, v2) = 0.99448...
+        (2, [0.9, 1.0]),
+        (3, [1.0, 0.0]),   # bucket-0 interior
+        (4, [0.0, 1.0]),   # bucket-1 interior
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = ScalarQuantizer.fit(df)
+    cents = [[255, 0], [0, 255]]
+    a1 = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign_quantized(df, q, cents).collect()
+    }
+    assert a1[1] != a1[2]  # the boundary split
+    p1 = {
+        (r.id_a, r.id_b)
+        for r in ivf_semantic_dup_pairs(df, q, cents, threshold=0.99).collect()
+    }
+    assert (1, 2) not in p1 and p1 == set()  # single-probe miss
+    p2 = {
+        (r.id_a, r.id_b)
+        for r in ivf_semantic_dup_pairs(
+            df, q, cents, threshold=0.99, assign_probes=2
+        ).collect()
+    }
+    assert p2 == {(1, 2)}
+    # rank 1 of the multi-assignment IS the stored argmax
+    m = ivf_multi_assign_quantized(df, q, cents, probes=2)
+    r1 = {
+        r.vec_id: r.centroid_id
+        for r in m.where("assign_rank = 1").collect()
+    }
+    assert r1 == a1
+    # the Arrow kernel path is value-identical to the literal path
+    mp = ivf_multi_assign_quantized(
+        df, q, cents, probes=2, max_literal_cells=1
+    )
+    assert sorted(
+        (r.vec_id, r.centroid_id, r.assign_rank) for r in mp.collect()
+    ) == sorted(
+        (r.vec_id, r.centroid_id, r.assign_rank) for r in m.collect()
+    )
+    with pytest.raises(ValueError, match="no per-bucket"):
+        ivf_semantic_dup_pairs(
+            df, q, cents, assign_probes=2, with_candidate_count=True
+        )
