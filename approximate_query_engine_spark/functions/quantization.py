@@ -1169,9 +1169,22 @@ def incremental_semantic_dup_pairs(
     fans the cosine join out."""
     from approximate_query_engine_spark.functions.dedup import cosine_expr
 
+    # the Arrow kernel unconditionally (max_literal_cells=0): the
+    # literal centroid-expression plan costs seconds of analysis and
+    # codegen PER CALL (measured ~6-8 s at nlist=32 x dim=64 vs ~0.35 s
+    # for the kernel) — amortizable for a one-time corpus
+    # materialization, dominant for a per-batch incremental path. The
+    # two paths are value-identical (test-pinned), so the q120 oracle
+    # is unaffected. The lazy checkpoint evaluates the assignment once
+    # for its three consumers (cross pairs, self pairs, the append).
     batch_assigned = ivf_assign_quantized(
-        batch, quantizer, centroid_codes, id_col=id_col, vec_col=vec_col
-    )
+        batch,
+        quantizer,
+        centroid_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_literal_cells=0,
+    ).localCheckpoint(eager=False)
     new_ids = batch_assigned.select(
         F.col(id_col).alias("__nid"), "centroid_id"
     )
