@@ -3881,6 +3881,19 @@ def main() -> None:
         # round 14 (VERDICT r13 #1): incremental SemDedup update vs the
         # naive full corpus re-pair, engine path end-to-end
         "semantic_lifecycle": semantic_lifecycle,
+        # round 14 (VERDICT r13 #3): the e2e wall decomposes as
+        # ~2 x corpus_prepare + the corpus_e2e_* tail stages — the
+        # one-shot chain evaluates the un-persisted prepare plan TWICE
+        # (minhash dedup materializes signatures once, but the
+        # keep-survivors anti-join re-reads its input), so prepare
+        # drift shows DOUBLED in corpus_e2e. At 100 TB the pipeline
+        # persists the prepared corpus before dedup and pays it once.
+        "corpus_e2e_note": (
+            "corpus_e2e ~= 2*corpus_prepare + corpus_e2e_{dedup,"
+            "redact,pack,shards}: dedup's keep-survivors anti-join "
+            "re-evaluates the un-persisted prepare plan, so prepare "
+            "drift appears doubled in the e2e wall"
+        ),
         "ml_stats": ml_block,
         "rel_errors": errors,
         "errors": bench_errors,
