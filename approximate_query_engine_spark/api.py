@@ -540,6 +540,7 @@ def create_app(engine: AQEngine, config: Config | None = None):
                 engine.spark.table(body["batch_view"]),
                 threshold=float(body.get("threshold", 0.95)),
                 return_pairs=bool(body.get("return_pairs", False)),
+                assign_probes=int(body.get("assign_probes", 1)),
             )
             limit = int(body.get("limit", 100))
             if body.get("return_pairs"):

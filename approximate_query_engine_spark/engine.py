@@ -1501,6 +1501,7 @@ class AQEngine:
         threshold: float = 0.95,
         return_pairs: bool = False,
         with_candidate_count: bool = False,
+        assign_probes: int = 1,
     ) -> tuple:
         """Incremental semantic dedup of a NEW embedding batch against
         ``table``'s registered ANN index (round 14, VERDICT r13 #1 —
@@ -1578,7 +1579,12 @@ class AQEngine:
                 "Feed disjoint batches, or rebuild with build_ivf_codes."
             )
         kwargs = dict(
-            threshold=float(threshold), id_col=id_col, vec_col=vec_col
+            threshold=float(threshold),
+            id_col=id_col,
+            vec_col=vec_col,
+            # widen the BATCH side to its top-P buckets (the appended
+            # codes stay rank-1, the persisted layout)
+            assign_probes=int(assign_probes),
         )
         if return_pairs:
             fn = incremental_semantic_dup_pairs

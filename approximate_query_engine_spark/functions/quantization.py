@@ -1135,6 +1135,7 @@ def incremental_semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_candidate_count: bool = False,
+    assign_probes: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """The incremental form of :func:`ivf_semantic_dup_pairs` (round 14,
     VERDICT r13 #1 — the new-batch-vs-persisted-state path every sibling
@@ -1166,9 +1167,24 @@ def incremental_semantic_dup_pairs(
     ``existing_vectors`` supplies the float vectors for the exact
     verdict — it is semi-joined to the EXISTING assigned ids, so a base
     table that already contains the batch (either feed order) never
-    fans the cosine join out."""
+    fans the cosine join out.
+
+    ``assign_probes > 1`` widens the BATCH side's candidate buckets to
+    its top-P centroids (the persisted corpus stays top-1 — its
+    multi-membership is not recorded), bounding the Voronoi-boundary
+    miss for new-vs-existing pairs at ~P× batch candidate volume; the
+    appended codes (``batch_assigned``) always carry the rank-1 bucket,
+    the same layout the full index stores. Incompatible with
+    ``with_candidate_count`` (a multi-probed pair has no single owning
+    bucket). With probes > 1 the returned pair set is a SUPERSET of the
+    top-1 restriction invariant, so q120 pins the default form only."""
     from approximate_query_engine_spark.functions.dedup import cosine_expr
 
+    if int(assign_probes) > 1 and with_candidate_count:
+        raise ValueError(
+            "assign_probes > 1 has no per-bucket candidate-count "
+            "attribution — a pair can co-occur in several buckets"
+        )
     # the Arrow kernel unconditionally (max_literal_cells=0): the
     # literal centroid-expression plan costs seconds of analysis and
     # codegen PER CALL (measured ~6-8 s at nlist=32 x dim=64 vs ~0.35 s
@@ -1176,18 +1192,23 @@ def incremental_semantic_dup_pairs(
     # materialization, dominant for a per-batch incremental path. The
     # two paths are value-identical (test-pinned), so the q120 oracle
     # is unaffected. The lazy checkpoint evaluates the assignment once
-    # for its three consumers (cross pairs, self pairs, the append).
-    batch_assigned = ivf_assign_quantized(
+    # for its consumers (cross pairs, self pairs, the append).
+    multi = ivf_multi_assign_quantized(
         batch,
         quantizer,
         centroid_codes,
+        probes=max(1, int(assign_probes)),
         id_col=id_col,
         vec_col=vec_col,
         max_literal_cells=0,
     ).localCheckpoint(eager=False)
-    new_ids = batch_assigned.select(
-        F.col(id_col).alias("__nid"), "centroid_id"
+    # the appendable codes are always the rank-1 (argmax) assignment —
+    # the persisted table's layout; extra probe rows exist only for
+    # candidate generation
+    batch_assigned = multi.where(F.col("assign_rank") == 1).drop(
+        "assign_rank"
     )
+    new_ids = multi.select(F.col(id_col).alias("__nid"), "centroid_id")
     old_ids = existing_assigned.select(
         F.col(id_col).alias("__oid"), "centroid_id"
     )
@@ -1219,6 +1240,12 @@ def incremental_semantic_dup_pairs(
         )
     )
     cand = cross.unionByName(self_pairs)
+    if int(assign_probes) > 1:
+        # two multi-probed batch rows can share SEVERAL buckets; the
+        # pair set dedupes (probes=1 stays distinct-free — one bucket
+        # per side means no pair can repeat, and the cand_cnt
+        # attribution keeps its exact per-bucket meaning)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     if with_candidate_count:
         per_bucket = cand.groupBy("centroid_id").agg(
             F.count(F.lit(1)).alias("cand_cnt")
@@ -1258,6 +1285,7 @@ def incremental_semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_probes: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """The marking form of :func:`incremental_semantic_dup_pairs`:
     every BATCH row back with ``is_semantic_duplicate`` — True when the
@@ -1276,6 +1304,7 @@ def incremental_semantic_dedup(
         threshold=threshold,
         id_col=id_col,
         vec_col=vec_col,
+        assign_probes=assign_probes,
     )
     new_ids = batch.select(F.col(id_col))
     # a batch id is the LOSER of a pair when the partner is an existing

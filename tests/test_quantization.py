@@ -951,3 +951,46 @@ def test_semantic_dedup_multi_probe_bounds_voronoi_miss(spark):
         ivf_semantic_dup_pairs(
             df, q, cents, assign_probes=2, with_candidate_count=True
         )
+
+
+def test_incremental_semantic_multi_probe(spark):
+    """Round 14: assign_probes on the INCREMENTAL form widens the BATCH
+    side to its top-P buckets — a boundary batch row whose argmax bucket
+    differs from its existing near-dup's is missed at probes=1 and found
+    at probes=2; the appendable rank-1 codes are identical either way,
+    and the probes=2 pair set is a superset of probes=1's."""
+    import pytest
+
+    from approximate_query_engine_spark.functions.quantization import (
+        ScalarQuantizer,
+        incremental_semantic_dup_pairs,
+        ivf_assign_quantized,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    existing = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.9]), (2, [1.0, 0.0]),
+         (3, [0.0, 1.0])],
+        schema,
+    )
+    q = ScalarQuantizer.fit(existing)
+    cents = [[255, 0], [0, 255]]
+    asg = ivf_assign_quantized(existing, q, cents)
+    batch = spark.createDataFrame([(100, [0.9, 1.0])], schema)
+    p1, ba1 = incremental_semantic_dup_pairs(
+        batch, asg, existing, q, cents, threshold=0.99
+    )
+    assert {(r.id_a, r.id_b) for r in p1.collect()} == set()  # miss
+    p2, ba2 = incremental_semantic_dup_pairs(
+        batch, asg, existing, q, cents, threshold=0.99, assign_probes=2
+    )
+    assert {(r.id_a, r.id_b) for r in p2.collect()} == {(1, 100)}
+    # appended codes are the rank-1 assignment in BOTH forms
+    rows1 = [(r.vec_id, r.codes, r.centroid_id) for r in ba1.collect()]
+    rows2 = [(r.vec_id, r.codes, r.centroid_id) for r in ba2.collect()]
+    assert rows1 == rows2 and len(rows1) == 1
+    with pytest.raises(ValueError, match="no per-bucket"):
+        incremental_semantic_dup_pairs(
+            batch, asg, existing, q, cents,
+            assign_probes=2, with_candidate_count=True,
+        )
