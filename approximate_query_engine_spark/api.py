@@ -473,6 +473,58 @@ def create_app(engine: AQEngine, config: Config | None = None):
         except Exception as e:
             return jsonify({"status": "error", "error": str(e)}), 500
 
+    @app.get("/ann/skew")
+    def ann_skew():
+        """Bucket-population skew of a registered IVF index (round 14 —
+        the observability face of the maintenance skew policy): the
+        metadata-only footer probe when the layout allows it, the scan
+        form otherwise, plus the entry's threshold and whether a coarse
+        re-train is currently advised. Lets an operator watch probe-cost
+        drift between maintenance sweeps without triggering one."""
+        table = request.args.get("table")
+        if not table:
+            return jsonify({"status": "error", "error": "missing 'table'"}), 400
+        info = engine.catalog.quantized_codes.get(table)
+        if info is None or info.get("kind") != "ivf":
+            return (
+                jsonify(
+                    {
+                        "status": "error",
+                        "error": f"no ANN index registered for {table!r}",
+                    }
+                ),
+                404,
+            )
+        try:
+            from approximate_query_engine_spark.functions.quantization import (  # noqa: E501
+                ivf_bucket_skew,
+                ivf_bucket_skew_from_footers,
+            )
+
+            nlist = int(info.get("nlist", 0)) or None
+            try:
+                skew = ivf_bucket_skew_from_footers(
+                    engine.spark, info["path"], nlist=nlist
+                )
+                probe = "footers"
+            except Exception:  # noqa: BLE001 - fall back to the scan
+                skew = ivf_bucket_skew(
+                    engine.spark.read.parquet(info["path"]), nlist=nlist
+                )
+                probe = "scan"
+            threshold = float(info.get("skew_threshold", 8.0))
+            return jsonify(
+                {
+                    "table": table,
+                    "skew": skew,
+                    "probe": probe,
+                    "skew_threshold": threshold,
+                    "retrain_advised": skew["ratio"] > threshold,
+                }
+            )
+        except Exception as e:
+            return jsonify({"status": "error", "error": str(e)}), 500
+
     @app.post("/dedup/semantic")
     def dedup_semantic():
         """Semantic (embedding-cosine) near-duplicate detection over a

@@ -726,3 +726,30 @@ def test_semantic_dedup_routes(client, engine):
         json={"table": "api_sem", "batch_view": "api_sem_b2"},
     ).status_code == 409
     engine.catalog.upsert_table_stats("api_sem", 43)  # restore
+
+
+def test_ann_skew_route(client, engine):
+    """Round-14 observability: GET /ann/skew reports the registered IVF
+    index's bucket-population skew (footer probe on the partitioned
+    layout), the entry's threshold, and whether a re-train is advised;
+    unknown tables are a 404."""
+    spark = engine.spark
+    rows = [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(40)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).createOrReplaceTempView("api_skew_vecs")
+    r = client.post(
+        "/ann/build",
+        json={"table": "api_skew_vecs", "nlist": 4, "seed": 3,
+              "skew_threshold": 5.0},
+    )
+    assert r.status_code == 200, r.get_json()
+    r = client.get("/ann/skew?table=api_skew_vecs")
+    assert r.status_code == 200, r.get_json()
+    body = r.get_json()
+    assert body["probe"] == "footers"
+    assert body["skew"]["buckets"] == 4
+    assert body["skew_threshold"] == 5.0
+    assert body["retrain_advised"] == (body["skew"]["ratio"] > 5.0)
+    assert client.get("/ann/skew?table=nope").status_code == 404
+    assert client.get("/ann/skew").status_code == 400
