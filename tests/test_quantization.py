@@ -994,3 +994,32 @@ def test_incremental_semantic_multi_probe(spark):
             batch, asg, existing, q, cents,
             assign_probes=2, with_candidate_count=True,
         )
+
+
+def test_incremental_semantic_plan_shape(spark):
+    """The incremental pair generation must broadcast the BATCH side
+    into the bucket equi-join (the corpus-sized assigned table streams)
+    and contain no cartesian anywhere — the scale shape SCALING.md
+    claims. Plan-text evidence, the full form's test one batch over."""
+    import numpy as np
+
+    from approximate_query_engine_spark.functions.quantization import (
+        ScalarQuantizer,
+        incremental_semantic_dup_pairs,
+        ivf_assign_quantized,
+    )
+
+    rows = [(i, [float(i % 9), float((i * 3) % 7), float(i % 4)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = ScalarQuantizer.fit(df)
+    cents = np.random.default_rng(5).integers(0, 256, (6, 3)).tolist()
+    asg = ivf_assign_quantized(df, q, cents)
+    batch = spark.createDataFrame(
+        [(1000 + i, [1.0, 2.0, 3.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs, _ = incremental_semantic_dup_pairs(batch, asg, df, q, cents)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastHashJoin [centroid_id" in plan, plan[:2000]
