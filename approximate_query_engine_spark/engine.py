@@ -1039,6 +1039,23 @@ class AQEngine:
                 "cannot prevent a NULL-id document from double-counting "
                 "on a re-feed. Assign ids before feeding."
             )
+        # a duplicate id WITHIN the batch is the same double-count one
+        # feed early: the fit aggregations count every row's grams, so
+        # two rows under one id double that document before the seen
+        # set (which stores the id once) could ever catch it (round-14
+        # review — the boilerplate index is immune here too, its
+        # countDistinct collapses in-batch repeats)
+        n_batch_rows = batch.count()
+        if (
+            batch.select(F.col(id_col)).distinct().count()
+            != n_batch_rows
+        ):
+            raise ValueError(
+                "update_lm_index: batch contains duplicate document "
+                "ids — the fit counts every row's grams, so repeats "
+                "double-count within the feed. Dedupe the batch "
+                "before feeding."
+            )
         if seen is not None:
             dup = (
                 batch.select(F.col(id_col))
@@ -1557,6 +1574,16 @@ class AQEngine:
                 "— the disjoint-batch guard tracks vectors by id and "
                 "cannot prevent a NULL-id vector from duplicating on a "
                 "re-feed. Assign ids before feeding."
+            )
+        # a duplicate id WITHIN the batch is the same corruption one
+        # feed later: two code rows under one id, double-served by every
+        # probe and self-paired by the next update's guard-passing feed
+        if batch.select(F.col(id_col)).distinct().count() != n_batch:
+            raise ValueError(
+                "semantic_dedup_update: batch contains duplicate vector "
+                "ids — appending would store multiple code rows under "
+                "one id and every probe would serve them all. Dedupe "
+                "the batch before feeding."
             )
         # EXISTS probe flipped so the corpus-sized code table STREAMS
         # against the broadcast batch ids (a batch-left semi join would

@@ -221,3 +221,29 @@ def test_null_id_batch_refused(spark, eng):
     with pytest.raises(ValueError, match="NULL document ids"):
         eng.update_lm_index("lm_ref7", bad)
     assert eng.catalog.lm_indexes["lm_ref7"]["version"] == 1
+
+
+def test_lm_update_refuses_in_batch_duplicate_ids(spark):
+    """Round-14 review: a batch repeating a document id WITHIN itself
+    double-counts that document's grams in one feed — the seen-id set
+    (which stores the id once) can never catch it afterward, so the
+    guard refuses before any count is merged."""
+    import tempfile
+
+    import pytest
+
+    from approximate_query_engine_spark import AQEngine
+
+    spark.createDataFrame(
+        [(i, f"alpha beta doc {i}") for i in range(10)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("lmdup_ref")
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_lmdup_"))
+    eng.build_lm_index("lmdup_ref")
+    dup_batch = spark.createDataFrame(
+        [(100, "gamma delta"), (100, "gamma delta"), (101, "epsilon")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="duplicate document ids"):
+        eng.update_lm_index("lmdup_ref", dup_batch)
+    assert eng.catalog.lm_indexes["lmdup_ref"]["version"] == 1

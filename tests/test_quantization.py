@@ -1023,3 +1023,28 @@ def test_incremental_semantic_plan_shape(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastHashJoin [centroid_id" in plan, plan[:2000]
+
+
+def test_semantic_update_refuses_in_batch_duplicate_ids(spark):
+    """Round-14 review: a batch repeating a vector id WITHIN itself
+    would append two code rows under one id — double-served by every
+    probe — so the guard refuses before anything is appended."""
+    import tempfile
+
+    import pytest
+
+    from approximate_query_engine_spark import AQEngine
+
+    schema = "vec_id long, embedding array<double>"
+    rows = [(i, [float(i % 4), float(i % 3), 1.0]) for i in range(30)]
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("dupb_vecs")
+    eng = AQEngine(spark, workdir=tempfile.mkdtemp(prefix="aqe_dupb_"))
+    entry = eng.build_ivf_codes("dupb_vecs", nlist=4, seed=1)
+    dup_batch = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0]), (100, [1.0, 2.0, 3.0]),
+         (101, [2.0, 1.0, 0.5])],
+        schema,
+    )
+    with pytest.raises(ValueError, match="duplicate vector ids"):
+        eng.semantic_dedup_update("dupb_vecs", dup_batch)
+    assert spark.read.parquet(entry["path"]).count() == 30  # untouched
