@@ -400,8 +400,16 @@ def knn_join_quantized(
             F.col(right_id).alias("neighbor_id"),
             quantizer.encode_expr(vec_col).alias("__nc"),
         )
-    rhs = rhs.withColumn("__nn", _int_norm(F.col("__nc")))
-    cand = lhs.crossJoin(F.broadcast(rhs))
+    from approximate_query_engine_spark.functions.similarity import (
+        spread_small_scan,
+    )
+
+    rhs = spread_small_scan(rhs.withColumn("__nn", _int_norm(F.col("__nc"))))
+    # Round-14 (guide §3.1): broadcast the query batch, stream the corpus
+    # codes — same flip as similarity.knn_join's brute arm (the corpus
+    # side was both the broadcast-budget cap and a one-task dot pass).
+    # Values identical: same pairs, same pinned integer-dot arithmetic.
+    cand = F.broadcast(lhs).crossJoin(rhs)
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
@@ -934,6 +942,16 @@ def knn_join_ivf_quantized(
         F.col("codes").alias("__nc"),
         "centroid_id",
     ).withColumn("__nn", _int_norm(F.col("__nc")))
+    if broadcast_probes:
+        # spread a single-split small codes table so the probed-bucket
+        # scoring stage uses the whole session (round 14, guide §2.6);
+        # gated no-op at scale where the partitioned table has many
+        # splits (and partition pruning stays at the scan)
+        from approximate_query_engine_spark.functions.similarity import (
+            spread_small_scan,
+        )
+
+        rhs = spread_small_scan(rhs)
     cand = rhs.join(
         F.broadcast(probed) if broadcast_probes else probed, "centroid_id"
     )

@@ -234,6 +234,28 @@ class IVFIndex:
 # batch k-NN join
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-14 optimization (guide §2.6/§6): raise a SMALL corpus frame's
+    parallelism to the session default before a per-pair scoring stage.
+
+    A modest corpus parquet often arrives as ONE scan split (a single
+    small file is one task), so the candidate-scoring stage after a
+    broadcast join runs on one core while 31 idle — measured 7.0 s → the
+    same work spread over 32 tasks in bench.py's knn classes. Gated on
+    ``current partitions < defaultParallelism``: a warehouse-scale corpus
+    (thousands of splits, partitionBy('centroid_id') pruning) is returned
+    untouched, so no shuffle — and no loss of dynamic partition pruning —
+    is ever added at scale. Values are unaffected (pure repartition;
+    every downstream ranking breaks ties deterministically)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive: keep the plan as-is
+        return df
+    p = sc.defaultParallelism
+    return df.repartition(p) if n < p else df
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -287,10 +309,19 @@ def knn_join(
         F.col(left_id).alias("query_id"), F.col(vec_col).alias("__qv")
     ).withColumn("__qn", F.sqrt(sumsq_expr(F.col("__qv"))))
     if method == "brute":
-        rhs = right.select(
-            F.col(right_id).alias("neighbor_id"), F.col(vec_col).alias("__nv")
-        ).withColumn("__nn", F.sqrt(sumsq_expr(F.col("__nv"))))
-        cand = lhs.crossJoin(F.broadcast(rhs))
+        rhs = spread_small_scan(
+            right.select(
+                F.col(right_id).alias("neighbor_id"),
+                F.col(vec_col).alias("__nv"),
+            ).withColumn("__nn", F.sqrt(sumsq_expr(F.col("__nv"))))
+        )
+        # Round-14 (guide §3.1): broadcast the QUERY BATCH and stream the
+        # corpus — the batch is the provably small side (the old
+        # broadcast-the-corpus shape serialized the whole |Q|x|corpus|
+        # dot pass onto the few tasks holding the query rows, and capped
+        # the corpus at the broadcast budget). Values identical: same
+        # pair set, same cosine fold, same deterministic ranking.
+        cand = F.broadcast(lhs).crossJoin(rhs)
     elif method == "ivf":
         if assigned is not None and index is None:
             raise ValueError("assigned requires the index that produced it")
@@ -333,6 +364,13 @@ def knn_join(
         # the exclude_self shape) |queries|·nprobe rows each carrying a full
         # vector can exceed the broadcast budget/driver memory, and a
         # shuffle join keyed on centroid_id is the right plan there.
+        if broadcast_probes:
+            # the probed side broadcasts, so the corpus scan is the ONLY
+            # parallelism source for the candidate-scoring stage —
+            # spread a single-split small corpus (round 14, guide §2.6;
+            # no-op at scale, where the partitioned table has many
+            # splits and the gate leaves DPP intact)
+            assigned = spread_small_scan(assigned)
         cand = assigned.join(
             F.broadcast(probed) if broadcast_probes else probed, "centroid_id"
         )

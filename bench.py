@@ -486,31 +486,87 @@ def main() -> None:
 
     # ---- theta set-algebra overlap (round 7) ----------------------------
     # "Distinct keys in BOTH segments" — the question HLL cannot answer.
-    # Exact side: DISTINCT (flag, l_mid) pairs self-joined on the key —
-    # a ~12M-distinct-pair shuffle joined against itself, the shape this
-    # costs at warehouse scale. Sketch side: segment_overlap — one scan,
-    # ≤ 2^12 entries of state per segment per partial, the pairwise stage
-    # on 3 sketches. Both sides produce the same frame; rel error is the
-    # theta estimation error at ndv≈4M (≈1/sqrt(4096) per estimate).
-    theta_sql_exact = (
-        "WITH seg AS (SELECT DISTINCT l_returnflag AS s, l_mid AS u "
-        "             FROM lineitem_big), "
-        "card AS (SELECT s, COUNT(*) AS c FROM seg GROUP BY s), "
-        "ov AS (SELECT a.s AS sa, b.s AS sb, COUNT(*) AS o FROM seg a "
-        "       JOIN seg b ON a.u = b.u AND a.s < b.s GROUP BY 1, 2) "
-        "SELECT sa AS seg_a, sb AS seg_b, ca.c AS distinct_a, "
-        "cb.c AS distinct_b, o AS overlap_cnt, ca.c + cb.c - o AS union_cnt "
-        "FROM ov JOIN card ca ON ca.s = sa JOIN card cb ON cb.s = sb "
-        "ORDER BY 1, 2"
-    )
+    # Exact side (round-14 rewrite, guide §2.4 "remove shuffles
+    # outright"): one segment-bitmask pass — map each flag to a bit
+    # (the S distinct segment values are a bounded collect, recomputed
+    # from the raw table every rep), BIT_OR per key (one codegen'd
+    # fixed-width shuffle of the key set), then count the ≤ 2^S masks
+    # and expand pair/cardinality counts from those bounded rows.
+    # Rows are identical to the pre-r14 DISTINCT-pairs self-join
+    # spelling (kept below for the record; equality verified at sf0.1):
+    #   WITH seg AS (SELECT DISTINCT l_returnflag AS s, l_mid AS u
+    #                FROM lineitem_big),
+    #   card AS (SELECT s, COUNT(*) AS c FROM seg GROUP BY s),
+    #   ov AS (SELECT a.s AS sa, b.s AS sb, COUNT(*) AS o FROM seg a
+    #          JOIN seg b ON a.u = b.u AND a.s < b.s GROUP BY 1, 2)
+    #   SELECT ... ORDER BY 1, 2
+    # which paid the distinct shuffle TWICE (dedup + re-key by u) plus a
+    # 12M x 12M-row sort-merge self-join: 14.8 s vs 7.2 s measured at
+    # sf0.1 (OPTIMIZATION_r14.md "theta_overlap_exact").
+    # Sketch side: segment_overlap — one scan, ≤ 2^12 entries of state
+    # per segment per partial, the pairwise stage on 3 sketches. Both
+    # sides produce the same frame; rel error is the theta estimation
+    # error at ndv≈4M (≈1/sqrt(4096) per estimate).
     theta_rows: dict = {}
     if big_ok:
         from approximate_query_engine_spark.sketches import segment_overlap
 
-        def _theta_exact():
-            theta_rows["exact"] = [
-                r.asDict() for r in spark.sql(theta_sql_exact).collect()
+        def _theta_exact_rows() -> list[dict]:
+            import itertools as _it
+
+            src = spark.table("lineitem_big")
+            # bounded collect: the distinct segment values (S is
+            # dashboard-small by the operator's contract). Computed
+            # from the raw table inside the timed region each rep —
+            # nothing is memoized across reps or runs.
+            segs = sorted(
+                r[0]
+                for r in src.select(
+                    F.col("l_returnflag").cast("string").alias("s")
+                )
+                .where(F.col("s").isNotNull())
+                .distinct()
+                .collect()
+            )
+            bit = {s: 1 << i for i, s in enumerate(segs)}
+            mask_expr = F.lit(0).cast("long")
+            flag = F.col("l_returnflag").cast("string")
+            for s, b in bit.items():
+                mask_expr = (
+                    F.when(flag == s, F.lit(b).cast("long"))
+                    .otherwise(mask_expr)
+                )
+            masks = (
+                src.select(F.col("l_mid").alias("u"), mask_expr.alias("m"))
+                .groupBy("u")
+                .agg(F.expr("bit_or(m)").alias("mask"))
+                .groupBy("mask")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            card = {s: 0 for s in segs}
+            ov: dict = {}
+            for r in masks:
+                present = [s for s in segs if r["mask"] & bit[s]]
+                for s in present:
+                    card[s] += r["c"]
+                for a, b2 in _it.combinations(present, 2):
+                    key = (a, b2) if a < b2 else (b2, a)
+                    ov[key] = ov.get(key, 0) + r["c"]
+            return [
+                {
+                    "seg_a": a,
+                    "seg_b": b2,
+                    "distinct_a": card[a],
+                    "distinct_b": card[b2],
+                    "overlap_cnt": o,
+                    "union_cnt": card[a] + card[b2] - o,
+                }
+                for (a, b2), o in sorted(ov.items())
             ]
+
+        def _theta_exact():
+            theta_rows["exact"] = _theta_exact_rows()
 
         def _theta_sketch():
             theta_rows["sketch"] = [
