@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from approximate_query_engine_spark.functions.text import (
     lang_id_expr,
     quality_score_expr,
-    token_count_expr,
+    tokens_expr,
 )
 
 
@@ -103,11 +103,25 @@ def prepare_corpus(
             )
             .drop("clean_text")
         )
-    out = docs.withColumn("token_count", token_count_expr(text_col))
+    # Round 14 (guide §2.3 "project before" spirit, applied per row): the
+    # whitespace split is the chain's hottest expression and Spark's
+    # subexpression elimination does not reach across HOF lambda
+    # boundaries — materialize the token array ONCE per document and
+    # share it across token_count, lang_pred and quality_score (each
+    # previously re-split the text; lang-ID alone did it four times).
+    # The metric expressions are unchanged, so every output column —
+    # and the q66 oracle hash — is identical. The helper column is
+    # dropped before return.
+    out = docs.withColumn("__tokens", tokens_expr(text_col))
+    tok = F.col("__tokens")
+    out = out.withColumn("token_count", F.size(tok))
     if languages is not None:
-        out = out.withColumn("lang_pred", lang_id_expr(text_col))
+        out = out.withColumn("lang_pred", lang_id_expr(text_col, tokens=tok))
     if min_quality is not None:
-        out = out.withColumn("quality_score", quality_score_expr(text_col))
+        out = out.withColumn(
+            "quality_score", quality_score_expr(text_col, tokens=tok)
+        )
+    out = out.drop("__tokens")
     lm_on = lm_max_ppl is not None or lm_max_oov_frac is not None
     if lm_on:
         from approximate_query_engine_spark.functions.lm import (

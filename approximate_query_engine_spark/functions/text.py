@@ -87,13 +87,18 @@ def with_token_counts(
 # quality scoring
 
 
-def quality_columns(text_col: str = "text") -> dict[str, Column]:
+def quality_columns(
+    text_col: str = "text", tokens: Column | None = None
+) -> dict[str, Column]:
     """Component metrics for document-quality filtering (the standard
     length / punctuation / stopword-ratio heuristics used by web-scale
-    corpus cleaning pipelines)."""
+    corpus cleaning pipelines). ``tokens`` (round 14) optionally supplies
+    an already-computed token array so a caller materializing the split
+    once shares it across every metric — values are identical either way
+    (same expressions over the same array)."""
     c = F.col(text_col)
     n_chars = F.length(c)
-    toks = tokens_expr(text_col)
+    toks = tokens if tokens is not None else tokens_expr(text_col)
     n_tokens = F.size(toks)
     punct_count = n_chars - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
     stop_hits = F.size(
@@ -117,21 +122,43 @@ def quality_columns(text_col: str = "text") -> dict[str, Column]:
     }
 
 
-def quality_score_expr(text_col: str = "text") -> Column:
+def quality_score_expr(
+    text_col: str = "text", tokens: Column | None = None
+) -> Column:
     """Composite [0,1] quality score:
     0.3·length-score + 0.3·token-length-score + 0.2·(1 − 5·punct_ratio)⁺ +
-    0.2·stopword-presence-score.  Deterministic, portable arithmetic."""
-    q = quality_columns(text_col)
-    len_score = F.least(q["n_chars"] / F.lit(500.0), F.lit(1.0))
-    tok_len = q["avg_token_len"]
-    tok_score = F.when((tok_len >= 3) & (tok_len <= 10), 1.0).otherwise(
-        F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(tok_len - F.lit(6.5)) / F.lit(10.0))
-    )
-    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - q["punct_ratio"] * 5.0)
-    stop_score = F.least(q["stopword_ratio"] * 4.0, F.lit(1.0))
-    return (
-        len_score * 0.3 + tok_score * 0.3 + punct_score * 0.2 + stop_score * 0.2
-    )
+    0.2·stopword-presence-score.  Deterministic, portable arithmetic.
+
+    Round 14 (guide §4.2 spirit, JVM-side): the token array is evaluated
+    ONCE per row — supplied via ``tokens``, or bound with
+    :func:`bind_expr` — instead of once per component metric (Spark's
+    subexpression elimination does not reach across higher-order-function
+    lambda boundaries, so the bare composition re-split the document
+    three times). The formula tree is byte-identical; only the source of
+    the token array changes, so values (and the q66 oracle) are
+    unchanged."""
+
+    def _score(toks: Column) -> Column:
+        q = quality_columns(text_col, tokens=toks)
+        len_score = F.least(q["n_chars"] / F.lit(500.0), F.lit(1.0))
+        tok_len = q["avg_token_len"]
+        tok_score = F.when((tok_len >= 3) & (tok_len <= 10), 1.0).otherwise(
+            F.greatest(
+                F.lit(0.0), F.lit(1.0) - F.abs(tok_len - F.lit(6.5)) / F.lit(10.0)
+            )
+        )
+        punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - q["punct_ratio"] * 5.0)
+        stop_score = F.least(q["stopword_ratio"] * 4.0, F.lit(1.0))
+        return (
+            len_score * 0.3
+            + tok_score * 0.3
+            + punct_score * 0.2
+            + stop_score * 0.2
+        )
+
+    if tokens is not None:
+        return _score(tokens)
+    return bind_expr(tokens_expr(text_col), _score)
 
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -169,20 +196,38 @@ def cjk_ratio_expr(text_col: str) -> Column:
     return F.when(F.length(c) > 0, cjk / F.length(c)).otherwise(0.0)
 
 
-def lang_id_expr(text_col: str = "text") -> Column:
+def lang_id_expr(text_col: str = "text", tokens: Column | None = None) -> Column:
     """Deterministic language guess: CJK-character share dominates, else the
     argmax marker-stopword hit count (ties broken by fixed alphabetical
     language order), else 'und' (undetermined) when no marker fires.
-    Integer arithmetic throughout so a SQL oracle reproduces it bit-exactly."""
+    Integer arithmetic throughout so a SQL oracle reproduces it bit-exactly.
+
+    Round 14: the token array is evaluated ONCE per row (``tokens`` from
+    the caller, else bound via :func:`bind_expr`) instead of once per
+    language — the bare four-language ladder re-split every document four
+    times (measured 3.6 s → 1.2 s over the sf0.1 corpus). Same argmax over
+    the same hit counts; values unchanged."""
     c = F.col(text_col)
     cjk_count = F.length(c) - F.length(F.regexp_replace(c, r"[一-鿿]", ""))
-    best = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in sorted(LANG_MARKERS):  # fixed order = deterministic ties
-        h = lang_hits_expr(text_col, lang)
-        is_better = h > best_hits
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_hits = F.when(is_better, h).otherwise(best_hits)
+
+    def _pick(toks: Column) -> Column:
+        best = F.lit("und")
+        best_hits = F.lit(0)
+        for lang in sorted(LANG_MARKERS):  # fixed order = deterministic ties
+            markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+            h = F.size(
+                F.filter(toks, lambda t: F.array_contains(markers, F.lower(t)))
+            )
+            is_better = h > best_hits
+            best = F.when(is_better, F.lit(lang)).otherwise(best)
+            best_hits = F.when(is_better, h).otherwise(best_hits)
+        return best
+
+    best = (
+        _pick(tokens)
+        if tokens is not None
+        else bind_expr(tokens_expr(text_col), _pick)
+    )
     return F.when(cjk_count * 10 > F.length(c) * 3, F.lit("zh")).otherwise(best)
 
 
