@@ -50,21 +50,46 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _run_to_completion(df: DataFrame, mode: str) -> DataFrame:
+def _run_to_completion(
+    df: DataFrame, mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Start a memory-sink query, drain all available input, return the
-    result as a batch DataFrame."""
+    result as a batch DataFrame.
+
+    ``state_partitions`` (round 14, guide §2.2/§5): the number of
+    STATEFUL-operator partitions the query starts with — a state-SIZE
+    knob, not a core-count one. Every state partition owns a state-store
+    instance whose per-trigger snapshot/commit overhead is paid even when
+    it holds a handful of keys; a job whose keyspace is hundreds of
+    (window, group) pairs wants single-digit stores, a job tracking
+    millions of keys wants many. Results are partitioning-independent for
+    every aggregation used here (exact counts, commutative HLL merges,
+    decimal sums on oracle-verified paths). Default ``None`` keeps the
+    session's ``spark.sql.shuffle.partitions`` — existing callers are
+    byte-for-byte unchanged."""
+    spark = df.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(int(state_partitions))
+        )
     name = "aqe_stream_" + uuid.uuid4().hex[:8]
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
@@ -74,6 +99,7 @@ def run_streaming_window_agg(
     window: str = "1 hour",
     watermark: str = "2 hours",
     portable_sums: bool = False,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation: per (window, event_type)
     row count, value sum, and approximate distinct users (HLL++ merged in
@@ -108,7 +134,7 @@ def run_streaming_window_agg(
             "approx_users",
         )
     )
-    return _run_to_completion(agg, "append")
+    return _run_to_completion(agg, "append", state_partitions=state_partitions)
 
 
 def run_streaming_dedup(

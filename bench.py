@@ -2737,7 +2737,15 @@ def main() -> None:
             run_streaming_window_agg,
         )
 
-        run_streaming_window_agg(spark, SF_DIR).count()
+        # state_partitions=8 (round 14): a state-SIZE setting, not a
+        # core-count one — this job's stateful keyspace is a few hundred
+        # (window, event_type) pairs, and each state partition pays
+        # per-trigger store overhead regardless of cores (measured
+        # ~4.0 s at 32 stores vs ~1.6 s at 8 on identical results; the
+        # value is core-count-independent, so the driver's lower-core
+        # bench run times the same query shape). Production sizing note
+        # in OPTIMIZATION_r14.md.
+        run_streaming_window_agg(spark, SF_DIR, state_partitions=8).count()
 
     # reps=2 (r04 instruction 5): each drain is self-contained (fresh
     # memory sink + per-query temp checkpoint), so repeats are clean and

@@ -232,3 +232,37 @@ def test_incremental_exact_matches_oneshot(spark, engine):
         .collect()
     )
     assert inc_ids == oneshot
+
+
+def test_simhash_signatures_kernel_matches_expr(spark):
+    """Round-14 optimization guard: the vectorized Arrow majority-vote
+    kernel (dedup.simhash_signatures) is bit-identical to the expression
+    form (dedup.with_simhash) — including a NULL text (NULL signature)
+    and an all-whitespace text (empty token list -> signature 0)."""
+    from approximate_query_engine_spark.functions.dedup import (
+        simhash_signatures,
+        with_simhash,
+    )
+
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(
+        200
+    )
+    edge = spark.createDataFrame(
+        [(900001, None), (900002, "   \t  "), (900003, "one token ONE")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    want = {
+        (r["doc_id"], r["simhash"])
+        for r in with_simhash(both, "text")
+        .select("doc_id", "simhash")
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["simhash"])
+        for r in simhash_signatures(both, "doc_id", "text").collect()
+    }
+    assert got == want
