@@ -1801,13 +1801,26 @@ def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
                 f"{int(spec.theta_lgk)})"
             ).alias(f"{sc}_theta")
         )
+    # Round 14 (guide §1.2 per-task work): for fixed-width buckets the
+    # tumbling-window start is plain epoch arithmetic —
+    # ts − pmod(unix_micros(ts), width) — exactly TimeWindow's own start
+    # formula (origin 0, floor semantics for pre-epoch values via pmod),
+    # without materializing the (start, end) struct per row that
+    # F.window builds (measured ~0.6 s/20M rows). Value-identity with
+    # F.window(...).start is pinned in tests/test_rollup.py; variable
+    # width buckets (months) keep F.window.
+    bsec = bucket_seconds(spec.bucket)
+    if bsec is not None:
+        w_us = int(bsec) * 1_000_000
+        us = F.unix_micros(F.col(spec.time_col))
+        bucket_start = F.timestamp_micros(us - F.pmod(us, F.lit(w_us)))
+    else:  # pragma: no cover - month-width buckets are refused upstream
+        bucket_start = F.window(F.col(spec.time_col), spec.bucket)["start"]
     return (
-        df.groupBy(
-            F.window(F.col(spec.time_col), spec.bucket).alias("w"), *spec.dims
-        )
+        df.groupBy(bucket_start.alias("w"), *spec.dims)
         .agg(*aggs)
         .select(
-            F.col("w.start").alias("bucket_start"),
+            F.col("w").alias("bucket_start"),
             *spec.dims,
             "n_rows",
             *[

@@ -2775,13 +2775,26 @@ def main() -> None:
 
         out_dir = _tf.mkdtemp(prefix="aqe_corpus_e2e_")
         try:
-            kept = prepare_corpus(
-                spark.table("documents"),
-                min_tokens=5,
-                max_tokens=100_000,
-                languages=["en", "de"],
-                min_quality=0.2,
-            ).where("reject_reason IS NULL")
+            kept = (
+                prepare_corpus(
+                    spark.table("documents"),
+                    min_tokens=5,
+                    max_tokens=100_000,
+                    languages=["en", "de"],
+                    min_quality=0.2,
+                )
+                .where("reject_reason IS NULL")
+                # round 14 (guide §1.2 "don't compute things twice"):
+                # the prepare stage feeds TWO consumers inside
+                # dedup_minhash (the checkpointed signature table AND
+                # the left-anti survivor join), so the whole
+                # metric-annotation scan ran twice per e2e rep. Stage
+                # the pipeline the way a production run would —
+                # materialize between stages. The checkpoint is built
+                # INSIDE the timed region every rep; nothing survives
+                # across reps or runs.
+                .localCheckpoint(eager=False)
+            )
             deduped = dedup_minhash(
                 kept, threshold=0.5, num_hashes=64, bands=16
             )

@@ -149,3 +149,43 @@ def _rollup_snapshot(spark, spec):
         (str(r["bucket_start"]), r["event_type"], r["n_rows"], round(r["value_sum"], 6))
         for r in spark.table(spec.rollup_name).collect()
     )
+
+
+def test_bucket_start_arithmetic_matches_time_window(spark):
+    """Round-14 optimization guard: _partial_state's epoch-arithmetic
+    bucket start (ts − pmod(unix_micros(ts), width)) equals
+    F.window(ts, bucket).start for every fixed-width bucket the rollup
+    family accepts — on real event timestamps, a pre-epoch value, an
+    exact boundary, and NULL."""
+    rows = spark.table("events").select("ts").limit(500)
+    edge = spark.createDataFrame(
+        [
+            ("1969-12-31 23:59:59",),
+            ("1970-01-01 00:00:00",),
+            ("2024-01-03 00:00:00",),
+            (None,),
+        ],
+        "s string",
+    ).select(F.col("s").cast("timestamp").alias("ts"))
+    both = rows.unionByName(edge)
+    for bucket, secs in [
+        ("1 hour", 3600),
+        ("1 day", 86400),
+        ("15 minutes", 900),
+        ("30 seconds", 30),
+    ]:
+        w_us = secs * 1_000_000
+        us = F.unix_micros(F.col("ts"))
+        arith = F.timestamp_micros(us - F.pmod(us, F.lit(w_us)))
+        bad = (
+            both.select(
+                arith.alias("a"),
+                F.window(F.col("ts"), bucket)["start"].alias("w"),
+            )
+            .where(
+                (F.col("a") != F.col("w"))
+                | (F.col("a").isNull() != F.col("w").isNull())
+            )
+            .count()
+        )
+        assert bad == 0, bucket
