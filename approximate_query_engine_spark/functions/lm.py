@@ -234,6 +234,11 @@ def score_documents(
     ).withColumn(
         "n_bigrams", F.greatest(F.size("__grams"), F.lit(0))
     )
+    # round 14 (guide §1.2): base feeds BOTH the occurrence explosion and
+    # the final per-doc join — materialize the tokenize+bigram pass once
+    # per call instead of twice (lazy: built on the caller's first
+    # action; nothing cached across calls)
+    base = base.localCheckpoint(eager=False)
     occ = base.select(
         id_col, F.explode("__grams").alias("gram")
     ).withColumn("__w1", F.split(F.col("gram"), " ").getItem(0))

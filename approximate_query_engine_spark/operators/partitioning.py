@@ -43,6 +43,16 @@ def partition_by_time(
     out = df.withColumn(
         partition_col, F.date_format(F.col(ts_col), _GRAIN_FMT[grain])
     )
+    # Round 14 (guide §6 small files): cluster rows by their bucket before
+    # the partitioned write — otherwise every input task writes one file
+    # into EVERY bucket directory it touches (a 128-partition source over
+    # 30 day buckets would leave ~4k tiny files). One shuffle keyed on the
+    # bucket, bounded by session parallelism; at very large per-bucket
+    # volumes pair this with spark.sql.files.maxRecordsPerFile to re-split
+    # fat buckets (SCALING.md).
+    out = out.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(partition_col)
+    )
     out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     return path
 

@@ -233,18 +233,31 @@ def main() -> None:
     # v4: + l_strata (a rare ~0.8% stratum) and l_val (40x the variance
     # inside the rare stratum) — the Neyman-allocation regime for the
     # stratified plan class below.
+    # v5 (round 14, guide §6 input split sizing): the v4 replica came out
+    # as ONE ~270 MB file holding THREE ~14M-row row groups — Spark plans
+    # 32 byte-range splits but a row group lands in the split containing
+    # its midpoint, so every scan (and its whole-stage partial
+    # aggregation) of the 30M-row tier ran on THREE cores while 29 sat
+    # idle. Repartition before the write so files (hence row groups, hence
+    # effective splits) are ~250k rows: scan-stage parallelism matches the
+    # session at any SPARK_GRAFT_CPUS. Fixture content is unchanged in
+    # distribution (l_uniq stays globally unique, l_mid ~4M-ndv, the rare
+    # stratum ~0.8%); it was never byte-pinned across machines — ids
+    # already depended on the writing session's partitioning.
     big_path = os.path.join(
-        big_dir, f"lineitem_big_v4_sf{_sf_from_dir(SF_DIR)}"
+        big_dir, f"lineitem_big_v5_sf{_sf_from_dir(SF_DIR)}"
     )
     big_ok = True
     big_rows = 0
     try:
         if not os.path.exists(big_path):
             is_rare = (F.col("l_uniq") % 128) == 0
+            n_files = 4 * spark.sparkContext.defaultParallelism
             (
                 spark.table("lineitem")
                 .crossJoin(spark.range(50).select(F.col("id").alias("rep")))
                 .drop("rep")
+                .repartition(n_files)
                 .withColumn("l_uniq", F.monotonically_increasing_id())
                 .withColumn("l_mid", F.col("l_uniq") % 4_000_000)
                 .withColumn(
@@ -641,8 +654,11 @@ def main() -> None:
     # the shape of the reference's `SUM(amount)` sales table) the exact
     # side is well above the floor, so the prebuilt-sample ratio finally
     # measures the plan, not fixed overhead.
+    # v2 (round 14, guide §6): v1 wrote two files with ONE 120M-row row
+    # group each — every scan of the 200x tier ran on two cores (the
+    # row-group-midpoint split rule; see the lineitem_big v5 note).
     sum200_path = os.path.join(
-        big_dir, f"lineitem_sum200_v1_sf{_sf_from_dir(SF_DIR)}"
+        big_dir, f"lineitem_sum200_v2_sf{_sf_from_dir(SF_DIR)}"
     )
     sum200_ok = True
     sum200_rows = 0
@@ -653,6 +669,7 @@ def main() -> None:
                 .select("l_extendedprice", "l_quantity")
                 .crossJoin(spark.range(200).select(F.col("id").alias("rep")))
                 .drop("rep")
+                .repartition(4 * spark.sparkContext.defaultParallelism)
                 .write.mode("overwrite")
                 .parquet(sum200_path)
             )
@@ -696,8 +713,12 @@ def main() -> None:
     # directories listed and read), the I/O shape a one-day dashboard
     # query has at 100 TB. Layout build is untimed setup, cached like the
     # other big-tier replicas.
+    # v3 (round 14, guide §6): v2 was ONE ~4 MB file holding ONE 20M-row
+    # row group (the 200x replication compresses brutally), so every
+    # events_big scan + its partial aggregation ran on ONE core. Same
+    # row-group-midpoint split rule as the lineitem_big v5 note.
     ev_big_path = os.path.join(
-        big_dir, f"events_big_v2_sf{_sf_from_dir(SF_DIR)}"
+        big_dir, f"events_big_v3_sf{_sf_from_dir(SF_DIR)}"
     )
     route_ok = True
     rollup_compression: dict = {}
@@ -784,6 +805,7 @@ def main() -> None:
                 spark.table("events")
                 .crossJoin(spark.range(200).select(F.col("id").alias("rep")))
                 .drop("rep")
+                .repartition(4 * spark.sparkContext.defaultParallelism)
                 .write.mode("overwrite")
                 .parquet(ev_big_path)
             )
@@ -3278,7 +3300,11 @@ def main() -> None:
                     if fac == 200  # events_big IS events x200 — reuse
                     else os.path.join(
                         big_dir,
-                        f"events_scale_v1_x{fac}_sf{_sf_from_dir(SF_DIR)}",
+                        # v2 (round 14): same split-sizing fix as the
+                        # events_big v3 note — the scale series must
+                        # share ONE layout discipline or the slope
+                        # mixes layouts with sizes
+                        f"events_scale_v2_x{fac}_sf{_sf_from_dir(SF_DIR)}",
                     )
                 )
                 if not os.path.exists(rep_path):
@@ -3288,6 +3314,9 @@ def main() -> None:
                             spark.range(fac).select(F.col("id").alias("rep"))
                         )
                         .drop("rep")
+                        .repartition(
+                            4 * spark.sparkContext.defaultParallelism
+                        )
                         .write.mode("overwrite")
                         .parquet(rep_path)
                     )
