@@ -216,16 +216,16 @@ def main() -> None:
         _safe(f"{name}_approx", _run_engine(sql, allow_exact=(name == "count")))
         _safe(f"{name}_tablesample", _run_sql(spark, _approx_sql(sql, f)))
 
-    # ---- 50x-replicated tier -------------------------------------------
+    # ---- 200x-replicated tier ------------------------------------------
     # At sf0.1 (~20 MB) Spark's fixed per-query floor (~0.1-0.2 s of task
     # scheduling + codegen + collect) dominates BOTH sides, so approx/exact
-    # ratios sit near 1 no matter the plan. Replicating lineitem 50x (~30M
+    # ratios sit near 1 no matter the plan. Replicating lineitem 200x (~120M
     # rows) makes per-row work dominate and shows the scan-reduction the
     # engine is built for — the regime that matters at 100 TB. Setup
     # (untimed): materialize once per machine and reuse across runs.
     big_dir = "/tmp/aqe_bench_big50"
     # v3: l_uniq (globally unique id) for the high-cardinality
-    # COUNT(DISTINCT) class, l_mid (~4M ndv) for the crossover regime
+    # COUNT(DISTINCT) class, l_mid (~16M ndv) for the crossover regime
     # between exact-wins (l_orderkey, ~150k ndv) and sketch-wins (l_uniq)
     # — the planner's NDV costing gets probed on all three. Keyed by sf so
     # a run at a different SPARK_GRAFT_SF_DIR can't reuse a mismatched
@@ -233,33 +233,42 @@ def main() -> None:
     # v4: + l_strata (a rare ~0.8% stratum) and l_val (40x the variance
     # inside the rare stratum) — the Neyman-allocation regime for the
     # stratified plan class below.
-    # v5 (round 14, guide §6 input split sizing): the v4 replica came out
+    # v6 (round 14, guide §6 input split sizing): the v4 replica came out
     # as ONE ~270 MB file holding THREE ~14M-row row groups — Spark plans
     # 32 byte-range splits but a row group lands in the split containing
     # its midpoint, so every scan (and its whole-stage partial
-    # aggregation) of the 30M-row tier ran on THREE cores while 29 sat
-    # idle. Repartition before the write so files (hence row groups, hence
-    # effective splits) are ~250k rows: scan-stage parallelism matches the
-    # session at any SPARK_GRAFT_CPUS. Fixture content is unchanged in
-    # distribution (l_uniq stays globally unique, l_mid ~4M-ndv, the rare
-    # stratum ~0.8%); it was never byte-pinned across machines — ids
-    # already depended on the writing session's partitioning.
+    # aggregation) of this tier ran on THREE cores while 29 sat idle.
+    # Repartition before the write so effective splits match the session
+    # at any SPARK_GRAFT_CPUS (floor 32 so a low-core first build still
+    # reads wide on bigger sessions; not higher, because single-group
+    # exact aggregates — PERCENTILE — merge one partial buffer PER SPLIT
+    # on one core, and 128 splits quadrupled that class). With the layout
+    # fixed, 50x no longer kept per-row work above the scheduling floor
+    # on the exact sides — the tier's entire documented purpose — so the
+    # replication is now 200x (~120M rows), which restores exact walls to
+    # the 1-8 s regime the BASELINE speedup comparison needs while every
+    # within-run comparison still uses the same table on both sides.
+    # Fixture content is unchanged in distribution (l_uniq stays globally
+    # unique, l_mid ~16M-ndv (scaled with the 200x tier so it still sits
+    # just past the priced crossover), the rare stratum ~0.8%); never
+    # byte-pinned across machines — ids already depended on the writing
+    # session's partitioning.
     big_path = os.path.join(
-        big_dir, f"lineitem_big_v5_sf{_sf_from_dir(SF_DIR)}"
+        big_dir, f"lineitem_big_v6_sf{_sf_from_dir(SF_DIR)}"
     )
     big_ok = True
     big_rows = 0
     try:
         if not os.path.exists(big_path):
             is_rare = (F.col("l_uniq") % 128) == 0
-            n_files = 4 * spark.sparkContext.defaultParallelism
+            n_files = max(spark.sparkContext.defaultParallelism, 32)
             (
                 spark.table("lineitem")
-                .crossJoin(spark.range(50).select(F.col("id").alias("rep")))
+                .crossJoin(spark.range(200).select(F.col("id").alias("rep")))
                 .drop("rep")
                 .repartition(n_files)
                 .withColumn("l_uniq", F.monotonically_increasing_id())
-                .withColumn("l_mid", F.col("l_uniq") % 4_000_000)
+                .withColumn("l_mid", F.col("l_uniq") % 16_000_000)
                 .withColumn(
                     "l_strata",
                     F.when(is_rare, F.lit("rare")).otherwise(F.lit("common")),
@@ -310,7 +319,7 @@ def main() -> None:
         bench_errors["big50_setup"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # ---- machine canary (round 11, VERDICT r10 #1) ----------------------
-    # A FIXED-WORK probe over the cached 30M-row replica, timed first,
+    # A FIXED-WORK probe over the cached big-tier replica, timed first,
     # mid-run, and last. Round-over-round wall comparisons divide by the
     # canary median to separate machine drift (slower/busier box — every
     # class and the canary move together) from plan drift (one class
@@ -353,7 +362,7 @@ def main() -> None:
                 "lineitem", "lineitem_big"
             ),
             # quantile AQP (round-4 extension): exact PERCENTILE buffers
-            # all 30M values; the approx side rides the 1% sample table
+            # all 120M values; the approx side rides the 1% sample table
             # (quantiles are sampling-invariant — no scaling, rank-band CI)
             "big_quantile": (
                 "SELECT PERCENTILE(l_extendedprice, 0.5) AS med_price "
@@ -409,9 +418,9 @@ def main() -> None:
         _safe(f"{name}_approx", _run_engine_rec(name, sql))
 
     # ---- COUNT(DISTINCT): two cardinality regimes, planner-decided -----
-    # Low-ndv (l_orderkey: ~150k distinct in 30M rows): exact hash-agg
+    # Low-ndv (l_orderkey: ~150k distinct in 120M rows): exact hash-agg
     # dedups map-side and wins — round 1 measured the raw sketch at 0.92x.
-    # High-ndv (l_uniq: every row distinct): exact must shuffle all 30M
+    # High-ndv (l_uniq: every row distinct): exact must shuffle all 120M
     # values, HLL ships 2^lg_k registers — the sketch's home regime.
     # Building the HLL sketches (untimed setup) teaches the catalog each
     # column's ndv, which is what lets the planner price the two regimes
@@ -464,8 +473,8 @@ def main() -> None:
 
     # ---- NDV crossover validation (round-3 verdict item 3) -------------
     # The cost model prices exact COUNT(DISTINCT) as N + ndv·hash and the
-    # sketch as N·SKETCH_CPU_FACTOR; with N=30M the crossover sits at
-    # ndv≈3M. l_mid (~4M ndv) lands just past it — assert the planner's
+    # sketch as N·SKETCH_CPU_FACTOR; with N=120M the crossover sits at
+    # ndv≈12M. l_mid (~16M ndv) lands just past it — assert the planner's
     # pick actually beats the alternative it rejected, timing both RAW
     # plans (engine overhead excluded from the comparison).
     distinct_crossover: dict = {}
@@ -519,7 +528,7 @@ def main() -> None:
     # Sketch side: segment_overlap — one scan, ≤ 2^12 entries of state
     # per segment per partial, the pairwise stage on 3 sketches. Both
     # sides produce the same frame; rel error is the theta estimation
-    # error at ndv≈4M (≈1/sqrt(4096) per estimate).
+    # error at ndv≈16M (≈1/sqrt(4096) per estimate).
     theta_rows: dict = {}
     if big_ok:
         from approximate_query_engine_spark.sketches import segment_overlap
@@ -3835,7 +3844,7 @@ def main() -> None:
             "baseline_comparable": True,
             "rows": int(eng.catalog.get_row_count("lineitem_big") or 0),
             "note": (
-                "lineitem replicated 50x (~30M rows): per-row work dominates "
+                "lineitem replicated 200x (~120M rows): per-row work dominates "
                 "the floor — the regime BASELINE.md's 3-7x ratios describe "
                 "and the one that matters at 100 TB"
             ),
@@ -3856,7 +3865,7 @@ def main() -> None:
                 "two-column lineitem replicated 200x (~120M rows): the "
                 "COUNT/SUM baseline class measured where the exact scan is "
                 "well above the scheduler floor (bare aggregates are "
-                "scan-bound at 30M rows; this is their valid tier). "
+                "scan-bound at 120M rows; this is their valid tier). "
                 "count200 is INHERENTLY floor-bound at every scale — an "
                 "unfiltered COUNT(*) is a parquet footer-metadata read on "
                 "both sides — so its fix (round 6) is the plan flip to "
