@@ -445,6 +445,11 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", simhash64_expr(text_col))
 
 
+#: tokens per vectorized vote slice (~250 MB peak per task); module-level
+#: so tests can shrink it to pin multi-slice == single-slice signatures
+_SIMHASH_TOK_BUDGET = 1 << 18
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -473,6 +478,16 @@ def simhash_signatures(
         F.transform(toks, lambda t: F.xxhash64(t)).alias("_h"),
     )
 
+    # Round 15 (ADVICE r14): the T×64 vote matrices cost ~1 KB per token;
+    # an unsliced 10k-row Arrow batch of 100k-token documents would
+    # materialize multi-GB intermediates per task. Slicing the batch along
+    # DOCUMENT boundaries to a fixed token budget bounds peak memory at
+    # ~250 MB per task regardless of batch shape; per-document sums are
+    # unaffected by the slicing (votes never cross documents), so
+    # signatures stay bit-identical (pinned in
+    # tests/test_incremental_dedup.py).
+    tok_budget = _SIMHASH_TOK_BUDGET
+
     def _vote(batches):
         ks = np.arange(64, dtype=np.uint64)
         for batch in batches:
@@ -490,26 +505,42 @@ def simhash_signatures(
                     names=[id_col, "simhash"],
                 )
                 continue
-            offs = flat.offsets.to_numpy(zero_copy_only=False)
+            offs = flat.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
             vals = flat.values.to_numpy(zero_copy_only=False).astype(
                 np.uint64
             )
-            if len(vals):
-                bits = (
-                    (vals[:, None] >> ks[None, :]) & np.uint64(1)
-                ).astype(np.int64)
-                contrib = 2 * bits - 1
-                cs = np.vstack(
-                    [np.zeros((1, 64), dtype=np.int64),
-                     np.cumsum(contrib, axis=0)]
-                )
-                sums = cs[offs[1:]] - cs[offs[:-1]]
-                sigu = (
-                    (sums > 0).astype(np.uint64) << ks[None, :]
-                ).sum(axis=1, dtype=np.uint64)
-                sig = sigu.view(np.int64)
-            else:
-                sig = np.zeros(n, dtype=np.int64)
+            sig = np.zeros(n, dtype=np.int64)
+            d0 = 0
+            while d0 < n:
+                # widest doc run within the token budget (≥1 doc so a
+                # single over-budget document still processes whole)
+                d1 = int(
+                    np.searchsorted(
+                        offs, offs[d0] + tok_budget, side="right"
+                    )
+                ) - 1
+                d1 = min(max(d1, d0 + 1), n)
+                seg = vals[offs[d0]: offs[d1]]
+                if len(seg):
+                    # int8 contrib + int32 running sum: |vote sum| ≤ the
+                    # slice's token count, far inside int32
+                    bits = (
+                        (seg[:, None] >> ks[None, :]) & np.uint64(1)
+                    ).astype(np.int8)
+                    contrib = 2 * bits - 1
+                    cs = np.vstack(
+                        [np.zeros((1, 64), dtype=np.int32),
+                         np.cumsum(contrib, axis=0, dtype=np.int32)]
+                    )
+                    o = offs[d0: d1 + 1] - offs[d0]
+                    sums = cs[o[1:]] - cs[o[:-1]]
+                    sigu = (
+                        (sums > 0).astype(np.uint64) << ks[None, :]
+                    ).sum(axis=1, dtype=np.uint64)
+                    sig[d0:d1] = sigu.view(np.int64)
+                d0 = d1
             # a NULL token array (NULL text) votes 0 on every bit in the
             # expression form (each when(NULL > 0, ...).otherwise(0)
             # contributes 0), so the signature is 0, never NULL; forced

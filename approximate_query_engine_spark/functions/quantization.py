@@ -383,7 +383,14 @@ def knn_join_quantized(
     ``quantizer.encode`` — to skip re-encoding the corpus: the
     operational model at scale is codes materialized once beside the
     vectors (like knn_join's ``assigned`` IVF table) and only the query
-    batch encoded at lookup time."""
+    batch encoded at lookup time.
+
+    CONTRACT (ADVICE r14): ``left`` is a QUERY BATCH — it is
+    force-broadcast (unconditionally, no size guard), so it must fit the
+    broadcast budget (≲ a few hundred MB / far under 512M rows). For a
+    corpus-sized left (self-join dedup), do not use this brute phase —
+    that shape belongs to :func:`knn_join_ivf_quantized` with
+    ``broadcast_probes=False``, which never broadcasts either big side."""
     from pyspark.sql import Window
 
     lhs = left.select(

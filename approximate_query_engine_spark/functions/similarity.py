@@ -234,6 +234,42 @@ class IVFIndex:
 # batch k-NN join
 
 
+#: logical-plan nodes that put an exchange (or a whole job) between the
+#: leaves and this frame. ``df.rdd`` on such a frame under AQE is NOT
+#: plan-only: AQE materializes every shuffle query stage to finalize the
+#: plan, silently EXECUTING the upstream of the frame being inspected
+#: (ADVICE r14) — the centroid-assignment join would run once just to
+#: count partitions and again when the returned frame is consumed.
+_WIDE_PLAN_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Deduplicate",
+    "Distinct",
+    "Repartition",
+    "RepartitionByExpression",
+    "GlobalLimit",
+    "Intersect",
+    "Except",
+)
+
+
+def _is_narrow_plan(df: DataFrame) -> bool:
+    """True when the analyzed logical plan contains no shuffle-inducing
+    node, i.e. ``df.rdd`` is a plan-only inspection (scan + narrow
+    transforms: no AQE query stage exists to materialize)."""
+    import re
+
+    try:
+        tree = df._jdf.queryExecution().analyzed().treeString()
+    except Exception:  # pragma: no cover - py4j surface changed
+        return False
+    # node names start a line after the tree-art prefix ("+- ", ":- ")
+    heads = re.findall(r"(?m)^[\s:+-]*([A-Za-z]+)", tree)
+    return not any(h in _WIDE_PLAN_NODES for h in heads)
+
+
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Round-14 optimization (guide §2.6/§6): raise a SMALL corpus frame's
     parallelism to the session default before a per-pair scoring stage.
@@ -246,8 +282,17 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     (thousands of splits, partitionBy('centroid_id') pruning) is returned
     untouched, so no shuffle — and no loss of dynamic partition pruning —
     is ever added at scale. Values are unaffected (pure repartition;
-    every downstream ranking breaks ties deterministically)."""
+    every downstream ranking breaks ties deterministically).
+
+    Round 15 (ADVICE r14): the partition count is read via ``df.rdd``
+    ONLY when the plan is provably narrow (scan + projections), because
+    under AQE that call materializes shuffle query stages — a post-join
+    frame would execute its join twice. Frames with a wide node anywhere
+    in the plan are returned untouched (they already have post-shuffle
+    parallelism)."""
     sc = df.sparkSession.sparkContext
+    if not _is_narrow_plan(df):
+        return df
     try:
         n = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - defensive: keep the plan as-is
@@ -302,6 +347,11 @@ def knn_join(
     shapes — where the "query batch" is the whole corpus — pass
     ``broadcast_probes=False`` so the probe side is NOT force-broadcast
     (see the inline note at the join).
+
+    CONTRACT (ADVICE r14): in ``method='brute'``, ``left`` is a QUERY
+    BATCH and is force-broadcast with no size guard — it must fit the
+    broadcast budget. A corpus-sized left belongs on the IVF path with
+    ``broadcast_probes=False`` (nothing corpus-sized broadcasts there).
     """
     from pyspark.sql import Window
 

@@ -1816,8 +1816,15 @@ def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
         bucket_start = F.timestamp_micros(us - F.pmod(us, F.lit(w_us)))
     else:  # pragma: no cover - month-width buckets are refused upstream
         bucket_start = F.window(F.col(spec.time_col), spec.bucket)["start"]
+    # NULL timestamps must be dropped on BOTH paths: Spark's TimeWindowing
+    # rule injects IsNotNull(ts) under F.window, so the arithmetic path
+    # needs the same explicit filter or a NULL-ts source grows a NULL
+    # bucket_start group (and a __HIVE_DEFAULT_PARTITION__ p_date
+    # directory) that refresh_rollup_buckets — which still filters via
+    # F.window — could never repair.
     return (
-        df.groupBy(bucket_start.alias("w"), *spec.dims)
+        df.where(F.col(spec.time_col).isNotNull())
+        .groupBy(bucket_start.alias("w"), *spec.dims)
         .agg(*aggs)
         .select(
             F.col("w").alias("bucket_start"),

@@ -138,11 +138,21 @@ def run_streaming_window_agg(
 
 
 def run_streaming_dedup(
-    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon —
     the streaming analog of :func:`functions.dedup.dedup_exact`; state is
-    bounded by the watermark."""
+    bounded by the watermark.
+
+    ``state_partitions`` (round 15, guide §2.2/§5 — same knob as
+    :func:`run_streaming_window_agg`): dedup state is keyed by event_id,
+    so size it to the expected events-per-watermark-horizon, NOT the core
+    count. Results are partitioning-independent (exact dedup + exact
+    counts). Default ``None`` keeps the session conf — existing callers
+    unchanged."""
     events = _events_stream(spark, sf_dir)
     deduped = (
         events.withWatermark("ts", watermark)
@@ -150,16 +160,26 @@ def run_streaming_dedup(
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_events"))
     )
-    return _run_to_completion(deduped, "complete")
+    return _run_to_completion(
+        deduped, "complete", state_partitions=state_partitions
+    )
 
 
 def run_stateful_user_counts(
-    spark: SparkSession, sf_dir: str, min_events: int = 50
+    spark: SparkSession,
+    sf_dir: str,
+    min_events: int = 50,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     event counters kept in explicit state, emitting users whose lifetime
     count crosses ``min_events``. Demonstrates the arbitrary-stateful
-    escape hatch (GroupState, timeout-free)."""
+    escape hatch (GroupState, timeout-free).
+
+    ``state_partitions`` (round 15, guide §2.2/§5): user-count state is
+    keyed by user_id — size to the tracked-user cardinality, not cores.
+    Emission is per-user and partitioning-independent. Default ``None``
+    keeps the session conf."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -180,7 +200,9 @@ def run_stateful_user_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_completion(out, "update")
+    return _run_to_completion(
+        out, "update", state_partitions=state_partitions
+    )
 
 
 def run_streaming_sessions(
@@ -188,6 +210,7 @@ def run_streaming_sessions(
     sf_dir: str,
     gap: str = "360 minutes",
     watermark: str = "24 hours",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming sessionization with Spark's native ``session_window``:
     per-(user, session) event count, value sum, and duration. The
@@ -201,7 +224,14 @@ def run_streaming_sessions(
     finalized, is in the sink after each batch, so draining a bounded
     input yields exactly the batch result. A production deployment on an
     unbounded stream would use append mode — it emits only watermark-
-    finalized sessions and evicts their state."""
+    finalized sessions and evicts their state.
+
+    ``state_partitions`` (round 15, guide §2.2/§5): session state is
+    keyed by (user_id, session) — size to the expected OPEN-session count
+    per trigger, not cores. Session-window merge is order-independent, so
+    results don't depend on the partitioning. Default ``None`` keeps the
+    session conf — the declared q62 parity path is byte-for-byte
+    unchanged."""
     events = _events_stream(spark, sf_dir)
     agg = (
         events.withWatermark("ts", watermark)
@@ -218,7 +248,9 @@ def run_streaming_sessions(
             "total_value",
         )
     )
-    return _run_to_completion(agg, "complete")
+    return _run_to_completion(
+        agg, "complete", state_partitions=state_partitions
+    )
 
 
 def stream_to_partitioned_layout(

@@ -560,6 +560,12 @@ def main() -> None:
                 )
             masks = (
                 src.select(F.col("l_mid").alias("u"), mask_expr.alias("m"))
+                # ADVICE r14: the recorded self-join spelling (a.u = b.u)
+                # drops NULL keys; the bitmask pass must too or a NULL
+                # l_mid would fold every segment's bit into one phantom
+                # overlap row. No-op on this fixture (l_mid is never
+                # NULL) — semantic alignment only.
+                .where(F.col("u").isNotNull())
                 .groupBy("u")
                 .agg(F.expr("bit_or(m)").alias("mask"))
                 .groupBy("mask")

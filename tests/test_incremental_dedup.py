@@ -266,3 +266,33 @@ def test_simhash_signatures_kernel_matches_expr(spark):
         for r in simhash_signatures(both, "doc_id", "text").collect()
     }
     assert got == want
+
+
+def test_simhash_vote_multi_slice_matches_single(spark, monkeypatch):
+    """Round-15 memory bound (ADVICE r14): the vote kernel slices each
+    Arrow batch along document boundaries to a token budget. A budget
+    small enough to force MANY slices (including a single doc larger
+    than the budget) must produce signatures identical to the unsliced
+    expression form — votes never cross documents."""
+    from approximate_query_engine_spark.functions import dedup as ddp
+
+    rows = [
+        (1, "alpha beta gamma delta " * 50),       # 200 tokens > budget
+        (2, "one two three"),
+        (3, None),
+        (4, "   "),
+        (5, "zeta eta theta iota kappa " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (r["doc_id"], r["simhash"])
+        for r in ddp.with_simhash(df, "text").select(
+            "doc_id", "simhash"
+        ).collect()
+    }
+    monkeypatch.setattr(ddp, "_SIMHASH_TOK_BUDGET", 16)
+    got = {
+        (r["doc_id"], r["simhash"])
+        for r in ddp.simhash_signatures(df, "doc_id", "text").collect()
+    }
+    assert got == want

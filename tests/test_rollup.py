@@ -189,3 +189,55 @@ def test_bucket_start_arithmetic_matches_time_window(spark):
             .count()
         )
         assert bad == 0, bucket
+
+
+def test_partial_state_drops_null_timestamps_like_time_window(
+    spark, tmp_path
+):
+    """The projection test above can't see groupBy filter semantics:
+    Spark's TimeWindowing rule injects IsNotNull(ts) under F.window, so a
+    NULL-ts row silently vanishes from a window groupBy — the arithmetic
+    bucket path must drop it too, or full materialization diverges from
+    refresh_rollup_buckets (still F.window-filtered) and writes a
+    __HIVE_DEFAULT_PARTITION__ p_date directory the incremental path can
+    never repair."""
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 3, 1, 0, 10), "a", 1.0),
+        (datetime.datetime(2024, 3, 1, 0, 40), "a", 2.0),
+        (datetime.datetime(2024, 3, 1, 2, 5), "b", 3.0),
+        (None, "a", 99.0),
+        (None, "b", 99.0),
+    ]
+    schema = "ts timestamp, event_type string, value double"
+    spark.createDataFrame(rows, schema).createOrReplaceTempView(
+        "roll_null_src"
+    )
+    spec = RollupSpec(
+        "roll_null_src", "ts", "1 hour", ["event_type"], ["value"]
+    )
+    path = str(tmp_path / "roll_null")
+    materialize_rollup(spark, spec, path=path)
+    got = {
+        (str(r["bucket_start"]), r["event_type"]): (
+            r["n_rows"],
+            r["value_sum"],
+        )
+        for r in spark.table(spec.rollup_name).collect()
+    }
+    want = {
+        (str(r["b"]), r["event_type"]): (r["n"], r["s"])
+        for r in (
+            spark.table("roll_null_src")
+            .groupBy(F.window("ts", "1 hour")["start"].alias("b"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        )
+    }
+    assert got == want  # NULL-ts rows in neither; counts/sums identical
+    assert all(k[0] != "None" for k in got)
+    import glob
+    import os
+
+    assert not glob.glob(os.path.join(path, "p_date=__HIVE_DEFAULT*"))
